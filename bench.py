@@ -1,0 +1,60 @@
+#!/usr/bin/env python3
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+one JSON line: {"metric": ..., "value": N, "unit": "sec",
+"queries": {...}, "sf": ...}.
+
+Each query is executed once to warm the JVM/code-gen caches and then
+timed; the timed run materializes results via a count-style action so
+the full plan executes without driver-side collect overhead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from robosystems_spark.inventory import bench_queries  # noqa: E402
+from robosystems_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="robosystems-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    specs = bench_queries()
+    timings: dict[str, float] = {}
+    # Warm-up: JVM JIT + parquet footer caches, one light action.
+    next(iter(specs.values())).fn(spark, sf_dir).limit(1).collect()
+
+    for name, spec in specs.items():
+        t0 = time.perf_counter()
+        df = spec.fn(spark, sf_dir)
+        # force full materialization of every row/column of the result
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

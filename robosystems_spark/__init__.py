@@ -1,0 +1,22 @@
+"""robosystems_spark — a PySpark-native analytics engine.
+
+A from-scratch re-expression of the query and data-processing
+capabilities of RoboFinSystems/robosystems (financial knowledge-graph
+platform) as an idiomatic PySpark engine:
+
+- typed node/relationship schema registry  -> ``robosystems_spark.schema``
+- staging + materialization (files->tables) -> ``robosystems_spark.sources``
+- relational/graph-pattern operators        -> ``robosystems_spark.operators``
+- analytics views (trial balance, facts)    -> ``robosystems_spark.views``
+- query gating / analysis / serving         -> ``robosystems_spark.queryapi``, ``.serving``
+- structured-streaming extensions           -> ``robosystems_spark.streaming``
+- LLM-data-pipeline operators (dedup, ANN,
+  text analysis, multimodal)                -> ``robosystems_spark.operators``
+
+Everything is DataFrame-first: logical plans are declared with the
+DataFrame/SQL API and Catalyst/Tungsten pick the physical strategy.
+"""
+
+__version__ = "0.1.0"
+
+from robosystems_spark.session import get_spark  # noqa: F401

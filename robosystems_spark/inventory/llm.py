@@ -1,0 +1,294 @@
+"""LLM-data-pipeline inventory: dedup, text analysis, similarity search.
+
+These extend the reference surface (BASELINE.json north star) over the
+``documents`` and ``embeddings`` tables.  SQL-expressible operators get
+DuckDB oracles; LSH-based ones (engine-specific hash permutations) are
+rows-only checked by the driver and covered by unit tests instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from robosystems_spark.inventory import register
+from robosystems_spark.io import read_table
+from robosystems_spark.operators import dedup as D
+from robosystems_spark.operators import similarity as S
+from robosystems_spark.operators import text as T
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "embeddings")
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup — hash groupBy.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_exact_groups",
+    oracle=r"""
+    SELECT MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS fingerprint,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS keep_doc_id
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="Exact dedup: md5(normalized text) hash-groupBy, keep min id (LLM-pipeline op).",
+    tags=("dedup",),
+    bench=True,
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_duplicates(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Token counting.
+# ---------------------------------------------------------------------------
+@register(
+    "text_token_stats",
+    oracle=r"""
+    SELECT doc_id,
+           LEN(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+'))                AS n_tokens,
+           LEN(LIST_DISTINCT(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+'))) AS n_unique_tokens,
+           LENGTH(TRIM(text))                                               AS n_chars_trim
+    FROM documents
+    """,
+    doc="Whitespace token counting per document (LLM-pipeline text analysis).",
+    tags=("text",),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.token_stats(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring.
+# ---------------------------------------------------------------------------
+@register(
+    "text_quality_score",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(LEN(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+')) AS DOUBLE)                AS n,
+             CAST(LEN(LIST_DISTINCT(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+'))) AS DOUBLE) AS uniq,
+             CAST(LENGTH(REPLACE(TRIM(text), ' ', '')) AS DOUBLE)                             AS nospace
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           ROUND(uniq / n, 6) AS unique_ratio,
+           ROUND(nospace / n, 6) AS avg_token_len,
+           ROUND(LEAST(n / 100.0, 1.0) * 0.4 + (uniq / n) * 0.4
+                 + LEAST(nospace / n / 8.0, 1.0) * 0.2, 6) AS quality_score
+    FROM t
+    """,
+    doc="Heuristic quality scoring: length + uniqueness + token-shape components (LLM-pipeline op).",
+    tags=("text",),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.quality_score(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Language ID heuristic.
+# ---------------------------------------------------------------------------
+def _langid_oracle() -> str:
+    score_cols = []
+    for lang in sorted(T.LANG_MARKERS):
+        markers = ", ".join(f"'{w}'" for w in T.LANG_MARKERS[lang])
+        score_cols.append(
+            f"ROUND(CAST(LEN(LIST_FILTER(toks, t -> t IN ({markers}))) AS DOUBLE)"
+            f" / LEN(toks), 6) AS score_{lang}"
+        )
+    langs = sorted(T.LANG_MARKERS)
+    best = "GREATEST(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    pred = "CASE " + " ".join(
+        f"WHEN score_{lang} = {best} THEN '{lang}'" for lang in langs
+    ) + " END"
+    return rf"""
+    WITH t AS (
+      SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS toks FROM documents
+    ), s AS (
+      SELECT doc_id, {", ".join(score_cols)} FROM t
+    )
+    SELECT doc_id, {", ".join(f"score_{lang}" for lang in langs)}, {pred} AS pred_lang
+    FROM s
+    """
+
+
+@register(
+    "text_langid",
+    oracle=_langid_oracle(),
+    doc="Stopword-ratio language-ID heuristic, argmax with deterministic ties (LLM-pipeline op).",
+    tags=("text",),
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.langid(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Fingerprinting.
+# ---------------------------------------------------------------------------
+@register(
+    "text_fingerprint",
+    oracle=r"""
+    SELECT doc_id, MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS fingerprint
+    FROM documents
+    """,
+    doc="Content fingerprint: md5 over normalized text (deterministic-ID pattern, SURVEY §2.8 F9).",
+    tags=("text",),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.fingerprint(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup with prefix blocking — SQL-expressible, so it
+# gets a real oracle; blocking keeps both sides O(candidates).
+# ---------------------------------------------------------------------------
+@register(
+    "ngram_jaccard_blocked_pairs",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             LIST_DISTINCT(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+')) AS toks,
+             SUBSTRING(text, 1, 32) AS blk
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(CAST(LEN(LIST_INTERSECT(a.toks, b.toks)) AS DOUBLE)
+                 / LEN(LIST_DISTINCT(LIST_CONCAT(a.toks, b.toks))), 6) AS jaccard
+    FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE CAST(LEN(LIST_INTERSECT(a.toks, b.toks)) AS DOUBLE)
+          / LEN(LIST_DISTINCT(LIST_CONCAT(a.toks, b.toks))) >= 0.5
+    """,
+    doc="Token-set Jaccard near-dup over prefix-blocked candidate pairs (LLM-pipeline op).",
+    tags=("dedup",),
+)
+def ngram_jaccard_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    t = docs.select(
+        "doc_id",
+        F.array_distinct(T.tokens("text")).alias("toks"),
+        F.substring("text", 1, 32).alias("blk"),
+    )
+    a, b = t.alias("a"), t.alias("b")
+    jac = F.size(F.array_intersect("a.toks", "b.toks")).cast("double") / F.size(
+        F.array_union("a.toks", "b.toks")
+    )
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH and SimHash — hash-permutation specific, rows-only checks.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_minhash_lsh",
+    oracle=None,
+    doc="MinHash(64 perms)+LSH(16 bands) near-dup: shingle→signature→band→bucket-join→Jaccard verify. "
+    "Hash permutations are engine-specific → rows-only check; exactness covered by tests/test_dedup.py.",
+    tags=("dedup", "lsh"),
+    bench=True,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_near_duplicates(_docs(spark, sf_dir), threshold=0.7)
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,
+    doc="64-bit SimHash near-dup with 16-bit chunk banding + hamming verify (rows-only check).",
+    tags=("dedup", "lsh"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_near_duplicates(_docs(spark, sf_dir), max_hamming=3)
+
+
+@register(
+    "dedup_embedding_neardup",
+    oracle=None,
+    doc="Embedding near-dup: random-hyperplane LSH buckets + exact cosine verify (rows-only). "
+    "Threshold 0.4 because the synthetic embeddings top out at ~0.48 pairwise cosine.",
+    tags=("dedup", "embedding"),
+)
+def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.embedding_near_duplicates(_emb(spark, sf_dir), threshold=0.4, num_planes=6)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search.
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    sims AS (
+      SELECT 0 AS query_id, e.vec_id AS nn_id,
+             ROUND(LIST_COSINE_SIMILARITY(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 6) AS cosine
+      FROM embeddings e, q
+    )
+    SELECT query_id, nn_id, cosine,
+           CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, nn_id) AS INT) AS rank
+    FROM sims
+    ORDER BY cosine DESC, nn_id
+    LIMIT 10
+    """,
+    doc="Brute-force cosine top-k ANN baseline: broadcast query, JVM-side zip_with dot product.",
+    tags=("similarity",),
+    bench=True,
+)
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), F.col("embedding")
+    )
+    return S.cosine_topk(emb, queries, k=10)
+
+
+@register(
+    "embedding_ivf_topk",
+    oracle=None,
+    doc="IVF-bucketed approximate top-k: k-means-lite centroids, nprobe bucket pruning (rows-only).",
+    tags=("similarity",),
+)
+def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return S.ivf_topk(emb, queries, k=10, num_centroids=8, nprobe=3)
+
+
+@register(
+    "embedding_norm_stats",
+    oracle="""
+    SELECT label,
+           COUNT(*) AS n_vectors,
+           ROUND(AVG(SQRT(LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))), 6) AS avg_l2_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+    doc="Per-label embedding norm statistics — vectorized array aggregation (LLM-pipeline op).",
+    tags=("similarity", "agg"),
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    norm = F.expr(
+        "sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    )
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg(norm), 6).alias("avg_l2_norm"),
+    )

@@ -1,0 +1,822 @@
+"""Relational operator inventory over the TPC-H-ish synthetic tables.
+
+Each entry re-expresses one operator family from SURVEY.md §2
+(citations are to /root/reference) as an idiomatic DataFrame plan plus
+a DuckDB oracle.  Aggregated doubles are rounded on BOTH sides so the
+driver's value-hash compares are stable across engines' summation
+order.
+
+Scale notes: every query here is shuffle-minimal by construction —
+dimension tables (region/nation/supplier/part/customer at TPC-H
+ratios) are broadcast below the 64 MB threshold, aggregations are
+partial-agg friendly (no high-cardinality exploded keys), and filters
+are pushed to the parquet scan (verified via .explain in
+tests/test_plans.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from robosystems_spark.inventory import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from robosystems_spark.io import read_table
+
+    return read_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# A1/A4/A5/F7/O1 — grouped aggregation battery (TPC-H Q1 shape).
+# Reference analog: trial-balance per-element sums
+# (robosystems/operations/views/trial_balance.py:36-57).
+# ---------------------------------------------------------------------------
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           ROUND(AVG(l_quantity), 6)                                        AS avg_qty,
+           ROUND(AVG(l_extendedprice), 6)                                   AS avg_price,
+           ROUND(AVG(l_discount), 6)                                        AS avg_disc,
+           COUNT(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="Full-scan grouped agg: sum/avg/count over derived arithmetic columns (SURVEY §2.4 A1,A4; §2.8 F7).",
+    tags=("agg", "scan"),
+    bench=True,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1/O2 — join chain + grouped agg + top-k (TPC-H Q3 shape).
+# Reference analog: multi-hop MATCH chains (trial_balance.py:37-39).
+# ---------------------------------------------------------------------------
+@register(
+    "q3_top_revenue_orders",
+    oracle="""
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+    doc="3-table equi-join chain, grouped agg, deterministic top-k (SURVEY §2.3 J1, §2.6 O2).",
+    tags=("join", "topk"),
+    bench=True,
+)
+def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1 (5-hop star) — local supplier volume (TPC-H Q5 shape).
+# ---------------------------------------------------------------------------
+@register(
+    "q5_region_nation_volume",
+    oracle="""
+    SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    doc="6-table join chain with compound join condition + broadcast dims (SURVEY §2.3 J1).",
+    tags=("join",),
+    bench=True,
+)
+def q5_region_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P1-P7 — predicate battery: alias projection, range, IN, contains,
+# null-check, inequality (SURVEY §2.2).
+# ---------------------------------------------------------------------------
+@register(
+    "predicate_battery",
+    oracle="""
+    SELECT o_orderkey AS order_id,
+           o_totalprice AS total_price,
+           o_orderpriority AS priority
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate <= TIMESTAMP '1997-12-31'
+      AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+      AND o_orderstatus <> 'P'
+      AND o_totalprice IS NOT NULL
+      AND CONTAINS(o_orderpriority, 'H')
+    ORDER BY o_orderkey
+    """,
+    doc="Projection w/ alias + range + IN + inequality + IS NOT NULL + CONTAINS (SURVEY §2.2 P1-P7).",
+    tags=("filter",),
+)
+def predicate_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") <= F.lit("1997-12-31").cast("timestamp"))
+            & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+            & (F.col("o_orderstatus") != "P")
+            & F.col("o_totalprice").isNotNull()
+            & F.col("o_orderpriority").contains("H")
+        )
+        .select(
+            F.col("o_orderkey").alias("order_id"),
+            F.col("o_totalprice").alias("total_price"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .orderBy("order_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2 — left outer join (OPTIONAL MATCH analog, fact_query.py:53-55).
+# ---------------------------------------------------------------------------
+@register(
+    "left_join_customer_orders",
+    oracle="""
+    SELECT c_custkey, c_name,
+           COUNT(o_orderkey)                    AS order_count,
+           ROUND(COALESCE(SUM(o_totalprice), 0), 2) AS total_spent
+    FROM customer
+    LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    """,
+    doc="Left outer join preserving unmatched left rows; COUNT(col) ignores nulls (SURVEY §2.3 J2).",
+    tags=("join",),
+)
+def left_join_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("order_count"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J6 — anti join (the OPTIONAL MATCH ... WHERE x IS NULL idiom,
+# fact_query.py:78-79) and semi join.
+# ---------------------------------------------------------------------------
+@register(
+    "anti_join_customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    doc="Left-anti join: rows with no match on the right (SURVEY §2.3 J6 anti).",
+    tags=("join",),
+)
+def anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "semi_join_customers_with_urgent_orders",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT' AND o_totalprice > 100000
+    )
+    """,
+    doc="Left-semi join: existence check without multiplying rows (SURVEY §2.3 J6 semi).",
+    tags=("join",),
+)
+def semi_join_customers_with_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 100000)
+    )
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+# ---------------------------------------------------------------------------
+# J5 — self-join / comma-pattern cartesian-with-filter (colleague query,
+# custom_graph_demo/05_query_graph.py:99-104).
+# ---------------------------------------------------------------------------
+@register(
+    "self_join_supplier_pairs",
+    oracle="""
+    SELECT n_name, COUNT(*) AS pair_count
+    FROM supplier s1
+    JOIN supplier s2 ON s1.s_nationkey = s2.s_nationkey AND s1.s_suppkey < s2.s_suppkey
+    JOIN nation ON s1.s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    doc="Self-join on shared key with ordering filter to dedup pairs (SURVEY §2.3 J5).",
+    tags=("join",),
+)
+def self_join_supplier_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s1 = _t(spark, sf_dir, "supplier").alias("s1")
+    s2 = _t(spark, sf_dir, "supplier").alias("s2")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        s1.join(
+            s2,
+            (F.col("s1.s_nationkey") == F.col("s2.s_nationkey"))
+            & (F.col("s1.s_suppkey") < F.col("s2.s_suppkey")),
+        )
+        .join(F.broadcast(nation), F.col("s1.s_nationkey") == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3 — undirected / either-direction relationship traversal
+# (MATCH (a)--(b), save_view.py:42-45): union both edge directions, join.
+# ---------------------------------------------------------------------------
+@register(
+    "undirected_nation_coloc",
+    oracle="""
+    WITH edges AS (
+      SELECT s_suppkey AS src, s_nationkey AS nkey FROM supplier
+    ), undirected AS (
+      SELECT src, nkey FROM edges
+      UNION ALL
+      SELECT -src AS src, nkey FROM edges
+    )
+    SELECT n_name, COUNT(*) AS endpoint_count
+    FROM undirected JOIN nation ON nkey = n_nationkey
+    GROUP BY n_name
+    """,
+    doc="Either-direction traversal: union of both edge directions before the join (SURVEY §2.3 J3).",
+    tags=("join", "graph"),
+)
+def undirected_nation_coloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    edges = supp.select(F.col("s_suppkey").alias("src"), F.col("s_nationkey").alias("nkey"))
+    undirected = edges.unionByName(
+        edges.select((-F.col("src")).alias("src"), F.col("nkey"))
+    )
+    return (
+        undirected.join(F.broadcast(nation), F.col("nkey") == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("endpoint_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3/U3 — distinct projection + count(DISTINCT).
+# ---------------------------------------------------------------------------
+@register(
+    "distinct_counts_per_segment",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(DISTINCT c_nationkey) AS nations,
+           COUNT(DISTINCT c_custkey)   AS customers
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    doc="count(DISTINCT x) per group (SURVEY §2.4 A3).",
+    tags=("agg",),
+)
+def distinct_counts_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_nationkey").alias("nations"),
+        F.countDistinct("c_custkey").alias("customers"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5/F6 — conditional aggregation with CASE WHEN
+# (facts_tool.py:138-142; accounting_demo/05_query_graph.py:129-140).
+# ---------------------------------------------------------------------------
+@register(
+    "conditional_agg_returns",
+    oracle="""
+    SELECT l_linestatus,
+           ROUND(SUM(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0 END), 2) AS returned_value,
+           ROUND(SUM(CASE WHEN l_returnflag <> 'R' THEN l_extendedprice ELSE 0 END), 2) AS kept_value,
+           COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS high_discount_lines
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+    doc="sum(CASE WHEN ...) / count(CASE WHEN ...) conditional aggregation (SURVEY §2.4 A5, §2.8 F6).",
+    tags=("agg",),
+)
+def conditional_agg_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(
+            F.sum(F.when(F.col("l_returnflag") == "R", F.col("l_extendedprice")).otherwise(0.0)), 2
+        ).alias("returned_value"),
+        F.round(
+            F.sum(F.when(F.col("l_returnflag") != "R", F.col("l_extendedprice")).otherwise(0.0)), 2
+        ).alias("kept_value"),
+        F.count(F.when(F.col("l_discount") > 0.05, F.lit(1))).alias("high_discount_lines"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 — collect -> list of struct (element_mapping.py:42-50).  Lists are
+# serialized to a sorted comma-joined string so the value-hash is
+# order-insensitive on both engines.
+# ---------------------------------------------------------------------------
+@register(
+    "collect_list_priorities_per_status",
+    oracle="""
+    SELECT o_orderstatus,
+           ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT o_orderpriority)), ',') AS priorities
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    doc="collect_list/collect_set into deterministic serialized list (SURVEY §2.4 A6).",
+    tags=("agg",),
+)
+def collect_list_priorities_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.concat_ws(",", F.sort_array(F.collect_set("o_orderpriority"))).alias("priorities")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A7/F3 — grouping over derived date keys (month roll-up,
+# accounting_demo/05_query_graph.py:107-123).
+# ---------------------------------------------------------------------------
+@register(
+    "monthly_order_stats",
+    oracle="""
+    SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS order_month,
+           COUNT(*) AS order_count,
+           ROUND(SUM(o_totalprice), 2) AS month_value,
+           ROUND(AVG(o_totalprice), 6) AS avg_value
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    GROUP BY CAST(DATE_TRUNC('month', o_orderdate) AS DATE)
+    """,
+    doc="Group-by over derived month key (SURVEY §2.4 A7, §2.8 F3).",
+    tags=("agg", "date"),
+    bench=True,
+)
+def monthly_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        .groupBy(F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("order_month"))
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            F.round(F.sum("o_totalprice"), 2).alias("month_value"),
+            F.round(F.avg("o_totalprice"), 6).alias("avg_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A8 — pivot-table aggregation (fact_grid_builder.py:174-295).
+# SQL oracle uses conditional aggregation with identical column names.
+# ---------------------------------------------------------------------------
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+@register(
+    "pivot_value_by_status_priority",
+    oracle="""
+    SELECT o_orderstatus,
+           ROUND(COALESCE(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END), 0), 2)        AS "1-URGENT",
+           ROUND(COALESCE(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice END), 0), 2)          AS "2-HIGH",
+           ROUND(COALESCE(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice END), 0), 2)        AS "3-MEDIUM",
+           ROUND(COALESCE(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN o_totalprice END), 0), 2) AS "4-NOT SPECIFIED",
+           ROUND(COALESCE(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END), 0), 2)           AS "5-LOW"
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    doc="groupBy().pivot().sum() fact grid (SURVEY §2.4 A8). Explicit pivot values avoid an extra distinct scan.",
+    tags=("agg", "pivot"),
+)
+def pivot_value_by_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    piv = (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .sum("o_totalprice")
+    )
+    return piv.select(
+        "o_orderstatus",
+        *[F.round(F.coalesce(F.col(f"`{p}`"), F.lit(0.0)), 2).alias(p) for p in _PRIORITIES],
+    )
+
+
+# ---------------------------------------------------------------------------
+# P9/W1 — window dedup: row_number over partition, keep rn=1
+# (duckdb/manager.py:112-135 staging dedup).
+# ---------------------------------------------------------------------------
+@register(
+    "window_dedup_first_line",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+    FROM (
+      SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity) AS rn
+      FROM lineitem
+    ) WHERE rn = 1
+    """,
+    doc="ROW_NUMBER() OVER (PARTITION BY ...) dedup, the staging-ingest idiom (SURVEY §2.2 P9, §2.5 W1).",
+    tags=("window", "dedup"),
+    bench=True,
+)
+def window_dedup_first_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    # the ORDER BY must be a total order within the partition, or
+    # row_number() picks an engine-dependent row on ties
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W2 — analytic windows: lag + running frame sum (free in Spark; listed
+# as available-free in SURVEY §2.5 W2).
+# ---------------------------------------------------------------------------
+@register(
+    "window_running_customer_spend",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
+           ROUND(COALESCE(LAG(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 0), 2) AS prev_price
+    FROM orders
+    """,
+    doc="Running-total frame + LAG analytic window (SURVEY §2.5 W2).",
+    tags=("window",),
+)
+def window_running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(frame), 2).alias("running_spend"),
+        F.round(F.coalesce(F.lag("o_totalprice").over(w), F.lit(0.0)), 2).alias("prev_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# U1 — UNION ALL multi-branch counts (example_queries_tool.py:82 label
+# counts; duckdb/manager.py:199-228 per-file union).
+# ---------------------------------------------------------------------------
+@register(
+    "union_all_label_counts",
+    oracle="""
+    SELECT 'region' AS label, COUNT(*) AS cnt FROM region
+    UNION ALL SELECT 'nation' AS label, COUNT(*) AS cnt FROM nation
+    UNION ALL SELECT 'customer' AS label, COUNT(*) AS cnt FROM customer
+    UNION ALL SELECT 'supplier' AS label, COUNT(*) AS cnt FROM supplier
+    UNION ALL SELECT 'part' AS label, COUNT(*) AS cnt FROM part
+    """,
+    doc="UNION ALL of per-label counts (SURVEY §2.7 U1; graph label-count idiom).",
+    tags=("setop",),
+)
+def union_all_label_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = []
+    for name in ("region", "nation", "customer", "supplier", "part"):
+        parts.append(
+            _t(spark, sf_dir, name).agg(
+                F.lit(name).alias("label"), F.count(F.lit(1)).alias("cnt")
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# U2 — INTERSECT / EXCEPT.
+# ---------------------------------------------------------------------------
+@register(
+    "intersect_customer_supplier_nations",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    doc="INTERSECT set operation (SURVEY §2.7 U2).",
+    tags=("setop",),
+)
+def intersect_customer_supplier_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust.intersect(supp)
+
+
+@register(
+    "except_nations_without_suppliers",
+    oracle="""
+    SELECT n_nationkey AS nationkey FROM nation
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    doc="EXCEPT set operation (SURVEY §2.7 U2).",
+    tags=("setop",),
+)
+def except_nations_without_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("nationkey"))
+    supp = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return nation.exceptAll(supp).distinct()
+
+
+# ---------------------------------------------------------------------------
+# O2/O3 — deterministic top-k and LIMIT/SKIP pagination.
+# ---------------------------------------------------------------------------
+@register(
+    "topk_parts_by_price",
+    oracle="""
+    SELECT p_partkey, p_name, p_retailprice
+    FROM part
+    ORDER BY p_retailprice DESC, p_partkey
+    LIMIT 15
+    """,
+    doc="Top-k: ORDER BY DESC + LIMIT with unique tiebreak (SURVEY §2.6 O2 — TakeOrderedAndProject).",
+    tags=("topk",),
+)
+def topk_parts_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.select("p_partkey", "p_name", "p_retailprice")
+        .orderBy(F.desc("p_retailprice"), "p_partkey")
+        .limit(15)
+    )
+
+
+@register(
+    "limit_skip_pagination",
+    oracle="""
+    SELECT p_partkey, p_name
+    FROM part
+    ORDER BY p_partkey
+    LIMIT 20 OFFSET 40
+    """,
+    doc="LIMIT + SKIP/OFFSET pagination (SURVEY §2.6 O3).",
+    tags=("topk",),
+)
+def limit_skip_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return part.select("p_partkey", "p_name").orderBy("p_partkey").offset(40).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# A11 — rollup/grouping-sets (available-free extension, SURVEY §2.4 A11).
+# ---------------------------------------------------------------------------
+@register(
+    "rollup_region_nation_customers",
+    oracle="""
+    SELECT COALESCE(r_name, 'ALL') AS region_name,
+           COALESCE(n_name, 'ALL') AS nation_name,
+           COUNT(c_custkey) AS customers,
+           ROUND(COALESCE(SUM(c_acctbal), 0), 2) AS total_balance
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    doc="ROLLUP hierarchy aggregation (SURVEY §2.4 A11).",
+    tags=("agg",),
+)
+def rollup_region_nation_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count("c_custkey").alias("customers"),
+            F.round(F.coalesce(F.sum("c_acctbal"), F.lit(0.0)), 2).alias("total_balance"),
+        )
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region_name"),
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation_name"),
+            "customers",
+            "total_balance",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# F1-F9 — scalar function battery on a small dim table: casts, string,
+# date, hash, arithmetic (SURVEY §2.8).
+# ---------------------------------------------------------------------------
+@register(
+    "scalar_function_battery",
+    oracle="""
+    SELECT n_nationkey,
+           CAST(n_nationkey AS VARCHAR)            AS key_str,
+           CAST(n_nationkey AS DOUBLE)             AS key_dbl,
+           LOWER(n_name)                           AS name_lower,
+           UPPER(n_name)                           AS name_upper,
+           LENGTH(n_name)                          AS name_len,
+           SUBSTRING(n_name, 1, 3)                 AS name_prefix,
+           CONCAT(n_name, '#', CAST(n_regionkey AS VARCHAR)) AS name_tag,
+           MD5(n_name)                             AS name_md5,
+           n_nationkey * 2 + 1                     AS key_arith,
+           ROUND(POW(CAST(n_regionkey AS DOUBLE), 2.0), 2) AS region_sq,
+           CASE WHEN n_regionkey < 2 THEN 'west' ELSE 'east' END AS hemisphere
+    FROM nation
+    """,
+    doc="Scalar battery: casts, string fns, md5 hashing, arithmetic, CASE (SURVEY §2.8 F1-F9).",
+    tags=("scalar",),
+)
+def scalar_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _t(spark, sf_dir, "nation")
+    return nation.select(
+        "n_nationkey",
+        F.col("n_nationkey").cast("string").alias("key_str"),
+        F.col("n_nationkey").cast("double").alias("key_dbl"),
+        F.lower("n_name").alias("name_lower"),
+        F.upper("n_name").alias("name_upper"),
+        F.length("n_name").alias("name_len"),
+        F.substring("n_name", 1, 3).alias("name_prefix"),
+        F.concat(F.col("n_name"), F.lit("#"), F.col("n_regionkey").cast("string")).alias(
+            "name_tag"
+        ),
+        F.md5(F.col("n_name").cast("binary")).alias("name_md5"),
+        (F.col("n_nationkey") * 2 + 1).alias("key_arith"),
+        F.round(F.pow(F.col("n_regionkey").cast("double"), F.lit(2.0)), 2).alias("region_sq"),
+        F.when(F.col("n_regionkey") < 2, "west").otherwise("east").alias("hemisphere"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F8 — JSON extraction from the events.props column.
+# ---------------------------------------------------------------------------
+@register(
+    "json_extract_event_props",
+    oracle="""
+    SELECT event_type,
+           ROUND(SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)), 2) AS k_total,
+           COUNT(*) AS events
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="JSON field extraction + cast + aggregate (SURVEY §2.8 F8).",
+    tags=("scalar", "json"),
+)
+def json_extract_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.round(F.sum(F.get_json_object("props", "$.k").cast("bigint")), 2).alias("k_total"),
+        F.count(F.lit(1)).alias("events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J9 — bounded var-length path: BFS over an edge DataFrame via an
+# iterative join loop (query_validator.py:33-43 flags these patterns;
+# no single Spark builtin — SURVEY §4 custom work #2).  Oracle is a
+# recursive CTE.  Edges: nations in the same region, nationkey ascending.
+# ---------------------------------------------------------------------------
+@register(
+    "varlength_path_bfs",
+    oracle="""
+    WITH RECURSIVE edges AS (
+      SELECT a.n_nationkey AS src, b.n_nationkey AS dst
+      FROM nation a JOIN nation b
+        ON a.n_regionkey = b.n_regionkey AND b.n_nationkey = a.n_nationkey + 5
+    ), paths AS (
+      SELECT src AS start_node, dst AS end_node, 1 AS depth FROM edges
+      UNION ALL
+      SELECT p.start_node, e.dst, p.depth + 1
+      FROM paths p JOIN edges e ON p.end_node = e.src
+      WHERE p.depth < 3
+    )
+    SELECT start_node, end_node, MIN(depth) AS depth
+    FROM paths GROUP BY start_node, end_node
+    """,
+    doc="Bounded var-length path [*1..3]: iterative BFS join loop over the edge table (SURVEY §2.3 J9).",
+    tags=("graph",),
+)
+def varlength_path_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from robosystems_spark.operators.graph import bounded_paths
+
+    nation = _t(spark, sf_dir, "nation")
+    a, b = nation.alias("a"), nation.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+        & (F.col("b.n_nationkey") == F.col("a.n_nationkey") + 5),
+    ).select(F.col("a.n_nationkey").alias("src"), F.col("b.n_nationkey").alias("dst"))
+    return bounded_paths(edges, max_depth=3).select(
+        F.col("src").alias("start_node"), F.col("dst").alias("end_node"), F.col("depth")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A12 — approximate distinct (no exact oracle: rows-only check).
+# ---------------------------------------------------------------------------
+@register(
+    "approx_distinct_parts_per_brand",
+    oracle=None,
+    doc="approx_count_distinct HLL sketch per group (SURVEY §2.4 A12) — approximate, rows-only check.",
+    tags=("agg", "approx"),
+)
+def approx_distinct_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return part.groupBy("p_brand").agg(
+        F.approx_count_distinct("p_partkey", rsd=0.01).alias("approx_parts"),
+        F.count(F.lit(1)).alias("rows"),
+    )

@@ -1,0 +1,144 @@
+"""Event-time windowing inventory over the ``events`` table.
+
+The reference has no stream processing (its "streaming" is chunked
+transport — SURVEY §2.9), so these are the Structured-Streaming
+extension mandated by the north star, exercised here in batch mode:
+``F.window`` / ``F.session_window`` produce identical results on a
+bounded DataFrame and on a stream, so the same logic is reused by
+``robosystems_spark.streaming`` with ``readStream`` + watermarks.
+
+Oracles express the window algebra in plain SQL (date_trunc grids,
+gaps-and-islands sessionization).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from robosystems_spark.inventory import register
+from robosystems_spark.io import read_table
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "events")
+
+
+@register(
+    "events_tumbling_hourly",
+    oracle="""
+    SELECT DATE_TRUNC('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Tumbling 1h event-time window aggregation (Structured Streaming extension, batch-equivalent).",
+    tags=("window", "events"),
+    bench=True,
+)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value"
+        )
+    )
+
+
+@register(
+    "events_sliding_1h_30m",
+    oracle="""
+    WITH grid AS (
+      SELECT ts, value,
+             CAST(TO_TIMESTAMP((CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 1800) * 1800) AS TIMESTAMP) AS s1
+      FROM events
+    ), assigned AS (
+      SELECT s1 AS window_start, value FROM grid
+      UNION ALL
+      SELECT s1 - INTERVAL 30 MINUTE AS window_start, value FROM grid
+    )
+    SELECT window_start, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+    FROM assigned
+    GROUP BY window_start
+    """,
+    doc="Sliding window (1h length, 30m slide): each event lands in 2 overlapping windows.",
+    tags=("window", "events"),
+)
+def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+@register(
+    "events_session_windows",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), islands AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM ordered
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM islands
+    GROUP BY user_id, session_no
+    """,
+    doc="Session windows (30m gap) per user: F.session_window in Spark, gaps-and-islands oracle.",
+    tags=("window", "events", "session"),
+    bench=True,
+)
+def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events", "total_value")
+    )
+
+
+@register(
+    "events_type_value_histogram",
+    oracle="""
+    SELECT event_type,
+           CAST(FLOOR(value / 10.0) AS BIGINT) AS bucket,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Value-bucket histogram per event type (numeric binning).",
+    tags=("events", "agg"),
+)
+def events_type_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return ev.groupBy(
+        "event_type", F.floor(F.col("value") / 10.0).cast("bigint").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))

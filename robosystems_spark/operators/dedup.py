@@ -1,0 +1,279 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Design for 100 TB:
+- Exact dedup is a hash-groupBy on a fingerprint column — one shuffle
+  keyed by a uniformly-distributed hash (no skew by construction).
+- Near-dup never compares all pairs: MinHash/SimHash use LSH banding so
+  the only shuffle is groupBy(band-bucket), and candidate verification
+  touches |candidate pairs|, not |n^2|.
+- Everything is column expressions (xxhash64, array transforms) —
+  whole-stage codegen, no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from robosystems_spark.operators.text import tokens
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact-duplicate groups by normalized-content hash.
+
+    Returns one row per distinct content: (fingerprint, n_docs,
+    keep_doc_id = min id).  The staging-ingest dedup idiom
+    (/root/reference/robosystems/graph_api/core/duckdb/manager.py:112-135)
+    as a distributed hash-groupBy.
+    """
+    normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return (
+        df.select(F.col(id_col), F.md5(normalized.cast("binary")).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keep_doc_id"))
+    )
+
+
+def shingles(text_col: str = "text", k: int = 5):
+    """k-token shingle array (contiguous token windows joined by space)."""
+    toks = tokens(text_col)
+    return F.expr(
+        f"transform(sequence(0, greatest(size(split(lower(trim({text_col})), '\\\\s+')) - {k}, 0)),"
+        f" i -> concat_ws(' ', slice(split(lower(trim({text_col})), '\\\\s+'), i + 1, {k})))"
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """MinHash signature per document: for each of ``num_hashes``
+    seeded xxhash64 permutations, the minimum hash over the shingle set.
+
+    xxhash64(seed, shingle) is JVM-side and deterministic, so
+    signatures are reproducible across executors and runs (the
+    distributed-determinism requirement SURVEY §7 flags for IDs).
+    """
+    df = df.select(F.col(id_col), shingles(text_col, shingle_k).alias("_sh"))
+    sig = F.array(
+        *[
+            F.expr(f"array_min(transform(_sh, s -> xxhash64({seed}L, s)))")
+            for seed in range(num_hashes)
+        ]
+    ).alias("signature")
+    return df.select(id_col, sig)
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """LSH banding: documents sharing any band-hash become candidate
+    pairs.  Shuffle is groupBy(band, band_hash) — O(n·bands), never n².
+    Returns distinct (doc_a, doc_b) with doc_a < doc_b.
+    """
+    banded = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(b), F.expr(f"slice(signature, {b * rows_per_band + 1}, {rows_per_band})")
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("doc_a"), F.col(f"r.{id_col}").alias("doc_b"))
+        .dropDuplicates()
+    )
+
+
+def jaccard_verify(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Exact shingle-set Jaccard on candidate pairs only."""
+    sh = df.select(
+        F.col(id_col), F.array_distinct(shingles(text_col, shingle_k)).alias("_sh")
+    )
+    a = sh.select(F.col(id_col).alias("doc_a"), F.col("_sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("doc_b"), F.col("_sh").alias("sh_b"))
+    return (
+        candidates.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline: shingle → signature → band →
+    bucket-join → exact-Jaccard verify."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    cands = minhash_lsh_candidates(sigs, id_col, bands, num_hashes // bands)
+    return jaccard_verify(df, cands, text_col, id_col, threshold, shingle_k)
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash per document via bit-voting over token hashes.
+
+    Pure array expressions: per token the 64 bit-votes (+1/-1), summed
+    with zip_with across the token array; the sign vector packs into a
+    single BIGINT.
+    """
+    df = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    votes = F.expr(
+        "aggregate(_toks, "
+        " transform(sequence(0, 63), b -> 0L), "
+        " (acc, t) -> zip_with(acc, transform(sequence(0, 63), "
+        "   b -> CASE WHEN (shiftright(xxhash64(t), b) & 1L) = 1L THEN 1L ELSE -1L END), "
+        "   (x, y) -> x + y))"
+    )
+    packed = F.expr(
+        "aggregate(transform(sequence(0, 63), b -> CASE WHEN _votes[b] > 0 "
+        "THEN shiftleft(1L, b) ELSE 0L END), 0L, (acc, x) -> acc | x)"
+    )
+    return df.withColumn("_votes", votes).select(id_col, packed.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup: candidates via 16-bit chunk banding (any pair
+    within hamming distance 3 of a 64-bit hash shares at least one of
+    four 16-bit chunks), verified with popcount(xor)."""
+    hashed = simhash(df, text_col, id_col)
+    banded = hashed.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(f"shiftright(simhash, {16 * c}) & 65535L")
+                    for c in range(4)
+                ]
+            )
+        ).alias("chunk", "chunk_val"),
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    cands = (
+        l.join(
+            r,
+            (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.chunk_val") == F.col("r.chunk_val"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("doc_a"),
+            F.col(f"r.{id_col}").alias("doc_b"),
+            F.col("l.simhash").alias("sh_a"),
+            F.col("r.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return (
+        cands.withColumn("hamming", F.expr("bit_count(sh_a ^ sh_b)"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    num_planes: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup via random-hyperplane LSH + cosine verify.
+
+    Sign-bucket on ``num_planes`` deterministic hyperplanes, then exact
+    cosine within buckets only.  At scale the bucket groupBy is the
+    only shuffle; planes are broadcast literals.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    first = df.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        return df.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cosine double"
+        )
+    dim = first["d"]
+    planes = rng.standard_normal((num_planes, dim))
+    sig_bits = []
+    for p in range(num_planes):
+        plane = F.array(*[F.lit(float(x)) for x in planes[p]])
+        dot = F.expr(
+            f"aggregate(zip_with({vec_col}, _plane_{p}, (a, b) -> CAST(a AS DOUBLE) * b), "
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+        df = df.withColumn(f"_plane_{p}", plane)
+        sig_bits.append(F.when(dot > 0, F.lit(1)).otherwise(F.lit(0)))
+    df = df.withColumn("_bucket", F.concat_ws("", *[b.cast("string") for b in sig_bits]))
+    norm = F.expr(
+        f"sqrt(aggregate({vec_col}, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    )
+    side = df.select(F.col(id_col), F.col(vec_col), F.col("_bucket"), norm.alias("_norm"))
+    a, b = side.alias("a"), side.alias("b")
+    dot_ab = F.expr(
+        f"aggregate(zip_with(a.{vec_col}, b.{vec_col}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a._bucket") == F.col("b._bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(dot_ab / (F.col("a._norm") * F.col("b._norm")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

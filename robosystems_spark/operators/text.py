@@ -1,0 +1,107 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All operators are pure column expressions (JVM-side, whole-stage
+codegen) — no Python UDFs in the hot path.  They operate on a string
+column and scale linearly with no shuffle except the final aggregation
+a caller adds.
+
+Operators: tokenization, token stats, quality scoring, language-ID
+(stopword-ratio heuristic), document fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Marker words per language for the stopword-ratio language-ID
+# heuristic.  On real corpora these are the top function words; the
+# heuristic is: predict the language whose marker set covers the
+# largest fraction of the document's tokens (ties break by language
+# code order, deterministic).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "nicht", "ist"),
+    "en": ("the", "a", "of", "and", "to", "is"),
+    "es": ("el", "la", "de", "que", "y", "es"),
+    "fr": ("le", "la", "les", "et", "est", "une"),
+    "zh": ("de", "shi", "le", "bu", "wo", "zai"),
+}
+
+
+def tokens(text_col: str | Column = "text") -> Column:
+    """Whitespace tokenization of lower-cased, trimmed text."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(F.lower(F.trim(c)), r"\s+")
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document token counting (whitespace tokenizer)."""
+    toks = tokens(text_col)
+    return df.select(
+        id_col,
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        F.length(F.trim(F.col(text_col))).alias("n_chars_trim"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic document-quality scoring (length / repetition /
+    mean-token-length components), rounded for cross-engine stability.
+
+    score = 0.4 * min(n_tokens/100, 1)            (length credit)
+          + 0.4 * unique_ratio                    (repetition penalty)
+          + 0.2 * min(avg_token_len/8, 1)         (degenerate-token check)
+    """
+    toks = tokens(text_col)
+    n = F.size(toks).cast("double")
+    uniq = F.size(F.array_distinct(toks)).cast("double")
+    avg_len = (F.length(F.translate(F.trim(F.col(text_col)), " ", "")).cast("double") / n)
+    score = (
+        F.least(n / 100.0, F.lit(1.0)) * 0.4
+        + (uniq / n) * 0.4
+        + F.least(avg_len / 8.0, F.lit(1.0)) * 0.2
+    )
+    return df.select(
+        id_col,
+        F.size(toks).alias("n_tokens"),
+        F.round(uniq / n, 6).alias("unique_ratio"),
+        F.round(avg_len, 6).alias("avg_token_len"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def langid(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """N-gram/stopword language-ID heuristic.
+
+    Computes, per candidate language, the fraction of tokens that are
+    marker words, and predicts the argmax (ties -> lexicographically
+    first language code).  Pure array expressions — no UDF.
+    """
+    toks = tokens(text_col)
+    df = df.select(id_col, toks.alias("_toks"))
+    n = F.size("_toks").cast("double")
+    scores = []
+    for lang in sorted(LANG_MARKERS):
+        markers = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+        hit = F.expr(f"size(filter(_toks, t -> t IN ({markers})))").cast("double")
+        scores.append(F.round(hit / n, 6).alias(f"score_{lang}"))
+    df = df.select(id_col, *scores)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in sorted(LANG_MARKERS)])
+    pred = F.lit(None).cast("string")
+    # reversed so earlier language codes win ties
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        pred = F.when(F.col(f"score_{lang}") == best, F.lit(lang)).otherwise(pred)
+    return df.select(
+        id_col,
+        *[f"score_{lang}" for lang in sorted(LANG_MARKERS)],
+        pred.alias("pred_lang"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic content fingerprint: md5 of whitespace-normalized,
+    lower-cased text.  Reference analog: content-hash fact IDs
+    (/root/reference/robosystems/adapters/sec/processors/ids.py)."""
+    normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return df.select(id_col, F.md5(normalized.cast("binary")).alias("fingerprint"))

@@ -1,0 +1,96 @@
+"""DuckDB-oracle comparison harness.
+
+Mirrors the driver's correctness gate: run a Spark DataFrame query and
+the equivalent DuckDB SQL on the same parquet tables, then compare
+row count, column names, and an order-insensitive value hash.  Used by
+the test suite so queries stay green between driver rounds.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import duckdb
+from pyspark.sql import DataFrame
+
+from robosystems_spark.io import TABLES
+
+
+@dataclass
+class CompareResult:
+    name: str
+    row_match: bool
+    schema_match: bool
+    value_match: bool
+    spark_rows: int
+    oracle_rows: int
+    detail: str = ""
+
+    @property
+    def ok(self) -> bool:
+        return self.row_match and self.schema_match and self.value_match
+
+
+def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm_cell(v) -> str:
+    if v is None:
+        return "<null>"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(round(v, 9))
+    if isinstance(v, bool):
+        return str(bool(v)).lower()
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def _normalize(columns: list[str], rows: list[tuple]) -> tuple[list[str], list[str]]:
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    cols = [columns[i] for i in order]
+    out = sorted("||".join(_norm_cell(r[i]) for i in order) for r in rows)
+    return cols, out
+
+
+def compare(
+    name: str, spark_df: DataFrame, oracle_sql: str, con: duckdb.DuckDBPyConnection
+) -> CompareResult:
+    s_rows = [tuple(r) for r in spark_df.collect()]
+    s_cols = list(spark_df.columns)
+    res = con.execute(oracle_sql)
+    o_cols = [d[0] for d in res.description]
+    o_rows = res.fetchall()
+
+    sc, sv = _normalize(s_cols, s_rows)
+    oc, ov = _normalize(o_cols, o_rows)
+    detail = ""
+    if sc != oc:
+        detail = f"columns: spark={sc} oracle={oc}"
+    elif sv != ov:
+        diffs = [(a, b) for a, b in zip(sv, ov) if a != b][:3]
+        extra_s = [v for v in sv if v not in set(ov)][:3]
+        extra_o = [v for v in ov if v not in set(sv)][:3]
+        detail = f"first diffs={diffs} spark-only={extra_s} oracle-only={extra_o}"
+    return CompareResult(
+        name=name,
+        row_match=len(s_rows) == len(o_rows),
+        schema_match=sc == oc,
+        value_match=sv == ov,
+        spark_rows=len(s_rows),
+        oracle_rows=len(o_rows),
+        detail=detail,
+    )
