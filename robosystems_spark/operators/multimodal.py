@@ -1,0 +1,151 @@
+"""Multimodal columns: image/audio/video as opaque binary + metadata.
+
+The pattern the reference uses for oversized text content — externalize
+payload, keep a typed pointer column (/root/reference/robosystems/
+adapters/sec/processors/textblock.py:19-46) — generalized to binary
+media columns for training-data pipelines.
+
+Spark-side plumbing (schema, partitioning, Arrow batch shape, UDF
+signatures) is real and tested; the actual codec step is STUBBED
+behind ``decode_fn`` because image/audio libraries are not available
+in this environment — ``deterministic_fake_features`` stands in, and
+``NotImplementedError`` marks the real-decoder seam.
+
+Scale notes: all per-item work runs in ``mapInPandas`` (Arrow-batched,
+no per-row Python overhead); binary payloads never shuffle — metadata
+extraction happens before any wide operation, and downstream joins
+carry only the metadata/feature columns.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_METADATA_SCHEMA = T.StructType(
+    [
+        T.StructField("size_bytes", T.LongType()),
+        T.StructField("content_hash", T.StringType()),
+        T.StructField("magic", T.StringType()),
+        T.StructField("detected_type", T.StringType()),
+    ]
+)
+
+_MAGIC_TYPES = {
+    b"\x89PNG": "image/png",
+    b"\xff\xd8\xff": "image/jpeg",
+    b"GIF8": "image/gif",
+    b"RIFF": "audio/wav-or-video/avi",
+    b"ID3": "audio/mp3",
+    b"\x00\x00\x00": "video/mp4-family",
+}
+
+
+def attach_media_metadata(df: DataFrame, binary_col: str = "content") -> DataFrame:
+    """Typed metadata for a binary column: size, content hash, sniffed
+    type.  Pure column expressions — hashing/sniffing stays JVM-side."""
+    b = F.col(binary_col)
+    magic = F.hex(F.expr(f"substring({binary_col}, 1, 4)"))
+    detected = F.lit("application/octet-stream")
+    for prefix, mime in _MAGIC_TYPES.items():
+        detected = F.when(
+            F.expr(f"substring({binary_col}, 1, {len(prefix)})") == F.lit(prefix), mime
+        ).otherwise(detected)
+    return df.withColumns(
+        {
+            "size_bytes": F.length(b).cast("long"),
+            "content_hash": F.sha2(b, 256),
+            "magic": magic,
+            "detected_type": detected,
+        }
+    )
+
+
+def deterministic_fake_features(payload: bytes, dim: int = 16) -> list[float]:
+    """Deterministic stand-in for a real decoder: a feature vector
+    derived from the content hash.  Replace with a real codec
+    (PIL/librosa/ffmpeg) when available."""
+    h = hashlib.sha256(payload).digest()
+    raw = (h * ((dim * 4) // len(h) + 1))[: dim * 4]
+    return [
+        int.from_bytes(raw[i * 4 : (i + 1) * 4], "big") / 2**32 for i in range(dim)
+    ]
+
+
+def extract_features(
+    df: DataFrame,
+    binary_col: str = "content",
+    id_col: str = "media_id",
+    dim: int = 16,
+    decode_fn=None,
+) -> DataFrame:
+    """Feature extraction over a binary column via ``mapInPandas``.
+
+    ``decode_fn: bytes -> list[float]`` is the codec seam; defaults to
+    the deterministic fake.  Passing ``decode_fn='real'`` raises
+    ``NotImplementedError`` to mark where a real image/audio decoder
+    plugs in.
+    """
+    if decode_fn == "real":
+        raise NotImplementedError(
+            "Real media decoding requires PIL/librosa/ffmpeg, not present "
+            "in this environment; supply decode_fn=bytes->list[float]."
+        )
+    fn = decode_fn or (lambda b: deterministic_fake_features(b, dim))
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("features", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "features": [fn(bytes(x)) for x in pdf[binary_col]],
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(batches, out_schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    binary_col: str = "content",
+    id_col: str = "media_id",
+    every_n_bytes: int = 1024,
+    frame_size: int = 64,
+    max_frames: int = 8,
+) -> DataFrame:
+    """'Frame sampling' over opaque video bytes: fixed-stride byte
+    windows standing in for decoded frames (real decoder = ffmpeg seam).
+    Emits one row per sampled frame — the explode shape a real
+    frame-sampler would produce."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("frame_index", T.IntegerType()),
+            T.StructField("frame_bytes", T.BinaryType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[binary_col]):
+                data = bytes(payload)
+                for k in range(min(max_frames, max(1, len(data) // every_n_bytes))):
+                    start = k * every_n_bytes
+                    ids.append(mid)
+                    idxs.append(k)
+                    frames.append(data[start : start + frame_size])
+            yield pd.DataFrame({id_col: ids, "frame_index": idxs, "frame_bytes": frames})
+
+    return df.select(id_col, binary_col).mapInPandas(batches, out_schema)

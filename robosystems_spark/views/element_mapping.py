@@ -1,0 +1,129 @@
+"""Element-mapping roll-ups: aggregate source elements into targets.
+
+Semantics of /root/reference/robosystems/operations/views/
+element_mapping.py:91-230: a mapping structure holds associations
+(target_element, source_element, weight, aggregation_method); facts
+for the source elements are grouped by (period_end, period_start,
+entity_id, dimension_axis, dimension_member — whichever exist) and
+rolled up per target with one of six methods:
+
+  SUM, AVERAGE, WEIGHTED_AVERAGE (sum(v*w)/sum(w), 0 when total
+  weight is 0), FIRST, LAST, CALCULATED (= SUM)
+
+The reference implements this as a driver-side pandas groupby-apply;
+here it is a single distributed aggregation: associations become a
+broadcast DataFrame joined onto facts, every method's aggregate is
+computed in one pass, and a CASE picks the method per target.
+
+FIRST/LAST in a distributed engine need an explicit order; rows are
+ordered by ``order_col`` (default: the group keys + element_id),
+making the result deterministic where pandas relied on frame order.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+GROUPBY_CANDIDATES = (
+    "period_end",
+    "period_start",
+    "entity_id",
+    "dimension_axis",
+    "dimension_member",
+)
+
+VALID_METHODS = {"sum", "average", "weighted_average", "first", "last", "calculated"}
+
+
+@dataclass
+class ElementAssociation:
+    target_element: str
+    source_element: str
+    weight: float = 1.0
+    aggregation_method: str = "sum"
+
+
+@dataclass
+class MappingStructure:
+    name: str = "mapping"
+    associations: list[ElementAssociation] = field(default_factory=list)
+
+
+def apply_element_mapping(
+    fact_data: DataFrame,
+    mapping: MappingStructure,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Roll up source-element facts into target elements.
+
+    Returns one row per (target element x group key combination) with
+    the aggregated value in the fact frame's value column
+    (``numeric_value`` or ``net_balance``).
+    """
+    if not mapping.associations:
+        return fact_data
+    spark: SparkSession = fact_data.sparkSession
+    cols = fact_data.columns
+    value_col = "numeric_value" if "numeric_value" in cols else "net_balance"
+    group_cols = [c for c in GROUPBY_CANDIDATES if c in cols]
+
+    for a in mapping.associations:
+        if a.aggregation_method not in VALID_METHODS:
+            raise ValueError(f"Unknown aggregation method: {a.aggregation_method!r}")
+
+    assoc = spark.createDataFrame(
+        [
+            (a.target_element, a.source_element, float(a.weight), a.aggregation_method)
+            for a in mapping.associations
+        ],
+        "target_element string, source_element string, weight double, method string",
+    )
+
+    # source_element may be a URI or an element_id; map URIs to ids when
+    # the fact frame carries both (reference uri_to_id_map behavior)
+    facts = fact_data
+    if "element_uri" in cols:
+        facts = facts.withColumn("_src_key", F.coalesce("element_uri", "element_id"))
+        assoc_joined = facts.join(
+            F.broadcast(assoc),
+            (F.col("_src_key") == F.col("source_element"))
+            | (F.col("element_id") == F.col("source_element")),
+        )
+    else:
+        assoc_joined = facts.join(
+            F.broadcast(assoc), F.col("element_id") == F.col("source_element")
+        )
+
+    order_name = order_col or "element_id"
+    v = F.col(value_col)
+    agg = assoc_joined.groupBy("target_element", *group_cols).agg(
+        F.first("method").alias("_method"),
+        F.sum(v).alias("_sum"),
+        F.avg(v).alias("_avg"),
+        F.sum(v * F.col("weight")).alias("_wsum"),
+        F.sum("weight").alias("_wtot"),
+        F.expr(f"min_by(`{value_col}`, `{order_name}`)").alias("_first"),
+        F.expr(f"max_by(`{value_col}`, `{order_name}`)").alias("_last"),
+    )
+    value = (
+        F.when(F.col("_method").isin("sum", "calculated"), F.col("_sum"))
+        .when(F.col("_method") == "average", F.col("_avg"))
+        .when(
+            F.col("_method") == "weighted_average",
+            F.when(F.col("_wtot") == 0, F.lit(0.0)).otherwise(
+                F.col("_wsum") / F.col("_wtot")
+            ),
+        )
+        .when(F.col("_method") == "first", F.col("_first"))
+        .when(F.col("_method") == "last", F.col("_last"))
+    )
+    out = agg.select(
+        F.col("target_element").alias("element_id"),
+        F.element_at(F.split("target_element", ":"), -1).alias("element_name"),
+        *group_cols,
+        value.alias(value_col),
+    )
+    return out

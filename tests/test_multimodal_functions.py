@@ -1,0 +1,113 @@
+"""Multimodal plumbing + scalar-function helper tests."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from robosystems_spark.functions import (
+    apply_decimal_scaling,
+    content_hash_id,
+    deterministic_uuid,
+    externalize_large_values,
+)
+from robosystems_spark.functions.external import resolve_external
+from robosystems_spark.operators.multimodal import (
+    attach_media_metadata,
+    deterministic_fake_features,
+    extract_features,
+    sample_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (1, b"\x89PNG\r\n" + b"x" * 100),
+        (2, b"\xff\xd8\xff\xe0" + b"y" * 50),
+        (3, b"plainbytes" * 30),
+    ]
+    return spark.createDataFrame(rows, "media_id long, content binary")
+
+
+def test_media_metadata(spark, media):
+    out = {r["media_id"]: r for r in attach_media_metadata(media).collect()}
+    assert out[1]["detected_type"] == "image/png"
+    assert out[2]["detected_type"] == "image/jpeg"
+    assert out[3]["detected_type"] == "application/octet-stream"
+    assert out[1]["size_bytes"] == 106
+    payload = b"\x89PNG\r\n" + b"x" * 100
+    assert out[1]["content_hash"] == hashlib.sha256(payload).hexdigest()
+
+
+def test_feature_extraction_batch_shape(spark, media):
+    feats = extract_features(media, dim=16).collect()
+    assert len(feats) == 3
+    for r in feats:
+        assert len(r["features"]) == 16
+        assert all(0.0 <= x <= 1.0 for x in r["features"])
+    # deterministic: same content -> same features
+    payload = b"plainbytes" * 30
+    expected = deterministic_fake_features(payload, 16)
+    got = [r["features"] for r in feats if r["media_id"] == 3][0]
+    assert got == pytest.approx(expected)
+
+
+def test_real_decoder_seam_is_marked(spark, media):
+    with pytest.raises(NotImplementedError, match="decoding"):
+        extract_features(media, decode_fn="real")
+
+
+def test_frame_sampling(spark):
+    df = spark.createDataFrame(
+        [(1, bytes(range(256)) * 20)], "media_id long, content binary"
+    )
+    frames = sample_frames(df, every_n_bytes=1024, frame_size=64, max_frames=4).collect()
+    assert len(frames) == 4
+    assert [r["frame_index"] for r in frames] == [0, 1, 2, 3]
+    assert all(len(r["frame_bytes"]) == 64 for r in frames)
+
+
+def test_content_hash_ids(spark):
+    df = spark.createDataFrame([("a", 1), ("a", 1), ("b", 2)], ["u", "n"])
+    out = df.select(
+        content_hash_id("u", "n", prefix="fact_").alias("id"),
+        deterministic_uuid("u", "n").alias("uid"),
+    ).collect()
+    assert out[0]["id"] == out[1]["id"] != out[2]["id"]
+    assert out[0]["id"].startswith("fact_")
+    assert len(out[0]["uid"]) == 36 and out[0]["uid"].count("-") == 4
+    # null-safety: null and empty string must hash differently
+    df2 = spark.createDataFrame([(None, 1), ("", 1)], "u string, n int")
+    ids = [r["id"] for r in df2.select(content_hash_id("u", "n").alias("id")).collect()]
+    assert ids[0] != ids[1]
+
+
+def test_decimal_scaling(spark):
+    df = spark.createDataFrame(
+        [(1234.0, "-3"), (5.5, "2"), (7.0, "INF"), (9.0, None)],
+        "raw double, decimals string",
+    )
+    out = df.select(
+        apply_decimal_scaling("raw", "decimals", scale_up=True).alias("v")
+    ).collect()
+    assert [r["v"] for r in out] == [pytest.approx(1.234), pytest.approx(550.0), 7.0, 9.0]
+    passthrough = df.select(apply_decimal_scaling("raw", "decimals").alias("v")).collect()
+    assert [r["v"] for r in passthrough] == [1234.0, 5.5, 7.0, 9.0]
+
+
+def test_externalize_large_values(spark, tmp_path):
+    store = str(tmp_path / "store")
+    big = "Z" * 5000
+    df = spark.createDataFrame([(1, "small"), (2, big)], "id long, value string")
+    out = {r["id"]: r["value"] for r in
+           externalize_large_values(df, "value", store, threshold_bytes=1024).collect()}
+    assert out[1] == "small"
+    assert out[2].startswith("external://")
+    assert resolve_external(out[2], store) == big
+    # idempotent second run produces the same pointer
+    out2 = {r["id"]: r["value"] for r in
+            externalize_large_values(df, "value", store, threshold_bytes=1024).collect()}
+    assert out2[2] == out[2]

@@ -1,0 +1,134 @@
+"""Query-gate / analyzer / serving tests, mirroring the reference's
+classifier test semantics (tests/graph_api/test_duckdb_manager.py
+injection-rejection style + execution_strategies size classes)."""
+
+from __future__ import annotations
+
+import pytest
+
+from robosystems_spark.queryapi import (
+    OperationType,
+    SQLGate,
+    SQLGateError,
+    analyze_query_features,
+    classify_operation,
+)
+from robosystems_spark.serving import AdmissionController, TimeoutCascade, iter_chunks
+from robosystems_spark.serving.chunking import clamp_chunk_size, ndjson_chunks
+
+
+@pytest.mark.parametrize(
+    "query, expected",
+    [
+        ("MATCH (n:Entity) RETURN n LIMIT 5", OperationType.READ),
+        ("SELECT * FROM lineitem WHERE l_quantity > 5", OperationType.READ),
+        ("CREATE (n:Entity {id: 1})", OperationType.WRITE),
+        ("MERGE (n:Entity {id: 1}) SET n.x = 2", OperationType.WRITE),
+        ("MATCH (n) DETACH DELETE n", OperationType.WRITE),
+        ("COPY Entity FROM 'file.parquet'", OperationType.BULK),
+        ("ATTACH 'staging.duckdb' AS duck", OperationType.ADMIN),
+        ("INSTALL httpfs", OperationType.ADMIN),
+        ("CREATE NODE TABLE Entity(id STRING, PRIMARY KEY(id))", OperationType.DDL),
+        ("ALTER TABLE Entity ADD COLUMN x STRING", OperationType.DDL),
+        # keywords inside strings/comments must NOT change classification
+        ("MATCH (n) WHERE n.name = 'DROP TABLE' RETURN n", OperationType.READ),
+        ("/* DELETE */ MATCH (n) RETURN n", OperationType.READ),
+        ("MATCH (n) // CREATE\nRETURN n", OperationType.READ),
+    ],
+)
+def test_classification(query, expected):
+    assert classify_operation(query) == expected
+
+
+def test_classification_rejects_bad_input():
+    with pytest.raises(ValueError):
+        classify_operation("")
+    with pytest.raises(ValueError, match="maximum length"):
+        classify_operation("MATCH (n) RETURN n" + " " * 100_001)
+
+
+@pytest.mark.parametrize(
+    "query, size, expensive",
+    [
+        ("MATCH (n) RETURN n LIMIT 50", "small", []),
+        ("MATCH (n) RETURN n LIMIT 500", "medium", []),
+        ("MATCH (n) RETURN n LIMIT 50000", "large", []),
+        ("MATCH (n) RETURN count(n)", "small", []),
+        ("MATCH (n) RETURN n", "large", []),
+        ("MATCH (a)-[*]->(b) RETURN a", "large", ["unbounded_varlength_path"]),
+        ("MATCH (a)-[*1..3]->(b) RETURN a", "large", ["bounded_varlength_path"]),
+        ("MATCH p=shortestPath((a)-[]->(b)) RETURN p", "large", ["shortest_path"]),
+    ],
+)
+def test_analysis_features(query, size, expensive):
+    a = analyze_query_features(query)
+    assert a.estimated_size == size
+    assert a.expensive_patterns == expensive
+
+
+def test_sql_gate_read_only(spark):
+    gate = SQLGate(spark)
+    gate.register("t", spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"]))
+    assert gate.query("SELECT count(*) AS n FROM t").first()["n"] == 2
+    for bad in ("DROP TABLE t", "INSERT INTO t VALUES (3, 'c')", "CREATE TABLE x (i INT)"):
+        with pytest.raises(SQLGateError):
+            gate.query(bad)
+
+
+def test_sql_gate_parameter_binding(spark):
+    gate = SQLGate(spark)
+    gate.register("t", spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"]))
+    out = gate.query("SELECT v FROM t WHERE id = :id", args={"id": 2}).collect()
+    assert [r["v"] for r in out] == ["b"]
+
+
+def test_chunked_iteration(spark):
+    df = spark.range(0, 25).toDF("i")
+    chunks = list(iter_chunks(df, chunk_size=10))
+    assert [len(c) for c in chunks] == [10, 10, 5]
+    assert sorted(r["i"] for c in chunks for r in c) == list(range(25))
+    # chunk-size clamping: 10 <= size <= 10000 (execute.py:217-219)
+    assert clamp_chunk_size(1) == 10
+    assert clamp_chunk_size(999_999) == 10_000
+    assert clamp_chunk_size(None) == 1000
+
+
+def test_ndjson_framing(spark):
+    import json
+
+    df = spark.createDataFrame([(1, "a")], ["id", "v"])
+    frames = list(ndjson_chunks(df))
+    assert len(frames) == 1
+    assert json.loads(frames[0].strip()) == {"id": 1, "v": "a"}
+
+
+def test_admission_controller_sheds_on_queue_pressure():
+    ac = AdmissionController(seed=7, max_queue=10)
+    assert ac.check().admitted  # idle
+    ac.queue_depth = 10  # 100% full -> shed probability 1
+    decision = ac.check()
+    assert not decision.admitted
+    assert decision.reason == "queue_pressure"
+
+
+def test_timeout_cascade_budgets():
+    tc = TimeoutCascade()
+    b = tc.budget(600, mode="queued")
+    assert (b.endpoint_s, b.queue_s, b.execution_s) == (600, 570, 540)
+    b = tc.budget(9999, mode="testing")
+    assert b.endpoint_s == 30
+
+
+def test_timeout_enforcement_cancels_jobs(spark):
+    import time
+
+    from pyspark.sql import functions as F
+
+    tc = TimeoutCascade()
+    df = spark.range(0, 10_000_000).toDF("i")
+    slow = df.select(F.sum(F.expr("sha2(cast(i as string), 256)")).alias("s"))
+    t0 = time.time()
+    with pytest.raises(Exception):
+        with tc.enforce(spark, "timeout-test", 2.0):
+            slow.collect()
+    assert time.time() - t0 < 60

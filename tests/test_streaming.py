@@ -1,0 +1,99 @@
+"""Structured Streaming tests: the batch inventory result is the
+oracle for the streaming path (identical window semantics), plus a
+genuine watermark late-data drop across micro-batches."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from robosystems_spark.io import read_table
+from robosystems_spark.streaming.events import (
+    events_stream,
+    run_to_memory,
+    session_agg,
+    sliding_agg,
+    tumbling_agg,
+)
+
+
+@pytest.fixture(scope="module")
+def events_src(spark, sf_dir, tmp_path_factory):
+    """Events parquet re-written (ns->us normalized) as a stream source dir."""
+    out = str(tmp_path_factory.mktemp("events_src"))
+    read_table(spark, sf_dir, "events").write.mode("overwrite").parquet(out)
+    return out
+
+
+def _wait_done(query, timeout=60):
+    query.processAllAvailable()
+    query.stop()
+    query.awaitTermination(timeout)
+
+
+def test_tumbling_stream_matches_batch(spark, sf_dir, events_src):
+    batch = tumbling_agg(read_table(spark, sf_dir, "events"))
+    stream = tumbling_agg(events_stream(spark, events_src))
+    q = run_to_memory(stream, "tumbling_t", output_mode="complete")
+    _wait_done(q)
+    got = spark.sql("SELECT * FROM tumbling_t")
+    b = {tuple(r) for r in batch.collect()}
+    s = {tuple(r) for r in got.collect()}
+    assert b == s and len(b) > 0
+
+
+def test_sliding_stream_matches_batch(spark, sf_dir, events_src):
+    batch = sliding_agg(read_table(spark, sf_dir, "events"))
+    q = run_to_memory(sliding_agg(events_stream(spark, events_src)), "sliding_t", "complete")
+    _wait_done(q)
+    s = {tuple(r) for r in spark.sql("SELECT * FROM sliding_t").collect()}
+    assert {tuple(r) for r in batch.collect()} == s
+
+
+def test_session_stream_matches_batch(spark, sf_dir, events_src):
+    batch = session_agg(read_table(spark, sf_dir, "events"))
+    q = run_to_memory(session_agg(events_stream(spark, events_src)), "session_t", "complete")
+    _wait_done(q)
+    s = {tuple(r) for r in spark.sql("SELECT * FROM session_t").collect()}
+    assert {tuple(r) for r in batch.collect()} == s
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Two micro-batches: after the watermark advances past a window,
+    a late event for that window is discarded (append mode)."""
+    src = str(tmp_path / "late_src")
+    os.makedirs(src)
+
+    from datetime import datetime as dt
+
+    def write_batch(rows):
+        spark.createDataFrame(
+            [(i, dt.fromisoformat(t), u, e, v, p) for i, t, u, e, v, p in rows],
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    # batch 1: events up to 10:00; watermark (10 min) will pass 09:00-window end
+    write_batch(
+        [
+            (1, "2024-01-01 08:30:00", 1, "a", 1.0, "{}"),
+            (2, "2024-01-01 10:00:00", 1, "a", 1.0, "{}"),
+        ]
+    )
+    agg = tumbling_agg(events_stream(spark, src, max_files_per_trigger=1), "1 hour", "10 minutes")
+    q = run_to_memory(agg, "late_t", output_mode="append")
+    q.processAllAvailable()
+    # batch 2: a LATE event for the 08:00 window (already below watermark)
+    write_batch([(3, "2024-01-01 08:45:00", 1, "a", 100.0, "{}")])
+    q.processAllAvailable()
+    # batch 3: advance watermark far so closed windows emit
+    write_batch([(4, "2024-01-01 12:00:00", 1, "a", 1.0, "{}")])
+    q.processAllAvailable()
+    q.stop()
+
+    rows = {r["window_start"].isoformat(): r["n_events"] for r in spark.sql(
+        "SELECT * FROM late_t").collect()}
+    # the late event (value=100) must NOT have been added to the 08:00 window
+    assert rows.get("2024-01-01T08:00:00") == 1

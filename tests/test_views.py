@@ -1,0 +1,217 @@
+"""View-layer numeric-correctness tests, modeled on the reference's
+test_element_mapping.py / test_fact_grid_builder.py golden assertions
+and the FIXTURES.md accounting + SEC fixtures.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from robosystems_spark.views import (
+    ElementAssociation,
+    MappingStructure,
+    apply_element_mapping,
+    build_fact_grid,
+    fact_query,
+    trial_balance,
+)
+
+
+@pytest.fixture(scope="module")
+def gl_tables(spark):
+    """Accounting fixture: 1 entity, 2 transactions, 4 line items, 3 elements."""
+    mk = spark.createDataFrame
+    return {
+        "Entity": mk([("e1", "Acme", "company", "active")],
+                     ["identifier", "name", "entity_type", "status"]),
+        "Element": mk(
+            [
+                ("cash", "uri:cash", "Cash", "asset", "debit", "instant"),
+                ("rev", "uri:rev", "Revenue", "revenue", "credit", "duration"),
+                ("exp", "uri:exp", "Expenses", "expense", "debit", "duration"),
+            ],
+            ["identifier", "uri", "name", "classification", "balance", "period_type"],
+        ),
+        "Transaction": mk(
+            [
+                ("t1", 100.0, "2024-01-10"),
+                ("t2", 50.0, "2024-02-10"),
+            ],
+            ["identifier", "amount", "date"],
+        ),
+        "LineItem": mk(
+            [
+                ("l1", 100.0, 0.0),   # t1: debit cash
+                ("l2", 0.0, 100.0),   # t1: credit revenue
+                ("l3", 50.0, 0.0),    # t2: debit expenses
+                ("l4", 0.0, 50.0),    # t2: credit cash
+            ],
+            ["identifier", "debit_amount", "credit_amount"],
+        ),
+        "ENTITY_HAS_TRANSACTION": mk([("e1", "t1"), ("e1", "t2")], ["src", "dst"]),
+        "TRANSACTION_HAS_LINE_ITEM": mk(
+            [("t1", "l1"), ("t1", "l2"), ("t2", "l3"), ("t2", "l4")], ["src", "dst"]
+        ),
+        "LINE_ITEM_RELATES_TO_ELEMENT": mk(
+            [("l1", "cash"), ("l2", "rev"), ("l3", "exp"), ("l4", "cash")], ["src", "dst"]
+        ),
+    }
+
+
+def test_trial_balance_golden(spark, gl_tables):
+    tb = trial_balance(gl_tables).collect()
+    rows = {r["element_id"]: r for r in tb}
+    assert rows["cash"]["total_debits"] == 100.0
+    assert rows["cash"]["total_credits"] == 50.0
+    assert rows["cash"]["net_balance"] == 50.0
+    assert rows["rev"]["net_balance"] == -100.0
+    assert rows["exp"]["net_balance"] == 50.0
+    # double-entry invariant: global debits == credits
+    assert sum(r["total_debits"] for r in tb) == sum(r["total_credits"] for r in tb)
+    # ordered by element name
+    assert [r["element_name"] for r in tb] == ["Cash", "Expenses", "Revenue"]
+
+
+def test_trial_balance_date_filter(spark, gl_tables):
+    tb = trial_balance(gl_tables, period_start="2024-02-01", period_end="2024-12-31")
+    rows = {r["element_id"]: r for r in tb.collect()}
+    assert set(rows) == {"cash", "exp"}  # only t2 in range
+    assert rows["cash"]["net_balance"] == -50.0
+
+
+@pytest.fixture(scope="module")
+def fact_tables(spark):
+    """SEC fixture: 3 facts — f1 dimensionless, f2 with a Segment axis,
+    f3 dimensionless with a different period."""
+    mk = spark.createDataFrame
+    elem_cols = ["identifier", "uri", "name", "classification", "period_type"]
+    return {
+        "Fact": mk(
+            [("f1", 100.0), ("f2", 40.0), ("f3", 7.0)],
+            ["identifier", "numeric_value"],
+        ),
+        "Element": mk(
+            [
+                ("rev", "uri:rev", "Revenue", "revenue", "duration"),
+                ("seg_axis", "uri:seg", "Segment", "axis", "duration"),
+                ("seg_us", "uri:us", "US", "member", "duration"),
+            ],
+            elem_cols,
+        ),
+        "Period": mk(
+            [
+                ("p1", "2024-01-01", "2024-12-31", 2024),
+                ("p2", "2023-01-01", "2023-12-31", 2023),
+            ],
+            ["identifier", "start_date", "end_date", "fiscal_year"],
+        ),
+        "Unit": mk([("usd", "USD")], ["identifier", "value"]),
+        "Entity": mk([("e1", "Acme")], ["identifier", "name"]),
+        "FactDimension": mk(
+            [("fd1", "uri:seg", "uri:us", True)],
+            ["identifier", "axis_uri", "member_uri", "is_explicit"],
+        ),
+        "FACT_HAS_ELEMENT": mk([("f1", "rev"), ("f2", "rev"), ("f3", "rev")], ["src", "dst"]),
+        "FACT_HAS_PERIOD": mk([("f1", "p1"), ("f2", "p1"), ("f3", "p2")], ["src", "dst"]),
+        "FACT_HAS_UNIT": mk([("f1", "usd"), ("f2", "usd"), ("f3", "usd")], ["src", "dst"]),
+        "FACT_HAS_ENTITY": mk([("f1", "e1"), ("f2", "e1"), ("f3", "e1")], ["src", "dst"]),
+        "FACT_HAS_DIMENSION": mk([("f2", "fd1")], ["src", "dst"]),
+        "FACT_DIMENSION_AXIS_ELEMENT": mk([("fd1", "seg_axis")], ["src", "dst"]),
+        "FACT_DIMENSION_MEMBER_ELEMENT": mk([("fd1", "seg_us")], ["src", "dst"]),
+    }
+
+
+def test_fact_query_excludes_dimensional_by_default(spark, fact_tables):
+    out = fact_query(fact_tables).collect()
+    # f2 (dimensional) must be excluded; f1, f3 kept with NULL dims
+    assert sorted(r["fact_id"] for r in out) == ["f1", "f3"]
+    assert all(r["dimension_axis"] is None for r in out)
+
+
+def test_fact_query_requested_dimensions_only(spark, fact_tables):
+    out = fact_query(fact_tables, requested_dimensions=["Segment"]).collect()
+    assert [r["fact_id"] for r in out] == ["f2"]
+    assert out[0]["dimension_axis"] == "Segment"
+    assert out[0]["dimension_member"] == "US"
+
+
+def test_fact_query_period_and_entity_filters(spark, fact_tables):
+    out = fact_query(fact_tables, period_start="2024-01-01", entity_id="e1").collect()
+    assert sorted(r["fact_id"] for r in out) == ["f1"]
+    assert fact_query(fact_tables, entity_id="nope").count() == 0
+
+
+@pytest.fixture(scope="module")
+def mapping_facts(spark):
+    """Fact frame for roll-up tests: two source elements over two periods."""
+    return spark.createDataFrame(
+        [
+            ("elA", "uri:A", 10.0, "2024-03-31", "2024-01-01", "e1"),
+            ("elB", "uri:B", 30.0, "2024-03-31", "2024-01-01", "e1"),
+            ("elA", "uri:A", 20.0, "2024-06-30", "2024-04-01", "e1"),
+            ("elB", "uri:B", 40.0, "2024-06-30", "2024-04-01", "e1"),
+        ],
+        ["element_id", "element_uri", "numeric_value", "period_end", "period_start", "entity_id"],
+    )
+
+
+def _mapping(method, wa=1.0, wb=1.0):
+    return MappingStructure(
+        associations=[
+            ElementAssociation("tgt:Total", "uri:A", wa, method),
+            ElementAssociation("tgt:Total", "uri:B", wb, method),
+        ]
+    )
+
+
+@pytest.mark.parametrize(
+    "method, kwargs, expected",
+    [
+        ("sum", {}, {"2024-03-31": 40.0, "2024-06-30": 60.0}),
+        ("calculated", {}, {"2024-03-31": 40.0, "2024-06-30": 60.0}),
+        ("average", {}, {"2024-03-31": 20.0, "2024-06-30": 30.0}),
+        # weighted: (10*2 + 30*1)/3 and (20*2 + 40*1)/3
+        ("weighted_average", {"wa": 2.0, "wb": 1.0},
+         {"2024-03-31": 50.0 / 3.0, "2024-06-30": 80.0 / 3.0}),
+        ("first", {}, {"2024-03-31": 10.0, "2024-06-30": 20.0}),  # elA sorts first
+        ("last", {}, {"2024-03-31": 30.0, "2024-06-30": 40.0}),
+    ],
+)
+def test_element_mapping_methods(spark, mapping_facts, method, kwargs, expected):
+    out = apply_element_mapping(mapping_facts, _mapping(method, **kwargs)).collect()
+    got = {r["period_end"]: r["numeric_value"] for r in out}
+    assert got.keys() == expected.keys()
+    for k in expected:
+        assert got[k] == pytest.approx(expected[k])
+    assert all(r["element_id"] == "tgt:Total" for r in out)
+    assert all(r["element_name"] == "Total" for r in out)
+
+
+def test_element_mapping_zero_weight_returns_zero(spark, mapping_facts):
+    out = apply_element_mapping(
+        mapping_facts, _mapping("weighted_average", wa=0.0, wb=0.0)
+    ).collect()
+    assert all(r["numeric_value"] == 0.0 for r in out)
+
+
+def test_element_mapping_unknown_method_raises(spark, mapping_facts):
+    with pytest.raises(ValueError, match="Unknown aggregation method"):
+        apply_element_mapping(mapping_facts, _mapping("median"))
+
+
+def test_fact_grid_pivot(spark, mapping_facts):
+    grid = build_fact_grid(
+        mapping_facts.withColumnRenamed("element_id", "element_name_src").withColumn(
+            "element_name", F.col("element_name_src")
+        ),
+        index_col="element_name",
+        column_col="period_end",
+        value_col="numeric_value",
+        column_values=["2024-03-31", "2024-06-30"],
+        fill_value=0.0,
+    )
+    rows = {r["element_name"]: r for r in grid.collect()}
+    assert rows["elA"]["2024-03-31"] == 10.0
+    assert rows["elB"]["2024-06-30"] == 40.0
+    assert list(grid.columns) == ["element_name", "2024-03-31", "2024-06-30"]
