@@ -1,0 +1,557 @@
+"""Cypher-subset → DataFrame compilation.
+
+Mapping (SURVEY §2.3/§2.4 operator tables):
+
+- node pattern ``(v:Label)``        → table scan, columns renamed ``v__prop``
+- ``-[:REL]->`` hop                 → equi-join through the edge table (src/dst)
+- ``<-[:REL]-`` / ``--``            → swapped keys / union of both directions
+- multi-pattern comma               → chained joins (shared vars = join keys,
+                                      none shared = cross join)
+- OPTIONAL MATCH                    → left join on the shared variables'
+                                      identifier columns
+- ``WHERE x IS NULL`` after an
+  OPTIONAL MATCH                    → null-filter AFTER the left join (the
+                                      anti-join idiom of fact_query.py:78-79;
+                                      deliberately post-join, see SURVEY §7
+                                      hard-part #1)
+- WITH / RETURN with aggregates     → groupBy(non-aggregated items).agg(...)
+                                      (Cypher's implicit grouping)
+- collect(...)                      → collect_list / collect_list(struct)
+- ORDER BY / SKIP / LIMIT / DISTINCT→ orderBy / offset / limit / distinct
+- UNION ALL                         → unionByName
+- ``$param``                        → literal substitution at compile time
+
+Node variables are carried as prefixed column bundles (``v__*``);
+row-level comparisons between node variables (``p1 < p2``) compare
+primary keys.  RETURNed node variables materialize as structs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from robosystems_spark.cypher import parser as P
+
+ID = "identifier"  # node primary-key column (schemas/base.py:18-21)
+
+AGG_FUNCS = {"count", "sum", "avg", "min", "max", "collect"}
+
+SCALAR_FUNCS = {
+    "abs": F.abs,
+    "lower": F.lower,
+    "upper": F.upper,
+    "trim": F.trim,
+    "round": F.round,
+    "coalesce": F.coalesce,
+    "sqrt": F.sqrt,
+}
+
+CAST_FUNCS = {
+    "tointeger": "long",
+    "tofloat": "double",
+    "tostring": "string",
+    "toboolean": "boolean",
+}
+
+
+class CypherCompileError(ValueError):
+    pass
+
+
+@dataclass
+class Scope:
+    """Variable bindings visible at a point in the pipeline."""
+
+    nodes: dict[str, str] = field(default_factory=dict)  # var -> label (prefixed cols)
+    edges: dict[str, str] = field(default_factory=dict)  # var -> rel type
+    values: dict[str, str] = field(default_factory=dict)  # name -> column name
+
+    def copy(self) -> "Scope":
+        return Scope(dict(self.nodes), dict(self.edges), dict(self.values))
+
+
+class CypherEngine:
+    """Compile+run Cypher-subset queries over a table dict.
+
+    ``tables`` maps node labels and relationship type names to
+    DataFrames (GraphStore layout: nodes keyed by ``identifier``,
+    edges ``(src, dst, ...props)``).
+    """
+
+    def __init__(self, tables: dict[str, DataFrame]):
+        self.tables = tables
+        self._anon = 0
+        self._df: DataFrame | None = None  # current frame, for type probes
+
+    # ------------------------------------------------------------------ api
+    def query(self, cypher: str, params: dict | None = None) -> DataFrame:
+        ast = P.parse_cypher(cypher)
+        parts = [self._compile_single(q, params or {}) for q in ast.queries]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    explain = query  # alias: engine.explain(q).explain() shows the plan
+
+    # ---------------------------------------------------------- single query
+    def _compile_single(self, q: P.SingleQuery, params: dict) -> DataFrame:
+        df: DataFrame | None = None
+        scope = Scope()
+        for clause in q.clauses:
+            self._df = df
+            if isinstance(clause, P.MatchClause):
+                df = self._compile_match(df, scope, clause, params)
+            elif isinstance(clause, P.WithClause):
+                df, scope = self._project(
+                    df, scope, clause.items, params,
+                    distinct=clause.distinct, keep_node_bundles=True,
+                )
+                self._df = df
+                if clause.where is not None:
+                    df = df.filter(self._expr(clause.where, scope, params)[0])
+            elif isinstance(clause, P.UnwindClause):
+                col, _ = self._expr(clause.expr, scope, params)
+                if df is None:
+                    df = self._spark().range(1).select(F.explode(col).alias(clause.alias))
+                else:
+                    df = df.withColumn(clause.alias, F.explode(col))
+                scope.values[clause.alias] = clause.alias
+            else:
+                raise CypherCompileError(f"Unsupported clause {clause!r}")
+
+        self._df = df
+        return self._finalize(df, scope, q, params)
+
+    def _spark(self):
+        return next(iter(self.tables.values())).sparkSession
+
+    # -------------------------------------------------------------- patterns
+    def _node_df(self, var: str, label: str, props: dict, scope: Scope, params: dict) -> DataFrame:
+        if label not in self.tables:
+            raise CypherCompileError(f"Unknown node label {label!r}")
+        t = self.tables[label]
+        for key, expr in props.items():
+            t = t.filter(F.col(key) == self._expr(expr, scope, params)[0])
+        return t.select([F.col(c).alias(f"{var}__{c}") for c in t.columns])
+
+    def _edge_df(self, var: str | None, rel: str, direction: str):
+        if rel not in self.tables:
+            raise CypherCompileError(f"Unknown relationship type {rel!r}")
+        e = self.tables[rel]
+        swap = direction == "in"
+        if direction == "undirected":
+            fwd = e.select(F.col("src"), F.col("dst"), *[c for c in e.columns if c not in ("src", "dst")])
+            rev = e.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"),
+                *[c for c in e.columns if c not in ("src", "dst")],
+            )
+            e = fwd.unionByName(rev)
+        self._anon += 1
+        src_col = f"__src{self._anon}"
+        dst_col = f"__dst{self._anon}"
+        sel = [
+            F.col("dst" if swap else "src").alias(src_col),
+            F.col("src" if swap else "dst").alias(dst_col),
+        ]
+        if var:
+            sel += [
+                F.col(c).alias(f"{var}__{c}") for c in e.columns if c not in ("src", "dst")
+            ]
+        return e.select(*sel), src_col, dst_col
+
+    def _compile_pattern_into(
+        self,
+        df: DataFrame | None,
+        scope: Scope,
+        path: P.PathPattern,
+        params: dict,
+        label_hints: dict[str, str] | None = None,
+    ) -> DataFrame:
+        """Join one path pattern into df, binding new variables.
+
+        ``label_hints`` supplies labels for variables bound in an outer
+        scope (OPTIONAL MATCH sub-patterns reference them label-less).
+        """
+        elements = path.elements
+        node = elements[0]
+        var = node.var or self._fresh()
+        if var not in scope.nodes:
+            label = self._require_label(node, label_hints)
+            ndf = self._node_df(var, label, node.props, scope, params)
+            df = ndf if df is None else df.crossJoin(ndf)
+            scope.nodes[var] = label
+        prev = var
+        i = 1
+        while i < len(elements):
+            edge: P.EdgePattern = elements[i]
+            node: P.NodePattern = elements[i + 1]
+            nvar = node.var or self._fresh()
+            if edge.rel_type is None:
+                raise CypherCompileError(
+                    "Anonymous relationships without a type are not supported; "
+                    "specify -[:REL_TYPE]-"
+                )
+            edf, src_col, dst_col = self._edge_df(edge.var, edge.rel_type, edge.direction)
+            df = df.join(edf, F.col(f"{prev}__{ID}") == F.col(src_col))
+            if edge.var:
+                scope.edges[edge.var] = edge.rel_type
+            if nvar in scope.nodes:
+                # variable already bound: the hop closes a cycle -> filter
+                df = df.filter(F.col(dst_col) == F.col(f"{nvar}__{ID}"))
+            else:
+                label = self._require_label(node, label_hints)
+                ndf = self._node_df(nvar, label, node.props, scope, params)
+                df = df.join(ndf, F.col(dst_col) == F.col(f"{nvar}__{ID}"))
+                scope.nodes[nvar] = label
+            df = df.drop(src_col, dst_col)
+            prev = nvar
+            i += 2
+        return df
+
+    def _require_label(
+        self, node: P.NodePattern, label_hints: dict[str, str] | None = None
+    ) -> str:
+        if node.label is None:
+            if label_hints and node.var in label_hints:
+                return label_hints[node.var]
+            raise CypherCompileError(
+                f"Node variable {node.var!r} needs a label on first use"
+            )
+        return node.label
+
+    def _fresh(self) -> str:
+        self._anon += 1
+        return f"_anon{self._anon}"
+
+    def _compile_match(
+        self, df: DataFrame | None, scope: Scope, clause: P.MatchClause, params: dict
+    ) -> DataFrame:
+        if not clause.optional:
+            for path in clause.patterns:
+                df = self._compile_pattern_into(df, scope, path, params)
+            if clause.where is not None:
+                df = df.filter(self._expr(clause.where, scope, params)[0])
+            return df
+
+        # OPTIONAL MATCH: compile the pattern standalone (re-joining the
+        # tables of outer-bound variables, labels inferred from the outer
+        # scope), then left-join onto the query on the shared variables'
+        # identifier columns.
+        if df is None:
+            raise CypherCompileError("OPTIONAL MATCH cannot be the first clause")
+        sub_scope = Scope()
+        sub = None
+        for path in clause.patterns:
+            sub = self._compile_pattern_into(
+                sub, sub_scope, path, params, label_hints=scope.nodes
+            )
+        new_nodes = {v: l for v, l in sub_scope.nodes.items() if v not in scope.nodes}
+        new_edges = {v: t for v, t in sub_scope.edges.items() if v not in scope.edges}
+        shared = [v for v in sub_scope.nodes if v in scope.nodes]
+        # keep only join keys for shared vars + all new-var columns
+        keep = [f"{v}__{ID}" for v in shared]
+        keep += [
+            c for c in sub.columns
+            if any(c.startswith(f"{v}__") for v in list(new_nodes) + list(new_edges))
+        ]
+        sub = sub.select(*dict.fromkeys(keep))
+        # rename shared keys to avoid collision, join, drop
+        join_cond = None
+        renames = {}
+        for v in shared:
+            tmp = f"__join_{v}"
+            renames[tmp] = f"{v}__{ID}"
+            sub = sub.withColumnRenamed(f"{v}__{ID}", tmp)
+            cond = F.col(f"{v}__{ID}") == F.col(tmp)
+            join_cond = cond if join_cond is None else (join_cond & cond)
+        if join_cond is None:
+            raise CypherCompileError("OPTIONAL MATCH shares no variables with the query")
+        out = df.join(sub, join_cond, "left").drop(*renames.keys())
+        scope.nodes.update(new_nodes)
+        scope.edges.update(new_edges)
+        # post-join WHERE: the fd-IS-NULL anti-join idiom (see module doc)
+        if clause.where is not None:
+            out = out.filter(self._expr(clause.where, scope, params)[0])
+        return out
+
+    # ------------------------------------------------------------ projection
+    def _item_name(self, item: P.ProjectionItem) -> str:
+        if item.alias:
+            return item.alias
+        e = item.expr
+        if isinstance(e, P.VarRef):
+            return e.name
+        if isinstance(e, P.PropRef):
+            return f"{e.var}.{e.prop}"
+        raise CypherCompileError("Complex projection items need an AS alias")
+
+    def _project(
+        self,
+        df: DataFrame,
+        scope: Scope,
+        items: list[P.ProjectionItem],
+        params: dict,
+        distinct: bool = False,
+        keep_node_bundles: bool = False,
+    ) -> tuple[DataFrame, Scope]:
+        """Shared WITH/RETURN projection with implicit grouping."""
+        new_scope = Scope()
+        key_cols: list[Column] = []
+        agg_cols: list[Column] = []
+        carried_nodes: list[str] = []
+        has_agg = any(self._is_aggregate(i.expr) for i in items)
+
+        for item in items:
+            name = self._item_name(item)
+            e = item.expr
+            if isinstance(e, P.VarRef) and e.name in scope.nodes and keep_node_bundles:
+                # carry the whole node bundle (WITH elem, ...)
+                carried_nodes.append(e.name)
+                new_scope.nodes[e.name] = scope.nodes[e.name]
+                continue
+            col, is_agg = self._expr(e, scope, params)
+            if isinstance(e, P.VarRef) and e.name in scope.nodes:
+                # RETURN n -> struct of properties
+                col = self._node_struct(df, e.name)
+            (agg_cols if is_agg else key_cols).append(col.alias(name))
+            new_scope.values[name] = name
+
+        if has_agg:
+            group_exprs = []
+            for v in carried_nodes:
+                group_exprs += [F.col(c) for c in df.columns if c.startswith(f"{v}__")]
+            group_exprs += key_cols
+            out = df.groupBy(*group_exprs).agg(*agg_cols) if (group_exprs or agg_cols) else df
+            if not group_exprs and not agg_cols:
+                raise CypherCompileError("Empty projection")
+        else:
+            sel = []
+            for v in carried_nodes:
+                sel += [F.col(c) for c in df.columns if c.startswith(f"{v}__")]
+            sel += key_cols
+            out = df.select(*sel)
+        if distinct:
+            out = out.distinct()
+        return out, new_scope
+
+    def _node_struct(self, df: DataFrame, var: str) -> Column:
+        fields = [
+            F.col(c).alias(c[len(var) + 2:]) for c in df.columns if c.startswith(f"{var}__")
+        ]
+        return F.struct(*fields)
+
+    def _finalize(self, df: DataFrame, scope: Scope, q: P.SingleQuery, params: dict) -> DataFrame:
+        items = q.returns.items
+        names = [self._item_name(i) for i in items]
+
+        # Pre-compute ORDER BY expressions in the INPUT scope when
+        # possible (ORDER BY elem.name after RETURN ... AS element_name),
+        # falling back to the output scope (ORDER BY alias).
+        order_specs: list[tuple[str, bool, Column | None]] = []
+        pre_cols: dict[str, Column] = {}
+        for idx, o in enumerate(q.order_by):
+            try:
+                col, is_agg = self._expr(o.expr, scope, params)
+                if is_agg:
+                    raise CypherCompileError("aggregate in ORDER BY needs an alias")
+                pre_cols[f"__ord{idx}"] = col
+                order_specs.append((f"__ord{idx}", o.desc, None))
+            except CypherCompileError:
+                order_specs.append((None, o.desc, o.expr))  # resolve post-projection
+
+        has_agg = any(self._is_aggregate(i.expr) for i in items)
+        out_scope = Scope(values={n: n for n in names})
+        if pre_cols and not has_agg:
+            # project items + temp sort columns in one select
+            sel = [self._projection_column(i, scope, params, df) for i in items]
+            out = df.select(*sel, *[c.alias(n) for n, c in pre_cols.items()])
+            if q.returns.distinct:
+                out = out.dropDuplicates(names)
+        else:
+            out, out_scope = self._project(df, scope, items, params, q.returns.distinct)
+            if pre_cols and has_agg:
+                raise CypherCompileError(
+                    "ORDER BY over non-returned expressions is unsupported "
+                    "with aggregation; alias the expression in RETURN"
+                )
+
+        sort_cols = []
+        for tmp_name, desc, late_expr in order_specs:
+            if tmp_name is not None and tmp_name in out.columns:
+                c = F.col(tmp_name)
+            elif late_expr is not None:
+                c, _ = self._expr(late_expr, out_scope, params)
+            else:  # pre-computed but projection dropped temps (agg path)
+                raise CypherCompileError("ORDER BY expression not resolvable")
+            sort_cols.append(c.desc() if desc else c.asc())
+        if sort_cols:
+            out = out.orderBy(*sort_cols)
+        out = out.drop(*[n for n, _, _ in order_specs if n])
+        if q.skip:
+            out = out.offset(q.skip)
+        if q.limit is not None:
+            out = out.limit(q.limit)
+        return out.select(*names)
+
+    def _projection_column(
+        self, item: P.ProjectionItem, scope: Scope, params: dict, df: DataFrame
+    ) -> Column:
+        name = self._item_name(item)
+        e = item.expr
+        if isinstance(e, P.VarRef) and e.name in scope.nodes:
+            return self._node_struct(df, e.name).alias(name)
+        col, _ = self._expr(e, scope, params)
+        return col.alias(name)
+
+    # ----------------------------------------------------------- expressions
+    def _is_aggregate(self, e) -> bool:
+        if isinstance(e, P.FuncCall):
+            if e.name in AGG_FUNCS:
+                return True
+            return any(self._is_aggregate(a) for a in e.args)
+        if isinstance(e, P.BinaryOp):
+            return self._is_aggregate(e.left) or self._is_aggregate(e.right)
+        if isinstance(e, P.UnaryOp):
+            return self._is_aggregate(e.operand)
+        if isinstance(e, P.CaseExpr):
+            return any(
+                self._is_aggregate(c) or self._is_aggregate(v) for c, v in e.whens
+            ) or (e.default is not None and self._is_aggregate(e.default))
+        return False
+
+    def _expr(self, e, scope: Scope, params: dict) -> tuple[Column, bool]:
+        if isinstance(e, P.Literal):
+            return F.lit(e.value), False
+        if isinstance(e, P.Param):
+            if e.name not in params:
+                raise CypherCompileError(f"Missing parameter ${e.name}")
+            v = params[e.name]
+            if isinstance(v, (list, tuple)):
+                return F.array(*[F.lit(x) for x in v]), False
+            return F.lit(v), False
+        if isinstance(e, P.ListLiteral):
+            return F.array(*[self._expr(x, scope, params)[0] for x in e.items]), False
+        if isinstance(e, P.VarRef):
+            if e.name in scope.nodes or e.name in scope.edges:
+                # bare node/edge var in scalar position: its identity
+                key = f"{e.name}__{ID}" if e.name in scope.nodes else f"{e.name}__src"
+                return F.col(key), False
+            if e.name in scope.values:
+                return F.col(scope.values[e.name]), False
+            raise CypherCompileError(f"Unbound variable {e.name!r}")
+        if isinstance(e, P.PropRef):
+            if e.var in scope.nodes or e.var in scope.edges:
+                return F.col(f"{e.var}__{e.prop}"), False
+            if e.var in scope.values:
+                # struct column (returned node) property access
+                return F.col(scope.values[e.var])[e.prop], False
+            raise CypherCompileError(f"Unbound variable {e.var!r}")
+        if isinstance(e, P.IsNull):
+            col, agg = self._expr(e.operand, scope, params)
+            return (col.isNotNull() if e.negated else col.isNull()), agg
+        if isinstance(e, P.UnaryOp):
+            col, agg = self._expr(e.operand, scope, params)
+            return (~col if e.op == "NOT" else -col), agg
+        if isinstance(e, P.BinaryOp):
+            return self._binary(e, scope, params)
+        if isinstance(e, P.CaseExpr):
+            out = None
+            agg = False
+            for cond, val in e.whens:
+                c, a1 = self._expr(cond, scope, params)
+                v, a2 = self._expr(val, scope, params)
+                agg = agg or a1 or a2
+                out = F.when(c, v) if out is None else out.when(c, v)
+            if e.default is not None:
+                d, a3 = self._expr(e.default, scope, params)
+                agg = agg or a3
+                out = out.otherwise(d)
+            return out, agg
+        if isinstance(e, P.FuncCall):
+            return self._func(e, scope, params)
+        raise CypherCompileError(f"Unsupported expression {e!r}")
+
+    def _binary(self, e: P.BinaryOp, scope: Scope, params: dict) -> tuple[Column, bool]:
+        left, a1 = self._expr(e.left, scope, params)
+        right, a2 = self._expr(e.right, scope, params)
+        agg = a1 or a2
+        ops = {
+            "=": left == right,
+            "<>": left != right,
+            "<": left < right,
+            "<=": left <= right,
+            ">": left > right,
+            ">=": left >= right,
+            "+": left + right,
+            "-": left - right,
+            "*": left * right,
+            "/": left / right,
+            "%": left % right,
+            "AND": left & right,
+            "OR": left | right,
+            "CONTAINS": left.contains(right),
+            "STARTS WITH": left.startswith(right),
+            "ENDS WITH": left.endswith(right),
+        }
+        if e.op == "IN":
+            if isinstance(e.right, P.ListLiteral):
+                vals = [self._expr(x, scope, params)[0] for x in e.right.items]
+                return left.isin(*[v for v in vals]), agg
+            if isinstance(e.right, P.Param):
+                v = params.get(e.right.name)
+                if isinstance(v, (list, tuple)):
+                    return left.isin(*list(v)), agg
+            return F.array_contains(right, left), agg
+        if e.op not in ops:
+            raise CypherCompileError(f"Unsupported operator {e.op!r}")
+        return ops[e.op], agg
+
+    def _func(self, e: P.FuncCall, scope: Scope, params: dict) -> tuple[Column, bool]:
+        name = e.name
+        if name in AGG_FUNCS:
+            if name == "count":
+                arg = e.args[0] if e.args else P.VarRef("*")
+                if isinstance(arg, P.VarRef) and arg.name == "*":
+                    return F.count(F.lit(1)), True
+                col, _ = self._expr(arg, scope, params)
+                return (F.countDistinct(col) if e.distinct else F.count(col)), True
+            if name == "collect":
+                arg = e.args[0]
+                if isinstance(arg, P.VarRef) and arg.name in scope.nodes:
+                    raise CypherCompileError(
+                        "collect(node) unsupported; collect a property or a map"
+                    )
+                col, _ = self._expr(arg, scope, params)
+                return (F.collect_set(col) if e.distinct else F.collect_list(col)), True
+            col, _ = self._expr(e.args[0], scope, params)
+            fn = {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max}[name]
+            return fn(col), True
+        if name in CAST_FUNCS:
+            col, agg = self._expr(e.args[0], scope, params)
+            return col.try_cast(CAST_FUNCS[name]), agg
+        if name in ("size", "len", "length"):
+            # `len` covers both strings and lists in the dialect map
+            # (query_validator.py:63-64); pick by static argument shape
+            col, agg = self._expr(e.args[0], scope, params)
+            arg = e.args[0]
+            is_list = isinstance(arg, P.ListLiteral) or (
+                isinstance(arg, P.FuncCall) and arg.name == "collect"
+            )
+            if (
+                not is_list
+                and isinstance(arg, P.VarRef)
+                and arg.name in scope.values
+                and self._df is not None
+            ):
+                dtype = dict(self._df.dtypes).get(scope.values[arg.name], "")
+                is_list = dtype.startswith("array")
+            return (F.size(col) if is_list else F.length(col.cast("string"))), agg
+        if name in SCALAR_FUNCS:
+            cols = [self._expr(a, scope, params)[0] for a in e.args]
+            aggs = any(self._expr(a, scope, params)[1] for a in e.args)
+            return SCALAR_FUNCS[name](*cols), aggs
+        raise CypherCompileError(f"Unsupported function {name!r}")

@@ -76,8 +76,9 @@ def _ensure_loaded() -> None:
     if _LOADED:
         return
     from robosystems_spark.inventory import (  # noqa: F401
-        relational,
+        graph,
         llm,
+        relational,
         windows,
     )
 

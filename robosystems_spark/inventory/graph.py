@@ -1,0 +1,156 @@
+"""Cypher-compiler inventory: graph-pattern queries over TPC-H tables.
+
+These entries run THROUGH the Cypher-subset compiler
+(robosystems_spark.cypher) against node/edge views derived from the
+synthetic tables, with plain-SQL DuckDB oracles — so the compiler
+itself sits inside the driver's hash-match correctness gate.
+
+Graph view: Customer/Order/Supplier/Nation nodes (keyed by
+``identifier``), HAS_ORDER and IN_NATION edges — the GraphStore layout
+(FIXTURES.md: nodes carry ``identifier``, edges ``src``/``dst``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from robosystems_spark.cypher import CypherEngine
+from robosystems_spark.inventory import register
+from robosystems_spark.io import read_table
+
+
+def _graph_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    return {
+        "Customer": cust.select(
+            F.col("c_custkey").cast("string").alias("identifier"),
+            "c_name", "c_mktsegment", "c_acctbal",
+        ),
+        "Order": orders.select(
+            F.col("o_orderkey").cast("string").alias("identifier"),
+            "o_totalprice", "o_orderstatus", "o_orderpriority",
+        ),
+        "Supplier": supp.select(
+            F.col("s_suppkey").cast("string").alias("identifier"), "s_name", "s_acctbal"
+        ),
+        "Nation": nation.select(
+            F.col("n_nationkey").cast("string").alias("identifier"), "n_name"
+        ),
+        "HAS_ORDER": orders.select(
+            F.col("o_custkey").cast("string").alias("src"),
+            F.col("o_orderkey").cast("string").alias("dst"),
+        ),
+        "IN_NATION": supp.select(
+            F.col("s_suppkey").cast("string").alias("src"),
+            F.col("s_nationkey").cast("string").alias("dst"),
+        ),
+    }
+
+
+@register(
+    "cypher_customer_order_rollup",
+    oracle="""
+    SELECT c_name AS name,
+           COUNT(*) AS big_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_value
+    FROM customer JOIN orders ON o_custkey = c_custkey
+    WHERE o_totalprice > 150000
+    GROUP BY c_name
+    """,
+    doc="Cypher MATCH + WHERE + WITH implicit grouping compiled to DataFrame joins (SURVEY §4 custom #1).",
+    tags=("cypher",),
+    bench=True,
+)
+def cypher_customer_order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = CypherEngine(_graph_tables(spark, sf_dir))
+    return eng.query(
+        "MATCH (c:Customer)-[:HAS_ORDER]->(o:Order) "
+        "WHERE o.o_totalprice > 150000 "
+        "WITH c, count(o) AS big_orders, sum(o.o_totalprice) AS raw_total "
+        "RETURN c.c_name AS name, big_orders, round(raw_total, 2) AS total_value"
+    )
+
+
+@register(
+    "cypher_optional_match_anti",
+    oracle="""
+    SELECT c_name AS name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    doc="Cypher OPTIONAL MATCH ... WHERE x IS NULL anti-join idiom through the compiler (fact_query.py:78-79 semantics).",
+    tags=("cypher",),
+)
+def cypher_optional_match_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = CypherEngine(_graph_tables(spark, sf_dir))
+    return eng.query(
+        "MATCH (c:Customer) OPTIONAL MATCH (c)-[:HAS_ORDER]->(o:Order) "
+        "WHERE o IS NULL RETURN c.c_name AS name"
+    )
+
+
+@register(
+    "cypher_union_label_counts",
+    oracle="""
+    SELECT 'Customer' AS label, COUNT(*) AS cnt FROM customer
+    UNION ALL SELECT 'Order' AS label, COUNT(*) AS cnt FROM orders
+    UNION ALL SELECT 'Supplier' AS label, COUNT(*) AS cnt FROM supplier
+    """,
+    doc="Cypher UNION ALL label counts through the compiler (example_queries_tool.py:82 idiom).",
+    tags=("cypher",),
+)
+def cypher_union_label_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = CypherEngine(_graph_tables(spark, sf_dir))
+    return eng.query(
+        "MATCH (n:Customer) RETURN 'Customer' AS label, count(n) AS cnt "
+        "UNION ALL MATCH (n:Order) RETURN 'Order' AS label, count(n) AS cnt "
+        "UNION ALL MATCH (n:Supplier) RETURN 'Supplier' AS label, count(n) AS cnt"
+    )
+
+
+@register(
+    "cypher_colleague_pairs",
+    oracle="""
+    SELECT n_name AS nation, COUNT(*) AS pairs
+    FROM supplier s1
+    JOIN supplier s2 ON s1.s_nationkey = s2.s_nationkey
+                    AND CAST(s1.s_suppkey AS VARCHAR) < CAST(s2.s_suppkey AS VARCHAR)
+    JOIN nation ON s1.s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    doc="Cypher comma-pattern self-join (colleague query, custom_graph_demo/05_query_graph.py:99-104) through the compiler.",
+    tags=("cypher",),
+)
+def cypher_colleague_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = CypherEngine(_graph_tables(spark, sf_dir))
+    return eng.query(
+        "MATCH (s1:Supplier)-[:IN_NATION]->(n:Nation), "
+        "(s2:Supplier)-[:IN_NATION]->(n) WHERE s1 < s2 "
+        "WITH n, count(*) AS pairs RETURN n.n_name AS nation, pairs"
+    )
+
+
+@register(
+    "cypher_case_and_contains",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           SUM(CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END) AS rich,
+           SUM(CASE WHEN c_acctbal <= 5000 THEN 1 ELSE 0 END) AS modest
+    FROM customer
+    WHERE CONTAINS(c_mktsegment, 'U')
+    GROUP BY c_mktsegment
+    """,
+    doc="Cypher CASE WHEN conditional aggregation + CONTAINS through the compiler (accounting demo idiom).",
+    tags=("cypher",),
+)
+def cypher_case_and_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = CypherEngine(_graph_tables(spark, sf_dir))
+    return eng.query(
+        "MATCH (c:Customer) WHERE c.c_mktsegment CONTAINS 'U' "
+        "RETURN c.c_mktsegment AS segment, "
+        "sum(CASE WHEN c.c_acctbal > 5000 THEN 1 ELSE 0 END) AS rich, "
+        "sum(CASE WHEN c.c_acctbal <= 5000 THEN 1 ELSE 0 END) AS modest"
+    )

@@ -1,0 +1,244 @@
+"""Cypher-subset compiler tests against the reference's query corpus:
+trial balance (trial_balance.py:36-57), label counts UNION ALL,
+OPTIONAL MATCH rollups, colleague self-join
+(custom_graph_demo/05_query_graph.py:45-128), fd-IS-NULL anti-join
+(fact_query.py:78-82), CASE aggregation
+(accounting_demo/05_query_graph.py:129-140), parameters, CONTAINS.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from robosystems_spark.cypher import CypherEngine
+
+
+@pytest.fixture(scope="module")
+def graph(spark):
+    """Custom-graph-demo fixture: people, companies, projects."""
+    mk = spark.createDataFrame
+    tables = {
+        "Person": mk(
+            [
+                ("p1", "Ada", 35, "Engineer"),
+                ("p2", "Bo", 28, "Analyst"),
+                ("p3", "Cy", 41, "Manager"),
+                ("p4", "Di", 22, "Intern"),
+            ],
+            ["identifier", "name", "age", "title"],
+        ),
+        "Company": mk(
+            [("c1", "Initech", "Software"), ("c2", "Globex", "Energy")],
+            ["identifier", "name", "industry"],
+        ),
+        "Project": mk(
+            [("j1", "Apollo", 120000.0), ("j2", "Zephyr", 40000.0)],
+            ["identifier", "name", "budget"],
+        ),
+        "WORKS_FOR": mk(
+            [("p1", "c1", "dev"), ("p2", "c1", "data"), ("p3", "c2", "mgmt")],
+            ["src", "dst", "role"],
+        ),
+        "WORKS_ON": mk(
+            [("p1", "j1", 20), ("p2", "j1", 10), ("p3", "j2", 30)],
+            ["src", "dst", "hours_per_week"],
+        ),
+        "SPONSORS": mk([("c1", "j1", 100000.0)], ["src", "dst", "committed"]),
+    }
+    return CypherEngine(tables)
+
+
+def rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+def test_basic_match_project_order(graph):
+    out = graph.query(
+        "MATCH (p:Person) WHERE p.age >= 28 "
+        "RETURN p.name AS name, p.age AS age ORDER BY p.age DESC"
+    )
+    assert rows(out) == [("Cy", 41), ("Ada", 35), ("Bo", 28)]
+
+
+def test_hop_join_and_edge_props(graph):
+    out = graph.query(
+        "MATCH (p:Person)-[w:WORKS_FOR]->(c:Company) "
+        "RETURN p.name AS person, w.role AS role, c.name AS company ORDER BY p.name"
+    )
+    assert rows(out) == [
+        ("Ada", "dev", "Initech"),
+        ("Bo", "data", "Initech"),
+        ("Cy", "mgmt", "Globex"),
+    ]
+
+
+def test_reverse_direction(graph):
+    out = graph.query(
+        "MATCH (c:Company)<-[:WORKS_FOR]-(p:Person) WHERE c.name = 'Initech' "
+        "RETURN p.name AS name ORDER BY p.name"
+    )
+    assert rows(out) == [("Ada",), ("Bo",)]
+
+
+def test_undirected(graph):
+    out = graph.query(
+        "MATCH (a:Person)-[:WORKS_FOR]-(b:Company) RETURN count(*) AS n"
+    )
+    assert rows(out) == [(3,)]
+
+
+def test_implicit_grouping_with_sum(graph):
+    """The trial-balance shape: WITH carries a node + aggregates."""
+    out = graph.query(
+        "MATCH (p:Person)-[w:WORKS_ON]->(j:Project) "
+        "WITH j, sum(w.hours_per_week) AS total_hours, count(p) AS people "
+        "RETURN j.name AS project, total_hours, people, "
+        "total_hours / people AS avg_hours ORDER BY j.name"
+    )
+    assert rows(out) == [("Apollo", 30, 2, 15.0), ("Zephyr", 30, 1, 30.0)]
+
+
+def test_optional_match_rollup(graph):
+    out = graph.query(
+        "MATCH (c:Company) OPTIONAL MATCH (p:Person)-[:WORKS_FOR]->(c) "
+        "WITH c, count(DISTINCT p) AS employees "
+        "RETURN c.name AS company, employees ORDER BY c.name"
+    )
+    assert rows(out) == [("Globex", 1), ("Initech", 2)]
+
+
+def test_optional_match_preserves_unmatched(graph):
+    out = graph.query(
+        "MATCH (j:Project) OPTIONAL MATCH (c:Company)-[:SPONSORS]->(j) "
+        "RETURN j.name AS project, c.name AS sponsor ORDER BY j.name"
+    )
+    assert rows(out) == [("Apollo", "Initech"), ("Zephyr", None)]
+
+
+def test_fd_is_null_anti_join_idiom(graph):
+    """OPTIONAL MATCH ... WHERE x IS NULL -> anti-join (fact_query.py:78-79)."""
+    out = graph.query(
+        "MATCH (j:Project) OPTIONAL MATCH (c:Company)-[:SPONSORS]->(j) "
+        "WHERE c IS NULL RETURN j.name AS project"
+    )
+    assert rows(out) == [("Zephyr",)]
+
+
+def test_comma_pattern_colleague_self_join(graph):
+    out = graph.query(
+        "MATCH (p1:Person)-[:WORKS_FOR]->(c1:Company), "
+        "(p2:Person)-[:WORKS_FOR]->(c1) WHERE p1 < p2 "
+        "RETURN p1.name AS a, p2.name AS b, c1.name AS company"
+    )
+    assert rows(out) == [("Ada", "Bo", "Initech")]
+
+
+def test_union_all_label_counts(graph):
+    out = graph.query(
+        "MATCH (n:Person) RETURN 'Person' AS label, count(n) AS cnt "
+        "UNION ALL MATCH (n:Company) RETURN 'Company' AS label, count(n) AS cnt "
+        "UNION ALL MATCH (n:Project) RETURN 'Project' AS label, count(n) AS cnt"
+    )
+    assert sorted(rows(out)) == [("Company", 2), ("Person", 4), ("Project", 2)]
+
+
+def test_case_when_conditional_agg(graph):
+    out = graph.query(
+        "MATCH (p:Person) RETURN "
+        "sum(CASE WHEN p.age >= 30 THEN 1 ELSE 0 END) AS senior, "
+        "sum(CASE WHEN p.age < 30 THEN 1 ELSE 0 END) AS junior"
+    )
+    assert rows(out) == [(2, 2)]
+
+
+def test_parameters_and_in_list(graph):
+    out = graph.query(
+        "MATCH (p:Person) WHERE p.title IN $titles AND p.age > $min_age "
+        "RETURN p.name AS name ORDER BY p.name",
+        params={"titles": ["Engineer", "Manager", "Intern"], "min_age": 30},
+    )
+    assert rows(out) == [("Ada",), ("Cy",)]
+
+
+def test_contains_and_string_ops(graph):
+    out = graph.query(
+        "MATCH (c:Company) WHERE c.industry CONTAINS 'ware' "
+        "RETURN c.name AS name, toInteger('42') AS answer"
+    )
+    assert rows(out) == [("Initech", 42)]
+
+
+def test_distinct_skip_limit(graph):
+    out = graph.query(
+        "MATCH (p:Person)-[:WORKS_FOR]->(c:Company) "
+        "RETURN DISTINCT c.name AS name ORDER BY c.name SKIP 1 LIMIT 1"
+    )
+    assert rows(out) == [("Initech",)]
+
+
+def test_collect_and_size(graph):
+    out = graph.query(
+        "MATCH (p:Person)-[:WORKS_FOR]->(c:Company) "
+        "WITH c, collect(p.name) AS names "
+        "RETURN c.name AS company, size(names) AS n ORDER BY c.name"
+    )
+    assert rows(out) == [("Globex", 1), ("Initech", 2)]
+
+
+def test_return_node_as_struct(graph):
+    out = graph.query("MATCH (c:Company) RETURN c ORDER BY c.name LIMIT 1")
+    row = out.collect()[0]["c"]
+    assert row["name"] == "Globex" and row["industry"] == "Energy"
+
+
+def test_node_property_inline_filter(graph):
+    out = graph.query(
+        "MATCH (p:Person {title: 'Engineer'})-[:WORKS_FOR]->(c:Company) "
+        "RETURN c.name AS company"
+    )
+    assert rows(out) == [("Initech",)]
+
+
+def test_with_where_having(graph):
+    out = graph.query(
+        "MATCH (p:Person)-[w:WORKS_ON]->(j:Project) "
+        "WITH j, sum(w.hours_per_week) AS hours WHERE hours > 25 "
+        "RETURN j.name AS project, hours ORDER BY j.name"
+    )
+    assert rows(out) == [("Apollo", 30), ("Zephyr", 30)]
+
+
+def test_unwind(graph):
+    out = graph.query(
+        "UNWIND [1, 2, 3] AS x RETURN x, x * 2 AS doubled ORDER BY x"
+    )
+    assert rows(out) == [(1, 2), (2, 4), (3, 6)]
+
+
+def test_arithmetic_and_aliases(graph):
+    out = graph.query(
+        "MATCH (j:Project) RETURN j.name AS name, j.budget / 1000 AS budget_k "
+        "ORDER BY j.budget DESC"
+    )
+    assert rows(out) == [("Apollo", 120.0), ("Zephyr", 40.0)]
+
+
+def test_error_on_unknown_label(graph):
+    from robosystems_spark.cypher.compiler import CypherCompileError
+
+    with pytest.raises(CypherCompileError, match="Unknown node label"):
+        graph.query("MATCH (x:Ghost) RETURN x")
+
+
+def test_error_on_unbound_variable(graph):
+    from robosystems_spark.cypher.compiler import CypherCompileError
+
+    with pytest.raises(CypherCompileError, match="Unbound variable"):
+        graph.query("MATCH (p:Person) RETURN q.name AS n")
+
+
+def test_syntax_error(graph):
+    from robosystems_spark.cypher.parser import CypherSyntaxError
+
+    with pytest.raises(CypherSyntaxError):
+        graph.query("MATCH (p:Person RETURN p")
