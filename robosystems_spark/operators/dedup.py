@@ -58,6 +58,10 @@ def minhash_signatures(
     xxhash64(seed, shingle) is JVM-side and deterministic, so
     signatures are reproducible across executors and runs (the
     distributed-determinism requirement SURVEY §7 flags for IDs).
+    Seeds are baked in as literals (one array_min(transform(...)) per
+    seed): a dynamic `transform(sequence(0,N), i -> ...)` nested-lambda
+    variant measured ~20x slower — literal seeds keep the hash calls
+    inside whole-stage codegen.
     """
     df = df.select(F.col(id_col), shingles(text_col, shingle_k).alias("_sh"))
     sig = F.array(
@@ -92,9 +96,12 @@ def minhash_lsh_candidates(
             )
         ).alias("band", "band_hash"),
     )
+    # persist: the self-join would otherwise recompute the full
+    # shingle->signature->band pipeline for BOTH sides
+    banded = banded.persist()
     left = banded.alias("l")
     right = banded.alias("r")
-    return (
+    out = (
         left.join(
             right,
             (F.col("l.band") == F.col("r.band"))
@@ -104,6 +111,7 @@ def minhash_lsh_candidates(
         .select(F.col(f"l.{id_col}").alias("doc_a"), F.col(f"r.{id_col}").alias("doc_b"))
         .dropDuplicates()
     )
+    return out
 
 
 def jaccard_verify(
@@ -117,7 +125,7 @@ def jaccard_verify(
     """Exact shingle-set Jaccard on candidate pairs only."""
     sh = df.select(
         F.col(id_col), F.array_distinct(shingles(text_col, shingle_k)).alias("_sh")
-    )
+    ).persist()  # reused by both sides of the candidate join
     a = sh.select(F.col(id_col).alias("doc_a"), F.col("_sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("doc_b"), F.col("_sh").alias("sh_b"))
     return (

@@ -1,0 +1,63 @@
+"""System procedures: the CALL surface.
+
+The reference exposes ``CALL show_tables() / table_info() /
+db_version() / timeout=`` (/root/reference/robosystems/security/
+cypher_analyzer.py:75-83; graph_api/core/ladybug/engine.py:94-112).
+Spark equivalents are catalog calls and session confs.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark import __version__ as spark_version
+from pyspark.sql import DataFrame, SparkSession
+
+_CALL_RE = re.compile(r"^\s*CALL\s+(\w+)\s*(?:\(\s*(.*?)\s*\))?\s*;?\s*$", re.IGNORECASE | re.DOTALL)
+_TIMEOUT_RE = re.compile(r"^\s*CALL\s+timeout\s*=\s*(\d+)\s*;?\s*$", re.IGNORECASE)
+
+
+class ProcedureError(ValueError):
+    pass
+
+
+def is_call(query: str) -> bool:
+    return bool(_CALL_RE.match(query) or _TIMEOUT_RE.match(query))
+
+
+def execute_call(spark: SparkSession, query: str) -> DataFrame:
+    """Execute a CALL procedure, returning a DataFrame result."""
+    m = _TIMEOUT_RE.match(query)
+    if m:
+        # per-query timeout: surfaced as a session conf the serving
+        # layer's TimeoutCascade enforces via cancelJobGroup
+        ms = int(m.group(1))
+        spark.conf.set("robosystems.query.timeout_ms", str(ms))
+        return spark.createDataFrame([(ms,)], "timeout_ms bigint")
+
+    m = _CALL_RE.match(query)
+    if not m:
+        raise ProcedureError(f"Not a CALL statement: {query!r}")
+    proc = m.group(1).lower()
+    arg = (m.group(2) or "").strip().strip("'\"")
+
+    if proc == "show_tables":
+        rows = [(t.name, t.tableType or "TEMPORARY") for t in spark.catalog.listTables()]
+        return spark.createDataFrame(rows or [("", "")], "name string, type string").filter(
+            "name <> ''"
+        )
+    if proc == "table_info":
+        if not arg:
+            raise ProcedureError("table_info requires a table name argument")
+        cols = spark.catalog.listColumns(arg)
+        rows = [(c.name, c.dataType, bool(c.nullable)) for c in cols]
+        return spark.createDataFrame(rows, "name string, type string, nullable boolean")
+    if proc == "db_version":
+        return spark.createDataFrame([(spark_version,)], "version string")
+    if proc == "current_setting":
+        if not arg:
+            raise ProcedureError("current_setting requires a setting name")
+        return spark.createDataFrame(
+            [(arg, spark.conf.get(arg, None))], "name string, value string"
+        )
+    raise ProcedureError(f"Unknown procedure {proc!r}")

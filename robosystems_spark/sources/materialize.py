@@ -24,7 +24,7 @@ from __future__ import annotations
 import os
 import shutil
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -98,6 +98,23 @@ class GraphStore:
             df, allowMissingColumns=True
         )
         self._rewrite(table, merged)
+
+    def update_where(self, table: str, condition, assignments: dict) -> int:
+        """UPDATE ... SET ... WHERE (the Cypher SET analog,
+        save_view.py:180-199 update_report_metadata).  ``assignments``
+        maps column -> Column/literal.  Full rewrite here; Delta
+        ``UPDATE`` in production.  Returns rows updated."""
+        df = self.read(table).cache()
+        n = df.filter(condition).count()
+        updated = df
+        for col_name, value in assignments.items():
+            value_col = value if isinstance(value, Column) else F.lit(value)
+            updated = updated.withColumn(
+                col_name, F.when(condition, value_col).otherwise(F.col(col_name))
+            )
+        self._rewrite(table, updated)
+        df.unpersist()
+        return n
 
     def delete_where(self, table: str, condition) -> int:
         """DELETE ... WHERE (DETACH DELETE analog, save_view.py:121-143)."""

@@ -1,0 +1,74 @@
+"""Physical-plan quality gates: the 100-TB discipline, enforced.
+
+A query that silently loses predicate pushdown, column pruning, or a
+broadcast join still passes value checks at sf0.001 but falls over at
+scale.  These tests pin the plan properties that matter:
+
+- filters reach the parquet scan (``PushedFilters``)
+- scans read only referenced columns (``ReadSchema``)
+- dimension joins broadcast; no sort-merge join sneaks in
+- no Python UDFs (``BatchEvalPython``) in hot relational paths
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from robosystems_spark.inventory import REGISTRY, _ensure_loaded
+
+_ensure_loaded()
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_q1_filter_pushdown_and_pruning(spark, sf_dir):
+    plan = plan_of(REGISTRY["q1_pricing_summary"].fn(spark, sf_dir))
+    assert "LessThanOrEqual(l_shipdate" in plan  # predicate reached the scan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and "l_orderkey" not in m.group(1)  # unused column pruned
+
+
+def test_q3_broadcasts_dimensions(spark, sf_dir):
+    plan = plan_of(REGISTRY["q3_top_revenue_orders"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan  # filter pushed to dim scan
+    assert "TakeOrderedAndProject" in plan  # top-k never fully sorts
+
+
+def test_q5_join_chain_stays_broadcast(spark, sf_dir):
+    plan = plan_of(REGISTRY["q5_region_nation_volume"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # date range pushed into the orders scan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_no_python_udfs_in_relational_paths(spark, sf_dir):
+    for name in ("q1_pricing_summary", "q5_region_nation_volume",
+                 "window_dedup_first_line", "dedup_exact_groups",
+                 "embedding_cosine_topk", "text_quality_score"):
+        plan = plan_of(REGISTRY[name].fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan, f"{name} fell back to a Python UDF"
+        assert "ArrowEvalPython" not in plan, f"{name} uses a pandas UDF in a built-in path"
+
+
+def test_cypher_compiler_emits_joins_not_udfs(spark, sf_dir):
+    plan = plan_of(REGISTRY["cypher_customer_order_rollup"].fn(spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    assert "HashAggregate" in plan  # implicit grouping became a hash agg
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m  # parquet scan present (not an RDD path)
+
+
+def test_limit_becomes_take_ordered(spark, sf_dir):
+    plan = plan_of(REGISTRY["topk_parts_by_price"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
