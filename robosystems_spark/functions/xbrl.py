@@ -25,8 +25,9 @@ def apply_decimal_scaling(
     """
     v = F.col(raw_value) if isinstance(raw_value, str) else raw_value
     d = F.col(decimals) if isinstance(decimals, str) else decimals
-    v = v.cast("double")
-    # try_cast: 'INF'/malformed decimals -> NULL (ANSI cast would throw)
+    # try_cast throughout: non-numeric values and 'INF'/malformed
+    # decimals become NULL instead of throwing under ANSI mode
+    v = v.try_cast("double")
     d_int = d.try_cast("int")
     if not scale_up:
         return v

@@ -1,0 +1,10 @@
+"""ETL pipelines: raw source data → per-table graph frames.
+
+Re-expresses the reference's pandas processors (XBRL filings via
+XBRLGraphProcessor, QuickBooks/Plaid transactions) as distributed
+Spark transformations producing the roboledger-schema node and
+relationship frames.
+"""
+
+from robosystems_spark.pipelines.xbrl import build_xbrl_graph_frames  # noqa: F401
+from robosystems_spark.pipelines.gl import build_gl_frames  # noqa: F401
