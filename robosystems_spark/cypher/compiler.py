@@ -163,6 +163,40 @@ class CypherEngine:
             ]
         return e.select(*sel), src_col, dst_col
 
+    def _varlength_pairs(self, edge: P.EdgePattern):
+        """Bounded var-length hop ``[*min..max]`` → reachable-pair frame
+        from the iterative BFS join loop (SURVEY §2.3 J9; the one
+        operator family with no relational builtin).  Unbounded ``[*]``
+        is rejected, matching the reference validator's warning
+        (query_validator.py:33-43)."""
+        if edge.max_hops is None:
+            raise CypherCompileError(
+                "Unbounded var-length [*] is not supported; bound it, e.g. [*1..3]"
+            )
+        if edge.max_hops < edge.min_hops:
+            raise CypherCompileError(
+                f"Invalid hop range [*{edge.min_hops}..{edge.max_hops}]"
+            )
+        from robosystems_spark.operators.graph import bounded_paths, undirected
+
+        e = self.tables.get(edge.rel_type)
+        if e is None:
+            raise CypherCompileError(f"Unknown relationship type {edge.rel_type!r}")
+        e = e.select("src", "dst")
+        if edge.direction == "in":
+            e = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        elif edge.direction == "undirected":
+            e = undirected(e)
+        pairs = bounded_paths(e, max_depth=edge.max_hops).filter(
+            (F.col("depth") >= edge.min_hops) & (F.col("depth") <= edge.max_hops)
+        )
+        self._anon += 1
+        src_col, dst_col = f"__src{self._anon}", f"__dst{self._anon}"
+        sel = [F.col("src").alias(src_col), F.col("dst").alias(dst_col)]
+        if edge.var:
+            sel.append(F.col("depth").alias(f"{edge.var}__depth"))
+        return pairs.select(*sel), src_col, dst_col
+
     def _compile_pattern_into(
         self,
         df: DataFrame | None,
@@ -195,7 +229,10 @@ class CypherEngine:
                     "Anonymous relationships without a type are not supported; "
                     "specify -[:REL_TYPE]-"
                 )
-            edf, src_col, dst_col = self._edge_df(edge.var, edge.rel_type, edge.direction)
+            if edge.min_hops is not None:
+                edf, src_col, dst_col = self._varlength_pairs(edge)
+            else:
+                edf, src_col, dst_col = self._edge_df(edge.var, edge.rel_type, edge.direction)
             df = df.join(edf, F.col(f"{prev}__{ID}") == F.col(src_col))
             if edge.var:
                 scope.edges[edge.var] = edge.rel_type

@@ -108,6 +108,8 @@ class EdgePattern:
     var: str | None
     rel_type: str | None
     direction: str  # 'out' | 'in' | 'undirected'
+    min_hops: int | None = None  # var-length [*min..max]; None = single hop
+    max_hops: int | None = None
 
 
 @dataclass
@@ -424,17 +426,30 @@ class Parser:
         if t.value in ("-[", "<-["):
             incoming = t.value == "<-["
             var = rel = None
+            min_hops = max_hops = None
             if self.peek().kind == "NAME":
                 var = self.next().value
             if self.accept_op(":"):
                 rel = self.parse_name()
+            if self.accept_op("*"):
+                # var-length: *  |  *N  |  *..N  |  *N..M  (validator
+                # grammar, query_validator.py:33-43)
+                min_hops, max_hops = 1, None
+                if self.peek().kind == "NUMBER":
+                    min_hops = int(self.next().value)
+                    max_hops = min_hops
+                if self.peek().value == "." and self.peek(1).value == ".":
+                    self.next(), self.next()
+                    max_hops = None
+                    if self.peek().kind == "NUMBER":
+                        max_hops = int(self.next().value)
             closer = self.next()
             if closer.value == "]->":
                 if incoming:
                     raise CypherSyntaxError("Edge cannot be both <-[ and ]->")
-                return EdgePattern(var, rel, "out")
+                return EdgePattern(var, rel, "out", min_hops, max_hops)
             if closer.value == "]-":
-                return EdgePattern(var, rel, "in" if incoming else "undirected")
+                return EdgePattern(var, rel, "in" if incoming else "undirected", min_hops, max_hops)
             raise CypherSyntaxError(f"Bad edge close {closer.value!r} at {closer.pos}")
         raise CypherSyntaxError(f"Bad edge start {t.value!r} at {t.pos}")
 

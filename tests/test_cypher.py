@@ -242,3 +242,49 @@ def test_syntax_error(graph):
 
     with pytest.raises(CypherSyntaxError):
         graph.query("MATCH (p:Person RETURN p")
+
+
+@pytest.fixture(scope="module")
+def chain_graph(spark):
+    """Linear management chain for var-length path tests: e1->e2->e3->e4."""
+    mk = spark.createDataFrame
+    return CypherEngine(
+        {
+            "Emp": mk(
+                [("e1", "A"), ("e2", "B"), ("e3", "C"), ("e4", "D")],
+                ["identifier", "name"],
+            ),
+            "MANAGES": mk([("e1", "e2"), ("e2", "e3"), ("e3", "e4")], ["src", "dst"]),
+        }
+    )
+
+
+def test_varlength_bounded(chain_graph):
+    out = chain_graph.query(
+        "MATCH (a:Emp)-[:MANAGES*1..2]->(b:Emp) WHERE a.name = 'A' "
+        "RETURN b.name AS name ORDER BY b.name"
+    )
+    assert rows(out) == [("B",), ("C",)]
+
+
+def test_varlength_exact_and_depth_var(chain_graph):
+    out = chain_graph.query(
+        "MATCH (a:Emp)-[r:MANAGES*2..3]->(b:Emp) "
+        "RETURN a.name AS a, b.name AS b, r.depth AS depth ORDER BY a.name, b.name"
+    )
+    assert rows(out) == [("A", "C", 2), ("A", "D", 3), ("B", "D", 2)]
+
+
+def test_varlength_unbounded_rejected(chain_graph):
+    from robosystems_spark.cypher.compiler import CypherCompileError
+
+    with pytest.raises(CypherCompileError, match="Unbounded"):
+        chain_graph.query("MATCH (a:Emp)-[:MANAGES*]->(b:Emp) RETURN a.name AS n")
+
+
+def test_varlength_undirected(chain_graph):
+    out = chain_graph.query(
+        "MATCH (a:Emp)-[:MANAGES*1..1]-(b:Emp) WHERE a.name = 'B' "
+        "RETURN b.name AS name ORDER BY b.name"
+    )
+    assert rows(out) == [("A",), ("C",)]
