@@ -142,3 +142,68 @@ def events_type_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy(
         "event_type", F.floor(F.col("value") / 10.0).cast("bigint").alias("bucket")
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "events_asof_join_purchase_view",
+    oracle="""
+    SELECT p.event_id,
+           p.ts,
+           p.user_id,
+           ROUND(p.value, 2) AS purchase_value,
+           v.ts AS ts_right,
+           ROUND(v.value, 2) AS view_value_right
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+    doc="Backward as-of join: each purchase aligned to the user's most recent prior view "
+    "(union+window technique, one shuffle; DuckDB ASOF JOIN oracle). Training-pipeline extension.",
+    tags=("asof", "events"),
+    bench=True,
+)
+def events_asof_join_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from robosystems_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id", F.round("value", 2).alias("purchase_value")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.round("value", 2).alias("view_value")
+    )
+    return asof_join(purchases, views, on="user_id", right_cols=["view_value"])
+
+
+@register(
+    "date_function_battery",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(YEAR(o_orderdate) AS INT)      AS yr,
+           CAST(QUARTER(o_orderdate) AS INT)   AS qtr,
+           CAST(MONTH(o_orderdate) AS INT)     AS mon,
+           CAST(DAYOFWEEK(o_orderdate) + 1 AS INT) AS dow, -- DuckDB 0-based, Spark 1-based
+           CAST(o_orderdate AS DATE)           AS order_date,
+           CAST(DATE_DIFF('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS days_since_epoch_start,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date
+    FROM orders
+    WHERE o_orderkey <= 100
+    """,
+    doc="Date/time scalar battery: year/quarter/month/dow extraction, datediff, interval arithmetic (SURVEY §2.8 F3).",
+    tags=("scalar", "date"),
+)
+def date_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 100)
+    d = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.year(d).alias("yr"),
+        F.quarter(d).alias("qtr"),
+        F.month(d).alias("mon"),
+        F.dayofweek(d).alias("dow"),
+        d.cast("date").alias("order_date"),
+        F.datediff(d, F.lit("1995-01-01").cast("timestamp")).cast("bigint").alias(
+            "days_since_epoch_start"
+        ),
+        F.date_add(d.cast("date"), 30).alias("due_date"),
+    )

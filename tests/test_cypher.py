@@ -288,3 +288,64 @@ def test_varlength_undirected(chain_graph):
         "RETURN b.name AS name ORDER BY b.name"
     )
     assert rows(out) == [("A",), ("C",)]
+
+
+def test_reference_trial_balance_cypher_verbatim(spark):
+    """The reference's literal trial-balance query text
+    (trial_balance.py:36-57) compiled by our engine must equal the
+    hand-built DataFrame view on the same tables."""
+    from robosystems_spark.views import trial_balance
+
+    mk = spark.createDataFrame
+    tables = {
+        "Entity": mk([("e1", "Acme")], ["identifier", "name"]),
+        "Element": mk(
+            [
+                ("cash", "uri:cash", "Cash", "asset", "debit", "instant"),
+                ("rev", "uri:rev", "Revenue", "revenue", "credit", "duration"),
+            ],
+            ["identifier", "uri", "name", "classification", "balance", "period_type"],
+        ),
+        "Transaction": mk(
+            [("t1", 100.0, "2024-01-10"), ("t2", 40.0, "2024-03-01")],
+            ["identifier", "amount", "date"],
+        ),
+        "LineItem": mk(
+            [("l1", 100.0, 0.0), ("l2", 0.0, 100.0), ("l3", 40.0, 0.0), ("l4", 0.0, 40.0)],
+            ["identifier", "debit_amount", "credit_amount"],
+        ),
+        "ENTITY_HAS_TRANSACTION": mk([("e1", "t1"), ("e1", "t2")], ["src", "dst"]),
+        "TRANSACTION_HAS_LINE_ITEM": mk(
+            [("t1", "l1"), ("t1", "l2"), ("t2", "l3"), ("t2", "l4")], ["src", "dst"]
+        ),
+        "LINE_ITEM_RELATES_TO_ELEMENT": mk(
+            [("l1", "cash"), ("l2", "rev"), ("l3", "rev"), ("l4", "cash")], ["src", "dst"]
+        ),
+    }
+    query = """
+    MATCH (e:Entity)-[:ENTITY_HAS_TRANSACTION]->(t:Transaction)
+          -[:TRANSACTION_HAS_LINE_ITEM]->(li:LineItem)
+          -[:LINE_ITEM_RELATES_TO_ELEMENT]->(elem:Element)
+    WHERE t.date >= $period_start
+      AND t.date <= $period_end
+
+    WITH elem,
+         sum(li.debit_amount) AS total_debits,
+         sum(li.credit_amount) AS total_credits
+
+    RETURN elem.identifier AS element_id,
+           elem.uri AS element_uri,
+           elem.name AS element_name,
+           elem.classification AS element_classification,
+           elem.balance AS element_balance,
+           elem.period_type AS element_period_type,
+           total_debits,
+           total_credits,
+           total_debits - total_credits AS net_balance
+    ORDER BY elem.name
+    """
+    params = {"period_start": "2024-01-01", "period_end": "2024-12-31"}
+    compiled = CypherEngine(tables).query(query, params)
+    view = trial_balance(tables, period_start="2024-01-01", period_end="2024-12-31")
+    assert compiled.columns == view.columns
+    assert [tuple(r) for r in compiled.collect()] == [tuple(r) for r in view.collect()]
