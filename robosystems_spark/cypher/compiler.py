@@ -567,6 +567,35 @@ class CypherEngine:
             col, _ = self._expr(e.args[0], scope, params)
             fn = {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max}[name]
             return fn(col), True
+        if name in ("labels", "type", "id", "keys", "properties", "exists"):
+            # graph introspection (SURVEY §2.8 F5): labels/type resolve
+            # statically from the binding scope — tables ARE the labels
+            arg = e.args[0] if e.args else None
+            if name == "exists":
+                col, agg = self._expr(arg, scope, params)
+                return col.isNotNull(), agg
+            if not isinstance(arg, P.VarRef):
+                raise CypherCompileError(f"{name}() takes a bound variable")
+            v = arg.name
+            if name == "labels":
+                if v not in scope.nodes:
+                    raise CypherCompileError(f"labels() needs a node variable, got {v!r}")
+                return F.array(F.lit(scope.nodes[v])), False
+            if name == "type":
+                if v not in scope.edges:
+                    raise CypherCompileError(f"type() needs a relationship variable, got {v!r}")
+                return F.lit(scope.edges[v]), False
+            if name == "id":
+                if v not in scope.nodes:
+                    raise CypherCompileError(f"id() needs a node variable, got {v!r}")
+                return F.col(f"{v}__{ID}"), False
+            # keys / properties need the live frame for the column set
+            if v not in scope.nodes or self._df is None:
+                raise CypherCompileError(f"{name}() needs a bound node variable")
+            prop_cols = [c for c in self._df.columns if c.startswith(f"{v}__")]
+            if name == "keys":
+                return F.array(*[F.lit(c[len(v) + 2:]) for c in prop_cols]), False
+            return self._node_struct(self._df, v), False
         if name in CAST_FUNCS:
             col, agg = self._expr(e.args[0], scope, params)
             return col.try_cast(CAST_FUNCS[name]), agg

@@ -207,3 +207,23 @@ def date_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.date_add(d.cast("date"), 30).alias("due_date"),
     )
+
+
+@register(
+    "events_user_profile",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 6) AS total_value,
+           MAX(ts) AS last_seen
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="Per-user running profile — same function backs the applyInPandasWithState "
+    "stateful streaming operator (streaming/stateful.py); batch twin oracled here.",
+    tags=("events", "stateful"),
+)
+def events_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from robosystems_spark.streaming.stateful import running_user_profile
+
+    return running_user_profile(_events(spark, sf_dir))

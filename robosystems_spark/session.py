@@ -56,4 +56,34 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    _ship_package(spark)
+    return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``robosystems_spark`` importable on executor Python workers.
+
+    Functions passed to mapInPandas / applyInPandasWithState are
+    pickled with by-reference globals, so workers must be able to
+    import this package even when the driver's cwd is elsewhere.
+    Shipping a zip via ``addPyFile`` works identically on local mode
+    and a real cluster.
+    """
+    import os.path
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    marker = "robosystems_spark_pyfiles"
+    try:
+        sc = spark.sparkContext
+        if sc.environment.get(marker):
+            return
+        zip_base = os.path.join(tempfile.gettempdir(), f"{marker}_{os.getpid()}")
+        zip_path = shutil.make_archive(zip_base, "zip", os.path.dirname(pkg_dir),
+                                       os.path.basename(pkg_dir))
+        sc.addPyFile(zip_path)
+        sc.environment[marker] = "1"
+    except Exception:  # pragma: no cover - never block session creation
+        pass

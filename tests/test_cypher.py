@@ -349,3 +349,17 @@ def test_reference_trial_balance_cypher_verbatim(spark):
     view = trial_balance(tables, period_start="2024-01-01", period_end="2024-12-31")
     assert compiled.columns == view.columns
     assert [tuple(r) for r in compiled.collect()] == [tuple(r) for r in view.collect()]
+
+
+def test_graph_introspection_functions(graph):
+    out = graph.query(
+        "MATCH (p:Person)-[w:WORKS_FOR]->(c:Company) WHERE p.name = 'Ada' "
+        "RETURN labels(p) AS lbls, type(w) AS rel, id(p) AS pid, "
+        "keys(c) AS ck, exists(p.title) AS has_title"
+    )
+    r = out.collect()[0]
+    assert r["lbls"] == ["Person"]
+    assert r["rel"] == "WORKS_FOR"
+    assert r["pid"] == "p1"
+    assert set(r["ck"]) == {"identifier", "name", "industry"}
+    assert r["has_title"] is True

@@ -93,3 +93,60 @@ def test_update_where(spark, tmp_path):
     assert n == 1
     rows = {r["identifier"]: (r["v"], r["s"]) for r in store.read("T").collect()}
     assert rows == {"a": (11, "new"), "b": (2, "old")}
+
+
+def test_background_task_progress_and_result(spark):
+    from robosystems_spark.serving.tasks import BackgroundTaskRunner, TaskState
+
+    runner = BackgroundTaskRunner()
+
+    def ingest(progress):
+        progress(0.2, "staging")
+        n = spark.range(0, 1000).count()
+        progress(0.8, "materializing")
+        return n
+
+    tid = runner.submit(ingest)
+    info = runner.wait(tid, timeout_s=60)
+    assert info.state == TaskState.COMPLETED
+    assert info.result == 1000
+    assert info.progress == 1.0
+    msgs = [e.get("message") for e in info.events if e["type"] == "progress"]
+    assert msgs == ["staging", "materializing"]
+
+
+def test_background_task_failure_surfaces():
+    from robosystems_spark.serving.tasks import BackgroundTaskRunner, TaskState
+
+    runner = BackgroundTaskRunner()
+
+    def boom(progress):
+        raise RuntimeError("ingest exploded")
+
+    info = runner.wait(runner.submit(boom), timeout_s=30)
+    assert info.state == TaskState.FAILED
+    assert "ingest exploded" in info.error
+
+
+def test_strategy_selection():
+    from robosystems_spark.queryapi.strategies import (
+        ClientCapabilities,
+        Strategy,
+        select_strategy,
+    )
+
+    assert select_strategy("MATCH (n) RETURN n LIMIT 10").strategy == Strategy.JSON_IMMEDIATE
+    assert select_strategy("MATCH (n) RETURN n LIMIT 500").strategy == Strategy.JSON_COMPLETE
+    big = "MATCH (n) RETURN n"
+    assert select_strategy(big).strategy == Strategy.JSON_COMPLETE
+    assert (
+        select_strategy(big, ClientCapabilities(accepts_ndjson=True)).strategy
+        == Strategy.NDJSON_STREAMING
+    )
+    assert (
+        select_strategy(big, ClientCapabilities(accepts_sse=True)).strategy
+        == Strategy.SSE_STREAMING
+    )
+    plan = select_strategy("MATCH (a)-[*1..3]->(b) RETURN a")
+    assert plan.strategy == Strategy.QUEUED and plan.timeout_mode == "queued"
+    assert select_strategy(big, ClientCapabilities(is_test_client=True)).timeout_mode == "testing"

@@ -97,3 +97,49 @@ def test_watermark_drops_late_data(spark, tmp_path):
         "SELECT * FROM late_t").collect()}
     # the late event (value=100) must NOT have been added to the 08:00 window
     assert rows.get("2024-01-01T08:00:00") == 1
+
+
+def test_stateful_profile_accumulates_across_batches(spark, tmp_path):
+    """applyInPandasWithState: state persists across micro-batches —
+    the second batch's output includes the first batch's counts."""
+    from robosystems_spark.streaming.stateful import running_user_profile
+
+    src = str(tmp_path / "stateful_src")
+    os.makedirs(src)
+    from datetime import datetime as dt
+
+    def write(rows):
+        spark.createDataFrame(
+            [(i, dt.fromisoformat(t), u, "a", v, "{}") for i, t, u, v in rows],
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    write([(1, "2024-01-01 10:00:00", 7, 10.0), (2, "2024-01-01 10:05:00", 7, 5.0)])
+    stream = events_stream(spark, src, max_files_per_trigger=1)
+    q = (
+        running_user_profile(stream)
+        .writeStream.format("memory")
+        .queryName("profile_t")
+        .outputMode("update")
+        .start()
+    )
+    q.processAllAvailable()
+    first = spark.sql("SELECT * FROM profile_t WHERE user_id = 7").collect()[-1]
+    assert first["n_events"] == 2 and first["total_value"] == 15.0
+
+    write([(3, "2024-01-01 11:00:00", 7, 1.0)])
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM profile_t WHERE user_id = 7 ORDER BY n_events").collect()
+    assert rows[-1]["n_events"] == 3
+    assert rows[-1]["total_value"] == 16.0
+    assert rows[-1]["last_seen"].hour == 11
+
+
+def test_stateful_profile_batch_equivalent(spark, sf_dir):
+    from robosystems_spark.io import read_table
+    from robosystems_spark.streaming.stateful import running_user_profile
+
+    ev = read_table(spark, sf_dir, "events")
+    out = running_user_profile(ev)
+    assert out.count() == ev.select("user_id").distinct().count()
