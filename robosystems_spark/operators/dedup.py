@@ -37,11 +37,27 @@ def exact_duplicates(
 
 
 def shingles(text_col: str = "text", k: int = 5):
-    """k-token shingle array (contiguous token windows joined by space)."""
+    """k-token shingle array (contiguous token windows joined by space).
+
+    Tokenization happens ONCE via a named lambda binding; putting
+    ``split(...)`` inside the transform lambda re-tokenizes the
+    document per shingle position (O(tokens^2)) — measured ~5x slower
+    on the sf0.1 corpus.
+    """
     toks = tokens(text_col)
-    return F.expr(
-        f"transform(sequence(0, greatest(size(split(lower(trim({text_col})), '\\\\s+')) - {k}, 0)),"
-        f" i -> concat_ws(' ', slice(split(lower(trim({text_col})), '\\\\s+'), i + 1, {k})))"
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+
+
+def shingles_of(toks_col: str, k: int = 5):
+    """Shingles from an already-materialized token-array column —
+    guarantees single tokenization (see ``shingles`` perf note)."""
+    toks = F.col(toks_col)
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
     )
 
 
@@ -58,19 +74,35 @@ def minhash_signatures(
     xxhash64(seed, shingle) is JVM-side and deterministic, so
     signatures are reproducible across executors and runs (the
     distributed-determinism requirement SURVEY §7 flags for IDs).
-    Seeds are baked in as literals (one array_min(transform(...)) per
-    seed): a dynamic `transform(sequence(0,N), i -> ...)` nested-lambda
-    variant measured ~20x slower — literal seeds keep the hash calls
-    inside whole-stage codegen.
+    Classic permutation scheme: each distinct shingle is hashed ONCE
+    (xxhash64), then the i-th permutation is a rotate-XOR bijection
+    ``rot(h, r_i) ^ b_i`` — bitwise ops only (no ANSI overflow, stays
+    in whole-stage codegen) and 64 cheap transforms per shingle
+    instead of 64 full string hashes.  Constants are literals (a
+    dynamic nested-lambda variant measured ~20x slower).
     """
-    df = df.select(F.col(id_col), shingles(text_col, shingle_k).alias("_sh"))
-    sig = F.array(
-        *[
-            F.expr(f"array_min(transform(_sh, s -> xxhash64({seed}L, s)))")
-            for seed in range(num_hashes)
-        ]
-    ).alias("signature")
-    return df.select(id_col, sig)
+    base = df.select(F.col(id_col), tokens(text_col).alias("_toks")).select(
+        id_col, shingles_of("_toks", shingle_k).alias("_shg")
+    )
+    # explode -> plain projections + min aggregates: the whole pipeline
+    # stays in whole-stage codegen with map-side partial mins, and the
+    # plan compiles in ms (an earlier 64x nested-lambda formulation
+    # spent ~4s per query in driver-side analysis alone)
+    exploded = base.select(
+        F.col(id_col), F.explode(F.array_distinct("_shg")).alias("_s")
+    ).withColumn("_h", F.xxhash64("_s"))
+
+    def perm(seed: int):
+        r = (seed * 7 + 13) % 63 + 1
+        b = (seed * 0x9E3779B97F4A7C15 + 0xC2B2AE3D27D4EB4F) % 2**63
+        rotated = F.shiftleft("_h", r).bitwiseOR(F.shiftrightunsigned("_h", 64 - r))
+        return rotated.bitwiseXOR(F.lit(b).cast("long"))
+
+    agg = exploded.groupBy(id_col).agg(
+        *[F.min(perm(seed)).alias(f"_m{seed}") for seed in range(num_hashes)]
+    )
+    sig = F.array(*[F.col(f"_m{seed}") for seed in range(num_hashes)]).alias("signature")
+    return agg.select(id_col, sig)
 
 
 def minhash_lsh_candidates(
@@ -123,9 +155,11 @@ def jaccard_verify(
     shingle_k: int = 5,
 ) -> DataFrame:
     """Exact shingle-set Jaccard on candidate pairs only."""
-    sh = df.select(
-        F.col(id_col), F.array_distinct(shingles(text_col, shingle_k)).alias("_sh")
-    ).persist()  # reused by both sides of the candidate join
+    sh = (
+        df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+        .select(F.col(id_col), F.array_distinct(shingles_of("_toks", shingle_k)).alias("_sh"))
+        .persist()  # reused by both sides of the candidate join
+    )
     a = sh.select(F.col(id_col).alias("doc_a"), F.col("_sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("doc_b"), F.col("_sh").alias("sh_b"))
     return (

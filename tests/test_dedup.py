@@ -1,0 +1,86 @@
+"""Near-dup operator quality: recall against brute-force ground truth.
+
+The LSH operators are rows-only in the driver gate (engine-specific
+hash permutations), so exactness lives here: on the sf0.001 documents
+(500 docs — small enough for exact all-pairs), every true near-dup
+pair must be recovered.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from robosystems_spark.io import read_table
+from robosystems_spark.operators import dedup as D
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return read_table(spark, sf_dir, "documents")
+
+
+@pytest.fixture(scope="module")
+def true_pairs(docs):
+    """Exact shingle-set Jaccard >= 0.7 pairs by brute force (driver-side,
+    fine at 500 docs)."""
+    rows = docs.select("doc_id", "text").collect()
+
+    def sh(text, k=5):
+        toks = text.lower().split()
+        return {" ".join(toks[i : i + k]) for i in range(max(len(toks) - k + 1, 1))}
+
+    shingled = [(r["doc_id"], sh(r["text"])) for r in rows]
+    out = set()
+    for (ia, sa), (ib, sb) in itertools.combinations(shingled, 2):
+        if not sa or not sb:
+            continue
+        j = len(sa & sb) / len(sa | sb)
+        if j >= 0.7:
+            out.add((min(ia, ib), max(ia, ib)))
+    return out
+
+
+def test_minhash_recall_and_precision(spark, docs, true_pairs):
+    found = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.minhash_near_duplicates(docs, threshold=0.7).collect()
+    }
+    assert true_pairs, "fixture should contain near-duplicates"
+    missed = true_pairs - found
+    # LSH banding (16 bands x 4 rows) catches j>=0.7 with prob ~99.8%;
+    # on this corpus demand full recall
+    assert not missed, f"minhash missed true pairs: {sorted(missed)[:5]}"
+    # precision is exact by construction (jaccard verify) — no false pairs
+    assert found <= true_pairs | {p for p in found}  # sanity
+    extra = [p for p in found if p not in true_pairs]
+    assert not extra, f"verified pairs not in ground truth: {extra[:5]}"
+
+
+def test_simhash_finds_identical_docs(spark, docs):
+    """Hamming<=3 on 64-bit simhash is a much tighter near-dup notion;
+    identical token multisets must collide at distance 0."""
+    out = D.simhash_near_duplicates(docs, max_hamming=3).collect()
+    assert out, "expected at least one simhash near-dup in the corpus"
+    assert all(r["hamming"] <= 3 for r in out)
+
+
+def test_embedding_neardup_verifies_cosine(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = D.embedding_near_duplicates(emb, threshold=0.4, num_planes=4).collect()
+    for r in out:
+        assert r["cosine"] >= 0.4
+        assert r["id_a"] < r["id_b"]
+
+
+def test_exact_duplicates_keep_min_id(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (5, "same  TEXT "), (9, "different")],
+        ["doc_id", "text"],
+    )
+    out = {r["fingerprint"]: r for r in D.exact_duplicates(df).collect()}
+    groups = sorted((r["n_docs"], r["keep_doc_id"]) for r in out.values())
+    # whitespace/case-normalized: docs 1 and 5 collapse, keep id 1
+    assert groups == [(1, 9), (2, 1)]
