@@ -163,6 +163,27 @@ class GraphStore:
             self.read(t).write.mode("overwrite").parquet(child.table_path(t))
         return child
 
+    def restore(self, backup_dir: str, tables: list[str] | None = None) -> list[str]:
+        """Restore tables from a parquet export (backup.py:110-365
+        restore path): each backed-up table dir replaces the live one."""
+        import os as _os
+
+        names = tables or sorted(
+            d for d in _os.listdir(backup_dir)
+            if _os.path.isdir(_os.path.join(backup_dir, d))
+        )
+        restored = []
+        for t in names:
+            src = _os.path.join(backup_dir, t)
+            self.spark.read.parquet(src).write.mode("overwrite").parquet(
+                self.table_path(t) + "__rewrite"
+            )
+            if self.exists(t):
+                shutil.rmtree(self.table_path(t))
+            _os.rename(self.table_path(t) + "__rewrite", self.table_path(t))
+            restored.append(t)
+        return restored
+
     def export(self, out_dir: str, fmt: str = "parquet") -> dict[str, str]:
         """Full-database export (backup_manager.py:577-760): every
         table to parquet or csv under ``out_dir``."""

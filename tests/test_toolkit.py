@@ -1,0 +1,114 @@
+"""Cypher gate, param validation, MCP toolkit, backup restore."""
+
+from __future__ import annotations
+
+import pytest
+
+from robosystems_spark.cypher import CypherEngine
+from robosystems_spark.queryapi.cypher_gate import CypherGate, CypherGateError
+from robosystems_spark.queryapi.params import ParamValidationError, validate_params
+from robosystems_spark.queryapi.tools import GraphToolkit
+from robosystems_spark.schema.custom import parse_schema
+from robosystems_spark.sources.materialize import GraphStore
+
+
+@pytest.fixture(scope="module")
+def gate(spark):
+    mk = spark.createDataFrame
+    engine = CypherEngine(
+        {
+            "Person": mk([("p1", "Ada", 35)], ["identifier", "name", "age"]),
+            "Company": mk([("c1", "Initech")], ["identifier", "name"]),
+            "WORKS_FOR": mk([("p1", "c1")], ["src", "dst"]),
+        }
+    )
+    return CypherGate(engine)
+
+
+def test_gate_allows_reads_and_calls(gate, spark):
+    out = gate.query("MATCH (p:Person) RETURN p.name AS name")
+    assert [r["name"] for r in out.collect()] == ["Ada"]
+    ver = gate.query("CALL db_version()")
+    assert ver.first()["version"].startswith("4.")
+
+
+def test_gate_blocks_writes_bulk_admin(gate):
+    for bad, msg in [
+        ("CREATE (n:Person {id: 'x'})", "subgraph"),
+        ("COPY Person FROM 'x.parquet'", "staging"),
+        ("ATTACH 'other.db' AS o", "Administrative"),
+        ("", "non-empty"),
+    ]:
+        with pytest.raises(CypherGateError, match=msg):
+            gate.query(bad)
+    with pytest.raises(CypherGateError, match="length"):
+        gate.query("MATCH (n:Person) RETURN n //" + "x" * 10_000)
+
+
+def test_param_validation():
+    ok = {"s": "x", "n": 5, "f": 1.5, "b": True, "lst": [1, 2], "obj": {"a": 1}}
+    assert validate_params(ok) == ok
+    assert validate_params(None) == {}
+    with pytest.raises(ParamValidationError, match="string exceeds"):
+        validate_params({"s": "x" * 10_001})
+    with pytest.raises(ParamValidationError, match="array exceeds"):
+        validate_params({"l": list(range(1001))})
+    with pytest.raises(ParamValidationError, match="nesting"):
+        validate_params({"d": {"a": {"b": {"c": 1}}}})
+    with pytest.raises(ParamValidationError, match="object exceeds"):
+        validate_params({"o": {str(i): i for i in range(101)}})
+    with pytest.raises(ParamValidationError, match="unsupported type"):
+        validate_params({"x": object()})
+
+
+def test_toolkit_describe_and_examples(gate):
+    schema = parse_schema(
+        {
+            "name": "demo",
+            "nodes": [
+                {"name": "Person", "properties": [
+                    {"name": "identifier", "type": "STRING", "is_primary_key": True}]},
+                {"name": "Company", "properties": [
+                    {"name": "identifier", "type": "STRING", "is_primary_key": True}]},
+            ],
+            "relationships": [
+                {"name": "WORKS_FOR", "from_node": "Person", "to_node": "Company"}
+            ],
+        }
+    )
+    tk = GraphToolkit(gate, schema)
+    desc = tk.describe_schema()
+    assert set(desc["nodes"]) == {"Person", "Company"}
+    assert desc["relationships"]["WORKS_FOR"]["from_node"] == "Person"
+    assert desc["nodes"]["Person"]["columns"]["age"] == "bigint"
+
+    examples = {e["name"]: e["cypher"] for e in tk.example_queries()}
+    assert "label_counts" in examples
+    assert "traverse_works_for" in examples
+    # generated examples must actually run through the gate
+    assert tk.read_cypher(examples["label_counts"])
+
+
+def test_toolkit_read_cypher_and_discovery(gate):
+    rows = tk_rows = GraphToolkit(gate).read_cypher(
+        "MATCH (p:Person)-[:WORKS_FOR]->(c:Company) "
+        "RETURN p.name AS person, c.name AS company"
+    )
+    assert tk_rows == [{"person": "Ada", "company": "Initech"}]
+    vals = GraphToolkit(gate).distinct_values("Person", "name")
+    assert vals == ["Ada"]
+    with pytest.raises(KeyError):
+        GraphToolkit(gate).distinct_values("Ghost", "name")
+
+
+def test_backup_restore_roundtrip(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    store = GraphStore(spark, str(tmp_path / "g"), "kg")
+    store.copy_into("T", spark.createDataFrame([("a", 1), ("b", 2)], ["identifier", "v"]))
+    store.export(str(tmp_path / "backup"))
+    store.delete_where("T", F.lit(True))
+    assert store.read("T").count() == 0
+    restored = store.restore(str(tmp_path / "backup"))
+    assert restored == ["T"]
+    assert store.read("T").count() == 2
