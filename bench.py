@@ -36,12 +36,16 @@ def main() -> None:
 
     for name, spec in specs.items():
         t0 = time.perf_counter()
-        df = spec.fn(spark, sf_dir)
-        # force full materialization of every row/column of the result
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            df = spec.fn(spark, sf_dir)
+            # force full materialization of every row/column of the result
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 - one bad query must not kill the bench
+            print(f"# bench error in {name}: {type(exc).__name__}: {exc}", file=sys.stderr)
+            timings[name] = -1.0
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(t for t in timings.values() if t > 0), 3)
     print(
         json.dumps(
             {

@@ -154,3 +154,43 @@ def cypher_case_and_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum(CASE WHEN c.c_acctbal > 5000 THEN 1 ELSE 0 END) AS rich, "
         "sum(CASE WHEN c.c_acctbal <= 5000 THEN 1 ELSE 0 END) AS modest"
     )
+
+
+@register(
+    "cypher_varlength_reachability",
+    oracle="""
+    WITH RECURSIVE edges AS (
+      SELECT CAST(a.n_nationkey AS VARCHAR) AS src, CAST(b.n_nationkey AS VARCHAR) AS dst
+      FROM nation a JOIN nation b
+        ON a.n_regionkey = b.n_regionkey AND b.n_nationkey = a.n_nationkey + 5
+    ), paths AS (
+      SELECT src AS start_node, dst AS end_node, 1 AS depth FROM edges
+      UNION ALL
+      SELECT p.start_node, e.dst, p.depth + 1
+      FROM paths p JOIN edges e ON p.end_node = e.src
+      WHERE p.depth < 3
+    )
+    SELECT start_node, end_node, CAST(MIN(depth) AS INT) AS depth
+    FROM paths GROUP BY start_node, end_node
+    """,
+    doc="Var-length [*1..3] through the CYPHER COMPILER (BFS join loop) vs recursive-CTE oracle (SURVEY §2.3 J9).",
+    tags=("cypher", "graph"),
+)
+def cypher_varlength_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = read_table(spark, sf_dir, "nation")
+    a, b = nation.alias("a"), nation.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+        & (F.col("b.n_nationkey") == F.col("a.n_nationkey") + 5),
+    ).select(
+        F.col("a.n_nationkey").cast("string").alias("src"),
+        F.col("b.n_nationkey").cast("string").alias("dst"),
+    )
+    nodes = nation.select(F.col("n_nationkey").cast("string").alias("identifier"))
+    eng = CypherEngine({"Nation": nodes, "NEXT": edges})
+    return eng.query(
+        "MATCH (a:Nation)-[r:NEXT*1..3]->(b:Nation) "
+        "RETURN a.identifier AS start_node, b.identifier AS end_node, "
+        "toInteger(r.depth) AS depth"
+    )

@@ -820,3 +820,86 @@ def approx_distinct_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFra
         F.approx_count_distinct("p_partkey", rsd=0.01).alias("approx_parts"),
         F.count(F.lit(1)).alias("rows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# P2 — column exclusion (SELECT * EXCLUDE, duckdb/manager.py:114,128).
+# ---------------------------------------------------------------------------
+@register(
+    "column_exclusion",
+    oracle="""
+    SELECT * EXCLUDE (n_comment_placeholder)
+    FROM (SELECT n_nationkey, n_name, n_regionkey,
+                 'x' AS n_comment_placeholder FROM nation)
+    ORDER BY n_nationkey
+    """,
+    doc="SELECT * EXCLUDE projection — df.drop (SURVEY §2.2 P2, the file_id-stripping idiom).",
+    tags=("filter",),
+)
+def column_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _t(spark, sf_dir, "nation").withColumn(
+        "n_comment_placeholder", F.lit("x")
+    )
+    return nation.drop("n_comment_placeholder").orderBy("n_nationkey")
+
+
+# ---------------------------------------------------------------------------
+# F4 — collection function battery (size, element_at, contains, sort,
+# slice) against DuckDB list functions.
+# ---------------------------------------------------------------------------
+@register(
+    "collection_function_battery",
+    oracle="""
+    WITH t AS (
+      SELECT n_nationkey, STRING_SPLIT(n_name, '_') AS parts FROM nation
+    )
+    SELECT n_nationkey,
+           LEN(parts)                                   AS n_parts,
+           parts[1]                                     AS first_part,
+           parts[-1]                                    AS last_part,
+           LIST_CONTAINS(parts, 'NATION')               AS has_nation,
+           ARRAY_TO_STRING(LIST_SORT(parts), '|')       AS sorted_joined,
+           ARRAY_TO_STRING(parts[1:2], '|')             AS first_two
+    FROM t
+    """,
+    doc="Collection functions: size/element_at/array_contains/sort_array/slice (SURVEY §2.8 F4).",
+    tags=("scalar", "collection"),
+)
+def collection_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _t(spark, sf_dir, "nation")
+    parts = F.split("n_name", "_")
+    return nation.select(
+        "n_nationkey",
+        F.size(parts).alias("n_parts"),
+        F.element_at(parts, 1).alias("first_part"),
+        F.element_at(parts, -1).alias("last_part"),
+        F.array_contains(parts, "NATION").alias("has_nation"),
+        F.concat_ws("|", F.sort_array(parts)).alias("sorted_joined"),
+        F.concat_ws("|", F.slice(parts, 1, 2)).alias("first_two"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2 — count(*) vs count(col) null semantics.
+# ---------------------------------------------------------------------------
+@register(
+    "null_aware_counts",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS all_rows,
+           COUNT(NULLIF(o_orderpriority, '5-LOW')) AS non_low_priority,
+           COUNT(DISTINCT NULLIF(o_orderpriority, '5-LOW')) AS distinct_non_low
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    doc="count(*) vs count(col): NULLs excluded from column counts (SURVEY §2.4 A2).",
+    tags=("agg",),
+)
+def null_aware_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    nn = F.nullif(F.col("o_orderpriority"), F.lit("5-LOW"))
+    return orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("all_rows"),
+        F.count(nn).alias("non_low_priority"),
+        F.countDistinct(nn).alias("distinct_non_low"),
+    )
