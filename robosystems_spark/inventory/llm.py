@@ -292,3 +292,56 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_vectors"),
         F.round(F.avg(norm), 6).alias("avg_l2_norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF: classic relevance scoring, fully relational (explode + two
+# aggregations + window) — the text-featurization workhorse.
+# ---------------------------------------------------------------------------
+@register(
+    "text_tfidf_top_term",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS dfq FROM toks GROUP BY 1),
+    total AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+      SELECT doc_id, term,
+             ROUND(tf * LN(CAST((SELECT n FROM total) AS DOUBLE) / dfq), 6) AS tfidf
+      FROM tf JOIN dfreq USING (term)
+    )
+    SELECT doc_id, term AS top_term, tfidf
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, term) AS rn
+          FROM scored)
+    WHERE rn = 1
+    """,
+    doc="TF-IDF top term per document: explode -> tf/df aggregations -> windowed argmax "
+    "(LLM-pipeline text featurization; deterministic tiebreak on term).",
+    tags=("text",),
+    bench=True,
+)
+def text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir)
+    n_docs = docs.count()
+    toks = docs.select("doc_id", F.explode(T.tokens("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("dfq"))
+    scored = tf.join(F.broadcast(dfreq), "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("dfq")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("term").alias("top_term"), "tfidf")
+    )
