@@ -1,0 +1,90 @@
+"""QueryService: the end-to-end query lifecycle (SURVEY §3.1).
+
+Composes the serving pieces in the reference's order
+(/root/reference/robosystems/routers/graphs/query/execute.py:208-252):
+
+  1. admission check (load shedding)
+  2. classification + gating (CypherGate)
+  3. static analysis -> strategy + timeout mode
+  4. queue admission (tier priority, per-user caps)
+  5. execution under the timeout cascade (cancelJobGroup)
+  6. chunked delivery (NDJSON-ready row batches)
+
+Synchronous single-process composition here; the reference splits 1-3
+and 4-6 across two services — the seams are the same.
+"""
+
+from __future__ import annotations
+
+import uuid
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+from robosystems_spark.queryapi.cypher_gate import CypherGate
+from robosystems_spark.queryapi.strategies import ClientCapabilities, select_strategy
+from robosystems_spark.serving.admission import AdmissionController
+from robosystems_spark.serving.chunking import iter_chunks
+from robosystems_spark.serving.queue import QueryQueue
+from robosystems_spark.serving.timeouts import TimeoutCascade
+
+
+class ServiceRejected(RuntimeError):
+    pass
+
+
+@dataclass
+class QueryResult:
+    strategy: str
+    chunks: Iterator[list[dict]]
+    columns: list[str]
+
+
+class QueryService:
+    def __init__(
+        self,
+        gate: CypherGate,
+        queue: QueryQueue | None = None,
+        admission: AdmissionController | None = None,
+        timeouts: TimeoutCascade | None = None,
+        endpoint_timeout_s: float = 300.0,
+    ):
+        self.gate = gate
+        self.queue = queue or QueryQueue()
+        self.admission = admission or AdmissionController()
+        self.timeouts = timeouts or TimeoutCascade()
+        self.endpoint_timeout_s = endpoint_timeout_s
+
+    def execute(
+        self,
+        cypher: str,
+        params: dict | None = None,
+        user_id: str = "anonymous",
+        tier: str = "standard",
+        client: ClientCapabilities | None = None,
+        chunk_size: int | None = None,
+    ) -> QueryResult:
+        decision = self.admission.check()
+        if not decision.admitted:
+            raise ServiceRejected(f"Load shed: {decision.reason}")
+
+        plan = select_strategy(cypher, client)
+        self.queue.submit(cypher, user_id=user_id, tier=tier)
+        item = self.queue.acquire()
+        if item is None:
+            # queued behind concurrency cap: the async layer would wait;
+            # synchronously this surfaces as back-pressure
+            raise ServiceRejected("Concurrency limit reached; retry")
+        try:
+            budget = self.timeouts.budget(self.endpoint_timeout_s, plan.timeout_mode)
+            df = self.gate.query(cypher, params)
+            spark = df.sparkSession
+            group = f"query-{uuid.uuid4().hex[:8]}"
+            with self.timeouts.enforce(spark, group, budget.execution_s):
+                chunks = list(iter_chunks(df, chunk_size or plan.chunk_size))
+            return QueryResult(
+                strategy=plan.strategy.value,
+                chunks=iter(chunks),
+                columns=df.columns,
+            )
+        finally:
+            self.queue.release()

@@ -53,4 +53,6 @@ class TimeoutCascade:
             yield
         finally:
             timer.cancel()
-            sc.clearJobGroup()
+            # clearJobGroup was removed in Spark 4; resetting to a null
+            # group id is the supported equivalent
+            sc.setJobGroup("", "")

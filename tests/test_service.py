@@ -1,0 +1,76 @@
+"""End-to-end QueryService lifecycle + partitioned-write pruning."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from robosystems_spark.cypher import CypherEngine
+from robosystems_spark.queryapi.cypher_gate import CypherGate
+from robosystems_spark.serving.admission import AdmissionController
+from robosystems_spark.serving.service import QueryService, ServiceRejected
+
+
+@pytest.fixture(scope="module")
+def service(spark):
+    mk = spark.createDataFrame
+    engine = CypherEngine(
+        {
+            "Person": mk(
+                [(f"p{i}", f"name{i}", 20 + i) for i in range(30)],
+                ["identifier", "name", "age"],
+            )
+        }
+    )
+    return QueryService(CypherGate(engine), endpoint_timeout_s=120)
+
+
+def test_lifecycle_happy_path(service):
+    result = service.execute(
+        "MATCH (p:Person) WHERE p.age >= 40 RETURN p.name AS name ORDER BY p.name",
+        user_id="u1",
+        tier="premium",
+        chunk_size=10,
+    )
+    batches = list(result.chunks)
+    assert result.strategy == "json_complete"
+    assert result.columns == ["name"]
+    assert [len(b) for b in batches] == [10]
+    assert batches[0][0] == {"name": "name20"}
+
+
+def test_lifecycle_rejects_writes(service):
+    from robosystems_spark.queryapi.cypher_gate import CypherGateError
+
+    with pytest.raises(CypherGateError):
+        service.execute("CREATE (n:Person {identifier: 'x'})")
+
+
+def test_lifecycle_sheds_under_pressure(spark):
+    mk = spark.createDataFrame
+    engine = CypherEngine({"Person": mk([("p1", "a")], ["identifier", "name"])})
+    admission = AdmissionController(seed=1, max_queue=10)
+    admission.queue_depth = 10
+    svc = QueryService(CypherGate(engine), admission=admission)
+    with pytest.raises(ServiceRejected, match="Load shed"):
+        svc.execute("MATCH (p:Person) RETURN p.name AS n")
+
+
+def test_partitioned_write_prunes_scan(spark, sf_dir, tmp_path):
+    """SCALE.md claim, proven: date-partitioned events + a date filter
+    -> the scan reads only matching partitions."""
+    from robosystems_spark.io import read_table
+
+    out = str(tmp_path / "events_partitioned")
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    ev.write.partitionBy("event_date").mode("overwrite").parquet(out)
+
+    filtered = spark.read.parquet(out).filter(F.col("event_date") == "2024-01-05")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_date" in plan.split("PartitionFilters")[1][:200]
+    n_days = ev.select("event_date").distinct().count()
+    # partition pruning: the scan's file index must select ~1/n of files
+    assert filtered.count() == ev.filter(F.col("event_date") == "2024-01-05").count()
+    assert n_days > 1
