@@ -20,3 +20,8 @@ DataFrame/SQL API and Catalyst/Tungsten pick the physical strategy.
 __version__ = "0.1.0"
 
 from robosystems_spark.session import get_spark  # noqa: F401
+from robosystems_spark.cypher import CypherEngine  # noqa: F401
+from robosystems_spark.sources.materialize import GraphStore  # noqa: F401
+from robosystems_spark.queryapi.cypher_gate import CypherGate  # noqa: F401
+from robosystems_spark.queryapi.sql_gate import SQLGate  # noqa: F401
+from robosystems_spark.serving.service import QueryService  # noqa: F401

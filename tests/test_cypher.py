@@ -363,3 +363,17 @@ def test_graph_introspection_functions(graph):
     assert r["pid"] == "p1"
     assert set(r["ck"]) == {"identifier", "name", "industry"}
     assert r["has_title"] is True
+
+
+def test_aggregated_return_order_by_alias_and_key(graph):
+    out = graph.query(
+        "MATCH (p:Person)-[:WORKS_FOR]->(c:Company) "
+        "RETURN c.name AS company, count(p) AS headcount "
+        "ORDER BY headcount DESC, company"
+    )
+    assert rows(out) == [("Initech", 2), ("Globex", 1)]
+    out2 = graph.query(
+        "MATCH (p:Person)-[:WORKS_FOR]->(c:Company) "
+        "RETURN c.name AS company, count(p) AS headcount ORDER BY company DESC"
+    )
+    assert rows(out2) == [("Initech", 2), ("Globex", 1)]

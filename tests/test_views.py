@@ -215,3 +215,36 @@ def test_fact_grid_pivot(spark, mapping_facts):
     assert rows["elA"]["2024-03-31"] == 10.0
     assert rows["elB"]["2024-06-30"] == 40.0
     assert list(grid.columns) == ["element_name", "2024-03-31", "2024-06-30"]
+
+
+def test_save_view_roundtrip(spark, gl_tables, tmp_path):
+    """Report writeback: save a trial balance as Report+Facts, update
+    metadata, cascade-delete (save_view.py M1-M4 semantics)."""
+    from robosystems_spark.sources.materialize import GraphStore
+    from robosystems_spark.views.save_view import (
+        delete_report,
+        save_report,
+        update_report_metadata,
+    )
+
+    tb = trial_balance(gl_tables)
+    store = GraphStore(spark, str(tmp_path / "graphs"), "views_kg")
+    counts = save_report(store, tb, "rep-1", "Trial Balance FY24")
+    assert counts["Fact"] == 3 and counts["Report"] == 1
+    assert store.read("REPORT_HAS_FACT").count() == 3
+
+    # idempotent re-save: ignore_errors skips existing PKs
+    counts2 = save_report(store, tb, "rep-1", "Trial Balance FY24")
+    assert counts2["Fact"] == 0 and counts2["Report"] == 0
+
+    # metadata update (SET)
+    from pyspark.sql import functions as F
+    assert update_report_metadata(store, "rep-1", {"failed": F.lit(True)}) == 1
+    assert store.read("Report").first()["failed"] is True
+
+    # cascade delete (DETACH DELETE): edges then nodes
+    removed = delete_report(store, "rep-1")
+    assert removed == {
+        "FACT_HAS_ELEMENT": 3, "REPORT_HAS_FACT": 3, "Fact": 3, "Report": 1,
+    }
+    assert store.read("Report").count() == 0
