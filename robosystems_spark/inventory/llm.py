@@ -345,3 +345,44 @@ def text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", F.col("term").alias("top_term"), "tfidf")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dataset sampling / splitting — reproducible by construction.
+# ---------------------------------------------------------------------------
+@register(
+    "sample_documents_systematic",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE doc_id % 5 = 0
+    """,
+    doc="Deterministic systematic sample (every 5th key) — reproducible across engines/partitionings.",
+    tags=("sampling",),
+)
+def sample_documents_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from robosystems_spark.operators.sampling import systematic_sample
+
+    return systematic_sample(
+        _docs(spark, sf_dir).select("doc_id", "lang", "n_chars"), "doc_id", every_n=5
+    )
+
+
+@register(
+    "split_documents_train_val_test",
+    oracle=None,
+    doc="Hash-bucketed 80/10/10 train/val/test split sizes (xxhash64 engine-specific -> rows-only; "
+    "determinism + disjointness asserted in tests/test_sampling.py).",
+    tags=("sampling",),
+)
+def split_documents_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from robosystems_spark.operators.sampling import split_column
+
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.withColumn(
+            "split", split_column("doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+        )
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

@@ -903,3 +903,100 @@ def null_aware_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(nn).alias("non_low_priority"),
         F.countDistinct(nn).alias("distinct_non_low"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A11 — CUBE over two dimensions (grouping-set coverage beyond rollup).
+# ---------------------------------------------------------------------------
+@register(
+    "cube_status_priority",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, 'ALL')   AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS orders,
+           ROUND(SUM(o_totalprice), 2) AS total_value
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE grouping sets: all dimension combinations in one pass (SURVEY §2.4 A11).",
+    tags=("agg",),
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "orders",
+            "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4 extension — statistical aggregates: stddev/variance/median/p90.
+# Spark `percentile` (exact, linear interpolation) matches DuckDB
+# quantile_cont.
+# ---------------------------------------------------------------------------
+@register(
+    "statistical_aggregates",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(STDDEV_SAMP(l_extendedprice), 4) AS price_stddev,
+           ROUND(VAR_SAMP(l_extendedprice), 2)    AS price_var,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 4) AS price_median,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.9), 4) AS price_p90
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Statistical aggregates: sample stddev/variance, exact interpolated median/p90.",
+    tags=("agg", "stats"),
+)
+def statistical_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
+        F.round(F.var_samp("l_extendedprice"), 2).alias("price_var"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("price_median"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("price_p90"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F2 extension — string function battery: regexp, padding, trim/translate.
+# ---------------------------------------------------------------------------
+@register(
+    "string_function_battery",
+    oracle="""
+    SELECT n_nationkey,
+           REGEXP_EXTRACT(n_name, '([0-9]+)', 1)        AS name_digits,
+           LPAD(CAST(n_nationkey AS VARCHAR), 4, '0')   AS padded_key,
+           RPAD(SUBSTRING(n_name, 1, 3), 6, '.')        AS padded_name,
+           REPLACE(n_name, '_', '-')                    AS dashed,
+           TRANSLATE(n_name, 'AEIOU', 'aeiou')          AS lowered_vowels,
+           SPLIT_PART(n_name, '_', 1)                   AS first_token,
+           REVERSE(n_name)                              AS reversed,
+           CONTAINS(n_name, '1')                        AS has_one
+    FROM nation
+    """,
+    doc="String battery: regexp_extract, lpad/rpad, replace, translate, split_part, reverse (SURVEY §2.8 F2).",
+    tags=("scalar", "string"),
+)
+def string_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _t(spark, sf_dir, "nation")
+    return nation.select(
+        "n_nationkey",
+        F.regexp_extract("n_name", r"([0-9]+)", 1).alias("name_digits"),
+        F.lpad(F.col("n_nationkey").cast("string"), 4, "0").alias("padded_key"),
+        F.rpad(F.substring("n_name", 1, 3), 6, ".").alias("padded_name"),
+        F.replace(F.col("n_name"), F.lit("_"), F.lit("-")).alias("dashed"),
+        F.translate("n_name", "AEIOU", "aeiou").alias("lowered_vowels"),
+        F.split_part(F.col("n_name"), F.lit("_"), F.lit(1)).alias("first_token"),
+        F.reverse("n_name").alias("reversed"),
+        F.col("n_name").contains("1").alias("has_one"),
+    )

@@ -1,0 +1,55 @@
+"""Deterministic sampling & dataset splitting for training pipelines.
+
+Random sampling (``df.sample``) is seed-dependent per partition and
+not reproducible across engines or re-partitioning; these operators
+derive membership from row KEYS so any engine, any partitioning, any
+re-run produces the same split — the property that matters for
+train/val/test hygiene at 100 TB.
+
+- ``systematic_sample``: key modulo — portable even to SQL oracles.
+- ``hash_split``: xxhash64-bucketed fractions — uniform regardless of
+  key distribution (keys may be sequential); engine-deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def systematic_sample(df: DataFrame, key_col: str, every_n: int, offset: int = 0) -> DataFrame:
+    """Every n-th row by key (deterministic systematic sampling)."""
+    return df.filter((F.col(key_col) % every_n) == offset)
+
+
+def split_column(key_col: str | Column, fractions: dict[str, float], salt: int = 42) -> Column:
+    """A ``split`` label column ('train'/'val'/...) from a hashed key.
+
+    Buckets the key uniformly via xxhash64 and assigns labels by
+    cumulative fraction.  Same key → same split, forever.
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"Fractions must sum to 1.0, got {total}")
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    bucket = F.abs(F.xxhash64(F.lit(salt), key)) % 1_000_000 / 1_000_000.0
+    expr = None
+    cumulative = 0.0
+    items = list(fractions.items())
+    for name, frac in items[:-1]:
+        cumulative += frac
+        cond = bucket < cumulative
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = items[-1][0]
+    return expr.otherwise(last) if expr is not None else F.lit(last)
+
+
+def hash_split(
+    df: DataFrame, key_col: str, fractions: dict[str, float], salt: int = 42
+) -> dict[str, DataFrame]:
+    """Split into named DataFrames by hashed-key fractions."""
+    labeled = df.withColumn("_split", split_column(key_col, fractions, salt))
+    return {
+        name: labeled.filter(F.col("_split") == name).drop("_split")
+        for name in fractions
+    }
