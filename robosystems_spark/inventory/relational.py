@@ -1000,3 +1000,43 @@ def string_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.reverse("n_name").alias("reversed"),
         F.col("n_name").contains("1").alias("has_one"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W2 extension — ranking/distribution windows: ntile, percent_rank,
+# dense_rank, first/last frame values.
+# ---------------------------------------------------------------------------
+@register(
+    "window_ranking_battery",
+    oracle="""
+    SELECT s_suppkey,
+           s_nationkey,
+           CAST(DENSE_RANK() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey) AS INT) AS bal_rank,
+           CAST(NTILE(4) OVER (ORDER BY s_acctbal DESC, s_suppkey) AS INT) AS bal_quartile,
+           ROUND(PERCENT_RANK() OVER (ORDER BY s_acctbal, s_suppkey), 6) AS bal_pct_rank,
+           ROUND(FIRST_VALUE(s_acctbal) OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2) AS nation_top_bal,
+           ROUND(LAST_VALUE(s_acctbal) OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2) AS nation_low_bal
+    FROM supplier
+    """,
+    doc="Ranking/distribution windows: dense_rank, ntile, percent_rank, first/last_value frames (SURVEY §2.5 W2).",
+    tags=("window",),
+)
+def window_ranking_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = _t(spark, sf_dir, "supplier")
+    by_nation = Window.partitionBy("s_nationkey").orderBy(
+        F.desc("s_acctbal"), F.asc("s_suppkey")
+    )
+    full_frame = by_nation.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    global_desc = Window.orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+    global_asc = Window.orderBy(F.asc("s_acctbal"), F.asc("s_suppkey"))
+    return supp.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.dense_rank().over(by_nation).alias("bal_rank"),
+        F.ntile(4).over(global_desc).alias("bal_quartile"),
+        F.round(F.percent_rank().over(global_asc), 6).alias("bal_pct_rank"),
+        F.round(F.first("s_acctbal").over(full_frame), 2).alias("nation_top_bal"),
+        F.round(F.last("s_acctbal").over(full_frame), 2).alias("nation_low_bal"),
+    )
