@@ -1040,3 +1040,69 @@ def window_ranking_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.first("s_acctbal").over(full_frame), 2).alias("nation_top_bal"),
         F.round(F.last("s_acctbal").over(full_frame), 2).alias("nation_low_bal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# J1+A5 — conditional share of a joined aggregate (TPC-H Q14 shape).
+# ---------------------------------------------------------------------------
+@register(
+    "q14_promo_revenue_share",
+    oracle="""
+    SELECT ROUND(100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%%'
+                                  THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                 / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_share_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-02-01'
+    """,
+    doc="Promo revenue share: broadcast join + conditional-aggregate ratio (TPC-H Q14 shape).",
+    tags=("join", "agg"),
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-02-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_share_pct")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J6 extension — semi join against an AGGREGATED subquery (customers
+# whose lifetime spend clears a threshold).
+# ---------------------------------------------------------------------------
+@register(
+    "semi_join_on_aggregate",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey IN (
+      SELECT o_custkey FROM orders
+      GROUP BY o_custkey
+      HAVING SUM(o_totalprice) > 1500000
+    )
+    """,
+    doc="Semi join against an aggregated subquery (HAVING-filtered key set) — SURVEY §2.3 J6 + §2.2 P7.",
+    tags=("join", "agg"),
+)
+def semi_join_on_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    big_spenders = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("spend"))
+        .filter(F.col("spend") > 1_500_000)
+    )
+    return cust.join(
+        big_spenders, cust.c_custkey == big_spenders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
