@@ -137,8 +137,8 @@ def cypher_colleague_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cypher_case_and_contains",
     oracle="""
     SELECT c_mktsegment AS segment,
-           SUM(CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END) AS rich,
-           SUM(CASE WHEN c_acctbal <= 5000 THEN 1 ELSE 0 END) AS modest
+           CAST(SUM(CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END) AS BIGINT) AS rich,
+           CAST(SUM(CASE WHEN c_acctbal <= 5000 THEN 1 ELSE 0 END) AS BIGINT) AS modest
     FROM customer
     WHERE CONTAINS(c_mktsegment, 'U')
     GROUP BY c_mktsegment

@@ -748,7 +748,7 @@ def scalar_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_extract_event_props",
     oracle="""
     SELECT event_type,
-           ROUND(SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)), 2) AS k_total,
+           CAST(SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total,
            COUNT(*) AS events
     FROM events
     GROUP BY event_type
@@ -759,7 +759,7 @@ def scalar_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 def json_extract_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events")
     return events.groupBy("event_type").agg(
-        F.round(F.sum(F.get_json_object("props", "$.k").cast("bigint")), 2).alias("k_total"),
+        F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("k_total"),
         F.count(F.lit(1)).alias("events"),
     )
 

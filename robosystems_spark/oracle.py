@@ -45,10 +45,13 @@ def _norm_cell(v) -> str:
     if v is None:
         return "<null>"
     if isinstance(v, float):
+        # Type-sensitive on purpose: a float 144.0 must NOT normalize to the
+        # same token as an integer 144, so the in-tree gate predicts the
+        # driver's stricter hash (round-1 VERDICT "What's wrong" #1/#2 —
+        # DuckDB HUGEINT-sum presented as float slipped past the old
+        # int-collapsing normalizer but failed the driver).
         if math.isnan(v):
             return "nan"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
         return repr(round(v, 9))
     if isinstance(v, bool):
         return str(bool(v)).lower()
