@@ -328,16 +328,25 @@ def text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = _docs(spark, sf_dir)
-    n_docs = docs.count()
     toks = docs.select("doc_id", F.explode(T.tokens("text")).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("dfq"))
-    scored = tf.join(F.broadcast(dfreq), "term").select(
-        "doc_id",
-        "term",
-        F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("dfq")), 6
-        ).alias("tfidf"),
+    # Corpus size as a 1-row aggregate cross-joined in (genuinely
+    # broadcast-safe), not a driver-side .count() action.  dfreq is one row
+    # per distinct TERM — a 100 TB vocabulary does not broadcast — so the
+    # tf⋈dfreq join is a plain shuffle join on `term` and AQE may still
+    # broadcast it when it is actually small.
+    total = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("dfq")), 6
+            ).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
     return (

@@ -110,7 +110,9 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # No broadcast hint: customer scales with the data (1.5M rows/TB);
+        # AQE converts to broadcast at small SF and shuffles at scale.
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -153,9 +155,11 @@ def q5_region_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # customer/supplier scale with the data — no broadcast hint (AQE
+        # decides); nation/region are fixed-cardinality dims, hint them.
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
         )
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
@@ -1054,7 +1058,7 @@ def window_ranking_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-02-01'
     """,
-    doc="Promo revenue share: broadcast join + conditional-aggregate ratio (TPC-H Q14 shape).",
+    doc="Promo revenue share: equi-join + conditional-aggregate ratio (TPC-H Q14 shape).",
     tags=("join", "agg"),
 )
 def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1065,7 +1069,8 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        # part scales with the data — leave join strategy to AQE.
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             F.round(
                 100.0

@@ -37,6 +37,9 @@ def test_q1_filter_pushdown_and_pruning(spark, sf_dir):
 
 
 def test_q3_broadcasts_dimensions(spark, sf_dir):
+    # No hint in the code: at test SF the auto-broadcast threshold picks
+    # BroadcastHashJoin; at 100 TB the same plan degrades gracefully to a
+    # shuffle join instead of OOMing the driver.
     plan = plan_of(REGISTRY["q3_top_revenue_orders"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
@@ -50,6 +53,30 @@ def test_q5_join_chain_stays_broadcast(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     # date range pushed into the orders scan
     assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def analyzed_plan_of(df) -> str:
+    return df._jdf.queryExecution().analyzed().toString()
+
+
+def test_broadcast_hints_only_on_fixed_cardinality_inputs(spark, sf_dir):
+    """Hint policy: customer/supplier/part/orders/lineitem grow with the
+    data — a hard-coded broadcast hint on them OOMs at 100x scale.  Only
+    fixed-cardinality dims (nation: 25, region: 5) and 1-row aggregates may
+    carry an explicit hint; everything else is AQE's call."""
+    expected_hints = {
+        "q3_top_revenue_orders": 0,
+        "q14_promo_revenue_share": 0,
+        "q1_pricing_summary": 0,
+        "text_tfidf_top_term": 1,  # the 1-row corpus-size aggregate only
+        "q5_region_nation_volume": 2,  # nation + region only
+    }
+    for name, n in expected_hints.items():
+        plan = analyzed_plan_of(REGISTRY[name].fn(spark, sf_dir))
+        assert plan.count("ResolvedHint") == n, (
+            f"{name}: expected {n} broadcast hints, plan has "
+            f"{plan.count('ResolvedHint')}"
+        )
 
 
 def test_no_python_udfs_in_relational_paths(spark, sf_dir):
