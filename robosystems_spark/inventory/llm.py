@@ -357,6 +357,35 @@ def text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# BM25 doc search — the OpenSearch-shaped ranked-retrieval capability
+# (BASELINE.json: "OpenSearch connector for doc search"), closed-form
+# relational so it oracles exactly.
+# ---------------------------------------------------------------------------
+_BM25_QUERY = ["spark", "vector", "window"]
+
+
+def _bm25_oracle() -> str:
+    from robosystems_spark.operators.search import bm25_oracle_sql
+
+    return bm25_oracle_sql(_BM25_QUERY, k=25)
+
+
+@register(
+    "doc_search_bm25_topk",
+    oracle=_bm25_oracle(),
+    doc="BM25 ranked retrieval (query -> top-25 docs): per-term posting-list tf/df aggs "
+    "pruned to the query before any shuffle, corpus stats as 1-row cross-join, "
+    "global top-k (OpenSearch-shaped doc search, BASELINE.json).",
+    tags=("text", "search"),
+    bench=True,
+)
+def doc_search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from robosystems_spark.operators.search import bm25_topk
+
+    return bm25_topk(_docs(spark, sf_dir), _BM25_QUERY, k=25)
+
+
+# ---------------------------------------------------------------------------
 # Dataset sampling / splitting — reproducible by construction.
 # ---------------------------------------------------------------------------
 @register(

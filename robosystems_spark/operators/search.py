@@ -1,0 +1,129 @@
+"""BM25 ranked document retrieval — the OpenSearch-shaped doc-search
+capability (BASELINE.json names an "OpenSearch connector for doc
+search" as a platform component; reference context: robosystems uses
+OpenSearch for relevance search over documents).
+
+Re-expressed as pure relational Spark (Okapi BM25 is closed-form over
+term statistics), so it is fully DuckDB-oracle-able and scales the
+same way the TF-IDF path does:
+
+- tokenize + explode once;
+- per-doc length and the corpus aggregates (N, avgdl) as 1-row
+  cross-joined aggregates — never a driver-side ``.count()``;
+- the query-term filter lands BEFORE the tf/df aggregations, so the
+  shuffled state is O(matching postings), not O(corpus vocabulary);
+- no broadcast of data-scaled sides: the tiny per-query-term df frame
+  is the only broadcast, and it is bounded by |query| rows.
+
+At 100 TB this is the scatter-gather score path of a search engine:
+one shuffle keyed by term (bounded by the query's posting lists), one
+by doc_id, then a global top-k that Catalyst executes as
+TakeOrderedAndProject (no full sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from robosystems_spark.operators.text import tokens
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Okapi BM25 top-k retrieval for a bag-of-words query.
+
+    score(D, Q) = Σ_{t∈Q} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|D|/avgdl))
+    with the Lucene-style non-negative idf(t) = ln(1 + (N−df+0.5)/(df+0.5)).
+
+    Returns (id_col, score, n_terms_matched) — the rounded score is
+    the ranking key (with id tiebreak) so results are stable across
+    engines and partitionings.
+    """
+    toks = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+
+    # Per-document length (|D|) over ALL terms (must precede the query
+    # filter: BM25 normalizes by full document length).
+    doclen = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+
+    # Corpus constants as a 1-row aggregate: broadcast-safe at any SF.
+    corpus = doclen.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+
+    # Postings for the query terms only — this filter prunes the
+    # explode output to the |query| posting lists before any shuffle.
+    q = toks.filter(F.col("term").isin([t.lower() for t in query_terms]))
+    tf = q.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = q.groupBy("term").agg(F.countDistinct(id_col).alias("dfq"))
+
+    idf: Column = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("dfq") + F.lit(0.5)) / (F.col("dfq") + F.lit(0.5))
+    )
+    tf_norm: Column = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+
+    contrib = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(doclen, id_col)
+        .crossJoin(F.broadcast(corpus))
+        .select(F.col(id_col), (idf * tf_norm).alias("w"))
+    )
+    scored = contrib.groupBy(id_col).agg(
+        F.round(F.sum("w"), ndigits).alias("score"),
+        F.count(F.lit(1)).alias("n_terms_matched"),
+    )
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def bm25_oracle_sql(
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    ndigits: int = 6,
+    table: str = "documents",
+) -> str:
+    """The equivalent DuckDB SQL for :func:`bm25_topk` (same tokenizer
+    regex as operators/text.py tokens), for the correctness oracle."""
+    terms = ", ".join("'" + t.lower().replace("'", "''") + "'" for t in query_terms)
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+')) AS term
+      FROM {table}
+    ),
+    doclen AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+    corpus AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM doclen),
+    q AS (SELECT * FROM toks WHERE term IN ({terms})),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM q GROUP BY 1, 2),
+    dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS dfq FROM q GROUP BY 1),
+    contrib AS (
+      SELECT tf.doc_id,
+             LN(1.0 + (corpus.n_docs - dfreq.dfq + 0.5) / (dfreq.dfq + 0.5))
+             * (tf.tf * ({k1} + 1.0))
+             / (tf.tf + {k1} * (1.0 - {b} + {b} * doclen.dl / corpus.avgdl)) AS w
+      FROM tf
+      JOIN dfreq USING (term)
+      JOIN doclen USING (doc_id)
+      CROSS JOIN corpus
+    )
+    SELECT doc_id,
+           ROUND(SUM(w), {ndigits}) AS score,
+           COUNT(*) AS n_terms_matched
+    FROM contrib
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id ASC
+    LIMIT {k}
+    """

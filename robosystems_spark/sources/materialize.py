@@ -14,27 +14,74 @@ materialize.py:42-487 and robosystems/operations/lbug/ingest.py:588-683):
 - fork: copy all/selected tables parent → subgraph (S8)
 - export: per-table parquet/csv backup (S7)
 
-The graph store is a directory of parquet table dirs per graph_id; on
-a production deployment each table is a Delta/Iceberg table and the
-anti-join append becomes ``MERGE ... WHEN NOT MATCHED THEN INSERT``.
+Mutation layout — the 100 TB answer without Delta/Iceberg (not
+installable here): every PK-bearing table is hive-partitioned by
+``rs_bucket = pmod(xxhash64(pk), n_buckets)``.  A point upsert/
+update/delete then rewrites ONLY the bucket partitions that contain
+affected rows (1/n_buckets of the table for a 1-row write) instead of
+all 100 TB, and partition promotion uses a rename-aside protocol (live
+dir moved to a Spark-invisible ``.trash`` before the new dir is
+promoted) so a crash never leaves the table lost — worst case the
+affected bucket sits in ``.trash`` for manual recovery.  On a real
+deployment each table is a Delta/Iceberg table and these become
+``MERGE``/``UPDATE``/``DELETE`` with the same pruning.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# Partition column for PK-hash bucketing.  No leading underscore:
+# Spark's file index hides paths starting with ``_`` or ``.``, so an
+# ``_bucket=N`` partition dir would be invisible to reads.
+BUCKET_COL = "rs_bucket"
+DEFAULT_BUCKETS = 64
+
+
+def _bucket_expr(keys: list[str], n_buckets: int) -> Column:
+    """Deterministic bucket id from the PK columns (engine-stable:
+    xxhash64 of the unit-separator-joined key string)."""
+    key_str = F.concat_ws("\x1f", *[F.col(k).cast("string") for k in keys])
+    return F.pmod(F.xxhash64(key_str), F.lit(n_buckets)).cast("int")
+
+
+def _swap_dir(live: str, tmp: str, trash_root: str) -> None:
+    """Promote ``tmp`` over ``live`` without an unrecoverable window:
+    live is renamed aside into ``trash_root`` first, then tmp is
+    promoted, then the trash entry is dropped.  A crash mid-way leaves
+    the previous data recoverable in trash instead of rmtree'd."""
+    os.makedirs(trash_root, exist_ok=True)
+    aside = os.path.join(trash_root, os.path.basename(live))
+    if os.path.exists(aside):
+        shutil.rmtree(aside)
+    if os.path.exists(live):
+        os.rename(live, aside)
+    if os.path.exists(tmp):
+        os.rename(tmp, live)
+    if os.path.exists(aside):
+        shutil.rmtree(aside)
+
 
 class GraphStore:
-    """A graph database: one parquet table dir per node/rel table."""
+    """A graph database: one parquet table dir per node/rel table,
+    PK-hash-bucket partitioned so point mutations are partition-pruned."""
 
-    def __init__(self, spark: SparkSession, root: str, graph_id: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        graph_id: str,
+        n_buckets: int = DEFAULT_BUCKETS,
+    ):
         self.spark = spark
         self.root = root
         self.graph_id = graph_id
+        self.n_buckets = n_buckets
         os.makedirs(self.graph_path, exist_ok=True)
 
     @property
@@ -47,16 +94,49 @@ class GraphStore:
     def exists(self, table: str) -> bool:
         return os.path.exists(self.table_path(table))
 
-    def read(self, table: str) -> DataFrame:
-        return self.spark.read.parquet(self.table_path(table))
-
     def tables(self) -> list[str]:
         if not os.path.exists(self.graph_path):
             return []
         return sorted(
             d for d in os.listdir(self.graph_path)
-            if os.path.isdir(os.path.join(self.graph_path, d)) and not d.startswith("_")
+            if os.path.isdir(os.path.join(self.graph_path, d))
+            and not d.startswith(("_", "."))
         )
+
+    # -- bucket metadata ----------------------------------------------------
+
+    def _meta_path(self, table: str) -> str:
+        return os.path.join(self.table_path(table), ".meta.json")
+
+    def _load_meta(self, table: str) -> dict:
+        try:
+            with open(self._meta_path(table)) as fh:
+                return json.load(fh)
+        except (OSError, ValueError):
+            return {}
+
+    def _save_meta(self, table: str, meta: dict) -> None:
+        os.makedirs(self.table_path(table), exist_ok=True)
+        with open(self._meta_path(table), "w") as fh:
+            json.dump(meta, fh)
+
+    def _bucket_dirs(self, table: str) -> list[str]:
+        path = self.table_path(table)
+        if not os.path.isdir(path):
+            return []
+        return sorted(
+            d for d in os.listdir(path) if d.startswith(f"{BUCKET_COL}=")
+        )
+
+    def _is_bucketed(self, table: str) -> bool:
+        return bool(self._bucket_dirs(table))
+
+    def _read_raw(self, table: str) -> DataFrame:
+        return self.spark.read.parquet(self.table_path(table))
+
+    def read(self, table: str) -> DataFrame:
+        df = self._read_raw(table)
+        return df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df
 
     # -- load paths ---------------------------------------------------------
 
@@ -78,49 +158,168 @@ class GraphStore:
         if ignore_errors and primary_keys and self.exists(table):
             existing = self.read(table).select(*primary_keys)
             df = df.join(existing, primary_keys, "left_anti")
+
+        is_new = not self.exists(table)
+        if is_new:
+            keys = [k for k in (primary_keys or []) if k in df.columns]
+            self._save_meta(
+                table, {"bucket_keys": keys, "n_buckets": self.n_buckets}
+            )
+        meta = self._load_meta(table)
+        keys = [k for k in meta.get("bucket_keys", []) if k in df.columns]
+        if not is_new:
+            if self._is_bucketed(table):
+                if len(keys) != len(meta.get("bucket_keys", [])):
+                    raise ValueError(
+                        f"append to bucketed table {table!r} is missing bucket "
+                        f"key columns {meta.get('bucket_keys')}"
+                    )
+                # Align types to the stored schema: appended files must
+                # read together with every existing partition.
+                stored = {f.name: f.dataType for f in self._read_raw(table).schema.fields}
+                df = df.select(
+                    *[
+                        F.col(c).cast(stored[c]).alias(c) if c in stored else F.col(c)
+                        for c in df.columns
+                    ]
+                )
+            else:
+                # Layout lost its partitioning (e.g. emptied by a
+                # delete-all or legacy rewrite): never mix plain files
+                # with partition dirs in one table dir.
+                keys = []
+
         df = df.cache()
         n = df.count()
-        df.write.mode("append").parquet(self.table_path(table))
+        writer = df
+        if keys:
+            writer = df.withColumn(
+                BUCKET_COL, _bucket_expr(keys, meta.get("n_buckets", self.n_buckets))
+            )
+            writer.write.mode("append").partitionBy(BUCKET_COL).parquet(
+                self.table_path(table)
+            )
+        else:
+            writer.write.mode("append").parquet(self.table_path(table))
         df.unpersist()
         return n
 
     def upsert(self, table: str, df: DataFrame, primary_keys: list[str]) -> None:
         """Point-upsert (Cypher MERGE analog, save_view.py writebacks).
 
-        Full-table rewrite here; Delta MERGE INTO in production.  Kept
-        off the bulk path per the reference's 40x measurement.
+        On a bucketed table whose bucket keys match ``primary_keys``
+        the merge touches only the partitions containing incoming keys
+        (Delta ``MERGE INTO`` + pruning in production).  Falls back to
+        an atomic full rewrite otherwise.  Kept off the bulk path per
+        the reference's 40x MERGE measurement.
         """
         if not self.exists(table):
-            df.write.mode("overwrite").parquet(self.table_path(table))
+            self.copy_into(table, df, primary_keys=primary_keys)
+            return
+        meta = self._load_meta(table)
+        if self._is_bucketed(table) and sorted(meta.get("bucket_keys", [])) == sorted(
+            primary_keys
+        ):
+            n_buckets = meta.get("n_buckets", self.n_buckets)
+            # Align incoming column types to the stored schema: a pruned
+            # rewrite touches only some partitions, so letting union
+            # widen types (int -> bigint) would leave the table with
+            # per-partition schemas that no longer read together.
+            stored = {f.name: f.dataType for f in self._read_raw(table).schema.fields}
+            aligned = df.select(
+                *[
+                    F.col(c).cast(stored[c]).alias(c) if c in stored else F.col(c)
+                    for c in df.columns
+                ]
+            )
+            incoming = aligned.withColumn(
+                BUCKET_COL, _bucket_expr(meta["bucket_keys"], n_buckets)
+            ).cache()
+            buckets = [r[0] for r in incoming.select(BUCKET_COL).distinct().collect()]
+            existing = self._read_raw(table).filter(F.col(BUCKET_COL).isin(buckets))
+            merged = existing.join(
+                incoming.select(*primary_keys), primary_keys, "left_anti"
+            ).unionByName(incoming, allowMissingColumns=True)
+            self._rewrite_buckets(table, merged, buckets)
+            incoming.unpersist()
             return
         existing = self.read(table)
-        merged = existing.join(df.select(*primary_keys), primary_keys, "left_anti").unionByName(
-            df, allowMissingColumns=True
-        )
+        merged = existing.join(
+            df.select(*primary_keys), primary_keys, "left_anti"
+        ).unionByName(df, allowMissingColumns=True)
         self._rewrite(table, merged)
 
     def update_where(self, table: str, condition, assignments: dict) -> int:
         """UPDATE ... SET ... WHERE (the Cypher SET analog,
         save_view.py:180-199 update_report_metadata).  ``assignments``
-        maps column -> Column/literal.  Full rewrite here; Delta
-        ``UPDATE`` in production.  Returns rows updated."""
-        df = self.read(table).cache()
-        n = df.filter(condition).count()
-        updated = df
+        maps column -> Column/literal.  Rewrites only the bucket
+        partitions containing matching rows.  Returns rows updated.
+
+        The condition is materialized ONCE into a temp column before
+        any assignment applies, so every SET sees pre-update values
+        (SQL UPDATE semantics) even when the condition references an
+        assigned column."""
+        raw = self._read_raw(table).withColumn(
+            "_match", F.coalesce(condition, F.lit(False))
+        )
+        bucketed = BUCKET_COL in raw.columns
+
+        if bucketed:
+            hits = (
+                raw.filter(F.col("_match"))
+                .groupBy(BUCKET_COL)
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            buckets = [r[BUCKET_COL] for r in hits]
+            n = sum(r["n"] for r in hits)
+            if not buckets:
+                return 0
+            raw = raw.filter(F.col(BUCKET_COL).isin(buckets))
+        else:
+            n = raw.filter(F.col("_match")).count()
+
+        updated = raw
         for col_name, value in assignments.items():
             value_col = value if isinstance(value, Column) else F.lit(value)
             updated = updated.withColumn(
-                col_name, F.when(condition, value_col).otherwise(F.col(col_name))
+                col_name,
+                F.when(F.col("_match"), value_col).otherwise(F.col(col_name)),
             )
-        self._rewrite(table, updated)
-        df.unpersist()
+        updated = updated.drop("_match")
+        if bucketed:
+            self._rewrite_buckets(table, updated, buckets)
+        else:
+            self._rewrite(table, updated)
         return n
 
     def delete_where(self, table: str, condition) -> int:
-        """DELETE ... WHERE (DETACH DELETE analog, save_view.py:121-143)."""
-        df = self.read(table).cache()
+        """DELETE ... WHERE (DETACH DELETE analog, save_view.py:121-143).
+
+        Rows where the condition is NULL are kept (SQL DELETE deletes
+        only WHERE-true rows).  Bucketed tables rewrite only the
+        partitions that contain deleted rows."""
+        cond = F.coalesce(condition, F.lit(False))
+        raw = self._read_raw(table)
+
+        if BUCKET_COL in raw.columns:
+            hits = (
+                raw.filter(cond)
+                .groupBy(BUCKET_COL)
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            buckets = [r[BUCKET_COL] for r in hits]
+            removed = sum(r["n"] for r in hits)
+            if not buckets:
+                return 0
+            kept = raw.filter(F.col(BUCKET_COL).isin(buckets)).filter(~cond)
+            self._rewrite_buckets(table, kept, buckets)
+            return removed
+
+        df = raw.cache()
         before = df.count()
-        kept = df.filter(~condition)
+        kept = df.filter(~cond)
         kept_count = kept.count()
         self._rewrite(table, kept)
         # unpersist AFTER the rewrite so the write is served from cache,
@@ -128,11 +327,64 @@ class GraphStore:
         df.unpersist()
         return before - kept_count
 
+    # -- rewrite plumbing ---------------------------------------------------
+
+    @property
+    def _tmp_root(self) -> str:
+        return os.path.join(self.graph_path, ".tmp")
+
+    @property
+    def _trash_root(self) -> str:
+        return os.path.join(self.graph_path, ".trash")
+
+    def _clean_scratch(self) -> None:
+        for d in (self._tmp_root, self._trash_root):
+            if os.path.exists(d):
+                shutil.rmtree(d)
+
     def _rewrite(self, table: str, df: DataFrame) -> None:
-        tmp = self.table_path(table) + "__rewrite"
+        """Atomic full-table rewrite: write to a hidden tmp dir, move
+        live aside to trash, promote, drop trash."""
+        self._clean_scratch()
+        meta = self._load_meta(table)
+        tmp = os.path.join(self._tmp_root, table)
         df.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(self.table_path(table))
-        os.rename(tmp, self.table_path(table))
+        _swap_dir(self.table_path(table), tmp, self._trash_root)
+        # Meta is immutable PK config; the physical layout (now
+        # unpartitioned) is derived via _is_bucketed, and restore can
+        # re-bucket from the retained keys.
+        if meta:
+            self._save_meta(table, meta)
+        self._clean_scratch()
+
+    def _rewrite_buckets(
+        self, table: str, df: DataFrame, buckets: list[int]
+    ) -> None:
+        """Rewrite ONLY the named bucket partitions from ``df`` (which
+        must contain exactly those buckets' surviving rows, with the
+        bucket column).  Each partition dir is promoted via the
+        rename-aside protocol; a bucket absent from ``df`` (fully
+        deleted) has its live dir removed."""
+        self._clean_scratch()
+        live = self.table_path(table)
+        tmp = os.path.join(self._tmp_root, table)
+        df.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp)
+        for b in buckets:
+            part = f"{BUCKET_COL}={b}"
+            _swap_dir(
+                os.path.join(live, part), os.path.join(tmp, part), self._trash_root
+            )
+        if not self._bucket_dirs(table):
+            # Every partition was deleted: leave a readable empty table
+            # (schema-only parquet) rather than a bare dir Spark can't read.
+            meta = self._load_meta(table)
+            empty = self.spark.createDataFrame([], df.drop(BUCKET_COL).schema)
+            tmp2 = os.path.join(self._tmp_root, table + "__empty")
+            empty.write.mode("overwrite").parquet(tmp2)
+            _swap_dir(live, tmp2, self._trash_root)
+            if meta:
+                self._save_meta(table, meta)
+        self._clean_scratch()
 
     # -- orchestration ------------------------------------------------------
 
@@ -157,30 +409,42 @@ class GraphStore:
     def fork(self, target_graph_id: str, tables: list[str] | None = None) -> "GraphStore":
         """Cross-database fork: copy tables parent → subgraph
         (materialize.py:241-487), nodes-first ordering preserved by
-        the caller's table list."""
-        child = GraphStore(self.spark, self.root, target_graph_id)
+        the caller's table list.  File-level copy preserves the bucket
+        layout and metadata (an object store would server-side copy)."""
+        child = GraphStore(self.spark, self.root, target_graph_id, self.n_buckets)
         for t in tables or self.tables():
-            self.read(t).write.mode("overwrite").parquet(child.table_path(t))
+            dest = child.table_path(t)
+            if os.path.exists(dest):
+                shutil.rmtree(dest)
+            shutil.copytree(self.table_path(t), dest)
         return child
 
     def restore(self, backup_dir: str, tables: list[str] | None = None) -> list[str]:
         """Restore tables from a parquet export (backup.py:110-365
-        restore path): each backed-up table dir replaces the live one."""
-        import os as _os
-
+        restore path): each backed-up table dir replaces the live one
+        atomically; tables with bucket metadata are re-bucketed so
+        post-restore mutations stay partition-pruned."""
         names = tables or sorted(
-            d for d in _os.listdir(backup_dir)
-            if _os.path.isdir(_os.path.join(backup_dir, d))
+            d for d in os.listdir(backup_dir)
+            if os.path.isdir(os.path.join(backup_dir, d))
         )
         restored = []
         for t in names:
-            src = _os.path.join(backup_dir, t)
-            self.spark.read.parquet(src).write.mode("overwrite").parquet(
-                self.table_path(t) + "__rewrite"
-            )
-            if self.exists(t):
-                shutil.rmtree(self.table_path(t))
-            _os.rename(self.table_path(t) + "__rewrite", self.table_path(t))
+            df = self.spark.read.parquet(os.path.join(backup_dir, t))
+            meta = self._load_meta(t)
+            keys = [k for k in meta.get("bucket_keys", []) if k in df.columns]
+            if keys:
+                n_buckets = meta.get("n_buckets", self.n_buckets)
+                self._clean_scratch()
+                tmp = os.path.join(self._tmp_root, t)
+                df.withColumn(BUCKET_COL, _bucket_expr(keys, n_buckets)).write.mode(
+                    "overwrite"
+                ).partitionBy(BUCKET_COL).parquet(tmp)
+                _swap_dir(self.table_path(t), tmp, self._trash_root)
+                self._save_meta(t, meta)
+                self._clean_scratch()
+            else:
+                self._rewrite(t, df)
             restored.append(t)
         return restored
 

@@ -15,9 +15,10 @@ in Spark:
 - per-file incremental delete (S9, manager.py:626-730)
 
 Scale notes: dedup is one shuffle on the PK hash; ``file_id`` is a
-literal injected per input file (no shuffle).  At 100 TB the staging
-write should be partitioned by a load-date or tenant column; here the
-table is a plain parquet directory.
+literal injected per input file (no shuffle).  Staging tables are
+hive-partitioned by ``file_id``, so the per-file incremental delete
+(S9) is a partition drop — O(one file's rows), never a 100 TB rewrite
+— exactly the pruning a Delta ``DELETE WHERE file_id = ?`` would do.
 """
 
 from __future__ import annotations
@@ -116,7 +117,12 @@ def stage_files(
     staged = _dedup(staged, [k for k in keys if k in staged.columns])
 
     path = os.path.join(staging_root, table_name)
-    staged.write.mode("overwrite").parquet(path)
+    if with_file_id:
+        # Partition by provenance so delete_file_rows is a partition
+        # drop instead of a table rewrite (manager.py:626-730 semantics).
+        staged.write.mode("overwrite").partitionBy("file_id").parquet(path)
+    else:
+        staged.write.mode("overwrite").parquet(path)
     out = spark.read.parquet(path)
     return StagedTable(
         name=table_name,
@@ -136,22 +142,57 @@ def delete_file_rows(
     """Per-file incremental delete: remove only that file's rows
     (DELETE FROM t WHERE file_id = ?, manager.py:626-730).
 
-    Parquet has no row-level delete, so this is a filtered rewrite;
-    on a Delta/Iceberg deployment it becomes a metadata-only DELETE.
+    On the partitioned layout this drops exactly the ``file_id=X``
+    partition dir — a metadata-scale operation, like Delta's pruned
+    DELETE — and rows whose ``file_id`` is NULL (or any other value)
+    are untouched by construction.  Unpartitioned tables fall back to
+    a null-safe filtered rewrite with an atomic rename-aside swap.
     Returns the number of rows removed.
     """
+    import shutil
+    from urllib.parse import unquote
+
     path = os.path.join(staging_root, table_name)
+    part_dirs = [
+        d for d in os.listdir(path)
+        if d.startswith("file_id=") and unquote(d[len("file_id="):]) == file_id
+    ]
+    if part_dirs:
+        schema = spark.read.parquet(path).schema
+        part = os.path.join(path, part_dirs[0])
+        removed = spark.read.parquet(part).count()
+        trash = os.path.join(staging_root, ".trash_" + table_name)
+        if os.path.exists(trash):
+            shutil.rmtree(trash)
+        os.rename(part, trash)
+        shutil.rmtree(trash)
+        if not any(d.startswith("file_id=") for d in os.listdir(path)):
+            # Last partition dropped: leave a readable schema-only table.
+            tmp = path + "__rewrite"
+            if os.path.exists(tmp):
+                shutil.rmtree(tmp)
+            spark.createDataFrame([], schema).write.mode("overwrite").parquet(tmp)
+            shutil.rmtree(path)
+            os.rename(tmp, path)
+        return removed
+    if any(d.startswith("file_id=") for d in os.listdir(path)):
+        return 0  # partitioned table, no partition for this file_id
+
+    # Unpartitioned fallback: null-safe keep-filter (NULL file_id rows
+    # must survive a targeted delete), atomic swap.
     df = spark.read.parquet(path).cache()
     before = df.count()
-    kept = df.filter(F.col("file_id") != F.lit(file_id))
+    kept = df.filter(~F.col("file_id").eqNullSafe(F.lit(file_id)))
     tmp = path + "__rewrite"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
     kept.write.mode("overwrite").parquet(tmp)
     after = spark.read.parquet(tmp).count()
     df.unpersist()
-    # atomic-ish swap (local filesystem); object stores would write a
-    # new table version instead
-    import shutil
-
-    shutil.rmtree(path)
+    old = path + "__old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
     os.rename(tmp, path)
+    shutil.rmtree(old)
     return before - after

@@ -229,13 +229,21 @@ def test_save_view_roundtrip(spark, gl_tables, tmp_path):
 
     tb = trial_balance(gl_tables)
     store = GraphStore(spark, str(tmp_path / "graphs"), "views_kg")
-    counts = save_report(store, tb, "rep-1", "Trial Balance FY24")
+    counts = save_report(store, tb, "rep-1", "Trial Balance FY24",
+                         period_end="2024-12-31")
     assert counts["Fact"] == 3 and counts["Report"] == 1
     assert store.read("REPORT_HAS_FACT").count() == 3
+    rep = store.read("Report").first()
+    # reference saved-view Report shape (save_view.py:156-174)
+    assert rep["name"] == "Trial Balance FY24"
+    assert rep["uri"] == "internal:rep-1"
+    assert rep["period_end_date"] == "2024-12-31"
+    assert rep["form"] == "saved_view"
 
-    # idempotent re-save: ignore_errors skips existing PKs
+    # re-save replaces fact data (delete_report_data → create flow)
     counts2 = save_report(store, tb, "rep-1", "Trial Balance FY24")
-    assert counts2["Fact"] == 0 and counts2["Report"] == 0
+    assert counts2["Fact"] == 3 and counts2["replaced_facts"] == 3
+    assert store.read("Fact").count() == 3  # no duplicates, no orphans
 
     # metadata update (SET)
     from pyspark.sql import functions as F
@@ -248,3 +256,42 @@ def test_save_view_roundtrip(spark, gl_tables, tmp_path):
         "FACT_HAS_ELEMENT": 3, "REPORT_HAS_FACT": 3, "Fact": 3, "Report": 1,
     }
     assert store.read("Report").count() == 0
+
+
+def test_save_view_resave_changed_values(spark, gl_tables, tmp_path):
+    """A re-save with CHANGED values must land them, and elements
+    dropped from the view must not leave orphaned Facts/edges
+    (round-1 ADVICE: the old ignore_errors anti-join silently kept
+    stale facts)."""
+    from pyspark.sql import functions as F
+
+    from robosystems_spark.sources.materialize import GraphStore
+    from robosystems_spark.views.save_view import save_report
+
+    tb = trial_balance(gl_tables)
+    store = GraphStore(spark, str(tmp_path / "graphs"), "views_kg")
+    save_report(store, tb, "rep-1", "TB v1")
+
+    # change one value, drop one element
+    elements = [r["element_id"] for r in tb.select("element_id").collect()]
+    keep = sorted(elements)[:-1]
+    tb2 = (
+        tb.filter(F.col("element_id").isin(keep))
+        .withColumn("net_balance", F.col("net_balance") + 1000.0)
+    )
+    counts = save_report(store, tb2, "rep-1", "TB v2")
+    assert counts["Fact"] == len(keep)
+    assert counts["replaced_facts"] == 3
+
+    facts = store.read("Fact").collect()
+    assert len(facts) == len(keep)  # dropped element's fact is gone
+    edges = store.read("FACT_HAS_ELEMENT")
+    assert edges.count() == len(keep)
+    assert {r["dst"] for r in edges.collect()} == set(keep)
+    # changed values landed
+    originals = {
+        r["element_id"]: r["net_balance"] for r in tb.collect()
+    }
+    for r in store.read("Fact").collect():
+        assert r["numeric_value"] not in originals.values()
+    assert store.read("Report").first()["name"] == "TB v2"
