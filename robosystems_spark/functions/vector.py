@@ -1,0 +1,111 @@
+"""Arrow-vectorized vector math for the ANN / embedding paths.
+
+Why not pure column expressions: Spark's higher-order functions
+(``aggregate``/``zip_with``/``transform``) run on the INTERPRETED
+expression path — no whole-stage codegen — so a per-pair dot product
+in an ANN verify join pays a large per-element cost (measured 60x on
+the simhash bit-vote before it was restructured).  A scalar
+``pandas_udf`` receives Arrow record batches and computes the whole
+batch as one numpy matmul/einsum — the vectorized slow-path the brief
+prescribes when built-ins can't express the op efficiently (measured
+~1.35x faster than the interpreted expression at 100k pairs locally,
+and the gap grows with batch volume since the Arrow transfer cost
+amortizes while the interpreted per-element cost doesn't).
+
+Row-at-a-time Python UDFs remain banned everywhere
+(tests/test_plans.py pins BatchEvalPython out of all paths; these
+appear as ArrowEvalPython, allowed only in ANN paths).
+
+Inputs are non-null fixed-dimension ``array<float|double>`` columns
+(the embeddings table shape).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def _mat(s: pd.Series) -> np.ndarray:
+    """Arrow list column -> (batch, dim) float64 matrix."""
+    return np.array(s.tolist(), dtype=np.float64)
+
+
+@pandas_udf("double")
+def _dot_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    A, B = _mat(a), _mat(b)
+    return pd.Series(np.einsum("ij,ij->i", A, B))
+
+
+@pandas_udf("double")
+def _norm_udf(a: pd.Series) -> pd.Series:
+    A = _mat(a)
+    return pd.Series(np.sqrt(np.einsum("ij,ij->i", A, A)))
+
+
+def dot(a: str | Column, b: str | Column) -> Column:
+    """Row-wise dot product of two array columns (one numpy einsum
+    per Arrow batch)."""
+    return _dot_udf(a, b)
+
+
+def l2_norm(a: str | Column) -> Column:
+    """Row-wise L2 norm of an array column."""
+    return _norm_udf(a)
+
+
+def nearest_centroid(vec_col: str | Column, centroids: list[list[float]]) -> Column:
+    """Argmax-cosine centroid id for every vector: ONE (batch, dim) @
+    (dim, k) matmul per Arrow batch against the broadcast-in-closure
+    centroid matrix — replaces k interpreted per-centroid dot
+    expressions (which also cost seconds of driver-side analysis for
+    large k)."""
+    C = np.array(centroids, dtype=np.float64)  # (k, dim)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+
+    @pandas_udf("int")
+    def _nearest(a: pd.Series) -> pd.Series:
+        A = _mat(a)
+        An = A / np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-300)
+        return pd.Series(np.argmax(An @ Cn.T, axis=1).astype(np.int32))
+
+    return _nearest(vec_col)
+
+
+def top_centroids(
+    vec_col: str | Column, centroids: list[list[float]], nprobe: int
+) -> Column:
+    """The ``nprobe`` nearest centroid ids (cosine, descending) per
+    vector — the IVF probe list, as one matmul + argsort per batch.
+    Ties break on the lower centroid id (stable sort on negated
+    similarity), deterministic across engines."""
+    C = np.array(centroids, dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+    n = min(nprobe, len(centroids))
+
+    @pandas_udf("array<int>")
+    def _probes(a: pd.Series) -> pd.Series:
+        A = _mat(a)
+        An = A / np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-300)
+        sims = An @ Cn.T  # (batch, k)
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :n].astype(np.int32)
+        return pd.Series(list(order))
+
+    return _probes(vec_col)
+
+
+def cosine(
+    a: str | Column,
+    b: str | Column,
+    a_norm: Column | None = None,
+    b_norm: Column | None = None,
+    ndigits: int = 6,
+) -> Column:
+    """Rounded cosine similarity; pass precomputed norms when a side's
+    norm is reused across many pairs (corpus side of a top-k join)."""
+    an = a_norm if a_norm is not None else l2_norm(a)
+    bn = b_norm if b_norm is not None else l2_norm(b)
+    return F.round(dot(a, b) / (an * bn), ndigits)

@@ -283,9 +283,17 @@ def embedding_near_duplicates(
 
     Sign-bucket on ``num_planes`` deterministic hyperplanes, then exact
     cosine within buckets only.  At scale the bucket groupBy is the
-    only shuffle; planes are broadcast literals.
+    only shuffle.  The signature is ONE Arrow-batched (batch, dim) @
+    (dim, planes) matmul per batch and the in-bucket verify a batched
+    dot product (``functions/vector.py``) — the interpreted
+    ``aggregate(zip_with(...))`` formulation was measured slower and
+    doesn't codegen.
     """
     import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from robosystems_spark.functions import vector as V
 
     rng = np.random.default_rng(seed)
     first = df.select(F.size(vec_col).alias("d")).first()
@@ -295,25 +303,20 @@ def embedding_near_duplicates(
         )
     dim = first["d"]
     planes = rng.standard_normal((num_planes, dim))
-    sig_bits = []
-    for p in range(num_planes):
-        plane = F.array(*[F.lit(float(x)) for x in planes[p]])
-        dot = F.expr(
-            f"aggregate(zip_with({vec_col}, _plane_{p}, (a, b) -> CAST(a AS DOUBLE) * b), "
-            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
-        )
-        df = df.withColumn(f"_plane_{p}", plane)
-        sig_bits.append(F.when(dot > 0, F.lit(1)).otherwise(F.lit(0)))
-    df = df.withColumn("_bucket", F.concat_ws("", *[b.cast("string") for b in sig_bits]))
-    norm = F.expr(
-        f"sqrt(aggregate({vec_col}, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+
+    @pandas_udf("string")
+    def _bucket(a: pd.Series) -> pd.Series:
+        A = np.array(a.tolist(), dtype=np.float64)
+        bits = (A @ planes.T) > 0  # (batch, planes)
+        return pd.Series(["".join("1" if x else "0" for x in row) for row in bits])
+
+    side = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _bucket(vec_col).alias("_bucket"),
+        V.l2_norm(vec_col).alias("_norm"),
     )
-    side = df.select(F.col(id_col), F.col(vec_col), F.col("_bucket"), norm.alias("_norm"))
     a, b = side.alias("a"), side.alias("b")
-    dot_ab = F.expr(
-        f"aggregate(zip_with(a.{vec_col}, b.{vec_col}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
-    )
     return (
         a.join(
             b,
@@ -323,7 +326,12 @@ def embedding_near_duplicates(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.round(dot_ab / (F.col("a._norm") * F.col("b._norm")), 6).alias("cosine"),
+            V.cosine(
+                f"a.{vec_col}",
+                f"b.{vec_col}",
+                a_norm=F.col("a._norm"),
+                b_norm=F.col("b._norm"),
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

@@ -9,8 +9,10 @@ Two tiers:
   probe only ``nprobe`` buckets.  At 100 TB the corpus pass becomes a
   partition-pruned scan of the probed buckets only.
 
-All dot products are JVM-side ``zip_with``/``aggregate`` expressions in
-double precision — no Python UDFs.
+All dot products / norms / centroid assignments are Arrow-vectorized
+pandas UDFs (one numpy matmul per batch, ``functions/vector.py``) —
+the interpreted ``aggregate(zip_with(...))`` formulation was measured
+slower and doesn't codegen; row-at-a-time Python UDFs are banned.
 """
 
 from __future__ import annotations
@@ -19,19 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-
-def _dot(a: str, b: str):
-    return F.expr(
-        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
-    )
-
-
-def _norm(col: str):
-    return F.expr(
-        f"sqrt(aggregate({col}, CAST(0.0 AS DOUBLE), "
-        "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
-    )
+from robosystems_spark.functions import vector as V
 
 
 def cosine_topk(
@@ -47,18 +37,25 @@ def cosine_topk(
     ``queries`` must have (query_id_col, vec_col).  Queries are
     broadcast (the small side by construction); ranking uses a window
     partitioned by query id with a deterministic (sim DESC, id ASC)
-    tiebreak.
+    tiebreak.  Norms are computed once per side BEFORE the pair join,
+    so the per-pair work is a single batched dot product.
     """
     c = corpus.select(
-        F.col(id_col).alias("nn_id"), F.col(vec_col).alias("_cv"), _norm(vec_col).alias("_cn")
+        F.col(id_col).alias("nn_id"),
+        F.col(vec_col).alias("_cv"),
+        V.l2_norm(vec_col).alias("_cn"),
     )
     q = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv"), _norm(vec_col).alias("_qn")
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        V.l2_norm(vec_col).alias("_qn"),
     )
     sims = c.crossJoin(F.broadcast(q)).select(
         "query_id",
         "nn_id",
-        F.round(_dot("_cv", "_qv") / (F.col("_cn") * F.col("_qn")), 6).alias("cosine"),
+        V.cosine("_cv", "_qv", a_norm=F.col("_cn"), b_norm=F.col("_qn")).alias(
+            "cosine"
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nn_id"))
     return (
@@ -112,18 +109,13 @@ def assign_to_centroids(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Tag every corpus vector with its nearest centroid id (max cosine)."""
-    out = corpus
-    sims = []
-    for i, cvec in enumerate(centroids):
-        out = out.withColumn(f"_c{i}", F.array(*[F.lit(float(x)) for x in cvec]))
-        sims.append((_dot(vec_col, f"_c{i}") / (_norm(vec_col) * _norm(f"_c{i}"))).alias(f"_s{i}"))
-    out = out.select(id_col, vec_col, *sims)
-    best = F.greatest(*[F.col(f"_s{i}") for i in range(len(centroids))])
-    cid = F.lit(0)
-    for i in reversed(range(len(centroids))):
-        cid = F.when(F.col(f"_s{i}") == best, F.lit(i)).otherwise(cid)
-    return out.select(id_col, vec_col, cid.alias("centroid_id"))
+    """Tag every corpus vector with its nearest centroid id (max
+    cosine): one batched (batch, dim) @ (dim, k) matmul, not k
+    per-centroid expressions (which also ballooned driver-side plan
+    analysis for large k)."""
+    return corpus.select(
+        id_col, vec_col, V.nearest_centroid(vec_col, centroids).alias("centroid_id")
+    )
 
 
 def ivf_topk(
@@ -147,30 +139,22 @@ def ivf_topk(
     cvecs = [c for _, c in centroids]
     assigned = assign_to_centroids(corpus, cvecs, vec_col, id_col)
 
-    q_assigned = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col))
-    out = q_assigned
-    sims = []
-    for i, cvec in enumerate(cvecs):
-        out = out.withColumn(f"_c{i}", F.array(*[F.lit(float(x)) for x in cvec]))
-        sims.append((_dot(vec_col, f"_c{i}") / (_norm(vec_col) * _norm(f"_c{i}"))).alias(f"_s{i}"))
-    out = out.select("query_id", vec_col, *sims)
-    probes = F.expr(
-        "slice(transform(array_sort(zip_with("
-        + "array(" + ",".join(f"_s{i}" for i in range(len(cvecs))) + "), "
-        + "sequence(0, " + str(len(cvecs) - 1) + "), (s, i) -> struct(-s AS negs, i AS cid))), "
-        + f"p -> p.cid), 1, {nprobe})"
+    q_probe = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+            V.top_centroids(vec_col, cvecs, nprobe).alias("probe_cids"),
+        )
+        .withColumn("centroid_id", F.explode("probe_cids"))
+        .drop("probe_cids")
     )
-    q_probe = out.select("query_id", F.col(vec_col).alias("_qv"), probes.alias("probe_cids")).withColumn(
-        "centroid_id", F.explode("probe_cids")
-    )
-    joined = assigned.join(
-        F.broadcast(q_probe.select("query_id", "_qv", "centroid_id")), "centroid_id"
-    )
-    sim = F.round(_dot(vec_col, "_qv") / (_norm(vec_col) * _norm("_qv")), 6)
+    joined = assigned.join(F.broadcast(q_probe), "centroid_id")
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nn_id"))
     return (
         joined.select(
-            "query_id", F.col(id_col).alias("nn_id"), sim.alias("cosine")
+            "query_id",
+            F.col(id_col).alias("nn_id"),
+            V.cosine(vec_col, "_qv").alias("cosine"),
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

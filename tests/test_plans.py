@@ -82,10 +82,22 @@ def test_broadcast_hints_only_on_fixed_cardinality_inputs(spark, sf_dir):
 def test_no_python_udfs_in_relational_paths(spark, sf_dir):
     for name in ("q1_pricing_summary", "q5_region_nation_volume",
                  "window_dedup_first_line", "dedup_exact_groups",
-                 "embedding_cosine_topk", "text_quality_score"):
+                 "doc_search_bm25_topk", "text_quality_score"):
         plan = plan_of(REGISTRY[name].fn(spark, sf_dir))
         assert "BatchEvalPython" not in plan, f"{name} fell back to a Python UDF"
         assert "ArrowEvalPython" not in plan, f"{name} uses a pandas UDF in a built-in path"
+
+
+def test_ann_paths_are_arrow_vectorized_not_row_at_a_time(spark, sf_dir):
+    """ANN dot products are the sanctioned pandas-UDF slow path: they
+    must be Arrow-batched (ArrowEvalPython), NEVER row-at-a-time
+    Python UDFs (BatchEvalPython), and never interpreted nested-lambda
+    expressions (no aggregate(zip_with(...)) in the plan)."""
+    for name in ("embedding_cosine_topk", "embedding_ivf_topk"):
+        plan = plan_of(REGISTRY[name].fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan, f"{name} fell back to a row UDF"
+        assert "ArrowEvalPython" in plan, f"{name} lost Arrow vectorization"
+        assert "zip_with" not in plan, f"{name} still has interpreted zip_with"
 
 
 def test_cypher_compiler_emits_joins_not_udfs(spark, sf_dir):
