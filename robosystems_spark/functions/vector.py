@@ -27,6 +27,14 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, DoubleType, IntegerType
+
+# All pandas_udf returnTypes in this module MUST be DataType instances,
+# never DDL strings: a string returnType is parsed eagerly via
+# _parse_datatype_string, which requires a live SparkContext — absent
+# both at sessionless import time (pytest collection) and inside
+# executor Python workers that unpickle the UDF and re-import this
+# module.  tests/test_sessionless_import.py pins this.
 
 
 def _mat(s: pd.Series) -> np.ndarray:
@@ -34,13 +42,13 @@ def _mat(s: pd.Series) -> np.ndarray:
     return np.array(s.tolist(), dtype=np.float64)
 
 
-@pandas_udf("double")
+@pandas_udf(DoubleType())
 def _dot_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     A, B = _mat(a), _mat(b)
     return pd.Series(np.einsum("ij,ij->i", A, B))
 
 
-@pandas_udf("double")
+@pandas_udf(DoubleType())
 def _norm_udf(a: pd.Series) -> pd.Series:
     A = _mat(a)
     return pd.Series(np.sqrt(np.einsum("ij,ij->i", A, A)))
@@ -66,7 +74,7 @@ def nearest_centroid(vec_col: str | Column, centroids: list[list[float]]) -> Col
     C = np.array(centroids, dtype=np.float64)  # (k, dim)
     Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
 
-    @pandas_udf("int")
+    @pandas_udf(IntegerType())
     def _nearest(a: pd.Series) -> pd.Series:
         A = _mat(a)
         An = A / np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-300)
@@ -86,7 +94,7 @@ def top_centroids(
     Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
     n = min(nprobe, len(centroids))
 
-    @pandas_udf("array<int>")
+    @pandas_udf(ArrayType(IntegerType()))
     def _probes(a: pd.Series) -> pd.Series:
         A = _mat(a)
         An = A / np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-300)
@@ -108,4 +116,6 @@ def cosine(
     norm is reused across many pairs (corpus side of a top-k join)."""
     an = a_norm if a_norm is not None else l2_norm(a)
     bn = b_norm if b_norm is not None else l2_norm(b)
-    return F.round(dot(a, b) / (an * bn), ndigits)
+    # zero-norm guard: matches the 1e-300 clamp the centroid paths use,
+    # so a zero vector yields ~0 similarity instead of NaN/Inf
+    return F.round(dot(a, b) / F.greatest(an * bn, F.lit(1e-300)), ndigits)

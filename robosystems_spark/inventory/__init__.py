@@ -46,7 +46,22 @@ def register(
     """Decorator registering a query spec under ``name``."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc, tags=tags, bench=bench)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # The caller's session may not be ours (the driver builds a
+            # vanilla SparkSession): ship the package zip to executors
+            # idempotently so pandas-UDF / mapInPandas queries can
+            # unpickle functions whose globals live in this package.
+            from robosystems_spark.session import _ship_package
+
+            _ship_package(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = getattr(fn, "__name__", name)
+        wrapped.__doc__ = fn.__doc__
+        wrapped.__wrapped__ = fn
+        REGISTRY[name] = QuerySpec(
+            name=name, fn=wrapped, oracle=oracle, doc=doc, tags=tags, bench=bench
+        )
         return fn
 
     return deco

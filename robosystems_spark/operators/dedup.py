@@ -12,10 +12,22 @@ Design for 100 TB:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
 
 from robosystems_spark.operators.text import tokens
+
+# pandas/numpy MUST be module-level imports here: under
+# ``from __future__ import annotations`` the ``pd.Series`` hints on
+# pandas_udf functions are strings that infer_eval_type resolves
+# against module globals — a function-local import makes them
+# unresolvable (UNSUPPORTED_SIGNATURE).  Likewise returnTypes must be
+# DataType objects, not DDL strings (string parsing needs a live
+# SparkContext).  tests/test_sessionless_import.py pins both.
 
 
 def exact_duplicates(
@@ -128,9 +140,12 @@ def minhash_lsh_candidates(
             )
         ).alias("band", "band_hash"),
     )
-    # persist: the self-join would otherwise recompute the full
-    # shingle->signature->band pipeline for BOTH sides
-    banded = banded.persist()
+    # localCheckpoint (not persist): the self-join would otherwise
+    # recompute the full shingle->signature->band pipeline for BOTH
+    # sides; unlike persist(), checkpointed partitions are reclaimed by
+    # the ContextCleaner once this frame is unreferenced, so repeated
+    # pipeline runs in a long-lived session don't leak executor memory
+    banded = banded.localCheckpoint(eager=True)
     left = banded.alias("l")
     right = banded.alias("r")
     out = (
@@ -158,7 +173,10 @@ def jaccard_verify(
     sh = (
         df.select(F.col(id_col), tokens(text_col).alias("_toks"))
         .select(F.col(id_col), F.array_distinct(shingles_of("_toks", shingle_k)).alias("_sh"))
-        .persist()  # reused by both sides of the candidate join
+        # reused by both sides of the candidate join; localCheckpoint so
+        # the storage is GC-reclaimed (persist() would pin it for the
+        # session lifetime)
+        .localCheckpoint(eager=True)
     )
     a = sh.select(F.col(id_col).alias("doc_a"), F.col("_sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("doc_b"), F.col("_sh").alias("sh_b"))
@@ -289,10 +307,6 @@ def embedding_near_duplicates(
     ``aggregate(zip_with(...))`` formulation was measured slower and
     doesn't codegen.
     """
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-
     from robosystems_spark.functions import vector as V
 
     rng = np.random.default_rng(seed)
@@ -304,7 +318,7 @@ def embedding_near_duplicates(
     dim = first["d"]
     planes = rng.standard_normal((num_planes, dim))
 
-    @pandas_udf("string")
+    @pandas_udf(StringType())
     def _bucket(a: pd.Series) -> pd.Series:
         A = np.array(a.tolist(), dtype=np.float64)
         bits = (A @ planes.T) > 0  # (batch, planes)

@@ -137,12 +137,18 @@ def ivf_topk(
     """
     centroids = train_centroids(corpus, num_centroids, iters=3, vec_col=vec_col, id_col=id_col)
     cvecs = [c for _, c in centroids]
-    assigned = assign_to_centroids(corpus, cvecs, vec_col, id_col)
+    # norms computed ONCE per side before the probe join (as in
+    # cosine_topk) — the verify then recomputes nothing per
+    # (vector, probe) pair beyond the batched dot product
+    assigned = assign_to_centroids(corpus, cvecs, vec_col, id_col).withColumn(
+        "_cn", V.l2_norm(vec_col)
+    )
 
     q_probe = (
         queries.select(
             F.col(query_id_col).alias("query_id"),
             F.col(vec_col).alias("_qv"),
+            V.l2_norm(vec_col).alias("_qn"),
             V.top_centroids(vec_col, cvecs, nprobe).alias("probe_cids"),
         )
         .withColumn("centroid_id", F.explode("probe_cids"))
@@ -154,7 +160,9 @@ def ivf_topk(
         joined.select(
             "query_id",
             F.col(id_col).alias("nn_id"),
-            V.cosine(vec_col, "_qv").alias("cosine"),
+            V.cosine(
+                vec_col, "_qv", a_norm=F.col("_cn"), b_norm=F.col("_qn")
+            ).alias("cosine"),
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

@@ -6,5 +6,9 @@ Spark transformations producing the roboledger-schema node and
 relationship frames.
 """
 
-from robosystems_spark.pipelines.xbrl import build_xbrl_graph_frames  # noqa: F401
+from robosystems_spark.pipelines.xbrl import (  # noqa: F401
+    build_xbrl_graph_frames,
+    build_xbrl_taxonomy_frames,
+    classify_elements,
+)
 from robosystems_spark.pipelines.gl import build_gl_frames  # noqa: F401

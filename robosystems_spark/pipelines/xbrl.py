@@ -147,6 +147,20 @@ def build_xbrl_graph_frames(
     def edge(src: str, dst: str) -> DataFrame:
         return rf.select(F.col(src).alias("src"), F.col(dst).alias("dst")).dropDuplicates()
 
+    # one fact set per report (xbrl_graph.py:527-551: '{report_uri}#factset',
+    # deterministic id; REPORT_HAS_FACT_SET context carries the form)
+    rf = rf.withColumn(
+        "_factset_id",
+        content_hash_id(
+            F.concat(F.col("accession"), F.lit("#factset")), prefix="fs_"
+        ),
+    )
+    fact_set = rf.select(
+        F.col("_factset_id").alias("identifier"),
+        F.concat(F.col("accession"), F.lit("#factset")).alias("name"),
+        F.lit(None).cast("string").alias("description"),
+    ).dropDuplicates(["identifier"])
+
     frames = {
         "Entity": entity,
         "Report": report,
@@ -155,6 +169,15 @@ def build_xbrl_graph_frames(
         "Unit": unit,
         "Fact": fact,
         "FactDimension": fact_dimension,
+        "FactSet": fact_set,
+        "REPORT_HAS_FACT_SET": rf.select(
+            F.col("_report_id").alias("src"),
+            F.col("_factset_id").alias("dst"),
+            F.concat(
+                F.lit("Report facts for "), F.coalesce("form", F.lit("filing"))
+            ).alias("fact_set_context"),
+        ).dropDuplicates(["src", "dst"]),
+        "FACT_SET_CONTAINS_FACT": edge("_factset_id", "_fact_id"),
         "ENTITY_HAS_REPORT": edge("_entity_id", "_report_id"),
         "REPORT_HAS_FACT": edge("_report_id", "_fact_id"),
         "FACT_HAS_ELEMENT": edge("_fact_id", "_element_id"),
@@ -178,9 +201,326 @@ def build_xbrl_graph_frames(
     return frames
 
 
-NODE_TABLES = ["Entity", "Report", "Element", "Period", "Unit", "Fact", "FactDimension"]
+def classify_elements(elements: DataFrame) -> DataFrame:
+    """Element classification (xbrl_graph.py:1584-1639 semantics) as a
+    single CASE expression over element metadata columns.
+
+    Expects nullable STRING/BOOLEAN columns ``substitution_group_qname``
+    (e.g. 'xbrldt:hypercubeItem'), ``period_type``, ``type_name``
+    (local type name, e.g. 'domainItemType'), ``nillable``, ``name``
+    and BOOLEAN ``is_abstract``; adds/overwrites ``classification``.
+    """
+    sg = F.col("substitution_group_qname")
+    abstract = F.coalesce(F.col("is_abstract"), F.lit(False))
+    pt = F.col("period_type")
+    tn = F.col("type_name")
+    nillable = F.coalesce(F.col("nillable").cast("boolean"), F.lit(False))
+    classification = (
+        F.when(
+            (sg == "xbrldt:hypercubeItem") & (pt == "duration") & abstract,
+            F.lit("hypercubeElement"),
+        )
+        .when(
+            (sg == "xbrldt:hypercubeItem") & (pt == "instant") & abstract,
+            F.lit("dimensionElement"),
+        )
+        .when(
+            (sg == "xbrli:item") & (pt == "duration") & abstract,
+            F.when((tn == "domainItemType") & nillable, F.lit("domainElement"))
+            .when((tn == "domainItemType") & ~nillable, F.lit("memberElement"))
+            .when(F.col("name").endswith("LineItems"), F.lit("lineItemsElement"))
+            .otherwise(F.lit("listItemsElement")),
+        )
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return elements.withColumn("classification", classification)
+
+
+# Arcrole URIs the reference branches on (xbrl_graph.py:1454-1458,
+# XbrlConst.parentChild / summationItem)
+ARCROLE_PARENT_CHILD = "http://www.xbrl.org/2003/arcrole/parent-child"
+ARCROLE_SUMMATION_ITEM = "http://www.xbrl.org/2003/arcrole/summation-item"
+
+
+def build_xbrl_taxonomy_frames(
+    raw_arcs: DataFrame,
+    raw_labels: DataFrame | None = None,
+    raw_references: DataFrame | None = None,
+    raw_elements: DataFrame | None = None,
+) -> dict[str, DataFrame]:
+    """Taxonomy linkbase rows → Structure / Association / Label /
+    Reference / Taxonomy frames + their relationship tables.
+
+    Re-expresses make_taxonomy/make_structures/make_associations/
+    make_element_labels/make_element_references (xbrl_graph.py:
+    1284-1734): the reference walks Arelle's in-memory relationship
+    sets row by row; here the parsed linkbase IS the DataFrame and
+    every frame is a projection + dropDuplicates (uniform hash
+    shuffle), with the per-structure root-concept set derived by a
+    distributed anti-join instead of Arelle's ``rootConcepts``.
+
+    ``raw_arcs`` (one row per presentation/calculation/definition arc):
+      accession, taxonomy_uri, role_uri, role_id (nullable: falls back
+      to the role_uri fragment), role_definition (nullable,
+      'Number - Type - Name' SEC convention), arcrole, parent_uri,
+      child_uri, order_value DOUBLE (nullable), weight DOUBLE
+      (nullable), preferred_label (nullable)
+
+    ``raw_labels``: element_uri, value, type (label role URI), language
+    ``raw_references``: element_uri, value, type (reference role URI)
+    ``raw_elements`` (optional metadata for classification —
+      classify_elements columns): element_uri, qname, period_type,
+      type_name, nice_type, balance, substitution_group_qname,
+      substitution_group_uri, item_type_uri, is_abstract, nillable, ...
+
+    IDs are deterministic content hashes everywhere — including
+    Association, where the reference used a random uuid7 per run
+    (xbrl_graph.py:1449); determinism makes re-ingestion idempotent
+    across a cluster, which random IDs cannot be.
+    """
+    arcs = raw_arcs.withColumns(
+        {
+            "_role_id": F.coalesce(
+                "role_id", F.element_at(F.split("role_uri", "/"), -1)
+            ),
+            "_report_id": content_hash_id("accession", prefix="rep_"),
+            "_taxonomy_id": content_hash_id("taxonomy_uri", prefix="tax_"),
+        }
+    )
+    arcs = arcs.withColumns(
+        {
+            "_structure_uri": F.concat_ws("#", "taxonomy_uri", "_role_id"),
+        }
+    )
+    # filing-specific structure id (xbrl_graph.py:1358-1368)
+    arcs = arcs.withColumns(
+        {
+            "_structure_id": content_hash_id(
+                F.concat(F.lit("structure:"), F.col("accession"), F.lit("#"), F.col("_structure_uri")),
+                prefix="struct_",
+            ),
+            "_parent_id": content_hash_id("parent_uri", prefix="elem_"),
+            "_child_id": content_hash_id("child_uri", prefix="elem_"),
+            "_association_id": content_hash_id(
+                "accession", "role_uri", "arcrole", "parent_uri", "child_uri",
+                "order_value", prefix="assoc_",
+            ),
+        }
+    ).cache()
+
+    taxonomy = arcs.select(
+        F.col("_taxonomy_id").alias("identifier"),
+        F.col("taxonomy_uri").alias("uri"),
+        F.element_at(F.split("taxonomy_uri", "/"), -1).alias("name"),
+        F.lit(None).cast("string").alias("version"),
+        F.col("taxonomy_uri").alias("namespace"),
+    ).dropDuplicates(["identifier"])
+
+    # 'Number - Type - Name' definition split (xbrl_graph.py:1373-1385)
+    defn = F.col("role_definition")
+    number = F.trim(F.regexp_extract(defn, r"^([^-]*)-", 1))
+    net_type = F.trim(F.regexp_extract(defn, r"^[^-]*-\s*([^-]*)", 1))
+    net_name = F.trim(F.regexp_extract(defn, r"^[^-]*-[^-]*-\s*(.*)$", 1))
+    structure = arcs.select(
+        F.col("_structure_id").alias("identifier"),
+        F.col("_structure_uri").alias("uri"),
+        F.col("role_uri").alias("network_uri"),
+        F.coalesce(defn, F.lit("")).alias("definition"),
+        F.when(number != "", number).alias("number"),
+        F.when(net_type != "", net_type).alias("type"),
+        F.when(net_name != "", net_name).alias("name"),
+    ).dropDuplicates(["identifier"])
+
+    # root concepts per structure: parents that never appear as a child
+    # in the same structure (distributed twin of rootConcepts)
+    children = arcs.select("_structure_id", F.col("_child_id").alias("_pid")).distinct()
+    roots = (
+        arcs.select("_structure_id", F.col("_parent_id").alias("_pid"))
+        .distinct()
+        .join(children, ["_structure_id", "_pid"], "left_anti")
+        .withColumn("_is_root", F.lit(True))
+    )
+    assoc_base = arcs.join(
+        roots.withColumnRenamed("_pid", "_parent_id"),
+        ["_structure_id", "_parent_id"],
+        "left",
+    )
+    association = assoc_base.select(
+        F.col("_association_id").alias("identifier"),
+        F.col("arcrole"),
+        F.col("order_value").cast("double"),
+        F.when(F.col("arcrole") == ARCROLE_PARENT_CHILD, "Presentation")
+        .when(F.col("arcrole") == ARCROLE_SUMMATION_ITEM, "Calculation")
+        .otherwise("Other")
+        .alias("association_type"),
+        F.when(
+            F.col("arcrole") == ARCROLE_SUMMATION_ITEM, F.col("weight").cast("double")
+        ).alias("weight"),
+        F.coalesce("_is_root", F.lit(False)).alias("root"),
+        F.col("preferred_label"),
+    ).dropDuplicates(["identifier"])
+
+    # elements referenced by arcs, enriched + classified when metadata
+    # is supplied (make_element / make_element_classification)
+    _null = F.lit(None).cast("string")
+    arc_elems = (
+        arcs.select(F.col("parent_uri").alias("uri"))
+        .unionByName(arcs.select(F.col("child_uri").alias("uri")))
+        .distinct()
+    )
+    if raw_elements is not None:
+        meta = raw_elements.withColumnRenamed("element_uri", "uri")
+        enriched = arc_elems.join(meta, "uri", "left")
+        for c in ("qname",):
+            if c not in enriched.columns:
+                enriched = enriched.withColumn(c, _null)
+        enriched = enriched.withColumn("qname", F.coalesce("qname", "uri")).withColumn(
+            "name", F.element_at(F.split(F.coalesce("qname", "uri"), ":"), -1)
+        )
+        for c in ("substitution_group_qname", "period_type", "type_name", "nillable"):
+            if c not in enriched.columns:
+                enriched = enriched.withColumn(c, _null)
+        if "is_abstract" not in enriched.columns:
+            enriched = enriched.withColumn("is_abstract", F.lit(None).cast("boolean"))
+        element = classify_elements(enriched).select(
+            content_hash_id("uri", prefix="elem_").alias("identifier"),
+            "uri",
+            "qname",
+            "name",
+            "classification",
+            "period_type",
+            *[
+                F.col(c)
+                for c in ("type_name", "balance", "is_abstract",
+                          "substitution_group_uri", "item_type_uri")
+                if c in enriched.columns
+            ],
+        )
+    else:
+        element = arc_elems.select(
+            content_hash_id("uri", prefix="elem_").alias("identifier"),
+            "uri",
+            F.col("uri").alias("qname"),
+            F.element_at(F.split("uri", "#"), -1).alias("name"),
+            _null.alias("classification"),
+            _null.alias("period_type"),
+        )
+    element = element.dropDuplicates(["identifier"])
+
+    frames: dict[str, DataFrame] = {
+        "Taxonomy": taxonomy,
+        "Structure": structure,
+        "Association": association,
+        "Element": element,
+        "REPORT_USES_TAXONOMY": arcs.select(
+            F.col("_report_id").alias("src"), F.col("_taxonomy_id").alias("dst"),
+            F.concat(
+                F.lit("Uses taxonomy: "),
+                F.element_at(F.split("taxonomy_uri", "/"), -1),
+            ).alias("taxonomy_context"),
+        ).dropDuplicates(["src", "dst"]),
+        "STRUCTURE_HAS_TAXONOMY": arcs.select(
+            F.col("_structure_id").alias("src"), F.col("_taxonomy_id").alias("dst"),
+            F.concat(F.lit("Taxonomy: "), F.col("taxonomy_uri")).alias(
+                "taxonomy_context"
+            ),
+        ).dropDuplicates(["src", "dst"]),
+        "STRUCTURE_HAS_ASSOCIATION": arcs.select(
+            F.col("_structure_id").alias("src"),
+            F.col("_association_id").alias("dst"),
+        ).dropDuplicates(["src", "dst"]),
+        "ASSOCIATION_HAS_FROM_ELEMENT": arcs.select(
+            F.col("_association_id").alias("src"), F.col("_parent_id").alias("dst")
+        ).dropDuplicates(["src", "dst"]),
+        "ASSOCIATION_HAS_TO_ELEMENT": arcs.select(
+            F.col("_association_id").alias("src"), F.col("_child_id").alias("dst")
+        ).dropDuplicates(["src", "dst"]),
+    }
+
+    if raw_labels is not None:
+        lbl = raw_labels.withColumns(
+            {
+                "_label_id": content_hash_id("value", "type", "language", prefix="lbl_"),
+                "_element_id": content_hash_id("element_uri", prefix="elem_"),
+            }
+        )
+        frames["Label"] = lbl.select(
+            F.col("_label_id").alias("identifier"),
+            F.col("value"),
+            F.col("type"),
+            F.col("language"),
+        ).dropDuplicates(["identifier"])
+        frames["ELEMENT_HAS_LABEL"] = lbl.select(
+            F.col("_element_id").alias("src"),
+            F.col("_label_id").alias("dst"),
+            F.concat(F.lit("Label: "), F.coalesce("type", F.lit("unknown"))).alias(
+                "label_context"
+            ),
+        ).dropDuplicates(["src", "dst"])
+        frames["TAXONOMY_HAS_LABEL"] = (
+            lbl.crossJoin(
+                F.broadcast(taxonomy.select(F.col("identifier").alias("_tax_id")))
+            )
+            .select(
+                F.col("_tax_id").alias("src"),
+                F.col("_label_id").alias("dst"),
+                F.concat(
+                    F.lit("Taxonomy label: "), F.coalesce("type", F.lit("unknown"))
+                ).alias("label_context"),
+            )
+            .dropDuplicates(["src", "dst"])
+        )
+
+    if raw_references is not None:
+        ref = raw_references.withColumns(
+            {
+                "_reference_id": content_hash_id("value", "type", prefix="ref_"),
+                "_element_id": content_hash_id("element_uri", prefix="elem_"),
+            }
+        )
+        frames["Reference"] = ref.select(
+            F.col("_reference_id").alias("identifier"),
+            F.col("value"),
+            F.col("type"),
+        ).dropDuplicates(["identifier"])
+        frames["ELEMENT_HAS_REFERENCE"] = ref.select(
+            F.col("_element_id").alias("src"),
+            F.col("_reference_id").alias("dst"),
+            F.concat(
+                F.lit("Reference: "), F.coalesce("type", F.lit("unknown"))
+            ).alias("reference_context"),
+        ).dropDuplicates(["src", "dst"])
+        frames["TAXONOMY_HAS_REFERENCE"] = (
+            ref.crossJoin(
+                F.broadcast(taxonomy.select(F.col("identifier").alias("_tax_id")))
+            )
+            .select(
+                F.col("_tax_id").alias("src"),
+                F.col("_reference_id").alias("dst"),
+                F.concat(
+                    F.lit("Taxonomy reference: "),
+                    F.coalesce("type", F.lit("unknown")),
+                ).alias("reference_context"),
+            )
+            .dropDuplicates(["src", "dst"])
+        )
+    return frames
+
+
+NODE_TABLES = [
+    "Entity", "Report", "Element", "Period", "Unit", "Fact", "FactDimension",
+    "FactSet",
+]
 REL_TABLES = [
     "ENTITY_HAS_REPORT", "REPORT_HAS_FACT", "FACT_HAS_ELEMENT", "FACT_HAS_ENTITY",
     "FACT_HAS_PERIOD", "FACT_HAS_UNIT", "FACT_HAS_DIMENSION",
     "FACT_DIMENSION_AXIS_ELEMENT", "FACT_DIMENSION_MEMBER_ELEMENT",
+    "REPORT_HAS_FACT_SET", "FACT_SET_CONTAINS_FACT",
+]
+TAXONOMY_NODE_TABLES = ["Taxonomy", "Structure", "Association", "Label", "Reference"]
+TAXONOMY_REL_TABLES = [
+    "REPORT_USES_TAXONOMY", "STRUCTURE_HAS_TAXONOMY", "STRUCTURE_HAS_ASSOCIATION",
+    "ASSOCIATION_HAS_FROM_ELEMENT", "ASSOCIATION_HAS_TO_ELEMENT",
+    "ELEMENT_HAS_LABEL", "TAXONOMY_HAS_LABEL",
+    "ELEMENT_HAS_REFERENCE", "TAXONOMY_HAS_REFERENCE",
 ]

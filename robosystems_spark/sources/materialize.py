@@ -259,14 +259,18 @@ class GraphStore:
         any assignment applies, so every SET sees pre-update values
         (SQL UPDATE semantics) even when the condition references an
         assigned column."""
-        raw = self._read_raw(table).withColumn(
-            "_match", F.coalesce(condition, F.lit(False))
-        )
+        raw = self._read_raw(table)
+        # collision-checked temp name: a user table may itself have a
+        # "_match" column, which must survive the update untouched
+        match_col = "_match"
+        while match_col in raw.columns:
+            match_col += "_"
+        raw = raw.withColumn(match_col, F.coalesce(condition, F.lit(False)))
         bucketed = BUCKET_COL in raw.columns
 
         if bucketed:
             hits = (
-                raw.filter(F.col("_match"))
+                raw.filter(F.col(match_col))
                 .groupBy(BUCKET_COL)
                 .agg(F.count(F.lit(1)).alias("n"))
                 .collect()
@@ -277,16 +281,16 @@ class GraphStore:
                 return 0
             raw = raw.filter(F.col(BUCKET_COL).isin(buckets))
         else:
-            n = raw.filter(F.col("_match")).count()
+            n = raw.filter(F.col(match_col)).count()
 
         updated = raw
         for col_name, value in assignments.items():
             value_col = value if isinstance(value, Column) else F.lit(value)
             updated = updated.withColumn(
                 col_name,
-                F.when(F.col("_match"), value_col).otherwise(F.col(col_name)),
+                F.when(F.col(match_col), value_col).otherwise(F.col(col_name)),
             )
-        updated = updated.drop("_match")
+        updated = updated.drop(match_col)
         if bucketed:
             self._rewrite_buckets(table, updated, buckets)
         else:

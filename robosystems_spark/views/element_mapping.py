@@ -52,6 +52,69 @@ class MappingStructure:
     associations: list[ElementAssociation] = field(default_factory=list)
 
 
+def mapping_from_frames(
+    association: DataFrame,
+    assoc_from: DataFrame,
+    assoc_to: DataFrame,
+    element: DataFrame,
+    structure_assoc: DataFrame | None = None,
+    structure_id: str | None = None,
+    method: str = "sum",
+    name: str = "mapping",
+) -> MappingStructure:
+    """Build a MappingStructure from pipeline frames (Association +
+    ASSOCIATION_HAS_FROM/TO_ELEMENT + Element), optionally restricted
+    to one Structure — the bridge from build_xbrl_taxonomy_frames
+    output to apply_element_mapping, mirroring how the reference's
+    mapping views read structure associations from the graph
+    (/root/reference/robosystems/operations/views/element_mapping.py:91-143).
+
+    The collect is bounded: a mapping structure is chart-of-accounts
+    sized (the reference also holds it in memory).  Arc weight is the
+    association weight (1.0 when null, the presentation-arc case).
+    """
+    assoc = association
+    if structure_assoc is not None and structure_id is not None:
+        keep = structure_assoc.filter(F.col("src") == structure_id).select(
+            F.col("dst").alias("identifier")
+        )
+        assoc = assoc.join(keep, "identifier", "left_semi")
+    elem = element.select(
+        F.col("identifier").alias("_eid"), F.col("uri").alias("_euri")
+    )
+    rows = (
+        assoc.select("identifier", "weight")
+        .join(
+            assoc_from.select(
+                F.col("src").alias("identifier"), F.col("dst").alias("_from_id")
+            ),
+            "identifier",
+        )
+        .join(
+            assoc_to.select(
+                F.col("src").alias("identifier"), F.col("dst").alias("_to_id")
+            ),
+            "identifier",
+        )
+        .join(elem.withColumnRenamed("_eid", "_from_id").withColumnRenamed("_euri", "target"), "_from_id")
+        .join(elem.withColumnRenamed("_eid", "_to_id").withColumnRenamed("_euri", "source"), "_to_id")
+        .select("target", "source", "weight")
+        .collect()
+    )
+    return MappingStructure(
+        name=name,
+        associations=[
+            ElementAssociation(
+                target_element=r["target"],
+                source_element=r["source"],
+                weight=float(r["weight"]) if r["weight"] is not None else 1.0,
+                aggregation_method=method,
+            )
+            for r in rows
+        ],
+    )
+
+
 def apply_element_mapping(
     fact_data: DataFrame,
     mapping: MappingStructure,

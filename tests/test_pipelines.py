@@ -7,11 +7,27 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from robosystems_spark.pipelines import build_gl_frames, build_xbrl_graph_frames
+from robosystems_spark.pipelines import (
+    build_gl_frames,
+    build_xbrl_graph_frames,
+    build_xbrl_taxonomy_frames,
+    classify_elements,
+)
 from robosystems_spark.pipelines.gl import GL_NODE_TABLES, GL_REL_TABLES
-from robosystems_spark.pipelines.xbrl import NODE_TABLES, REL_TABLES
+from robosystems_spark.pipelines.xbrl import (
+    ARCROLE_PARENT_CHILD,
+    ARCROLE_SUMMATION_ITEM,
+    NODE_TABLES,
+    REL_TABLES,
+    TAXONOMY_NODE_TABLES,
+    TAXONOMY_REL_TABLES,
+)
 from robosystems_spark.sources.materialize import GraphStore
 from robosystems_spark.views import fact_query, trial_balance
+from robosystems_spark.views.element_mapping import (
+    apply_element_mapping,
+    mapping_from_frames,
+)
 
 
 @pytest.fixture(scope="module")
@@ -83,6 +99,173 @@ def test_xbrl_to_fact_query_end_to_end(spark, raw_facts, tmp_path):
     assert dim_out[0]["numeric_value"] == 600000.0
     assert dim_out[0]["dimension_axis"] == "segment"
     assert dim_out[0]["dimension_member"] == "us"
+
+
+@pytest.fixture(scope="module")
+def raw_arcs(spark):
+    # one calculation structure: Assets = Cash(+1) + Inventory(+1);
+    # one presentation structure: Assets > Cash > PettyCash
+    rows = [
+        ("acc-1", "http://acme.com/20231231", "http://acme.com/role/BalanceSheet",
+         None, "1001 - Statement - Balance Sheet", ARCROLE_SUMMATION_ITEM,
+         "uri:assets", "uri:cash", 1.0, 1.0, None),
+        ("acc-1", "http://acme.com/20231231", "http://acme.com/role/BalanceSheet",
+         None, "1001 - Statement - Balance Sheet", ARCROLE_SUMMATION_ITEM,
+         "uri:assets", "uri:inventory", 2.0, 1.0, None),
+        ("acc-1", "http://acme.com/20231231", "http://acme.com/role/BalanceSheetPres",
+         None, "1002 - Statement - Balance Sheet Pres", ARCROLE_PARENT_CHILD,
+         "uri:assets", "uri:cash", 1.0, None, "terseLabel"),
+        ("acc-1", "http://acme.com/20231231", "http://acme.com/role/BalanceSheetPres",
+         None, "1002 - Statement - Balance Sheet Pres", ARCROLE_PARENT_CHILD,
+         "uri:cash", "uri:pettycash", 1.0, None, None),
+    ]
+    schema = (
+        "accession string, taxonomy_uri string, role_uri string, role_id string, "
+        "role_definition string, arcrole string, parent_uri string, child_uri string, "
+        "order_value double, weight double, preferred_label string"
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+@pytest.fixture(scope="module")
+def raw_labels(spark):
+    rows = [
+        ("uri:cash", "Cash and equivalents",
+         "http://www.xbrl.org/2003/role/label", "en-US"),
+        ("uri:assets", "Total assets",
+         "http://www.xbrl.org/2003/role/label", "en-US"),
+    ]
+    return spark.createDataFrame(
+        rows, "element_uri string, value string, type string, language string"
+    )
+
+
+@pytest.fixture(scope="module")
+def raw_references(spark):
+    rows = [("uri:assets", "ASC 210-10-45", "http://www.xbrl.org/2003/role/reference")]
+    return spark.createDataFrame(rows, "element_uri string, value string, type string")
+
+
+def test_taxonomy_frames_structures_and_associations(spark, raw_arcs, raw_labels, raw_references):
+    frames = build_xbrl_taxonomy_frames(raw_arcs, raw_labels, raw_references)
+    assert set(frames) == set(TAXONOMY_NODE_TABLES + TAXONOMY_REL_TABLES + ["Element"])
+    assert frames["Taxonomy"].count() == 1
+    structures = {r["name"]: r for r in frames["Structure"].collect()}
+    assert set(structures) == {"Balance Sheet", "Balance Sheet Pres"}
+    assert structures["Balance Sheet"]["number"] == "1001"
+    assert structures["Balance Sheet"]["type"] == "Statement"
+
+    assocs = frames["Association"].collect()
+    assert len(assocs) == 4
+    by_type = {}
+    for a in assocs:
+        by_type.setdefault(a["association_type"], []).append(a)
+    assert len(by_type["Calculation"]) == 2
+    assert len(by_type["Presentation"]) == 2
+    # weight only survives on calculation arcs
+    assert all(a["weight"] == 1.0 for a in by_type["Calculation"])
+    assert all(a["weight"] is None for a in by_type["Presentation"])
+    # root derivation: assets is root in both structures; cash is a
+    # parent in the presentation structure but NOT a root there
+    roots = [a for a in assocs if a["root"]]
+    assert len(roots) == 3  # 2 calc arcs from assets + 1 pres arc from assets
+    # labels / references + rels
+    assert frames["Label"].count() == 2
+    assert frames["Reference"].count() == 1
+    assert frames["ELEMENT_HAS_LABEL"].count() == 2
+    assert frames["TAXONOMY_HAS_LABEL"].count() == 2
+    assert frames["ELEMENT_HAS_REFERENCE"].count() == 1
+    # structure wiring
+    assert frames["STRUCTURE_HAS_ASSOCIATION"].count() == 4
+    assert frames["ASSOCIATION_HAS_FROM_ELEMENT"].count() == 4
+    assert frames["ASSOCIATION_HAS_TO_ELEMENT"].count() == 4
+    # deterministic ids across rebuilds (unlike the reference's uuid7)
+    again = build_xbrl_taxonomy_frames(raw_arcs, raw_labels, raw_references)
+    ids1 = sorted(r["identifier"] for r in frames["Association"].collect())
+    ids2 = sorted(r["identifier"] for r in again["Association"].collect())
+    assert ids1 == ids2
+
+
+def test_element_classification(spark):
+    rows = [
+        ("uri:hyper", "xbrldt:hypercubeItem", "duration", None, None, True),
+        ("uri:dim", "xbrldt:hypercubeItem", "instant", None, None, True),
+        ("uri:domain", "xbrli:item", "duration", "domainItemType", "true", True),
+        ("uri:member", "xbrli:item", "duration", "domainItemType", "false", True),
+        ("uri:li#StatementLineItems", "xbrli:item", "duration", None, None, True),
+        ("uri:plain", "xbrli:item", "duration", None, None, False),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "uri string, substitution_group_qname string, period_type string, "
+        "type_name string, nillable string, is_abstract boolean",
+    ).withColumn("name", F.element_at(F.split("uri", "#"), -1))
+    got = {r["uri"]: r["classification"] for r in classify_elements(df).collect()}
+    assert got == {
+        "uri:hyper": "hypercubeElement",
+        "uri:dim": "dimensionElement",
+        "uri:domain": "domainElement",
+        "uri:member": "memberElement",
+        "uri:li#StatementLineItems": "lineItemsElement",
+        "uri:plain": None,
+    }
+
+
+def test_factset_frames(spark, raw_facts):
+    frames = build_xbrl_graph_frames(raw_facts)
+    assert frames["FactSet"].count() == 1
+    assert frames["REPORT_HAS_FACT_SET"].count() == 1
+    assert frames["FACT_SET_CONTAINS_FACT"].count() == 4
+    ctx = frames["REPORT_HAS_FACT_SET"].first()["fact_set_context"]
+    assert ctx == "Report facts for 10-K"
+
+
+def test_taxonomy_to_element_mapping_end_to_end(
+    spark, raw_facts, raw_arcs, raw_labels, raw_references, tmp_path
+):
+    """Full slice: facts + linkbases → frames → GraphStore → the
+    calculation structure drives an element-mapping roll-up."""
+    fact_frames = build_xbrl_graph_frames(raw_facts)
+    tax_frames = build_xbrl_taxonomy_frames(raw_arcs, raw_labels, raw_references)
+    store = GraphStore(spark, str(tmp_path / "graphs"), "sec_kg")
+    store.materialize(
+        fact_frames, node_tables=NODE_TABLES, rel_tables=REL_TABLES
+    )
+    # element frames from both builders union into one table
+    merged_elements = fact_frames["Element"].unionByName(
+        tax_frames["Element"], allowMissingColumns=True
+    ).dropDuplicates(["identifier"])
+    tax_frames = {**tax_frames, "Element": merged_elements}
+    store.materialize(
+        tax_frames,
+        node_tables=[t for t in TAXONOMY_NODE_TABLES + ["Element"] if t in tax_frames],
+        rel_tables=[t for t in TAXONOMY_REL_TABLES if t in tax_frames],
+    )
+    # pick the calculation structure out of the store
+    structures = store.read("Structure").collect()
+    calc_id = next(r["identifier"] for r in structures if r["name"] == "Balance Sheet")
+    mapping = mapping_from_frames(
+        store.read("Association"),
+        store.read("ASSOCIATION_HAS_FROM_ELEMENT"),
+        store.read("ASSOCIATION_HAS_TO_ELEMENT"),
+        store.read("Element"),
+        structure_assoc=store.read("STRUCTURE_HAS_ASSOCIATION"),
+        structure_id=calc_id,
+        method="sum",
+    )
+    assert {(a.target_element, a.source_element) for a in mapping.associations} == {
+        ("uri:assets", "uri:cash"),
+        ("uri:assets", "uri:inventory"),
+    }
+    # roll up: cash 70 + inventory 30 → assets 100
+    facts = spark.createDataFrame(
+        [("uri:cash", "e1", 70.0), ("uri:inventory", "e1", 30.0)],
+        "element_id string, entity_id string, numeric_value double",
+    )
+    out = apply_element_mapping(facts, mapping).collect()
+    assert len(out) == 1
+    assert out[0]["element_id"] == "uri:assets"
+    assert out[0]["numeric_value"] == 100.0
 
 
 @pytest.fixture(scope="module")
