@@ -150,44 +150,90 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # n-gram Jaccard near-dup with prefix blocking — SQL-expressible, so it
 # gets a real oracle; blocking keeps both sides O(candidates).
 # ---------------------------------------------------------------------------
+# Per-block candidate cap: a block bigger than this is split into
+# ceil(size/CAP) sub-blocks keyed by doc_id % n_sub, bounding the
+# in-block self-join at CAP*(CAP-1)/2 pairs per sub-block.  Sub-split
+# is engine-stable arithmetic (doc_id modulo), so the DuckDB oracle
+# computes the identical candidate set.  Recall tradeoff: near-dup
+# pairs landing in different sub-blocks of an oversized block are
+# missed — the standard blocking compromise; boilerplate-heavy corpora
+# otherwise make one SUBSTRING(text,1,32) block quadratic.
+_JACCARD_BLOCK_CAP = 64
+
+
 @register(
     "ngram_jaccard_blocked_pairs",
-    oracle=r"""
+    oracle=rf"""
     WITH t AS (
       SELECT doc_id,
              LIST_DISTINCT(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+')) AS toks,
              SUBSTRING(text, 1, 32) AS blk
       FROM documents
+    ),
+    s AS (
+      SELECT blk, CAST(CEIL(COUNT(*) / {_JACCARD_BLOCK_CAP}.0) AS BIGINT) AS n_sub
+      FROM t GROUP BY blk
+    ),
+    t2 AS (
+      SELECT t.doc_id, t.toks, t.blk, t.doc_id % s.n_sub AS sub
+      FROM t JOIN s USING (blk)
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            ROUND(CAST(LEN(LIST_INTERSECT(a.toks, b.toks)) AS DOUBLE)
                  / LEN(LIST_DISTINCT(LIST_CONCAT(a.toks, b.toks))), 6) AS jaccard
-    FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    FROM t2 a JOIN t2 b
+      ON a.blk = b.blk AND a.sub = b.sub AND a.doc_id < b.doc_id
     WHERE CAST(LEN(LIST_INTERSECT(a.toks, b.toks)) AS DOUBLE)
           / LEN(LIST_DISTINCT(LIST_CONCAT(a.toks, b.toks))) >= 0.5
     """,
-    doc="Token-set Jaccard near-dup over prefix-blocked candidate pairs (LLM-pipeline op).",
+    doc="Token-set Jaccard near-dup over prefix-blocked candidate pairs with a per-block "
+    "size cap (oversized blocks sub-split by doc_id modulo, engine-stable) (LLM-pipeline op).",
     tags=("dedup",),
 )
 def ngram_jaccard_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
+    return jaccard_blocked_pairs(docs, threshold=0.5, cap=_JACCARD_BLOCK_CAP)
+
+
+def jaccard_blocked_pairs(
+    docs: DataFrame, threshold: float = 0.5, cap: int = _JACCARD_BLOCK_CAP
+) -> DataFrame:
+    """Prefix-blocked token-Jaccard near-dup with bounded block size.
+
+    Oversized blocks (boilerplate-heavy corpora collapse onto one
+    32-char prefix) are sub-split into ``ceil(size/cap)`` sub-blocks
+    before the self-join, so per-block verify work is O(cap²) instead
+    of quadratic in the block.  The block-size aggregation is one
+    groupBy (AQE skew-join handles the join-back); the sub-key is
+    ``doc_id % n_sub`` — deterministic, engine-stable, uniform for
+    dense ids.
+    """
     t = docs.select(
         "doc_id",
         F.array_distinct(T.tokens("text")).alias("toks"),
         F.substring("text", 1, 32).alias("blk"),
     )
-    a, b = t.alias("a"), t.alias("b")
+    sizes = t.groupBy("blk").agg(
+        F.ceil(F.count(F.lit(1)) / float(cap)).alias("n_sub")
+    )
+    t2 = t.join(sizes, "blk").withColumn("sub", F.pmod("doc_id", F.col("n_sub"))).drop("n_sub")
+    a, b = t2.alias("a"), t2.alias("b")
     jac = F.size(F.array_intersect("a.toks", "b.toks")).cast("double") / F.size(
         F.array_union("a.toks", "b.toks")
     )
     return (
-        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.sub") == F.col("b.sub"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             F.round(jac, 6).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= 0.5)
+        .filter(F.col("jaccard") >= threshold)
     )
 
 

@@ -84,3 +84,40 @@ def test_exact_duplicates_keep_min_id(spark):
     groups = sorted((r["n_docs"], r["keep_doc_id"]) for r in out.values())
     # whitespace/case-normalized: docs 1 and 5 collapse, keep id 1
     assert groups == [(1, 9), (2, 1)]
+
+
+def test_jaccard_block_cap_bounds_skewed_blocks(spark):
+    """A boilerplate-heavy corpus (many docs sharing one 32-char
+    prefix) must not produce a quadratic block: the sub-split bounds
+    every (blk, sub) group at the cap while still pairing true
+    near-dups that land in the same sub-block."""
+    from robosystems_spark.inventory.llm import jaccard_blocked_pairs
+
+    cap = 8
+    boiler = "the quick brown fox jumps over the lazy dog "  # >32 chars
+    rows = [(i, boiler + f"unique tail {i} " + " ".join(f"w{i}_{j}" for j in range(5)))
+            for i in range(100)]
+    # two exact near-dup pairs with adjacent ids (same sub-block for
+    # any n_sub that divides evenly... use identical ids mod everything:
+    # duplicate content at ids 200/201 sharing a DIFFERENT prefix)
+    rows += [(200, "zz completely different prefix content alpha beta gamma"),
+             (201, "zz completely different prefix content alpha beta gamma")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # bounded sub-blocks: recompute the grouping the operator uses
+    t = docs.select(
+        "doc_id", F.substring("text", 1, 32).alias("blk")
+    )
+    sizes = t.groupBy("blk").agg(F.ceil(F.count(F.lit(1)) / float(cap)).alias("n_sub"))
+    grouped = (
+        t.join(sizes, "blk")
+        .withColumn("sub", F.pmod("doc_id", F.col("n_sub")))
+        .groupBy("blk", "sub")
+        .count()
+        .collect()
+    )
+    assert max(r["count"] for r in grouped) <= cap
+
+    pairs = jaccard_blocked_pairs(docs, threshold=0.9, cap=cap).collect()
+    # the duplicate pair (200,201) shares a 2-doc block -> n_sub=1 -> found
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} >= {(200, 201)}
