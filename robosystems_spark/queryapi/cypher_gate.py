@@ -22,17 +22,36 @@ class CypherGateError(ValueError):
 
 
 class CypherGate:
-    """Read-only (main graph) or read-write (subgraph) Cypher endpoint."""
+    """Read-only (main graph) or read-write (subgraph) Cypher endpoint.
+
+    Writability is derived from the graph id's identity (subgraphs
+    like ``kg..._dev`` are read-write; main graphs, shared repos and
+    system graphs reject writes) — the reference's graph-id routing
+    (middleware/graph/types.py:178-428) rather than a caller-supplied
+    flag.  ``graph_metadata`` plays the IAM-lookup role when the
+    caller knows more than the pattern (e.g. a repository flag).
+    """
 
     def __init__(
         self,
         engine: CypherEngine,
-        is_subgraph: bool = False,
+        graph_id: str = "kg0000000000000000",
         max_query_length: int = 10_000,
+        graph_metadata: dict | None = None,
     ):
+        from robosystems_spark.queryapi.graph_identity import identify_graph
+
         self.engine = engine
-        self.is_subgraph = is_subgraph
+        try:
+            self.identity = identify_graph(graph_id, graph_metadata)
+        except ValueError as e:
+            raise CypherGateError(str(e)) from e
+        self.graph_id = graph_id
         self.max_query_length = max_query_length
+
+    @property
+    def is_subgraph(self) -> bool:
+        return self.identity.is_subgraph
 
     def query(self, cypher: str, params: dict | None = None) -> DataFrame:
         if not cypher or not cypher.strip():
@@ -51,7 +70,12 @@ class CypherGate:
             raise CypherGateError(
                 "Bulk operations must use the staging/materialization pipeline"
             )
-        if op in (OperationType.WRITE, OperationType.DDL) and not self.is_subgraph:
+        if op in (OperationType.WRITE, OperationType.DDL) and not self.identity.writable:
+            if self.identity.is_shared_repository:
+                raise CypherGateError(
+                    "Shared repositories are read-only. Write operations are "
+                    "not allowed."
+                )
             raise CypherGateError(
                 "Write operations are not allowed on main graphs; use a subgraph"
             )

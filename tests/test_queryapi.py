@@ -132,3 +132,110 @@ def test_timeout_enforcement_cancels_jobs(spark):
         with tc.enforce(spark, "timeout-test", 2.0):
             slow.collect()
     assert time.time() - t0 < 60
+
+
+# ---------------------------------------------------------------------------
+# Graph-id semantics: main vs _dev subgraph routing, invalid-id rejection
+# (reference middleware/graph/types.py:178-428)
+# ---------------------------------------------------------------------------
+class TestGraphIdentity:
+    def test_parse_and_construct(self):
+        from robosystems_spark.queryapi.graph_identity import (
+            construct_subgraph_id,
+            is_subgraph_id,
+            parse_graph_id,
+        )
+
+        assert parse_graph_id("kg0123456789abcdef_dev") == ("kg0123456789abcdef", "dev")
+        assert parse_graph_id("kg0123456789abcdef") == ("kg0123456789abcdef", None)
+        assert parse_graph_id("sec") == ("sec", None)
+        assert is_subgraph_id("kg0123456789abcdef_dev")
+        assert not is_subgraph_id("kg0123456789abcdef")
+        assert not is_subgraph_id("sec")
+        assert not is_subgraph_id("tenant1_entity")
+        assert not is_subgraph_id("_")
+        assert not is_subgraph_id("kg0123456789abcdef_this-has-hyphens")
+        assert not is_subgraph_id("kg0123456789abcdef_" + "x" * 21)
+        assert (
+            construct_subgraph_id("kg0123456789abcdef", "dev")
+            == "kg0123456789abcdef_dev"
+        )
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            construct_subgraph_id("notakg", "dev")
+        with _pytest.raises(ValueError):
+            construct_subgraph_id("kg0123456789abcdef", "bad-name!")
+
+    def test_identify_categories(self):
+        from robosystems_spark.queryapi.graph_identity import (
+            AccessPattern,
+            GraphCategory,
+            identify_graph,
+        )
+
+        main = identify_graph("kg0123456789abcdef")
+        assert main.category is GraphCategory.USER and not main.is_subgraph
+        assert not main.writable
+
+        dev = identify_graph("kg0123456789abcdef_dev")
+        assert dev.is_subgraph and dev.subgraph_name == "dev"
+        assert dev.writable
+
+        shared = identify_graph("sec")
+        assert shared.category is GraphCategory.SHARED
+        assert shared.get_access_pattern() is AccessPattern.READ_ONLY
+        assert not shared.writable
+        assert shared.get_routing_info()["cluster_type"] == "shared_writer"
+
+        system = identify_graph("metadata")
+        assert system.category is GraphCategory.SYSTEM and not system.writable
+
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="Invalid graph id"):
+            identify_graph("kg_tooshort")
+        with _pytest.raises(ValueError, match="Invalid graph id"):
+            identify_graph("KG0123456789ABCDEF")  # uppercase hex rejected
+
+    def test_metadata_overrides_pattern(self):
+        from robosystems_spark.queryapi.graph_identity import (
+            GraphCategory,
+            identify_graph,
+        )
+
+        # IAM-lookup seam: a repository flag wins over the kg pattern
+        repo = identify_graph(
+            "kg0123456789abcdef", {"is_repository": True, "repository_type": "sec"}
+        )
+        assert repo.category is GraphCategory.SHARED and not repo.writable
+
+    def test_gate_write_routing_matrix(self, spark):
+        from robosystems_spark.cypher import CypherEngine
+        from robosystems_spark.queryapi.cypher_gate import CypherGate, CypherGateError
+
+        engine = CypherEngine(
+            {"Person": spark.createDataFrame([("p1", "a")], ["identifier", "name"])}
+        )
+        read_q = "MATCH (p:Person) RETURN p.name AS n"
+        write_q = "CREATE (p:Person {identifier: 'x'})"
+
+        main = CypherGate(engine, graph_id="kg0123456789abcdef")
+        assert main.query(read_q).count() == 1
+        import pytest as _pytest
+
+        with _pytest.raises(CypherGateError, match="main graphs"):
+            main.query(write_q)
+
+        dev = CypherGate(engine, graph_id="kg0123456789abcdef_dev")
+        assert dev.is_subgraph  # write admission derives from the id
+        # (the engine executes reads; write compilation is exercised in
+        # test_mutations — here we only assert the gate admits/queries)
+        assert dev.query(read_q).count() == 1
+
+        shared = CypherGate(engine, graph_id="sec")
+        with _pytest.raises(CypherGateError, match="read-only"):
+            shared.query(write_q)
+
+        with _pytest.raises(CypherGateError, match="Invalid graph id"):
+            CypherGate(engine, graph_id="bogus id!")
