@@ -21,7 +21,12 @@ from collections.abc import Iterator
 from dataclasses import dataclass
 
 from robosystems_spark.queryapi.cypher_gate import CypherGate
-from robosystems_spark.queryapi.strategies import ClientCapabilities, select_strategy
+from robosystems_spark.queryapi.strategies import (
+    ClientCapabilities,
+    SystemState,
+    detect_client,
+    select_strategy,
+)
 from robosystems_spark.serving.admission import AdmissionController
 from robosystems_spark.serving.chunking import iter_chunks
 from robosystems_spark.serving.queue import QueryQueue
@@ -37,6 +42,10 @@ class QueryResult:
     strategy: str
     chunks: Iterator[list[dict]]
     columns: list[str]
+    # SSE wire frames when the selected strategy is SSE-framed
+    # (sse_streaming / sse_queue_stream); None otherwise
+    sse: Iterator[str] | None = None
+    operation_id: str = ""
 
 
 class QueryService:
@@ -61,13 +70,23 @@ class QueryService:
         user_id: str = "anonymous",
         tier: str = "standard",
         client: ClientCapabilities | None = None,
+        headers: dict | None = None,
         chunk_size: int | None = None,
+        mode_override: str | None = None,
     ) -> QueryResult:
         decision = self.admission.check()
         if not decision.admitted:
             raise ServiceRejected(f"Load shed: {decision.reason}")
 
-        plan = select_strategy(cypher, client)
+        if client is None and headers is not None:
+            client = detect_client(headers)
+        system = SystemState(
+            queue_size=getattr(self.admission, "queue_depth", 0) or 0,
+            running_queries=0,
+        )
+        plan = select_strategy(
+            cypher, client, system=system, mode_override=mode_override
+        )
         self.queue.submit(cypher, user_id=user_id, tier=tier)
         item = self.queue.acquire()
         if item is None:
@@ -79,12 +98,22 @@ class QueryService:
             df = self.gate.query(cypher, params)
             spark = df.sparkSession
             group = f"query-{uuid.uuid4().hex[:8]}"
+            operation_id = f"op-{uuid.uuid4().hex[:12]}"
             with self.timeouts.enforce(spark, group, budget.execution_s):
                 chunks = list(iter_chunks(df, chunk_size or plan.chunk_size))
+            sse = None
+            if plan.strategy.value in ("sse_streaming", "sse_queue_stream", "sse_progress"):
+                from robosystems_spark.serving.sse import sse_stream_from_chunks
+
+                sse = sse_stream_from_chunks(
+                    operation_id, df.columns, chunks
+                )
             return QueryResult(
                 strategy=plan.strategy.value,
                 chunks=iter(chunks),
                 columns=df.columns,
+                sse=sse,
+                operation_id=operation_id,
             )
         finally:
             self.queue.release()

@@ -33,7 +33,9 @@ def test_lifecycle_happy_path(service):
         chunk_size=10,
     )
     batches = list(result.chunks)
-    assert result.strategy == "json_complete"
+    # unbounded query + no declared streaming capability: the matrix
+    # still streams NDJSON (reference strategies.py:279-285)
+    assert result.strategy == "ndjson_streaming"
     assert result.columns == ["name"]
     assert [len(b) for b in batches] == [10]
     assert batches[0][0] == {"name": "name20"}

@@ -138,7 +138,9 @@ def test_strategy_selection():
     assert select_strategy("MATCH (n) RETURN n LIMIT 10").strategy == Strategy.JSON_IMMEDIATE
     assert select_strategy("MATCH (n) RETURN n LIMIT 500").strategy == Strategy.JSON_COMPLETE
     big = "MATCH (n) RETURN n"
-    assert select_strategy(big).strategy == Strategy.JSON_COMPLETE
+    # unbounded result + no streaming capability: NDJSON anyway
+    # (reference strategies.py:279-285)
+    assert select_strategy(big).strategy == Strategy.NDJSON_STREAMING
     assert (
         select_strategy(big, ClientCapabilities(accepts_ndjson=True)).strategy
         == Strategy.NDJSON_STREAMING
@@ -150,3 +152,180 @@ def test_strategy_selection():
     plan = select_strategy("MATCH (a)-[*1..3]->(b) RETURN a")
     assert plan.strategy == Strategy.QUEUED and plan.timeout_mode == "queued"
     assert select_strategy(big, ClientCapabilities(is_test_client=True)).timeout_mode == "testing"
+
+
+def test_strategy_matrix_overrides_and_load():
+    from robosystems_spark.queryapi.strategies import (
+        ClientCapabilities,
+        Strategy,
+        SystemState,
+        select_strategy,
+    )
+
+    q = "MATCH (n) RETURN n LIMIT 500"
+    # mode overrides win over everything (strategies.py:197-213)
+    assert select_strategy(q, mode_override="sync").strategy == Strategy.SYNC_TESTING
+    assert (
+        select_strategy(q, mode_override="async").strategy
+        == Strategy.TRADITIONAL_QUEUE
+    )
+    assert (
+        select_strategy(
+            q, ClientCapabilities(accepts_sse=True), mode_override="stream"
+        ).strategy
+        == Strategy.SSE_STREAMING
+    )
+    assert (
+        select_strategy(q, mode_override="stream").strategy
+        == Strategy.NDJSON_STREAMING
+    )
+    # interactive clients get sync regardless of size (217-228)
+    assert (
+        select_strategy(
+            "MATCH (n) RETURN n", ClientCapabilities(is_test_client=True)
+        ).strategy
+        == Strategy.SYNC_TESTING
+    )
+    # loaded system queues; SSE-capable clients get queue+stream (241-248)
+    loaded = SystemState(queue_size=3)
+    assert (
+        select_strategy(q, ClientCapabilities(accepts_sse=True), system=loaded).strategy
+        == Strategy.SSE_QUEUE_STREAM
+    )
+    assert (
+        select_strategy(q, system=loaded).strategy == Strategy.TRADITIONAL_QUEUE
+    )
+    # async-preferring clients skip the SSE queue-stream
+    assert (
+        select_strategy(
+            q,
+            ClientCapabilities(accepts_sse=True, prefers_async=True),
+            system=loaded,
+        ).strategy
+        == Strategy.TRADITIONAL_QUEUE
+    )
+    # writes never stream (235-239)
+    assert (
+        select_strategy(q, ClientCapabilities(accepts_sse=True), is_write=True).strategy
+        == Strategy.JSON_COMPLETE
+    )
+    assert (
+        select_strategy(q, system=loaded, is_write=True).strategy
+        == Strategy.TRADITIONAL_QUEUE
+    )
+    # medium + stream preference honors capability (257-265)
+    assert (
+        select_strategy(
+            q, ClientCapabilities(accepts_ndjson=True, prefers_stream=True)
+        ).strategy
+        == Strategy.NDJSON_STREAMING
+    )
+
+
+def test_client_detection_headers():
+    from robosystems_spark.queryapi.strategies import detect_client
+
+    c = detect_client(
+        {
+            "Accept": "text/event-stream",
+            "User-Agent": "Mozilla/5.0 Chrome/120",
+            "Prefer": "respond-async, wait=30",
+        }
+    )
+    assert c.accepts_sse and not c.accepts_ndjson
+    assert c.is_browser and not c.is_test_client
+    assert c.prefers_async and c.prefers_wait and c.wait_time == 30
+
+    tool = detect_client({"user-agent": "PostmanRuntime/7.36", "accept": "*/*"})
+    assert tool.is_test_client
+    nd = detect_client({"accept": "application/x-ndjson"})
+    assert nd.accepts_ndjson and not nd.accepts_sse
+    # swagger-referred browser is interactive
+    sw = detect_client(
+        {
+            "user-agent": "Mozilla/5.0 Firefox",
+            "referer": "https://host/swagger/index.html",
+        }
+    )
+    assert sw.is_test_client
+
+
+def test_sse_event_framing(spark):
+    from robosystems_spark.serving.sse import EventType, sse_events
+
+    df = spark.createDataFrame([(i, f"n{i}") for i in range(25)], ["id", "name"])
+    events = list(sse_events(df.orderBy("id"), "op-1", chunk_size=10))
+    kinds = [e.event_type for e in events]
+    assert kinds[0] == EventType.OPERATION_STARTED
+    assert kinds[-1] == EventType.OPERATION_COMPLETED
+    data_chunks = [e for e in events if e.event_type == EventType.DATA_CHUNK]
+    assert [e.data["row_count"] for e in data_chunks] == [10, 10, 5]
+    assert data_chunks[-1].data["total_rows_sent"] == 25
+    assert events[-1].data == {
+        "status": "completed",
+        "total_rows": 25,
+        "total_chunks": 3,
+    }
+    # sequence numbers are contiguous; wire format is SSE-correct
+    assert [e.sequence_number for e in events] == list(range(len(events)))
+    wire = events[0].to_sse_format()
+    assert wire.startswith("event: operation_started\ndata: {")
+    assert wire.endswith("\n\n")
+    import json as _json
+
+    payload = _json.loads(wire.split("data: ", 1)[1])
+    assert payload["operation_id"] == "op-1" and payload["columns"] == ["id", "name"]
+
+
+def test_sse_keepalive_between_slow_chunks(spark):
+    from robosystems_spark.serving.sse import EventType, sse_events
+
+    df = spark.createDataFrame([(i,) for i in range(30)], ["id"])
+    # fake clock: every chunk appears to take 31 simulated seconds
+    t = {"now": 0.0}
+
+    def clock():
+        t["now"] += 31.0
+        return t["now"]
+
+    events = list(
+        sse_events(df, "op-2", chunk_size=10, keepalive_interval_s=30.0, clock=clock)
+    )
+    kinds = [e.event_type for e in events]
+    assert EventType.KEEPALIVE in kinds
+    # a keepalive precedes every data chunk under the slow clock
+    for i, k in enumerate(kinds):
+        if k == EventType.DATA_CHUNK:
+            assert kinds[i - 1] == EventType.KEEPALIVE
+
+
+def test_service_sse_strategy_end_to_end(spark):
+    from robosystems_spark.cypher import CypherEngine
+    from robosystems_spark.queryapi.cypher_gate import CypherGate
+    from robosystems_spark.queryapi.strategies import ClientCapabilities
+    from robosystems_spark.serving.service import QueryService
+
+    engine = CypherEngine(
+        {
+            "Person": spark.createDataFrame(
+                [(f"p{i}", f"name{i}") for i in range(25)], ["identifier", "name"]
+            )
+        }
+    )
+    svc = QueryService(CypherGate(engine), endpoint_timeout_s=120)
+    res = svc.execute(
+        "MATCH (p:Person) RETURN p.name AS name",  # unbounded -> large
+        client=ClientCapabilities(accepts_sse=True),
+        chunk_size=10,  # MIN_CHUNK_SIZE clamp floor
+    )
+    assert res.strategy == "sse_streaming"
+    frames = list(res.sse)
+    assert frames[0].startswith("event: operation_started\n")
+    assert frames[-1].startswith("event: operation_completed\n")
+    assert sum(1 for f in frames if f.startswith("event: data_chunk\n")) == 3
+    # headers drive detection the same way
+    res2 = svc.execute(
+        "MATCH (p:Person) RETURN p.name AS name",
+        headers={"accept": "application/x-ndjson"},
+    )
+    assert res2.strategy == "ndjson_streaming" and res2.sse is None
