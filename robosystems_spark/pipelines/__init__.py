@@ -12,3 +12,8 @@ from robosystems_spark.pipelines.xbrl import (  # noqa: F401
     classify_elements,
 )
 from robosystems_spark.pipelines.gl import build_gl_frames  # noqa: F401
+from robosystems_spark.pipelines.connectors import (  # noqa: F401
+    normalize_plaid_transactions,
+    normalize_quickbooks_journal,
+    plaid_account_elements,
+)

@@ -53,6 +53,18 @@ def build_gl_frames(transactions: DataFrame, validate: bool = True) -> dict[str,
     )
     lines = lines.cache()
 
+    # connector provenance columns (Plaid/QuickBooks normalizers) ride
+    # through onto the Transaction node when present (schema
+    # roboledger.py Transaction: plaid_*, sync_hash)
+    passthrough = [
+        c
+        for c in (
+            "plaid_category", "plaid_merchant_name", "plaid_pending",
+            "qb_transaction_id", "sync_hash", "transaction_type",
+            "reference_number", "status",
+        )
+        if c in tx.columns
+    ]
     transaction = tx.select(
         F.col("_txn_id").alias("identifier"),
         F.col("txn_number").alias("transaction_number"),
@@ -62,6 +74,7 @@ def build_gl_frames(transactions: DataFrame, validate: bool = True) -> dict[str,
         F.col("description"),
         F.col("date").cast("date").alias("date"),
         F.col("currency"),
+        *[F.col(c) for c in passthrough],
     ).dropDuplicates(["identifier"])
 
     line_item = lines.select(

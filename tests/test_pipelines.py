@@ -309,3 +309,136 @@ def test_gl_unbalanced_rejected(spark):
     )
     with pytest.raises(ValueError, match="Unbalanced"):
         build_gl_frames(bad)
+
+
+# ---------------------------------------------------------------------------
+# Plaid / QuickBooks connector normalizers (adapters/{plaid,quickbooks}/
+# processors/transactions.py semantics)
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def plaid_accounts(spark):
+    rows = [
+        ("acc-chk", "Everyday Checking", "depository", "checking", "1234",
+         1500.0, 1400.0, "USD"),
+        ("acc-cc", "Rewards Card", "credit", "credit card", "9999",
+         -250.0, 750.0, "USD"),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "account_id string, name string, type string, subtype string, mask string, "
+        "current_balance double, available_balance double, currency string",
+    )
+
+
+def test_plaid_account_elements(spark, plaid_accounts):
+    from robosystems_spark.pipelines import plaid_account_elements
+
+    elems = {r["plaid_account_id"]: r for r in plaid_account_elements(plaid_accounts).collect()}
+    chk = elems["acc-chk"]
+    # sign conventions from transactions.py:128-136
+    assert chk["balance"] == "debit" and chk["period_type"] == "instant"
+    assert chk["classification"] == "bank_account"
+    assert chk["uri"] == "https://plaid.com/account/acc-chk#element"
+    assert chk["qname"] == "plaid:EverydayChecking_depository_checking"
+    cc = elems["acc-cc"]
+    assert cc["balance"] == "credit"
+    # deterministic ids
+    again = {r["plaid_account_id"]: r["identifier"]
+             for r in plaid_account_elements(plaid_accounts).collect()}
+    assert again == {k: v["identifier"] for k, v in elems.items()}
+
+
+def test_plaid_sync_to_trial_balance(spark, plaid_accounts, tmp_path):
+    from robosystems_spark.pipelines import (
+        normalize_plaid_transactions,
+    )
+
+    txn_schema = (
+        "transaction_id string, account_id string, amount double, date string, "
+        "name string, merchant_name string, pending boolean, category string, "
+        "currency string"
+    )
+    added = spark.createDataFrame(
+        [
+            ("t1", "acc-chk", 100.0, "2024-01-05", "Grocery run", "WholeFoods",
+             False, "Groceries", "USD"),
+            ("t2", "acc-chk", -2000.0, "2024-01-06", "Paycheck", None,
+             False, "Payroll", "USD"),
+            ("t3", "acc-chk", 40.0, "2024-01-07", "Gas", "Shell", True, None, "USD"),
+        ],
+        txn_schema,
+    )
+    # modified wins over added (upsert), removed drops t3
+    modified = spark.createDataFrame(
+        [("t1", "acc-chk", 120.0, "2024-01-05", "Grocery run (final)", "WholeFoods",
+          False, "Groceries", "USD")],
+        txn_schema,
+    )
+    removed = spark.createDataFrame([("t3",)], "transaction_id string")
+
+    journal = normalize_plaid_transactions(
+        added, modified, removed, entity_id="e1", accounts=plaid_accounts
+    )
+    rows = {r["txn_number"]: r for r in journal.collect()}
+    assert set(rows) == {"t1", "t2"}  # t3 removed
+    assert rows["t1"]["description"] == "Grocery run (final)"  # modified won
+    # double-entry: outflow credits the bank, debits the category
+    legs = {e["account"]: e for e in rows["t1"]["entries"]}
+    assert legs["Everyday Checking"]["credit"] == 120.0
+    assert legs["Groceries"]["debit"] == 120.0
+    # inflow: debit bank, credit category
+    legs2 = {e["account"]: e for e in rows["t2"]["entries"]}
+    assert legs2["Everyday Checking"]["debit"] == 2000.0
+    assert legs2["Payroll"]["credit"] == 2000.0
+
+    # journal -> frames -> trial balance golden values
+    frames = build_gl_frames(journal)
+    assert "plaid_merchant_name" in frames["Transaction"].columns
+    store = GraphStore(spark, str(tmp_path / "graphs"), "plaid_kg")
+    store.materialize(frames, node_tables=GL_NODE_TABLES, rel_tables=GL_REL_TABLES)
+    tables = {t: store.read(t) for t in store.tables()}
+    tables["Entity"] = spark.createDataFrame([("e1", "Acme")], ["identifier", "name"])
+    tb = {r["element_name"]: r["net_balance"] for r in trial_balance(tables).collect()}
+    # checking: +2000 in, -120 out = 1880 debit balance
+    assert tb["Everyday Checking"] == 1880.0
+    assert tb["Groceries"] == 120.0
+    assert tb["Payroll"] == -2000.0
+
+
+def test_quickbooks_journal_to_trial_balance(spark, tmp_path):
+    from robosystems_spark.pipelines import normalize_quickbooks_journal
+
+    lines_t = (
+        "array<struct<amount double, posting_type string, account string, "
+        "account_type string, description string>>"
+    )
+    entries = spark.createDataFrame(
+        [
+            ("je-1", "2024-02-01", "DOC-7", "USD",
+             [(500.0, "Debit", "Cash", "Bank", "invoice payment"),
+              (500.0, "Credit", "Sales", "Income", "invoice payment")]),
+            ("je-2", "2024-02-02", None, "USD",
+             [(75.0, "Debit", "Office Supplies", "Expense", "paper"),
+              (75.0, "Credit", "Cash", "Bank", "paper")]),
+        ],
+        f"qb_id string, txn_date string, doc_number string, currency string, lines {lines_t}",
+    )
+    journal = normalize_quickbooks_journal(entries, entity_id="e1")
+    rows = {r["txn_number"]: r for r in journal.collect()}
+    assert set(rows) == {"DOC-7", "je-2"}  # doc_number, falling back to qb id
+    legs = {e["account"]: e for e in rows["DOC-7"]["entries"]}
+    assert legs["Cash"]["debit"] == 500.0 and legs["Cash"]["account_class"] == "asset"
+    assert legs["Sales"]["credit"] == 500.0 and legs["Sales"]["account_class"] == "revenue"
+
+    frames = build_gl_frames(journal)
+    assert "qb_transaction_id" in frames["Transaction"].columns
+    store = GraphStore(spark, str(tmp_path / "graphs"), "qb_kg")
+    store.materialize(frames, node_tables=GL_NODE_TABLES, rel_tables=GL_REL_TABLES)
+    tables = {t: store.read(t) for t in store.tables()}
+    tables["Entity"] = spark.createDataFrame([("e1", "Acme")], ["identifier", "name"])
+    tb = {r["element_name"]: r for r in trial_balance(tables).collect()}
+    assert tb["Cash"]["net_balance"] == 425.0  # 500 - 75
+    assert tb["Sales"]["net_balance"] == -500.0
+    assert tb["Office Supplies"]["net_balance"] == 75.0
+    assert tb["Cash"]["element_balance"] == "debit"
+    assert tb["Sales"]["element_balance"] == "credit"
