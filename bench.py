@@ -33,6 +33,18 @@ def main() -> None:
     timings: dict[str, float] = {}
     # Warm-up: JVM JIT + parquet footer caches, one light action.
     next(iter(specs.values())).fn(spark, sf_dir).limit(1).collect()
+    # Warm-up 2: executor Python-worker pool + Arrow path — pandas-UDF
+    # queries otherwise absorb the one-time worker spin-up in their
+    # timing (the reference's engine has no analogous cold start).
+    from pyspark.sql import functions as F  # noqa: E402
+
+    from robosystems_spark.functions import vector as V  # noqa: E402
+
+    spark.range(64).select(
+        V.cosine(
+            F.array(F.lit(1.0), F.lit(2.0)), F.array(F.lit(2.0), F.lit(1.0))
+        ).alias("c")
+    ).collect()
 
     for name, spec in specs.items():
         t0 = time.perf_counter()

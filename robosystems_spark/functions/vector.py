@@ -54,6 +54,30 @@ def _norm_udf(a: pd.Series) -> pd.Series:
     return pd.Series(np.sqrt(np.einsum("ij,ij->i", A, A)))
 
 
+def _make_cosine_udf(ndigits: int):
+    @pandas_udf(DoubleType())
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        A, B = _mat(a), _mat(b)
+        num = np.einsum("ij,ij->i", A, B)
+        den = np.maximum(
+            np.sqrt(np.einsum("ij,ij->i", A, A))
+            * np.sqrt(np.einsum("ij,ij->i", B, B)),
+            1e-300,
+        )
+        return pd.Series(np.round(num / den, ndigits))
+
+    return _cos
+
+
+# fused cosine at the default rounding — the per-pair hot path as ONE
+# Arrow round trip (dot + both norms + divide + round in a single
+# numpy pass).  Separate dot/norm UDF stages measured ~2x slower at
+# sf0.1 (extra Arrow transfers + Python-worker stages dominate small
+# batches); at scale the fused form also shrinks the shuffled row
+# (no carried norm columns).
+_cosine6 = _make_cosine_udf(6)
+
+
 def dot(a: str | Column, b: str | Column) -> Column:
     """Row-wise dot product of two array columns (one numpy einsum
     per Arrow batch)."""
@@ -112,10 +136,14 @@ def cosine(
     b_norm: Column | None = None,
     ndigits: int = 6,
 ) -> Column:
-    """Rounded cosine similarity; pass precomputed norms when a side's
-    norm is reused across many pairs (corpus side of a top-k join)."""
+    """Rounded cosine similarity (zero-norm clamped to 1e-300 like the
+    centroid paths, so zero vectors yield ~0 instead of NaN/Inf).
+
+    Default: the fused single-UDF path.  Pass precomputed norm columns
+    only when they already exist on the frame for other reasons — that
+    variant splits into a dot UDF + JVM divide."""
+    if a_norm is None and b_norm is None:
+        return _cosine6(a, b) if ndigits == 6 else _make_cosine_udf(ndigits)(a, b)
     an = a_norm if a_norm is not None else l2_norm(a)
     bn = b_norm if b_norm is not None else l2_norm(b)
-    # zero-norm guard: matches the 1e-300 clamp the centroid paths use,
-    # so a zero vector yields ~0 similarity instead of NaN/Inf
     return F.round(dot(a, b) / F.greatest(an * bn, F.lit(1e-300)), ndigits)

@@ -328,7 +328,6 @@ def embedding_near_duplicates(
         F.col(id_col),
         F.col(vec_col),
         _bucket(vec_col).alias("_bucket"),
-        V.l2_norm(vec_col).alias("_norm"),
     )
     a, b = side.alias("a"), side.alias("b")
     return (
@@ -340,12 +339,8 @@ def embedding_near_duplicates(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            V.cosine(
-                f"a.{vec_col}",
-                f"b.{vec_col}",
-                a_norm=F.col("a._norm"),
-                b_norm=F.col("b._norm"),
-            ).alias("cosine"),
+            # fused cosine: one Arrow pass per candidate batch
+            V.cosine(f"a.{vec_col}", f"b.{vec_col}").alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
