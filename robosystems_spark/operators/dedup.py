@@ -73,12 +73,28 @@ def shingles_of(toks_col: str, k: int = 5):
     )
 
 
+def distinct_shingles(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+) -> DataFrame:
+    """(id, _sh = distinct shingle array) — the shared input of both
+    the signature pipeline and the exact-Jaccard verify, so the corpus
+    is tokenized/shingled exactly once per near-dup run."""
+    return df.select(F.col(id_col), tokens(text_col).alias("_toks")).select(
+        F.col(id_col),
+        F.array_distinct(shingles_of("_toks", shingle_k)).alias("_sh"),
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 64,
     shingle_k: int = 5,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signature per document: for each of ``num_hashes``
     seeded xxhash64 permutations, the minimum hash over the shingle set.
@@ -93,15 +109,17 @@ def minhash_signatures(
     instead of 64 full string hashes.  Constants are literals (a
     dynamic nested-lambda variant measured ~20x slower).
     """
-    base = df.select(F.col(id_col), tokens(text_col).alias("_toks")).select(
-        id_col, shingles_of("_toks", shingle_k).alias("_shg")
+    base = (
+        shingles_df
+        if shingles_df is not None
+        else distinct_shingles(df, text_col, id_col, shingle_k)
     )
     # explode -> plain projections + min aggregates: the whole pipeline
     # stays in whole-stage codegen with map-side partial mins, and the
     # plan compiles in ms (an earlier 64x nested-lambda formulation
     # spent ~4s per query in driver-side analysis alone)
     exploded = base.select(
-        F.col(id_col), F.explode(F.array_distinct("_shg")).alias("_s")
+        F.col(id_col), F.explode("_sh").alias("_s")
     ).withColumn("_h", F.xxhash64("_s"))
 
     def perm(seed: int):
@@ -168,15 +186,19 @@ def jaccard_verify(
     id_col: str = "doc_id",
     threshold: float = 0.7,
     shingle_k: int = 5,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact shingle-set Jaccard on candidate pairs only."""
+    """Exact shingle-set Jaccard on candidate pairs only.
+
+    Pass ``shingles_df`` (an already-materialized ``distinct_shingles``
+    frame) to skip re-tokenizing; otherwise one is built and
+    localCheckpoint'ed here (GC-reclaimable, unlike persist())."""
     sh = (
-        df.select(F.col(id_col), tokens(text_col).alias("_toks"))
-        .select(F.col(id_col), F.array_distinct(shingles_of("_toks", shingle_k)).alias("_sh"))
-        # reused by both sides of the candidate join; localCheckpoint so
-        # the storage is GC-reclaimed (persist() would pin it for the
-        # session lifetime)
-        .localCheckpoint(eager=True)
+        shingles_df
+        if shingles_df is not None
+        else distinct_shingles(df, text_col, id_col, shingle_k).localCheckpoint(
+            eager=True
+        )
     )
     a = sh.select(F.col(id_col).alias("doc_a"), F.col("_sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("doc_b"), F.col("_sh").alias("sh_b"))
@@ -206,10 +228,17 @@ def minhash_near_duplicates(
     shingle_k: int = 5,
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: shingle → signature → band →
-    bucket-join → exact-Jaccard verify."""
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    bucket-join → exact-Jaccard verify.
+
+    The distinct-shingle frame is materialized ONCE (localCheckpoint)
+    and shared by the signature pipeline and the verify join — the
+    corpus is tokenized/shingled a single time."""
+    sh = distinct_shingles(df, text_col, id_col, shingle_k).localCheckpoint(eager=True)
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, shingles_df=sh)
     cands = minhash_lsh_candidates(sigs, id_col, bands, num_hashes // bands)
-    return jaccard_verify(df, cands, text_col, id_col, threshold, shingle_k)
+    return jaccard_verify(
+        df, cands, text_col, id_col, threshold, shingle_k, shingles_df=sh
+    )
 
 
 def simhash(
