@@ -101,3 +101,28 @@ def run_to_memory(
         .outputMode(output_mode)
         .start()
     )
+
+
+def stream_dedup(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+    within_watermark: bool = True,
+) -> DataFrame:
+    """Streaming exact deduplication on event keys.
+
+    The streaming twin of the ingest-dedup idiom (W1 row_number dedup /
+    staging ``_dedup``): keeps the first occurrence of each key.  With
+    ``within_watermark`` (Spark 3.5+ ``dropDuplicatesWithinWatermark``)
+    the dedup state for a key is dropped once the watermark passes it —
+    bounded state at any volume, the only formulation that survives an
+    unbounded stream.  Plain ``dropDuplicates`` state grows forever and
+    is kept only for the batch twin (where it is exact).
+    """
+    keys = keys or ["event_id"]
+    if not events.isStreaming:
+        return events.dropDuplicates(keys)
+    src = events.withWatermark("ts", watermark)
+    if within_watermark:
+        return src.dropDuplicatesWithinWatermark(keys)
+    return src.dropDuplicates(keys)

@@ -143,3 +143,39 @@ def test_stateful_profile_batch_equivalent(spark, sf_dir):
     ev = read_table(spark, sf_dir, "events")
     out = running_user_profile(ev)
     assert out.count() == ev.select("user_id").distinct().count()
+
+
+def test_stream_dedup_matches_batch(spark, tmp_path):
+    """Streaming dropDuplicatesWithinWatermark keeps one row per key
+    and matches the batch dedup on in-watermark duplicates."""
+    import datetime as dt
+
+    from robosystems_spark.streaming.events import EVENT_SCHEMA, stream_dedup
+
+    src = str(tmp_path / "dup_events")
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (1, base, 100, "click", 1.0, None),
+        (1, base + dt.timedelta(minutes=1), 100, "click", 1.0, None),  # dup id
+        (2, base + dt.timedelta(minutes=2), 101, "view", 2.0, None),
+        (2, base + dt.timedelta(minutes=3), 101, "view", 2.0, None),  # dup id
+        (3, base + dt.timedelta(minutes=4), 102, "purchase", 3.0, None),
+    ]
+    spark.createDataFrame(rows, EVENT_SCHEMA).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    deduped = stream_dedup(stream, keys=["event_id"], watermark="1 hour")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["event_id"] for r in spark.sql("select * from dedup_out").collect())
+    assert got == [1, 2, 3]
+
+    # batch twin agrees
+    batch = stream_dedup(spark.read.schema(EVENT_SCHEMA).parquet(src), keys=["event_id"])
+    assert sorted(r["event_id"] for r in batch.collect()) == [1, 2, 3]
