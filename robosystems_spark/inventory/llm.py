@@ -237,6 +237,60 @@ def jaccard_blocked_pairs(
     )
 
 
+@register(
+    "dedup_duplicate_clusters",
+    oracle=rf"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id,
+             LIST_DISTINCT(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+')) AS toks,
+             SUBSTRING(text, 1, 32) AS blk
+      FROM documents
+    ),
+    s AS (
+      SELECT blk, CAST(CEIL(COUNT(*) / {_JACCARD_BLOCK_CAP}.0) AS BIGINT) AS n_sub
+      FROM t GROUP BY blk
+    ),
+    t2 AS (
+      SELECT t.doc_id, t.toks, t.blk, t.doc_id % s.n_sub AS sub
+      FROM t JOIN s USING (blk)
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM t2 a JOIN t2 b
+        ON a.blk = b.blk AND a.sub = b.sub AND a.doc_id < b.doc_id
+      WHERE CAST(LEN(LIST_INTERSECT(a.toks, b.toks)) AS DOUBLE)
+            / LEN(LIST_DISTINCT(LIST_CONCAT(a.toks, b.toks))) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach AS (
+      SELECT DISTINCT a AS node, a AS lbl FROM edges
+      UNION
+      SELECT e.b AS node, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    comp AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+    sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id)
+    SELECT c.node AS doc_id, c.cluster_id, s.cluster_size,
+           c.node = c.cluster_id AS keep
+    FROM comp c JOIN sizes s USING (cluster_id)
+    """,
+    doc="Near-dup pairs -> duplicate clusters via distributed min-label connected "
+    "components (keep = cluster representative); oracle is a recursive CTE over "
+    "the identical capped-block Jaccard pairs (LLM-pipeline op).",
+    tags=("dedup", "graph"),
+)
+def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from robosystems_spark.operators.graph import duplicate_clusters
+
+    pairs = jaccard_blocked_pairs(_docs(spark, sf_dir), threshold=0.5).select(
+        "doc_a", "doc_b"
+    )
+    return duplicate_clusters(pairs)
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH and SimHash — hash-permutation specific, rows-only checks.
 # ---------------------------------------------------------------------------

@@ -75,3 +75,80 @@ def undirected(edges: DataFrame, src_col: str = "src", dst_col: str = "dst") -> 
     fwd = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     rev = edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
     return fwd.unionByName(rev)
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Weakly-connected components by iterative min-label propagation:
+    every node ends up labeled with the MINIMUM node id reachable from
+    it — the deterministic cluster representative.
+
+    Each iteration is one groupBy-min over the undirected neighborhood
+    (a single shuffle keyed by node), and convergence is checked with
+    a bounded action.  Label propagation converges in O(component
+    diameter) iterations — near-dup clusters are shallow, so this is
+    typically 2-4 rounds.  Lineage is truncated per round with
+    ``localCheckpoint`` (GC-reclaimable), the iterative-algorithm
+    idiom ``bounded_paths`` also uses.
+
+    Returns (node, component) with component = min id in the
+    component.  Nodes are those appearing in any edge; callers wanting
+    singleton clusters union the isolated ids back in.
+    """
+    und = undirected(edges, src_col, dst_col)
+    labels = (
+        und.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        # candidate label per node: min of own label and neighbors'
+        neighbor_labels = (
+            und.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .select(F.col("src").alias("node"), "component")
+        )
+        new_labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+) -> DataFrame:
+    """Near-dup pairs → duplicate clusters: (doc_id, cluster_id,
+    cluster_size), cluster_id = min doc id in the component, plus the
+    keep/drop decision (keep the representative, drop the rest) —
+    the step that turns pairwise dedup output into an actionable
+    drop-list for a 100 TB corpus."""
+    comp = connected_components(pairs, id_a, id_b)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        comp.join(sizes, "component")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("component").alias("cluster_id"),
+            "cluster_size",
+            (F.col("node") == F.col("component")).alias("keep"),
+        )
+    )

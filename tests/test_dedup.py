@@ -121,3 +121,25 @@ def test_jaccard_block_cap_bounds_skewed_blocks(spark):
     pairs = jaccard_blocked_pairs(docs, threshold=0.9, cap=cap).collect()
     # the duplicate pair (200,201) shares a 2-doc block -> n_sub=1 -> found
     assert {(r["doc_a"], r["doc_b"]) for r in pairs} >= {(200, 201)}
+
+
+def test_connected_components_and_clusters(spark):
+    from robosystems_spark.operators.graph import (
+        connected_components,
+        duplicate_clusters,
+    )
+
+    # chain 1-2-3 (one component), pair 10-11, isolated pair 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (21, 20)], ["doc_a", "doc_b"]
+    )
+    comp = {r["node"]: r["component"] for r in connected_components(pairs, "doc_a", "doc_b").collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+    clusters = {r["doc_id"]: r for r in duplicate_clusters(pairs).collect()}
+    assert clusters[3]["cluster_id"] == 1 and clusters[3]["cluster_size"] == 3
+    assert clusters[1]["keep"] and not clusters[2]["keep"]
+    assert clusters[20]["keep"] and clusters[20]["cluster_id"] == 20
+    # drop-list: everything not kept
+    drop = sorted(d for d, r in clusters.items() if not r["keep"])
+    assert drop == [2, 3, 11, 21]
