@@ -149,3 +149,63 @@ def sample_frames(
             yield pd.DataFrame({id_col: ids, "frame_index": idxs, "frame_bytes": frames})
 
     return df.select(id_col, binary_col).mapInPandas(batches, out_schema)
+
+
+def resize_media(
+    df: DataFrame,
+    binary_col: str = "content",
+    id_col: str = "media_id",
+    target_width: int = 224,
+    target_height: int = 224,
+    resize_fn=None,
+) -> DataFrame:
+    """Resize over a binary image column via ``mapInPandas`` — the
+    preprocessing step a vision-training pipeline runs before feature
+    extraction (real codec = PIL seam, like ``extract_features``).
+
+    ``resize_fn: (bytes, w, h) -> bytes`` is the codec seam; passing
+    ``resize_fn='real'`` raises ``NotImplementedError``.  The
+    deterministic stand-in strides the payload down to w*h bytes, so
+    output size is exactly what a (w, h, 1-channel) decode would
+    produce and downstream plumbing (schema, batch shape, size
+    accounting) is exercised for real.
+    """
+    if resize_fn == "real":
+        raise NotImplementedError(
+            "Real image resizing requires PIL/opencv, not present in this "
+            "environment; supply resize_fn=(bytes, w, h)->bytes."
+        )
+
+    def _fake_resize(payload: bytes, w: int, h: int) -> bytes:
+        target = w * h
+        if len(payload) >= target:
+            stride = max(1, len(payload) // target)
+            return payload[::stride][:target]
+        reps = target // max(1, len(payload)) + 1
+        return (payload * reps)[:target]
+
+    fn = resize_fn or _fake_resize
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("resized", T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "resized": [
+                        fn(bytes(x), target_width, target_height)
+                        for x in pdf[binary_col]
+                    ],
+                    "width": target_width,
+                    "height": target_height,
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(batches, out_schema)

@@ -111,3 +111,22 @@ def test_externalize_large_values(spark, tmp_path):
     out2 = {r["id"]: r["value"] for r in
             externalize_large_values(df, "value", store, threshold_bytes=1024).collect()}
     assert out2[2] == out[2]
+
+
+def test_resize_media_shape_and_determinism(spark):
+    from robosystems_spark.operators.multimodal import resize_media
+
+    rows = [(1, b"\x89PNG" + bytes(range(256)) * 40), (2, b"\xff\xd8\xffsmall")]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    out = {r["media_id"]: r for r in resize_media(df, target_width=16, target_height=8).collect()}
+    # every output is exactly w*h bytes (the 1-channel decode contract)
+    assert all(len(r["resized"]) == 16 * 8 for r in out.values())
+    assert out[1]["width"] == 16 and out[1]["height"] == 8
+    # deterministic across runs
+    again = {r["media_id"]: r["resized"] for r in resize_media(df, target_width=16, target_height=8).collect()}
+    assert {k: v["resized"] for k, v in out.items()} == again
+    # the real-codec seam is explicit
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        resize_media(df, resize_fn="real")
