@@ -56,12 +56,21 @@ class QueryService:
         admission: AdmissionController | None = None,
         timeouts: TimeoutCascade | None = None,
         endpoint_timeout_s: float = 300.0,
+        cache=None,
     ):
+        from robosystems_spark.serving.cache import QueryCache
+
         self.gate = gate
         self.queue = queue or QueryQueue()
         self.admission = admission or AdmissionController()
         self.timeouts = timeouts or TimeoutCascade()
         self.endpoint_timeout_s = endpoint_timeout_s
+        # result cache engages only where the graph's routing enables
+        # it (shared repositories: types.py:153-160)
+        routing = gate.identity.get_routing_info()
+        self.cache_enabled = bool(routing.get("cache_enabled"))
+        ttl = float(routing.get("ttl_seconds", 3600))
+        self.cache = cache if cache is not None else QueryCache(ttl_s=ttl)
 
     def execute(
         self,
@@ -77,6 +86,18 @@ class QueryService:
         decision = self.admission.check()
         if not decision.admitted:
             raise ServiceRejected(f"Load shed: {decision.reason}")
+
+        if self.cache_enabled:
+            from robosystems_spark.serving.cache import cache_key
+
+            key = cache_key(self.gate.graph_id, cypher, params)
+            hit = self.cache.get(key)
+            if hit is not None:
+                return QueryResult(
+                    strategy="cached",
+                    chunks=iter(hit.chunks),
+                    columns=hit.columns,
+                )
 
         if client is None and headers is not None:
             client = detect_client(headers)
@@ -101,6 +122,8 @@ class QueryService:
             operation_id = f"op-{uuid.uuid4().hex[:12]}"
             with self.timeouts.enforce(spark, group, budget.execution_s):
                 chunks = list(iter_chunks(df, chunk_size or plan.chunk_size))
+            if self.cache_enabled:
+                self.cache.put(key, df.columns, chunks)
             sse = None
             if plan.strategy.value in ("sse_streaming", "sse_queue_stream", "sse_progress"):
                 from robosystems_spark.serving.sse import sse_stream_from_chunks

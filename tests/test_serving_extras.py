@@ -329,3 +329,57 @@ def test_service_sse_strategy_end_to_end(spark):
         headers={"accept": "application/x-ndjson"},
     )
     assert res2.strategy == "ndjson_streaming" and res2.sse is None
+
+
+def test_query_cache_ttl_and_lru():
+    from robosystems_spark.serving.cache import QueryCache, cache_key
+
+    t = {"now": 0.0}
+    c = QueryCache(max_entries=2, ttl_s=10.0, clock=lambda: t["now"])
+    k1 = cache_key("sec", "MATCH (n) RETURN n", None)
+    k2 = cache_key("sec", "MATCH (n) RETURN n", {"x": 1})
+    assert k1 != k2  # params are part of the key
+    c.put(k1, ["a"], [[{"a": 1}]])
+    assert c.get(k1).chunks == [[{"a": 1}]]
+    # TTL expiry
+    t["now"] = 11.0
+    assert c.get(k1) is None
+    # LRU eviction at capacity
+    t["now"] = 0.0
+    c.put(k1, ["a"], [[{"a": 1}]])
+    c.put(k2, ["a"], [[{"a": 2}]])
+    c.get(k1)  # touch k1 so k2 is LRU
+    c.put(cache_key("sec", "q3", None), ["a"], [[{"a": 3}]])
+    assert c.get(k2) is None and c.get(k1) is not None
+    assert c.stats()["entries"] == 2
+
+
+def test_service_caches_shared_repository_results(spark):
+    from robosystems_spark.cypher import CypherEngine
+    from robosystems_spark.queryapi.cypher_gate import CypherGate
+    from robosystems_spark.serving.service import QueryService
+
+    engine = CypherEngine(
+        {"Person": spark.createDataFrame([("p1", "a")], ["identifier", "name"])}
+    )
+    # shared repo graph id -> routing enables caching
+    svc = QueryService(CypherGate(engine, graph_id="sec"), endpoint_timeout_s=120)
+    assert svc.cache_enabled
+    q = "MATCH (p:Person) RETURN p.name AS n ORDER BY p.name LIMIT 10"
+    first = svc.execute(q)
+    assert first.strategy != "cached"
+    chunks1 = list(first.chunks)
+    second = svc.execute(q)
+    assert second.strategy == "cached"
+    assert list(second.chunks) == chunks1
+    # different params / query miss
+    third = svc.execute("MATCH (p:Person) RETURN p.identifier AS i LIMIT 10")
+    assert third.strategy != "cached"
+
+    # user graphs do not cache
+    user_svc = QueryService(
+        CypherGate(engine, graph_id="kg0123456789abcdef"), endpoint_timeout_s=120
+    )
+    assert not user_svc.cache_enabled
+    user_svc.execute(q)
+    assert user_svc.execute(q).strategy != "cached"
