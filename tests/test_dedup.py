@@ -143,3 +143,51 @@ def test_connected_components_and_clusters(spark):
     # drop-list: everything not kept
     drop = sorted(d for d, r in clusters.items() if not r["keep"])
     assert drop == [2, 3, 11, 21]
+
+
+def test_connected_components_random_graphs_match_union_find(spark):
+    """Property check: distributed min-label propagation agrees with a
+    driver-side union-find on random graphs (including multi-hop
+    chains that need several propagation rounds)."""
+    import random
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 40
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(25 + 10 * trial)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+
+        # reference: union-find with min-id representatives
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = min(ra, rb), max(ra, rb)
+                parent[hi] = lo
+        touched = {x for e in edges for x in e}
+        expected = {x: find(x) for x in touched}
+        # min-id canonicalization: representative must be component min
+        comp_min = {}
+        for x in touched:
+            comp_min.setdefault(find(x), []).append(x)
+        canon = {r: min(members) for r, members in comp_min.items()}
+        expected = {x: canon[find(x)] for x in touched}
+
+        from robosystems_spark.operators.graph import connected_components
+
+        df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(df, "doc_a", "doc_b").collect()
+        }
+        assert got == expected, f"trial {trial}"
