@@ -158,3 +158,64 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "nn_id", "cosine", "rank")
     )
+
+
+def ivf_write_index(
+    corpus: DataFrame,
+    path: str,
+    num_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Materialize the IVF index: corpus assigned to centroids and
+    written hive-partitioned by ``centroid_id`` — the layout that turns
+    a probe into a partition-pruned scan of ``nprobe/num_centroids`` of
+    the data (the 100 TB scale path SCALE.md describes).  Returns the
+    centroid vectors for the query-side probe computation."""
+    centroids = train_centroids(corpus, num_centroids, iters=3, vec_col=vec_col, id_col=id_col)
+    cvecs = [c for _, c in centroids]
+    assign_to_centroids(corpus, cvecs, vec_col, id_col).write.partitionBy(
+        "centroid_id"
+    ).mode("overwrite").parquet(path)
+    return cvecs
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    centroids: list[list[float]],
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Probe a written IVF index: only the ``nprobe`` partitions per
+    query are read (``centroid_id`` is a partition column, so the
+    isin-filter prunes at the file index — verify with
+    ``PartitionFilters`` in the plan)."""
+    q_probe = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+            V.top_centroids(vec_col, centroids, nprobe).alias("probe_cids"),
+        )
+        .withColumn("centroid_id", F.explode("probe_cids"))
+        .drop("probe_cids")
+    )
+    # bounded collect: distinct probed centroid ids (<= nprobe * |queries|)
+    probed = [r["centroid_id"] for r in q_probe.select("centroid_id").distinct().collect()]
+    index = spark.read.parquet(path).filter(F.col("centroid_id").isin(probed))
+    joined = index.join(F.broadcast(q_probe), "centroid_id")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nn_id"))
+    return (
+        joined.select(
+            "query_id",
+            F.col(id_col).alias("nn_id"),
+            V.cosine(vec_col, "_qv").alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nn_id", "cosine", "rank")
+    )

@@ -111,3 +111,32 @@ def test_cypher_compiler_emits_joins_not_udfs(spark, sf_dir):
 def test_limit_becomes_take_ordered(spark, sf_dir):
     plan = plan_of(REGISTRY["topk_parts_by_price"].fn(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ivf_index_probe_is_partition_pruned(spark, sf_dir, tmp_path):
+    """The SCALE.md IVF claim, proven: a written index is partitioned
+    by centroid_id and a probe's scan carries PartitionFilters — only
+    nprobe partitions are read."""
+    from pyspark.sql import functions as F
+
+    from robosystems_spark.io import read_table
+    from robosystems_spark.operators.similarity import (
+        ivf_topk_indexed,
+        ivf_write_index,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf_index")
+    centroids = ivf_write_index(emb, path, num_centroids=8)
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), F.col("embedding")
+    )
+    out = ivf_topk_indexed(spark, path, centroids, queries, k=5, nprobe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters")[1][:300]
+    assert "centroid_id" in seg
+    rows = out.collect()
+    assert len(rows) == 5
+    # nearest neighbor of vector 0 is itself
+    assert rows[0]["nn_id"] == 0 or any(r["nn_id"] == 0 for r in rows)
