@@ -20,7 +20,7 @@ import uuid
 from collections.abc import Iterator
 from dataclasses import dataclass
 
-from robosystems_spark.queryapi.cypher_gate import CypherGate
+from robosystems_spark.queryapi.cypher_gate import CypherGate, CypherGateError
 from robosystems_spark.queryapi.strategies import (
     ClientCapabilities,
     SystemState,
@@ -57,14 +57,22 @@ class QueryService:
         timeouts: TimeoutCascade | None = None,
         endpoint_timeout_s: float = 300.0,
         cache=None,
+        rate_limiter=None,
+        circuit_breaker=None,
     ):
         from robosystems_spark.serving.cache import QueryCache
+        from robosystems_spark.serving.robustness import (
+            CircuitBreaker,
+            SlidingWindowRateLimiter,
+        )
 
         self.gate = gate
         self.queue = queue or QueryQueue()
         self.admission = admission or AdmissionController()
         self.timeouts = timeouts or TimeoutCascade()
         self.endpoint_timeout_s = endpoint_timeout_s
+        self.rate_limiter = rate_limiter or SlidingWindowRateLimiter()
+        self.circuit_breaker = circuit_breaker or CircuitBreaker()
         # result cache engages only where the graph's routing enables
         # it (shared repositories: types.py:153-160)
         routing = gate.identity.get_routing_info()
@@ -83,6 +91,19 @@ class QueryService:
         chunk_size: int | None = None,
         mode_override: str | None = None,
     ) -> QueryResult:
+        from robosystems_spark.serving.robustness import (
+            CircuitOpenError,
+            RateLimitExceeded,
+        )
+
+        # reference lifecycle order (execute.py:208-252): rate limit,
+        # circuit breaker, admission, then the cache/strategy path
+        try:
+            self.rate_limiter.check(user_id, tier=tier)
+            self.circuit_breaker.check(self.gate.graph_id)
+        except (RateLimitExceeded, CircuitOpenError) as e:
+            raise ServiceRejected(str(e)) from e
+
         decision = self.admission.check()
         if not decision.admitted:
             raise ServiceRejected(f"Load shed: {decision.reason}")
@@ -116,12 +137,24 @@ class QueryService:
             raise ServiceRejected("Concurrency limit reached; retry")
         try:
             budget = self.timeouts.budget(self.endpoint_timeout_s, plan.timeout_mode)
-            df = self.gate.query(cypher, params)
-            spark = df.sparkSession
-            group = f"query-{uuid.uuid4().hex[:8]}"
-            operation_id = f"op-{uuid.uuid4().hex[:12]}"
-            with self.timeouts.enforce(spark, group, budget.execution_s):
-                chunks = list(iter_chunks(df, chunk_size or plan.chunk_size))
+            try:
+                df = self.gate.query(cypher, params)
+                spark = df.sparkSession
+                group = f"query-{uuid.uuid4().hex[:8]}"
+                operation_id = f"op-{uuid.uuid4().hex[:12]}"
+                with self.timeouts.enforce(spark, group, budget.execution_s):
+                    chunks = list(iter_chunks(df, chunk_size or plan.chunk_size))
+            except CypherGateError:
+                # gate rejections are caller errors, raised BEFORE the
+                # engine boundary in the reference (execute.py:97-101) —
+                # they say nothing about route health
+                raise
+            except Exception:
+                # compilation/execution failures signal an unhealthy
+                # route and count toward the breaker
+                self.circuit_breaker.record_failure(self.gate.graph_id)
+                raise
+            self.circuit_breaker.record_success(self.gate.graph_id)
             if self.cache_enabled:
                 self.cache.put(key, df.columns, chunks)
             sse = None

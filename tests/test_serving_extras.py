@@ -383,3 +383,80 @@ def test_service_caches_shared_repository_results(spark):
     assert not user_svc.cache_enabled
     user_svc.execute(q)
     assert user_svc.execute(q).strategy != "cached"
+
+
+def test_circuit_breaker_lifecycle():
+    from robosystems_spark.serving.robustness import CircuitBreaker, CircuitOpenError
+
+    t = {"now": 0.0}
+    cb = CircuitBreaker(failure_threshold=3, recovery_timeout=60.0, clock=lambda: t["now"])
+    cb.check("kg1")  # closed: fine
+    for _ in range(3):
+        cb.record_failure("kg1")
+    assert cb.is_open("kg1")
+    with pytest.raises(CircuitOpenError):
+        cb.check("kg1")
+    # other graphs unaffected
+    cb.check("kg2")
+    # recovery timeout -> half-open probe allowed
+    t["now"] = 61.0
+    cb.check("kg1")
+    # probe fails -> re-opens immediately (threshold-1 + 1)
+    cb.record_failure("kg1")
+    assert cb.is_open("kg1")
+    # next probe succeeds -> closed
+    t["now"] = 122.0
+    cb.check("kg1")
+    cb.record_success("kg1")
+    assert not cb.is_open("kg1")
+    cb.check("kg1")
+
+
+def test_sliding_window_rate_limiter():
+    from robosystems_spark.serving.robustness import (
+        RateLimitExceeded,
+        SlidingWindowRateLimiter,
+    )
+
+    t = {"now": 0.0}
+    rl = SlidingWindowRateLimiter(
+        tier_limits={"free": 2, "premium": 5}, window_s=60.0, clock=lambda: t["now"]
+    )
+    assert rl.check("u1", tier="free")["remaining"] == 1
+    assert rl.check("u1", tier="free")["remaining"] == 0
+    with pytest.raises(RateLimitExceeded):
+        rl.check("u1", tier="free")
+    # another user unaffected; higher tier has its own limit
+    assert rl.check("u2", tier="premium")["limit"] == 5
+    # window slides: old requests expire
+    t["now"] = 61.0
+    assert rl.check("u1", tier="free")["allowed"]
+
+
+def test_service_rate_limit_and_breaker_reject(spark):
+    from robosystems_spark.cypher import CypherEngine
+    from robosystems_spark.queryapi.cypher_gate import CypherGate
+    from robosystems_spark.serving.robustness import (
+        CircuitBreaker,
+        SlidingWindowRateLimiter,
+    )
+    from robosystems_spark.serving.service import QueryService, ServiceRejected
+
+    engine = CypherEngine(
+        {"Person": spark.createDataFrame([("p1", "a")], ["identifier", "name"])}
+    )
+    svc = QueryService(
+        CypherGate(engine),
+        endpoint_timeout_s=120,
+        rate_limiter=SlidingWindowRateLimiter(tier_limits={"standard": 1}),
+        circuit_breaker=CircuitBreaker(failure_threshold=1),
+    )
+    q = "MATCH (p:Person) RETURN p.name AS n"
+    svc.execute(q, user_id="u9")
+    with pytest.raises(ServiceRejected, match="Rate limit"):
+        svc.execute(q, user_id="u9")
+    # breaker: one failure opens (threshold=1); next call rejected
+    with pytest.raises(Exception):
+        svc.execute("MATCH (p:Nope) RETURN p.x AS x", user_id="u10")
+    with pytest.raises(ServiceRejected, match="Circuit open"):
+        svc.execute(q, user_id="u11")
