@@ -114,10 +114,18 @@ def build_xbrl_graph_frames(
         F.year(F.coalesce("period_end", "period_instant").cast("date")).alias("fiscal_year"),
     ).dropDuplicates(["identifier"])
 
+    # divided units 'num/denom' carry numerator/denominator URIs
+    # (make_units, xbrl_graph.py:720-744); single measures leave them
+    # null (:698-705)
+    is_divide = F.col("unit").contains("/")
+    num = F.element_at(F.split("unit", "/"), 1)
+    denom = F.element_at(F.split("unit", "/"), 2)
     unit = rf.filter(F.col("unit").isNotNull()).select(
         F.col("_unit_id").alias("identifier"),
         F.col("unit").alias("measure"),
         F.col("unit").alias("value"),
+        F.when(is_divide, F.concat(F.lit("unit:"), num)).alias("numerator_uri"),
+        F.when(is_divide, F.concat(F.lit("unit:"), denom)).alias("denominator_uri"),
     ).dropDuplicates(["identifier"])
 
     fact = rf.select(

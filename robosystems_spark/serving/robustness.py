@@ -136,3 +136,37 @@ class SlidingWindowRateLimiter:
             )
         w.timestamps.append(now)
         return {"allowed": True, "remaining": limit - len(w.timestamps), "limit": limit}
+
+
+def with_retry(
+    fn,
+    max_attempts: int = 3,
+    base_delay: float = 1.0,
+    max_delay: float = 30.0,
+    exponential_base: float = 2.0,
+    jitter: bool = True,
+    retry_on: tuple = (Exception,),
+    sleep=_time.sleep,
+    seed: int | None = None,
+):
+    """Run ``fn`` with exponential-backoff retries (the reference's
+    with_retry decorator, graph_api/client/factory.py:123-160, as a
+    plain callable wrapper).  Delay_i = min(base * b^i, max_delay),
+    +/-25% deterministic jitter when ``seed`` is given (random
+    otherwise).  Raises the last error after ``max_attempts``."""
+    import random
+
+    rng = random.Random(seed)
+    last = None
+    for attempt in range(max_attempts):
+        try:
+            return fn()
+        except retry_on as e:  # noqa: PERF203 - retry loop by design
+            last = e
+            if attempt == max_attempts - 1:
+                break
+            delay = min(base_delay * (exponential_base**attempt), max_delay)
+            if jitter:
+                delay *= 1 + (rng.random() - 0.5) / 2
+            sleep(delay)
+    raise last

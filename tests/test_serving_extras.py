@@ -460,3 +460,29 @@ def test_service_rate_limit_and_breaker_reject(spark):
         svc.execute("MATCH (p:Nope) RETURN p.x AS x", user_id="u10")
     with pytest.raises(ServiceRejected, match="Circuit open"):
         svc.execute(q, user_id="u11")
+
+
+def test_with_retry_backoff_and_give_up():
+    from robosystems_spark.serving.robustness import with_retry
+
+    calls = {"n": 0}
+    delays = []
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise TimeoutError("transient")
+        return "ok"
+
+    out = with_retry(flaky, max_attempts=5, base_delay=1.0, seed=1, sleep=delays.append)
+    assert out == "ok" and calls["n"] == 3
+    assert len(delays) == 2 and delays[1] > delays[0] * 1.2  # exponential
+
+    def always():
+        raise ValueError("permanent")
+
+    with pytest.raises(ValueError, match="permanent"):
+        with_retry(always, max_attempts=2, sleep=delays.append)
+    # non-retryable errors pass straight through
+    with pytest.raises(KeyError):
+        with_retry(lambda: (_ for _ in ()).throw(KeyError("x")), retry_on=(TimeoutError,), sleep=delays.append)
