@@ -135,3 +135,60 @@ def test_fork_and_export(spark, tmp_path):
     assert child.read("T").count() == 1
     exported = store.export(str(tmp_path / "backup"), fmt="csv")
     assert os.path.exists(exported["T"])
+
+
+def test_subgraph_service_lifecycle(spark, tmp_path):
+    from robosystems_spark.sources.materialize import GraphStore
+    from robosystems_spark.sources.subgraphs import SubgraphError, SubgraphService
+
+    root = str(tmp_path / "graphs")
+    parent_id = "kg0123456789abcdef"
+    parent = GraphStore(spark, root, parent_id)
+    parent.copy_into(
+        "Person",
+        spark.createDataFrame([("p1", "a"), ("p2", "b")], ["identifier", "name"]),
+        primary_keys=["identifier"],
+    )
+    svc = SubgraphService(spark, root)
+
+    # create forked dev subgraph
+    info = svc.create_subgraph(
+        parent_id, "dev", description="dev sandbox",
+        schema_extensions=["roboledger"], fork_parent=True,
+    )
+    assert info["subgraph_id"] == f"{parent_id}_dev"
+    assert info["tables"] == ["Person"]
+    # duplicate refused
+    with pytest.raises(SubgraphError, match="already exists"):
+        svc.create_subgraph(parent_id, "dev")
+    # invalid name refused (graph-id grammar)
+    with pytest.raises(ValueError):
+        svc.create_subgraph(parent_id, "bad-name!")
+
+    # empty (non-forked) sibling
+    svc.create_subgraph(parent_id, "staging")
+    assert svc.list_subgraphs(parent_id) == [f"{parent_id}_dev", f"{parent_id}_staging"]
+
+    # info: forked subgraph has the parent's rows; empty one doesn't
+    dev = svc.get_subgraph_info(f"{parent_id}_dev")
+    assert dev["tables"] == {"Person": 2} and dev["has_data"]
+    assert dev["schema_extensions"] == ["roboledger"]
+    stg = svc.get_subgraph_info(f"{parent_id}_staging")
+    assert not stg["has_data"]
+
+    # subgraph data is isolated from the parent
+    child = GraphStore(spark, root, f"{parent_id}_dev")
+    child.copy_into(
+        "Person",
+        spark.createDataFrame([("p3", "c")], ["identifier", "name"]),
+        primary_keys=["identifier"],
+    )
+    assert parent.read("Person").count() == 2
+    assert child.read("Person").count() == 3
+
+    # delete: subgraphs only, parents never
+    out = svc.delete_subgraph(f"{parent_id}_staging")
+    assert out["deleted"].endswith("_staging")
+    with pytest.raises(SubgraphError, match="not a subgraph"):
+        svc.delete_subgraph(parent_id)
+    assert svc.list_subgraphs(parent_id) == [f"{parent_id}_dev"]
