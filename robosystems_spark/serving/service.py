@@ -173,3 +173,40 @@ class QueryService:
             )
         finally:
             self.queue.release()
+
+
+def health_status(service: QueryService) -> dict:
+    """Deep health snapshot across the serving stack — queue depth /
+    capacity, admission posture, cache stats, open circuits
+    (middleware/graph/query_queue.py:545-560 get_stats +
+    get_deep_health_status).  The /health endpoint payload."""
+    q = service.queue
+    with q._lock:
+        queue_size = len(q._heap)
+        running = q._running
+    open_circuits = [
+        key
+        for key, state in service.circuit_breaker._circuits.items()
+        if state.is_open
+    ]
+    status = "healthy"
+    if open_circuits or queue_size >= q.max_queued:
+        status = "degraded"
+    return {
+        "status": status,
+        "queue": {
+            "queue_size": queue_size,
+            "running_queries": running,
+            "max_queued": q.max_queued,
+            "max_concurrent": q.max_concurrent,
+            "capacity_used": queue_size / q.max_queued if q.max_queued else 0.0,
+        },
+        "admission": {"queue_depth": service.admission.queue_depth},
+        "cache": service.cache.stats() if service.cache_enabled else {"enabled": False},
+        "circuits": {"open": open_circuits},
+        "graph": {
+            "graph_id": service.gate.graph_id,
+            "category": service.gate.identity.category.value,
+            "writable": service.gate.identity.writable,
+        },
+    }

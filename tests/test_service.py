@@ -76,3 +76,24 @@ def test_partitioned_write_prunes_scan(spark, sf_dir, tmp_path):
     # partition pruning: the scan's file index must select ~1/n of files
     assert filtered.count() == ev.filter(F.col("event_date") == "2024-01-05").count()
     assert n_days > 1
+
+
+def test_health_status_snapshot(spark):
+    from robosystems_spark.cypher import CypherEngine
+    from robosystems_spark.queryapi.cypher_gate import CypherGate
+    from robosystems_spark.serving.service import QueryService, health_status
+
+    engine = CypherEngine(
+        {"Person": spark.createDataFrame([("p1", "a")], ["identifier", "name"])}
+    )
+    svc = QueryService(CypherGate(engine, graph_id="sec"), endpoint_timeout_s=120)
+    h = health_status(svc)
+    assert h["status"] == "healthy"
+    assert h["queue"]["queue_size"] == 0 and h["queue"]["running_queries"] == 0
+    assert h["graph"] == {"graph_id": "sec", "category": "shared", "writable": False}
+    assert "hits" in h["cache"]
+    # an open circuit degrades status
+    for _ in range(5):
+        svc.circuit_breaker.record_failure("sec")
+    h2 = health_status(svc)
+    assert h2["status"] == "degraded" and h2["circuits"]["open"] == ["sec:query"]
