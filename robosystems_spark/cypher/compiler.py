@@ -472,6 +472,15 @@ class CypherEngine:
             return F.lit(v), False
         if isinstance(e, P.ListLiteral):
             return F.array(*[self._expr(x, scope, params)[0] for x in e.items]), False
+        if isinstance(e, P.MapLiteral):
+            # {k: v, ...} -> named struct; aggregate iff any value
+            # aggregates (collect({...}) wraps the struct per row)
+            cols, aggs = [], []
+            for k, v in e.entries:
+                c, is_agg = self._expr(v, scope, params)
+                cols.append(c.alias(k))
+                aggs.append(is_agg)
+            return F.struct(*cols), any(aggs)
         if isinstance(e, P.VarRef):
             if e.name in scope.nodes or e.name in scope.edges:
                 # bare node/edge var in scalar position: its identity

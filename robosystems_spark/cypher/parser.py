@@ -229,6 +229,15 @@ class ListLiteral:
     items: list
 
 
+@dataclass
+class MapLiteral:
+    """``{key: expr, ...}`` map projection (the collect({...}) idiom
+    in the reference's view queries, e.g. operations/views/
+    element_mapping.py:42-50)."""
+
+    entries: list  # list[tuple[str, Expr]]
+
+
 Expr = object
 
 
@@ -575,6 +584,22 @@ class Parser:
                     break
             self.expect_op("]")
             return ListLiteral(items)
+        if t.value == "{":
+            self.next()
+            entries: list = []
+            while self.peek().value != "}":
+                key_tok = self.next()
+                if key_tok.kind not in ("NAME", "STRING", "KEYWORD"):
+                    raise CypherSyntaxError(
+                        f"Expected map key at {key_tok.pos}, got {key_tok.value!r}"
+                    )
+                key = key_tok.value if key_tok.kind != "KEYWORD" else key_tok.value.lower()
+                self.expect_op(":")
+                entries.append((key, self.parse_expr()))
+                if not self.accept_op(","):
+                    break
+            self.expect_op("}")
+            return MapLiteral(entries)
         if t.kind == "NAME":
             self.next()
             if self.peek().value == "(":

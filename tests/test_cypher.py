@@ -377,3 +377,66 @@ def test_aggregated_return_order_by_alias_and_key(graph):
         "RETURN c.name AS company, count(p) AS headcount ORDER BY company DESC"
     )
     assert rows(out2) == [("Initech", 2), ("Globex", 1)]
+
+
+def test_reference_element_mapping_cypher_verbatim(spark):
+    """The reference's literal structure-association query
+    (operations/views/element_mapping.py:36-51) — OPTIONAL MATCH
+    chains + collect({map literal}) of joined properties."""
+    mk = spark.createDataFrame
+    engine = CypherEngine(
+        {
+            "Structure": mk(
+                [("s1", "ElementMapping"), ("s2", "Presentation")],
+                ["identifier", "type"],
+            ),
+            "Association": mk(
+                [("a1", "sum", 1.0, 1.0), ("a2", "weighted_average", 2.0, 2.0)],
+                ["identifier", "preferred_label", "weight", "order_value"],
+            ),
+            "Element": mk(
+                [("e1", "uri:cash"), ("e2", "uri:assets")], ["identifier", "uri"]
+            ),
+            "STRUCTURE_HAS_ASSOCIATION": mk([("s1", "a1"), ("s1", "a2")], ["src", "dst"]),
+            "ASSOCIATION_HAS_FROM_ELEMENT": mk([("a1", "e2"), ("a2", "e2")], ["src", "dst"]),
+            "ASSOCIATION_HAS_TO_ELEMENT": mk([("a1", "e1"), ("a2", "e1")], ["src", "dst"]),
+        }
+    )
+    rows = engine.query(
+        """
+        MATCH (s:Structure)
+        WHERE s.identifier = $structure_id AND s.type = 'ElementMapping'
+        OPTIONAL MATCH (s)-[:STRUCTURE_HAS_ASSOCIATION]->(a:Association)
+        OPTIONAL MATCH (a)-[:ASSOCIATION_HAS_FROM_ELEMENT]->(from_el:Element)
+        OPTIONAL MATCH (a)-[:ASSOCIATION_HAS_TO_ELEMENT]->(to_el:Element)
+        RETURN s,
+               collect({
+                 identifier: a.identifier,
+                 source_element: from_el.uri,
+                 target_element: to_el.uri,
+                 aggregation_method: a.preferred_label,
+                 weight: a.weight,
+                 order_value: a.order_value
+               }) as associations
+        """,
+        {"structure_id": "s1"},
+    ).collect()
+    assert len(rows) == 1
+    assocs = sorted(rows[0]["associations"], key=lambda d: d["order_value"])
+    assert [a["identifier"] for a in assocs] == ["a1", "a2"]
+    assert assocs[0]["source_element"] == "uri:assets"
+    assert assocs[0]["target_element"] == "uri:cash"
+    assert assocs[1]["aggregation_method"] == "weighted_average"
+    assert assocs[1]["weight"] == 2.0
+
+
+def test_map_literal_plain_projection(graph):
+    rows = graph.query(
+        "MATCH (p:Person) RETURN p.name AS name, "
+        "{name: p.name, double_age: p.age * 2} AS info "
+        "ORDER BY p.name LIMIT 1"
+    ).collect()
+    info = rows[0]["info"]
+    assert set(info.asDict()) == {"name", "double_age"}
+    assert info["name"] == rows[0]["name"]
+    assert isinstance(info["double_age"], (int, float))
