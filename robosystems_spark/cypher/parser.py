@@ -31,6 +31,7 @@ KEYWORDS = {
     "LIMIT", "DISTINCT", "UNION", "ALL", "AND", "OR", "NOT", "IN", "CONTAINS",
     "STARTS", "ENDS", "IS", "NULL", "AS", "CASE", "WHEN", "THEN", "ELSE",
     "END", "ASC", "DESC", "TRUE", "FALSE", "UNWIND",
+    "CREATE", "MERGE", "SET", "DELETE", "DETACH", "ON",
 }
 
 _TOKEN_RE = re.compile(
@@ -131,6 +132,36 @@ class UnwindClause:
 
 
 @dataclass
+class CreateClause:
+    """CREATE (n:Label {props}) / CREATE (a)-[:R]->(b) — the write
+    shapes of the reference's save_view.py:154-243."""
+
+    patterns: list["PathPattern"]
+
+
+@dataclass
+class MergeClause:
+    """MERGE (n:Label {key: $v}) [SET ...] — node upsert."""
+
+    pattern: "NodePattern"
+
+
+@dataclass
+class SetClause:
+    """SET n.prop = expr, ... (save_view.py:191-195)."""
+
+    assignments: list  # list[tuple[PropRef, Expr]]
+
+
+@dataclass
+class DeleteClause:
+    """[DETACH] DELETE var, ... (save_view.py:121-128)."""
+
+    variables: list[str]
+    detach: bool = False
+
+
+@dataclass
 class ProjectionItem:
     expr: "Expr"
     alias: str | None
@@ -157,8 +188,8 @@ class OrderItem:
 
 @dataclass
 class SingleQuery:
-    clauses: list  # MatchClause | WithClause | UnwindClause
-    returns: ReturnClause
+    clauses: list  # MatchClause | WithClause | UnwindClause | write clauses
+    returns: "ReturnClause | None"
     order_by: list[OrderItem] = field(default_factory=list)
     skip: int | None = None
     limit: int | None = None
@@ -333,6 +364,39 @@ class Parser:
                     distinct = True
                 items = self.parse_items()
                 clauses.append(WithClause(items=items, distinct=distinct))
+            elif self.at_keyword("CREATE"):
+                self.next()
+                patterns = [self.parse_path()]
+                while self.accept_op(","):
+                    patterns.append(self.parse_path())
+                clauses.append(CreateClause(patterns))
+            elif self.at_keyword("MERGE"):
+                self.next()
+                clauses.append(MergeClause(self.parse_node()))
+            elif self.at_keyword("SET"):
+                self.next()
+                assignments = []
+                while True:
+                    # target parsed token-wise: parse_expr would eat the
+                    # '=' as a comparison operator
+                    var = self.parse_name()
+                    self.expect_op(".")
+                    prop = self.parse_name()
+                    self.expect_op("=")
+                    assignments.append((PropRef(var, prop), self.parse_expr()))
+                    if not self.accept_op(","):
+                        break
+                clauses.append(SetClause(assignments))
+            elif self.at_keyword("DELETE", "DETACH"):
+                detach = False
+                if self.at_keyword("DETACH"):
+                    self.next()
+                    detach = True
+                self.expect_keyword("DELETE")
+                variables = [self.parse_name()]
+                while self.accept_op(","):
+                    variables.append(self.parse_name())
+                clauses.append(DeleteClause(variables, detach))
             elif self.at_keyword("RETURN"):
                 self.next()
                 distinct = False
@@ -340,6 +404,12 @@ class Parser:
                     self.next()
                     distinct = True
                 returns = ReturnClause(items=self.parse_items(), distinct=distinct)
+                break
+            elif self.peek().kind == "EOF" and any(
+                isinstance(c, (CreateClause, MergeClause, SetClause, DeleteClause))
+                for c in clauses
+            ):
+                # write statements may omit RETURN
                 break
             else:
                 t = self.peek()
@@ -369,7 +439,6 @@ class Parser:
                 limit = int(self.next().value)
             else:
                 break
-        assert returns is not None
         return SingleQuery(clauses, returns, order_by, skip, limit)
 
     def parse_items(self) -> list[ProjectionItem]:

@@ -38,6 +38,7 @@ class CypherGate:
         graph_id: str = "kg0000000000000000",
         max_query_length: int = 10_000,
         graph_metadata: dict | None = None,
+        store=None,
     ):
         from robosystems_spark.queryapi.graph_identity import identify_graph
 
@@ -48,6 +49,9 @@ class CypherGate:
             raise CypherGateError(str(e)) from e
         self.graph_id = graph_id
         self.max_query_length = max_query_length
+        # GraphStore backing writable subgraphs: admitted WRITE
+        # statements execute against it (cypher/writes.py)
+        self.store = store
 
     @property
     def is_subgraph(self) -> bool:
@@ -80,4 +84,16 @@ class CypherGate:
                 "Write operations are not allowed on main graphs; use a subgraph"
             )
         params = validate_params(params)
+        if op is OperationType.WRITE:
+            if self.store is None:
+                raise CypherGateError(
+                    "This subgraph gate has no GraphStore backing; writes "
+                    "need a store"
+                )
+            from robosystems_spark.cypher.writes import CypherWriteExecutor
+
+            stats = CypherWriteExecutor(self.store).execute(cypher, params)
+            return spark.createDataFrame(
+                [tuple(stats.values())], list(stats.keys())
+            )
         return self.engine.query(cypher, params)

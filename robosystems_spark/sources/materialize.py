@@ -286,9 +286,16 @@ class GraphStore:
         updated = raw
         for col_name, value in assignments.items():
             value_col = value if isinstance(value, Column) else F.lit(value)
+            # SET may introduce a new property: non-matching rows get
+            # NULL for it (Cypher property-add semantics)
+            prior = (
+                F.col(col_name)
+                if col_name in updated.columns
+                else F.lit(None)
+            )
             updated = updated.withColumn(
                 col_name,
-                F.when(F.col(match_col), value_col).otherwise(F.col(col_name)),
+                F.when(F.col(match_col), value_col).otherwise(prior),
             )
         updated = updated.drop(match_col)
         if bucketed:

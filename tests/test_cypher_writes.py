@@ -1,0 +1,181 @@
+"""Cypher write executor: the reference's verbatim save_view write
+statements (CREATE report/fact + relationship wiring, SET metadata
+update, DETACH DELETE cascade, MERGE upsert) executed against a
+PK-bucket-partitioned GraphStore (SURVEY §2.11 M1-M4 via Cypher)."""
+
+from __future__ import annotations
+
+import pytest
+
+from robosystems_spark.cypher.writes import CypherWriteError, CypherWriteExecutor
+from robosystems_spark.sources.materialize import GraphStore
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    s = GraphStore(spark, str(tmp_path / "g"), "kg0123456789abcdef_dev")
+    s.copy_into(
+        "Element",
+        spark.createDataFrame([("e1", "uri:rev")], ["identifier", "uri"]),
+        primary_keys=["identifier"],
+    )
+    s.copy_into(
+        "Entity",
+        spark.createDataFrame([("ent1", "Acme")], ["identifier", "name"]),
+        primary_keys=["identifier"],
+    )
+    return s
+
+
+def test_create_report_verbatim(spark, store):
+    """save_view.py:154-168 shape."""
+    wx = CypherWriteExecutor(store)
+    stats = wx.execute(
+        """
+        CREATE (r:Report {
+            identifier: $report_id,
+            name: $name,
+            uri: $uri,
+            report_date: $report_date,
+            period_end_date: $period_end_date,
+            updated_at: $updated_at,
+            processed: true,
+            failed: false
+        })
+        RETURN r.identifier as report_id
+        """,
+        {
+            "report_id": "rep-1", "name": "10-K - Acme", "uri": "uri:rep1",
+            "report_date": "2023-12-31", "period_end_date": "2023-12-31",
+            "updated_at": "t0",
+        },
+    )
+    assert stats["nodes_created"] == 1
+    row = store.read("Report").first()
+    assert row["identifier"] == "rep-1" and row["processed"] is True
+
+
+def test_create_fact_with_edges_verbatim(spark, store):
+    """save_view.py:225-243 shape: MATCH-bound vars + 3 edge CREATEs."""
+    wx = CypherWriteExecutor(store)
+    wx.execute(
+        "CREATE (r:Report {identifier: $id, name: $n})", {"id": "rep-1", "n": "x"}
+    )
+    stats = wx.execute(
+        """
+        MATCH (r:Report {identifier: $report_id})
+        MATCH (e:Element {uri: $element_uri})
+        MATCH (ent:Entity {identifier: $entity_id})
+        CREATE (f:Fact {
+            identifier: $fact_id,
+            uri: $uri,
+            value: $value,
+            numeric_value: $numeric_value,
+            fact_type: $fact_type,
+            decimals: '2'
+        })
+        CREATE (r)-[:REPORT_HAS_FACT]->(f)
+        CREATE (f)-[:FACT_HAS_ELEMENT]->(e)
+        CREATE (f)-[:FACT_HAS_ENTITY]->(ent)
+        RETURN f.identifier as fact_id
+        """,
+        {
+            "report_id": "rep-1", "element_uri": "uri:rev", "entity_id": "ent1",
+            "fact_id": "fact-1", "uri": "uri:f1", "value": "100",
+            "numeric_value": 100.0, "fact_type": "Numeric",
+        },
+    )
+    assert stats == {
+        "nodes_created": 1, "relationships_created": 3,
+        "properties_set": 0, "nodes_deleted": 0,
+    }
+    assert store.read("REPORT_HAS_FACT").first().asDict() == {
+        "src": "rep-1", "dst": "fact-1"
+    }
+    assert store.read("FACT_HAS_ELEMENT").first()["dst"] == "e1"
+
+
+def test_set_update_verbatim_and_new_property(spark, store):
+    """save_view.py:190-196 shape; SET may add a new property."""
+    wx = CypherWriteExecutor(store)
+    wx.execute("CREATE (r:Report {identifier: $id, name: $n})", {"id": "rep-1", "n": "old"})
+    stats = wx.execute(
+        """
+        MATCH (r:Report {identifier: $report_id})
+        SET r.name = $name,
+            r.updated_at = $updated_at
+        RETURN r.identifier as report_id
+        """,
+        {"report_id": "rep-1", "name": "new", "updated_at": "t2"},
+    )
+    assert stats["properties_set"] == 2
+    row = store.read("Report").filter("identifier='rep-1'").first()
+    assert row["name"] == "new" and row["updated_at"] == "t2"
+
+
+def test_detach_delete_cascades_edges(spark, store):
+    """save_view.py:121-128 shape."""
+    wx = CypherWriteExecutor(store)
+    wx.execute("CREATE (r:Report {identifier: $id, name: $n})", {"id": "rep-1", "n": "x"})
+    wx.execute(
+        """
+        MATCH (r:Report {identifier: $rid})
+        MATCH (e:Element {uri: $uri})
+        CREATE (f:Fact {identifier: $fid, value: $v})
+        CREATE (r)-[:REPORT_HAS_FACT]->(f)
+        CREATE (f)-[:FACT_HAS_ELEMENT]->(e)
+        """,
+        {"rid": "rep-1", "uri": "uri:rev", "fid": "fact-1", "v": "100"},
+    )
+    stats = wx.execute(
+        """
+        MATCH (r:Report {identifier: $report_id})-[:REPORT_HAS_FACT]->(f:Fact)
+        DETACH DELETE f
+        """,
+        {"report_id": "rep-1"},
+    )
+    assert stats["nodes_deleted"] == 1
+    assert store.read("Fact").count() == 0
+    assert store.read("REPORT_HAS_FACT").count() == 0
+    assert store.read("FACT_HAS_ELEMENT").count() == 0
+    # the report itself survives
+    assert store.read("Report").count() == 1
+
+
+def test_merge_upserts_once(spark, store):
+    wx = CypherWriteExecutor(store)
+    s1 = wx.execute("MERGE (r:Report {identifier: $id, name: $n})", {"id": "r1", "n": "a"})
+    s2 = wx.execute("MERGE (r:Report {identifier: $id, name: $n})", {"id": "r1", "n": "a"})
+    s3 = wx.execute("MERGE (r:Report {identifier: $id, name: $n})", {"id": "r2", "n": "b"})
+    assert (s1["nodes_created"], s2["nodes_created"], s3["nodes_created"]) == (1, 0, 1)
+    assert store.read("Report").count() == 2
+
+
+def test_write_guards(spark, store):
+    wx = CypherWriteExecutor(store)
+    with pytest.raises(CypherWriteError, match="Not a write"):
+        wx.execute("MATCH (e:Element) RETURN e.uri AS u")
+    with pytest.raises(CypherWriteError, match="literals or \\$params"):
+        wx.execute("CREATE (r:Report {identifier: $id, name: upper($id)})", {"id": "x"})
+    with pytest.raises(CypherWriteError, match="Unbound"):
+        wx.execute("CREATE (a)-[:REL]->(b)")
+
+
+def test_gate_dispatches_writes_on_subgraph(spark, store):
+    from robosystems_spark.cypher import CypherEngine
+    from robosystems_spark.queryapi.cypher_gate import CypherGate, CypherGateError
+
+    engine = CypherEngine({"Element": store.read("Element")})
+    dev = CypherGate(
+        engine, graph_id="kg0123456789abcdef_dev", store=store
+    )
+    out = dev.query(
+        "CREATE (r:Report {identifier: $id, name: $n})", {"id": "rep-9", "n": "x"}
+    ).first()
+    assert out["nodes_created"] == 1
+    assert store.read("Report").filter("identifier='rep-9'").count() == 1
+
+    # a writable gate WITHOUT a store refuses cleanly
+    no_store = CypherGate(engine, graph_id="kg0123456789abcdef_dev")
+    with pytest.raises(CypherGateError, match="no GraphStore"):
+        no_store.query("CREATE (r:Report {identifier: 'z'})")
