@@ -31,7 +31,7 @@ KEYWORDS = {
     "LIMIT", "DISTINCT", "UNION", "ALL", "AND", "OR", "NOT", "IN", "CONTAINS",
     "STARTS", "ENDS", "IS", "NULL", "AS", "CASE", "WHEN", "THEN", "ELSE",
     "END", "ASC", "DESC", "TRUE", "FALSE", "UNWIND",
-    "CREATE", "MERGE", "SET", "DELETE", "DETACH", "ON",
+    "CREATE", "MERGE", "SET", "DELETE", "DETACH",
 }
 
 _TOKEN_RE = re.compile(

@@ -179,3 +179,26 @@ def test_gate_dispatches_writes_on_subgraph(spark, store):
     no_store = CypherGate(engine, graph_id="kg0123456789abcdef_dev")
     with pytest.raises(CypherGateError, match="no GraphStore"):
         no_store.query("CREATE (r:Report {identifier: 'z'})")
+
+
+def test_merge_then_set_plaid_upsert_shape(spark, store):
+    """The Plaid transaction upsert (adapters/plaid/processors/
+    transactions.py:205-215): MERGE on identifier, then SET props."""
+    wx = CypherWriteExecutor(store)
+    q = """
+        MERGE (t:Transaction {identifier: $identifier})
+        SET t.plaid_transaction_id = $transaction_id,
+            t.amount = $amount,
+            t.name = $name,
+            t.pending = $pending
+        RETURN t
+        """
+    p1 = {"identifier": "u1", "transaction_id": "pt-1", "amount": 12.5,
+          "name": "Coffee", "pending": False}
+    s1 = wx.execute(q, p1)
+    assert s1["nodes_created"] == 1 and s1["properties_set"] == 4
+    # re-run with updated amount: upsert updates, does not duplicate
+    s2 = wx.execute(q, {**p1, "amount": 14.0})
+    assert s2["nodes_created"] == 0
+    rows = store.read("Transaction").collect()
+    assert len(rows) == 1 and rows[0]["amount"] == 14.0
