@@ -130,7 +130,36 @@ class CypherEngine:
         return next(iter(self.tables.values())).sparkSession
 
     # -------------------------------------------------------------- patterns
+    def _is_rel_table(self, name: str) -> bool:
+        cols = set(self.tables[name].columns)
+        return {"src", "dst"} <= cols
+
     def _node_df(self, var: str, label: str, props: dict, scope: Scope, params: dict) -> DataFrame:
+        if label == "*":
+            # label-less MATCH (n): union of every node table's identity
+            # + a label column — the MCP/stats introspection shape
+            # (`MATCH (n) RETURN count(n)`, mcp tools corpus)
+            parts = [
+                self.tables[name]
+                .select(F.col(ID).alias(f"{var}__{ID}"))
+                .withColumn(f"{var}__label", F.lit(name))
+                for name in self.tables
+                if ID in self.tables[name].columns and not self._is_rel_table(name)
+            ]
+            if not parts:
+                raise CypherCompileError("No node tables registered")
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            for key, expr in props.items():
+                if key != ID:
+                    raise CypherCompileError(
+                        "Label-less node patterns only filter on identifier"
+                    )
+                out = out.filter(
+                    F.col(f"{var}__{ID}") == self._expr(expr, scope, params)[0]
+                )
+            return out
         if label not in self.tables:
             raise CypherCompileError(f"Unknown node label {label!r}")
         t = self.tables[label]
@@ -138,10 +167,27 @@ class CypherEngine:
             t = t.filter(F.col(key) == self._expr(expr, scope, params)[0])
         return t.select([F.col(c).alias(f"{var}__{c}") for c in t.columns])
 
-    def _edge_df(self, var: str | None, rel: str, direction: str):
-        if rel not in self.tables:
+    def _edge_df(self, var: str | None, rel: str | None, direction: str):
+        if rel is None:
+            # type-less -[r]-> : union of every relationship table with
+            # a type column (`MATCH ()-[r]->() RETURN count(r)`)
+            parts = [
+                self.tables[name].select(
+                    "src", "dst", F.lit(name).alias("type")
+                )
+                for name in self.tables
+                if self._is_rel_table(name)
+            ]
+            if not parts:
+                raise CypherCompileError("No relationship tables registered")
+            e = parts[0]
+            for p in parts[1:]:
+                e = e.unionByName(p)
+            rel = "*"
+        elif rel not in self.tables:
             raise CypherCompileError(f"Unknown relationship type {rel!r}")
-        e = self.tables[rel]
+        else:
+            e = self.tables[rel]
         swap = direction == "in"
         if direction == "undirected":
             fwd = e.select(F.col("src"), F.col("dst"), *[c for c in e.columns if c not in ("src", "dst")])
@@ -160,6 +206,12 @@ class CypherEngine:
         if var:
             sel += [
                 F.col(c).alias(f"{var}__{c}") for c in e.columns if c not in ("src", "dst")
+            ]
+            # edge identity columns so the var works in scalar positions
+            # (count(r), r comparisons)
+            sel += [
+                F.col("dst" if swap else "src").alias(f"{var}__src"),
+                F.col("src" if swap else "dst").alias(f"{var}__dst"),
             ]
         return e.select(*sel), src_col, dst_col
 
@@ -224,18 +276,13 @@ class CypherEngine:
             edge: P.EdgePattern = elements[i]
             node: P.NodePattern = elements[i + 1]
             nvar = node.var or self._fresh()
-            if edge.rel_type is None:
-                raise CypherCompileError(
-                    "Anonymous relationships without a type are not supported; "
-                    "specify -[:REL_TYPE]-"
-                )
             if edge.min_hops is not None:
                 edf, src_col, dst_col = self._varlength_pairs(edge)
             else:
                 edf, src_col, dst_col = self._edge_df(edge.var, edge.rel_type, edge.direction)
             df = df.join(edf, F.col(f"{prev}__{ID}") == F.col(src_col))
             if edge.var:
-                scope.edges[edge.var] = edge.rel_type
+                scope.edges[edge.var] = edge.rel_type or "*"
             if nvar in scope.nodes:
                 # variable already bound: the hop closes a cycle -> filter
                 df = df.filter(F.col(dst_col) == F.col(f"{nvar}__{ID}"))
@@ -255,9 +302,9 @@ class CypherEngine:
         if node.label is None:
             if label_hints and node.var in label_hints:
                 return label_hints[node.var]
-            raise CypherCompileError(
-                f"Node variable {node.var!r} needs a label on first use"
-            )
+            # label-less pattern: Cypher semantics = all nodes (compiled
+            # as a union over node tables)
+            return "*"
         return node.label
 
     def _fresh(self) -> str:
@@ -589,10 +636,14 @@ class CypherEngine:
             if name == "labels":
                 if v not in scope.nodes:
                     raise CypherCompileError(f"labels() needs a node variable, got {v!r}")
+                if scope.nodes[v] == "*":
+                    return F.array(F.col(f"{v}__label")), False
                 return F.array(F.lit(scope.nodes[v])), False
             if name == "type":
                 if v not in scope.edges:
                     raise CypherCompileError(f"type() needs a relationship variable, got {v!r}")
+                if scope.edges[v] == "*":
+                    return F.col(f"{v}__type"), False
                 return F.lit(scope.edges[v]), False
             if name == "id":
                 if v not in scope.nodes:

@@ -440,3 +440,26 @@ def test_map_literal_plain_projection(graph):
     assert set(info.asDict()) == {"name", "double_age"}
     assert info["name"] == rows[0]["name"]
     assert isinstance(info["double_age"], (int, float))
+
+
+def test_labelless_match_introspection_shapes(graph):
+    """The MCP stats corpus (middleware/mcp tools): label-less node and
+    type-less relationship counts compile as unions over the
+    registered tables."""
+    total_nodes = graph.query("MATCH (n) RETURN count(n) AS count").first()["count"]
+    assert total_nodes > 0
+    by_label = {
+        tuple(r["l"]): r["c"]
+        for r in graph.query(
+            "MATCH (n) RETURN labels(n) AS l, count(n) AS c"
+        ).collect()
+    }
+    assert sum(by_label.values()) == total_nodes
+    rels = graph.query("MATCH ()-[r]->() RETURN count(r) AS count").first()["count"]
+    by_type = {
+        r["t"]: r["c"]
+        for r in graph.query(
+            "MATCH ()-[r]->() RETURN type(r) AS t, count(r) AS c"
+        ).collect()
+    }
+    assert sum(by_type.values()) == rels
