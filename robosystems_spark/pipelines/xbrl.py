@@ -148,7 +148,11 @@ def build_xbrl_graph_frames(
         "identifier", content_hash_id("_fact_id", "axis_uri", "member_uri", prefix="fd_")
     )
     fact_dimension = dims.select(
-        "identifier", "axis_uri", "member_uri", F.lit(True).alias("is_explicit"),
+        "identifier", "axis_uri", "member_uri",
+        # context segment/scenario discrimination (xbrl_graph.py:782-788);
+        # the fact-input shape carries explicit segment dimensions
+        F.lit("segment").alias("type"),
+        F.lit(True).alias("is_explicit"),
         F.lit(False).alias("is_typed"),
     ).dropDuplicates(["identifier"])
 

@@ -129,3 +129,20 @@ class Schema:
             relationships=self.relationships
             + [r for r in other.relationships if r.name not in have_r],
         )
+
+
+def conform_to_schema(df, struct_type: T.StructType):
+    """Project a frame onto a schema table's column set: missing
+    properties become typed NULLs, present ones are cast — the
+    XBRLSchemaAdapter's ``process_dataframe_for_schema`` role
+    (/root/reference/robosystems/adapters/sec/processors/schema.py)
+    as one column projection."""
+    from pyspark.sql import functions as F
+
+    cols = []
+    for f in struct_type.fields:
+        if f.name in df.columns:
+            cols.append(F.col(f.name).try_cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)

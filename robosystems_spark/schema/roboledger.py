@@ -64,6 +64,7 @@ def roboledger_schema() -> Schema:
                 ("identifier", "STRING", True),
                 ("axis_uri", "STRING"),
                 ("member_uri", "STRING"),
+                ("type", "STRING"),
                 ("is_explicit", "BOOLEAN"),
                 ("is_typed", "BOOLEAN"),
             ),
