@@ -501,6 +501,8 @@ class CypherEngine:
             return self._is_aggregate(e.left) or self._is_aggregate(e.right)
         if isinstance(e, P.UnaryOp):
             return self._is_aggregate(e.operand)
+        if isinstance(e, P.Subscript):
+            return self._is_aggregate(e.target) or self._is_aggregate(e.index)
         if isinstance(e, P.CaseExpr):
             return any(
                 self._is_aggregate(c) or self._is_aggregate(v) for c, v in e.whens
@@ -543,6 +545,21 @@ class CypherEngine:
                 # struct column (returned node) property access
                 return F.col(scope.values[e.var])[e.prop], False
             raise CypherCompileError(f"Unbound variable {e.var!r}")
+        if isinstance(e, P.Subscript):
+            col, agg = self._expr(e.target, scope, params)
+            # Cypher lists are 0-indexed with negative-from-end;
+            # element_at is 1-indexed with the same negative semantics
+            if isinstance(e.index, P.Literal) and isinstance(e.index.value, int):
+                i = e.index.value
+                return F.element_at(col, i + 1 if i >= 0 else i), agg
+            if isinstance(e.index, P.Literal) and isinstance(e.index.value, str):
+                return col[e.index.value], agg
+            ix, agg2 = self._expr(e.index, scope, params)
+            ix = ix.cast("int")
+            return (
+                F.element_at(col, F.when(ix >= 0, ix + 1).otherwise(ix)),
+                agg or agg2,
+            )
         if isinstance(e, P.IsNull):
             col, agg = self._expr(e.operand, scope, params)
             return (col.isNotNull() if e.negated else col.isNull()), agg

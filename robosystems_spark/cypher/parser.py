@@ -261,6 +261,16 @@ class ListLiteral:
 
 
 @dataclass
+class Subscript:
+    """``expr[index]`` — list index (0-based, negative from end, the
+    ``labels(n)[0]`` idiom in examples/accounting_demo/
+    05_query_graph.py:45) or map/struct key lookup."""
+
+    target: "Expr"
+    index: "Expr"
+
+
+@dataclass
 class MapLiteral:
     """``{key: expr, ...}`` map projection (the collect({...}) idiom
     in the reference's view queries, e.g. operations/views/
@@ -607,7 +617,11 @@ class Parser:
 
     def parse_postfix(self):
         e = self.parse_primary()
-        while self.peek().kind == "OP" and self.peek().value == ".":
+        while self.peek().kind == "OP" and self.peek().value in (".", "["):
+            if self.accept_op("["):
+                e = Subscript(e, self.parse_expr())
+                self.expect_op("]")
+                continue
             self.next()
             prop = self.parse_name()
             if isinstance(e, VarRef):

@@ -463,3 +463,24 @@ def test_labelless_match_introspection_shapes(graph):
         ).collect()
     }
     assert sum(by_type.values()) == rels
+
+
+def test_subscript_labels_first(graph):
+    """Verbatim node-type census from accounting_demo/05_query_graph.py:44-46:
+    ``labels(n)[0]`` list indexing in a grouped projection."""
+    out = graph.query(
+        "MATCH (n)\n"
+        "RETURN labels(n)[0] AS type, count(n) AS count\n"
+        "ORDER BY count DESC, type"
+    )
+    got = {r["type"]: r["count"] for r in out.collect()}
+    assert got == {"Person": 4, "Company": 2, "Project": 2}
+
+
+def test_subscript_literal_negative_and_dynamic(graph):
+    out = graph.query(
+        "MATCH (p:Person) WHERE p.name = 'Ada' "
+        "RETURN ['a','b','c'][0] AS first, ['a','b','c'][-1] AS last, "
+        "['a','b','c'][p.age - 34] AS dyn"
+    ).first()
+    assert (out["first"], out["last"], out["dyn"]) == ("a", "c", "b")
