@@ -93,6 +93,10 @@ class CypherEngine:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        if len(parts) > 1 and not ast.union_all:
+            # plain UNION: distinct over the combined rows (Neo4j
+            # semantics); one extra shuffle, only when asked for
+            out = out.distinct()
         return out
 
     explain = query  # alias: engine.explain(q).explain() shows the plan
@@ -475,11 +479,29 @@ class CypherEngine:
         if sort_cols:
             out = out.orderBy(*sort_cols)
         out = out.drop(*[n for n, _, _ in order_specs if n])
-        if q.skip:
-            out = out.offset(q.skip)
-        if q.limit is not None:
-            out = out.limit(q.limit)
+        skip = self._resolve_count(q.skip, params)
+        limit = self._resolve_count(q.limit, params)
+        if skip:
+            out = out.offset(skip)
+        if limit is not None:
+            out = out.limit(limit)
         return out.select(*names)
+
+    @staticmethod
+    def _resolve_count(v, params: dict) -> "int | None":
+        """LIMIT/SKIP operand → plan-time constant.  Spark limits are
+        literals in the plan, so ``LIMIT $limit`` binds at compile
+        time from the parameter map."""
+        if v is None or isinstance(v, int):
+            return v
+        if v.name not in params:
+            raise CypherCompileError(f"Missing parameter ${v.name}")
+        n = params[v.name]
+        if not isinstance(n, int) or isinstance(n, bool) or n < 0:
+            raise CypherCompileError(
+                f"LIMIT/SKIP parameter ${v.name} must be a non-negative integer"
+            )
+        return n
 
     def _projection_column(
         self, item: P.ProjectionItem, scope: Scope, params: dict, df: DataFrame

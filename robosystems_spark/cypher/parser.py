@@ -141,9 +141,11 @@ class CreateClause:
 
 @dataclass
 class MergeClause:
-    """MERGE (n:Label {key: $v}) [SET ...] — node upsert."""
+    """MERGE (n:Label {key: $v}) — node upsert — or
+    MERGE (a)-[:R]->(b) between bound variables (the reference's
+    connection-link idiom, operations/connection_service.py)."""
 
-    pattern: "NodePattern"
+    pattern: "PathPattern"
 
 
 @dataclass
@@ -191,8 +193,8 @@ class SingleQuery:
     clauses: list  # MatchClause | WithClause | UnwindClause | write clauses
     returns: "ReturnClause | None"
     order_by: list[OrderItem] = field(default_factory=list)
-    skip: int | None = None
-    limit: int | None = None
+    skip: "int | Param | None" = None
+    limit: "int | Param | None" = None
 
 
 @dataclass
@@ -331,16 +333,24 @@ class Parser:
     # -- top level --------------------------------------------------------
     def parse(self) -> UnionQuery:
         queries = [self.parse_single()]
+        union_all: bool | None = None
         while self.at_keyword("UNION"):
             self.next()
-            if not self.at_keyword("ALL"):
-                raise CypherSyntaxError("Only UNION ALL is supported")
-            self.next()
+            this_all = self.at_keyword("ALL")
+            if this_all:
+                self.next()
+            if union_all is not None and union_all != this_all:
+                # Neo4j rejects mixed UNION / UNION ALL too
+                raise CypherSyntaxError("Cannot mix UNION and UNION ALL")
+            union_all = this_all
             queries.append(self.parse_single())
+        # tolerate a trailing statement terminator (MCP clients send them)
+        while self.peek().kind == "OP" and self.peek().value == ";":
+            self.next()
         if self.peek().kind != "EOF":
             t = self.peek()
             raise CypherSyntaxError(f"Unexpected trailing input {t.value!r} at {t.pos}")
-        return UnionQuery(queries=queries)
+        return UnionQuery(queries=queries, union_all=union_all in (None, True))
 
     def parse_single(self) -> SingleQuery:
         clauses: list = []
@@ -382,7 +392,7 @@ class Parser:
                 clauses.append(CreateClause(patterns))
             elif self.at_keyword("MERGE"):
                 self.next()
-                clauses.append(MergeClause(self.parse_node()))
+                clauses.append(MergeClause(self.parse_path()))
             elif self.at_keyword("SET"):
                 self.next()
                 assignments = []
@@ -443,13 +453,26 @@ class Parser:
                         break
             elif self.at_keyword("SKIP"):
                 self.next()
-                skip = int(self.next().value)
+                skip = self._limit_value()
             elif self.at_keyword("LIMIT"):
                 self.next()
-                limit = int(self.next().value)
+                limit = self._limit_value()
             else:
                 break
         return SingleQuery(clauses, returns, order_by, skip, limit)
+
+    def _limit_value(self) -> "int | Param":
+        """LIMIT/SKIP operand: an integer literal or a parameter
+        (the reference's MCP/API corpus binds ``LIMIT $limit``,
+        e.g. models/api/graphs/query.py)."""
+        t = self.next()
+        if t.kind == "PARAM":
+            return Param(t.value)
+        if t.kind == "NUMBER" and "." not in t.value:
+            return int(t.value)
+        raise CypherSyntaxError(
+            f"Expected integer or parameter after LIMIT/SKIP at {t.pos}"
+        )
 
     def parse_items(self) -> list[ProjectionItem]:
         items = []

@@ -178,7 +178,28 @@ class CypherWriteExecutor:
                 )
 
     def _merge(self, clause, params, var_label, bound, created_ids, stats):
-        node = clause.pattern
+        els = clause.pattern.elements
+        if len(els) == 3 and isinstance(els[1], P.EdgePattern):
+            # MERGE (a)-[:R]->(b) between bound/created variables:
+            # idempotent edge upsert — copy_into's PK anti-join skips
+            # pairs that already exist (connection_service.py idiom)
+            a, e, b = els
+            if e.rel_type is None:
+                raise CypherWriteError("MERGE relationship needs a type")
+            if e.direction == "in":
+                a, b = b, a
+            src_ids = self._ids_for(a.var, bound, created_ids)
+            dst_ids = self._ids_for(b.var, bound, created_ids)
+            pairs = [(s, d) for s in src_ids for d in dst_ids]
+            if not pairs:
+                return
+            df = self.store.spark.createDataFrame(pairs, ["src", "dst"])
+            n = self.store.copy_into(
+                e.rel_type, df, primary_keys=["src", "dst"], ignore_errors=True
+            )
+            stats["relationships_created"] += n
+            return
+        node = els[0]
         if node.label is None or not node.props:
             raise CypherWriteError("MERGE needs a label and a property map")
         props = {k: _value(v, params) for k, v in node.props.items()}

@@ -484,3 +484,40 @@ def test_subscript_literal_negative_and_dynamic(graph):
         "['a','b','c'][p.age - 34] AS dyn"
     ).first()
     assert (out["first"], out["last"], out["dyn"]) == ("a", "c", "b")
+
+
+def test_limit_skip_parameters_and_trailing_semicolon(graph):
+    """The MCP/API corpus binds LIMIT as a parameter
+    (models/api/graphs/query.py: ``RETURN n LIMIT $limit``) and
+    clients send trailing semicolons (middleware/mcp tests)."""
+    out = graph.query(
+        "MATCH (p:Person) RETURN p.name AS name ORDER BY p.age DESC "
+        "SKIP $off LIMIT $limit;",
+        {"off": 1, "limit": 2},
+    )
+    assert [r["name"] for r in out.collect()] == ["Ada", "Bo"]
+    with pytest.raises(Exception, match="non-negative integer"):
+        graph.query(
+            "MATCH (p:Person) RETURN p.name AS n LIMIT $limit", {"limit": "5"}
+        )
+
+
+def test_union_distinct(graph):
+    """Plain UNION dedupes across branches (middleware/mcp
+    test_client.py: TypeA/TypeB name union)."""
+    dup = graph.query(
+        "MATCH (p:Person) WHERE p.age > 30 RETURN p.name AS name "
+        "UNION MATCH (q:Person) WHERE q.title = 'Manager' RETURN q.name AS name"
+    )
+    names = sorted(r["name"] for r in dup.collect())
+    assert names == ["Ada", "Cy"]  # Cy matches both branches, appears once
+    both = graph.query(
+        "MATCH (p:Person) WHERE p.age > 30 RETURN p.name AS name "
+        "UNION ALL MATCH (q:Person) WHERE q.title = 'Manager' RETURN q.name AS name"
+    )
+    assert both.count() == 3
+    with pytest.raises(Exception, match="mix UNION"):
+        graph.query(
+            "MATCH (p:Person) RETURN p.name AS n UNION MATCH (q:Person) "
+            "RETURN q.name AS n UNION ALL MATCH (r:Person) RETURN r.name AS n"
+        )

@@ -202,3 +202,30 @@ def test_merge_then_set_plaid_upsert_shape(spark, store):
     assert s2["nodes_created"] == 0
     rows = store.read("Transaction").collect()
     assert len(rows) == 1 and rows[0]["amount"] == 14.0
+
+
+def test_merge_relationship_between_bound_nodes(spark, store):
+    """Verbatim connection-link idiom (operations/
+    connection_service.py): MATCH two nodes, MERGE an edge between
+    them — idempotent on re-run."""
+    store.copy_into(
+        "Connection",
+        spark.createDataFrame(
+            [("conn-1", "plaid")], ["identifier", "provider"]
+        ),
+        primary_keys=["identifier"],
+    )
+    wx = CypherWriteExecutor(store)
+    q = """
+        MATCH (c:Entity {identifier: $entity_id})
+        MATCH (conn:Connection {identifier: $connection_id})
+        MERGE (c)-[:HAS_CONNECTION]->(conn)
+        """
+    p = {"entity_id": "ent1", "connection_id": "conn-1"}
+    s1 = wx.execute(q, p)
+    assert s1["relationships_created"] == 1
+    s2 = wx.execute(q, p)  # MERGE again: no duplicate edge
+    assert s2["relationships_created"] == 0
+    edges = store.read("HAS_CONNECTION").collect()
+    assert len(edges) == 1
+    assert (edges[0]["src"], edges[0]["dst"]) == ("ent1", "conn-1")
