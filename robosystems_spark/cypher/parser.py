@@ -43,7 +43,7 @@ _TOKEN_RE = re.compile(
   | (?P<param>\$[A-Za-z_][A-Za-z0-9_]*)
   | (?P<name>`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)
   | (?P<arrow><-\[|\]->|-\[|\]-|<--|-->|--)
-  | (?P<op><>|<=|>=|=~|[()\[\]{},.:;=<>+\-*/%|])
+  | (?P<op><>|<=|>=|=~|\+=|[()\[\]{},.:;=<>+\-*/%|])
     """,
     re.VERBOSE | re.DOTALL,
 )
@@ -400,10 +400,15 @@ class Parser:
                     # target parsed token-wise: parse_expr would eat the
                     # '=' as a comparison operator
                     var = self.parse_name()
-                    self.expect_op(".")
-                    prop = self.parse_name()
-                    self.expect_op("=")
-                    assignments.append((PropRef(var, prop), self.parse_expr()))
+                    if self.accept_op("+="):
+                        # SET n += map — merge properties from a map
+                        # (the neo4j.py:340 batch-upsert idiom)
+                        assignments.append((VarRef(var), self.parse_expr()))
+                    else:
+                        self.expect_op(".")
+                        prop = self.parse_name()
+                        self.expect_op("=")
+                        assignments.append((PropRef(var, prop), self.parse_expr()))
                     if not self.accept_op(","):
                         break
                 clauses.append(SetClause(assignments))

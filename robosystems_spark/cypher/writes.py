@@ -78,6 +78,10 @@ class CypherWriteExecutor:
         if not writes:
             raise CypherWriteError("Not a write statement")
 
+        batch = self._try_batch_upsert(q, params)
+        if batch is not None:
+            return batch
+
         # variable -> label from MATCH and CREATE node patterns
         var_label: dict[str, str] = {}
         for m in matches:
@@ -105,6 +109,108 @@ class CypherWriteExecutor:
             elif isinstance(clause, P.DeleteClause):
                 self._delete(clause, var_label, bound, stats)
         return stats
+
+    # -- batch upsert (UNWIND $batch AS row MERGE ... SET n += row) -------
+
+    def _try_batch_upsert(self, q, params: dict) -> dict | None:
+        """The reference's bulk-load idiom (graph_api/backends/
+        neo4j.py:338-341)::
+
+            UNWIND $batch AS row
+            MERGE (n:Table {identifier: row.identifier})
+            SET n += row
+
+        Executed as ONE distributed upsert — the batch becomes a
+        DataFrame and ``GraphStore.upsert`` merges it with bucket
+        partition pruning — never a per-row loop.  Returns stats, or
+        None when the statement isn't this shape."""
+        clauses = [c for c in q.clauses]
+        if len(clauses) < 2 or not isinstance(clauses[0], P.UnwindClause):
+            return None
+        unwind = clauses[0]
+        if not isinstance(unwind.expr, P.Param):
+            return None
+        if not isinstance(clauses[1], P.MergeClause):
+            return None
+        els = clauses[1].pattern.elements
+        if len(els) != 1:
+            return None
+        node = els[0]
+        if node.label is None or not node.props:
+            return None
+        set_clauses = clauses[2:]
+        merge_all = False
+        for c in set_clauses:
+            if not isinstance(c, P.SetClause):
+                return None
+            for target, value in c.assignments:
+                if not (
+                    isinstance(target, P.VarRef)
+                    and target.name == node.var
+                    and isinstance(value, P.VarRef)
+                    and value.name == unwind.alias
+                ):
+                    return None
+                merge_all = True
+
+        rows = params.get(unwind.expr.name)
+        if rows is None:
+            raise CypherWriteError(f"Missing parameter ${unwind.expr.name}")
+        if not isinstance(rows, list) or not all(isinstance(r, dict) for r in rows):
+            raise CypherWriteError(
+                f"${unwind.expr.name} must be a list of property maps"
+            )
+        # merge keys: props of the form {k: row.f} — k taken from row[f]
+        keys: list[str] = []
+        for k, v in node.props.items():
+            if not (isinstance(v, P.PropRef) and v.var == unwind.alias):
+                return None
+            if k != v.prop:
+                raise CypherWriteError(
+                    "Batch MERGE key must reference the same field name "
+                    f"({k} vs row.{v.prop})"
+                )
+            keys.append(k)
+        if not rows:
+            return {"nodes_created": 0, "relationships_created": 0,
+                    "properties_set": 0, "nodes_deleted": 0}
+        for r in rows:
+            for k in keys:
+                if k not in r:
+                    raise CypherWriteError(f"Batch row missing merge key {k!r}")
+
+        # stable schema across heterogeneous rows: union of keys
+        all_cols = list(dict.fromkeys(c for r in rows for c in r))
+        cols = all_cols if merge_all else keys
+        spark = self.store.spark
+        df = spark.createDataFrame(
+            [tuple(r.get(c) for c in cols) for r in rows], cols
+        )
+        incoming = df.select(*keys).distinct()
+        if self.store.exists(node.label):
+            # one pre-write scan, broadcast-sized right side — not the
+            # two full-table counts a before/after diff would need
+            existing = (
+                self.store.read(node.label)
+                .select(*keys)
+                .join(F.broadcast(incoming), keys, "left_semi")
+                .count()
+            )
+        else:
+            existing = 0
+        created = incoming.count() - existing
+        if merge_all:
+            self.store.upsert(node.label, df, primary_keys=keys)
+        else:
+            self.store.copy_into(
+                node.label, df, primary_keys=keys, ignore_errors=True
+            )
+        return {
+            "nodes_created": created,
+            "relationships_created": 0,
+            "properties_set": (len(rows) * len(cols)) if merge_all else 0,
+            "nodes_deleted": 0,
+        }
 
     # -- binding ----------------------------------------------------------
 
@@ -226,6 +332,13 @@ class CypherWriteExecutor:
     def _set(self, clause, params, var_label, bound, created_ids, stats):
         by_var: dict[str, dict] = {}
         for target, value in clause.assignments:
+            if isinstance(target, P.VarRef):
+                # SET n += map — merge every key of the map value
+                props = _value(value, params)
+                if not isinstance(props, dict):
+                    raise CypherWriteError("SET += requires a map value")
+                by_var.setdefault(target.name, {}).update(props)
+                continue
             by_var.setdefault(target.var, {})[target.prop] = _value(value, params)
         for var, assignments in by_var.items():
             label = var_label.get(var)

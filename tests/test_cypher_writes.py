@@ -229,3 +229,43 @@ def test_merge_relationship_between_bound_nodes(spark, store):
     edges = store.read("HAS_CONNECTION").collect()
     assert len(edges) == 1
     assert (edges[0]["src"], edges[0]["dst"]) == ("ent1", "conn-1")
+
+
+def test_unwind_batch_merge_set_plus_equals(spark, store):
+    """Verbatim bulk-load idiom (graph_api/backends/neo4j.py:338-341):
+    UNWIND a parameter batch, MERGE on identifier, SET n += row —
+    executed as ONE distributed upsert, not a per-row loop."""
+    wx = CypherWriteExecutor(store)
+    q = """
+        UNWIND $batch as row
+        MERGE (n:Account {identifier: row.identifier})
+        SET n += row
+        RETURN count(n) as count
+        """
+    batch1 = [
+        {"identifier": "a1", "name": "Cash", "balance": 100.0},
+        {"identifier": "a2", "name": "AR", "balance": 50.0},
+    ]
+    s1 = wx.execute(q, {"batch": batch1})
+    assert s1["nodes_created"] == 2
+    # second batch: one update (a2 balance), one insert (a3)
+    batch2 = [
+        {"identifier": "a2", "name": "AR", "balance": 75.0},
+        {"identifier": "a3", "name": "AP", "balance": -20.0},
+    ]
+    s2 = wx.execute(q, {"batch": batch2})
+    assert s2["nodes_created"] == 1
+    rows = {r["identifier"]: r for r in store.read("Account").collect()}
+    assert set(rows) == {"a1", "a2", "a3"}
+    assert rows["a2"]["balance"] == 75.0 and rows["a1"]["balance"] == 100.0
+
+
+def test_set_plus_equals_map_param(spark, store):
+    """Standalone SET n += $props merges map keys onto matched nodes."""
+    wx = CypherWriteExecutor(store)
+    wx.execute(
+        "MATCH (e:Entity {identifier: 'ent1'}) SET e += $props",
+        {"props": {"name": "Acme Corp", "ticker": "ACME"}},
+    )
+    row = store.read("Entity").filter("identifier='ent1'").first()
+    assert row["name"] == "Acme Corp" and row["ticker"] == "ACME"
