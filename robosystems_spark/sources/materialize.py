@@ -138,6 +138,34 @@ class GraphStore:
         df = self._read_raw(table)
         return df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df
 
+    def create_table(
+        self, table: str, schema, primary_keys: list[str] | None = None
+    ) -> None:
+        """CREATE TABLE: a zero-row parquet table with the declared
+        StructType, so reads see the right schema before the first
+        COPY (the DDL path, schema/ddl.py).  Bucket keys are recorded
+        now; the physical partition layout appears with the first
+        non-empty copy_into."""
+        if self.exists(table):
+            raise ValueError(f"Table {table!r} already exists")
+        keys = [k for k in (primary_keys or []) if k in schema.fieldNames()]
+        empty = self.spark.createDataFrame([], schema)
+        empty.write.mode("overwrite").parquet(self.table_path(table))
+        self._save_meta(table, {"bucket_keys": keys, "n_buckets": self.n_buckets})
+
+    def drop_table(self, table: str) -> None:
+        """DROP TABLE: move the table dir aside then delete (same
+        rename-aside discipline as rewrites — readers holding the old
+        path fail fast rather than seeing partial deletes)."""
+        if not self.exists(table):
+            raise ValueError(f"Table {table!r} does not exist")
+        self._clean_scratch()
+        os.makedirs(self._trash_root, exist_ok=True)
+        os.rename(
+            self.table_path(table), os.path.join(self._trash_root, table)
+        )
+        self._clean_scratch()
+
     # -- load paths ---------------------------------------------------------
 
     def copy_into(
@@ -167,6 +195,7 @@ class GraphStore:
             )
         meta = self._load_meta(table)
         keys = [k for k in meta.get("bucket_keys", []) if k in df.columns]
+        replace_empty = False
         if not is_new:
             if self._is_bucketed(table):
                 if len(keys) != len(meta.get("bucket_keys", [])):
@@ -183,24 +212,40 @@ class GraphStore:
                         for c in df.columns
                     ]
                 )
+            elif keys and self._read_raw(table).isEmpty():
+                # A DDL-declared (or fully-emptied) table: adopt the
+                # declared bucket keys and DECLARED TYPES, replacing the
+                # schema-only empty files with the partitioned layout.
+                stored = {f.name: f.dataType for f in self._read_raw(table).schema.fields}
+                df = df.select(
+                    *[
+                        F.col(c).cast(stored[c]).alias(c) if c in stored else F.col(c)
+                        for c in df.columns
+                    ]
+                )
+                replace_empty = True
             else:
-                # Layout lost its partitioning (e.g. emptied by a
-                # delete-all or legacy rewrite): never mix plain files
-                # with partition dirs in one table dir.
+                # Layout lost its partitioning (e.g. legacy rewrite with
+                # surviving rows): never mix plain files with partition
+                # dirs in one table dir.
                 keys = []
 
         df = df.cache()
         n = df.count()
         writer = df
+        mode = "overwrite" if replace_empty else "append"
         if keys:
             writer = df.withColumn(
                 BUCKET_COL, _bucket_expr(keys, meta.get("n_buckets", self.n_buckets))
             )
-            writer.write.mode("append").partitionBy(BUCKET_COL).parquet(
+            writer.write.mode(mode).partitionBy(BUCKET_COL).parquet(
                 self.table_path(table)
             )
         else:
-            writer.write.mode("append").parquet(self.table_path(table))
+            writer.write.mode(mode).parquet(self.table_path(table))
+        if replace_empty:
+            # overwrite cleared the table dir, .meta.json included
+            self._save_meta(table, meta)
         df.unpersist()
         return n
 
