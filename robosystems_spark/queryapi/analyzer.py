@@ -45,6 +45,10 @@ DDL_PHRASES = (
     "DROP COLUMN",
     "RENAME TABLE",
     "RENAME COLUMN",
+    "DROP TABLE",
+    "CREATE INDEX",
+    "CREATE DATABASE",
+    "DROP DATABASE",
 )
 
 MAX_QUERY_LENGTH = 100_000  # hard cap (service.py:183-189 tier caps below)

@@ -84,6 +84,17 @@ class CypherGate:
                 "Write operations are not allowed on main graphs; use a subgraph"
             )
         params = validate_params(params)
+        if op is OperationType.DDL:
+            if self.store is None:
+                raise CypherGateError(
+                    "DDL needs a GraphStore backing on this gate"
+                )
+            from robosystems_spark.schema.ddl import apply_graph_ddl
+
+            stats = apply_graph_ddl(self.store, cypher)
+            return spark.createDataFrame(
+                [tuple(stats.values())], list(stats.keys())
+            )
         if op is OperationType.WRITE:
             if self.store is None:
                 raise CypherGateError(

@@ -147,3 +147,28 @@ def test_ddl_roundtrip_from_schema_objects():
     assert schema.node("Part").primary_keys() == ["identifier"]
     rel = schema.relationship("SUPPLIES")
     assert rel.to_struct_type().fieldNames() == ["src", "dst", "qty"]
+
+
+def test_gate_routes_ddl_to_store(spark, tmp_path):
+    """A writable (subgraph) gate executes DDL against its GraphStore;
+    read-only gates refuse — same admission matrix as Cypher writes."""
+    from robosystems_spark.cypher import CypherEngine
+    from robosystems_spark.queryapi.cypher_gate import CypherGate, CypherGateError
+
+    store = GraphStore(spark, str(tmp_path / "g"), "kg0123456789abcdef_dev")
+    engine = CypherEngine(
+        {"Entity": spark.createDataFrame([("e1",)], ["identifier"])}
+    )
+    gate = CypherGate(engine, graph_id="kg0123456789abcdef_dev", store=store)
+    out = gate.query(
+        "CREATE NODE TABLE IF NOT EXISTS Widget("
+        "identifier STRING, weight DOUBLE, PRIMARY KEY(identifier))"
+    ).first()
+    assert out["tables_created"] == 1
+    assert store.exists("Widget")
+
+    read_only = CypherGate(engine, graph_id="kg0123456789abcdef")
+    with pytest.raises(CypherGateError, match="not allowed"):
+        read_only.query(
+            "CREATE NODE TABLE X(identifier STRING, PRIMARY KEY(identifier))"
+        )
