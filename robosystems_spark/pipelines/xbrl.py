@@ -516,6 +516,17 @@ def build_xbrl_taxonomy_frames(
             )
             .dropDuplicates(["src", "dst"])
         )
+
+    # ELEMENT_IN_TAXONOMY (schemas/base.py:206): every element that an
+    # arc places in a taxonomy's structures — union of both arc ends,
+    # one uniform dedup shuffle
+    frames["ELEMENT_IN_TAXONOMY"] = (
+        arcs.select(F.col("_parent_id").alias("src"), F.col("_taxonomy_id").alias("dst"))
+        .unionByName(
+            arcs.select(F.col("_child_id").alias("src"), F.col("_taxonomy_id").alias("dst"))
+        )
+        .dropDuplicates(["src", "dst"])
+    )
     return frames
 
 
@@ -535,4 +546,5 @@ TAXONOMY_REL_TABLES = [
     "ASSOCIATION_HAS_FROM_ELEMENT", "ASSOCIATION_HAS_TO_ELEMENT",
     "ELEMENT_HAS_LABEL", "TAXONOMY_HAS_LABEL",
     "ELEMENT_HAS_REFERENCE", "TAXONOMY_HAS_REFERENCE",
+    "ELEMENT_IN_TAXONOMY",
 ]

@@ -179,6 +179,13 @@ def test_taxonomy_frames_structures_and_associations(spark, raw_arcs, raw_labels
     assert frames["STRUCTURE_HAS_ASSOCIATION"].count() == 4
     assert frames["ASSOCIATION_HAS_FROM_ELEMENT"].count() == 4
     assert frames["ASSOCIATION_HAS_TO_ELEMENT"].count() == 4
+    # ELEMENT_IN_TAXONOMY: every arc endpoint appears exactly once
+    eit = frames["ELEMENT_IN_TAXONOMY"].collect()
+    n_elements = frames["Element"].count()
+    assert len(eit) == n_elements
+    assert {r["dst"] for r in eit} == {
+        frames["Taxonomy"].first()["identifier"]
+    }
     # deterministic ids across rebuilds (unlike the reference's uuid7)
     again = build_xbrl_taxonomy_frames(raw_arcs, raw_labels, raw_references)
     ids1 = sorted(r["identifier"] for r in frames["Association"].collect())
