@@ -524,3 +524,145 @@ def split_documents_train_val_test(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy("split")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation: the end-to-end cleaning decisions (operators/corpus.py).
+# ---------------------------------------------------------------------------
+@register(
+    "corpus_filter_funnel",
+    oracle=r"""
+    WITH d AS (
+      SELECT source, doc_id, lang,
+             STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS toks,
+             MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS fp,
+             CAST(LENGTH(REPLACE(TRIM(text), ' ', '')) AS DOUBLE) AS nospace
+      FROM documents
+    ),
+    s AS (
+      SELECT source, doc_id, fp,
+             (lang = 'en') AS s_lang,
+             LEN(toks) AS n_toks,
+             ROUND(LEAST(LEN(toks) / 100.0, 1.0) * 0.4
+                   + (CAST(LEN(LIST_DISTINCT(toks)) AS DOUBLE) / LEN(toks)) * 0.4
+                   + LEAST((nospace / LEN(toks)) / 8.0, 1.0) * 0.2, 6) AS q
+      FROM d
+    ),
+    st AS (
+      SELECT source, doc_id, fp, s_lang,
+             (s_lang AND n_toks BETWEEN 20 AND 1000) AS s_len,
+             (s_lang AND n_toks BETWEEN 20 AND 1000 AND q >= 0.55) AS s_quality
+      FROM s
+    ),
+    k AS (
+      SELECT source, s_lang, s_len, s_quality,
+             (s_quality AND ROW_NUMBER() OVER (
+                PARTITION BY fp, s_quality ORDER BY doc_id) = 1) AS s_kept
+      FROM st
+    )
+    SELECT source,
+           COUNT(*) AS n_total,
+           COUNT(*) FILTER (s_lang) AS n_lang,
+           COUNT(*) FILTER (s_len) AS n_len,
+           COUNT(*) FILTER (s_quality) AS n_quality,
+           COUNT(*) FILTER (s_kept) AS n_kept
+    FROM k GROUP BY source
+    """,
+    doc="Corpus-cleaning funnel per source: total -> declared-lang -> token-length "
+    "-> quality score -> first-of-duplicate (LLM-pipeline curation report).",
+    tags=("corpus",),
+)
+def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from robosystems_spark.operators.corpus import filter_funnel
+
+    return filter_funnel(_docs(spark, sf_dir))
+
+
+@register(
+    "dedup_representative_docs",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id,
+             MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS fp,
+             LENGTH(TRIM(text)) AS len
+      FROM documents
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY fp ORDER BY len DESC, doc_id ASC) AS rn
+      FROM d
+    )
+    SELECT fp AS fingerprint,
+           MAX(CASE WHEN rn = 1 THEN doc_id END) AS rep_doc_id,
+           COUNT(*) AS n_docs
+    FROM r GROUP BY fp
+    """,
+    doc="Canonical doc per exact-duplicate cluster: keep longest text, ties by "
+    "smallest id (curation keeps the BEST copy, not the first).",
+    tags=("dedup", "corpus"),
+)
+def dedup_representative_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from robosystems_spark.operators.corpus import representative_docs
+
+    return representative_docs(_docs(spark, sf_dir))
+
+
+@register(
+    "decontamination_ngram_overlap",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT DISTINCT t.doc_id, ARRAY_TO_STRING(t.toks[i:i+7], ' ') AS gram
+      FROM t, UNNEST(GENERATE_SERIES(1, GREATEST(LEN(t.toks) - 7, 1))) AS u(i)
+    ),
+    hold AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0)
+    SELECT g.doc_id, CAST(COUNT(DISTINCT g.gram) AS BIGINT) AS n_shared_ngrams
+    FROM g JOIN hold USING (gram)
+    WHERE g.doc_id % 20 <> 0
+    GROUP BY g.doc_id
+    """,
+    doc="Benchmark decontamination: train docs sharing an 8-token shingle with the "
+    "held-out set (doc_id % 20 = 0); holdout n-gram set broadcast, train side "
+    "never shuffled for the join.",
+    tags=("corpus",),
+    bench=True,
+)
+def decontamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from robosystems_spark.operators.corpus import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    return decontaminate(
+        docs.filter(F.col("doc_id") % 20 != 0),
+        docs.filter(F.col("doc_id") % 20 == 0),
+    )
+
+
+@register(
+    "text_repetition_stats",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT t.doc_id, ARRAY_TO_STRING(t.toks[i:i+1], ' ') AS gram
+      FROM t, UNNEST(GENERATE_SERIES(1, GREATEST(LEN(t.toks) - 1, 1))) AS u(i)
+    ),
+    c AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_bigrams,
+           MAX(c) AS top_bigram_count,
+           ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_bigram_frac
+    FROM c GROUP BY doc_id
+    """,
+    doc="Within-document repetition (Gopher-style): fraction of bigram occurrences "
+    "taken by the most frequent bigram.",
+    tags=("text", "corpus"),
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from robosystems_spark.operators.corpus import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))

@@ -1,0 +1,182 @@
+"""Corpus-curation operators: the end-to-end steps a pretraining data
+pipeline runs over a raw document pool.
+
+Complements operators/text.py (per-doc signals) and operators/dedup.py
+(pairwise dedup) with the CORPUS-level decisions built from them:
+
+- ``filter_funnel``       — staged keep/drop counts (language → length
+                            → quality → first-of-duplicate), the
+                            standard corpus-cleaning report
+- ``representative_docs`` — canonical document per exact-duplicate
+                            cluster (longest text, then smallest id)
+- ``decontaminate``       — n-gram overlap between the train pool and
+                            a small held-out/benchmark set
+- ``repetition_stats``    — within-document repetition signals
+                            (top-bigram fraction), the Gopher-style
+                            repetition filter input
+
+Scale notes (100 TB):
+- Everything is column expressions + one keyed shuffle per operator;
+  no Python UDFs, no driver loops.
+- ``decontaminate`` deliberately builds the n-gram set of the SMALL
+  side (the benchmark suite) and broadcast-joins it against the train
+  pool's exploded n-grams: the 100 TB side is never shuffled, only
+  scanned, filtered map-side, and aggregated on matching doc ids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from robosystems_spark.operators.dedup import shingles_of
+from robosystems_spark.operators.text import tokens
+
+
+def _fingerprint(text_col: str):
+    normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return F.md5(normalized.cast("binary"))
+
+
+def filter_funnel(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    group_col: str = "source",
+    keep_lang: str = "en",
+    min_tokens: int = 20,
+    max_tokens: int = 1000,
+    min_quality: float = 0.55,
+) -> DataFrame:
+    """Per-``group_col`` staged keep counts for the standard cleaning
+    funnel: total → declared-language → token-length window → quality
+    score → first occurrence of each exact-duplicate fingerprint.
+
+    Stages are cumulative (a doc is counted at stage N only if it
+    passed stages 1..N-1), which is how curation reports read.
+    One window (fingerprint) + one groupBy — two shuffles total.
+    """
+    toks = tokens(text_col)
+    n = F.size(toks).cast("double")
+    uniq = F.size(F.array_distinct(toks)).cast("double")
+    avg_len = F.length(F.translate(F.trim(F.col(text_col)), " ", "")).cast("double") / n
+    quality = F.round(
+        F.least(n / 100.0, F.lit(1.0)) * 0.4
+        + (uniq / n) * 0.4
+        + F.least(avg_len / 8.0, F.lit(1.0)) * 0.2,
+        6,
+    )
+    staged = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col),
+        (F.col(lang_col) == keep_lang).alias("s_lang"),
+        F.size(toks).alias("_n_toks"),
+        quality.alias("_q"),
+        _fingerprint(text_col).alias("_fp"),
+    ).withColumn(
+        "s_len",
+        F.col("s_lang") & F.col("_n_toks").between(min_tokens, max_tokens),
+    )
+    staged = staged.withColumn("s_quality", F.col("s_len") & (F.col("_q") >= min_quality))
+    # first-of-fingerprint among quality survivors only: rank by doc id
+    # within (fingerprint, survived) so dropped docs never block a kept one
+    w = Window.partitionBy("_fp", "s_quality").orderBy(F.col(id_col))
+    staged = staged.withColumn(
+        "s_kept", F.col("s_quality") & (F.row_number().over(w) == 1)
+    )
+    return (
+        staged.groupBy(F.col("grp").alias(group_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count_if("s_lang").alias("n_lang"),
+            F.count_if("s_len").alias("n_len"),
+            F.count_if("s_quality").alias("n_quality"),
+            F.count_if("s_kept").alias("n_kept"),
+        )
+    )
+
+
+def representative_docs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Canonical document per exact-duplicate cluster.
+
+    dedup.exact_duplicates keeps ``min(doc_id)``; curation pipelines
+    instead keep the BEST copy — here: longest trimmed text, ties by
+    smallest id (a total order, so engine-independent).  Returns one
+    row per cluster: (fingerprint, rep_doc_id, n_docs).
+    """
+    w = Window.partitionBy("_fp").orderBy(
+        F.col("_len").desc(), F.col(id_col).asc()
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            _fingerprint(text_col).alias("_fp"),
+            F.length(F.trim(F.col(text_col))).alias("_len"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .groupBy(F.col("_fp").alias("fingerprint"))
+        .agg(
+            F.max(F.when(F.col("_rn") == 1, F.col(id_col))).alias("rep_doc_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    holdout: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: train documents sharing at least one
+    ``ngram``-token shingle with any holdout document, with the count
+    of distinct shared shingles per contaminated train doc.
+
+    The holdout n-gram set is the SMALL side (a benchmark suite, not
+    the corpus): it is deduplicated and broadcast, so the train side —
+    the 100 TB side — is never shuffled for the join; only matching
+    (doc, shingle) rows reach the final per-doc aggregation.
+    """
+    def grams(d: DataFrame) -> DataFrame:
+        return (
+            d.select(F.col(id_col), tokens(text_col).alias("_toks"))
+            .select(
+                F.col(id_col),
+                F.explode(F.array_distinct(shingles_of("_toks", ngram))).alias("_g"),
+            )
+        )
+
+    holdout_grams = F.broadcast(grams(holdout).select("_g").distinct())
+    return (
+        grams(train)
+        .join(holdout_grams, "_g")
+        .groupBy(id_col)
+        .agg(F.count_distinct("_g").alias("n_shared_ngrams"))
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Within-document repetition: the fraction of bigram occurrences
+    taken by the single most frequent bigram (degenerate/boilerplate
+    text scores high).  explode + two-level aggregate — codegen'd,
+    shuffle keyed by (doc, bigram) then doc."""
+    grams = (
+        df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+        .select(F.col(id_col), F.explode(shingles_of("_toks", 2)).alias("_g"))
+    )
+    per_gram = grams.groupBy(id_col, "_g").agg(F.count(F.lit(1)).alias("_c"))
+    return per_gram.groupBy(id_col).agg(
+        F.sum("_c").alias("n_bigrams"),
+        F.max("_c").alias("top_bigram_count"),
+        F.round(F.max("_c").cast("double") / F.sum("_c"), 6).alias("top_bigram_frac"),
+    )

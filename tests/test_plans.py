@@ -140,3 +140,11 @@ def test_ivf_index_probe_is_partition_pruned(spark, sf_dir, tmp_path):
     assert len(rows) == 5
     # nearest neighbor of vector 0 is itself
     assert rows[0]["nn_id"] == 0 or any(r["nn_id"] == 0 for r in rows)
+
+
+def test_decontamination_broadcasts_holdout_side(spark, sf_dir):
+    """The benchmark n-gram set must broadcast: the train (100 TB)
+    side is scanned and map-side joined, never shuffled for the join."""
+    plan = plan_of(REGISTRY["decontamination_ngram_overlap"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
