@@ -42,11 +42,18 @@ AGG_FUNCS = {"count", "sum", "avg", "min", "max", "collect"}
 SCALAR_FUNCS = {
     "abs": F.abs,
     "lower": F.lower,
+    "tolower": F.lower,
     "upper": F.upper,
+    "toupper": F.upper,
     "trim": F.trim,
+    "ltrim": F.ltrim,
+    "rtrim": F.rtrim,
     "round": F.round,
+    "ceil": F.ceil,
+    "floor": F.floor,
     "coalesce": F.coalesce,
     "sqrt": F.sqrt,
+    "reverse": F.reverse,
 }
 
 CAST_FUNCS = {
@@ -470,7 +477,10 @@ class CypherEngine:
         sort_cols = []
         for tmp_name, desc, late_expr in order_specs:
             if tmp_name is not None and tmp_name in out.columns:
-                c = F.col(tmp_name)
+                # backtick-quote: unaliased RETURN t.date yields a column
+                # literally named "t.date" — bare F.col would parse the
+                # dot as struct access
+                c = F.col(f"`{tmp_name}`")
             elif late_expr is not None:
                 c, _ = self._expr(late_expr, out_scope, params)
             else:  # pre-computed but projection dropped temps (agg path)
@@ -485,7 +495,7 @@ class CypherEngine:
             out = out.offset(skip)
         if limit is not None:
             out = out.limit(limit)
-        return out.select(*names)
+        return out.select(*[F.col(f"`{n}`") for n in names])
 
     @staticmethod
     def _resolve_count(v, params: dict) -> "int | None":
@@ -715,6 +725,22 @@ class CypherEngine:
                 dtype = dict(self._df.dtypes).get(scope.values[arg.name], "")
                 is_list = dtype.startswith("array")
             return (F.size(col) if is_list else F.length(col.cast("string"))), agg
+        if name == "substring":
+            # 1-based SQL-style start, like the reference engine's
+            # dialect (accounting_demo/05_query_graph.py:93-99 uses
+            # substring(t.date, 1, 7) to mean the YYYY-MM prefix)
+            col, agg = self._expr(e.args[0], scope, params)
+            start, a2 = self._expr(e.args[1], scope, params)
+            if len(e.args) >= 3:
+                length, a3 = self._expr(e.args[2], scope, params)
+            else:
+                length, a3 = F.lit(2_147_483_647), False
+            return col.cast("string").substr(start, length), agg or a2 or a3
+        if name in ("replace", "split"):
+            cols = [self._expr(a, scope, params)[0] for a in e.args]
+            agg = any(self._expr(a, scope, params)[1] for a in e.args)
+            fn = F.replace if name == "replace" else F.split
+            return fn(*cols), agg
         if name in SCALAR_FUNCS:
             cols = [self._expr(a, scope, params)[0] for a in e.args]
             aggs = any(self._expr(a, scope, params)[1] for a in e.args)
