@@ -13,7 +13,11 @@ import re
 from pyspark import __version__ as spark_version
 from pyspark.sql import DataFrame, SparkSession
 
-_CALL_RE = re.compile(r"^\s*CALL\s+(\w+)\s*(?:\(\s*(.*?)\s*\))?\s*;?\s*$", re.IGNORECASE | re.DOTALL)
+_CALL_RE = re.compile(
+    r"^\s*CALL\s+(\w+)\s*(?:\(\s*(.*?)\s*\))?"
+    r"(?:\s+RETURN\s+(.+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _TIMEOUT_RE = re.compile(r"^\s*CALL\s+timeout\s*=\s*(\d+)\s*;?\s*$", re.IGNORECASE)
 
 
@@ -40,12 +44,39 @@ def execute_call(spark: SparkSession, query: str) -> DataFrame:
         raise ProcedureError(f"Not a CALL statement: {query!r}")
     proc = m.group(1).lower()
     arg = (m.group(2) or "").strip().strip("'\"")
+    returns = (m.group(3) or "").strip()
 
+    out = _dispatch(spark, proc, arg)
+    if returns:
+        # CALL ... RETURN id, name AS n — the reference's MCP issues
+        # this projection form verbatim (middleware/mcp/client.py:376)
+        cols = []
+        for item in returns.split(","):
+            mm = re.match(r"^\s*(\w+)(?:\s+AS\s+(\w+))?\s*$", item, re.IGNORECASE)
+            if not mm:
+                raise ProcedureError(f"Unsupported RETURN item {item.strip()!r}")
+            name, alias = mm.group(1), mm.group(2)
+            if name not in out.columns:
+                raise ProcedureError(f"Procedure has no column {name!r}")
+            c = out[name]
+            cols.append(c.alias(alias) if alias else c)
+        out = out.select(*cols)
+    return out
+
+
+def _dispatch(spark: SparkSession, proc: str, arg: str) -> DataFrame:
     if proc == "show_tables":
-        rows = [(t.name, t.tableType or "TEMPORARY") for t in spark.catalog.listTables()]
-        return spark.createDataFrame(rows or [("", "")], "name string, type string").filter(
-            "name <> ''"
+        # (id, name, type, comment) — the engine's table listing shape
+        # (graph_api/core/ladybug/engine.py SHOW_TABLES); ids are the
+        # position in name order, stable for a given catalog state
+        names = sorted(
+            (t.name, t.tableType or "TEMPORARY") for t in spark.catalog.listTables()
         )
+        rows = [(i, n, ty, None) for i, (n, ty) in enumerate(names)]
+        return spark.createDataFrame(
+            rows or [(0, "", "", None)],
+            "id bigint, name string, type string, comment string",
+        ).filter("name <> ''")
     if proc == "table_info":
         if not arg:
             raise ProcedureError("table_info requires a table name argument")

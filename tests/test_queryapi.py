@@ -239,3 +239,22 @@ class TestGraphIdentity:
 
         with _pytest.raises(CypherGateError, match="Invalid graph id"):
             CypherGate(engine, graph_id="bogus id!")
+
+
+def test_call_show_tables_with_return_projection(spark):
+    """The MCP client's verbatim table listing
+    (middleware/mcp/client.py:376): CALL SHOW_TABLES() RETURN
+    id, name, type, comment."""
+    from robosystems_spark.queryapi.procedures import execute_call, is_call
+
+    spark.createDataFrame([(1,)], ["x"]).createOrReplaceTempView("mcp_probe_tbl")
+    q = "CALL SHOW_TABLES() RETURN id, name, type, comment"
+    assert is_call(q)
+    out = execute_call(spark, q)
+    assert out.columns == ["id", "name", "type", "comment"]
+    names = [r["name"] for r in out.collect()]
+    assert "mcp_probe_tbl" in names
+    # aliased projection
+    aliased = execute_call(spark, "CALL show_tables() RETURN name AS table_name")
+    assert aliased.columns == ["table_name"]
+    spark.catalog.dropTempView("mcp_probe_tbl")
