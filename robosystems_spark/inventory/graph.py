@@ -21,32 +21,38 @@ from robosystems_spark.io import read_table
 
 
 def _graph_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Graph view of the TPC-H tables with NATIVE-TYPE identity keys.
+
+    The compiler is key-type-agnostic, so natural bigint keys stay
+    bigint: long-keyed hash joins beat string joins (smaller hashes,
+    smaller broadcast tables) — reserve string identities for true
+    URI/UUID keys (the GraphStore convention)."""
     cust = read_table(spark, sf_dir, "customer")
     orders = read_table(spark, sf_dir, "orders")
     supp = read_table(spark, sf_dir, "supplier")
     nation = read_table(spark, sf_dir, "nation")
     return {
         "Customer": cust.select(
-            F.col("c_custkey").cast("string").alias("identifier"),
+            F.col("c_custkey").alias("identifier"),
             "c_name", "c_mktsegment", "c_acctbal",
         ),
         "Order": orders.select(
-            F.col("o_orderkey").cast("string").alias("identifier"),
+            F.col("o_orderkey").alias("identifier"),
             "o_totalprice", "o_orderstatus", "o_orderpriority",
         ),
         "Supplier": supp.select(
-            F.col("s_suppkey").cast("string").alias("identifier"), "s_name", "s_acctbal"
+            F.col("s_suppkey").alias("identifier"), "s_name", "s_acctbal"
         ),
         "Nation": nation.select(
-            F.col("n_nationkey").cast("string").alias("identifier"), "n_name"
+            F.col("n_nationkey").alias("identifier"), "n_name"
         ),
         "HAS_ORDER": orders.select(
-            F.col("o_custkey").cast("string").alias("src"),
-            F.col("o_orderkey").cast("string").alias("dst"),
+            F.col("o_custkey").alias("src"),
+            F.col("o_orderkey").alias("dst"),
         ),
         "IN_NATION": supp.select(
-            F.col("s_suppkey").cast("string").alias("src"),
-            F.col("s_nationkey").cast("string").alias("dst"),
+            F.col("s_suppkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
         ),
     }
 
