@@ -10,6 +10,7 @@ structures an agent/LLM layer can serialize.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from robosystems_spark.queryapi.cypher_gate import CypherGate
 
@@ -102,3 +103,162 @@ class GraphToolkit:
             r[column]
             for r in df.select(column).distinct().orderBy(column).limit(limit).collect()
         ]
+
+    # -- describe-graph-structure ------------------------------------------
+    def describe_structure(self) -> str:
+        """Natural-language structure summary (the reference's
+        describe-graph-structure tool, structure_tool.py:20-50): node
+        and relationship counts with a capability line.  One count job
+        per table — counts are metadata-cheap on parquet."""
+        tables = self.gate.engine.tables
+        node_counts, rel_counts = {}, {}
+        for name, df in tables.items():
+            n = df.count()
+            if {"src", "dst"} <= set(df.columns):
+                rel_counts[name] = n
+            else:
+                node_counts[name] = n
+        lines = ["This graph database contains:"]
+        for name in sorted(node_counts):
+            lines.append(f"- {node_counts[name]:,} {name} nodes")
+        for name in sorted(rel_counts):
+            lines.append(f"- {rel_counts[name]:,} {name} relationships")
+        domain = (
+            "financial reporting (XBRL elements/facts)"
+            if "Element" in node_counts or "Fact" in node_counts
+            else "general graph"
+        )
+        lines.append(f"Domain: {domain}.")
+        lines.append(
+            "Supports: Cypher pattern queries, aggregation rollups, "
+            "path traversal, and the discovery tools in this toolkit."
+        )
+        return "\n".join(lines)
+
+    # -- discover-properties -----------------------------------------------
+    def discover_properties(self, label: str, sample: int = 3) -> list[dict]:
+        """Column inventory with sampled values for one label
+        (properties_tool.py contract: name, type, examples)."""
+        if label not in self.gate.engine.tables:
+            raise KeyError(f"Unknown table {label!r}")
+        df = self.gate.engine.tables[label]
+        head = df.limit(sample).collect()
+        out = []
+        for f in df.schema.fields:
+            out.append(
+                {
+                    "name": f.name,
+                    "type": f.dataType.simpleString(),
+                    "examples": [r[f.name] for r in head],
+                }
+            )
+        return out
+
+    # -- discover-common-elements ------------------------------------------
+    def discover_common_elements(
+        self, pattern: str | None = None, limit: int = 20
+    ) -> list[dict]:
+        """Most-used elements (elements_tool.py: discover-common-
+        elements): Element rows ranked by referencing-fact count when
+        FACT_HAS_ELEMENT is present, alphabetical otherwise."""
+        tables = self.gate.engine.tables
+        if "Element" not in tables:
+            raise KeyError("No Element table in this graph")
+        elems = tables["Element"]
+        if pattern:
+            elems = elems.filter(F.lower(F.col("name")).contains(pattern.lower()))
+        if "FACT_HAS_ELEMENT" in tables:
+            usage = (
+                tables["FACT_HAS_ELEMENT"]
+                .groupBy(F.col("dst").alias("identifier"))
+                .agg(F.count(F.lit(1)).alias("n_facts"))
+            )
+            ranked = (
+                elems.join(usage, "identifier", "left")
+                .withColumn("n_facts", F.coalesce("n_facts", F.lit(0)))
+                .orderBy(F.desc("n_facts"), F.asc("name"))
+            )
+        else:
+            ranked = elems.withColumn("n_facts", F.lit(0)).orderBy("name")
+        return [r.asDict() for r in ranked.limit(limit).collect()]
+
+    # -- discover-facts ----------------------------------------------------
+    def _fact_frame(self, element_name: str | None = None) -> DataFrame:
+        """Facts joined to element (+ period when present) — the
+        DISTRIBUTED frame behind discover-facts and build-fact-grid;
+        nothing is collected here."""
+        tables = self.gate.engine.tables
+        for required in ("Fact", "Element", "FACT_HAS_ELEMENT"):
+            if required not in tables:
+                raise KeyError(f"No {required} table in this graph")
+        facts = tables["Fact"].alias("f")
+        fhe = tables["FACT_HAS_ELEMENT"].alias("fe")
+        elems = tables["Element"]
+        if element_name:
+            elems = elems.filter(F.col("name") == element_name)
+        elems = elems.alias("e")
+        value_cols = [
+            F.col(f"f.{c}").alias(c)
+            for c in ("value", "numeric_value")
+            if c in tables["Fact"].columns
+        ]
+        out = (
+            facts.join(fhe, F.col("f.identifier") == F.col("fe.src"))
+            .join(elems, F.col("fe.dst") == F.col("e.identifier"))
+            .select(
+                F.col("f.identifier").alias("fact_id"),
+                F.col("e.name").alias("element_name"),
+                *value_cols,
+            )
+        )
+        tables_have_periods = "FACT_HAS_PERIOD" in tables and "Period" in tables
+        if tables_have_periods:
+            fhp = tables["FACT_HAS_PERIOD"].alias("fp")
+            periods = tables["Period"].alias("p")
+            period_cols = [
+                F.col(f"p.{c}").alias(f"period_{c}")
+                for c in ("start_date", "end_date", "instant")
+                if c in tables["Period"].columns
+            ]
+            out = (
+                out.alias("o")
+                .join(fhp, F.col("o.fact_id") == F.col("fp.src"), "left")
+                .join(periods, F.col("fp.dst") == F.col("p.identifier"), "left")
+                .select("o.*", *period_cols)
+            )
+        return out
+
+    def discover_facts(
+        self, element_name: str | None = None, limit: int = 50
+    ) -> list[dict]:
+        """Facts joined to their element (facts_tool.py: discover-facts
+        'Time Series for Element' shape); periods joined in when those
+        tables exist."""
+        out = self._fact_frame(element_name).orderBy("element_name", "fact_id")
+        return [r.asDict() for r in out.limit(limit).collect()]
+
+    # -- build-fact-grid ---------------------------------------------------
+    def fact_grid(
+        self,
+        column_col: str = "period_end_date",
+        value_col: str = "numeric_value",
+        agg: str = "sum",
+        limit: int = 100,
+    ) -> list[dict]:
+        """Pivoted element x period matrix (data_tools.py:
+        build-fact-grid) via views/fact_grid — the pivot runs on the
+        distributed fact frame; only the final grid is collected."""
+        from robosystems_spark.views.fact_grid import build_fact_grid
+
+        facts = self._fact_frame()
+        for needed in (column_col, value_col):
+            if needed not in facts.columns:
+                raise KeyError(f"Fact frame has no column {needed!r}")
+        grid = build_fact_grid(
+            facts.withColumn(value_col, F.col(value_col).cast("double")),
+            index_col="element_name",
+            column_col=column_col,
+            value_col=value_col,
+            agg=agg,
+        )
+        return [r.asDict() for r in grid.limit(limit).collect()]

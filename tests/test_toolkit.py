@@ -112,3 +112,75 @@ def test_backup_restore_roundtrip(spark, tmp_path):
     restored = store.restore(str(tmp_path / "backup"))
     assert restored == ["T"]
     assert store.read("T").count() == 2
+
+
+@pytest.fixture(scope="module")
+def xbrl_gate(spark):
+    """A roboledger-shaped graph for the element/fact discovery tools."""
+    mk = spark.createDataFrame
+    engine = CypherEngine(
+        {
+            "Element": mk(
+                [("el1", "Revenues", "revenue"), ("el2", "Assets", "asset")],
+                ["identifier", "name", "classification"],
+            ),
+            "Fact": mk(
+                [("f1", "100", 100.0), ("f2", "50", 50.0), ("f3", "7", 7.0)],
+                ["identifier", "value", "numeric_value"],
+            ),
+            "Period": mk(
+                [("pd1", "2023-01-01", "2023-12-31", None),
+                 ("pd2", "2024-01-01", "2024-12-31", None)],
+                "identifier string, start_date string, end_date string, instant string",
+            ),
+            "FACT_HAS_ELEMENT": mk(
+                [("f1", "el1"), ("f2", "el1"), ("f3", "el2")], ["src", "dst"]
+            ),
+            "FACT_HAS_PERIOD": mk(
+                [("f1", "pd1"), ("f2", "pd2"), ("f3", "pd1")], ["src", "dst"]
+            ),
+        }
+    )
+    return CypherGate(engine)
+
+
+def test_toolkit_describe_structure(xbrl_gate):
+    text = GraphToolkit(xbrl_gate).describe_structure()
+    assert "2 Element nodes" in text
+    assert "3 Fact nodes" in text
+    assert "3 FACT_HAS_ELEMENT relationships" in text
+    assert "financial reporting" in text
+
+
+def test_toolkit_discover_properties(gate):
+    props = GraphToolkit(gate).discover_properties("Person")
+    by_name = {p["name"]: p for p in props}
+    assert by_name["age"]["type"] == "bigint"
+    assert by_name["name"]["examples"] == ["Ada"]
+    with pytest.raises(KeyError):
+        GraphToolkit(gate).discover_properties("Nope")
+
+
+def test_toolkit_discover_common_elements(xbrl_gate):
+    tk = GraphToolkit(xbrl_gate)
+    ranked = tk.discover_common_elements()
+    # Revenues referenced by 2 facts, Assets by 1
+    assert [(e["name"], e["n_facts"]) for e in ranked] == [
+        ("Revenues", 2), ("Assets", 1)
+    ]
+    assert [e["name"] for e in tk.discover_common_elements(pattern="rev")] == [
+        "Revenues"
+    ]
+
+
+def test_toolkit_discover_facts_and_grid(xbrl_gate):
+    tk = GraphToolkit(xbrl_gate)
+    facts = tk.discover_facts(element_name="Revenues")
+    assert len(facts) == 2
+    assert {f["period_end_date"] for f in facts} == {"2023-12-31", "2024-12-31"}
+
+    grid = tk.fact_grid()
+    by_elem = {g["element_name"]: g for g in grid}
+    assert by_elem["Revenues"]["2023-12-31"] == 100.0
+    assert by_elem["Revenues"]["2024-12-31"] == 50.0
+    assert by_elem["Assets"]["2023-12-31"] == 7.0
