@@ -486,3 +486,32 @@ def test_with_retry_backoff_and_give_up():
     # non-retryable errors pass straight through
     with pytest.raises(KeyError):
         with_retry(lambda: (_ for _ in ()).throw(KeyError("x")), retry_on=(TimeoutError,), sleep=delays.append)
+
+
+def test_graph_metrics_collection(spark, tmp_path):
+    """GraphMetricsService analog: counts by label/type, EXACT on-disk
+    bytes (not the reference's node*100 estimate), health verdict."""
+    from robosystems_spark.serving.metrics import collect_metrics, usage_summary
+    from robosystems_spark.sources.materialize import GraphStore
+
+    store = GraphStore(spark, str(tmp_path / "m"), "kg0123456789abcdef")
+    store.copy_into(
+        "Entity",
+        spark.createDataFrame([("e1", "A"), ("e2", "B")], ["identifier", "name"]),
+        primary_keys=["identifier"],
+    )
+    store.copy_into(
+        "HAS_USER",
+        spark.createDataFrame([("e1", "u1")], ["src", "dst"]),
+        primary_keys=["src", "dst"],
+    )
+    m = collect_metrics(store)
+    assert m["node_counts_by_label"] == {"Entity": 2}
+    assert m["relationship_counts_by_type"] == {"HAS_USER": 1}
+    assert m["total_nodes"] == 2 and m["total_relationships"] == 1
+    assert m["size"]["size_bytes"] > 0 and m["size"]["method"] == "filesystem"
+    assert m["health"]["status"] == "healthy"
+
+    s = usage_summary([store])
+    assert s["graph_count"] == 1 and s["total_nodes"] == 2
+    assert s["unhealthy_graphs"] == []
