@@ -262,3 +262,137 @@ class GraphToolkit:
             agg=agg,
         )
         return [r.asDict() for r in grid.limit(limit).collect()]
+
+
+class DataToolkit(GraphToolkit):
+    """GraphToolkit + the staging/materialization tools
+    (middleware/mcp/tools/data_tools.py: ingest-file, query-staging,
+    materialize-graph, map-elements, workspace.py: list-workspaces).
+
+    Wired over the same components the serving layer uses — staging
+    parquet tables (sources/staging), the bucket-partitioned
+    GraphStore (sources/materialize), the element-mapping views, and
+    the SubgraphService."""
+
+    def __init__(
+        self,
+        gate: CypherGate,
+        store=None,
+        staging_root: str | None = None,
+        subgraphs=None,
+        schema=None,
+    ):
+        super().__init__(gate, schema=schema)
+        self.store = store
+        self.staging_root = staging_root
+        self.subgraphs = subgraphs
+
+    def _require(self, attr: str):
+        v = getattr(self, attr)
+        if v is None:
+            raise RuntimeError(f"This toolkit was built without {attr!r}")
+        return v
+
+    # -- ingest-file -------------------------------------------------------
+    def ingest_file(
+        self, file_path: str, table_name: str, ingest_to_graph: bool = False
+    ) -> dict:
+        """Stage a file for querying; optionally materialize to the
+        graph immediately (data_tools.py ingest-file contract)."""
+        from robosystems_spark.sources.staging import stage_files
+
+        staging_root = self._require("staging_root")
+        spark = next(iter(self.gate.engine.tables.values())).sparkSession
+        staged = stage_files(spark, [file_path], table_name, staging_root)
+        out = {
+            "table_name": staged.name,
+            "is_relationship": staged.is_relationship,
+            "columns": staged.columns,
+            "status": "staged",
+        }
+        if ingest_to_graph:
+            out.update(self.materialize_graph(table_name))
+        return out
+
+    # -- query-staging -----------------------------------------------------
+    def query_staging(self, sql: str, limit: int = 100) -> list[dict]:
+        """Read-only SQL over staged tables (data_tools.py
+        query-staging): every staged table registers as a temp view,
+        then the gated SQL endpoint runs the query."""
+        import os
+
+        from robosystems_spark.queryapi.sql_gate import SQLGate
+        from robosystems_spark.sources.staging import read_staged
+
+        staging_root = self._require("staging_root")
+        spark = next(iter(self.gate.engine.tables.values())).sparkSession
+        sql_gate = SQLGate(spark)
+        if os.path.isdir(staging_root):
+            for name in sorted(os.listdir(staging_root)):
+                if not name.startswith(("_", ".")):
+                    sql_gate.register(name, read_staged(spark, staging_root, name))
+        df = sql_gate.query(sql)
+        return [r.asDict(recursive=True) for r in df.limit(limit).collect()]
+
+    # -- materialize-graph -------------------------------------------------
+    def materialize_graph(self, table_name: str, file_id: str | None = None) -> dict:
+        """COPY a staged table into the GraphStore (data_tools.py
+        materialize-graph); ``file_id`` restricts to one upload batch
+        (a partition-pruned read, not a table scan)."""
+        from pyspark.sql import functions as _F
+
+        from robosystems_spark.sources.staging import read_staged
+
+        store = self._require("store")
+        staging_root = self._require("staging_root")
+        spark = store.spark
+        df = read_staged(spark, staging_root, table_name)
+        if file_id is not None:
+            df = df.filter(_F.col("file_id") == file_id)
+        keys = (
+            ["src", "dst"]
+            if {"src", "dst"} <= set(df.columns)
+            else [c for c in ("identifier",) if c in df.columns]
+        )
+        n = store.copy_into(table_name, df, primary_keys=keys, ignore_errors=True)
+        return {"status": "materialized", "table_name": table_name, "rows_loaded": n}
+
+    # -- map-elements ------------------------------------------------------
+    def map_elements(
+        self,
+        source_elements: list[str],
+        target_element: str,
+        method: str = "sum",
+        name: str = "mapping",
+    ):
+        """Create a mapping structure associating source element URIs
+        (chart of accounts) to a target taxonomy element
+        (data_tools.py map-elements, creation path).  Returns the
+        MappingStructure that apply_element_mapping consumes."""
+        from robosystems_spark.views.element_mapping import (
+            ElementAssociation,
+            MappingStructure,
+        )
+
+        return MappingStructure(
+            name=name,
+            associations=[
+                ElementAssociation(
+                    target_element=target_element,
+                    source_element=src,
+                    weight=1.0,
+                    aggregation_method=method,
+                )
+                for src in source_elements
+            ],
+        )
+
+    # -- list-workspaces ---------------------------------------------------
+    def list_workspaces(self, parent_graph_id: str) -> list[dict]:
+        """Subgraph workspaces of a parent graph (workspace.py
+        list-workspaces) via the SubgraphService."""
+        svc = self._require("subgraphs")
+        return [
+            svc.get_subgraph_info(sid)
+            for sid in svc.list_subgraphs(parent_graph_id)
+        ]

@@ -184,3 +184,49 @@ def test_toolkit_discover_facts_and_grid(xbrl_gate):
     assert by_elem["Revenues"]["2023-12-31"] == 100.0
     assert by_elem["Revenues"]["2024-12-31"] == 50.0
     assert by_elem["Assets"]["2023-12-31"] == 7.0
+
+
+def test_data_toolkit_ingest_query_materialize(spark, tmp_path):
+    """The data_tools suite end-to-end: ingest-file -> query-staging ->
+    materialize-graph -> list-workspaces/map-elements."""
+    import json
+
+    from robosystems_spark.queryapi.tools import DataToolkit
+    from robosystems_spark.sources.subgraphs import SubgraphService
+
+    src = tmp_path / "accounts.csv"
+    src.write_text("identifier,name,balance\na1,Cash,100.5\na2,AR,20.0\n")
+
+    store = GraphStore(spark, str(tmp_path / "g"), "kg0123456789abcdef")
+    engine = CypherEngine(
+        {"Entity": spark.createDataFrame([("e1",)], ["identifier"])}
+    )
+    tk = DataToolkit(
+        CypherGate(engine),
+        store=store,
+        staging_root=str(tmp_path / "staging"),
+        subgraphs=SubgraphService(spark, str(tmp_path / "g")),
+    )
+
+    staged = tk.ingest_file(str(src), "Account")
+    assert staged["status"] == "staged" and not staged["is_relationship"]
+
+    rows = tk.query_staging("SELECT name, balance FROM Account ORDER BY name")
+    assert [(r["name"], r["balance"]) for r in rows] == [("AR", 20.0), ("Cash", 100.5)]
+
+    out = tk.materialize_graph("Account")
+    assert out["rows_loaded"] == 2
+    assert store.read("Account").count() == 2
+
+    mapping = tk.map_elements(["uri:cash", "uri:ar"], "us-gaap:Assets")
+    assert len(mapping.associations) == 2
+    assert mapping.associations[0].target_element == "us-gaap:Assets"
+    assert json.dumps([a.__dict__ for a in mapping.associations])  # serializable
+
+    assert tk.list_workspaces("kg0123456789abcdef") == []
+
+    # ingest straight to graph
+    src2 = tmp_path / "more.csv"
+    src2.write_text("identifier,name,balance\na3,AP,-5.0\n")
+    out2 = tk.ingest_file(str(src2), "Account2", ingest_to_graph=True)
+    assert out2["status"] == "materialized" and out2["rows_loaded"] == 1
