@@ -186,6 +186,31 @@ def parse_graph_ddl(script: str, name: str = "parsed") -> Schema:
     return schema
 
 
+def create_tables_from_schema(store, schema: Schema) -> dict:
+    """Materialize every node/relationship table of a declared Schema
+    as typed empty tables (the reference's TableService.
+    create_tables_from_schema, operations/graph/table_service.py:41-139
+    — nodes first, relationships after, IF-NOT-EXISTS semantics)."""
+    stats = {"tables_created": 0, "skipped_existing": 0}
+    for node in schema.nodes:
+        if store.exists(node.name):
+            stats["skipped_existing"] += 1
+            continue
+        store.create_table(
+            node.name, node.to_struct_type(), primary_keys=node.primary_keys()
+        )
+        stats["tables_created"] += 1
+    for rel in schema.relationships:
+        if store.exists(rel.name):
+            stats["skipped_existing"] += 1
+            continue
+        store.create_table(
+            rel.name, rel.to_struct_type(), primary_keys=["src", "dst"]
+        )
+        stats["tables_created"] += 1
+    return stats
+
+
 def apply_graph_ddl(store, script: str) -> dict:
     """Execute a DDL script against a GraphStore.
 

@@ -172,3 +172,25 @@ def test_gate_routes_ddl_to_store(spark, tmp_path):
         read_only.query(
             "CREATE NODE TABLE X(identifier STRING, PRIMARY KEY(identifier))"
         )
+
+
+def test_create_tables_from_schema(spark, tmp_path):
+    """TableService.create_tables_from_schema analog: a declared Schema
+    materializes as typed empty tables, nodes then relationships."""
+    from robosystems_spark.schema.ddl import create_tables_from_schema
+    from robosystems_spark.schema.roboledger import full_schema
+
+    store = GraphStore(spark, str(tmp_path / "s"), "kg0123456789abcdef")
+    schema = full_schema()
+    stats = create_tables_from_schema(store, schema)
+    n_tables = len(schema.nodes) + len(schema.relationships)
+    assert stats["tables_created"] == n_tables
+    assert set(store.tables()) == (
+        {n.name for n in schema.nodes} | {r.name for r in schema.relationships}
+    )
+    # typed and empty
+    fact = store.read("Fact")
+    assert fact.count() == 0 and "identifier" in fact.columns
+    # idempotent
+    again = create_tables_from_schema(store, schema)
+    assert again["tables_created"] == 0 and again["skipped_existing"] == n_tables
