@@ -666,3 +666,125 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from robosystems_spark.operators.corpus import repetition_stats
 
     return repetition_stats(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# PII redaction — regex scrub over documents augmented with synthetic,
+# doc_id-derived PII (the raw corpus is word-soup with no PII, so the
+# augmentation makes the oracle actually exercise every pattern).
+# ---------------------------------------------------------------------------
+_PII_AUG_SQL = (
+    "text || ' contact user' || doc_id || '@mail.example.com"
+    " ph 555-867-' || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " || ' ssn 123-45-' || LPAD(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '89'"
+)
+
+
+def _pii_augmented(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com ph 555-867-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" ssn 123-45-"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+            F.lit("89"),
+        ).alias("text"),
+    )
+
+
+@register(
+    "pii_redaction",
+    oracle=rf"""
+    WITH aug AS (
+      SELECT doc_id, {_PII_AUG_SQL} AS text FROM documents
+    ),
+    red AS (
+      SELECT doc_id,
+             LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}')) AS n_emails,
+             LEN(REGEXP_EXTRACT_ALL(text, '\d{{3}}-\d{{2}}-\d{{4}}')) AS n_ssns,
+             LEN(REGEXP_EXTRACT_ALL(text, '\d{{3}}-\d{{3}}-\d{{4}}')) AS n_phones,
+             REGEXP_REPLACE(
+               REGEXP_REPLACE(
+                 REGEXP_REPLACE(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+                 '\d{{3}}-\d{{2}}-\d{{4}}', '<SSN>', 'g'),
+               '\d{{3}}-\d{{3}}-\d{{4}}', '<PHONE>', 'g') AS redacted
+      FROM aug
+    )
+    SELECT doc_id, n_emails, n_ssns, n_phones,
+           LENGTH(redacted) AS redacted_len,
+           MD5(redacted) AS redacted_hash
+    FROM red
+    """,
+    doc="Regex PII scrubbing (email/SSN/phone spans -> typed tokens) over documents "
+    "augmented with deterministic doc_id-derived PII; counts + redacted hash "
+    "(LLM-pipeline privacy pass, pure codegen expressions).",
+    tags=("text", "corpus"),
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.redact_pii(_pii_augmented(_docs(spark, sf_dir)))
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking — overlapping token windows per document.
+# ---------------------------------------------------------------------------
+@register(
+    "text_context_chunks",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS toks
+      FROM documents
+    )
+    SELECT t.doc_id,
+           CAST(s / 48 AS BIGINT) AS chunk_idx,
+           LEN(LIST_SLICE(t.toks, s + 1, s + 64)) AS n_chunk_tokens,
+           MD5(ARRAY_TO_STRING(LIST_SLICE(t.toks, s + 1, s + 64), ' ')) AS chunk_hash
+    FROM t, UNNEST(GENERATE_SERIES(0, LEN(t.toks) - 1, 48)) AS u(s)
+    """,
+    doc="Overlapping context-window chunking (64-token windows, stride 48): "
+    "sequence+explode+slice array expressions, chunk text hashed for a narrow "
+    "result (RAG/pretraining splitting primitive).",
+    tags=("text", "corpus"),
+)
+def text_context_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.chunk_documents(_docs(spark, sf_dir), window=64, stride=48)
+
+
+# ---------------------------------------------------------------------------
+# Greedy sequence packing — fixed-capacity training sequences.
+# ---------------------------------------------------------------------------
+@register(
+    "pack_sequences_greedy",
+    oracle=r"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, source,
+             CAST(LEN(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+')) AS BIGINT) AS n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    rec AS (
+      SELECT doc_id, source, n_tokens, rn,
+             CAST(0 AS BIGINT) AS seq_idx, n_tokens AS fill
+      FROM toks WHERE rn = 1
+      UNION ALL
+      SELECT t.doc_id, t.source, t.n_tokens, t.rn,
+             CASE WHEN r.fill + t.n_tokens > 512 THEN r.seq_idx + 1 ELSE r.seq_idx END,
+             CASE WHEN r.fill + t.n_tokens > 512 THEN t.n_tokens ELSE r.fill + t.n_tokens END
+      FROM rec r JOIN toks t ON t.source = r.source AND t.rn = r.rn + 1
+    )
+    SELECT source, doc_id, n_tokens, seq_idx FROM rec
+    """,
+    doc="Greedy fixed-capacity (512-token) sequence packing per source in doc_id "
+    "order — pretraining batch construction; sequential per group, parallel "
+    "across groups, only (group,id,count) rows reach the pandas loop. "
+    "Oracle: recursive CTE replaying the same greedy rule.",
+    tags=("corpus",),
+)
+def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from robosystems_spark.operators.corpus import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), capacity=512)

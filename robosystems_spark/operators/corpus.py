@@ -180,3 +180,64 @@ def repetition_stats(
         F.max("_c").alias("top_bigram_count"),
         F.round(F.max("_c").cast("double") / F.sum("_c"), 6).alias("top_bigram_frac"),
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    capacity: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Greedy sequence packing: assign documents (in ``id_col`` order,
+    within each ``group_col`` partition) to fixed-capacity training
+    sequences — the batch-construction step of a pretraining pipeline.
+
+    Greedy rule: keep a running token fill; when the next document
+    would exceed ``capacity``, close the sequence and start a new one
+    with that document (a document longer than ``capacity`` therefore
+    occupies a sequence of its own).  This is inherently sequential
+    PER GROUP, so the group is the parallelism unit: token counting is
+    a JVM column expression, and only the tiny (group, id, n_tokens)
+    projection reaches the per-group pandas loop — never the text.
+
+    100 TB note: groups must be bounded for the in-group scan to fit;
+    pre-bucket huge sources (e.g. group on
+    ``concat(source, '#', xxhash64(doc_id) % B)``) — packing quality
+    is per-bucket, which is what distributed trainers do anyway.
+    """
+    import pandas as pd  # noqa: F401 — applyInPandas batch type
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    base = df.select(
+        F.col(group_col).cast("string").alias(group_col),
+        F.col(id_col),
+        F.size(tokens(text_col)).cast("long").alias("n_tokens"),
+    )
+    schema = StructType(
+        [
+            StructField(group_col, StringType()),
+            StructField(id_col, LongType()),
+            StructField("n_tokens", LongType()),
+            StructField("seq_idx", LongType()),
+        ]
+    )
+
+    def _pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        seq, fill = 0, 0
+        out = []
+        for i, n in enumerate(pdf["n_tokens"]):
+            if i == 0:
+                fill = n
+            elif fill + n > capacity:
+                seq += 1
+                fill = n
+            else:
+                fill += n
+            out.append(seq)
+        pdf["seq_idx"] = out
+        return pdf
+
+    return base.groupBy(group_col).applyInPandas(_pack, schema)

@@ -99,6 +99,82 @@ def langid(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Dat
     )
 
 
+# PII redaction patterns, applied in order.  Written in the common
+# subset of Java regex (Spark) and RE2 (DuckDB oracle): no backrefs,
+# no lookaround.  The three patterns are mutually non-overlapping
+# (email has '@'; SSN's middle group is 2 digits, phone's is 3), so
+# match counts can be taken on the original text and replacements
+# applied sequentially with identical results in either order.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\d{3}-\d{2}-\d{4}", "<SSN>"),
+    ("phone", r"\d{3}-\d{3}-\d{4}", "<PHONE>"),
+)
+
+
+def redact_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Regex PII scrubbing (emails / SSN-shaped / phone-shaped spans),
+    the standard pre-training privacy pass.
+
+    Pure column expressions (regexp_extract_all / regexp_replace —
+    JVM-side, codegen): scales linearly, no shuffle, no UDF.  Returns
+    per-document match counts plus the redacted text's length and md5
+    (hash rather than the full text keeps the result frame narrow for
+    cross-engine comparison).
+    """
+    c = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0))).alias(f"n_{name}s")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    redacted = c
+    for _, pat, token in PII_PATTERNS:
+        redacted = F.regexp_replace(redacted, pat, token)
+    return df.select(
+        id_col,
+        *counts,
+        F.length(redacted).alias("redacted_len"),
+        F.md5(redacted.cast("binary")).alias("redacted_hash"),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Overlapping context-window chunking: token windows of size
+    ``window`` starting every ``stride`` tokens — the RAG/pretraining
+    document-splitting primitive.
+
+    One generated ``sequence`` + ``explode`` per document (fan-out
+    ~n_tokens/stride, bounded), then ``slice`` on the already-split
+    token array — all JVM array expressions, no UDF, no shuffle.
+    Chunk text is returned as an md5 hash (narrow, comparable) plus
+    the chunk token count; ``chunk_idx`` is the 0-based window index.
+    """
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+    toks = tokens(text_col)
+    chunk = F.slice(F.col("_toks"), F.col("_s") + 1, window)
+    return (
+        df.select(id_col, toks.alias("_toks"))
+        .select(
+            id_col,
+            "_toks",
+            F.explode(F.expr(f"sequence(0, size(_toks) - 1, {stride})")).alias("_s"),
+        )
+        .select(
+            id_col,
+            (F.col("_s") / stride).cast("long").alias("chunk_idx"),
+            F.size(chunk).alias("n_chunk_tokens"),
+            F.md5(F.concat_ws(" ", chunk).cast("binary")).alias("chunk_hash"),
+        )
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Deterministic content fingerprint: md5 of whitespace-normalized,
     lower-cased text.  Reference analog: content-hash fact IDs

@@ -1,0 +1,84 @@
+"""Hand-computed semantics for the PII-redaction, context-chunking and
+sequence-packing operators (the oracle gate covers engine equivalence;
+these pin the intended behavior on tiny explicit fixtures)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from robosystems_spark.operators.corpus import pack_sequences
+from robosystems_spark.operators.text import chunk_documents, redact_pii
+
+
+def test_redact_pii_counts_and_replacement(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.com and c.d+x@e.org ssn 123-45-6789 ph 555-867-5309"),
+            (2, "no pii here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert (rows[1]["n_emails"], rows[1]["n_ssns"], rows[1]["n_phones"]) == (2, 1, 1)
+    assert (rows[2]["n_emails"], rows[2]["n_ssns"], rows[2]["n_phones"]) == (0, 0, 0)
+    expected = "mail <EMAIL> and <EMAIL> ssn <SSN> ph <PHONE>"
+    assert rows[1]["redacted_len"] == len(expected)
+    assert rows[1]["redacted_hash"] == hashlib.md5(expected.encode()).hexdigest()
+    # clean text passes through byte-identical
+    assert rows[2]["redacted_hash"] == hashlib.md5(b"no pii here at all").hexdigest()
+
+
+def test_chunk_documents_windows_and_tail(spark):
+    text = " ".join(f"w{i}" for i in range(10))  # 10 tokens
+    df = spark.createDataFrame([(7, text)], "doc_id long, text string")
+    out = sorted(
+        chunk_documents(df, window=4, stride=3).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    # starts 0,3,6,9 -> sizes 4,4,4,1
+    assert [r["chunk_idx"] for r in out] == [0, 1, 2, 3]
+    assert [r["n_chunk_tokens"] for r in out] == [4, 4, 4, 1]
+    first = " ".join(f"w{i}" for i in range(4))
+    assert out[0]["chunk_hash"] == hashlib.md5(first.encode()).hexdigest()
+    assert out[3]["chunk_hash"] == hashlib.md5(b"w9").hexdigest()
+
+
+def test_pack_sequences_greedy_rule(spark):
+    # token counts per doc: 4, 5, 3, 10, 2 with capacity 10
+    docs = [
+        (0, "a " * 4),
+        (1, "b " * 5),
+        (2, "c " * 3),
+        (3, "d " * 10),
+        (4, "e " * 2),
+    ]
+    df = spark.createDataFrame(
+        [(i, t.strip(), "s1") for i, t in docs], "doc_id long, text string, source string"
+    )
+    out = {
+        r["doc_id"]: r["seq_idx"]
+        for r in pack_sequences(df, capacity=10).collect()
+    }
+    # greedy: [4] fill=4; +5=9 stays; +3=12>10 -> new; 10 -> new; +2 -> new
+    assert out == {0: 0, 1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_pack_sequences_groups_independent(spark):
+    df = spark.createDataFrame(
+        [(0, "x " * 8, "a"), (1, "y " * 8, "b"), (2, "z " * 8, "a")],
+        "doc_id long, text string, source string",
+    )
+    rows = pack_sequences(df, capacity=10).collect()
+    by_src = {(r["source"], r["doc_id"]): r["seq_idx"] for r in rows}
+    # 8+8 > 10 within source a -> two sequences; source b restarts at 0
+    assert by_src == {("a", 0): 0, ("a", 2): 1, ("b", 1): 0}
+
+
+def test_chunking_plan_stays_jvm_side(spark, sf_dir):
+    from robosystems_spark.io import read_table
+
+    df = chunk_documents(read_table(spark, sf_dir, "documents"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
