@@ -32,9 +32,78 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer holds (or contended for) the table's write lock."""
+
+
+class _TableLock:
+    """Per-table writer mutex on a shared filesystem.
+
+    ``os.open(..., O_CREAT | O_EXCL)`` is atomic on POSIX and on every
+    object-store FUSE/NFS layer that honors exclusive create, so it
+    serializes writers across threads AND processes with no external
+    coordinator — the same role Delta's transaction-log CAS plays.
+    A crashed writer's lock goes stale and is broken after
+    ``stale_s`` (its in-flight rewrite is recoverable from
+    ``.trash``, see ``_swap_dir``)."""
+
+    def __init__(self, path: str, timeout_s: float = 120.0, stale_s: float = 300.0):
+        self.path = path
+        self.timeout_s = timeout_s
+        self.stale_s = stale_s
+        self._fd: int | None = None
+
+    def acquire(self) -> None:
+        os.makedirs(os.path.dirname(self.path), exist_ok=True)
+        deadline = time.monotonic() + self.timeout_s
+        while True:
+            try:
+                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(
+                    fd,
+                    json.dumps({"pid": os.getpid(), "ts": time.time()}).encode(),
+                )
+                self._fd = fd
+                return
+            except FileExistsError:
+                try:
+                    age = time.time() - os.stat(self.path).st_mtime
+                    if age > self.stale_s:
+                        # dead writer: break the lock (two breakers may
+                        # race; the unlink is ENOENT-tolerant and only
+                        # one O_EXCL create wins the next iteration)
+                        os.unlink(self.path)
+                        continue
+                except FileNotFoundError:
+                    continue  # released between open and stat — retry now
+                if time.monotonic() >= deadline:
+                    raise ConcurrentWriteError(
+                        f"timed out after {self.timeout_s}s waiting for write "
+                        f"lock {self.path}"
+                    ) from None
+                time.sleep(0.05)
+
+    def release(self) -> None:
+        if self._fd is not None:
+            os.close(self._fd)
+            self._fd = None
+        try:
+            os.unlink(self.path)
+        except FileNotFoundError:
+            pass
+
+    def __enter__(self) -> "_TableLock":
+        self.acquire()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.release()
 
 # Partition column for PK-hash bucketing.  No leading underscore:
 # Spark's file index hides paths starting with ``_`` or ``.``, so an
@@ -77,11 +146,15 @@ class GraphStore:
         root: str,
         graph_id: str,
         n_buckets: int = DEFAULT_BUCKETS,
+        lock_timeout_s: float = 120.0,
+        lock_stale_s: float = 300.0,
     ):
         self.spark = spark
         self.root = root
         self.graph_id = graph_id
         self.n_buckets = n_buckets
+        self.lock_timeout_s = lock_timeout_s
+        self.lock_stale_s = lock_stale_s
         os.makedirs(self.graph_path, exist_ok=True)
 
     @property
@@ -120,6 +193,78 @@ class GraphStore:
         with open(self._meta_path(table), "w") as fh:
             json.dump(meta, fh)
 
+    # -- write coordination (the Delta-stand-in transaction log) ------------
+    #
+    # Every mutation runs under a per-table writer mutex and appends a
+    # versioned commit record.  This closes the concurrent-writer gap of
+    # the bucket-partitioned layout: without it, two simultaneous
+    # upserts could interleave their read-compute-swap cycles and lose
+    # one writer's rows.  What real Delta adds beyond this is
+    # manifest-pinned SNAPSHOT READS; here readers are read-committed
+    # (they see each bucket swap as it lands) — documented in SCALE.md.
+    # The log lives OUTSIDE the table dir (which rewrites swap out
+    # wholesale) under ``<graph>/.txn/<table>/``.
+
+    def _txn_dir(self, table: str) -> str:
+        return os.path.join(self.graph_path, ".txn", table)
+
+    def _write_lock(self, table: str) -> _TableLock:
+        return _TableLock(
+            os.path.join(self._txn_dir(table), "LOCK"),
+            timeout_s=self.lock_timeout_s,
+            stale_s=self.lock_stale_s,
+        )
+
+    def version(self, table: str) -> int:
+        """Latest committed version of ``table`` (0 = never written)."""
+        try:
+            names = os.listdir(self._txn_dir(table))
+        except FileNotFoundError:
+            return 0
+        versions = [
+            int(n[1:9]) for n in names if n.startswith("v") and n.endswith(".json")
+        ]
+        return max(versions, default=0)
+
+    def history(self, table: str) -> list[dict]:
+        """Commit log of ``table``, oldest first."""
+        d = self._txn_dir(table)
+        out = []
+        for v in range(1, self.version(table) + 1):
+            try:
+                with open(os.path.join(d, f"v{v:08d}.json")) as fh:
+                    out.append(json.load(fh))
+            except (OSError, ValueError):
+                continue
+        return out
+
+    def _commit(self, table: str, op: str, detail: dict | None = None) -> int:
+        """Append the next commit record via exclusive create — the
+        same CAS Delta performs on its log; under the writer lock the
+        create cannot legitimately collide, so a collision means lock
+        discipline was violated (e.g. a stale-lock takeover raced a
+        live writer) and the mutation must not be recorded as won."""
+        os.makedirs(self._txn_dir(table), exist_ok=True)
+        v = self.version(table) + 1
+        record = {
+            "v": v,
+            "op": op,
+            "table": table,
+            "ts": time.time(),
+            "pid": os.getpid(),
+            "detail": detail or {},
+        }
+        path = os.path.join(self._txn_dir(table), f"v{v:08d}.json")
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise ConcurrentWriteError(
+                f"commit conflict on {table!r} v{v} — concurrent writer"
+            ) from None
+        with os.fdopen(fd, "w") as fh:
+            json.dump(record, fh)
+        return v
+
     def _bucket_dirs(self, table: str) -> list[str]:
         path = self.table_path(table)
         if not os.path.isdir(path):
@@ -146,25 +291,27 @@ class GraphStore:
         COPY (the DDL path, schema/ddl.py).  Bucket keys are recorded
         now; the physical partition layout appears with the first
         non-empty copy_into."""
-        if self.exists(table):
-            raise ValueError(f"Table {table!r} already exists")
-        keys = [k for k in (primary_keys or []) if k in schema.fieldNames()]
-        empty = self.spark.createDataFrame([], schema)
-        empty.write.mode("overwrite").parquet(self.table_path(table))
-        self._save_meta(table, {"bucket_keys": keys, "n_buckets": self.n_buckets})
+        with self._write_lock(table):
+            if self.exists(table):
+                raise ValueError(f"Table {table!r} already exists")
+            keys = [k for k in (primary_keys or []) if k in schema.fieldNames()]
+            empty = self.spark.createDataFrame([], schema)
+            empty.write.mode("overwrite").parquet(self.table_path(table))
+            self._save_meta(table, {"bucket_keys": keys, "n_buckets": self.n_buckets})
+            self._commit(table, "create_table", {"keys": keys})
 
     def drop_table(self, table: str) -> None:
         """DROP TABLE: move the table dir aside then delete (same
         rename-aside discipline as rewrites — readers holding the old
         path fail fast rather than seeing partial deletes)."""
-        if not self.exists(table):
-            raise ValueError(f"Table {table!r} does not exist")
-        self._clean_scratch()
-        os.makedirs(self._trash_root, exist_ok=True)
-        os.rename(
-            self.table_path(table), os.path.join(self._trash_root, table)
-        )
-        self._clean_scratch()
+        with self._write_lock(table):
+            if not self.exists(table):
+                raise ValueError(f"Table {table!r} does not exist")
+            self._clean_scratch(table)
+            os.makedirs(self._trash_root, exist_ok=True)
+            os.rename(self.table_path(table), self._trash_for(table))
+            self._clean_scratch(table)
+            self._commit(table, "drop_table")
 
     # -- load paths ---------------------------------------------------------
 
@@ -181,6 +328,18 @@ class GraphStore:
 
         Returns rows loaded.
         """
+        with self._write_lock(table):
+            n = self._copy_into_unlocked(table, df, primary_keys, ignore_errors)
+            self._commit(table, "copy_into", {"rows": n})
+            return n
+
+    def _copy_into_unlocked(
+        self,
+        table: str,
+        df: DataFrame,
+        primary_keys: list[str] | None = None,
+        ignore_errors: bool = False,
+    ) -> int:
         if "file_id" in df.columns:
             df = df.drop("file_id")
         if ignore_errors and primary_keys and self.exists(table):
@@ -258,8 +417,15 @@ class GraphStore:
         an atomic full rewrite otherwise.  Kept off the bulk path per
         the reference's 40x MERGE measurement.
         """
+        with self._write_lock(table):
+            self._upsert_unlocked(table, df, primary_keys)
+            self._commit(table, "upsert", {"keys": primary_keys})
+
+    def _upsert_unlocked(
+        self, table: str, df: DataFrame, primary_keys: list[str]
+    ) -> None:
         if not self.exists(table):
-            self.copy_into(table, df, primary_keys=primary_keys)
+            self._copy_into_unlocked(table, df, primary_keys=primary_keys)
             return
         meta = self._load_meta(table)
         if self._is_bucketed(table) and sorted(meta.get("bucket_keys", [])) == sorted(
@@ -304,6 +470,12 @@ class GraphStore:
         any assignment applies, so every SET sees pre-update values
         (SQL UPDATE semantics) even when the condition references an
         assigned column."""
+        with self._write_lock(table):
+            n = self._update_where_unlocked(table, condition, assignments)
+            self._commit(table, "update_where", {"rows": n})
+            return n
+
+    def _update_where_unlocked(self, table: str, condition, assignments: dict) -> int:
         raw = self._read_raw(table)
         # collision-checked temp name: a user table may itself have a
         # "_match" column, which must survive the update untouched
@@ -355,6 +527,12 @@ class GraphStore:
         Rows where the condition is NULL are kept (SQL DELETE deletes
         only WHERE-true rows).  Bucketed tables rewrite only the
         partitions that contain deleted rows."""
+        with self._write_lock(table):
+            n = self._delete_where_unlocked(table, condition)
+            self._commit(table, "delete_where", {"rows": n})
+            return n
+
+    def _delete_where_unlocked(self, table: str, condition) -> int:
         cond = F.coalesce(condition, F.lit(False))
         raw = self._read_raw(table)
 
@@ -393,25 +571,52 @@ class GraphStore:
     def _trash_root(self) -> str:
         return os.path.join(self.graph_path, ".trash")
 
-    def _clean_scratch(self) -> None:
-        for d in (self._tmp_root, self._trash_root):
+    # Scratch (tmp + trash) is scoped PER TABLE: with per-table writer
+    # locks, mutations of different tables run concurrently, so a
+    # graph-wide rmtree here would delete another writer's in-flight
+    # tmp or crash-recovery trash.
+
+    def _tmp_for(self, table: str) -> str:
+        return os.path.join(self._tmp_root, table)
+
+    def _trash_for(self, table: str) -> str:
+        return os.path.join(self._trash_root, table)
+
+    def _clean_scratch(self, table: str | None = None) -> None:
+        if table is None:
+            dirs = [self._tmp_root, self._trash_root]
+        else:
+            dirs = [
+                self._tmp_for(table),
+                self._tmp_for(table) + "__empty",
+                self._trash_for(table),
+            ]
+        for d in dirs:
             if os.path.exists(d):
                 shutil.rmtree(d)
+        if table is not None:
+            # drop the shared roots only once empty (another table's
+            # writer may still have scratch in flight)
+            for root in (self._tmp_root, self._trash_root):
+                try:
+                    os.rmdir(root)
+                except OSError:
+                    pass
 
     def _rewrite(self, table: str, df: DataFrame) -> None:
         """Atomic full-table rewrite: write to a hidden tmp dir, move
         live aside to trash, promote, drop trash."""
-        self._clean_scratch()
+        self._clean_scratch(table)
         meta = self._load_meta(table)
-        tmp = os.path.join(self._tmp_root, table)
+        tmp = self._tmp_for(table)
         df.write.mode("overwrite").parquet(tmp)
-        _swap_dir(self.table_path(table), tmp, self._trash_root)
+        _swap_dir(self.table_path(table), tmp, self._trash_for(table))
         # Meta is immutable PK config; the physical layout (now
         # unpartitioned) is derived via _is_bucketed, and restore can
         # re-bucket from the retained keys.
         if meta:
             self._save_meta(table, meta)
-        self._clean_scratch()
+        self._clean_scratch(table)
 
     def _rewrite_buckets(
         self, table: str, df: DataFrame, buckets: list[int]
@@ -421,26 +626,26 @@ class GraphStore:
         bucket column).  Each partition dir is promoted via the
         rename-aside protocol; a bucket absent from ``df`` (fully
         deleted) has its live dir removed."""
-        self._clean_scratch()
+        self._clean_scratch(table)
         live = self.table_path(table)
-        tmp = os.path.join(self._tmp_root, table)
+        tmp = self._tmp_for(table)
         df.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp)
         for b in buckets:
             part = f"{BUCKET_COL}={b}"
             _swap_dir(
-                os.path.join(live, part), os.path.join(tmp, part), self._trash_root
+                os.path.join(live, part), os.path.join(tmp, part), self._trash_for(table)
             )
         if not self._bucket_dirs(table):
             # Every partition was deleted: leave a readable empty table
             # (schema-only parquet) rather than a bare dir Spark can't read.
             meta = self._load_meta(table)
             empty = self.spark.createDataFrame([], df.drop(BUCKET_COL).schema)
-            tmp2 = os.path.join(self._tmp_root, table + "__empty")
+            tmp2 = self._tmp_for(table) + "__empty"
             empty.write.mode("overwrite").parquet(tmp2)
-            _swap_dir(live, tmp2, self._trash_root)
+            _swap_dir(live, tmp2, self._trash_for(table))
             if meta:
                 self._save_meta(table, meta)
-        self._clean_scratch()
+        self._clean_scratch(table)
 
     # -- orchestration ------------------------------------------------------
 
@@ -469,10 +674,12 @@ class GraphStore:
         layout and metadata (an object store would server-side copy)."""
         child = GraphStore(self.spark, self.root, target_graph_id, self.n_buckets)
         for t in tables or self.tables():
-            dest = child.table_path(t)
-            if os.path.exists(dest):
-                shutil.rmtree(dest)
-            shutil.copytree(self.table_path(t), dest)
+            with child._write_lock(t):
+                dest = child.table_path(t)
+                if os.path.exists(dest):
+                    shutil.rmtree(dest)
+                shutil.copytree(self.table_path(t), dest)
+                child._commit(t, "fork", {"from": self.graph_id})
         return child
 
     def restore(self, backup_dir: str, tables: list[str] | None = None) -> list[str]:
@@ -486,21 +693,23 @@ class GraphStore:
         )
         restored = []
         for t in names:
-            df = self.spark.read.parquet(os.path.join(backup_dir, t))
-            meta = self._load_meta(t)
-            keys = [k for k in meta.get("bucket_keys", []) if k in df.columns]
-            if keys:
-                n_buckets = meta.get("n_buckets", self.n_buckets)
-                self._clean_scratch()
-                tmp = os.path.join(self._tmp_root, t)
-                df.withColumn(BUCKET_COL, _bucket_expr(keys, n_buckets)).write.mode(
-                    "overwrite"
-                ).partitionBy(BUCKET_COL).parquet(tmp)
-                _swap_dir(self.table_path(t), tmp, self._trash_root)
-                self._save_meta(t, meta)
-                self._clean_scratch()
-            else:
-                self._rewrite(t, df)
+            with self._write_lock(t):
+                df = self.spark.read.parquet(os.path.join(backup_dir, t))
+                meta = self._load_meta(t)
+                keys = [k for k in meta.get("bucket_keys", []) if k in df.columns]
+                if keys:
+                    n_buckets = meta.get("n_buckets", self.n_buckets)
+                    self._clean_scratch(t)
+                    tmp = self._tmp_for(t)
+                    df.withColumn(BUCKET_COL, _bucket_expr(keys, n_buckets)).write.mode(
+                        "overwrite"
+                    ).partitionBy(BUCKET_COL).parquet(tmp)
+                    _swap_dir(self.table_path(t), tmp, self._trash_for(t))
+                    self._save_meta(t, meta)
+                    self._clean_scratch(t)
+                else:
+                    self._rewrite(t, df)
+                self._commit(t, "restore", {"from": backup_dir})
             restored.append(t)
         return restored
 

@@ -1,0 +1,170 @@
+"""Concurrent-writer safety for GraphStore (the Delta-stand-in gap):
+per-table writer mutex + versioned commit log.
+
+Without the lock, two simultaneous upserts interleave their
+read-compute-swap cycles and one writer's rows are lost; with it,
+every mutation is serialized per table and leaves a commit record.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+import pytest
+
+from robosystems_spark.sources.materialize import (
+    ConcurrentWriteError,
+    GraphStore,
+    _TableLock,
+)
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return GraphStore(spark, str(tmp_path), "kgconcurrency00", n_buckets=8)
+
+
+def _row_df(spark, ident: int, label: str):
+    return spark.createDataFrame(
+        [(ident, label)], "identifier long, name string"
+    )
+
+
+def test_concurrent_upserts_lose_no_rows(spark, store):
+    """8 threads upsert 8 distinct rows into the same bucketed table;
+    serial-equivalent outcome = all 8 present."""
+    store.copy_into("Entity", _row_df(spark, 999, "seed"), primary_keys=["identifier"])
+
+    def work(i: int) -> None:
+        store.upsert("Entity", _row_df(spark, i, f"n{i}"), primary_keys=["identifier"])
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        list(pool.map(work, range(8)))
+
+    rows = {r["identifier"]: r["name"] for r in store.read("Entity").collect()}
+    assert rows == {999: "seed", **{i: f"n{i}" for i in range(8)}}
+    # one copy_into + 8 upserts, each exactly one commit record
+    assert store.version("Entity") == 9
+    ops = [h["op"] for h in store.history("Entity")]
+    assert ops == ["copy_into"] + ["upsert"] * 8
+
+
+def test_concurrent_mixed_mutations_serialize(spark, store):
+    """Updates and deletes racing on one table still serialize: final
+    state is SOME serial order's outcome (row either updated then
+    deleted, or deleted before update matched), never a torn table."""
+    store.copy_into(
+        "Entity",
+        spark.createDataFrame(
+            [(i, "x", 0) for i in range(20)], "identifier long, name string, v long"
+        ),
+        primary_keys=["identifier"],
+    )
+    from pyspark.sql import functions as F
+
+    def upd(_):
+        store.update_where("Entity", F.col("identifier") < 10, {"v": F.lit(1)})
+
+    def dele(_):
+        store.delete_where("Entity", F.col("identifier") >= 15)
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        list(pool.map(lambda f: f(0), [upd, dele, upd, dele]))
+
+    out = store.read("Entity")
+    assert out.count() == 15  # ids 15..19 deleted exactly once
+    assert out.filter("identifier < 10 and v <> 1").count() == 0
+    assert store.version("Entity") == 5  # copy + 2 updates + 2 deletes
+
+
+def test_lock_contention_times_out(spark, tmp_path):
+    st = GraphStore(
+        spark, str(tmp_path), "kgconcurrency01", lock_timeout_s=0.3, lock_stale_s=3600
+    )
+    st.copy_into("T", _row_df(spark, 1, "a"), primary_keys=["identifier"])
+    # simulate a live foreign writer holding the lock
+    lock = st._write_lock("T")
+    lock.acquire()
+    try:
+        with pytest.raises(ConcurrentWriteError):
+            st.delete_where("T", None)
+    finally:
+        lock.release()
+
+
+def test_stale_lock_is_broken(spark, tmp_path):
+    st = GraphStore(
+        spark, str(tmp_path), "kgconcurrency02", lock_timeout_s=5, lock_stale_s=0.2
+    )
+    st.copy_into("T", _row_df(spark, 1, "a"), primary_keys=["identifier"])
+    # a crashed writer's leftover lock, old enough to be stale
+    lock_path = os.path.join(st._txn_dir("T"), "LOCK")
+    with open(lock_path, "w") as fh:
+        json.dump({"pid": 999999, "ts": time.time() - 100}, fh)
+    past = time.time() - 100
+    os.utime(lock_path, (past, past))
+    st.upsert("T", _row_df(spark, 2, "b"), primary_keys=["identifier"])
+    assert store_rows(st) == {1: "a", 2: "b"}
+    assert not os.path.exists(lock_path)
+
+
+def store_rows(st: GraphStore) -> dict:
+    return {r["identifier"]: r["name"] for r in st.read("T").collect()}
+
+
+def test_commit_log_records_ops_and_survives_rewrites(spark, store):
+    from pyspark.sql import functions as F
+
+    store.copy_into("T", _row_df(spark, 1, "a"), primary_keys=["identifier"])
+    store.update_where("T", F.col("identifier") == 1, {"name": F.lit("b")})
+    store.delete_where("T", F.col("identifier") == 1)
+    hist = store.history("T")
+    assert [h["op"] for h in hist] == ["copy_into", "update_where", "delete_where"]
+    assert [h["v"] for h in hist] == [1, 2, 3]
+    assert hist[1]["detail"]["rows"] == 1 and hist[2]["detail"]["rows"] == 1
+    # the log lives outside the table dir, so full-table rewrites and
+    # even DROP leave history intact
+    store.copy_into("T", _row_df(spark, 5, "e"), primary_keys=["identifier"])
+    store.drop_table("T")
+    assert [h["op"] for h in store.history("T")][-1] == "drop_table"
+    assert store.version("T") == 5
+
+
+def test_commit_cas_detects_log_collision(store, monkeypatch):
+    """A record landing at the same version between a writer's
+    version read and its create (lock discipline violated, e.g. a
+    stale-takeover race) must fail that writer's commit via the
+    exclusive create, not silently overwrite."""
+    os.makedirs(store._txn_dir("T"), exist_ok=True)
+    with open(os.path.join(store._txn_dir("T"), "v00000001.json"), "w") as fh:
+        fh.write("{}")
+    # freeze the writer's view at "no commits yet" -> it attempts v1
+    monkeypatch.setattr(GraphStore, "version", lambda self, table: 0)
+    with pytest.raises(ConcurrentWriteError):
+        store._commit("T", "upsert")
+
+
+def test_scratch_is_table_scoped(spark, store):
+    """One table's cleanup must not delete another table's in-flight
+    scratch (concurrent mutations of different tables)."""
+    other_tmp = store._tmp_for("Other")
+    os.makedirs(other_tmp, exist_ok=True)
+    with open(os.path.join(other_tmp, "inflight"), "w") as fh:
+        fh.write("x")
+    store.copy_into("T", _row_df(spark, 1, "a"), primary_keys=["identifier"])
+    from pyspark.sql import functions as F
+
+    store.delete_where("T", F.col("identifier") == 1)
+    assert os.path.exists(os.path.join(other_tmp, "inflight"))
+
+
+def test_lock_reacquire_after_release(tmp_path):
+    lock = _TableLock(str(tmp_path / "LOCK"), timeout_s=1, stale_s=60)
+    with lock:
+        pass
+    with lock:  # released cleanly -> immediate reacquire
+        assert os.path.exists(lock.path)
+    assert not os.path.exists(lock.path)
