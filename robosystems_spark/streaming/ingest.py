@@ -1,0 +1,82 @@
+"""Structured-Streaming ingestion into a GraphStore table.
+
+The reference's ingestion is batch COPY with task progress
+(/root/reference/robosystems/graph_api/routers/databases/copy.py:55-381);
+the north-star extension is the same contract fed by a live stream:
+
+- ``foreachBatch`` turns each micro-batch into one ``copy_into`` —
+  the bulk append path (never row-wise MERGE), so a 100 TB/day stream
+  ingests at COPY throughput.
+- Spark guarantees at-least-once ``foreachBatch`` execution after
+  recovery; with ``ignore_errors=True`` the copy drops rows whose PK
+  already landed (left-anti join), so a replayed batch is a no-op and
+  table CONTENTS are effectively exactly-once.
+- Every batch lands under the table's writer lock and appends a
+  commit record — concurrent batch loaders and point writers
+  serialize per table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from robosystems_spark.sources.materialize import GraphStore
+
+
+def stream_copy_into(
+    store: GraphStore,
+    table: str,
+    stream_df: DataFrame,
+    primary_keys: list[str],
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Continuously COPY a stream into ``store.<table>``.
+
+    ``available_now=True`` drains everything currently available and
+    stops (the batch-backfill mode); ``False`` runs until stopped.
+    """
+
+    def _load(batch_df: DataFrame, batch_id: int) -> None:
+        store.copy_into(
+            table, batch_df, primary_keys=primary_keys, ignore_errors=True
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_load)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_upsert(
+    store: GraphStore,
+    table: str,
+    stream_df: DataFrame,
+    primary_keys: list[str],
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """CDC-style streaming upsert: each micro-batch point-merges on the
+    primary keys (new rows insert, existing rows are replaced), for
+    low-volume mutation feeds — bulk loads should use
+    ``stream_copy_into`` (the reference's 40x MERGE measurement)."""
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        # last-writer-wins within a batch: keep one row per key so the
+        # replace is deterministic
+        deduped = batch_df.dropDuplicates(primary_keys)
+        store.upsert(table, deduped, primary_keys=primary_keys)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

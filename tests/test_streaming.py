@@ -179,3 +179,70 @@ def test_stream_dedup_matches_batch(spark, tmp_path):
     # batch twin agrees
     batch = stream_dedup(spark.read.schema(EVENT_SCHEMA).parquet(src), keys=["event_id"])
     assert sorted(r["event_id"] for r in batch.collect()) == [1, 2, 3]
+
+
+# -- streaming ingestion into GraphStore ------------------------------------
+
+
+def _mk_store(spark, tmp_path):
+    from robosystems_spark.sources.materialize import GraphStore
+
+    return GraphStore(spark, str(tmp_path / "graphs"), "kgstreamingest000", n_buckets=8)
+
+
+def _file_stream(spark, src_dir):
+    static = spark.read.parquet(str(src_dir))
+    return spark.readStream.schema(static.schema).parquet(str(src_dir))
+
+
+def test_stream_copy_into_loads_and_is_idempotent(spark, tmp_path):
+    from robosystems_spark.streaming.ingest import stream_copy_into
+
+    src = tmp_path / "src"
+    spark.createDataFrame(
+        [(i, f"n{i}") for i in range(50)], "identifier long, name string"
+    ).write.parquet(str(src))
+
+    store = _mk_store(spark, tmp_path)
+    q = stream_copy_into(
+        store, "Entity", _file_stream(spark, src), ["identifier"],
+        str(tmp_path / "ckpt1"),
+    )
+    q.awaitTermination(120)
+    assert store.read("Entity").count() == 50
+
+    # replay from a FRESH checkpoint (simulated duplicate delivery):
+    # PK-idempotent append loads nothing new
+    q2 = stream_copy_into(
+        store, "Entity", _file_stream(spark, src), ["identifier"],
+        str(tmp_path / "ckpt2"),
+    )
+    q2.awaitTermination(120)
+    assert store.read("Entity").count() == 50
+    # every micro-batch is a logged commit on the table
+    assert all(h["op"] == "copy_into" for h in store.history("Entity"))
+
+
+def test_stream_upsert_replaces_by_key(spark, tmp_path):
+    from robosystems_spark.streaming.ingest import stream_upsert
+
+    store = _mk_store(spark, tmp_path)
+    store.copy_into(
+        "Entity",
+        spark.createDataFrame(
+            [(1, "old"), (2, "keep")], "identifier long, name string"
+        ),
+        primary_keys=["identifier"],
+    )
+    src = tmp_path / "cdc"
+    spark.createDataFrame(
+        [(1, "new"), (3, "ins")], "identifier long, name string"
+    ).write.parquet(str(src))
+
+    q = stream_upsert(
+        store, "Entity", _file_stream(spark, src), ["identifier"],
+        str(tmp_path / "ckpt3"),
+    )
+    q.awaitTermination(120)
+    rows = {r["identifier"]: r["name"] for r in store.read("Entity").collect()}
+    assert rows == {1: "new", 2: "keep", 3: "ins"}
