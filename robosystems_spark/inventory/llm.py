@@ -724,6 +724,7 @@ def _pii_augmented(docs: DataFrame) -> DataFrame:
     "augmented with deterministic doc_id-derived PII; counts + redacted hash "
     "(LLM-pipeline privacy pass, pure codegen expressions).",
     tags=("text", "corpus"),
+    bench=True,
 )
 def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.redact_pii(_pii_augmented(_docs(spark, sf_dir)))
@@ -749,6 +750,7 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sequence+explode+slice array expressions, chunk text hashed for a narrow "
     "result (RAG/pretraining splitting primitive).",
     tags=("text", "corpus"),
+    bench=True,
 )
 def text_context_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.chunk_documents(_docs(spark, sf_dir), window=64, stride=48)
@@ -783,6 +785,7 @@ def text_context_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "across groups, only (group,id,count) rows reach the pandas loop. "
     "Oracle: recursive CTE replaying the same greedy rule.",
     tags=("corpus",),
+    bench=True,
 )
 def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from robosystems_spark.operators.corpus import pack_sequences

@@ -66,7 +66,7 @@ class CypherGate:
             )
         spark = next(iter(self.engine.tables.values())).sparkSession
         if is_call(cypher):
-            return execute_call(spark, cypher)
+            return execute_call(spark, cypher, store=self.store)
         op = classify_operation(cypher)
         if op is OperationType.ADMIN:
             raise CypherGateError("Administrative operations are not allowed")

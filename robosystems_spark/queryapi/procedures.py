@@ -29,8 +29,12 @@ def is_call(query: str) -> bool:
     return bool(_CALL_RE.match(query) or _TIMEOUT_RE.match(query))
 
 
-def execute_call(spark: SparkSession, query: str) -> DataFrame:
-    """Execute a CALL procedure, returning a DataFrame result."""
+def execute_call(spark: SparkSession, query: str, store=None) -> DataFrame:
+    """Execute a CALL procedure, returning a DataFrame result.
+
+    ``store`` (a GraphStore, optional) enables the store-backed
+    procedures ``table_version`` / ``table_history`` over the
+    mutation commit log."""
     m = _TIMEOUT_RE.match(query)
     if m:
         # per-query timeout: surfaced as a session conf the serving
@@ -46,7 +50,7 @@ def execute_call(spark: SparkSession, query: str) -> DataFrame:
     arg = (m.group(2) or "").strip().strip("'\"")
     returns = (m.group(3) or "").strip()
 
-    out = _dispatch(spark, proc, arg)
+    out = _dispatch(spark, proc, arg, store)
     if returns:
         # CALL ... RETURN id, name AS n — the reference's MCP issues
         # this projection form verbatim (middleware/mcp/client.py:376)
@@ -64,7 +68,7 @@ def execute_call(spark: SparkSession, query: str) -> DataFrame:
     return out
 
 
-def _dispatch(spark: SparkSession, proc: str, arg: str) -> DataFrame:
+def _dispatch(spark: SparkSession, proc: str, arg: str, store=None) -> DataFrame:
     if proc == "show_tables":
         # (id, name, type, comment) — the engine's table listing shape
         # (graph_api/core/ladybug/engine.py SHOW_TABLES); ids are the
@@ -85,6 +89,29 @@ def _dispatch(spark: SparkSession, proc: str, arg: str) -> DataFrame:
         return spark.createDataFrame(rows, "name string, type string, nullable boolean")
     if proc == "db_version":
         return spark.createDataFrame([(spark_version,)], "version string")
+    if proc == "table_version":
+        if store is None:
+            raise ProcedureError("table_version requires a graph store")
+        if not arg:
+            raise ProcedureError("table_version requires a table name argument")
+        return spark.createDataFrame(
+            [(arg, store.version(arg))], "table string, version bigint"
+        )
+    if proc == "table_history":
+        if store is None:
+            raise ProcedureError("table_history requires a graph store")
+        if not arg:
+            raise ProcedureError("table_history requires a table name argument")
+        import json as _json
+
+        rows = [
+            (h["v"], h["op"], float(h["ts"]), _json.dumps(h.get("detail") or {}))
+            for h in store.history(arg)
+        ]
+        return spark.createDataFrame(
+            rows or [(0, "", 0.0, "")],
+            "v bigint, op string, ts double, detail string",
+        ).filter("op <> ''")
     if proc == "current_setting":
         if not arg:
             raise ProcedureError("current_setting requires a setting name")

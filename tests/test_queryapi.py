@@ -258,3 +258,28 @@ def test_call_show_tables_with_return_projection(spark):
     aliased = execute_call(spark, "CALL show_tables() RETURN name AS table_name")
     assert aliased.columns == ["table_name"]
     spark.catalog.dropTempView("mcp_probe_tbl")
+
+
+def test_call_table_version_and_history(spark, tmp_path):
+    from robosystems_spark.queryapi.procedures import ProcedureError, execute_call
+    from robosystems_spark.sources.materialize import GraphStore
+
+    store = GraphStore(spark, str(tmp_path), "kgprochistory000")
+    store.copy_into(
+        "T",
+        spark.createDataFrame([(1, "a")], "identifier long, name string"),
+        primary_keys=["identifier"],
+    )
+    from pyspark.sql import functions as F
+
+    store.delete_where("T", F.col("identifier") == 1)
+
+    v = execute_call(spark, "CALL table_version('T')", store=store).collect()[0]
+    assert (v["table"], v["version"]) == ("T", 2)
+    hist = execute_call(spark, "CALL table_history('T') RETURN v, op", store=store).collect()
+    assert [(h["v"], h["op"]) for h in hist] == [(1, "copy_into"), (2, "delete_where")]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ProcedureError):
+        execute_call(spark, "CALL table_version('T')")  # no store bound
