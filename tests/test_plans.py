@@ -82,7 +82,8 @@ def test_broadcast_hints_only_on_fixed_cardinality_inputs(spark, sf_dir):
 def test_no_python_udfs_in_relational_paths(spark, sf_dir):
     for name in ("q1_pricing_summary", "q5_region_nation_volume",
                  "window_dedup_first_line", "dedup_exact_groups",
-                 "doc_search_bm25_topk", "text_quality_score"):
+                 "doc_search_bm25_topk", "text_quality_score",
+                 "pii_redaction", "text_context_chunks"):
         plan = plan_of(REGISTRY[name].fn(spark, sf_dir))
         assert "BatchEvalPython" not in plan, f"{name} fell back to a Python UDF"
         assert "ArrowEvalPython" not in plan, f"{name} uses a pandas UDF in a built-in path"
@@ -148,3 +149,18 @@ def test_decontamination_broadcasts_holdout_side(spark, sf_dir):
     plan = plan_of(REGISTRY["decontamination_ngram_overlap"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_pack_sequences_shuffles_only_narrow_projection(spark, sf_dir):
+    """Greedy packing's pandas stage must receive the narrow
+    (group, id, n_tokens) projection — the document text may never be
+    shuffled to the Python workers."""
+    plan = plan_of(REGISTRY["pack_sequences_greedy"].fn(spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "hashpartitioning(source" in plan  # grouped by source only
+    # the shuffle and the pandas stage must carry only the narrow
+    # projection (text is consumed map-side computing n_tokens)
+    for node in ("Exchange", "FlatMapGroupsInPandas"):
+        m = re.search(rf"\(\d+\) {node}\s*\nInput \[\d+\]: \[([^\]]*)\]", plan)
+        assert m, f"{node} node missing from plan"
+        assert "text#" not in m.group(1), f"{node} still carries the text column"
