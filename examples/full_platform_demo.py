@@ -78,6 +78,23 @@ def main() -> None:
               f"credits={row['total_credits']:>8.2f} net={row['net_balance']:>8.2f}")
     counts = save_report(store, tb, "rep-fy24", "Trial Balance FY24")
     print("saved report:", counts)
+
+    # 6. provision a brand-new entity graph (id grammar + schema install
+    #    + initial Entity row), then audit its mutation history through
+    #    the gated CALL surface
+    from robosystems_spark.queryapi.procedures import execute_call
+    from robosystems_spark.sources.provisioning import EntityGraphProvisioner
+
+    info = EntityGraphProvisioner(spark, work).provision(
+        {"name": "Acme Subsidiary LLC"}, extensions=["roboledger"]
+    )
+    print(f"provisioned {info['graph_id']}: {info['tables_created']} tables, "
+          f"entity {info['entity_id']}")
+    sub_store = GraphStore(spark, work, info["graph_id"])
+    hist = execute_call(
+        spark, "CALL table_history('Entity') RETURN v, op", store=sub_store
+    )
+    print("Entity commit log:", [(r["v"], r["op"]) for r in hist.collect()])
     spark.stop()
 
 
