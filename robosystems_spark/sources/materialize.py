@@ -215,6 +215,16 @@ class GraphStore:
             stale_s=self.lock_stale_s,
         )
 
+    def _ckpt_path(self, table: str) -> str:
+        return os.path.join(self._txn_dir(table), "ckpt.json")
+
+    def _load_ckpt(self, table: str) -> dict:
+        try:
+            with open(self._ckpt_path(table)) as fh:
+                return json.load(fh)
+        except (OSError, ValueError):
+            return {"last_v": 0, "records": []}
+
     def version(self, table: str) -> int:
         """Latest committed version of ``table`` (0 = never written)."""
         try:
@@ -224,19 +234,63 @@ class GraphStore:
         versions = [
             int(n[1:9]) for n in names if n.startswith("v") and n.endswith(".json")
         ]
-        return max(versions, default=0)
+        return max(max(versions, default=0), self._load_ckpt(table)["last_v"])
 
     def history(self, table: str) -> list[dict]:
-        """Commit log of ``table``, oldest first."""
+        """Commit log of ``table``, oldest first (checkpointed records
+        followed by the per-commit files after the checkpoint)."""
         d = self._txn_dir(table)
-        out = []
-        for v in range(1, self.version(table) + 1):
+        ckpt = self._load_ckpt(table)
+        out = list(ckpt["records"])
+        for v in range(ckpt["last_v"] + 1, self.version(table) + 1):
             try:
                 with open(os.path.join(d, f"v{v:08d}.json")) as fh:
                     out.append(json.load(fh))
             except (OSError, ValueError):
                 continue
         return out
+
+    # One metadata file per commit is fine for thousands of commits but
+    # not for a long-lived 100 TB table taking millions — the same
+    # problem Delta solves with log checkpoints.  Every AUTO_CKPT-th
+    # commit folds records older than the last ``keep_last`` into
+    # ckpt.json and unlinks their files, keeping the log O(keep_last).
+    AUTO_CHECKPOINT_EVERY = 256
+    CHECKPOINT_KEEP_LAST = 64
+
+    def checkpoint_history(self, table: str, keep_last: int | None = None) -> int:
+        """Fold commit records older than the newest ``keep_last`` into
+        the checkpoint file and remove their per-commit files.  Runs
+        under the caller's write lock (``_commit`` auto-invokes it) or
+        standalone via its own lock.  Returns records folded."""
+        keep = self.CHECKPOINT_KEEP_LAST if keep_last is None else keep_last
+        cut = self.version(table) - keep
+        ckpt = self._load_ckpt(table)
+        if cut <= ckpt["last_v"]:
+            return 0
+        d = self._txn_dir(table)
+        folded = 0
+        records = list(ckpt["records"])
+        for v in range(ckpt["last_v"] + 1, cut + 1):
+            path = os.path.join(d, f"v{v:08d}.json")
+            try:
+                with open(path) as fh:
+                    records.append(json.load(fh))
+            except (OSError, ValueError):
+                pass
+        # write-then-rename so a crash never leaves a torn checkpoint,
+        # THEN unlink the folded files (re-folding survivors is idempotent)
+        tmp = self._ckpt_path(table) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"last_v": cut, "records": records}, fh)
+        os.replace(tmp, self._ckpt_path(table))
+        for v in range(ckpt["last_v"] + 1, cut + 1):
+            try:
+                os.unlink(os.path.join(d, f"v{v:08d}.json"))
+                folded += 1
+            except FileNotFoundError:
+                pass
+        return folded
 
     def _commit(self, table: str, op: str, detail: dict | None = None) -> int:
         """Append the next commit record via exclusive create — the
@@ -263,6 +317,8 @@ class GraphStore:
             ) from None
         with os.fdopen(fd, "w") as fh:
             json.dump(record, fh)
+        if v % self.AUTO_CHECKPOINT_EVERY == 0:
+            self.checkpoint_history(table)
         return v
 
     def _bucket_dirs(self, table: str) -> list[str]:

@@ -168,3 +168,38 @@ def test_lock_reacquire_after_release(tmp_path):
     with lock:  # released cleanly -> immediate reacquire
         assert os.path.exists(lock.path)
     assert not os.path.exists(lock.path)
+
+
+def test_history_checkpoint_folds_and_preserves(spark, store):
+    """Log checkpointing: old per-commit files fold into ckpt.json;
+    history/version are unchanged by compaction."""
+    store.copy_into("T", _row_df(spark, 0, "seed"), primary_keys=["identifier"])
+    for i in range(1, 10):
+        store.upsert("T", _row_df(spark, i, f"n{i}"), primary_keys=["identifier"])
+    before = store.history("T")
+    assert store.version("T") == 10
+
+    folded = store.checkpoint_history("T", keep_last=3)
+    assert folded == 7
+    assert store.version("T") == 10
+    assert store.history("T") == before
+    # only the tail keeps per-commit files
+    files = [n for n in os.listdir(store._txn_dir("T")) if n.startswith("v")]
+    assert len(files) == 3
+    # further commits append past the checkpoint seamlessly
+    store.upsert("T", _row_df(spark, 99, "tail"), primary_keys=["identifier"])
+    assert store.version("T") == 11
+    assert [h["v"] for h in store.history("T")] == list(range(1, 12))
+    # re-checkpointing folds exactly the records newly past the cut
+    assert store.checkpoint_history("T", keep_last=3) == 1  # v8 only
+    assert store.history("T") == before + [store.history("T")[-1]]
+
+
+def test_auto_checkpoint_triggers(spark, store, monkeypatch):
+    monkeypatch.setattr(GraphStore, "AUTO_CHECKPOINT_EVERY", 4)
+    monkeypatch.setattr(GraphStore, "CHECKPOINT_KEEP_LAST", 2)
+    for i in range(4):
+        store.upsert("T", _row_df(spark, i, f"n{i}"), primary_keys=["identifier"])
+    files = [n for n in os.listdir(store._txn_dir("T")) if n.startswith("v")]
+    assert len(files) == 2  # v4 commit folded v1..v2
+    assert store.version("T") == 4 and len(store.history("T")) == 4
