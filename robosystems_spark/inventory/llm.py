@@ -791,3 +791,32 @@ def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from robosystems_spark.operators.corpus import pack_sequences
 
     return pack_sequences(_docs(spark, sf_dir), capacity=512)
+
+
+# ---------------------------------------------------------------------------
+# Stratified sampling — first-k per group in md5(key) order.
+# ---------------------------------------------------------------------------
+@register(
+    "sample_documents_stratified",
+    oracle=r"""
+    WITH r AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT doc_id, source FROM r WHERE rk <= 10
+    """,
+    doc="Deterministic stratified sample: 10 docs per source in md5(key) order — "
+    "reproducible pseudo-random draw any engine replays identically "
+    "(top-k-per-key window, one group-keyed shuffle).",
+    tags=("sampling",),
+)
+def sample_documents_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from robosystems_spark.operators.sampling import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir).select("doc_id", "source"), "source", 10
+    )

@@ -53,3 +53,29 @@ def hash_split(
         name: labeled.filter(F.col("_split") == name).drop("_split")
         for name in fractions
     }
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    n_per_group: int,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic stratified sample: the first ``n_per_group`` rows
+    per group in md5(key) order — a reproducible pseudo-random draw
+    that any engine replays identically (md5 is engine-portable where
+    xxhash64 is not, so this variant is oracle-checkable).
+
+    One shuffle keyed by the group column; the per-group window is the
+    standard top-k-per-key pattern, which Spark executes with a
+    partial sort per partition — no global sort.
+    """
+    from pyspark.sql import Window
+
+    key_hash = F.md5(F.col(key_col).cast("string").cast("binary"))
+    w = Window.partitionBy(group_col).orderBy(key_hash, key_col)
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_per_group)
+        .drop("_rk")
+    )

@@ -34,3 +34,18 @@ def test_hash_split_rejects_bad_fractions(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents")
     with pytest.raises(ValueError, match="sum to 1.0"):
         hash_split(docs, "doc_id", {"a": 0.5, "b": 0.1})
+
+
+def test_stratified_sample_deterministic_and_bounded(spark, sf_dir):
+    from robosystems_spark.io import read_table
+    from robosystems_spark.operators.sampling import stratified_sample
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    a = stratified_sample(docs, "source", 5)
+    b = stratified_sample(docs.repartition(13), "source", 5)
+    # per-group cap holds and the draw ignores physical partitioning
+    counts = {r["source"]: r["n"] for r in a.groupBy("source").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+    ).collect()}
+    assert all(n <= 5 for n in counts.values())
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
