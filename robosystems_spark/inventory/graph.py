@@ -200,3 +200,48 @@ def cypher_varlength_reachability(spark: SparkSession, sf_dir: str) -> DataFrame
         "RETURN a.identifier AS start_node, b.identifier AS end_node, "
         "toInteger(r.depth) AS depth"
     )
+
+
+@register(
+    "graph_weighted_shortest_paths",
+    oracle=r"""
+    WITH RECURSIVE e AS (
+      SELECT a.n_nationkey AS src, b.n_nationkey AS dst,
+             CAST((a.n_nationkey * 7 + b.n_nationkey * 13) % 10 + 1 AS DOUBLE) AS w
+      FROM nation a
+      JOIN nation b
+        ON a.n_regionkey = b.n_regionkey AND a.n_nationkey <> b.n_nationkey
+    ),
+    p AS (
+      SELECT src, dst, w, 1 AS d FROM e
+      UNION ALL
+      SELECT p.src, e.dst, p.w + e.w, p.d + 1
+      FROM p JOIN e ON p.dst = e.src
+      WHERE p.d < 4
+    )
+    SELECT src, dst, ROUND(MIN(w), 6) AS min_cost
+    FROM p GROUP BY src, dst
+    """,
+    doc="Weighted shortest paths (<=4 hops) over the same-region nation digraph "
+    "with deterministic non-metric weights — distributed Bellman-Ford relax "
+    "loop vs a depth-bounded recursive-CTE min. State is |pairs|, never |paths|.",
+    tags=("graph",),
+)
+def graph_weighted_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from robosystems_spark.operators.graph import weighted_shortest_paths
+
+    nation = read_table(spark, sf_dir, "nation")
+    a, b = nation.alias("a"), nation.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+        & (F.col("a.n_nationkey") != F.col("b.n_nationkey")),
+    ).select(
+        F.col("a.n_nationkey").alias("src"),
+        F.col("b.n_nationkey").alias("dst"),
+        ((F.col("a.n_nationkey") * 7 + F.col("b.n_nationkey") * 13) % 10 + 1).alias(
+            "weight"
+        ),
+    )
+    out = weighted_shortest_paths(edges, max_iter=4)
+    return out.select("src", "dst", F.round("w", 6).alias("min_cost"))

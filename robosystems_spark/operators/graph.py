@@ -152,3 +152,58 @@ def duplicate_clusters(
             (F.col("node") == F.col("component")).alias("keep"),
         )
     )
+
+
+def weighted_shortest_paths(
+    edges: DataFrame,
+    max_iter: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Minimum-total-weight (src, dst, w) for every pair connected
+    within ``max_iter`` hops — distributed Bellman-Ford (the
+    Pregel-style relax loop as DataFrame joins).
+
+    Each round extends the best-known table by one edge join and
+    re-minimizes per pair, so state size is bounded by |reachable
+    pairs| (never |paths|); the loop exits early when a round relaxes
+    nothing.  Same scale discipline as ``bounded_paths``: persist the
+    state per round, drop the previous one, pre-partition the edges
+    side on ``src`` at cluster scale.
+    """
+    if max_iter < 1:
+        raise ValueError("max_iter must be >= 1")
+    e = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        F.col(weight_col).cast("double").alias("w"),
+    )
+    best = e.groupBy("src", "dst").agg(F.min("w").alias("w"))
+    best.persist(StorageLevel.MEMORY_AND_DISK)
+
+    for _ in range(2, max_iter + 1):
+        relaxed = (
+            best.alias("p")
+            .join(e.alias("e"), F.col("p.dst") == F.col("e.src"))
+            .select(
+                F.col("p.src").alias("src"),
+                F.col("e.dst").alias("dst"),
+                (F.col("p.w") + F.col("e.w")).alias("w"),
+            )
+        )
+        new_best = (
+            best.unionByName(relaxed).groupBy("src", "dst").agg(F.min("w").alias("w"))
+        )
+        new_best.persist(StorageLevel.MEMORY_AND_DISK)
+        # converged when no pair improved and no new pair appeared
+        improved = new_best.alias("n").join(
+            best.alias("b"), ["src", "dst"], "left_outer"
+        ).filter(F.col("b.w").isNull() | (F.col("n.w") < F.col("b.w")))
+        done = improved.isEmpty()
+        best.unpersist()
+        best = new_best
+        if done:
+            break
+
+    return best

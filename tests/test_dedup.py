@@ -191,3 +191,21 @@ def test_connected_components_random_graphs_match_union_find(spark):
             for r in connected_components(df, "doc_a", "doc_b").collect()
         }
         assert got == expected, f"trial {trial}"
+
+
+def test_weighted_shortest_paths_relaxes_through_cheaper_route(spark):
+    from robosystems_spark.operators.graph import weighted_shortest_paths
+
+    # direct a->c costs 10; a->b->c costs 1+2=3; relaxation must win
+    edges = spark.createDataFrame(
+        [("a", "c", 10.0), ("a", "b", 1.0), ("b", "c", 2.0)],
+        "src string, dst string, weight double",
+    )
+    out = {(r["src"], r["dst"]): r["w"] for r in
+           weighted_shortest_paths(edges, max_iter=3).collect()}
+    assert out == {("a", "c"): 3.0, ("a", "b"): 1.0, ("b", "c"): 2.0}
+
+    # max_iter=1 forbids the 2-hop route: direct edge stands
+    direct = {(r["src"], r["dst"]): r["w"] for r in
+              weighted_shortest_paths(edges, max_iter=1).collect()}
+    assert direct[("a", "c")] == 10.0
