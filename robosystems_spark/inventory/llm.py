@@ -702,23 +702,28 @@ def _pii_augmented(docs: DataFrame) -> DataFrame:
     WITH aug AS (
       SELECT doc_id, {_PII_AUG_SQL} AS text FROM documents
     ),
-    red AS (
+    s1 AS (  -- each pattern counts on the text AS OF its stage
       SELECT doc_id,
              LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}')) AS n_emails,
-             LEN(REGEXP_EXTRACT_ALL(text, '\d{{3}}-\d{{2}}-\d{{4}}')) AS n_ssns,
-             LEN(REGEXP_EXTRACT_ALL(text, '\d{{3}}-\d{{3}}-\d{{4}}')) AS n_phones,
-             REGEXP_REPLACE(
-               REGEXP_REPLACE(
-                 REGEXP_REPLACE(text,
-                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
-                 '\d{{3}}-\d{{2}}-\d{{4}}', '<SSN>', 'g'),
-               '\d{{3}}-\d{{3}}-\d{{4}}', '<PHONE>', 'g') AS redacted
+             REGEXP_REPLACE(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '<EMAIL>', 'g') AS t1
       FROM aug
+    ),
+    s2 AS (
+      SELECT doc_id, n_emails,
+             LEN(REGEXP_EXTRACT_ALL(t1, '\d{{3}}-\d{{2}}-\d{{4}}')) AS n_ssns,
+             REGEXP_REPLACE(t1, '\d{{3}}-\d{{2}}-\d{{4}}', '<SSN>', 'g') AS t2
+      FROM s1
+    ),
+    s3 AS (
+      SELECT doc_id, n_emails, n_ssns,
+             LEN(REGEXP_EXTRACT_ALL(t2, '\d{{3}}-\d{{3}}-\d{{4}}')) AS n_phones,
+             REGEXP_REPLACE(t2, '\d{{3}}-\d{{3}}-\d{{4}}', '<PHONE>', 'g') AS redacted
+      FROM s2
     )
     SELECT doc_id, n_emails, n_ssns, n_phones,
            LENGTH(redacted) AS redacted_len,
            MD5(redacted) AS redacted_hash
-    FROM red
+    FROM s3
     """,
     doc="Regex PII scrubbing (email/SSN/phone spans -> typed tokens) over documents "
     "augmented with deterministic doc_id-derived PII; counts + redacted hash "

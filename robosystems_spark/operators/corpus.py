@@ -215,10 +215,12 @@ def pack_sequences(
         F.col(id_col),
         F.size(tokens(text_col)).cast("long").alias("n_tokens"),
     )
+    # id keeps the caller's dtype (long TPC-H keys, string ULIDs, ...)
+    id_type = base.schema[id_col].dataType
     schema = StructType(
         [
             StructField(group_col, StringType()),
-            StructField(id_col, LongType()),
+            StructField(id_col, id_type),
             StructField("n_tokens", LongType()),
             StructField("seq_idx", LongType()),
         ]

@@ -206,4 +206,8 @@ def weighted_shortest_paths(
         if done:
             break
 
-    return best
+    # hand back GC-reclaimable partitions and release the cache pin —
+    # callers never have to know the loop persisted anything
+    result = best.localCheckpoint(eager=True)
+    best.unpersist()
+    return result

@@ -99,12 +99,14 @@ def langid(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Dat
     )
 
 
-# PII redaction patterns, applied in order.  Written in the common
-# subset of Java regex (Spark) and RE2 (DuckDB oracle): no backrefs,
-# no lookaround.  The three patterns are mutually non-overlapping
-# (email has '@'; SSN's middle group is 2 digits, phone's is 3), so
-# match counts can be taken on the original text and replacements
-# applied sequentially with identical results in either order.
+# PII redaction patterns, applied in this order.  Written in the
+# common subset of Java regex (Spark) and RE2 (DuckDB oracle): no
+# backrefs, no lookaround.  Digit-run patterns CAN overlap on
+# adversarial inputs (e.g. '111-22-3333-444-5555' holds both an SSN
+# and a phone span sharing a digit), so each pattern is counted on the
+# text AS IT EXISTS at its stage — after the prior replacements —
+# which keeps every reported count equal to the number of tokens
+# actually substituted.
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ssn", r"\d{3}-\d{2}-\d{4}", "<SSN>"),
@@ -118,23 +120,24 @@ def redact_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
 
     Pure column expressions (regexp_extract_all / regexp_replace —
     JVM-side, codegen): scales linearly, no shuffle, no UDF.  Returns
-    per-document match counts plus the redacted text's length and md5
-    (hash rather than the full text keeps the result frame narrow for
-    cross-engine comparison).
+    per-stage match counts (exactly what was substituted) plus the
+    redacted text's length and md5 (hash rather than the full text
+    keeps the result frame narrow for cross-engine comparison).
     """
-    c = F.col(text_col)
-    counts = [
-        F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0))).alias(f"n_{name}s")
-        for name, pat, _ in PII_PATTERNS
-    ]
-    redacted = c
-    for _, pat, token in PII_PATTERNS:
-        redacted = F.regexp_replace(redacted, pat, token)
+    stage = F.col(text_col)
+    counts = []
+    for name, pat, token in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(stage, F.lit(pat), F.lit(0))).alias(
+                f"n_{name}s"
+            )
+        )
+        stage = F.regexp_replace(stage, pat, token)
     return df.select(
         id_col,
         *counts,
-        F.length(redacted).alias("redacted_len"),
-        F.md5(redacted.cast("binary")).alias("redacted_hash"),
+        F.length(stage).alias("redacted_len"),
+        F.md5(stage.cast("binary")).alias("redacted_hash"),
     )
 
 

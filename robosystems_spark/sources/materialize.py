@@ -49,15 +49,58 @@ class _TableLock:
     object-store FUSE/NFS layer that honors exclusive create, so it
     serializes writers across threads AND processes with no external
     coordinator — the same role Delta's transaction-log CAS plays.
-    A crashed writer's lock goes stale and is broken after
-    ``stale_s`` (its in-flight rewrite is recoverable from
-    ``.trash``, see ``_swap_dir``)."""
+
+    Liveness/safety details:
+    - the HOLDER heartbeats the lock file's mtime (daemon thread,
+      every ``stale_s/4``), so a long mutation never looks stale —
+      only a genuinely dead writer's lock ages past ``stale_s``;
+    - a stale lock is broken by RENAMING it aside to a unique name
+      (never unlink): of two racing breakers exactly one rename
+      succeeds, and a fresh lock re-created after a break can never be
+      destroyed by the loser's stale decision;
+    - each lock file carries a random owner token; ``release`` unlinks
+      only if the token still matches, so a broken-and-superseded
+      holder cannot delete its successor's lock.  (The commit log's
+      O_EXCL CAS remains the final arbiter if exclusion is ever
+      violated.)  A crashed writer's in-flight rewrite is recoverable
+      from ``.trash`` (see ``_swap_dir``)."""
 
     def __init__(self, path: str, timeout_s: float = 120.0, stale_s: float = 300.0):
         self.path = path
         self.timeout_s = timeout_s
         self.stale_s = stale_s
-        self._fd: int | None = None
+        self._token: str | None = None
+        self._hb_stop = None  # threading.Event while held
+
+    def _write_lockfile(self, fd: int) -> None:
+        import secrets
+
+        self._token = secrets.token_hex(8)
+        os.write(
+            fd,
+            json.dumps(
+                {"pid": os.getpid(), "ts": time.time(), "token": self._token}
+            ).encode(),
+        )
+        os.close(fd)
+
+    def _start_heartbeat(self) -> None:
+        import threading
+
+        self._hb_stop = threading.Event()
+        interval = max(self.stale_s / 4.0, 0.05)
+        path, stop = self.path, self._hb_stop
+
+        def _beat() -> None:
+            while not stop.wait(interval):
+                try:
+                    now = time.time()
+                    os.utime(path, (now, now))
+                except OSError:
+                    return  # lock broken/released under us — stop beating
+
+        t = threading.Thread(target=_beat, daemon=True, name="table-lock-heartbeat")
+        t.start()
 
     def acquire(self) -> None:
         os.makedirs(os.path.dirname(self.path), exist_ok=True)
@@ -65,20 +108,22 @@ class _TableLock:
         while True:
             try:
                 fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(
-                    fd,
-                    json.dumps({"pid": os.getpid(), "ts": time.time()}).encode(),
-                )
-                self._fd = fd
+                self._write_lockfile(fd)
+                self._start_heartbeat()
                 return
             except FileExistsError:
                 try:
                     age = time.time() - os.stat(self.path).st_mtime
                     if age > self.stale_s:
-                        # dead writer: break the lock (two breakers may
-                        # race; the unlink is ENOENT-tolerant and only
-                        # one O_EXCL create wins the next iteration)
-                        os.unlink(self.path)
+                        # dead writer (no heartbeat for stale_s): break
+                        # by rename-aside — atomic, single-winner, and
+                        # incapable of destroying a re-created lock
+                        aside = f"{self.path}.stale.{os.getpid()}.{time.monotonic_ns()}"
+                        try:
+                            os.rename(self.path, aside)
+                            os.unlink(aside)
+                        except FileNotFoundError:
+                            pass  # another breaker won — just retry
                         continue
                 except FileNotFoundError:
                     continue  # released between open and stat — retry now
@@ -90,12 +135,18 @@ class _TableLock:
                 time.sleep(0.05)
 
     def release(self) -> None:
-        if self._fd is not None:
-            os.close(self._fd)
-            self._fd = None
+        if self._hb_stop is not None:
+            self._hb_stop.set()
+            self._hb_stop = None
+        token, self._token = self._token, None
         try:
-            os.unlink(self.path)
-        except FileNotFoundError:
+            with open(self.path) as fh:
+                current = json.load(fh).get("token")
+            if current == token:
+                os.unlink(self.path)
+            # else: our lock was broken and superseded — leave the
+            # successor's lock alone
+        except (OSError, ValueError):
             pass
 
     def __enter__(self) -> "_TableLock":
@@ -232,13 +283,18 @@ class GraphStore:
         except FileNotFoundError:
             return 0
         versions = [
-            int(n[1:9]) for n in names if n.startswith("v") and n.endswith(".json")
+            int(n[1:-5])  # full digit run: v00000001.json and beyond 8 digits
+            for n in names
+            if n.startswith("v") and n.endswith(".json") and n[1:-5].isdigit()
         ]
         return max(max(versions, default=0), self._load_ckpt(table)["last_v"])
 
     def history(self, table: str) -> list[dict]:
-        """Commit log of ``table``, oldest first (checkpointed records
-        followed by the per-commit files after the checkpoint)."""
+        """Retained commit log of ``table``, oldest first (checkpointed
+        records followed by the per-commit files after the checkpoint;
+        records beyond CHECKPOINT_MAX_RECORDS ago have been discarded
+        by log retention — the checkpoint's ``truncated`` counter says
+        how many)."""
         d = self._txn_dir(table)
         ckpt = self._load_ckpt(table)
         out = list(ckpt["records"])
@@ -254,9 +310,14 @@ class GraphStore:
     # not for a long-lived 100 TB table taking millions — the same
     # problem Delta solves with log checkpoints.  Every AUTO_CKPT-th
     # commit folds records older than the last ``keep_last`` into
-    # ckpt.json and unlinks their files, keeping the log O(keep_last).
+    # ckpt.json and unlinks their files, keeping the log O(keep_last)
+    # FILES; the checkpoint itself retains only the newest
+    # CHECKPOINT_MAX_RECORDS folded records (like Delta's log
+    # retention, ancient history is discarded, not kept forever), so
+    # total metadata and history() memory stay bounded too.
     AUTO_CHECKPOINT_EVERY = 256
     CHECKPOINT_KEEP_LAST = 64
+    CHECKPOINT_MAX_RECORDS = 4096
 
     def checkpoint_history(self, table: str, keep_last: int | None = None) -> int:
         """Fold commit records older than the newest ``keep_last`` into
@@ -278,11 +339,20 @@ class GraphStore:
                     records.append(json.load(fh))
             except (OSError, ValueError):
                 pass
+        dropped = max(len(records) - self.CHECKPOINT_MAX_RECORDS, 0)
+        records = records[dropped:]
         # write-then-rename so a crash never leaves a torn checkpoint,
         # THEN unlink the folded files (re-folding survivors is idempotent)
         tmp = self._ckpt_path(table) + ".tmp"
         with open(tmp, "w") as fh:
-            json.dump({"last_v": cut, "records": records}, fh)
+            json.dump(
+                {
+                    "last_v": cut,
+                    "records": records,
+                    "truncated": ckpt.get("truncated", 0) + dropped,
+                },
+                fh,
+            )
         os.replace(tmp, self._ckpt_path(table))
         for v in range(ckpt["last_v"] + 1, cut + 1):
             try:
@@ -728,7 +798,14 @@ class GraphStore:
         (materialize.py:241-487), nodes-first ordering preserved by
         the caller's table list.  File-level copy preserves the bucket
         layout and metadata (an object store would server-side copy)."""
-        child = GraphStore(self.spark, self.root, target_graph_id, self.n_buckets)
+        child = GraphStore(
+            self.spark,
+            self.root,
+            target_graph_id,
+            self.n_buckets,
+            lock_timeout_s=self.lock_timeout_s,
+            lock_stale_s=self.lock_stale_s,
+        )
         for t in tables or self.tables():
             with child._write_lock(t):
                 dest = child.table_path(t)

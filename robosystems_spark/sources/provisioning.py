@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import datetime
 import hashlib
+import os
 import secrets
 import shutil
 import time
@@ -106,6 +107,11 @@ class EntityGraphProvisioner:
             raise ValueError("entity['name'] is required")
         gid = graph_id or generate_graph_id(entity["name"])
         identity = identify_graph(gid)  # validates the id grammar
+        # Refuse to provision onto an existing graph: proceeding would
+        # append a duplicate Entity row on success and — worse — the
+        # failure cleanup would rmtree data this call never created.
+        if os.path.exists(os.path.join(self.root, gid)):
+            raise ValueError(f"graph {gid!r} already exists")
         store = GraphStore(self.spark, self.root, gid)
         try:
             schema = load_schema(extensions)

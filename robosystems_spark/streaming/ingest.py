@@ -60,16 +60,32 @@ def stream_upsert(
     primary_keys: list[str],
     checkpoint_dir: str,
     available_now: bool = True,
+    order_col: str | None = None,
 ) -> StreamingQuery:
     """CDC-style streaming upsert: each micro-batch point-merges on the
     primary keys (new rows insert, existing rows are replaced), for
     low-volume mutation feeds — bulk loads should use
-    ``stream_copy_into`` (the reference's 40x MERGE measurement)."""
+    ``stream_copy_into`` (the reference's 40x MERGE measurement).
+
+    When a batch carries several rows per key, ``order_col`` (a CDC
+    offset/timestamp column) picks the LATEST one deterministically;
+    without it, plain ``dropDuplicates`` keeps an arbitrary row — only
+    acceptable for feeds that are already one-row-per-key per batch.
+    """
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
-        # last-writer-wins within a batch: keep one row per key so the
-        # replace is deterministic
-        deduped = batch_df.dropDuplicates(primary_keys)
+        if order_col is not None:
+            from pyspark.sql import Window
+            from pyspark.sql import functions as F
+
+            w = Window.partitionBy(*primary_keys).orderBy(F.col(order_col).desc())
+            deduped = (
+                batch_df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        else:
+            deduped = batch_df.dropDuplicates(primary_keys)
         store.upsert(table, deduped, primary_keys=primary_keys)
 
     writer = (

@@ -203,3 +203,66 @@ def test_auto_checkpoint_triggers(spark, store, monkeypatch):
     files = [n for n in os.listdir(store._txn_dir("T")) if n.startswith("v")]
     assert len(files) == 2  # v4 commit folded v1..v2
     assert store.version("T") == 4 and len(store.history("T")) == 4
+
+
+def test_held_lock_heartbeats_and_is_not_stolen(tmp_path):
+    """A long-running holder's heartbeat keeps the lock fresh: a
+    contender with stale_s shorter than the hold must time out, not
+    break in."""
+    path = str(tmp_path / "LOCK")
+    holder = _TableLock(path, timeout_s=1, stale_s=0.4)
+    holder.acquire()
+    try:
+        time.sleep(1.0)  # well past stale_s; heartbeat keeps mtime fresh
+        contender = _TableLock(path, timeout_s=0.6, stale_s=0.4)
+        with pytest.raises(ConcurrentWriteError):
+            contender.acquire()
+    finally:
+        holder.release()
+
+
+def test_release_does_not_unlink_successors_lock(tmp_path):
+    """A holder whose lock was broken and superseded must not delete
+    the successor's lock on release (owner-token check)."""
+    path = str(tmp_path / "LOCK")
+    a = _TableLock(path, timeout_s=1, stale_s=60)
+    a.acquire()
+    # simulate a stale break + takeover by another writer
+    os.unlink(path)
+    b = _TableLock(path, timeout_s=1, stale_s=60)
+    b.acquire()
+    a.release()  # token mismatch -> leaves b's lock alone
+    assert os.path.exists(path)
+    b.release()
+    assert not os.path.exists(path)
+
+
+def test_version_parses_beyond_eight_digits(store):
+    d = store._txn_dir("T")
+    os.makedirs(d, exist_ok=True)
+    for v in (99999999, 100000000):
+        with open(os.path.join(d, f"v{v:08d}.json"), "w") as fh:
+            json.dump({"v": v, "op": "x", "table": "T", "ts": 0, "pid": 0, "detail": {}}, fh)
+    assert store.version("T") == 100000000
+
+
+def test_checkpoint_truncates_ancient_records(spark, store, monkeypatch):
+    monkeypatch.setattr(GraphStore, "CHECKPOINT_MAX_RECORDS", 4)
+    for i in range(8):
+        store.upsert("T", _row_df(spark, i, f"n{i}"), primary_keys=["identifier"])
+    store.checkpoint_history("T", keep_last=2)
+    # retained: at most 4 checkpointed + 2 tail files; ancient dropped
+    hist = store.history("T")
+    assert len(hist) == 6
+    assert [h["v"] for h in hist] == [3, 4, 5, 6, 7, 8]
+    assert store._load_ckpt("T")["truncated"] == 2
+    assert store.version("T") == 8
+
+
+def test_fork_propagates_lock_settings(spark, tmp_path):
+    st = GraphStore(
+        spark, str(tmp_path), "kgforklock000000", lock_timeout_s=7, lock_stale_s=777
+    )
+    st.copy_into("T", _row_df(spark, 1, "a"), primary_keys=["identifier"])
+    child = st.fork("kgforklock000000_dev")
+    assert child.lock_timeout_s == 7 and child.lock_stale_s == 777

@@ -83,3 +83,18 @@ def test_invalid_graph_id_rejected(spark, tmp_path):
         prov.provision({"name": "X"}, graph_id="not-a-graph-id")
     with pytest.raises(ValueError):
         prov.provision({})
+
+
+def test_provision_refuses_existing_graph(spark, tmp_path):
+    """Provisioning onto an existing graph id must refuse up front —
+    never append a duplicate Entity nor rmtree data it didn't create."""
+    prov = EntityGraphProvisioner(spark, str(tmp_path))
+    gid = generate_graph_id("Solo Co")
+    prov.provision({"name": "Solo Co"}, graph_id=gid)
+    with pytest.raises(ValueError, match="already exists"):
+        prov.provision({"name": "Imposter"}, graph_id=gid)
+    # original graph untouched
+    from robosystems_spark.sources.materialize import GraphStore
+
+    store = GraphStore(spark, str(tmp_path), gid)
+    assert store.read("Entity").count() == 1

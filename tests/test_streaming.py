@@ -246,3 +246,22 @@ def test_stream_upsert_replaces_by_key(spark, tmp_path):
     q.awaitTermination(120)
     rows = {r["identifier"]: r["name"] for r in store.read("Entity").collect()}
     assert rows == {1: "new", 2: "keep", 3: "ins"}
+
+
+def test_stream_upsert_order_col_picks_latest(spark, tmp_path):
+    from robosystems_spark.streaming.ingest import stream_upsert
+
+    store = _mk_store(spark, tmp_path)
+    src = tmp_path / "cdc2"
+    # two updates for key 1 in one batch; offset decides the winner
+    spark.createDataFrame(
+        [(1, "stale", 10), (1, "latest", 20), (2, "only", 5)],
+        "identifier long, name string, offset long",
+    ).write.parquet(str(src))
+    q = stream_upsert(
+        store, "Entity", _file_stream(spark, src), ["identifier"],
+        str(tmp_path / "ckpt4"), order_col="offset",
+    )
+    q.awaitTermination(120)
+    rows = {r["identifier"]: r["name"] for r in store.read("Entity").collect()}
+    assert rows == {1: "latest", 2: "only"}

@@ -82,3 +82,32 @@ def test_chunking_plan_stays_jvm_side(spark, sf_dir):
     df = chunk_documents(read_table(spark, sf_dir, "documents"))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_redact_pii_overlapping_spans_counts_match_substitutions(spark):
+    """Adversarial overlap: the SSN replacement consumes digits the
+    phone pattern would have matched on the ORIGINAL text; staged
+    counting must report only what was actually substituted."""
+    df = spark.createDataFrame(
+        [(1, "x 111-22-3333-444-5555 y")], "doc_id long, text string"
+    )
+    r = redact_pii(df).collect()[0]
+    assert r["n_ssns"] == 1
+    # after the SSN substitution no phone-shaped span remains
+    assert r["n_phones"] == 0
+    expected = "x <SSN>-444-5555 y"
+    assert r["redacted_len"] == len(expected)
+    import hashlib as _h
+
+    assert r["redacted_hash"] == _h.md5(expected.encode()).hexdigest()
+
+
+def test_pack_sequences_accepts_string_ids(spark):
+    from robosystems_spark.operators.corpus import pack_sequences
+
+    df = spark.createDataFrame(
+        [("doc-a", "x " * 6, "s"), ("doc-b", "y " * 6, "s")],
+        "doc_id string, text string, source string",
+    )
+    out = {r["doc_id"]: r["seq_idx"] for r in pack_sequences(df, capacity=10).collect()}
+    assert out == {"doc-a": 0, "doc-b": 1}
