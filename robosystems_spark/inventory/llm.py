@@ -825,3 +825,33 @@ def sample_documents_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(
         _docs(spark, sf_dir).select("doc_id", "source"), "source", 10
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding quantization error profile — global min-max int8.
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_quantization_error",
+    oracle=r"""
+    WITH vals AS (
+      SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS x FROM embeddings
+    ),
+    stats AS (SELECT MIN(x) AS mn, MAX(x) AS mx FROM vals),
+    e AS (
+      SELECT vec_id,
+             ABS(x - (mn + ROUND((x - mn) / ((mx - mn) / 255)) * ((mx - mn) / 255))) AS err
+      FROM vals, stats
+    )
+    SELECT vec_id,
+           COUNT(*) AS n_dims,
+           ROUND(MAX(err), 6) AS max_abs_err,
+           ROUND(AVG(err), 6) AS mean_abs_err
+    FROM e GROUP BY vec_id
+    """,
+    doc="Int8 scalar-quantization reconstruction-error profile per vector "
+    "(global min-max, 256 codes): posexplode -> broadcast 1-row stats "
+    "cross-join -> per-element error -> per-vector agg; codegen end to end.",
+    tags=("similarity",),
+)
+def embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.quantization_error_profile(_emb(spark, sf_dir))

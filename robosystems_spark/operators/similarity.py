@@ -219,3 +219,38 @@ def ivf_topk_indexed(
         .filter(F.col("rank") <= k)
         .select("query_id", "nn_id", "cosine", "rank")
     )
+
+
+def quantization_error_profile(
+    emb: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id", levels: int = 255
+) -> DataFrame:
+    """Int8 scalar-quantization error profile: per-vector max/mean
+    absolute reconstruction error under global min-max quantization to
+    ``levels`` + 1 codes — the go/no-go check before shipping a
+    quantized embedding store.
+
+    Pure relational plan (posexplode -> 1-row min/max cross-join ->
+    per-element error -> groupBy id): whole-stage codegen end to end,
+    one keyed shuffle, the corpus-stats frame is a broadcast 1-row
+    cross join exactly like the TF-IDF/BM25 corpus counts.
+    """
+    vals = emb.select(
+        F.col(id_col),
+        F.posexplode(vec_col).alias("_pos", "_x"),
+    ).select(id_col, F.col("_x").cast("double").alias("_x"))
+    stats = vals.agg(
+        F.min("_x").alias("_mn"), F.max("_x").alias("_mx")
+    )
+    j = vals.crossJoin(F.broadcast(stats))
+    scale = (F.col("_mx") - F.col("_mn")) / levels
+    code = F.round((F.col("_x") - F.col("_mn")) / scale)
+    err = F.abs(F.col("_x") - (F.col("_mn") + code * scale))
+    return (
+        j.select(id_col, err.alias("_err"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_dims"),
+            F.round(F.max("_err"), 6).alias("max_abs_err"),
+            F.round(F.avg("_err"), 6).alias("mean_abs_err"),
+        )
+    )

@@ -111,3 +111,22 @@ def test_pack_sequences_accepts_string_ids(spark):
     )
     out = {r["doc_id"]: r["seq_idx"] for r in pack_sequences(df, capacity=10).collect()}
     assert out == {"doc-a": 0, "doc-b": 1}
+
+
+def test_quantization_error_profile_bounds(spark, sf_dir):
+    """Max reconstruction error of min-max quantization is bounded by
+    half a quantization step; endpoints reconstruct exactly."""
+    from robosystems_spark.io import read_table
+    from robosystems_spark.operators.similarity import quantization_error_profile
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = quantization_error_profile(emb)
+    import pyspark.sql.functions as F
+
+    vals = emb.select(F.posexplode("embedding").alias("p", "x")).agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    ).collect()[0]
+    half_step = (vals["mx"] - vals["mn"]) / 255 / 2
+    worst = out.agg(F.max("max_abs_err")).collect()[0][0]
+    assert worst <= half_step + 5e-7  # reported errors are rounded to 6dp
+    assert out.filter("n_dims <> 64").count() == 0
