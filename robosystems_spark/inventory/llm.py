@@ -855,3 +855,31 @@ def sample_documents_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.quantization_error_profile(_emb(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary building — corpus-wide top-k n-grams.
+# ---------------------------------------------------------------------------
+@register(
+    "corpus_top_bigrams",
+    oracle=r"""
+    WITH t AS (
+      SELECT STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS toks FROM documents
+    ),
+    g AS (
+      SELECT ARRAY_TO_STRING(t.toks[i:i+1], ' ') AS gram
+      FROM t, UNNEST(GENERATE_SERIES(1, GREATEST(LEN(t.toks) - 1, 1))) AS u(i)
+    )
+    SELECT gram, COUNT(*) AS n_occurrences
+    FROM g GROUP BY gram
+    ORDER BY n_occurrences DESC, gram ASC
+    LIMIT 100
+    """,
+    doc="Corpus-wide top-100 bigrams by count (vocabulary/merge-table precursor): "
+    "explode -> partial-agg count -> deterministic top-k (TakeOrderedAndProject).",
+    tags=("text", "corpus"),
+)
+def corpus_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from robosystems_spark.operators.corpus import top_ngrams
+
+    return top_ngrams(_docs(spark, sf_dir), n=2, k=100)

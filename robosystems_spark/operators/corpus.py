@@ -243,3 +243,25 @@ def pack_sequences(
         return pdf
 
     return base.groupBy(group_col).applyInPandas(_pack, schema)
+
+
+def top_ngrams(
+    df: DataFrame,
+    n: int = 2,
+    k: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide top-``k`` ``n``-grams by occurrence count — the
+    vocabulary/merge-table precursor of tokenizer training.
+
+    explode -> count (map-side partial agg does the heavy lifting:
+    only distinct grams shuffle) -> global top-k with a deterministic
+    (count desc, gram asc) total order, which Spark executes as
+    TakeOrderedAndProject — no full sort of the vocabulary.
+    """
+    grams = (
+        df.select(tokens(text_col).alias("_toks"))
+        .select(F.explode(shingles_of("_toks", n)).alias("gram"))
+    )
+    counted = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    return counted.orderBy(F.desc("n_occurrences"), F.asc("gram")).limit(k)

@@ -130,3 +130,16 @@ def test_quantization_error_profile_bounds(spark, sf_dir):
     worst = out.agg(F.max("max_abs_err")).collect()[0][0]
     assert worst <= half_step + 5e-7  # reported errors are rounded to 6dp
     assert out.filter("n_dims <> 64").count() == 0
+
+
+def test_top_ngrams_plan_is_take_ordered(spark, sf_dir):
+    from robosystems_spark.io import read_table
+    from robosystems_spark.operators.corpus import top_ngrams
+
+    df = top_ngrams(read_table(spark, sf_dir, "documents"), n=2, k=50)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # top-k never globally sorts
+    rows = df.collect()
+    assert len(rows) == 50
+    counts = [r["n_occurrences"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
