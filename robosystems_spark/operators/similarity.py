@@ -244,7 +244,11 @@ def quantization_error_profile(
     j = vals.crossJoin(F.broadcast(stats))
     scale = (F.col("_mx") - F.col("_mn")) / levels
     code = F.round((F.col("_x") - F.col("_mn")) / scale)
-    err = F.abs(F.col("_x") - (F.col("_mn") + code * scale))
+    # degenerate corpus (all elements equal): scale = 0 would make the
+    # error 0/0 = NaN; the true reconstruction error is exactly 0
+    err = F.when(F.col("_mx") == F.col("_mn"), F.lit(0.0)).otherwise(
+        F.abs(F.col("_x") - (F.col("_mn") + code * scale))
+    )
     return (
         j.select(id_col, err.alias("_err"))
         .groupBy(id_col)

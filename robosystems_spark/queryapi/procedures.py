@@ -97,6 +97,21 @@ def _dispatch(spark: SparkSession, proc: str, arg: str, store=None) -> DataFrame
         return spark.createDataFrame(
             [(arg, store.version(arg))], "table string, version bigint"
         )
+    if proc == "table_at_version":
+        # time travel: CALL table_at_version('T', 3) returns table T's
+        # rows exactly as committed at version 3 (snapshot manifest
+        # pinned from the commit log; raises if vacuumed away)
+        if store is None:
+            raise ProcedureError("table_at_version requires a graph store")
+        parts = [p.strip().strip("'\"") for p in arg.split(",")] if arg else []
+        if len(parts) != 2 or not parts[1].lstrip("-").isdigit():
+            raise ProcedureError(
+                "table_at_version requires (table_name, version) arguments"
+            )
+        try:
+            return store.read(parts[0], version=int(parts[1]))
+        except ValueError as exc:
+            raise ProcedureError(str(exc)) from exc
     if proc == "table_history":
         if store is None:
             raise ProcedureError("table_history requires a graph store")

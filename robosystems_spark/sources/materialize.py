@@ -19,12 +19,20 @@ installable here): every PK-bearing table is hive-partitioned by
 ``rs_bucket = pmod(xxhash64(pk), n_buckets)``.  A point upsert/
 update/delete then rewrites ONLY the bucket partitions that contain
 affected rows (1/n_buckets of the table for a 1-row write) instead of
-all 100 TB, and partition promotion uses a rename-aside protocol (live
-dir moved to a Spark-invisible ``.trash`` before the new dir is
-promoted) so a crash never leaves the table lost — worst case the
-affected bucket sits in ``.trash`` for manual recovery.  On a real
-deployment each table is a Delta/Iceberg table and these become
-``MERGE``/``UPDATE``/``DELETE`` with the same pruning.
+all 100 TB.
+
+Isolation — data files are IMMUTABLE and each commit record carries a
+file MANIFEST (the complete file set of that version), so reads are
+SNAPSHOT-ISOLATED: ``read()`` pins the latest committed manifest at
+plan time and is immune to concurrent writers; ``read(table,
+version=N)`` time-travels within the retention window.  Writers only
+add files (scratch dir → rename into place → publish via the commit's
+O_EXCL CAS); superseded files are removed solely by ``vacuum``.  This
+is the same manifest-pinning contract Delta/Iceberg provide, and the
+MVCC the reference gets from its embedded engines
+(/root/reference/robosystems/graph_api/core/ladybug/engine.py:82-159).
+On a real deployment each table is a Delta/Iceberg table and these
+become ``MERGE``/``UPDATE``/``DELETE`` with the same pruning.
 """
 
 from __future__ import annotations
@@ -55,15 +63,16 @@ class _TableLock:
       every ``stale_s/4``), so a long mutation never looks stale —
       only a genuinely dead writer's lock ages past ``stale_s``;
     - a stale lock is broken by RENAMING it aside to a unique name
-      (never unlink): of two racing breakers exactly one rename
-      succeeds, and a fresh lock re-created after a break can never be
-      destroyed by the loser's stale decision;
+      (never unlink) and VERIFYING by inode that the renamed file is
+      the lock that was observed stale: of two racing breakers exactly
+      one wins, and a loser that accidentally grabs a freshly
+      re-created lock restores it and retries instead of destroying it;
     - each lock file carries a random owner token; ``release`` unlinks
       only if the token still matches, so a broken-and-superseded
       holder cannot delete its successor's lock.  (The commit log's
       O_EXCL CAS remains the final arbiter if exclusion is ever
-      violated.)  A crashed writer's in-flight rewrite is recoverable
-      from ``.trash`` (see ``_swap_dir``)."""
+      violated.)  A crashed writer leaves only uncommitted — hence
+      reader-invisible — files, which ``vacuum`` collects."""
 
     def __init__(self, path: str, timeout_s: float = 120.0, stale_s: float = 300.0):
         self.path = path
@@ -113,17 +122,39 @@ class _TableLock:
                 return
             except FileExistsError:
                 try:
-                    age = time.time() - os.stat(self.path).st_mtime
+                    st = os.stat(self.path)
+                    age = time.time() - st.st_mtime
                     if age > self.stale_s:
-                        # dead writer (no heartbeat for stale_s): break
-                        # by rename-aside — atomic, single-winner, and
-                        # incapable of destroying a re-created lock
+                        # Dead writer (no heartbeat for stale_s): break by
+                        # rename-aside.  The rename is atomic but not
+                        # TARGETED — between our stat and our rename another
+                        # breaker may have already broken the stale lock and
+                        # a fresh writer re-created the file, so we must
+                        # verify (by inode) that what we renamed aside is the
+                        # lock we observed as stale; if it is not, restore it
+                        # (link fails if yet another lock appeared) and treat
+                        # our break as lost.
+                        stale_ino = st.st_ino
                         aside = f"{self.path}.stale.{os.getpid()}.{time.monotonic_ns()}"
                         try:
                             os.rename(self.path, aside)
-                            os.unlink(aside)
                         except FileNotFoundError:
-                            pass  # another breaker won — just retry
+                            continue  # another breaker won — just retry
+                        try:
+                            renamed_ino = os.stat(aside).st_ino
+                        except FileNotFoundError:
+                            continue
+                        if renamed_ino != stale_ino:
+                            # we grabbed a FRESH lock created after another
+                            # breaker won: put it back and lose the break
+                            try:
+                                os.link(aside, self.path)
+                            except (FileExistsError, OSError):
+                                pass  # a newer lock already exists
+                            os.unlink(aside)
+                            time.sleep(0.05)
+                            continue
+                        os.unlink(aside)
                         continue
                 except FileNotFoundError:
                     continue  # released between open and stat — retry now
@@ -170,23 +201,6 @@ def _bucket_expr(keys: list[str], n_buckets: int) -> Column:
     return F.pmod(F.xxhash64(key_str), F.lit(n_buckets)).cast("int")
 
 
-def _swap_dir(live: str, tmp: str, trash_root: str) -> None:
-    """Promote ``tmp`` over ``live`` without an unrecoverable window:
-    live is renamed aside into ``trash_root`` first, then tmp is
-    promoted, then the trash entry is dropped.  A crash mid-way leaves
-    the previous data recoverable in trash instead of rmtree'd."""
-    os.makedirs(trash_root, exist_ok=True)
-    aside = os.path.join(trash_root, os.path.basename(live))
-    if os.path.exists(aside):
-        shutil.rmtree(aside)
-    if os.path.exists(live):
-        os.rename(live, aside)
-    if os.path.exists(tmp):
-        os.rename(tmp, live)
-    if os.path.exists(aside):
-        shutil.rmtree(aside)
-
-
 class GraphStore:
     """A graph database: one parquet table dir per node/rel table,
     PK-hash-bucket partitioned so point mutations are partition-pruned."""
@@ -206,6 +220,9 @@ class GraphStore:
         self.n_buckets = n_buckets
         self.lock_timeout_s = lock_timeout_s
         self.lock_stale_s = lock_stale_s
+        # post-mutation file sets awaiting their _commit (keyed by
+        # table; guarded by the per-table write lock)
+        self._staged_manifests: dict[str, list[str]] = {}
         os.makedirs(self.graph_path, exist_ok=True)
 
     @property
@@ -250,11 +267,21 @@ class GraphStore:
     # versioned commit record.  This closes the concurrent-writer gap of
     # the bucket-partitioned layout: without it, two simultaneous
     # upserts could interleave their read-compute-swap cycles and lose
-    # one writer's rows.  What real Delta adds beyond this is
-    # manifest-pinned SNAPSHOT READS; here readers are read-committed
-    # (they see each bucket swap as it lands) — documented in SCALE.md.
-    # The log lives OUTSIDE the table dir (which rewrites swap out
-    # wholesale) under ``<graph>/.txn/<table>/``.
+    # one writer's rows.
+    #
+    # SNAPSHOT ISOLATION: each data-mutating commit carries a FILE
+    # MANIFEST — the complete list of parquet files that make up the
+    # table at that version.  Data files are immutable: writers only
+    # ADD files (landed in a scratch dir, renamed into place, then
+    # published by the commit), never modify or delete live ones, so a
+    # reader that pins a manifest sees exactly that version for the
+    # lifetime of its DataFrame — never a torn mid-rewrite state — the
+    # same contract Delta/Iceberg get from manifest-pinned reads.
+    # Superseded files are physically removed only by ``vacuum`` (auto
+    # at checkpoint time), which retains the files of the last
+    # CHECKPOINT_KEEP_LAST versions for time travel
+    # (``read(table, version=N)`` / CALL table_version).
+    # The log lives OUTSIDE the table dir under ``<graph>/.txn/<table>/``.
 
     def _txn_dir(self, table: str) -> str:
         return os.path.join(self.graph_path, ".txn", table)
@@ -321,9 +348,16 @@ class GraphStore:
 
     def checkpoint_history(self, table: str, keep_last: int | None = None) -> int:
         """Fold commit records older than the newest ``keep_last`` into
-        the checkpoint file and remove their per-commit files.  Runs
-        under the caller's write lock (``_commit`` auto-invokes it) or
-        standalone via its own lock.  Returns records folded."""
+        the checkpoint file and remove their per-commit files.  The
+        standalone entry point acquires the table's write lock itself
+        (``_commit`` invokes the unlocked variant while already holding
+        it).  Returns records folded."""
+        with self._write_lock(table):
+            return self._checkpoint_history_unlocked(table, keep_last)
+
+    def _checkpoint_history_unlocked(
+        self, table: str, keep_last: int | None = None
+    ) -> int:
         keep = self.CHECKPOINT_KEEP_LAST if keep_last is None else keep_last
         cut = self.version(table) - keep
         ckpt = self._load_ckpt(table)
@@ -367,7 +401,11 @@ class GraphStore:
         same CAS Delta performs on its log; under the writer lock the
         create cannot legitimately collide, so a collision means lock
         discipline was violated (e.g. a stale-lock takeover raced a
-        live writer) and the mutation must not be recorded as won."""
+        live writer) and the mutation must not be recorded as won.
+
+        If the mutation staged a file manifest (every data-changing op
+        does), it is published atomically WITH the record — the commit
+        IS the visibility point for the new files."""
         os.makedirs(self._txn_dir(table), exist_ok=True)
         v = self.version(table) + 1
         record = {
@@ -378,6 +416,9 @@ class GraphStore:
             "pid": os.getpid(),
             "detail": detail or {},
         }
+        staged = self._staged_manifests.pop(table, None)
+        if staged is not None:
+            record["files"] = staged
         path = os.path.join(self._txn_dir(table), f"v{v:08d}.json")
         try:
             fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -388,8 +429,207 @@ class GraphStore:
         with os.fdopen(fd, "w") as fh:
             json.dump(record, fh)
         if v % self.AUTO_CHECKPOINT_EVERY == 0:
-            self.checkpoint_history(table)
+            self._checkpoint_history_unlocked(table)
+            self._vacuum_unlocked(table)
         return v
+
+    # -- file manifests (snapshot layer) ------------------------------------
+
+    def _stage_manifest(self, table: str, files: list[str]) -> None:
+        """Record the table's post-mutation file set for the next
+        ``_commit`` on this table (caller holds the write lock)."""
+        self._staged_manifests[table] = sorted(files)
+
+    def _record_at(self, table: str, version: int) -> dict | None:
+        """The commit record for ``version`` (per-commit file or the
+        checkpoint's folded copy), or None if discarded by retention."""
+        try:
+            with open(
+                os.path.join(self._txn_dir(table), f"v{version:08d}.json")
+            ) as fh:
+                return json.load(fh)
+        except (OSError, ValueError):
+            pass
+        for rec in reversed(self._load_ckpt(table)["records"]):
+            if rec.get("v") == version:
+                return rec
+        return None
+
+    def _manifest_at(
+        self, table: str, version: int | None = None
+    ) -> list[str] | None:
+        """The file manifest pinned at ``version`` (default: latest
+        committed).  Returns None when the table predates manifests
+        (legacy dir-listing layout).  Raises for a version that cannot
+        be reconstructed (unknown, pre-manifest, or vacuumed away)."""
+        latest = self.version(table)
+        if version is not None and (version < 1 or version > latest):
+            raise ValueError(
+                f"table {table!r} has no version {version} (latest: {latest})"
+            )
+        if version is not None and version < self._vacuum_floor(table):
+            raise ValueError(
+                f"version {version} of table {table!r} was retired by vacuum "
+                f"(oldest retained: {self._vacuum_floor(table)})"
+            )
+        v = latest if version is None else version
+        while v > 0:
+            rec = self._record_at(table, v)
+            if rec is None:
+                if version is not None:
+                    raise ValueError(
+                        f"version {version} of table {table!r} is no longer "
+                        "retained (discarded by log retention)"
+                    )
+                return None
+            if "files" in rec:
+                return rec["files"]
+            # pre-manifest records never carry files; post-manifest ones
+            # always do, so walking back can only terminate at legacy
+            v -= 1
+        if version is not None:
+            raise ValueError(
+                f"version {version} of table {table!r} predates snapshot "
+                "manifests — cannot time-travel to it"
+            )
+        return None
+
+    def _current_manifest(self, table: str) -> list[str]:
+        """Latest manifest for a mutation to build on; a legacy table
+        (no manifest yet) is adopted by snapshotting its current
+        physical files — the migration point to the snapshot layer."""
+        m = self._manifest_at(table)
+        return self._data_files(table) if m is None else list(m)
+
+    def _data_files(self, table: str) -> list[str]:
+        """Relative paths of every parquet data file physically under
+        the table dir — the legacy/dir-listing view, which after
+        mutations may include superseded files awaiting vacuum."""
+        root = self.table_path(table)
+        out: list[str] = []
+        for dirpath, dirnames, filenames in os.walk(root):
+            dirnames[:] = [d for d in dirnames if not d.startswith((".", "_"))]
+            rel = os.path.relpath(dirpath, root)
+            for fn in filenames:
+                if fn.endswith(".parquet") and not fn.startswith((".", "_")):
+                    out.append(fn if rel == "." else os.path.join(rel, fn))
+        return sorted(out)
+
+    def _write_files(
+        self,
+        table: str,
+        df: DataFrame,
+        partition_by: str | None = None,
+        _retry: bool = True,
+    ) -> list[str]:
+        """Write ``df`` as immutable parquet files INTO the live table
+        dir without replacing anything: the Spark job lands in a unique
+        scratch dir, then each data file is renamed into place (same
+        filesystem — atomic, no copy).  Spark part-file names embed a
+        per-job UUID so they never collide with existing files.  The
+        new files are invisible to readers until published in a commit
+        manifest; a crash before commit leaves only unreferenced files
+        for ``vacuum`` to collect.  Returns the new relative paths."""
+        import uuid
+
+        live = self.table_path(table)
+        os.makedirs(live, exist_ok=True)
+        scratch = os.path.join(self._tmp_root, f"{table}-{uuid.uuid4().hex}")
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(partition_by)
+        writer.parquet(scratch)
+        moved: list[str] = []
+        for dirpath, dirnames, filenames in os.walk(scratch):
+            dirnames[:] = [d for d in dirnames if not d.startswith((".", "_"))]
+            rel = os.path.relpath(dirpath, scratch)
+            for fn in filenames:
+                if not fn.endswith(".parquet") or fn.startswith((".", "_")):
+                    continue
+                dest_dir = live if rel == "." else os.path.join(live, rel)
+                os.makedirs(dest_dir, exist_ok=True)
+                os.rename(os.path.join(dirpath, fn), os.path.join(dest_dir, fn))
+                moved.append(fn if rel == "." else os.path.join(rel, fn))
+        shutil.rmtree(scratch, ignore_errors=True)
+        try:
+            os.rmdir(self._tmp_root)  # drop the shared root once empty
+        except OSError:
+            pass
+        if not moved:
+            if partition_by:
+                # an empty partitioned write legitimately lands no files
+                # (a flat fallback file would smuggle the partition
+                # column in as a data column and poison the manifest) —
+                # callers decide what an empty bucket set means
+                return []
+            # a zero-partition empty frame may produce no files; force
+            # one schema-bearing file so the manifest is never blind
+            if not _retry:
+                raise RuntimeError(f"empty write produced no files for {table!r}")
+            return self._write_files(
+                table, df.repartition(1), partition_by=None, _retry=False
+            )
+        return sorted(moved)
+
+    def _vacuum_floor(self, table: str) -> int:
+        """Oldest version whose files are guaranteed present (advanced
+        by each vacuum; versions below it cannot be time-traveled)."""
+        try:
+            with open(os.path.join(self._txn_dir(table), "vacuum.json")) as fh:
+                return int(json.load(fh).get("min_v", 1))
+        except (OSError, ValueError):
+            return 1
+
+    def vacuum(self, table: str, keep_last: int | None = None) -> int:
+        """Physically delete data files referenced by NO retained
+        manifest (the last ``keep_last`` versions are retained — the
+        time-travel window) plus any crashed writer's scratch dirs.
+        Safe for readers pinned to retained versions: their files are
+        untouched.  Returns files removed."""
+        with self._write_lock(table):
+            return self._vacuum_unlocked(table, keep_last)
+
+    def _vacuum_unlocked(self, table: str, keep_last: int | None = None) -> int:
+        keep = self.CHECKPOINT_KEEP_LAST if keep_last is None else keep_last
+        root = self.table_path(table)
+        # crashed-writer scratch: under the write lock nothing for this
+        # table is legitimately in flight
+        if os.path.isdir(self._tmp_root):
+            for d in os.listdir(self._tmp_root):
+                if d == table or d.startswith(f"{table}-"):
+                    shutil.rmtree(os.path.join(self._tmp_root, d), ignore_errors=True)
+        if not os.path.isdir(root):
+            return 0
+        latest = self.version(table)
+        referenced: set[str] = set()
+        saw_manifest = False
+        for v in range(max(latest - keep + 1, 1), latest + 1):
+            rec = self._record_at(table, v)
+            if rec and "files" in rec:
+                saw_manifest = True
+                referenced.update(rec["files"])
+        if not saw_manifest:
+            return 0  # legacy table: the dir listing IS the data
+        # advance the time-travel floor BEFORE deleting, so a crash
+        # mid-vacuum over-reports retirement rather than under-reports
+        floor = max(self._vacuum_floor(table), max(latest - keep + 1, 1))
+        tmp = os.path.join(self._txn_dir(table), "vacuum.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump({"min_v": floor, "ts": time.time()}, fh)
+        os.replace(tmp, os.path.join(self._txn_dir(table), "vacuum.json"))
+        removed = 0
+        for f in self._data_files(table):
+            if f not in referenced:
+                try:
+                    os.unlink(os.path.join(root, f))
+                    removed += 1
+                except FileNotFoundError:
+                    pass
+        for d in os.listdir(root):
+            p = os.path.join(root, d)
+            if d.startswith(f"{BUCKET_COL}=") and os.path.isdir(p) and not os.listdir(p):
+                os.rmdir(p)
+        return removed
 
     def _bucket_dirs(self, table: str) -> list[str]:
         path = self.table_path(table)
@@ -400,13 +640,35 @@ class GraphStore:
         )
 
     def _is_bucketed(self, table: str) -> bool:
-        return bool(self._bucket_dirs(table))
+        m = self._manifest_at(table)
+        if m is None:
+            return bool(self._bucket_dirs(table))
+        return any(f.startswith(f"{BUCKET_COL}=") for f in m)
 
-    def _read_raw(self, table: str) -> DataFrame:
-        return self.spark.read.parquet(self.table_path(table))
+    def _read_raw(self, table: str, version: int | None = None) -> DataFrame:
+        path = self.table_path(table)
+        manifest = self._manifest_at(table, version)
+        if manifest is None:
+            return self.spark.read.parquet(path)
+        if not manifest:
+            raise ValueError(
+                f"table {table!r} has no data files at version "
+                f"{version if version is not None else self.version(table)}"
+            )
+        # explicit file list pinned to the manifest: the snapshot read.
+        # basePath keeps partition-column (rs_bucket) discovery intact.
+        return self.spark.read.option("basePath", path).parquet(
+            *[os.path.join(path, f) for f in manifest]
+        )
 
-    def read(self, table: str) -> DataFrame:
-        df = self._read_raw(table)
+    def read(self, table: str, version: int | None = None) -> DataFrame:
+        """Snapshot read: pins the file manifest of the latest committed
+        version (or ``version`` for time travel) at plan time, so the
+        returned DataFrame is immune to concurrent mutations — it reads
+        exactly that version's immutable files for its whole lifetime
+        (until ``vacuum`` retires versions older than the retention
+        window)."""
+        df = self._read_raw(table, version)
         return df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df
 
     def create_table(
@@ -422,8 +684,9 @@ class GraphStore:
                 raise ValueError(f"Table {table!r} already exists")
             keys = [k for k in (primary_keys or []) if k in schema.fieldNames()]
             empty = self.spark.createDataFrame([], schema)
-            empty.write.mode("overwrite").parquet(self.table_path(table))
+            files = self._write_files(table, empty)
             self._save_meta(table, {"bucket_keys": keys, "n_buckets": self.n_buckets})
+            self._stage_manifest(table, files)
             self._commit(table, "create_table", {"keys": keys})
 
     def drop_table(self, table: str) -> None:
@@ -437,6 +700,7 @@ class GraphStore:
             os.makedirs(self._trash_root, exist_ok=True)
             os.rename(self.table_path(table), self._trash_for(table))
             self._clean_scratch(table)
+            self._stage_manifest(table, [])
             self._commit(table, "drop_table")
 
     # -- load paths ---------------------------------------------------------
@@ -517,20 +781,23 @@ class GraphStore:
 
         df = df.cache()
         n = df.count()
-        writer = df
-        mode = "overwrite" if replace_empty else "append"
+        old = (
+            []
+            if is_new or replace_empty
+            else self._current_manifest(table)
+        )
         if keys:
             writer = df.withColumn(
                 BUCKET_COL, _bucket_expr(keys, meta.get("n_buckets", self.n_buckets))
             )
-            writer.write.mode(mode).partitionBy(BUCKET_COL).parquet(
-                self.table_path(table)
-            )
+            new_files = self._write_files(table, writer, partition_by=BUCKET_COL)
         else:
-            writer.write.mode(mode).parquet(self.table_path(table))
-        if replace_empty:
-            # overwrite cleared the table dir, .meta.json included
-            self._save_meta(table, meta)
+            new_files = self._write_files(table, df)
+        manifest = old + new_files
+        if not manifest:
+            # empty load into an empty bucketed table: keep it readable
+            manifest = self._write_files(table, df.limit(0))
+        self._stage_manifest(table, manifest)
         df.unpersist()
         return n
 
@@ -730,48 +997,34 @@ class GraphStore:
                     pass
 
     def _rewrite(self, table: str, df: DataFrame) -> None:
-        """Atomic full-table rewrite: write to a hidden tmp dir, move
-        live aside to trash, promote, drop trash."""
-        self._clean_scratch(table)
-        meta = self._load_meta(table)
-        tmp = self._tmp_for(table)
-        df.write.mode("overwrite").parquet(tmp)
-        _swap_dir(self.table_path(table), tmp, self._trash_for(table))
-        # Meta is immutable PK config; the physical layout (now
-        # unpartitioned) is derived via _is_bucketed, and restore can
-        # re-bucket from the retained keys.
-        if meta:
-            self._save_meta(table, meta)
-        self._clean_scratch(table)
+        """Full-table rewrite, snapshot-style: the new files land first
+        (``df``'s lazy plan keeps reading the still-present old files
+        while the job runs), then the staged manifest swings the table
+        to exactly the new file set.  Old files stay on disk for pinned
+        readers / time travel until ``vacuum``."""
+        new_files = self._write_files(table, df)
+        self._stage_manifest(table, new_files)
 
     def _rewrite_buckets(
         self, table: str, df: DataFrame, buckets: list[int]
     ) -> None:
         """Rewrite ONLY the named bucket partitions from ``df`` (which
         must contain exactly those buckets' surviving rows, with the
-        bucket column).  Each partition dir is promoted via the
-        rename-aside protocol; a bucket absent from ``df`` (fully
-        deleted) has its live dir removed."""
-        self._clean_scratch(table)
-        live = self.table_path(table)
-        tmp = self._tmp_for(table)
-        df.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp)
-        for b in buckets:
-            part = f"{BUCKET_COL}={b}"
-            _swap_dir(
-                os.path.join(live, part), os.path.join(tmp, part), self._trash_for(table)
-            )
-        if not self._bucket_dirs(table):
-            # Every partition was deleted: leave a readable empty table
-            # (schema-only parquet) rather than a bare dir Spark can't read.
-            meta = self._load_meta(table)
+        bucket column).  The staged manifest keeps every untouched
+        bucket's files and replaces the named buckets' files with the
+        new ones; a bucket absent from ``df`` (fully deleted) simply
+        contributes no files.  Physical deletion is vacuum's job."""
+        old = self._current_manifest(table)
+        new_files = self._write_files(table, df, partition_by=BUCKET_COL)
+        replaced = {f"{BUCKET_COL}={b}" for b in buckets}
+        kept = [f for f in old if f.split(os.sep, 1)[0] not in replaced]
+        manifest = kept + new_files
+        if not any(f.startswith(f"{BUCKET_COL}=") for f in manifest):
+            # every partition was deleted: keep the table readable via a
+            # schema-only file instead of an empty manifest
             empty = self.spark.createDataFrame([], df.drop(BUCKET_COL).schema)
-            tmp2 = self._tmp_for(table) + "__empty"
-            empty.write.mode("overwrite").parquet(tmp2)
-            _swap_dir(live, tmp2, self._trash_for(table))
-            if meta:
-                self._save_meta(table, meta)
-        self._clean_scratch(table)
+            manifest = self._write_files(table, empty)
+        self._stage_manifest(table, manifest)
 
     # -- orchestration ------------------------------------------------------
 
@@ -796,8 +1049,13 @@ class GraphStore:
     def fork(self, target_graph_id: str, tables: list[str] | None = None) -> "GraphStore":
         """Cross-database fork: copy tables parent → subgraph
         (materialize.py:241-487), nodes-first ordering preserved by
-        the caller's table list.  File-level copy preserves the bucket
-        layout and metadata (an object store would server-side copy)."""
+        the caller's table list.  Copies exactly the SOURCE's latest
+        committed manifest under the source table's write lock — a
+        consistent snapshot that can't race a concurrent bucket swap
+        or vacuum on the parent (an object store would server-side
+        copy the same file list)."""
+        if target_graph_id == self.graph_id:
+            raise ValueError("fork target must differ from the source graph")
         child = GraphStore(
             self.spark,
             self.root,
@@ -807,11 +1065,23 @@ class GraphStore:
             lock_stale_s=self.lock_stale_s,
         )
         for t in tables or self.tables():
-            with child._write_lock(t):
+            with self._write_lock(t), child._write_lock(t):
+                src_root = self.table_path(t)
+                manifest = self._manifest_at(t)
+                if manifest is None:
+                    manifest = self._data_files(t)
                 dest = child.table_path(t)
                 if os.path.exists(dest):
                     shutil.rmtree(dest)
-                shutil.copytree(self.table_path(t), dest)
+                for f in manifest:
+                    dst = os.path.join(dest, f)
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    shutil.copy2(os.path.join(src_root, f), dst)
+                src_meta = self._meta_path(t)
+                if os.path.exists(src_meta):
+                    os.makedirs(dest, exist_ok=True)
+                    shutil.copy2(src_meta, child._meta_path(t))
+                child._stage_manifest(t, manifest)
                 child._commit(t, "fork", {"from": self.graph_id})
         return child
 
@@ -832,14 +1102,14 @@ class GraphStore:
                 keys = [k for k in meta.get("bucket_keys", []) if k in df.columns]
                 if keys:
                     n_buckets = meta.get("n_buckets", self.n_buckets)
-                    self._clean_scratch(t)
-                    tmp = self._tmp_for(t)
-                    df.withColumn(BUCKET_COL, _bucket_expr(keys, n_buckets)).write.mode(
-                        "overwrite"
-                    ).partitionBy(BUCKET_COL).parquet(tmp)
-                    _swap_dir(self.table_path(t), tmp, self._trash_for(t))
+                    bucketed = df.withColumn(
+                        BUCKET_COL, _bucket_expr(keys, n_buckets)
+                    )
+                    files = self._write_files(t, bucketed, partition_by=BUCKET_COL)
+                    if not files:  # empty backup of a bucketed table
+                        files = self._write_files(t, df.limit(0))
                     self._save_meta(t, meta)
-                    self._clean_scratch(t)
+                    self._stage_manifest(t, files)
                 else:
                     self._rewrite(t, df)
                 self._commit(t, "restore", {"from": backup_dir})

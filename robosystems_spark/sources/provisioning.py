@@ -41,11 +41,13 @@ def generate_graph_id(
 ) -> str:
     """Time-ordered graph id: ``kg`` + 12 hex chars of the millisecond
     timestamp (lexicographically time-sortable, the ULID property the
-    reference wants for B-tree locality) + 2 hex chars of randomness +
-    4 hex chars of sha256(entity_name) for traceability — 18 hex chars
-    after the prefix, satisfying ``^kg[a-f0-9]{16,}$``."""
+    reference wants for B-tree locality) + 10 hex chars (40 bits) of
+    randomness + 4 hex chars of sha256(entity_name) for traceability —
+    26 hex chars after the prefix, satisfying ``^kg[a-f0-9]{16,}$``.
+    40 bits of entropy per millisecond keeps same-name same-ms
+    collisions out of reach (the reference's ULID carries 80)."""
     ms = int(time.time() * 1000) if now_ms is None else now_ms
-    rand = secrets.token_hex(1) if entropy is None else entropy
+    rand = secrets.token_hex(5) if entropy is None else entropy
     name_hash = hashlib.sha256(entity_name.encode()).hexdigest()[:4]
     return f"kg{ms:012x}{rand}{name_hash}"
 
@@ -110,8 +112,12 @@ class EntityGraphProvisioner:
         # Refuse to provision onto an existing graph: proceeding would
         # append a duplicate Entity row on success and — worse — the
         # failure cleanup would rmtree data this call never created.
-        if os.path.exists(os.path.join(self.root, gid)):
-            raise ValueError(f"graph {gid!r} already exists")
+        # The claim is the atomic exclusive mkdir itself (no
+        # exists-then-create window for a racing provisioner).
+        try:
+            os.makedirs(os.path.join(self.root, gid), exist_ok=False)
+        except FileExistsError:
+            raise ValueError(f"graph {gid!r} already exists") from None
         store = GraphStore(self.spark, self.root, gid)
         try:
             schema = load_schema(extensions)

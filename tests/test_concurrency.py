@@ -184,7 +184,7 @@ def test_history_checkpoint_folds_and_preserves(spark, store):
     assert store.version("T") == 10
     assert store.history("T") == before
     # only the tail keeps per-commit files
-    files = [n for n in os.listdir(store._txn_dir("T")) if n.startswith("v")]
+    files = [n for n in os.listdir(store._txn_dir("T")) if n.startswith("v") and n.endswith(".json") and n[1:-5].isdigit()]
     assert len(files) == 3
     # further commits append past the checkpoint seamlessly
     store.upsert("T", _row_df(spark, 99, "tail"), primary_keys=["identifier"])
@@ -200,7 +200,7 @@ def test_auto_checkpoint_triggers(spark, store, monkeypatch):
     monkeypatch.setattr(GraphStore, "CHECKPOINT_KEEP_LAST", 2)
     for i in range(4):
         store.upsert("T", _row_df(spark, i, f"n{i}"), primary_keys=["identifier"])
-    files = [n for n in os.listdir(store._txn_dir("T")) if n.startswith("v")]
+    files = [n for n in os.listdir(store._txn_dir("T")) if n.startswith("v") and n.endswith(".json") and n[1:-5].isdigit()]
     assert len(files) == 2  # v4 commit folded v1..v2
     assert store.version("T") == 4 and len(store.history("T")) == 4
 

@@ -16,19 +16,19 @@ from robosystems_spark.sources.provisioning import (
 
 
 def test_graph_id_grammar_and_time_order():
-    a = generate_graph_id("Acme Corp", now_ms=1_000_000, entropy="ab")
-    b = generate_graph_id("Acme Corp", now_ms=2_000_000, entropy="ab")
-    assert re.fullmatch(r"kg[a-f0-9]{18}", a)
+    a = generate_graph_id("Acme Corp", now_ms=1_000_000, entropy="abcdef0123")
+    b = generate_graph_id("Acme Corp", now_ms=2_000_000, entropy="abcdef0123")
+    assert re.fullmatch(r"kg[a-f0-9]{26}", a)
     assert a < b  # millisecond prefix makes ids lexicographically time-ordered
     # deterministic with pinned inputs; name entropy differs by name
-    assert a == generate_graph_id("Acme Corp", now_ms=1_000_000, entropy="ab")
-    assert a[-4:] != generate_graph_id("Other Inc", now_ms=1_000_000, entropy="ab")[-4:]
+    assert a == generate_graph_id("Acme Corp", now_ms=1_000_000, entropy="abcdef0123")
+    assert a[-4:] != generate_graph_id("Other Inc", now_ms=1_000_000, entropy="abcdef0123")[-4:]
 
 
 def test_provision_base_schema(spark, tmp_path):
     prov = EntityGraphProvisioner(spark, str(tmp_path))
     info = prov.provision({"name": "Acme Corp", "cik": "0000123456"})
-    assert re.fullmatch(r"kg[a-f0-9]{18}", info["graph_id"])
+    assert re.fullmatch(r"kg[a-f0-9]{26}", info["graph_id"])
     assert info["tables_created"] > 0 and not info["is_subgraph"]
 
     from robosystems_spark.sources.materialize import GraphStore
