@@ -954,6 +954,49 @@ class GraphStore:
         df.unpersist()
         return before - kept_count
 
+    def delete_where_in(
+        self, table: str, key_cols: list[str], ids: DataFrame
+    ) -> int:
+        """DELETE rows whose ``key_cols`` tuple appears in ``ids`` (a
+        DataFrame with those columns) — the distributed form of
+        ``WHERE key IN (...)``.  The id set stays a DataFrame end to
+        end: matching buckets are found with a semi-join and survivors
+        with an anti-join, so a million-id delete never materializes
+        ids in driver memory or compiles a giant In-expression (only
+        the per-bucket hit counts — ≤ n_buckets rows — are collected).
+        Returns rows deleted."""
+        with self._write_lock(table):
+            n = self._delete_where_in_unlocked(table, key_cols, ids)
+            self._commit(table, "delete_where_in", {"rows": n, "keys": key_cols})
+            return n
+
+    def _delete_where_in_unlocked(
+        self, table: str, key_cols: list[str], ids: DataFrame
+    ) -> int:
+        raw = self._read_raw(table)
+        ids = ids.select(*key_cols).distinct()
+        if BUCKET_COL in raw.columns:
+            hits = (
+                raw.join(ids, key_cols, "left_semi")
+                .groupBy(BUCKET_COL)
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            buckets = [r[BUCKET_COL] for r in hits]
+            removed = sum(r["n"] for r in hits)
+            if not buckets:
+                return 0
+            kept = raw.filter(F.col(BUCKET_COL).isin(buckets)).join(
+                ids, key_cols, "left_anti"
+            )
+            self._rewrite_buckets(table, kept, buckets)
+            return removed
+        n = raw.join(ids, key_cols, "left_semi").count()
+        if n == 0:
+            return 0
+        self._rewrite(table, raw.join(ids, key_cols, "left_anti"))
+        return n
+
     # -- rewrite plumbing ---------------------------------------------------
 
     @property

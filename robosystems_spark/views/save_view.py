@@ -43,24 +43,30 @@ def report_exists(store: GraphStore, report_id: str) -> bool:
 def delete_report_data(store: GraphStore, report_id: str) -> dict[str, int]:
     """Delete a report's facts and their edges, keeping the Report
     node (delete_report_data, save_view.py:121-141): the two-phase
-    DETACH DELETE — edges first, then fact nodes."""
+    DETACH DELETE — edges first, then fact nodes.
+
+    The fact-id set stays a DataFrame the whole way (a SEC-scale
+    report runs to 10^5-10^6 facts): ``delete_where_in`` semi/anti-
+    joins it against each table, so nothing is collected to the driver
+    and no giant In-expression is compiled.  The snapshot read pins
+    REPORT_HAS_FACT's manifest up front, so the id set stays valid
+    while the edge rows themselves are deleted mid-sequence."""
     if not store.exists("REPORT_HAS_FACT"):
         return {"FACT_HAS_ELEMENT": 0, "REPORT_HAS_FACT": 0, "Fact": 0}
-    fact_ids = [
-        r["dst"]
-        for r in store.read("REPORT_HAS_FACT")
+    fact_ids = (
+        store.read("REPORT_HAS_FACT")
         .filter(F.col("src") == report_id)
-        .collect()
-    ]
+        .select("dst")
+    )
     removed = {}
-    removed["FACT_HAS_ELEMENT"] = store.delete_where(
-        "FACT_HAS_ELEMENT", F.col("src").isin(fact_ids) if fact_ids else F.lit(False)
+    removed["FACT_HAS_ELEMENT"] = store.delete_where_in(
+        "FACT_HAS_ELEMENT", ["src"], fact_ids.select(F.col("dst").alias("src"))
     )
     removed["REPORT_HAS_FACT"] = store.delete_where(
         "REPORT_HAS_FACT", F.col("src") == report_id
     )
-    removed["Fact"] = store.delete_where(
-        "Fact", F.col("identifier").isin(fact_ids) if fact_ids else F.lit(False)
+    removed["Fact"] = store.delete_where_in(
+        "Fact", ["identifier"], fact_ids.select(F.col("dst").alias("identifier"))
     )
     return removed
 

@@ -164,3 +164,21 @@ def test_pack_sequences_shuffles_only_narrow_projection(spark, sf_dir):
         m = re.search(rf"\(\d+\) {node}\s*\nInput \[\d+\]: \[([^\]]*)\]", plan)
         assert m, f"{node} node missing from plan"
         assert "text#" not in m.group(1), f"{node} still carries the text column"
+
+
+def test_views_never_collect_ids_into_filters():
+    """Driver-side id-set anti-pattern gate: a report's fact-id set
+    (10^5-10^6 rows at SEC scale) must flow into deletes as a
+    DataFrame semi/anti-join (delete_where_in), never be collected to
+    the driver and compiled into an In-expression."""
+    from pathlib import Path
+
+    views = Path(__file__).resolve().parent.parent / "robosystems_spark" / "views"
+    save_view = (views / "save_view.py").read_text()
+    assert ".collect(" not in save_view
+    assert "delete_where_in" in save_view
+    for p in sorted(views.glob("*.py")):
+        src = p.read_text()
+        # no file may feed a collected list into an isin() membership
+        # filter; literal-value isin (constant enums) is fine
+        assert not re.search(r"isin\((\w*_)?ids\b", src), p.name
