@@ -17,7 +17,6 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import StringType
 
 from robosystems_spark.operators.text import tokens
 
@@ -318,58 +317,129 @@ def simhash_near_duplicates(
     )
 
 
+def embedding_band_assignments(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_bands: int = 4,
+    planes_per_band: int = 6,
+    seed: int = 42,
+    bucket_cap: int = 1024,
+) -> DataFrame | None:
+    """(id, vec, _band, _sig, _sub) — each vector's banded hyperplane
+    signatures with the skew sub-split applied; the candidate-bucket
+    frame ``embedding_near_duplicates`` self-joins (exposed so tests
+    can assert bucket-size bounds mechanically).  None for an empty
+    corpus."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    rng = np.random.default_rng(seed)
+    first = df.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        return None
+    dim = first["d"]
+    planes = rng.standard_normal((num_bands * planes_per_band, dim))
+    weights = 1 << np.arange(planes_per_band, dtype=np.int64)
+
+    @pandas_udf(ArrayType(LongType()))
+    def _band_sigs(a: pd.Series) -> pd.Series:
+        A = np.array(a.tolist(), dtype=np.float64)
+        bits = (A @ planes.T) > 0  # (batch, bands*planes_per_band)
+        sigs = bits.reshape(len(A), num_bands, planes_per_band) @ weights
+        return pd.Series(list(sigs))
+
+    from pyspark.sql.window import Window
+
+    exploded = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.posexplode(_band_sigs(vec_col)).alias("_band", "_sig"),
+    )
+    # HARD cap via rank-based sub-split: members of an oversized
+    # (band, sig) bucket are ordered by a band-salted hash and cut into
+    # groups of exactly <= bucket_cap (a modulo split only bounds the
+    # EXPECTED group size; its tail exceeds the cap).  The band salt
+    # re-deals the grouping per band, so a pair cut apart in one band
+    # can still co-locate in another.  One shuffle: the window
+    # partition — the same key the bucket join needs anyway.
+    w = Window.partitionBy("_band", "_sig").orderBy(
+        F.xxhash64(F.col("_band"), F.col(id_col)), F.col(id_col)
+    )
+    return exploded.withColumn(
+        "_sub", F.floor((F.row_number().over(w) - F.lit(1)) / bucket_cap)
+    )
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
-    num_planes: int = 12,
+    num_bands: int = 4,
+    planes_per_band: int = 6,
     seed: int = 42,
+    bucket_cap: int = 1024,
 ) -> DataFrame:
-    """Embedding near-dup via random-hyperplane LSH + cosine verify.
+    """Embedding near-dup via BANDED random-hyperplane LSH + cosine
+    verify (OR-of-ANDs, like MinHash bands): each vector gets
+    ``num_bands`` independent sign signatures of ``planes_per_band``
+    hyperplanes, and a pair is a candidate if it collides in ANY band —
+    clustered corpora (the common near-dup case) that would pile into
+    one bucket of a single wide signature instead get ``num_bands``
+    independent chances at small buckets.
 
-    Sign-bucket on ``num_planes`` deterministic hyperplanes, then exact
-    cosine within buckets only.  At scale the bucket groupBy is the
-    only shuffle.  The signature is ONE Arrow-batched (batch, dim) @
-    (dim, planes) matmul per batch and the in-bucket verify a batched
-    dot product (``functions/vector.py``) — the interpreted
-    ``aggregate(zip_with(...))`` formulation was measured slower and
-    doesn't codegen.
+    Skew guard: a (band, signature) bucket larger than ``bucket_cap``
+    is rank-split (band-salted hash order) into groups of AT MOST
+    ``bucket_cap``, a hard bound on per-bucket self-join work (O(cap²))
+    even when every vector is near-identical; a pair cut apart in one
+    band can still co-locate in another (the salt re-deals per band),
+    and the transitive clustering consumer (operators/graph.py)
+    recovers clone sets from the surviving edges.  Same discipline as
+    the Jaccard block cap (inventory/llm.py), with a hard rather than
+    expected bound.
+
+    The signature is ONE Arrow-batched (batch, dim) @ (dim, planes)
+    matmul per batch; the verify a fused batched cosine
+    (``functions/vector.py``).  Shuffles: the bucket-size groupBy and
+    the banded self-join — both O(n·bands), never n².
     """
     from robosystems_spark.functions import vector as V
 
-    rng = np.random.default_rng(seed)
-    first = df.select(F.size(vec_col).alias("d")).first()
-    if first is None:
+    side = embedding_band_assignments(
+        df, vec_col, id_col, num_bands, planes_per_band, seed, bucket_cap
+    )
+    if side is None:
         return df.sparkSession.createDataFrame(
             [], "id_a long, id_b long, cosine double"
         )
-    dim = first["d"]
-    planes = rng.standard_normal((num_planes, dim))
-
-    @pandas_udf(StringType())
-    def _bucket(a: pd.Series) -> pd.Series:
-        A = np.array(a.tolist(), dtype=np.float64)
-        bits = (A @ planes.T) > 0  # (batch, planes)
-        return pd.Series(["".join("1" if x else "0" for x in row) for row in bits])
-
-    side = df.select(
-        F.col(id_col),
-        F.col(vec_col),
-        _bucket(vec_col).alias("_bucket"),
-    )
+    # localCheckpoint: the self-join would otherwise run the Arrow
+    # signature matmul for BOTH sides; checkpointed partitions are
+    # GC-reclaimed once the frame is unreferenced (unlike persist)
+    side = side.localCheckpoint(eager=True)
     a, b = side.alias("a"), side.alias("b")
-    return (
+    cands = (
         a.join(
             b,
-            (F.col("a._bucket") == F.col("b._bucket"))
+            (F.col("a._band") == F.col("b._band"))
+            & (F.col("a._sig") == F.col("b._sig"))
+            & (F.col("a._sub") == F.col("b._sub"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{vec_col}").alias("_va"),
+            F.col(f"b.{vec_col}").alias("_vb"),
+        )
+        # a pair can collide in several bands: dedup BEFORE the cosine
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cands.select(
+            "id_a",
+            "id_b",
             # fused cosine: one Arrow pass per candidate batch
-            V.cosine(f"a.{vec_col}", f"b.{vec_col}").alias("cosine"),
+            V.cosine("_va", "_vb").alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

@@ -44,6 +44,38 @@ def split_column(key_col: str | Column, fractions: dict[str, float], salt: int =
     return expr.otherwise(last) if expr is not None else F.lit(last)
 
 
+def _hex_threshold(cum_fraction: float, digits: int = 8) -> str:
+    """The ``digits``-char lowercase-hex string T such that a uniform
+    hex string h satisfies h < T with probability ``cum_fraction``."""
+    v = min(int(cum_fraction * (16**digits)), 16**digits - 1)
+    return format(v, f"0{digits}x")
+
+
+def split_column_md5(key_col: str | Column, fractions: dict[str, float]) -> Column:
+    """Engine-portable split label: the first 8 hex chars of
+    md5(key-as-string) are uniform in [0, 1) read as a hex fraction,
+    so labels are assigned by comparing against cumulative-fraction
+    hex thresholds (0.8 -> 'cccccccc', 0.9 -> 'e6666666').  Any engine
+    with md5 replays the identical assignment — this is the
+    oracle-checkable variant of ``split_column`` (xxhash64 is
+    Spark-specific; md5 is universal).  Same key → same split, forever.
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"Fractions must sum to 1.0, got {total}")
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    h = F.substring(F.md5(key.cast("string").cast("binary")), 1, 8)
+    expr = None
+    cumulative = 0.0
+    items = list(fractions.items())
+    for name, frac in items[:-1]:
+        cumulative += frac
+        cond = h < _hex_threshold(cumulative)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = items[-1][0]
+    return expr.otherwise(last) if expr is not None else F.lit(last)
+
+
 def hash_split(
     df: DataFrame, key_col: str, fractions: dict[str, float], salt: int = 42
 ) -> dict[str, DataFrame]:

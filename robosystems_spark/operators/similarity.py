@@ -124,16 +124,28 @@ def ivf_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: probe only the ``nprobe`` centroids
     nearest to each query, then exact cosine within those buckets.
 
-    At scale, write the assigned corpus partitioned by ``centroid_id``
-    so the probe is a partition-pruned read (1/num_centroids*nprobe of
-    the data per query batch).
+    Pass precomputed ``centroids`` (from ``train_centroids`` or
+    ``ivf_write_index``) so the query path measures SEARCH only —
+    training inline is supported for convenience but runs Lloyd
+    iterations (driver-coordinated aggregations) per call, which does
+    not belong in a hot query path.  At scale, write the assigned
+    corpus partitioned by ``centroid_id`` (``ivf_write_index`` /
+    ``ivf_topk_indexed``) so the probe is a partition-pruned read
+    (nprobe/num_centroids of the data per query batch).
     """
-    centroids = train_centroids(corpus, num_centroids, iters=3, vec_col=vec_col, id_col=id_col)
-    cvecs = [c for _, c in centroids]
+    if centroids is None:
+        centroids = [
+            c
+            for _, c in train_centroids(
+                corpus, num_centroids, iters=3, vec_col=vec_col, id_col=id_col
+            )
+        ]
+    cvecs = centroids
     assigned = assign_to_centroids(corpus, cvecs, vec_col, id_col)
 
     q_probe = (

@@ -69,10 +69,123 @@ def test_simhash_finds_identical_docs(spark, docs):
 
 def test_embedding_neardup_verifies_cosine(spark, sf_dir):
     emb = read_table(spark, sf_dir, "embeddings")
-    out = D.embedding_near_duplicates(emb, threshold=0.4, num_planes=4).collect()
+    out = D.embedding_near_duplicates(
+        emb, threshold=0.4, num_bands=4, planes_per_band=4
+    ).collect()
     for r in out:
         assert r["cosine"] >= 0.4
         assert r["id_a"] < r["id_b"]
+
+
+@pytest.fixture(scope="module")
+def emb_true_pairs(spark, sf_dir):
+    """Brute-force cosine >= 0.4 pairs (driver-side numpy, fine at 500
+    vectors) — ground truth for the LSH recall gates."""
+    import numpy as np
+
+    rows = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    ids = [r["vec_id"] for r in rows]
+    A = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    A = A / np.linalg.norm(A, axis=1, keepdims=True)
+    C = A @ A.T
+    out = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if C[i, j] >= 0.4:
+                out.add((min(ids[i], ids[j]), max(ids[i], ids[j])))
+    return out
+
+
+def test_embedding_neardup_recall_and_precision(spark, sf_dir, emb_true_pairs):
+    """The registry's banded-LSH parameters (8 bands x 3 planes) must
+    recover >= 90% of true cosine>=0.4 pairs (seeded hyperplanes ->
+    deterministic), and the cosine verify makes precision exact."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in D.embedding_near_duplicates(
+            emb, threshold=0.4, num_bands=8, planes_per_band=3
+        ).collect()
+    }
+    assert emb_true_pairs, "fixture should contain near-duplicate embeddings"
+    recall = len(found & emb_true_pairs) / len(emb_true_pairs)
+    assert recall >= 0.9, f"recall {recall:.3f} < 0.9"
+    assert found <= emb_true_pairs, f"false pairs: {sorted(found - emb_true_pairs)[:5]}"
+
+
+def test_simhash_recall_and_precision_vs_brute_force(spark, docs):
+    """The 4x16-bit chunk banding is EXACT for hamming <= 3 (pigeonhole:
+    3 bit flips leave at least one chunk untouched), so the operator
+    must return precisely the brute-force hamming<=3 pair set."""
+    hashes = {r["doc_id"]: r["simhash"] for r in D.simhash(docs).collect()}
+    truth = set()
+    items = sorted(hashes.items())
+    for i, (ia, ha) in enumerate(items):
+        for ib, hb in items[i + 1 :]:
+            if bin((ha ^ hb) & 0xFFFFFFFFFFFFFFFF).count("1") <= 3:
+                truth.add((ia, ib))
+    found = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.simhash_near_duplicates(docs, max_hamming=3).collect()
+    }
+    assert truth, "fixture should contain simhash near-dups"
+    assert found == truth, (
+        f"missed: {sorted(truth - found)[:5]}; false: {sorted(found - truth)[:5]}"
+    )
+
+
+def test_embedding_bucket_cap_bounds_skewed_corpus(spark):
+    """An adversarial corpus (every vector near-identical, the case
+    that collapses single-signature LSH into one quadratic bucket)
+    must keep every (band, sig, sub) group at or under the cap, while
+    the banded pipeline still completes and verifies true cosines."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal(16)
+    rows = [
+        (i, (base + 1e-6 * rng.standard_normal(16)).tolist()) for i in range(120)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cap = 16
+
+    side = D.embedding_band_assignments(
+        emb, num_bands=6, planes_per_band=4, bucket_cap=cap
+    )
+    counts = side.groupBy("_band", "_sig", "_sub").count().collect()
+    assert max(r["count"] for r in counts) <= cap
+
+    out = D.embedding_near_duplicates(
+        emb, threshold=0.99, num_bands=6, planes_per_band=4, bucket_cap=cap
+    ).collect()
+    # sub-splitting sacrifices SOME pairs per band, but band-distinct
+    # salts keep enough edges that transitive clustering (the dedup
+    # consumer, operators/graph.py) would still merge the clone set
+    assert out and all(r["cosine"] >= 0.99 for r in out)
+
+
+def test_ivf_recall_at_k_vs_exact(spark, sf_dir):
+    """IVF with precomputed centroids (registry parameters: 8
+    centroids, nprobe 3) must reach recall@10 >= 0.9 against the
+    exact cosine_topk oracle on the same queries."""
+    from pyspark.sql import functions as F
+
+    from robosystems_spark.operators import similarity as S
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    exact = {
+        (r["query_id"], r["nn_id"]) for r in S.cosine_topk(emb, queries, k=10).collect()
+    }
+    cents = [c for _, c in S.train_centroids(emb, 8, iters=3)]
+    approx = {
+        (r["query_id"], r["nn_id"])
+        for r in S.ivf_topk(emb, queries, k=10, nprobe=3, centroids=cents).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.9, f"ivf recall@10 {recall:.3f} < 0.9"
 
 
 def test_exact_duplicates_keep_min_id(spark):
