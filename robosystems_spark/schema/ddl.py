@@ -48,6 +48,12 @@ _INDEX_RE = re.compile(
     r"|FOR\s*\(\s*\w+\s*:\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s*ON\s*\(([^)]*)\))\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_ALTER_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+"
+    r"(?:ADD\s+(?:COLUMN\s+)?([A-Za-z_][A-Za-z0-9_]*)\s+(.+?)(?:\s+DEFAULT\s+(.+))?"
+    r"|DROP\s+(?:COLUMN\s+)?([A-Za-z_][A-Za-z0-9_]*))\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _FROM_TO_RE = re.compile(
     r"^FROM\s+([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+([A-Za-z_][A-Za-z0-9_]*)$",
     re.IGNORECASE,
@@ -120,6 +126,21 @@ def parse_statement(stmt: str) -> "Node | Relationship | dict | None":
     drop = _DROP_RE.match(stmt)
     if drop:
         return {"drop": drop.group(1)}
+    alter = _ALTER_RE.match(stmt)
+    if alter:
+        table = alter.group(1)
+        if alter.group(5):
+            return {"alter_drop": table, "column": alter.group(5)}
+        col, type_name = alter.group(2), alter.group(3).strip()
+        if alter.group(4) is not None:
+            raise DDLError(
+                "ALTER TABLE ADD COLUMN ... DEFAULT is not supported: the "
+                "add is metadata-only (no rewrite), so existing rows read "
+                "NULL; backfill with an UPDATE if a default is needed"
+            )
+        if not is_valid_type(type_name):
+            raise DDLError(f"Unknown type {type_name!r} in ALTER TABLE {table}")
+        return {"alter_add": table, "column": col, "type": type_name.upper()}
     idx = _INDEX_RE.match(stmt)
     if idx:
         # advisory: Spark has no secondary indexes — the PK-hash bucket
@@ -178,7 +199,9 @@ def parse_graph_ddl(script: str, name: str = "parsed") -> Schema:
         if isinstance(parsed, dict):
             if "index" in parsed:
                 continue  # advisory; no schema content
-            raise DDLError("DROP TABLE is not part of a schema declaration")
+            raise DDLError(
+                "DROP/ALTER TABLE is not part of a schema declaration"
+            )
         if isinstance(parsed, Node):
             schema.nodes.append(parsed)
         else:
@@ -217,12 +240,16 @@ def apply_graph_ddl(store, script: str) -> dict:
     CREATE materializes a zero-row parquet table with the declared
     StructType (IF NOT EXISTS semantics: existing tables are left
     alone — the reference uses the same guard to prevent data loss,
-    schemas/models.py:87).  DROP removes the table directory."""
+    schemas/models.py:87).  DROP removes the table directory.
+    ALTER TABLE ADD/DROP COLUMN applies metadata-only schema evolution
+    (the reference's DDL surface, security/cypher_analyzer.py:62-72)."""
     stats = {
         "tables_created": 0,
         "tables_dropped": 0,
         "skipped_existing": 0,
         "indexes_declared": 0,
+        "columns_added": 0,
+        "columns_dropped": 0,
     }
     for stmt in split_statements(script):
         parsed = parse_statement(stmt)
@@ -231,6 +258,14 @@ def apply_graph_ddl(store, script: str) -> dict:
         if isinstance(parsed, dict):
             if "index" in parsed:
                 stats["indexes_declared"] += 1
+            elif "alter_add" in parsed:
+                store.alter_add_column(
+                    parsed["alter_add"], parsed["column"], parsed["type"]
+                )
+                stats["columns_added"] += 1
+            elif "alter_drop" in parsed:
+                store.alter_drop_column(parsed["alter_drop"], parsed["column"])
+                stats["columns_dropped"] += 1
             elif store.exists(parsed["drop"]):
                 store.drop_table(parsed["drop"])
                 stats["tables_dropped"] += 1

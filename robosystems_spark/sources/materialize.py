@@ -645,11 +645,43 @@ class GraphStore:
             return bool(self._bucket_dirs(table))
         return any(f.startswith(f"{BUCKET_COL}=") for f in m)
 
+    def _declared_schema(self, table: str, version: int | None = None):
+        """The ALTER-overlay schema in effect at ``version`` (latest when
+        None), or None if the table has never been ALTERed.  Metadata-only
+        ALTERs (Delta-style schema evolution — no data rewrite) store the
+        full declared StructType in table meta for current reads and in
+        each alter commit's detail for time travel; a version older than
+        every retained alter record reads with the files' native schema,
+        which IS the pre-alter schema since data files are immutable."""
+        from pyspark.sql import types as T
+
+        if version is None:
+            js = self._load_meta(table).get("schema")
+            return T.StructType.fromJson(js) if js else None
+        if not self._load_meta(table).get("schema"):
+            return None  # never altered: skip the record walk entirely
+        v = version
+        while v > 0:
+            rec = self._record_at(table, v)
+            if rec is None:
+                break
+            js = (rec.get("detail") or {}).get("schema")
+            if js is not None:
+                return T.StructType.fromJson(js)
+            v -= 1
+        return None
+
     def _read_raw(self, table: str, version: int | None = None) -> DataFrame:
         path = self.table_path(table)
         manifest = self._manifest_at(table, version)
+        declared = self._declared_schema(table, version)
+        reader = self.spark.read
+        if declared is not None:
+            # ALTER overlay: files missing an added column read as NULL;
+            # a dropped column is pruned even where files still carry it.
+            reader = reader.schema(declared)
         if manifest is None:
-            return self.spark.read.parquet(path)
+            return reader.parquet(path)
         if not manifest:
             raise ValueError(
                 f"table {table!r} has no data files at version "
@@ -657,7 +689,7 @@ class GraphStore:
             )
         # explicit file list pinned to the manifest: the snapshot read.
         # basePath keeps partition-column (rs_bucket) discovery intact.
-        return self.spark.read.option("basePath", path).parquet(
+        return reader.option("basePath", path).parquet(
             *[os.path.join(path, f) for f in manifest]
         )
 
@@ -702,6 +734,111 @@ class GraphStore:
             self._clean_scratch(table)
             self._stage_manifest(table, [])
             self._commit(table, "drop_table")
+
+    def alter_add_column(self, table: str, column: str, type_name: str) -> None:
+        """``ALTER TABLE ADD COLUMN`` — metadata-only schema evolution
+        (the reference's DDL surface, security/cypher_analyzer.py:62-72;
+        Delta does the same: no data rewrite at any scale).  Existing
+        rows read the new column as NULL; subsequent writes may supply
+        it.  Commit-logged, so time travel to a pre-alter version shows
+        the pre-alter schema."""
+        from pyspark.sql import types as T
+
+        from robosystems_spark.schema.types import spark_type
+
+        with self._write_lock(table):
+            if not self.exists(table):
+                raise ValueError(f"Table {table!r} does not exist")
+            current = self._read_raw(table).schema
+            fields = [f for f in current.fields if f.name != BUCKET_COL]
+            if column in {f.name for f in fields}:
+                raise ValueError(f"Column {column!r} already exists in {table!r}")
+            meta = self._load_meta(table)
+            if column in meta.get("dropped_columns", []):
+                # re-adding a previously dropped name: live files may still
+                # carry the old bytes (possibly with another type), which a
+                # name-matched read would resurrect.  Physically purge the
+                # column first (the overlay read already excludes it), as
+                # its own commit, so the metadata add starts clean.
+                self._purge_dropped_unlocked(table, column)
+                meta = self._load_meta(table)
+            declared = T.StructType(
+                fields + [T.StructField(column, spark_type(type_name), True)]
+            )
+            meta["schema"] = declared.jsonValue()
+            self._save_meta(table, meta)
+            # re-publish the unchanged file set so the alter record carries
+            # a manifest (every post-manifest commit does)
+            self._stage_manifest(table, self._current_manifest(table))
+            self._commit(
+                table,
+                "alter_add_column",
+                {
+                    "column": column,
+                    "type": type_name.upper(),
+                    "schema": declared.jsonValue(),
+                },
+            )
+
+    def alter_drop_column(self, table: str, column: str) -> None:
+        """``ALTER TABLE DROP COLUMN`` — metadata-only: the declared
+        schema stops listing the column, so every read prunes it (old
+        files keep the bytes until a rewrite/vacuum naturally retires
+        them).  Bucket-key columns cannot be dropped — they define the
+        physical layout."""
+        from pyspark.sql import types as T
+
+        with self._write_lock(table):
+            if not self.exists(table):
+                raise ValueError(f"Table {table!r} does not exist")
+            current = self._read_raw(table).schema
+            fields = [f for f in current.fields if f.name != BUCKET_COL]
+            if column not in {f.name for f in fields}:
+                raise ValueError(f"Column {column!r} does not exist in {table!r}")
+            meta = self._load_meta(table)
+            if column in meta.get("bucket_keys", []):
+                raise ValueError(
+                    f"Column {column!r} is a bucket/primary key of {table!r} "
+                    "and cannot be dropped"
+                )
+            remaining = [f for f in fields if f.name != column]
+            if not remaining:
+                raise ValueError(f"Cannot drop the last column of {table!r}")
+            declared = T.StructType(remaining)
+            meta["schema"] = declared.jsonValue()
+            dropped = meta.setdefault("dropped_columns", [])
+            if column not in dropped:
+                dropped.append(column)
+            self._save_meta(table, meta)
+            self._stage_manifest(table, self._current_manifest(table))
+            self._commit(
+                table,
+                "alter_drop_column",
+                {"column": column, "schema": declared.jsonValue()},
+            )
+
+    def _purge_dropped_unlocked(self, table: str, column: str) -> None:
+        """Rewrite the table's live files without a previously dropped
+        column (bucketed layout preserved), then clear its tombstone.
+        Caller holds the write lock."""
+        raw = self._read_raw(table)
+        if BUCKET_COL in raw.columns:
+            buckets = sorted(
+                {
+                    int(f.split("=", 1)[1].split(os.sep, 1)[0])
+                    for f in self._current_manifest(table)
+                    if f.startswith(f"{BUCKET_COL}=")
+                }
+            )
+            self._rewrite_buckets(table, raw, buckets)
+        else:
+            self._rewrite(table, raw)
+        self._commit(table, "purge_dropped_column", {"column": column})
+        meta = self._load_meta(table)
+        meta["dropped_columns"] = [
+            c for c in meta.get("dropped_columns", []) if c != column
+        ]
+        self._save_meta(table, meta)
 
     # -- load paths ---------------------------------------------------------
 

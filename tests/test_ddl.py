@@ -194,3 +194,91 @@ def test_create_tables_from_schema(spark, tmp_path):
     # idempotent
     again = create_tables_from_schema(store, schema)
     assert again["tables_created"] == 0 and again["skipped_existing"] == n_tables
+
+
+# -- ALTER TABLE ADD/DROP COLUMN (reference DDL surface,
+#    security/cypher_analyzer.py:62-72) --------------------------------------
+
+
+def _alter_store(spark, tmp_path):
+    store = GraphStore(spark, str(tmp_path / "a"), "kg0123456789abcdef")
+    apply_graph_ddl(
+        store,
+        "CREATE NODE TABLE Acct(id INT64, name STRING, PRIMARY KEY(id))",
+    )
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma")], "id long, name string"
+    )
+    store.copy_into("Acct", df)
+    return store
+
+
+def test_alter_add_column_metadata_only(spark, tmp_path):
+    store = _alter_store(spark, tmp_path)
+    pre_version = store.version("Acct")
+    stats = apply_graph_ddl(store, "ALTER TABLE Acct ADD COLUMN balance DOUBLE")
+    assert stats["columns_added"] == 1
+    out = store.read("Acct")
+    assert out.schema["balance"].dataType == T.DoubleType()
+    # existing rows read NULL for the new column — no data rewrite happened
+    rows = {r["id"]: r["balance"] for r in out.collect()}
+    assert rows == {1: None, 2: None, 3: None}
+    # time travel to the pre-alter version shows the pre-alter schema
+    old = store.read("Acct", version=pre_version)
+    assert "balance" not in old.columns
+    # subsequent appends can supply the column; old files still read NULL
+    store.copy_into(
+        "Acct",
+        spark.createDataFrame([(4, "delta", 9.5)], "id long, name string, balance double"),
+    )
+    rows = {r["id"]: r["balance"] for r in store.read("Acct").collect()}
+    assert rows == {1: None, 2: None, 3: None, 4: 9.5}
+    # SET on the new column goes through update_where
+    from pyspark.sql import functions as F
+
+    n = store.update_where("Acct", F.col("id") == 2, {"balance": F.lit(1.25)})
+    assert n == 1
+    rows = {r["id"]: r["balance"] for r in store.read("Acct").collect()}
+    assert rows[2] == 1.25 and rows[1] is None and rows[4] == 9.5
+
+
+def test_alter_drop_column_and_guards(spark, tmp_path):
+    store = _alter_store(spark, tmp_path)
+    apply_graph_ddl(store, "ALTER TABLE Acct DROP COLUMN name")
+    out = store.read("Acct")
+    assert set(out.columns) == {"id"}
+    assert out.count() == 3
+    # bucket/primary key cannot be dropped
+    with pytest.raises(ValueError, match="bucket/primary key"):
+        store.alter_drop_column("Acct", "id")
+    # duplicate add rejected; unknown drop rejected
+    with pytest.raises(ValueError, match="already exists"):
+        store.alter_add_column("Acct", "id", "INT64")
+    with pytest.raises(ValueError, match="does not exist"):
+        store.alter_drop_column("Acct", "nope")
+    # DEFAULT is explicitly unsupported (metadata-only add)
+    with pytest.raises(DDLError, match="DEFAULT"):
+        apply_graph_ddl(store, "ALTER TABLE Acct ADD COLUMN x INT64 DEFAULT 5")
+
+
+def test_alter_drop_then_readd_purges_old_bytes(spark, tmp_path):
+    """Re-adding a previously dropped name must NOT resurrect the old
+    column's bytes (files are purged first, as their own commit)."""
+    store = _alter_store(spark, tmp_path)
+    store.alter_drop_column("Acct", "name")
+    store.alter_add_column("Acct", "name", "INT64")  # different type too
+    rows = {r["id"]: r["name"] for r in store.read("Acct").collect()}
+    assert rows == {1: None, 2: None, 3: None}
+    ops = [rec["op"] for rec in store.history("Acct")]
+    assert "purge_dropped_column" in ops and "alter_add_column" in ops
+
+
+def test_alter_on_unbucketed_table(spark, tmp_path):
+    store = GraphStore(spark, str(tmp_path / "u"), "kg0123456789abcdef")
+    store.copy_into(
+        "Plain", spark.createDataFrame([(1,), (2,)], "v long")
+    )  # no primary keys -> unbucketed
+    store.alter_add_column("Plain", "tag", "STRING")
+    assert {r["tag"] for r in store.read("Plain").collect()} == {None}
+    store.alter_drop_column("Plain", "tag")
+    assert set(store.read("Plain").columns) == {"v"}
