@@ -1265,15 +1265,82 @@ class GraphStore:
                 child._commit(t, "fork", {"from": self.graph_id})
         return child
 
-    def restore(self, backup_dir: str, tables: list[str] | None = None) -> list[str]:
+    BACKUP_MANIFEST = "_BACKUP_MANIFEST.json"
+
+    @staticmethod
+    def _sha256_file(path: str) -> str:
+        import hashlib
+
+        h = hashlib.sha256()
+        with open(path, "rb") as fh:
+            for chunk in iter(lambda: fh.read(1 << 20), b""):
+                h.update(chunk)
+        return h.hexdigest()
+
+    def verify_backup(
+        self, backup_dir: str, tables: list[str] | None = None
+    ) -> dict:
+        """Check a backup's integrity manifest: every listed file must
+        exist with the recorded size and sha256 (the reference verifies
+        checksums before restoring, operations/lbug/backup_manager.py:577-760;
+        an object-store deployment would compare ETags instead of
+        re-hashing locally).  Returns the manifest.  Raises ValueError
+        on any missing/corrupt file or if the manifest is absent."""
+        mpath = os.path.join(backup_dir, self.BACKUP_MANIFEST)
+        try:
+            with open(mpath) as fh:
+                manifest = json.load(fh)
+        except FileNotFoundError:
+            raise ValueError(
+                f"backup at {backup_dir!r} has no {self.BACKUP_MANIFEST} — "
+                "not a verifiable backup (produced by export())"
+            ) from None
+        for t, info in manifest.get("tables", {}).items():
+            if tables is not None and t not in tables:
+                continue
+            for entry in info["files"]:
+                path = os.path.join(backup_dir, t, entry["path"])
+                if not os.path.exists(path):
+                    raise ValueError(
+                        f"backup integrity: missing file {t}/{entry['path']}"
+                    )
+                size = os.path.getsize(path)
+                if size != entry["bytes"]:
+                    raise ValueError(
+                        f"backup integrity: {t}/{entry['path']} is {size} "
+                        f"bytes, manifest says {entry['bytes']}"
+                    )
+                digest = self._sha256_file(path)
+                if digest != entry["sha256"]:
+                    raise ValueError(
+                        f"backup integrity: {t}/{entry['path']} sha256 "
+                        f"mismatch (corrupt or tampered)"
+                    )
+        return manifest
+
+    def restore(
+        self,
+        backup_dir: str,
+        tables: list[str] | None = None,
+        verify: bool = True,
+    ) -> list[str]:
         """Restore tables from a parquet export (backup.py:110-365
         restore path): each backed-up table dir replaces the live one
         atomically; tables with bucket metadata are re-bucketed so
-        post-restore mutations stay partition-pruned."""
-        names = tables or sorted(
-            d for d in os.listdir(backup_dir)
-            if os.path.isdir(os.path.join(backup_dir, d))
-        )
+        post-restore mutations stay partition-pruned.
+
+        With ``verify`` (default), the backup's checksum manifest is
+        validated BEFORE any table is promoted — a corrupt backup
+        refuses to restore rather than half-applying.  ``verify=False``
+        restores legacy manifest-less exports."""
+        if verify:
+            manifest = self.verify_backup(backup_dir, tables)
+            names = tables or sorted(manifest.get("tables", {}))
+        else:
+            names = tables or sorted(
+                d for d in os.listdir(backup_dir)
+                if os.path.isdir(os.path.join(backup_dir, d))
+            )
         restored = []
         for t in names:
             with self._write_lock(t):
@@ -1296,18 +1363,59 @@ class GraphStore:
             restored.append(t)
         return restored
 
-    def export(self, out_dir: str, fmt: str = "parquet") -> dict[str, str]:
+    def export(
+        self, out_dir: str, fmt: str = "parquet", compression: str = "zstd"
+    ) -> dict[str, str]:
         """Full-database export (backup_manager.py:577-760): every
-        table to parquet or csv under ``out_dir``."""
+        table to compressed parquet or csv under ``out_dir``, plus a
+        ``_BACKUP_MANIFEST.json`` recording per-table row counts and
+        per-file sizes + sha256 digests — ``restore()`` verifies it
+        before promoting anything, so a bit-flipped or truncated backup
+        refuses to restore (the reference's compressed + checksummed
+        backup format)."""
         out: dict[str, str] = {}
+        manifest: dict = {
+            "graph_id": self.graph_id,
+            "format": fmt,
+            "compression": compression,
+            "created_ts": time.time(),
+            "tables": {},
+        }
         for t in self.tables():
             dest = os.path.join(out_dir, t)
             df = self.read(t)
+            rows = df.count()
             if fmt == "parquet":
-                df.write.mode("overwrite").parquet(dest)
+                df.write.mode("overwrite").option(
+                    "compression", compression
+                ).parquet(dest)
             elif fmt == "csv":
-                df.write.mode("overwrite").option("header", "true").csv(dest)
+                csv_codec = "gzip" if compression in ("zstd", "gzip") else "none"
+                df.write.mode("overwrite").option("header", "true").option(
+                    "compression", csv_codec
+                ).csv(dest)
             else:
                 raise ValueError(f"Unsupported export format: {fmt!r}")
+            files = []
+            for dirpath, dirnames, filenames in os.walk(dest):
+                dirnames[:] = [d for d in dirnames if not d.startswith((".", "_"))]
+                for fn in sorted(filenames):
+                    if fn.startswith((".", "_")) or fn.endswith(".crc"):
+                        continue
+                    path = os.path.join(dirpath, fn)
+                    rel = os.path.relpath(path, dest)
+                    files.append(
+                        {
+                            "path": rel,
+                            "bytes": os.path.getsize(path),
+                            "sha256": self._sha256_file(path),
+                        }
+                    )
+            manifest["tables"][t] = {"rows": rows, "files": files}
             out[t] = dest
+        os.makedirs(out_dir, exist_ok=True)
+        tmp = os.path.join(out_dir, self.BACKUP_MANIFEST + ".tmp")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, os.path.join(out_dir, self.BACKUP_MANIFEST))
         return out

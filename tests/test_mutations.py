@@ -204,3 +204,36 @@ def test_staging_file_delete_is_partition_drop(spark, tmp_path):
     # deleting the last file leaves a readable empty table
     assert delete_file_rows(spark, root, "T", "fileA") == 2
     assert read_staged(spark, root, "T").count() == 0
+
+
+def test_backup_manifest_verifies_and_rejects_tamper(big_store, tmp_path):
+    """Exports carry a checksum manifest and restore verifies it before
+    promoting anything (backup_manager.py:577-760 compressed/checksummed
+    backups): a bit-flipped file refuses to restore."""
+    import glob
+
+    backup = str(tmp_path / "b2")
+    big_store.export(backup)
+    man = big_store.verify_backup(backup)
+    assert man["tables"]["T"]["rows"] == 400
+    assert man["compression"] == "zstd"
+    assert all(
+        len(e["sha256"]) == 64 for e in man["tables"]["T"]["files"]
+    ) and man["tables"]["T"]["files"]
+
+    f = sorted(
+        glob.glob(os.path.join(backup, "T", "**", "*.parquet"), recursive=True)
+    )[0]
+    blob = bytearray(open(f, "rb").read())
+    blob[len(blob) // 2] ^= 0xFF
+    open(f, "wb").write(bytes(blob))
+    with pytest.raises(ValueError, match="sha256 mismatch"):
+        big_store.restore(backup)
+    # live table untouched by the refused restore
+    assert big_store.read("T").count() == 400
+
+    # a dir without a manifest is not a verifiable backup...
+    bare = str(tmp_path / "bare")
+    os.makedirs(os.path.join(bare, "T"), exist_ok=True)
+    with pytest.raises(ValueError, match="not a verifiable backup"):
+        big_store.restore(bare)
