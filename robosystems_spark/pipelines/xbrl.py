@@ -29,19 +29,96 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from robosystems_spark.functions.ids import content_hash_id
 from robosystems_spark.functions.xbrl import apply_decimal_scaling
 
 TEXTBLOCK_THRESHOLD = 1024
 
+# The PARSE SEAM — this module's input contract (the analog of
+# multimodal.py's decode_fn seam: parsing is pluggable, the engine
+# side is fixed).  One row per reported fact.  An Arelle front-end
+# fills each field from the parsed model as follows
+# (xbrl_graph.py:43-1734 consumes the same objects imperatively):
+#
+#   entity_cik      ModelXbrl entity identifier (context.entityIdentifier[1])
+#   entity_name     dei:EntityRegistrantName fact / filer metadata
+#   accession       filing accession number (filing metadata)
+#   form            form type, e.g. 10-K (filing metadata)
+#   filing_date     filing date, ISO string (filing metadata)
+#   concept_qname   fact.qname (prefixed name, e.g. us-gaap:Assets)
+#   concept_uri     fact.concept.qname.namespaceURI + '#' + localName
+#   value           fact.value / fact.xValue, stringified
+#   decimals        fact.decimals ('INF', '-6', ... — stays a string)
+#   unit            fact.unit measures joined (e.g. iso4217:USD,
+#                   or numerator/denominator pairs), NULL for non-numeric
+#   period_start    context.startDatetime for duration contexts, else NULL
+#   period_end      context.endDatetime for duration contexts, else NULL
+#   period_instant  context.instantDatetime for instant contexts, else NULL
+#   dimensions      context segment/scenario explicit dimensions as
+#                   MAP<dimension qname, member qname>, NULL when none
+#
+# Every STRING may be NULL except the identity spine
+# (entity_cik, accession, concept_qname, concept_uri).
+RAW_FACT_SCHEMA = T.StructType(
+    [
+        T.StructField("entity_cik", T.StringType(), False),
+        T.StructField("entity_name", T.StringType(), True),
+        T.StructField("accession", T.StringType(), False),
+        T.StructField("form", T.StringType(), True),
+        T.StructField("filing_date", T.StringType(), True),
+        T.StructField("concept_qname", T.StringType(), False),
+        T.StructField("concept_uri", T.StringType(), False),
+        T.StructField("value", T.StringType(), True),
+        T.StructField("decimals", T.StringType(), True),
+        T.StructField("unit", T.StringType(), True),
+        T.StructField("period_start", T.StringType(), True),
+        T.StructField("period_end", T.StringType(), True),
+        T.StructField("period_instant", T.StringType(), True),
+        T.StructField(
+            "dimensions", T.MapType(T.StringType(), T.StringType()), True
+        ),
+    ]
+)
+
+
+class RawFactSchemaError(ValueError):
+    """The input DataFrame does not satisfy RAW_FACT_SCHEMA."""
+
+
+def validate_raw_facts(df: DataFrame) -> DataFrame:
+    """Validate a raw-facts DataFrame against :data:`RAW_FACT_SCHEMA`
+    and coerce column types to it (extra columns are allowed and
+    preserved).  Raises :class:`RawFactSchemaError` naming every
+    missing column and its Arelle-side source, so a front-end author
+    sees exactly what to supply."""
+    have = set(df.columns)
+    missing = [f.name for f in RAW_FACT_SCHEMA.fields if f.name not in have]
+    if missing:
+        raise RawFactSchemaError(
+            "raw XBRL facts are missing required column(s) "
+            f"{missing} — see pipelines/xbrl.py RAW_FACT_SCHEMA for the "
+            "parse seam contract (each field's Arelle model source is "
+            "documented there)"
+        )
+    coerced = df.withColumns(
+        {
+            f.name: F.col(f.name).cast(f.dataType)
+            for f in RAW_FACT_SCHEMA.fields
+            if df.schema[f.name].dataType != f.dataType
+        }
+    )
+    return coerced
+
 
 def build_xbrl_graph_frames(
     raw_facts: DataFrame,
     externalize_store: str | None = None,
 ) -> dict[str, DataFrame]:
-    """Build roboledger node/relationship frames from raw XBRL facts."""
-    rf = raw_facts
+    """Build roboledger node/relationship frames from raw XBRL facts
+    (input contract: :data:`RAW_FACT_SCHEMA`, validated on entry)."""
+    rf = validate_raw_facts(raw_facts)
 
     # deterministic identifiers (adapters/sec/processors/ids.py behavior)
     rf = rf.withColumns(

@@ -449,3 +449,54 @@ def test_quickbooks_journal_to_trial_balance(spark, tmp_path):
     assert tb["Office Supplies"]["net_balance"] == 75.0
     assert tb["Cash"]["element_balance"] == "debit"
     assert tb["Sales"]["element_balance"] == "credit"
+
+
+def test_raw_fact_schema_is_the_validated_parse_seam(spark, raw_facts):
+    """The parse seam contract (RAW_FACT_SCHEMA): an Arelle-shaped
+    front-end row validates and coerces; missing columns fail with an
+    error naming them and pointing at the contract."""
+    from robosystems_spark.pipelines.xbrl import (
+        RAW_FACT_SCHEMA,
+        RawFactSchemaError,
+        validate_raw_facts,
+    )
+
+    # a row exactly as an Arelle front-end would emit it: fact.qname,
+    # concept namespace#local, context start/end datetimes, unit
+    # measures, explicit dimensions from the context segment
+    arelle_row = {
+        "entity_cik": "0000320193",
+        "entity_name": "Apple Inc.",
+        "accession": "0000320193-24-000123",
+        "form": "10-K",
+        "filing_date": "2024-11-01",
+        "concept_qname": "us-gaap:RevenueFromContractWithCustomer",
+        "concept_uri": "http://fasb.org/us-gaap/2024#RevenueFromContractWithCustomer",
+        "value": "391035000000",
+        "decimals": "-6",
+        "unit": "iso4217:USD",
+        "period_start": "2023-10-01",
+        "period_end": "2024-09-28",
+        "period_instant": None,
+        "dimensions": {
+            "srt:ProductOrServiceAxis": "us-gaap:ProductMember"
+        },
+    }
+    df = spark.createDataFrame([arelle_row], RAW_FACT_SCHEMA)
+    frames = build_xbrl_graph_frames(df)
+    assert frames["Fact"].count() == 1
+    assert frames["Entity"].collect()[0]["cik"] == "0000320193"
+    # decimal scaling applied per the contract's decimals field
+    assert frames["Fact"].collect()[0]["numeric_value"] == 391035000000.0
+
+    # extra columns are preserved, wrong types are coerced
+    extra = df.withColumn("source_line", F.lit(7)).withColumn(
+        "value", F.col("value").cast("double")
+    )
+    out = validate_raw_facts(extra)
+    assert "source_line" in out.columns
+    assert dict(out.dtypes)["value"] == "string"
+
+    # missing columns -> clear contract error
+    with pytest.raises(RawFactSchemaError, match="period_instant.*RAW_FACT_SCHEMA"):
+        build_xbrl_graph_frames(df.drop("period_instant", "unit"))
