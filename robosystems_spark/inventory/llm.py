@@ -506,6 +506,25 @@ def doc_search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(_docs(spark, sf_dir), _BM25_QUERY, k=25)
 
 
+@register(
+    "doc_search_bm25_indexed",
+    oracle=_bm25_oracle(),
+    doc="BM25 over a PERSISTED inverted index (sources/doc_search.py "
+    "SparkBM25Index): tokenize once at index time into term-sorted postings "
+    "parquet, then each query is a pushed-down term-IN scan over its posting "
+    "lists — identical scores to the query-time path, same DuckDB oracle.",
+    tags=("text", "search"),
+)
+def doc_search_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from robosystems_spark.sources.doc_search import SparkBM25Index
+
+    idx = SparkBM25Index(tempfile.mkdtemp(prefix="bm25idx_"))
+    idx.index_documents(_docs(spark, sf_dir).select("doc_id", "text"))
+    return idx.search(spark, _BM25_QUERY, k=25)
+
+
 # ---------------------------------------------------------------------------
 # Dataset sampling / splitting — reproducible by construction.
 # ---------------------------------------------------------------------------

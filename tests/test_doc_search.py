@@ -1,0 +1,72 @@
+"""Doc-search connector seam (sources/doc_search.py) — the
+"OpenSearch connector" platform component: a persisted Spark-native
+inverted index with score parity to the query-time BM25 path, and the
+external-engine stub seam."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from robosystems_spark.io import read_table
+from robosystems_spark.operators.search import bm25_topk
+from robosystems_spark.sources.doc_search import (
+    ExternalSearchConnector,
+    SparkBM25Index,
+)
+
+QUERY = ["spark", "vector", "window"]
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return read_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+
+def test_indexed_search_matches_query_time_bm25(spark, docs, tmp_path):
+    idx = SparkBM25Index(str(tmp_path / "idx"))
+    stats = idx.index_documents(docs)
+    assert stats["n_docs"] == docs.count() and stats["avgdl"] > 0
+
+    got = idx.search(spark, QUERY, k=25).collect()
+    want = bm25_topk(docs, QUERY, k=25).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_postings_scan_prunes_to_query_terms(spark, docs, tmp_path):
+    """The search-engine property: a query reads its posting lists, not
+    the corpus — term IN (...) must reach the parquet scan."""
+    from tests.test_plans import plan_of
+
+    idx = SparkBM25Index(str(tmp_path / "idx2"))
+    idx.index_documents(docs)
+    plan = plan_of(idx.search(spark, QUERY, k=10))
+    assert "In(term, [spark,vector,window])" in plan
+    assert "TakeOrderedAndProject" in plan  # top-k never fully sorts
+
+
+def test_index_rebuild_overwrites(spark, docs, tmp_path):
+    idx = SparkBM25Index(str(tmp_path / "idx3"))
+    idx.index_documents(docs.limit(10))
+    assert idx.index_documents(docs)["n_docs"] == docs.count()
+
+
+def test_external_connector_is_a_documented_stub(spark):
+    conn = ExternalSearchConnector("https://search.example.internal:9200")
+    with pytest.raises(NotImplementedError, match="bulk API"):
+        conn._bulk_index([])
+    with pytest.raises(NotImplementedError, match="doc_id, score"):
+        conn.search(spark, QUERY)
+    # the Spark-side response contract is concrete and parseable
+    empty = spark.createDataFrame([], ExternalSearchConnector.SEARCH_SCHEMA)
+    assert [f.name for f in empty.schema.fields] == [
+        "doc_id",
+        "score",
+        "n_terms_matched",
+    ]
+
+
+def test_search_handles_unknown_terms(spark, docs, tmp_path):
+    idx = SparkBM25Index(str(tmp_path / "idx4"))
+    idx.index_documents(docs)
+    assert idx.search(spark, ["zzzzznotaterm"], k=5).count() == 0
