@@ -296,9 +296,11 @@ def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "dedup_minhash_lsh",
-    oracle=None,
+    oracle=D.minhash_oracle_sql(threshold=0.7),
     doc="MinHash(64 perms)+LSH(16 bands) near-dup: shingle→signature→band→bucket-join→Jaccard verify. "
-    "Hash permutations are engine-specific → rows-only check; exactness covered by tests/test_dedup.py.",
+    "md5-based shingle hash + Carter-Wegman permutations mod 2^31-1 are "
+    "engine-portable, so the full approximate pipeline is DuckDB-hash-checked "
+    "(plus the brute-force recall gate in tests/test_dedup.py).",
     tags=("dedup", "lsh"),
     bench=True,
 )
@@ -308,8 +310,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_simhash",
-    oracle=None,
-    doc="64-bit SimHash near-dup with 16-bit chunk banding + hamming verify (rows-only check).",
+    oracle=D.simhash_oracle_sql(max_hamming=3),
+    doc="60-bit md5-derived SimHash near-dup with 15-bit chunk banding + hamming "
+    "verify; banding is exact for hamming<=3, so the DuckDB oracle is the "
+    "brute-force pair join over the same portable simhash.",
     tags=("dedup", "lsh"),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -318,9 +322,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_embedding_neardup",
-    oracle=None,
-    doc="Embedding near-dup: banded random-hyperplane LSH (OR-of-ANDs, capped buckets) "
-    "+ exact cosine verify (rows-only; brute-force recall gate in tests/test_dedup.py). "
+    oracle=D.embedding_neardup_oracle_sql(
+        dim=64, threshold=0.4, num_bands=8, planes_per_band=3
+    ),
+    doc="Embedding near-dup: banded random-hyperplane LSH (OR-of-ANDs, capped "
+    "buckets) + exact cosine verify. DuckDB oracle regenerates the same "
+    "hyperplanes as literals and applies the same band-collision rule, so the "
+    "approximate operator is hash-checked, not rows-only. "
     "Threshold 0.4 because the synthetic embeddings top out at ~0.48 pairwise cosine.",
     tags=("dedup", "embedding"),
 )

@@ -87,6 +87,17 @@ def distinct_shingles(
     )
 
 
+MINHASH_P = 2147483647  # 2^31 - 1: products with 31-bit hashes fit in int64
+
+
+def minhash_perm_consts(seed: int) -> tuple[int, int]:
+    """Deterministic Carter-Wegman constants for permutation ``seed``
+    (literals on both the Spark and oracle sides)."""
+    a = (seed * 2654435761 + 40503) % MINHASH_P or 1
+    b = (seed * 1140671485 + 12820163) % MINHASH_P
+    return a, b
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -96,36 +107,34 @@ def minhash_signatures(
     shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signature per document: for each of ``num_hashes``
-    seeded xxhash64 permutations, the minimum hash over the shingle set.
+    seeded permutations, the minimum hash over the shingle set.
 
-    xxhash64(seed, shingle) is JVM-side and deterministic, so
-    signatures are reproducible across executors and runs (the
-    distributed-determinism requirement SURVEY §7 flags for IDs).
-    Classic permutation scheme: each distinct shingle is hashed ONCE
-    (xxhash64), then the i-th permutation is a rotate-XOR bijection
-    ``rot(h, r_i) ^ b_i`` — bitwise ops only (no ANSI overflow, stays
-    in whole-stage codegen) and 64 cheap transforms per shingle
-    instead of 64 full string hashes.  Constants are literals (a
-    dynamic nested-lambda variant measured ~20x slower).
+    ENGINE-PORTABLE by construction (so the whole LSH pipeline gets a
+    DuckDB oracle, ``minhash_oracle_sql``): each distinct shingle is
+    hashed ONCE via md5 (bit-identical in every engine, unlike
+    xxhash64), reduced mod P = 2^31-1, then the i-th permutation is
+    the Carter-Wegman ``(a_i·h + b_i) mod P`` — a(31-bit)·h(31-bit)
+    stays under 2^62, so the arithmetic never overflows a signed
+    64-bit in ANY engine.  All constants are literals; the whole
+    pipeline is plain codegen'd projections + min aggregates with
+    map-side partial mins (an earlier nested-lambda formulation spent
+    ~4s per query in driver-side analysis alone).
     """
     base = (
         shingles_df
         if shingles_df is not None
         else distinct_shingles(df, text_col, id_col, shingle_k)
     )
-    # explode -> plain projections + min aggregates: the whole pipeline
-    # stays in whole-stage codegen with map-side partial mins, and the
-    # plan compiles in ms (an earlier 64x nested-lambda formulation
-    # spent ~4s per query in driver-side analysis alone)
     exploded = base.select(
         F.col(id_col), F.explode("_sh").alias("_s")
-    ).withColumn("_h", F.xxhash64("_s"))
+    ).withColumn(
+        "_h",
+        F.conv(F.substring(F.md5("_s"), 1, 15), 16, 10).cast("long") % MINHASH_P,
+    )
 
     def perm(seed: int):
-        r = (seed * 7 + 13) % 63 + 1
-        b = (seed * 0x9E3779B97F4A7C15 + 0xC2B2AE3D27D4EB4F) % 2**63
-        rotated = F.shiftleft("_h", r).bitwiseOR(F.shiftrightunsigned("_h", 64 - r))
-        return rotated.bitwiseXOR(F.lit(b).cast("long"))
+        a, b = minhash_perm_consts(seed)
+        return (F.lit(a) * F.col("_h") + F.lit(b)) % MINHASH_P
 
     agg = exploded.groupBy(id_col).agg(
         *[F.min(perm(seed)).alias(f"_m{seed}") for seed in range(num_hashes)]
@@ -140,17 +149,22 @@ def minhash_lsh_candidates(
     bands: int = 16,
     rows_per_band: int = 4,
 ) -> DataFrame:
-    """LSH banding: documents sharing any band-hash become candidate
-    pairs.  Shuffle is groupBy(band, band_hash) — O(n·bands), never n².
-    Returns distinct (doc_a, doc_b) with doc_a < doc_b.
-    """
+    """LSH banding: documents sharing any band value become candidate
+    pairs.  Shuffle is the (band, band_val) self-join — O(n·bands),
+    never n².  Returns distinct (doc_a, doc_b) with doc_a < doc_b.
+
+    The band value is the comma-joined slice of the signature — a
+    plain string, identical in any engine (md5 of it would also work;
+    the raw join key skips a hash and cannot collide)."""
     banded = sigs.select(
         F.col(id_col),
         F.posexplode(
             F.array(
                 *[
-                    F.xxhash64(
-                        F.lit(b), F.expr(f"slice(signature, {b * rows_per_band + 1}, {rows_per_band})")
+                    F.expr(
+                        "array_join(transform("
+                        f"slice(signature, {b * rows_per_band + 1}, {rows_per_band}), "
+                        "x -> cast(x as string)), ',')"
                     )
                     for b in range(bands)
                 ]
@@ -240,33 +254,43 @@ def minhash_near_duplicates(
     )
 
 
+SIMHASH_BITS = 60  # 15 md5 hex chars — portable to any engine with md5
+
+
 def simhash(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """64-bit SimHash per document via bit-voting over token hashes.
+    """60-bit SimHash per document via bit-voting over token hashes.
 
-    Explode + 64 conditional-sum aggregates + bit packing: every step
+    Explode + 60 conditional-sum aggregates + bit packing: every step
     is a plain codegen'd projection/aggregate with map-side combine.
     (The folklore nested ``aggregate(zip_with(...))`` formulation runs
     on the interpreted expression path — measured 60x slower.)
+
+    The token hash is the first 15 hex chars of md5 — NOT xxhash64 —
+    so the whole operator is engine-portable and DuckDB-oracle-able
+    (``simhash_oracle_sql``): md5 is bit-identical everywhere, while
+    xxhash64 exists only in Spark.
     """
     from functools import reduce
 
     exploded = df.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("_t")
-    ).withColumn("_h", F.xxhash64("_t"))
+    ).withColumn(
+        "_h", F.conv(F.substring(F.md5("_t"), 1, 15), 16, 10).cast("long")
+    )
     votes = exploded.groupBy(id_col).agg(
         *[
             F.sum(
                 F.when(F.shiftright("_h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"_b{b}")
-            for b in range(64)
+            for b in range(SIMHASH_BITS)
         ]
     )
     bits = [
-        F.when(F.col(f"_b{b}") > 0, F.lit(1 << b if b < 63 else -(1 << 63)).cast("long"))
+        F.when(F.col(f"_b{b}") > 0, F.lit(1 << b).cast("long"))
         .otherwise(F.lit(0).cast("long"))
-        for b in range(64)
+        for b in range(SIMHASH_BITS)
     ]
     packed = reduce(lambda a, b: a.bitwiseOR(b), bits)
     return votes.select(id_col, packed.alias("simhash"))
@@ -278,9 +302,10 @@ def simhash_near_duplicates(
     id_col: str = "doc_id",
     max_hamming: int = 3,
 ) -> DataFrame:
-    """SimHash near-dup: candidates via 16-bit chunk banding (any pair
-    within hamming distance 3 of a 64-bit hash shares at least one of
-    four 16-bit chunks), verified with popcount(xor)."""
+    """SimHash near-dup: candidates via 15-bit chunk banding (any pair
+    within hamming distance 3 of a 60-bit hash differs in at most 3
+    chunks, so it shares at least one of four 15-bit chunks — the
+    banding is EXACT, not approximate), verified with popcount(xor)."""
     hashed = simhash(df, text_col, id_col)
     banded = hashed.select(
         F.col(id_col),
@@ -288,7 +313,7 @@ def simhash_near_duplicates(
         F.posexplode(
             F.array(
                 *[
-                    F.expr(f"shiftright(simhash, {16 * c}) & 65535L")
+                    F.expr(f"shiftright(simhash, {15 * c}) & 32767L")
                     for c in range(4)
                 ]
             )
@@ -315,6 +340,101 @@ def simhash_near_duplicates(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def minhash_oracle_sql(
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    table: str = "documents",
+) -> str:
+    """Equivalent DuckDB SQL for :func:`minhash_near_duplicates` — the
+    SAME md5-based shingle hash, Carter-Wegman permutations, band
+    slicing and Jaccard verify, so the full approximate LSH pipeline
+    is hash-checked against an independent engine."""
+    rows = num_hashes // bands
+    mins = ", ".join(
+        "MIN(({a} * hm + {b}) % {p}) AS m{i}".format(
+            a=minhash_perm_consts(i)[0],
+            b=minhash_perm_consts(i)[1],
+            p=MINHASH_P,
+            i=i,
+        )
+        for i in range(num_hashes)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {band} AS band, CONCAT_WS(',', {cols}) AS val FROM sig".format(
+            band=b,
+            cols=", ".join(f"m{b * rows + r}" for r in range(rows)),
+        )
+        for b in range(bands)
+    )
+    return rf"""
+    WITH t AS (
+      SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS toks
+      FROM {table}
+    ),
+    sh AS (
+      SELECT doc_id,
+             LIST_DISTINCT([ARRAY_TO_STRING(toks[i:i+{shingle_k - 1}], ' ')
+                            FOR i IN GENERATE_SERIES(1, GREATEST(LEN(toks) - {shingle_k - 1}, 1))]) AS shl
+      FROM t
+    ),
+    h AS (
+      SELECT doc_id,
+             ('0x' || SUBSTR(md5(UNNEST(shl)), 1, 15))::BIGINT % {MINHASH_P} AS hm
+      FROM sh
+    ),
+    sig AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id),
+    banded AS ({band_selects}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           ROUND(CAST(LEN(LIST_INTERSECT(sa.shl, sb.shl)) AS DOUBLE)
+                 / LEN(LIST_DISTINCT(LIST_CONCAT(sa.shl, sb.shl))), 6) AS jaccard
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.doc_a
+    JOIN sh sb ON sb.doc_id = c.doc_b
+    WHERE CAST(LEN(LIST_INTERSECT(sa.shl, sb.shl)) AS DOUBLE)
+          / LEN(LIST_DISTINCT(LIST_CONCAT(sa.shl, sb.shl))) >= {threshold}
+    """
+
+
+def simhash_oracle_sql(
+    max_hamming: int = 3, table: str = "documents", ndocs_guard: int = 20000
+) -> str:
+    """Equivalent DuckDB SQL for :func:`simhash_near_duplicates` — the
+    SAME md5-derived 60-bit simhash, but candidates via a brute-force
+    pair join (the banding is exact for ``max_hamming`` <= 3, so the
+    operator's output must equal the brute-force ground truth; O(n²)
+    is fine at oracle scale)."""
+    votes = ", ".join(
+        f"SUM(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    packed = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+')) AS term
+      FROM {table}
+    ),
+    h AS (
+      SELECT doc_id, ('0x' || SUBSTR(md5(term), 1, 15))::BIGINT AS hv FROM toks
+    ),
+    votes AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id),
+    sim AS (SELECT doc_id, CAST({packed} AS BIGINT) AS simhash FROM votes)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(BIT_COUNT(XOR(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+    WHERE BIT_COUNT(XOR(a.simhash, b.simhash)) <= {max_hamming}
+    """
 
 
 def embedding_band_assignments(
@@ -368,6 +488,63 @@ def embedding_band_assignments(
     return exploded.withColumn(
         "_sub", F.floor((F.row_number().over(w) - F.lit(1)) / bucket_cap)
     )
+
+
+def embedding_neardup_oracle_sql(
+    dim: int,
+    threshold: float = 0.95,
+    num_bands: int = 4,
+    planes_per_band: int = 6,
+    seed: int = 42,
+    table: str = "embeddings",
+    ndigits: int = 6,
+) -> str:
+    """Equivalent DuckDB SQL for :func:`embedding_near_duplicates`:
+    the SAME hyperplanes (regenerated from ``seed`` and inlined as
+    literals — float64 repr round-trips exactly), the same banded
+    OR-of-ANDs candidate rule, the same rounded-cosine verify.
+
+    Valid whenever no (band, signature) bucket exceeds ``bucket_cap``
+    (always true at oracle scale: bucket size is bounded by the corpus
+    size), since then the operator's rank sub-split is a no-op.  Sign
+    agreement between numpy's matmul and DuckDB's list_dot_product
+    holds unless a dot product sits within ~1e-13 of zero, which has
+    negligible probability for real-valued embeddings."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((num_bands * planes_per_band, dim))
+
+    def plane_lit(row: np.ndarray) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in row) + "]"
+
+    sig_cols = []
+    for k in range(num_bands):
+        terms = " + ".join(
+            f"(CASE WHEN LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]), "
+            f"{plane_lit(planes[k * planes_per_band + p])}) > 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+            for p in range(planes_per_band)
+        )
+        sig_cols.append(f"({terms}) AS s{k}")
+    any_band = " OR ".join(f"a.s{k} = b.s{k}" for k in range(num_bands))
+    return f"""
+    WITH sig AS (
+      SELECT vec_id, {", ".join(sig_cols)} FROM {table}
+    ),
+    cand AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM sig a JOIN sig b ON a.vec_id < b.vec_id AND ({any_band})
+    )
+    SELECT c.id_a, c.id_b,
+           ROUND(LIST_COSINE_SIMILARITY(
+             CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])
+           ), {ndigits}) AS cosine
+    FROM cand c
+    JOIN {table} ea ON ea.vec_id = c.id_a
+    JOIN {table} eb ON eb.vec_id = c.id_b
+    WHERE ROUND(LIST_COSINE_SIMILARITY(
+            CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])
+          ), {ndigits}) >= {threshold}
+    """
 
 
 def embedding_near_duplicates(
