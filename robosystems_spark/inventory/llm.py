@@ -514,6 +514,35 @@ def doc_search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(_docs(spark, sf_dir), _BM25_QUERY, k=25)
 
 
+def _hybrid_oracle() -> str:
+    from robosystems_spark.operators.search import hybrid_rrf_oracle_sql
+
+    return hybrid_rrf_oracle_sql(_BM25_QUERY, query_vec_id=0, k=20)
+
+
+@register(
+    "hybrid_search_rrf",
+    oracle=_hybrid_oracle(),
+    doc="Hybrid lexical+vector retrieval via reciprocal-rank fusion: BM25 "
+    "top-100 and cosine top-100 candidate lists fused with 1/(60+rank) "
+    "(Cormack RRF) — two TakeOrderedAndProject plans, deterministic ranks, "
+    "full DuckDB oracle.",
+    tags=("text", "search", "embedding"),
+    bench=True,
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from robosystems_spark.operators.search import hybrid_rrf_topk
+
+    emb = _emb(spark, sf_dir)
+    return hybrid_rrf_topk(
+        _docs(spark, sf_dir),
+        emb,
+        _BM25_QUERY,
+        emb.filter(F.col("vec_id") == 0).select("embedding"),
+        k=20,
+    )
+
+
 @register(
     "doc_search_bm25_indexed",
     oracle=_bm25_oracle(),

@@ -88,6 +88,121 @@ def bm25_topk(
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
 
 
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_terms: list[str],
+    query_vec,
+    k: int = 10,
+    n_candidates: int = 100,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ndigits: int = 9,
+) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion: fuse a BM25 ranking
+    and an embedding-cosine ranking with
+    ``rrf = Σ_systems 1/(rrf_k + rank)`` (Cormack et al.'s RRF — the
+    standard lexical+vector hybrid).
+
+    Each system contributes only its top ``n_candidates`` (two
+    TakeOrderedAndProject plans — no global sorts), ranks use total
+    orders (rounded score DESC, id ASC), and a document missing from
+    one list contributes 0 for that system.  Deterministic end to end,
+    hence DuckDB-oracle-able (:func:`hybrid_rrf_oracle_sql`).
+
+    ``query_vec`` is a 1-row DataFrame with (``vec_col``,) — the query
+    embedding; it is broadcast against the corpus.
+    """
+    from pyspark.sql.window import Window
+
+    from robosystems_spark.functions import vector as V
+
+    lex = bm25_topk(
+        docs, query_terms, k=n_candidates, id_col=id_col, text_col=text_col
+    ).select(
+        F.col(id_col).alias("_id"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), F.asc(id_col)))
+        .alias("lex_rank"),
+    )
+
+    q = query_vec.select(F.col(vec_col).alias("_qv"))
+    vec = (
+        embeddings.crossJoin(F.broadcast(q))
+        .select(
+            F.col(vec_id_col).alias("_id"),
+            V.cosine(vec_col, "_qv").alias("_cos"),
+        )
+        .orderBy(F.desc("_cos"), F.asc("_id"))
+        .limit(n_candidates)
+        .select(
+            "_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("_cos"), F.asc("_id")))
+            .alias("vec_rank"),
+        )
+    )
+
+    fused = lex.join(vec, "_id", "full_outer").select(
+        F.col("_id").alias(id_col),
+        F.round(
+            F.coalesce(1.0 / (F.lit(rrf_k) + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(rrf_k) + F.col("vec_rank")), F.lit(0.0)),
+            ndigits,
+        ).alias("rrf_score"),
+        F.col("lex_rank"),
+        F.col("vec_rank"),
+    )
+    return fused.orderBy(F.desc("rrf_score"), F.asc(id_col)).limit(k)
+
+
+def hybrid_rrf_oracle_sql(
+    query_terms: list[str],
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_candidates: int = 100,
+    rrf_k: int = 60,
+    k1: float = 1.2,
+    b: float = 0.75,
+    ndigits: int = 9,
+) -> str:
+    """Equivalent DuckDB SQL for :func:`hybrid_rrf_topk` with the query
+    vector taken from ``embeddings`` at ``query_vec_id``."""
+    bm25 = bm25_oracle_sql(query_terms, k=n_candidates, k1=k1, b=b)
+    return f"""
+    WITH lex0 AS ({bm25}),
+    lex AS (
+      SELECT doc_id AS _id,
+             CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS lex_rank
+      FROM lex0
+    ),
+    qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = {query_vec_id}),
+    vec0 AS (
+      SELECT e.vec_id AS _id,
+             ROUND(LIST_COSINE_SIMILARITY(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(qv.q AS DOUBLE[])), 6) AS cos
+      FROM embeddings e, qv
+      ORDER BY cos DESC, _id ASC
+      LIMIT {n_candidates}
+    ),
+    vec AS (
+      SELECT _id,
+             CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, _id ASC) AS INT) AS vec_rank
+      FROM vec0
+    )
+    SELECT COALESCE(lex._id, vec._id) AS doc_id,
+           ROUND(COALESCE(1.0 / ({rrf_k} + lex_rank), 0.0)
+                 + COALESCE(1.0 / ({rrf_k} + vec_rank), 0.0), {ndigits}) AS rrf_score,
+           lex_rank, vec_rank
+    FROM lex FULL OUTER JOIN vec ON lex._id = vec._id
+    ORDER BY rrf_score DESC, doc_id ASC
+    LIMIT {k}
+    """
+
+
 def bm25_oracle_sql(
     query_terms: list[str],
     k: int = 10,

@@ -70,3 +70,26 @@ def test_search_handles_unknown_terms(spark, docs, tmp_path):
     idx = SparkBM25Index(str(tmp_path / "idx4"))
     idx.index_documents(docs)
     assert idx.search(spark, ["zzzzznotaterm"], k=5).count() == 0
+
+
+def test_hybrid_rrf_fuses_and_stays_topk_shaped(spark, sf_dir):
+    """RRF hybrid: candidate lists are top-k plans (no global sort of
+    the corpus), missing-side docs contribute 0, ranks total-ordered."""
+    from robosystems_spark.inventory import REGISTRY, _ensure_loaded
+    from tests.test_plans import plan_of
+
+    _ensure_loaded()
+    df = REGISTRY["hybrid_search_rrf"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("TakeOrderedAndProject") >= 2  # both candidate lists + fusion
+    rows = df.collect()
+    assert rows and all(r["rrf_score"] > 0 for r in rows)
+    # fused score equals the closed form of the two ranks
+    for r in rows:
+        want = (1.0 / (60 + r["lex_rank"]) if r["lex_rank"] else 0.0) + (
+            1.0 / (60 + r["vec_rank"]) if r["vec_rank"] else 0.0
+        )
+        assert abs(r["rrf_score"] - want) < 1e-9
+    # descending fusion order with id tiebreak
+    keys = [(-r["rrf_score"], r["doc_id"]) for r in rows]
+    assert keys == sorted(keys)
