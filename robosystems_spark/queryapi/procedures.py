@@ -112,6 +112,28 @@ def _dispatch(spark: SparkSession, proc: str, arg: str, store=None) -> DataFrame
             return store.read(parts[0], version=int(parts[1]))
         except ValueError as exc:
             raise ProcedureError(str(exc)) from exc
+    if proc == "table_changes":
+        # change data feed: CALL table_changes('T', v_from[, v_to])
+        # returns row-level inserts/deletes between the two committed
+        # versions (updates appear as delete+insert pairs), computed
+        # from the commit log's file manifests — Delta CDF semantics
+        if store is None:
+            raise ProcedureError("table_changes requires a graph store")
+        parts = [p.strip().strip("'\"") for p in arg.split(",")] if arg else []
+        if len(parts) not in (2, 3) or not all(
+            p.lstrip("-").isdigit() for p in parts[1:]
+        ):
+            raise ProcedureError(
+                "table_changes requires (table_name, from_version[, to_version])"
+            )
+        try:
+            return store.changes(
+                parts[0],
+                int(parts[1]),
+                int(parts[2]) if len(parts) == 3 else None,
+            )
+        except ValueError as exc:
+            raise ProcedureError(str(exc)) from exc
     if proc == "table_history":
         if store is None:
             raise ProcedureError("table_history requires a graph store")

@@ -703,6 +703,69 @@ class GraphStore:
         df = self._read_raw(table, version)
         return df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df
 
+    def changes(
+        self, table: str, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Row-level change feed between two committed versions — the
+        Delta CDF analog, derived from the commit log's file manifests
+        rather than a persisted CDC column: only files that DIFFER
+        between the two versions are read (a point mutation on a
+        bucketed table touches one bucket's files, so the feed reads
+        one bucket, not the table).  Returns the to-version's columns
+        plus ``_change_type`` ('insert' | 'delete'); an update appears
+        as the row's delete+insert pair (pre/post images).  Rows merely
+        rewritten into new files unchanged cancel out via exceptAll
+        (multiset semantics, so duplicate rows are counted, not set-
+        collapsed).  Raises like time travel for unretained versions."""
+        v_to = self.version(table) if to_version is None else to_version
+        if from_version > v_to:
+            raise ValueError(
+                f"from_version {from_version} is newer than to_version {v_to}"
+            )
+        m_from = self._manifest_at(table, from_version)
+        m_to = self._manifest_at(table, v_to)
+        if m_from is None or m_to is None:
+            raise ValueError(
+                f"table {table!r} predates snapshot manifests — no change feed"
+            )
+        added = sorted(set(m_to) - set(m_from))
+        removed = sorted(set(m_from) - set(m_to))
+
+        # one column set for both sides: the to-version's declared
+        # schema (an ALTER inside the range reads old files with NULL
+        # for added columns / prunes dropped ones)
+        declared = self._declared_schema(table, v_to)
+        if declared is None:
+            from pyspark.sql import types as T
+
+            declared = T.StructType(
+                [
+                    f
+                    for f in self._read_raw(table, v_to).schema.fields
+                    if f.name != BUCKET_COL
+                ]
+            )
+        path = self.table_path(table)
+
+        def read_subset(files: list[str]) -> DataFrame:
+            if not files:
+                return self.spark.createDataFrame([], declared)
+            df = (
+                self.spark.read.schema(declared)
+                .option("basePath", path)
+                .parquet(*[os.path.join(path, f) for f in files])
+            )
+            return df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df
+
+        new_rows, old_rows = read_subset(added), read_subset(removed)
+        inserts = new_rows.exceptAll(old_rows).withColumn(
+            "_change_type", F.lit("insert")
+        )
+        deletes = old_rows.exceptAll(new_rows).withColumn(
+            "_change_type", F.lit("delete")
+        )
+        return inserts.unionByName(deletes)
+
     def create_table(
         self, table: str, schema, primary_keys: list[str] | None = None
     ) -> None:

@@ -189,3 +189,71 @@ def test_legacy_table_without_manifest_still_reads(spark, store, tmp_path):
     store.delete_where("Legacy", F.col("identifier") == 1)
     assert store._manifest_at("Legacy") is not None
     assert store.read("Legacy").count() == 1
+
+
+# -- change data feed (Delta CDF analog from the manifest diff) --------------
+
+
+def test_changes_reports_update_as_delete_insert_pair(spark, store):
+    _seed(spark, store)
+    v1 = store.version("T")
+    store.update_where("T", F.col("identifier") == 3, {"v": F.lit(99)})
+    feed = store.changes("T", v1).collect()
+    by_type = {}
+    for r in feed:
+        by_type.setdefault(r["_change_type"], []).append((r["identifier"], r["v"]))
+    assert by_type == {"insert": [(3, 99)], "delete": [(3, 0)]}
+
+
+def test_changes_append_and_delete(spark, store):
+    _seed(spark, store, n=8)
+    v1 = store.version("T")
+    store.copy_into(
+        "T",
+        spark.createDataFrame([(100, 7)], "identifier long, v long"),
+        primary_keys=["identifier"],
+    )
+    v2 = store.version("T")
+    store.delete_where("T", F.col("identifier") == 0)
+    # append window: one insert, nothing deleted
+    feed = store.changes("T", v1, v2).collect()
+    assert [(r["identifier"], r["_change_type"]) for r in feed] == [(100, "insert")]
+    # delete window: the removed row only (rewritten-unchanged rows cancel)
+    feed2 = store.changes("T", v2).collect()
+    assert [(r["identifier"], r["_change_type"]) for r in feed2] == [(0, "delete")]
+    # full window composes both
+    full = {(r["identifier"], r["_change_type"]) for r in store.changes("T", v1).collect()}
+    assert full == {(100, "insert"), (0, "delete")}
+
+
+def test_changes_empty_window_and_validation(spark, store):
+    _seed(spark, store, n=4)
+    v = store.version("T")
+    assert store.changes("T", v, v).count() == 0
+    with pytest.raises(ValueError, match="newer than"):
+        store.changes("T", v + 5, v)
+
+
+def test_changes_across_alter_uses_target_schema(spark, store):
+    _seed(spark, store, n=4)
+    v1 = store.version("T")
+    store.alter_add_column("T", "tag", "STRING")
+    store.update_where("T", F.col("identifier") == 1, {"tag": F.lit("x")})
+    feed = store.changes("T", v1).collect()
+    got = {(r["identifier"], r["tag"], r["_change_type"]) for r in feed}
+    assert got == {(1, "x", "insert"), (1, None, "delete")}
+
+
+def test_call_table_changes_procedure(spark, store):
+    from robosystems_spark.queryapi.procedures import execute_call
+
+    _seed(spark, store, n=4)
+    v1 = store.version("T")
+    store.update_where("T", F.col("identifier") == 2, {"v": F.lit(5)})
+    out = execute_call(
+        spark, f"CALL table_changes('T', {v1})", store=store
+    ).collect()
+    assert {(r["identifier"], r["v"], r["_change_type"]) for r in out} == {
+        (2, 5, "insert"),
+        (2, 0, "delete"),
+    }
