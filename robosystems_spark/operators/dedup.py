@@ -78,12 +78,24 @@ def distinct_shingles(
     id_col: str = "doc_id",
     shingle_k: int = 5,
 ) -> DataFrame:
-    """(id, _sh = distinct shingle array) — the shared input of both
-    the signature pipeline and the exact-Jaccard verify, so the corpus
-    is tokenized/shingled exactly once per near-dup run."""
+    """(id, _sh = distinct HASHED shingle array) — the shared input of
+    both the signature pipeline and the Jaccard verify, so the corpus
+    is tokenized/shingled/hashed exactly once per near-dup run.
+
+    Shingles are stored as their portable 60-bit md5 hash mod P (long),
+    not as strings: the checkpointed frame is ~an order of magnitude
+    smaller and the verify's array_intersect compares longs.  Jaccard
+    over hashed sets equals string Jaccard up to 60-bit collisions —
+    negligible, and mirrored exactly by the DuckDB oracle (which hashes
+    the same way), so engines always agree."""
+    hashed = F.transform(
+        shingles_of("_toks", shingle_k),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+        % MINHASH_P,
+    )
     return df.select(F.col(id_col), tokens(text_col).alias("_toks")).select(
         F.col(id_col),
-        F.array_distinct(shingles_of("_toks", shingle_k)).alias("_sh"),
+        F.array_distinct(hashed).alias("_sh"),
     )
 
 
@@ -125,12 +137,8 @@ def minhash_signatures(
         if shingles_df is not None
         else distinct_shingles(df, text_col, id_col, shingle_k)
     )
-    exploded = base.select(
-        F.col(id_col), F.explode("_sh").alias("_s")
-    ).withColumn(
-        "_h",
-        F.conv(F.substring(F.md5("_s"), 1, 15), 16, 10).cast("long") % MINHASH_P,
-    )
+    # _sh already holds the portable hashed shingles (distinct_shingles)
+    exploded = base.select(F.col(id_col), F.explode("_sh").alias("_h"))
 
     def perm(seed: int):
         a, b = minhash_perm_consts(seed)
@@ -377,14 +385,12 @@ def minhash_oracle_sql(
     ),
     sh AS (
       SELECT doc_id,
-             LIST_DISTINCT([ARRAY_TO_STRING(toks[i:i+{shingle_k - 1}], ' ')
+             LIST_DISTINCT([('0x' || SUBSTR(md5(ARRAY_TO_STRING(toks[i:i+{shingle_k - 1}], ' ')), 1, 15))::BIGINT % {MINHASH_P}
                             FOR i IN GENERATE_SERIES(1, GREATEST(LEN(toks) - {shingle_k - 1}, 1))]) AS shl
       FROM t
     ),
     h AS (
-      SELECT doc_id,
-             ('0x' || SUBSTR(md5(UNNEST(shl)), 1, 15))::BIGINT % {MINHASH_P} AS hm
-      FROM sh
+      SELECT doc_id, UNNEST(shl) AS hm FROM sh
     ),
     sig AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id),
     banded AS ({band_selects}),
