@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from robosystems_spark.inventory import register
 from robosystems_spark.io import read_table
+from robosystems_spark.operators import clustering as CL
 from robosystems_spark.operators import dedup as D
 from robosystems_spark.operators import similarity as S
 from robosystems_spark.operators import text as T
@@ -421,6 +422,20 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_vectors"),
         F.round(F.avg(norm), 6).alias("avg_l2_norm"),
     )
+
+
+@register(
+    "embedding_kmeans_clusters",
+    oracle=CL.kmeans_oracle_sql(k=8, iters=2, dim=64),
+    doc="Distributed k-means (2 Lloyd iterations, deterministic lowest-id init): "
+    "assignment is one Arrow matmul per batch, centroid update a posexplode "
+    "groupBy mean; per-step centroid rounding makes the iterative algorithm "
+    "hash-identical to the DuckDB unrolled-CTE oracle.",
+    tags=("similarity", "clustering"),
+    bench=True,
+)
+def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return CL.kmeans(_emb(spark, sf_dir), k=8, iters=2)
 
 
 # ---------------------------------------------------------------------------

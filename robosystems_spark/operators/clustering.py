@@ -1,0 +1,214 @@
+"""Distributed k-means document clustering over embedding columns.
+
+The LLM-curation use: cluster the corpus embedding space to stratify
+sampling, find topic-duplicate groups, or pick cluster representatives
+(operators/corpus.py).  The reference has no clustering operator — this
+extends the engine the way the brief's training-data pipeline requires.
+
+Spark-first shape: every Lloyd iteration is DataFrame work —
+assignment is one Arrow-batched matmul per batch
+(functions/vector.py nearest_centroid), the centroid update is
+``posexplode -> groupBy(cluster, dim) -> avg`` — so the corpus never
+leaves the cluster; only the (k x dim) centroid matrix is collected
+per iteration (exactly what Spark MLlib's KMeans collects).
+
+PORTABILITY CONTRACT (what makes this approximate-looking iterative
+algorithm hash-checkable against DuckDB): deterministic init (the k
+lowest-id vectors), float64 math, and every centroid element ROUNDed
+to ``round_decimals`` after each update on BOTH engines, which
+re-synchronizes the ~1e-15 summation-order drift before it can
+compound across iterations.  ``kmeans_oracle_sql`` emits the same
+computation as unrolled CTE chains (DuckDB list_cosine_similarity +
+per-dimension AVG + list(ORDER BY) rebuild).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from robosystems_spark.functions import vector as V
+
+
+def _init_centroids(
+    emb: DataFrame, k: int, vec_col: str, id_col: str, round_decimals: int
+) -> list[list[float]]:
+    """The k lowest-id vectors, cast to double and rounded — the
+    deterministic seed both engines agree on."""
+    rows = (
+        emb.orderBy(id_col)
+        .limit(k)
+        .select(
+            F.expr(
+                f"transform({vec_col}, x -> round(cast(x as double), "
+                f"{round_decimals}))"
+            ).alias("c")
+        )
+        .collect()
+    )
+    return [list(r["c"]) for r in rows]
+
+
+def _lloyd_update(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str,
+    id_col: str,
+    round_decimals: int,
+) -> list[list[float]]:
+    """One Lloyd step: assign, then per-cluster element-wise mean.
+    Empty clusters keep their previous centroid.  Only k x dim doubles
+    come back to the driver."""
+    assigned = emb.select(
+        F.col(vec_col), V.nearest_centroid(vec_col, centroids).alias("cid")
+    )
+    means = (
+        assigned.select("cid", F.posexplode(vec_col).alias("pos", "x"))
+        .groupBy("cid", "pos")
+        .agg(F.round(F.avg(F.col("x").cast("double")), round_decimals).alias("m"))
+        .groupBy("cid")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pairs"))
+        .select("cid", F.expr("transform(pairs, p -> p.m)").alias("c"))
+        .collect()
+    )
+    new = {r["cid"]: list(r["c"]) for r in means}
+    return [new.get(i, centroids[i]) for i in range(len(centroids))]
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_decimals: int = 9,
+) -> list[list[float]]:
+    """Train centroids with ``iters`` Lloyd updates from the
+    deterministic seed.  Returns the final (k x dim) centroid list."""
+    centroids = _init_centroids(emb, k, vec_col, id_col, round_decimals)
+    for _ in range(iters):
+        centroids = _lloyd_update(
+            emb, centroids, vec_col, id_col, round_decimals
+        )
+    return centroids
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Tag every vector with its nearest (max-cosine) centroid id —
+    ties break to the lowest id, matching the oracle's row_number."""
+    return emb.select(
+        F.col(id_col),
+        V.nearest_centroid(vec_col, centroids).alias("centroid_id"),
+    )
+
+
+def kmeans(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_decimals: int = 9,
+) -> DataFrame:
+    """Fit + final assignment: (id_col, centroid_id) for every vector."""
+    centroids = kmeans_fit(emb, k, iters, vec_col, id_col, round_decimals)
+    return kmeans_assign(emb, centroids, vec_col, id_col)
+
+
+def kmeans_cluster_profile(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Cluster size profile: (centroid_id, n_vectors) sorted by id —
+    the quick skew check before using clusters for stratification."""
+    return (
+        kmeans(emb, k, iters, vec_col, id_col)
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("centroid_id")
+    )
+
+
+def kmeans_oracle_sql(
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_decimals: int = 9,
+    profile: bool = False,
+) -> str:
+    """DuckDB SQL computing the identical clustering: the Lloyd loop
+    unrolled into ``iters`` chained (assign -> means -> rebuild) CTE
+    blocks with the same rounding contract.  ``profile`` emits the
+    (centroid_id, n_vectors) aggregate instead of per-vector rows."""
+    r = round_decimals
+    parts = [
+        f"""cent0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY {id_col}) - 1 AS INT) AS cid,
+         LIST_TRANSFORM(CAST({vec_col} AS DOUBLE[]), x -> ROUND(x, {r})) AS cvec
+  FROM (SELECT * FROM {table} ORDER BY {id_col} LIMIT {k})
+)"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""assign{i} AS (
+  SELECT {id_col}, cid FROM (
+    SELECT e.{id_col}, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.{id_col}
+             ORDER BY LIST_COSINE_SIMILARITY(CAST(e.{vec_col} AS DOUBLE[]), c.cvec) DESC,
+                      c.cid
+           ) AS rn
+    FROM {table} e CROSS JOIN cent{i} c
+  ) WHERE rn = 1
+)"""
+        )
+        parts.append(
+            f"""means{i} AS (
+  SELECT a.cid, gs.pos,
+         ROUND(AVG(CAST(e.{vec_col}[gs.pos] AS DOUBLE)), {r}) AS m
+  FROM assign{i} a
+  JOIN {table} e USING ({id_col})
+  CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(1, {dim})) AS pos) gs
+  GROUP BY a.cid, gs.pos
+)"""
+        )
+        parts.append(
+            f"""cent{i + 1} AS (
+  SELECT c.cid, COALESCE(m.cvec, c.cvec) AS cvec
+  FROM cent{i} c
+  LEFT JOIN (
+    SELECT cid, LIST(m ORDER BY pos) AS cvec FROM means{i} GROUP BY cid
+  ) m USING (cid)
+)"""
+        )
+    final = f"""final AS (
+  SELECT {id_col}, cid AS centroid_id FROM (
+    SELECT e.{id_col}, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.{id_col}
+             ORDER BY LIST_COSINE_SIMILARITY(CAST(e.{vec_col} AS DOUBLE[]), c.cvec) DESC,
+                      c.cid
+           ) AS rn
+    FROM {table} e CROSS JOIN cent{iters} c
+  ) WHERE rn = 1
+)"""
+    parts.append(final)
+    if profile:
+        select = (
+            "SELECT centroid_id, COUNT(*) AS n_vectors FROM final "
+            "GROUP BY centroid_id ORDER BY centroid_id"
+        )
+    else:
+        select = f"SELECT {id_col}, centroid_id FROM final"
+    return "WITH " + ",\n".join(parts) + "\n" + select
