@@ -89,22 +89,42 @@ def l2_norm(a: str | Column) -> Column:
     return _norm_udf(a)
 
 
-def nearest_centroid(vec_col: str | Column, centroids: list[list[float]]) -> Column:
-    """Argmax-cosine centroid id for every vector: ONE (batch, dim) @
-    (dim, k) matmul per Arrow batch against the broadcast-in-closure
-    centroid matrix — replaces k interpreted per-centroid dot
-    expressions (which also cost seconds of driver-side analysis for
-    large k)."""
+def nearest_centroid(
+    vec_col: str | Column,
+    centroids: list[list[float]],
+    metric: str = "cosine",
+) -> Column:
+    """Nearest-centroid id for every vector (argmax cosine, or argmin
+    squared-L2 with ``metric="l2"``): ONE (batch, dim) @ (dim, k)
+    matmul per Arrow batch against the broadcast-in-closure centroid
+    matrix — replaces k interpreted per-centroid dot expressions
+    (which also cost seconds of driver-side analysis for large k).
+    Ties break to the lowest centroid id (numpy first-extreme),
+    matching the oracles' row_number order."""
     C = np.array(centroids, dtype=np.float64)  # (k, dim)
-    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+    if metric == "cosine":
+        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+
+        @pandas_udf(IntegerType())
+        def _nearest(a: pd.Series) -> pd.Series:
+            A = _mat(a)
+            An = A / np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-300)
+            return pd.Series(np.argmax(An @ Cn.T, axis=1).astype(np.int32))
+
+        return _nearest(vec_col)
+    if metric != "l2":
+        raise ValueError(f"unknown metric {metric!r}")
+    cc = np.einsum("ij,ij->i", C, C)  # (k,)
 
     @pandas_udf(IntegerType())
-    def _nearest(a: pd.Series) -> pd.Series:
+    def _nearest_l2(a: pd.Series) -> pd.Series:
         A = _mat(a)
-        An = A / np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-300)
-        return pd.Series(np.argmax(An @ Cn.T, axis=1).astype(np.int32))
+        # ||x||^2 is constant per row — drop it; argmin over
+        # -2 x.c + ||c||^2 matches the oracle's full expansion
+        d2 = -2.0 * (A @ C.T) + cc[None, :]
+        return pd.Series(np.argmin(d2, axis=1).astype(np.int32))
 
-    return _nearest(vec_col)
+    return _nearest_l2(vec_col)
 
 
 def top_centroids(
@@ -127,6 +147,36 @@ def top_centroids(
         return pd.Series(list(order))
 
     return _probes(vec_col)
+
+
+def nearest_codes(
+    vec_col: str | Column, codebooks: list[list[list[float]]]
+) -> Column:
+    """Product-quantization encode: for each of the m codebooks (one
+    per contiguous subspace of the vector), the argmin-squared-L2 code
+    id — all m codes in ONE Arrow pass per batch (reshape to
+    (batch, m, sub_dim), one ||x-c||^2 distance tensor per codebook,
+    argmin with first-min = lowest-code tie-break, matching the
+    oracle's row_number order)."""
+    CBs = [np.array(cb, dtype=np.float64) for cb in codebooks]  # m x (k, d)
+    sub_dim = CBs[0].shape[1]
+    m = len(CBs)
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def _codes(a: pd.Series) -> pd.Series:
+        A = _mat(a).reshape(len(a), m, sub_dim)
+        codes = np.empty((len(a), m), dtype=np.int32)
+        for j, C in enumerate(CBs):
+            X = A[:, j, :]  # (batch, d)
+            d2 = (
+                np.einsum("ij,ij->i", X, X)[:, None]
+                - 2.0 * X @ C.T
+                + np.einsum("ij,ij->i", C, C)[None, :]
+            )
+            codes[:, j] = np.argmin(d2, axis=1)
+        return pd.Series(list(codes))
+
+    return _codes(vec_col)
 
 
 def cosine(

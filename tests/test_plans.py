@@ -94,11 +94,38 @@ def test_ann_paths_are_arrow_vectorized_not_row_at_a_time(spark, sf_dir):
     must be Arrow-batched (ArrowEvalPython), NEVER row-at-a-time
     Python UDFs (BatchEvalPython), and never interpreted nested-lambda
     expressions (no aggregate(zip_with(...)) in the plan)."""
-    for name in ("embedding_cosine_topk", "embedding_ivf_topk"):
+    for name in ("embedding_cosine_topk", "embedding_ivf_topk",
+                 "embedding_kmeans_clusters"):
         plan = plan_of(REGISTRY[name].fn(spark, sf_dir))
         assert "BatchEvalPython" not in plan, f"{name} fell back to a row UDF"
         assert "ArrowEvalPython" in plan, f"{name} lost Arrow vectorization"
         assert "zip_with" not in plan, f"{name} still has interpreted zip_with"
+
+
+def test_kmeans_lloyd_means_have_partial_aggregation(spark, sf_dir):
+    """The centroid update must combine map-side: a per-(cluster, dim)
+    mean without partial aggregation would shuffle every exploded
+    element row at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from robosystems_spark.operators import clustering as C
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = C._init_centroids(emb, 4, "embedding", "vec_id", 9)
+    from robosystems_spark.functions import vector as V
+
+    assigned = emb.select(
+        F.col("embedding"), V.nearest_centroid("embedding", cents).alias("cid")
+    )
+    means = (
+        assigned.select("cid", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("cid", "pos")
+        .agg(F.avg(F.col("x").cast("double")).alias("m"))
+    )
+    plan = plan_of(means)
+    # two HashAggregates (partial + final) around one exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "SortAggregate" not in plan
 
 
 def test_cypher_compiler_emits_joins_not_udfs(spark, sf_dir):

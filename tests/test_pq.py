@@ -1,0 +1,102 @@
+"""Product quantization: recall quality, determinism, plan discipline.
+
+(The cross-engine hash gate runs via test_oracle_inventory on the
+``embedding_pq_topk`` registry entry.)
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from robosystems_spark.operators import pq as PQ
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def codebooks(emb):
+    return PQ.pq_train_codebooks(emb, m=4, k=16, iters=1, dim=64)
+
+
+def _exact_l2_topk(spark, emb, query_ids, k):
+    """Brute-force squared-L2 top-k ground truth via column exprs."""
+    q = emb.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(embedding, qv, (a, b) -> "
+        "(cast(a as double) - cast(b as double)) * "
+        "(cast(a as double) - cast(b as double))), "
+        "cast(0.0 as double), (acc, x) -> acc + x)"
+    )
+    sims = emb.crossJoin(F.broadcast(q)).select(
+        "query_id", F.col("vec_id").alias("nn_id"), d2.alias("d2")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("nn_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def test_pq_recall_against_exact_l2(spark, emb, codebooks):
+    """ADC with m=4, k=16 codebooks must keep recall@10 well above
+    chance (10/500 = 2%) — the quantitative gate that the compressed
+    search still finds real neighbors."""
+    qids = [0, 1, 2]
+    queries = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    approx = PQ.pq_topk(emb, queries, codebooks, topk=10)
+    exact = _exact_l2_topk(spark, emb, qids, 10)
+    a = {(r["query_id"], r["nn_id"]) for r in approx.collect()}
+    e = {(r["query_id"], r["nn_id"]) for r in exact.collect()}
+    recall = len(a & e) / len(e)
+    assert recall >= 0.3, f"PQ recall@10 degraded to {recall}"
+    # the query vector itself must always be its own nearest neighbor
+    # (its own codes give the minimal table sum)
+    for qid in qids:
+        assert (qid, qid) in a
+
+
+def test_encode_is_partitioning_invariant(spark, emb, codebooks):
+    a = {(r["vec_id"], tuple(r["codes"]))
+         for r in PQ.pq_encode(emb, codebooks).collect()}
+    b = {(r["vec_id"], tuple(r["codes"]))
+         for r in PQ.pq_encode(emb.repartition(7), codebooks).collect()}
+    assert a == b
+
+
+def test_codes_shape_and_range(emb, codebooks):
+    rows = PQ.pq_encode(emb, codebooks).collect()
+    assert all(len(r["codes"]) == 4 for r in rows)
+    assert all(0 <= c < 16 for r in rows for c in r["codes"])
+
+
+def test_codebook_shapes(codebooks):
+    assert len(codebooks) == 4
+    assert all(len(cb) == 16 for cb in codebooks)
+    assert all(len(c) == 16 for cb in codebooks for c in cb)  # 64/4 dims
+
+
+def test_dim_divisibility_guard(emb):
+    with pytest.raises(ValueError, match="not divisible"):
+        PQ.pq_train_codebooks(emb, m=5, k=8, dim=64)
+
+
+def test_pq_search_plan_is_codegen_with_topk(spark, sf_dir, emb, codebooks):
+    """The ADC scan must be Arrow-encoded + JVM lookups: no row UDFs,
+    ranking never fully sorts (window top-k over small partitions)."""
+    from tests.test_plans import plan_of
+
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    plan = plan_of(PQ.pq_topk(emb, queries, codebooks, topk=5))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" in plan  # the encode UDF
