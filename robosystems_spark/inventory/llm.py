@@ -370,25 +370,31 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(emb, queries, k=10)
 
 
-# IVF centroids per sf_dir: trained once per corpus, reused by every
-# query call — the query path measures SEARCH, not Lloyd iterations
-# (recall@k vs the exact oracle is gated in tests/test_dedup.py).
+# IVF centroids per sf_dir: trained once per corpus (the PORTABLE
+# cosine Lloyd, clustering.kmeans_fit) and reused by every query call —
+# the query path measures SEARCH, not Lloyd iterations, and the
+# deterministic training is what lets the whole approximate pipeline
+# carry a DuckDB oracle (recall@k additionally gated in tests/test_dedup.py).
 _IVF_CENTROIDS: dict[str, list[list[float]]] = {}
 
 
 def _ivf_centroids(spark: SparkSession, sf_dir: str, num_centroids: int = 8):
     if sf_dir not in _IVF_CENTROIDS:
-        _IVF_CENTROIDS[sf_dir] = [
-            c for _, c in S.train_centroids(_emb(spark, sf_dir), num_centroids, iters=3)
-        ]
+        _IVF_CENTROIDS[sf_dir] = CL.kmeans_fit(
+            _emb(spark, sf_dir), k=num_centroids, iters=2, metric="cosine"
+        )
     return _IVF_CENTROIDS[sf_dir]
 
 
 @register(
     "embedding_ivf_topk",
-    oracle=None,
-    doc="IVF-bucketed approximate top-k over precomputed centroids: nprobe bucket "
-    "pruning, no training in the query path (rows-only; recall@k gate in tests).",
+    oracle=S.ivf_oracle_sql(
+        num_centroids=8, iters=2, dim=64, nprobe=3, k=10, n_queries=3
+    ),
+    doc="IVF-bucketed approximate top-k over precomputed portable centroids: "
+    "nprobe bucket pruning, no training in the query path. Train + assign + "
+    "probe + in-bucket exact cosine are all hash-checked against the DuckDB "
+    "oracle (the approximation itself is verified, not just row counts).",
     tags=("similarity",),
     bench=True,
 )

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from robosystems_spark.inventory import register
+from robosystems_spark.operators import sketches as SK
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -823,6 +824,22 @@ def approx_distinct_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFra
     return part.groupBy("p_brand").agg(
         F.approx_count_distinct("p_partkey", rsd=0.01).alias("approx_parts"),
         F.count(F.lit(1)).alias("rows"),
+    )
+
+
+@register(
+    "approx_distinct_portable_hll",
+    oracle=SK.portable_hll_oracle_sql("part", "p_brand", "p_partkey", p=9),
+    doc="HyperLogLog from portable column expressions (md5 hash, integer "
+    "bucket/rank extraction, bias-corrected estimator): the same sketch "
+    "computes bit-identically in Spark and DuckDB, so the APPROXIMATE "
+    "estimate itself is hash-checked — the oracle-able counterpart of the "
+    "native approx_count_distinct entry above.",
+    tags=("agg", "approx", "sketch"),
+)
+def approx_distinct_portable_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SK.portable_hll_distinct(
+        _t(spark, sf_dir, "part"), "p_brand", "p_partkey", p=9
     )
 
 

@@ -172,6 +172,86 @@ def ivf_topk(
     )
 
 
+def ivf_oracle_sql(
+    num_centroids: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    nprobe: int = 3,
+    k: int = 10,
+    n_queries: int = 3,
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_decimals: int = 9,
+) -> str:
+    """DuckDB SQL for the full IVF pipeline with PORTABLE centroids
+    (clustering.kmeans_fit's deterministic cosine Lloyd): train,
+    assign the corpus, probe the ``nprobe`` nearest centroids per
+    query, exact cosine within probed buckets, rank — bit-for-bit what
+    the registry entry computes with queries ``{id_col} < n_queries``.
+    Approximate-by-construction (a neighbor outside the probed buckets
+    is missed identically in both engines), so the approximation
+    itself is what gets hash-checked."""
+    from robosystems_spark.operators import clustering as CL
+
+    vec_fmt = f"CAST({{e}}{vec_col} AS DOUBLE[])"
+    elem_fmt = f"CAST({{e}}{vec_col}[gs.pos] AS DOUBLE)"
+    parts, cent = CL.lloyd_ctes(
+        "ivf_", num_centroids, iters, dim, table, vec_fmt, elem_fmt,
+        id_col, round_decimals, metric="cosine",
+    )
+    vec_sql = vec_fmt.format(e="e.")
+    parts.append(
+        f"""assigned AS (
+  SELECT {id_col}, cid FROM (
+    SELECT e.{id_col}, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.{id_col}
+             ORDER BY LIST_COSINE_SIMILARITY({vec_sql}, c.cvec) DESC, c.cid
+           ) AS rn
+    FROM {table} e CROSS JOIN {cent} c
+  ) WHERE rn = 1
+)"""
+    )
+    parts.append(
+        f"""probes AS (
+  SELECT query_id, cid FROM (
+    SELECT e.{id_col} AS query_id, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.{id_col}
+             ORDER BY LIST_COSINE_SIMILARITY({vec_sql}, c.cvec) DESC, c.cid
+           ) AS rn
+    FROM {table} e CROSS JOIN {cent} c
+    WHERE e.{id_col} < {n_queries}
+  ) WHERE rn <= {nprobe}
+)"""
+    )
+    parts.append(
+        f"""pairs AS (
+  SELECT p.query_id, a.{id_col} AS nn_id,
+         ROUND(LIST_COSINE_SIMILARITY(
+           CAST(e.{vec_col} AS DOUBLE[]), CAST(q.{vec_col} AS DOUBLE[])
+         ), 6) AS cosine
+  FROM probes p
+  JOIN assigned a USING (cid)
+  JOIN {table} e ON e.{id_col} = a.{id_col}
+  JOIN {table} q ON q.{id_col} = p.query_id
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT query_id, nn_id, cosine, rank FROM (
+  SELECT query_id, nn_id, cosine,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, nn_id ASC
+         ) AS INT) AS rank
+  FROM pairs
+) WHERE rank <= {k}"""
+    )
+
+
 def ivf_write_index(
     corpus: DataFrame,
     path: str,

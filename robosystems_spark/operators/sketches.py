@@ -1,0 +1,128 @@
+"""Engine-portable cardinality sketches as column expressions.
+
+``approx_count_distinct`` (SURVEY §2.4 A12) is the right production
+answer — Spark's native HLL++ merges across partitions in the JVM.
+But native sketches are engine-specific, so their estimates can only
+ever be rows-only checked.  This module implements classic
+HyperLogLog (Flajolet et al. 2007) from PORTABLE primitives — the
+md5-derived 60-bit hash the dedup pipeline already uses, bucket/rank
+extraction via integer arithmetic and exact binary-string length
+(no floating log2), and the standard bias-corrected estimator — so
+the SAME sketch computes bit-identically in Spark and DuckDB and the
+approximate result carries a hard oracle.
+
+Plan shape: two hash-aggregates (group,bucket max-rank -> group
+estimate), both with map-side partial aggregation — the sketch state
+per group is m=2^p registers, exactly HLL's scale contract.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# 60-bit portable hash (15 md5 hex chars), as in operators/dedup.py
+_HASH_BITS = 60
+
+
+def _alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def portable_hll_distinct(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    p: int = 9,
+    out_col: str = "approx_distinct",
+) -> DataFrame:
+    """Per-group HLL cardinality estimate, engine-portable.
+
+    bucket = h mod 2^p; rank = leading zeros of the remaining
+    ``60-p`` bits + 1 (computed as ``width - length(bin(w)) + 1`` —
+    exact integer/string ops, no log).  Register = max rank per
+    (group, bucket); estimate = alpha * m^2 / sum(2^-M) with the
+    standard small-range linear-counting correction.  The 2^-M terms
+    and their sum stay in double — identical in any engine up to
+    summation order, absorbed by the 4-decimal output rounding."""
+    m = 1 << p
+    width = _HASH_BITS - p
+    h = F.conv(
+        F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    bucket = h % m
+    # h >> p == h // 2^p for the non-negative 60-bit hash — integer
+    # shift, never the double-typed `/` (which loses bits past 2^53)
+    w = F.shiftright(h, p)
+    rank = F.when(w == 0, F.lit(width + 1)).otherwise(
+        F.lit(width) - F.length(F.bin(w)) + 1
+    )
+    regs = (
+        df.select(F.col(group_col), bucket.alias("_b"), rank.alias("_r"))
+        .groupBy(group_col, "_b")
+        .agg(F.max("_r").alias("_m"))
+    )
+    alpha = _alpha(m)
+    agg = regs.groupBy(group_col).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("_m"))).alias("_s"),
+        F.count(F.lit(1)).alias("_nb"),
+    )
+    raw = F.lit(alpha * m * m) / (F.col("_s") + (F.lit(m) - F.col("_nb")))
+    zeros = F.lit(m) - F.col("_nb")
+    corrected = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    return agg.select(
+        F.col(group_col), F.round(corrected, 4).alias(out_col)
+    )
+
+
+def portable_hll_oracle_sql(
+    table: str,
+    group_col: str,
+    value_col: str,
+    p: int = 9,
+    out_col: str = "approx_distinct",
+) -> str:
+    """DuckDB SQL computing the identical sketch (same hash, same
+    integer rank extraction via binary-string length, same estimator)."""
+    m = 1 << p
+    width = _HASH_BITS - p
+    alpha = _alpha(m)
+    return f"""
+    WITH hashed AS (
+      SELECT {group_col},
+             ('0x' || SUBSTR(MD5(CAST({value_col} AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM {table}
+    ),
+    ranked AS (
+      SELECT {group_col}, h % {m} AS b,
+             CASE WHEN h // {m} = 0 THEN {width + 1}
+                  ELSE {width} - LENGTH(FORMAT('{{:b}}', h // {m})) + 1
+             END AS r
+      FROM hashed
+    ),
+    regs AS (
+      SELECT {group_col}, b, MAX(r) AS mr FROM ranked GROUP BY {group_col}, b
+    ),
+    agg AS (
+      SELECT {group_col}, SUM(POWER(2.0, -mr)) AS s, COUNT(*) AS nb
+      FROM regs GROUP BY {group_col}
+    )
+    SELECT {group_col},
+           ROUND(CASE WHEN CAST({alpha * m * m!r} AS DOUBLE) / (s + ({m} - nb)) <= {2.5 * m}
+                       AND ({m} - nb) > 0
+                 THEN {float(m)} * LN({float(m)} / ({m} - nb))
+                 ELSE CAST({alpha * m * m!r} AS DOUBLE) / (s + ({m} - nb))
+                 END, 4) AS {out_col}
+    FROM agg
+    """

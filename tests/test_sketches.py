@@ -1,0 +1,66 @@
+"""Portable HLL sketch: accuracy, invariance, estimator regimes.
+
+(The cross-engine hash gate runs via test_oracle_inventory on the
+``approx_distinct_portable_hll`` registry entry.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from robosystems_spark.operators.sketches import portable_hll_distinct
+
+
+def test_accuracy_within_hll_error_bounds(spark, sf_dir):
+    """p=9 gives ~4.6% standard error; allow 4 sigma plus small-n slack."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    est = {
+        r["p_brand"]: r["approx_distinct"]
+        for r in portable_hll_distinct(part, "p_brand", "p_partkey").collect()
+    }
+    exact = {
+        r["p_brand"]: r["n"]
+        for r in part.groupBy("p_brand")
+        .agg(F.countDistinct("p_partkey").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for brand, n in exact.items():
+        assert abs(est[brand] - n) <= max(0.2 * n, 3), (
+            f"{brand}: est {est[brand]} vs exact {n}"
+        )
+
+
+def test_partitioning_invariance(spark, sf_dir):
+    """max-rank registers merge associatively — layout can't change
+    the estimate (the property that lets the sketch distribute)."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    a = sorted(
+        tuple(r) for r in portable_hll_distinct(part, "p_brand", "p_partkey").collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in portable_hll_distinct(
+            part.repartition(17), "p_brand", "p_partkey"
+        ).collect()
+    )
+    assert a == b
+
+
+def test_large_cardinality_leaves_linear_counting(spark):
+    """A group with cardinality >> m must use the raw HLL estimator
+    (every bucket hit) and still land near the truth."""
+    n = 20_000
+    df = spark.range(n).select(
+        F.lit("g").alias("g"), F.col("id").cast("string").alias("v")
+    )
+    est = portable_hll_distinct(df, "g", "v", p=9).first()["approx_distinct"]
+    assert abs(est - n) / n < 0.15
+
+
+def test_duplicates_do_not_inflate(spark):
+    df = spark.createDataFrame(
+        [("g", "x")] * 500 + [("g", "y")] * 300, ["g", "v"]
+    )
+    est = portable_hll_distinct(df, "g", "v").first()["approx_distinct"]
+    assert 1.5 <= est <= 2.5
