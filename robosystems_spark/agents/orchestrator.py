@@ -120,7 +120,9 @@ class AgentOrchestrator:
                 response = self._round_robin(query, mode, history, context)
                 strategy = "round_robin"
             else:
-                response = self._best_match(query, mode, history, context, criteria)
+                response = self._best_match(
+                    query, mode, history, context, criteria, callback
+                )
                 strategy = "best_match"
             response.metadata["routing_strategy"] = strategy
         except Exception as exc:
@@ -230,7 +232,7 @@ class AgentOrchestrator:
         )
 
     def _best_match(
-        self, query, mode, history, context, criteria
+        self, query, mode, history, context, criteria, callback=None
     ) -> AgentResponse:
         agents = self._eligible(criteria)
         min_conf = criteria.min_confidence if criteria else 0.0
@@ -243,11 +245,13 @@ class AgentOrchestrator:
         )
         if not scored or scored[0][0] < min_conf:
             return self._run(
-                self.config.fallback_agent, query, mode, history, context
+                self.config.fallback_agent, query, mode, history, context,
+                callback,
             )
         best_score, best_type = scored[0]
         resp = agents[best_type].analyze(
-            query, mode=mode, history=history, context=context
+            query, mode=mode, history=history, context=context,
+            callback=callback,
         )
         resp.confidence_score = best_score
         return resp

@@ -282,3 +282,52 @@ class TestRegistryAndOrchestrator:
         recs = orch.recommendations("revenue on the balance sheet")
         assert recs[0]["agent_type"] == "financial"
         assert recs[0]["confidence"] > recs[-1]["confidence"]
+
+
+class TestAgentService:
+    """Serving surface (reference agent router semantics)."""
+
+    def test_list_and_filter(self, toolkit):
+        from robosystems_spark.serving.agents import AgentService
+
+        svc = AgentService(toolkit)
+        out = svc.list_agents()
+        assert out["total"] >= 2
+        fin = svc.list_agents(capability="financial_analysis")
+        assert list(fin["agents"]) == ["financial"]
+
+    def test_sync_strategy_for_standard(self, toolkit):
+        from robosystems_spark.serving.agents import AgentService
+
+        svc = AgentService(toolkit)
+        resp = svc.analyze("count persons")
+        assert resp.agent_name == "Cypher Agent"
+
+    def test_extended_goes_async_with_progress(self, fin_toolkit):
+        from robosystems_spark.agents import AgentMode
+        from robosystems_spark.serving.agents import AgentService
+        from robosystems_spark.serving.tasks import TaskState
+
+        svc = AgentService(fin_toolkit)
+        task_id = svc.analyze(
+            "full revenue report", agent_type="financial",
+            mode=AgentMode.EXTENDED,
+        )
+        assert isinstance(task_id, str)
+        info = svc.runner.wait(task_id, timeout_s=120)
+        assert info.state == TaskState.COMPLETED
+        assert info.result.agent_name == "Financial Agent"
+        assert any("analysis" in e.get("message", "") for e in info.events)
+        events = list(svc.sse_progress(task_id))
+        assert events and events[0].operation_id == task_id
+
+    def test_sync_override(self, fin_toolkit):
+        from robosystems_spark.agents import AgentMode
+        from robosystems_spark.serving.agents import AgentService
+
+        svc = AgentService(fin_toolkit)
+        resp = svc.analyze(
+            "full revenue report", agent_type="financial",
+            mode=AgentMode.EXTENDED, response_mode="sync",
+        )
+        assert resp.agent_name == "Financial Agent"
