@@ -807,6 +807,39 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(_docs(spark, sf_dir))
 
 
+@register(
+    "text_bigram_logprob",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS t
+      FROM documents
+    ),
+    big AS (
+      SELECT doc_id, t[gs.i] AS w1, t[gs.i + 1] AS w2
+      FROM toks, UNNEST(GENERATE_SERIES(1, LEN(t) - 1)) AS gs(i)
+      WHERE LEN(t) >= 2
+    ),
+    cb AS (SELECT w1, w2, COUNT(*) AS cb FROM big GROUP BY 1, 2),
+    c1 AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY 1),
+    vocab AS (
+      SELECT CAST(COUNT(DISTINCT tok) AS DOUBLE) AS v
+      FROM (SELECT UNNEST(t) AS tok FROM toks)
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           ROUND(AVG(LN((cb.cb + 0.5) / (c1.c1 + 0.5 * (SELECT v FROM vocab)))), 4)
+             AS avg_logprob
+    FROM big JOIN cb USING (w1, w2) JOIN c1 USING (w1)
+    GROUP BY doc_id
+    """,
+    doc="Per-document bigram LM score (add-k smoothed, corpus-trained counts) — "
+    "the perplexity-proxy quality signal: shared bigram explode, partial-agg "
+    "counts, vocabulary-keyed shuffle join, broadcast 1-row vocab size.",
+    tags=("text", "corpus"),
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.bigram_logprob(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # PII redaction — regex scrub over documents augmented with synthetic,
 # doc_id-derived PII (the raw corpus is word-soup with no PII, so the

@@ -184,3 +184,52 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     (/root/reference/robosystems/adapters/sec/processors/ids.py)."""
     normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     return df.select(id_col, F.md5(normalized.cast("binary")).alias("fingerprint"))
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 0.5,
+) -> DataFrame:
+    """Per-document bigram language-model score — the perplexity-proxy
+    quality signal corpus curation pipelines rank documents by (the
+    heavier cousin of quality_score's surface ratios): average
+    ``ln((c(w1,w2)+k) / (c(w1)+k*V))`` over the document's bigram
+    instances, with add-k smoothing against the corpus-trained counts.
+
+    Plan shape: one bigram explode shared by training and scoring,
+    count aggregations with map-side partials, a shuffle join keyed by
+    the bigram (the count tables are vocabulary-sized — never
+    broadcast by assumption; AQE may when they are actually small),
+    and the vocabulary size as a broadcast 1-row cross join.  Docs
+    with fewer than 2 tokens have no bigrams and drop out, like every
+    per-bigram aggregate.
+    """
+    toks = tokens(text_col)
+    base = df.select(F.col(id_col), toks.alias("_t")).filter(F.size("_t") >= 2)
+    pairs = base.select(
+        id_col,
+        F.explode(
+            F.expr("transform(sequence(1, size(_t) - 1), i -> "
+                   "struct(_t[i - 1] AS w1, _t[i] AS w2))")
+        ).alias("_p"),
+    ).select(id_col, F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+    cb = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_cb"))
+    c1 = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("_c1"))
+    vocab = (
+        df.select(F.explode(toks).alias("_tok"))
+        .agg(F.countDistinct("_tok").cast("double").alias("_v"))
+    )
+    lp = F.log((F.col("_cb") + k) / (F.col("_c1") + k * F.col("_v")))
+    return (
+        pairs.join(cb, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(id_col, lp.alias("_lp"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("_lp"), 4).alias("avg_logprob"),
+        )
+    )

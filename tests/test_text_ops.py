@@ -143,3 +143,24 @@ def test_top_ngrams_plan_is_take_ordered(spark, sf_dir):
     assert len(rows) == 50
     counts = [r["n_occurrences"] for r in rows]
     assert counts == sorted(counts, reverse=True)
+
+
+def test_bigram_logprob_semantics(spark):
+    """Repeated bigrams score higher than rare ones; <2-token docs drop."""
+    from robosystems_spark.operators.text import bigram_logprob
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat"),       # "the cat" repeats corpus-wide
+            (2, "the cat ran"),
+            (3, "zeb qux"),           # unique bigram
+            (4, "solo"),              # no bigram -> dropped
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in bigram_logprob(docs).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["n_bigrams"] == 2
+    # doc 3's only bigram is unseen elsewhere -> lowest avg logprob
+    assert out[3]["avg_logprob"] < out[1]["avg_logprob"]
+    assert all(r["avg_logprob"] < 0 for r in out.values())
