@@ -51,6 +51,7 @@ class OrchestratorConfig:
     cache_max_entries: int = 256
     ensemble_size: int = 2
     fallback_agent: str = "cypher"
+    enable_rag: bool = False  # context enrichment before routing
 
 
 class AgentOrchestrator:
@@ -61,11 +62,17 @@ class AgentOrchestrator:
         toolkit,
         complete_fn=None,
         config: OrchestratorConfig | None = None,
+        context_enricher=None,
     ):
         register_builtin_agents()
         self.toolkit = toolkit
         self.complete_fn = complete_fn
         self.config = config or OrchestratorConfig()
+        if context_enricher is None and self.config.enable_rag:
+            from robosystems_spark.agents.context import ContextEnricher
+
+            context_enricher = ContextEnricher()
+        self.context_enricher = context_enricher
         self._cache: dict[str, AgentResponse] = {}
         self._rr_index = 0
         self._metrics: dict = {
@@ -100,6 +107,8 @@ class AgentOrchestrator:
             cached.metadata["from_cache"] = True
             return cached
         self._metrics["cache_misses"] += 1
+        if self.context_enricher is not None:
+            context = self.context_enricher.enrich(query, context)
 
         try:
             if agent_type is not None:

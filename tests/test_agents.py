@@ -331,3 +331,55 @@ class TestAgentService:
             mode=AgentMode.EXTENDED, response_mode="sync",
         )
         assert resp.agent_name == "Financial Agent"
+
+
+class TestContextEnricher:
+    def test_semantic_memory_and_entities(self):
+        from robosystems_spark.agents.context import ContextEnricher, RAGConfig
+
+        enr = ContextEnricher(RAGConfig(similarity_threshold=0.1))
+        enr.remember("Quarterly revenue grew 12% for Initech",
+                     {"source": "q3-report"})
+        enr.remember("The cafeteria menu changed on Tuesday")
+        ctx = enr.enrich(
+            "What was the revenue growth in the 2024-03-31 filing? $5 million"
+        )
+        assert ctx["context_enriched"] is True
+        matches = ctx["semantic_matches"]
+        assert matches and "revenue" in matches[0]["content"].lower()
+        etypes = {e["type"] for e in ctx["entities"]}
+        assert {"date", "money"} <= etypes
+
+    def test_cache_and_passthrough_context(self):
+        from robosystems_spark.agents.context import ContextEnricher, RAGConfig
+
+        enr = ContextEnricher(RAGConfig(enable_caching=True))
+        first = enr.enrich("count the orders", {"user": "u1"})
+        assert "from_cache" not in first and first["user"] == "u1"
+        second = enr.enrich("count the orders", {"user": "u2"})
+        assert second["from_cache"] is True and second["user"] == "u2"
+
+    def test_orchestrator_rag_wiring(self, toolkit):
+        from robosystems_spark.agents.context import ContextEnricher, RAGConfig
+
+        enr = ContextEnricher(RAGConfig(similarity_threshold=0.0))
+        enr.remember("Persons are employees of companies")
+        orch = AgentOrchestrator(toolkit, context_enricher=enr)
+        resp = orch.route_query("how many persons per dept")
+        assert resp.metadata["row_count"] == 2  # enrichment didn't break routing
+
+    def test_vector_store_roundtrip(self):
+        from robosystems_spark.agents.context import (
+            DocumentChunk,
+            MemoryVectorStore,
+        )
+
+        store = MemoryVectorStore()
+        ids = store.add_documents(
+            [DocumentChunk(content="alpha beta"), DocumentChunk(content="gamma")]
+        )
+        assert len(ids) == 2
+        hits = store.search("alpha beta", k=1)
+        assert hits[0][0].content == "alpha beta"
+        store.delete_documents(ids)
+        assert store.search("alpha", k=5) == []
