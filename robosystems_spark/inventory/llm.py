@@ -16,6 +16,7 @@ from robosystems_spark.io import read_table
 from robosystems_spark.operators import clustering as CL
 from robosystems_spark.operators import dedup as D
 from robosystems_spark.operators import pq as PQ
+from robosystems_spark.operators import projection as PR
 from robosystems_spark.operators import similarity as S
 from robosystems_spark.operators import text as T
 
@@ -474,6 +475,18 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
     return PQ.pq_topk(emb, queries, _pq_codebooks(spark, sf_dir), topk=10)
+
+
+@register(
+    "embedding_random_projection",
+    oracle=PR.random_projection_oracle_sql(out_dim=16, dim=64, seed=42),
+    doc="Johnson-Lindenstrauss random projection 64→16 dims: one seeded "
+    "Gaussian matmul per Arrow batch, map-only (no shuffle); the seeded "
+    "matrix is bit-stable so the projection is hash-checked cross-engine.",
+    tags=("similarity", "projection"),
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return PR.random_projection(_emb(spark, sf_dir), out_dim=16, dim=64, seed=42)
 
 
 # ---------------------------------------------------------------------------

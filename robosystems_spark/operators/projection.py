@@ -1,0 +1,79 @@
+"""Random-projection dimensionality reduction for embedding columns.
+
+The Johnson-Lindenstrauss primitive of the embedding toolbox: project
+``dim``-dimensional vectors through a seeded Gaussian matrix to
+``out_dim`` dimensions, approximately preserving pairwise distances —
+the standard preprocessing that makes hyperplane LSH, clustering, and
+ANN cheaper at 100 TB (project once, bucket/search in the small
+space; operators/dedup.py's hyperplane LSH is the 1-bit extreme of
+the same idea).
+
+Spark shape: ONE (batch, dim) @ (dim, out_dim) matmul per Arrow batch
+against the closure-held matrix — a map-only pass, no shuffle.
+
+PORTABILITY: the matrix comes from numpy's RandomState(seed)
+(MT19937 — bit-stable across platforms and numpy versions), and the
+oracle embeds the identical values as SQL literals, so the projected
+output is hash-checkable like every other operator here.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, DoubleType
+
+
+def projection_matrix(dim: int, out_dim: int, seed: int = 42) -> np.ndarray:
+    """The seeded Gaussian JL matrix, scaled by 1/sqrt(out_dim) so
+    expected squared norms are preserved."""
+    rs = np.random.RandomState(seed)
+    return rs.standard_normal((dim, out_dim)) / np.sqrt(out_dim)
+
+
+def random_projection(
+    emb: DataFrame,
+    out_dim: int = 16,
+    dim: int = 64,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_decimals: int = 6,
+) -> DataFrame:
+    """(id, projected array<double>) — one matmul per Arrow batch."""
+    R = projection_matrix(dim, out_dim, seed)
+    r = round_decimals
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def _project(a: pd.Series) -> pd.Series:
+        A = np.array(a.tolist(), dtype=np.float64)
+        return pd.Series(list(np.round(A @ R, r)))
+
+    return emb.select(F.col(id_col), _project(vec_col).alias("projected"))
+
+
+def random_projection_oracle_sql(
+    out_dim: int = 16,
+    dim: int = 64,
+    seed: int = 42,
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_decimals: int = 6,
+) -> str:
+    """DuckDB SQL computing the identical projection: one
+    LIST_DOT_PRODUCT against the same matrix column, per output dim."""
+    R = projection_matrix(dim, out_dim, seed)
+    cols = []
+    for j in range(out_dim):
+        lits = ", ".join(repr(float(v)) for v in R[:, j])
+        cols.append(
+            f"ROUND(LIST_DOT_PRODUCT(CAST({vec_col} AS DOUBLE[]), "
+            f"[{lits}]), {round_decimals})"
+        )
+    return (
+        f"SELECT {id_col}, [{', '.join(cols)}] AS projected FROM {table}"
+    )

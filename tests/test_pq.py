@@ -100,3 +100,27 @@ def test_pq_search_plan_is_codegen_with_topk(spark, sf_dir, emb, codebooks):
     plan = plan_of(PQ.pq_topk(emb, queries, codebooks, topk=5))
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" in plan  # the encode UDF
+
+
+def test_random_projection_preserves_relative_distances(spark, emb):
+    """JL property: after 64→16 projection, pairwise distance RATIOS
+    stay within a loose band (enough to bucket/cluster in the small
+    space)."""
+    import numpy as np
+
+    from robosystems_spark.operators.projection import random_projection
+
+    orig = {r["vec_id"]: np.array(r["embedding"], dtype=float)
+            for r in emb.filter("vec_id < 40").collect()}
+    proj = {r["vec_id"]: np.array(r["projected"])
+            for r in random_projection(emb.filter("vec_id < 40")).collect()}
+    ids = sorted(orig)
+    ratios = []
+    for i in range(0, len(ids) - 1, 2):
+        a, b = ids[i], ids[i + 1]
+        d0 = np.linalg.norm(orig[a] - orig[b])
+        d1 = np.linalg.norm(proj[a] - proj[b])
+        if d0 > 0:
+            ratios.append(d1 / d0)
+    assert 0.5 < np.median(ratios) < 1.5
+    assert all(0.2 < r < 2.5 for r in ratios)
