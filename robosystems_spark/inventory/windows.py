@@ -227,3 +227,98 @@ def events_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from robosystems_spark.streaming.stateful import running_user_profile
 
     return running_user_profile(_events(spark, sf_dir))
+
+
+@register(
+    "events_funnel_conversion",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t0 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t1
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click'
+        AND e.ts > v.t0 AND e.ts <= v.t0 + INTERVAL 24 HOUR
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase'
+        AND e.ts > c.t1 AND e.ts <= c.t1 + INTERVAL 24 HOUR
+      GROUP BY e.user_id
+    ),
+    steps AS (
+      SELECT 'view' AS step, 1 AS step_order, COUNT(*) AS n_users FROM v
+      UNION ALL
+      SELECT 'click', 2, COUNT(*) FROM c
+      UNION ALL
+      SELECT 'purchase', 3, COUNT(*) FROM p
+    )
+    SELECT step, step_order, n_users,
+           ROUND(CAST(n_users AS DOUBLE)
+                 / (SELECT n_users FROM steps WHERE step_order = 1), 4)
+             AS conversion
+    FROM steps
+    """,
+    doc="Ordered funnel conversion (view -> click -> purchase, 24h step gap): "
+    "each stage is the min event time after the previous stage per user — "
+    "three keyed aggregations + user-keyed joins, entry count broadcast "
+    "for the conversion ratio.",
+    tags=("window", "events", "funnel"),
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    gap = F.expr("INTERVAL 24 HOURS")
+
+    def stage(prev: DataFrame, prev_ts: str, etype: str, out_ts: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .join(prev, "user_id")
+            .filter(
+                (F.col("ts") > F.col(prev_ts))
+                & (F.col("ts") <= F.col(prev_ts) + gap)
+            )
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out_ts))
+        )
+
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    c = stage(v, "t0", "click", "t1")
+    p = stage(c, "t1", "purchase", "t2")
+    steps = (
+        v.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit("view").alias("step"), F.lit(1).alias("step_order"), "n_users"
+        )
+        .unionByName(
+            c.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit("click").alias("step"),
+                F.lit(2).alias("step_order"),
+                "n_users",
+            )
+        )
+        .unionByName(
+            p.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit("purchase").alias("step"),
+                F.lit(3).alias("step_order"),
+                "n_users",
+            )
+        )
+    )
+    entry = (
+        v.agg(F.count(F.lit(1)).alias("_n0"))
+    )
+    return steps.crossJoin(F.broadcast(entry)).select(
+        "step",
+        "step_order",
+        "n_users",
+        F.round(F.col("n_users").cast("double") / F.col("_n0"), 4).alias(
+            "conversion"
+        ),
+    )
