@@ -149,6 +149,20 @@ def _dispatch(spark: SparkSession, proc: str, arg: str, store=None) -> DataFrame
             rows or [(0, "", 0.0, "")],
             "v bigint, op string, ts double, detail string",
         ).filter("op <> ''")
+    if proc == "table_compact":
+        # maintenance: CALL table_compact('T') bin-packs small files
+        # (Delta OPTIMIZE analog, GraphStore.compact) and reports how
+        # many were replaced; 0 means the layout was already packed
+        if store is None:
+            raise ProcedureError("table_compact requires a graph store")
+        if not arg:
+            raise ProcedureError("table_compact requires a table name argument")
+        name = arg.strip().strip("'\"")
+        replaced = store.compact(name)
+        return spark.createDataFrame(
+            [(name, replaced, store.version(name))],
+            "table string, files_replaced bigint, version bigint",
+        )
     if proc == "current_setting":
         if not arg:
             raise ProcedureError("current_setting requires a setting name")

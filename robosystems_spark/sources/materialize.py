@@ -1197,6 +1197,105 @@ class GraphStore:
         self._rewrite(table, raw.join(ids, key_cols, "left_anti"))
         return n
 
+    # -- compaction (the Delta OPTIMIZE analog) -----------------------------
+
+    COMPACT_MIN_FILES = 4  # files per bucket (or per flat table) before
+    # compaction pays for itself
+    COMPACT_TARGET_BYTES = 128 << 20  # bin-pack target per output file
+
+    def compact(
+        self,
+        table: str,
+        target_file_bytes: int | None = None,
+        min_files: int | None = None,
+    ) -> int:
+        """Bin-pack small files into ~``target_file_bytes`` outputs —
+        the Delta ``OPTIMIZE`` analog.  Append-only commits (copy_into)
+        add files without ever merging them, so a long-lived table
+        accumulates one file set per commit; at 100 TB that means scans
+        open unbounded numbers of tiny parquet footers and schedule
+        sliver tasks.  Compaction rewrites ONLY the bucket partitions
+        whose retained-manifest file count reaches ``min_files``
+        (untouched buckets keep their files verbatim), publishing the
+        packed layout as a normal commit: readers pinned to older
+        versions keep their files until ``vacuum``, and time travel
+        across the compaction boundary still works.  Each oversized
+        bucket is split into ceil(bucket_bytes / target) outputs via a
+        deterministic row-hash salt, so a 1.5 TB bucket becomes ~12
+        right-sized files, not one monster.  Returns the number of
+        small files replaced (0 = nothing needed compacting, no commit
+        is written)."""
+        with self._write_lock(table):
+            n = self._compact_unlocked(table, target_file_bytes, min_files)
+            if n:
+                self._commit(table, "compact", {"files_replaced": n})
+            return n
+
+    def _compact_unlocked(
+        self,
+        table: str,
+        target_file_bytes: int | None = None,
+        min_files: int | None = None,
+    ) -> int:
+        target = self.COMPACT_TARGET_BYTES if target_file_bytes is None else target_file_bytes
+        threshold = self.COMPACT_MIN_FILES if min_files is None else min_files
+        if not self.exists(table):
+            return 0
+        manifest = self._current_manifest(table)
+        if not manifest:
+            return 0
+        root = self.table_path(table)
+
+        def _size(f: str) -> int:
+            try:
+                return os.path.getsize(os.path.join(root, f))
+            except OSError:
+                return 0
+
+        if self._is_bucketed(table):
+            by_bucket: dict[int, list[str]] = {}
+            for f in manifest:
+                head = f.split(os.sep, 1)[0]
+                if head.startswith(f"{BUCKET_COL}="):
+                    by_bucket.setdefault(int(head.split("=", 1)[1]), []).append(f)
+            # a bucket needs compacting when merging would reduce its
+            # file count: many files, fewer target-size outputs
+            plan: dict[int, int] = {}
+            for b, files in by_bucket.items():
+                n_out = max(1, -(-sum(_size(f) for f in files) // target))
+                if len(files) >= threshold and n_out < len(files):
+                    plan[b] = n_out
+            if not plan:
+                return 0
+            buckets = sorted(plan)
+            raw = self._read_raw(table).filter(F.col(BUCKET_COL).isin(buckets))
+            # per-bucket split count via a literal map; the salt is a
+            # deterministic row hash so each (bucket, salt) group lands
+            # in exactly one task -> exactly sum(n_out) output files
+            splits = F.create_map(
+                *[F.lit(x) for b in buckets for x in (b, plan[b])]
+            )
+            salted = raw.withColumn(
+                "_cpack",
+                F.pmod(
+                    F.xxhash64(*[F.col(c) for c in raw.columns]),
+                    F.coalesce(splits[F.col(BUCKET_COL)], F.lit(1)),
+                ),
+            )
+            packed = salted.repartition(
+                sum(plan.values()), F.col(BUCKET_COL), F.col("_cpack")
+            ).drop("_cpack")
+            replaced = sum(len(by_bucket[b]) for b in buckets)
+            self._rewrite_buckets(table, packed, buckets)
+            return replaced
+
+        total = sum(_size(f) for f in manifest)
+        n_out = max(1, -(-total // target))
+        if len(manifest) < threshold or n_out >= len(manifest):
+            return 0
+        self._rewrite(table, self._read_raw(table).repartition(n_out))
+        return len(manifest)
+
     # -- rewrite plumbing ---------------------------------------------------
 
     @property

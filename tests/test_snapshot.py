@@ -257,3 +257,114 @@ def test_call_table_changes_procedure(spark, store):
         (2, 5, "insert"),
         (2, 0, "delete"),
     }
+
+
+# -- compaction (the Delta OPTIMIZE analog) ----------------------------------
+
+
+def _manifest_files_per_bucket(store, table):
+    out = {}
+    for f in store._current_manifest(table):
+        head = f.split(os.sep, 1)[0]
+        if head.startswith("rs_bucket="):
+            out.setdefault(head, []).append(f)
+    return out
+
+
+def test_compact_bin_packs_bucketed_appends(spark, store):
+    """Repeated copy_into appends leave one file set per commit;
+    compact merges each bucket to a single right-sized file with the
+    data, history, and time travel intact."""
+    for k in range(5):
+        store.copy_into(
+            "T",
+            spark.createDataFrame(
+                [(100 * k + i, k) for i in range(8)], "identifier long, v long"
+            ),
+            primary_keys=["identifier"],
+        )
+    before = _manifest_files_per_bucket(store, "T")
+    assert max(len(v) for v in before.values()) >= 2
+    rows_before = sorted(
+        (r["identifier"], r["v"]) for r in store.read("T").collect()
+    )
+    v_pre = store.version("T")
+
+    replaced = store.compact("T", min_files=2)
+    assert replaced > 0
+    assert store.version("T") == v_pre + 1
+
+    after = _manifest_files_per_bucket(store, "T")
+    assert set(after) == set(before)  # no bucket lost
+    assert all(len(v) == 1 for v in after.values())
+    rows_after = sorted(
+        (r["identifier"], r["v"]) for r in store.read("T").collect()
+    )
+    assert rows_after == rows_before
+    # time travel across the compaction boundary
+    assert store.read("T", version=v_pre).count() == len(rows_before)
+    # second compact is a no-op and writes no commit
+    assert store.compact("T", min_files=2) == 0
+    assert store.version("T") == v_pre + 1
+    # vacuum retires the pre-compact small files; data unchanged
+    assert store.vacuum("T", keep_last=1) > 0
+    assert sorted(
+        (r["identifier"], r["v"]) for r in store.read("T").collect()
+    ) == rows_before
+
+
+def test_compact_splits_oversized_bucket(spark, store):
+    """A bucket larger than the target file size packs into multiple
+    outputs (ceil(bytes/target)), not one monster file."""
+    for k in range(4):
+        store.copy_into(
+            "T",
+            spark.createDataFrame(
+                [(1000 * k + i, k) for i in range(200)],
+                "identifier long, v long",
+            ),
+            primary_keys=["identifier"],
+        )
+    before = _manifest_files_per_bucket(store, "T")
+    biggest = max(before.values(), key=len)
+    total = sum(
+        os.path.getsize(os.path.join(store.table_path("T"), f)) for f in biggest
+    )
+    target = max(total // 2, 1)  # forces ~2 outputs for that bucket
+    rows_before = store.read("T").count()
+
+    assert store.compact("T", target_file_bytes=target, min_files=3) > 0
+    after = _manifest_files_per_bucket(store, "T")
+    for b, files in after.items():
+        if len(before[b]) >= 3:
+            assert 1 <= len(files) <= max(2, len(before[b]) - 1)
+    assert store.read("T").count() == rows_before
+
+
+def test_compact_flat_table(spark, store):
+    """Non-bucketed tables compact to a repartitioned file set."""
+    for k in range(4):
+        store.copy_into(
+            "F",
+            spark.createDataFrame([(k, "x")], "a long, b string"),
+        )
+    assert len(store._current_manifest("F")) >= 4
+    rows = sorted((r["a"], r["b"]) for r in store.read("F").collect())
+    assert store.compact("F", min_files=2) >= 4
+    assert len(store._current_manifest("F")) == 1
+    assert sorted((r["a"], r["b"]) for r in store.read("F").collect()) == rows
+
+
+def test_call_table_compact_procedure(spark, store):
+    from robosystems_spark.queryapi.procedures import execute_call
+
+    for k in range(3):
+        store.copy_into(
+            "T",
+            spark.createDataFrame([(k, k)], "identifier long, v long"),
+            primary_keys=["identifier"],
+        )
+    out = execute_call(spark, "CALL table_compact('T')", store=store).collect()
+    assert out[0]["table"] == "T"
+    assert out[0]["files_replaced"] >= 0
+    assert out[0]["version"] == store.version("T")
