@@ -418,7 +418,11 @@ class GraphStore:
         }
         staged = self._staged_manifests.pop(table, None)
         if staged is not None:
-            record["files"] = staged
+            files, dv = staged
+            record["files"] = files
+            record["dv"] = (
+                self._prune_dv(self._dv_at(table), files) if dv is None else dv
+            )
         path = os.path.join(self._txn_dir(table), f"v{v:08d}.json")
         try:
             fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -435,10 +439,30 @@ class GraphStore:
 
     # -- file manifests (snapshot layer) ------------------------------------
 
-    def _stage_manifest(self, table: str, files: list[str]) -> None:
-        """Record the table's post-mutation file set for the next
-        ``_commit`` on this table (caller holds the write lock)."""
-        self._staged_manifests[table] = sorted(files)
+    def _stage_manifest(
+        self, table: str, files: list[str], dv: list[dict] | None = None
+    ) -> None:
+        """Record the table's post-mutation file set — and optionally
+        its deletion-vector entry list — for the next ``_commit`` on
+        this table (caller holds the write lock).  ``dv=None`` means
+        carry the previous version's entries forward, pruned to the
+        files that survive in ``files`` (an entry whose covered files
+        were all rewritten is retired automatically)."""
+        self._staged_manifests[table] = (sorted(files), dv)
+
+    @staticmethod
+    def _prune_dv(entries: list[dict], files: list[str]) -> list[dict]:
+        """Deletion-vector entries still relevant to ``files``: DV rows
+        address (file, row_index) of IMMUTABLE data files, so an entry
+        matters only while at least one of its covered files is still
+        in the manifest; coverage is trimmed to the intersection."""
+        fileset = set(files)
+        out = []
+        for e in entries:
+            inter = sorted(set(e.get("files", [])) & fileset)
+            if inter:
+                out.append({"path": e["path"], "files": inter})
+        return out
 
     def _record_at(self, table: str, version: int) -> dict | None:
         """The commit record for ``version`` (per-commit file or the
@@ -493,6 +517,94 @@ class GraphStore:
                 "manifests — cannot time-travel to it"
             )
         return None
+
+    # -- deletion vectors (merge-on-read deletes, the Delta DV analog) ------
+    #
+    # An eager point delete on a bucketed table rewrites the whole
+    # matching bucket — 1/n_buckets of the table, ~1.5 TB per bucket at
+    # 100 TB.  Merge-on-read instead writes a tiny sidecar parquet of
+    # (file, row_index) addresses under ``<table>/_dv/`` and records it
+    # in the commit; ``read()`` anti-joins the (small, broadcastable)
+    # sidecar against the scan's file/row lineage.  Because addresses
+    # name exact immutable files, a re-inserted row (new file) is never
+    # masked, and any rewrite/compaction of a file retires its DV
+    # entries automatically (``_prune_dv``).  ``vacuum`` collects
+    # sidecars no retained version references.
+
+    DV_FILE_COL = "__rs_dv_file"
+    DV_POS_COL = "__rs_dv_pos"
+
+    def _dv_at(self, table: str, version: int | None = None) -> list[dict]:
+        """Deletion-vector entries in effect at ``version`` (latest
+        committed when None); [] for legacy/pre-DV versions."""
+        v = self.version(table) if version is None else version
+        while v > 0:
+            rec = self._record_at(table, v)
+            if rec is None:
+                return []
+            if "files" in rec:
+                return list(rec.get("dv", []))
+            v -= 1
+        return []
+
+    def _with_lineage(self, df: DataFrame, table: str) -> DataFrame:
+        """Materialize each row's source-file address (path relative to
+        the table dir + parquet row index) as real columns — the join
+        key DV application and DV creation share.  Pure metadata
+        columns; no shuffle, no Python."""
+        root = os.path.abspath(self.table_path(table))
+        fp = F.col("_metadata.file_path")
+        rel = fp.substr(
+            F.locate(root + os.sep, fp) + F.lit(len(root) + 1), F.lit(1 << 20)
+        )
+        return df.withColumn(self.DV_FILE_COL, rel).withColumn(
+            self.DV_POS_COL, F.col("_metadata.row_index")
+        )
+
+    def _dv_df(self, table: str, entries: list[dict]) -> DataFrame:
+        paths = [os.path.join(self.table_path(table), e["path"]) for e in entries]
+        return self.spark.read.parquet(*paths).select(
+            self.DV_FILE_COL, self.DV_POS_COL
+        )
+
+    def _apply_dv(
+        self, df: DataFrame, table: str, entries: list[dict], keep_lineage: bool
+    ) -> DataFrame:
+        """Anti-join the deletion vectors out of a lineage-bearing scan.
+        The DV side is tiny relative to the data (point deletes), so
+        Catalyst broadcasts it — a map-side filter, no data shuffle."""
+        if entries:
+            df = df.join(
+                self._dv_df(table, entries),
+                [self.DV_FILE_COL, self.DV_POS_COL],
+                "left_anti",
+            )
+        if not keep_lineage:
+            df = df.drop(self.DV_FILE_COL, self.DV_POS_COL)
+        return df
+
+    def _write_dv_files(self, table: str, df: DataFrame) -> list[str]:
+        """Write a deletion-vector sidecar (columns DV_FILE_COL,
+        DV_POS_COL) under ``<table>/_dv/`` — an underscore dir, so data
+        scans never see it.  Same scratch-then-rename discipline as
+        data files; invisible until the commit references it."""
+        import uuid
+
+        live = os.path.join(self.table_path(table), "_dv")
+        os.makedirs(live, exist_ok=True)
+        scratch = os.path.join(self._tmp_root, f"{table}-dv-{uuid.uuid4().hex}")
+        df.coalesce(1).write.mode("overwrite").parquet(scratch)
+        moved: list[str] = []
+        for fn in os.listdir(scratch):
+            if fn.endswith(".parquet") and not fn.startswith((".", "_")):
+                os.rename(os.path.join(scratch, fn), os.path.join(live, fn))
+                moved.append(os.path.join("_dv", fn))
+        shutil.rmtree(scratch, ignore_errors=True)
+        try:
+            os.rmdir(self._tmp_root)
+        except OSError:
+            pass
+        return sorted(moved)
 
     def _current_manifest(self, table: str) -> list[str]:
         """Latest manifest for a mutation to build on; a legacy table
@@ -602,12 +714,14 @@ class GraphStore:
             return 0
         latest = self.version(table)
         referenced: set[str] = set()
+        dv_referenced: set[str] = set()
         saw_manifest = False
         for v in range(max(latest - keep + 1, 1), latest + 1):
             rec = self._record_at(table, v)
             if rec and "files" in rec:
                 saw_manifest = True
                 referenced.update(rec["files"])
+                dv_referenced.update(e["path"] for e in rec.get("dv", []))
         if not saw_manifest:
             return 0  # legacy table: the dir listing IS the data
         # advance the time-travel floor BEFORE deleting, so a crash
@@ -625,6 +739,20 @@ class GraphStore:
                     removed += 1
                 except FileNotFoundError:
                     pass
+        # deletion-vector sidecars no retained version references
+        dv_dir = os.path.join(root, "_dv")
+        if os.path.isdir(dv_dir):
+            for fn in os.listdir(dv_dir):
+                if os.path.join("_dv", fn) not in dv_referenced:
+                    try:
+                        os.unlink(os.path.join(dv_dir, fn))
+                        removed += 1
+                    except FileNotFoundError:
+                        pass
+            try:
+                os.rmdir(dv_dir)
+            except OSError:
+                pass
         for d in os.listdir(root):
             p = os.path.join(root, d)
             if d.startswith(f"{BUCKET_COL}=") and os.path.isdir(p) and not os.listdir(p):
@@ -671,7 +799,12 @@ class GraphStore:
             v -= 1
         return None
 
-    def _read_raw(self, table: str, version: int | None = None) -> DataFrame:
+    def _read_raw(
+        self,
+        table: str,
+        version: int | None = None,
+        with_lineage: bool = False,
+    ) -> DataFrame:
         path = self.table_path(table)
         manifest = self._manifest_at(table, version)
         declared = self._declared_schema(table, version)
@@ -681,7 +814,8 @@ class GraphStore:
             # a dropped column is pruned even where files still carry it.
             reader = reader.schema(declared)
         if manifest is None:
-            return reader.parquet(path)
+            df = reader.parquet(path)  # legacy layout: no manifest, no DV
+            return self._with_lineage(df, table) if with_lineage else df
         if not manifest:
             raise ValueError(
                 f"table {table!r} has no data files at version "
@@ -689,9 +823,14 @@ class GraphStore:
             )
         # explicit file list pinned to the manifest: the snapshot read.
         # basePath keeps partition-column (rs_bucket) discovery intact.
-        return reader.option("basePath", path).parquet(
+        df = reader.option("basePath", path).parquet(
             *[os.path.join(path, f) for f in manifest]
         )
+        dv = self._dv_at(table, version)
+        if dv or with_lineage:
+            df = self._with_lineage(df, table)
+            df = self._apply_dv(df, table, dv, keep_lineage=with_lineage)
+        return df
 
     def read(self, table: str, version: int | None = None) -> DataFrame:
         """Snapshot read: pins the file manifest of the latest committed
@@ -747,7 +886,12 @@ class GraphStore:
             )
         path = self.table_path(table)
 
-        def read_subset(files: list[str]) -> DataFrame:
+        dv_from = self._dv_at(table, from_version)
+        dv_to = self._dv_at(table, v_to)
+
+        def read_subset(
+            files: list[str], dv: list[dict], keep_lineage: bool = False
+        ) -> DataFrame:
             if not files:
                 return self.spark.createDataFrame([], declared)
             df = (
@@ -755,9 +899,36 @@ class GraphStore:
                 .option("basePath", path)
                 .parquet(*[os.path.join(path, f) for f in files])
             )
+            if dv or keep_lineage:
+                df = self._with_lineage(df, table)
+                df = self._apply_dv(df, table, dv, keep_lineage=keep_lineage)
             return df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df
 
-        new_rows, old_rows = read_subset(added), read_subset(removed)
+        new_rows = read_subset(added, dv_to)
+        old_rows = read_subset(removed, dv_from)
+
+        # rows masked by deletion vectors added in the window while
+        # their data file survived in BOTH manifests: those files show
+        # no manifest diff, so surface the masked rows as deletes.
+        # Only the files the to-version's DV entries actually cover are
+        # read — O(deletes), not O(table).
+        common = set(m_from) & set(m_to)
+        covered = sorted(
+            {f for e in dv_to for f in e.get("files", [])} & common
+        )
+        if covered:
+            pair_schema = f"{self.DV_FILE_COL} string, {self.DV_POS_COL} long"
+            pairs_from = (
+                self._dv_df(table, dv_from)
+                if dv_from
+                else self.spark.createDataFrame([], pair_schema)
+            )
+            new_pairs = self._dv_df(table, dv_to).exceptAll(pairs_from)
+            base = read_subset(covered, [], keep_lineage=True)
+            masked = base.join(
+                new_pairs, [self.DV_FILE_COL, self.DV_POS_COL], "left_semi"
+            ).drop(self.DV_FILE_COL, self.DV_POS_COL)
+            old_rows = old_rows.unionByName(masked)
         inserts = new_rows.exceptAll(old_rows).withColumn(
             "_change_type", F.lit("insert")
         )
@@ -1053,7 +1224,13 @@ class GraphStore:
         ).unionByName(df, allowMissingColumns=True)
         self._rewrite(table, merged)
 
-    def update_where(self, table: str, condition, assignments: dict) -> int:
+    def update_where(
+        self,
+        table: str,
+        condition,
+        assignments: dict,
+        merge_on_read: bool = False,
+    ) -> int:
         """UPDATE ... SET ... WHERE (the Cypher SET analog,
         save_view.py:180-199 update_report_metadata).  ``assignments``
         maps column -> Column/literal.  Rewrites only the bucket
@@ -1062,11 +1239,66 @@ class GraphStore:
         The condition is materialized ONCE into a temp column before
         any assignment applies, so every SET sees pre-update values
         (SQL UPDATE semantics) even when the condition references an
-        assigned column."""
+        assigned column.
+
+        ``merge_on_read`` updates write-amplification-free: the old row
+        images are masked by a deletion-vector sidecar and the updated
+        images appended as new files — O(rows updated) I/O instead of
+        O(bucket size), exactly Delta's MOR update.  A SET that
+        introduces a column the table doesn't have falls back to the
+        eager rewrite (appended-only files would carry a column the
+        untouched files lack)."""
         with self._write_lock(table):
-            n = self._update_where_unlocked(table, condition, assignments)
-            self._commit(table, "update_where", {"rows": n})
+            raw_cols = self._read_raw(table).columns
+            if merge_on_read and all(c in raw_cols for c in assignments):
+                n = self._update_mor_unlocked(table, condition, assignments)
+                detail = {"rows": n, "mode": "merge_on_read"}
+            else:
+                n = self._update_where_unlocked(table, condition, assignments)
+                detail = {"rows": n}
+            self._commit(table, "update_where", detail)
             return n
+
+    def _update_mor_unlocked(self, table: str, condition, assignments: dict) -> int:
+        cond = F.coalesce(condition, F.lit(False))
+        raw = self._read_raw(table, with_lineage=True)
+        hits = raw.filter(cond).cache()
+        n = hits.count()
+        if n == 0:
+            hits.unpersist()
+            return 0
+        addr = hits.select(self.DV_FILE_COL, self.DV_POS_COL)
+        covered = sorted(
+            r[0] for r in addr.select(self.DV_FILE_COL).distinct().collect()
+        )
+        dv_files = self._write_dv_files(table, addr)
+
+        updated = hits.drop(self.DV_FILE_COL, self.DV_POS_COL)
+        for col_name, value in assignments.items():
+            updated = updated.withColumn(
+                col_name, value if isinstance(value, Column) else F.lit(value)
+            )
+        meta = self._load_meta(table)
+        keys = meta.get("bucket_keys", [])
+        if BUCKET_COL in updated.columns and keys:
+            # an assignment may move a row between buckets: recompute
+            updated = updated.withColumn(
+                BUCKET_COL, _bucket_expr(keys, meta.get("n_buckets", self.n_buckets))
+            )
+            new_files = self._write_files(table, updated, partition_by=BUCKET_COL)
+        else:
+            new_files = self._write_files(
+                table, updated.drop(BUCKET_COL)
+                if BUCKET_COL in updated.columns
+                else updated,
+            )
+        hits.unpersist()
+        manifest = self._current_manifest(table) + new_files
+        entries = self._prune_dv(self._dv_at(table), manifest) + [
+            {"path": p, "files": covered} for p in dv_files
+        ]
+        self._stage_manifest(table, manifest, dv=entries)
+        return n
 
     def _update_where_unlocked(self, table: str, condition, assignments: dict) -> int:
         raw = self._read_raw(table)
@@ -1114,16 +1346,47 @@ class GraphStore:
             self._rewrite(table, updated)
         return n
 
-    def delete_where(self, table: str, condition) -> int:
+    def delete_where(
+        self, table: str, condition, merge_on_read: bool = False
+    ) -> int:
         """DELETE ... WHERE (DETACH DELETE analog, save_view.py:121-143).
 
         Rows where the condition is NULL are kept (SQL DELETE deletes
-        only WHERE-true rows).  Bucketed tables rewrite only the
-        partitions that contain deleted rows."""
+        only WHERE-true rows).  Eager mode rewrites only the bucket
+        partitions that contain deleted rows; ``merge_on_read`` instead
+        writes a deletion-vector sidecar addressing the victim rows by
+        (file, row_index) — O(rows deleted) I/O instead of O(bucket
+        size), the right mode for point deletes on a 100 TB table.
+        ``compact``/rewrites later materialize the deletions."""
         with self._write_lock(table):
-            n = self._delete_where_unlocked(table, condition)
-            self._commit(table, "delete_where", {"rows": n})
+            if merge_on_read:
+                n = self._delete_mor_unlocked(table, condition)
+                detail = {"rows": n, "mode": "merge_on_read"}
+            else:
+                n = self._delete_where_unlocked(table, condition)
+                detail = {"rows": n}
+            self._commit(table, "delete_where", detail)
             return n
+
+    def _delete_mor_unlocked(self, table: str, condition) -> int:
+        cond = F.coalesce(condition, F.lit(False))
+        raw = self._read_raw(table, with_lineage=True)
+        hits = raw.filter(cond).select(self.DV_FILE_COL, self.DV_POS_COL).cache()
+        n = hits.count()
+        if n == 0:
+            hits.unpersist()
+            return 0
+        covered = sorted(
+            r[0] for r in hits.select(self.DV_FILE_COL).distinct().collect()
+        )
+        dv_files = self._write_dv_files(table, hits)
+        hits.unpersist()
+        manifest = self._current_manifest(table)
+        entries = self._prune_dv(self._dv_at(table), manifest) + [
+            {"path": p, "files": covered} for p in dv_files
+        ]
+        self._stage_manifest(table, manifest, dv=entries)
+        return n
 
     def _delete_where_unlocked(self, table: str, condition) -> int:
         cond = F.coalesce(condition, F.lit(False))
@@ -1155,7 +1418,11 @@ class GraphStore:
         return before - kept_count
 
     def delete_where_in(
-        self, table: str, key_cols: list[str], ids: DataFrame
+        self,
+        table: str,
+        key_cols: list[str],
+        ids: DataFrame,
+        merge_on_read: bool = False,
     ) -> int:
         """DELETE rows whose ``key_cols`` tuple appears in ``ids`` (a
         DataFrame with those columns) — the distributed form of
@@ -1166,9 +1433,39 @@ class GraphStore:
         the per-bucket hit counts — ≤ n_buckets rows — are collected).
         Returns rows deleted."""
         with self._write_lock(table):
-            n = self._delete_where_in_unlocked(table, key_cols, ids)
-            self._commit(table, "delete_where_in", {"rows": n, "keys": key_cols})
+            if merge_on_read:
+                n = self._delete_mor_in_unlocked(table, key_cols, ids)
+                detail = {"rows": n, "keys": key_cols, "mode": "merge_on_read"}
+            else:
+                n = self._delete_where_in_unlocked(table, key_cols, ids)
+                detail = {"rows": n, "keys": key_cols}
+            self._commit(table, "delete_where_in", detail)
             return n
+
+    def _delete_mor_in_unlocked(
+        self, table: str, key_cols: list[str], ids: DataFrame
+    ) -> int:
+        raw = self._read_raw(table, with_lineage=True)
+        hits = (
+            raw.join(ids.select(*key_cols).distinct(), key_cols, "left_semi")
+            .select(self.DV_FILE_COL, self.DV_POS_COL)
+            .cache()
+        )
+        n = hits.count()
+        if n == 0:
+            hits.unpersist()
+            return 0
+        covered = sorted(
+            r[0] for r in hits.select(self.DV_FILE_COL).distinct().collect()
+        )
+        dv_files = self._write_dv_files(table, hits)
+        hits.unpersist()
+        manifest = self._current_manifest(table)
+        entries = self._prune_dv(self._dv_at(table), manifest) + [
+            {"path": p, "files": covered} for p in dv_files
+        ]
+        self._stage_manifest(table, manifest, dv=entries)
+        return n
 
     def _delete_where_in_unlocked(
         self, table: str, key_cols: list[str], ids: DataFrame
@@ -1410,12 +1707,15 @@ class GraphStore:
             with self._write_lock(t), child._write_lock(t):
                 src_root = self.table_path(t)
                 manifest = self._manifest_at(t)
+                dv_entries: list[dict] = []
                 if manifest is None:
-                    manifest = self._data_files(t)
+                    manifest = self._data_files(t)  # legacy: no DV possible
+                else:
+                    dv_entries = self._dv_at(t)
                 dest = child.table_path(t)
                 if os.path.exists(dest):
                     shutil.rmtree(dest)
-                for f in manifest:
+                for f in manifest + [e["path"] for e in dv_entries]:
                     dst = os.path.join(dest, f)
                     os.makedirs(os.path.dirname(dst), exist_ok=True)
                     shutil.copy2(os.path.join(src_root, f), dst)
@@ -1423,7 +1723,14 @@ class GraphStore:
                 if os.path.exists(src_meta):
                     os.makedirs(dest, exist_ok=True)
                     shutil.copy2(src_meta, child._meta_path(t))
-                child._stage_manifest(t, manifest)
+                child._stage_manifest(
+                    t,
+                    manifest,
+                    dv=[
+                        {"path": e["path"], "files": list(e.get("files", []))}
+                        for e in dv_entries
+                    ],
+                )
                 child._commit(t, "fork", {"from": self.graph_id})
         return child
 

@@ -368,3 +368,115 @@ def test_call_table_compact_procedure(spark, store):
     assert out[0]["table"] == "T"
     assert out[0]["files_replaced"] >= 0
     assert out[0]["version"] == store.version("T")
+
+
+# -- merge-on-read deletion vectors (Delta DV analog) ------------------------
+
+
+def test_mor_delete_masks_without_rewriting(spark, store):
+    """A merge-on-read delete leaves every data file in place (O(rows
+    deleted) I/O) and masks the victims via a sidecar the read
+    anti-joins out; time travel still sees them."""
+    _seed(spark, store)
+    files_v1 = store._current_manifest("T")
+    v1 = store.version("T")
+
+    n = store.delete_where("T", F.col("identifier") == 7, merge_on_read=True)
+    assert n == 1
+    assert store._current_manifest("T") == files_v1  # no data file touched
+    entries = store._dv_at("T")
+    assert len(entries) == 1 and entries[0]["files"]
+    assert store.read("T").count() == 23
+    assert store.read("T").filter("identifier = 7").count() == 0
+    assert store.read("T", version=v1).count() == 24  # pre-delete snapshot
+
+
+def test_mor_delete_reinserted_key_not_masked(spark, store):
+    """DV addresses (file, row_index) of immutable files, so a fresh
+    row with the same key in a NEW file is never masked."""
+    _seed(spark, store)
+    store.delete_where("T", F.col("identifier") == 5, merge_on_read=True)
+    store.copy_into(
+        "T",
+        spark.createDataFrame([(5, 42)], "identifier long, v long"),
+        primary_keys=["identifier"],
+    )
+    got = store.read("T").filter("identifier = 5").collect()
+    assert [(r["identifier"], r["v"]) for r in got] == [(5, 42)]
+    assert store.read("T").count() == 24
+
+
+def test_mor_update_appends_and_masks(spark, store):
+    """MOR update = DV the old images + append the new ones; the
+    change feed shows the delete+insert pair."""
+    _seed(spark, store)
+    v1 = store.version("T")
+    n = store.update_where(
+        "T", F.col("identifier") == 3, {"v": F.lit(9)}, merge_on_read=True
+    )
+    assert n == 1
+    assert store.read("T").filter("identifier = 3").collect()[0]["v"] == 9
+    assert store.read("T").count() == 24
+    feed = store.changes("T", v1).collect()
+    assert {(r["identifier"], r["v"], r["_change_type"]) for r in feed} == {
+        (3, 0, "delete"),
+        (3, 9, "insert"),
+    }
+    # old images survive for time travel
+    assert store.read("T", version=v1).filter("identifier = 3").collect()[0]["v"] == 0
+
+
+def test_mor_update_new_column_falls_back_to_eager(spark, store):
+    """A SET introducing a column the table lacks cannot append-only
+    (untouched files would miss the column) — falls back to rewrite."""
+    _seed(spark, store, n=6)
+    files_before = set(store._current_manifest("T"))
+    n = store.update_where(
+        "T", F.col("identifier") == 2, {"tag": F.lit("x")}, merge_on_read=True
+    )
+    assert n == 1
+    assert store._dv_at("T") == []  # eager path: no DV entry
+    assert set(store._current_manifest("T")) != files_before
+
+
+def test_mor_rewrite_materializes_and_vacuum_collects_sidecar(spark, store):
+    _seed(spark, store)
+    store.delete_where("T", F.col("identifier") < 4, merge_on_read=True)
+    assert store._dv_at("T")
+    assert store.compact("T", min_files=1) > 0
+    assert store._dv_at("T") == []  # every covered file was rewritten
+    assert store.read("T").count() == 20
+    store.vacuum("T", keep_last=1)
+    dv_dir = os.path.join(store.table_path("T"), "_dv")
+    assert not os.path.isdir(dv_dir) or not os.listdir(dv_dir)
+    assert store.read("T").count() == 20
+
+
+def test_mor_delete_where_in(spark, store):
+    _seed(spark, store)
+    ids = spark.createDataFrame([(1,), (2,), (99,)], "identifier long")
+    files_v1 = store._current_manifest("T")
+    n = store.delete_where_in("T", ["identifier"], ids, merge_on_read=True)
+    assert n == 2
+    assert store._current_manifest("T") == files_v1
+    assert store.read("T").count() == 22
+
+
+def test_fork_carries_deletion_vectors(spark, store):
+    _seed(spark, store)
+    store.delete_where("T", F.col("identifier") == 0, merge_on_read=True)
+    child = store.fork("kgsnapshot000000_dev")
+    assert child.read("T").count() == 23
+    assert child.read("T").filter("identifier = 0").count() == 0
+    assert child._dv_at("T")
+
+
+def test_eager_mutations_respect_existing_dv(spark, store):
+    """An eager update/delete on a DV-bearing table must not
+    resurrect masked rows."""
+    _seed(spark, store)
+    store.delete_where("T", F.col("identifier") == 11, merge_on_read=True)
+    store.update_where("T", F.col("identifier") >= 0, {"v": F.lit(7)})
+    assert store.read("T").count() == 23
+    assert store.read("T").filter("identifier = 11").count() == 0
+    assert {r["v"] for r in store.read("T").select("v").collect()} == {7}
