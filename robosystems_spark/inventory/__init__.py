@@ -94,6 +94,7 @@ def _ensure_loaded() -> None:
         graph,
         llm,
         relational,
+        subqueries,
         windows,
     )
 

@@ -222,7 +222,10 @@ class GraphStore:
         self.lock_stale_s = lock_stale_s
         # post-mutation file sets awaiting their _commit (keyed by
         # table; guarded by the per-table write lock)
-        self._staged_manifests: dict[str, list[str]] = {}
+        self._staged_manifests: dict[str, tuple] = {}
+        # per-file column stats gathered by _write_files, merged into
+        # the next commit's manifest (keyed by table -> relpath)
+        self._pending_stats: dict[str, dict[str, dict]] = {}
         os.makedirs(self.graph_path, exist_ok=True)
 
     @property
@@ -417,12 +420,21 @@ class GraphStore:
             "detail": detail or {},
         }
         staged = self._staged_manifests.pop(table, None)
+        pending_stats = self._pending_stats.pop(table, {})
         if staged is not None:
-            files, dv = staged
+            files, dv, stats = staged
             record["files"] = files
             record["dv"] = (
                 self._prune_dv(self._dv_at(table), files) if dv is None else dv
             )
+            if stats is None:
+                prev = self._stats_at(table)
+                stats = {}
+                for f in files:
+                    s = pending_stats.get(f, prev.get(f))
+                    if s:
+                        stats[f] = s
+            record["stats"] = stats
         path = os.path.join(self._txn_dir(table), f"v{v:08d}.json")
         try:
             fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -440,15 +452,21 @@ class GraphStore:
     # -- file manifests (snapshot layer) ------------------------------------
 
     def _stage_manifest(
-        self, table: str, files: list[str], dv: list[dict] | None = None
+        self,
+        table: str,
+        files: list[str],
+        dv: list[dict] | None = None,
+        stats: dict[str, dict] | None = None,
     ) -> None:
         """Record the table's post-mutation file set — and optionally
-        its deletion-vector entry list — for the next ``_commit`` on
-        this table (caller holds the write lock).  ``dv=None`` means
-        carry the previous version's entries forward, pruned to the
-        files that survive in ``files`` (an entry whose covered files
-        were all rewritten is retired automatically)."""
-        self._staged_manifests[table] = (sorted(files), dv)
+        its deletion-vector entry list and per-file stats — for the
+        next ``_commit`` on this table (caller holds the write lock).
+        ``dv=None`` means carry the previous version's entries forward,
+        pruned to the files that survive in ``files`` (an entry whose
+        covered files were all rewritten is retired automatically);
+        ``stats=None`` merges the stats ``_write_files`` gathered for
+        new files with the carried-forward stats of surviving ones."""
+        self._staged_manifests[table] = (sorted(files), dv, stats)
 
     @staticmethod
     def _prune_dv(entries: list[dict], files: list[str]) -> list[dict]:
@@ -517,6 +535,162 @@ class GraphStore:
                 "manifests — cannot time-travel to it"
             )
         return None
+
+    # -- per-file column statistics (the Delta data-skipping analog) --------
+    #
+    # Every committed data file carries its footer (min, max) per
+    # primitive column in the commit record, so ``read_where`` can
+    # prune the FILE LIST driver-side before Spark opens a single
+    # footer — at 100 TB the difference between scheduling tasks for
+    # every file and scheduling only the files whose range can match.
+    # Stats are gathered from the local parquet footers at write time
+    # (on a cluster the executors' write-task stats feed the same
+    # record).  Absent/unusable stats degrade to "keep the file" —
+    # pruning is always sound, never required.
+
+    _STATS_STR_TRUNC = 64
+
+    @staticmethod
+    def _file_column_stats(path: str) -> dict:
+        """JSON-safe per-column [min, max] from a parquet footer.
+        Strings are truncated conservatively (truncation lowers a min
+        — still a valid lower bound — and a truncated max gets a
+        high-sentinel suffix so it stays an upper bound); date/
+        timestamp become ISO strings, which compare lexicographically
+        in the right order.  Columns with any stats-less row group or
+        exotic type are omitted."""
+        import datetime
+
+        import pyarrow.parquet as pq
+
+        def conv(v, is_max: bool):
+            if isinstance(v, bool) or v is None:
+                return None
+            if isinstance(v, (int, float)):
+                return v
+            if isinstance(v, bytes):
+                try:
+                    v = v.decode("utf-8")
+                except UnicodeDecodeError:
+                    return None
+            if isinstance(v, str):
+                if len(v) > GraphStore._STATS_STR_TRUNC:
+                    v = v[: GraphStore._STATS_STR_TRUNC]
+                    if is_max:
+                        v += "\U0010ffff"
+                return v
+            if isinstance(v, (datetime.date, datetime.datetime)):
+                return v.isoformat()
+            return None
+
+        try:
+            md = pq.read_metadata(path)
+        except Exception:  # noqa: BLE001 — stats are best-effort
+            return {}
+        raw: dict[str, list] = {}
+        dead: set[str] = set()
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                name = col.path_in_schema
+                if name in dead or "." in name:  # nested: skip
+                    continue
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    dead.add(name)
+                    continue
+                cur = raw.get(name)
+                if cur is None:
+                    raw[name] = [st.min, st.max]
+                else:
+                    try:
+                        cur[0] = min(cur[0], st.min)
+                        cur[1] = max(cur[1], st.max)
+                    except TypeError:
+                        dead.add(name)
+        out = {}
+        for name, (mn, mx) in raw.items():
+            if name in dead:
+                continue
+            lo, hi = conv(mn, False), conv(mx, True)
+            if lo is not None and hi is not None:
+                out[name] = [lo, hi]
+        return out
+
+    def _stats_at(self, table: str, version: int | None = None) -> dict:
+        """Per-file column stats in effect at ``version`` (latest when
+        None); {} for legacy/pre-stats versions."""
+        v = self.version(table) if version is None else version
+        while v > 0:
+            rec = self._record_at(table, v)
+            if rec is None:
+                return {}
+            if "files" in rec:
+                return dict(rec.get("stats", {}))
+            v -= 1
+        return {}
+
+    @staticmethod
+    def _bound(v):
+        """Normalize a user predicate bound the way stats were stored."""
+        import datetime
+
+        if isinstance(v, (datetime.date, datetime.datetime)):
+            return v.isoformat()
+        return v
+
+    @classmethod
+    def _file_may_match(cls, stats: dict | None, predicates: dict) -> bool:
+        if not stats:
+            return True  # unknown -> must read
+        for col, (lo, hi) in predicates.items():
+            s = stats.get(col)
+            if not s:
+                continue
+            mn, mx = s
+            try:
+                if lo is not None and mx < cls._bound(lo):
+                    return False
+                if hi is not None and mn > cls._bound(hi):
+                    return False
+            except TypeError:
+                continue  # incomparable bound: keep the file
+        return True
+
+    def read_where(
+        self,
+        table: str,
+        predicates: dict[str, tuple],
+        version: int | None = None,
+    ) -> DataFrame:
+        """Stats-pruned snapshot read: ``predicates`` maps column ->
+        (lo, hi) closed bounds (None = unbounded on that side).  Files
+        whose footer range cannot intersect are dropped from the scan
+        driver-side — Delta data skipping over the commit manifest —
+        and the residual filter is applied on top, so the result is
+        row-identical to ``read().filter(...)``.  ``compact(...,
+        sort_by=[col])`` clusters rows so these ranges become tight."""
+        manifest = self._manifest_at(table, version)
+        residual = None
+        for col, (lo, hi) in predicates.items():
+            c = F.col(col)
+            for b in (
+                [c >= F.lit(lo)] if lo is not None else []
+            ) + ([c <= F.lit(hi)] if hi is not None else []):
+                residual = b if residual is None else (residual & b)
+        if manifest is None:
+            df = self.read(table, version)
+            return df.filter(residual) if residual is not None else df
+        stats = self._stats_at(table, version)
+        keep = [
+            f for f in manifest if self._file_may_match(stats.get(f), predicates)
+        ]
+        if not keep:
+            return self.read(table, version).filter(F.lit(False))
+        df = self._read_raw(table, version, file_subset=keep)
+        if BUCKET_COL in df.columns:
+            df = df.drop(BUCKET_COL)
+        return df.filter(residual) if residual is not None else df
 
     # -- deletion vectors (merge-on-read deletes, the Delta DV analog) ------
     #
@@ -681,6 +855,9 @@ class GraphStore:
             return self._write_files(
                 table, df.repartition(1), partition_by=None, _retry=False
             )
+        pending = self._pending_stats.setdefault(table, {})
+        for rel in moved:
+            pending[rel] = self._file_column_stats(os.path.join(live, rel))
         return sorted(moved)
 
     def _vacuum_floor(self, table: str) -> int:
@@ -804,9 +981,12 @@ class GraphStore:
         table: str,
         version: int | None = None,
         with_lineage: bool = False,
+        file_subset: list[str] | None = None,
     ) -> DataFrame:
         path = self.table_path(table)
         manifest = self._manifest_at(table, version)
+        if manifest is not None and file_subset is not None:
+            manifest = file_subset
         declared = self._declared_schema(table, version)
         reader = self.spark.read
         if declared is not None:
@@ -1505,6 +1685,7 @@ class GraphStore:
         table: str,
         target_file_bytes: int | None = None,
         min_files: int | None = None,
+        sort_by: list[str] | None = None,
     ) -> int:
         """Bin-pack small files into ~``target_file_bytes`` outputs —
         the Delta ``OPTIMIZE`` analog.  Append-only commits (copy_into)
@@ -1519,11 +1700,14 @@ class GraphStore:
         across the compaction boundary still works.  Each oversized
         bucket is split into ceil(bucket_bytes / target) outputs via a
         deterministic row-hash salt, so a 1.5 TB bucket becomes ~12
-        right-sized files, not one monster.  Returns the number of
-        small files replaced (0 = nothing needed compacting, no commit
-        is written)."""
+        right-sized files, not one monster.  ``sort_by`` clusters rows
+        on those columns (range-derived splits + in-file sort) so each
+        output file covers a tight value range — the Z-order-lite that
+        makes ``read_where``'s stats pruning actually skip files.
+        Returns the number of small files replaced (0 = nothing needed
+        compacting, no commit is written)."""
         with self._write_lock(table):
-            n = self._compact_unlocked(table, target_file_bytes, min_files)
+            n = self._compact_unlocked(table, target_file_bytes, min_files, sort_by)
             if n:
                 self._commit(table, "compact", {"files_replaced": n})
             return n
@@ -1533,6 +1717,7 @@ class GraphStore:
         table: str,
         target_file_bytes: int | None = None,
         min_files: int | None = None,
+        sort_by: list[str] | None = None,
     ) -> int:
         target = self.COMPACT_TARGET_BYTES if target_file_bytes is None else target_file_bytes
         threshold = self.COMPACT_MIN_FILES if min_files is None else min_files
@@ -1567,21 +1752,36 @@ class GraphStore:
             buckets = sorted(plan)
             raw = self._read_raw(table).filter(F.col(BUCKET_COL).isin(buckets))
             # per-bucket split count via a literal map; the salt is a
-            # deterministic row hash so each (bucket, salt) group lands
-            # in exactly one task -> exactly sum(n_out) output files
+            # deterministic row hash (or, when clustering, the row's
+            # rank range) so each (bucket, salt) group lands in exactly
+            # one task -> exactly sum(n_out) output files
             splits = F.create_map(
                 *[F.lit(x) for b in buckets for x in (b, plan[b])]
             )
-            salted = raw.withColumn(
-                "_cpack",
-                F.pmod(
-                    F.xxhash64(*[F.col(c) for c in raw.columns]),
-                    F.coalesce(splits[F.col(BUCKET_COL)], F.lit(1)),
-                ),
-            )
+            n_splits = F.coalesce(splits[F.col(BUCKET_COL)], F.lit(1))
+            if sort_by:
+                from pyspark.sql.window import Window
+
+                w = Window.partitionBy(BUCKET_COL).orderBy(
+                    *[F.col(c) for c in sort_by]
+                )
+                salt = F.least(
+                    F.floor(F.percent_rank().over(w) * n_splits),
+                    n_splits - 1,
+                ).cast("int")
+            else:
+                salt = F.pmod(
+                    F.xxhash64(*[F.col(c) for c in raw.columns]), n_splits
+                )
+            salted = raw.withColumn("_cpack", salt)
             packed = salted.repartition(
                 sum(plan.values()), F.col(BUCKET_COL), F.col("_cpack")
-            ).drop("_cpack")
+            )
+            if sort_by:
+                packed = packed.sortWithinPartitions(
+                    BUCKET_COL, "_cpack", *sort_by
+                )
+            packed = packed.drop("_cpack")
             replaced = sum(len(by_bucket[b]) for b in buckets)
             self._rewrite_buckets(table, packed, buckets)
             return replaced
@@ -1590,7 +1790,14 @@ class GraphStore:
         n_out = max(1, -(-total // target))
         if len(manifest) < threshold or n_out >= len(manifest):
             return 0
-        self._rewrite(table, self._read_raw(table).repartition(n_out))
+        flat = self._read_raw(table)
+        if sort_by:
+            flat = flat.repartitionByRange(
+                n_out, *[F.col(c) for c in sort_by]
+            ).sortWithinPartitions(*sort_by)
+        else:
+            flat = flat.repartition(n_out)
+        self._rewrite(table, flat)
         return len(manifest)
 
     # -- rewrite plumbing ---------------------------------------------------
@@ -1730,6 +1937,11 @@ class GraphStore:
                         {"path": e["path"], "files": list(e.get("files", []))}
                         for e in dv_entries
                     ],
+                    stats={
+                        f: s
+                        for f, s in self._stats_at(t).items()
+                        if f in set(manifest)
+                    },
                 )
                 child._commit(t, "fork", {"from": self.graph_id})
         return child

@@ -480,3 +480,78 @@ def test_eager_mutations_respect_existing_dv(spark, store):
     assert store.read("T").count() == 23
     assert store.read("T").filter("identifier = 11").count() == 0
     assert {r["v"] for r in store.read("T").select("v").collect()} == {7}
+
+
+# -- per-file stats + data skipping (Delta data-skipping analog) -------------
+
+
+def test_read_where_prunes_files_and_matches_filter(spark, store):
+    """Commit records carry footer (min,max) per column; read_where
+    drops non-overlapping files driver-side and returns rows identical
+    to read().filter(...)."""
+    for k in range(4):
+        store.copy_into(
+            "E",
+            spark.createDataFrame(
+                [(k * 100 + i, k) for i in range(40)], "id long, part long"
+            ),
+        )
+    assert store._stats_at("E")  # stats recorded at write time
+    full = store.read("E")
+    pruned = store.read_where("E", {"id": (120, 140)})
+    assert pruned.count() == full.filter("id between 120 and 140").count()
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    # open-ended bound
+    ge = store.read_where("E", {"id": (300, None)})
+    assert ge.count() == full.filter("id >= 300").count()
+    # impossible range: empty, schema intact
+    none = store.read_where("E", {"id": (10_000, 20_000)})
+    assert none.count() == 0
+    assert none.columns == full.columns
+
+
+def test_read_where_respects_dv_and_version(spark, store):
+    _seed(spark, store)
+    v1 = store.version("T")
+    store.delete_where("T", F.col("identifier") == 3, merge_on_read=True)
+    assert store.read_where("T", {"identifier": (0, 5)}).filter(
+        "identifier = 3"
+    ).count() == 0
+    assert (
+        store.read_where("T", {"identifier": (0, 5)}, version=v1)
+        .filter("identifier = 3")
+        .count()
+        == 1
+    )
+
+
+def test_sort_compact_tightens_ranges(spark, store):
+    """compact(sort_by=...) clusters rows so stats pruning actually
+    skips files on the sorted column."""
+    for k in range(4):
+        store.copy_into(
+            "T",
+            spark.createDataFrame(
+                [((k * 50 + i) % 200, i) for i in range(50)],
+                "identifier long, v long",
+            ),
+            primary_keys=["identifier"],
+        )
+    expect = store.read("T").filter("v between 0 and 5").count()
+    before = len(store.read_where("T", {"v": (0, 5)}).inputFiles())
+    assert store.compact("T", min_files=2, sort_by=["v"]) > 0
+    after_df = store.read_where("T", {"v": (0, 5)})
+    assert len(after_df.inputFiles()) < before
+    assert after_df.count() == expect
+
+
+def test_fork_carries_stats(spark, store):
+    for k in range(3):
+        store.copy_into(
+            "E", spark.createDataFrame([(k, k)], "id long, v long")
+        )
+    child = store.fork("kgsnapshot000000_dev")
+    assert child._stats_at("E")
+    assert len(child.read_where("E", {"id": (0, 0)}).inputFiles()) < len(
+        child.read("E").inputFiles()
+    )
