@@ -1680,12 +1680,67 @@ class GraphStore:
     # compaction pays for itself
     COMPACT_TARGET_BYTES = 128 << 20  # bin-pack target per output file
 
+    _ZORDER_BITS = 16  # per-column resolution of the Morton key
+
+    def _zorder_key(self, df: DataFrame, columns: list[str]) -> Column:
+        """Morton (Z-order) key over numeric columns: each value is
+        width-bucketed into 2^bits ranks between its observed min and
+        max, then the rank bits are interleaved — rows close in ANY
+        clustered dimension get close keys, so sorting by the key makes
+        every dimension's per-file (min, max) range tight.  This is the
+        multi-column clustering Delta's OPTIMIZE ZORDER BY performs;
+        single-column sort_by degenerates to a plain sort.  One tiny
+        aggregate (2 values per column) feeds the bucket bounds."""
+        numeric = {"int", "bigint", "smallint", "tinyint", "float", "double"}
+        dtypes = dict(df.dtypes)
+        for c in columns:
+            base = dtypes.get(c, "")
+            if base not in numeric and not base.startswith("decimal"):
+                raise ValueError(
+                    f"zorder_by column {c!r} has non-numeric type {base!r} — "
+                    "Z-ordering needs rankable numeric columns"
+                )
+        bounds = df.agg(
+            *[F.min(c).alias(f"_mn_{c}") for c in columns],
+            *[F.max(c).alias(f"_mx_{c}") for c in columns],
+        ).collect()[0]
+        n_buckets = 1 << self._ZORDER_BITS
+        ranks = []
+        for c in columns:
+            mn = float(bounds[f"_mn_{c}"] or 0.0)
+            mx = float(bounds[f"_mx_{c}"] or 0.0)
+            if mx <= mn:
+                ranks.append(F.lit(0).cast("long"))
+                continue
+            # width_bucket -> [1, n]; shift to [0, n-1]; NULLs low
+            ranks.append(
+                (
+                    F.width_bucket(
+                        F.coalesce(F.col(c).cast("double"), F.lit(mn)),
+                        F.lit(mn),
+                        F.lit(mx),
+                        F.lit(n_buckets),
+                    )
+                    - 1
+                )
+                .cast("long")
+            )
+        key = F.lit(0).cast("long")
+        one = F.lit(1).cast("long")
+        for bit in range(self._ZORDER_BITS - 1, -1, -1):
+            for r in ranks:
+                key = F.shiftleft(key, 1).bitwiseOR(
+                    F.shiftright(r, bit).bitwiseAND(one)
+                )
+        return key
+
     def compact(
         self,
         table: str,
         target_file_bytes: int | None = None,
         min_files: int | None = None,
         sort_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
     ) -> int:
         """Bin-pack small files into ~``target_file_bytes`` outputs —
         the Delta ``OPTIMIZE`` analog.  Append-only commits (copy_into)
@@ -1704,10 +1759,18 @@ class GraphStore:
         on those columns (range-derived splits + in-file sort) so each
         output file covers a tight value range — the Z-order-lite that
         makes ``read_where``'s stats pruning actually skip files.
+        ``zorder_by`` clusters on a Morton-interleaved key over SEVERAL
+        numeric columns instead (OPTIMIZE ZORDER BY analog) — range
+        predicates on any of the listed dimensions prune, where a
+        lexicographic ``sort_by`` only serves its leading column.
         Returns the number of small files replaced (0 = nothing needed
         compacting, no commit is written)."""
+        if sort_by and zorder_by:
+            raise ValueError("pass either sort_by or zorder_by, not both")
         with self._write_lock(table):
-            n = self._compact_unlocked(table, target_file_bytes, min_files, sort_by)
+            n = self._compact_unlocked(
+                table, target_file_bytes, min_files, sort_by, zorder_by
+            )
             if n:
                 self._commit(table, "compact", {"files_replaced": n})
             return n
@@ -1718,6 +1781,7 @@ class GraphStore:
         target_file_bytes: int | None = None,
         min_files: int | None = None,
         sort_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
     ) -> int:
         target = self.COMPACT_TARGET_BYTES if target_file_bytes is None else target_file_bytes
         threshold = self.COMPACT_MIN_FILES if min_files is None else min_files
@@ -1751,6 +1815,10 @@ class GraphStore:
                 return 0
             buckets = sorted(plan)
             raw = self._read_raw(table).filter(F.col(BUCKET_COL).isin(buckets))
+            zkey_drop: list[str] = []
+            if zorder_by:
+                raw = raw.withColumn("_zkey", self._zorder_key(raw, zorder_by))
+                sort_by, zkey_drop = ["_zkey"], ["_zkey"]
             # per-bucket split count via a literal map; the salt is a
             # deterministic row hash (or, when clustering, the row's
             # rank range) so each (bucket, salt) group lands in exactly
@@ -1781,7 +1849,7 @@ class GraphStore:
                 packed = packed.sortWithinPartitions(
                     BUCKET_COL, "_cpack", *sort_by
                 )
-            packed = packed.drop("_cpack")
+            packed = packed.drop("_cpack", *zkey_drop)
             replaced = sum(len(by_bucket[b]) for b in buckets)
             self._rewrite_buckets(table, packed, buckets)
             return replaced
@@ -1791,10 +1859,16 @@ class GraphStore:
         if len(manifest) < threshold or n_out >= len(manifest):
             return 0
         flat = self._read_raw(table)
+        zkey_drop = []
+        if zorder_by:
+            flat = flat.withColumn("_zkey", self._zorder_key(flat, zorder_by))
+            sort_by, zkey_drop = ["_zkey"], ["_zkey"]
         if sort_by:
-            flat = flat.repartitionByRange(
-                n_out, *[F.col(c) for c in sort_by]
-            ).sortWithinPartitions(*sort_by)
+            flat = (
+                flat.repartitionByRange(n_out, *[F.col(c) for c in sort_by])
+                .sortWithinPartitions(*sort_by)
+                .drop(*zkey_drop)
+            )
         else:
             flat = flat.repartition(n_out)
         self._rewrite(table, flat)

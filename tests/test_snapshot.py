@@ -555,3 +555,43 @@ def test_fork_carries_stats(spark, store):
     assert len(child.read_where("E", {"id": (0, 0)}).inputFiles()) < len(
         child.read("E").inputFiles()
     )
+
+
+def test_zorder_compact_prunes_both_dimensions(spark, store):
+    """Morton-interleaved clustering (OPTIMIZE ZORDER analog): after a
+    zorder_by compaction, range scans on EITHER clustered column skip
+    files — a lexicographic sort only serves its leading column."""
+    import random
+
+    rows = [(x, y, x * 100 + y) for x in range(40) for y in range(40)]
+    random.Random(7).shuffle(rows)
+    for k in range(4):
+        store.copy_into(
+            "G",
+            spark.createDataFrame(rows[k * 400 : (k + 1) * 400], "x long, y long, v long"),
+        )
+    bx = len(store.read_where("G", {"x": (0, 4)}).inputFiles())
+    by = len(store.read_where("G", {"y": (0, 4)}).inputFiles())
+    assert store.compact("G", min_files=2, zorder_by=["x", "y"], target_file_bytes=4000) > 0
+    ax = len(store.read_where("G", {"x": (0, 4)}).inputFiles())
+    ay = len(store.read_where("G", {"y": (0, 4)}).inputFiles())
+    assert ax < bx and ay < by
+    # row-identical to the unpruned filter on both dimensions
+    assert (
+        store.read_where("G", {"x": (0, 4)}).count()
+        == store.read("G").filter("x between 0 and 4").count()
+    )
+    assert (
+        store.read_where("G", {"y": (0, 4)}).count()
+        == store.read("G").filter("y between 0 and 4").count()
+    )
+    with pytest.raises(ValueError, match="not both"):
+        store.compact("G", sort_by=["x"], zorder_by=["y"])
+
+
+def test_zorder_rejects_non_numeric(spark, store):
+    store.copy_into(
+        "S", spark.createDataFrame([(1, "a")] * 8, "id long, name string")
+    )
+    with pytest.raises(ValueError, match="non-numeric"):
+        store.compact("S", min_files=1, zorder_by=["name"])
