@@ -163,6 +163,26 @@ def _dispatch(spark: SparkSession, proc: str, arg: str, store=None) -> DataFrame
             [(name, replaced, store.version(name))],
             "table string, files_replaced bigint, version bigint",
         )
+    if proc == "matview_refresh":
+        # CALL matview_refresh('V') advances an incremental
+        # materialized view to its source's latest version via the
+        # change feed (sources/matview.py) and reports what it did
+        if store is None:
+            raise ProcedureError("matview_refresh requires a graph store")
+        if not arg:
+            raise ProcedureError("matview_refresh requires a view name argument")
+        from robosystems_spark.sources.matview import refresh_materialized_view
+
+        name = arg.strip().strip("'\"")
+        try:
+            r = refresh_materialized_view(store, name)
+        except ValueError as exc:
+            raise ProcedureError(str(exc)) from exc
+        return spark.createDataFrame(
+            [(name, r["mode"], r["from_v"], r["to_v"], r["groups_touched"])],
+            "view string, mode string, from_v bigint, to_v bigint, "
+            "groups_touched bigint",
+        )
     if proc == "current_setting":
         if not arg:
             raise ProcedureError("current_setting requires a setting name")
