@@ -420,7 +420,7 @@ class GraphStore:
             "detail": detail or {},
         }
         staged = self._staged_manifests.pop(table, None)
-        pending_stats = self._pending_stats.pop(table, {})
+        pending_stats = self._pending_stats.get(table, {})
         if staged is not None:
             files, dv, stats = staged
             record["files"] = files
@@ -431,10 +431,15 @@ class GraphStore:
                 prev = self._stats_at(table)
                 stats = {}
                 for f in files:
-                    s = pending_stats.get(f, prev.get(f))
+                    # pop per file: a concurrent blind append's pending
+                    # stats (files not in THIS manifest yet) stay for
+                    # its own commit
+                    s = pending_stats.pop(f, None) or prev.get(f)
                     if s:
                         stats[f] = s
             record["stats"] = stats
+            if not pending_stats:
+                self._pending_stats.pop(table, None)
         path = os.path.join(self._txn_dir(table), f"v{v:08d}.json")
         try:
             fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -446,7 +451,12 @@ class GraphStore:
             json.dump(record, fh)
         if v % self.AUTO_CHECKPOINT_EVERY == 0:
             self._checkpoint_history_unlocked(table)
-            self._vacuum_unlocked(table)
+            # age-gated, scratch untouched: a concurrent blind append's
+            # not-yet-committed files must survive another writer's
+            # auto-vacuum
+            self._vacuum_unlocked(
+                table, min_age_s=self.lock_stale_s, clean_scratch=False
+            )
         return v
 
     # -- file manifests (snapshot layer) ------------------------------------
@@ -834,7 +844,16 @@ class GraphStore:
                     continue
                 dest_dir = live if rel == "." else os.path.join(live, rel)
                 os.makedirs(dest_dir, exist_ok=True)
-                os.rename(os.path.join(dirpath, fn), os.path.join(dest_dir, fn))
+                dest = os.path.join(dest_dir, fn)
+                os.rename(os.path.join(dirpath, fn), dest)
+                try:
+                    # age = time ENTERING the live dir, not when the
+                    # Spark task wrote it — vacuum's min_age gate must
+                    # measure exposure, or a long job's earliest files
+                    # would look old the moment they land
+                    os.utime(dest)
+                except OSError:
+                    pass
                 moved.append(fn if rel == "." else os.path.join(rel, fn))
         shutil.rmtree(scratch, ignore_errors=True)
         try:
@@ -869,24 +888,54 @@ class GraphStore:
         except (OSError, ValueError):
             return 1
 
-    def vacuum(self, table: str, keep_last: int | None = None) -> int:
+    def vacuum(
+        self,
+        table: str,
+        keep_last: int | None = None,
+        min_age_s: float = 0.0,
+    ) -> int:
         """Physically delete data files referenced by NO retained
         manifest (the last ``keep_last`` versions are retained — the
         time-travel window) plus any crashed writer's scratch dirs.
         Safe for readers pinned to retained versions: their files are
-        untouched.  Returns files removed."""
+        untouched.  ``min_age_s`` keeps unreferenced files younger than
+        that age: a BLIND APPEND's data job runs outside the writer
+        lock, so its freshly-moved files are unreferenced until its
+        commit lands — the auto-vacuum at checkpoint time passes the
+        stale-lock age here (Delta's retention-period answer to the
+        same race); the default 0 is for explicit maintenance on a
+        quiesced table.  Returns files removed."""
         with self._write_lock(table):
-            return self._vacuum_unlocked(table, keep_last)
+            return self._vacuum_unlocked(table, keep_last, min_age_s)
 
-    def _vacuum_unlocked(self, table: str, keep_last: int | None = None) -> int:
+    def _vacuum_unlocked(
+        self,
+        table: str,
+        keep_last: int | None = None,
+        min_age_s: float = 0.0,
+        clean_scratch: bool = True,
+    ) -> int:
         keep = self.CHECKPOINT_KEEP_LAST if keep_last is None else keep_last
         root = self.table_path(table)
-        # crashed-writer scratch: under the write lock nothing for this
-        # table is legitimately in flight
-        if os.path.isdir(self._tmp_root):
+        now = time.time()
+
+        def _old_enough(path: str) -> bool:
+            if min_age_s <= 0:
+                return True
+            try:
+                return now - os.path.getmtime(path) > min_age_s
+            except OSError:
+                return False
+        # crashed-writer scratch — explicit vacuum only: a blind
+        # append's Spark job writes scratch OUTSIDE the lock for
+        # arbitrarily long, so the auto-vacuum never touches scratch
+        # (Delta likewise leaves uncommitted files to retention-period
+        # cleanup, not to every commit)
+        if clean_scratch and os.path.isdir(self._tmp_root):
             for d in os.listdir(self._tmp_root):
-                if d == table or d.startswith(f"{table}-"):
-                    shutil.rmtree(os.path.join(self._tmp_root, d), ignore_errors=True)
+                p = os.path.join(self._tmp_root, d)
+                if (d == table or d.startswith(f"{table}-")) and _old_enough(p):
+                    shutil.rmtree(p, ignore_errors=True)
         if not os.path.isdir(root):
             return 0
         latest = self.version(table)
@@ -910,7 +959,7 @@ class GraphStore:
         os.replace(tmp, os.path.join(self._txn_dir(table), "vacuum.json"))
         removed = 0
         for f in self._data_files(table):
-            if f not in referenced:
+            if f not in referenced and _old_enough(os.path.join(root, f)):
                 try:
                     os.unlink(os.path.join(root, f))
                     removed += 1
@@ -920,7 +969,9 @@ class GraphStore:
         dv_dir = os.path.join(root, "_dv")
         if os.path.isdir(dv_dir):
             for fn in os.listdir(dv_dir):
-                if os.path.join("_dv", fn) not in dv_referenced:
+                if os.path.join("_dv", fn) not in dv_referenced and _old_enough(
+                    os.path.join(dv_dir, fn)
+                ):
                     try:
                         os.unlink(os.path.join(dv_dir, fn))
                         removed += 1
@@ -1267,12 +1318,75 @@ class GraphStore:
         drop incoming rows whose PK already exists (duplicate-tolerant
         load) via a left-anti join — the scalable MERGE-free path.
 
+        Plain appends to an established table run the Spark write job
+        OUTSIDE the writer lock (new files are invisible until the
+        commit publishes them), so the critical section is manifest
+        assembly + the commit CAS — metadata work, not the data job.
+        Two hour-long bulk loads into one table therefore overlap
+        instead of serializing end-to-end; only ``ignore_errors``
+        (whose anti-join must see a stable PK set) and first/DDL-shell
+        loads (which adopt the layout) hold the lock across the job —
+        the same split Delta makes between blind appends and
+        read-dependent transactions.
+
         Returns rows loaded.
         """
+        meta = self._load_meta(table)
+        blind = (
+            self.exists(table)
+            and not ignore_errors
+            and (not meta.get("bucket_keys") or self._is_bucketed(table))
+        )
+        if not blind:
+            with self._write_lock(table):
+                n = self._copy_into_unlocked(table, df, primary_keys, ignore_errors)
+                self._commit(table, "copy_into", {"rows": n})
+                return n
+
+        # -- blind append: data job outside the lock --------------------
+        if "file_id" in df.columns:
+            df = df.drop("file_id")
+        keys = [k for k in meta.get("bucket_keys", []) if k in df.columns]
+        if self._is_bucketed(table):
+            if len(keys) != len(meta.get("bucket_keys", [])):
+                raise ValueError(
+                    f"append to bucketed table {table!r} is missing bucket "
+                    f"key columns {meta.get('bucket_keys')}"
+                )
+            stored = {
+                f.name: f.dataType for f in self._read_raw(table).schema.fields
+            }
+            df = df.select(
+                *[
+                    F.col(c).cast(stored[c]).alias(c) if c in stored else F.col(c)
+                    for c in df.columns
+                ]
+            )
+        else:
+            keys = []  # flat table stays flat: never mix layouts
+        df = df.cache()
+        n = df.count()
+        if keys:
+            writer = df.withColumn(
+                BUCKET_COL, _bucket_expr(keys, meta.get("n_buckets", self.n_buckets))
+            )
+            new_files = self._write_files(table, writer, partition_by=BUCKET_COL)
+        else:
+            new_files = self._write_files(table, df)
+        df.unpersist()
         with self._write_lock(table):
-            n = self._copy_into_unlocked(table, df, primary_keys, ignore_errors)
-            self._commit(table, "copy_into", {"rows": n})
-            return n
+            if not self.exists(table):
+                raise ConcurrentWriteError(
+                    f"table {table!r} was dropped during the append"
+                )
+            manifest = self._current_manifest(table) + new_files
+            if not manifest:
+                manifest = self._write_files(table, df.limit(0))
+            self._stage_manifest(table, manifest)
+            self._commit(
+                table, "copy_into", {"rows": n, "mode": "blind_append"}
+            )
+        return n
 
     def _copy_into_unlocked(
         self,

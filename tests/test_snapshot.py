@@ -595,3 +595,71 @@ def test_zorder_rejects_non_numeric(spark, store):
     )
     with pytest.raises(ValueError, match="non-numeric"):
         store.compact("S", min_files=1, zorder_by=["name"])
+
+
+# -- blind appends (data job outside the writer lock) ------------------------
+
+
+def test_blind_append_mode_and_correctness(spark, store):
+    _seed(spark, store)  # creation path holds the lock
+    store.copy_into(
+        "T",
+        spark.createDataFrame([(100, 1)], "identifier long, v long"),
+        primary_keys=["identifier"],
+    )
+    hist = store.history("T")
+    assert (hist[0]["detail"].get("mode")) is None  # creating load
+    assert hist[-1]["detail"]["mode"] == "blind_append"
+    assert store.read("T").count() == 25
+    # ignore_errors still takes the locked anti-join path
+    store.copy_into(
+        "T",
+        spark.createDataFrame([(100, 9), (101, 2)], "identifier long, v long"),
+        primary_keys=["identifier"],
+        ignore_errors=True,
+    )
+    assert store.history("T")[-1]["detail"].get("mode") is None
+    assert store.read("T").count() == 26  # 100 deduped, 101 added
+
+
+def test_blind_appends_race_without_losing_rows(spark, store):
+    _seed(spark, store, n=4)
+    errs = []
+
+    def add(lo):
+        try:
+            store.copy_into(
+                "T",
+                spark.createDataFrame(
+                    [(lo + i, lo) for i in range(10)], "identifier long, v long"
+                ),
+                primary_keys=["identifier"],
+            )
+        except Exception as exc:  # noqa: BLE001
+            errs.append(exc)
+
+    threads = [threading.Thread(target=add, args=(lo,)) for lo in (1000, 2000)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert store.read("T").count() == 24
+    # both commits landed and the manifest is the union of both appends
+    ops = [h["detail"].get("mode") for h in store.history("T")[-2:]]
+    assert ops == ["blind_append", "blind_append"]
+
+
+def test_vacuum_min_age_spares_fresh_uncommitted_files(spark, store):
+    """The auto-vacuum age gate: unreferenced files younger than the
+    window (a blind append's in-flight output) survive; an explicit
+    vacuum with the default age still collects them."""
+    _seed(spark, store, n=4)
+    stray = store._write_files("T", store.read("T").limit(1))
+    assert stray
+    store.vacuum("T", keep_last=8, min_age_s=300)
+    for f in stray:
+        assert os.path.exists(os.path.join(store.table_path("T"), f))
+    store.vacuum("T", keep_last=8)
+    for f in stray:
+        assert not os.path.exists(os.path.join(store.table_path("T"), f))
