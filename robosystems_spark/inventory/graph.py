@@ -245,3 +245,79 @@ def graph_weighted_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     out = weighted_shortest_paths(edges, max_iter=4)
     return out.select("src", "dst", F.round("w", 6).alias("min_cost"))
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the supplier->part bipartite graph from lineitem, with
+# an exact UNROLLED-CTE oracle: fixed iterations + per-iteration
+# rounding make the distributed loop bit-comparable to DuckDB (the
+# same contract the k-means oracle uses).  Parts have no out-edges, so
+# every part is a dangling node — the redistribution path is load-
+# bearing, not decorative.
+# ---------------------------------------------------------------------------
+_PR_ITER = 4
+_PR_DAMP = 0.85
+
+
+def _pagerank_oracle(num_iter: int, damping: float) -> str:
+    head = """
+    WITH e AS (
+      SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                      'p' || CAST(l_partkey AS VARCHAR) AS dst
+      FROM lineitem
+    ),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    r0 AS (
+      SELECT node, ROUND(1.0 / nn.n, 10) AS rank FROM nodes, nn
+    )"""
+    step = """,
+    r{k} AS (
+      SELECT n.node,
+             ROUND((1 - {d}) / nn.n
+                   + {d} * (COALESCE(c.s, 0) + dang.m / nn.n), 10) AS rank
+      FROM nodes n
+      CROSS JOIN nn
+      LEFT JOIN (
+        SELECT e.dst AS node, SUM(r.rank / deg.d) AS s
+        FROM e JOIN r{p} r ON r.node = e.src JOIN deg ON deg.src = e.src
+        GROUP BY e.dst
+      ) c ON c.node = n.node
+      CROSS JOIN (
+        SELECT COALESCE(SUM(r.rank), 0) AS m
+        FROM r{p} r LEFT JOIN deg ON deg.src = r.node
+        WHERE deg.src IS NULL
+      ) dang
+    )"""
+    sql = head
+    for k in range(1, num_iter + 1):
+        sql += step.format(k=k, p=k - 1, d=damping)
+    sql += f"""
+    SELECT node, ROUND(rank, 8) AS rank FROM r{num_iter}
+    """
+    return sql
+
+
+@register(
+    "graph_pagerank_supplier_part",
+    oracle=_pagerank_oracle(_PR_ITER, _PR_DAMP),
+    doc=(
+        "Distributed PageRank (4 damped iterations, dangling-mass "
+        "redistribution) over the supplier->part bipartite digraph from "
+        "lineitem — Pregel-style joins + grouped sums vs an unrolled-CTE "
+        "oracle; per-iteration rounding is the cross-engine determinism "
+        "contract. State is one row per node; no driver-side node state."
+    ),
+    tags=("graph",),
+)
+def graph_pagerank_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from robosystems_spark.operators.graph import pagerank
+
+    li = read_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    out = pagerank(edges, num_iter=_PR_ITER, damping=_PR_DAMP)
+    return out.select("node", F.round("rank", 8).alias("rank"))

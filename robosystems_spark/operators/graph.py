@@ -211,3 +211,82 @@ def weighted_shortest_paths(
     result = best.localCheckpoint(eager=True)
     best.unpersist()
     return result
+
+
+def pagerank(
+    edges: DataFrame,
+    num_iter: int = 5,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    round_digits: int = 10,
+) -> DataFrame:
+    """Distributed PageRank over an edge DataFrame (Pregel-style as
+    joins + grouped sums), returning (node, rank).
+
+    Per iteration: every node's rank is split across its out-edges,
+    summed at the receivers, damped, and topped up with the uniformly
+    redistributed mass of DANGLING nodes (no out-edges) — the standard
+    formulation, so ranks always sum to 1.  Ranks are rounded to
+    ``round_digits`` after each iteration: a cross-engine determinism
+    contract (summation order differs between engines and partitions),
+    the same discipline operators/clustering.py uses for k-means.
+
+    Scale shape: state is one (node, rank) row per node; each
+    iteration is one join on ``src`` (pre-partition the edge table by
+    src at cluster scale and the join is shuffle-free), one grouped
+    sum on ``dst``, and a 1-row dangling-mass aggregate broadcast back
+    via cross join — no driver-side collect of node state, and the
+    per-iteration ``localCheckpoint`` keeps lineage flat."""
+    if num_iter < 1:
+        raise ValueError("num_iter must be >= 1")
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    e.persist(StorageLevel.MEMORY_AND_DISK)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    nodes.persist(StorageLevel.MEMORY_AND_DISK)
+    n = nodes.count()  # one scalar; node state itself never leaves executors
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+
+    ranks = nodes.withColumn(
+        "rank", F.round(F.lit(1.0) / F.lit(float(n)), round_digits)
+    ).localCheckpoint(eager=True)
+
+    base = (1.0 - damping) / float(n)
+    for _ in range(num_iter):
+        contrib = (
+            e.join(ranks, e.src == ranks.node)
+            .join(deg, "src")
+            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("d")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        dangling = (
+            ranks.join(deg, ranks.node == deg.src, "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
+        )
+        new_ranks = (
+            nodes.join(contrib, "node", "left_outer")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                F.round(
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("s"), F.lit(0.0))
+                        + F.col("m") / F.lit(float(n))
+                    ),
+                    round_digits,
+                ).alias("rank"),
+            )
+        ).localCheckpoint(eager=True)
+        ranks = new_ranks
+    e.unpersist()
+    nodes.unpersist()
+    return ranks

@@ -83,3 +83,32 @@ def test_oracle_sql_shape():
     assert "cent3" in sql and "cent4" not in sql.replace("cent4 AS", "cent4_")
     prof = C.kmeans_oracle_sql(k=4, iters=1, dim=16, profile=True)
     assert "n_vectors" in prof
+
+
+# -- PageRank ---------------------------------------------------------------
+
+
+def test_pagerank_known_graph(spark):
+    """3-node cycle => uniform ranks; star => center dominates; ranks
+    always sum to 1 (dangling mass redistributed, not lost)."""
+    from robosystems_spark.operators.graph import pagerank
+
+    cycle = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    r = {row["node"]: row["rank"] for row in pagerank(cycle, num_iter=5).collect()}
+    assert all(abs(v - 1 / 3) < 1e-9 for v in r.values())
+
+    # star with dangling leaves: b,c,d have no out-edges
+    star = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("a", "d")], "src string, dst string"
+    )
+    ranks = {row["node"]: row["rank"] for row in pagerank(star, num_iter=8).collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-6  # mass conserved
+    assert ranks["b"] == ranks["c"] == ranks["d"]
+    assert ranks["b"] > ranks["a"]  # leaves receive all of a's rank
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pagerank(cycle, num_iter=0)
