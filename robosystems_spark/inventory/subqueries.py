@@ -305,3 +305,83 @@ def window_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch sessionization: lag-gap flags + running sum as session ids —
+# the classic batch twin of the streaming session window
+# (streaming/events.py), over the same events table.
+# ---------------------------------------------------------------------------
+@register(
+    "events_batch_sessionization",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, value,
+             DATE_TRUNC('second', ts) AS ts_s,
+             CASE WHEN DATE_DIFF('second',
+                    LAG(DATE_TRUNC('second', ts))
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                    DATE_TRUNC('second', ts)) > 1800
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     IS NULL
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, value, ts_s,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts_s
+               ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked
+    )
+    SELECT user_id, session_no,
+           MIN(ts_s) AS session_start,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM sessions
+    GROUP BY user_id, session_no
+    ORDER BY user_id, session_no
+    """,
+    doc=(
+        "Batch sessionization (30-min inactivity gap): lag-gap flag + "
+        "running-sum session ids + per-session rollup — SURVEY §2.5 W2 "
+        "batch twin of the streaming session window; one shuffle on "
+        "user_id serves both window passes."
+    ),
+    tags=("window", "events"),
+)
+def events_batch_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    ts_s = F.date_trunc("second", F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(ts_s).over(w)
+    new_session = F.when(
+        prev.isNull()
+        | ((ts_s.cast("long") - prev.cast("long")) > 1800),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    marked = ev.select(
+        "user_id",
+        "value",
+        ts_s.alias("ts_s"),
+        new_session.alias("new_session"),
+        "ts",
+        "event_id",
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = marked.withColumn("session_no", F.sum("new_session").over(w2))
+    return (
+        sessions.groupBy("user_id", "session_no")
+        .agg(
+            F.min("ts_s").alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("user_id", "session_no")
+    )
