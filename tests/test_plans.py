@@ -209,3 +209,52 @@ def test_views_never_collect_ids_into_filters():
         # no file may feed a collected list into an isin() membership
         # filter; literal-value isin (constant enums) is fine
         assert not re.search(r"isin\((\w*_)?ids\b", src), p.name
+
+
+def test_q10_returned_items_plan(spark, sf_dir):
+    plan = plan_of(REGISTRY["q10_returned_item_reporting"].fn(spark, sf_dir))
+    assert "EqualTo(l_returnflag,R)" in plan  # filter pushed to fact scan
+    assert "TakeOrderedAndProject" in plan  # top-20 never fully sorts
+    assert "BatchEvalPython" not in plan
+
+
+def test_q17_decorrelates_to_aggregate_join(spark, sf_dir):
+    plan = plan_of(REGISTRY["q17_small_quantity_revenue"].fn(spark, sf_dir))
+    # the correlated subquery is a partial-agg-friendly aggregate, and
+    # the filtered part dim is broadcast
+    assert plan.count("HashAggregate") >= 2  # partial + final per-part avg
+    assert "BroadcastHashJoin" in plan
+    assert "EqualTo(p_brand,Brand#1)" in plan  # dim filter pushed
+
+
+def test_q18_semi_join_not_count_filter(spark, sf_dir):
+    plan = plan_of(REGISTRY["q18_large_volume_customers"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q4_exists_compiles_to_semi_join(spark, sf_dir):
+    plan = plan_of(REGISTRY["q4_priority_with_returns"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "EqualTo(l_returnflag,R)" in plan
+
+
+def test_deletion_vector_read_is_broadcast_anti_join(spark, tmp_path):
+    """DV application must be a map-side broadcast anti-join on the
+    scan — a SortMergeJoin here would shuffle 100 TB to apply a
+    kilobyte sidecar."""
+    from pyspark.sql import functions as F
+
+    from robosystems_spark.sources.materialize import GraphStore
+
+    store = GraphStore(spark, str(tmp_path), "kgplandv00000000", n_buckets=4)
+    store.copy_into(
+        "T",
+        spark.createDataFrame([(i, i) for i in range(50)], "identifier long, v long"),
+        primary_keys=["identifier"],
+    )
+    store.delete_where("T", F.col("identifier") == 7, merge_on_read=True)
+    plan = plan_of(store.read("T"))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
