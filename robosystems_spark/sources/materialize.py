@@ -1518,12 +1518,124 @@ class GraphStore:
         ).unionByName(df, allowMissingColumns=True)
         self._rewrite(table, merged)
 
+    # -- optimistic rewrites (Delta-style OCC for update/delete) ------------
+    #
+    # Eager bucket rewrites normally hold the writer lock for the whole
+    # Spark job.  Optimistic mode instead pins a base version, runs the
+    # job LOCK-FREE (new files invisible until commit), then takes the
+    # lock only to validate + publish: the commit succeeds iff every
+    # file the job READ is still in the live manifest and no new
+    # deletion vectors appeared on those files — first-committer-wins
+    # at bucket granularity.  Writers touching disjoint buckets (or
+    # blind appends anywhere, including into the rewritten buckets —
+    # their files are simply carried into the new manifest) commit
+    # concurrently; a true conflict retries the whole job against the
+    # new version.  Abandoned attempt files are vacuum's to collect.
+
+    @staticmethod
+    def _dv_fingerprint(entries: list[dict], read_files: set[str]) -> list:
+        return sorted(
+            (e["path"], tuple(sorted(set(e.get("files", [])) & read_files)))
+            for e in entries
+            if set(e.get("files", [])) & read_files
+        )
+
+    def _prepare_rewrite(
+        self, table: str, condition, assignments: dict | None
+    ) -> dict | None:
+        """Run an update/delete's data job without the lock against the
+        latest committed version.  Returns the prepared commit, or None
+        when the table isn't bucket-partitioned (optimistic rewrites
+        need bucket granularity to be worth the retry loop)."""
+        v_base = self.version(table)
+        raw = self._read_raw(table, version=v_base)
+        if BUCKET_COL not in raw.columns:
+            return None
+        cond = F.coalesce(condition, F.lit(False))
+        match_col = "_match"
+        while match_col in raw.columns:
+            match_col += "_"
+        raw = raw.withColumn(match_col, cond)
+        hits = (
+            raw.filter(F.col(match_col))
+            .groupBy(BUCKET_COL)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        buckets = [r[BUCKET_COL] for r in hits]
+        n = sum(r["n"] for r in hits)
+        base_manifest = self._manifest_at(table, v_base) or []
+        prefixes = {f"{BUCKET_COL}={b}" for b in buckets}
+        read_files = {
+            f for f in base_manifest if f.split(os.sep, 1)[0] in prefixes
+        }
+        if n == 0:
+            return {
+                "table": table, "v_base": v_base, "rows": 0,
+                "read_files": set(), "new_files": [], "dv_base": [],
+            }
+        scoped = raw.filter(F.col(BUCKET_COL).isin(buckets))
+        if assignments is None:
+            out = scoped.filter(~F.col(match_col)).drop(match_col)
+        else:
+            out = scoped
+            for col_name, value in assignments.items():
+                value_col = value if isinstance(value, Column) else F.lit(value)
+                prior = (
+                    F.col(col_name) if col_name in out.columns else F.lit(None)
+                )
+                out = out.withColumn(
+                    col_name,
+                    F.when(F.col(match_col), value_col).otherwise(prior),
+                )
+            out = out.drop(match_col)
+        new_files = self._write_files(table, out, partition_by=BUCKET_COL)
+        return {
+            "table": table,
+            "v_base": v_base,
+            "rows": n,
+            "read_files": read_files,
+            "new_files": new_files,
+            "dv_base": self._dv_fingerprint(
+                self._dv_at(table, v_base), read_files
+            ),
+        }
+
+    def _commit_prepared_rewrite(self, prep: dict, op: str, detail: dict) -> bool:
+        """Validate + publish under the lock.  False = conflict (the
+        base files were replaced or newly DV-masked); caller retries."""
+        table = prep["table"]
+        with self._write_lock(table):
+            current = self._current_manifest(table)
+            live = set(current)
+            if not prep["read_files"] <= live:
+                return False  # a file we rewrote from was replaced/compacted
+            if (
+                self._dv_fingerprint(self._dv_at(table), prep["read_files"])
+                != prep["dv_base"]
+            ):
+                return False  # new deletion vectors mask rows we re-wrote
+            manifest = [
+                f for f in current if f not in prep["read_files"]
+            ] + prep["new_files"]
+            if not any(f.startswith(f"{BUCKET_COL}=") for f in manifest):
+                empty = self.spark.createDataFrame(
+                    [], self.read(table).schema
+                )
+                manifest = self._write_files(table, empty)
+            self._stage_manifest(table, manifest)
+            self._commit(table, op, detail)
+            return True
+
+    OPTIMISTIC_MAX_RETRIES = 3
+
     def update_where(
         self,
         table: str,
         condition,
         assignments: dict,
         merge_on_read: bool = False,
+        optimistic: bool = False,
     ) -> int:
         """UPDATE ... SET ... WHERE (the Cypher SET analog,
         save_view.py:180-199 update_report_metadata).  ``assignments``
@@ -1541,7 +1653,28 @@ class GraphStore:
         O(bucket size), exactly Delta's MOR update.  A SET that
         introduces a column the table doesn't have falls back to the
         eager rewrite (appended-only files would carry a column the
-        untouched files lack)."""
+        untouched files lack).
+
+        ``optimistic`` runs the rewrite job WITHOUT the lock and
+        commits with first-committer-wins conflict validation (see the
+        OCC section above); retries the job up to OPTIMISTIC_MAX_RETRIES
+        times on conflict, then raises ConcurrentWriteError."""
+        if optimistic and not merge_on_read:
+            for _ in range(self.OPTIMISTIC_MAX_RETRIES):
+                prep = self._prepare_rewrite(table, condition, assignments)
+                if prep is None:
+                    break  # not bucketed: fall through to the locked path
+                if self._commit_prepared_rewrite(
+                    prep,
+                    "update_where",
+                    {"rows": prep["rows"], "mode": "optimistic"},
+                ):
+                    return prep["rows"]
+            else:
+                raise ConcurrentWriteError(
+                    f"optimistic update of {table!r} lost "
+                    f"{self.OPTIMISTIC_MAX_RETRIES} commit races"
+                )
         with self._write_lock(table):
             raw_cols = self._read_raw(table).columns
             if merge_on_read and all(c in raw_cols for c in assignments):
@@ -1641,7 +1774,11 @@ class GraphStore:
         return n
 
     def delete_where(
-        self, table: str, condition, merge_on_read: bool = False
+        self,
+        table: str,
+        condition,
+        merge_on_read: bool = False,
+        optimistic: bool = False,
     ) -> int:
         """DELETE ... WHERE (DETACH DELETE analog, save_view.py:121-143).
 
@@ -1651,7 +1788,25 @@ class GraphStore:
         writes a deletion-vector sidecar addressing the victim rows by
         (file, row_index) — O(rows deleted) I/O instead of O(bucket
         size), the right mode for point deletes on a 100 TB table.
-        ``compact``/rewrites later materialize the deletions."""
+        ``compact``/rewrites later materialize the deletions.
+        ``optimistic`` runs the eager rewrite lock-free with OCC commit
+        validation (see update_where)."""
+        if optimistic and not merge_on_read:
+            for _ in range(self.OPTIMISTIC_MAX_RETRIES):
+                prep = self._prepare_rewrite(table, condition, None)
+                if prep is None:
+                    break
+                if self._commit_prepared_rewrite(
+                    prep,
+                    "delete_where",
+                    {"rows": prep["rows"], "mode": "optimistic"},
+                ):
+                    return prep["rows"]
+            else:
+                raise ConcurrentWriteError(
+                    f"optimistic delete of {table!r} lost "
+                    f"{self.OPTIMISTIC_MAX_RETRIES} commit races"
+                )
         with self._write_lock(table):
             if merge_on_read:
                 n = self._delete_mor_unlocked(table, condition)

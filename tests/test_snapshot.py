@@ -663,3 +663,67 @@ def test_vacuum_min_age_spares_fresh_uncommitted_files(spark, store):
     store.vacuum("T", keep_last=8)
     for f in stray:
         assert not os.path.exists(os.path.join(store.table_path("T"), f))
+
+
+# -- optimistic rewrites (OCC commit validation) -----------------------------
+
+
+def test_optimistic_update_and_delete_end_to_end(spark, store):
+    _seed(spark, store)
+    n = store.update_where(
+        "T", F.col("identifier") == 3, {"v": F.lit(9)}, optimistic=True
+    )
+    assert n == 1
+    assert store.history("T")[-1]["detail"]["mode"] == "optimistic"
+    assert store.read("T").filter("identifier = 3").collect()[0]["v"] == 9
+    n = store.delete_where("T", F.col("identifier") < 4, optimistic=True)
+    assert n == 4
+    assert store.read("T").count() == 20
+
+
+def test_optimistic_commit_survives_concurrent_blind_append(spark, store):
+    """An append — even into the rewritten bucket — is never a
+    conflict: its files are carried into the new manifest."""
+    _seed(spark, store)
+    prep = store._prepare_rewrite("T", F.col("identifier") >= 0, {"v": F.lit(7)})
+    store.copy_into(
+        "T",
+        spark.createDataFrame([(500, 0)], "identifier long, v long"),
+        primary_keys=["identifier"],
+    )
+    assert store._commit_prepared_rewrite(
+        prep, "update_where", {"rows": prep["rows"], "mode": "optimistic"}
+    )
+    rows = {(r["identifier"], r["v"]) for r in store.read("T").collect()}
+    assert (500, 0) in rows  # the concurrent append survived
+    assert all(v == 7 for i, v in rows if i != 500)  # base rows updated
+
+
+def test_optimistic_commit_conflicts_with_overlapping_rewrite(spark, store):
+    _seed(spark, store)
+    prep = store._prepare_rewrite("T", F.col("identifier") == 3, {"v": F.lit(9)})
+    # a competing eager update replaces the base files first
+    store.update_where("T", F.col("identifier") == 3, {"v": F.lit(1)})
+    assert not store._commit_prepared_rewrite(
+        prep, "update_where", {"rows": prep["rows"], "mode": "optimistic"}
+    )
+    # the losing attempt published nothing
+    assert store.read("T").filter("identifier = 3").collect()[0]["v"] == 1
+    # the public API retries transparently and lands
+    assert store.update_where(
+        "T", F.col("identifier") == 3, {"v": F.lit(2)}, optimistic=True
+    ) == 1
+    assert store.read("T").filter("identifier = 3").collect()[0]["v"] == 2
+
+
+def test_optimistic_commit_conflicts_with_new_deletion_vector(spark, store):
+    """A MOR delete that landed on the base files after the job read
+    them must abort the commit — the rewrite would resurrect the
+    masked rows."""
+    _seed(spark, store)
+    prep = store._prepare_rewrite("T", F.col("identifier") == 3, {"v": F.lit(9)})
+    store.delete_where("T", F.col("identifier") == 5, merge_on_read=True)
+    assert not store._commit_prepared_rewrite(
+        prep, "update_where", {"rows": prep["rows"], "mode": "optimistic"}
+    )
+    assert store.read("T").filter("identifier = 5").count() == 0
