@@ -1128,3 +1128,27 @@ def semi_join_on_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.join(
         big_spenders, cust.c_custkey == big_spenders.o_custkey, "left_semi"
     ).select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# A12+ — portable count-min heavy hitters: a deterministic approximate
+# frequency sketch (same md5 row-hashes both engines), so the estimate
+# itself is hash-checked like the portable HLL above.
+# ---------------------------------------------------------------------------
+@register(
+    "countmin_heavy_hitter_priorities",
+    oracle=SK.countmin_heavy_hitters_oracle_sql(
+        "orders", "o_orderpriority", width=64, depth=4, min_estimate=1
+    ),
+    doc="Count-min sketch heavy hitters over order priorities: depth x width "
+    "md5 counter matrix built in one explode + hash-aggregate, estimates = "
+    "min over depth counters (one-sided). Deterministic hashing makes the "
+    "approximate structure itself oracle-checkable; sketch state is "
+    "depth*width counters regardless of input size.",
+    tags=("agg", "approx", "sketch"),
+)
+def countmin_heavy_hitter_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SK.countmin_heavy_hitters(
+        _t(spark, sf_dir, "orders"), "o_orderpriority", width=64, depth=4,
+        min_estimate=1,
+    )

@@ -126,3 +126,110 @@ def portable_hll_oracle_sql(
                  END, 4) AS {out_col}
     FROM agg
     """
+
+
+def portable_countmin(
+    df: DataFrame,
+    value_col: str,
+    width: int = 256,
+    depth: int = 4,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) from portable
+    primitives: row i's hash is the md5 of ``i:value`` reduced mod
+    ``width``, so the counter matrix is bit-identical in any engine —
+    a DETERMINISTIC approximate structure, hence a hard oracle.
+
+    Returns (row, bucket, cnt) — depth x width counters, built with
+    one explode + one hash-aggregate (map-side partial agg; state is
+    depth*width counters, independent of input size)."""
+    rows = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("row")
+    keyed = df.select(F.col(value_col).cast("string").alias("_v")).select(
+        "_v", rows
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("row").cast("string"), F.lit(":"), F.col("_v"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        keyed.select("row", (h % width).alias("bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def countmin_heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    width: int = 256,
+    depth: int = 4,
+    min_estimate: int = 0,
+) -> DataFrame:
+    """Heavy-hitter estimates: each candidate value's count-min
+    estimate is the MIN over its depth counters (one-sided: estimate
+    >= true count, inflated only by collisions).  Candidates are the
+    distinct values — the scan is one pass; the sketch join is
+    depth x |candidates| rows against a broadcast-sized counter
+    matrix.  Returns (value, est) filtered to ``min_estimate``."""
+    sketch = portable_countmin(df, value_col, width, depth)
+    cand = df.select(F.col(value_col).cast("string").alias("value")).distinct()
+    rows = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("row")
+    probes = cand.select("value", rows)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("row").cast("string"), F.lit(":"), F.col("value"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    probes = probes.select("value", "row", (h % width).alias("bucket"))
+    est = (
+        probes.join(F.broadcast(sketch), ["row", "bucket"], "left_outer")
+        .groupBy("value")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )
+    return est.filter(F.col("est") >= min_estimate)
+
+
+def countmin_heavy_hitters_oracle_sql(
+    table: str,
+    value_col: str,
+    width: int = 256,
+    depth: int = 4,
+    min_estimate: int = 0,
+) -> str:
+    """DuckDB SQL computing the identical count-min estimates (same
+    per-row md5 hashes, same min-over-depth), for the hard oracle."""
+    rows = ", ".join(f"({i})" for i in range(depth))
+    return f"""
+    WITH vals AS (
+      SELECT CAST({value_col} AS VARCHAR) AS v FROM {table}
+    ),
+    depths AS (SELECT * FROM (VALUES {rows}) t(row)),
+    keyed AS (
+      SELECT d.row,
+             ('0x' || SUBSTR(MD5(CAST(d.row AS VARCHAR) || ':' || vals.v), 1, 15))::BIGINT
+               % {width} AS bucket
+      FROM vals CROSS JOIN depths d
+    ),
+    sketch AS (
+      SELECT row, bucket, COUNT(*) AS cnt FROM keyed GROUP BY row, bucket
+    ),
+    cand AS (SELECT DISTINCT v AS value FROM vals),
+    probes AS (
+      SELECT c.value, d.row,
+             ('0x' || SUBSTR(MD5(CAST(d.row AS VARCHAR) || ':' || c.value), 1, 15))::BIGINT
+               % {width} AS bucket
+      FROM cand c CROSS JOIN depths d
+    )
+    SELECT p.value, MIN(COALESCE(s.cnt, 0)) AS est
+    FROM probes p LEFT JOIN sketch s ON s.row = p.row AND s.bucket = p.bucket
+    GROUP BY p.value
+    HAVING MIN(COALESCE(s.cnt, 0)) >= {min_estimate}
+    """

@@ -64,3 +64,22 @@ def test_duplicates_do_not_inflate(spark):
     )
     est = portable_hll_distinct(df, "g", "v").first()["approx_distinct"]
     assert 1.5 <= est <= 2.5
+
+
+def test_countmin_estimates_are_one_sided_and_tight_when_wide(spark):
+    """CMS guarantee: estimate >= true count always; with width >>
+    distinct values, collisions vanish and estimates are exact."""
+    from robosystems_spark.operators.sketches import countmin_heavy_hitters
+
+    rows = [("a",)] * 50 + [("b",)] * 30 + [("c",)] * 5
+    df = spark.createDataFrame(rows, "v string")
+    wide = {
+        r["value"]: r["est"]
+        for r in countmin_heavy_hitters(df, "v", width=512, depth=4).collect()
+    }
+    assert wide == {"a": 50, "b": 30, "c": 5}
+    narrow = {
+        r["value"]: r["est"]
+        for r in countmin_heavy_hitters(df, "v", width=2, depth=2).collect()
+    }
+    assert narrow["a"] >= 50 and narrow["b"] >= 30 and narrow["c"] >= 5
