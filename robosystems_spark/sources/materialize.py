@@ -226,6 +226,9 @@ class GraphStore:
         # per-file column stats gathered by _write_files, merged into
         # the next commit's manifest (keyed by table -> relpath)
         self._pending_stats: dict[str, dict[str, dict]] = {}
+        # schema evolved by a merge_schema append, published in the
+        # next commit's detail (time-travel visibility, like ALTER)
+        self._pending_schema: dict[str, dict] = {}
         os.makedirs(self.graph_path, exist_ok=True)
 
     @property
@@ -421,6 +424,9 @@ class GraphStore:
         }
         staged = self._staged_manifests.pop(table, None)
         pending_stats = self._pending_stats.get(table, {})
+        evolved = self._pending_schema.pop(table, None)
+        if evolved is not None:
+            record["detail"]["schema"] = evolved
         if staged is not None:
             files, dv, stats = staged
             record["files"] = files
@@ -1313,10 +1319,16 @@ class GraphStore:
         df: DataFrame,
         primary_keys: list[str] | None = None,
         ignore_errors: bool = False,
+        merge_schema: bool = False,
     ) -> int:
         """Bulk COPY semantics: append all rows; with ``ignore_errors``
         drop incoming rows whose PK already exists (duplicate-tolerant
         load) via a left-anti join — the scalable MERGE-free path.
+
+        Incoming columns the table lacks are rejected unless
+        ``merge_schema`` (Delta's mergeSchema): then the union becomes
+        the declared schema — metadata-only, old files read the new
+        columns as NULL.  Missing incoming columns always NULL-fill.
 
         Plain appends to an established table run the Spark write job
         OUTSIDE the writer lock (new files are invisible until the
@@ -1332,14 +1344,29 @@ class GraphStore:
         Returns rows loaded.
         """
         meta = self._load_meta(table)
+        if self.exists(table):
+            stored_names = {
+                f.name for f in self._read_raw(table).schema.fields
+            } - {BUCKET_COL}
+            incoming = set(df.columns) - {"file_id"}
+            # extra columns evolve the schema; missing ones pin it —
+            # both mutate meta, so both take the locked path
+            evolves = bool(incoming - stored_names) or (
+                bool(stored_names - incoming) and not meta.get("schema")
+            )
+        else:
+            evolves = False
         blind = (
             self.exists(table)
             and not ignore_errors
+            and not evolves  # schema evolution mutates meta: locked path
             and (not meta.get("bucket_keys") or self._is_bucketed(table))
         )
         if not blind:
             with self._write_lock(table):
-                n = self._copy_into_unlocked(table, df, primary_keys, ignore_errors)
+                n = self._copy_into_unlocked(
+                    table, df, primary_keys, ignore_errors, merge_schema
+                )
                 self._commit(table, "copy_into", {"rows": n})
                 return n
 
@@ -1388,15 +1415,79 @@ class GraphStore:
             )
         return n
 
+    def _check_append_schema(
+        self, table: str, df: DataFrame, merge_schema: bool
+    ) -> None:
+        """Schema-evolution gate for appends (caller holds the write
+        lock).  Extra incoming columns are REJECTED unless
+        ``merge_schema`` — without a declared schema, mixed-column
+        files would make reads depend on which file Spark sampled.
+        With ``merge_schema``, the union becomes the table's declared
+        schema (metadata-only, like ALTER ADD — Delta's mergeSchema),
+        so old files read the new columns as NULL and new files carry
+        them.  Missing incoming columns are always fine: the declared
+        overlay (or parquet union through it) NULL-fills."""
+        from pyspark.sql import types as T
+
+        if not self.exists(table):
+            return
+        stored = [
+            f for f in self._read_raw(table).schema.fields
+            if f.name != BUCKET_COL
+        ]
+        stored_names = {f.name for f in stored}
+        extra = [c for c in df.columns if c not in stored_names]
+        missing = stored_names - set(df.columns)
+        if not extra:
+            if missing and not self._load_meta(table).get("schema"):
+                # files with fewer columns are joining the table: pin
+                # the current schema as declared so reads never depend
+                # on WHICH file Spark samples for inference
+                meta = self._load_meta(table)
+                meta["schema"] = T.StructType(stored).jsonValue()
+                self._save_meta(table, meta)
+                self._pending_schema[table] = meta["schema"]
+            return
+        if not merge_schema:
+            raise ValueError(
+                f"append to {table!r} carries columns {extra} the table "
+                "doesn't have — pass merge_schema=True to evolve the "
+                "schema, or ALTER TABLE ADD COLUMN first"
+            )
+        meta = self._load_meta(table)
+        tombstoned = [c for c in extra if c in meta.get("dropped_columns", [])]
+        if tombstoned:
+            raise ValueError(
+                f"columns {tombstoned} were previously dropped from "
+                f"{table!r} — re-add them via ALTER TABLE ADD COLUMN "
+                "(which purges the old bytes) before appending"
+            )
+        incoming = {f.name: f for f in df.schema.fields}
+        declared = T.StructType(
+            stored
+            + [
+                T.StructField(c, incoming[c].dataType, True)
+                for c in df.columns
+                if c in extra
+            ]
+        )
+        meta["schema"] = declared.jsonValue()
+        self._save_meta(table, meta)
+        # surface the evolved schema in the commit record so time
+        # travel to this version reads with it (same walk ALTER uses)
+        self._pending_schema[table] = declared.jsonValue()
+
     def _copy_into_unlocked(
         self,
         table: str,
         df: DataFrame,
         primary_keys: list[str] | None = None,
         ignore_errors: bool = False,
+        merge_schema: bool = False,
     ) -> int:
         if "file_id" in df.columns:
             df = df.drop("file_id")
+        self._check_append_schema(table, df, merge_schema)
         if ignore_errors and primary_keys and self.exists(table):
             existing = self.read(table).select(*primary_keys)
             df = df.join(existing, primary_keys, "left_anti")

@@ -727,3 +727,61 @@ def test_optimistic_commit_conflicts_with_new_deletion_vector(spark, store):
         prep, "update_where", {"rows": prep["rows"], "mode": "optimistic"}
     )
     assert store.read("T").filter("identifier = 5").count() == 0
+
+
+# -- schema evolution on append (mergeSchema analog) -------------------------
+
+
+def test_append_with_extra_column_rejected_without_merge_schema(spark, store):
+    _seed(spark, store, n=4)
+    extra = spark.createDataFrame(
+        [(100, 1, "x")], "identifier long, v long, tag string"
+    )
+    with pytest.raises(ValueError, match="merge_schema"):
+        store.copy_into("T", extra, primary_keys=["identifier"])
+
+
+def test_merge_schema_append_declares_union(spark, store):
+    _seed(spark, store, n=4)
+    v_pre = store.version("T")
+    store.copy_into(
+        "T",
+        spark.createDataFrame([(100, 1, "x")], "identifier long, v long, tag string"),
+        primary_keys=["identifier"],
+        merge_schema=True,
+    )
+    df = store.read("T")
+    assert set(df.columns) == {"identifier", "v", "tag"}
+    rows = {(r["identifier"], r["tag"]) for r in df.collect()}
+    assert (100, "x") in rows
+    assert all(t is None for i, t in rows if i != 100)  # old files NULL-fill
+    # time travel to the pre-evolution version shows the old schema
+    assert set(store.read("T", version=v_pre).columns) == {"identifier", "v"}
+
+
+def test_append_with_missing_column_null_fills_deterministically(spark, store):
+    _seed(spark, store, n=4)
+    store.copy_into(
+        "T",
+        spark.createDataFrame([(200,)], "identifier long"),
+        primary_keys=["identifier"],
+    )
+    df = store.read("T")
+    assert set(df.columns) == {"identifier", "v"}
+    got = {r["identifier"]: r["v"] for r in df.collect()}
+    assert got[200] is None and got[0] == 0
+
+
+def test_merge_schema_rejects_tombstoned_column(spark, store):
+    _seed(spark, store, n=4)
+    store.alter_add_column("T", "tag", "STRING")
+    store.alter_drop_column("T", "tag")
+    with pytest.raises(ValueError, match="previously dropped"):
+        store.copy_into(
+            "T",
+            spark.createDataFrame(
+                [(300, 1, "y")], "identifier long, v long, tag string"
+            ),
+            primary_keys=["identifier"],
+            merge_schema=True,
+        )
