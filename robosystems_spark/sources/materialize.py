@@ -1079,6 +1079,23 @@ class GraphStore:
         df = self._read_raw(table, version)
         return df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df
 
+    def register_views(
+        self, prefix: str = "", tables: list[str] | None = None
+    ) -> list[str]:
+        """Register each table as a Spark temp view named
+        ``<prefix><table>`` — the SQL surface over the graph store
+        (SURVEY §3.2: the one place the reference grants full SQL).
+        Every view is a SNAPSHOT read pinned at registration time:
+        concurrent writers never tear a running SQL query; re-register
+        to advance to the latest committed versions.  Returns the view
+        names registered."""
+        out = []
+        for t in tables if tables is not None else self.tables():
+            name = f"{prefix}{t}"
+            self.read(t).createOrReplaceTempView(name)
+            out.append(name)
+        return out
+
     def changes(
         self, table: str, from_version: int, to_version: int | None = None
     ) -> DataFrame:
