@@ -95,6 +95,7 @@ def _ensure_loaded() -> None:
         llm,
         relational,
         subqueries,
+        tpch,
         windows,
     )
 

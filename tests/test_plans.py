@@ -258,3 +258,82 @@ def test_deletion_vector_read_is_broadcast_anti_join(spark, tmp_path):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+# --- TPC-H completion battery (inventory/tpch.py) plan gates ---------------
+
+
+def test_q6_all_predicates_reach_the_scan(spark, sf_dir):
+    plan = plan_of(REGISTRY["q6_forecast_revenue_change"].fn(spark, sf_dir))
+    # every conjunct is scan-side: date range, discount band, quantity cap
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_shipdate" in plan
+    assert "GreaterThanOrEqual(l_discount,0.05)" in plan
+    assert "LessThan(l_quantity,24.0)" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_q19_disjunction_pushed_to_part_scan(spark, sf_dir):
+    plan = plan_of(REGISTRY["q19_disjunctive_revenue"].fn(spark, sf_dir))
+    # the OR-of-ANDs brand/size envelope reaches the part scan as an
+    # Or(...) pushed filter, shrinking the dim before the join
+    assert "Or(And(EqualTo(p_brand,Brand#1)" in plan
+    assert "SortMergeJoin" not in plan  # AQE broadcasts the pruned dim here
+
+
+def test_q21_double_existence_is_semi_plus_anti(spark, sf_dir):
+    plan = plan_of(REGISTRY["q21_waiting_suppliers"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    # compound (equi + inequality) conditions must still hash-partition
+    # on the equi key — never a nested-loop/cartesian fallback
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q15_scalar_max_is_one_row_broadcast(spark, sf_dir):
+    plan = plan_of(REGISTRY["q15_top_supplier"].fn(spark, sf_dir))
+    # the MAX(total_revenue) side joins back as a broadcast, and the
+    # revenue view aggregates with map-side partials
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "GreaterThanOrEqual(l_shipdate" in plan  # date pushed to scan
+
+
+def test_q13_keeps_zero_order_customers(spark, sf_dir):
+    plan = plan_of(REGISTRY["q13_customer_order_distribution"].fn(spark, sf_dir))
+    # the priority filter belongs to the orders branch (ON-clause), NOT
+    # a post-join WHERE — a LeftOuter join must survive optimization
+    assert "LeftOuter" in plan
+    assert "Not(EqualTo(o_orderpriority,1-URGENT))" in plan
+
+
+def test_tpch_battery_hint_policy(spark, sf_dir):
+    """Broadcast hints only on fixed-cardinality dims (nation/region)
+    and 1-row aggregates — a hint on part/supplier/orders OOMs at 100x
+    (same policy test_broadcast_hints_only_on_fixed_cardinality_inputs
+    pins for the original headline queries)."""
+    expected_hints = {
+        "q6_forecast_revenue_change": 0,
+        "q7_volume_shipping": 2,   # the two nation-derived branches
+        "q8_market_share": 3,      # region + euro-nation list + nation dim (n1)
+        "q9_product_type_profit": 1,   # nation only
+        # nation hint appears in both consumers of the shared line set
+        # (per-part agg + global total) + the 1-row threshold hint
+        "q11_important_part_value": 3,
+        "q13_customer_order_distribution": 0,
+        "q15_top_supplier": 1,     # the 1-row MAX only
+        "q19_disjunctive_revenue": 0,
+        "q20_promotion_suppliers": 1,  # nation only
+        "q21_waiting_suppliers": 0,
+        # region+nation semi-chain hints appear in both consumers of the
+        # shared euro-line set (detail side + per-part MIN side)
+        "q2_min_cost_supplier": 4,
+    }
+    for name, n in expected_hints.items():
+        plan = analyzed_plan_of(REGISTRY[name].fn(spark, sf_dir))
+        assert plan.count("ResolvedHint") == n, (
+            f"{name}: expected {n} broadcast hints, plan has "
+            f"{plan.count('ResolvedHint')}"
+        )
