@@ -321,3 +321,47 @@ def graph_pagerank_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = pagerank(edges, num_iter=_PR_ITER, damping=_PR_DAMP)
     return out.select("node", F.round("rank", 8).alias("rank"))
+
+
+@register(
+    "graph_triangle_counts",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+      JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    tris AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM pairs e1
+      JOIN pairs e2 ON e2.u = e1.v
+      JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT node, COUNT(*) AS n_triangles
+    FROM (
+      SELECT a AS node FROM tris
+      UNION ALL SELECT b FROM tris
+      UNION ALL SELECT c FROM tris
+    )
+    GROUP BY node
+    ORDER BY node
+    """,
+    doc=(
+        "Exact per-node triangle counts over the part co-purchase graph "
+        "(parts sharing an order) — degree-oriented compact-forward "
+        "enumeration (operators/graph.triangle_count): wedge generation "
+        "is bounded by Σ C(outdeg,2) with outdeg ≤ O(√m), so a hub node "
+        "cannot go quadratic; the oracle is the naive id-ordered triple "
+        "join (orientation changes the plan, never the triangle set)."
+    ),
+    tags=("graph", "triangles"),
+)
+def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from robosystems_spark.operators.graph import triangle_counts_per_node
+
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("dst"))
+    edges = a.join(b, "o").filter(F.col("src") < F.col("dst")).select("src", "dst")
+    return triangle_counts_per_node(edges).orderBy("node")

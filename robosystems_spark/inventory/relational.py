@@ -1152,3 +1152,49 @@ def countmin_heavy_hitter_priorities(spark: SparkSession, sf_dir: str) -> DataFr
         _t(spark, sf_dir, "orders"), "o_orderpriority", width=64, depth=4,
         min_estimate=1,
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention: month-of-first-order cohorts x months-since activity
+# matrix — the classic product-analytics rollup (double aggregation with
+# a per-entity anchor join).
+# ---------------------------------------------------------------------------
+@register(
+    "cohort_retention_matrix",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey,
+             MIN(YEAR(o_orderdate) * 12 + MONTH(o_orderdate)) AS cohort_ym
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT f.cohort_ym,
+           (YEAR(o.o_orderdate) * 12 + MONTH(o.o_orderdate)) - f.cohort_ym
+             AS months_since,
+           COUNT(DISTINCT o.o_custkey) AS n_customers
+    FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    doc=(
+        "Cohort retention matrix: customers bucketed by first-order "
+        "month, activity counted per months-since-cohort — a per-entity "
+        "anchor aggregate joined back to the fact (SURVEY §2.4 A1/A3 + "
+        "§2.3 J1); both aggregations shuffle on o_custkey then on the "
+        "(cohort, offset) pair, and the month key is integer "
+        "year*12+month arithmetic so the bucket boundary is "
+        "engine-identical (no interval/timezone semantics)."
+    ),
+    tags=("agg", "join", "analytics"),
+)
+def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    ym = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("bigint")
+    firsts = orders.groupBy("o_custkey").agg(F.min(ym).alias("cohort_ym"))
+    return (
+        orders.join(firsts, "o_custkey")
+        .groupBy(
+            "cohort_ym", (ym - F.col("cohort_ym")).alias("months_since")
+        )
+        .agg(F.countDistinct("o_custkey").alias("n_customers"))
+        .orderBy("cohort_ym", "months_since")
+    )

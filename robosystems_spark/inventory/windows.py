@@ -176,6 +176,49 @@ def events_asof_join_purchase_view(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "events_interval_join_view_purchase",
+    oracle="""
+    SELECT v.user_id,
+           v.event_id AS view_id,
+           CAST(v.ts AS TIMESTAMP) AS view_ts,
+           p.event_id AS purchase_id,
+           CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+           ROUND(p.value, 2) AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id
+     AND CAST(v.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+     AND CAST(p.ts AS TIMESTAMP) < CAST(v.ts AS TIMESTAMP) + INTERVAL 6 HOUR
+    """,
+    doc=(
+        "Event-time interval join: every (view, purchase) pair by the "
+        "same user within 6 hours — the batch twin of the stream-stream "
+        "join (streaming/joins.py), whose watermark-bounded state "
+        "depends on exactly this time-bound condition; both timestamps "
+        "truncate to microseconds so the boundary is engine-identical. "
+        "One shuffle on user_id co-partitions both sides."
+    ),
+    tags=("events", "interval-join", "streaming-twin"),
+)
+def events_interval_join_view_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from robosystems_spark.streaming.joins import view_purchase_interval_join
+
+    ev = _events(spark, sf_dir)
+    views = ev.filter(F.col("event_type") == "view")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    return view_purchase_interval_join(views, purchases, within="6 hours").select(
+        "user_id",
+        "view_id",
+        "view_ts",
+        "purchase_id",
+        "purchase_ts",
+        F.round("purchase_value", 2).alias("purchase_value"),
+    )
+
+
+@register(
     "date_function_battery",
     oracle="""
     SELECT o_orderkey,

@@ -337,3 +337,14 @@ def test_tpch_battery_hint_policy(spark, sf_dir):
             f"{name}: expected {n} broadcast hints, plan has "
             f"{plan.count('ResolvedHint')}"
         )
+
+
+def test_triangle_count_never_goes_cartesian(spark, sf_dir):
+    """Wedge generation and closure must stay equi-joins on the pivot /
+    (b, c) keys — a cartesian or nested-loop fallback explodes at any
+    scale; degree aggregation must combine map-side."""
+    plan = plan_of(REGISTRY["graph_triangle_counts"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan  # closure is a semi-join, not a count
+    assert plan.count("HashAggregate") >= 2
