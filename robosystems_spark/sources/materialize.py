@@ -2051,6 +2051,319 @@ class GraphStore:
         self._rewrite(table, raw.join(ids, key_cols, "left_anti"))
         return n
 
+    # -- declarative upsert (the Delta MERGE INTO analog) -------------------
+
+    def merge_into(
+        self,
+        table: str,
+        source: DataFrame,
+        on: list[str],
+        when_matched: str = "update",
+        update_assignments: dict | None = None,
+        when_not_matched: str = "insert",
+        merge_on_read: bool = False,
+        delete_source: DataFrame | None = None,
+    ) -> dict:
+        """Declarative upsert: MERGE INTO ``table`` USING ``source`` ON
+        the ``on`` key equality — the primitive the reference reaches
+        through per-row MERGE Cypher and this repo's bulk paths reach
+        through copy_into/update_where separately.
+
+        ``delete_source`` is an optional second key set applied as
+        deletes in the SAME commit — the multi-clause MERGE shape
+        (WHEN MATCHED [AND is_delete] THEN DELETE alongside
+        update+insert) that CDC apply needs atomically: a reader sees
+        either none or all of the batch's updates, inserts, and
+        deletes.  A key present in both ``source`` and
+        ``delete_source`` is rejected as ambiguous; a delete key with
+        no target match is a no-op.
+
+        ``when_matched``: 'update' (replace the matched target row's
+        source-supplied columns), 'delete', or 'skip'.
+        ``when_not_matched``: 'insert' (append source rows with no
+        target match, NULL-filling table columns the source lacks) or
+        'skip'.  ``update_assignments`` overrides the default
+        replace-by-name update: a dict of target column -> Column
+        evaluated over the joined frame, where target columns keep
+        their names and source columns are exposed as ``_src_<name>``
+        (e.g. ``{"qty": F.col("qty") + F.col("_src_qty")}`` is an
+        additive merge).
+
+        A source with duplicate ``on`` keys is rejected (the same
+        ambiguous-merge error Delta raises): two source rows updating
+        one target row has no deterministic meaning.  Source columns
+        the table lacks are rejected — schema evolution goes through
+        ``copy_into(merge_schema=True)``.
+
+        Copy-on-write (default): only buckets containing matched rows
+        are rewritten; inserts land as NEW files appended to the
+        manifest (never a rewrite), so a pure-insert merge costs the
+        same as a blind append.  ``merge_on_read``: matched rows are
+        masked by a deletion-vector sidecar and the updated images +
+        inserts appended — O(rows changed) I/O, Delta's MOR merge.
+
+        Returns ``{"matched": n, "updated": n, "deleted": n,
+        "inserted": n}``.  Everything is join-shaped (semi/anti/left on
+        the merge keys): one shuffle per side at any scale, no
+        driver-side key materialization.
+        """
+        if when_matched not in ("update", "delete", "skip"):
+            raise ValueError(f"when_matched must be update|delete|skip, got {when_matched!r}")
+        if when_not_matched not in ("insert", "skip"):
+            raise ValueError(f"when_not_matched must be insert|skip, got {when_not_matched!r}")
+        if not self.exists(table):
+            raise ValueError(f"merge target table {table!r} does not exist")
+        if "file_id" in source.columns:
+            source = source.drop("file_id")
+        src_cols = list(source.columns)
+        missing_keys = [k for k in on if k not in src_cols]
+        if missing_keys:
+            raise ValueError(f"source is missing merge key columns {missing_keys}")
+        with self._write_lock(table):
+            raw = self._read_raw(table)
+            raw_cols = [c for c in raw.columns if c != BUCKET_COL]
+            extras = set(src_cols) - set(raw_cols)
+            if extras:
+                raise ValueError(
+                    f"source columns {sorted(extras)} not in {table!r}; evolve "
+                    "the schema first via copy_into(merge_schema=True)"
+                )
+            bad_keys = [k for k in on if k not in raw_cols]
+            if bad_keys:
+                raise ValueError(f"merge keys {bad_keys} not in table {table!r}")
+            # ambiguous-merge guard: one target row, one source row
+            dup = (
+                source.groupBy(*on)
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .filter(F.col("_n") > 1)
+                .limit(1)
+                .count()
+            )
+            if dup:
+                raise ValueError(
+                    "source has duplicate rows per merge key — an ambiguous "
+                    "MERGE; deduplicate the source first"
+                )
+            del_keys = None
+            if delete_source is not None:
+                missing = [k for k in on if k not in delete_source.columns]
+                if missing:
+                    raise ValueError(
+                        f"delete_source is missing merge key columns {missing}"
+                    )
+                del_keys = delete_source.select(*on).distinct()
+                overlap = (
+                    del_keys.join(source.select(*on), on, "left_semi")
+                    .limit(1)
+                    .count()
+                )
+                if overlap:
+                    raise ValueError(
+                        "a merge key appears in both source and delete_source "
+                        "— an ambiguous MERGE; route each key to one clause"
+                    )
+                del_keys = del_keys.cache()
+            source = source.cache()
+            try:
+                counts = self._merge_into_unlocked(
+                    table, raw, source, on, when_matched,
+                    update_assignments, when_not_matched, merge_on_read,
+                    del_keys,
+                )
+            finally:
+                source.unpersist()
+                if del_keys is not None:
+                    del_keys.unpersist()
+            self._commit(
+                table,
+                "merge_into",
+                {**counts, "keys": on,
+                 "mode": "merge_on_read" if merge_on_read else "copy_on_write"},
+            )
+            return counts
+
+    def _merge_into_unlocked(
+        self,
+        table: str,
+        raw: DataFrame,
+        source: DataFrame,
+        on: list[str],
+        when_matched: str,
+        update_assignments: dict | None,
+        when_not_matched: str,
+        merge_on_read: bool,
+        del_keys: DataFrame | None = None,
+    ) -> dict:
+        meta = self._load_meta(table)
+        bucketed = BUCKET_COL in raw.columns
+        keys = meta.get("bucket_keys", [])
+        n_buckets = meta.get("n_buckets", self.n_buckets)
+        raw_cols = [c for c in raw.columns if c != BUCKET_COL]
+        src_cols = list(source.columns)
+        src_keys = source.select(*on).distinct()
+
+        # insert set: source rows with no target match, NULL-fill to schema
+        inserts = None
+        n_insert = 0
+        if when_not_matched == "insert":
+            unmatched = source.join(raw.select(*on), on, "left_anti")
+            dtypes = {f.name: f.dataType for f in raw.schema.fields}
+            inserts = unmatched.select(
+                *[
+                    F.col(c).cast(dtypes[c]).alias(c)
+                    if c in src_cols
+                    else F.lit(None).cast(dtypes[c]).alias(c)
+                    for c in raw_cols
+                ]
+            ).cache()
+            n_insert = inserts.count()
+
+        n_matched = raw.join(src_keys, on, "left_semi").count()
+        act = when_matched if n_matched else "skip"
+        n_deleted = (
+            raw.join(del_keys, on, "left_semi").count()
+            if del_keys is not None
+            else 0
+        )
+        # keys whose current-file rows must be masked/rewritten: the
+        # update/delete-clause matches plus the delete_source matches
+        mask_keys = src_keys if act in ("update", "delete") else None
+        if n_deleted:
+            mask_keys = (
+                del_keys if mask_keys is None
+                else mask_keys.unionByName(del_keys).distinct()
+            )
+
+        # source frame with prefixed columns + a match marker for updates
+        src_pref = source.select(
+            *[F.col(c).alias(f"_src_{c}") for c in src_cols],
+            F.lit(True).alias("_src__present"),
+        )
+        join_cond = None
+        for k in on:
+            c = F.col(k) == F.col(f"_src_{k}")
+            join_cond = c if join_cond is None else (join_cond & c)
+        if update_assignments is None:
+            update_assignments = {
+                c: F.col(f"_src_{c}") for c in src_cols if c not in on
+            }
+
+        def apply_update(df: DataFrame, matched_only: bool) -> DataFrame:
+            """Join source onto ``df`` and apply assignments; with
+            ``matched_only`` the input is known-matched (MOR images)."""
+            j = df.join(src_pref, join_cond, "inner" if matched_only else "left")
+            m = F.col("_src__present").isNotNull()
+            out = j
+            for col_name, value in update_assignments.items():
+                value_col = value if isinstance(value, Column) else F.lit(value)
+                out = out.withColumn(
+                    "__merge_" + col_name,
+                    value_col if matched_only
+                    else F.when(m, value_col).otherwise(F.col(col_name)),
+                )
+            sel = [
+                (F.col("__merge_" + c) if c in update_assignments else F.col(c)).alias(c)
+                for c in df.columns
+            ]
+            return out.select(*sel)
+
+        if merge_on_read and mask_keys is not None:
+            raw_l = self._read_raw(table, with_lineage=True)
+            hits = raw_l.join(mask_keys, on, "left_semi").cache()
+            addr = hits.select(self.DV_FILE_COL, self.DV_POS_COL)
+            covered = sorted(
+                r[0] for r in addr.select(self.DV_FILE_COL).distinct().collect()
+            )
+            dv_files = self._write_dv_files(table, addr)
+            appended = None
+            if act == "update":
+                images = hits.join(src_keys, on, "left_semi").drop(
+                    self.DV_FILE_COL, self.DV_POS_COL
+                )
+                if BUCKET_COL in images.columns:
+                    images = images.drop(BUCKET_COL)
+                appended = apply_update(images, matched_only=True)
+            if inserts is not None and n_insert:
+                ins = inserts
+                appended = ins if appended is None else appended.unionByName(ins)
+            new_files = []
+            if appended is not None:
+                if bucketed and keys:
+                    appended = appended.withColumn(
+                        BUCKET_COL, _bucket_expr(keys, n_buckets)
+                    )
+                    new_files = self._write_files(
+                        table, appended, partition_by=BUCKET_COL
+                    )
+                else:
+                    new_files = self._write_files(table, appended)
+            hits.unpersist()
+            manifest = self._current_manifest(table) + new_files
+            entries = self._prune_dv(self._dv_at(table), manifest) + [
+                {"path": p, "files": covered} for p in dv_files
+            ]
+            self._stage_manifest(table, manifest, dv=entries)
+        else:
+            # -- copy-on-write: rewrite only buckets holding matches;
+            # inserts are appended files either way --------------------
+            old = self._current_manifest(table)
+            kept, rewritten = old, []
+            if mask_keys is not None:
+                if bucketed:
+                    hit_buckets = [
+                        r[BUCKET_COL]
+                        for r in raw.join(mask_keys, on, "left_semi")
+                        .select(BUCKET_COL)
+                        .distinct()
+                        .collect()
+                    ]
+                    new_rows = raw.filter(F.col(BUCKET_COL).isin(hit_buckets))
+                else:
+                    new_rows = raw
+                if act == "update":
+                    new_rows = apply_update(new_rows, matched_only=False)
+                elif act == "delete":
+                    new_rows = new_rows.join(src_keys, on, "left_anti")
+                if n_deleted:
+                    new_rows = new_rows.join(del_keys, on, "left_anti")
+                if bucketed:
+                    if act == "update" and keys:
+                        # an update may move a row between buckets
+                        new_rows = new_rows.withColumn(
+                            BUCKET_COL, _bucket_expr(keys, n_buckets)
+                        )
+                    replaced = {f"{BUCKET_COL}={b}" for b in hit_buckets}
+                    kept = [f for f in old if f.split(os.sep, 1)[0] not in replaced]
+                    rewritten = self._write_files(
+                        table, new_rows, partition_by=BUCKET_COL
+                    )
+                else:
+                    kept = []
+                    rewritten = self._write_files(table, new_rows)
+            insert_files = []
+            if inserts is not None and n_insert:
+                ins = inserts
+                if bucketed and keys:
+                    ins = ins.withColumn(BUCKET_COL, _bucket_expr(keys, n_buckets))
+                    insert_files = self._write_files(
+                        table, ins, partition_by=BUCKET_COL
+                    )
+                else:
+                    insert_files = self._write_files(table, ins)
+            manifest = kept + rewritten + insert_files
+            if not manifest:
+                empty = self.spark.createDataFrame([], raw.drop(BUCKET_COL).schema)
+                manifest = self._write_files(table, empty)
+            self._stage_manifest(table, manifest)
+        if inserts is not None:
+            inserts.unpersist()
+        return {
+            "matched": n_matched + n_deleted,
+            "updated": n_matched if act == "update" else 0,
+            "deleted": (n_matched if act == "delete" else 0) + n_deleted,
+            "inserted": n_insert,
+        }
+
     # -- compaction (the Delta OPTIMIZE analog) -----------------------------
 
     COMPACT_MIN_FILES = 4  # files per bucket (or per flat table) before

@@ -107,3 +107,75 @@ def sync_mirror(
     meta["cdc_watermark"] = cur
     mirror_store._save_meta(mirror_table, meta)
     return cur
+
+
+def apply_changes(
+    store: GraphStore,
+    table: str,
+    feed: DataFrame,
+    keys: list[str],
+    sequence_col: str,
+    op_col: str = "op",
+    delete_op: str = "delete",
+    merge_on_read: bool = False,
+) -> dict:
+    """Apply an EXTERNAL row-op CDC feed to ``table`` in one atomic
+    commit — the Delta ``APPLY CHANGES INTO`` analog (the reference's
+    connector sync batches, adapters/*/sync, carry the same
+    (key, op, cursor) shape).
+
+    ``feed`` rows are (key columns, value columns, ``op_col``,
+    ``sequence_col``).  Per key only the HIGHEST-sequence row wins —
+    out-of-order and superseded ops collapse away before anything
+    touches the table — then the winners split into upserts
+    (``op != delete_op``: update-or-insert by key) and deletes, both
+    applied by a single ``merge_into`` commit, so readers see either
+    none or all of the batch.  Sequence ties break deterministically:
+    a delete outranks an upsert, then the md5 of the row's values —
+    replaying the same feed always lands the same state (the
+    exactly-once contract replayed micro-batches need).
+
+    Scale shape: the winner-per-key reduction is one row_number window
+    over the feed (shuffle on ``keys``, proportional to the BATCH, not
+    the table); the merge itself is join-shaped and partition-pruned —
+    with ``merge_on_read`` the table-side I/O is O(rows changed).
+
+    Returns the merge counts plus ``{"ops": feed rows, "winners":
+    rows after sequence collapse}``.
+    """
+    from pyspark.sql import Window
+
+    missing = [c for c in (*keys, sequence_col, op_col) if c not in feed.columns]
+    if missing:
+        raise ValueError(f"CDC feed is missing columns {missing}")
+    value_cols = [
+        c for c in feed.columns if c not in (*keys, sequence_col, op_col)
+    ]
+    is_del = (F.col(op_col) == delete_op).cast("int")
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(sequence_col).desc(),
+        is_del.desc(),
+        F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in value_cols])).desc(),
+    )
+    winners = (
+        feed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .cache()
+    )
+    try:
+        n_ops, n_winners = feed.count(), winners.count()
+        upserts = winners.filter(F.col(op_col) != delete_op).drop(
+            op_col, sequence_col
+        )
+        deletes = winners.filter(F.col(op_col) == delete_op).select(*keys)
+        counts = store.merge_into(
+            table,
+            upserts,
+            on=keys,
+            delete_source=deletes,
+            merge_on_read=merge_on_read,
+        )
+    finally:
+        winners.unpersist()
+    return {**counts, "ops": n_ops, "winners": n_winners}
