@@ -1068,3 +1068,36 @@ def corpus_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from robosystems_spark.operators.corpus import top_ngrams
 
     return top_ngrams(_docs(spark, sf_dir), n=2, k=100)
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "corpus_weighted_mixture",
+    oracle="""
+    WITH w(source, n_full, thr) AS (
+      VALUES ('src1', 2, '80000000'), ('src2', 1, '00000000'), ('src3', 0, '40000000')
+    ),
+    d AS (
+      SELECT doc_id, documents.source AS source,
+             COALESCE(w.n_full, 0)
+             + CASE WHEN SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 8)
+                         < COALESCE(w.thr, '80000000') THEN 1 ELSE 0 END AS n_copies
+      FROM documents LEFT JOIN w ON documents.source = w.source
+    )
+    SELECT doc_id, source, CAST(g.copy AS BIGINT) AS copy
+    FROM d, UNNEST(GENERATE_SERIES(1, d.n_copies)) AS g(copy)
+    """,
+    doc="Pretraining data-mixture assembly: per-source sampling/upsampling rates "
+    "(src1 x2.5, src2 x1.0, src3 x0.25, default x0.5) applied as floor(w) full "
+    "copies + an md5-deterministic fractional draw — shuffle-free, engine-portable, "
+    "replayable (the per-domain rate table every training run starts from).",
+    tags=("corpus", "sampling"),
+)
+def corpus_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from robosystems_spark.operators.corpus import weighted_mixture
+
+    return weighted_mixture(
+        _docs(spark, sf_dir),
+        weights={"src1": 2.5, "src2": 1.0, "src3": 0.25},
+        default_weight=0.5,
+    )

@@ -265,3 +265,66 @@ def top_ngrams(
     )
     counted = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n_occurrences"))
     return counted.orderBy(F.desc("n_occurrences"), F.asc("gram")).limit(k)
+
+
+def weighted_mixture(
+    df: DataFrame,
+    weights: dict[str, float],
+    default_weight: float = 0.0,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Data-mixture assembly: sample/upsample each source to its
+    mixture weight — the per-domain rate table every pretraining run
+    starts from (e.g. Wikipedia x2.5, CommonCrawl x0.3).
+
+    A weight w means each of the source's documents contributes
+    floor(w) full copies plus one extra with probability frac(w),
+    decided by a DETERMINISTIC per-document draw: the first 8 hex
+    chars of md5(id) read as a fraction of [0, 1).  Same corpus +
+    same weights = the same mixture in any engine with md5 — resumable
+    and auditable, unlike rand()-based sampling.
+
+    Returns (id, source, copy) with copy = 1..n_copies; sources
+    absent from ``weights`` use ``default_weight``.
+
+    Scale shape: pure codegen projections — the weight table compiles
+    to a literal CASE chain (mixtures name tens of sources, not
+    millions), the draw is one md5 per row, and the copy explosion
+    emits only kept rows.  No shuffle at all: mixture runs map-side
+    over a 100 TB scan and unions into the training manifest.
+    """
+    import math
+
+    from robosystems_spark.operators.sampling import _hex_threshold
+
+    def parts(w: float) -> tuple[int, str]:
+        if w < 0:
+            raise ValueError(f"negative mixture weight {w}")
+        full = int(math.floor(w))
+        return full, _hex_threshold(w - full)
+
+    d_full, d_thr = parts(default_weight)
+    full_expr = F.lit(d_full)
+    thr_expr = F.lit(d_thr)
+    for src, w in weights.items():
+        s_full, s_thr = parts(w)
+        cond = F.col(source_col) == src
+        full_expr = F.when(cond, F.lit(s_full)).otherwise(full_expr)
+        thr_expr = F.when(cond, F.lit(s_thr)).otherwise(thr_expr)
+
+    draw = F.substring(F.md5(F.col(id_col).cast("string").cast("binary")), 1, 8)
+    n_copies = (full_expr + (draw < thr_expr).cast("int")).alias("n_copies")
+    return (
+        df.select(F.col(id_col), F.col(source_col), n_copies)
+        .filter(F.col("n_copies") > 0)
+        .select(
+            id_col,
+            source_col,
+            F.explode(
+                F.sequence(
+                    F.lit(1).cast("long"), F.col("n_copies").cast("long")
+                )
+            ).alias("copy"),
+        )
+    )

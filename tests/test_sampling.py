@@ -49,3 +49,47 @@ def test_stratified_sample_deterministic_and_bounded(spark, sf_dir):
     ).collect()}
     assert all(n <= 5 for n in counts.values())
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_weighted_mixture_upsampling_and_determinism(spark, sf_dir):
+    """Mixture weights: floor(w) full copies per doc + an
+    md5-deterministic fractional extra; absent sources use the
+    default; weight 0 drops the source entirely."""
+    from robosystems_spark.operators.corpus import weighted_mixture
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = weighted_mixture(
+        docs,
+        weights={"src1": 2.0, "src2": 0.0, "src3": 0.5},
+        default_weight=1.0,
+    ).cache()
+    per_doc = {
+        (r["source"], r["doc_id"]): r["n"]
+        for r in out.groupBy("source", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_src1_docs = docs.filter("source = 'src1'").count()
+    # integer weight 2.0: EVERY src1 doc appears exactly twice
+    assert all(n == 2 for (s, _), n in per_doc.items() if s == "src1")
+    assert sum(1 for (s, _) in per_doc if s == "src1") == n_src1_docs
+    # weight 0: src2 fully dropped
+    assert not any(s == "src2" for (s, _) in per_doc)
+    # fractional 0.5: src3 keeps a strict nonempty subset, one copy each
+    n_src3 = sum(1 for (s, _) in per_doc if s == "src3")
+    assert 0 < n_src3 < docs.filter("source = 'src3'").count()
+    assert all(n == 1 for (s, _), n in per_doc.items() if s == "src3")
+    # default 1.0: every other source keeps every doc once
+    others = docs.filter("source NOT IN ('src1','src2','src3')").count()
+    assert sum(1 for (s, _) in per_doc if s not in ("src1", "src2", "src3")) == others
+    # copy indices are 1..n per doc
+    bad = out.groupBy("source", "doc_id").agg(
+        F.min("copy").alias("lo"), F.max("copy").alias("hi"), F.count(F.lit(1)).alias("n")
+    ).filter("lo <> 1 OR hi <> n").count()
+    assert bad == 0
+    # deterministic: identical on rerun
+    again = weighted_mixture(
+        docs, weights={"src1": 2.0, "src2": 0.0, "src3": 0.5}, default_weight=1.0
+    )
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, out.collect()))
+    out.unpersist()
