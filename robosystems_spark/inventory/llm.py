@@ -1101,3 +1101,39 @@ def corpus_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         weights={"src1": 2.5, "src2": 1.0, "src3": 0.25},
         default_weight=0.5,
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_duplicated_spans",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS toks FROM documents
+    ),
+    sp AS (
+      SELECT doc_id,
+             UNNEST([('0x' || SUBSTR(MD5(ARRAY_TO_STRING(toks[i+1:i+16], ' ')), 1, 15))::BIGINT
+                     FOR i IN GENERATE_SERIES(0, GREATEST(LEN(toks) - 16, 0), 8)]) AS span
+      FROM t
+    ),
+    d AS (
+      SELECT span FROM sp GROUP BY span HAVING COUNT(DISTINCT doc_id) > 1
+    )
+    SELECT sp.doc_id,
+           COUNT(*) AS n_spans,
+           CAST(SUM(CASE WHEN d.span IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+           ROUND(CAST(SUM(CASE WHEN d.span IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS dup_fraction
+    FROM sp LEFT JOIN d ON sp.span = d.span
+    GROUP BY sp.doc_id
+    """,
+    doc="Substring-level duplication profile (suffix-array-dedup analog, Lee et al.): "
+    "16-token spans every 8 tokens, md5 span identity; a span in >1 document is "
+    "duplicated text — per-doc dup_fraction feeds the standard 'drop docs with >X% "
+    "duplicated text' curation filter.  Catches boilerplate/license/quoted spans "
+    "whole-doc near-dup misses.",
+    tags=("dedup", "text"),
+)
+def dedup_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from robosystems_spark.operators.dedup import duplicated_span_profile
+
+    return duplicated_span_profile(_docs(spark, sf_dir), window=16, stride=8)

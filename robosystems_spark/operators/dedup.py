@@ -626,3 +626,79 @@ def embedding_near_duplicates(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def duplicated_span_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 16,
+    stride: int = 8,
+) -> DataFrame:
+    """Substring-level duplication profile — the practical Spark form
+    of suffix-array substring dedup (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): find documents whose
+    TEXT SPANS recur elsewhere in the corpus, even when the documents
+    as wholes are not near-duplicates (boilerplate, license headers,
+    quoted passages).
+
+    Each document is cut into ``window``-token spans every ``stride``
+    tokens (stride < window overlaps spans so no crossing duplicate
+    evades the grid by alignment); a span's identity is the portable
+    60-bit md5 of its joined tokens.  A span value occurring in more
+    than one DOCUMENT is duplicated; each document reports how much of
+    it is made of such spans.
+
+    Returns (id, n_spans, n_dup_spans, dup_fraction) for documents
+    with at least one span, dup_fraction rounded to 6 places — feed
+    to a threshold filter (the standard "drop docs >X% duplicated
+    text" curation rule).
+
+    Scale shape: explode is n_tokens/stride rows per doc; the only
+    shuffles are the span-hash groupBy (uniform md5 keys — no skew)
+    and the per-doc count rollup.  The span-multiplicity frame
+    (distinct hashes seen in >1 doc) joins back BROADCAST-or-shuffle
+    by Catalyst's choice; everything is codegen expressions, no
+    Python.
+    """
+    toks = tokens(text_col)
+    spans = F.transform(
+        F.sequence(
+            F.lit(0),
+            F.greatest(F.size(toks) - window, F.lit(0)),
+            F.lit(stride),
+        ),
+        lambda i: F.conv(
+            F.substring(F.md5(F.concat_ws(" ", F.slice(toks, i + 1, window))), 1, 15),
+            16,
+            10,
+        ).cast("long"),
+    )
+    exploded = df.select(F.col(id_col), F.explode(spans).alias("_span")).filter(
+        F.col("_span").isNotNull()
+    )
+    # spans seen in >1 distinct document
+    dup_spans = (
+        exploded.groupBy("_span")
+        .agg(F.count_distinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") > 1)
+        .select("_span")
+    )
+    marked = exploded.join(
+        dup_spans.withColumn("_dup", F.lit(1)), "_span", "left"
+    )
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.coalesce(F.col("_dup"), F.lit(0))).alias("n_dup_spans"),
+        )
+        .select(
+            id_col,
+            "n_spans",
+            "n_dup_spans",
+            F.round(F.col("n_dup_spans") / F.col("n_spans"), 6).alias(
+                "dup_fraction"
+            ),
+        )
+    )

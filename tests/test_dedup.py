@@ -322,3 +322,42 @@ def test_weighted_shortest_paths_relaxes_through_cheaper_route(spark):
     direct = {(r["src"], r["dst"]): r["w"] for r in
               weighted_shortest_paths(edges, max_iter=1).collect()}
     assert direct[("a", "c")] == 10.0
+
+
+def test_duplicated_span_profile_planted_boilerplate(spark):
+    """Documents sharing a 16+-token boilerplate block must show
+    dup spans; fully unique documents must show none."""
+    boiler = " ".join(f"LICENSE{i}" for i in range(20))
+    uniq = lambda tag: " ".join(f"{tag}tok{i}" for i in range(40))  # noqa: E731
+    df = spark.createDataFrame(
+        [
+            (1, boiler + " " + uniq("a")),
+            (2, boiler + " " + uniq("b")),
+            (3, uniq("c")),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in D.duplicated_span_profile(df, window=16, stride=8).collect()
+    }
+    assert out[1]["n_dup_spans"] > 0 and out[2]["n_dup_spans"] > 0
+    assert out[3]["n_dup_spans"] == 0 and out[3]["dup_fraction"] == 0.0
+    # the shared block is at the head: the first spans align and match
+    assert out[1]["dup_fraction"] > 0 and out[1]["dup_fraction"] < 1
+
+
+def test_duplicated_span_profile_short_docs_single_span(spark):
+    """Docs shorter than the window produce exactly one span covering
+    the whole text; identical short docs are mutual duplicates."""
+    df = spark.createDataFrame(
+        [(1, "tiny identical text"), (2, "tiny identical text"), (3, "different")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in D.duplicated_span_profile(df, window=16, stride=8).collect()
+    }
+    assert out[1]["n_spans"] == 1 and out[1]["dup_fraction"] == 1.0
+    assert out[2]["dup_fraction"] == 1.0
+    assert out[3]["n_spans"] == 1 and out[3]["dup_fraction"] == 0.0
