@@ -1198,3 +1198,49 @@ def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("o_custkey").alias("n_customers"))
         .orderBy("cohort_ym", "months_since")
     )
+
+
+# ---------------------------------------------------------------------------
+# A11 — arbitrary GROUPING SETS + grouping() flags (beyond rollup/cube:
+# a non-hierarchical set list, with grouping flags so subtotal rows are
+# distinguishable from genuine NULL dimension values).
+# ---------------------------------------------------------------------------
+@register(
+    "grouping_sets_status_priority",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, 'ALL')   AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           CAST(GROUPING(o_orderstatus) AS INT)   AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+           COUNT(*) AS orders,
+           ROUND(SUM(o_totalprice), 2) AS total_value
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), (o_orderpriority))
+    """,
+    doc="Arbitrary GROUPING SETS (not a rollup/cube prefix chain) with grouping() "
+    "flags — one Expand+aggregate pass, subtotal rows tagged (SURVEY §2.4 A11).",
+    tags=("agg",),
+)
+def grouping_sets_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], ["o_orderpriority"]],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.count(F.lit(1)).alias("orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "g_status",
+            "g_priority",
+            "orders",
+            "total_value",
+        )
+    )
