@@ -96,3 +96,47 @@ def stream_upsert(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_apply_changes(
+    store: GraphStore,
+    table: str,
+    stream_df: DataFrame,
+    keys: list[str],
+    sequence_col: str,
+    checkpoint_dir: str,
+    op_col: str = "op",
+    delete_op: str = "delete",
+    merge_on_read: bool = False,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Structured-Streaming consumer for a row-op CDC feed: each
+    micro-batch goes through ``streaming.cdc.apply_changes`` — per-key
+    highest-sequence winner, then upserts AND deletes in one atomic
+    merge commit.  This is the full APPLY CHANGES INTO loop:
+    ``stream_upsert`` handles replace-only feeds; this one honors
+    delete ops too.
+
+    Exactly-once in contents: a replayed batch (foreachBatch crash
+    between commit and checkpoint) collapses to the same winners and
+    re-merges to the same state, so restarts are safe without any
+    sink-side transaction coordination.
+    """
+    from robosystems_spark.streaming.cdc import apply_changes
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        apply_changes(
+            store, table, batch_df, keys, sequence_col,
+            op_col=op_col, delete_op=delete_op, merge_on_read=merge_on_read,
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -265,3 +265,42 @@ def test_stream_upsert_order_col_picks_latest(spark, tmp_path):
     q.awaitTermination(120)
     rows = {r["identifier"]: r["name"] for r in store.read("Entity").collect()}
     assert rows == {1: "latest", 2: "only"}
+
+
+def test_stream_apply_changes_honors_deletes_and_sequence(spark, tmp_path):
+    """The streaming APPLY CHANGES loop: one micro-batch with
+    out-of-order upserts and deletes lands atomically — net-deleted
+    keys gone, latest-sequence values in place, unmatched deletes
+    ignored."""
+    from robosystems_spark.streaming.ingest import stream_apply_changes
+
+    store = _mk_store(spark, tmp_path)
+    store.copy_into(
+        "Entity",
+        spark.createDataFrame(
+            [(1, "old"), (2, "gone"), (3, "keep")],
+            "identifier long, name string",
+        ),
+        primary_keys=["identifier"],
+    )
+    src = tmp_path / "cdc_ops"
+    spark.createDataFrame(
+        [
+            (1, "stale", "upsert", 10),
+            (1, "latest", "upsert", 20),
+            (2, "", "delete", 5),
+            (4, "new", "upsert", 1),
+            (9, "", "delete", 1),  # no such key: no-op
+        ],
+        "identifier long, name string, op string, seq long",
+    ).write.parquet(str(src))
+
+    v0 = store.version("Entity")
+    q = stream_apply_changes(
+        store, "Entity", _file_stream(spark, src), ["identifier"], "seq",
+        str(tmp_path / "ckpt_ac"),
+    )
+    q.awaitTermination(120)
+    rows = {r["identifier"]: r["name"] for r in store.read("Entity").collect()}
+    assert rows == {1: "latest", 3: "keep", 4: "new"}
+    assert store.version("Entity") == v0 + 1  # one commit per batch
