@@ -156,6 +156,7 @@ def minhash_lsh_candidates(
     id_col: str = "doc_id",
     bands: int = 16,
     rows_per_band: int = 4,
+    materialized: bool = False,
 ) -> DataFrame:
     """LSH banding: documents sharing any band value become candidate
     pairs.  Shuffle is the (band, band_val) self-join — O(n·bands),
@@ -163,7 +164,13 @@ def minhash_lsh_candidates(
 
     The band value is the comma-joined slice of the signature — a
     plain string, identical in any engine (md5 of it would also work;
-    the raw join key skips a hash and cannot collide)."""
+    the raw join key skips a hash and cannot collide).
+
+    ``materialized`` says the caller already localCheckpoint'ed
+    ``sigs`` (the compact id+signature frame), so the self-join can
+    share it without this function checkpointing the LARGER exploded
+    band frame — banding from a materialized signature is a cheap
+    per-side projection."""
     banded = sigs.select(
         F.col(id_col),
         F.posexplode(
@@ -184,7 +191,8 @@ def minhash_lsh_candidates(
     # sides; unlike persist(), checkpointed partitions are reclaimed by
     # the ContextCleaner once this frame is unreferenced, so repeated
     # pipeline runs in a long-lived session don't leak executor memory
-    banded = banded.localCheckpoint(eager=True)
+    if not materialized:
+        banded = banded.localCheckpoint(eager=True)
     left = banded.alias("l")
     right = banded.alias("r")
     out = (
@@ -255,8 +263,12 @@ def minhash_near_duplicates(
     and shared by the signature pipeline and the verify join — the
     corpus is tokenized/shingled a single time."""
     sh = distinct_shingles(df, text_col, id_col, shingle_k).localCheckpoint(eager=True)
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, shingles_df=sh)
-    cands = minhash_lsh_candidates(sigs, id_col, bands, num_hashes // bands)
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_k, shingles_df=sh
+    ).localCheckpoint(eager=True)  # compact: n rows x num_hashes longs
+    cands = minhash_lsh_candidates(
+        sigs, id_col, bands, num_hashes // bands, materialized=True
+    )
     return jaccard_verify(
         df, cands, text_col, id_col, threshold, shingle_k, shingles_df=sh
     )
