@@ -348,3 +348,31 @@ def test_triangle_count_never_goes_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "LeftSemi" in plan  # closure is a semi-join, not a count
     assert plan.count("HashAggregate") >= 2
+
+
+def test_weighted_mixture_is_shuffle_free(spark, sf_dir):
+    """The mixture rate table compiles to literal expressions over the
+    scan — an Exchange here would mean the 100 TB side shuffles for a
+    per-row decision."""
+    plan = plan_of(REGISTRY["corpus_weighted_mixture"].fn(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_duplicated_spans_no_python_and_pruned_scan(spark, sf_dir):
+    """Span profiling is pure codegen (md5/array expressions) and must
+    read only the id+text columns it uses."""
+    plan = plan_of(REGISTRY["dedup_duplicated_spans"].fn(spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and "lang" not in m.group(1) and "source" not in m.group(1)
+
+
+def test_grouping_sets_single_expand_pass(spark, sf_dir):
+    """Three grouping sets run as ONE Expand + aggregate, not a union
+    of three scans."""
+    plan = plan_of(REGISTRY["grouping_sets_status_priority"].fn(spark, sf_dir))
+    assert plan.count("Expand") >= 1
+    # formatted mode prints each node in the tree and the detail list:
+    # one physical scan node, whatever the repetition
+    assert len(set(re.findall(r"\((\d+)\) Scan parquet", plan))) == 1
