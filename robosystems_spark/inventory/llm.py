@@ -479,14 +479,19 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_random_projection",
-    oracle=PR.random_projection_oracle_sql(out_dim=16, dim=64, seed=42),
+    oracle=PR.random_projection_long_oracle_sql(out_dim=16, dim=64, seed=42),
     doc="Johnson-Lindenstrauss random projection 64→16 dims: one seeded "
     "Gaussian matmul per Arrow batch, map-only (no shuffle); the seeded "
-    "matrix is bit-stable so the projection is hash-checked cross-engine.",
+    "matrix is bit-stable so the projection is hash-checked cross-engine. "
+    "Registry shape is scalar rows (vec_id, dim_index, value) — array "
+    "columns crash the driver canonicalizer; the array API stays in "
+    "operators/projection.py for library users.",
     tags=("similarity", "projection"),
 )
 def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return PR.random_projection(_emb(spark, sf_dir), out_dim=16, dim=64, seed=42)
+    return PR.random_projection_long(
+        _emb(spark, sf_dir), out_dim=16, dim=64, seed=42
+    )
 
 
 # ---------------------------------------------------------------------------

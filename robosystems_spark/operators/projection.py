@@ -55,6 +55,32 @@ def random_projection(
     return emb.select(F.col(id_col), _project(vec_col).alias("projected"))
 
 
+def random_projection_long(
+    emb: DataFrame,
+    out_dim: int = 16,
+    dim: int = 64,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Scalar-row shape of :func:`random_projection`:
+    ``(id, dim_index int, value double)`` — one row per output dimension.
+
+    Harness-friendly: array-typed result columns crash canonicalizers
+    that sort raw pandas columns (round-4 driver gate), so registry
+    entries expose this long shape while library users keep the
+    array-typed API above.
+    """
+    proj = random_projection(
+        emb, out_dim=out_dim, dim=dim, seed=seed,
+        vec_col=vec_col, id_col=id_col, round_decimals=round_decimals,
+    )
+    return proj.select(
+        F.col(id_col), F.posexplode("projected").alias("dim_index", "value")
+    )
+
+
 def random_projection_oracle_sql(
     out_dim: int = 16,
     dim: int = 64,
@@ -76,4 +102,27 @@ def random_projection_oracle_sql(
         )
     return (
         f"SELECT {id_col}, [{', '.join(cols)}] AS projected FROM {table}"
+    )
+
+
+def random_projection_long_oracle_sql(
+    out_dim: int = 16,
+    dim: int = 64,
+    seed: int = 42,
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_decimals: int = 6,
+) -> str:
+    """Scalar-row oracle for :func:`random_projection_long`: the array
+    oracle laterally unnested via ``generate_series`` (DuckDB's
+    WITH-ORDINALITY idiom), matching Spark's 0-based ``posexplode``."""
+    inner = random_projection_oracle_sql(
+        out_dim=out_dim, dim=dim, seed=seed, table=table,
+        vec_col=vec_col, id_col=id_col, round_decimals=round_decimals,
+    )
+    return (
+        f"SELECT {id_col}, CAST(gs.i - 1 AS INT) AS dim_index, "
+        f"projected[gs.i] AS value "
+        f"FROM ({inner}) base, generate_series(1, {out_dim}) AS gs(i)"
     )

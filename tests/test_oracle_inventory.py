@@ -22,6 +22,23 @@ def con(sf_dir):
     c.close()
 
 
+def test_registry_outputs_are_atomic(spark, sf_dir):
+    """Driver-shape gate: the round-4 driver canonicalizer crashed on an
+    array<double> result column (pandas sort_values -> 'unhashable type:
+    list').  Every registry entry must therefore expose only atomic
+    column types; array-shaped operators keep their typed API in
+    operators/ and register a posexploded / serialized long shape."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = []
+    for name in sorted(REGISTRY):
+        df = REGISTRY[name].fn(spark, sf_dir)
+        for f in df.schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                bad.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not bad, f"non-atomic registry output columns: {bad}"
+
+
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_query_matches_oracle(name, spark, sf_dir, con):
     spec = REGISTRY[name]
