@@ -5,14 +5,19 @@ one JSON line: {"metric": ..., "value": N, "unit": "sec",
 "queries": {...}, "sf": ...}.
 
 Each query is executed once to warm the JVM/code-gen caches and then
-timed; the timed run materializes results via a count-style action so
-the full plan executes without driver-side collect overhead.
+timed SPARK_GRAFT_BENCH_RUNS times (default 3); the reported number is
+the per-query MEDIAN — single-run timings on this box swing +/-15-45%
+run-to-run (JIT, page cache, GC alignment), which made cross-round
+regression adjudication guesswork.  The timed run materializes results
+via a noop sink so the full plan executes without driver-side collect
+overhead.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -46,17 +51,23 @@ def main() -> None:
         ).alias("c")
     ).collect()
 
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    spread: dict[str, float] = {}
     for name, spec in specs.items():
         try:
             # per-query warm run (as documented above): JIT of this
             # plan's generated code, parquet footers, shuffle setup —
-            # then the timed run measures steady-state execution
+            # then the timed runs measure steady-state execution
             spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            t0 = time.perf_counter()
-            df = spec.fn(spark, sf_dir)
-            # force full materialization of every row/column of the result
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            samples = []
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                df = spec.fn(spark, sf_dir)
+                # force full materialization of every row/column
+                df.write.format("noop").mode("overwrite").save()
+                samples.append(time.perf_counter() - t0)
+            timings[name] = round(statistics.median(samples), 3)
+            spread[name] = round(max(samples) - min(samples), 3)
         except Exception as exc:  # noqa: BLE001 - one bad query must not kill the bench
             print(f"# bench error in {name}: {type(exc).__name__}: {exc}", file=sys.stderr)
             timings[name] = -1.0
@@ -70,6 +81,14 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "runs_per_query": runs,
+                "aggregation": "median",
+                "spread_max_minus_min": spread,
+                "variance_note": (
+                    "single-run timings on this box vary +/-15-45%; "
+                    "values are per-query medians of "
+                    f"{runs} steady-state runs after one warm run"
+                ),
             }
         )
     )
