@@ -98,7 +98,7 @@ class _TableLock:
 
         self._hb_stop = threading.Event()
         interval = max(self.stale_s / 4.0, 0.05)
-        path, stop = self.path, self._hb_stop
+        path, stop, token = self.path, self._hb_stop, self._token
 
         def _beat() -> None:
             while not stop.wait(interval):
@@ -106,7 +106,23 @@ class _TableLock:
                     now = time.time()
                     os.utime(path, (now, now))
                 except OSError:
-                    return  # lock broken/released under us — stop beating
+                    # The lockfile can be MOMENTARILY absent while we
+                    # still validly hold it: a racing breaker's
+                    # rename-aside that its inode check then restores
+                    # via link.  Exiting on the first OSError re-opened
+                    # a two-writer window (the healthy holder kept
+                    # writing with no heartbeat, went "stale", and a
+                    # third writer legitimately broke it).  Stop beating
+                    # ONLY when the lockfile demonstrably belongs to a
+                    # different owner; otherwise keep trying — the next
+                    # utime succeeds once the restore lands.
+                    try:
+                        with open(path) as fh:
+                            current = json.load(fh).get("token")
+                        if current != token:
+                            return  # truly superseded — stand down
+                    except (OSError, ValueError):
+                        pass  # absent or mid-write — retry next beat
 
         t = threading.Thread(target=_beat, daemon=True, name="table-lock-heartbeat")
         t.start()

