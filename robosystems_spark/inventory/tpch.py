@@ -318,17 +318,17 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q11_important_part_value",
     oracle="""
     WITH nation_lines AS (
-      SELECT l.l_partkey, l.l_extendedprice
+      SELECT l.l_partkey, CAST(l.l_extendedprice AS DECIMAL(18,2)) AS price
       FROM lineitem l
       JOIN supplier s ON s.s_suppkey = l.l_suppkey
       JOIN nation n   ON n.n_nationkey = s.s_nationkey
       WHERE n.n_name = 'NATION_5'
     )
-    SELECT l_partkey, ROUND(SUM(l_extendedprice), 2) AS part_value
+    SELECT l_partkey, CAST(ROUND(SUM(price), 2) AS DOUBLE) AS part_value
     FROM nation_lines
     GROUP BY l_partkey
-    HAVING SUM(l_extendedprice) > (
-      SELECT 0.002 * SUM(l_extendedprice) FROM nation_lines
+    HAVING SUM(price) * 500 > (
+      SELECT SUM(price) FROM nation_lines
     )
     ORDER BY part_value DESC, l_partkey
     """,
@@ -345,18 +345,24 @@ def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = _t(spark, sf_dir, "supplier").join(
         F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi"
     )
+    # Money routed through DECIMAL(18,2) like Q7/Q8/Q9/Q15: double SUMs
+    # are order-dependent, so a part within a few ulps of the threshold
+    # could flip the HAVING gate between engines.  The 0.002 fraction
+    # becomes an exact integer comparison (value * 500 > total).
     lines = (
         _t(spark, sf_dir, "lineitem")
         .join(supp.select("s_suppkey"), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
-        .select("l_partkey", "l_extendedprice")
+        .select("l_partkey", F.col("l_extendedprice").cast("decimal(18,2)").alias("price"))
     )
-    total = lines.agg((F.sum("l_extendedprice") * 0.002).alias("threshold"))
+    total = lines.agg(F.sum("price").alias("total"))
     return (
         lines.groupBy("l_partkey")
-        .agg(F.sum("l_extendedprice").alias("_value"))
+        .agg(F.sum("price").alias("_value"))
         .crossJoin(F.broadcast(total))
-        .filter(F.col("_value") > F.col("threshold"))
-        .select("l_partkey", F.round("_value", 2).alias("part_value"))
+        .filter(F.col("_value") * 500 > F.col("total"))
+        .select(
+            "l_partkey", F.round("_value", 2).cast("double").alias("part_value")
+        )
         .orderBy(F.col("part_value").desc(), "l_partkey")
     )
 

@@ -2218,6 +2218,20 @@ class GraphStore:
         src_cols = list(source.columns)
         src_keys = source.select(*on).distinct()
 
+        # fail fast on assignments targeting nonexistent columns: the
+        # final select only maps columns present in the table, so a
+        # typo'd key would otherwise be computed and silently dropped —
+        # the merge would "succeed" without applying the update
+        if update_assignments:
+            assignable = set(raw_cols) - set(on)
+            unknown = sorted(set(update_assignments) - assignable)
+            if unknown:
+                raise ValueError(
+                    f"merge_into: update_assignments target unknown or "
+                    f"key columns {unknown}; assignable columns of "
+                    f"{table!r} are {sorted(assignable)}"
+                )
+
         # insert set: source rows with no target match, NULL-fill to schema
         inserts = None
         n_insert = 0

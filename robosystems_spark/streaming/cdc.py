@@ -155,7 +155,19 @@ def apply_changes(
     w = Window.partitionBy(*keys).orderBy(
         F.col(sequence_col).desc(),
         is_del.desc(),
-        F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in value_cols])).desc(),
+        # concat_ws silently SKIPS nulls, so (NULL,'a') and ('a',NULL)
+        # would concatenate identically and the tie would fall back to
+        # nondeterministic ordering; make each column's null state
+        # explicit so replaying the same feed always picks the same row
+        F.md5(
+            F.concat_ws(
+                "\x1f",
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+                    for c in value_cols
+                ],
+            )
+        ).desc(),
     )
     winners = (
         feed.withColumn("_rn", F.row_number().over(w))

@@ -86,9 +86,27 @@ def view_purchase_interval_join(
     )
 
 
+_INTERVAL_UNITS = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+                   "hour": 3600, "hours": 3600, "day": 86400, "days": 86400}
+
+
 def _interval_seconds(spec: str) -> int:
-    """'1 hour' / '30 minutes' / '90 seconds' -> seconds (no eval)."""
-    n, unit = spec.split()
-    mult = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
-            "hour": 3600, "hours": 3600, "day": 86400, "days": 86400}[unit]
-    return int(n) * mult
+    """'1 hour' / '30 minutes' / '90 seconds' -> seconds (no eval).
+
+    Raises a descriptive ValueError for malformed specs ('1 hr',
+    '1.5 hours', '90min') instead of a bare KeyError/ValueError."""
+    parts = spec.split()
+    if len(parts) != 2 or not parts[0].lstrip("-").isdigit():
+        raise ValueError(
+            f"invalid interval {spec!r}: expected '<integer> <unit>' "
+            f"with unit one of {sorted(set(_INTERVAL_UNITS))}"
+        )
+    n, unit = parts
+    if unit not in _INTERVAL_UNITS:
+        raise ValueError(
+            f"invalid interval unit {unit!r} in {spec!r}: expected one "
+            f"of {sorted(set(_INTERVAL_UNITS))}"
+        )
+    if int(n) < 0:
+        raise ValueError(f"invalid interval {spec!r}: must be non-negative")
+    return int(n) * _INTERVAL_UNITS[unit]

@@ -139,6 +139,24 @@ def test_merge_mor_appends_dv_not_rewrites(spark, store):
     assert df.filter("identifier = 'id5'").first()["s"] == "u"
 
 
+def test_merge_rejects_unknown_assignment_target(spark, store):
+    """An update_assignments key that names a nonexistent (or key)
+    column must raise up front — previously it was computed as
+    __merge_<col> and silently dropped by the final select, so the
+    merge 'succeeded' without applying the intended update."""
+    src = _src(spark, [("id5", 500, "upd")])
+    with pytest.raises(ValueError, match="vv"):
+        store.merge_into(
+            "T", src, on=["identifier"], update_assignments={"vv": F.lit(1)}
+        )
+    # assigning to a merge key is equally unapplyable
+    with pytest.raises(ValueError, match="identifier"):
+        store.merge_into(
+            "T", src, on=["identifier"],
+            update_assignments={"identifier": F.lit("x")},
+        )
+
+
 def test_merge_rejects_ambiguous_source(spark, store):
     src = _src(spark, [("id5", 1, "a"), ("id5", 2, "b")])
     with pytest.raises(ValueError, match="ambiguous"):
@@ -277,3 +295,30 @@ def test_apply_changes_delete_wins_sequence_tie(spark, store):
     )
     apply_changes(store, "T", feed, keys=["identifier"], sequence_col="seq")
     assert store.read("T").filter("identifier = 'id9'").count() == 0
+
+
+def test_apply_changes_null_shift_tie_is_deterministic(spark, store):
+    """Two same-key same-sequence upserts whose value columns differ
+    only in WHERE the null sits — (NULL,'a') vs ('a',NULL) — must
+    resolve the same way on every replay.  concat_ws silently skips
+    nulls, so before the null-explicit hash both rows concatenated to
+    the same tiebreak digest and the winner was partition-order luck."""
+    from robosystems_spark.streaming.cdc import apply_changes
+
+    feed = spark.createDataFrame(
+        [("idT", None, "a", "upsert", 3), ("idT", 97, None, "upsert", 3)],
+        "identifier string, v int, s string, op string, seq long",
+    )
+    apply_changes(store, "T", feed, keys=["identifier"], sequence_col="seq")
+    first = store.read("T").filter("identifier = 'idT'").collect()
+    assert len(first) == 1
+    winner = (first[0]["v"], first[0]["s"])
+    # replay from scratch several times with shuffled input order: the
+    # deterministic hash must pick the SAME row every time
+    for _ in range(3):
+        reordered = feed.orderBy(F.rand(seed=None)).repartition(4)
+        apply_changes(
+            store, "T", reordered, keys=["identifier"], sequence_col="seq"
+        )
+        row = store.read("T").filter("identifier = 'idT'").collect()[0]
+        assert (row["v"], row["s"]) == winner

@@ -14,6 +14,20 @@ from robosystems_spark.streaming.events import events_stream
 from robosystems_spark.streaming.joins import view_purchase_interval_join
 
 
+def test_interval_seconds_parses_and_rejects_descriptively():
+    import pytest
+
+    from robosystems_spark.streaming.joins import _interval_seconds
+
+    assert _interval_seconds("1 hour") == 3600
+    assert _interval_seconds("30 minutes") == 1800
+    assert _interval_seconds("90 seconds") == 90
+    assert _interval_seconds("2 days") == 172800
+    for bad in ("1 hr", "1.5 hours", "90min", "hours", "-1 hours"):
+        with pytest.raises(ValueError, match="interval"):
+            _interval_seconds(bad)
+
+
 def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
     ev = read_table(spark, sf_dir, "events")
     batch = view_purchase_interval_join(
