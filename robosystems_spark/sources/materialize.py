@@ -367,6 +367,11 @@ class GraphStore:
     AUTO_CHECKPOINT_EVERY = 256
     CHECKPOINT_KEEP_LAST = 64
     CHECKPOINT_MAX_RECORDS = 4096
+    # Every SNAPSHOT_EVERY-th version writes a full-manifest BASE
+    # record; the versions between carry O(changed-files) deltas.
+    # Reconstruction therefore reads at most SNAPSHOT_EVERY records
+    # past the nearest base / checkpoint snapshot.
+    SNAPSHOT_EVERY = 64
 
     def checkpoint_history(self, table: str, keep_last: int | None = None) -> int:
         """Fold commit records older than the newest ``keep_last`` into
@@ -397,18 +402,25 @@ class GraphStore:
                 pass
         dropped = max(len(records) - self.CHECKPOINT_MAX_RECORDS, 0)
         records = records[dropped:]
+        # Materialize the full {files, stats, dv} snapshot at the cut
+        # BEFORE unlinking anything: later delta records chain off it,
+        # so manifest reconstruction never needs a record older than
+        # the checkpoint (Delta's checkpoint-parquet role).  Computed
+        # while the old checkpoint + per-commit files are all still
+        # readable.
+        snap, _ = self._snapshot_at(table, cut)
+        payload = {
+            "last_v": cut,
+            "records": records,
+            "truncated": ckpt.get("truncated", 0) + dropped,
+        }
+        if snap is not None:
+            payload["snapshot"] = {"v": cut, **snap}
         # write-then-rename so a crash never leaves a torn checkpoint,
         # THEN unlink the folded files (re-folding survivors is idempotent)
         tmp = self._ckpt_path(table) + ".tmp"
         with open(tmp, "w") as fh:
-            json.dump(
-                {
-                    "last_v": cut,
-                    "records": records,
-                    "truncated": ckpt.get("truncated", 0) + dropped,
-                },
-                fh,
-            )
+            json.dump(payload, fh)
         os.replace(tmp, self._ckpt_path(table))
         for v in range(ckpt["last_v"] + 1, cut + 1):
             try:
@@ -445,21 +457,43 @@ class GraphStore:
             record["detail"]["schema"] = evolved
         if staged is not None:
             files, dv, stats = staged
-            record["files"] = files
-            record["dv"] = (
-                self._prune_dv(self._dv_at(table), files) if dv is None else dv
-            )
+            prev_snap, _ = self._snapshot_at(table, v - 1)
+            prev_stats = prev_snap["stats"] if prev_snap else {}
+            prev_dv = prev_snap["dv"] if prev_snap else []
+            dv_final = self._prune_dv(prev_dv, files) if dv is None else dv
             if stats is None:
-                prev = self._stats_at(table)
                 stats = {}
                 for f in files:
                     # pop per file: a concurrent blind append's pending
                     # stats (files not in THIS manifest yet) stay for
                     # its own commit
-                    s = pending_stats.pop(f, None) or prev.get(f)
+                    s = pending_stats.pop(f, None) or prev_stats.get(f)
                     if s:
                         stats[f] = s
-            record["stats"] = stats
+            if prev_snap is None or v % self.SNAPSHOT_EVERY == 0:
+                # BASE record: the full snapshot.  Written for the first
+                # manifest commit and every SNAPSHOT_EVERY-th version so
+                # delta reconstruction walks are bounded.
+                record["files"] = files
+                record["dv"] = dv_final
+                record["stats"] = stats
+            else:
+                # DELTA record: O(changed files) bytes, the Delta-log
+                # add/remove shape — a 1-file append into a 10^6-file
+                # table writes a ~hundred-byte record instead of
+                # re-serializing the whole manifest + stats dict.
+                prev_files = set(prev_snap["files"])
+                fileset = set(files)
+                record["delta"] = True
+                record["add"] = sorted(fileset - prev_files)
+                record["remove"] = sorted(prev_files - fileset)
+                stats_add = {
+                    f: s for f, s in stats.items() if prev_stats.get(f) != s
+                }
+                if stats_add:
+                    record["stats_add"] = stats_add
+                if dv_final != prev_dv:
+                    record["dv"] = dv_final  # explicit dv replaces; absent = carry
             if not pending_stats:
                 self._pending_stats.pop(table, None)
         path = os.path.join(self._txn_dir(table), f"v{v:08d}.json")
@@ -529,6 +563,62 @@ class GraphStore:
                 return rec
         return None
 
+    # Reason codes for a failed snapshot reconstruction, so callers can
+    # keep today's distinct error messages.
+    _SNAP_OK = ""
+    _SNAP_LEGACY = "legacy"  # walked to v0: table predates manifests
+    _SNAP_RETIRED = "retention"  # hit a discarded record mid-walk
+
+    def _snapshot_at(self, table: str, version: int) -> tuple[dict | None, str]:
+        """Reconstruct the complete ``{"files", "stats", "dv"}`` state
+        at ``version`` from the nearest BASE — a full-snapshot commit
+        record (written at least every ``SNAPSHOT_EVERY`` commits) or
+        the checkpoint's folded snapshot — plus the newer delta
+        records' add/remove/stats_add/dv fields applied oldest-first.
+
+        This is what keeps commit records O(changed files) instead of
+        O(table files): an append of one file writes one tiny delta
+        record, and reconstruction reads at most ``SNAPSHOT_EVERY``
+        small records (the Delta-log add/remove + checkpoint design).
+
+        Returns ``(state, reason)``; state is None with a reason of
+        ``_SNAP_LEGACY`` (pre-manifest table) or ``_SNAP_RETIRED``
+        (records discarded by log retention)."""
+        if version < 1:
+            return None, self._SNAP_LEGACY
+        ckpt_snap = self._load_ckpt(table).get("snapshot")
+        deltas: list[dict] = []
+        base: dict | None = None
+        v = version
+        while v > 0:
+            if ckpt_snap and ckpt_snap.get("v") == v:
+                base = ckpt_snap
+                break
+            rec = self._record_at(table, v)
+            if rec is None:
+                return None, self._SNAP_RETIRED
+            if "files" in rec:
+                base = rec
+                break
+            if rec.get("delta"):
+                deltas.append(rec)
+            # else: non-data commit (no manifest change) — walk past
+            v -= 1
+        if base is None:
+            return None, self._SNAP_LEGACY
+        files = set(base["files"])
+        stats = dict(base.get("stats", {}))
+        dv = list(base.get("dv", []))
+        for rec in reversed(deltas):  # oldest delta first
+            for f in rec.get("remove", ()):
+                files.discard(f)
+                stats.pop(f, None)
+            files.update(rec.get("add", ()))
+            stats.update(rec.get("stats_add", {}))
+            if "dv" in rec:
+                dv = list(rec["dv"])
+        return {"files": sorted(files), "stats": stats, "dv": dv}, self._SNAP_OK
+
     def _manifest_at(
         self, table: str, version: int | None = None
     ) -> list[str] | None:
@@ -547,21 +637,15 @@ class GraphStore:
                 f"(oldest retained: {self._vacuum_floor(table)})"
             )
         v = latest if version is None else version
-        while v > 0:
-            rec = self._record_at(table, v)
-            if rec is None:
-                if version is not None:
-                    raise ValueError(
-                        f"version {version} of table {table!r} is no longer "
-                        "retained (discarded by log retention)"
-                    )
-                return None
-            if "files" in rec:
-                return rec["files"]
-            # pre-manifest records never carry files; post-manifest ones
-            # always do, so walking back can only terminate at legacy
-            v -= 1
+        snap, reason = self._snapshot_at(table, v)
+        if snap is not None:
+            return snap["files"]
         if version is not None:
+            if reason == self._SNAP_RETIRED:
+                raise ValueError(
+                    f"version {version} of table {table!r} is no longer "
+                    "retained (discarded by log retention)"
+                )
             raise ValueError(
                 f"version {version} of table {table!r} predates snapshot "
                 "manifests — cannot time-travel to it"
@@ -653,14 +737,8 @@ class GraphStore:
         """Per-file column stats in effect at ``version`` (latest when
         None); {} for legacy/pre-stats versions."""
         v = self.version(table) if version is None else version
-        while v > 0:
-            rec = self._record_at(table, v)
-            if rec is None:
-                return {}
-            if "files" in rec:
-                return dict(rec.get("stats", {}))
-            v -= 1
-        return {}
+        snap, _ = self._snapshot_at(table, v)
+        return snap["stats"] if snap else {}
 
     @staticmethod
     def _bound(v):
@@ -744,14 +822,8 @@ class GraphStore:
         """Deletion-vector entries in effect at ``version`` (latest
         committed when None); [] for legacy/pre-DV versions."""
         v = self.version(table) if version is None else version
-        while v > 0:
-            rec = self._record_at(table, v)
-            if rec is None:
-                return []
-            if "files" in rec:
-                return list(rec.get("dv", []))
-            v -= 1
-        return []
+        snap, _ = self._snapshot_at(table, v)
+        return snap["dv"] if snap else []
 
     def _with_lineage(self, df: DataFrame, table: str) -> DataFrame:
         """Materialize each row's source-file address (path relative to
@@ -963,12 +1035,29 @@ class GraphStore:
         latest = self.version(table)
         referenced: set[str] = set()
         dv_referenced: set[str] = set()
-        saw_manifest = False
-        for v in range(max(latest - keep + 1, 1), latest + 1):
+        # Everything any retained version references = the full
+        # snapshot at the range start PLUS every add / explicit-dv in
+        # the later records — one reconstruction and a linear record
+        # scan, not a per-version manifest rebuild.  (A file removed at
+        # version v was present at v-1, so it's covered by the start
+        # snapshot or an earlier add.)
+        vstart = max(latest - keep + 1, 1)
+        base_snap, _ = self._snapshot_at(table, vstart)
+        saw_manifest = base_snap is not None
+        if base_snap is not None:
+            referenced.update(base_snap["files"])
+            dv_referenced.update(e["path"] for e in base_snap["dv"])
+        for v in range(vstart + 1, latest + 1):
             rec = self._record_at(table, v)
-            if rec and "files" in rec:
+            if not rec:
+                continue
+            if "files" in rec:
                 saw_manifest = True
                 referenced.update(rec["files"])
+                dv_referenced.update(e["path"] for e in rec.get("dv", []))
+            elif rec.get("delta"):
+                saw_manifest = True
+                referenced.update(rec.get("add", []))
                 dv_referenced.update(e["path"] for e in rec.get("dv", []))
         if not saw_manifest:
             return 0  # legacy table: the dir listing IS the data

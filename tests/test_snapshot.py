@@ -785,3 +785,89 @@ def test_merge_schema_rejects_tombstoned_column(spark, store):
             primary_keys=["identifier"],
             merge_schema=True,
         )
+
+
+# -- delta-encoded commit log (O(changed-files) records) ----------------------
+
+
+def _commit_path(store, table, v):
+    return os.path.join(store._txn_dir(table), f"v{v:08d}.json")
+
+
+def test_delta_commit_bytes_are_o_changed_on_big_manifest(spark, store):
+    """A 1-file append into a 10k-file table must write an
+    O(1)-sized delta record, not re-serialize the whole manifest +
+    stats dict; reconstruction must equal the full snapshot."""
+    files0 = sorted(f"part-{i:05d}.parquet" for i in range(10_000))
+    stats0 = {f: {"identifier": [0, 9]} for f in files0}
+    store._stage_manifest("BIG", files0, dv=[], stats=stats0)
+    v1 = store._commit("BIG", "copy")
+    base_bytes = os.path.getsize(_commit_path(store, "BIG", v1))
+    assert base_bytes > 100_000  # the base snapshot IS O(files)
+
+    appended = files0 + ["part-10000.parquet"]
+    store._stage_manifest("BIG", sorted(appended), dv=None, stats=None)
+    v2 = store._commit("BIG", "append")
+    delta_bytes = os.path.getsize(_commit_path(store, "BIG", v2))
+    assert delta_bytes < 1_000, f"append record is {delta_bytes}B — not a delta"
+
+    # reconstruction equals the explicit snapshot at both versions
+    assert store._manifest_at("BIG", v1) == files0
+    assert store._manifest_at("BIG", v2) == sorted(appended)
+    assert store._stats_at("BIG", v2) == stats0  # carried forward
+    assert store._dv_at("BIG", v2) == []
+
+    # a remove-side delta (compaction-ish: drop 2, add 1) stays O(changed)
+    files3 = sorted(set(appended) - {files0[0], files0[1]}) + ["part-merged.parquet"]
+    store._stage_manifest("BIG", sorted(files3), dv=None, stats=None)
+    v3 = store._commit("BIG", "compact")
+    assert os.path.getsize(_commit_path(store, "BIG", v3)) < 1_000
+    assert store._manifest_at("BIG", v3) == sorted(files3)
+    assert files0[0] not in store._stats_at("BIG", v3)
+    # time travel below the deltas still reconstructs exactly
+    assert store._manifest_at("BIG", v1) == files0
+
+
+def test_snapshot_every_writes_periodic_base_record(spark, store):
+    """Every SNAPSHOT_EVERY-th version is a full base record so delta
+    walks stay bounded."""
+    store.SNAPSHOT_EVERY = 4
+    files = ["a.parquet"]
+    store._stage_manifest("P", files, dv=[], stats={})
+    store._commit("P", "copy")  # v1: base (first manifest)
+    for i in range(2, 10):
+        files = files + [f"f{i}.parquet"]
+        store._stage_manifest("P", sorted(files), dv=None, stats=None)
+        v = store._commit("P", "append")
+    import json as _json
+
+    recs = {
+        v: _json.load(open(_commit_path(store, "P", v))) for v in range(1, 10)
+    }
+    assert "files" in recs[1] and "files" in recs[4] and "files" in recs[8]
+    for v in (2, 3, 5, 6, 7, 9):
+        assert recs[v].get("delta") and "files" not in recs[v]
+    assert store._manifest_at("P", 9) == sorted(files)
+
+
+def test_checkpoint_folds_snapshot_and_deltas_survive_retention(spark, store):
+    """After checkpoint_history unlinks folded per-commit files, newer
+    delta records chain off the checkpoint's materialized snapshot."""
+    _seed(spark, store, n=8)
+    for i in range(6):
+        store.upsert(
+            "T",
+            spark.createDataFrame([(i, i * 10)], "identifier long, v long"),
+            primary_keys=["identifier"],
+        )
+    before = store._manifest_at("T")
+    stats_before = store._stats_at("T")
+    folded = store.checkpoint_history("T", keep_last=2)
+    assert folded > 0
+    ck = store._load_ckpt("T")
+    assert ck.get("snapshot", {}).get("v") == ck["last_v"]
+    # reconstruction at latest (delta chain over the ckpt snapshot)
+    assert store._manifest_at("T") == before
+    assert store._stats_at("T") == stats_before
+    # and the folded cut version itself reads fine
+    assert store.read("T", version=ck["last_v"]).count() == 8
