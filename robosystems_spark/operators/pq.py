@@ -121,35 +121,62 @@ def pq_topk(
     query_id_col: str = "query_id",
     round_decimals: int = 9,
 ) -> DataFrame:
-    """ADC top-k: for every query (collected — queries are the small
-    side by construction, same as cosine_topk's broadcast), distance =
-    sum of m table lookups over the encoded corpus, ranked by
-    (rounded adc, id) so ordering is engine-portable.  Returns
+    """ADC top-k in ONE plan: the collected queries (small side by
+    construction, same as cosine_topk's broadcast) become a single
+    broadcast frame of precomputed m x k ADC tables; distance is m
+    nested ``element_at`` lookups per (query, corpus-vector) pair,
+    ranked by (rounded adc, id) so ordering is engine-portable.
+
+    An earlier formulation unioned one plan branch per query, each
+    carrying m*k distance literals — correct, but a 100-1000-query
+    batch exploded Catalyst analysis time and plan size (the DRIVER
+    became the bottleneck, not the cluster).  Here the per-query
+    tables travel as broadcast DATA, not as plan literals: plan size
+    is O(m) regardless of batch size, and the join is
+    corpus x queries with no shuffle on the corpus side.  Returns
     (query_id, nn_id, adc, rank)."""
     m = len(codebooks)
     encoded = pq_encode(corpus, codebooks, vec_col, id_col).select(
         F.col(id_col).alias("nn_id"), "codes"
     )
     q_rows = queries.select(query_id_col, vec_col).collect()
-    per_query = []
-    for row in q_rows:
-        table = _adc_table(list(row[vec_col]), codebooks, round_decimals)
-        lookups = [
-            F.element_at(
-                F.array(*[F.lit(v) for v in table[j]]),
-                F.element_at("codes", j + 1) + 1,
-            )
-            for j in range(m)
+    qid_type = queries.schema[query_id_col].dataType
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        StructField,
+        StructType,
+    )
+
+    q_schema = StructType(
+        [
+            StructField("query_id", qid_type, False),
+            StructField(
+                "_adc_tables", ArrayType(ArrayType(DoubleType())), False
+            ),
         ]
-        adc = F.round(reduce(lambda a, b: a + b, lookups), 6)
-        per_query.append(
-            encoded.select(
-                F.lit(row[query_id_col]).alias("query_id"),
-                "nn_id",
-                adc.alias("adc"),
+    )
+    q_frame = corpus.sparkSession.createDataFrame(
+        [
+            (
+                row[query_id_col],
+                _adc_table(list(row[vec_col]), codebooks, round_decimals),
             )
+            for row in q_rows
+        ],
+        q_schema,
+    )
+    lookups = [
+        F.element_at(
+            F.element_at("_adc_tables", j + 1),
+            F.element_at("codes", j + 1) + 1,
         )
-    sims = reduce(lambda a, b: a.unionByName(b), per_query)
+        for j in range(m)
+    ]
+    adc = F.round(reduce(lambda a, b: a + b, lookups), 6)
+    sims = encoded.crossJoin(F.broadcast(q_frame)).select(
+        "query_id", "nn_id", adc.alias("adc")
+    )
     w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("nn_id"))
     return (
         sims.withColumn("rank", F.row_number().over(w))

@@ -102,6 +102,34 @@ def test_pq_search_plan_is_codegen_with_topk(spark, sf_dir, emb, codebooks):
     assert "ArrowEvalPython" in plan  # the encode UDF
 
 
+def test_pq_search_is_one_plan_for_large_batches(spark, emb, codebooks):
+    """A 100-query batch must compile to ONE broadcast join over the
+    encoded corpus — not a 100-branch union each carrying m*k distance
+    literals (that shape made Catalyst analysis, not the cluster, the
+    scale bottleneck)."""
+    from tests.test_plans import plan_of
+
+    queries = emb.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    df = PQ.pq_topk(emb, queries, codebooks, topk=3)
+    plan = plan_of(df)
+    assert "Union" not in plan, "per-query plan branches are back"
+    # formatted explain prints each node in the tree AND a details
+    # section — count joins in the tree section only
+    tree = plan.split("\n\n")[0]
+    assert (
+        tree.count("BroadcastNestedLoopJoin") + tree.count("BroadcastHashJoin")
+        == 1
+    )
+    # and it still answers: every query finds itself at rank 1
+    top1 = {
+        (r["query_id"], r["nn_id"])
+        for r in df.filter("rank = 1").collect()
+    }
+    assert all((q, q) in top1 for q in range(100))
+
+
 def test_random_projection_preserves_relative_distances(spark, emb):
     """JL property: after 64→16 projection, pairwise distance RATIOS
     stay within a loose band (enough to bucket/cluster in the small
