@@ -75,9 +75,13 @@ class Scope:
     nodes: dict[str, str] = field(default_factory=dict)  # var -> label (prefixed cols)
     edges: dict[str, str] = field(default_factory=dict)  # var -> rel type
     values: dict[str, str] = field(default_factory=dict)  # name -> column name
+    paths: dict[str, str] = field(default_factory=dict)  # path var -> depth col
 
     def copy(self) -> "Scope":
-        return Scope(dict(self.nodes), dict(self.edges), dict(self.values))
+        return Scope(
+            dict(self.nodes), dict(self.edges), dict(self.values),
+            dict(self.paths),
+        )
 
 
 class CypherEngine:
@@ -274,6 +278,31 @@ class CypherEngine:
         scope (OPTIONAL MATCH sub-patterns reference them label-less).
         """
         elements = path.elements
+        if path.shortest is not None:
+            # shortestPath()/allShortestPaths(): compile to the bounded
+            # BFS pair frame, whose depth IS the minimum hop count per
+            # endpoint pair (bounded_paths keeps first-discovery level
+            # only) — exactly shortest-path-length semantics.  At
+            # endpoint granularity the two forms coincide: one row per
+            # (a, b) at minimal depth; path ENUMERATION (nodes(p) /
+            # relationships(p)) is not supported, matching the
+            # reference, which cost-flags but never enumerates either
+            # (execution_strategies.py:86-88).
+            if len(elements) != 3 or not isinstance(elements[1], P.EdgePattern):
+                raise CypherCompileError(
+                    "shortestPath()/allShortestPaths() takes a single "
+                    "(a)-[...]->(b) relationship pattern"
+                )
+            edge = elements[1]
+            if edge.min_hops is None:
+                edge.min_hops = edge.max_hops = 1  # single-hop form
+            if edge.var is None:
+                edge.var = self._fresh()
+        elif path.path_var is not None:
+            raise CypherCompileError(
+                "path variables are only supported with "
+                "shortestPath()/allShortestPaths()"
+            )
         node = elements[0]
         var = node.var or self._fresh()
         if var not in scope.nodes:
@@ -305,6 +334,8 @@ class CypherEngine:
             df = df.drop(src_col, dst_col)
             prev = nvar
             i += 2
+        if path.path_var is not None:
+            scope.paths[path.path_var] = f"{elements[1].var}__depth"
         return df
 
     def _require_label(
@@ -709,6 +740,11 @@ class CypherEngine:
             col, agg = self._expr(e.args[0], scope, params)
             return col.try_cast(CAST_FUNCS[name]), agg
         if name in ("size", "len", "length"):
+            # length(p) on a shortestPath-bound path variable = the
+            # BFS depth (minimum hop count) of the pair's row
+            arg0 = e.args[0]
+            if isinstance(arg0, P.VarRef) and arg0.name in scope.paths:
+                return F.col(scope.paths[arg0.name]), False
             # `len` covers both strings and lists in the dialect map
             # (query_validator.py:63-64); pick by static argument shape
             col, agg = self._expr(e.args[0], scope, params)

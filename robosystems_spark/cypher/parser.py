@@ -116,6 +116,11 @@ class EdgePattern:
 @dataclass
 class PathPattern:
     elements: list  # NodePattern, EdgePattern alternating
+    # ``p = shortestPath((a)-[:R*1..4]->(b))`` surface (the reference's
+    # analyzer recognizes and cost-flags these forms,
+    # middleware/graph/execution_strategies.py:86-88):
+    path_var: str | None = None  # bound path variable (length(p))
+    shortest: str | None = None  # None | 'shortest' | 'all'
 
 
 @dataclass
@@ -499,10 +504,39 @@ class Parser:
             self.next()
             optional = True
         self.expect_keyword("MATCH")
-        patterns = [self.parse_path()]
+        patterns = [self.parse_pattern_part()]
         while self.accept_op(","):
-            patterns.append(self.parse_path())
+            patterns.append(self.parse_pattern_part())
         return MatchClause(patterns=patterns, optional=optional)
+
+    def parse_pattern_part(self) -> PathPattern:
+        """One MATCH pattern, optionally ``p = shortestPath(...)`` /
+        ``p = allShortestPaths(...)`` (Neo4j surface; the reference's
+        analyzer cost-flags both forms).  A node pattern always starts
+        with '(', so NAME '=' is unambiguously a path binding."""
+        path_var = None
+        if self.peek().kind == "NAME" and self.peek(1).value == "=":
+            path_var = self.next().value
+            self.next()  # '='
+        shortest = None
+        if (
+            self.peek().kind == "NAME"
+            and self.peek().value.lower() in ("shortestpath", "allshortestpaths")
+        ):
+            shortest = (
+                "all"
+                if self.peek().value.lower().startswith("all")
+                else "shortest"
+            )
+            self.next()
+            self.expect_op("(")
+            path = self.parse_path()
+            self.expect_op(")")
+        else:
+            path = self.parse_path()
+        path.path_var = path_var
+        path.shortest = shortest
+        return path
 
     def parse_path(self) -> PathPattern:
         elements: list = [self.parse_node()]

@@ -203,6 +203,50 @@ def cypher_varlength_reachability(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "cypher_shortest_path_surface",
+    oracle="""
+    WITH RECURSIVE edges AS (
+      SELECT CAST(a.n_nationkey AS VARCHAR) AS src, CAST(b.n_nationkey AS VARCHAR) AS dst
+      FROM nation a JOIN nation b
+        ON a.n_regionkey = b.n_regionkey AND b.n_nationkey = a.n_nationkey + 5
+    ), paths AS (
+      SELECT src AS start_node, dst AS end_node, 1 AS depth FROM edges
+      UNION ALL
+      SELECT p.start_node, e.dst, p.depth + 1
+      FROM paths p JOIN edges e ON p.end_node = e.src
+      WHERE p.depth < 4
+    )
+    SELECT start_node, end_node, CAST(MIN(depth) AS BIGINT) AS path_len
+    FROM paths GROUP BY start_node, end_node
+    """,
+    doc="Neo4j shortestPath() SURFACE through the Cypher compiler: "
+    "MATCH p = shortestPath((a)-[:NEXT*1..4]->(b)) RETURN length(p) — "
+    "compiled to the bounded-BFS pair frame whose first-discovery depth "
+    "IS the minimum hop count, vs a recursive-CTE MIN(depth) oracle "
+    "(reference cost-flags the same syntax, execution_strategies.py:86-88).",
+    tags=("cypher", "graph"),
+)
+def cypher_shortest_path_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = read_table(spark, sf_dir, "nation")
+    a, b = nation.alias("a"), nation.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+        & (F.col("b.n_nationkey") == F.col("a.n_nationkey") + 5),
+    ).select(
+        F.col("a.n_nationkey").cast("string").alias("src"),
+        F.col("b.n_nationkey").cast("string").alias("dst"),
+    )
+    nodes = nation.select(F.col("n_nationkey").cast("string").alias("identifier"))
+    eng = CypherEngine({"Nation": nodes, "NEXT": edges})
+    return eng.query(
+        "MATCH p = shortestPath((a:Nation)-[:NEXT*1..4]->(b:Nation)) "
+        "RETURN a.identifier AS start_node, b.identifier AS end_node, "
+        "toInteger(length(p)) AS path_len"
+    )
+
+
+@register(
     "graph_weighted_shortest_paths",
     oracle=r"""
     WITH RECURSIVE e AS (

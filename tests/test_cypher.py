@@ -290,6 +290,56 @@ def test_varlength_undirected(chain_graph):
     assert rows(out) == [("A",), ("C",)]
 
 
+def test_shortest_path_surface(chain_graph):
+    """MATCH p = shortestPath((a)-[:R*..N]->(b)) RETURN length(p):
+    the Neo4j surface the reference's analyzer cost-flags
+    (execution_strategies.py:86-88), compiled to the bounded-BFS
+    min-depth pair frame."""
+    out = chain_graph.query(
+        "MATCH p = shortestPath((a:Emp)-[:MANAGES*1..3]->(b:Emp)) "
+        "WHERE a.name = 'A' "
+        "RETURN b.name AS name, length(p) AS hops ORDER BY hops"
+    )
+    assert rows(out) == [("B", 1), ("C", 2), ("D", 3)]
+
+
+def test_all_shortest_paths_surface(chain_graph):
+    """allShortestPaths at endpoint granularity: same minimal-depth
+    pairs (path enumeration is out of scope, like the reference)."""
+    out = chain_graph.query(
+        "MATCH p = allShortestPaths((a:Emp)-[:MANAGES*1..2]->(b:Emp)) "
+        "RETURN count(*) AS n, max(length(p)) AS longest"
+    )
+    assert rows(out) == [(5, 2)]
+
+
+def test_shortest_path_single_hop_form(chain_graph):
+    out = chain_graph.query(
+        "MATCH p = shortestPath((a:Emp)-[:MANAGES]->(b:Emp)) "
+        "RETURN count(*) AS n, max(length(p)) AS d"
+    )
+    assert rows(out) == [(3, 1)]
+
+
+def test_bare_path_variable_rejected(chain_graph):
+    from robosystems_spark.cypher.compiler import CypherCompileError
+
+    with pytest.raises(CypherCompileError, match="shortestPath"):
+        chain_graph.query(
+            "MATCH p = (a:Emp)-[:MANAGES]->(b:Emp) RETURN length(p) AS n"
+        )
+
+
+def test_shortest_path_is_cost_flagged_by_analyzer():
+    from robosystems_spark.queryapi.analyzer import analyze_query_features
+
+    info = analyze_query_features(
+        "MATCH p = shortestPath((a:Emp)-[:MANAGES*1..3]->(b:Emp)) "
+        "RETURN length(p) AS n"
+    )
+    assert "shortest_path" in info.expensive_patterns
+
+
 def test_reference_trial_balance_cypher_verbatim(spark):
     """The reference's literal trial-balance query text
     (trial_balance.py:36-57) compiled by our engine must equal the
