@@ -104,6 +104,21 @@ def refresh_materialized_view(store: GraphStore, view: str) -> dict:
     the row-level change feed.  Returns {"mode", "from_v", "to_v",
     "groups_touched"}; a no-op refresh returns groups_touched=0."""
     meta = store._load_meta(view)
+    if meta.get("tb_matview"):
+        # join-shaped trial-balance view: dispatch to its maintainer
+        # (kept in views/ beside the full-recompute it mirrors) and
+        # normalize the result to this function's contract
+        from robosystems_spark.views.trial_balance import (
+            refresh_trial_balance_matview,
+        )
+
+        r = refresh_trial_balance_matview(store, view)
+        return {
+            "mode": r["mode"],
+            "from_v": 0,
+            "to_v": store.version(view),
+            "groups_touched": r["groups_touched"],
+        }
     mv = meta.get("matview")
     if not mv:
         raise ValueError(f"table {view!r} is not a materialized view")
@@ -154,6 +169,23 @@ def _refresh_additive(
     delta = feed.groupBy(*group_by).agg(
         *deltas, F.sum(sign).alias(ROWCOUNT_COL)
     )
+    return apply_additive_delta(store, view, group_by, list(aggs), delta)
+
+
+def apply_additive_delta(
+    store: GraphStore,
+    view: str,
+    group_by: list[str],
+    agg_names: list[str],
+    delta: DataFrame,
+) -> int:
+    """Merge a per-group SIGNED delta frame (columns: group_by +
+    agg_names + ROWCOUNT_COL) into the view table: existing groups add,
+    new groups insert, groups whose row count reaches 0 delete.
+    O(changed groups) — the semi-join prunes the view read to touched
+    buckets.  Shared by the single-table additive refresh above and
+    join-shaped views (views/trial_balance.py's matview) that build
+    their delta from a pre-joined change feed."""
     delta = delta.cache()
     touched = delta.count()
     if touched == 0:
@@ -166,12 +198,12 @@ def _refresh_additive(
     current = existing.join(delta.select(*group_by), group_by, "left_semi")
     d = delta.select(
         *group_by,
-        *[F.col(n).alias(f"_d_{n}") for n in aggs],
+        *[F.col(n).alias(f"_d_{n}") for n in agg_names],
         F.col(ROWCOUNT_COL).alias(f"_d_{ROWCOUNT_COL}"),
     )
     merged = current.join(d, group_by, "full_outer")
     new_cols = []
-    for name in aggs:
+    for name in agg_names:
         new_cols.append(
             (
                 F.coalesce(F.col(name), F.lit(0))

@@ -190,3 +190,169 @@ def test_call_matview_refresh_procedure(spark, store):
     store.delete_where("orders", F.col("oid") == 0)
     out = execute_call(spark, "CALL matview_refresh('V')", store=store).collect()
     assert out[0]["view"] == "V" and out[0]["groups_touched"] == 1
+
+
+# -- incremental trial-balance matview (views/trial_balance.py) --------------
+
+
+def _seed_gl(spark, store):
+    mk = spark.createDataFrame
+    store.copy_into("Entity", mk(
+        [("e1", "Acme")], "identifier string, name string"),
+        primary_keys=["identifier"])
+    store.copy_into("Element", mk(
+        [("cash", "uri:cash", "Cash", "asset", "debit", "instant"),
+         ("rev", "uri:rev", "Revenue", "revenue", "credit", "duration"),
+         ("exp", "uri:exp", "Expenses", "expense", "debit", "duration")],
+        "identifier string, uri string, name string, classification string, "
+        "balance string, period_type string"), primary_keys=["identifier"])
+    store.copy_into("Transaction", mk(
+        [("t1", "2024-01-10"), ("t2", "2024-02-10")],
+        "identifier string, date string"), primary_keys=["identifier"])
+    store.copy_into("LineItem", mk(
+        [("l1", 100.0, 0.0), ("l2", 0.0, 100.0),
+         ("l3", 50.0, 0.0), ("l4", 0.0, 50.0)],
+        "identifier string, debit_amount double, credit_amount double"),
+        primary_keys=["identifier"])
+    store.copy_into("ENTITY_HAS_TRANSACTION", mk(
+        [("e1", "t1"), ("e1", "t2")], "src string, dst string"),
+        primary_keys=["src", "dst"])
+    store.copy_into("TRANSACTION_HAS_LINE_ITEM", mk(
+        [("t1", "l1"), ("t1", "l2"), ("t2", "l3"), ("t2", "l4")],
+        "src string, dst string"), primary_keys=["src", "dst"])
+    store.copy_into("LINE_ITEM_RELATES_TO_ELEMENT", mk(
+        [("l1", "cash"), ("l2", "rev"), ("l3", "exp"), ("l4", "cash")],
+        "src string, dst string"), primary_keys=["src", "dst"])
+
+
+def _tb_golden(store):
+    """Fresh full recompute via the request-path trial_balance()."""
+    from robosystems_spark.views.trial_balance import TB_TABLES, trial_balance
+
+    tables = {t: store.read(t) for t in TB_TABLES}
+    return {
+        r["element_id"]: (
+            r["total_debits"], r["total_credits"], r["net_balance"]
+        )
+        for r in trial_balance(tables).collect()
+    }
+
+
+def _tb_view(store, view):
+    return {
+        r["element_id"]: (
+            r["total_debits"], r["total_credits"], r["net_balance"]
+        )
+        for r in store.read(view).collect()
+    }
+
+
+def test_trial_balance_matview_incremental_matches_recompute(spark, store):
+    """Mutating transactions + matview refresh == full recompute; the
+    common append path must take the ADDITIVE (change-feed-only)
+    route."""
+    from robosystems_spark.views.trial_balance import (
+        create_trial_balance_matview,
+        refresh_trial_balance_matview,
+    )
+
+    _seed_gl(spark, store)
+    create_trial_balance_matview(store, "TB")
+    assert _tb_view(store, "TB") == _tb_golden(store)
+
+    # post a new transaction: t3 debits expenses 70, credits cash 70
+    mk = spark.createDataFrame
+    store.upsert("Transaction", mk(
+        [("t3", "2024-03-15")], "identifier string, date string"),
+        primary_keys=["identifier"])
+    store.upsert("LineItem", mk(
+        [("l5", 70.0, 0.0), ("l6", 0.0, 70.0)],
+        "identifier string, debit_amount double, credit_amount double"),
+        primary_keys=["identifier"])
+    store.upsert("ENTITY_HAS_TRANSACTION", mk(
+        [("e1", "t3")], "src string, dst string"), primary_keys=["src", "dst"])
+    store.upsert("TRANSACTION_HAS_LINE_ITEM", mk(
+        [("t3", "l5"), ("t3", "l6")], "src string, dst string"),
+        primary_keys=["src", "dst"])
+    store.upsert("LINE_ITEM_RELATES_TO_ELEMENT", mk(
+        [("l5", "exp"), ("l6", "cash")], "src string, dst string"),
+        primary_keys=["src", "dst"])
+
+    r = refresh_trial_balance_matview(store, "TB")
+    assert r["mode"] == "additive" and r["groups_touched"] == 2
+    golden = _tb_golden(store)
+    assert _tb_view(store, "TB") == golden
+    assert golden["exp"] == (120.0, 0.0, 120.0)
+    assert golden["cash"] == (100.0, 120.0, -20.0)
+
+    # idempotent no-op when nothing changed
+    assert refresh_trial_balance_matview(store, "TB")["mode"] == "noop"
+
+
+def test_trial_balance_matview_line_item_update_and_delete(spark, store):
+    """Updates (delete+insert pairs in the feed) and deletes of line
+    items stay on the additive path and still match the recompute."""
+    from robosystems_spark.views.trial_balance import (
+        create_trial_balance_matview,
+        refresh_trial_balance_matview,
+    )
+
+    _seed_gl(spark, store)
+    create_trial_balance_matview(store, "TB")
+    mk = spark.createDataFrame
+    # re-state l3: 50 -> 80 debit
+    store.upsert("LineItem", mk(
+        [("l3", 80.0, 0.0)],
+        "identifier string, debit_amount double, credit_amount double"),
+        primary_keys=["identifier"])
+    r = refresh_trial_balance_matview(store, "TB")
+    assert r["mode"] == "additive"
+    assert _tb_view(store, "TB") == _tb_golden(store)
+    assert _tb_view(store, "TB")["exp"] == (80.0, 0.0, 80.0)
+
+
+def test_trial_balance_matview_dimension_change_recomputes(spark, store):
+    """An element rename (dimension update) must fall back to the
+    recompute path and still converge to the golden values."""
+    from robosystems_spark.views.trial_balance import (
+        create_trial_balance_matview,
+        refresh_trial_balance_matview,
+    )
+
+    _seed_gl(spark, store)
+    create_trial_balance_matview(store, "TB")
+    mk = spark.createDataFrame
+    store.upsert("Element", mk(
+        [("rev", "uri:rev", "Revenue (renamed)", "revenue", "credit",
+          "duration")],
+        "identifier string, uri string, name string, classification string, "
+        "balance string, period_type string"), primary_keys=["identifier"])
+    r = refresh_trial_balance_matview(store, "TB")
+    assert r["mode"] == "recompute"
+    assert _tb_view(store, "TB") == _tb_golden(store)
+    names = {r["element_name"] for r in store.read("TB").collect()}
+    assert "Revenue (renamed)" in names and "Revenue" not in names
+
+
+def test_trial_balance_matview_via_call_procedure(spark, store):
+    """CALL matview_refresh('TB') routes join-shaped trial-balance
+    views through the same dispatcher as single-table matviews."""
+    from robosystems_spark.views.trial_balance import (
+        create_trial_balance_matview,
+    )
+
+    _seed_gl(spark, store)
+    create_trial_balance_matview(store, "TB")
+    mk = spark.createDataFrame
+    store.upsert("LineItem", mk(
+        [("l9", 5.0, 0.0)],
+        "identifier string, debit_amount double, credit_amount double"),
+        primary_keys=["identifier"])
+    store.upsert("TRANSACTION_HAS_LINE_ITEM", mk(
+        [("t1", "l9")], "src string, dst string"), primary_keys=["src", "dst"])
+    store.upsert("LINE_ITEM_RELATES_TO_ELEMENT", mk(
+        [("l9", "cash")], "src string, dst string"),
+        primary_keys=["src", "dst"])
+    out = refresh_materialized_view(store, "TB")
+    assert out["mode"] == "additive" and out["groups_touched"] == 1
+    assert _tb_view(store, "TB") == _tb_golden(store)
