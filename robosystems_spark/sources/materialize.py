@@ -245,6 +245,12 @@ class GraphStore:
         # schema evolved by a merge_schema append, published in the
         # next commit's detail (time-travel visibility, like ALTER)
         self._pending_schema: dict[str, dict] = {}
+        # (table, version) -> reconstructed snapshot.  Safe to cache
+        # forever: a committed version's {files, stats, dv} is a
+        # historical fact (records are immutable; drop_table keeps the
+        # log and the version counter never restarts).  Bounded FIFO.
+        self._snap_cache: dict[tuple[str, int], dict] = {}
+        self._SNAP_CACHE_MAX = 256
         os.makedirs(self.graph_path, exist_ok=True)
 
     @property
@@ -493,7 +499,22 @@ class GraphStore:
                 if stats_add:
                     record["stats_add"] = stats_add
                 if dv_final != prev_dv:
-                    record["dv"] = dv_final  # explicit dv replaces; absent = carry
+                    # DV delta too: a MOR mutation stream would otherwise
+                    # re-serialize the whole accumulated entry list per
+                    # commit (absent fields = carry forward unchanged)
+                    prev_by_path = {e["path"]: e for e in prev_dv}
+                    new_paths = {e["path"] for e in dv_final}
+                    dv_add = [
+                        e for e in dv_final
+                        if prev_by_path.get(e["path"]) != e
+                    ]
+                    dv_remove = sorted(
+                        p for p in prev_by_path if p not in new_paths
+                    )
+                    if dv_add:
+                        record["dv_add"] = dv_add
+                    if dv_remove:
+                        record["dv_remove"] = dv_remove
             if not pending_stats:
                 self._pending_stats.pop(table, None)
         path = os.path.join(self._txn_dir(table), f"v{v:08d}.json")
@@ -586,6 +607,17 @@ class GraphStore:
         (records discarded by log retention)."""
         if version < 1:
             return None, self._SNAP_LEGACY
+        cached = self._snap_cache.get((table, version))
+        if cached is not None:
+            # shallow copies so callers can't mutate the cached state
+            return (
+                {
+                    "files": list(cached["files"]),
+                    "stats": dict(cached["stats"]),
+                    "dv": list(cached["dv"]),
+                },
+                self._SNAP_OK,
+            )
         ckpt_snap = self._load_ckpt(table).get("snapshot")
         deltas: list[dict] = []
         base: dict | None = None
@@ -617,7 +649,22 @@ class GraphStore:
             stats.update(rec.get("stats_add", {}))
             if "dv" in rec:
                 dv = list(rec["dv"])
-        return {"files": sorted(files), "stats": stats, "dv": dv}, self._SNAP_OK
+            elif "dv_add" in rec or "dv_remove" in rec:
+                # DV delta: entries whose path was removed or replaced
+                # drop, then the added/replacement entries append
+                gone = set(rec.get("dv_remove", ()))
+                gone.update(e["path"] for e in rec.get("dv_add", ()))
+                dv = [e for e in dv if e["path"] not in gone]
+                dv = dv + list(rec.get("dv_add", ()))
+        snap = {"files": sorted(files), "stats": stats, "dv": dv}
+        if len(self._snap_cache) >= self._SNAP_CACHE_MAX:
+            self._snap_cache.pop(next(iter(self._snap_cache)))
+        self._snap_cache[(table, version)] = {
+            "files": list(snap["files"]),
+            "stats": dict(snap["stats"]),
+            "dv": list(snap["dv"]),
+        }
+        return snap, self._SNAP_OK
 
     def _manifest_at(
         self, table: str, version: int | None = None
@@ -1059,6 +1106,7 @@ class GraphStore:
                 saw_manifest = True
                 referenced.update(rec.get("add", []))
                 dv_referenced.update(e["path"] for e in rec.get("dv", []))
+                dv_referenced.update(e["path"] for e in rec.get("dv_add", []))
         if not saw_manifest:
             return 0  # legacy table: the dir listing IS the data
         # advance the time-travel floor BEFORE deleting, so a crash

@@ -871,3 +871,38 @@ def test_checkpoint_folds_snapshot_and_deltas_survive_retention(spark, store):
     assert store._stats_at("T") == stats_before
     # and the folded cut version itself reads fine
     assert store.read("T", version=ck["last_v"]).count() == 8
+
+
+def test_dv_changes_are_delta_encoded(spark, store):
+    """A merge-on-read delete must record only the ADDED deletion-vector
+    entry (dv_add), not re-serialize the accumulated list; appends that
+    leave the DV set unchanged carry no dv fields at all."""
+    import json as _json
+
+    _seed(spark, store, n=16)
+    store.delete_where(
+        "T", F.col("identifier") < 2, merge_on_read=True
+    )
+    v_del = store.version("T")
+    rec = _json.load(open(_commit_path(store, "T", v_del)))
+    assert rec.get("delta") and "dv" not in rec
+    assert len(rec.get("dv_add", [])) >= 1 and "files" not in rec
+    dv_after_delete = store._dv_at("T")
+    assert dv_after_delete  # entry present via delta reconstruction
+    assert store.read("T").count() == 14
+
+    # an append leaves the DV set unchanged -> carried, zero dv bytes
+    store.copy_into(
+        "T",
+        spark.createDataFrame([(100, 1)], "identifier long, v long"),
+        primary_keys=["identifier"],
+    )
+    rec2 = _json.load(open(_commit_path(store, "T", store.version("T"))))
+    assert "dv" not in rec2 and "dv_add" not in rec2 and "dv_remove" not in rec2
+    assert store._dv_at("T") == dv_after_delete
+    assert store.read("T").count() == 15
+
+    # a second MOR delete stacks a second entry via another delta
+    store.delete_where("T", F.col("identifier") == 5, merge_on_read=True)
+    assert len(store._dv_at("T")) == len(dv_after_delete) + 1
+    assert store.read("T").count() == 14
