@@ -1108,6 +1108,65 @@ def corpus_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "corpus_vocab_prune",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             UNNEST(list_transform(toks, (x, i) -> {'pos': i, 'tok': x}),
+                    recursive := true)
+      FROM (SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS toks
+            FROM documents) t
+    ),
+    dfreq AS (SELECT tok, COUNT(DISTINCT doc_id) AS dfq FROM toks GROUP BY tok),
+    nd AS (SELECT COUNT(*) AS n FROM documents),
+    keep AS (
+      SELECT tok FROM dfreq, nd WHERE dfq >= 2 AND dfq <= CAST(0.5 * n AS BIGINT)
+    ),
+    kept AS (
+      SELECT doc_id, pos, tok FROM toks SEMI JOIN keep USING (tok)
+    ),
+    rebuilt AS (
+      SELECT doc_id,
+             STRING_AGG(tok, ' ' ORDER BY pos) AS kept_text,
+             COUNT(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    ),
+    totals AS (
+      SELECT doc_id, LEN(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+')) AS n_total
+      FROM documents
+    )
+    SELECT t.doc_id,
+           COALESCE(r.kept_text, '') AS kept_text,
+           CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(t.n_total - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
+    FROM totals t LEFT JOIN rebuilt r ON r.doc_id = t.doc_id
+    """,
+    doc="Vocabulary pruning (min_df=2, max_df=50%): rebuild each document "
+    "keeping only in-band tokens in original order — the bag-of-words/TF-IDF "
+    "featurization step; exploded df groupBy + semi-join + order-preserving "
+    "re-aggregation, all codegen (SURVEY LLM-pipeline family).",
+    tags=("text", "corpus"),
+)
+def corpus_vocab_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from robosystems_spark.operators.corpus import vocab_prune
+
+    return vocab_prune(_docs(spark, sf_dir), max_df_frac=0.5, min_df=2)
+
+
+@register(
+    "embedding_covariance_stats",
+    oracle=PR.embedding_covariance_oracle_sql(dim=64),
+    doc="Dimension-pair population covariance of the embedding column — the "
+    "whitening/PCA preprocessing input: one Arrow Gram-matrix partial per "
+    "partition (O(d^2) doubles, row-count independent), bounded driver "
+    "reduce like the kmeans centroid step; relational explode-join oracle.",
+    tags=("similarity", "projection"),
+)
+def embedding_covariance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return PR.embedding_covariance(_emb(spark, sf_dir), dim=64)
+
+
 # ---------------------------------------------------------------------------
 @register(
     "dedup_duplicated_spans",

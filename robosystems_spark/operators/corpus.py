@@ -328,3 +328,66 @@ def weighted_mixture(
             ).alias("copy"),
         )
     )
+
+
+def vocab_prune(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df_frac: float = 0.5,
+    min_df: int = 2,
+) -> DataFrame:
+    """Vocabulary pruning: rebuild each document keeping only tokens
+    whose document frequency is inside [min_df, max_df_frac * corpus]
+    — the min_df/max_df featurization step every bag-of-words or
+    TF-IDF pipeline runs (too-common tokens carry no signal,
+    too-rare ones bloat the vocabulary).
+
+    Returns (id, kept_text, n_kept, n_removed); kept tokens preserve
+    their original order.
+
+    Scale shape: token df is one groupBy over the exploded corpus,
+    then a semi-join of the exploded tokens against the in-band vocab
+    (left to AQE — neither side is reliably small at web scale: the
+    frequent band is short but the rare tail is the bulk of a raw
+    vocabulary) and a posexplode-order re-aggregation; all codegen,
+    no UDFs, two keyed shuffles total.
+    """
+    toks = df.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("_pos", "_t")
+    )
+    n_docs = df.count()  # one scalar to the driver, like tf-idf's total
+    dfreq = toks.groupBy("_t").agg(F.countDistinct(id_col).alias("_df"))
+    keep = dfreq.filter(
+        (F.col("_df") >= min_df) & (F.col("_df") <= int(max_df_frac * n_docs))
+    )
+    kept = toks.join(keep.select("_t"), "_t", "left_semi")
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("_pos"), F.col("_t")))
+                    ),
+                    lambda s: s["_t"],
+                ),
+                " ",
+            ).alias("kept_text"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+    )
+    totals = df.select(
+        F.col(id_col), F.size(tokens(text_col)).alias("_n_total")
+    )
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("_n_total") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )

@@ -105,6 +105,108 @@ def random_projection_oracle_sql(
     )
 
 
+def embedding_covariance(
+    emb: DataFrame,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Dimension-pair covariance of an embedding column — the input of
+    whitening / PCA preprocessing (center, then rotate by the
+    covariance eigenbasis) that typically precedes quantization or
+    LSH over learned embeddings.
+
+    Returns (dim_i, dim_j, cov) for i <= j (0-based), population
+    covariance rounded for cross-engine hash checks.
+
+    Scale shape: the corpus pass is ONE Arrow Gram-matrix partial per
+    partition (A^T A + column sums + count — O(d^2) doubles each,
+    independent of row count); the final reduce folds <=num-partition
+    partials on the driver, the same bounded-collect pattern as the
+    kmeans centroid step.  The 100 TB side is never shuffled at all.
+    """
+    import numpy as np
+
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("s", ArrayType(DoubleType())),
+            StructField("g", ArrayType(DoubleType())),
+        ]
+    )
+
+    def gram(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [int(A.shape[0])],
+                    "s": [A.sum(axis=0).tolist()],
+                    "g": [(A.T @ A).ravel().tolist()],
+                }
+            )
+
+    partials = emb.select(vec_col).mapInPandas(gram, schema).collect()
+    n = sum(p["n"] for p in partials)
+    S = np.zeros(dim)
+    G = np.zeros((dim, dim))
+    for p in partials:
+        S += np.array(p["s"])
+        G += np.array(p["g"]).reshape(dim, dim)
+    mean = S / n
+    cov = G / n - np.outer(mean, mean)
+    rows = [
+        (i, j, float(np.round(cov[i, j], round_decimals)))
+        for i in range(dim)
+        for j in range(i, dim)
+    ]
+    return emb.sparkSession.createDataFrame(
+        rows, "dim_i int, dim_j int, cov double"
+    )
+
+
+def embedding_covariance_oracle_sql(
+    dim: int = 64,
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    round_decimals: int = 6,
+) -> str:
+    """DuckDB SQL computing the identical population covariance via the
+    relational explode-join formulation (fine at oracle scale; the
+    Spark side uses Arrow Gram partials for the 100 TB shape)."""
+    return f"""
+    WITH y AS (
+      SELECT rn AS rid, gs.i AS i, CAST({vec_col}[gs.i] AS DOUBLE) AS v
+      FROM (SELECT {vec_col}, ROW_NUMBER() OVER () AS rn FROM {table}) t,
+           generate_series(1, {dim}) gs(i)
+    ),
+    n AS (SELECT COUNT(*) AS n FROM {table}),
+    sums AS (SELECT i, SUM(v) AS s FROM y GROUP BY i),
+    g AS (
+      SELECT a.i AS di, b.i AS dj, SUM(a.v * b.v) AS sxy
+      FROM y a JOIN y b ON a.rid = b.rid AND a.i <= b.i
+      GROUP BY 1, 2
+    )
+    SELECT CAST(g.di - 1 AS INT) AS dim_i, CAST(g.dj - 1 AS INT) AS dim_j,
+           ROUND(g.sxy / n.n - (sa.s / n.n) * (sb.s / n.n),
+                 {round_decimals}) AS cov
+    FROM g
+    JOIN sums sa ON sa.i = g.di
+    JOIN sums sb ON sb.i = g.dj, n
+    """
+
+
 def random_projection_long_oracle_sql(
     out_dim: int = 16,
     dim: int = 64,

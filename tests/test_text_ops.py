@@ -164,3 +164,48 @@ def test_bigram_logprob_semantics(spark):
     # doc 3's only bigram is unseen elsewhere -> lowest avg logprob
     assert out[3]["avg_logprob"] < out[1]["avg_logprob"]
     assert all(r["avg_logprob"] < 0 for r in out.values())
+
+
+def test_vocab_prune_preserves_order_and_counts(spark):
+    from robosystems_spark.operators.corpus import vocab_prune
+
+    df = spark.createDataFrame(
+        [
+            (1, "common rare1 common mid"),
+            (2, "common mid zzz"),
+            (3, "common mid"),
+            (4, "common onlyhere"),
+        ],
+        "doc_id long, text string",
+    )
+    # n_docs=4, max_df_frac=0.5 -> keep df in [2, 2]: 'mid' (df=3 is out,
+    # wait: 0.5*4=2, so df<=2) -> 'mid' has df 3 -> dropped; 'common' df 4
+    # dropped; singletons dropped. Use min_df=2, max_df=0.75 -> keep df in
+    # [2, 3]: 'mid' kept, 'common' (4) dropped, singletons dropped.
+    out = {
+        r["doc_id"]: (r["kept_text"], r["n_kept"], r["n_removed"])
+        for r in vocab_prune(df, max_df_frac=0.75, min_df=2).collect()
+    }
+    assert out[1] == ("mid", 1, 3)
+    assert out[2] == ("mid", 1, 2)
+    assert out[3] == ("mid", 1, 1)
+    assert out[4] == ("", 0, 2)  # every token out of band -> empty doc
+
+
+def test_embedding_covariance_shape_and_symmetric_diagonal(spark, sf_dir):
+    import numpy as np
+
+    from robosystems_spark.operators.projection import embedding_covariance
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = embedding_covariance(emb, dim=64).collect()
+    assert len(rows) == 64 * 65 // 2  # upper triangle incl. diagonal
+    cov = {(r["dim_i"], r["dim_j"]): r["cov"] for r in rows}
+    # diagonal = variances: non-negative
+    assert all(cov[(i, i)] >= 0 for i in range(64))
+    # spot-check against numpy on the collected column
+    A = np.array([r["embedding"] for r in emb.select("embedding").collect()],
+                 dtype=np.float64)
+    C = np.cov(A, rowvar=False, bias=True)
+    for (i, j) in [(0, 0), (0, 1), (5, 63), (63, 63)]:
+        assert abs(cov[(i, j)] - C[i, j]) < 1e-5
