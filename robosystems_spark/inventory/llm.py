@@ -1201,3 +1201,88 @@ def dedup_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from robosystems_spark.operators.dedup import duplicated_span_profile
 
     return duplicated_span_profile(_docs(spark, sf_dir), window=16, stride=8)
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training — distributed merge learning (Sennrich 2016).
+# The three entries share one trained merge list per sf_dir (training
+# collects 8 argmax rows; the memo avoids retraining when the vocab /
+# token-count entries run in the same process).
+# ---------------------------------------------------------------------------
+_BPE_MERGE_MEMO: dict[str, list[tuple[str, str]]] = {}
+
+
+def _bpe_merges(spark: SparkSession, sf_dir: str) -> list[tuple[str, str]]:
+    if sf_dir not in _BPE_MERGE_MEMO:
+        from robosystems_spark.operators.bpe import bpe_train
+
+        rows = bpe_train(_docs(spark, sf_dir), n_merges=8).collect()
+        _BPE_MERGE_MEMO[sf_dir] = [
+            (r["left_sym"], r["right_sym"]) for r in rows
+        ]
+    return _BPE_MERGE_MEMO[sf_dir]
+
+
+@register(
+    "bpe_train_merges",
+    oracle=__import__(
+        "robosystems_spark.operators.bpe", fromlist=["bpe_oracle_sql"]
+    ).bpe_oracle_sql(n_merges=8),
+    doc="Distributed BPE merge training: learn the top-8 symbol merges "
+    "from corpus word frequencies — the tokenizer-training step of an "
+    "LLM data pipeline.  Pair counting is a lead-window + groupBy-sum, "
+    "greedy merge application is window-only (run-parity rule for "
+    "overlapping candidates), one argmax row collected per iteration "
+    "(kmeans-style bounded driver traffic); verified against a textbook "
+    "reference implementation in tests and an 8x-unrolled CTE oracle.",
+    tags=("text", "corpus", "tokenizer"),
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from robosystems_spark.operators.bpe import bpe_train
+
+    df = bpe_train(_docs(spark, sf_dir), n_merges=8)
+    # Side-populate the memo so the vocab/token-count entries skip
+    # retraining when they run in the same process.
+    _BPE_MERGE_MEMO.setdefault(
+        sf_dir, [(r["left_sym"], r["right_sym"]) for r in df.collect()]
+    )
+    return df
+
+
+@register(
+    "bpe_vocab_after_merges",
+    oracle=__import__(
+        "robosystems_spark.operators.bpe", fromlist=["bpe_oracle_sql"]
+    ).bpe_oracle_sql(n_merges=8, mode="vocab"),
+    doc="Symbol vocabulary after applying the 8 learned BPE merges: "
+    "(sym, total_freq, n_words) — the trained tokenizer's unit "
+    "inventory over this corpus; encode path is collect-free (all "
+    "merge steps chain into one lazily-checkpointed plan).",
+    tags=("text", "corpus", "tokenizer"),
+)
+def bpe_vocab_after_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from robosystems_spark.operators.bpe import bpe_vocab
+
+    return bpe_vocab(
+        _docs(spark, sf_dir), merges=_bpe_merges(spark, sf_dir)
+    )
+
+
+@register(
+    "bpe_token_counts",
+    oracle=__import__(
+        "robosystems_spark.operators.bpe", fromlist=["bpe_oracle_sql"]
+    ).bpe_oracle_sql(n_merges=8, mode="token_counts"),
+    doc="Per-document token counts under the trained BPE tokenizer "
+    "(doc_id, n_words, n_bpe_tokens) — the corpus token-budget "
+    "question; per-word token counts computed once on the vocabulary "
+    "and broadcast-joined to the exploded corpus, so the corpus never "
+    "re-tokenizes.",
+    tags=("text", "corpus", "tokenizer"),
+)
+def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from robosystems_spark.operators.bpe import bpe_token_counts
+
+    return bpe_token_counts(
+        _docs(spark, sf_dir), merges=_bpe_merges(spark, sf_dir)
+    )
