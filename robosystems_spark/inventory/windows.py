@@ -365,3 +365,43 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "conversion"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hypertable-style continuous aggregates: gap-fill + anomaly scoring.
+# ---------------------------------------------------------------------------
+@register(
+    "events_gap_fill_interpolate",
+    oracle=__import__(
+        "robosystems_spark.operators.timeseries",
+        fromlist=["gap_fill_oracle_sql"],
+    ).gap_fill_oracle_sql(),
+    doc="Hourly gap-filled continuous aggregate per event_type with LOCF "
+    "and linear interpolation (TimescaleDB time_bucket_gapfill/locf/"
+    "interpolate analog): one aggregation over raw events, sequence() "
+    "spine per series, IGNORE-NULLS windows over the bucket grid — all "
+    "post-aggregation stages shuffle only the O(buckets) grid.",
+    tags=("window", "events", "timeseries"),
+)
+def events_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from robosystems_spark.operators.timeseries import gap_fill_interpolate
+
+    return gap_fill_interpolate(_events(spark, sf_dir))
+
+
+@register(
+    "events_rolling_zscore",
+    oracle=__import__(
+        "robosystems_spark.operators.timeseries",
+        fromlist=["rolling_zscore_oracle_sql"],
+    ).rolling_zscore_oracle_sql(),
+    doc="Rolling anomaly detection: per (event_type, hourly bucket) "
+    "z-score of the bucket average against the trailing 24-bucket "
+    "mean/stddev, |z|>2 flagged — the standard streaming-friendly "
+    "outlier shape; single ROWS window over the bucket grid.",
+    tags=("window", "events", "timeseries"),
+)
+def events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from robosystems_spark.operators.timeseries import rolling_zscore
+
+    return rolling_zscore(_events(spark, sf_dir))

@@ -1,0 +1,236 @@
+"""Hypertable-style time-series operators over event tables.
+
+Gap-filling with LOCF + linear interpolation, and rolling-window
+anomaly scoring — the continuous-aggregate operations a timeseries
+store (TimescaleDB `time_bucket_gapfill`/`locf`/`interpolate`) exposes,
+re-expressed as Spark window/sequence work.
+
+Spark-first shape: the raw event scan aggregates once per
+(series, bucket); the spine is `sequence()` per series (O(buckets) rows,
+never touching raw events again); fill/interpolation are
+IGNORE-NULLS window functions over the bucket grid partitioned by
+series key.  At 100 TB the bucket grid is corpus-size / bucket-width —
+orders of magnitude smaller than the events — and every stage after
+the first aggregation shuffles only the grid, keyed by series.
+
+PORTABILITY CONTRACT: bucket timestamps are hour-truncated (exact
+integer epoch seconds in both engines); interpolation arithmetic has
+the same expression shape both sides and outputs ROUND to 6, which
+absorbs the ~1e-15 aggregation-order drift of the bucket averages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def gap_fill_interpolate(
+    events: DataFrame,
+    series_col: str = "event_type",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    decimals: int = 6,
+) -> DataFrame:
+    """Hourly bucket aggregation per series with gap-filled buckets:
+    (series, bucket_ts, n_events, observed_avg, locf_value,
+    interp_value, gap_filled).
+
+    Missing buckets inside each series' observed [min, max] range get
+    n_events=0, LOCF (last observation carried forward) and linear
+    interpolation between the surrounding observed bucket averages.
+    """
+    agg = events.groupBy(
+        F.col(series_col).alias("series"),
+        F.date_trunc("hour", F.col(ts_col)).alias("bucket_ts"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.avg(val_col).alias("observed_avg"),
+    )
+    spans = agg.groupBy("series").agg(
+        F.min("bucket_ts").alias("lo"), F.max("bucket_ts").alias("hi")
+    )
+    spine = spans.select(
+        "series",
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias(
+            "bucket_ts"
+        ),
+    )
+    j = spine.join(agg, ["series", "bucket_ts"], "left")
+
+    w = Window.partitionBy("series").orderBy("bucket_ts")
+    w_prev = w.rowsBetween(Window.unboundedPreceding, 0)
+    w_next = w.rowsBetween(0, Window.unboundedFollowing)
+    obs_ts = F.when(
+        F.col("observed_avg").isNotNull(), F.col("bucket_ts")
+    )
+    prev_v = F.last("observed_avg", ignorenulls=True).over(w_prev)
+    prev_t = F.last(obs_ts, ignorenulls=True).over(w_prev)
+    next_v = F.first("observed_avg", ignorenulls=True).over(w_next)
+    next_t = F.first(obs_ts, ignorenulls=True).over(w_next)
+    frac = (
+        F.unix_timestamp(F.col("bucket_ts")) - F.unix_timestamp(prev_t)
+    ) / (F.unix_timestamp(next_t) - F.unix_timestamp(prev_t))
+    interp = (
+        F.when(F.col("observed_avg").isNotNull(), F.col("observed_avg"))
+        .when(
+            prev_v.isNotNull() & next_v.isNotNull(),
+            prev_v + (next_v - prev_v) * frac,
+        )
+        .otherwise(prev_v)
+    )
+    return j.select(
+        F.col("series").alias(series_col),
+        "bucket_ts",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.round("observed_avg", decimals).alias("observed_avg"),
+        F.round(prev_v, decimals).alias("locf_value"),
+        F.round(interp, decimals).alias("interp_value"),
+        F.col("observed_avg").isNull().alias("gap_filled"),
+    )
+
+
+def gap_fill_oracle_sql(
+    table: str = "events",
+    series_col: str = "event_type",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    decimals: int = 6,
+) -> str:
+    """DuckDB SQL computing the identical gap-filled grid."""
+    return f"""
+    WITH agg AS MATERIALIZED (
+      SELECT {series_col} AS series, DATE_TRUNC('hour', {ts_col}) AS bucket_ts,
+             COUNT(*) AS n_events, AVG({val_col}) AS observed_avg
+      FROM {table} GROUP BY 1, 2
+    ),
+    spans AS (
+      SELECT series, MIN(bucket_ts) AS lo, MAX(bucket_ts) AS hi
+      FROM agg GROUP BY series
+    ),
+    spine AS (
+      SELECT series, UNNEST(GENERATE_SERIES(lo, hi, INTERVAL 1 HOUR)) AS bucket_ts
+      FROM spans
+    ),
+    j AS (
+      SELECT s.series, s.bucket_ts, a.n_events, a.observed_avg
+      FROM spine s LEFT JOIN agg a USING (series, bucket_ts)
+    ),
+    f AS (
+      SELECT *,
+        LAST_VALUE(observed_avg IGNORE NULLS) OVER (
+          PARTITION BY series ORDER BY bucket_ts
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+        LAST_VALUE(CASE WHEN observed_avg IS NOT NULL THEN bucket_ts END
+                   IGNORE NULLS) OVER (
+          PARTITION BY series ORDER BY bucket_ts
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_t,
+        FIRST_VALUE(observed_avg IGNORE NULLS) OVER (
+          PARTITION BY series ORDER BY bucket_ts
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+        FIRST_VALUE(CASE WHEN observed_avg IS NOT NULL THEN bucket_ts END
+                    IGNORE NULLS) OVER (
+          PARTITION BY series ORDER BY bucket_ts
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_t
+      FROM j
+    )
+    SELECT series AS {series_col}, bucket_ts,
+           CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events,
+           ROUND(observed_avg, {decimals}) AS observed_avg,
+           ROUND(prev_v, {decimals}) AS locf_value,
+           ROUND(CASE
+             WHEN observed_avg IS NOT NULL THEN observed_avg
+             WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+               prev_v + (next_v - prev_v)
+               * (EPOCH(bucket_ts) - EPOCH(prev_t))
+               / (EPOCH(next_t) - EPOCH(prev_t))
+             ELSE prev_v END, {decimals}) AS interp_value,
+           observed_avg IS NULL AS gap_filled
+    FROM f
+    """
+
+
+def rolling_zscore(
+    events: DataFrame,
+    series_col: str = "event_type",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    trailing_buckets: int = 24,
+    z_threshold: float = 2.0,
+    decimals: int = 6,
+) -> DataFrame:
+    """Rolling anomaly score per (series, hourly bucket): z-score of
+    the bucket average against the trailing ``trailing_buckets``-bucket
+    mean/stddev (population), flagging |z| > threshold.  Buckets with
+    fewer than 2 trailing observations or zero variance get z NULL.
+
+    One aggregation over raw events, then a single ROWS window over
+    the bucket grid — the standard streaming-friendly anomaly shape.
+    """
+    agg = events.groupBy(
+        F.col(series_col).alias("series"),
+        F.date_trunc("hour", F.col(ts_col)).alias("bucket_ts"),
+    ).agg(F.avg(val_col).alias("bucket_avg"))
+    w = (
+        Window.partitionBy("series")
+        .orderBy("bucket_ts")
+        .rowsBetween(-trailing_buckets, -1)
+    )
+    mean = F.avg("bucket_avg").over(w)
+    # Population stddev computed from the sums (portable formula —
+    # avoids engine-specific stddev_pop NULL/0 edge behavior).
+    m2 = F.avg(F.col("bucket_avg") * F.col("bucket_avg")).over(w)
+    n_tr = F.count("bucket_avg").over(w)
+    var = m2 - mean * mean
+    z = F.when(
+        (n_tr >= 2) & (var > 1e-12),
+        (F.col("bucket_avg") - mean) / F.sqrt(var),
+    )
+    return agg.select(
+        F.col("series").alias(series_col),
+        "bucket_ts",
+        F.round("bucket_avg", decimals).alias("bucket_avg"),
+        F.round(z, decimals).alias("zscore"),
+        F.coalesce(
+            F.abs(z) > F.lit(z_threshold), F.lit(False)
+        ).alias("is_anomaly"),
+    )
+
+
+def rolling_zscore_oracle_sql(
+    table: str = "events",
+    series_col: str = "event_type",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    trailing_buckets: int = 24,
+    z_threshold: float = 2.0,
+    decimals: int = 6,
+) -> str:
+    """DuckDB SQL computing the identical rolling z-score grid."""
+    return f"""
+    WITH agg AS MATERIALIZED (
+      SELECT {series_col} AS series, DATE_TRUNC('hour', {ts_col}) AS bucket_ts,
+             AVG({val_col}) AS bucket_avg
+      FROM {table} GROUP BY 1, 2
+    ),
+    f AS (
+      SELECT *,
+        AVG(bucket_avg) OVER tw AS m,
+        AVG(bucket_avg * bucket_avg) OVER tw AS m2,
+        COUNT(bucket_avg) OVER tw AS n_tr
+      FROM agg
+      WINDOW tw AS (PARTITION BY series ORDER BY bucket_ts
+                    ROWS BETWEEN {trailing_buckets} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT series AS {series_col}, bucket_ts,
+           ROUND(bucket_avg, {decimals}) AS bucket_avg,
+           ROUND(CASE WHEN n_tr >= 2 AND m2 - m * m > 1e-12
+                      THEN (bucket_avg - m) / SQRT(m2 - m * m) END,
+                 {decimals}) AS zscore,
+           COALESCE(CASE WHEN n_tr >= 2 AND m2 - m * m > 1e-12
+                         THEN ABS((bucket_avg - m) / SQRT(m2 - m * m))
+                              > {z_threshold} END,
+                    FALSE) AS is_anomaly
+    FROM f
+    """

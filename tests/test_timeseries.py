@@ -1,0 +1,86 @@
+"""Gap-fill/interpolate + rolling z-score: hand-computed expectations."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from robosystems_spark.operators.timeseries import (
+    gap_fill_interpolate,
+    rolling_zscore,
+)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id BIGINT, ts TIMESTAMP, event_type STRING, value DOUBLE"
+    )
+
+
+def test_gap_fill_linear_interpolation(spark):
+    # Observations at hours 0 and 3 (values 10 and 40); hours 1-2 are
+    # gaps -> interp 20, 30; locf stays 10.
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 15), "a", 10.0),
+        (2, datetime(2024, 1, 1, 3, 45), "a", 40.0),
+    ]
+    out = {
+        r["bucket_ts"].hour: r
+        for r in gap_fill_interpolate(_ev(spark, rows)).collect()
+    }
+    assert len(out) == 4
+    assert out[0]["observed_avg"] == 10.0 and not out[0]["gap_filled"]
+    assert out[1]["gap_filled"] and out[1]["n_events"] == 0
+    assert out[1]["interp_value"] == 20.0 and out[1]["locf_value"] == 10.0
+    assert out[2]["interp_value"] == 30.0 and out[2]["locf_value"] == 10.0
+    assert out[3]["observed_avg"] == 40.0
+
+
+def test_gap_fill_multi_bucket_average(spark):
+    # Two events in the same bucket -> observed_avg is their mean.
+    rows = [
+        (1, datetime(2024, 1, 1, 5, 0), "b", 1.0),
+        (2, datetime(2024, 1, 1, 5, 30), "b", 3.0),
+    ]
+    (row,) = gap_fill_interpolate(_ev(spark, rows)).collect()
+    assert row["observed_avg"] == 2.0 and row["n_events"] == 2
+
+
+def test_gap_fill_series_isolated(spark):
+    # Gaps are per-series: series 'a' spans 2 hours, 'b' only 1.
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 0), "a", 1.0),
+        (2, datetime(2024, 1, 1, 2, 0), "a", 5.0),
+        (3, datetime(2024, 1, 1, 9, 0), "b", 7.0),
+    ]
+    out = gap_fill_interpolate(_ev(spark, rows)).collect()
+    by_series = {}
+    for r in out:
+        by_series.setdefault(r["event_type"], []).append(r)
+    assert len(by_series["a"]) == 3 and len(by_series["b"]) == 1
+    mid = [r for r in by_series["a"] if r["gap_filled"]][0]
+    assert mid["interp_value"] == 3.0
+
+
+def test_rolling_zscore_flags_spike(spark):
+    # 10 calm hourly buckets at ~5.0 then a spike at 50 -> |z| > 2.
+    rows = [
+        (i, datetime(2024, 1, 1, i, 0), "a", 5.0 + (i % 3) * 0.1)
+        for i in range(10)
+    ] + [(99, datetime(2024, 1, 1, 10, 0), "a", 50.0)]
+    out = {r["bucket_ts"].hour: r for r in rolling_zscore(_ev(spark, rows)).collect()}
+    assert out[10]["is_anomaly"]
+    # Once the trailing window has seen a full period of the baseline
+    # wiggle, calm buckets stay unflagged (early buckets with a 2-row
+    # trailing window can legitimately flag — cold-start behavior).
+    assert not any(out[h]["is_anomaly"] for h in range(3, 10))
+    # First two buckets lack >=2 trailing observations -> z NULL.
+    assert out[0]["zscore"] is None and out[1]["zscore"] is None
+
+
+def test_rolling_zscore_zero_variance_guard(spark):
+    # Constant series -> variance 0 -> z NULL everywhere, no anomaly.
+    rows = [
+        (i, datetime(2024, 1, 1, i, 0), "c", 2.5) for i in range(6)
+    ]
+    out = rolling_zscore(_ev(spark, rows)).collect()
+    assert all(r["zscore"] is None and not r["is_anomaly"] for r in out)
