@@ -1286,3 +1286,20 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_counts(
         _docs(spark, sf_dir), merges=_bpe_merges(spark, sf_dir)
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup semantic deduplication (Abbas et al. 2023).
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_semantic_semdedup",
+    oracle=CL.semantic_dedup_oracle_sql(k=8, iters=2, tau=0.95, dim=64),
+    doc="SemDeDup semantic deduplication: k-means-cluster the embedding "
+    "space (shared Lloyd machinery, hash-identical oracle chain), then "
+    "keep-lowest-id within-cluster cosine dedup at tau=0.95 with a "
+    "modulo sub-split capping any cluster's self-join at O(cap^2) — "
+    "the embedding-space analog of MinHash near-dup, nothing all-pairs.",
+    tags=("dedup", "similarity", "clustering"),
+)
+def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return CL.semantic_dedup(_emb(spark, sf_dir), k=8, iters=2, tau=0.95)

@@ -262,3 +262,150 @@ def kmeans_oracle_sql(
     else:
         select = f"SELECT {id_col}, centroid_id FROM final"
     return "WITH " + ",\n".join(parts) + "\n" + select
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster the
+# embedding space, then near-dup only WITHIN clusters — the pairwise
+# work drops from O(n^2) to O(sum cluster_size^2), and the modulo
+# sub-split caps any one cluster's self-join at O(cap^2) (same
+# discipline as the Jaccard block cap and the LSH bucket cap).
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    tau: float = 0.95,
+    cluster_cap: int = 1024,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_decimals: int = 9,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-vector semantic-dedup decision: (id, centroid_id, is_kept,
+    max_sim_to_lower).  A vector is DROPPED when some lower-id vector
+    in its cluster (and modulo sub-block) has rounded cosine >= tau —
+    the keep-lowest-id representative rule, applied within k-means
+    clusters so nothing goes all-pairs."""
+    from robosystems_spark.functions import vector as V
+
+    centroids = kmeans_fit(
+        emb, k, iters, vec_col, id_col, round_decimals
+    )
+    a = kmeans_assign(emb, centroids, vec_col, id_col).join(
+        emb.select(id_col, vec_col), id_col
+    )
+    sizes = a.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("_csz"))
+    a = (
+        a.join(F.broadcast(sizes), "centroid_id")
+        .withColumn(
+            "_sub",
+            F.col(id_col)
+            % F.ceil(F.col("_csz") / F.lit(cluster_cap)).cast("long"),
+        )
+        .drop("_csz")
+        # The assignment is an Arrow matmul per batch — checkpoint so
+        # the self-join doesn't recompute it for both sides.
+        .localCheckpoint(eager=True)
+    )
+    x, y = a.alias("x"), a.alias("y")
+    sim = F.round(
+        V.cosine(F.col(f"x.{vec_col}"), F.col(f"y.{vec_col}")), ndigits
+    )
+    dups = (
+        x.join(
+            y,
+            (F.col("x.centroid_id") == F.col("y.centroid_id"))
+            & (F.col("x._sub") == F.col("y._sub"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .select(F.col(f"y.{id_col}").alias(id_col), sim.alias("s"))
+        .filter(F.col("s") >= tau)
+        .groupBy(id_col)
+        .agg(F.max("s").alias("max_sim_to_lower"))
+    )
+    return (
+        a.select(id_col, "centroid_id")
+        .join(dups, id_col, "left")
+        .select(
+            id_col,
+            "centroid_id",
+            F.col("max_sim_to_lower").isNull().alias("is_kept"),
+            "max_sim_to_lower",
+        )
+    )
+
+
+def semantic_dedup_oracle_sql(
+    k: int = 8,
+    iters: int = 2,
+    tau: float = 0.95,
+    cluster_cap: int = 1024,
+    dim: int = 64,
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_decimals: int = 9,
+    ndigits: int = 6,
+) -> str:
+    """DuckDB SQL for the identical decision table: the Lloyd chain
+    (shared ``lloyd_ctes``) + final assignment + capped within-cluster
+    pairwise with the same round-then-threshold contract."""
+    vec_fmt = f"CAST({{e}}{vec_col} AS DOUBLE[])"
+    elem_fmt = f"CAST({{e}}{vec_col}[gs.pos] AS DOUBLE)"
+    parts, cent = lloyd_ctes(
+        "", k, iters, dim, table, vec_fmt, elem_fmt, id_col,
+        round_decimals, "cosine",
+    )
+    vec_sql = vec_fmt.format(e="e.")
+    cos = (
+        f"ROUND(LIST_COSINE_SIMILARITY(CAST(ex.{vec_col} AS DOUBLE[]), "
+        f"CAST(ey.{vec_col} AS DOUBLE[])), {ndigits})"
+    )
+    parts.append(
+        f"""af AS MATERIALIZED (
+  SELECT {id_col}, cid AS centroid_id FROM (
+    SELECT e.{id_col}, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.{id_col}
+             ORDER BY {_nearest_order_sql(vec_sql, 'c', 'cosine')}, c.cid
+           ) AS rn
+    FROM {table} e CROSS JOIN {cent} c
+  ) WHERE rn = 1
+)"""
+    )
+    parts.append(
+        f"""sz AS (
+  SELECT centroid_id, COUNT(*) AS csz FROM af GROUP BY centroid_id
+)"""
+    )
+    parts.append(
+        f"""sub AS MATERIALIZED (
+  SELECT af.{id_col}, af.centroid_id,
+         af.{id_col} % CAST(CEIL(sz.csz / {cluster_cap}.0) AS BIGINT) AS sub
+  FROM af JOIN sz USING (centroid_id)
+)"""
+    )
+    parts.append(
+        f"""dups AS (
+  SELECT y.{id_col} AS {id_col}, MAX({cos}) AS max_sim_to_lower
+  FROM sub x
+  JOIN sub y ON x.centroid_id = y.centroid_id AND x.sub = y.sub
+            AND x.{id_col} < y.{id_col}
+  JOIN {table} ex ON ex.{id_col} = x.{id_col}
+  JOIN {table} ey ON ey.{id_col} = y.{id_col}
+  WHERE {cos} >= {tau}
+  GROUP BY y.{id_col}
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT s.{id_col}, s.centroid_id,
+       d.max_sim_to_lower IS NULL AS is_kept,
+       d.max_sim_to_lower
+FROM sub s LEFT JOIN dups d USING ({id_col})"""
+    )

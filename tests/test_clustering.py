@@ -112,3 +112,47 @@ def test_pagerank_known_graph(spark):
 
     with _pytest.raises(ValueError):
         pagerank(cycle, num_iter=0)
+
+
+def test_semantic_dedup_drops_near_identical(spark):
+    from robosystems_spark.operators.clustering import semantic_dedup
+
+    # Two tight groups far apart; within each group the vectors are
+    # near-identical (cos > 0.999) -> lowest id kept per group.
+    base_a = [1.0, 0.0, 0.0, 0.0]
+    base_b = [0.0, 1.0, 0.0, 0.0]
+    rows = [
+        (1, base_a),
+        (2, [0.999, 0.001, 0.0, 0.0]),  # ~base_a
+        (3, base_b),
+        (4, [0.002, 0.998, 0.0, 0.0]),  # ~base_b
+        (5, [0.0, 0.0, 1.0, 0.0]),      # singleton direction
+    ]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup(emb, k=3, iters=2, tau=0.99).collect()
+    }
+    assert out[1]["is_kept"] and not out[2]["is_kept"]
+    assert out[3]["is_kept"] and not out[4]["is_kept"]
+    assert out[5]["is_kept"]
+    assert out[2]["max_sim_to_lower"] > 0.99
+    # Dropped vectors share their keeper's cluster.
+    assert out[2]["centroid_id"] == out[1]["centroid_id"]
+
+
+def test_semantic_dedup_cap_splits_cluster(spark):
+    from robosystems_spark.operators.clustering import semantic_dedup
+
+    # 6 identical vectors, cluster_cap=2 -> sub-blocks {id%3}: dedup
+    # only within a sub-block, so each block keeps its lowest id.
+    rows = [(i, [1.0, 0.0]) for i in range(6)]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    out = {
+        r["vec_id"]: r["is_kept"]
+        for r in semantic_dedup(
+            emb, k=1, iters=1, tau=0.99, cluster_cap=2
+        ).collect()
+    }
+    # ids 0,1,2 are the lowest of sub-blocks 0,1,2 -> kept; 3,4,5 dropped.
+    assert out == {0: True, 1: True, 2: True, 3: False, 4: False, 5: False}
