@@ -1303,3 +1303,21 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CL.semantic_dedup(_emb(spark, sf_dir), k=8, iters=2, tau=0.95)
+
+
+# ---------------------------------------------------------------------------
+# PCA top principal component (power iteration).
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_pca_pc1",
+    oracle=PR.pca_power_oracle_sql(dim=64, iters=8),
+    doc="Projection onto the top principal component, estimated by 8 "
+    "power-iteration steps over the rounded covariance matrix — the "
+    "whitening/compression primitive eigendecomposition would give; "
+    "corpus touched twice map-only (Arrow Gram partials + codegen "
+    "zip_with dot), iteration is d x d driver work; oracle unrolls "
+    "matvec->normalize->round per step (kmeans rounding discipline).",
+    tags=("similarity", "projection"),
+)
+def embedding_pca_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return PR.pca_power_projection(_emb(spark, sf_dir), dim=64, iters=8)

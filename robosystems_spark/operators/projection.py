@@ -228,3 +228,154 @@ def random_projection_long_oracle_sql(
         f"projected[gs.i] AS value "
         f"FROM ({inner}) base, generate_series(1, {out_dim}) AS gs(i)"
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA top principal component via power iteration — fully SQL-oracled
+# (eigendecomposition is not SQL-expressible, but T matvec+normalize
+# steps over the rounded covariance matrix are).
+# ---------------------------------------------------------------------------
+
+
+def pca_power_projection(
+    emb: DataFrame,
+    dim: int = 64,
+    iters: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cov_decimals: int = 6,
+    iter_decimals: int = 9,
+    out_decimals: int = 6,
+) -> DataFrame:
+    """Project every vector onto the TOP principal component,
+    estimated by ``iters`` power-iteration steps over the population
+    covariance matrix: (id, pc1).
+
+    Scale shape: the corpus is touched exactly twice, both map-only —
+    once by the Arrow Gram-partial covariance pass (O(d^2) driver
+    reduce, row-count independent) and once by the projection (a
+    codegen zip_with dot against the literal component).  The power
+    iteration itself runs on the d x d matrix on the driver — O(d^2)
+    work, nothing distributed to iterate.
+
+    PORTABILITY CONTRACT (same discipline as kmeans): the covariance
+    input is rounded to ``cov_decimals`` on both engines; each
+    iterate is re-rounded to ``iter_decimals`` after normalization,
+    re-synchronizing ~1e-15 summation-order drift before it can
+    compound; the projection output rounds to ``out_decimals``.
+    Starting vector is the exact constant 1/sqrt(dim); the converged
+    sign is determined by the iteration itself, so no sign convention
+    is needed.
+    """
+    import math
+
+    cov_rows = embedding_covariance(
+        emb, dim, vec_col, id_col, cov_decimals
+    ).collect()
+    C = np.zeros((dim, dim))
+    for r in cov_rows:
+        C[r["dim_i"], r["dim_j"]] = C[r["dim_j"], r["dim_i"]] = r["cov"]
+    v = np.full(dim, round(1.0 / math.sqrt(dim), iter_decimals))
+    for _ in range(iters):
+        w = C @ v
+        nrm = math.sqrt(float(np.dot(w, w)))
+        if nrm < 1e-12:
+            raise ValueError(
+                "covariance matrix has no signal (zero matvec norm)"
+            )
+        v = np.round(w / nrm, iter_decimals)
+
+    # Center: per-dimension mean rounded like the covariance, then the
+    # offset mu . v subtracts driver-side.
+    mean_rows = (
+        emb.select(F.posexplode(vec_col).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.round(F.avg(F.col("x").cast("double")), cov_decimals).alias("m"))
+        .collect()
+    )
+    mu = np.zeros(dim)
+    for r in mean_rows:
+        mu[r["pos"]] = r["m"]
+    offset = float(np.dot(mu, v))
+
+    lits = ", ".join(repr(float(x)) for x in v)
+    dot = (
+        f"aggregate(zip_with({vec_col}, array({lits}), "
+        f"(x, y) -> CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE), "
+        f"(a, x) -> a + x)"
+    )
+    return emb.select(
+        F.col(id_col),
+        F.round(F.expr(dot) - F.lit(offset), out_decimals).alias("pc1"),
+    )
+
+
+def pca_power_oracle_sql(
+    dim: int = 64,
+    iters: int = 8,
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cov_decimals: int = 6,
+    iter_decimals: int = 9,
+    out_decimals: int = 6,
+) -> str:
+    """DuckDB SQL computing the identical pc1 projection: the
+    covariance oracle as a CTE, the power iteration unrolled into
+    ``iters`` (matvec -> norm -> round) blocks, then a centered
+    list_dot_product projection."""
+    cov_inner = embedding_covariance_oracle_sql(
+        dim=dim, table=table, vec_col=vec_col,
+        round_decimals=cov_decimals,
+    )
+    parts = [
+        f"cov AS MATERIALIZED ({cov_inner})",
+        """covfull AS MATERIALIZED (
+  SELECT dim_i AS i, dim_j AS j, cov FROM cov
+  UNION ALL
+  SELECT dim_j AS i, dim_i AS j, cov FROM cov WHERE dim_i <> dim_j
+)""",
+        f"""v0 AS (
+  SELECT UNNEST(GENERATE_SERIES(0, {dim - 1})) AS dim,
+         ROUND(1.0 / SQRT({dim}), {iter_decimals}) AS val
+)""",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""w{t} AS MATERIALIZED (
+  SELECT c.i AS dim, SUM(c.cov * v.val) AS val
+  FROM covfull c JOIN v{t - 1} v ON v.dim = c.j
+  GROUP BY c.i
+)"""
+        )
+        parts.append(
+            f"""v{t} AS MATERIALIZED (
+  SELECT dim, ROUND(val / (SELECT SQRT(SUM(val * val)) FROM w{t}),
+               {iter_decimals}) AS val
+  FROM w{t}
+)"""
+        )
+    parts.append(
+        f"pvec AS (SELECT LIST(val ORDER BY dim) AS pv FROM v{iters})"
+    )
+    parts.append(
+        f"""means AS (
+  SELECT gs.i AS i,
+         ROUND(AVG(CAST({vec_col}[gs.i] AS DOUBLE)), {cov_decimals}) AS m
+  FROM {table}, generate_series(1, {dim}) gs(i)
+  GROUP BY gs.i
+)"""
+    )
+    parts.append("mvec AS (SELECT LIST(m ORDER BY i) AS mv FROM means)")
+    parts.append(
+        "off AS (SELECT LIST_DOT_PRODUCT(mv, pv) AS o FROM mvec, pvec)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT {id_col},
+       ROUND(LIST_DOT_PRODUCT(CAST({vec_col} AS DOUBLE[]), pv) - o,
+             {out_decimals}) AS pc1
+FROM {table}, pvec, off"""
+    )

@@ -209,3 +209,43 @@ def test_embedding_covariance_shape_and_symmetric_diagonal(spark, sf_dir):
     C = np.cov(A, rowvar=False, bias=True)
     for (i, j) in [(0, 0), (0, 1), (5, 63), (63, 63)]:
         assert abs(cov[(i, j)] - C[i, j]) < 1e-5
+
+
+def test_pca_power_matches_numpy_eig(spark):
+    """pc1 from the power iteration agrees with numpy's exact dominant
+    eigenvector projection (up to global sign) on anisotropic data."""
+    import numpy as np
+
+    from robosystems_spark.operators.projection import pca_power_projection
+
+    rng = np.random.RandomState(7)
+    # Strongly anisotropic: dominant direction has 10x the variance.
+    base = rng.standard_normal((200, 4)) * np.array([10.0, 2.0, 1.0, 0.5])
+    rows = [(i, [float(x) for x in base[i]]) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    got = {
+        r["vec_id"]: r["pc1"]
+        for r in pca_power_projection(emb, dim=4, iters=12).collect()
+    }
+    X = base - base.mean(axis=0)
+    C = np.cov(base.T, bias=True)
+    vals, vecs = np.linalg.eigh(C)
+    v = vecs[:, -1]
+    ref = X @ v
+    got_arr = np.array([got[i] for i in range(200)])
+    # Sign of the power-iteration limit is data-dependent; compare both.
+    err = min(
+        np.abs(got_arr - ref).max(), np.abs(got_arr + ref).max()
+    )
+    assert err < 1e-3, err
+
+
+def test_pca_power_zero_signal_raises(spark):
+    import pytest as _pytest
+
+    from robosystems_spark.operators.projection import pca_power_projection
+
+    rows = [(i, [1.0, 1.0]) for i in range(5)]  # zero variance
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    with _pytest.raises(ValueError):
+        pca_power_projection(emb, dim=2, iters=3).collect()
