@@ -1321,3 +1321,27 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_pca_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return PR.pca_power_projection(_emb(spark, sf_dir), dim=64, iters=8)
+
+
+# ---------------------------------------------------------------------------
+# Linear quality classifier — distributed GD, distilled from the
+# heuristic teacher.
+# ---------------------------------------------------------------------------
+@register(
+    "quality_lr_classifier",
+    oracle=__import__(
+        "robosystems_spark.operators.classifier",
+        fromlist=["quality_lr_oracle_sql"],
+    ).quality_lr_oracle_sql(iters=6, lr=20.0),
+    doc="fastText-style linear quality filter trained by 6 full-batch "
+    "gradient-descent steps (lr=20) (distilled from the rule-based quality "
+    "teacher): per iteration ONE distributed aggregation returns the "
+    "4-double averaged gradient (kmeans-bounded driver traffic); "
+    "scoring is a map-only codegen pass.  Oracle unrolls GD into "
+    "single-row weight CTEs with per-step rounding re-sync.",
+    tags=("text", "corpus", "classifier"),
+)
+def quality_lr_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from robosystems_spark.operators.classifier import quality_lr_score
+
+    return quality_lr_score(_docs(spark, sf_dir), iters=6, lr=20.0)
