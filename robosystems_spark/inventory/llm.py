@@ -240,9 +240,7 @@ def jaccard_blocked_pairs(
     )
 
 
-@register(
-    "dedup_duplicate_clusters",
-    oracle=rf"""
+_DUP_CLUSTERS_ORACLE = rf"""
     WITH RECURSIVE t AS (
       SELECT doc_id,
              LIST_DISTINCT(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+')) AS toks,
@@ -279,7 +277,12 @@ def jaccard_blocked_pairs(
     SELECT c.node AS doc_id, c.cluster_id, s.cluster_size,
            c.node = c.cluster_id AS keep
     FROM comp c JOIN sizes s USING (cluster_id)
-    """,
+    """
+
+
+@register(
+    "dedup_duplicate_clusters",
+    oracle=_DUP_CLUSTERS_ORACLE,
     doc="Near-dup pairs -> duplicate clusters via distributed min-label connected "
     "components (keep = cluster representative); oracle is a recursive CTE over "
     "the identical capped-block Jaccard pairs (LLM-pipeline op).",
@@ -1345,3 +1348,22 @@ def quality_lr_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from robosystems_spark.operators.classifier import quality_lr_score
 
     return quality_lr_score(_docs(spark, sf_dir), iters=6, lr=20.0)
+
+
+@register(
+    "dedup_duplicate_clusters_star",
+    oracle=_DUP_CLUSTERS_ORACLE,
+    doc="Same duplicate-cluster output computed by alternating "
+    "large-star/small-star rounds (Kiveris et al.) instead of label "
+    "propagation: O(log^2 n) shuffle rounds vs O(component diameter) "
+    "— the right algorithm when near-dup graphs contain long chains; "
+    "identical min-id fixpoint, so it shares the recursive-CTE oracle.",
+    tags=("dedup", "graph"),
+)
+def dedup_duplicate_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from robosystems_spark.operators.graph import duplicate_clusters
+
+    pairs = jaccard_blocked_pairs(_docs(spark, sf_dir), threshold=0.5).select(
+        "doc_a", "doc_b"
+    )
+    return duplicate_clusters(pairs, method="star")

@@ -135,13 +135,20 @@ def duplicate_clusters(
     pairs: DataFrame,
     id_a: str = "doc_a",
     id_b: str = "doc_b",
+    method: str = "labelprop",
 ) -> DataFrame:
     """Near-dup pairs → duplicate clusters: (doc_id, cluster_id,
     cluster_size), cluster_id = min doc id in the component, plus the
     keep/drop decision (keep the representative, drop the rest) —
     the step that turns pairwise dedup output into an actionable
-    drop-list for a 100 TB corpus."""
-    comp = connected_components(pairs, id_a, id_b)
+    drop-list for a 100 TB corpus.
+
+    ``method``: 'labelprop' (min-label propagation, O(diameter)
+    rounds — right for shallow near-dup clusters) or 'star'
+    (large-star/small-star, O(log^2 n) rounds — right for graphs with
+    long chains).  Identical output either way."""
+    cc = connected_components_star if method == "star" else connected_components
+    comp = cc(pairs, id_a, id_b)
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
         comp.join(sizes, "component")
@@ -371,4 +378,91 @@ def triangle_counts_per_node(
         )
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Weakly-connected components via alternating large-star /
+    small-star rounds (Kiveris et al., 'Connected Components in
+    MapReduce and Beyond') — converges in O(log^2 n) rounds vs the
+    O(component diameter) of plain min-label propagation, which is the
+    difference between 4 and 40 shuffles on a 100 TB graph with long
+    chains (web link paths, citation chains).
+
+    large-star: every node u connects its LARGER neighbors to the
+    minimum of its closed neighborhood; small-star: every node (edges
+    oriented max->min) connects its smaller neighbors and itself to
+    that minimum.  Each phase is one groupBy-min + one join keyed by
+    node; the edge set only shrinks toward flat stars.
+
+    Returns (node, component) like :func:`connected_components` — the
+    same min-reachable-id fixpoint, so the two are interchangeable
+    (and share oracles).  Nodes appearing in any edge are labeled;
+    singletons are the caller's concern, as before.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = None
+    for _ in range(max_iters):
+        # ---- large-star ----
+        und = undirected(e).dropDuplicates()
+        mins = und.groupBy("src").agg(
+            F.least(F.min("dst"), F.first("src")).alias("m")
+        )
+        e = (
+            und.join(mins, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .dropDuplicates()
+        )
+        # ---- small-star ----
+        o = (
+            undirected(e)
+            .filter(F.col("src") > F.col("dst"))
+            .dropDuplicates()
+        )
+        mins_s = o.groupBy("src").agg(F.min("dst").alias("m"))
+        joined = o.join(mins_s, "src")
+        small = joined.filter(F.col("dst") != F.col("m")).select(
+            F.col("dst").alias("src"), F.col("m").alias("dst")
+        )
+        self_edge = mins_s.select(F.col("src"), F.col("m").alias("dst"))
+        e = (
+            small.unionByName(self_edge)
+            .filter(F.col("src") != F.col("dst"))
+            .dropDuplicates()
+            .localCheckpoint(eager=True)
+        )
+        # decimal sums: exact under ANSI mode (a long sum of hashes
+        # overflows), collision odds ~2^-64 per round — and a missed
+        # stop only costs one no-op iteration.
+        sig = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("src").cast("decimal(38,0)")).alias("hs"),
+            F.sum(F.xxhash64("dst").cast("decimal(38,0)")).alias("hd"),
+        ).collect()[0]
+        sig = (sig["n"], sig["hs"], sig["hd"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    und_f = undirected(e)
+    return (
+        und_f.select(F.col("src").alias("node"), F.col("dst").alias("cand"))
+        .unionByName(
+            und_f.select(
+                F.col("src").alias("node"), F.col("src").alias("cand")
+            )
+        )
+        .groupBy("node")
+        .agg(F.min("cand").alias("component"))
     )

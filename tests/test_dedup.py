@@ -361,3 +361,45 @@ def test_duplicated_span_profile_short_docs_single_span(spark):
     assert out[1]["n_spans"] == 1 and out[1]["dup_fraction"] == 1.0
     assert out[2]["dup_fraction"] == 1.0
     assert out[3]["n_spans"] == 1 and out[3]["dup_fraction"] == 0.0
+
+
+def test_star_components_match_labelprop(spark):
+    from robosystems_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    import random
+
+    rnd = random.Random(11)
+    # Random graph + a 64-node chain (worst case for label propagation).
+    edges = [(rnd.randrange(40), rnd.randrange(40)) for _ in range(60)]
+    edges += [(100 + i, 101 + i) for i in range(63)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    ref = {
+        r["node"]: r["component"]
+        for r in connected_components(df, max_iters=80).collect()
+    }
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components_star(df, max_iters=12).collect()
+    }
+    assert got == ref
+    # The whole chain collapses to one component rooted at 100.
+    assert got[163] == 100
+
+
+def test_star_converges_logarithmically_on_chain(spark):
+    from robosystems_spark.operators.graph import connected_components_star
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "src LONG, dst LONG"
+    )
+    # 6 rounds suffice for a 64-node path (log2 64) + slack; plain
+    # label propagation needs ~63.
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components_star(chain, max_iters=8).collect()
+    }
+    assert set(got.values()) == {0} and len(got) == 64
