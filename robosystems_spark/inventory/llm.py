@@ -1367,3 +1367,27 @@ def dedup_duplicate_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame
         "doc_a", "doc_b"
     )
     return duplicate_clusters(pairs, method="star")
+
+
+# ---------------------------------------------------------------------------
+# Record linkage: blocked fuzzy name matching.
+# ---------------------------------------------------------------------------
+@register(
+    "linkage_fuzzy_part_names",
+    oracle=__import__(
+        "robosystems_spark.operators.linkage",
+        fromlist=["fuzzy_name_oracle_sql"],
+    ).fuzzy_name_oracle_sql("part", "p_name", max_dist=2),
+    doc="Entity-resolution fuzzy matching: DISTINCT names first (a "
+    "popular name never goes quadratic over its records), blocked by "
+    "last name token with an md5 modulo sub-split cap, JVM-codegen "
+    "levenshtein <= 2 within blocks — the Fellegi-Sunter blocking "
+    "shape for ingest pipelines whose keys don't line up.",
+    tags=("linkage", "text"),
+)
+def linkage_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from robosystems_spark.operators.linkage import fuzzy_name_matches
+
+    return fuzzy_name_matches(
+        read_table(spark, sf_dir, "part"), "p_name", "p_partkey", max_dist=2
+    )

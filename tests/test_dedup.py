@@ -403,3 +403,25 @@ def test_star_converges_logarithmically_on_chain(spark):
         for r in connected_components_star(chain, max_iters=8).collect()
     }
     assert set(got.values()) == {0} and len(got) == 64
+
+
+def test_fuzzy_name_matches_semantics(spark):
+    from robosystems_spark.operators.linkage import fuzzy_name_matches
+
+    rows = [
+        (1, "red widget"), (2, "red widget"), (3, "rad widget"),
+        (4, "blue widget"), (5, "red gadget"), (6, "bolt"),
+    ]
+    df = spark.createDataFrame(rows, "id LONG, name STRING")
+    out = {
+        (r["name_a"], r["name_b"]): r
+        for r in fuzzy_name_matches(df, "name", "id", max_dist=2).collect()
+    }
+    # 'rad widget' is 1 edit from 'red widget' (same block 'widget');
+    # record counts carried through (red widget appears twice).
+    r = out[("rad widget", "red widget")]
+    assert r["distance"] == 1 and r["n_records_b"] == 2
+    # 'blue widget' is 3 edits from 'red widget' -> excluded at 2.
+    assert ("blue widget", "red widget") not in out
+    # 'red gadget' blocks under 'gadget' -> never compared to widgets.
+    assert not any("gadget" in k[0] or "gadget" in k[1] for k in out)
