@@ -1321,6 +1321,7 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "zip_with dot), iteration is d x d driver work; oracle unrolls "
     "matvec->normalize->round per step (kmeans rounding discipline).",
     tags=("similarity", "projection"),
+    bench=True,
 )
 def embedding_pca_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return PR.pca_power_projection(_emb(spark, sf_dir), dim=64, iters=8)
@@ -1343,6 +1344,7 @@ def embedding_pca_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scoring is a map-only codegen pass.  Oracle unrolls GD into "
     "single-row weight CTEs with per-step rounding re-sync.",
     tags=("text", "corpus", "classifier"),
+    bench=True,
 )
 def quality_lr_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from robosystems_spark.operators.classifier import quality_lr_score
@@ -1384,6 +1386,7 @@ def dedup_duplicate_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame
     "levenshtein <= 2 within blocks — the Fellegi-Sunter blocking "
     "shape for ingest pipelines whose keys don't line up.",
     tags=("linkage", "text"),
+    bench=True,
 )
 def linkage_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     from robosystems_spark.operators.linkage import fuzzy_name_matches
@@ -1391,3 +1394,32 @@ def linkage_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_name_matches(
         read_table(spark, sf_dir, "part"), "p_name", "p_partkey", max_dist=2
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (A-Res).
+# ---------------------------------------------------------------------------
+@register(
+    "sample_documents_weighted",
+    oracle=__import__(
+        "robosystems_spark.operators.sampling",
+        fromlist=["weighted_sample_ares_oracle_sql"],
+    ).weighted_sample_ares_oracle_sql(
+        "documents",
+        r"LEN(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+'))",
+        "doc_id",
+        k=100,
+    ),
+    doc="Token-weighted sampling without replacement via A-Res "
+    "priorities (Efraimidis-Spirakis): md5-uniform u per doc, "
+    "priority ln(u)/n_tokens, global top-100 in one TakeOrdered pass "
+    "— the reproducible mixture-draw primitive (longer docs "
+    "proportionally likelier, same sample on any engine or rerun).",
+    tags=("sampling", "corpus"),
+)
+def sample_documents_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from robosystems_spark.operators.sampling import weighted_sample_ares
+
+    d = _docs(spark, sf_dir)
+    w = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    return weighted_sample_ares(d, w, "doc_id", k=100)

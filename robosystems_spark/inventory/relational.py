@@ -1244,3 +1244,52 @@ def grouping_sets_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame
             "total_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Data profiling: ANALYZE/SUMMARIZE surface.
+# ---------------------------------------------------------------------------
+_ORDERS_PROFILE_COLS = [
+    ("o_orderkey", "bigint"),
+    ("o_custkey", "bigint"),
+    ("o_orderstatus", "string"),
+    ("o_totalprice", "double"),
+    ("o_orderdate", "timestamp_ntz"),
+    ("o_orderpriority", "string"),
+]
+
+
+@register(
+    "profile_orders_table",
+    oracle=__import__(
+        "robosystems_spark.operators.profile",
+        fromlist=["table_profile_oracle_sql"],
+    ).table_profile_oracle_sql("orders", _ORDERS_PROFILE_COLS),
+    doc="Per-column table profile (null count, exact distinct, "
+    "min/max) — the SUMMARIZE/ANALYZE surface ingest pipelines gate "
+    "on; ONE aggregation pass (count-distincts expand via Catalyst), "
+    "long-format output built from a single collected row.",
+    tags=("profile", "relational"),
+)
+def profile_orders_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from robosystems_spark.operators.profile import table_profile
+
+    return table_profile(_t(spark, sf_dir, "orders"))
+
+
+@register(
+    "histogram_order_totalprice",
+    oracle=__import__(
+        "robosystems_spark.operators.profile",
+        fromlist=["numeric_histogram_oracle_sql"],
+    ).numeric_histogram_oracle_sql("orders", "o_totalprice", n_bins=20),
+    doc="Equi-width 20-bin histogram of o_totalprice: two passes "
+    "(min/max aggregate, then map-side bin + groupBy) — the value-"
+    "distribution profile behind range-drift checks and bucket "
+    "pruning decisions; identical double bin arithmetic both engines.",
+    tags=("profile", "relational"),
+)
+def histogram_order_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from robosystems_spark.operators.profile import numeric_histogram
+
+    return numeric_histogram(_t(spark, sf_dir, "orders"), "o_totalprice", 20)

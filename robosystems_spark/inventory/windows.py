@@ -382,6 +382,7 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     "spine per series, IGNORE-NULLS windows over the bucket grid — all "
     "post-aggregation stages shuffle only the O(buckets) grid.",
     tags=("window", "events", "timeseries"),
+    bench=True,
 )
 def events_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from robosystems_spark.operators.timeseries import gap_fill_interpolate
@@ -400,6 +401,7 @@ def events_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mean/stddev, |z|>2 flagged — the standard streaming-friendly "
     "outlier shape; single ROWS window over the bucket grid.",
     tags=("window", "events", "timeseries"),
+    bench=True,
 )
 def events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from robosystems_spark.operators.timeseries import rolling_zscore

@@ -111,3 +111,71 @@ def stratified_sample(
         .filter(F.col("_rk") <= n_per_group)
         .drop("_rk")
     )
+
+
+def weighted_sample_ares(
+    df: DataFrame,
+    weight_col: str | Column,
+    id_col: str,
+    k: int,
+    decimals: int = 6,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via A-Res priorities
+    (Efraimidis-Spirakis): each row gets priority ln(u)/w for an
+    md5-derived uniform u, and the global top-k by priority is the
+    sample — inclusion probability proportional to weight, one
+    TakeOrdered pass, no driver-side randomness.
+
+    Deterministic and engine-portable (same md5 uniform idiom as
+    ``split_column_md5``): any engine replays the identical sample —
+    the property that matters when a 100 TB mixture draw must be
+    reproducible across reruns and engines.
+
+    Returns (id, weight, priority) for the k selected rows.
+    """
+    w = (
+        F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    ).cast("double")
+    # u in (0, 1]: 15 md5 hex chars -> [0, 2^60), +1 to avoid ln(0).
+    v = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("double")
+    u = (v + F.lit(1.0)) / F.lit(float(16**15))
+    pr = F.ln(u) / w
+    return (
+        df.select(
+            F.col(id_col),
+            w.cast("bigint").alias("weight"),
+            pr.alias("_pr"),
+        )
+        .orderBy(F.desc("_pr"), F.asc(id_col))
+        .limit(k)
+        .select(
+            id_col, "weight", F.round("_pr", decimals).alias("priority")
+        )
+    )
+
+
+def weighted_sample_ares_oracle_sql(
+    table: str,
+    weight_sql: str,
+    id_col: str,
+    k: int,
+    decimals: int = 6,
+) -> str:
+    """DuckDB SQL for the identical A-Res top-k sample.
+    ``weight_sql`` is the weight expression over ``table``."""
+    return f"""
+    WITH w AS (
+      SELECT {id_col}, CAST({weight_sql} AS DOUBLE) AS wt FROM {table}
+    ),
+    p AS (
+      SELECT {id_col}, wt,
+             LN((('0x' || SUBSTR(MD5(CAST({id_col} AS VARCHAR)), 1, 15))::BIGINT
+                 + 1.0) / {float(16**15)!r}) / wt AS pr
+      FROM w
+    )
+    SELECT {id_col}, CAST(wt AS BIGINT) AS weight,
+           ROUND(pr, {decimals}) AS priority
+    FROM p ORDER BY pr DESC, {id_col} LIMIT {k}
+    """

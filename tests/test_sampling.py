@@ -93,3 +93,21 @@ def test_weighted_mixture_upsampling_and_determinism(spark, sf_dir):
     )
     assert sorted(map(tuple, again.collect())) == sorted(map(tuple, out.collect()))
     out.unpersist()
+
+
+def test_weighted_sample_favors_heavy_rows(spark):
+    from pyspark.sql import functions as F
+
+    from robosystems_spark.operators.sampling import weighted_sample_ares
+
+    # 500 light rows (w=1) + 100 heavy rows (w=50): a top-100 draw
+    # should be mostly heavy rows (heavy mass 5000 vs light 500).
+    rows = [(i, 1) for i in range(500)] + [(1000 + i, 50) for i in range(100)]
+    df = spark.createDataFrame(rows, "id LONG, w INT")
+    out = weighted_sample_ares(df, "w", "id", k=100).collect()
+    heavy = sum(1 for r in out if r["id"] >= 1000)
+    assert heavy > 70, heavy
+    assert len(out) == 100
+    # Deterministic: same call, same sample.
+    again = weighted_sample_ares(df, "w", "id", k=100).collect()
+    assert [r["id"] for r in out] == [r["id"] for r in again]

@@ -249,3 +249,35 @@ def test_pca_power_zero_signal_raises(spark):
     emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
     with _pytest.raises(ValueError):
         pca_power_projection(emb, dim=2, iters=3).collect()
+
+
+def test_table_profile_counts(spark):
+    from robosystems_spark.operators.profile import table_profile
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 1.5), (3, "a", 2.5), (None, None, 2.5)],
+        "k BIGINT, s STRING, v DOUBLE",
+    )
+    prof = {r["column"]: r for r in table_profile(df).collect()}
+    assert prof["k"]["n_null"] == 1 and prof["k"]["n_distinct"] == 3
+    assert prof["s"]["min_value"] == "a" and prof["s"]["max_value"] == "b"
+    assert prof["v"]["n_null"] == 1 and prof["v"]["n_distinct"] == 2
+    assert all(r["n_rows"] == 4 for r in prof.values())
+
+
+def test_numeric_histogram_bins(spark):
+    import pytest as _pytest
+
+    from robosystems_spark.operators.profile import numeric_histogram
+
+    df = spark.createDataFrame(
+        [(float(x),) for x in range(100)], "x DOUBLE"
+    )
+    out = {r["bin"]: r for r in numeric_histogram(df, "x", n_bins=10).collect()}
+    assert len(out) == 10
+    assert all(r["n_rows"] == 10 for r in out.values())
+    assert out[0]["lo"] == 0.0 and out[9]["hi"] == 99.0
+    with _pytest.raises(ValueError):
+        numeric_histogram(
+            spark.createDataFrame([(1.0,), (1.0,)], "x DOUBLE"), "x"
+        ).collect()
