@@ -376,3 +376,75 @@ def test_grouping_sets_single_expand_pass(spark, sf_dir):
     # formatted mode prints each node in the tree and the detail list:
     # one physical scan node, whatever the repetition
     assert len(set(re.findall(r"\((\d+)\) Scan parquet", plan))) == 1
+
+
+def test_gap_fill_no_python_no_cartesian(spark, sf_dir):
+    # The gap-filled grid is window + join work over the bucket grid:
+    # no Python on the path, no cartesian blow-up, and the raw-event
+    # scan reads only the three referenced columns.
+    plan = plan_of(REGISTRY["events_gap_fill_interpolate"].fn(spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and "props" not in m.group(1) and "event_id" not in m.group(1)
+
+
+def test_quality_lr_scoring_is_map_only_codegen(spark, sf_dir):
+    # Training collects 4 doubles/step elsewhere; the SCORING plan must
+    # be a single map-only codegen pass: no joins, no Python, and one
+    # scan of the documents table.
+    plan = plan_of(REGISTRY["quality_lr_classifier"].fn(spark, sf_dir))
+    assert "Join" not in plan and "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_linkage_blocks_broadcast_and_stay_jvm(spark, sf_dir):
+    # Block sizes broadcast to the names side; levenshtein runs
+    # JVM-side (no Python anywhere).
+    plan = plan_of(REGISTRY["linkage_fuzzy_part_names"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pca_projection_is_map_only(spark, sf_dir):
+    # After the covariance/power-iteration driver work, the projection
+    # itself must be one map-only pass over the embeddings scan.
+    plan = plan_of(REGISTRY["embedding_pca_pc1"].fn(spark, sf_dir))
+    assert "Exchange" not in plan and "Join" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_weighted_sample_is_take_ordered(spark, sf_dir):
+    # A-Res top-k must never globally sort: TakeOrderedAndProject.
+    plan = plan_of(REGISTRY["sample_documents_weighted"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_profile_single_scan_single_aggregation(spark, sf_dir):
+    # The whole per-column profile comes from ONE scan of the table
+    # (count-distincts expand, but do not rescan).
+    from robosystems_spark.io import read_table
+    from robosystems_spark.operators.profile import table_profile
+
+    captured = {}
+    orig = table_profile.__globals__["DataFrame"].agg
+
+    df = read_table(spark, sf_dir, "orders")
+    import robosystems_spark.operators.profile as P
+
+    aggs = [P.F.count(P.F.lit(1)).alias("_n")]
+    for f in df.schema.fields:
+        c = P.F.col(f.name)
+        mn, mx = P._min_max_str(f.name, f.dataType.simpleString())
+        aggs += [
+            P.F.sum(c.isNull().cast("long")).alias(f"{f.name}__null"),
+            P.F.countDistinct(c).alias(f"{f.name}__dist"),
+            mn.alias(f"{f.name}__min"),
+            mx.alias(f"{f.name}__max"),
+        ]
+    plan = plan_of(df.agg(*aggs))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "BatchEvalPython" not in plan
