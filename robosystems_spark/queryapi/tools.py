@@ -104,6 +104,21 @@ class GraphToolkit:
             for r in df.select(column).distinct().orderBy(column).limit(limit).collect()
         ]
 
+    # -- profile-table ------------------------------------------------------
+    def profile_table(self, label: str) -> list[dict]:
+        """Per-column profile of a graph table (null count, exact
+        distinct, min/max) — the SUMMARIZE-style data-quality tool an
+        agent calls before trusting a column; one aggregation pass
+        (operators/profile.py)."""
+        from robosystems_spark.operators.profile import table_profile
+
+        if label not in self.gate.engine.tables:
+            raise KeyError(f"Unknown table {label!r}")
+        return [
+            r.asDict()
+            for r in table_profile(self.gate.engine.tables[label]).collect()
+        ]
+
     # -- describe-graph-structure ------------------------------------------
     def describe_structure(self) -> str:
         """Natural-language structure summary (the reference's

@@ -230,3 +230,14 @@ def test_data_toolkit_ingest_query_materialize(spark, tmp_path):
     src2.write_text("identifier,name,balance\na3,AP,-5.0\n")
     out2 = tk.ingest_file(str(src2), "Account2", ingest_to_graph=True)
     assert out2["status"] == "materialized" and out2["rows_loaded"] == 1
+
+
+def test_toolkit_profile_table(gate):
+    tk = GraphToolkit(gate)
+    rows = tk.profile_table("Person")
+    by_col = {r["column"]: r for r in rows}
+    assert set(by_col) == set(gate.engine.tables["Person"].columns)
+    assert all(r["n_rows"] == rows[0]["n_rows"] for r in rows)
+    assert all(r["n_null"] >= 0 and r["n_distinct"] >= 1 for r in rows)
+    with pytest.raises(KeyError):
+        tk.profile_table("NoSuchTable")
