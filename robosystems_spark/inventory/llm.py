@@ -1423,3 +1423,28 @@ def sample_documents_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     w = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
     return weighted_sample_ares(d, w, "doc_id", k=100)
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: new batch vs persisted corpus index.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_incremental_batch",
+    oracle=D.incremental_dedup_oracle_sql(threshold=0.5, new_mod=10),
+    doc="Incremental near-dup screen: the corpus (doc_id%10!=0) is "
+    "signed ONCE into a persisted MinHash signature index; the new "
+    "batch (doc_id%10==0) computes only its own signatures and "
+    "band-joins against the store — daily dedup cost O(batch), not "
+    "O(corpus).  Estimator = matching-component fraction (exact "
+    "multiples of 1/64, engine-exact).",
+    tags=("dedup",),
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    new_batch = docs.filter(F.col("doc_id") % 10 == 0)
+    path = tempfile.mkdtemp(prefix="minhash_idx_") + "/sigs"
+    D.write_minhash_index(corpus, path)
+    return D.dedup_against_index(new_batch, path, threshold=0.5)

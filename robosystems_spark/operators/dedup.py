@@ -199,21 +199,7 @@ def minhash_lsh_candidates(
     share it without this function checkpointing the LARGER exploded
     band frame — banding from a materialized signature is a cheap
     per-side projection."""
-    banded = sigs.select(
-        F.col(id_col),
-        F.posexplode(
-            F.array(
-                *[
-                    F.expr(
-                        "array_join(transform("
-                        f"slice(signature, {b * rows_per_band + 1}, {rows_per_band}), "
-                        "x -> cast(x as string)), ',')"
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "band_hash"),
-    )
+    banded = band_projection(sigs, id_col, bands, rows_per_band)
     # localCheckpoint (not persist): the self-join would otherwise
     # recompute the full shingle->signature->band pipeline for BOTH
     # sides; unlike persist(), checkpointed partitions are reclaimed by
@@ -756,3 +742,199 @@ def duplicated_span_profile(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: a new batch against a PERSISTED corpus index.
+# The production shape at 100 TB — the corpus is signed once (one pass,
+# ever); each incoming crawl computes only its own signatures and joins
+# against the stored bands, so daily dedup cost is O(batch), not
+# O(corpus).
+# ---------------------------------------------------------------------------
+
+
+def band_projection(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """(id, band, band_hash) rows from a signature frame — the LSH
+    banding as a standalone projection, shared by the self-join path
+    and the cross-frame incremental path."""
+    return sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(
+                        "array_join(transform("
+                        f"slice(signature, {b * rows_per_band + 1}, {rows_per_band}), "
+                        "x -> cast(x as string)), ',')"
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+
+
+def write_minhash_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_k: int = 5,
+) -> None:
+    """Persist the corpus signature index: (id, signature) parquet.
+    Signatures are engine-portable (md5 + Carter-Wegman), so an index
+    written by ANY engine with this contract joins correctly."""
+    minhash_signatures(
+        docs, text_col, id_col, num_hashes, shingle_k
+    ).write.mode("overwrite").parquet(path)
+
+
+def dedup_against_index(
+    new_docs: DataFrame,
+    index_path: str,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Screen a new batch against the persisted corpus index:
+    (new_doc_id, corpus_doc_id, est_jaccard) for pairs colliding in
+    any LSH band with estimated Jaccard >= ``threshold``.
+
+    The estimator is the matching-component fraction of the two
+    signatures (the standard cross-corpus screen; exact multiples of
+    1/num_hashes, so engine-exact).  Shuffles: the band join keyed by
+    (band, band_hash) — O(batch·bands + matched corpus rows), the
+    corpus side pruned to colliding bands by the join itself.
+    """
+    spark = new_docs.sparkSession
+    rows = num_hashes // bands
+    idx = spark.read.parquet(index_path)
+    new_sigs = minhash_signatures(
+        new_docs, text_col, id_col, num_hashes, shingle_k
+    ).localCheckpoint(eager=True)
+    nb = band_projection(new_sigs, id_col, bands, rows).withColumnRenamed(
+        id_col, "new_doc_id"
+    )
+    cb = band_projection(idx, id_col, bands, rows).withColumnRenamed(
+        id_col, "corpus_doc_id"
+    )
+    cand = (
+        nb.join(cb, ["band", "band_hash"])
+        .select("new_doc_id", "corpus_doc_id")
+        .filter(F.col("new_doc_id") != F.col("corpus_doc_id"))
+        .dropDuplicates()
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_new", "sig_corpus", lambda x, y: x == y),
+                lambda v: v,
+            )
+        ).cast("double")
+        / num_hashes
+    )
+    return (
+        cand.join(
+            new_sigs.select(
+                F.col(id_col).alias("new_doc_id"),
+                F.col("signature").alias("sig_new"),
+            ),
+            "new_doc_id",
+        )
+        .join(
+            idx.select(
+                F.col(id_col).alias("corpus_doc_id"),
+                F.col("signature").alias("sig_corpus"),
+            ),
+            "corpus_doc_id",
+        )
+        .select(
+            "new_doc_id",
+            "corpus_doc_id",
+            F.round(est, ndigits).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def incremental_dedup_oracle_sql(
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    table: str = "documents",
+    new_mod: int = 10,
+) -> str:
+    """DuckDB SQL for the identical incremental screen, with the
+    corpus/new split doc_id % ``new_mod`` == 0 -> new batch."""
+    rows = num_hashes // bands
+    horner = "COALESCE(th[i], 0)"
+    for j in range(1, shingle_k):
+        horner = (
+            f"(({horner}) * {SHINGLE_B} + COALESCE(th[i + {j}], 0))"
+            f" % {MINHASH_P}"
+        )
+    mins = ", ".join(
+        "MIN(({a} * hm + {b}) % {p}) AS m{i}".format(
+            a=minhash_perm_consts(i)[0],
+            b=minhash_perm_consts(i)[1],
+            p=MINHASH_P,
+            i=i,
+        )
+        for i in range(num_hashes)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {band} AS band, CONCAT_WS(',', {cols}) AS val "
+        "FROM sig".format(
+            band=b,
+            cols=", ".join(f"m{b * rows + r}" for r in range(rows)),
+        )
+        for b in range(bands)
+    )
+    match_sum = " + ".join(
+        f"CASE WHEN ns.m{i} = cs.m{i} THEN 1 ELSE 0 END"
+        for i in range(num_hashes)
+    )
+    return rf"""
+    WITH t AS (
+      SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS toks
+      FROM {table}
+    ),
+    tk AS (
+      SELECT doc_id,
+             LIST_TRANSFORM(toks, t -> ('0x' || SUBSTR(md5(t), 1, 15))::BIGINT % {MINHASH_P}) AS th
+      FROM t
+    ),
+    sh AS (
+      SELECT doc_id,
+             LIST_DISTINCT([{horner}
+                            FOR i IN GENERATE_SERIES(1, GREATEST(LEN(th) - {shingle_k - 1}, 1))]) AS shl
+      FROM tk
+    ),
+    h AS (SELECT doc_id, UNNEST(shl) AS hm FROM sh),
+    sig AS MATERIALIZED (SELECT doc_id, {mins} FROM h GROUP BY doc_id),
+    banded AS MATERIALIZED ({band_selects}),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS new_doc_id, c.doc_id AS corpus_doc_id
+      FROM banded n JOIN banded c
+        ON n.band = c.band AND n.val = c.val
+       AND n.doc_id % {new_mod} = 0 AND c.doc_id % {new_mod} <> 0
+       AND n.doc_id <> c.doc_id
+    )
+    SELECT cand.new_doc_id, cand.corpus_doc_id,
+           ROUND(({match_sum}) / {num_hashes}.0, 6) AS est_jaccard
+    FROM cand
+    JOIN sig ns ON ns.doc_id = cand.new_doc_id
+    JOIN sig cs ON cs.doc_id = cand.corpus_doc_id
+    WHERE ROUND(({match_sum}) / {num_hashes}.0, 6) >= {threshold}
+    """

@@ -425,3 +425,34 @@ def test_fuzzy_name_matches_semantics(spark):
     assert ("blue widget", "red widget") not in out
     # 'red gadget' blocks under 'gadget' -> never compared to widgets.
     assert not any("gadget" in k[0] or "gadget" in k[1] for k in out)
+
+
+def test_incremental_dedup_against_index(spark, tmp_path):
+    from robosystems_spark.operators.dedup import (
+        dedup_against_index,
+        write_minhash_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again today"),
+            (2, "completely unrelated text about financial statements and ledgers"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    path = str(tmp_path / "sigs")
+    write_minhash_index(corpus, path)
+    # New batch: doc 10 is a near-copy of doc 1; doc 11 is novel.
+    new = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog again tonight"),
+            (11, "novel content with no counterpart in the stored corpus at all"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = dedup_against_index(new, path, threshold=0.3).collect()
+    pairs = {(r["new_doc_id"], r["corpus_doc_id"]): r["est_jaccard"] for r in out}
+    assert (10, 1) in pairs and pairs[(10, 1)] > 0.3
+    assert not any(n == 11 for n, _ in pairs)
+    # Estimator is a multiple of 1/64.
+    assert abs(pairs[(10, 1)] * 64 - round(pairs[(10, 1)] * 64)) < 1e-9
