@@ -304,3 +304,82 @@ def test_stream_apply_changes_honors_deletes_and_sequence(spark, tmp_path):
     rows = {r["identifier"]: r["name"] for r in store.read("Entity").collect()}
     assert rows == {1: "latest", 3: "keep", 4: "new"}
     assert store.version("Entity") == v0 + 1  # one commit per batch
+
+
+def test_transform_with_state_accumulates(spark, tmp_path):
+    """transformWithStateInPandas (Spark 4 typed-state API): ValueState
+    totals + bounded ListState recent window survive micro-batches."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState's typed-state client needs protobuf "
+        "(not in this sandbox); the processor logic is covered by the "
+        "batch-equivalent test below",
+    )
+    from robosystems_spark.streaming.stateful_v2 import recent_user_activity
+
+    src = str(tmp_path / "twsp_src")
+    os.makedirs(src)
+    from datetime import datetime as dt
+
+    def write(rows):
+        spark.createDataFrame(
+            [(i, dt.fromisoformat(t), u, "a", v, "{}") for i, t, u, v in rows],
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    write([
+        (1, "2024-01-01 10:00:00", 7, 10.0),
+        (2, "2024-01-01 10:05:00", 7, 20.0),
+    ])
+    stream = events_stream(spark, src, max_files_per_trigger=1)
+    q = (
+        recent_user_activity(stream)
+        .writeStream.format("memory")
+        .queryName("twsp_t")
+        .outputMode("update")
+        .start()
+    )
+    q.processAllAvailable()
+    first = spark.sql("SELECT * FROM twsp_t WHERE user_id = 7").collect()[-1]
+    assert first["n_events"] == 2 and first["total_value"] == 30.0
+    assert first["recent_avg"] == 15.0
+
+    # Second batch: list state caps at the latest 3 values (20, 1, 2).
+    write([(3, "2024-01-01 11:00:00", 7, 1.0), (4, "2024-01-01 11:05:00", 7, 2.0)])
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql(
+        "SELECT * FROM twsp_t WHERE user_id = 7 ORDER BY n_events"
+    ).collect()
+    last = rows[-1]
+    assert last["n_events"] == 4 and last["total_value"] == 33.0
+    assert last["recent_avg"] == round((20.0 + 1.0 + 2.0) / 3, 6)
+
+
+def test_transform_with_state_batch_equivalent(spark, sf_dir):
+    from robosystems_spark.io import read_table
+    from robosystems_spark.streaming.stateful_v2 import recent_user_activity
+
+    ev = read_table(spark, sf_dir, "events")
+    out = recent_user_activity(ev)
+    assert out.count() == ev.select("user_id").distinct().count()
+    row = out.orderBy("user_id").first()
+    assert row["recent_avg"] is not None and row["n_events"] > 0
+
+
+def test_transform_with_state_protobuf_seam(spark):
+    """Without protobuf the streaming path fails FAST with a clear
+    remedy instead of crashing the streaming runner mid-query."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        pytest.skip("protobuf present; seam not reachable")
+    except ImportError:
+        pass
+    from robosystems_spark.streaming.stateful_v2 import recent_user_activity
+
+    rate = spark.readStream.format("rate").load().selectExpr(
+        "value AS user_id", "timestamp AS ts", "CAST(value AS DOUBLE) AS value"
+    )
+    with pytest.raises(RuntimeError, match="protobuf"):
+        recent_user_activity(rate)
