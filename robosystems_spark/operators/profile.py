@@ -107,6 +107,8 @@ def numeric_histogram(
         F.min(F.col(col).cast("double")).alias("mn"),
         F.max(F.col(col).cast("double")).alias("mx"),
     ).collect()[0]
+    if bounds["mn"] is None:
+        raise ValueError(f"no non-null values in {col}")
     mn, mx = float(bounds["mn"]), float(bounds["mx"])
     if mx <= mn:
         raise ValueError(f"degenerate range for {col}: [{mn}, {mx}]")

@@ -143,7 +143,9 @@ def weighted_sample_ares(
     u = (v + F.lit(1.0)) / F.lit(float(16**15))
     pr = F.ln(u) / w
     return (
-        df.select(
+        # w <= 0 has no A-Res priority (ln(u)/w flips sign / divides by
+        # zero); such rows are excluded, mirrored by the oracle's WHERE.
+        df.filter(w > 0).select(
             F.col(id_col),
             w.cast("bigint").alias("weight"),
             pr.alias("_pr"),
@@ -173,7 +175,7 @@ def weighted_sample_ares_oracle_sql(
       SELECT {id_col}, wt,
              LN((('0x' || SUBSTR(MD5(CAST({id_col} AS VARCHAR)), 1, 15))::BIGINT
                  + 1.0) / {float(16**15)!r}) / wt AS pr
-      FROM w
+      FROM w WHERE wt > 0
     )
     SELECT {id_col}, CAST(wt AS BIGINT) AS weight,
            ROUND(pr, {decimals}) AS priority
