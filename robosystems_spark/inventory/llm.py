@@ -1448,3 +1448,53 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = tempfile.mkdtemp(prefix="minhash_idx_") + "/sigs"
     D.write_minhash_index(corpus, path)
     return D.dedup_against_index(new_batch, path, threshold=0.5)
+
+
+@register(
+    "dedup_remove_spans",
+    oracle=r"""
+    WITH t AS MATERIALIZED (
+      SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS toks FROM documents
+    ),
+    sp AS MATERIALIZED (
+      SELECT doc_id, i,
+             ('0x' || SUBSTR(MD5(ARRAY_TO_STRING(toks[i+1:i+16], ' ')), 1, 15))::BIGINT AS span
+      FROM (SELECT doc_id, toks,
+                   UNNEST(GENERATE_SERIES(0, GREATEST(LEN(toks) - 16, 0), 8)) AS i
+            FROM t)
+    ),
+    dup AS (SELECT span FROM sp GROUP BY span HAVING COUNT(DISTINCT doc_id) > 1),
+    cover AS MATERIALIZED (
+      SELECT DISTINCT doc_id, UNNEST(GENERATE_SERIES(i, i + 15)) AS pos
+      FROM sp SEMI JOIN dup USING (span)
+    ),
+    tokrows AS (
+      SELECT doc_id, pos0 - 1 AS pos, tok FROM (
+        SELECT doc_id,
+               UNNEST(list_transform(toks, (x, i) -> {'pos0': i, 'tok': x}),
+                      recursive := true)
+        FROM t)
+    ),
+    kept AS (
+      SELECT doc_id, pos, tok FROM tokrows ANTI JOIN cover USING (doc_id, pos)
+    ),
+    rebuilt AS (
+      SELECT doc_id, STRING_AGG(tok, ' ' ORDER BY pos) AS cleaned_text,
+             COUNT(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(LEN(t.toks) AS BIGINT) AS n_tokens,
+           CAST(LEN(t.toks) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(r.cleaned_text, '') AS cleaned_text
+    FROM t LEFT JOIN rebuilt r USING (doc_id)
+    """,
+    doc="Exact-substring dedup, removal form (Lee et al.): every token "
+    "covered by a cross-document duplicated 16-token span is excised "
+    "and the document rebuilt in order — the actionable counterpart "
+    "of dedup_duplicated_spans (same grid, same md5 span identity); "
+    "coverage anti-join + order-preserving re-aggregation, all codegen.",
+    tags=("dedup", "text"),
+)
+def dedup_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.remove_duplicated_spans(_docs(spark, sf_dir))

@@ -938,3 +938,103 @@ def incremental_dedup_oracle_sql(
     JOIN sig cs ON cs.doc_id = cand.corpus_doc_id
     WHERE ROUND(({match_sum}) / {num_hashes}.0, 6) >= {threshold}
     """
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 16,
+    stride: int = 8,
+) -> DataFrame:
+    """The ACTIONABLE counterpart of :func:`duplicated_span_profile` —
+    exact-substring dedup a la Lee et al.: excise every token covered
+    by a cross-document duplicated span and rebuild the document from
+    what remains.  Returns (id, n_tokens, n_removed, cleaned_text).
+
+    Span identity and gridding match the profile exactly (same
+    window/stride/md5), so the profile's dup_fraction predicts this
+    operator's removal rate.  Scale shape: the explode is
+    n_tokens/stride span rows + n_tokens token rows per doc; shuffles
+    are the span-hash groupBy (uniform md5 keys), the coverage
+    anti-join keyed by (doc, pos), and the order-preserving rebuild —
+    all codegen, no Python.
+    """
+    base = df.select(F.col(id_col), tokens(text_col).alias("_t"))
+    occ = base.select(
+        F.col(id_col),
+        "_t",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.size("_t") - window, F.lit(0)),
+                F.lit(stride),
+            )
+        ).alias("_i"),
+    ).select(
+        F.col(id_col),
+        "_i",
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(" ", F.expr(f"slice(_t, _i + 1, {window})"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("_span"),
+    )
+    occ = occ.localCheckpoint(eager=True)  # reused for dup-count AND coverage
+    dup = (
+        occ.groupBy("_span")
+        .agg(F.count_distinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") > 1)
+        .select("_span")
+    )
+    # Positions past the token count never match a token row, so the
+    # end-of-doc span needs no explicit cap (mirrored in the oracle).
+    cover = (
+        occ.join(dup, "_span")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("_i"), F.col("_i") + (window - 1))
+            ).alias("_pos"),
+        )
+        .dropDuplicates()
+    )
+    tokrows = base.select(
+        F.col(id_col), F.posexplode("_t").alias("_pos", "_tok")
+    )
+    kept = tokrows.join(cover, [id_col, "_pos"], "left_anti")
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("_pos", "_tok"))
+            ).alias("_pairs")
+        )
+        .select(
+            F.col(id_col),
+            F.expr("array_join(transform(_pairs, p -> p._tok), ' ')").alias(
+                "cleaned_text"
+            ),
+            F.expr("size(_pairs)").alias("_n_kept"),
+        )
+    )
+    return (
+        base.select(F.col(id_col), F.size("_t").alias("n_tokens"))
+        .join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            (
+                F.col("n_tokens") - F.coalesce(F.col("_n_kept"), F.lit(0))
+            )
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+        )
+    )

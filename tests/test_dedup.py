@@ -456,3 +456,28 @@ def test_incremental_dedup_against_index(spark, tmp_path):
     assert not any(n == 11 for n, _ in pairs)
     # Estimator is a multiple of 1/64.
     assert abs(pairs[(10, 1)] * 64 - round(pairs[(10, 1)] * 64)) < 1e-9
+
+
+def test_remove_duplicated_spans_excises_boilerplate(spark):
+    from robosystems_spark.operators.dedup import remove_duplicated_spans
+
+    boiler = " ".join(f"lic{i}" for i in range(16))  # 16-token license block
+    rows = [
+        (1, boiler + " unique alpha beta gamma delta"),
+        (2, boiler + " other content entirely different here"),
+        (3, "no duplicated spans in this document at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicated_spans(docs, window=16, stride=8).collect()
+    }
+    # The shared 16-token block is excised from both docs 1 and 2...
+    assert out[1]["n_removed"] >= 16 and out[2]["n_removed"] >= 16
+    assert "lic0" not in out[1]["cleaned_text"]
+    # ...while their unique tails survive in order.
+    assert "alpha" in out[1]["cleaned_text"]
+    assert out[1]["cleaned_text"].index("alpha") < out[1]["cleaned_text"].index("gamma")
+    # Doc 3 untouched.
+    assert out[3]["n_removed"] == 0
+    assert out[3]["cleaned_text"] == rows[2][1]
