@@ -409,3 +409,52 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("dst"))
     edges = a.join(b, "o").filter(F.col("src") < F.col("dst")).select("src", "dst")
     return triangle_counts_per_node(edges).orderBy("node")
+
+
+_KCORE_K = 60
+_KCORE_ROUNDS = 4
+
+
+@register(
+    "graph_kcore_parts",
+    oracle=__import__(
+        "robosystems_spark.operators.graph", fromlist=["kcore_oracle_ctes"]
+    ).kcore_oracle_ctes(
+        _KCORE_K,
+        _KCORE_ROUNDS,
+        """p0 AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+e0 AS MATERIALIZED (
+  SELECT u AS src, v AS dst FROM p0 UNION ALL SELECT v, u FROM p0
+)""",
+    ),
+    doc="k-core extraction (k=60, 4 fixed peel rounds) over the part "
+    "co-occurrence graph: per round one degree groupBy + two node-keyed "
+    "semi-joins, O(edges) each, no driver state; fixed rounds make the "
+    "result identical-by-construction across engines (= the true "
+    "k-core once rounds cover the peel depth).",
+    tags=("graph",),
+)
+def graph_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from robosystems_spark.operators.graph import kcore
+
+    li = read_table(spark, sf_dir, "lineitem")
+    base = li.select("l_orderkey", "l_partkey").dropDuplicates()
+    a, b = base.alias("a"), base.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .dropDuplicates()
+    )
+    return kcore(pairs, k=_KCORE_K, rounds=_KCORE_ROUNDS)

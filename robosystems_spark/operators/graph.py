@@ -466,3 +466,78 @@ def connected_components_star(
         .groupBy("node")
         .agg(F.min("cand").alias("component"))
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-round k-core peeling: run EXACTLY ``rounds`` rounds of
+    'drop nodes with undirected degree < k', then report the surviving
+    nodes with their residual degrees — the density-core extraction
+    used for community seeds and graph-noise pruning.
+
+    Fixed rounds (rather than run-to-fixpoint) make the result
+    identical-by-construction across engines, so the operator is
+    hash-checkable; with ``rounds`` >= the graph's peel depth it IS
+    the true k-core.  Each round is one degree groupBy + two
+    semi-joins keyed by node — O(edges) per round, no driver state.
+
+    Returns (node, core_degree) for nodes surviving all rounds.
+    """
+    if k < 1 or rounds < 1:
+        raise ValueError("k and rounds must be >= 1")
+    e = (
+        undirected(edges, src_col, dst_col)
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        keep = (
+            e.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("_d"))
+            .filter(F.col("_d") >= k)
+            .select("src")
+        )
+        e = (
+            e.join(keep, "src", "left_semi")
+            .join(
+                keep.withColumnRenamed("src", "dst"), "dst", "left_semi"
+            )
+            .localCheckpoint(eager=False)
+        )
+    return (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .select(F.col("src").alias("node"), "core_degree")
+    )
+
+
+def kcore_oracle_ctes(k: int, rounds: int, edges_cte: str) -> str:
+    """The peel loop unrolled as DuckDB CTE text.  ``edges_cte`` must
+    define ``e0(src, dst)`` (undirected, distinct, no self-loops)."""
+    parts = [edges_cte]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""k{r} AS (
+  SELECT src FROM e{r - 1} GROUP BY src HAVING COUNT(*) >= {k}
+)"""
+        )
+        parts.append(
+            f"""e{r} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM e{r - 1} e
+  SEMI JOIN k{r} a ON e.src = a.src
+  SEMI JOIN k{r} b ON e.dst = b.src
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT src AS node, COUNT(*) AS core_degree
+FROM e{rounds} GROUP BY src"""
+    )

@@ -156,3 +156,27 @@ def test_semantic_dedup_cap_splits_cluster(spark):
     }
     # ids 0,1,2 are the lowest of sub-blocks 0,1,2 -> kept; 3,4,5 dropped.
     assert out == {0: True, 1: True, 2: True, 3: False, 4: False, 5: False}
+
+
+def test_kcore_peels_cascade(spark):
+    from robosystems_spark.operators.graph import kcore
+
+    # 4-clique (every node degree 3) + a pendant chain hanging off it:
+    # at k=2 the chain peels away over successive rounds (cascade),
+    # the clique survives with full degree.
+    clique = [(a, b) for a in range(4) for b in range(4) if a < b]
+    chain = [(3, 10), (10, 11), (11, 12)]
+    edges = spark.createDataFrame(clique + chain, "src LONG, dst LONG")
+    out = {r["node"]: r["core_degree"] for r in kcore(edges, k=2, rounds=4).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    assert all(v == 3 for v in out.values())
+
+    # One round only: the degree-1 leaf (12) peels; 11 survives the
+    # round but its residual degree drops to 1 (next round's victim).
+    one = {r["node"]: r["core_degree"] for r in kcore(edges, k=2, rounds=1).collect()}
+    assert 12 not in one and one[11] == 1 and 10 in one
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        kcore(edges, k=0)
