@@ -89,6 +89,12 @@ def _dispatch(spark: SparkSession, proc: str, arg: str, store=None) -> DataFrame
         return spark.createDataFrame(rows, "name string, type string, nullable boolean")
     if proc == "db_version":
         return spark.createDataFrame([(spark_version,)], "version string")
+    if proc == "table_profile":
+        if not arg:
+            raise ProcedureError("table_profile requires a table name argument")
+        from robosystems_spark.operators.profile import table_profile
+
+        return table_profile(spark.table(arg))
     if proc == "table_version":
         if store is None:
             raise ProcedureError("table_version requires a graph store")

@@ -283,3 +283,25 @@ def test_call_table_version_and_history(spark, tmp_path):
 
     with _pytest.raises(ProcedureError):
         execute_call(spark, "CALL table_version('T')")  # no store bound
+
+
+def test_call_table_profile(spark):
+    from robosystems_spark.queryapi.procedures import ProcedureError, execute_call
+
+    import pytest as _pytest
+
+    spark.createDataFrame(
+        [(1, "a"), (2, None)], "k LONG, s STRING"
+    ).createOrReplaceTempView("profile_probe_tbl")
+    out = execute_call(spark, "CALL table_profile('profile_probe_tbl')")
+    rows = {r["column"]: r for r in out.collect()}
+    assert rows["s"]["n_null"] == 1 and rows["k"]["n_distinct"] == 2
+    # RETURN projection composes like the other procedures.
+    proj = execute_call(
+        spark,
+        "CALL table_profile('profile_probe_tbl') RETURN column AS col, n_null",
+    )
+    assert proj.columns == ["col", "n_null"]
+    with _pytest.raises(ProcedureError, match="table name"):
+        execute_call(spark, "CALL table_profile()")
+    spark.catalog.dropTempView("profile_probe_tbl")
