@@ -1498,3 +1498,50 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.remove_duplicated_spans(_docs(spark, sf_dir))
+
+
+@register(
+    "text_trigram_logprob",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS t
+      FROM documents
+    ),
+    tri AS MATERIALIZED (
+      SELECT doc_id, t[gs.i] AS w1, t[gs.i + 1] AS w2, t[gs.i + 2] AS w3
+      FROM toks, UNNEST(GENERATE_SERIES(1, LEN(t) - 2)) AS gs(i)
+      WHERE LEN(t) >= 3
+    ),
+    c3 AS (SELECT w1, w2, w3, COUNT(*) AS c3 FROM tri GROUP BY 1, 2, 3),
+    c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM tri GROUP BY 1, 2),
+    c23 AS (SELECT w2, w3, COUNT(*) AS c23 FROM tri GROUP BY 1, 2),
+    c2 AS (SELECT w2, COUNT(*) AS c2 FROM tri GROUP BY 1),
+    cu AS (SELECT w3, COUNT(*) AS cu FROM tri GROUP BY 1),
+    tot AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(COUNT(DISTINCT w3) AS DOUBLE) AS v
+      FROM tri
+    )
+    SELECT doc_id, COUNT(*) AS n_trigrams,
+           ROUND(AVG(LN(
+             0.6 * (c3.c3 / c12.c12)
+             + 0.3 * (c23.c23 / c2.c2)
+             + 0.1 * ((cu.cu + 0.5) / (tot.n + 0.5 * tot.v))
+           )), 4) AS avg_logprob
+    FROM tri
+    JOIN c3 USING (w1, w2, w3)
+    JOIN c12 USING (w1, w2)
+    JOIN c23 USING (w2, w3)
+    JOIN c2 USING (w2)
+    JOIN cu USING (w3)
+    CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+    doc="Interpolated trigram LM score (Jelinek-Mercer over "
+    "trigram/bigram MLs with an add-k unigram floor) — the stronger "
+    "perplexity-proxy curation signal; one trigram explode shared by "
+    "training and scoring, per-order count joins, broadcast totals.",
+    tags=("text", "corpus"),
+)
+def text_trigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.trigram_interpolated_logprob(_docs(spark, sf_dir))

@@ -233,3 +233,73 @@ def bigram_logprob(
             F.round(F.avg("_lp"), 4).alias("avg_logprob"),
         )
     )
+
+
+def trigram_interpolated_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lambdas: tuple[float, float, float] = (0.6, 0.3, 0.1),
+    k: float = 0.5,
+) -> DataFrame:
+    """Per-document INTERPOLATED trigram LM score — the stronger
+    perplexity proxy: for each trigram instance,
+
+        p = l3*c(w1w2w3)/c(w1w2) + l2*c(w2w3)/c(w2) + l1*(c(w3)+k)/(N+kV)
+
+    (Jelinek-Mercer interpolation of the trigram/bigram MLs with an
+    add-k unigram floor; the floor keeps p > 0 so ln never sees zero,
+    and every trigram's context occurs in the corpus by construction,
+    so the ML denominators are >= 1).
+
+    Plan shape mirrors :func:`bigram_logprob` one order up: a single
+    trigram explode shared between training and scoring, count
+    aggregations with map-side partials at each order, shuffle joins
+    keyed by the n-gram, and the (N, V) totals as one broadcast row.
+    Docs with < 3 tokens drop out.
+    """
+    l3, l2, l1 = lambdas
+    toks = tokens(text_col)
+    base = df.select(F.col(id_col), toks.alias("_t")).filter(F.size("_t") >= 3)
+    tri = base.select(
+        id_col,
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(_t) - 2), i -> "
+                "struct(_t[i - 1] AS w1, _t[i] AS w2, _t[i + 1] AS w3))"
+            )
+        ).alias("_g"),
+    ).select(
+        id_col,
+        F.col("_g.w1").alias("w1"),
+        F.col("_g.w2").alias("w2"),
+        F.col("_g.w3").alias("w3"),
+    )
+    c3 = tri.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("_c3"))
+    c12 = tri.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c12"))
+    c23 = tri.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("_c23"))
+    c2 = tri.groupBy("w2").agg(F.count(F.lit(1)).alias("_c2"))
+    cu = tri.groupBy("w3").agg(F.count(F.lit(1)).alias("_cu"))
+    totals = tri.agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.countDistinct("w3").cast("double").alias("_v"),
+    )
+    p = (
+        F.lit(l3) * (F.col("_c3") / F.col("_c12"))
+        + F.lit(l2) * (F.col("_c23") / F.col("_c2"))
+        + F.lit(l1) * ((F.col("_cu") + k) / (F.col("_n") + k * F.col("_v")))
+    )
+    return (
+        tri.join(c3, ["w1", "w2", "w3"])
+        .join(c12, ["w1", "w2"])
+        .join(c23, ["w2", "w3"])
+        .join(c2, "w2")
+        .join(cu, "w3")
+        .crossJoin(F.broadcast(totals))
+        .select(id_col, F.log(p).alias("_lp"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.round(F.avg("_lp"), 4).alias("avg_logprob"),
+        )
+    )

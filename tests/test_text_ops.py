@@ -281,3 +281,21 @@ def test_numeric_histogram_bins(spark):
         numeric_histogram(
             spark.createDataFrame([(1.0,), (1.0,)], "x DOUBLE"), "x"
         ).collect()
+
+
+def test_trigram_interpolated_logprob_properties(spark):
+    from robosystems_spark.operators.text import trigram_interpolated_logprob
+
+    rows = [
+        (1, "a b c a b c a b c"),     # highly predictable
+        (2, "p q r s t u v w x"),     # every trigram unique
+        (3, "one two"),               # < 3 tokens -> drops out
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {r["doc_id"]: r for r in trigram_interpolated_logprob(docs).collect()}
+    assert 3 not in out
+    assert out[1]["n_trigrams"] == 7 and out[2]["n_trigrams"] == 7
+    # Repetitive text is more probable under the corpus-trained model.
+    assert out[1]["avg_logprob"] > out[2]["avg_logprob"]
+    # Probabilities are proper: avg log p < 0.
+    assert out[1]["avg_logprob"] < 0
