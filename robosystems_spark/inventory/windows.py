@@ -407,3 +407,22 @@ def events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from robosystems_spark.operators.timeseries import rolling_zscore
 
     return rolling_zscore(_events(spark, sf_dir))
+
+
+@register(
+    "events_daily_twap",
+    oracle=__import__(
+        "robosystems_spark.operators.timeseries",
+        fromlist=["time_weighted_average_oracle_sql"],
+    ).time_weighted_average_oracle_sql(),
+    doc="Daily time-weighted average per series (LOCF step weighting, "
+    "day-boundary carry): each observation weighs by its holding time "
+    "until the next event — the financial TWAP/time_weight shape; one "
+    "lead window + one groupBy, plain_avg alongside to expose burst-"
+    "sampling bias.",
+    tags=("window", "events", "timeseries"),
+)
+def events_daily_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from robosystems_spark.operators.timeseries import time_weighted_average
+
+    return time_weighted_average(_events(spark, sf_dir))

@@ -234,3 +234,91 @@ def rolling_zscore_oracle_sql(
                     FALSE) AS is_anomaly
     FROM f
     """
+
+
+def time_weighted_average(
+    events: DataFrame,
+    series_col: str = "event_type",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    decimals: int = 6,
+) -> DataFrame:
+    """Daily TWAP per series: each observation holds until the next
+    one (step interpolation), so its weight is the seconds until the
+    next event in the same series; the last observation of a day
+    carries to the day boundary (or to its next event, capped at
+    midnight).  The financial time-weighted-average shape
+    (TimescaleDB `time_weight('LOCF', ...)`).
+
+    One lead window per series + one groupBy — the weights derive
+    from event times only, no spine needed.  Returns
+    (series, day, n_events, twap, plain_avg) so the time-weighting
+    bias against burst sampling is visible next to the naive mean.
+    """
+    w = Window.partitionBy("series").orderBy(ts_col)
+    day = F.date_trunc("day", F.col(ts_col))
+    nxt = F.lead(ts_col).over(w)
+    day_end = F.date_trunc("day", F.col(ts_col)) + F.expr("INTERVAL 1 DAY")
+    hold_until = F.least(F.coalesce(nxt, day_end), day_end)
+    # Microsecond-exact weights (unix_timestamp truncates to whole
+    # seconds; DuckDB's EPOCH is fractional; ANSI mode forbids a
+    # direct timestamp->double cast).
+    # (cast ntz->ltz: session TZ is UTC, and the offset cancels in
+    # the difference regardless)
+    weight = (
+        F.unix_micros(hold_until.cast("timestamp"))
+        - F.unix_micros(F.col(ts_col).cast("timestamp"))
+    ).cast("double") / 1e6
+    base = events.select(
+        F.col(series_col).alias("series"),
+        F.col(ts_col),
+        F.col(val_col).cast("double").alias("v"),
+    ).withColumn("_w", weight).withColumn("_day", day)
+    return (
+        base.groupBy("series", "_day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("v") * F.col("_w")) / F.sum("_w"), decimals
+            ).alias("twap"),
+            F.round(F.avg("v"), decimals).alias("plain_avg"),
+        )
+        .select(
+            F.col("series").alias(series_col),
+            F.col("_day").alias("day"),
+            "n_events",
+            "twap",
+            "plain_avg",
+        )
+    )
+
+
+def time_weighted_average_oracle_sql(
+    table: str = "events",
+    series_col: str = "event_type",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    decimals: int = 6,
+) -> str:
+    """DuckDB SQL computing the identical daily TWAP grid."""
+    return f"""
+    WITH base AS (
+      SELECT {series_col} AS series, {ts_col} AS ts,
+             CAST({val_col} AS DOUBLE) AS v,
+             CAST(DATE_TRUNC('day', {ts_col}) AS TIMESTAMP) AS day,
+             LEAST(
+               COALESCE(LEAD({ts_col}) OVER (PARTITION BY {series_col}
+                                             ORDER BY {ts_col}),
+                        DATE_TRUNC('day', {ts_col}) + INTERVAL 1 DAY),
+               DATE_TRUNC('day', {ts_col}) + INTERVAL 1 DAY
+             ) AS hold_until
+      FROM {table}
+    )
+    SELECT series AS {series_col}, day,
+           COUNT(*) AS n_events,
+           ROUND(SUM(v * (EPOCH(hold_until) - EPOCH(ts)))
+                 / SUM(EPOCH(hold_until) - EPOCH(ts)), {decimals}) AS twap,
+           ROUND(AVG(v), {decimals}) AS plain_avg
+    FROM base
+    GROUP BY series, day
+    """

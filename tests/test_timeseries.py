@@ -84,3 +84,25 @@ def test_rolling_zscore_zero_variance_guard(spark):
     ]
     out = rolling_zscore(_ev(spark, rows)).collect()
     assert all(r["zscore"] is None and not r["is_anomaly"] for r in out)
+
+
+def test_twap_weights_by_holding_time(spark):
+    from datetime import datetime
+
+    from robosystems_spark.operators.timeseries import time_weighted_average
+
+    # Value 100 held for 1 hour, then value 0 held for the remaining
+    # 22h55m of the day: TWAP is dominated by the long zero period,
+    # while the plain average is 50.
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 5), "a", 100.0),
+        (2, datetime(2024, 1, 1, 1, 5), "a", 0.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id BIGINT, ts TIMESTAMP, event_type STRING, value DOUBLE"
+    )
+    (row,) = time_weighted_average(ev).collect()
+    assert row["plain_avg"] == 50.0
+    # weight(100) = 3600s; weight(0) = 82500s -> twap = 100*3600/86100
+    assert abs(row["twap"] - 100.0 * 3600 / 86100) < 1e-6
+    assert row["n_events"] == 2
