@@ -426,3 +426,30 @@ def events_daily_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from robosystems_spark.operators.timeseries import time_weighted_average
 
     return time_weighted_average(_events(spark, sf_dir))
+
+
+@register(
+    "events_value_percentiles",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 6) AS p50,
+           ROUND(quantile_cont(value, 0.9), 6) AS p90,
+           ROUND(quantile_cont(value, 0.99), 6) AS p99,
+           COUNT(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+    doc="Exact interpolated percentiles per series (Spark percentile() "
+    "vs DuckDB quantile_cont — both type-7 linear interpolation, "
+    "verified value-identical): the latency/value SLO summary shape; "
+    "single groupBy, percentile state is per-group sorted buffers (use "
+    "approx_percentile at unbounded-group scale).",
+    tags=("window", "events"),
+)
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
