@@ -1,0 +1,118 @@
+"""Property-based gates for the round-5 iterative operators: random
+inputs vs independent reference implementations (textbook BPE; plain
+label propagation for star components)."""
+
+from __future__ import annotations
+
+import collections
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_WORDS = ["low", "lower", "newest", "widest", "aaaa", "banana", "ab", "ba"]
+
+
+def _textbook_bpe(words: dict[str, int], n: int):
+    vocab = collections.Counter()
+    for w, f in words.items():
+        vocab[" ".join(list(w)) + " </w>"] += f
+    merges = []
+    for _ in range(n):
+        pairs = collections.Counter()
+        for seq, f in vocab.items():
+            syms = seq.split()
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += f
+        if not pairs:
+            break
+        mx = max(pairs.values())
+        a, b = sorted(p for p, c in pairs.items() if c == mx)[0]
+        merges.append((a, b, mx))
+        pat = re.compile(r"(?<!\S)" + re.escape(a + " " + b) + r"(?!\S)")
+        new = collections.Counter()
+        for seq, f in vocab.items():
+            new[pat.sub(a + b, seq)] += f
+        vocab = new
+    return merges
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=1, max_size=8),
+        min_size=1,
+        max_size=6,
+    ),
+    n_merges=st.integers(min_value=1, max_value=5),
+)
+def test_bpe_matches_textbook_on_random_corpora(spark, docs, n_merges):
+    from robosystems_spark.operators.bpe import bpe_train
+
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    got = [
+        (r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in bpe_train(df, n_merges=n_merges).orderBy("merge_rank").collect()
+    ]
+    words = collections.Counter()
+    for _, t in rows:
+        for w in t.split():
+            words[w] += 1
+    assert got == _textbook_bpe(dict(words), n_merges)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=15),
+            st.integers(min_value=0, max_value=15),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_star_components_match_reference_union_find(spark, edges):
+    from robosystems_spark.operators.graph import connected_components_star
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components_star(df, max_iters=10).collect()
+    }
+    # Reference union-find with min-id roots.
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    ref = {}
+    for n in {x for e in edges for x in e}:
+        r = find(n)
+        ref[n] = r
+    # normalize both to min-of-component labeling
+    comp_min: dict[int, int] = {}
+    for n, r in ref.items():
+        comp_min[r] = min(comp_min.get(r, n), n)
+    ref = {n: comp_min[r] for n, r in ref.items()}
+    assert got == ref
