@@ -209,3 +209,102 @@ def resize_media(
             )
 
     return df.select(id_col, binary_col).mapInPandas(batches, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# REAL container-header parsing — pure byte arithmetic, no codec
+# libraries, so unlike the decode seams above this transform is fully
+# exercisable in any environment: PNG IHDR, JPEG SOF frame headers,
+# and WAV fmt chunks yield actual dimensions / sample formats.
+# ---------------------------------------------------------------------------
+
+HEADER_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("container", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("bit_depth", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("sample_rate_hz", T.IntegerType()),
+    ]
+)
+
+
+def parse_header(data: bytes) -> dict:
+    """Parse real container headers from raw bytes (no codec libs):
+
+    - PNG: IHDR chunk at offset 8 -> width/height/bit depth/color type
+    - JPEG: scan markers for SOF0/1/2 -> height/width/components
+    - WAV: RIFF/WAVE fmt chunk -> channels/sample rate/bits per sample
+
+    Returns a dict with None for fields the container doesn't carry;
+    ``container`` is 'unknown' when no signature matches.
+    """
+    out = {
+        "container": "unknown",
+        "width": None,
+        "height": None,
+        "bit_depth": None,
+        "channels": None,
+        "sample_rate_hz": None,
+    }
+    if len(data) >= 24 and data[:8] == b"\x89PNG\r\n\x1a\n" and data[12:16] == b"IHDR":
+        out["container"] = "png"
+        out["width"] = int.from_bytes(data[16:20], "big")
+        out["height"] = int.from_bytes(data[20:24], "big")
+        if len(data) >= 26:
+            out["bit_depth"] = data[24]
+            # color type -> channel count (grayscale/rgb/palette/ga/rgba)
+            out["channels"] = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(data[25])
+        return out
+    if len(data) >= 4 and data[:3] == b"\xff\xd8\xff":
+        out["container"] = "jpeg"
+        i = 2
+        while i + 9 < len(data):
+            if data[i] != 0xFF:
+                break
+            marker = data[i + 1]
+            if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
+                out["bit_depth"] = data[i + 4]
+                out["height"] = int.from_bytes(data[i + 5 : i + 7], "big")
+                out["width"] = int.from_bytes(data[i + 7 : i + 9], "big")
+                out["channels"] = data[i + 9]
+                break
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seg_len = int.from_bytes(data[i + 2 : i + 4], "big")
+            i += 2 + seg_len
+        return out
+    if (
+        len(data) >= 36
+        and data[:4] == b"RIFF"
+        and data[8:12] == b"WAVE"
+        and data[12:16] == b"fmt "
+    ):
+        out["container"] = "wav"
+        out["channels"] = int.from_bytes(data[22:24], "little")
+        out["sample_rate_hz"] = int.from_bytes(data[24:28], "little")
+        out["bit_depth"] = int.from_bytes(data[34:36], "little")
+        return out
+    return out
+
+
+def parse_media_headers(
+    df: DataFrame, binary_col: str = "content", id_col: str = "media_id"
+) -> DataFrame:
+    """Container-header extraction over a binary column — REAL parsing
+    (unlike the decode seams): one Arrow-batched ``mapInPandas`` pass,
+    payloads never shuffle, output carries only the header fields."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [parse_header(bytes(x)) for x in pdf[binary_col]]
+            out = pd.DataFrame(rows)
+            out.insert(0, "media_id", pdf[id_col].values)
+            yield out
+
+    return df.select(
+        F.col(id_col).alias(id_col), F.col(binary_col)
+    ).mapInPandas(batches, HEADER_SCHEMA)

@@ -130,3 +130,72 @@ def test_resize_media_shape_and_determinism(spark):
 
     with _pytest.raises(NotImplementedError):
         resize_media(df, resize_fn="real")
+
+
+def _png(w, h, bit_depth=8, color_type=6):
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + (13).to_bytes(4, "big") + b"IHDR"
+        + w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([bit_depth, color_type, 0, 0, 0])
+        + b"\x00\x00\x00\x00"
+    )
+
+
+def _jpeg(w, h):
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+    sof0 = (
+        b"\xff\xc0" + (17).to_bytes(2, "big") + bytes([8])
+        + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([3])
+        + b"\x00" * 9
+    )
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def _wav(rate, channels=2, bits=16):
+    return (
+        b"RIFF" + (36).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + channels.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * channels * bits // 8).to_bytes(4, "little")
+        + (channels * bits // 8).to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
+    )
+
+
+def test_parse_media_headers_real_containers(spark):
+    """REAL header parsing (no codec libs): PNG IHDR, JPEG SOF0, WAV
+    fmt — actual dimensions and sample formats from raw bytes."""
+    from robosystems_spark.operators.multimodal import parse_media_headers
+
+    rows = [
+        (1, _png(640, 480)),
+        (2, _jpeg(1024, 768)),
+        (3, _wav(44100, channels=1, bits=24)),
+        (4, b"not a media file at all"),
+    ]
+    df = spark.createDataFrame(rows, "media_id LONG, content BINARY")
+    out = {r["media_id"]: r for r in parse_media_headers(df).collect()}
+    png = out[1]
+    assert png["container"] == "png" and (png["width"], png["height"]) == (640, 480)
+    assert png["bit_depth"] == 8 and png["channels"] == 4  # RGBA
+    jpg = out[2]
+    assert jpg["container"] == "jpeg" and (jpg["width"], jpg["height"]) == (1024, 768)
+    assert jpg["channels"] == 3
+    wav = out[3]
+    assert wav["container"] == "wav" and wav["sample_rate_hz"] == 44100
+    assert wav["channels"] == 1 and wav["bit_depth"] == 24
+    assert out[4]["container"] == "unknown" and out[4]["width"] is None
+
+
+def test_parse_header_pure_function_jpeg_marker_walk(spark):
+    """The JPEG walk skips a padding APPn segment before SOF0 (real
+    files put EXIF/quant tables first)."""
+    from robosystems_spark.operators.multimodal import parse_header
+
+    h = parse_header(_jpeg(33, 77))
+    assert (h["width"], h["height"]) == (33, 77)
+    # truncated payloads degrade to unknown/None, never raise
+    assert parse_header(b"\xff\xd8\xff")["width"] is None
+    assert parse_header(b"")["container"] == "unknown"
