@@ -285,11 +285,18 @@ def _iteration_ctes(k: int, prev: str) -> tuple[list[str], str]:
   SELECT word, freq, pos, sym, nxt,
          CASE WHEN cand THEN pos - rn_c ELSE -pos END AS grp, cand
   FROM (
-    SELECT n.*, (n.sym = b.a AND n.nxt IS NOT DISTINCT FROM b.b) AS cand,
-           SUM(CASE WHEN n.sym = b.a AND n.nxt IS NOT DISTINCT FROM b.b
+    -- LEFT JOIN ON TRUE (not CROSS JOIN): when the corpus runs dry
+    -- before n_merges, best{k} is EMPTY and a cross join would erase
+    -- the symbol table; with b.a NULL every cand is FALSE and the
+    -- table carries forward unchanged, matching the Spark loop's
+    -- early break.
+    SELECT n.*, (b.a IS NOT NULL AND n.sym = b.a
+                 AND n.nxt IS NOT DISTINCT FROM b.b) AS cand,
+           SUM(CASE WHEN b.a IS NOT NULL AND n.sym = b.a
+                     AND n.nxt IS NOT DISTINCT FROM b.b
                     THEN 1 ELSE 0 END)
              OVER (PARTITION BY n.word ORDER BY n.pos) AS rn_c
-    FROM nx{k} n CROSS JOIN best{k} b
+    FROM nx{k} n LEFT JOIN best{k} b ON TRUE
   )
 )""",
         f"""kp{k} AS MATERIALIZED (

@@ -149,3 +149,24 @@ def test_early_stop_when_pairs_run_dry(spark):
     # 'ab' -> a b </w>: only 3 merges possible before one symbol left.
     out = bpe_train(docs, n_merges=10).collect()
     assert 0 < len(out) < 10
+
+
+def test_oracle_carries_table_when_corpus_dries(spark):
+    """When merges exhaust before n_merges, the oracle must carry the
+    symbol table forward (not erase it via an empty cross join) —
+    matching the training loop's early break."""
+    import duckdb
+
+    from robosystems_spark.operators.bpe import bpe_oracle_sql, bpe_vocab
+
+    docs = spark.createDataFrame([(1, "ab ab"), (2, "ab")], "doc_id INT, text STRING")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES (1, 'ab ab'), (2, 'ab')) t(doc_id, text)"
+    )
+    s = sorted(tuple(r) for r in bpe_vocab(docs, n_merges=10).collect())
+    o = sorted(
+        tuple(r)
+        for r in con.execute(bpe_oracle_sql(n_merges=10, mode="vocab")).fetchall()
+    )
+    assert s == o and len(s) == 1  # fully merged: one 'ab</w>' symbol
