@@ -1545,3 +1545,37 @@ def dedup_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_trigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.trigram_interpolated_logprob(_docs(spark, sf_dir))
+
+
+@register(
+    "corpus_bigram_pmi",
+    oracle=r"""
+    WITH t AS (
+      SELECT STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS toks FROM documents
+    ),
+    g AS MATERIALIZED (
+      SELECT toks[i] AS w1, toks[i + 1] AS w2
+      FROM t, UNNEST(GENERATE_SERIES(1, LEN(toks) - 1)) AS u(i)
+      WHERE LEN(toks) >= 2
+    ),
+    cb AS (SELECT w1, w2, COUNT(*) AS cb FROM g GROUP BY 1, 2),
+    c1 AS (SELECT w1, COUNT(*) AS c1 FROM g GROUP BY 1),
+    c2 AS (SELECT w2, COUNT(*) AS c2 FROM g GROUP BY 1),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM g)
+    SELECT cb.w1, cb.w2, cb.cb AS pair_count,
+           ROUND(LN(cb.cb * n.n / (c1.c1 * c2.c2)), 6) AS pmi
+    FROM cb JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN n
+    WHERE cb.cb >= 5
+    ORDER BY pmi DESC, w1 ASC, w2 ASC
+    LIMIT 50
+    """,
+    doc="Top-50 collocations by PMI (min pair count 5, marginals over "
+    "the bigram-position universe): the phrase-mining signal for "
+    "tokenizer vocabularies; count joins + broadcast total + "
+    "deterministic TakeOrdered.",
+    tags=("text", "corpus"),
+)
+def corpus_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from robosystems_spark.operators.corpus import bigram_pmi
+
+    return bigram_pmi(_docs(spark, sf_dir), k=50, min_count=5)

@@ -391,3 +391,58 @@ def vocab_prune(
             .alias("n_removed"),
         )
     )
+
+
+def bigram_pmi(
+    df: DataFrame,
+    k: int = 50,
+    min_count: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    decimals: int = 6,
+) -> DataFrame:
+    """Collocation extraction: top-k bigrams by pointwise mutual
+    information, pmi = ln(c(w1,w2)·N / (c(w1)·c(w2))) over corpus
+    token counts, restricted to bigrams with count >= ``min_count``
+    (rare pairs otherwise dominate PMI) — the phrase-mining signal
+    feeding tokenizer vocabularies and stop-phrase lists.
+
+    One bigram explode, unigram/bigram count aggregations with
+    map-side partials, count-table joins keyed by the word, broadcast
+    1-row total, deterministic TakeOrdered top-k.
+    """
+    from robosystems_spark.operators.text import tokens
+
+    toks = tokens(text_col)
+    base = df.select(toks.alias("_t")).filter(F.size("_t") >= 2)
+    pairs = base.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(_t) - 1), i -> "
+                "struct(_t[i - 1] AS w1, _t[i] AS w2))"
+            )
+        ).alias("_p")
+    ).select(F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+    cb = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_cb"))
+    # Unigram counts over the SAME bigram-position universe so the
+    # marginals and the joint live on one sample space.
+    c1 = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("_c1"))
+    c2 = pairs.groupBy("w2").agg(F.count(F.lit(1)).alias("_c2"))
+    n = pairs.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    pmi = F.log(
+        F.col("_cb") * F.col("_n") / (F.col("_c1") * F.col("_c2"))
+    )
+    return (
+        cb.filter(F.col("_cb") >= min_count)
+        .join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            F.col("_cb").alias("pair_count"),
+            F.round(pmi, decimals).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(k)
+    )
