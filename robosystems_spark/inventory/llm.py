@@ -1579,3 +1579,21 @@ def corpus_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     from robosystems_spark.operators.corpus import bigram_pmi
 
     return bigram_pmi(_docs(spark, sf_dir), k=50, min_count=5)
+
+
+@register(
+    "dedup_jaccard_prefix_join",
+    oracle=D.jaccard_prefix_join_oracle_sql(threshold=0.7, shingle_k=5),
+    doc="EXACT set-similarity join via prefix filtering (PPJoin "
+    "family) over the SAME 5-shingle space as MinHash: elements "
+    "ordered by ascending global frequency, prefix "
+    "length n - ceil(t*n) + 1, candidates from shared prefix tokens "
+    "(rarest tokens -> small posting lists), exact Jaccard verify — "
+    "no recall loss, unlike the MinHash/SimHash banding paths; the "
+    "exactness itself is unit-tested against brute force.",
+    tags=("dedup", "text"),
+)
+def dedup_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.jaccard_prefix_join(
+        _docs(spark, sf_dir), threshold=0.7, shingle_k=5
+    )

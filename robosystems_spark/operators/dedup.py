@@ -1038,3 +1038,157 @@ def remove_duplicated_spans(
             F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
         )
     )
+
+
+def jaccard_prefix_join(
+    df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ndigits: int = 6,
+    shingle_k: int | None = None,
+) -> DataFrame:
+    """EXACT token-set similarity join via prefix filtering (the
+    PPJoin family, Xiao et al.): order every document's distinct
+    tokens by ascending global frequency, keep only the first
+    n - ceil(t*n) + 1 as its PREFIX, and generate candidates from
+    shared prefix tokens — by the prefix-filter theorem every pair
+    with Jaccard >= t shares one, so unlike MinHash/SimHash banding
+    this join has NO recall loss, while still never going all-pairs
+    (the prefix explode is O(tokens), candidates are grouped by the
+    RAREST tokens, which by construction have small posting lists).
+
+    Returns (doc_a, doc_b, jaccard) with exact Jaccard >= threshold.
+    Shuffles: the frequency groupBy, the per-doc rank window, the
+    prefix-token join, and the verify joins — all keyed, no cartesian.
+    """
+    from pyspark.sql.window import Window
+
+    if shingle_k:
+        # Same element space as the MinHash pipeline: hashed k-token
+        # shingle SETS — far more discriminative than unigram token
+        # sets, and directly comparable to the LSH path (this exact
+        # join's output is a superset of any banding scheme's).
+        toksets = distinct_shingles(df, text_col, id_col, shingle_k)
+        toksets = toksets.select(
+            F.col(id_col), F.col("_sh").alias("_toks")
+        ).filter(F.size("_toks") >= 1)
+    else:
+        toksets = df.select(
+            F.col(id_col),
+            F.array_distinct(tokens(text_col)).alias("_toks"),
+        ).filter(F.size("_toks") >= 1)
+    tok_rows = toksets.select(id_col, F.explode("_toks").alias("_tok"))
+    freq = tok_rows.groupBy("_tok").agg(F.count(F.lit(1)).alias("_c"))
+    w = Window.partitionBy(id_col).orderBy(F.asc("_c"), F.asc("_tok"))
+    ranked = (
+        tok_rows.join(freq, "_tok")
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "_n", F.count(F.lit(1)).over(Window.partitionBy(id_col))
+        )
+    )
+    prefix = ranked.filter(
+        F.col("_rn")
+        <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
+    ).select(id_col, "_tok")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a._tok") == F.col("b._tok"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .dropDuplicates()
+    )
+    ta = toksets.select(
+        F.col(id_col).alias("doc_a"), F.col("_toks").alias("_ta")
+    )
+    tb = toksets.select(
+        F.col(id_col).alias("doc_b"), F.col("_toks").alias("_tb")
+    )
+    jac = F.round(
+        F.size(F.array_intersect("_ta", "_tb")).cast("double")
+        / F.size(F.array_union("_ta", "_tb")),
+        ndigits,
+    )
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def jaccard_prefix_join_oracle_sql(
+    threshold: float = 0.5,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ndigits: int = 6,
+    shingle_k: int | None = None,
+) -> str:
+    """DuckDB SQL for the identical exact prefix-filtered join."""
+    if shingle_k:
+        horner = "COALESCE(th[i], 0)"
+        for j in range(1, shingle_k):
+            horner = (
+                f"(({horner}) * {SHINGLE_B} + COALESCE(th[i + {j}], 0))"
+                f" % {MINHASH_P}"
+            )
+        t_cte = rf"""t AS MATERIALIZED (
+      SELECT {id_col}, shl AS toks FROM (
+        SELECT {id_col},
+               LIST_DISTINCT([{horner}
+                              FOR i IN GENERATE_SERIES(1, GREATEST(LEN(th) - {shingle_k - 1}, 1))]) AS shl
+        FROM (
+          SELECT {id_col},
+                 LIST_TRANSFORM(STRING_SPLIT_REGEX(LOWER(TRIM({text_col})), '\s+'),
+                                x -> ('0x' || SUBSTR(md5(x), 1, 15))::BIGINT % {MINHASH_P}) AS th
+          FROM {table}
+        )
+      ) WHERE LEN(shl) >= 1
+    ),"""
+    else:
+        t_cte = rf"""t AS MATERIALIZED (
+      SELECT {id_col},
+             LIST_DISTINCT(STRING_SPLIT_REGEX(LOWER(TRIM({text_col})), '\s+')) AS toks
+      FROM {table}
+      WHERE LEN(LIST_DISTINCT(STRING_SPLIT_REGEX(LOWER(TRIM({text_col})), '\s+'))) >= 1
+    ),"""
+    return rf"""
+    WITH {t_cte}
+    tok AS MATERIALIZED (
+      SELECT {id_col}, UNNEST(toks) AS tok FROM t
+    ),
+    fr AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+    rk AS (
+      SELECT tok.{id_col}, tok.tok,
+             ROW_NUMBER() OVER (PARTITION BY tok.{id_col}
+                                ORDER BY fr.c ASC, tok.tok ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY tok.{id_col}) AS n
+      FROM tok JOIN fr USING (tok)
+    ),
+    pf AS MATERIALIZED (
+      SELECT {id_col}, tok FROM rk
+      WHERE rn <= n - CAST(CEIL({threshold} * n) AS BIGINT) + 1
+    ),
+    cand AS (
+      SELECT DISTINCT a.{id_col} AS doc_a, b.{id_col} AS doc_b
+      FROM pf a JOIN pf b ON a.tok = b.tok AND a.{id_col} < b.{id_col}
+    )
+    SELECT c.doc_a, c.doc_b,
+           ROUND(CAST(LEN(LIST_INTERSECT(ta.toks, tb.toks)) AS DOUBLE)
+                 / LEN(LIST_DISTINCT(LIST_CONCAT(ta.toks, tb.toks))),
+                 {ndigits}) AS jaccard
+    FROM cand c
+    JOIN t ta ON ta.{id_col} = c.doc_a
+    JOIN t tb ON tb.{id_col} = c.doc_b
+    WHERE ROUND(CAST(LEN(LIST_INTERSECT(ta.toks, tb.toks)) AS DOUBLE)
+                / LEN(LIST_DISTINCT(LIST_CONCAT(ta.toks, tb.toks))),
+                {ndigits}) >= {threshold}
+    """

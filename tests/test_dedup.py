@@ -481,3 +481,54 @@ def test_remove_duplicated_spans_excises_boilerplate(spark):
     # Doc 3 untouched.
     assert out[3]["n_removed"] == 0
     assert out[3]["cleaned_text"] == rows[2][1]
+
+
+def test_prefix_join_is_exact_vs_brute_force(spark):
+    from robosystems_spark.operators.dedup import jaccard_prefix_join
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta zeta"),      # 4/6 = 0.667 with doc 1
+        (3, "alpha beta gamma delta epsilon"),   # 1.0 with doc 1
+        (4, "totally different words here now"),
+        (5, "alpha different words here now"),   # 4/6 with doc 4
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_prefix_join(docs, threshold=0.6).collect()
+    }
+    # brute force over token sets
+    sets = {i: set(t.split()) for i, t in rows}
+    want = {}
+    ids = sorted(sets)
+    for i in ids:
+        for j in ids:
+            if i < j:
+                jac = len(sets[i] & sets[j]) / len(sets[i] | sets[j])
+                if round(jac, 6) >= 0.6:
+                    want[(i, j)] = round(jac, 6)
+    assert got == want and (1, 3) in got and got[(1, 3)] == 1.0
+
+
+def test_prefix_join_superset_of_minhash(spark, sf_dir):
+    """Exactness vs banding: on the same 5-shingle space and threshold,
+    the exact prefix join finds every pair the LSH path verified."""
+    from robosystems_spark.io import read_table
+    from robosystems_spark.operators.dedup import (
+        jaccard_prefix_join,
+        minhash_near_duplicates,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_near_duplicates(docs, threshold=0.7).collect()
+    }
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in jaccard_prefix_join(
+            docs, threshold=0.7, shingle_k=5
+        ).collect()
+    }
+    assert lsh <= exact
