@@ -1597,3 +1597,20 @@ def dedup_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_prefix_join(
         _docs(spark, sf_dir), threshold=0.7, shingle_k=5
     )
+
+
+@register(
+    "embedding_pca_top3",
+    oracle=PR.pca_components_oracle_sql(dim=64, n_components=3, iters=8),
+    doc="Top-3 PCA projection via power iteration WITH DEFLATION "
+    "(C - lambda v v^T between components): the multi-component "
+    "reduction whitening/compression uses; corpus touched twice "
+    "map-only, all iteration is d x d driver arithmetic; oracle "
+    "unrolls three power chains + rank-1 deflation CTEs with the "
+    "same rounding sync points.",
+    tags=("similarity", "projection"),
+)
+def embedding_pca_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return PR.pca_power_components(
+        _emb(spark, sf_dir), dim=64, n_components=3, iters=8
+    )

@@ -379,3 +379,182 @@ SELECT {id_col},
              {out_decimals}) AS pc1
 FROM {table}, pvec, off"""
     )
+
+
+def pca_power_components(
+    emb: DataFrame,
+    dim: int = 64,
+    n_components: int = 3,
+    iters: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cov_decimals: int = 6,
+    iter_decimals: int = 9,
+    out_decimals: int = 6,
+) -> DataFrame:
+    """Top-``n_components`` PCA projection via power iteration WITH
+    DEFLATION: after extracting component v_m, the covariance deflates
+    to C - lambda_m v_m v_m^T (lambda_m = v_m^T C v_m) and the next
+    component is the new dominant direction — the multi-component
+    reduction whitening/compression pipelines actually use.
+
+    Output: (id, pc1 .. pc{n_components}), centered projections.
+
+    Same scale shape as :func:`pca_power_projection` (corpus touched
+    twice, map-only; all iteration is d x d driver arithmetic) and the
+    same rounding contract, extended with two deflation sync points:
+    lambda rounds to ``iter_decimals`` and the deflated matrix
+    re-rounds to ``cov_decimals`` before the next component.
+    """
+    import math
+
+    cov_rows = embedding_covariance(
+        emb, dim, vec_col, id_col, cov_decimals
+    ).collect()
+    C = np.zeros((dim, dim))
+    for r in cov_rows:
+        C[r["dim_i"], r["dim_j"]] = C[r["dim_j"], r["dim_i"]] = r["cov"]
+
+    comps: list[np.ndarray] = []
+    for _ in range(n_components):
+        v = np.full(dim, round(1.0 / math.sqrt(dim), iter_decimals))
+        for _ in range(iters):
+            w = C @ v
+            nrm = math.sqrt(float(np.dot(w, w)))
+            if nrm < 1e-12:
+                raise ValueError(
+                    "covariance exhausted before n_components "
+                    "(zero matvec norm)"
+                )
+            v = np.round(w / nrm, iter_decimals)
+        lam = round(float(v @ C @ v), iter_decimals)
+        comps.append(v)
+        C = np.round(C - lam * np.outer(v, v), cov_decimals)
+
+    mean_rows = (
+        emb.select(F.posexplode(vec_col).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(
+            F.round(F.avg(F.col("x").cast("double")), cov_decimals).alias("m")
+        )
+        .collect()
+    )
+    mu = np.zeros(dim)
+    for r in mean_rows:
+        mu[r["pos"]] = r["m"]
+
+    cols = [F.col(id_col)]
+    for m, v in enumerate(comps, start=1):
+        lits = ", ".join(repr(float(x)) for x in v)
+        dot = (
+            f"aggregate(zip_with({vec_col}, array({lits}), "
+            f"(x, y) -> CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE), "
+            f"(a, x) -> a + x)"
+        )
+        offset = float(np.dot(mu, v))
+        cols.append(
+            F.round(F.expr(dot) - F.lit(offset), out_decimals).alias(
+                f"pc{m}"
+            )
+        )
+    return emb.select(*cols)
+
+
+def pca_components_oracle_sql(
+    dim: int = 64,
+    n_components: int = 3,
+    iters: int = 8,
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cov_decimals: int = 6,
+    iter_decimals: int = 9,
+    out_decimals: int = 6,
+) -> str:
+    """DuckDB SQL for the identical multi-component projection: per
+    component an unrolled power chain over the (deflated) covariance,
+    then a rank-1 deflation CTE re-rounded like the Spark side."""
+    cov_inner = embedding_covariance_oracle_sql(
+        dim=dim, table=table, vec_col=vec_col,
+        round_decimals=cov_decimals,
+    )
+    parts = [
+        f"cov AS MATERIALIZED ({cov_inner})",
+        """cf0 AS MATERIALIZED (
+  SELECT dim_i AS i, dim_j AS j, cov FROM cov
+  UNION ALL
+  SELECT dim_j AS i, dim_i AS j, cov FROM cov WHERE dim_i <> dim_j
+)""",
+    ]
+    final_vs = []
+    for m in range(n_components):
+        parts.append(
+            f"""v{m}_0 AS (
+  SELECT UNNEST(GENERATE_SERIES(0, {dim - 1})) AS dim,
+         ROUND(1.0 / SQRT({dim}), {iter_decimals}) AS val
+)"""
+        )
+        for t in range(1, iters + 1):
+            parts.append(
+                f"""w{m}_{t} AS MATERIALIZED (
+  SELECT c.i AS dim, SUM(c.cov * v.val) AS val
+  FROM cf{m} c JOIN v{m}_{t - 1} v ON v.dim = c.j
+  GROUP BY c.i
+)"""
+            )
+            parts.append(
+                f"""v{m}_{t} AS MATERIALIZED (
+  SELECT dim, ROUND(val / (SELECT SQRT(SUM(val * val)) FROM w{m}_{t}),
+               {iter_decimals}) AS val
+  FROM w{m}_{t}
+)"""
+            )
+        vfin = f"v{m}_{iters}"
+        final_vs.append(vfin)
+        if m < n_components - 1:
+            parts.append(
+                f"""lam{m} AS (
+  SELECT ROUND(SUM(c.cov * vi.val * vj.val), {iter_decimals}) AS lam
+  FROM cf{m} c
+  JOIN {vfin} vi ON vi.dim = c.i
+  JOIN {vfin} vj ON vj.dim = c.j
+)"""
+            )
+            parts.append(
+                f"""cf{m + 1} AS MATERIALIZED (
+  SELECT c.i, c.j,
+         ROUND(c.cov - (SELECT lam FROM lam{m}) * vi.val * vj.val,
+               {cov_decimals}) AS cov
+  FROM cf{m} c
+  JOIN {vfin} vi ON vi.dim = c.i
+  JOIN {vfin} vj ON vj.dim = c.j
+)"""
+            )
+    for m, vfin in enumerate(final_vs, start=1):
+        parts.append(
+            f"pv{m} AS (SELECT LIST(val ORDER BY dim) AS pv FROM {final_vs[m - 1]})"
+        )
+    parts.append(
+        f"""means AS (
+  SELECT gs.i AS i,
+         ROUND(AVG(CAST({vec_col}[gs.i] AS DOUBLE)), {cov_decimals}) AS m
+  FROM {table}, generate_series(1, {dim}) gs(i)
+  GROUP BY gs.i
+)"""
+    )
+    parts.append("mvec AS (SELECT LIST(m ORDER BY i) AS mv FROM means)")
+    sel = [f"{id_col}"]
+    for m in range(1, n_components + 1):
+        sel.append(
+            f"ROUND(LIST_DOT_PRODUCT(CAST({vec_col} AS DOUBLE[]), "
+            f"(SELECT pv FROM pv{m})) "
+            f"- LIST_DOT_PRODUCT((SELECT mv FROM mvec), "
+            f"(SELECT pv FROM pv{m})), {out_decimals}) AS pc{m}"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + "\nSELECT "
+        + ",\n       ".join(sel)
+        + f"\nFROM {table}"
+    )

@@ -299,3 +299,31 @@ def test_trigram_interpolated_logprob_properties(spark):
     assert out[1]["avg_logprob"] > out[2]["avg_logprob"]
     # Probabilities are proper: avg log p < 0.
     assert out[1]["avg_logprob"] < 0
+
+
+def test_pca_top3_matches_numpy_eig(spark):
+    """Deflated power iteration recovers the top-3 eigenvector
+    projections (up to per-component sign) on well-separated spectra."""
+    import numpy as np
+
+    from robosystems_spark.operators.projection import pca_power_components
+
+    rng = np.random.RandomState(3)
+    base = rng.standard_normal((300, 5)) * np.array([12.0, 6.0, 3.0, 0.8, 0.3])
+    rows = [(i, [float(x) for x in base[i]]) for i in range(300)]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    got = {
+        r["vec_id"]: (r["pc1"], r["pc2"], r["pc3"])
+        for r in pca_power_components(
+            emb, dim=5, n_components=3, iters=20
+        ).collect()
+    }
+    X = base - base.mean(axis=0)
+    C = np.cov(base.T, bias=True)
+    _, vecs = np.linalg.eigh(C)
+    for comp_idx, col in enumerate(range(1, 4)):
+        v = vecs[:, -col]  # eigh ascending -> top is last
+        ref = X @ v
+        arr = np.array([got[i][comp_idx] for i in range(300)])
+        err = min(np.abs(arr - ref).max(), np.abs(arr + ref).max())
+        assert err < 5e-3, (comp_idx, err)
