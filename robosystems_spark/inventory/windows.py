@@ -453,3 +453,21 @@ def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register(
+    "events_cusum_drift",
+    oracle=__import__(
+        "robosystems_spark.operators.timeseries",
+        fromlist=["cusum_drift_oracle_sql"],
+    ).cusum_drift_oracle_sql(),
+    doc="One-sided CUSUM drift detection per series: flags sustained "
+    "level shifts the per-bucket z-score misses; the clamped "
+    "recursion computed via its closed form (prefix-sum minus "
+    "running min) — two windows, no recursion, no Python.",
+    tags=("window", "events", "timeseries"),
+)
+def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from robosystems_spark.operators.timeseries import cusum_drift
+
+    return cusum_drift(_events(spark, sf_dir))

@@ -322,3 +322,98 @@ def time_weighted_average_oracle_sql(
     FROM base
     GROUP BY series, day
     """
+
+
+def cusum_drift(
+    events: DataFrame,
+    series_col: str = "event_type",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    slack_k: float = 0.5,
+    threshold_h: float = 5.0,
+    decimals: int = 6,
+) -> DataFrame:
+    """One-sided CUSUM drift detection over the hourly bucket grid:
+    S_t = max(0, S_{t-1} + (z_t - k)) flags sustained upward LEVEL
+    SHIFTS that per-bucket z-scores miss (each bucket only slightly
+    high, but persistently).  z_t standardizes the bucket average
+    against the SERIES-WIDE mean/std so the statistic is scale-free.
+
+    The clamped recursion has a window-expressible closed form:
+    S_t = P_t - min_{j<=t} P_j  with  P = prefix-sum of (z - k) —
+    one prefix-sum window + one running-min window, no recursion, no
+    Python; this is what makes CUSUM feasible as a plan instead of a
+    per-key loop at 100 TB.
+    """
+    agg = events.groupBy(
+        F.col(series_col).alias("series"),
+        F.date_trunc("hour", F.col(ts_col)).alias("bucket_ts"),
+    ).agg(F.avg(val_col).alias("bucket_avg"))
+    stats = agg.groupBy("series").agg(
+        F.avg("bucket_avg").alias("_m"),
+        F.avg(F.col("bucket_avg") * F.col("bucket_avg")).alias("_m2"),
+    )
+    j = agg.join(F.broadcast(stats), "series").withColumn(
+        "_z",
+        (F.col("bucket_avg") - F.col("_m"))
+        / F.sqrt(F.col("_m2") - F.col("_m") * F.col("_m")),
+    )
+    w = Window.partitionBy("series").orderBy("bucket_ts")
+    w_all = w.rowsBetween(Window.unboundedPreceding, 0)
+    p = F.sum(F.col("_z") - F.lit(slack_k)).over(w_all)
+    j = j.withColumn("_p", p)
+    run_min = F.min(F.least(F.col("_p"), F.lit(0.0))).over(w_all)
+    s = F.col("_p") - run_min
+    return j.select(
+        F.col("series").alias(series_col),
+        "bucket_ts",
+        F.round("bucket_avg", decimals).alias("bucket_avg"),
+        F.round(s, decimals).alias("cusum"),
+        (F.round(s, decimals) > threshold_h).alias("drift_flag"),
+    )
+
+
+def cusum_drift_oracle_sql(
+    table: str = "events",
+    series_col: str = "event_type",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    slack_k: float = 0.5,
+    threshold_h: float = 5.0,
+    decimals: int = 6,
+) -> str:
+    """DuckDB SQL computing the identical CUSUM grid."""
+    return f"""
+    WITH agg AS MATERIALIZED (
+      SELECT {series_col} AS series, DATE_TRUNC('hour', {ts_col}) AS bucket_ts,
+             AVG({val_col}) AS bucket_avg
+      FROM {table} GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT series, AVG(bucket_avg) AS m,
+             AVG(bucket_avg * bucket_avg) AS m2
+      FROM agg GROUP BY series
+    ),
+    z AS (
+      SELECT a.series, a.bucket_ts, a.bucket_avg,
+             (a.bucket_avg - st.m) / SQRT(st.m2 - st.m * st.m) AS zv
+      FROM agg a JOIN st USING (series)
+    ),
+    p AS (
+      SELECT *,
+        SUM(zv - {slack_k}) OVER (PARTITION BY series ORDER BY bucket_ts
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp
+      FROM z
+    ),
+    s AS (
+      SELECT *,
+        pp - MIN(LEAST(pp, 0.0)) OVER (PARTITION BY series ORDER BY bucket_ts
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cus
+      FROM p
+    )
+    SELECT series AS {series_col}, bucket_ts,
+           ROUND(bucket_avg, {decimals}) AS bucket_avg,
+           ROUND(cus, {decimals}) AS cusum,
+           ROUND(cus, {decimals}) > {threshold_h} AS drift_flag
+    FROM s
+    """

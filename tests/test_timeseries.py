@@ -106,3 +106,51 @@ def test_twap_weights_by_holding_time(spark):
     # weight(100) = 3600s; weight(0) = 82500s -> twap = 100*3600/86100
     assert abs(row["twap"] - 100.0 * 3600 / 86100) < 1e-6
     assert row["n_events"] == 2
+
+
+def test_cusum_flags_sustained_shift_not_point_spike(spark):
+    from robosystems_spark.operators.timeseries import cusum_drift
+
+    # 24 calm hours alternating 10/12, then 20 hours at a persistently
+    # higher level (16) -> CUSUM accumulates and flags the drift.
+    rows = [
+        (i, datetime(2024, 1, 1 + i // 24, i % 24, 0), "a",
+         10.0 + 2.0 * (i % 2))
+        for i in range(24)
+    ] + [
+        (100 + i, datetime(2024, 1, 2, i, 0), "a", 16.0)
+        for i in range(20)
+    ]
+    out = sorted(
+        cusum_drift(_ev(spark, rows), threshold_h=5.0).collect(),
+        key=lambda r: r["bucket_ts"],
+    )
+    assert not any(r["drift_flag"] for r in out[:24])
+    assert any(r["drift_flag"] for r in out[24:])
+    # CUSUM is a running statistic: once drifted, it stays elevated.
+    flagged = [r["drift_flag"] for r in out]
+    assert flagged[-1]
+    # The recursion invariant: cusum >= 0 everywhere.
+    assert all(r["cusum"] >= 0 for r in out)
+
+
+def test_cusum_closed_form_equals_recursion(spark):
+    from robosystems_spark.operators.timeseries import cusum_drift
+
+    rows = [
+        (i, datetime(2024, 1, 1, i, 0), "a", float(v))
+        for i, v in enumerate([5, 9, 2, 8, 8, 1, 9, 9, 9, 3])
+    ]
+    out = sorted(
+        cusum_drift(_ev(spark, rows), slack_k=0.5).collect(),
+        key=lambda r: r["bucket_ts"],
+    )
+    vals = [5, 9, 2, 8, 8, 1, 9, 9, 9, 3]
+    m = sum(vals) / len(vals)
+    var = sum(v * v for v in vals) / len(vals) - m * m
+    s, want = 0.0, []
+    for v in vals:
+        z = (v - m) / var**0.5
+        s = max(0.0, s + z - 0.5)
+        want.append(round(s, 6))
+    assert [r["cusum"] for r in out] == want
