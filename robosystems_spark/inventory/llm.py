@@ -1614,3 +1614,32 @@ def embedding_pca_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return PR.pca_power_components(
         _emb(spark, sf_dir), dim=64, n_components=3, iters=8
     )
+
+
+@register(
+    "recsys_part_neighbors",
+    oracle=__import__(
+        "robosystems_spark.operators.corpus",
+        fromlist=["item_cooccurrence_oracle_sql"],
+    ).item_cooccurrence_oracle_sql(
+        "(SELECT l_orderkey, l_partkey FROM lineitem)",
+        "l_orderkey",
+        "l_partkey",
+        k=5,
+    ),
+    doc="Item-to-item collaborative filtering from order baskets "
+    "(Amazon-style memory-based CF): cosine over basket co-occurrence "
+    "counts, top-5 neighbors per part; pair work bounded by "
+    "sum(basket_size^2) via the basket-keyed self-join, min-cooc "
+    "noise pruning, deterministic per-item rank window.",
+    tags=("recsys", "graph"),
+)
+def recsys_part_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from robosystems_spark.operators.corpus import item_cooccurrence_topk
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    return item_cooccurrence_topk(
+        li, "l_orderkey", "l_partkey", k=5
+    )

@@ -446,3 +446,95 @@ def bigram_pmi(
         .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
         .limit(k)
     )
+
+
+def item_cooccurrence_topk(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    k: int = 5,
+    min_cooc: int = 2,
+    decimals: int = 6,
+) -> DataFrame:
+    """Item-item collaborative filtering from co-occurrence baskets:
+    cosine(i, j) = cooc(i, j) / sqrt(cnt(i) * cnt(j)) over distinct
+    (basket, item) pairs, top-``k`` neighbors per item — the classic
+    memory-based recommender primitive (Amazon item-to-item CF).
+
+    Scale shape: the pair generation is a self-join keyed by the
+    basket id, so work is sum(basket_size^2) — bounded by basket
+    size, never |items|^2; ``min_cooc`` prunes noise pairs before the
+    per-item top-k window.  Everything is counts and one window — no
+    vectors materialized.
+    """
+    from pyspark.sql.window import Window
+
+    b = baskets.select(
+        F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
+    ).dropDuplicates()
+    cnt = b.groupBy("_i").agg(F.count(F.lit(1)).alias("_c"))
+    x, y = b.alias("x"), b.alias("y")
+    cooc = (
+        x.join(
+            y,
+            (F.col("x._b") == F.col("y._b"))
+            & (F.col("x._i") != F.col("y._i")),
+        )
+        .groupBy(
+            F.col("x._i").alias("item"), F.col("y._i").alias("neighbor")
+        )
+        .agg(F.count(F.lit(1)).alias("cooc"))
+        .filter(F.col("cooc") >= min_cooc)
+    )
+    ci = cnt.select(F.col("_i").alias("item"), F.col("_c").alias("_ci"))
+    cj = cnt.select(
+        F.col("_i").alias("neighbor"), F.col("_c").alias("_cj")
+    )
+    sim = F.round(
+        F.col("cooc") / F.sqrt(F.col("_ci") * F.col("_cj")), decimals
+    )
+    w = Window.partitionBy("item").orderBy(
+        F.desc("score"), F.asc("neighbor")
+    )
+    return (
+        cooc.join(ci, "item")
+        .join(cj, "neighbor")
+        .select("item", "neighbor", "cooc", sim.alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("item", "rank", "neighbor", "cooc", "score")
+    )
+
+
+def item_cooccurrence_oracle_sql(
+    table: str,
+    basket_col: str,
+    item_col: str,
+    k: int = 5,
+    min_cooc: int = 2,
+    decimals: int = 6,
+) -> str:
+    """DuckDB SQL computing the identical item-item neighbor table."""
+    return f"""
+    WITH b AS MATERIALIZED (
+      SELECT DISTINCT {basket_col} AS bk, {item_col} AS it FROM {table}
+    ),
+    cnt AS (SELECT it, COUNT(*) AS c FROM b GROUP BY it),
+    cooc AS (
+      SELECT x.it AS item, y.it AS neighbor, COUNT(*) AS cooc
+      FROM b x JOIN b y ON x.bk = y.bk AND x.it <> y.it
+      GROUP BY 1, 2 HAVING COUNT(*) >= {min_cooc}
+    ),
+    scored AS (
+      SELECT cooc.item, cooc.neighbor, cooc.cooc,
+             ROUND(cooc.cooc / SQRT(ci.c * cj.c), {decimals}) AS score
+      FROM cooc
+      JOIN cnt ci ON ci.it = cooc.item
+      JOIN cnt cj ON cj.it = cooc.neighbor
+    )
+    SELECT item, CAST(rank AS INT) AS rank, neighbor, cooc, score FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY item
+                                   ORDER BY score DESC, neighbor ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """

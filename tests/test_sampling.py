@@ -111,3 +111,26 @@ def test_weighted_sample_favors_heavy_rows(spark):
     # Deterministic: same call, same sample.
     again = weighted_sample_ares(df, "w", "id", k=100).collect()
     assert [r["id"] for r in out] == [r["id"] for r in again]
+
+
+def test_item_cooccurrence_cf_semantics(spark):
+    from robosystems_spark.operators.corpus import item_cooccurrence_topk
+
+    # Baskets: A+B together 3x, A+C once, D alone.
+    rows = [
+        (1, "A"), (1, "B"),
+        (2, "A"), (2, "B"),
+        (3, "A"), (3, "B"), (3, "C"),
+        (4, "D"),
+    ]
+    b = spark.createDataFrame(rows, "basket LONG, item STRING")
+    out = {
+        (r["item"], r["neighbor"]): r
+        for r in item_cooccurrence_topk(b, "basket", "item", k=3, min_cooc=1).collect()
+    }
+    # cosine(A,B) = 3/sqrt(3*3) = 1.0; cosine(A,C) = 1/sqrt(3*1)
+    assert out[("A", "B")]["score"] == 1.0
+    assert abs(out[("A", "C")]["score"] - 1 / 3**0.5) < 1e-6
+    assert out[("A", "B")]["rank"] == 1 and out[("A", "C")]["rank"] == 2
+    # D never co-occurs -> absent
+    assert not any(i == "D" for i, _ in out)
