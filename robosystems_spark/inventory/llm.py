@@ -1643,3 +1643,67 @@ def recsys_part_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return item_cooccurrence_topk(
         li, "l_orderkey", "l_partkey", k=5
     )
+
+
+@register(
+    "recsys_association_rules",
+    oracle="""
+    WITH b AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+    ),
+    nb AS (SELECT CAST(COUNT(DISTINCT bk) AS DOUBLE) AS n FROM b),
+    cnt AS (SELECT it, COUNT(*) AS c FROM b GROUP BY it),
+    cooc AS (
+      SELECT x.it AS antecedent, y.it AS consequent, COUNT(*) AS n_both
+      FROM b x JOIN b y ON x.bk = y.bk AND x.it <> y.it
+      GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    )
+    SELECT antecedent, consequent, n_both,
+           ROUND(n_both / nb.n, 6) AS support,
+           ROUND(n_both / ci.c, 6) AS confidence,
+           ROUND((n_both / ci.c) / (cj.c / nb.n), 6) AS lift
+    FROM cooc
+    JOIN cnt ci ON ci.it = antecedent
+    JOIN cnt cj ON cj.it = consequent
+    CROSS JOIN nb
+    WHERE ROUND((n_both / ci.c) / (cj.c / nb.n), 6) > 1.0
+    """,
+    doc="Association rules over order baskets (support/confidence/"
+    "lift, min co-occurrence 3, lift > 1 only): the market-basket "
+    "companion to the CF neighbor table — same basket-keyed pair "
+    "generation, rule metrics as pure count arithmetic.",
+    tags=("recsys", "graph"),
+)
+def recsys_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_orderkey").alias("bk"), F.col("l_partkey").alias("it")
+    ).dropDuplicates()
+    nb = b.agg(F.countDistinct("bk").cast("double").alias("_n"))
+    cnt = b.groupBy("it").agg(F.count(F.lit(1)).alias("_c"))
+    x, y = b.alias("x"), b.alias("y")
+    cooc = (
+        x.join(y, (F.col("x.bk") == F.col("y.bk")) & (F.col("x.it") != F.col("y.it")))
+        .groupBy(F.col("x.it").alias("antecedent"), F.col("y.it").alias("consequent"))
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= 3)
+    )
+    ci = cnt.select(F.col("it").alias("antecedent"), F.col("_c").alias("_ci"))
+    cj = cnt.select(F.col("it").alias("consequent"), F.col("_c").alias("_cj"))
+    lift = F.round(
+        (F.col("n_both") / F.col("_ci")) / (F.col("_cj") / F.col("_n")), 6
+    )
+    return (
+        cooc.join(ci, "antecedent")
+        .join(cj, "consequent")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_both",
+            F.round(F.col("n_both") / F.col("_n"), 6).alias("support"),
+            F.round(F.col("n_both") / F.col("_ci"), 6).alias("confidence"),
+            lift.alias("lift"),
+        )
+        .filter(F.col("lift") > 1.0)
+    )

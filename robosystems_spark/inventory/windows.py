@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from robosystems_spark.inventory import register
 from robosystems_spark.io import read_table
@@ -471,3 +472,52 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from robosystems_spark.operators.timeseries import cusum_drift
 
     return cusum_drift(_events(spark, sf_dir))
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS MATERIALIZED (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_type
+      FROM events
+    ),
+    c AS (
+      SELECT event_type, next_type, COUNT(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT event_type, SUM(n) AS t FROM c GROUP BY event_type)
+    SELECT c.event_type, c.next_type, c.n AS n_transitions,
+           ROUND(c.n / tot.t, 6) AS p_next
+    FROM c JOIN tot USING (event_type)
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences: P(next event type | current), lead window + grouped "
+    "counts + row-normalize — the behavioral-model summary behind "
+    "session simulation and anomaly priors; ties in event time broken "
+    "by event_id for engine-identical sequencing.",
+    tags=("window", "events"),
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("next_type", F.lead("event_type").over(w)).filter(
+        F.col("next_type").isNotNull()
+    )
+    c = seq.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    tot = c.groupBy("event_type").agg(
+        F.sum("n_transitions").alias("_t")
+    )
+    return (
+        c.join(tot, "event_type")
+        .select(
+            "event_type",
+            "next_type",
+            "n_transitions",
+            F.round(F.col("n_transitions") / F.col("_t"), 6).alias("p_next"),
+        )
+    )
