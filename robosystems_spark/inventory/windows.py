@@ -422,6 +422,7 @@ def events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lead window + one groupBy, plain_avg alongside to expose burst-"
     "sampling bias.",
     tags=("window", "events", "timeseries"),
+    bench=True,
 )
 def events_daily_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from robosystems_spark.operators.timeseries import time_weighted_average
@@ -445,6 +446,7 @@ def events_daily_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "single groupBy, percentile state is per-group sorted buffers (use "
     "approx_percentile at unbounded-group scale).",
     tags=("window", "events"),
+    bench=True,
 )
 def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
@@ -467,6 +469,7 @@ def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "recursion computed via its closed form (prefix-sum minus "
     "running min) — two windows, no recursion, no Python.",
     tags=("window", "events", "timeseries"),
+    bench=True,
 )
 def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from robosystems_spark.operators.timeseries import cusum_drift
