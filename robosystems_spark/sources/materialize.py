@@ -752,13 +752,26 @@ class GraphStore:
             return {}
         raw: dict[str, list] = {}
         dead: set[str] = set()
+        nulls: dict[str, int] = {}
+        null_dead: set[str] = set()
         for rg in range(md.num_row_groups):
             for ci in range(md.num_columns):
                 col = md.row_group(rg).column(ci)
                 name = col.path_in_schema
-                if name in dead or "." in name:  # nested: skip
+                if "." in name:  # nested: skip
                     continue
                 st = col.statistics
+                # Null counts tracked independently of min/max (an
+                # all-null column has no min/max but a perfectly good
+                # null count — exactly the file IS NULL wants).
+                if name not in null_dead:
+                    if st is not None and st.null_count is not None:
+                        nulls[name] = nulls.get(name, 0) + st.null_count
+                    else:
+                        null_dead.add(name)
+                        nulls.pop(name, None)
+                if name in dead:
+                    continue
                 if st is None or not st.has_min_max:
                     dead.add(name)
                     continue
@@ -778,6 +791,9 @@ class GraphStore:
             lo, hi = conv(mn, False), conv(mx, True)
             if lo is not None and hi is not None:
                 out[name] = [lo, hi]
+        if nulls:
+            out["__nulls__"] = nulls
+        out["__rows__"] = md.num_rows
         return out
 
     def _stats_at(self, table: str, version: int | None = None) -> dict:
@@ -814,20 +830,44 @@ class GraphStore:
                 continue  # incomparable bound: keep the file
         return True
 
+    @staticmethod
+    def _file_may_match_nulls(stats: dict | None, is_null: dict) -> bool:
+        """Null-count skipping: a file with zero nulls in ``col``
+        cannot satisfy ``col IS NULL``; a file whose null count equals
+        its row count cannot satisfy ``col IS NOT NULL``.  Unknown
+        counts keep the file (skipping is best-effort, never lossy)."""
+        if not stats:
+            return True
+        nulls = stats.get("__nulls__") or {}
+        rows = stats.get("__rows__")
+        for col, want_null in is_null.items():
+            n = nulls.get(col)
+            if n is None:
+                continue
+            if want_null and n == 0:
+                return False
+            if not want_null and rows is not None and n == rows:
+                return False
+        return True
+
     def read_where(
         self,
         table: str,
         predicates: dict[str, tuple],
         version: int | None = None,
+        is_null: dict[str, bool] | None = None,
     ) -> DataFrame:
         """Stats-pruned snapshot read: ``predicates`` maps column ->
-        (lo, hi) closed bounds (None = unbounded on that side).  Files
-        whose footer range cannot intersect are dropped from the scan
-        driver-side — Delta data skipping over the commit manifest —
-        and the residual filter is applied on top, so the result is
-        row-identical to ``read().filter(...)``.  ``compact(...,
-        sort_by=[col])`` clusters rows so these ranges become tight."""
+        (lo, hi) closed bounds (None = unbounded on that side), and
+        ``is_null`` maps column -> True (IS NULL) / False (IS NOT
+        NULL).  Files whose footer range or null counts cannot satisfy
+        the predicates are dropped from the scan driver-side — Delta
+        data skipping over the commit manifest — and the residual
+        filter is applied on top, so the result is row-identical to
+        ``read().filter(...)``.  ``compact(..., sort_by=[col])``
+        clusters rows so the ranges become tight."""
         manifest = self._manifest_at(table, version)
+        is_null = is_null or {}
         residual = None
         for col, (lo, hi) in predicates.items():
             c = F.col(col)
@@ -835,12 +875,18 @@ class GraphStore:
                 [c >= F.lit(lo)] if lo is not None else []
             ) + ([c <= F.lit(hi)] if hi is not None else []):
                 residual = b if residual is None else (residual & b)
+        for col, want_null in is_null.items():
+            b = F.col(col).isNull() if want_null else F.col(col).isNotNull()
+            residual = b if residual is None else (residual & b)
         if manifest is None:
             df = self.read(table, version)
             return df.filter(residual) if residual is not None else df
         stats = self._stats_at(table, version)
         keep = [
-            f for f in manifest if self._file_may_match(stats.get(f), predicates)
+            f
+            for f in manifest
+            if self._file_may_match(stats.get(f), predicates)
+            and self._file_may_match_nulls(stats.get(f), is_null)
         ]
         if not keep:
             return self.read(table, version).filter(F.lit(False))

@@ -906,3 +906,36 @@ def test_dv_changes_are_delta_encoded(spark, store):
     store.delete_where("T", F.col("identifier") == 5, merge_on_read=True)
     assert len(store._dv_at("T")) == len(dv_after_delete) + 1
     assert store.read("T").count() == 14
+
+
+def test_read_where_null_count_skipping(spark, store):
+    """Null-count stats prune IS NULL / IS NOT NULL driver-side: a
+    file with zero nulls never scans for IS NULL, an all-null file
+    never scans for IS NOT NULL; results stay row-identical to
+    read().filter(...)."""
+    store.copy_into(
+        "N",
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(50)], "id long, v string"
+        ),
+    )
+    store.copy_into(
+        "N",
+        spark.createDataFrame(
+            [(100 + i, None) for i in range(50)], "id long, v string"
+        ),
+    )
+    full = store.read("N")
+    nulls = store.read_where("N", {}, is_null={"v": True})
+    assert nulls.count() == 50
+    assert len(nulls.inputFiles()) < len(full.inputFiles())
+    notnull = store.read_where("N", {}, is_null={"v": False})
+    assert notnull.count() == 50
+    assert len(notnull.inputFiles()) < len(full.inputFiles())
+    # composes with range predicates
+    both = store.read_where("N", {"id": (0, 10)}, is_null={"v": False})
+    assert both.count() == 11
+    # stats carry the null counts per file
+    st = store._stats_at("N")
+    assert any(s.get("__nulls__", {}).get("v", 0) > 0 for s in st.values())
+    assert all("__rows__" in s for s in st.values())
