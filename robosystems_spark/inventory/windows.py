@@ -524,3 +524,54 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_transitions") / F.col("_t"), 6).alias("p_next"),
         )
     )
+
+
+@register(
+    "events_decayed_engagement",
+    oracle="""
+    WITH ref AS (SELECT MAX(ts) AS t_ref FROM events),
+    d AS (
+      SELECT user_id, event_type,
+             EXP(-(EPOCH(ref.t_ref) - EPOCH(ts)) * 0.0000011460387850
+                 ) AS wgt,
+             value
+      FROM events, ref
+    )
+    SELECT user_id, event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(wgt), 6) AS decayed_count,
+           ROUND(SUM(wgt * value), 6) AS decayed_value
+    FROM d GROUP BY user_id, event_type
+    """,
+    doc="Exponentially time-decayed engagement (half-life 7 days, "
+    "reference = max event time): the recency-weighted feature shape "
+    "recommender/effort models consume — one scan + one aggregation, "
+    "decay weights computed map-side; identical lambda literal both "
+    "engines, round-6 absorbing libm exp drift.",
+    tags=("window", "events"),
+)
+def events_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    # lambda = ln(2) / (7 days in seconds), as the same literal the
+    # oracle embeds (precomputed so both engines use one constant).
+    lam = 0.0000011460387850
+    t_ref = ev.agg(F.max("ts").alias("t")).collect()[0]["t"]
+    wgt = F.exp(
+        -(
+            F.unix_micros(F.lit(t_ref).cast("timestamp"))
+            - F.unix_micros(F.col("ts").cast("timestamp"))
+        ).cast("double")
+        / 1e6
+        * lam
+    )
+    return (
+        ev.select("user_id", "event_type", wgt.alias("_w"), "value")
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("_w"), 6).alias("decayed_count"),
+            F.round(F.sum(F.col("_w") * F.col("value")), 6).alias(
+                "decayed_value"
+            ),
+        )
+    )
