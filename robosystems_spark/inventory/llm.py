@@ -1707,3 +1707,28 @@ def recsys_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("lift") > 1.0)
     )
+
+
+@register(
+    "embedding_ivfpq_topk",
+    oracle=PQ.ivfpq_oracle_sql(
+        num_centroids=8, ivf_iters=2, nprobe=3, m=4, k=16, pq_iters=1,
+        dim=64, topk=10, n_queries=3,
+    ),
+    doc="IVF-PQ search (the FAISS IVFPQ architecture end-to-end): "
+    "coarse cosine-Lloyd partitioning + per-subspace PQ codes, ADC "
+    "restricted to the nprobe probed buckets — per-query corpus work "
+    "drops by ~num_centroids/nprobe vs flat PQ; single broadcast-"
+    "query plan; BOTH approximation stages hash-checked by the "
+    "composed oracle.",
+    tags=("similarity",),
+)
+def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return PQ.ivfpq_topk(
+        emb, queries, num_centroids=8, ivf_iters=2, nprobe=3,
+        m=4, k=16, pq_iters=1, dim=64, topk=10,
+    )

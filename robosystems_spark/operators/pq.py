@@ -269,3 +269,241 @@ SELECT query_id, nn_id, adc, rank FROM (
   FROM adc
 ) WHERE rank <= {topk}"""
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: the FAISS IVFPQ architecture end-to-end — coarse IVF
+# partitioning (cosine Lloyd) + PQ codes within, ADC restricted to the
+# probed buckets.  Composes the two oracled pipelines above, so the
+# full index architecture is hash-checkable.
+# ---------------------------------------------------------------------------
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    num_centroids: int = 8,
+    ivf_iters: int = 2,
+    nprobe: int = 3,
+    m: int = 4,
+    k: int = 16,
+    pq_iters: int = 1,
+    dim: int = 64,
+    topk: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    round_decimals: int = 9,
+) -> DataFrame:
+    """IVF-PQ search: probe the ``nprobe`` nearest coarse centroids
+    per query, ADC-rank the PQ codes of their members only — corpus
+    work per query drops by ~num_centroids/nprobe vs flat PQ, the
+    FAISS IVFPQ trade.  Single plan (pq_topk's broadcast-query shape)
+    with the probe set as an array membership test on the bucket id.
+
+    Returns (query_id, nn_id, adc, rank).  Approximate by
+    construction in BOTH stages (unprobed buckets are missed, ADC is
+    quantized distance) — and both approximations are hash-checked by
+    the composed oracle.
+    """
+    import numpy as np
+
+    cents = CL.kmeans_fit(
+        corpus, num_centroids, ivf_iters, vec_col, id_col,
+        round_decimals, metric="cosine",
+    )
+    assigned = CL.kmeans_assign(corpus, cents, vec_col, id_col)
+    books = pq_train_codebooks(
+        corpus, m, k, pq_iters, dim, vec_col, id_col, round_decimals
+    )
+    encoded = (
+        pq_encode(corpus, books, vec_col, id_col)
+        .join(assigned, id_col)
+        .select(F.col(id_col).alias("nn_id"), "codes", "centroid_id")
+    )
+
+    C = np.asarray(cents, dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-30)
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    qid_type = queries.schema[query_id_col].dataType
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    def probe_ids(vec: list[float]) -> list[int]:
+        q = np.asarray(vec, dtype=np.float64)
+        qn = q / max(float(np.linalg.norm(q)), 1e-30)
+        sims = Cn @ qn
+        # ORDER BY cosine DESC, cid ASC — the oracle's probe ordering
+        order = sorted(range(len(sims)), key=lambda i: (-sims[i], i))
+        return [int(i) for i in order[:nprobe]]
+
+    q_schema = StructType(
+        [
+            StructField("query_id", qid_type, False),
+            StructField("_probes", ArrayType(IntegerType()), False),
+            StructField(
+                "_adc_tables", ArrayType(ArrayType(DoubleType())), False
+            ),
+        ]
+    )
+    q_frame = corpus.sparkSession.createDataFrame(
+        [
+            (
+                row[query_id_col],
+                probe_ids(list(row[vec_col])),
+                _adc_table(list(row[vec_col]), books, round_decimals),
+            )
+            for row in q_rows
+        ],
+        q_schema,
+    )
+    lookups = [
+        F.element_at(
+            F.element_at("_adc_tables", j + 1),
+            F.element_at("codes", j + 1) + 1,
+        )
+        for j in range(m)
+    ]
+    adc = F.round(reduce(lambda a, b: a + b, lookups), 6)
+    sims = (
+        encoded.crossJoin(F.broadcast(q_frame))
+        .filter(F.array_contains("_probes", F.col("centroid_id")))
+        .select("query_id", "nn_id", adc.alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("nn_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "nn_id", "adc", "rank")
+    )
+
+
+def ivfpq_oracle_sql(
+    num_centroids: int = 8,
+    ivf_iters: int = 2,
+    nprobe: int = 3,
+    m: int = 4,
+    k: int = 16,
+    pq_iters: int = 1,
+    dim: int = 64,
+    topk: int = 10,
+    n_queries: int = 3,
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_decimals: int = 9,
+) -> str:
+    """DuckDB SQL for the composed IVF-PQ pipeline: the cosine Lloyd
+    chain (coarse), per-subspace L2 Lloyd chains (codes), corpus
+    encode + assignment, per-query probes, and the ADC ranking
+    restricted to probed buckets — queries are ``{id_col} <
+    n_queries``, like the sibling oracles."""
+    sub_dim = dim // m
+    r = round_decimals
+    vec_fmt = f"CAST({{e}}{vec_col} AS DOUBLE[])"
+    elem_fmt = f"CAST({{e}}{vec_col}[gs.pos] AS DOUBLE)"
+    parts, coarse = CL.lloyd_ctes(
+        "ivf_", num_centroids, ivf_iters, dim, table, vec_fmt, elem_fmt,
+        id_col, r, metric="cosine",
+    )
+    vec_sql = vec_fmt.format(e="e.")
+    parts.append(
+        f"""assigned AS MATERIALIZED (
+  SELECT {id_col}, cid FROM (
+    SELECT e.{id_col}, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.{id_col}
+             ORDER BY LIST_COSINE_SIMILARITY({vec_sql}, c.cvec) DESC, c.cid
+           ) AS rn
+    FROM {table} e CROSS JOIN {coarse} c
+  ) WHERE rn = 1
+)"""
+    )
+    parts.append(
+        f"""probes AS MATERIALIZED (
+  SELECT query_id, cid FROM (
+    SELECT e.{id_col} AS query_id, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.{id_col}
+             ORDER BY LIST_COSINE_SIMILARITY({vec_sql}, c.cvec) DESC, c.cid
+           ) AS rn
+    FROM {table} e CROSS JOIN {coarse} c
+    WHERE e.{id_col} < {n_queries}
+  ) WHERE rn <= {nprobe}
+)"""
+    )
+    cent_names = []
+    for j in range(m):
+        lo = j * sub_dim + 1
+        sv = (
+            f"LIST_SLICE(CAST({{e}}{vec_col} AS DOUBLE[]), {lo}, "
+            f"{lo + sub_dim - 1})"
+        )
+        se = f"CAST({{e}}{vec_col}[gs.pos + {lo - 1}] AS DOUBLE)"
+        ctes, cent = CL.lloyd_ctes(
+            f"pq{j}_", k, pq_iters, sub_dim, table, sv, se, id_col, r,
+            metric="l2",
+        )
+        parts.extend(ctes)
+        cent_names.append((cent, sv.format(e="e.")))
+    enc_selects = []
+    for j, (cent, sv) in enumerate(cent_names):
+        enc_selects.append(
+            f"""SELECT {id_col}, {j} AS sub, cid AS code FROM (
+    SELECT e.{id_col}, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.{id_col}
+             ORDER BY (-2 * LIST_DOT_PRODUCT({sv}, c.cvec)
+                       + LIST_DOT_PRODUCT(c.cvec, c.cvec)) ASC, c.cid
+           ) AS rn
+    FROM {table} e CROSS JOIN {cent} c
+  ) WHERE rn = 1"""
+        )
+    parts.append(
+        "enc AS MATERIALIZED (\n  "
+        + "\n  UNION ALL\n  ".join(enc_selects)
+        + "\n)"
+    )
+    tab_selects = []
+    for j, (cent, sv) in enumerate(cent_names):
+        tab_selects.append(
+            f"""SELECT e.{id_col} AS query_id, {j} AS sub, c.cid AS code,
+         ROUND(LIST_DOT_PRODUCT({sv}, {sv})
+               - 2 * LIST_DOT_PRODUCT({sv}, c.cvec)
+               + LIST_DOT_PRODUCT(c.cvec, c.cvec), {r}) AS d2
+  FROM {table} e CROSS JOIN {cent} c
+  WHERE e.{id_col} < {n_queries}"""
+        )
+    parts.append(
+        "qtab AS MATERIALIZED (\n  "
+        + "\n  UNION ALL\n  ".join(tab_selects)
+        + "\n)"
+    )
+    parts.append(
+        f"""adc AS (
+  SELECT t.query_id, enc.{id_col} AS nn_id, ROUND(SUM(t.d2), 6) AS adc
+  FROM enc
+  JOIN assigned a USING ({id_col})
+  JOIN probes p ON p.cid = a.cid
+  JOIN qtab t ON t.query_id = p.query_id
+             AND t.sub = enc.sub AND t.code = enc.code
+  GROUP BY t.query_id, enc.{id_col}
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT query_id, nn_id, adc, rank FROM (
+  SELECT query_id, nn_id, adc,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY adc ASC, nn_id ASC
+         ) AS INT) AS rank
+  FROM adc
+) WHERE rank <= {topk}"""
+    )

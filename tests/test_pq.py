@@ -152,3 +152,30 @@ def test_random_projection_preserves_relative_distances(spark, emb):
             ratios.append(d1 / d0)
     assert 0.5 < np.median(ratios) < 1.5
     assert all(0.2 < r < 2.5 for r in ratios)
+
+
+def test_ivfpq_recall_against_exact(spark, sf_dir):
+    """The composed IVF-PQ search keeps useful recall vs exact cosine
+    top-10 (two approximation stages, so the bar is lower than flat
+    PQ's, but it must beat random)."""
+    from pyspark.sql import functions as F
+
+    from robosystems_spark.io import read_table
+    from robosystems_spark.operators.pq import ivfpq_topk
+    from robosystems_spark.operators.similarity import cosine_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    approx = ivfpq_topk(emb, queries, nprobe=3, topk=10)
+    exact = cosine_topk(emb, queries, k=10)
+    a = {(r["query_id"], r["nn_id"]) for r in approx.collect()}
+    e = {(r["query_id"], r["nn_id"]) for r in exact.collect()}
+    recall = len(a & e) / len(e)
+    assert recall >= 0.3, recall
+    # each query returns a full ranked top-10
+    ranks = {}
+    for r in approx.collect():
+        ranks.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, 11)) for v in ranks.values())
