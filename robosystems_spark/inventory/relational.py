@@ -1155,6 +1155,53 @@ def countmin_heavy_hitter_priorities(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 # ---------------------------------------------------------------------------
+# Runtime Bloom join filter: build a portable Bloom filter over the
+# filtered build side, broadcast it, and audit its pruning decisions
+# (incl. false positives) against exact membership — deterministic
+# md5 positions make the approximate filter itself hash-checkable.
+# ---------------------------------------------------------------------------
+@register(
+    "bloom_join_filter_audit",
+    oracle=SK.bloom_join_audit_oracle_sql(
+        build_table="customer",
+        probe_table="orders",
+        build_key="c_custkey",
+        probe_key="o_custkey",
+        group_col="o_orderpriority",
+        build_where="c_mktsegment = 'BUILDING'",
+        m_bits=4096,
+        k_hashes=3,
+    ),
+    doc=(
+        "Bloom runtime join filter (Bloom 1970): a 4096-bit/3-hash filter "
+        "built over BUILDING-segment customer keys, broadcast to tag every "
+        "order with a membership verdict, audited per priority against the "
+        "exact key set (rows, bloom passes, true matches, false positives). "
+        "The 100 TB shape: the filter is <= m_bits rows regardless of build "
+        "cardinality, the probe side is pre-filtered BEFORE its shuffle "
+        "(rows failing membership never enter the exchange), and a member "
+        "can never be dropped (one-sided error). Deterministic portable "
+        "hashing means even the false-positive count carries a hard oracle."
+    ),
+    tags=("join", "approx", "sketch", "scale"),
+)
+def bloom_join_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders")
+    return SK.bloom_join_audit(
+        cust,
+        orders,
+        build_key="c_custkey",
+        probe_key="o_custkey",
+        group_col="o_orderpriority",
+        m_bits=4096,
+        k_hashes=3,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Cohort retention: month-of-first-order cohorts x months-since activity
 # matrix — the classic product-analytics rollup (double aggregation with
 # a per-entity anchor join).

@@ -197,6 +197,207 @@ def countmin_heavy_hitters(
     return est.filter(F.col("est") >= min_estimate)
 
 
+def bloom_bits(
+    df: DataFrame,
+    key_col: str,
+    m_bits: int = 4096,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Build a portable Bloom filter over the distinct keys of ``df``
+    as a DataFrame of SET BIT POSITIONS (Bloom 1970).
+
+    Position ``i`` for a key is the 60-bit md5 of ``"{i}:{key}"``
+    reduced mod ``m_bits`` — the same portable hash family the HLL /
+    count-min sketches use, so any engine reproduces the identical
+    filter.  Representing the filter as its distinct set positions
+    (instead of a packed bitmap) keeps the build fully relational:
+    one explode + one DISTINCT, and the result is at most
+    ``min(m_bits, k * |keys|)`` single-int rows — broadcast-sized by
+    construction (4096 bits => <= 4096 rows regardless of key count).
+
+    At 100 TB this is the classic runtime join filter: build on the
+    small/filtered side, broadcast, and pre-filter the big probe side
+    BEFORE its shuffle — rows that fail the membership test never
+    enter the exchange.  Spark's AQE injects such filters opportunistically;
+    this operator makes the structure explicit, portable, and testable."""
+    hashes = F.explode(
+        F.array(*[F.lit(i) for i in range(k_hashes)])
+    ).alias("_i")
+    keyed = df.select(F.col(key_col).cast("string").alias("_k")).select(
+        "_k", hashes
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("_i").cast("string"), F.lit(":"), F.col("_k"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return keyed.select((h % m_bits).alias("pos")).distinct()
+
+
+def bloom_probe(
+    probe: DataFrame,
+    bits: DataFrame,
+    key_col: str,
+    m_bits: int = 4096,
+    k_hashes: int = 3,
+    out_col: str = "bloom_pass",
+) -> DataFrame:
+    """Tag every probe row with its Bloom membership verdict.
+
+    Each probe key hashes to ``k`` positions; the row passes iff ALL
+    ``k`` are set.  The check is a broadcast left join of the probe's
+    exploded positions against the bits frame + a count-match — no
+    shuffle of the probe side, no UDF.  One-sided error only: a true
+    member always passes (no false negatives); a non-member passes
+    with probability ~(1-e^(-kn/m))^k."""
+    hashes = F.array(*[F.lit(i) for i in range(k_hashes)])
+    # Verdicts are per KEY: probe distinct keys only, so the all-k
+    # membership count is exactly k for a member regardless of how
+    # many probe rows share the key.
+    exploded = probe.select(key_col).distinct().select(
+        F.col(key_col), F.explode(hashes).alias("_i")
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("_i").cast("string"),
+                    F.lit(":"),
+                    F.col(key_col).cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    probed = exploded.select(F.col(key_col), (h % m_bits).alias("pos"))
+    hits = (
+        probed.join(F.broadcast(bits.withColumn("_set", F.lit(1))), "pos", "left")
+        .groupBy(key_col)
+        .agg((F.count("_set") == k_hashes).alias(out_col))
+    )
+    return probe.join(F.broadcast(hits), key_col, "left")
+
+
+def bloom_filter_probe(
+    build: DataFrame,
+    probe: DataFrame,
+    build_key: str,
+    probe_key: str,
+    m_bits: int = 4096,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Runtime-filter a probe table by a Bloom filter built over the
+    build side's keys: returns only probe rows whose key MIGHT be in
+    the build set (superset of the exact semi-join, never drops a
+    true match).  Follow with the exact join — the filter exists to
+    shrink what reaches the shuffle, not to replace the join."""
+    bits = bloom_bits(build, build_key, m_bits, k_hashes)
+    tagged = bloom_probe(probe, bits, probe_key, m_bits, k_hashes)
+    return tagged.filter(F.col("bloom_pass")).drop("bloom_pass")
+
+
+def bloom_join_audit(
+    build: DataFrame,
+    probe: DataFrame,
+    build_key: str,
+    probe_key: str,
+    group_col: str,
+    m_bits: int = 4096,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Audit the Bloom runtime filter against exact membership, per
+    ``group_col`` of the probe side: rows scanned, rows passing the
+    bloom, rows truly matching, and false positives let through.
+
+    Because the filter is deterministic (portable md5 positions), the
+    false-positive count itself is reproducible in any engine — the
+    approximate structure carries a hard oracle, like the portable
+    HLL/count-min sketches above."""
+    bits = bloom_bits(build, build_key, m_bits, k_hashes)
+    tagged = bloom_probe(probe, bits, probe_key, m_bits, k_hashes)
+    exact = build.select(
+        F.col(build_key).cast("long").alias(probe_key)
+    ).distinct().withColumn("_true", F.lit(1))
+    audited = tagged.join(F.broadcast(exact), probe_key, "left")
+    return (
+        audited.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("bloom_pass").cast("long")).alias("n_bloom_pass"),
+            F.sum(F.coalesce(F.col("_true"), F.lit(0))).alias("n_true_match"),
+            F.sum(
+                (F.col("bloom_pass").cast("long"))
+                * (F.lit(1) - F.coalesce(F.col("_true"), F.lit(0)))
+            ).alias("n_false_positive"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def bloom_join_audit_oracle_sql(
+    build_table: str,
+    probe_table: str,
+    build_key: str,
+    probe_key: str,
+    group_col: str,
+    build_where: str = "TRUE",
+    m_bits: int = 4096,
+    k_hashes: int = 3,
+) -> str:
+    """DuckDB SQL computing the identical Bloom filter (same md5
+    positions, same all-k membership rule) and the same audit."""
+    idx = ", ".join(f"({i})" for i in range(k_hashes))
+    return f"""
+    WITH keys AS (
+      SELECT DISTINCT CAST({build_key} AS VARCHAR) AS k
+      FROM {build_table} WHERE {build_where}
+    ),
+    hseq AS (SELECT * FROM (VALUES {idx}) t(i)),
+    bits AS (
+      SELECT DISTINCT
+        ('0x' || SUBSTR(MD5(CAST(i AS VARCHAR) || ':' || k), 1, 15))::BIGINT
+          % {m_bits} AS pos
+      FROM keys CROSS JOIN hseq
+    ),
+    probe_pos AS (
+      SELECT p.{probe_key},
+        ('0x' || SUBSTR(MD5(CAST(h.i AS VARCHAR) || ':' ||
+                        CAST(p.{probe_key} AS VARCHAR)), 1, 15))::BIGINT
+          % {m_bits} AS pos
+      FROM (SELECT DISTINCT {probe_key} FROM {probe_table}) p
+      CROSS JOIN hseq h
+    ),
+    verdicts AS (
+      SELECT pp.{probe_key},
+             COUNT(b.pos) = {k_hashes} AS bloom_pass
+      FROM probe_pos pp LEFT JOIN bits b ON b.pos = pp.pos
+      GROUP BY pp.{probe_key}
+    ),
+    truth AS (
+      SELECT DISTINCT {build_key} AS {probe_key}, 1 AS _true
+      FROM {build_table} WHERE {build_where}
+    )
+    SELECT p.{group_col},
+           COUNT(*) AS n_rows,
+           SUM(CASE WHEN v.bloom_pass THEN 1 ELSE 0 END) AS n_bloom_pass,
+           SUM(COALESCE(t._true, 0)) AS n_true_match,
+           SUM(CASE WHEN v.bloom_pass THEN 1 ELSE 0 END
+               * (1 - COALESCE(t._true, 0))) AS n_false_positive
+    FROM {probe_table} p
+    JOIN verdicts v ON v.{probe_key} = p.{probe_key}
+    LEFT JOIN truth t ON t.{probe_key} = p.{probe_key}
+    GROUP BY p.{group_col}
+    ORDER BY p.{group_col}
+    """
+
+
 def countmin_heavy_hitters_oracle_sql(
     table: str,
     value_col: str,

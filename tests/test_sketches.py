@@ -83,3 +83,56 @@ def test_countmin_estimates_are_one_sided_and_tight_when_wide(spark):
         for r in countmin_heavy_hitters(df, "v", width=2, depth=2).collect()
     }
     assert narrow["a"] >= 50 and narrow["b"] >= 30 and narrow["c"] >= 5
+
+
+def test_bloom_filter_no_false_negatives(spark, sf_dir):
+    """Bloom contract: every true member passes — the runtime filter
+    may only ADD rows (false positives) relative to the exact
+    semi-join, never drop one."""
+    from robosystems_spark.operators.sketches import bloom_filter_probe
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    pruned_keys = {
+        r["o_custkey"]
+        for r in bloom_filter_probe(
+            cust, orders, "c_custkey", "o_custkey", m_bits=1024, k_hashes=3
+        )
+        .select("o_custkey")
+        .distinct()
+        .collect()
+    }
+    exact_keys = {
+        r["o_custkey"]
+        for r in orders.join(
+            cust, orders.o_custkey == cust.c_custkey, "left_semi"
+        )
+        .select("o_custkey")
+        .distinct()
+        .collect()
+    }
+    assert exact_keys <= pruned_keys  # superset: no false negatives
+    # and it actually prunes: far fewer keys than the full probe side
+    all_keys = orders.select("o_custkey").distinct().count()
+    assert len(pruned_keys) < all_keys
+
+
+def test_bloom_bits_bounded_and_broadcast(spark, sf_dir):
+    """The filter representation is <= m_bits rows no matter how many
+    build keys, and the probe-side membership join broadcasts it —
+    the probe side never shuffles for the filter."""
+    from robosystems_spark.operators.sketches import bloom_bits, bloom_probe
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    bits = bloom_bits(cust, "c_custkey", m_bits=256, k_hashes=4)
+    assert bits.count() <= 256
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    tagged = bloom_probe(orders, bits, "o_custkey", m_bits=256, k_hashes=4)
+    plan = tagged._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "BroadcastHashJoin" in plan
