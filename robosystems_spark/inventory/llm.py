@@ -1353,6 +1353,29 @@ def quality_lr_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "nb_langid_confusion",
+    oracle=__import__(
+        "robosystems_spark.operators.classifier",
+        fromlist=["naive_bayes_confusion_oracle_sql"],
+    ).naive_bayes_confusion_oracle_sql(),
+    doc="Multinomial Naive Bayes language classifier with Laplace "
+    "smoothing, trained and scored in ONE relational plan (no "
+    "iteration): class priors + token-class likelihoods from two hash "
+    "aggregations, vocabulary as a one-row broadcast, scoring as a "
+    "token-occurrence join against the likelihood table. Every log "
+    "is integer-scaled at source (ROUND(ln*1e6)::BIGINT) so document "
+    "scores are EXACT integer sums — order-independent, hence the "
+    "confusion matrix carries a hard oracle; argmax ties break on "
+    "class name.",
+    tags=("text", "corpus", "classifier"),
+)
+def nb_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from robosystems_spark.operators.classifier import naive_bayes_confusion
+
+    return naive_bayes_confusion(_docs(spark, sf_dir))
+
+
+@register(
     "dedup_duplicate_clusters_star",
     oracle=_DUP_CLUSTERS_ORACLE,
     doc="Same duplicate-cluster output computed by alternating "

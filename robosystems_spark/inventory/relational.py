@@ -1340,3 +1340,92 @@ def histogram_order_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     from robosystems_spark.operators.profile import numeric_histogram
 
     return numeric_histogram(_t(spark, sf_dir, "orders"), "o_totalprice", 20)
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation: the classic customer-value rollup — recency /
+# frequency / monetary quartiles composed into segment labels.  The
+# global anchor date is a one-row broadcast (q15's scalar pattern, no
+# single-partition window); quartiles are ntile(4) over TOTAL orders
+# (value, key) so tie placement is engine-identical.
+# ---------------------------------------------------------------------------
+@register(
+    "recsys_rfm_segments",
+    oracle="""
+    WITH anchor AS (SELECT MAX(o_orderdate) AS maxd FROM orders),
+    per_cust AS (
+      SELECT o_custkey,
+             DATEDIFF('day', MAX(o_orderdate), (SELECT maxd FROM anchor))
+               AS recency_days,
+             COUNT(*) AS frequency,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT o_custkey,
+             NTILE(4) OVER (ORDER BY recency_days ASC,  o_custkey) AS r,
+             NTILE(4) OVER (ORDER BY frequency DESC,    o_custkey) AS f,
+             NTILE(4) OVER (ORDER BY monetary  DESC,    o_custkey) AS m,
+             monetary
+      FROM per_cust
+    )
+    SELECT CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR)
+             AS segment,
+           COUNT(*) AS n_customers,
+           SUM(monetary) AS total_monetary
+    FROM scored
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc=(
+        "RFM customer segmentation: per-customer recency (days since "
+        "last order vs the global max date), frequency, and exact "
+        "DECIMAL monetary, each quartiled by ntile(4) over a TOTAL "
+        "order (metric, custkey) so tie placement is deterministic and "
+        "engine-identical; quartile digits compose 64 possible segment "
+        "labels. The anchor date is a one-row broadcast join (never a "
+        "single-partition global window). The ntile pass is the one "
+        "global sort — at 100 TB swap it for approx percentile "
+        "boundaries + a map-side bucket join; the segment rollup "
+        "itself stays one hash aggregation."
+    ),
+    tags=("analytics", "window", "agg"),
+)
+def recsys_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    anchor = orders.agg(F.max("o_orderdate").alias("maxd"))
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("lastd"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+                "monetary"
+            ),
+        )
+        .join(F.broadcast(anchor))
+        .withColumn("recency_days", F.datediff("maxd", "lastd"))
+    )
+    w_r = Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey"))
+    w_f = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey"))
+    w_m = Window.orderBy(F.col("monetary").desc(), F.col("o_custkey"))
+    scored = per_cust.select(
+        "o_custkey",
+        "monetary",
+        F.ntile(4).over(w_r).alias("r"),
+        F.ntile(4).over(w_f).alias("f"),
+        F.ntile(4).over(w_m).alias("m"),
+    )
+    return (
+        scored.groupBy(
+            F.concat(
+                F.col("r").cast("string"),
+                F.col("f").cast("string"),
+                F.col("m").cast("string"),
+            ).alias("segment")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("monetary").alias("total_monetary"),
+        )
+        .orderBy("segment")
+    )

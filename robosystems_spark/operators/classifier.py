@@ -184,3 +184,206 @@ SELECT f.{id_col},
        f.y
 FROM feats f CROSS JOIN w{iters} w"""
     )
+
+
+# ---------------------------------------------------------------------------
+# Multinomial Naive Bayes (the other classic cheap text classifier,
+# complementing the GD-trained linear model above): closed-form
+# training — three aggregations — and scoring as joins, no iteration.
+# ---------------------------------------------------------------------------
+
+def naive_bayes_confusion(
+    docs: DataFrame,
+    text_col: str = "text",
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Multinomial Naive Bayes with Laplace smoothing, trained and
+    applied in one relational plan; returns the (actual, predicted,
+    n_docs) confusion matrix.
+
+    PORTABILITY CONTRACT: every log-likelihood is integer-scaled at
+    its source — ``CAST(ROUND(ln(p) * scale) AS BIGINT)`` per
+    (token, class) — so document scores are EXACT integer sums
+    (order-independent, unlike double summation); the argmax breaks
+    ties on class name.  The only float op is the per-pair ln of an
+    identically-computed double ratio, and a 1-ulp ln wobble moves an
+    integer score by at most 1 micro-unit — argmax-stable.
+
+    Scale shape: training is two hash aggregations (class totals,
+    token-class counts) + one distinct (vocabulary size as a one-row
+    broadcast, never a driver collect); scoring joins each token
+    occurrence to the per-class likelihood table on (token, class) —
+    an ordinary shuffle join at vocab scale — with the 5-row class
+    frame broadcast.  No UDFs anywhere."""
+    toks = docs.select(
+        F.col(id_col),
+        F.col(label_col).alias("_actual"),
+        F.explode(
+            F.split(F.lower(F.col(text_col)), r"\s+")
+        ).alias("token"),
+    ).filter(F.length("token") > 0)
+
+    n_total = docs.agg(F.count(F.lit(1)).alias("_nd"))
+    vocab = toks.select("token").distinct().agg(
+        F.count(F.lit(1)).alias("_v")
+    )
+    classes = (
+        docs.groupBy(F.col(label_col).alias("_cls"))
+        .agg(F.count(F.lit(1)).alias("_cnd"))
+        .join(F.broadcast(n_total))
+        .select(
+            "_cls",
+            (
+                F.round(
+                    F.log(
+                        F.col("_cnd").cast("double")
+                        / F.col("_nd").cast("double")
+                    )
+                    * scale
+                )
+            ).cast("long").alias("prior_i"),
+        )
+    )
+    class_totals = (
+        toks.groupBy("_actual")
+        .agg(F.count(F.lit(1)).alias("_ct"))
+        .join(F.broadcast(vocab))
+        .select(
+            F.col("_actual").alias("_cls"),
+            "_ct",
+            "_v",
+            (
+                F.round(
+                    F.log(
+                        F.lit(1.0)
+                        / (F.col("_ct") + F.col("_v")).cast("double")
+                    )
+                    * scale
+                )
+            ).cast("long").alias("dflt_i"),
+        )
+    )
+    likelihood = (
+        toks.groupBy("token", F.col("_actual").alias("_cls"))
+        .agg(F.count(F.lit(1)).alias("_ctc"))
+        .join(class_totals.select("_cls", "_ct", "_v"), "_cls")
+        .select(
+            "token",
+            "_cls",
+            (
+                F.round(
+                    F.log(
+                        (F.col("_ctc") + F.lit(1)).cast("double")
+                        / (F.col("_ct") + F.col("_v")).cast("double")
+                    )
+                    * scale
+                )
+            ).cast("long").alias("lp_i"),
+        )
+    )
+    class_frame = class_totals.select("_cls", "dflt_i").join(
+        classes, "_cls"
+    )
+    scored = (
+        toks.join(F.broadcast(class_frame))
+        .join(
+            likelihood,
+            (toks.token == likelihood.token)
+            & (class_frame._cls == likelihood._cls),
+            "left",
+        )
+        .select(
+            toks[id_col].alias("_doc"),
+            toks._actual.alias("actual_lang"),
+            class_frame._cls.alias("_pred_cls"),
+            class_frame.prior_i,
+            F.coalesce(likelihood.lp_i, class_frame.dflt_i).alias("_lp"),
+        )
+        .groupBy("_doc", "actual_lang", "_pred_cls", "prior_i")
+        .agg(F.sum("_lp").alias("_s"))
+        .select(
+            "_doc",
+            "actual_lang",
+            "_pred_cls",
+            (F.col("prior_i") + F.col("_s")).alias("score_i"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("_doc").orderBy(
+        F.col("score_i").desc(), F.col("_pred_cls").asc()
+    )
+    preds = scored.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") == 1
+    )
+    return (
+        preds.groupBy(
+            "actual_lang", F.col("_pred_cls").alias("predicted_lang")
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("actual_lang", "predicted_lang")
+    )
+
+
+def naive_bayes_confusion_oracle_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+    scale: int = 1_000_000,
+) -> str:
+    """DuckDB SQL computing the identical NB confusion matrix (same
+    integer-scaled log-likelihoods, same all-integer scores, same
+    class-name tiebreak)."""
+    return f"""
+    WITH toks_raw AS (
+      SELECT {id_col}, {label_col} AS actual,
+             UNNEST(string_split_regex(LOWER({text_col}), '\\s+')) AS token
+      FROM {table}
+    ),
+    toks AS (SELECT * FROM toks_raw WHERE LENGTH(token) > 0),
+    n_total AS (SELECT COUNT(*) AS nd FROM {table}),
+    vocab AS (SELECT COUNT(DISTINCT token) AS v FROM toks),
+    classes AS (
+      SELECT {label_col} AS cls,
+             CAST(ROUND(LN(CAST(COUNT(*) AS DOUBLE)
+                           / CAST((SELECT nd FROM n_total) AS DOUBLE))
+                        * {scale}) AS BIGINT) AS prior_i
+      FROM {table} GROUP BY {label_col}
+    ),
+    class_totals AS (
+      SELECT actual AS cls, COUNT(*) AS ct, (SELECT v FROM vocab) AS v,
+             CAST(ROUND(LN(1.0 / CAST(COUNT(*) + (SELECT v FROM vocab)
+                                       AS DOUBLE)) * {scale}) AS BIGINT)
+               AS dflt_i
+      FROM toks GROUP BY actual
+    ),
+    likelihood AS (
+      SELECT t.token, t.actual AS cls,
+             CAST(ROUND(LN(CAST(COUNT(*) + 1 AS DOUBLE)
+                           / CAST(ct.ct + ct.v AS DOUBLE)) * {scale})
+                  AS BIGINT) AS lp_i
+      FROM toks t JOIN class_totals ct ON ct.cls = t.actual
+      GROUP BY t.token, t.actual, ct.ct, ct.v
+    ),
+    scored AS (
+      SELECT t.{id_col} AS doc, t.actual AS actual_lang, c.cls AS pred_cls,
+             cl.prior_i + SUM(COALESCE(l.lp_i, c.dflt_i)) AS score_i
+      FROM toks t
+      CROSS JOIN class_totals c
+      JOIN classes cl ON cl.cls = c.cls
+      LEFT JOIN likelihood l ON l.token = t.token AND l.cls = c.cls
+      GROUP BY t.{id_col}, t.actual, c.cls, cl.prior_i
+    ),
+    preds AS (
+      SELECT actual_lang, pred_cls,
+             ROW_NUMBER() OVER (PARTITION BY doc
+                                ORDER BY score_i DESC, pred_cls ASC) AS rn
+      FROM scored
+    )
+    SELECT actual_lang, pred_cls AS predicted_lang, COUNT(*) AS n_docs
+    FROM preds WHERE rn = 1
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """

@@ -42,3 +42,40 @@ def test_probability_monotone_in_features(spark):
     )
     out = {r["doc_id"]: r["p_quality"] for r in quality_lr_score(docs, iters=8).collect()}
     assert out[0] > out[100]
+
+
+def test_naive_bayes_separates_disjoint_vocabularies(spark):
+    """Two classes with disjoint vocabularies must classify perfectly —
+    the smoothed likelihoods of unseen tokens can't outweigh seen ones."""
+    from robosystems_spark.operators.classifier import naive_bayes_confusion
+
+    a = "alpha beta gamma delta epsilon"
+    b = "uno dos tres cuatro cinco"
+    docs = spark.createDataFrame(
+        [(i, a, "A") for i in range(15)] + [(50 + i, b, "B") for i in range(15)],
+        "doc_id LONG, text STRING, lang STRING",
+    )
+    out = {
+        (r["actual_lang"], r["predicted_lang"]): r["n_docs"]
+        for r in naive_bayes_confusion(docs).collect()
+    }
+    assert out == {("A", "A"): 15, ("B", "B"): 15}
+
+
+def test_naive_bayes_prior_decides_empty_overlap(spark):
+    """A doc whose tokens are equally likely in both classes falls to
+    the prior: the majority class must win; ties break on class name."""
+    from robosystems_spark.operators.classifier import naive_bayes_confusion
+
+    shared = "same same same"
+    docs = spark.createDataFrame(
+        [(i, shared, "major") for i in range(9)]
+        + [(100, shared, "minor")],
+        "doc_id LONG, text STRING, lang STRING",
+    )
+    out = {
+        (r["actual_lang"], r["predicted_lang"]): r["n_docs"]
+        for r in naive_bayes_confusion(docs).collect()
+    }
+    # every doc predicted 'major' (larger prior, identical likelihoods)
+    assert out == {("major", "major"): 9, ("minor", "major"): 1}
