@@ -431,6 +431,27 @@ def events_daily_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_ewma_smoothing",
+    oracle=__import__(
+        "robosystems_spark.operators.timeseries",
+        fromlist=["ewma_daily_oracle_sql"],
+    ).ewma_daily_oracle_sql(),
+    doc="Per-user daily EWMA (pandas adjust=False recursion, "
+    "alpha=0.3): a linear recurrence folded declaratively — running-"
+    "frame collect_list + F.aggregate seeded from the first element; "
+    "DuckDB mirrors with list window + list_reduce. Pure IEEE "
+    "multiply/add over identical inputs = bit-identical cross-engine; "
+    "per-key state is O(days), cap the frame to truncate the "
+    "recursion with (1-a)^N tail error at unbounded scale.",
+    tags=("window", "events", "timeseries"),
+)
+def events_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from robosystems_spark.operators.timeseries import ewma_daily
+
+    return ewma_daily(_events(spark, sf_dir))
+
+
+@register(
     "events_value_percentiles",
     oracle="""
     SELECT event_type,

@@ -417,3 +417,84 @@ def cusum_drift_oracle_sql(
            ROUND(cus, {decimals}) > {threshold_h} AS drift_flag
     FROM s
     """
+
+
+def ewma_daily(
+    df: DataFrame,
+    alpha: float = 0.3,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Exponentially-weighted moving average over each key's daily
+    series: ``s_1 = x_1; s_t = alpha*x_t + (1-alpha)*s_{t-1}`` (the
+    pandas ``adjust=False`` recursion).
+
+    A linear recurrence can't be a plain window sum, but it CAN stay
+    in one declarative plan: collect each row's day-ordered prefix
+    with a running-frame ``collect_list`` window, then fold it with
+    ``F.aggregate`` seeded from the first element — pure IEEE
+    multiply/add over identical inputs, so the result is
+    bit-identical in any engine (DuckDB mirrors it with
+    ``list_reduce``).  No libm, no Python.
+
+    Scale shape: the daily pre-aggregation bounds each key's series
+    to its day count, and the prefix lists live inside one window
+    pass per key — state is O(days) per key, the same contract as any
+    running-frame window.  For unbounded series, cap the frame (a
+    rowsBetween(-N, 0) frame truncates the recursion to an N-step
+    approximation with (1-alpha)^N tail error)."""
+    day = F.to_date(F.col(ts_col)).alias("day")
+    daily = (
+        df.groupBy(F.col(key_col), day)
+        .agg(F.round(F.sum(value_col), 4).alias("x"))
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pre = daily.withColumn("xs", F.collect_list("x").over(w))
+    seed = F.element_at("xs", 1)
+    rest = F.slice(F.col("xs"), F.lit(2), F.greatest(F.size("xs") - 1, F.lit(0)))
+    ewma = F.aggregate(
+        rest,
+        seed,
+        lambda acc, v: F.lit(alpha) * v + F.lit(1.0 - alpha) * acc,
+    )
+    return pre.select(
+        key_col,
+        "day",
+        "x",
+        F.round(ewma, 6).alias("ewma"),
+    ).orderBy(key_col, "day")
+
+
+def ewma_daily_oracle_sql(
+    table: str = "events",
+    alpha: float = 0.3,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> str:
+    """DuckDB SQL for the identical EWMA fold (list window +
+    ``list_reduce`` — the first element seeds the accumulator exactly
+    like the Spark ``F.aggregate`` seed)."""
+    return f"""
+    WITH daily AS (
+      SELECT {key_col}, CAST({ts_col} AS DATE) AS day,
+             ROUND(SUM({value_col}), 4) AS x
+      FROM {table} GROUP BY 1, 2
+    ),
+    pre AS (
+      SELECT {key_col}, day, x,
+             list(x) OVER (PARTITION BY {key_col} ORDER BY day
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS xs
+      FROM daily
+    )
+    SELECT {key_col}, day, x,
+           ROUND(list_reduce(xs, (acc, v) -> {alpha} * v + {1.0 - alpha} * acc), 6)
+             AS ewma
+    FROM pre ORDER BY {key_col}, day
+    """

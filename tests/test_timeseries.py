@@ -154,3 +154,31 @@ def test_cusum_closed_form_equals_recursion(spark):
         s = max(0.0, s + z - 0.5)
         want.append(round(s, 6))
     assert [r["cusum"] for r in out] == want
+
+
+def test_ewma_matches_pandas_adjust_false(spark):
+    """The fold must equal pandas' ewm(adjust=False) recursion."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from robosystems_spark.operators.timeseries import ewma_daily
+
+    rows = [
+        (1, f"2024-01-0{d} 00:00:00", float(v))
+        for d, v in zip(range(1, 8), [10, 20, 5, 40, 40, 1, 13])
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id LONG, ts STRING, value DOUBLE"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        str(r["day"]): r["ewma"]
+        for r in ewma_daily(df, alpha=0.3).collect()
+    }
+    want = (
+        pd.Series([10.0, 20, 5, 40, 40, 1, 13])
+        .ewm(alpha=0.3, adjust=False)
+        .mean()
+        .round(6)
+        .tolist()
+    )
+    assert list(got.values()) == want
