@@ -1353,6 +1353,27 @@ def quality_lr_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_ppmi_word_similarity",
+    oracle=__import__(
+        "robosystems_spark.operators.corpus",
+        fromlist=["ppmi_word_similarity_oracle_sql"],
+    ).ppmi_word_similarity_oracle_sql(),
+    doc="Count-based word embeddings (Levy & Goldberg 2014): symmetric "
+    "+/-2 skip-gram co-occurrence -> PPMI matrix -> top-50 most-similar "
+    "word pairs by cosine over sparse PPMI rows. Pairs generate "
+    "MAP-SIDE via array transforms (no window shuffle, no position "
+    "self-join); the cosine is a sparse matmul bounded by the "
+    "min_count vocabulary. Integer-scaled PPMI weights make dots and "
+    "norms exact integer sums; per-norm sqrt avoids int64 overflow.",
+    tags=("text", "corpus", "embedding"),
+)
+def corpus_ppmi_word_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from robosystems_spark.operators.corpus import ppmi_word_similarity
+
+    return ppmi_word_similarity(_docs(spark, sf_dir))
+
+
+@register(
     "nb_langid_confusion",
     oracle=__import__(
         "robosystems_spark.operators.classifier",

@@ -538,3 +538,171 @@ def item_cooccurrence_oracle_sql(
       FROM scored
     ) WHERE rank <= {k}
     """
+
+
+def ppmi_word_similarity(
+    df: DataFrame,
+    k: int = 50,
+    min_count: int = 50,
+    text_col: str = "text",
+    scale: int = 10_000,
+    decimals: int = 6,
+) -> DataFrame:
+    """Count-based word embeddings: symmetric +/-2 skip-gram
+    co-occurrence -> PPMI matrix -> top-k most-similar word pairs by
+    cosine over the sparse PPMI rows (Levy & Goldberg 2014: PPMI+SVD
+    factorizes the same signal word2vec fits — the SVD is optional,
+    the similarity structure lives in the PPMI rows themselves).
+
+    Plan: context pairs are generated MAP-SIDE with array transforms
+    (offset-1 and offset-2 struct sequences, symmetrized) — no window
+    shuffle, no self-join on positions; counts are two hash
+    aggregations; the cosine is the classic sparse matmul (self-join
+    on the context dimension, bounded by the min_count vocabulary
+    filter); top-k is one TakeOrdered.
+
+    PORTABILITY: PPMI weights are integer-scaled at source
+    (``ROUND(max(0, ln(cwc*N/(cw*cc))) * scale)``), so dot products
+    and norms are EXACT integer sums; the final cosine divides by
+    sqrt of each norm separately (never norm1*norm2 — that product
+    can overflow int64) in IEEE-exact double ops."""
+    from robosystems_spark.operators.text import tokens
+
+    base = df.select(tokens(text_col).alias("_t"))
+
+    def _dir(o: int) -> DataFrame:
+        return (
+            base.filter(F.size("_t") > o)
+            .select(
+                F.explode(
+                    F.expr(
+                        f"transform(sequence({o}, size(_t) - 1), "
+                        f"i -> struct(_t[i - {o}] AS a, _t[i] AS b))"
+                    )
+                ).alias("_p")
+            )
+            .select(F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
+        )
+
+    raw = _dir(1).unionAll(_dir(2))
+    pairs = raw.select(
+        F.col("a").alias("_w"), F.col("b").alias("_c")
+    ).unionAll(raw.select(F.col("b").alias("_w"), F.col("a").alias("_c")))
+
+    cnt = pairs.groupBy("_w").agg(F.count(F.lit(1)).alias("cw"))
+    n = pairs.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    joint = pairs.groupBy("_w", "_c").agg(F.count(F.lit(1)).alias("cwc"))
+    ppmi = (
+        joint.join(cnt.select(F.col("_w"), F.col("cw").alias("cw1")), "_w")
+        .join(
+            cnt.select(F.col("_w").alias("_c"), F.col("cw").alias("cw2")),
+            "_c",
+        )
+        .filter((F.col("cw1") >= min_count) & (F.col("cw2") >= min_count))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "_w",
+            "_c",
+            F.round(
+                F.greatest(
+                    F.log(
+                        F.col("cwc") * F.col("_n")
+                        / (F.col("cw1") * F.col("cw2"))
+                    ),
+                    F.lit(0.0),
+                )
+                * scale
+            )
+            .cast("long")
+            .alias("p_i"),
+        )
+        .filter(F.col("p_i") > 0)
+    )
+    norms = ppmi.groupBy("_w").agg(F.sum(F.col("p_i") * F.col("p_i")).alias("n2"))
+    left = ppmi.select(
+        F.col("_w").alias("w1"), F.col("_c").alias("_cc"), F.col("p_i").alias("pa")
+    )
+    right = ppmi.select(
+        F.col("_w").alias("w2"), F.col("_c").alias("_cc"), F.col("p_i").alias("pb")
+    )
+    dots = (
+        left.join(right, "_cc")
+        .filter(F.col("w1") < F.col("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.sum(F.col("pa") * F.col("pb")).alias("dot"))
+    )
+    cosine = F.col("dot").cast("double") / (
+        F.sqrt(F.col("n2a").cast("double")) * F.sqrt(F.col("n2b").cast("double"))
+    )
+    return (
+        dots.join(norms.select(F.col("_w").alias("w1"), F.col("n2").alias("n2a")), "w1")
+        .join(norms.select(F.col("_w").alias("w2"), F.col("n2").alias("n2b")), "w2")
+        .select("w1", "w2", F.round(cosine, decimals).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("w1"), F.asc("w2"))
+        .limit(k)
+    )
+
+
+def ppmi_word_similarity_oracle_sql(
+    table: str = "documents",
+    k: int = 50,
+    min_count: int = 50,
+    text_col: str = "text",
+    scale: int = 10_000,
+    decimals: int = 6,
+) -> str:
+    """DuckDB SQL computing the identical PPMI cosine top-k (ordered
+    adjacency joins reproduce the map-side pair generation's counts)."""
+    return f"""
+    WITH toks AS (
+      SELECT ROW_NUMBER() OVER () AS d,
+             string_split_regex(LOWER(TRIM({text_col})), '\\s+') AS t
+      FROM {table}
+    ),
+    pos AS (
+      -- parallel unnests zip element-wise: (element, 1-based position)
+      SELECT d, UNNEST(range(1, len(t) + 1)) AS p, UNNEST(t) AS w
+      FROM toks
+    ),
+    raw AS (
+      SELECT a.w AS wa, b.w AS wb
+      FROM pos a JOIN pos b ON b.d = a.d AND b.p = a.p + 1
+      UNION ALL
+      SELECT a.w, b.w
+      FROM pos a JOIN pos b ON b.d = a.d AND b.p = a.p + 2
+    ),
+    pairs AS (
+      SELECT wa AS w, wb AS c FROM raw
+      UNION ALL
+      SELECT wb, wa FROM raw
+    ),
+    cnt AS (SELECT w, COUNT(*) AS cw FROM pairs GROUP BY w),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM pairs),
+    joint AS (SELECT w, c, COUNT(*) AS cwc FROM pairs GROUP BY w, c),
+    ppmi AS (
+      SELECT j.w, j.c,
+             CAST(ROUND(GREATEST(
+                    LN(j.cwc * (SELECT n FROM n) / (c1.cw * c2.cw)), 0.0)
+                  * {scale}) AS BIGINT) AS p_i
+      FROM joint j
+      JOIN cnt c1 ON c1.w = j.w
+      JOIN cnt c2 ON c2.w = j.c
+      WHERE c1.cw >= {min_count} AND c2.cw >= {min_count}
+    ),
+    sp AS (SELECT * FROM ppmi WHERE p_i > 0),
+    norms AS (SELECT w, SUM(p_i * p_i) AS n2 FROM sp GROUP BY w),
+    dots AS (
+      SELECT x.w AS w1, y.w AS w2, SUM(x.p_i * y.p_i) AS dot
+      FROM sp x JOIN sp y ON y.c = x.c AND x.w < y.w
+      GROUP BY x.w, y.w
+    )
+    SELECT d.w1, d.w2,
+           ROUND(CAST(d.dot AS DOUBLE)
+                 / (SQRT(CAST(na.n2 AS DOUBLE)) * SQRT(CAST(nb.n2 AS DOUBLE))),
+                 {decimals}) AS cosine
+    FROM dots d
+    JOIN norms na ON na.w = d.w1
+    JOIN norms nb ON nb.w = d.w2
+    ORDER BY cosine DESC, w1, w2
+    LIMIT {k}
+    """

@@ -327,3 +327,29 @@ def test_pca_top3_matches_numpy_eig(spark):
         arr = np.array([got[i][comp_idx] for i in range(300)])
         err = min(np.abs(arr - ref).max(), np.abs(arr + ref).max())
         assert err < 5e-3, (comp_idx, err)
+
+
+def test_ppmi_similarity_groups_words_by_shared_contexts(spark):
+    """Two words that occur in identical contexts must be each
+    other's top cosine match; a word with disjoint contexts must not
+    pair highly with them."""
+    from robosystems_spark.operators.corpus import ppmi_word_similarity
+
+    # 'cat' and 'dog' share contexts (pet ... food); 'rocket' lives in
+    # a disjoint context world (launch ... space).
+    a = "pet cat food home pet cat food home pet cat food home"
+    b = "pet dog food home pet dog food home pet dog food home"
+    c = "launch rocket space orbit launch rocket space orbit launch rocket space orbit"
+    docs = spark.createDataFrame(
+        [(i, a) for i in range(10)]
+        + [(100 + i, b) for i in range(10)]
+        + [(200 + i, c) for i in range(10)],
+        "doc_id LONG, text STRING",
+    )
+    out = ppmi_word_similarity(docs, k=100, min_count=5).collect()
+    sims = {(r["w1"], r["w2"]): r["cosine"] for r in out}
+    cat_dog = sims.get(("cat", "dog"), 0.0)
+    assert cat_dog > 0.8
+    for w in ("cat", "dog"):
+        pair = tuple(sorted((w, "rocket")))
+        assert sims.get(pair, 0.0) < cat_dog
