@@ -458,3 +458,42 @@ def graph_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates()
     )
     return kcore(pairs, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+
+
+_LPA_ROUNDS = 3
+
+_LPA_EDGES_CTE = """sp AS (
+  SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS u,
+                  'p' || CAST(l_partkey AS VARCHAR) AS v
+  FROM lineitem
+),
+e0 AS MATERIALIZED (
+  SELECT u AS src, v AS dst FROM sp UNION
+  SELECT v, u FROM sp
+)"""
+
+
+@register(
+    "graph_label_propagation",
+    oracle=__import__(
+        "robosystems_spark.operators.graph", fromlist=["lpa_oracle_ctes"]
+    ).lpa_oracle_ctes(_LPA_ROUNDS, _LPA_EDGES_CTE),
+    doc="Deterministic synchronous label propagation (Raghavan et al. "
+    "2007) over the supplier-part bipartite graph, 3 fixed rounds: "
+    "plurality neighbor label, min-label tie-break — the two "
+    "nondeterminism sources of textbook LPA (visit order, random "
+    "ties) replaced by a total order, so communities are identical-"
+    "by-construction cross-engine. Per round one node-keyed join + "
+    "one count aggregation + one argmax window, all O(edges); label "
+    "state is one row per node. Returns community sizes.",
+    tags=("graph",),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from robosystems_spark.operators.graph import label_propagation
+
+    li = read_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+    ).dropDuplicates()
+    return label_propagation(edges, rounds=_LPA_ROUNDS)

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 from pyspark.storagelevel import StorageLevel
 
 
@@ -540,4 +541,94 @@ def kcore_oracle_ctes(k: int, rounds: int, edges_cte: str) -> str:
         + f"""
 SELECT src AS node, COUNT(*) AS core_degree
 FROM e{rounds} GROUP BY src"""
+    )
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan
+    et al. 2007), made deterministic and hash-checkable: every node
+    starts with its own id as label; each round, every node
+    simultaneously adopts the label held by the PLURALITY of its
+    neighbors, ties broken by MINIMUM label; exactly ``rounds``
+    rounds.
+
+    Fixed synchronous rounds + a total-order tie-break remove both
+    nondeterminism sources of textbook LPA (random visit order,
+    random tie choice), so the communities are
+    identical-by-construction in any engine — the same discipline as
+    :func:`kcore` / :func:`pagerank` here.
+
+    Per round: one edge-to-labels join (keyed by node), one
+    (node, label) count aggregation, one per-node argmax window —
+    all O(edges) shuffles, label state is one row per node, nothing
+    on the driver.  Returns (community, n_nodes) sizes.
+    """
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    e = (
+        undirected(edges, src_col, dst_col)
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    labels = e.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.col("_c").desc(), F.col("lbl").asc()
+    )
+    for _ in range(rounds):
+        votes = (
+            e.join(labels, e.dst == labels.node)
+            .groupBy("src", "lbl")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        labels = (
+            votes.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(F.col("src").alias("node"), "lbl")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        labels.groupBy(F.col("lbl").alias("community"))
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("community")
+    )
+
+
+def lpa_oracle_ctes(rounds: int, edges_cte: str) -> str:
+    """The synchronous LPA loop unrolled as DuckDB CTE text.
+    ``edges_cte`` must define ``e0(src, dst)`` (undirected, distinct,
+    no self-loops)."""
+    parts = [edges_cte]
+    parts.append(
+        "l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e0)"
+    )
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""v{r} AS (
+  SELECT e.src, l.lbl, COUNT(*) AS c
+  FROM e0 e JOIN l{r - 1} l ON l.node = e.dst
+  GROUP BY e.src, l.lbl
+),
+l{r} AS MATERIALIZED (
+  SELECT src AS node, lbl FROM (
+    SELECT src, lbl,
+           ROW_NUMBER() OVER (PARTITION BY src
+                              ORDER BY c DESC, lbl ASC) AS rn
+    FROM v{r}
+  ) WHERE rn = 1
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT lbl AS community, COUNT(*) AS n_nodes
+FROM l{rounds} GROUP BY 1 ORDER BY 1"""
     )

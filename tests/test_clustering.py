@@ -180,3 +180,35 @@ def test_kcore_peels_cascade(spark):
 
     with _pytest.raises(ValueError):
         kcore(edges, k=0)
+
+
+def test_label_propagation_finds_two_cliques(spark):
+    """Two 4-cliques joined by a single bridge edge: LPA must converge
+    to exactly two communities of 4, each labeled by its min node."""
+    from robosystems_spark.operators.graph import label_propagation
+
+    clique_a = [("a1", "a2"), ("a1", "a3"), ("a1", "a4"),
+                ("a2", "a3"), ("a2", "a4"), ("a3", "a4")]
+    clique_b = [("b1", "b2"), ("b1", "b3"), ("b1", "b4"),
+                ("b2", "b3"), ("b2", "b4"), ("b3", "b4")]
+    bridge = [("a4", "b1")]
+    edges = spark.createDataFrame(
+        clique_a + clique_b + bridge, "src STRING, dst STRING"
+    )
+    out = {
+        r["community"]: r["n_nodes"]
+        for r in label_propagation(edges, rounds=4).collect()
+    }
+    assert out == {"a1": 4, "b1": 4}
+
+
+def test_label_propagation_deterministic_across_runs(spark):
+    from robosystems_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{(i * 7 + 3) % 20}") for i in range(40)],
+        "src STRING, dst STRING",
+    )
+    a = sorted(map(tuple, label_propagation(edges, rounds=3).collect()))
+    b = sorted(map(tuple, label_propagation(edges, rounds=3).collect()))
+    assert a == b
