@@ -1366,6 +1366,7 @@ def quality_lr_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "min_count vocabulary. Integer-scaled PPMI weights make dots and "
     "norms exact integer sums; per-norm sqrt avoids int64 overflow.",
     tags=("text", "corpus", "embedding"),
+    bench=True,
 )
 def corpus_ppmi_word_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from robosystems_spark.operators.corpus import ppmi_word_similarity

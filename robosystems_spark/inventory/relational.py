@@ -1184,6 +1184,7 @@ def countmin_heavy_hitter_priorities(spark: SparkSession, sf_dir: str) -> DataFr
         "hashing means even the false-positive count carries a hard oracle."
     ),
     tags=("join", "approx", "sketch", "scale"),
+    bench=True,
 )
 def bloom_join_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer").filter(
@@ -1389,6 +1390,7 @@ def histogram_order_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
         "itself stays one hash aggregation."
     ),
     tags=("analytics", "window", "agg"),
+    bench=True,
 )
 def recsys_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")

@@ -286,20 +286,29 @@ def naive_bayes_confusion(
     class_frame = class_totals.select("_cls", "dflt_i").join(
         classes, "_cls"
     )
+    # Disambiguate the shared-lineage self-join explicitly (likelihood
+    # derives from toks): rename its join keys so the equi-join
+    # condition can never collapse to a trivially-true same-attribute
+    # compare.
+    lk = likelihood.select(
+        F.col("token").alias("_lk_token"),
+        F.col("_cls").alias("_lk_cls"),
+        "lp_i",
+    )
     scored = (
         toks.join(F.broadcast(class_frame))
         .join(
-            likelihood,
-            (toks.token == likelihood.token)
-            & (class_frame._cls == likelihood._cls),
+            lk,
+            (F.col("token") == F.col("_lk_token"))
+            & (F.col("_cls") == F.col("_lk_cls")),
             "left",
         )
         .select(
-            toks[id_col].alias("_doc"),
-            toks._actual.alias("actual_lang"),
-            class_frame._cls.alias("_pred_cls"),
-            class_frame.prior_i,
-            F.coalesce(likelihood.lp_i, class_frame.dflt_i).alias("_lp"),
+            F.col(id_col).alias("_doc"),
+            F.col("_actual").alias("actual_lang"),
+            F.col("_cls").alias("_pred_cls"),
+            F.col("prior_i"),
+            F.coalesce(F.col("lp_i"), F.col("dflt_i")).alias("_lp"),
         )
         .groupBy("_doc", "actual_lang", "_pred_cls", "prior_i")
         .agg(F.sum("_lp").alias("_s"))

@@ -579,19 +579,25 @@ def label_propagation(
     labels = e.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     )
-    w = Window.partitionBy("src").orderBy(
-        F.col("_c").desc(), F.col("lbl").asc()
-    )
     for _ in range(rounds):
         votes = (
             e.join(labels, e.dst == labels.node)
             .groupBy("src", "lbl")
             .agg(F.count(F.lit(1)).alias("_c"))
         )
+        # argmax(count) with min-label tie-break as ONE hash aggregate:
+        # min over (-count, label) orders structs lexicographically —
+        # no per-node sort window, partial aggregation map-side.
         labels = (
-            votes.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select(F.col("src").alias("node"), "lbl")
+            votes.groupBy("src")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("_c")).alias("_nc"), F.col("lbl").alias("_l")
+                    )
+                ).alias("_m")
+            )
+            .select(F.col("src").alias("node"), F.col("_m._l").alias("lbl"))
             .localCheckpoint(eager=False)
         )
     return (
