@@ -73,6 +73,21 @@ def main() -> None:
             timings[name] = -1.0
 
     total = round(sum(t for t in timings.values() if t > 0), 3)
+    # Diagnostics go to STDERR: the driver keeps only a ~2000-char tail
+    # of stdout, and the r5 artifact was unparseable because the spread
+    # dict + variance note pushed the JSON line past that window.
+    print(
+        json.dumps(
+            {
+                "aggregation": f"median of {runs} steady-state runs after 1 warm run",
+                "spread_max_minus_min": spread,
+                "variance_note": "single-run timings on this box vary +/-15-45%",
+            }
+        ),
+        file=sys.stderr,
+    )
+    # The primary line MUST stay compact (<~1500 chars at 40+ queries):
+    # no spaces, 3-decimal floats, nothing but the driver contract keys.
     print(
         json.dumps(
             {
@@ -81,15 +96,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "runs_per_query": runs,
-                "aggregation": "median",
-                "spread_max_minus_min": spread,
-                "variance_note": (
-                    "single-run timings on this box vary +/-15-45%; "
-                    "values are per-query medians of "
-                    f"{runs} steady-state runs after one warm run"
-                ),
-            }
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

@@ -354,6 +354,7 @@ def _pagerank_oracle(num_iter: int, damping: float) -> str:
         "contract. State is one row per node; no driver-side node state."
     ),
     tags=("graph",),
+    bench=True,
 )
 def graph_pagerank_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     from robosystems_spark.operators.graph import pagerank
@@ -400,6 +401,7 @@ def graph_pagerank_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         "join (orientation changes the plan, never the triangle set)."
     ),
     tags=("graph", "triangles"),
+    bench=True,
 )
 def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from robosystems_spark.operators.graph import triangle_counts_per_node
@@ -438,6 +440,7 @@ e0 AS MATERIALIZED (
     "result identical-by-construction across engines (= the true "
     "k-core once rounds cover the peel depth).",
     tags=("graph",),
+    bench=True,
 )
 def graph_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from robosystems_spark.operators.graph import kcore
@@ -487,6 +490,7 @@ e0 AS MATERIALIZED (
     "one count aggregation + one argmax window, all O(edges); label "
     "state is one row per node. Returns community sizes.",
     tags=("graph",),
+    bench=True,
 )
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from robosystems_spark.operators.graph import label_propagation

@@ -1239,6 +1239,7 @@ def _bpe_merges(spark: SparkSession, sf_dir: str) -> list[tuple[str, str]]:
     "(kmeans-style bounded driver traffic); verified against a textbook "
     "reference implementation in tests and an 8x-unrolled CTE oracle.",
     tags=("text", "corpus", "tokenizer"),
+    bench=True,
 )
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from robosystems_spark.operators.bpe import bpe_train
@@ -1637,6 +1638,7 @@ def corpus_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "no recall loss, unlike the MinHash/SimHash banding paths; the "
     "exactness itself is unit-tested against brute force.",
     tags=("dedup", "text"),
+    bench=True,
 )
 def dedup_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_prefix_join(
@@ -1767,6 +1769,7 @@ def recsys_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     "query plan; BOTH approximation stages hash-checked by the "
     "composed oracle.",
     tags=("similarity",),
+    bench=True,
 )
 def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)

@@ -12,13 +12,63 @@ the dimension-filter subtlety (fact_query.py:78-82):
   in the list.
 
 Spark shape: Fact is the fact table; Element/Period/Unit/Entity are
-broadcast dims; the dimension path is a broadcast left join.
+TRUE dimensions (bounded taxonomies) and carry explicit broadcast
+hints.  The FACT_HAS_* edge tables have ONE ROW PER FACT — the same
+cardinality as the fact table itself — so they must NEVER carry a
+hard broadcast hint: at 100x scale the driver would try to collect
+and ship a billion-row edge table (OOM, not a slow plan).  Those
+joins are left unhinted: AQE still broadcasts them when they are
+genuinely small at runtime, and at scale they degrade to shuffle
+joins (or exchange-free joins when the edges are pre-bucketed by
+``src`` via sources/bucketing.py — see ``fact_query_bucketed``).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+#: fact-scale edge tables and the key they join to Fact on.  These
+#: must never be broadcast-hinted; for exchange-free plans at scale,
+#: bucket them together with Fact via ``bucket_fact_layout``.
+FACT_EDGE_KEYS = {
+    "FACT_HAS_ELEMENT": "src",
+    "FACT_HAS_PERIOD": "src",
+    "FACT_HAS_UNIT": "src",
+    "FACT_HAS_ENTITY": "src",
+    "FACT_SET_CONTAINS_FACT": "dst",
+    "FACT_HAS_DIMENSION": "src",
+}
+
+
+def bucket_fact_layout(
+    spark: SparkSession,
+    tables: dict[str, DataFrame],
+    num_buckets: int = 16,
+    prefix: str = "fq",
+) -> dict[str, DataFrame]:
+    """Persist Fact and its fact-scale edges as tables bucketed on the
+    fact identifier, so every edge⋈fact join in ``fact_query`` is
+    exchange-free (no shuffle, no broadcast collect).  Dimension
+    tables pass through untouched — they stay broadcast.
+
+    Returns a new ``tables`` dict backed by the bucketed layout; feed
+    it straight to ``fact_query``.
+    """
+    from robosystems_spark.sources.bucketing import write_bucketed
+
+    out = dict(tables)
+    write_bucketed(
+        tables["Fact"], f"{prefix}_fact", ["identifier"], num_buckets
+    )
+    out["Fact"] = spark.table(f"{prefix}_fact")
+    for edge, key in FACT_EDGE_KEYS.items():
+        if edge not in tables:
+            continue
+        tname = f"{prefix}_{edge.lower()}"
+        write_bucketed(tables[edge], tname, [key], num_buckets)
+        out[edge] = spark.table(tname)
+    return out
 
 
 def fact_query(
@@ -39,22 +89,25 @@ def fact_query(
     f_u = tables["FACT_HAS_UNIT"].alias("fu")
     f_ent = tables["FACT_HAS_ENTITY"].alias("fent")
 
+    # fact-scale edges (one row per fact): NO broadcast hint — AQE
+    # decides at runtime; true dims keep explicit hints.
     joined = (
-        fact.join(F.broadcast(f_e), F.col("f.identifier") == F.col("fe.src"))
+        fact.join(f_e, F.col("f.identifier") == F.col("fe.src"))
         .join(F.broadcast(elem), F.col("fe.dst") == F.col("e.identifier"))
-        .join(F.broadcast(f_p), F.col("f.identifier") == F.col("fp.src"))
+        .join(f_p, F.col("f.identifier") == F.col("fp.src"))
         .join(F.broadcast(per), F.col("fp.dst") == F.col("p.identifier"))
-        .join(F.broadcast(f_u), F.col("f.identifier") == F.col("fu.src"))
+        .join(f_u, F.col("f.identifier") == F.col("fu.src"))
         .join(F.broadcast(unit), F.col("fu.dst") == F.col("u.identifier"))
-        .join(F.broadcast(f_ent), F.col("f.identifier") == F.col("fent.src"))
+        .join(f_ent, F.col("f.identifier") == F.col("fent.src"))
         .join(F.broadcast(ent), F.col("fent.dst") == F.col("ent.identifier"))
     )
 
     if fact_set_id:
         fs = tables["FactSet"].alias("fs")
         fs_f = tables["FACT_SET_CONTAINS_FACT"].alias("fsf")
+        # FACT_SET_CONTAINS_FACT is fact-scale too — no hint
         joined = joined.join(
-            F.broadcast(fs_f), F.col("f.identifier") == F.col("fsf.dst")
+            fs_f, F.col("f.identifier") == F.col("fsf.dst")
         ).join(
             F.broadcast(fs.filter(F.col("fs.identifier") == fact_set_id)),
             F.col("fsf.src") == F.col("fs.identifier"),
@@ -69,11 +122,14 @@ def fact_query(
     axis_elem = tables["Element"].alias("axis")
     member_elem = tables["Element"].alias("member")
 
+    # FACT_HAS_DIMENSION and the per-FactDimension axis/member edges
+    # scale with the dimensional-fact count — unhinted; only the
+    # Element dim lookups stay broadcast.
     dim_path = (
-        fdim.join(F.broadcast(f_d), F.col("fd.identifier") == F.col("fd_edge.dst"))
-        .join(F.broadcast(d_axis), F.col("fd.identifier") == F.col("da.src"))
+        fdim.join(f_d, F.col("fd.identifier") == F.col("fd_edge.dst"))
+        .join(d_axis, F.col("fd.identifier") == F.col("da.src"))
         .join(F.broadcast(axis_elem), F.col("da.dst") == F.col("axis.identifier"))
-        .join(F.broadcast(d_member), F.col("fd.identifier") == F.col("dm.src"), "left")
+        .join(d_member, F.col("fd.identifier") == F.col("dm.src"), "left")
         .join(F.broadcast(member_elem), F.col("dm.dst") == F.col("member.identifier"), "left")
         .select(
             F.col("fd_edge.src").alias("_dim_fact_id"),
@@ -82,9 +138,10 @@ def fact_query(
             F.col("member.name").alias("dimension_member"),
         )
     )
-    # left join preserves dimensionless facts with NULL dimension cols
+    # left join preserves dimensionless facts with NULL dimension cols;
+    # dim_path is dimensional-fact-scale → unhinted
     joined = joined.join(
-        F.broadcast(dim_path), F.col("f.identifier") == F.col("_dim_fact_id"), "left"
+        dim_path, F.col("f.identifier") == F.col("_dim_fact_id"), "left"
     )
 
     preds = []

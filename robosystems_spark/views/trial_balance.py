@@ -10,10 +10,15 @@ trial_balance.py:36-57 — the 4-hop GL pattern
 filtered to a date range, grouped per element with debit/credit sums
 and ``net_balance = debits - credits``, ordered by element name.
 
-Spark shape: chained equi-joins through the edge tables; Element and
-the edges are dimension-scale → broadcast; the single shuffle is the
-final groupBy(element).  At 100 TB, LineItem is the fact table — the
-join order keeps it streaming (never builds a hash table on it).
+Spark shape: chained equi-joins through the edge tables.  Element and
+Entity are TRUE dimensions → explicit broadcast.  The GL linkage
+edges (TRANSACTION_HAS_LINE_ITEM, ENTITY_HAS_TRANSACTION,
+LINE_ITEM_RELATES_TO_ELEMENT) and the Transaction table itself scale
+WITH the ledger — one row per line item / per transaction — so they
+carry NO broadcast hint: AQE broadcasts them when runtime stats say
+they're small, and at 100 TB the joins degrade to shuffles (or
+exchange-free bucketed joins) instead of OOMing the driver.  LineItem
+is the fact table — the join order keeps it streaming.
 """
 
 from __future__ import annotations
@@ -60,12 +65,13 @@ def tb_joined(
     if entity_id:
         ent = ent.filter(F.col("e.identifier") == entity_id)
 
+    # ledger-scale inputs (edges + Transaction) unhinted; dims broadcast
     joined = (
-        li.join(F.broadcast(t_li), F.col("li.identifier") == F.col("tl.dst"))
-        .join(F.broadcast(txn), F.col("tl.src") == F.col("t.identifier"))
-        .join(F.broadcast(e_t), F.col("t.identifier") == F.col("et.dst"))
+        li.join(t_li, F.col("li.identifier") == F.col("tl.dst"))
+        .join(txn, F.col("tl.src") == F.col("t.identifier"))
+        .join(e_t, F.col("t.identifier") == F.col("et.dst"))
         .join(F.broadcast(ent), F.col("et.src") == F.col("e.identifier"))
-        .join(F.broadcast(li_el), F.col("li.identifier") == F.col("le.src"))
+        .join(li_el, F.col("li.identifier") == F.col("le.src"))
         .join(F.broadcast(elem), F.col("le.dst") == F.col("elem.identifier"))
     )
     extra = [c for c in ("li._change_type",) if line_items is not None]
@@ -95,11 +101,14 @@ def trial_balance(
     LINE_ITEM_RELATES_TO_ELEMENT (GraphStore naming).
     """
     rows = tb_joined(tables, period_start, period_end, entity_id)
+    # NULL amount means "unused side of the entry" = 0 — coalesced in
+    # ALL THREE computation paths (request view, matview full
+    # recompute, additive delta) so they agree on the same data.
     return (
         rows.groupBy(*TB_GROUP_COLS)
         .agg(
-            F.sum("debit_amount").alias("total_debits"),
-            F.sum("credit_amount").alias("total_credits"),
+            F.sum(F.coalesce("debit_amount", F.lit(0.0))).alias("total_debits"),
+            F.sum(F.coalesce("credit_amount", F.lit(0.0))).alias("total_credits"),
         )
         .withColumn("net_balance", F.col("total_debits") - F.col("total_credits"))
         .orderBy("element_name")
@@ -140,19 +149,32 @@ TB_TABLES = (
 TB_AGG_COLS = ["total_debits", "total_credits", "net_balance"]
 
 
-def _tb_full_with_rowcount(store, filters: dict) -> DataFrame:
+def _tb_full_with_rowcount(
+    store, filters: dict, versions: dict[str, int] | None = None
+) -> DataFrame:
     from robosystems_spark.sources.matview import ROWCOUNT_COL
 
-    tables = {t: store.read(t) for t in TB_TABLES}
+    # version-pinned reads: the refresh path snapshots base-table
+    # versions BEFORE recomputing; reading latest instead would let a
+    # commit landing mid-refresh into the recomputed view while
+    # last_v stays stale — the next additive refresh then re-applies
+    # that commit's change feed and double-counts it.
+    tables = {
+        t: store.read(t, version=None if versions is None else versions[t])
+        for t in TB_TABLES
+    }
     rows = tb_joined(tables, **filters)
+    # coalesced amounts — must match trial_balance() and the additive
+    # delta formula exactly (a NULL-side entry otherwise makes the
+    # three paths disagree: SUM(d - c) drops the whole row)
+    d = F.coalesce("debit_amount", F.lit(0.0))
+    c = F.coalesce("credit_amount", F.lit(0.0))
     return (
         rows.groupBy(*TB_GROUP_COLS)
         .agg(
-            F.sum("debit_amount").alias("total_debits"),
-            F.sum("credit_amount").alias("total_credits"),
-            F.sum(F.col("debit_amount") - F.col("credit_amount")).alias(
-                "net_balance"
-            ),
+            F.sum(d).alias("total_debits"),
+            F.sum(c).alias("total_credits"),
+            F.sum(d - c).alias("net_balance"),
             F.count(F.lit(1)).alias(ROWCOUNT_COL),
         )
     )
@@ -177,7 +199,7 @@ def create_trial_balance_matview(
         "entity_id": entity_id,
     }
     base_v = {t: store.version(t) for t in TB_TABLES}
-    full = _tb_full_with_rowcount(store, filters)
+    full = _tb_full_with_rowcount(store, filters, versions=base_v)
     store.copy_into(view, full, primary_keys=list(TB_GROUP_COLS))
     meta = store._load_meta(view)
     meta["tb_matview"] = {"filters": filters, "last_v": base_v}
@@ -216,7 +238,7 @@ def refresh_trial_balance_matview(store, view: str = "TrialBalanceMV") -> dict:
             break
 
     if needs_recompute:
-        full = _tb_full_with_rowcount(store, filters).cache()
+        full = _tb_full_with_rowcount(store, filters, versions=now_v).cache()
         touched = full.count()
         store.upsert(view, full, primary_keys=list(TB_GROUP_COLS))
         vanished = (
@@ -230,7 +252,7 @@ def refresh_trial_balance_matview(store, view: str = "TrialBalanceMV") -> dict:
         mode, touched_n = "recompute", touched
     elif "LineItem" in changed:
         feed = store.changes("LineItem", last_v["LineItem"], now_v["LineItem"])
-        tables = {t: store.read(t) for t in TB_TABLES}
+        tables = {t: store.read(t, version=now_v[t]) for t in TB_TABLES}
         rows = tb_joined(tables, **filters, line_items=feed)
         sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
             F.lit(-1)

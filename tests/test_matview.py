@@ -356,3 +356,70 @@ def test_trial_balance_matview_via_call_procedure(spark, store):
     out = refresh_materialized_view(store, "TB")
     assert out["mode"] == "additive" and out["groups_touched"] == 1
     assert _tb_view(store, "TB") == _tb_golden(store)
+
+
+def test_trial_balance_null_amounts_three_paths_agree(spark, store):
+    """GL data may use NULL for the unused side of an entry.  The
+    request-path view, the matview full recompute, and the additive
+    refresh must all coalesce NULL->0 identically — SUM(d - c) drops
+    NULL-side rows entirely and diverges (the r5-cycle advice bug)."""
+    from robosystems_spark.views.trial_balance import (
+        create_trial_balance_matview,
+        refresh_trial_balance_matview,
+    )
+
+    _seed_gl(spark, store)
+    mk = spark.createDataFrame
+    # NULL-side entry, present at matview creation (exercises the full
+    # recompute path in _tb_full_with_rowcount)
+    store.upsert("Transaction", mk(
+        [("t3", "2024-03-01")], "identifier string, date string"),
+        primary_keys=["identifier"])
+    store.upsert("LineItem", mk(
+        [("l5", 30.0, None), ("l6", None, 30.0)],
+        "identifier string, debit_amount double, credit_amount double"),
+        primary_keys=["identifier"])
+    store.upsert("ENTITY_HAS_TRANSACTION", mk(
+        [("e1", "t3")], "src string, dst string"), primary_keys=["src", "dst"])
+    store.upsert("TRANSACTION_HAS_LINE_ITEM", mk(
+        [("t3", "l5"), ("t3", "l6")], "src string, dst string"),
+        primary_keys=["src", "dst"])
+    store.upsert("LINE_ITEM_RELATES_TO_ELEMENT", mk(
+        [("l5", "exp"), ("l6", "cash")], "src string, dst string"),
+        primary_keys=["src", "dst"])
+
+    create_trial_balance_matview(store, "TBN")
+    golden = _tb_golden(store)
+    assert _tb_view(store, "TBN") == golden
+    assert golden["exp"] == (80.0, 0.0, 80.0)       # 50 + 30(NULL credit)
+    assert golden["cash"] == (100.0, 80.0, 20.0)    # credit 50 + 30(NULL debit)
+
+    # another NULL-side entry through the ADDITIVE path
+    store.upsert("Transaction", mk(
+        [("t4", "2024-04-01")], "identifier string, date string"),
+        primary_keys=["identifier"])
+    store.upsert("LineItem", mk(
+        [("l7", 5.0, None), ("l8", None, 5.0)],
+        "identifier string, debit_amount double, credit_amount double"),
+        primary_keys=["identifier"])
+    store.upsert("ENTITY_HAS_TRANSACTION", mk(
+        [("e1", "t4")], "src string, dst string"), primary_keys=["src", "dst"])
+    store.upsert("TRANSACTION_HAS_LINE_ITEM", mk(
+        [("t4", "l7"), ("t4", "l8")], "src string, dst string"),
+        primary_keys=["src", "dst"])
+    store.upsert("LINE_ITEM_RELATES_TO_ELEMENT", mk(
+        [("l7", "exp"), ("l8", "cash")], "src string, dst string"),
+        primary_keys=["src", "dst"])
+
+    r = refresh_trial_balance_matview(store, "TBN")
+    assert r["mode"] == "additive"
+    golden = _tb_golden(store)
+    assert _tb_view(store, "TBN") == golden
+    assert golden["exp"] == (85.0, 0.0, 85.0)
+
+    # element rename forces the RECOMPUTE path over the same NULL data
+    store.update_where("Element", F.col("identifier") == "cash",
+                       {"name": F.lit("Cash2")})
+    r = refresh_trial_balance_matview(store, "TBN")
+    assert r["mode"] == "recompute"
+    assert _tb_view(store, "TBN") == _tb_golden(store)

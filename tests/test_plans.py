@@ -448,3 +448,79 @@ def test_profile_single_scan_single_aggregation(spark, sf_dir):
     plan = plan_of(df.agg(*aggs))
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
     assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Views layer: fact-scale edge tables must NEVER carry a hard broadcast
+# hint.  The FACT_HAS_* / GL-linkage edges have one row per fact / per
+# line item — the same cardinality as the fact table — so an explicit
+# F.broadcast() on them would collect a billion-row table onto the
+# driver at 100x scale (OOM, not a slow plan).  Correctness tests at
+# small SF can't catch this; only a plan audit can.
+# ---------------------------------------------------------------------------
+
+
+def _views_fixture_tables(spark):
+    """Minimal schemas for both views; row contents are irrelevant —
+    the gate inspects the compiled plan, not values."""
+    mk = spark.createDataFrame
+    elem = mk(
+        [("el1", "uri:el", "E", "asset", "debit", "instant")],
+        ["identifier", "uri", "name", "classification", "balance", "period_type"],
+    )
+    edge = lambda: mk([("a", "b")], ["src", "dst"])  # noqa: E731
+    return {
+        "Fact": mk([("f1", 1.0)], ["identifier", "numeric_value"]),
+        "Element": elem,
+        "Period": mk(
+            [("p1", "2024-01-01", "2024-12-31", 2024)],
+            ["identifier", "start_date", "end_date", "fiscal_year"],
+        ),
+        "Unit": mk([("u1", "USD")], ["identifier", "value"]),
+        "Entity": mk([("e1", "Acme")], ["identifier", "name"]),
+        "FactSet": mk([("fs1",)], ["identifier"]),
+        "FactDimension": mk([("fd1",)], ["identifier"]),
+        "FACT_HAS_ELEMENT": edge(),
+        "FACT_HAS_PERIOD": edge(),
+        "FACT_HAS_UNIT": edge(),
+        "FACT_HAS_ENTITY": edge(),
+        "FACT_SET_CONTAINS_FACT": edge(),
+        "FACT_HAS_DIMENSION": edge(),
+        "FACT_DIMENSION_AXIS_ELEMENT": edge(),
+        "FACT_DIMENSION_MEMBER_ELEMENT": edge(),
+        "Transaction": mk([("t1", 1.0, "2024-01-01")], ["identifier", "amount", "date"]),
+        "LineItem": mk([("l1", 1.0, 0.0)], ["identifier", "debit_amount", "credit_amount"]),
+        "ENTITY_HAS_TRANSACTION": edge(),
+        "TRANSACTION_HAS_LINE_ITEM": edge(),
+        "LINE_ITEM_RELATES_TO_ELEMENT": edge(),
+    }
+
+
+def test_views_never_broadcast_fact_scale_edges(spark):
+    """With auto-broadcast disabled, the ONLY broadcasts left are the
+    explicit hints — so the executed plan proves where the hints are:
+    dims broadcast, edges fall back to shuffle joins.  If someone
+    re-adds F.broadcast() on an edge, the SortMergeJoin assertion and
+    the hint counts both fail."""
+    from robosystems_spark.views.fact_query import fact_query
+    from robosystems_spark.views.trial_balance import trial_balance
+
+    tables = _views_fixture_tables(spark)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        fq = fact_query(tables, fact_set_id="fs1")
+        tb = trial_balance(tables)
+        # analyzed plan: exact hint counts (dims only)
+        fq_hints = analyzed_plan_of(fq).count("ResolvedHint")
+        tb_hints = analyzed_plan_of(tb).count("ResolvedHint")
+        assert fq_hints == 7, f"fact_query: {fq_hints} hints (want 7 dims: elem/per/unit/ent/fs/axis/member)"
+        assert tb_hints == 2, f"trial_balance: {tb_hints} hints (want 2 dims: Entity/Element)"
+        # executed plan: edge joins are shuffle joins, never broadcast
+        for name, df in (("fact_query", fq), ("trial_balance", tb)):
+            plan = plan_of(df)
+            assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, (
+                f"{name}: no shuffle join in plan — an edge input is being broadcast"
+            )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
