@@ -1124,7 +1124,10 @@ def corpus_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq AS (SELECT tok, COUNT(DISTINCT doc_id) AS dfq FROM toks GROUP BY tok),
     nd AS (SELECT COUNT(*) AS n FROM documents),
     keep AS (
-      SELECT tok FROM dfreq, nd WHERE dfq >= 2 AND dfq <= CAST(0.5 * n AS BIGINT)
+      -- FLOOR before CAST: DuckDB CAST rounds-half-up while the Spark
+      -- side uses Python int() truncation — for odd n the two cutoffs
+      -- would differ by one and a boundary-df token flips the hash
+      SELECT tok FROM dfreq, nd WHERE dfq >= 2 AND dfq <= CAST(FLOOR(0.5 * n) AS BIGINT)
     ),
     kept AS (
       SELECT doc_id, pos, tok FROM toks SEMI JOIN keep USING (tok)

@@ -264,6 +264,11 @@ def parse_header(data: bytes) -> dict:
         while i + 9 < len(data):
             if data[i] != 0xFF:
                 break
+            # JPEG permits runs of 0xFF fill bytes before a marker —
+            # skip them or the fill byte is read as the marker and the
+            # segment-length read is misaligned
+            while data[i + 1] == 0xFF and i + 10 < len(data):
+                i += 1
             marker = data[i + 1]
             if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
                 out["bit_depth"] = data[i + 4]

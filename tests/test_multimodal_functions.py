@@ -199,3 +199,25 @@ def test_parse_header_pure_function_jpeg_marker_walk(spark):
     # truncated payloads degrade to unknown/None, never raise
     assert parse_header(b"\xff\xd8\xff")["width"] is None
     assert parse_header(b"")["container"] == "unknown"
+
+
+def test_parse_header_jpeg_fill_bytes_before_marker(spark):
+    """JPEG permits runs of 0xFF padding before a marker; the scanner
+    must skip fill bytes instead of reading 0xFF as the marker and
+    misaligning the segment-length read (r5-cycle advice bug)."""
+    from robosystems_spark.operators.multimodal import parse_header
+
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+    sof0 = (
+        b"\xff\xc0" + (17).to_bytes(2, "big") + bytes([8])
+        + (77).to_bytes(2, "big") + (33).to_bytes(2, "big") + bytes([3])
+        + b"\x00" * 9
+    )
+    # fill bytes between APP0 and SOF0, and straight after SOI
+    padded = b"\xff\xd8" + b"\xff\xff" + app0 + b"\xff\xff\xff" + sof0 + b"\xff\xd9"
+    h = parse_header(padded)
+    assert h["container"] == "jpeg"
+    assert (h["width"], h["height"]) == (33, 77)
+    assert h["channels"] == 3 and h["bit_depth"] == 8
+    # a pathological all-0xFF tail still terminates without raising
+    assert parse_header(b"\xff\xd8\xff" + b"\xff" * 64)["width"] is None

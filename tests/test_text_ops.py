@@ -353,3 +353,43 @@ def test_ppmi_similarity_groups_words_by_shared_contexts(spark):
     for w in ("cat", "dog"):
         pair = tuple(sorted((w, "rocket")))
         assert sims.get(pair, 0.0) < cat_dog
+
+
+def test_vocab_prune_boundary_cutoff_matches_oracle_semantics(spark):
+    """Odd corpus size + a token whose df sits exactly on the max-df
+    boundary: Spark's int() truncation and the oracle's
+    CAST(FLOOR(...) AS BIGINT) must agree (plain CAST in DuckDB
+    rounds half-up and would admit one extra token for odd n)."""
+    import duckdb
+
+    from robosystems_spark.inventory import REGISTRY, _ensure_loaded
+    from robosystems_spark.operators.corpus import vocab_prune
+
+    _ensure_loaded()
+    # n=5 docs, max_df_frac=0.5 -> cutoff int(2.5)=2.  Token "edge"
+    # appears in exactly 3 docs (df=3 > 2: pruned under truncation,
+    # KEPT under round-half-up: 3 <= round(2.5)=3) — the divergence.
+    rows = [
+        ("d1", "edge alpha alpha"),
+        ("d2", "edge beta alpha"),
+        ("d3", "edge beta gamma"),
+        ("d4", "gamma delta unique1"),
+        ("d5", "delta unique2 unique3"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: (r["kept_text"], r["n_kept"], r["n_removed"])
+        for r in vocab_prune(df, max_df_frac=0.5, min_df=2).collect()
+    }
+    # edge (df=3) pruned; alpha (2), beta (2), gamma (2), delta (2) kept
+    assert out["d1"] == ("alpha alpha", 2, 1)
+    assert out["d2"] == ("beta alpha", 2, 1)
+    assert out["d3"] == ("beta gamma", 2, 1)
+    # oracle SQL on the same 5 docs must match exactly
+    con = duckdb.connect()
+    con.register("documents", df.toPandas())
+    oracle = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(REGISTRY["corpus_vocab_prune"].oracle).fetchall()
+    }
+    assert oracle == out
