@@ -547,12 +547,22 @@ def ppmi_word_similarity(
     text_col: str = "text",
     scale: int = 10_000,
     decimals: int = 6,
+    max_context_degree: int = 100_000,
 ) -> DataFrame:
     """Count-based word embeddings: symmetric +/-2 skip-gram
     co-occurrence -> PPMI matrix -> top-k most-similar word pairs by
     cosine over the sparse PPMI rows (Levy & Goldberg 2014: PPMI+SVD
     factorizes the same signal word2vec fits — the SVD is optional,
     the similarity structure lives in the PPMI rows themselves).
+
+    ``max_context_degree`` bounds the sparse-matmul self-join's worst
+    key: a context column appearing in more than that many PPMI rows
+    (a stop-word that survives min_count) would contribute O(deg^2)
+    join pairs at corpus scale.  Hot contexts are dropped from BOTH
+    the dot products and the norms (the matrix itself is truncated,
+    so cosines stay <= 1 and the oracle mirrors the same rule).
+    Standard practice for count-based embeddings — near-ubiquitous
+    contexts carry ~zero PPMI signal anyway.
 
     Plan: context pairs are generated MAP-SIDE with array transforms
     (offset-1 and offset-2 struct sequences, symmetrized) — no window
@@ -618,6 +628,16 @@ def ppmi_word_similarity(
         )
         .filter(F.col("p_i") > 0)
     )
+    # hot-context cap: semi-join against the in-degree-bounded context
+    # set BEFORE norms and the matmul, so both sides see the same
+    # truncated matrix
+    ctx_ok = (
+        ppmi.groupBy("_c")
+        .agg(F.count(F.lit(1)).alias("_deg"))
+        .filter(F.col("_deg") <= max_context_degree)
+        .select("_c")
+    )
+    ppmi = ppmi.join(ctx_ok, "_c", "left_semi")
     norms = ppmi.groupBy("_w").agg(F.sum(F.col("p_i") * F.col("p_i")).alias("n2"))
     left = ppmi.select(
         F.col("_w").alias("w1"), F.col("_c").alias("_cc"), F.col("p_i").alias("pa")
@@ -650,6 +670,7 @@ def ppmi_word_similarity_oracle_sql(
     text_col: str = "text",
     scale: int = 10_000,
     decimals: int = 6,
+    max_context_degree: int = 100_000,
 ) -> str:
     """DuckDB SQL computing the identical PPMI cosine top-k (ordered
     adjacency joins reproduce the map-side pair generation's counts)."""
@@ -689,7 +710,12 @@ def ppmi_word_similarity_oracle_sql(
       JOIN cnt c2 ON c2.w = j.c
       WHERE c1.cw >= {min_count} AND c2.cw >= {min_count}
     ),
-    sp AS (SELECT * FROM ppmi WHERE p_i > 0),
+    sp0 AS (SELECT * FROM ppmi WHERE p_i > 0),
+    -- hot-context cap, mirroring the engine's truncated matrix
+    ctx_ok AS (
+      SELECT c FROM sp0 GROUP BY c HAVING COUNT(*) <= {max_context_degree}
+    ),
+    sp AS (SELECT * FROM sp0 SEMI JOIN ctx_ok USING (c)),
     norms AS (SELECT w, SUM(p_i * p_i) AS n2 FROM sp GROUP BY w),
     dots AS (
       SELECT x.w AS w1, y.w AS w2, SUM(x.p_i * y.p_i) AS dot

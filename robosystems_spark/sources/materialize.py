@@ -1259,17 +1259,32 @@ class GraphStore:
             df = df.drop(self.DV_FILE_COL, self.DV_POS_COL)
         return df
 
+    # target rows per DV sidecar file: point deletes coalesce to one
+    # file; a delete touching 10^9 rows would otherwise funnel the
+    # whole address list through a single write task
+    DV_ROWS_PER_FILE = 4_000_000
+
     def _write_dv_files(self, table: str, df: DataFrame) -> list[str]:
         """Write a deletion-vector sidecar (columns DV_FILE_COL,
         DV_POS_COL) under ``<table>/_dv/`` — an underscore dir, so data
         scans never see it.  Same scratch-then-rename discipline as
-        data files; invisible until the commit references it."""
+        data files; invisible until the commit references it.
+
+        Size-aware partitioning: the address count decides the file
+        count — point deletes stay a single tiny sidecar; a mass
+        delete fans out so no single task serializes the whole list."""
         import uuid
 
         live = os.path.join(self.table_path(table), "_dv")
         os.makedirs(live, exist_ok=True)
         scratch = os.path.join(self._tmp_root, f"{table}-dv-{uuid.uuid4().hex}")
-        df.coalesce(1).write.mode("overwrite").parquet(scratch)
+        df = df.persist()
+        try:
+            n = df.count()
+            n_files = max(1, math.ceil(n / self.DV_ROWS_PER_FILE))
+            df.coalesce(n_files).write.mode("overwrite").parquet(scratch)
+        finally:
+            df.unpersist()
         moved: list[str] = []
         for fn in os.listdir(scratch):
             if fn.endswith(".parquet") and not fn.startswith((".", "_")):

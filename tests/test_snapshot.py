@@ -1083,3 +1083,26 @@ def test_plan_prune_parity_with_python_loop(spark, store):
         planned = store._plan_prune("PAR", v, preds, is_null)
         assert planned is not None
         assert planned[0] == keep_py, f"plan/python mismatch for {preds} {is_null}"
+
+
+def test_dv_sidecar_writes_are_size_aware(spark, store):
+    """A mass merge-on-read delete fans its DV addresses across
+    multiple sidecar files (no single task serializes the whole
+    list); point deletes stay one file; read semantics unchanged."""
+    _seed(spark, store, n=500)
+    store.DV_ROWS_PER_FILE = 100  # shrink the threshold for the test
+
+    # mass delete: 400 addresses -> ceil(400/100) = 4 sidecar files
+    store.delete_where("T", F.col("identifier") < 400, merge_on_read=True)
+    entries = store._dv_at("T")
+    n_sidecars = len({e["path"] for e in entries})
+    assert n_sidecars >= 4, f"mass delete wrote {n_sidecars} sidecar file(s)"
+    assert store.read("T").count() == 100
+    assert store.read("T").filter("identifier < 400").count() == 0
+
+    # point delete: one address -> exactly one new sidecar file
+    before = {e["path"] for e in entries}
+    store.delete_where("T", F.col("identifier") == 450, merge_on_read=True)
+    after = {e["path"] for e in store._dv_at("T")}
+    assert len(after - before) == 1
+    assert store.read("T").count() == 99

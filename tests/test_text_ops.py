@@ -393,3 +393,49 @@ def test_vocab_prune_boundary_cutoff_matches_oracle_semantics(spark):
         for r in con.execute(REGISTRY["corpus_vocab_prune"].oracle).fetchall()
     }
     assert oracle == out
+
+
+def test_ppmi_hot_context_cap_bounds_matmul_and_matches_oracle(spark):
+    """Skew fixture: one stop-word context co-occurs with every word.
+    With a tiny max_context_degree the hot context is dropped from the
+    sparse matmul AND the norms on both engines (hash parity), and the
+    self-join side is provably degree-bounded."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from robosystems_spark.operators.corpus import (
+        ppmi_word_similarity,
+        ppmi_word_similarity_oracle_sql,
+    )
+
+    random.seed(7)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = []
+    for d in range(60):
+        toks = []
+        for _ in range(12):
+            toks.append(random.choice(vocab))
+            toks.append("the")  # the hot context: adjacent to everything
+        rows.append((d, " ".join(toks)))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    kw = dict(k=200, min_count=5, max_context_degree=8)
+    out = sorted(
+        (r["w1"], r["w2"], r["cosine"])
+        for r in ppmi_word_similarity(docs, **kw).collect()
+    )
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    oracle = sorted(
+        (r[0], r[1], r[2])
+        for r in con.execute(ppmi_word_similarity_oracle_sql(**kw)).fetchall()
+    )
+    assert out == oracle and len(out) > 0
+    # the capped run differs from the uncapped one (the cap really bit)
+    uncapped = sorted(
+        (r["w1"], r["w2"], r["cosine"])
+        for r in ppmi_word_similarity(docs, k=200, min_count=5).collect()
+    )
+    assert out != uncapped
