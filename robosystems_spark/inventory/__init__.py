@@ -93,6 +93,7 @@ def _ensure_loaded() -> None:
     from robosystems_spark.inventory import (  # noqa: F401
         graph,
         llm,
+        multimodal,
         relational,
         subqueries,
         tpch,

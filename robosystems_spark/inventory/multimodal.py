@@ -1,0 +1,154 @@
+"""Multimodal-pipeline registry entries with HARD DuckDB oracles.
+
+The decode step itself is real here (pure-numpy BMP pixel and WAV PCM
+decoding — operators/multimodal.py), so these entries hash-check the
+whole encode -> decode -> statistics pipeline: payloads are
+synthesized deterministically from ``doc_id`` (a closed-form byte
+formula both engines can state), the Spark side round-trips them
+through REAL container bytes inside ``mapInPandas``, and the oracle
+computes the same statistics from the formula directly.  A decoder
+that mishandles BMP row padding, bottom-up layout, BGR order, or WAV
+chunk walking diverges from the oracle immediately.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from robosystems_spark.inventory import register
+from robosystems_spark.io import read_table
+
+_N_DOCS = 200
+_IMG_W, _IMG_H = 8, 4
+_WAV_N, _WAV_RATE = 64, 8000
+
+
+def _doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < _N_DOCS)
+    )
+
+
+@register(
+    "multimodal_bmp_channel_stats",
+    oracle=f"""
+    SELECT d.doc_id,
+           CAST({_IMG_W} AS INTEGER) AS width,
+           CAST({_IMG_H} AS INTEGER) AS height,
+           ROUND(AVG(CAST((d.doc_id * 7 + 3 * t.i) % 256 AS DOUBLE)), 6) AS mean_r,
+           ROUND(AVG(CAST((d.doc_id * 7 + 3 * t.i + 1) % 256 AS DOUBLE)), 6) AS mean_g,
+           ROUND(AVG(CAST((d.doc_id * 7 + 3 * t.i + 2) % 256 AS DOUBLE)), 6) AS mean_b,
+           CAST((d.doc_id * 7) % 256 AS INTEGER) AS corner_r
+    FROM documents d, range({_IMG_W * _IMG_H}) t(i)
+    WHERE d.doc_id < {_N_DOCS}
+    GROUP BY d.doc_id
+    ORDER BY d.doc_id
+    """,
+    doc="REAL image decode path: synthesize a 24-bit BMP per document "
+    "(pixel bytes are a closed-form function of doc_id), round-trip "
+    "through actual BMP container bytes (row padding, bottom-up rows, "
+    "BGR order) in mapInPandas, and emit per-channel means + the "
+    "row-order-sensitive top-left red value; the oracle computes the "
+    "same stats from the formula — any decode-layout bug diverges.",
+    tags=("multimodal",),
+)
+def multimodal_bmp_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from robosystems_spark.operators.multimodal import (
+        encode_bmp,
+        image_channel_stats,
+    )
+
+    w, h = _IMG_W, _IMG_H
+
+    def encode(it):
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                px = (int(did) * 7 + np.arange(w * h * 3)) % 256
+                payloads.append(
+                    encode_bmp(px.astype(np.uint8).reshape(h, w, 3))
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": payloads})
+
+    media = _doc_ids(spark, sf_dir).mapInPandas(
+        encode,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("content", T.BinaryType()),
+            ]
+        ),
+    )
+    return (
+        image_channel_stats(media, id_col="doc_id")
+        .withColumnRenamed("media_id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "multimodal_wav_pcm_rms",
+    oracle=f"""
+    WITH s AS (
+      SELECT d.doc_id,
+             CAST((d.doc_id * 131 + t.i * 17) % 65536 - 32768 AS BIGINT) AS v
+      FROM documents d, range({_WAV_N}) t(i)
+      WHERE d.doc_id < {_N_DOCS}
+    )
+    SELECT doc_id,
+           CAST({_WAV_RATE} AS INTEGER) AS sample_rate_hz,
+           CAST(1 AS INTEGER) AS channels,
+           CAST({_WAV_N} AS BIGINT) AS n_samples,
+           ROUND(SQRT(AVG(CAST(v * v AS DOUBLE))), 6) AS rms,
+           CAST(MAX(ABS(v)) AS INTEGER) AS peak
+    FROM s
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    doc="REAL audio decode path: synthesize 16-bit mono PCM WAV per "
+    "document (samples are a closed-form int16 function of doc_id), "
+    "round-trip through actual RIFF/fmt/data chunk bytes in "
+    "mapInPandas, and emit per-clip RMS + absolute peak; the oracle "
+    "computes the identical statistics from the formula.",
+    tags=("multimodal",),
+)
+def multimodal_wav_pcm_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from robosystems_spark.operators.multimodal import (
+        audio_clip_stats,
+        encode_wav_pcm,
+    )
+
+    def encode(it):
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                v = (int(did) * 131 + np.arange(_WAV_N) * 17) % 65536 - 32768
+                payloads.append(
+                    encode_wav_pcm(v.astype(np.int16), _WAV_RATE, 1)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": payloads})
+
+    media = _doc_ids(spark, sf_dir).mapInPandas(
+        encode,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("content", T.BinaryType()),
+            ]
+        ),
+    )
+    return (
+        audio_clip_stats(media, id_col="doc_id")
+        .withColumnRenamed("media_id", "doc_id")
+        .orderBy("doc_id")
+    )

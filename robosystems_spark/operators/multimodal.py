@@ -313,3 +313,263 @@ def parse_media_headers(
     return df.select(
         F.col(id_col).alias(id_col), F.col(binary_col)
     ).mapInPandas(batches, HEADER_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL pixel/sample decoding for UNCOMPRESSED containers — pure numpy,
+# no codec libraries: 24-bit BMP, binary PPM (P6), and PCM WAV decode
+# for real inside the same mapInPandas seam the stubbed codecs use.
+# Compressed formats (PNG/JPEG/MP3) remain the honest
+# NotImplementedError seam above.
+# ---------------------------------------------------------------------------
+
+
+def decode_bmp(data: bytes):
+    """Decode an uncompressed 24-bit BMP into an (h, w, 3) uint8 RGB
+    array — handles the 4-byte row padding, bottom-up row order, and
+    BGR channel order of the on-disk format."""
+    import numpy as np
+
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP file")
+    pixel_offset = int.from_bytes(data[10:14], "little")
+    width = int.from_bytes(data[18:22], "little", signed=True)
+    height = int.from_bytes(data[22:26], "little", signed=True)
+    bpp = int.from_bytes(data[28:30], "little")
+    compression = int.from_bytes(data[30:34], "little")
+    if compression != 0:
+        raise NotImplementedError("compressed BMP (RLE) not supported")
+    if bpp != 24:
+        raise NotImplementedError(f"{bpp}-bpp BMP not supported (24 only)")
+    bottom_up = height > 0
+    h = abs(height)
+    row_bytes = (width * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    need = pixel_offset + row_bytes * h
+    if len(data) < need:
+        raise ValueError("truncated BMP pixel data")
+    raw = np.frombuffer(data, dtype=np.uint8, count=row_bytes * h,
+                        offset=pixel_offset)
+    rows = raw.reshape(h, row_bytes)[:, : width * 3].reshape(h, width, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def encode_bmp(arr) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as an uncompressed 24-bit
+    BMP (the decode_bmp inverse) — used to synthesize real fixtures."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w, _ = a.shape
+    row_bytes = (w * 3 + 3) & ~3
+    body = np.zeros((h, row_bytes), dtype=np.uint8)
+    body[:, : w * 3] = a[::-1, :, ::-1].reshape(h, w * 3)  # RGB->BGR, flip
+    pixel_offset = 54
+    size = pixel_offset + body.size
+    header = (
+        b"BM" + size.to_bytes(4, "little") + b"\x00" * 4
+        + pixel_offset.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + body.size.to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return header + body.tobytes()
+
+
+def decode_ppm(data: bytes):
+    """Decode a binary PPM (P6) into an (h, w, 3) uint8 RGB array —
+    real header tokenization including '#' comments."""
+    import numpy as np
+
+    if data[:2] != b"P6":
+        raise ValueError("not a P6 PPM file")
+    # tokenize header: magic, width, height, maxval; '#' to EOL is a comment
+    tokens, i, tok = [], 2, b""
+    while len(tokens) < 3 and i < len(data):
+        c = data[i : i + 1]
+        if c == b"#":
+            while i < len(data) and data[i : i + 1] != b"\n":
+                i += 1
+        elif c in b" \t\r\n":
+            if tok:
+                tokens.append(tok)
+                tok = b""
+        else:
+            tok += c
+        i += 1
+    if len(tokens) < 3:
+        raise ValueError("truncated PPM header")
+    w, h, maxval = (int(t) for t in tokens)
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM not supported")
+    raw = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=i)
+    if raw.size < w * h * 3:
+        raise ValueError("truncated PPM pixel data")
+    return raw.reshape(h, w, 3).copy()
+
+
+def decode_image(data: bytes):
+    """Dispatch decode by magic: BMP and P6 PPM decode for REAL; the
+    compressed families stay the documented codec seam."""
+    if data[:2] == b"BM":
+        return decode_bmp(data)
+    if data[:2] == b"P6":
+        return decode_ppm(data)
+    if data[:8] == b"\x89PNG\r\n\x1a\n" or data[:3] == b"\xff\xd8\xff":
+        raise NotImplementedError(
+            "compressed image decode (PNG/JPEG) requires PIL, not present; "
+            "uncompressed BMP/PPM decode for real"
+        )
+    raise ValueError("unrecognized image container")
+
+
+def decode_wav_pcm(data: bytes):
+    """Decode integer-PCM WAV into ((n_samples, channels) int32 array,
+    sample_rate) — real RIFF chunk walking (fmt /data in any order,
+    odd-size chunk padding), 8-bit unsigned and 16-bit signed PCM."""
+    import numpy as np
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    i, fmt, body = 12, None, None
+    while i + 8 <= len(data):
+        cid = data[i : i + 4]
+        clen = int.from_bytes(data[i + 4 : i + 8], "little")
+        payload = data[i + 8 : i + 8 + clen]
+        if cid == b"fmt ":
+            fmt = payload
+        elif cid == b"data":
+            body = payload
+        i += 8 + clen + (clen & 1)  # odd chunks pad one byte
+    if fmt is None or body is None:
+        raise ValueError("missing fmt /data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1:
+        raise NotImplementedError("non-PCM WAV (float/ADPCM) not supported")
+    if bits == 16:
+        samples = np.frombuffer(
+            body, dtype="<i2", count=len(body) // 2
+        ).astype(np.int32)
+    elif bits == 8:
+        samples = (
+            np.frombuffer(body, dtype=np.uint8).astype(np.int32) - 128
+        )
+    else:
+        raise NotImplementedError(f"{bits}-bit PCM not supported (8/16 only)")
+    n = (samples.size // channels) * channels
+    return samples[:n].reshape(-1, channels), rate
+
+
+def encode_wav_pcm(samples, rate: int, channels: int = 1) -> bytes:
+    """Encode int16 samples as a PCM WAV (decode_wav_pcm inverse)."""
+    import numpy as np
+
+    body = np.asarray(samples, dtype="<i2").tobytes()
+    byte_rate = rate * channels * 2
+    fmt = (
+        (1).to_bytes(2, "little") + channels.to_bytes(2, "little")
+        + rate.to_bytes(4, "little") + byte_rate.to_bytes(4, "little")
+        + (channels * 2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+    )
+    chunks = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    chunks += b"data" + len(body).to_bytes(4, "little") + body
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+IMAGE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+        T.StructField("corner_r", T.IntegerType()),
+    ]
+)
+
+
+def image_channel_stats(
+    df: DataFrame, binary_col: str = "content", id_col: str = "media_id",
+    decimals: int = 6,
+) -> DataFrame:
+    """REAL per-image channel statistics over a binary column: decode
+    (BMP/PPM, pure numpy) inside one Arrow-batched ``mapInPandas``
+    pass; payloads never shuffle; output carries only the scalars.
+    ``corner_r`` (top-left red value) is row-order-sensitive, so a
+    decoder that mishandles BMP's bottom-up layout fails loudly."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[binary_col]):
+                a = decode_image(bytes(payload))
+                m = a.reshape(-1, 3).mean(axis=0)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "width": a.shape[1],
+                        "height": a.shape[0],
+                        "mean_r": round(float(m[0]), decimals),
+                        "mean_g": round(float(m[1]), decimals),
+                        "mean_b": round(float(m[2]), decimals),
+                        "corner_r": int(a[0, 0, 0]),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(
+        F.col(id_col).alias(id_col), F.col(binary_col)
+    ).mapInPandas(batches, IMAGE_STATS_SCHEMA)
+
+
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate_hz", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.IntegerType()),
+    ]
+)
+
+
+def audio_clip_stats(
+    df: DataFrame, binary_col: str = "content", id_col: str = "media_id",
+    decimals: int = 6,
+) -> DataFrame:
+    """REAL per-clip PCM statistics: WAV decode (pure numpy) in one
+    Arrow-batched pass -> RMS and absolute peak per clip."""
+    import math as _math
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[binary_col]):
+                samples, rate = decode_wav_pcm(bytes(payload))
+                flat = samples.reshape(-1).astype("float64")
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "sample_rate_hz": rate,
+                        "channels": samples.shape[1],
+                        "n_samples": samples.shape[0],
+                        "rms": round(
+                            _math.sqrt(float((flat * flat).mean())), decimals
+                        ),
+                        "peak": int(abs(samples).max()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(
+        F.col(id_col).alias(id_col), F.col(binary_col)
+    ).mapInPandas(batches, AUDIO_STATS_SCHEMA)

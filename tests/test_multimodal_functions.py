@@ -221,3 +221,140 @@ def test_parse_header_jpeg_fill_bytes_before_marker(spark):
     assert h["channels"] == 3 and h["bit_depth"] == 8
     # a pathological all-0xFF tail still terminates without raising
     assert parse_header(b"\xff\xd8\xff" + b"\xff" * 64)["width"] is None
+
+
+def test_bmp_decode_golden_bytes(spark):
+    """Byte-level BMP decode: row padding, bottom-up layout, BGR order
+    — a hand-assembled 2x2 24-bit BMP with known pixels."""
+    import numpy as np
+
+    from robosystems_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    # pixels (RGB): top row [red, green], bottom row [blue, white]
+    img = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 255, 255]]],
+        dtype=np.uint8,
+    )
+    # hand-build: 2*3=6 bytes/row padded to 8; bottom-up; BGR
+    row_bottom = bytes([255, 0, 0]) + bytes([255, 255, 255]) + b"\x00\x00"
+    row_top = bytes([0, 0, 255]) + bytes([0, 255, 0]) + b"\x00\x00"
+    header = (
+        b"BM" + (54 + 16).to_bytes(4, "little") + b"\x00" * 4
+        + (54).to_bytes(4, "little") + (40).to_bytes(4, "little")
+        + (2).to_bytes(4, "little", signed=True)
+        + (2).to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + (16).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    data = header + row_bottom + row_top
+    assert (decode_bmp(data) == img).all()
+    # encode is the exact inverse (including the padding bytes)
+    assert decode_bmp(encode_bmp(img)).tolist() == img.tolist()
+    # top-down (negative height) variant
+    neg = bytearray(encode_bmp(img))
+    h = int.from_bytes(neg[22:26], "little")
+    neg[22:26] = (-h).to_bytes(4, "little", signed=True)
+    body = bytearray(neg[:54])
+    body += row_top + row_bottom  # top-down order now
+    assert (decode_bmp(bytes(body)) == img).all()
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        decode_bmp(header[:30] + (1).to_bytes(4, "little") + header[34:] + b"\x00" * 16)
+
+
+def test_wav_pcm_decode_golden_bytes(spark):
+    """RIFF chunk walking: an extra chunk before fmt, odd-length chunk
+    padding, 8-bit and 16-bit PCM, non-PCM rejection."""
+    import numpy as np
+    import pytest as _pytest
+
+    from robosystems_spark.operators.multimodal import (
+        decode_wav_pcm,
+        encode_wav_pcm,
+    )
+
+    s = np.array([0, 1000, -1000, 32767, -32768, 7], dtype=np.int16)
+    base = encode_wav_pcm(s, 44100, 2)
+    out, rate = decode_wav_pcm(base)
+    assert rate == 44100 and out.shape == (3, 2) and (out.reshape(-1) == s).all()
+
+    # inject a junk chunk with ODD length before fmt: the walker must
+    # skip its pad byte or everything after is misaligned
+    junk = b"LIST" + (3).to_bytes(4, "little") + b"abc" + b"\x00"
+    padded = base[:12] + junk + base[12:]
+    padded = padded[:4] + (len(padded) - 8).to_bytes(4, "little") + padded[8:]
+    out2, rate2 = decode_wav_pcm(padded)
+    assert rate2 == 44100 and (out2 == out).all()
+
+    # 8-bit unsigned PCM: 128 decodes to 0
+    fmt8 = (
+        (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + (8000).to_bytes(4, "little") + (8000).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (8).to_bytes(2, "little")
+    )
+    body8 = bytes([128, 255, 0])
+    wav8 = (
+        b"RIFF" + (4 + 8 + len(fmt8) + 8 + len(body8) + 1).to_bytes(4, "little")
+        + b"WAVE" + b"fmt " + len(fmt8).to_bytes(4, "little") + fmt8
+        + b"data" + len(body8).to_bytes(4, "little") + body8 + b"\x00"
+    )
+    out8, rate8 = decode_wav_pcm(wav8)
+    assert rate8 == 8000 and out8.reshape(-1).tolist() == [0, 127, -128]
+
+    # IEEE-float WAV is the remaining honest seam
+    float_fmt = (3).to_bytes(2, "little") + fmt8[2:]
+    bad = wav8.replace(fmt8, float_fmt)
+    with _pytest.raises(NotImplementedError):
+        decode_wav_pcm(bad)
+
+
+def test_ppm_decode_comments_and_errors(spark):
+    import numpy as np
+    import pytest as _pytest
+
+    from robosystems_spark.operators.multimodal import decode_image, decode_ppm
+
+    img = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    data = b"P6\n# a comment\n3 # inline\n2\n255\n" + img.tobytes()
+    assert (decode_ppm(data) == img).all()
+    assert (decode_image(data) == img).all()  # dispatch by magic
+    with _pytest.raises(ValueError):
+        decode_ppm(b"P5\n1 1\n255\n\x00")
+    with _pytest.raises(ValueError):
+        decode_ppm(b"P6\n3 2\n255\n" + img.tobytes()[:-1])
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 20)
+
+
+def test_image_and_audio_stats_distributed(spark):
+    """The stats operators run the REAL decoders inside mapInPandas
+    (Arrow-batched) and return exact scalars."""
+    import numpy as np
+
+    from robosystems_spark.operators.multimodal import (
+        audio_clip_stats,
+        encode_bmp,
+        encode_wav_pcm,
+        image_channel_stats,
+    )
+
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    img[:, :, 0] = [[10, 20], [30, 40]]  # R channel
+    img[:, :, 2] = 200  # B channel
+    rows = [(1, bytearray(encode_bmp(img)))]
+    df = spark.createDataFrame(rows, "media_id LONG, content BINARY")
+    r = image_channel_stats(df).collect()[0]
+    assert (r["width"], r["height"]) == (2, 2)
+    assert r["mean_r"] == 25.0 and r["mean_g"] == 0.0 and r["mean_b"] == 200.0
+    assert r["corner_r"] == 10
+
+    s = np.array([3, -4, 0, 0], dtype=np.int16)  # rms = sqrt(25/4) = 2.5
+    adf = spark.createDataFrame(
+        [(7, bytearray(encode_wav_pcm(s, 16000, 1)))],
+        "media_id LONG, content BINARY",
+    )
+    a = audio_clip_stats(adf).collect()[0]
+    assert a["sample_rate_hz"] == 16000 and a["channels"] == 1
+    assert a["n_samples"] == 4 and a["rms"] == 2.5 and a["peak"] == 4
