@@ -501,3 +501,48 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
     ).dropDuplicates()
     return label_propagation(edges, rounds=_LPA_ROUNDS)
+
+
+@register(
+    "graph_adamic_adar_suppliers",
+    oracle="""
+    WITH e AS MATERIALIZED (
+      SELECT DISTINCT l_suppkey AS u, l_partkey AS z FROM lineitem
+    ),
+    deg AS (SELECT z, COUNT(*) AS d FROM e GROUP BY z),
+    w AS (
+      SELECT z, CAST(ROUND(1000000000.0 / LN(d)) AS BIGINT) AS wv
+      FROM deg WHERE d BETWEEN 2 AND 40
+    ),
+    wedges AS (
+      SELECT a.u AS u1, b.u AS u2, w.wv
+      FROM e a JOIN e b ON b.z = a.z AND a.u < b.u
+      JOIN w ON w.z = a.z
+    )
+    SELECT u1, u2,
+           ROUND(CAST(SUM(wv) AS DOUBLE) / 1000000000.0, 6) AS aa_score
+    FROM wedges
+    GROUP BY u1, u2
+    ORDER BY aa_score DESC, u1, u2
+    LIMIT 50
+    """,
+    doc="Adamic-Adar link prediction (Adamic & Adar 2003) over the "
+    "supplier-part bipartite graph: suppliers scored similar by their "
+    "shared parts, weighted 1/ln(part degree).  Wedge generation is "
+    "the part-keyed self-join with a degree cap (hub parts carry ~zero "
+    "AA weight and are dropped — the PPMI hot-context pattern), so the "
+    "worst join key is bounded at 100 TB; integer-scaled weights make "
+    "the per-pair sums exact and hash-identical to the oracle.",
+    tags=("graph", "similarity"),
+)
+def graph_adamic_adar_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from robosystems_spark.operators.graph import adamic_adar_bipartite
+
+    edges = (
+        read_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+    return adamic_adar_bipartite(edges, max_right_degree=40, topk=50)

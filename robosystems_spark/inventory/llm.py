@@ -1783,3 +1783,47 @@ def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, num_centroids=8, ivf_iters=2, nprobe=3,
         m=4, k=16, pq_iters=1, dim=64, topk=10,
     )
+
+
+@register(
+    "corpus_deterministic_shuffle",
+    oracle="""
+    WITH k AS (
+      SELECT doc_id,
+             ('0x' || SUBSTR(MD5(doc_id || ':42'), 1, 15))::BIGINT AS h
+      FROM documents
+    )
+    SELECT doc_id,
+           h % 16 AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY h % 16 ORDER BY h, doc_id)
+                AS BIGINT) AS pos
+    FROM k
+    ORDER BY shard, pos
+    """,
+    doc="Deterministic global training-order shuffle: md5(doc_id:seed) "
+    "keys every document, documents shard by the key (16 shards) and "
+    "order within shard by (key, doc_id) — the reproducible data-order "
+    "step every training run needs (same seed -> same order, on any "
+    "engine, forever).  Scale shape: ordering windows are PARTITIONED "
+    "by shard, so no global single-partition row_number exists; at "
+    "100 TB the shard count scales with the cluster and each shard "
+    "sorts independently.",
+    tags=("corpus", "sampling"),
+)
+def corpus_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":42")))
+    h = F.conv(F.substring(key, 1, 15), 16, 10).cast("long")
+    keyed = _docs(spark, sf_dir).select(
+        "doc_id", h.alias("_h"), F.pmod(h, F.lit(16)).alias("shard")
+    )
+    w = Window.partitionBy("shard").orderBy("_h", "doc_id")
+    return (
+        keyed.select(
+            "doc_id",
+            "shard",
+            F.row_number().over(w).cast("long").alias("pos"),
+        )
+        .orderBy("shard", "pos")
+    )

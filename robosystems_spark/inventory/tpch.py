@@ -742,3 +742,128 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_partkey", "s_name", "best_price")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q12 — shipping modes / order priority (adapted): fact⋈fact join with
+# two conditional counts.  The reduced schema has no l_shipmode /
+# l_commitdate / l_receiptdate, so the grouping key is l_linestatus
+# and the date window is on l_shipdate — the Q12 plan shape (big join
+# + CASE-bucketed priority counts) is intact.
+# ---------------------------------------------------------------------------
+@register(
+    "q12_priority_line_counts",
+    oracle="""
+    SELECT l_linestatus AS linestatus,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-01-01'
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+    doc=(
+        "TPC-H Q12 (adapted to the reduced schema): orders⋈lineitem "
+        "with CASE-bucketed priority counts per line status — SURVEY "
+        "§2.4 A5; the date window pushes into the lineitem scan, the "
+        "join shuffles once on orderkey, both counts come from one "
+        "pass (no double scan)."
+    ),
+    tags=("join", "agg", "conditional"),
+)
+def q12_priority_line_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1995-01-01"))
+        & (F.col("l_shipdate") < _ts("1996-01-01"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("l_linestatus").alias("linestatus"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16 — parts/supplier relationship (adapted): NOT-IN dim predicates +
+# anti-joined supplier blocklist + COUNT(DISTINCT) rollup.  No
+# partsupp table in the reduced schema — the distinct
+# (l_partkey, l_suppkey) pairs from lineitem ARE the part-supplier
+# relation; no s_comment — suppliers with negative account balance
+# stand in for the complaints blocklist.  Plan shape preserved:
+# blocklist anti-join, dim exclusions, count-distinct per group,
+# count-desc ordering.
+# ---------------------------------------------------------------------------
+@register(
+    "q16_supplier_part_counts",
+    oracle="""
+    WITH ps AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    ),
+    ok AS (
+      SELECT ps.l_partkey, ps.l_suppkey
+      FROM ps
+      ANTI JOIN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) b
+        ON ps.l_suppkey = b.s_suppkey
+    )
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT ok.l_suppkey) AS supplier_cnt
+    FROM ok JOIN part p ON p.p_partkey = ok.l_partkey
+    WHERE p.p_brand <> 'Brand#45'
+      AND p.p_type NOT IN ('PROMO', 'LARGE')
+      AND p.p_size IN (2, 5, 11, 17, 23, 28, 37, 41)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    LIMIT 100
+    """,
+    doc=(
+        "TPC-H Q16 (adapted): distinct (part, supplier) pairs from "
+        "lineitem stand in for partsupp, negative-balance suppliers "
+        "for the complaints blocklist — SURVEY §2.3 J6 + §2.4 A3; the "
+        "blocklist is a broadcast anti-join BEFORE the part join, the "
+        "dim exclusions push into the part scan, and the "
+        "count-distinct groups on the already-reduced pair set."
+    ),
+    tags=("join", "anti", "distinct", "agg"),
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    blocklist = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & (~F.col("p_type").isin("PROMO", "LARGE"))
+        & (F.col("p_size").isin(2, 5, 11, 17, 23, 28, 37, 41))
+    )
+    return (
+        # no broadcast hint: the blocklist is a supplier subset and
+        # grows with the data — AQE broadcasts it while it fits
+        ps.join(
+            blocklist,
+            ps["l_suppkey"] == blocklist["s_suppkey"],
+            "left_anti",
+        )
+        .join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_type"),
+            F.asc("p_size"),
+        )
+        .limit(100)
+    )

@@ -596,3 +596,23 @@ def events_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "events_mad_outliers",
+    oracle=__import__(
+        "robosystems_spark.operators.timeseries",
+        fromlist=["mad_outliers_oracle_sql"],
+    ).mad_outliers_oracle_sql(),
+    doc="Robust per-series anomaly counting via Median Absolute "
+    "Deviation (med/MAD are insensitive to the outliers being hunted, "
+    "unlike the mean/stddev z-score): exact sort-based percentile "
+    "aggregations, per-series scalars broadcast back, |x-med| > 3*MAD "
+    "flags summed — one row per series out; hash-exact vs DuckDB "
+    "MEDIAN (both interpolate even counts identically).",
+    tags=("timeseries", "events", "anomaly"),
+)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from robosystems_spark.operators.timeseries import mad_outliers
+
+    return mad_outliers(_events(spark, sf_dir))

@@ -638,3 +638,56 @@ l{r} AS MATERIALIZED (
 SELECT lbl AS community, COUNT(*) AS n_nodes
 FROM l{rounds} GROUP BY 1 ORDER BY 1"""
     )
+
+
+def adamic_adar_bipartite(
+    edges: DataFrame,
+    left_col: str = "src",
+    right_col: str = "dst",
+    max_right_degree: int = 1000,
+    topk: int = 50,
+    scale: int = 10**9,
+    decimals: int = 6,
+) -> DataFrame:
+    """Adamic-Adar link prediction over a bipartite graph:
+    score(u1, u2) = Σ over shared right-nodes z of 1 / ln(deg(z)) —
+    the classic common-neighbor similarity (Adamic & Adar 2003) used
+    for "suppliers alike by shared parts" style recommendations.
+
+    Scale shape: wedge generation is the right-keyed self-join, so the
+    worst key is bounded by ``max_right_degree`` (a hub z above the
+    cap — a part everyone supplies — carries ~zero AA weight anyway
+    and is dropped, mirroring the PPMI hot-context cap).  Weights are
+    integer-scaled (``ROUND(scale / LN(deg))``) so the per-pair sums
+    are EXACT integer arithmetic, hash-identical across engines.
+    """
+    deg = edges.groupBy(right_col).agg(F.count(F.lit(1)).alias("_d"))
+    w = (
+        deg.filter((F.col("_d") >= 2) & (F.col("_d") <= max_right_degree))
+        .withColumn(
+            "_w", F.round(F.lit(float(scale)) / F.log("_d")).cast("long")
+        )
+        .select(right_col, "_w")
+    )
+    annotated = edges.join(w, right_col)
+    a = annotated.select(
+        F.col(right_col).alias("_z"), F.col(left_col).alias("u1"), "_w"
+    )
+    b = annotated.select(
+        F.col(right_col).alias("_z"), F.col(left_col).alias("u2")
+    )
+    return (
+        a.join(b, "_z")
+        .filter(F.col("u1") < F.col("u2"))
+        .groupBy("u1", "u2")
+        .agg(F.sum("_w").alias("_s"))
+        .select(
+            "u1",
+            "u2",
+            F.round(F.col("_s").cast("double") / scale, decimals).alias(
+                "aa_score"
+            ),
+        )
+        .orderBy(F.desc("aa_score"), F.asc("u1"), F.asc("u2"))
+        .limit(topk)
+    )

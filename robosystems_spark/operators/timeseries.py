@@ -498,3 +498,86 @@ def ewma_daily_oracle_sql(
              AS ewma
     FROM pre ORDER BY {key_col}, day
     """
+
+
+def mad_outliers(
+    events: DataFrame,
+    series_col: str = "event_type",
+    val_col: str = "value",
+    k: float = 3.0,
+    decimals: int = 6,
+) -> DataFrame:
+    """Robust anomaly counting per series via Median Absolute
+    Deviation: med = median(x), mad = median(|x - med|), outlier when
+    |x - med| > k * mad — the standard robust alternative to z-scores
+    (median/MAD are insensitive to the very outliers being hunted,
+    unlike mean/stddev).
+
+    Plan: exact ``percentile`` aggregations (sort-based within each
+    series group); the per-series medians and MADs are tiny one-row-
+    per-series frames broadcast back for the deviation/flag passes —
+    three grouped aggregations total over the fact stream, output one
+    row per series.  Exact double arithmetic end-to-end (interpolated
+    medians compute identically in DuckDB), so the approximate-free
+    result hash-matches the oracle."""
+    med = events.groupBy(F.col(series_col).alias("_s")).agg(
+        F.expr(f"percentile({val_col}, 0.5)").alias("_med")
+    )
+    dev = events.join(
+        F.broadcast(med), F.col(series_col) == F.col("_s")
+    ).withColumn("_adev", F.abs(F.col(val_col) - F.col("_med")))
+    mad = dev.groupBy(F.col(series_col).alias("_s2")).agg(
+        F.expr("percentile(_adev, 0.5)").alias("_mad")
+    )
+    flagged = dev.join(F.broadcast(mad), F.col(series_col) == F.col("_s2"))
+    return (
+        flagged.groupBy(series_col)
+        .agg(
+            F.first("_med").alias("_m"),
+            F.first("_mad").alias("_d"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (F.col("_adev") > F.lit(k) * F.col("_mad")).cast("long")
+            ).alias("n_outliers"),
+        )
+        .select(
+            series_col,
+            F.round("_m", decimals).alias("med"),
+            F.round("_d", decimals).alias("mad"),
+            "n",
+            "n_outliers",
+        )
+        .orderBy(series_col)
+    )
+
+
+def mad_outliers_oracle_sql(
+    table: str = "events",
+    series_col: str = "event_type",
+    val_col: str = "value",
+    k: float = 3.0,
+    decimals: int = 6,
+) -> str:
+    """DuckDB SQL computing the identical MAD outlier counts (DuckDB
+    MEDIAN interpolates even counts exactly like Spark percentile)."""
+    return f"""
+    WITH med AS MATERIALIZED (
+      SELECT {series_col} AS s, MEDIAN({val_col}) AS m
+      FROM {table} GROUP BY 1
+    ),
+    dev AS MATERIALIZED (
+      SELECT t.{series_col}, med.m, ABS(t.{val_col} - med.m) AS adev
+      FROM {table} t JOIN med ON med.s = t.{series_col}
+    ),
+    mad AS (
+      SELECT {series_col} AS s2, MEDIAN(adev) AS d FROM dev GROUP BY 1
+    )
+    SELECT dev.{series_col},
+           ROUND(ANY_VALUE(dev.m), {decimals}) AS med,
+           ROUND(ANY_VALUE(mad.d), {decimals}) AS mad,
+           COUNT(*) AS n,
+           SUM(CASE WHEN dev.adev > {k} * mad.d THEN 1 ELSE 0 END) AS n_outliers
+    FROM dev JOIN mad ON mad.s2 = dev.{series_col}
+    GROUP BY dev.{series_col}
+    ORDER BY dev.{series_col}
+    """

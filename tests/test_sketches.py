@@ -136,3 +136,33 @@ def test_bloom_bits_bounded_and_broadcast(spark, sf_dir):
         )
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_native_hll_relative_error_bound_per_group(spark):
+    """approx_distinct_parts_per_brand is the one rows-only registry
+    entry (native HLL++ can't hash-match across engines) — give it a
+    QUANTITATIVE gate instead: per-brand relative error vs the exact
+    distinct count must stay within 5x the configured rsd=0.01 (HLL++
+    at that precision is well inside this at sf0.01 cardinalities)."""
+    from robosystems_spark.inventory import REGISTRY, _ensure_loaded
+    from robosystems_spark.io import read_table
+
+    _ensure_loaded()
+    sf_dir = "/root/testdata/sf0.01"
+    approx = {
+        r["p_brand"]: r["approx_parts"]
+        for r in REGISTRY["approx_distinct_parts_per_brand"].fn(spark, sf_dir).collect()
+    }
+    from pyspark.sql import functions as F
+
+    exact = {
+        r["p_brand"]: r["exact"]
+        for r in read_table(spark, sf_dir, "part")
+        .groupBy("p_brand")
+        .agg(F.countDistinct("p_partkey").alias("exact"))
+        .collect()
+    }
+    assert set(approx) == set(exact) and len(exact) > 0
+    for brand, e in exact.items():
+        rel = abs(approx[brand] - e) / max(e, 1)
+        assert rel <= 0.05, f"{brand}: approx={approx[brand]} exact={e} rel={rel:.4f}"
