@@ -1827,3 +1827,70 @@ def corpus_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard", "pos")
     )
+
+
+@register(
+    "corpus_ngram_novelty",
+    oracle=r"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS t
+      FROM documents
+    ),
+    grams AS MATERIALIZED (
+      SELECT DISTINCT doc_id,
+             t[i - 1] || ' ' || t[i] || ' ' || t[i + 1] AS g
+      FROM toks, UNNEST(range(2, len(t))) AS u(i)
+    ),
+    gdf AS (
+      SELECT g, COUNT(*) AS df FROM grams GROUP BY g
+    )
+    SELECT grams.doc_id,
+           COUNT(*) AS n_grams,
+           SUM(CASE WHEN gdf.df = 1 THEN 1 ELSE 0 END) AS n_unique,
+           ROUND(CAST(SUM(CASE WHEN gdf.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS novelty
+    FROM grams JOIN gdf USING (g)
+    GROUP BY grams.doc_id
+    ORDER BY doc_id
+    """,
+    doc="Per-document n-gram novelty: the fraction of a document's "
+    "distinct token trigrams appearing in NO other document — the "
+    "boilerplate/templated-content signal data-curation pipelines "
+    "rank by (novel docs carry new information; near-zero novelty "
+    "means the corpus already says it).  Map-side trigram generation "
+    "(array transform, no window shuffle), distinct per doc, one "
+    "gram-keyed df aggregation joined back — all codegen.",
+    tags=("text", "corpus"),
+)
+def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from robosystems_spark.operators.text import tokens
+
+    grams = (
+        _docs(spark, sf_dir)
+        .select("doc_id", tokens("text").alias("_t"))
+        .filter(F.size("_t") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(2, size(_t) - 1), "
+                    "i -> concat_ws(' ', _t[i - 2], _t[i - 1], _t[i]))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    gdf = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    uniq = (F.col("df") == 1).cast("long")
+    return (
+        grams.join(gdf, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(uniq).alias("n_unique"),
+            F.round(
+                F.sum(uniq).cast("double") / F.count(F.lit(1)), 6
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )

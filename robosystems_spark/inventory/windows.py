@@ -616,3 +616,67 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from robosystems_spark.operators.timeseries import mad_outliers
 
     return mad_outliers(_events(spark, sf_dir))
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    first_seen AS (
+      SELECT user_id, MIN(d) AS cohort_day FROM act GROUP BY user_id
+    ),
+    sizes AS (
+      SELECT cohort_day, COUNT(*) AS n_cohort
+      FROM first_seen GROUP BY cohort_day
+    )
+    SELECT f.cohort_day,
+           DATEDIFF('day', f.cohort_day, a.d) AS day_offset,
+           COUNT(DISTINCT a.user_id) AS n_active,
+           ANY_VALUE(s.n_cohort) AS n_cohort,
+           ROUND(CAST(COUNT(DISTINCT a.user_id) AS DOUBLE)
+                 / ANY_VALUE(s.n_cohort), 6) AS retention
+    FROM act a
+    JOIN first_seen f ON f.user_id = a.user_id
+    JOIN sizes s ON s.cohort_day = f.cohort_day
+    GROUP BY f.cohort_day, DATEDIFF('day', f.cohort_day, a.d)
+    ORDER BY f.cohort_day, day_offset
+    """,
+    doc="Retention cohort matrix: users grouped by first-active day, "
+    "per-(cohort, day-offset) distinct active users and retention "
+    "rate — the canonical product-analytics rollup.  Scale shape: "
+    "activity dedups to (user, day) FIRST (the only fact-sized "
+    "shuffle), first-seen is a per-user MIN, cohort sizes are a tiny "
+    "frame joined back; output is O(days^2) regardless of event "
+    "volume.",
+    tags=("window", "events", "analytics"),
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    act = (
+        _events(spark, sf_dir)
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    first = act.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    sizes = first.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("n_cohort")
+    )
+    return (
+        act.join(first, "user_id")
+        .join(F.broadcast(sizes), "cohort_day")
+        .groupBy(
+            "cohort_day",
+            F.datediff("d", "cohort_day").alias("day_offset"),
+        )
+        .agg(
+            F.countDistinct("user_id").alias("n_active"),
+            F.first("n_cohort").alias("n_cohort"),
+            F.round(
+                F.countDistinct("user_id").cast("double")
+                / F.first("n_cohort"),
+                6,
+            ).alias("retention"),
+        )
+        .orderBy("cohort_day", "day_offset")
+    )
