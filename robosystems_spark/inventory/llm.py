@@ -374,6 +374,40 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(emb, queries, k=10)
 
 
+@register(
+    "embedding_hard_negatives",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 5),
+    sims AS (
+      SELECT q.query_id, e.vec_id AS nn_id,
+             ROUND(LIST_COSINE_SIMILARITY(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 6) AS cosine
+      FROM embeddings e, q
+      WHERE e.vec_id <> q.query_id
+    ),
+    band AS (
+      SELECT query_id, nn_id, cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, nn_id) AS INT) AS rank
+      FROM sims WHERE cosine >= 0.20 AND cosine < 0.32
+    )
+    SELECT query_id, nn_id, cosine, rank FROM band WHERE rank <= 5
+    """,
+    doc="Hard-negative mining for retrieval/contrastive training: per-query "
+    "top-5 neighbors with cosine in [0.20, 0.32) — informative negatives "
+    "below the near-duplicate zone. Band filter runs before the per-query "
+    "rank, so window state is in-band pairs only; same broadcast-query + "
+    "fused-Arrow shape as the exact top-k baseline.",
+    tags=("similarity", "training"),
+)
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return S.cosine_band_topk(emb, queries, k=5, lo=0.20, hi=0.32)
+
+
 # IVF centroids per sf_dir: trained once per corpus (the PORTABLE
 # cosine Lloyd, clustering.kmeans_fit) and reused by every query call —
 # the query path measures SEARCH, not Lloyd iterations, and the
@@ -1410,6 +1444,7 @@ def nb_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     "— the right algorithm when near-dup graphs contain long chains; "
     "identical min-id fixpoint, so it shares the recursive-CTE oracle.",
     tags=("dedup", "graph"),
+    bench=True,
 )
 def dedup_duplicate_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     from robosystems_spark.operators.graph import duplicate_clusters

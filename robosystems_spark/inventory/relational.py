@@ -1155,6 +1155,29 @@ def countmin_heavy_hitter_priorities(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 # ---------------------------------------------------------------------------
+# A12++ — EXACT phi-frequent items via Misra-Gries candidates + recount.
+# The bounded-memory alternative to the count-min path above: no
+# distinct-value enumeration anywhere — candidate state is k counters
+# per partition, and the exact recount touches only candidate rows.
+# ---------------------------------------------------------------------------
+@register(
+    "events_frequent_users_exact",
+    oracle=SK.frequent_items_oracle_sql("events", "user_id", k=119),
+    doc="Exact phi-frequent items (phi=1/120) over event user_ids: "
+    "per-partition Misra-Gries summaries (<=k counters, mergeable "
+    "subtract-and-truncate fold over Arrow batches) produce a provable "
+    "candidate superset; one broadcast semi-join + recount with the "
+    "integer predicate cnt*(k+1) > N yields the EXACT answer — the "
+    "output is partitioning-independent, so the approximate first pass "
+    "still carries a hard oracle. Unlike the count-min entry, key "
+    "cardinality never appears in any shuffle.",
+    tags=("agg", "sketch", "events"),
+)
+def events_frequent_users_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SK.frequent_items_exact(_t(spark, sf_dir, "events"), "user_id", k=119)
+
+
+# ---------------------------------------------------------------------------
 # Runtime Bloom join filter: build a portable Bloom filter over the
 # filtered build side, broadcast it, and audit its pruning decisions
 # (incl. false positives) against exact membership — deterministic

@@ -19,6 +19,7 @@ from pyspark.sql.window import Window
 
 from robosystems_spark.inventory import register
 from robosystems_spark.io import read_table
+from robosystems_spark.operators import timeseries as TS
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -680,3 +681,18 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_day", "day_offset")
     )
+
+
+@register(
+    "events_touch_attribution",
+    oracle=TS.touch_attribution_oracle_sql(),
+    doc="First-touch / last-touch conversion attribution: each purchase is "
+    "credited to the first (resp. most recent) strictly-preceding click/view "
+    "of the same user via two IGNORE-NULLS window carries over one scan "
+    "(frame = unbounded preceding .. 1 preceding, tiebreak (ts, event_id) "
+    "both engines); conversions without a prior touch land in the 'none' "
+    "bucket. One user-keyed shuffle; carried state is two values per row.",
+    tags=("window", "events"),
+)
+def events_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TS.touch_attribution(_events(spark, sf_dir))

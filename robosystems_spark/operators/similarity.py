@@ -350,3 +350,56 @@ def quantization_error_profile(
             F.round(F.avg("_err"), 6).alias("mean_abs_err"),
         )
     )
+
+
+def cosine_band_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    lo: float = 0.20,
+    hi: float = 0.32,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Hard-negative mining for retrieval/contrastive training: for
+    every query, the top-k corpus neighbors whose cosine falls in the
+    band ``[lo, hi)`` — similar enough to be informative negatives,
+    below the near-duplicate zone that would poison the label.
+
+    Same single fused Arrow pass and broadcast-query shape as
+    ``cosine_topk``; the band filter runs BEFORE the per-query window
+    rank, so ranking state is only the in-band pairs.  Self-pairs are
+    excluded explicitly (a query's own row has cosine 1.0, but the
+    guard keeps the semantics honest if ``hi`` were ever raised).
+    At 100 TB the corpus side is one scan; per-query state is the
+    in-band top-k heap — the standard mining pass next to a trained
+    retriever's checkpoint refresh.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("nn_id"),
+        F.col(vec_col).alias("_cv"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+    )
+    sims = (
+        c.crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            "nn_id",
+            V.cosine("_cv", "_qv").alias("cosine"),
+        )
+        .filter(
+            (F.col("nn_id") != F.col("query_id"))
+            & (F.col("cosine") >= lo)
+            & (F.col("cosine") < hi)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nn_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nn_id", "cosine", "rank")
+    )

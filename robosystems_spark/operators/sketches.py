@@ -434,3 +434,99 @@ def countmin_heavy_hitters_oracle_sql(
     GROUP BY p.value
     HAVING MIN(COALESCE(s.cnt, 0)) >= {min_estimate}
     """
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries frequent items: bounded-memory candidates + exact verify.
+# ---------------------------------------------------------------------------
+def misra_gries_candidates(
+    df: DataFrame,
+    value_col: str,
+    k: int = 128,
+) -> DataFrame:
+    """Per-partition Misra-Gries summaries (Misra & Gries 1982;
+    mergeable form per Agarwal et al. 2013): each partition keeps at
+    most ``k`` counters, folding Arrow batches in via the exact
+    batch histogram followed by the standard merge step — when the
+    table exceeds ``k`` entries, subtract the (k+1)-th largest count
+    from every counter and drop the non-positive ones.
+
+    GUARANTEE (what makes ``frequent_items_exact`` hash-exact, not
+    approximate): a summary's undercount is at most n_p/(k+1), so any
+    value with partition frequency > n_p/(k+1) survives in that
+    partition's candidate set.  A global value with frequency
+    > N/(k+1) = sum(n_p)/(k+1) must exceed n_p/(k+1) in at least one
+    partition, hence always appears in the union of candidates.
+
+    Scale contract vs ``countmin_heavy_hitters``: the count-min path
+    enumerates ALL distinct values as probe candidates — itself a
+    full shuffle on a 100 TB high-cardinality key.  This path's state
+    is k counters per partition and its output is <= k rows per
+    partition, no matter the key cardinality; only the candidate
+    union (tiny) and one broadcast semi-join touch the cluster.
+
+    The pandas body sees only the value column (Arrow-batched); no
+    row-at-a-time Python.
+    """
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    src = df.select(F.col(value_col).cast("string").alias("value"))
+    out_schema = StructType([StructField("value", StringType())])
+
+    def mg(batches):
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for v, c in pdf["value"].value_counts().items():
+                counters[v] = counters.get(v, 0) + int(c)
+            if len(counters) > k:
+                # merge step: subtract the (k+1)-th largest count
+                cut = sorted(counters.values(), reverse=True)[k]
+                counters = {v: c - cut for v, c in counters.items() if c > cut}
+        yield pd.DataFrame({"value": list(counters.keys())})
+
+    return src.mapInPandas(mg, schema=out_schema)
+
+
+def frequent_items_exact(
+    df: DataFrame,
+    value_col: str,
+    k: int = 128,
+) -> DataFrame:
+    """EXACT phi-frequent items (phi = 1/(k+1)) in two passes:
+    Misra-Gries candidates (bounded memory, superset of the answer —
+    see ``misra_gries_candidates``), then one exact recount restricted
+    to the candidates via a broadcast semi-join, filtered with the
+    integer-exact predicate ``cnt * (k+1) > N``.
+
+    Returns (value, cnt) — identical to ``GROUP BY ... HAVING
+    COUNT(*)*(k+1) > N`` but without ever building the full
+    per-distinct-value count table: the second pass aggregates only
+    rows whose value is a candidate, of which there are <= k per
+    partition of the first pass.
+    """
+    cand = misra_gries_candidates(df, value_col, k).distinct()
+    src = df.select(F.col(value_col).cast("string").alias("value"))
+    total = src.count()
+    return (
+        src.join(F.broadcast(cand), "value", "left_semi")
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") * (k + 1) > F.lit(total))
+    )
+
+
+def frequent_items_oracle_sql(
+    table: str, value_col: str, k: int
+) -> str:
+    """DuckDB oracle: the candidate pass is provably a superset, so
+    the exact answer is plain GROUP BY / HAVING with the same
+    integer-arithmetic threshold (no float division either side)."""
+    return f"""
+    WITH n AS (SELECT COUNT(*) AS total FROM {table})
+    SELECT CAST({value_col} AS VARCHAR) AS value, COUNT(*) AS cnt
+    FROM {table}, n
+    GROUP BY CAST({value_col} AS VARCHAR), n.total
+    HAVING COUNT(*) * {k + 1} > n.total
+    """

@@ -581,3 +581,95 @@ def mad_outliers_oracle_sql(
     GROUP BY dev.{series_col}
     ORDER BY dev.{series_col}
     """
+
+
+def touch_attribution(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    val_col: str = "value",
+    id_col: str = "event_id",
+    touch_types: tuple[str, ...] = ("click", "view"),
+    conversion_type: str = "purchase",
+    decimals: int = 6,
+) -> DataFrame:
+    """First-touch / last-touch conversion attribution: every
+    conversion event is credited to the first (resp. most recent)
+    strictly-preceding touch event of the same user; conversions with
+    no prior touch land in the ``'none'`` bucket.
+
+    Output: (model, touch_type, conversions, attributed_value) with
+    model in {'first_touch', 'last_touch'} — the marketing-analytics
+    rollup shape.
+
+    Spark-first: ONE scan, two IGNORE-NULLS window carries over
+    (user, ts, id) ordering (frame = unbounded preceding .. 1
+    preceding, so a touch never credits itself or later conversions),
+    then a single grouped aggregation per model, unioned.  The window
+    shuffles once on user_id; at 100 TB per-user event streams are
+    the natural partition and the carried state is two values.
+    Total order within a user is (ts, event_id) — the same tiebreak
+    both engines.  attributed_value is ROUND(...,{decimals}) to absorb
+    double summation-order drift.
+    """
+    is_touch = F.col(type_col).isin(*touch_types)
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch_expr = F.when(is_touch, F.col(type_col))
+    carried = events.select(
+        F.col(type_col).alias("_etype"),
+        F.col(val_col).alias("_val"),
+        F.first(touch_expr, ignorenulls=True).over(w).alias("_first"),
+        F.last(touch_expr, ignorenulls=True).over(w).alias("_last"),
+    ).filter(F.col("_etype") == conversion_type)
+
+    def rollup(model: str, col: str) -> DataFrame:
+        return (
+            carried.select(
+                F.lit(model).alias("model"),
+                F.coalesce(F.col(col), F.lit("none")).alias("touch_type"),
+                "_val",
+            )
+            .groupBy("model", "touch_type")
+            .agg(
+                F.count(F.lit(1)).alias("conversions"),
+                F.round(F.sum("_val"), decimals).alias("attributed_value"),
+            )
+        )
+
+    return rollup("first_touch", "_first").unionAll(rollup("last_touch", "_last"))
+
+
+def touch_attribution_oracle_sql(
+    table: str = "events",
+    touch_types: tuple[str, ...] = ("click", "view"),
+    conversion_type: str = "purchase",
+    decimals: int = 6,
+) -> str:
+    """DuckDB oracle: identical IGNORE-NULLS window carries (verified
+    frame-semantics parity with Spark) and the same rollup shape."""
+    touches = ", ".join(f"'{t}'" for t in touch_types)
+    return f"""
+    WITH carried AS (
+      SELECT event_type, value,
+             FIRST_VALUE(CASE WHEN event_type IN ({touches}) THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ft,
+             LAST_VALUE(CASE WHEN event_type IN ({touches}) THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt
+      FROM {table}
+    ),
+    conv AS (SELECT * FROM carried WHERE event_type = '{conversion_type}')
+    SELECT 'first_touch' AS model, COALESCE(ft, 'none') AS touch_type,
+           COUNT(*) AS conversions, ROUND(SUM(value), {decimals}) AS attributed_value
+    FROM conv GROUP BY COALESCE(ft, 'none')
+    UNION ALL
+    SELECT 'last_touch' AS model, COALESCE(lt, 'none') AS touch_type,
+           COUNT(*) AS conversions, ROUND(SUM(value), {decimals}) AS attributed_value
+    FROM conv GROUP BY COALESCE(lt, 'none')
+    """

@@ -532,3 +532,38 @@ def test_prefix_join_superset_of_minhash(spark, sf_dir):
         ).collect()
     }
     assert lsh <= exact
+
+
+def test_hard_negative_band_is_band_restricted_brute_force(spark, sf_dir):
+    """cosine_band_topk == brute-force cosine ranking restricted to the
+    band: every returned pair sits in [lo, hi), excludes self, and the
+    per-query ranking is the same (sim DESC, id ASC) order the exact
+    top-k baseline uses."""
+    from pyspark.sql import functions as F
+
+    from robosystems_spark.operators.similarity import (
+        cosine_band_topk,
+        cosine_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    lo, hi = 0.20, 0.32
+    band = cosine_band_topk(emb, queries, k=5, lo=lo, hi=hi).collect()
+    assert band, "band should be non-empty on the synthetic embeddings"
+    for r in band:
+        assert lo <= r["cosine"] < hi
+        assert r["nn_id"] != r["query_id"]
+    # rank order agrees with the full brute-force ranking filtered to the band
+    full = cosine_topk(emb, queries, k=emb.count()).collect()
+    by_q: dict[int, list[int]] = {}
+    for r in sorted(full, key=lambda r: (r["query_id"], r["rank"])):
+        if lo <= r["cosine"] < hi and r["nn_id"] != r["query_id"]:
+            by_q.setdefault(r["query_id"], []).append(r["nn_id"])
+    got: dict[int, list[int]] = {}
+    for r in sorted(band, key=lambda r: (r["query_id"], r["rank"])):
+        got.setdefault(r["query_id"], []).append(r["nn_id"])
+    for q, ids in got.items():
+        assert ids == by_q[q][: len(ids)]

@@ -116,3 +116,37 @@ def test_star_components_match_reference_union_find(spark, edges):
         comp_min[r] = min(comp_min.get(r, n), n)
     ref = {n: comp_min[r] for n, r in ref.items()}
     assert got == ref
+
+
+def test_touch_attribution_golden_small_case(spark):
+    """Hand-checked attribution semantics: strictly-preceding frame
+    (a purchase at the same user's first row attributes to 'none'),
+    first vs last divergence, and per-model conversion conservation."""
+    from robosystems_spark.operators.timeseries import touch_attribution
+
+    rows = [
+        # user 1: view, click, purchase(10), purchase(5)
+        (1, 1, 100, "view", 0.0),
+        (2, 1, 200, "click", 0.0),
+        (3, 1, 300, "purchase", 10.0),
+        (4, 1, 400, "purchase", 5.0),
+        # user 2: purchase with no prior touch, then view, purchase
+        (5, 2, 100, "purchase", 7.0),
+        (6, 2, 200, "view", 0.0),
+        (7, 2, 300, "purchase", 3.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, event_type string, value double"
+    )
+    out = {
+        (r["model"], r["touch_type"]): (r["conversions"], r["attributed_value"])
+        for r in touch_attribution(ev).collect()
+    }
+    # user 1 first touch = view for both purchases; last touch = click
+    assert out[("first_touch", "view")] == (3, 18.0)  # u1 x2 + u2 second
+    assert out[("first_touch", "none")] == (1, 7.0)
+    assert out[("last_touch", "click")] == (2, 15.0)
+    assert out[("last_touch", "view")] == (1, 3.0)
+    assert out[("last_touch", "none")] == (1, 7.0)
+    for model in ("first_touch", "last_touch"):
+        assert sum(v[0] for k, v in out.items() if k[0] == model) == 4
