@@ -622,6 +622,28 @@ def doc_search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(_docs(spark, sf_dir), _BM25_QUERY, k=25)
 
 
+def _trigram_oracle() -> str:
+    from robosystems_spark.operators.search import trigram_like_oracle_sql
+
+    return trigram_like_oracle_sql("merge batch")
+
+
+@register(
+    "doc_trigram_like_search",
+    oracle=_trigram_oracle(),
+    doc="pg_trgm-shaped substring search: LIKE '%merge batch%' answered via a "
+    "character-trigram posting index — candidates must cover ALL pattern "
+    "trigrams (posting-list intersection, partition-prunable by trigram at "
+    "scale), then contains() verifies only candidates. Exact equality with "
+    "the full scan, so the index path itself is hash-checked.",
+    tags=("text", "search", "index"),
+)
+def doc_trigram_like_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from robosystems_spark.operators.search import trigram_like_search
+
+    return trigram_like_search(_docs(spark, sf_dir), "merge batch")
+
+
 def _hybrid_oracle() -> str:
     from robosystems_spark.operators.search import hybrid_rrf_oracle_sql
 

@@ -843,6 +843,25 @@ def approx_distinct_portable_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "hll_cohort_set_algebra",
+    oracle=SK.portable_hll_set_algebra_oracle_sql(
+        "events", "event_type", "user_id", "click", "view", p=9
+    ),
+    doc="HLL sketch SET ALGEBRA over audience cohorts: distinct clickers, "
+    "distinct viewers, their UNION by per-bucket register MAX (merging "
+    "sketches, never re-reading data — the mergeability that makes sketches "
+    "a 100 TB primitive), and the intersection via inclusion-exclusion. "
+    "Portable md5/rank/estimator arithmetic means even the merged estimates "
+    "are hash-checked against DuckDB.",
+    tags=("agg", "approx", "sketch", "events"),
+)
+def hll_cohort_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SK.portable_hll_set_algebra(
+        _t(spark, sf_dir, "events"), "event_type", "user_id", "click", "view", p=9
+    )
+
+
 # ---------------------------------------------------------------------------
 # P2 — column exclusion (SELECT * EXCLUDE, duckdb/manager.py:114,128).
 # ---------------------------------------------------------------------------

@@ -242,3 +242,91 @@ def bm25_oracle_sql(
     ORDER BY score DESC, doc_id ASC
     LIMIT {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# Trigram index: pg_trgm-style substring-search acceleration.
+# ---------------------------------------------------------------------------
+def trigram_postings(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Character-trigram posting lists over lowercased text — the
+    pg_trgm-shaped index that turns ``LIKE '%pattern%'`` from a full
+    corpus scan into a posting-list intersection.
+
+    One pass: JVM-side ``transform(sequence(...))`` slices every
+    3-char window (whole-stage codegen, no Python), explode, distinct
+    per doc.  Persist the result corpus-partitioned by trigram and a
+    search prunes to the pattern's posting lists only.
+    """
+    grams = F.expr(
+        f"transform(sequence(1, greatest(length(lower({text_col})) - 2, 0)),"
+        f" i -> substring(lower({text_col}), i, 3))"
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), grams.alias("_g"))
+        .select("doc_id", F.explode("_g").alias("trigram"))
+        .distinct()
+    )
+
+
+def trigram_like_search(
+    docs: DataFrame,
+    pattern: str,
+    postings: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT case-insensitive substring search (``LIKE '%pattern%'``)
+    accelerated by the trigram index: a doc can contain ``pattern``
+    only if it contains EVERY trigram of the pattern, so candidates =
+    docs whose posting rows cover all n pattern trigrams; the final
+    ``contains()`` verify runs only on candidates (false positives
+    from trigram coincidence are filtered, so the result is exactly
+    the scan's answer — index use is invisible in the output).
+
+    At 100 TB the index read touches |pattern trigrams| posting lists
+    (partition-pruned if the postings table is partitioned/bucketed by
+    trigram) and the verify re-reads only candidate docs — the classic
+    two-tier text-index plan.  Patterns shorter than 3 chars fall back
+    to the plain scan.
+
+    Returns (doc_id) sorted — the id set a caller joins back to fetch
+    full rows.
+    """
+    pat = pattern.lower()
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.lower(F.col(text_col)).alias("_t")
+    )
+    if len(pat) < 3:
+        return (
+            base.filter(F.col("_t").contains(pat)).select("doc_id")
+        )
+    grams = sorted({pat[i : i + 3] for i in range(len(pat) - 2)})
+    idx = postings if postings is not None else trigram_postings(docs, text_col, id_col)
+    cand = (
+        idx.filter(F.col("trigram").isin(grams))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("trigram").alias("_hits"))
+        .filter(F.col("_hits") == len(grams))
+        .select("doc_id")
+    )
+    return (
+        base.join(cand, "doc_id", "left_semi")
+        .filter(F.col("_t").contains(pat))
+        .select("doc_id")
+    )
+
+
+def trigram_like_oracle_sql(
+    pattern: str, table: str = "documents", id_col: str = "doc_id"
+) -> str:
+    """DuckDB oracle: the index path is exact (candidate superset +
+    verify), so the oracle is the plain scan it replaces."""
+    esc = pattern.lower().replace("'", "''")
+    return f"""
+    SELECT {id_col} AS doc_id FROM {table}
+    WHERE CONTAINS(LOWER(text), '{esc}')
+    """

@@ -70,20 +70,26 @@ def portable_hll_distinct(
         .groupBy(group_col, "_b")
         .agg(F.max("_r").alias("_m"))
     )
-    alpha = _alpha(m)
     agg = regs.groupBy(group_col).agg(
         F.sum(F.pow(F.lit(2.0), -F.col("_m"))).alias("_s"),
         F.count(F.lit(1)).alias("_nb"),
     )
-    raw = F.lit(alpha * m * m) / (F.col("_s") + (F.lit(m) - F.col("_nb")))
+    return agg.select(
+        F.col(group_col), F.round(_hll_estimate(m), 4).alias(out_col)
+    )
+
+
+def _hll_estimate(m: int):
+    """Bias-corrected HLL estimator over the aggregated register
+    columns ``_s`` (sum of 2^-M) and ``_nb`` (non-empty buckets) —
+    shared by the per-group sketch and the set-algebra merges so both
+    paths stay expression-identical to the oracle SQL."""
+    raw = F.lit(_alpha(m) * m * m) / (F.col("_s") + (F.lit(m) - F.col("_nb")))
     zeros = F.lit(m) - F.col("_nb")
-    corrected = F.when(
+    return F.when(
         (raw <= F.lit(2.5 * m)) & (zeros > 0),
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
     ).otherwise(raw)
-    return agg.select(
-        F.col(group_col), F.round(corrected, 4).alias(out_col)
-    )
 
 
 def portable_hll_oracle_sql(
@@ -529,4 +535,129 @@ def frequent_items_oracle_sql(
     FROM {table}, n
     GROUP BY CAST({value_col} AS VARCHAR), n.total
     HAVING COUNT(*) * {k + 1} > n.total
+    """
+
+
+def portable_hll_set_algebra(
+    df: DataFrame,
+    label_col: str,
+    value_col: str,
+    label_a: str,
+    label_b: str,
+    p: int = 9,
+) -> DataFrame:
+    """HLL sketch SET ALGEBRA — the mergeability that makes sketches a
+    100 TB primitive: two cohorts' register vectors union by per-bucket
+    MAX (never re-reading the data), and the intersection follows by
+    inclusion-exclusion over the three estimates.
+
+    Returns ONE row: (approx_a, approx_b, approx_union,
+    approx_intersection) for the cohorts ``label_col == label_a`` /
+    ``label_b`` over ``value_col``.  Same portable md5 hash / integer
+    rank / estimator as ``portable_hll_distinct``, so every number —
+    including the merged ones — carries a hard DuckDB oracle.  State
+    is 3 x 2^p registers regardless of input size; the union merge is
+    a register-frame aggregation, not a data pass.
+    """
+    m = 1 << p
+    width = _HASH_BITS - p
+    h = F.conv(
+        F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    w = F.shiftright(h, p)
+    rank = F.when(w == 0, F.lit(width + 1)).otherwise(
+        F.lit(width) - F.length(F.bin(w)) + 1
+    )
+    tagged = (
+        df.filter(F.col(label_col).isin(label_a, label_b))
+        .select(
+            F.when(F.col(label_col) == label_a, F.lit("a"))
+            .otherwise(F.lit("b"))
+            .alias("_set"),
+            (h % m).alias("_b"),
+            rank.alias("_r"),
+        )
+    )
+    per_set = tagged.groupBy("_set", "_b").agg(F.max("_r").alias("_m"))
+    union = (
+        per_set.groupBy("_b")
+        .agg(F.max("_m").alias("_m"))
+        .select(F.lit("union").alias("_set"), "_b", "_m")
+    )
+    est = (
+        per_set.unionByName(union)
+        .groupBy("_set")
+        .agg(
+            F.sum(F.pow(F.lit(2.0), -F.col("_m"))).alias("_s"),
+            F.count(F.lit(1)).alias("_nb"),
+        )
+        .select("_set", F.round(_hll_estimate(m), 4).alias("_e"))
+    )
+    wide = est.groupBy().agg(
+        F.sum(F.when(F.col("_set") == "a", F.col("_e"))).alias("approx_a"),
+        F.sum(F.when(F.col("_set") == "b", F.col("_e"))).alias("approx_b"),
+        F.sum(F.when(F.col("_set") == "union", F.col("_e"))).alias("approx_union"),
+    )
+    return wide.select(
+        "approx_a",
+        "approx_b",
+        "approx_union",
+        F.round(
+            F.col("approx_a") + F.col("approx_b") - F.col("approx_union"), 4
+        ).alias("approx_intersection"),
+    )
+
+
+def portable_hll_set_algebra_oracle_sql(
+    table: str,
+    label_col: str,
+    value_col: str,
+    label_a: str,
+    label_b: str,
+    p: int = 9,
+) -> str:
+    """DuckDB twin of ``portable_hll_set_algebra`` — identical hash,
+    rank, register-MAX union merge, estimator, and rounding."""
+    m = 1 << p
+    width = _HASH_BITS - p
+    alpha = _alpha(m)
+    est = (
+        f"ROUND(CASE WHEN CAST({alpha * m * m!r} AS DOUBLE) / (s + ({m} - nb)) <= {2.5 * m} "
+        f"AND ({m} - nb) > 0 "
+        f"THEN {float(m)} * LN({float(m)} / ({m} - nb)) "
+        f"ELSE CAST({alpha * m * m!r} AS DOUBLE) / (s + ({m} - nb)) END, 4)"
+    )
+    return f"""
+    WITH tagged AS (
+      SELECT CASE WHEN {label_col} = '{label_a}' THEN 'a' ELSE 'b' END AS st,
+             ('0x' || SUBSTR(MD5(CAST({value_col} AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM {table} WHERE {label_col} IN ('{label_a}', '{label_b}')
+    ),
+    ranked AS (
+      SELECT st, h % {m} AS b,
+             CASE WHEN h // {m} = 0 THEN {width + 1}
+                  ELSE {width} - LENGTH(FORMAT('{{:b}}', h // {m})) + 1
+             END AS r
+      FROM tagged
+    ),
+    per_set AS (SELECT st, b, MAX(r) AS mr FROM ranked GROUP BY st, b),
+    unioned AS (
+      SELECT st, b, mr FROM per_set
+      UNION ALL
+      SELECT 'union' AS st, b, MAX(mr) AS mr FROM per_set GROUP BY b
+    ),
+    agg AS (
+      SELECT st, SUM(POWER(2.0, -mr)) AS s, COUNT(*) AS nb
+      FROM unioned GROUP BY st
+    ),
+    est AS (SELECT st, {est} AS e FROM agg),
+    wide AS (
+      SELECT SUM(CASE WHEN st = 'a' THEN e END) AS approx_a,
+             SUM(CASE WHEN st = 'b' THEN e END) AS approx_b,
+             SUM(CASE WHEN st = 'union' THEN e END) AS approx_union
+      FROM est
+    )
+    SELECT approx_a, approx_b, approx_union,
+           ROUND(approx_a + approx_b - approx_union, 4) AS approx_intersection
+    FROM wide
     """

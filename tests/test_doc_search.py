@@ -93,3 +93,41 @@ def test_hybrid_rrf_fuses_and_stays_topk_shaped(spark, sf_dir):
     # descending fusion order with id tiebreak
     keys = [(-r["rrf_score"], r["doc_id"]) for r in rows]
     assert keys == sorted(keys)
+
+
+def test_trigram_like_search_equals_plain_scan(spark, sf_dir):
+    """Index-accelerated LIKE must be output-identical to the full
+    contains() scan (the index only prunes candidates; the verify step
+    removes trigram-coincidence false positives), including patterns
+    whose trigrams all occur corpus-wide, and must fall back cleanly
+    below 3 chars."""
+    from pyspark.sql import functions as F
+
+    from robosystems_spark.operators.search import (
+        trigram_like_search,
+        trigram_postings,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = trigram_postings(docs).cache()
+    for pat in ("merge batch", "stream window stream", "zz-not-there", "ta"):
+        got = {r["doc_id"] for r in trigram_like_search(docs, pat, postings=idx).collect()}
+        want = {
+            r["doc_id"]
+            for r in docs.filter(
+                F.lower(F.col("text")).contains(pat.lower())
+            ).collect()
+        }
+        assert got == want, pat
+    # the index actually prunes: candidate posting rows for a selective
+    # pattern cover far fewer docs than the corpus
+    grams = sorted({"merge batch"[i : i + 3] for i in range(len("merge batch") - 2)})
+    n_cand = (
+        idx.filter(F.col("trigram").isin(grams))
+        .groupBy("doc_id")
+        .count()
+        .filter(F.col("count") == len(grams))
+        .count()
+    )
+    assert n_cand < docs.count()
+    idx.unpersist()
