@@ -546,3 +546,81 @@ def graph_adamic_adar_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return adamic_adar_bipartite(edges, max_right_degree=40, topk=50)
+
+
+_PPR_SEEDS = ["s1", "s2", "s3"]
+
+
+def _ppr_oracle(num_iter: int, damping: float, seeds: list[str]) -> str:
+    """Unrolled-CTE personalized-PageRank oracle: identical teleport
+    vector, dangling-to-seed restart, and per-iteration rounding."""
+    seed_list = ", ".join(f"'{s}'" for s in seeds)
+    inv = 1.0 / len(seeds)
+    head = f"""
+    WITH e AS (
+      SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                      'p' || CAST(l_partkey AS VARCHAR) AS dst
+      FROM lineitem
+    ),
+    nodes AS (
+      SELECT node,
+             CASE WHEN node IN ({seed_list}) THEN {inv!r} ELSE 0.0 END AS s
+      FROM (SELECT src AS node FROM e UNION SELECT dst FROM e)
+    ),
+    deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+    r0 AS (SELECT node, ROUND(s, 10) AS rank FROM nodes)"""
+    step = """,
+    r{k} AS (
+      SELECT n.node,
+             ROUND((1 - {d}) * n.s
+                   + {d} * (COALESCE(c.cs, 0) + dang.m * n.s), 10) AS rank
+      FROM nodes n
+      LEFT JOIN (
+        SELECT e.dst AS node, SUM(r.rank / deg.d) AS cs
+        FROM e JOIN r{p} r ON r.node = e.src JOIN deg ON deg.src = e.src
+        GROUP BY e.dst
+      ) c ON c.node = n.node
+      CROSS JOIN (
+        SELECT COALESCE(SUM(r.rank), 0) AS m
+        FROM r{p} r LEFT JOIN deg ON deg.src = r.node
+        WHERE deg.src IS NULL
+      ) dang
+    )"""
+    sql = head
+    for k in range(1, num_iter + 1):
+        sql += step.format(k=k, p=k - 1, d=damping)
+    sql += f"""
+    SELECT node, ROUND(rank, 8) AS rank FROM r{num_iter}
+    WHERE rank > 0
+    """
+    return sql
+
+
+@register(
+    "graph_personalized_pagerank",
+    oracle=_ppr_oracle(_PR_ITER, _PR_DAMP, _PPR_SEEDS),
+    doc=(
+        "Personalized PageRank from a 3-supplier seed set over the "
+        "supplier->part bipartite digraph: teleport and dangling mass "
+        "restart to the seeds (uniform over the set), so ranks measure "
+        "proximity to the seeds — the related-entity / recommendation "
+        "primitive. Same Pregel-as-joins shape and per-iteration rounding "
+        "contract as the global PageRank entry; zero-rank nodes are "
+        "dropped (unreachable from the seeds)."
+    ),
+    tags=("graph", "similarity"),
+)
+def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from robosystems_spark.operators.graph import personalized_pagerank
+
+    li = read_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    out = personalized_pagerank(
+        edges, _PPR_SEEDS, num_iter=_PR_ITER, damping=_PR_DAMP
+    )
+    return out.select("node", F.round("rank", 8).alias("rank")).filter(
+        F.col("rank") > 0
+    )

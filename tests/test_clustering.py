@@ -212,3 +212,34 @@ def test_label_propagation_deterministic_across_runs(spark):
     a = sorted(map(tuple, label_propagation(edges, rounds=3).collect()))
     b = sorted(map(tuple, label_propagation(edges, rounds=3).collect()))
     assert a == b
+
+
+def test_personalized_pagerank_localizes_mass_near_seeds(spark):
+    """PPR semantics on a barbell: two 3-cycles bridged by one edge.
+    Seeding in the left cycle must (a) conserve total mass at ~1,
+    (b) concentrate most mass on the left cycle, (c) still leak some
+    across the bridge — and an unreachable isolated edge gets zero."""
+    from robosystems_spark.operators.graph import personalized_pagerank
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "c"), ("c", "a"),   # left cycle
+            ("c", "x"),                             # bridge
+            ("x", "y"), ("y", "z"), ("z", "x"),   # right cycle
+            ("q1", "q2"),                           # unreachable from seeds
+        ],
+        ["src", "dst"],
+    )
+    r = {
+        row["node"]: row["rank"]
+        for row in personalized_pagerank(edges, ["a"], num_iter=12).collect()
+    }
+    assert abs(sum(r.values()) - 1.0) < 1e-6
+    left = r["a"] + r["b"] + r["c"]
+    right = r["x"] + r["y"] + r["z"]
+    assert left > right > 0
+    assert r["q1"] == 0.0 and r["q2"] == 0.0
+    import pytest
+
+    with pytest.raises(ValueError):
+        personalized_pagerank(edges, [], num_iter=3)
