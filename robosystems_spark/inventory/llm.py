@@ -149,6 +149,21 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.fingerprint(_docs(spark, sf_dir))
 
 
+@register(
+    "corpus_zipf_fit",
+    oracle=T.zipf_fit_oracle_sql(top_n=200),
+    doc="Zipf's-law fit over corpus token frequencies: closed-form OLS of "
+    "ln(freq) on ln(rank) for the top-200 tokens (slope/intercept/r2) — "
+    "generated or templated corpora bend away from the natural-language "
+    "slope of ~-1, so this is a corpus-level quality/contamination signal. "
+    "Exact integer ranks + ln over integer operands keep both engines on "
+    "identical operands; one token-count shuffle, one top-n, one 1-row agg.",
+    tags=("text", "corpus", "quality"),
+)
+def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.zipf_fit(_docs(spark, sf_dir), top_n=200)
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard near-dup with prefix blocking — SQL-expressible, so it
 # gets a real oracle; blocking keeps both sides O(candidates).

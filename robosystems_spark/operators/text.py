@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # Marker words per language for the stopword-ratio language-ID
 # heuristic.  On real corpora these are the top function words; the
@@ -303,3 +304,98 @@ def trigram_interpolated_logprob(
             F.round(F.avg("_lp"), 4).alias("avg_logprob"),
         )
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 200,
+    decimals: int = 6,
+) -> DataFrame:
+    """Zipf's-law fit over the corpus token frequencies: least-squares
+    slope/intercept of ln(freq) on ln(rank) for the ``top_n`` tokens
+    (natural corpora slope toward -1; generated or templated text bends
+    away — a corpus-level quality signal next to the per-doc ones).
+
+    Returns ONE row (n_tokens_fit, slope, intercept, r2).
+
+    Fully relational and portable: frequency ranks are exact integers
+    (count DESC, token ASC total order), ln() inputs are integers so
+    both engines see identical operands, and the closed-form OLS
+    aggregates (sums of x, y, xy, x^2, y^2) are plain SUMs with
+    output rounding absorbing summation-order drift.  Scale shape:
+    token count aggregation (one shuffle), a top-n TakeOrdered, and a
+    single-row aggregate over n rows.
+    """
+    toks = (
+        df.select(F.explode(tokens(text_col)).alias("tok"))
+        .filter(F.length("tok") > 0)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("tok"))
+    ranked = (
+        toks.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select(
+            F.log(F.col("rank").cast("double")).alias("x"),
+            F.log(F.col("freq").cast("double")).alias("y"),
+        )
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    varx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    vary = F.col("syy") - F.col("sy") * F.col("sy") / n
+    slope = cov / varx
+    return agg.select(
+        F.col("n").alias("n_tokens_fit"),
+        F.round(slope, decimals).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / n, decimals).alias(
+            "intercept"
+        ),
+        F.round(cov * cov / (varx * vary), decimals).alias("r2"),
+    )
+
+
+def zipf_fit_oracle_sql(
+    table: str = "documents", top_n: int = 200, decimals: int = 6
+) -> str:
+    """DuckDB twin: same exact integer ranks, ln() over integer
+    operands, closed-form OLS sums, and output rounding."""
+    return f"""
+    WITH toks AS (
+      SELECT tok, COUNT(*) AS freq
+      FROM (
+        SELECT UNNEST(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+')) AS tok
+        FROM {table}
+      )
+      WHERE LENGTH(tok) > 0
+      GROUP BY tok
+    ),
+    ranked AS (
+      SELECT LN(CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS DOUBLE)) AS x,
+             LN(CAST(freq AS DOUBLE)) AS y,
+             ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS r
+      FROM toks
+      QUALIFY r <= {top_n}
+    ),
+    agg AS (
+      SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM ranked
+    )
+    SELECT n AS n_tokens_fit,
+           ROUND((sxy - sx * sy / n) / (sxx - sx * sx / n), {decimals}) AS slope,
+           ROUND((sy - ((sxy - sx * sy / n) / (sxx - sx * sx / n)) * sx) / n, {decimals}) AS intercept,
+           ROUND((sxy - sx * sy / n) * (sxy - sx * sy / n)
+                 / ((sxx - sx * sx / n) * (syy - sy * sy / n)), {decimals}) AS r2
+    FROM agg
+    """

@@ -439,3 +439,27 @@ def test_ppmi_hot_context_cap_bounds_matmul_and_matches_oracle(spark):
         for r in ppmi_word_similarity(docs, k=200, min_count=5).collect()
     )
     assert out != uncapped
+
+
+def test_zipf_fit_recovers_synthetic_power_law(spark):
+    """A corpus built with freq(rank) = C/rank must fit slope ~ -1 with
+    r2 ~ 1; a uniform-frequency corpus must fit slope ~ 0."""
+    from pyspark.sql import functions as F
+
+    from robosystems_spark.operators.text import zipf_fit
+
+    C = 1200
+    words = []
+    for r in range(1, 41):
+        words += [f"w{r:02d}"] * (C // r)
+    zipf_doc = spark.createDataFrame([(" ".join(words),)], ["text"])
+    fit = zipf_fit(zipf_doc, top_n=40).collect()[0]
+    assert fit["n_tokens_fit"] == 40
+    assert abs(fit["slope"] + 1.0) < 0.05
+    assert fit["r2"] > 0.99
+
+    flat_doc = spark.createDataFrame(
+        [(" ".join([f"u{r}" for r in range(50)] * 10),)], ["text"]
+    )
+    flat = zipf_fit(flat_doc, top_n=50).collect()[0]
+    assert abs(flat["slope"]) < 0.01
