@@ -152,3 +152,62 @@ def multimodal_wav_pcm_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("media_id", "doc_id")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "multimodal_mp4_metadata",
+    oracle=f"""
+    SELECT d.doc_id,
+           'mp4' AS container,
+           'isom' AS major_brand,
+           CAST(600 AS BIGINT) AS timescale,
+           CAST(d.doc_id * 600 + 30 AS BIGINT) AS duration_ticks,
+           CAST((d.doc_id * 600 + 30) * 1000 // 600 AS BIGINT) AS duration_ms,
+           CAST(1 + d.doc_id % 3 AS INTEGER) AS n_tracks
+    FROM documents d
+    WHERE d.doc_id < {_N_DOCS}
+    ORDER BY d.doc_id
+    """,
+    doc="REAL video-container path: synthesize a structurally-valid ISO "
+    "BMFF file per document (ftyp + moov{{mvhd, trak*}} + mdat; duration "
+    "ticks and track count are closed-form functions of doc_id), walk the "
+    "actual box tree in mapInPandas (size+fourcc grammar, version-0 mvhd), "
+    "and emit timescale/duration/track metadata; the oracle computes the "
+    "same values from the formula — a size/recursion bug in the walker "
+    "diverges immediately.",
+    tags=("multimodal",),
+)
+def multimodal_mp4_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from robosystems_spark.operators.multimodal import (
+        encode_mp4_stub,
+        video_container_stats,
+    )
+
+    def encode(it):
+        for pdf in it:
+            payloads = [
+                encode_mp4_stub(
+                    duration_ticks=int(did) * 600 + 30,
+                    timescale=600,
+                    n_tracks=1 + int(did) % 3,
+                )
+                for did in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": payloads})
+
+    media = _doc_ids(spark, sf_dir).mapInPandas(
+        encode,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("content", T.BinaryType()),
+            ]
+        ),
+    )
+    return (
+        video_container_stats(media, id_col="doc_id")
+        .withColumnRenamed("media_id", "doc_id")
+        .orderBy("doc_id")
+    )

@@ -573,3 +573,131 @@ def audio_clip_stats(
     return df.select(
         F.col(id_col).alias(id_col), F.col(binary_col)
     ).mapInPandas(batches, AUDIO_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL MP4 (ISO BMFF) box-tree walking — the video counterpart of the
+# PNG/JPEG/WAV header parsers above: pure byte arithmetic over the
+# size+fourcc box grammar, no codec libraries.  encode_mp4_stub builds
+# a structurally-valid box tree (ftyp + moov{mvhd, trak*} + mdat) so
+# the walker is exercised against real container bytes end-to-end.
+# ---------------------------------------------------------------------------
+
+MP4_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("container", T.StringType()),
+        T.StructField("major_brand", T.StringType()),
+        T.StructField("timescale", T.LongType()),
+        T.StructField("duration_ticks", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("n_tracks", T.IntegerType()),
+    ]
+)
+
+
+def _box(fourcc: bytes, payload: bytes) -> bytes:
+    return (8 + len(payload)).to_bytes(4, "big") + fourcc + payload
+
+
+def encode_mp4_stub(
+    duration_ticks: int,
+    timescale: int = 600,
+    n_tracks: int = 1,
+    major_brand: bytes = b"isom",
+    mdat_payload: bytes = b"\x00" * 16,
+) -> bytes:
+    """Minimal structurally-valid ISO BMFF file: ftyp, moov containing
+    a version-0 mvhd (timescale/duration) and ``n_tracks`` stub trak
+    boxes (each a tkhd-only shell), then an mdat.  Every box is the
+    real size+fourcc grammar, so a parser that mis-walks sizes or
+    recursion produces garbage, not coincidentally-right answers."""
+    ftyp = _box(b"ftyp", major_brand + (0).to_bytes(4, "big") + b"isommp42")
+    mvhd_body = (
+        b"\x00\x00\x00\x00"  # version 0 + flags
+        + (0).to_bytes(4, "big")  # creation
+        + (0).to_bytes(4, "big")  # modification
+        + timescale.to_bytes(4, "big")
+        + duration_ticks.to_bytes(4, "big")
+        + b"\x00" * 80  # rate/volume/matrix/predefines/next-track-id
+    )
+    mvhd = _box(b"mvhd", mvhd_body)
+    traks = b"".join(
+        _box(b"trak", _box(b"tkhd", b"\x00" * 84 + (tid + 1).to_bytes(4, "big")))
+        for tid in range(n_tracks)
+    )
+    moov = _box(b"moov", mvhd + traks)
+    mdat = _box(b"mdat", mdat_payload)
+    return ftyp + moov + mdat
+
+
+def parse_mp4(data: bytes) -> dict:
+    """Walk the top-level MP4 box tree: ftyp -> major brand, moov ->
+    mvhd timescale/duration (version 0 u32 and version 1 u64 layouts)
+    and trak count.  Unknown boxes are skipped by their declared size;
+    a truncated or non-BMFF payload returns container='unknown'."""
+    out = {
+        "container": "unknown",
+        "major_brand": None,
+        "timescale": None,
+        "duration_ticks": None,
+        "duration_ms": None,
+        "n_tracks": None,
+    }
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        return out
+    out["container"] = "mp4"
+    out["major_brand"] = data[8:12].decode("ascii", errors="replace")
+    i = 0
+    while i + 8 <= len(data):
+        size = int.from_bytes(data[i : i + 4], "big")
+        four = data[i + 4 : i + 8]
+        if size < 8 or i + size > len(data):
+            break
+        if four == b"moov":
+            j = i + 8
+            end = i + size
+            n_tracks = 0
+            while j + 8 <= end:
+                csize = int.from_bytes(data[j : j + 4], "big")
+                cfour = data[j + 4 : j + 8]
+                if csize < 8 or j + csize > end:
+                    break
+                if cfour == b"mvhd":
+                    ver = data[j + 8]
+                    if ver == 1:
+                        ts = int.from_bytes(data[j + 28 : j + 32], "big")
+                        dur = int.from_bytes(data[j + 32 : j + 40], "big")
+                    else:
+                        ts = int.from_bytes(data[j + 20 : j + 24], "big")
+                        dur = int.from_bytes(data[j + 24 : j + 28], "big")
+                    out["timescale"] = ts
+                    out["duration_ticks"] = dur
+                    if ts:
+                        out["duration_ms"] = dur * 1000 // ts
+                elif cfour == b"trak":
+                    n_tracks += 1
+                j += csize
+            out["n_tracks"] = n_tracks
+        i += size
+    return out
+
+
+def video_container_stats(
+    df: DataFrame, binary_col: str = "content", id_col: str = "media_id"
+) -> DataFrame:
+    """MP4 metadata extraction over a binary column in one
+    Arrow-batched pass — the video branch of ``parse_media_headers``."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[binary_col]):
+                meta = parse_mp4(bytes(payload))
+                meta["media_id"] = mid
+                rows.append(meta)
+            yield pd.DataFrame(rows)
+
+    return df.select(F.col(id_col), F.col(binary_col)).mapInPandas(
+        batches, MP4_META_SCHEMA
+    )

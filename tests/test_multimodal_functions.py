@@ -358,3 +358,49 @@ def test_image_and_audio_stats_distributed(spark):
     a = audio_clip_stats(adf).collect()[0]
     assert a["sample_rate_hz"] == 16000 and a["channels"] == 1
     assert a["n_samples"] == 4 and a["rms"] == 2.5 and a["peak"] == 4
+
+
+def test_mp4_box_walker_golden_and_edge_cases():
+    """Byte-level contract for the ISO BMFF walker: golden sizes for
+    the stub encoder, version-1 mvhd (64-bit duration), unknown boxes
+    skipped by declared size, truncated trees degrade gracefully."""
+    from robosystems_spark.operators.multimodal import (
+        _box,
+        encode_mp4_stub,
+        parse_mp4,
+    )
+
+    b = encode_mp4_stub(600, timescale=600, n_tracks=1)
+    # golden: ftyp payload = brand(4)+minor(4)+compat(8) -> box of 24
+    assert b[:4] == (24).to_bytes(4, "big") and b[4:8] == b"ftyp"
+    m = parse_mp4(b)
+    assert m["duration_ms"] == 1000 and m["n_tracks"] == 1
+    assert m["major_brand"] == "isom"
+
+    # version-1 mvhd: u64 creation/modification, u32 timescale, u64 duration
+    mvhd_v1 = _box(
+        b"mvhd",
+        b"\x01\x00\x00\x00"
+        + (0).to_bytes(8, "big")
+        + (0).to_bytes(8, "big")
+        + (90000).to_bytes(4, "big")
+        + (270000).to_bytes(8, "big")
+        + b"\x00" * 80,
+    )
+    ftyp = _box(b"ftyp", b"isom" + (0).to_bytes(4, "big") + b"isommp42")
+    tree = ftyp + _box(b"moov", mvhd_v1 + _box(b"trak", b"") * 0)
+    m1 = parse_mp4(tree)
+    assert m1["timescale"] == 90000 and m1["duration_ticks"] == 270000
+    assert m1["duration_ms"] == 3000
+
+    # unknown sibling boxes are skipped by size, not parsed
+    noisy = ftyp + _box(b"free", b"\xde\xad" * 8) + _box(
+        b"moov", mvhd_v1 + _box(b"trak", b"") + _box(b"udta", b"x" * 3) + _box(b"trak", b"")
+    )
+    mn = parse_mp4(noisy)
+    assert mn["n_tracks"] == 2 and mn["timescale"] == 90000
+
+    # truncation: declared size overruns the buffer -> stop, keep what parsed
+    assert parse_mp4(tree[:30])["timescale"] is None
+    assert parse_mp4(b"")["container"] == "unknown"
+    assert parse_mp4(b"\x00" * 40)["container"] == "unknown"
