@@ -86,3 +86,89 @@ def running_user_profile(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming Misra-Gries heavy-hitter monitor.
+# ---------------------------------------------------------------------------
+
+FREQ_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.IntegerType()),
+        T.StructField("value", T.StringType()),
+        T.StructField("est_count", T.LongType()),
+    ]
+)
+
+_FREQ_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("vals", T.ArrayType(T.StringType())),
+        T.StructField("cnts", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def _mg_fold(counters: dict, pdf: pd.DataFrame, k: int) -> dict:
+    for v, c in pdf["value"].value_counts().items():
+        counters[v] = counters.get(v, 0) + int(c)
+    if len(counters) > k:
+        cut = sorted(counters.values(), reverse=True)[k]
+        counters = {v: c - cut for v, c in counters.items() if c > cut}
+    return counters
+
+
+def streaming_frequent_items(
+    events: DataFrame,
+    value_col: str = "user_id",
+    k: int = 32,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Streaming heavy-hitter monitor: each shard (md5 of the value
+    mod ``n_shards``) keeps a Misra-Gries summary of at most ``k``
+    counters in grouped state, folding every micro-batch in with the
+    same mergeable subtract-and-truncate rule as the batch operator
+    (``operators/sketches.py``) — so state per shard is O(k) FOREVER,
+    no matter the stream's key cardinality, and any value with shard
+    frequency > n_shard/(k+1) is guaranteed present.
+
+    Emits the shard's current candidate set (shard, value, est_count)
+    each batch; a downstream exact recount (the batch two-pass) turns
+    candidates into exact phi-frequent items on demand.
+    """
+    from pyspark.sql import functions as F
+
+    def update(key, pdfs, state: GroupState):
+        (shard,) = key
+        if state.exists:
+            vals, cnts = state.get
+            counters = dict(zip(vals, cnts))
+        else:
+            counters = {}
+        for pdf in pdfs:
+            counters = _mg_fold(counters, pdf, k)
+        state.update((list(counters.keys()), [int(c) for c in counters.values()]))
+        yield pd.DataFrame(
+            {
+                "shard": [shard] * len(counters),
+                "value": list(counters.keys()),
+                "est_count": [int(c) for c in counters.values()],
+            }
+        )
+
+    keyed = events.select(
+        (
+            F.conv(F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10)
+            .cast("long")
+            % n_shards
+        )
+        .cast("int")
+        .alias("shard"),
+        F.col(value_col).cast("string").alias("value"),
+    )
+    return keyed.groupBy("shard").applyInPandasWithState(
+        update,
+        outputStructType=FREQ_SCHEMA,
+        stateStructType=_FREQ_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

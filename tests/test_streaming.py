@@ -383,3 +383,63 @@ def test_transform_with_state_protobuf_seam(spark):
     )
     with pytest.raises(RuntimeError, match="protobuf"):
         recent_user_activity(rate)
+
+
+def test_streaming_frequent_items_state_bounded_and_superset(spark, tmp_path):
+    """Streaming MG monitor: state folds across micro-batches (the
+    heavy key's estimate grows batch over batch), per-shard output
+    stays <= k rows, and the true heavy hitter is always present."""
+    import datetime as _dt
+
+    from robosystems_spark.streaming.events import events_stream
+    from robosystems_spark.streaming.stateful import streaming_frequent_items
+
+    src = str(tmp_path / "freq_src")
+    os.makedirs(src)
+    base = _dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def write(batch_users):
+        rows = [
+            (i, base + _dt.timedelta(seconds=i), u, "a", 1.0, "{}")
+            for i, u in enumerate(batch_users)
+        ]
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    # batch 1: user 7 heavy (30x), tail users once each
+    write([7] * 30 + list(range(100, 120)))
+    stream = events_stream(spark, src, max_files_per_trigger=1)
+    q = (
+        streaming_frequent_items(stream, "user_id", k=8, n_shards=4)
+        .writeStream.format("memory")
+        .queryName("freq_t")
+        .outputMode("update")
+        .start()
+    )
+    q.processAllAvailable()
+    est1 = {
+        r["value"]: r["est_count"]
+        for r in spark.sql("SELECT * FROM freq_t").collect()
+    }
+    assert "7" in est1 and est1["7"] >= 30 - (20 // 9)  # MG undercount bound
+
+    # batch 2: 20 more events for user 7 -> estimate must grow
+    write([7] * 20 + list(range(200, 210)))
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM freq_t WHERE value = '7'").collect()
+    assert max(r["est_count"] for r in rows) >= est1["7"] + 20 - (10 // 9)
+    # bounded state: every (batch, shard) emission is <= k rows
+    import collections
+
+    per_shard = collections.Counter()
+    for r in spark.sql("SELECT * FROM freq_t").collect():
+        per_shard[(r["shard"], r["est_count"], r["value"])] += 1
+    # total distinct candidates per shard in the final state <= k
+    final = collections.Counter(
+        r["shard"] for r in rows
+    )
+    for shard, n in final.items():
+        assert n <= 2 * 8  # two emissions (one per batch) x k bound
