@@ -1517,6 +1517,26 @@ def linkage_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "linkage_entity_clusters",
+    oracle=__import__(
+        "robosystems_spark.operators.linkage",
+        fromlist=["entity_clusters_oracle_sql"],
+    ).entity_clusters_oracle_sql("part", "p_name", max_dist=2),
+    doc="End-to-end entity resolution: the blocked fuzzy matcher's pairs "
+    "feed min-label connected components (transitive closure — A~B, B~C "
+    "merge even when A,C exceed the edit threshold), canonical name = "
+    "lexicographically smallest member; emits the per-entity merge "
+    "worklist (n_names, total_records). Composition of two capped, "
+    "never-quadratic primitives; recursive-CTE oracle.",
+    tags=("linkage", "graph"),
+)
+def linkage_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from robosystems_spark.operators.linkage import entity_clusters
+
+    return entity_clusters(read_table(spark, sf_dir, "part"), "p_name", max_dist=2)
+
+
 # ---------------------------------------------------------------------------
 # Weighted sampling without replacement (A-Res).
 # ---------------------------------------------------------------------------

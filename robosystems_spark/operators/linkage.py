@@ -109,3 +109,88 @@ def fuzzy_name_oracle_sql(
       ON a.blk = b.blk AND a.sub = b.sub AND a.name < b.name
     WHERE levenshtein(a.name, b.name) <= {max_dist}
     """
+
+
+def entity_clusters(
+    df: DataFrame,
+    name_col: str,
+    max_dist: int = 2,
+    block_cap: int = 256,
+) -> DataFrame:
+    """Full entity-resolution pipeline: blocked fuzzy matching →
+    transitive closure → canonical entities.  Names linked by any
+    chain of <=``max_dist`` edits collapse into one cluster whose
+    canonical name is the lexicographically smallest member (a
+    deterministic, engine-portable representative).
+
+    Returns (canonical_name, n_names, total_records) per multi-name
+    entity — the merge worklist an ingest pipeline acts on.
+
+    Composition of two scale-safe primitives: the capped-block fuzzy
+    matcher (never quadratic in a block) and min-label connected
+    components (O(diameter) rounds over the match edges, which are
+    tiny relative to the corpus).
+    """
+    from robosystems_spark.operators.graph import connected_components
+
+    pairs = fuzzy_name_matches(df, name_col, name_col, max_dist, block_cap)
+    comp = connected_components(pairs, "name_a", "name_b")
+    names = df.groupBy(F.col(name_col).alias("name")).agg(
+        F.count(F.lit(1)).alias("n_records")
+    )
+    return (
+        comp.join(names, comp.node == names.name)
+        .groupBy(F.col("component").alias("canonical_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_names"),
+            F.sum("n_records").alias("total_records"),
+        )
+    )
+
+
+def entity_clusters_oracle_sql(
+    table: str,
+    name_col: str,
+    max_dist: int = 2,
+    block_cap: int = 256,
+) -> str:
+    """DuckDB twin: identical fuzzy pairs, then a recursive min-label
+    fixpoint and the same canonical rollup."""
+    return f"""
+    WITH RECURSIVE names AS MATERIALIZED (
+      SELECT {name_col} AS name, COUNT(*) AS n_records,
+             STRING_SPLIT({name_col}, ' ')[-1] AS blk
+      FROM {table} GROUP BY {name_col}
+    ),
+    sizes AS (
+      SELECT blk, CAST(CEIL(COUNT(*) / {block_cap}.0) AS BIGINT) AS n_sub
+      FROM names GROUP BY blk
+    ),
+    sub AS MATERIALIZED (
+      SELECT n.*,
+             ('0x' || SUBSTR(MD5(n.name), 1, 15))::BIGINT % s.n_sub AS sub
+      FROM names n JOIN sizes s USING (blk)
+    ),
+    pairs AS MATERIALIZED (
+      SELECT a.name AS name_a, b.name AS name_b
+      FROM sub a JOIN sub b
+        ON a.blk = b.blk AND a.sub = b.sub AND a.name < b.name
+      WHERE levenshtein(a.name, b.name) <= {max_dist}
+    ),
+    edges AS (
+      SELECT name_a AS a, name_b AS b FROM pairs
+      UNION ALL
+      SELECT name_b AS a, name_a AS b FROM pairs
+    ),
+    reach AS (
+      SELECT DISTINCT a AS node, a AS lbl FROM edges
+      UNION
+      SELECT e.b AS node, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    comp AS (SELECT node, MIN(lbl) AS canonical_name FROM reach GROUP BY node)
+    SELECT c.canonical_name,
+           COUNT(*) AS n_names,
+           SUM(n.n_records) AS total_records
+    FROM comp c JOIN names n ON n.name = c.node
+    GROUP BY c.canonical_name
+    """

@@ -567,3 +567,23 @@ def test_hard_negative_band_is_band_restricted_brute_force(spark, sf_dir):
         got.setdefault(r["query_id"], []).append(r["nn_id"])
     for q, ids in got.items():
         assert ids == by_q[q][: len(ids)]
+
+
+def test_entity_clusters_transitive_closure(spark):
+    """A~B and B~C must merge into one entity even when dist(A, C)
+    exceeds the edit threshold — the defining property the pairwise
+    matcher alone lacks; canonical = lexicographic min; records sum."""
+    from robosystems_spark.operators.linkage import entity_clusters
+
+    rows = (
+        [("alpha widget",)] * 3
+        + [("alphb widget",)] * 2   # dist 1 from alpha
+        + [("alphc widget",)] * 1   # dist 1 from alphb, dist 2 from alpha... use max_dist=1
+        + [("omega gadget",)] * 4   # unmatched singleton: excluded
+    )
+    df = spark.createDataFrame(rows, ["name"])
+    out = {
+        r["canonical_name"]: (r["n_names"], r["total_records"])
+        for r in entity_clusters(df, "name", max_dist=1).collect()
+    }
+    assert out == {"alpha widget": (3, 6)}
