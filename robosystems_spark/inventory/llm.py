@@ -213,6 +213,60 @@ def ngram_jaccard_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_blocked_pairs(docs, threshold=0.5, cap=_JACCARD_BLOCK_CAP)
 
 
+@register(
+    "dedup_cross_source_matrix",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id,
+             LIST_DISTINCT(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+')) AS toks,
+             SUBSTRING(text, 1, 32) AS blk
+      FROM documents
+    ),
+    s AS (
+      SELECT blk, CAST(CEIL(COUNT(*) / {_JACCARD_BLOCK_CAP}.0) AS BIGINT) AS n_sub
+      FROM t GROUP BY blk
+    ),
+    t2 AS (
+      SELECT t.doc_id, t.toks, t.blk, t.doc_id % s.n_sub AS sub
+      FROM t JOIN s USING (blk)
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM t2 a JOIN t2 b
+        ON a.blk = b.blk AND a.sub = b.sub AND a.doc_id < b.doc_id
+      WHERE CAST(LEN(LIST_INTERSECT(a.toks, b.toks)) AS DOUBLE)
+            / LEN(LIST_DISTINCT(LIST_CONCAT(a.toks, b.toks))) >= 0.5
+    )
+    SELECT LEAST(da.source, db.source) AS source_a,
+           GREATEST(da.source, db.source) AS source_b,
+           COUNT(*) AS n_dup_pairs
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.doc_a
+    JOIN documents db ON db.doc_id = p.doc_b
+    GROUP BY LEAST(da.source, db.source), GREATEST(da.source, db.source)
+    """,
+    doc="Cross-source duplicate matrix: the corpus-governance report — for "
+    "each unordered source pair, how many near-dup pairs cross it (within-"
+    "source dups on the diagonal). Composes the capped-block Jaccard pairs "
+    "with two dimension joins and an unordered-pair normalization "
+    "(LEAST/GREATEST); the rollup is one tiny shuffle over the pair set.",
+    tags=("dedup", "corpus"),
+)
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    pairs = jaccard_blocked_pairs(docs, threshold=0.5, cap=_JACCARD_BLOCK_CAP)
+    src = docs.select("doc_id", "source")
+    return (
+        pairs.join(src.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("source", "_sa"), "doc_a")
+        .join(src.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("source", "_sb"), "doc_b")
+        .groupBy(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+    )
+
+
 def jaccard_blocked_pairs(
     docs: DataFrame, threshold: float = 0.5, cap: int = _JACCARD_BLOCK_CAP
 ) -> DataFrame:

@@ -696,3 +696,50 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TS.touch_attribution(_events(spark, sf_dir))
+
+
+@register(
+    "events_rolling_wau",
+    oracle="""
+    WITH active AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM active),
+    expanded AS (
+      SELECT a.d + CAST(o.off AS INTEGER) AS obs_day, a.user_id
+      FROM active a, range(7) o(off)
+    )
+    SELECT e.obs_day AS day,
+           COUNT(DISTINCT e.user_id) AS wau
+    FROM expanded e
+    JOIN days dy ON dy.d = e.obs_day
+    GROUP BY e.obs_day
+    """,
+    doc="Rolling 7-day active users (WAU) per observed day: COUNT(DISTINCT) "
+    "over a trailing window isn't a window function in either engine, so "
+    "each (day, user) activity row is expanded to the 7 observation days it "
+    "contributes to (a bounded explode — x7, not xN), then one distinct "
+    "count per day restricted to observed days. Scale shape: the expansion "
+    "runs over the DEDUPED (day, user) grid, orders of magnitude smaller "
+    "than raw events; one shuffle keyed by day.",
+    tags=("window", "events"),
+)
+def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    active = ev.select(
+        F.to_date("ts").alias("d"), "user_id"
+    ).distinct()
+    days = active.select("d").distinct()
+    expanded = active.select(
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+        ).alias("obs_day"),
+        "user_id",
+    )
+    return (
+        expanded.join(
+            F.broadcast(days.withColumnRenamed("d", "obs_day")), "obs_day"
+        )
+        .groupBy(F.col("obs_day").alias("day"))
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
