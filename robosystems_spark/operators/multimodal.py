@@ -634,8 +634,10 @@ def encode_mp4_stub(
 def parse_mp4(data: bytes) -> dict:
     """Walk the top-level MP4 box tree: ftyp -> major brand, moov ->
     mvhd timescale/duration (version 0 u32 and version 1 u64 layouts)
-    and trak count.  Unknown boxes are skipped by their declared size;
-    a truncated or non-BMFF payload returns container='unknown'."""
+    and trak count.  Unknown boxes are skipped by their declared size,
+    including the size==1 64-bit largesize and size==0 to-end-of-file
+    encodings at the top level; a truncated or non-BMFF payload
+    returns container='unknown'."""
     out = {
         "container": "unknown",
         "major_brand": None,
@@ -652,10 +654,18 @@ def parse_mp4(data: bytes) -> dict:
     while i + 8 <= len(data):
         size = int.from_bytes(data[i : i + 4], "big")
         four = data[i + 4 : i + 8]
-        if size < 8 or i + size > len(data):
+        body = i + 8
+        if size == 0:  # ISO BMFF: box extends to end of file
+            size = len(data) - i
+        elif size == 1:  # 64-bit largesize follows the fourcc
+            if i + 16 > len(data):
+                break
+            size = int.from_bytes(data[i + 8 : i + 16], "big")
+            body = i + 16
+        if size < (body - i) or i + size > len(data):
             break
         if four == b"moov":
-            j = i + 8
+            j = body
             end = i + size
             n_tracks = 0
             while j + 8 <= end:

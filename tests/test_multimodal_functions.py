@@ -404,3 +404,31 @@ def test_mp4_box_walker_golden_and_edge_cases():
     assert parse_mp4(tree[:30])["timescale"] is None
     assert parse_mp4(b"")["container"] == "unknown"
     assert parse_mp4(b"\x00" * 40)["container"] == "unknown"
+
+
+def test_mp4_walker_largesize_and_size0_boxes():
+    """ISO BMFF top-level edge encodings: size==1 means a 64-bit
+    largesize follows the fourcc, size==0 means the box runs to end of
+    file; a truncated largesize header degrades to the parsed prefix."""
+    from robosystems_spark.operators.multimodal import _box, parse_mp4
+
+    ftyp = _box(b"ftyp", b"isom" + (0).to_bytes(4, "big") + b"isommp42")
+    mvhd = _box(
+        b"mvhd",
+        b"\x00" * 4
+        + (0).to_bytes(4, "big") * 2
+        + (600).to_bytes(4, "big")
+        + (1200).to_bytes(4, "big")
+        + b"\x00" * 80,
+    )
+    payload = mvhd + _box(b"trak", b"x" * 8)
+
+    large = (1).to_bytes(4, "big") + b"moov" + (16 + len(payload)).to_bytes(8, "big") + payload
+    m = parse_mp4(ftyp + large)
+    assert (m["timescale"], m["duration_ms"], m["n_tracks"]) == (600, 2000, 1)
+
+    zero = (0).to_bytes(4, "big") + b"moov" + payload
+    m0 = parse_mp4(ftyp + zero)
+    assert (m0["timescale"], m0["n_tracks"]) == (600, 1)
+
+    assert parse_mp4(ftyp + (1).to_bytes(4, "big") + b"moov")["timescale"] is None
