@@ -265,11 +265,15 @@ def pagerank(
         "rank", F.round(F.lit(1.0) / F.lit(float(n)), round_digits)
     ).localCheckpoint(eager=True)
 
+    # static across iterations: hoist the edge⋈degree join out of the
+    # loop (division stays rank/d inside the loop, so the float
+    # arithmetic — and the oracle hash — is unchanged)
+    ed = e.join(deg, "src").localCheckpoint(eager=True)
+
     base = (1.0 - damping) / float(n)
     for _ in range(num_iter):
         contrib = (
-            e.join(ranks, e.src == ranks.node)
-            .join(deg, "src")
+            ed.join(ranks, ed.src == ranks.node)
             .select(F.col("dst").alias("node"), (F.col("rank") / F.col("d")).alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("s"))
@@ -739,10 +743,13 @@ def personalized_pagerank(
         "node", F.round(F.col("s"), round_digits).alias("rank")
     ).localCheckpoint(eager=True)
 
+    # static across iterations (same hoist as pagerank; float math
+    # inside the loop unchanged)
+    ed = e.join(deg, "src").localCheckpoint(eager=True)
+
     for _ in range(num_iter):
         contrib = (
-            e.join(ranks, e.src == ranks.node)
-            .join(deg, "src")
+            ed.join(ranks, ed.src == ranks.node)
             .select(F.col("dst").alias("node"), (F.col("rank") / F.col("d")).alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("cs"))
