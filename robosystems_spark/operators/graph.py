@@ -351,11 +351,15 @@ def triangle_count(
     ex = ex.join(deg.select(F.col("node").alias("y"), F.col("d").alias("dy")), "y")
     kx = F.struct(F.col("dx").alias("d"), F.col("x").alias("n"))
     ky = F.struct(F.col("dy").alias("d"), F.col("y").alias("n"))
+    # checkpoint: consumed by BOTH wedge sides and the closure join —
+    # un-materialized, the edge-canonicalization + degree joins (and
+    # whatever lineage produced `edges`, often itself a join) would
+    # re-execute once per consumer (the PPJoin fan-out lesson)
     oriented = ex.select(
         F.when(kx < ky, F.col("x")).otherwise(F.col("y")).alias("a"),
         F.when(kx < ky, F.col("y")).otherwise(F.col("x")).alias("b"),
         F.when(kx < ky, ky).otherwise(kx).alias("kb"),
-    )
+    ).localCheckpoint(eager=True)
     # wedges from each pivot's out-neighborhood, ordered by the same key
     lo = oriented.select("a", F.col("b"), F.col("kb"))
     hi = oriented.select(
