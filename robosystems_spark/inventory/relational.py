@@ -1368,6 +1368,29 @@ def profile_orders_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dq_rule_audit",
+    oracle=__import__(
+        "robosystems_spark.operators.profile",
+        fromlist=["dq_rule_audit_oracle_sql"],
+    ).dq_rule_audit_oracle_sql(),
+    doc="Data-quality rule audit over the warehouse: referential-integrity "
+    "orphans (anti-joins), date-ordering and domain rules (filters), one "
+    "row per rule with its violation count — zero counts included, so a "
+    "green audit is explicit. Each rule is an independent pruned scan; "
+    "the ingest-gate surface a production pipeline runs before promote.",
+    tags=("profile", "relational", "quality"),
+)
+def dq_rule_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from robosystems_spark.operators.profile import dq_rule_audit, tpch_dq_rules
+
+    tables = {
+        t: _t(spark, sf_dir, t)
+        for t in ("lineitem", "orders", "customer", "nation")
+    }
+    return dq_rule_audit(tpch_dq_rules(tables))
+
+
+@register(
     "histogram_order_totalprice",
     oracle=__import__(
         "robosystems_spark.operators.profile",

@@ -157,3 +157,102 @@ def numeric_histogram_oracle_sql(
     FROM binned, b
     GROUP BY binned.bin, b.mn, b.w
     """
+
+
+def dq_rule_audit(rules: list[tuple[str, DataFrame]]) -> DataFrame:
+    """Data-quality rule audit: each rule is (name, violations_frame);
+    the audit emits ONE row per rule with its violation count — zero
+    rows included, so a green audit is explicit, not absent.
+
+    Callers build the violation frames declaratively (anti-joins for
+    referential integrity, filters for domain/order rules) and this
+    unions the counts; each count is an independent aggregate, so
+    Spark runs the rule scans as separate stages that share nothing —
+    at 100 TB each rule still reads only the columns it needs (column
+    pruning survives the union).
+    """
+    if not rules:
+        raise ValueError("rules must be non-empty")
+    counted = [
+        df.agg(F.count(F.lit(1)).alias("n_violations")).select(
+            F.lit(name).alias("rule"), "n_violations"
+        )
+        for name, df in rules
+    ]
+    out = counted[0]
+    for c in counted[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def tpch_dq_rules(tables: dict[str, DataFrame]) -> list[tuple[str, DataFrame]]:
+    """The standard referential/domain/ordering rule set over the
+    TPC-H-ish tables: FK orphans via anti-joins, date-ordering and
+    sign rules via filters."""
+    li, orders, cust, nation = (
+        tables["lineitem"],
+        tables["orders"],
+        tables["customer"],
+        tables["nation"],
+    )
+    return [
+        (
+            "lineitem.l_orderkey -> orders",
+            li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti"),
+        ),
+        (
+            "orders.o_custkey -> customer",
+            orders.join(cust, orders.o_custkey == cust.c_custkey, "left_anti"),
+        ),
+        (
+            "customer.c_nationkey -> nation",
+            cust.join(nation, cust.c_nationkey == nation.n_nationkey, "left_anti"),
+        ),
+        (
+            "l_shipdate >= o_orderdate",
+            li.join(
+                orders.select("o_orderkey", "o_orderdate"),
+                li.l_orderkey == F.col("o_orderkey"),
+            ).filter(F.col("l_shipdate") < F.col("o_orderdate")),
+        ),
+        (
+            "l_discount in [0, 0.5]",
+            li.filter((F.col("l_discount") < 0) | (F.col("l_discount") > 0.5)),
+        ),
+        ("o_totalprice > 0", orders.filter(F.col("o_totalprice") <= 0)),
+        (
+            "l_quantity in (0, 60]",
+            li.filter((F.col("l_quantity") <= 0) | (F.col("l_quantity") > 60)),
+        ),
+    ]
+
+
+def dq_rule_audit_oracle_sql() -> str:
+    """DuckDB twin of the TPC-H rule set — plain NOT EXISTS / filter
+    counts unioned in the same rule order."""
+    return """
+    SELECT 'lineitem.l_orderkey -> orders' AS rule,
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_violations
+    UNION ALL
+    SELECT 'orders.o_custkey -> customer',
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'customer.c_nationkey -> nation',
+           (SELECT COUNT(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+    UNION ALL
+    SELECT 'l_shipdate >= o_orderdate',
+           (SELECT COUNT(*) FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_shipdate < o.o_orderdate)
+    UNION ALL
+    SELECT 'l_discount in [0, 0.5]',
+           (SELECT COUNT(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 0.5)
+    UNION ALL
+    SELECT 'o_totalprice > 0',
+           (SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0)
+    UNION ALL
+    SELECT 'l_quantity in (0, 60]',
+           (SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0 OR l_quantity > 60)
+    """

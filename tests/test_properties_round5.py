@@ -150,3 +150,49 @@ def test_touch_attribution_golden_small_case(spark):
     assert out[("last_touch", "none")] == (1, 7.0)
     for model in ("first_touch", "last_touch"):
         assert sum(v[0] for k, v in out.items() if k[0] == model) == 4
+
+
+def test_dq_rule_audit_detects_injected_violations(spark):
+    """The audit must count violations, not just report clean tables:
+    inject an FK orphan, a date-order violation, and a domain breach
+    and check the exact per-rule counts (plus explicit zeros)."""
+    import datetime as dt
+
+    from robosystems_spark.operators.profile import dq_rule_audit, tpch_dq_rules
+
+    orders = spark.createDataFrame(
+        [(1, 10, 100.0, dt.date(2024, 1, 10)), (2, 999, 50.0, dt.date(2024, 1, 5))],
+        "o_orderkey long, o_custkey long, o_totalprice double, o_orderdate date",
+    )
+    lineitem = spark.createDataFrame(
+        [
+            (1, 5.0, 0.05, dt.date(2024, 1, 12)),   # clean
+            (3, 5.0, 0.05, dt.date(2024, 1, 12)),   # orphan orderkey
+            (1, 5.0, 0.9, dt.date(2024, 1, 2)),     # bad discount AND ships before order
+        ],
+        "l_orderkey long, l_quantity double, l_discount double, l_shipdate date",
+    )
+    customer = spark.createDataFrame(
+        [(10, 1)], "c_custkey long, c_nationkey long"
+    )
+    nation = spark.createDataFrame([(1,)], "n_nationkey long")
+    out = {
+        r["rule"]: r["n_violations"]
+        for r in dq_rule_audit(
+            tpch_dq_rules(
+                {
+                    "lineitem": lineitem,
+                    "orders": orders,
+                    "customer": customer,
+                    "nation": nation,
+                }
+            )
+        ).collect()
+    }
+    assert out["lineitem.l_orderkey -> orders"] == 1
+    assert out["orders.o_custkey -> customer"] == 1      # custkey 999
+    assert out["customer.c_nationkey -> nation"] == 0    # explicit green
+    assert out["l_shipdate >= o_orderdate"] == 1
+    assert out["l_discount in [0, 0.5]"] == 1
+    assert out["o_totalprice > 0"] == 0
+    assert out["l_quantity in (0, 60]"] == 0
