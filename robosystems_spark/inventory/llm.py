@@ -214,6 +214,23 @@ def ngram_jaccard_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_weighted_jaccard_pairs",
+    oracle=D.weighted_jaccard_oracle_sql(threshold_num=2, threshold_den=5),
+    doc="IDF-weighted Jaccard near-dup pairs (weighted set similarity): "
+    "tokens weighted ln(N/df) integer-scaled so boilerplate contributes "
+    "~nothing; same 32-char-prefix + modulo-sub-split block discipline as "
+    "the unweighted path; the threshold is an exact integer "
+    "cross-multiplication (den*S_shared >= num*S_union), so both engines "
+    "agree on every boundary pair — no float comparisons anywhere.",
+    tags=("dedup", "text"),
+)
+def dedup_weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.weighted_jaccard_pairs(
+        _docs(spark, sf_dir), threshold_num=2, threshold_den=5
+    )
+
+
+@register(
     "dedup_cross_source_matrix",
     oracle=rf"""
     WITH t AS (

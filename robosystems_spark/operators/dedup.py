@@ -1220,3 +1220,148 @@ def jaccard_prefix_join_oracle_sql(
                 / LEN(LIST_DISTINCT(LIST_CONCAT(ta.toks, tb.toks))),
                 {ndigits}) >= {threshold}
     """
+
+
+def weighted_jaccard_pairs(
+    df: DataFrame,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cap: int = 64,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """IDF-WEIGHTED Jaccard near-dup pairs: tokens weighted
+    ln(N/df) (integer-scaled), so boilerplate/stop tokens contribute
+    ~nothing and rare shared tokens dominate — the weighted
+    set-similarity refinement of the unweighted blocked join
+    (Chaudhuri et al.'s weighted signature schemes).
+
+    weighted_jaccard(a, b) = Σ_{t∈a∩b} w(t) / Σ_{t∈a∪b} w(t); the
+    threshold test is the exact integer cross-multiplication
+    ``den·S_shared >= num·S_union`` over the scaled-integer weight
+    sums — no float comparisons anywhere, so both engines agree on
+    every boundary pair.  Output keeps (w_shared, w_union) and a
+    display-rounded ratio.
+
+    Shape: one token explode + df aggregation for weights, the same
+    32-char-prefix + modulo-sub-split block discipline as the
+    unweighted path (never quadratic in a block), pair shared-sums via
+    a (block, sub, token)-keyed self-join, per-doc totals joined back.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(tokens(text_col))
+        ).alias("_tok"),
+        F.substring(text_col, 1, 32).alias("_blk"),
+    )
+    n_docs = df.count()
+    w = (
+        toks.groupBy("_tok")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .select(
+            "_tok",
+            F.round(
+                F.log(F.lit(float(n_docs)) / F.col("_df")) * scale
+            )
+            .cast("long")
+            .alias("_w"),
+        )
+    )
+    sizes = (
+        toks.select(id_col, "_blk")
+        .distinct()
+        .groupBy("_blk")
+        .agg(F.ceil(F.count(F.lit(1)) / float(block_cap)).alias("_nsub"))
+    )
+    tw = (
+        toks.join(w, "_tok")
+        .join(F.broadcast(sizes), "_blk")
+        .withColumn("_sub", F.pmod(F.col(id_col), F.col("_nsub")))
+        .select(id_col, "_tok", "_w", "_blk", "_sub")
+        .repartition(
+            int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")),
+            id_col,
+        )
+        .localCheckpoint(eager=True)
+    )
+    totals = tw.groupBy(id_col).agg(F.sum("_w").alias("_tot"))
+    a, b = tw.alias("a"), tw.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a._tok") == F.col("b._tok"))
+            & (F.col("a._blk") == F.col("b._blk"))
+            & (F.col("a._sub") == F.col("b._sub"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .agg(F.sum("a._w").alias("w_shared"))
+    )
+    ta = totals.select(F.col(id_col).alias("doc_a"), F.col("_tot").alias("_ta"))
+    tb = totals.select(F.col(id_col).alias("doc_b"), F.col("_tot").alias("_tb"))
+    out = (
+        shared.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .withColumn("w_union", F.col("_ta") + F.col("_tb") - F.col("w_shared"))
+        .filter(
+            F.col("w_shared") * threshold_den
+            >= F.col("w_union") * threshold_num
+        )
+    )
+    return out.select(
+        "doc_a",
+        "doc_b",
+        "w_shared",
+        "w_union",
+        F.round(F.col("w_shared") / F.col("w_union"), 6).alias("weighted_jaccard"),
+    )
+
+
+def weighted_jaccard_oracle_sql(
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    table: str = "documents",
+    block_cap: int = 64,
+    scale: int = 1_000_000,
+) -> str:
+    """DuckDB twin: identical integer-scaled IDF weights, block
+    discipline, and cross-multiplied integer threshold."""
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(LIST_DISTINCT(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+'))) AS tok,
+             SUBSTRING(text, 1, 32) AS blk
+      FROM {table}
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM {table}),
+    w AS (
+      SELECT tok, CAST(ROUND(LN(CAST(n.n_docs AS DOUBLE) / COUNT(*)) * {scale}) AS BIGINT) AS wt
+      FROM toks, n GROUP BY tok, n.n_docs
+    ),
+    sizes AS (
+      SELECT blk, CAST(CEIL(COUNT(*) / {block_cap}.0) AS BIGINT) AS nsub
+      FROM (SELECT DISTINCT doc_id, blk FROM toks) GROUP BY blk
+    ),
+    tw AS (
+      SELECT t.doc_id, t.tok, w.wt, t.blk, t.doc_id % s.nsub AS sub
+      FROM toks t JOIN w USING (tok) JOIN sizes s USING (blk)
+    ),
+    totals AS (SELECT doc_id, SUM(wt) AS tot FROM tw GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.wt) AS w_shared
+      FROM tw a JOIN tw b
+        ON a.tok = b.tok AND a.blk = b.blk AND a.sub = b.sub AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT s.doc_a, s.doc_b, s.w_shared,
+           ta.tot + tb.tot - s.w_shared AS w_union,
+           ROUND(CAST(s.w_shared AS DOUBLE) / (ta.tot + tb.tot - s.w_shared), 6) AS weighted_jaccard
+    FROM shared s
+    JOIN totals ta ON ta.doc_id = s.doc_a
+    JOIN totals tb ON tb.doc_id = s.doc_b
+    WHERE s.w_shared * {threshold_den} >= (ta.tot + tb.tot - s.w_shared) * {threshold_num}
+    """

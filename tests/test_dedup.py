@@ -587,3 +587,31 @@ def test_entity_clusters_transitive_closure(spark):
         for r in entity_clusters(df, "name", max_dist=1).collect()
     }
     assert out == {"alpha widget": (3, 6)}
+
+
+def test_weighted_jaccard_downweights_boilerplate(spark):
+    """IDF weighting semantics: two docs overlapping ONLY in corpus-wide
+    boilerplate stay below the weighted threshold even though their
+    unweighted Jaccard clears it, while two docs sharing rare tokens
+    pair; exact integer threshold arithmetic at the boundary."""
+    from robosystems_spark.operators.dedup import weighted_jaccard_pairs
+
+    boiler = "the common filler words here"  # appear in every doc
+    rows = [
+        (1, f"{boiler} alpha beta"),
+        (2, f"{boiler} gamma delta"),           # shares ONLY boilerplate with 1
+        (3, f"{boiler} rareword otherrare"),
+        (4, f"{boiler} rareword otherrare"),    # shares rare pair with 3
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        (r["doc_a"], r["doc_b"]): r["weighted_jaccard"]
+        for r in weighted_jaccard_pairs(
+            docs, threshold_num=2, threshold_den=5
+        ).collect()
+    }
+    assert (3, 4) in out and out[(3, 4)] == 1.0  # identical non-boiler content
+    assert (1, 2) not in out  # boilerplate-only overlap: weight ~0
+    # unweighted Jaccard of (1, 2) is 5/9 > 0.4 — the weighting is what
+    # rejects it, not the threshold
+    assert 5 / 9 > 2 / 5
