@@ -223,6 +223,7 @@ def ngram_jaccard_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cross-multiplication (den*S_shared >= num*S_union), so both engines "
     "agree on every boundary pair — no float comparisons anywhere.",
     tags=("dedup", "text"),
+    bench=True,
 )
 def dedup_weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.weighted_jaccard_pairs(
@@ -723,6 +724,7 @@ def _trigram_oracle() -> str:
     "scale), then contains() verifies only candidates. Exact equality with "
     "the full scan, so the index path itself is hash-checked.",
     tags=("text", "search", "index"),
+    bench=True,
 )
 def doc_trigram_like_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from robosystems_spark.operators.search import trigram_like_search

@@ -261,9 +261,22 @@ def trigram_postings(
     per doc.  Persist the result corpus-partitioned by trigram and a
     search prunes to the pattern's posting lists only.
     """
-    grams = F.expr(
-        f"transform(sequence(1, greatest(length(lower({text_col})) - 2, 0)),"
-        f" i -> substring(lower({text_col}), i, 3))"
+    # bind lower(text) as a LAMBDA VARIABLE: higher-order functions run
+    # interpreted and re-evaluate child expressions per element, so
+    # substring(lower(text), i, 3) would re-lower the whole string at
+    # every position — O(len^2) per doc (measured 7.0 s -> 2.6 s at
+    # sf0.1 for the search entry)
+    grams = F.element_at(
+        F.transform(
+            F.array(F.lower(F.col(text_col))),
+            lambda t: F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.length(t) - 2, F.lit(0))
+                ),
+                lambda i: t.substr(i, F.lit(3)),
+            ),
+        ),
+        1,
     )
     return (
         docs.select(F.col(id_col).alias("doc_id"), grams.alias("_g"))
