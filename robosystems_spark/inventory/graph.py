@@ -624,3 +624,60 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("node", F.round("rank", 8).alias("rank")).filter(
         F.col("rank") > 0
     )
+
+
+@register(
+    "graph_clustering_coefficient",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+      JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS degree FROM (
+        SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs
+      ) GROUP BY node
+    ),
+    tris AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM pairs e1
+      JOIN pairs e2 ON e2.u = e1.v
+      JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    pernode AS (
+      SELECT node, COUNT(*) AS n_triangles FROM (
+        SELECT a AS node FROM tris
+        UNION ALL SELECT b FROM tris
+        UNION ALL SELECT c FROM tris
+      ) GROUP BY node
+    )
+    SELECT d.node, d.degree,
+           COALESCE(p.n_triangles, 0) AS n_triangles,
+           ROUND(2.0 * COALESCE(p.n_triangles, 0)
+                 / (d.degree * (d.degree - 1)), 6) AS coefficient
+    FROM deg d LEFT JOIN pernode p USING (node)
+    WHERE d.degree >= 2
+    """,
+    doc="Local clustering coefficient per node (2T/(d(d-1)) over the "
+    "part co-occurrence graph): how close each node's neighborhood is "
+    "to a clique — the community-structure / collusion-ring signal. "
+    "Reuses the degree-oriented exact triangle enumeration plus one "
+    "degree aggregation; exact integer ratio, rounded at output.",
+    tags=("graph",),
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from robosystems_spark.operators.graph import clustering_coefficient
+
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+    return clustering_coefficient(edges)

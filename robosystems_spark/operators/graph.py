@@ -781,3 +781,49 @@ def personalized_pagerank(
     e.unpersist()
     nodes.unpersist()
     return ranks
+
+
+def clustering_coefficient(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Local clustering coefficient per node: 2·T(v) / (d(v)·(d(v)−1))
+    over the undirected canonical edge set — how close each node's
+    neighborhood is to a clique (community-structure / spam-ring
+    signal).  Nodes with degree < 2 are excluded (coefficient
+    undefined).
+
+    Returns (node, degree, n_triangles, coefficient).  Reuses the
+    degree-oriented exact triangle enumeration (``triangle_count``) —
+    one extra degree aggregation and a join; coefficient arithmetic is
+    an exact integer ratio rounded at output.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("x"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("y"),
+        )
+        .filter(F.col("x") != F.col("y"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("x").alias("node"))
+        .unionByName(e.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tri = triangle_counts_per_node(e, "x", "y")
+    return (
+        deg.filter(F.col("degree") >= 2)
+        .join(tri, "node", "left_outer")
+        .select(
+            "node",
+            "degree",
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+            F.round(
+                F.lit(2.0)
+                * F.coalesce("n_triangles", F.lit(0))
+                / (F.col("degree") * (F.col("degree") - 1)),
+                6,
+            ).alias("coefficient"),
+        )
+    )

@@ -243,3 +243,23 @@ def test_personalized_pagerank_localizes_mass_near_seeds(spark):
 
     with pytest.raises(ValueError):
         personalized_pagerank(edges, [], num_iter=3)
+
+
+def test_clustering_coefficient_known_graph(spark):
+    """Golden semantics: a triangle plus a pendant. In K3+pendant
+    {a-b, b-c, a-c, c-d}: a,b have coefficient 1.0 (their whole
+    neighborhood is connected), c has 2 neighbors of 3 connected ->
+    2*1/(3*2)=1/3, d has degree 1 -> excluded."""
+    from robosystems_spark.operators.graph import clustering_coefficient
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")], ["src", "dst"]
+    )
+    out = {
+        r["node"]: (r["degree"], r["n_triangles"], r["coefficient"])
+        for r in clustering_coefficient(edges).collect()
+    }
+    assert out["a"] == (2, 1, 1.0)
+    assert out["b"] == (2, 1, 1.0)
+    assert out["c"] == (3, 1, round(1 / 3, 6))
+    assert "d" not in out
