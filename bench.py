@@ -53,8 +53,26 @@ def main() -> None:
 
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     spread: dict[str, float] = {}
+
+    def _quiesce() -> None:
+        # De-noise between queries: drop cached blocks + localCheckpoint
+        # RDDs left by earlier entries and force a JVM GC, so later
+        # queries aren't inflated by session debris (r6 saw
+        # dedup_minhash_lsh at 4.61 s in-run vs 2.97 s isolated).
+        spark.catalog.clearCache()
+        try:
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            for rdd_id in list(jmap.keySet().toArray()):
+                spark.sparkContext._jsc.sc().unpersistRDD(int(str(rdd_id)), True)
+        except Exception:  # noqa: BLE001 - best-effort cleanup
+            pass
+        spark.sparkContext._jvm.System.gc()
+
+    # Iterate in registration order — stable across rounds so per-query
+    # numbers are comparable round-over-round.
     for name, spec in specs.items():
         try:
+            _quiesce()
             # per-query warm run (as documented above): JIT of this
             # plan's generated code, parquet footers, shuffle setup —
             # then the timed runs measure steady-state execution

@@ -2011,7 +2011,7 @@ def corpus_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT grams.doc_id,
            COUNT(*) AS n_grams,
-           SUM(CASE WHEN gdf.df = 1 THEN 1 ELSE 0 END) AS n_unique,
+           CAST(SUM(CASE WHEN gdf.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
            ROUND(CAST(SUM(CASE WHEN gdf.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
                  / COUNT(*), 6) AS novelty
     FROM grams JOIN gdf USING (g)

@@ -1438,7 +1438,7 @@ def histogram_order_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR)
              AS segment,
            COUNT(*) AS n_customers,
-           SUM(monetary) AS total_monetary
+           CAST(SUM(monetary) AS DECIMAL(18,2)) AS total_monetary
     FROM scored
     GROUP BY 1 ORDER BY 1
     """,
@@ -1492,7 +1492,11 @@ def recsys_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.sum("monetary").alias("total_monetary"),
+            # Pin the output decimal to (18,2) on BOTH sides: Spark's
+            # SUM(decimal(18,2)) widens to decimal(28,2) while DuckDB's
+            # widens to HUGEINT-backed decimal128(38,2) — a type-sensitive
+            # hash sees different Arrow types for identical values.
+            F.sum("monetary").cast("decimal(18,2)").alias("total_monetary"),
         )
         .orderBy("segment")
     )

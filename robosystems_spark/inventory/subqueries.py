@@ -329,9 +329,9 @@ def window_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sessions AS (
       SELECT user_id, value, ts_s,
-             SUM(new_session) OVER (
+             CAST(SUM(new_session) OVER (
                PARTITION BY user_id ORDER BY ts_s
-               ROWS UNBOUNDED PRECEDING) AS session_no
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
       FROM marked
     )
     SELECT user_id, session_no,

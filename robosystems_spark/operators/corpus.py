@@ -423,6 +423,11 @@ def bigram_pmi(
             )
         ).alias("_p")
     ).select(F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+    # Checkpoint BEFORE fanning out to four consumers (joint, both
+    # marginals, total): Catalyst re-inlines the scan + tokenize +
+    # explode per consumer otherwise — one materialization beats four
+    # corpus passes (the PPJoin re-inlining lesson).
+    pairs = pairs.localCheckpoint(eager=True)
     cb = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_cb"))
     # Unigram counts over the SAME bigram-position universe so the
     # marginals and the joint live on one sample space.
@@ -598,6 +603,10 @@ def ppmi_word_similarity(
     pairs = raw.select(
         F.col("a").alias("_w"), F.col("b").alias("_c")
     ).unionAll(raw.select(F.col("b").alias("_w"), F.col("a").alias("_c")))
+    # Checkpoint BEFORE the three-consumer fan-out (marginals, total,
+    # joint): Catalyst re-inlines the tokenize + four explodes per
+    # consumer otherwise (the PPJoin re-inlining lesson).
+    pairs = pairs.localCheckpoint(eager=True)
 
     cnt = pairs.groupBy("_w").agg(F.count(F.lit(1)).alias("cw"))
     n = pairs.agg(F.count(F.lit(1)).cast("double").alias("_n"))
@@ -628,6 +637,10 @@ def ppmi_word_similarity(
         )
         .filter(F.col("p_i") > 0)
     )
+    # Checkpoint: consumed by the degree census AND the semi-join probe
+    # side — un-materialized, the joint aggregation + two count joins
+    # would execute twice.
+    ppmi = ppmi.localCheckpoint(eager=True)
     # hot-context cap: semi-join against the in-degree-bounded context
     # set BEFORE norms and the matmul, so both sides see the same
     # truncated matrix
@@ -637,7 +650,9 @@ def ppmi_word_similarity(
         .filter(F.col("_deg") <= max_context_degree)
         .select("_c")
     )
-    ppmi = ppmi.join(ctx_ok, "_c", "left_semi")
+    # Checkpoint again: the truncated matrix fans out to the norm
+    # aggregation and BOTH sides of the sparse-matmul self-join.
+    ppmi = ppmi.join(ctx_ok, "_c", "left_semi").localCheckpoint(eager=True)
     norms = ppmi.groupBy("_w").agg(F.sum(F.col("p_i") * F.col("p_i")).alias("n2"))
     left = ppmi.select(
         F.col("_w").alias("w1"), F.col("_c").alias("_cc"), F.col("p_i").alias("pa")

@@ -1350,15 +1350,15 @@ def weighted_jaccard_oracle_sql(
       SELECT t.doc_id, t.tok, w.wt, t.blk, t.doc_id % s.nsub AS sub
       FROM toks t JOIN w USING (tok) JOIN sizes s USING (blk)
     ),
-    totals AS (SELECT doc_id, SUM(wt) AS tot FROM tw GROUP BY doc_id),
+    totals AS (SELECT doc_id, CAST(SUM(wt) AS BIGINT) AS tot FROM tw GROUP BY doc_id),
     shared AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.wt) AS w_shared
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(SUM(a.wt) AS BIGINT) AS w_shared
       FROM tw a JOIN tw b
         ON a.tok = b.tok AND a.blk = b.blk AND a.sub = b.sub AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
     )
     SELECT s.doc_a, s.doc_b, s.w_shared,
-           ta.tot + tb.tot - s.w_shared AS w_union,
+           CAST(ta.tot + tb.tot - s.w_shared AS BIGINT) AS w_union,
            ROUND(CAST(s.w_shared AS DOUBLE) / (ta.tot + tb.tot - s.w_shared), 6) AS weighted_jaccard
     FROM shared s
     JOIN totals ta ON ta.doc_id = s.doc_a

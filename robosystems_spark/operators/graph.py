@@ -677,7 +677,11 @@ def adamic_adar_bipartite(
         )
         .select(right_col, "_w")
     )
-    annotated = edges.join(w, right_col)
+    # Checkpoint BEFORE the wedge self-join fans this frame out to both
+    # sides: Catalyst re-inlines the lineage (the caller's edge
+    # construction plus the degree-weight join) once per consumer
+    # otherwise — the PPJoin re-inlining lesson.
+    annotated = edges.join(w, right_col).localCheckpoint(eager=True)
     a = annotated.select(
         F.col(right_col).alias("_z"), F.col(left_col).alias("u1"), "_w"
     )
@@ -804,6 +808,12 @@ def clustering_coefficient(
         )
         .filter(F.col("x") != F.col("y"))
         .distinct()
+        # Checkpoint BEFORE fanning out to the degree aggregation and the
+        # triangle path: Catalyst re-inlines the upstream plan per
+        # consumer, so without this the caller's edge construction (a
+        # lineitem self-join in the registered co-occurrence query)
+        # executes twice — same fan-out class as the PPJoin 146s->2s fix.
+        .localCheckpoint(eager=True)
     )
     deg = (
         e.select(F.col("x").alias("node"))

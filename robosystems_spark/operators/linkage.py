@@ -190,7 +190,7 @@ def entity_clusters_oracle_sql(
     comp AS (SELECT node, MIN(lbl) AS canonical_name FROM reach GROUP BY node)
     SELECT c.canonical_name,
            COUNT(*) AS n_names,
-           SUM(n.n_records) AS total_records
+           CAST(SUM(n.n_records) AS BIGINT) AS total_records
     FROM comp c JOIN names n ON n.name = c.node
     GROUP BY c.canonical_name
     """

@@ -266,15 +266,20 @@ def trigram_postings(
     # substring(lower(text), i, 3) would re-lower the whole string at
     # every position — O(len^2) per doc (measured 7.0 s -> 2.6 s at
     # sf0.1 for the search entry)
+    # sub-3-char guard: Spark's two-arg sequence defaults to step -1
+    # when start > stop, so sequence(1, 0) would yield [1, 0] and emit
+    # junk postings for texts shorter than 3 chars — short docs get an
+    # empty gram array instead.
     grams = F.element_at(
         F.transform(
             F.array(F.lower(F.col(text_col))),
-            lambda t: F.transform(
-                F.sequence(
-                    F.lit(1), F.greatest(F.length(t) - 2, F.lit(0))
+            lambda t: F.when(
+                F.length(t) >= 3,
+                F.transform(
+                    F.sequence(F.lit(1), F.length(t) - 2),
+                    lambda i: t.substr(i, F.lit(3)),
                 ),
-                lambda i: t.substr(i, F.lit(3)),
-            ),
+            ).otherwise(F.array().cast("array<string>")),
         ),
         1,
     )

@@ -392,10 +392,10 @@ def bloom_join_audit_oracle_sql(
     )
     SELECT p.{group_col},
            COUNT(*) AS n_rows,
-           SUM(CASE WHEN v.bloom_pass THEN 1 ELSE 0 END) AS n_bloom_pass,
-           SUM(COALESCE(t._true, 0)) AS n_true_match,
-           SUM(CASE WHEN v.bloom_pass THEN 1 ELSE 0 END
-               * (1 - COALESCE(t._true, 0))) AS n_false_positive
+           CAST(SUM(CASE WHEN v.bloom_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_pass,
+           CAST(SUM(COALESCE(t._true, 0)) AS BIGINT) AS n_true_match,
+           CAST(SUM(CASE WHEN v.bloom_pass THEN 1 ELSE 0 END
+               * (1 - COALESCE(t._true, 0))) AS BIGINT) AS n_false_positive
     FROM {probe_table} p
     JOIN verdicts v ON v.{probe_key} = p.{probe_key}
     LEFT JOIN truth t ON t.{probe_key} = p.{probe_key}
@@ -511,9 +511,16 @@ def frequent_items_exact(
     per-distinct-value count table: the second pass aggregates only
     rows whose value is a candidate, of which there are <= k per
     partition of the first pass.
+
+    NULLs are excluded entirely — from the candidates (pandas
+    value_counts drops them), from the recount, AND from N — so the
+    phi threshold is over non-null rows; a column where NULLs exceed
+    N/(k+1) cannot silently diverge from the oracle.
     """
     cand = misra_gries_candidates(df, value_col, k).distinct()
-    src = df.select(F.col(value_col).cast("string").alias("value"))
+    src = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(value_col).cast("string").alias("value")
+    )
     total = src.count()
     return (
         src.join(F.broadcast(cand), "value", "left_semi")
@@ -530,9 +537,12 @@ def frequent_items_oracle_sql(
     the exact answer is plain GROUP BY / HAVING with the same
     integer-arithmetic threshold (no float division either side)."""
     return f"""
-    WITH n AS (SELECT COUNT(*) AS total FROM {table})
+    WITH n AS (
+      SELECT COUNT(*) AS total FROM {table} WHERE {value_col} IS NOT NULL
+    )
     SELECT CAST({value_col} AS VARCHAR) AS value, COUNT(*) AS cnt
     FROM {table}, n
+    WHERE {value_col} IS NOT NULL
     GROUP BY CAST({value_col} AS VARCHAR), n.total
     HAVING COUNT(*) * {k + 1} > n.total
     """

@@ -576,7 +576,7 @@ def mad_outliers_oracle_sql(
            ROUND(ANY_VALUE(dev.m), {decimals}) AS med,
            ROUND(ANY_VALUE(mad.d), {decimals}) AS mad,
            COUNT(*) AS n,
-           SUM(CASE WHEN dev.adev > {k} * mad.d THEN 1 ELSE 0 END) AS n_outliers
+           CAST(SUM(CASE WHEN dev.adev > {k} * mad.d THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
     FROM dev JOIN mad ON mad.s2 = dev.{series_col}
     GROUP BY dev.{series_col}
     ORDER BY dev.{series_col}

@@ -8,6 +8,7 @@ the test suite so queries stay green between driver rounds.
 
 from __future__ import annotations
 
+import decimal
 import math
 from dataclasses import dataclass
 
@@ -55,6 +56,14 @@ def _norm_cell(v) -> str:
         return repr(round(v, 9))
     if isinstance(v, bool):
         return str(bool(v)).lower()
+    if isinstance(v, decimal.Decimal):
+        # Decimal is its OWN token class, distinct from int and float:
+        # DuckDB SUM(BIGINT) returns HUGEINT which Arrow presents as
+        # decimal128(38,0), and the driver's type-sensitive hash sees
+        # Decimal('42') != 42 even though str() collapses them (round-6
+        # VERDICT "What's wrong" #1/#3 — the in-tree gate's str()
+        # fall-through is how the weighted-jaccard red row shipped).
+        return f"dec:{v}"
     if isinstance(v, bytes):
         return v.hex()
     if isinstance(v, list):
@@ -74,9 +83,13 @@ def compare(
 ) -> CompareResult:
     s_rows = [tuple(r) for r in spark_df.collect()]
     s_cols = list(spark_df.columns)
-    res = con.execute(oracle_sql)
-    o_cols = [d[0] for d in res.description]
-    o_rows = res.fetchall()
+    # Fetch via Arrow, NOT fetchall(): fetchall() launders DuckDB's
+    # HUGEINT (Arrow decimal128(38,0)) into Python int, hiding exactly
+    # the type divergence the driver's hash is sensitive to.
+    o_tbl = con.execute(oracle_sql).arrow()
+    o_cols = list(o_tbl.schema.names)
+    o_cols_data = [col.to_pylist() for col in o_tbl.columns]
+    o_rows = list(zip(*o_cols_data))
 
     sc, sv = _normalize(s_cols, s_rows)
     oc, ov = _normalize(o_cols, o_rows)

@@ -1175,7 +1175,21 @@ class GraphStore:
         if planned is not None:
             keep, dv = planned
             if not keep:
-                return self.read(table, version).filter(F.lit(False))
+                # Every file pruned: build the empty frame from the
+                # declared schema — read().filter(False) would
+                # re-materialize the full snapshot dict on the driver,
+                # exactly the 10^5-file case _plan_prune exists to avoid.
+                declared = self._declared_schema(table, version)
+                if declared is None:
+                    declared = self.spark.read.parquet(
+                        self.table_path(table)
+                    ).schema
+                empty = self.spark.createDataFrame([], declared)
+                return (
+                    empty.drop(BUCKET_COL)
+                    if BUCKET_COL in empty.columns
+                    else empty
+                )
             df = self._read_raw(
                 table, version, file_subset=keep, dv_override=dv
             )
@@ -1282,7 +1296,11 @@ class GraphStore:
         try:
             n = df.count()
             n_files = max(1, math.ceil(n / self.DV_ROWS_PER_FILE))
-            df.coalesce(n_files).write.mode("overwrite").parquet(scratch)
+            # repartition, NOT coalesce: coalesce can only reduce the
+            # partition count, so a mass delete whose address frame
+            # arrives in fewer partitions than n_files would write
+            # fewer sidecars than the size-aware fan-out promises.
+            df.repartition(n_files).write.mode("overwrite").parquet(scratch)
         finally:
             df.unpersist()
         moved: list[str] = []

@@ -39,6 +39,30 @@ def test_registry_outputs_are_atomic(spark, sf_dir):
     assert not bad, f"non-atomic registry output columns: {bad}"
 
 
+def test_no_oracle_emits_hugeint_or_wide_decimal(con):
+    """Driver-type gate: DuckDB's SUM(BIGINT) returns HUGEINT, which
+    Arrow presents as decimal128(38,0) — a type the driver's
+    type-sensitive value hash can never match against Spark's int64,
+    even when every value is identical (round-6 red row
+    `dedup_weighted_jaccard_pairs`).  Sweep every oracle's Arrow output
+    schema: no column may be decimal128(38,*) or decimal256; sums that
+    should be integers must CAST(... AS BIGINT), and decimal money
+    columns must pin an explicit precision both sides share."""
+    import pyarrow as pa
+
+    bad = []
+    for name in sorted(REGISTRY):
+        sql = REGISTRY[name].oracle
+        if sql is None:
+            continue
+        schema = con.execute(sql).arrow().schema
+        for f in schema:
+            t = f.type
+            if pa.types.is_decimal(t) and (t.precision >= 38):
+                bad.append(f"{name}.{f.name}: {t}")
+    assert not bad, f"oracle columns with unhashable wide-decimal types: {bad}"
+
+
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_query_matches_oracle(name, spark, sf_dir, con):
     spec = REGISTRY[name]
