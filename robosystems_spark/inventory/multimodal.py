@@ -93,6 +93,71 @@ def multimodal_bmp_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PNG_W, _PNG_H = 8, 8
+
+
+@register(
+    "multimodal_png_channel_stats",
+    oracle=f"""
+    SELECT d.doc_id,
+           CAST({_PNG_W} AS INTEGER) AS width,
+           CAST({_PNG_H} AS INTEGER) AS height,
+           ROUND(AVG(CAST((d.doc_id * 13 + 7 * (3 * t.i)) % 256 AS DOUBLE)), 6) AS mean_r,
+           ROUND(AVG(CAST((d.doc_id * 13 + 7 * (3 * t.i + 1)) % 256 AS DOUBLE)), 6) AS mean_g,
+           ROUND(AVG(CAST((d.doc_id * 13 + 7 * (3 * t.i + 2)) % 256 AS DOUBLE)), 6) AS mean_b,
+           CAST((d.doc_id * 13) % 256 AS INTEGER) AS corner_r
+    FROM documents d, range({_PNG_W * _PNG_H}) t(i)
+    WHERE d.doc_id < {_N_DOCS}
+    GROUP BY d.doc_id
+    ORDER BY d.doc_id
+    """,
+    doc="REAL compressed-image decode path: synthesize an 8x8 RGB PNG "
+    "per document (pixel bytes are a closed-form function of doc_id; "
+    "the encoder cycles the row filter through None/Sub/Up/Average/"
+    "Paeth so every unfilter path executes), zlib-inflate and "
+    "unfilter the actual IDAT stream in mapInPandas (stdlib zlib + "
+    "numpy, no PIL), and emit per-channel means + the row-order-"
+    "sensitive top-left red value; the oracle computes the same "
+    "stats from the formula — any inflate/unfilter bug diverges.",
+    tags=("multimodal",),
+)
+def multimodal_png_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from robosystems_spark.operators.multimodal import (
+        encode_png,
+        image_channel_stats,
+    )
+
+    w, h = _PNG_W, _PNG_H
+
+    def encode(it):
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                px = (int(did) * 13 + 7 * np.arange(w * h * 3)) % 256
+                payloads.append(
+                    encode_png(px.astype(np.uint8).reshape(h, w, 3))
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": payloads})
+
+    media = _doc_ids(spark, sf_dir).mapInPandas(
+        encode,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("content", T.BinaryType()),
+            ]
+        ),
+    )
+    return (
+        image_channel_stats(media, id_col="doc_id")
+        .withColumnRenamed("media_id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
 @register(
     "multimodal_wav_pcm_rms",
     oracle=f"""

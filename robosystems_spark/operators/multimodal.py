@@ -316,10 +316,11 @@ def parse_media_headers(
 
 
 # ---------------------------------------------------------------------------
-# REAL pixel/sample decoding for UNCOMPRESSED containers — pure numpy,
-# no codec libraries: 24-bit BMP, binary PPM (P6), and PCM WAV decode
-# for real inside the same mapInPandas seam the stubbed codecs use.
-# Compressed formats (PNG/JPEG/MP3) remain the honest
+# REAL pixel/sample decoding — pure numpy + stdlib, no codec
+# libraries: 24-bit BMP, binary PPM (P6), PCM WAV, and 8-bit PNG
+# (zlib IDAT inflate + per-row unfilter) decode for real inside the
+# same mapInPandas seam the stubbed codecs use.  Entropy-coded
+# formats (JPEG/MP3/video codecs) remain the honest
 # NotImplementedError seam above.
 # ---------------------------------------------------------------------------
 
@@ -412,17 +413,174 @@ def decode_ppm(data: bytes):
     return raw.reshape(h, w, 3).copy()
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(data: bytes):
+    """Decode an 8-bit non-interlaced PNG (gray / RGB / gray+alpha /
+    RGBA) into an (h, w, channels) uint8 array — REAL decoding with
+    nothing but stdlib ``zlib`` and numpy: chunk walk, IDAT inflate,
+    and full per-row unfiltering (None/Sub/Up/Average/Paeth).
+
+    Still honest seams: 16-bit depth, palette (color type 3), and
+    Adam7 interlace raise ``NotImplementedError`` (rare in training
+    corpora; palette needs only a PLTE lookup if ever needed).
+
+    Scale note: None/Up unfilter are vectorized; Sub is a per-lane
+    ``cumsum % 256``; Average/Paeth are per-byte within a row (their
+    recurrence reads the just-reconstructed left pixel, inherently
+    sequential in x) — O(stride) Python-int ops per row, amortized by
+    Arrow batching in ``mapInPandas``.
+    """
+    import numpy as np
+
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG file")
+    i, ihdr, idat = 8, None, []
+    while i + 8 <= len(data):
+        clen = int.from_bytes(data[i : i + 4], "big")
+        ctype = data[i + 4 : i + 8]
+        chunk = data[i + 8 : i + 8 + clen]
+        if ctype == b"IHDR":
+            ihdr = chunk
+        elif ctype == b"IDAT":
+            idat.append(chunk)
+        elif ctype == b"IEND":
+            break
+        i += 12 + clen  # length + type + payload + crc
+    if ihdr is None or len(ihdr) < 13:
+        raise ValueError("missing/short IHDR")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, color, _comp, _filt, interlace = ihdr[8:13]
+    if depth != 8:
+        raise NotImplementedError(f"{depth}-bit PNG not supported (8 only)")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise NotImplementedError(f"PNG color type {color} not supported")
+    import zlib
+
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline data size mismatch")
+    bpp = channels  # bytes per pixel at 8-bit depth
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for r in range(h):
+        ft = raw[r * (stride + 1)]
+        line = np.frombuffer(
+            raw, np.uint8, count=stride, offset=r * (stride + 1) + 1
+        ).copy()
+        prev = out[r - 1] if r else np.zeros(stride, np.uint8)
+        if ft == 0:  # None
+            cur = line
+        elif ft == 1:  # Sub: recon[x] = raw[x] + recon[x-bpp]
+            cur = line
+            for o in range(bpp):  # per-lane cumulative sum mod 256
+                lane = cur[o::bpp].astype(np.uint64)
+                cur[o::bpp] = np.cumsum(lane) & 0xFF
+        elif ft == 2:  # Up
+            cur = line + prev  # uint8 wraparound IS mod-256
+        elif ft == 3:  # Average
+            cur = line
+            for x in range(stride):
+                left = int(cur[x - bpp]) if x >= bpp else 0
+                cur[x] = (int(cur[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            cur = line
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (int(cur[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out[r] = cur
+    return out.reshape(h, w, channels)
+
+
+def encode_png(arr, level: int = 6) -> bytes:
+    """Encode an (h, w) or (h, w, channels) uint8 array as an 8-bit
+    non-interlaced PNG (the ``decode_png`` inverse), cycling the row
+    filter through None/Sub/Up/Average/Paeth by row index so a
+    round-trip exercises EVERY unfilter path — used to synthesize
+    real compressed fixtures without PIL."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, ch = a.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}.get(ch)
+    if color is None:
+        raise ValueError(f"unsupported channel count {ch}")
+    flat = a.reshape(h, w * ch)
+    bpp = ch
+    pieces = []
+    for r in range(h):
+        cur = flat[r].astype(np.int16)
+        prev = flat[r - 1].astype(np.int16) if r else np.zeros_like(cur)
+        left = np.concatenate([np.zeros(bpp, np.int16), cur[:-bpp]]) if cur.size > bpp else np.zeros_like(cur)
+        upleft = (
+            np.concatenate([np.zeros(bpp, np.int16), prev[:-bpp]])
+            if cur.size > bpp
+            else np.zeros_like(cur)
+        )
+        ft = r % 5
+        if ft == 0:
+            filt = cur
+        elif ft == 1:
+            filt = cur - left
+        elif ft == 2:
+            filt = cur - prev
+        elif ft == 3:
+            filt = cur - ((left + prev) >> 1)
+        else:  # Paeth predictor
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            filt = cur - pred
+        pieces.append(bytes([ft]) + (filt & 0xFF).astype(np.uint8).tobytes())
+    idat = zlib.compress(b"".join(pieces), level)
+
+    def chunk(typ: bytes, payload: bytes) -> bytes:
+        return (
+            len(payload).to_bytes(4, "big")
+            + typ
+            + payload
+            + (zlib.crc32(typ + payload) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+    )
+
+
 def decode_image(data: bytes):
-    """Dispatch decode by magic: BMP and P6 PPM decode for REAL; the
-    compressed families stay the documented codec seam."""
+    """Dispatch decode by magic: BMP, P6 PPM, and 8-bit PNG (stdlib
+    zlib inflate + numpy unfilter) decode for REAL; JPEG stays the
+    documented codec seam (needs a DCT/Huffman stack)."""
     if data[:2] == b"BM":
         return decode_bmp(data)
     if data[:2] == b"P6":
         return decode_ppm(data)
-    if data[:8] == b"\x89PNG\r\n\x1a\n" or data[:3] == b"\xff\xd8\xff":
+    if data[:8] == _PNG_SIG:
+        return decode_png(data)
+    if data[:3] == b"\xff\xd8\xff":
         raise NotImplementedError(
-            "compressed image decode (PNG/JPEG) requires PIL, not present; "
-            "uncompressed BMP/PPM decode for real"
+            "JPEG decode requires a DCT/Huffman codec (PIL), not present; "
+            "BMP/PPM/PNG decode for real"
         )
     raise ValueError("unrecognized image container")
 
@@ -507,10 +665,16 @@ def image_channel_stats(
     decoder that mishandles BMP's bottom-up layout fails loudly."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in it:
             rows = []
             for mid, payload in zip(pdf[id_col], pdf[binary_col]):
                 a = decode_image(bytes(payload))
+                if a.shape[2] == 4:  # RGBA: stats over color planes
+                    a = a[:, :, :3]
+                elif a.shape[2] < 3:  # gray(+alpha): luminance as R=G=B
+                    a = np.repeat(a[:, :, :1], 3, axis=2)
                 m = a.reshape(-1, 3).mean(axis=0)
                 rows.append(
                     {
