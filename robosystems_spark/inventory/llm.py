@@ -1951,6 +1951,38 @@ def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_ivfpq_topk_indexed",
+    oracle=PQ.ivfpq_oracle_sql(
+        num_centroids=8, ivf_iters=2, nprobe=3, m=4, k=16, pq_iters=1,
+        dim=64, topk=10, n_queries=3,
+    ),
+    doc="IVF-PQ search over a PERSISTED index (pq.ivfpq_write_index): "
+    "PQ codes written hive-partitioned by coarse centroid_id — the "
+    "billion-scale FAISS deployment layout — so each probe is a "
+    "partition-pruned scan (PartitionFilters plan gate in test_pq) of "
+    "~nprobe/num_centroids of the already-compressed codes; training "
+    "runs once at index time, never per query.  Value-identical to "
+    "embedding_ivfpq_topk, so the same composed oracle hash-checks it.",
+    tags=("similarity",),
+)
+def embedding_ivfpq_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = tempfile.mkdtemp(prefix="ivfpqidx_")
+    cents, books = PQ.ivfpq_write_index(
+        emb, path, num_centroids=8, ivf_iters=2, m=4, k=16,
+        pq_iters=1, dim=64,
+    )
+    return PQ.ivfpq_topk_indexed(
+        spark, path, cents, books, queries, nprobe=3, topk=10
+    )
+
+
+@register(
     "corpus_deterministic_shuffle",
     oracle="""
     WITH k AS (

@@ -306,8 +306,6 @@ def ivfpq_topk(
     quantized distance) — and both approximations are hash-checked by
     the composed oracle.
     """
-    import numpy as np
-
     cents = CL.kmeans_fit(
         corpus, num_centroids, ivf_iters, vec_col, id_col,
         round_decimals, metric="cosine",
@@ -321,11 +319,26 @@ def ivfpq_topk(
         .join(assigned, id_col)
         .select(F.col(id_col).alias("nn_id"), "codes", "centroid_id")
     )
+    q_frame = _ivfpq_query_frame(
+        queries, cents, books, nprobe, query_id_col, vec_col, round_decimals
+    )
+    return _adc_rank_probed(encoded, q_frame, m, topk)
 
-    C = np.asarray(cents, dtype=np.float64)
-    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-30)
-    q_rows = queries.select(query_id_col, vec_col).collect()
-    qid_type = queries.schema[query_id_col].dataType
+
+def _ivfpq_query_frame(
+    queries: DataFrame,
+    cents: list[list[float]],
+    books: list[list[list[float]]],
+    nprobe: int,
+    query_id_col: str,
+    vec_col: str,
+    round_decimals: int,
+) -> DataFrame:
+    """(query_id, _probes, _adc_tables) — probe sets and ADC lookup
+    tables computed driver-side (queries are a small broadcast-scale
+    frame by contract) and shipped as one broadcast literal frame."""
+    import numpy as np
+
     from pyspark.sql.types import (
         ArrayType,
         DoubleType,
@@ -333,6 +346,11 @@ def ivfpq_topk(
         StructField,
         StructType,
     )
+
+    C = np.asarray(cents, dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-30)
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    qid_type = queries.schema[query_id_col].dataType
 
     def probe_ids(vec: list[float]) -> list[int]:
         q = np.asarray(vec, dtype=np.float64)
@@ -351,7 +369,7 @@ def ivfpq_topk(
             ),
         ]
     )
-    q_frame = corpus.sparkSession.createDataFrame(
+    return queries.sparkSession.createDataFrame(
         [
             (
                 row[query_id_col],
@@ -362,6 +380,13 @@ def ivfpq_topk(
         ],
         q_schema,
     )
+
+
+def _adc_rank_probed(
+    encoded: DataFrame, q_frame: DataFrame, m: int, topk: int
+) -> DataFrame:
+    """ADC ranking of (nn_id, codes, centroid_id) rows against a
+    broadcast query frame, restricted to each query's probe set."""
     lookups = [
         F.element_at(
             F.element_at("_adc_tables", j + 1),
@@ -381,6 +406,81 @@ def ivfpq_topk(
         .filter(F.col("rank") <= topk)
         .select("query_id", "nn_id", "adc", "rank")
     )
+
+
+def ivfpq_write_index(
+    corpus: DataFrame,
+    path: str,
+    num_centroids: int = 8,
+    ivf_iters: int = 2,
+    m: int = 4,
+    k: int = 16,
+    pq_iters: int = 1,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_decimals: int = 9,
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Materialize the IVF-PQ index — the actual billion-scale FAISS
+    deployment shape: PQ codes written hive-partitioned by coarse
+    ``centroid_id`` (the ``ivf_write_index`` layout), so a probe is a
+    partition-pruned scan of ~nprobe/num_centroids of the CODES (each
+    already ~dim*32/m-fold smaller than the raw vectors).  Training
+    (coarse Lloyd + per-subspace codebooks) happens ONCE here, never
+    per query.  Returns ``(centroids, codebooks)`` for the query side.
+    """
+    cents = CL.kmeans_fit(
+        corpus, num_centroids, ivf_iters, vec_col, id_col,
+        round_decimals, metric="cosine",
+    )
+    assigned = CL.kmeans_assign(corpus, cents, vec_col, id_col)
+    books = pq_train_codebooks(
+        corpus, m, k, pq_iters, dim, vec_col, id_col, round_decimals
+    )
+    (
+        pq_encode(corpus, books, vec_col, id_col)
+        .join(assigned, id_col)
+        .select(F.col(id_col).alias("nn_id"), "codes", "centroid_id")
+        .write.partitionBy("centroid_id")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    return cents, books
+
+
+def ivfpq_topk_indexed(
+    spark,
+    path: str,
+    cents: list[list[float]],
+    books: list[list[list[float]]],
+    queries: DataFrame,
+    nprobe: int = 3,
+    topk: int = 10,
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    round_decimals: int = 9,
+) -> DataFrame:
+    """Probe a written IVF-PQ index: only the probed ``centroid_id``
+    partitions are read (isin-filter prunes at the file index — verify
+    with ``PartitionFilters`` in the plan), then ADC-rank their codes.
+    Value-identical to ``ivfpq_topk`` with the same training params:
+    both rank the same codes with the same tables over the same probe
+    sets — the index just swaps per-call re-training and a full-corpus
+    scan for one partition-pruned read."""
+    m = len(books)
+    q_frame = _ivfpq_query_frame(
+        queries, cents, books, nprobe, query_id_col, vec_col, round_decimals
+    )
+    # bounded collect: distinct probe ids, <= nprobe * |queries| ints
+    probed = sorted(
+        {
+            int(c)
+            for r in q_frame.select("_probes").collect()
+            for c in r["_probes"]
+        }
+    )
+    index = spark.read.parquet(path).filter(F.col("centroid_id").isin(probed))
+    return _adc_rank_probed(index, q_frame, m, topk)
 
 
 def ivfpq_oracle_sql(

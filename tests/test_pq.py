@@ -179,3 +179,42 @@ def test_ivfpq_recall_against_exact(spark, sf_dir):
     for r in approx.collect():
         ranks.setdefault(r["query_id"], []).append(r["rank"])
     assert all(sorted(v) == list(range(1, 11)) for v in ranks.values())
+
+
+def test_ivfpq_indexed_partition_pruned_and_value_identical(spark, sf_dir, tmp_path):
+    """The persisted IVF-PQ index (FAISS deployment shape): a probe's
+    scan must carry PartitionFilters on centroid_id (only nprobe
+    partitions read), and with identical deterministic training params
+    the indexed search returns EXACTLY ivfpq_topk's rows."""
+    from pyspark.sql import functions as F
+
+    from robosystems_spark.io import read_table
+    from robosystems_spark.operators.pq import (
+        ivfpq_topk,
+        ivfpq_topk_indexed,
+        ivfpq_write_index,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = str(tmp_path / "ivfpq_index")
+    cents, books = ivfpq_write_index(emb, path)
+    out = ivfpq_topk_indexed(spark, path, cents, books, queries, nprobe=3, topk=10)
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters")[1][:300]
+    assert "centroid_id" in seg
+
+    got = sorted(tuple(r) for r in out.collect())
+    want = sorted(
+        tuple(r) for r in ivfpq_topk(emb, queries, nprobe=3, topk=10).collect()
+    )
+    assert got == want
+    # full ranked top-10 per query
+    ranks = {}
+    for q, _nn, _adc, rank in got:
+        ranks.setdefault(q, []).append(rank)
+    assert all(sorted(v) == list(range(1, 11)) for v in ranks.values())
