@@ -403,11 +403,139 @@ class DataToolkit(GraphToolkit):
         )
 
     # -- list-workspaces ---------------------------------------------------
-    def list_workspaces(self, parent_graph_id: str) -> list[dict]:
+    def list_workspaces(self, parent_graph_id: str | None = None) -> list[dict]:
         """Subgraph workspaces of a parent graph (workspace.py
-        list-workspaces) via the SubgraphService."""
+        list-workspaces) via the SubgraphService.  Defaults to the
+        toolkit's bound graph (the reference lists the client's
+        current graph's workspaces)."""
         svc = self._require("subgraphs")
+        parent = parent_graph_id or self._primary_graph_id()
         return [
-            svc.get_subgraph_info(sid)
-            for sid in svc.list_subgraphs(parent_graph_id)
+            svc.get_subgraph_info(sid) for sid in svc.list_subgraphs(parent)
         ]
+
+    # -- create-workspace --------------------------------------------------
+    def _primary_graph_id(self) -> str:
+        """The parent graph this toolkit was built over — switching
+        workspaces never changes it (workspace ops always authorize
+        against the PRIMARY graph, reference workspace.py:203-214)."""
+        return (getattr(self, "_primary_gate", None) or self.gate).graph_id
+
+    @property
+    def active_workspace(self) -> str:
+        """'primary', or the workspace_id the toolkit is switched to."""
+        return (
+            self.gate.graph_id
+            if getattr(self, "_primary_gate", None) is not None
+            else "primary"
+        )
+
+    def create_workspace(
+        self,
+        name: str,
+        description: str | None = None,
+        fork_parent: bool = False,
+        schema_extensions: list[str] | None = None,
+    ) -> dict:
+        """Create a subgraph workspace under the toolkit's bound graph
+        (workspace.py:16-139 create-workspace): alphanumeric 1-20 char
+        name, optional parent-data fork.  Returns the workspace_id;
+        the workspace is NOT activated — call ``switch_workspace``."""
+        from robosystems_spark.sources.subgraphs import SubgraphError
+
+        svc = self._require("subgraphs")
+        if not name or not name.isalnum() or len(name) > 20:
+            raise SubgraphError(
+                "Workspace name must be alphanumeric only, 1-20 characters "
+                "(no hyphens, underscores, or special chars)"
+            )
+        parent = self._primary_graph_id()
+        meta = svc.create_subgraph(
+            parent,
+            name,
+            description=description or f"MCP workspace: {name}",
+            schema_extensions=schema_extensions,
+            fork_parent=fork_parent,
+        )
+        return {
+            "success": True,
+            "workspace_id": meta["subgraph_id"],
+            "name": name,
+            "parent_graph_id": parent,
+            "forked_from_parent": bool(fork_parent),
+            "message": (
+                f"Created workspace {name!r}. "
+                "Use switch-workspace to activate it."
+            ),
+        }
+
+    # -- switch-workspace --------------------------------------------------
+    def switch_workspace(self, workspace_id: str) -> dict:
+        """Activate a workspace (workspace.py:380-416 switch-workspace
+        — client-side in the reference because its client owns the
+        connection; HERE the toolkit IS the client, so switching
+        rebinds the Cypher gate and the materialization store to the
+        workspace): queries run against the workspace's tables under
+        the workspace's graph identity (subgraphs are read-WRITE by
+        identity), and ingest/materialize land in the workspace.
+        ``'primary'`` restores the parent graph binding."""
+        from robosystems_spark.queryapi.cypher_gate import CypherGate
+        from robosystems_spark.sources.materialize import GraphStore
+        from robosystems_spark.sources.subgraphs import SubgraphError
+
+        svc = self._require("subgraphs")
+        if workspace_id == "primary":
+            if getattr(self, "_primary_gate", None) is not None:
+                self.gate = self._primary_gate
+                self.store = self._primary_store
+                self._primary_gate = None
+                self._primary_store = None
+            return {"success": True, "active_workspace": "primary"}
+
+        from robosystems_spark.queryapi.graph_identity import parse_graph_id
+
+        parent, sub = parse_graph_id(workspace_id)
+        if sub is None or parent != self._primary_graph_id():
+            raise SubgraphError(
+                f"Workspace {workspace_id} does not belong to graph "
+                f"{self._primary_graph_id()}"
+            )
+        svc.get_subgraph_info(workspace_id)  # existence check (raises)
+        ws_store = GraphStore(svc.spark, svc.root, workspace_id)
+        engine = type(self.gate.engine)(
+            {t: ws_store.read(t) for t in ws_store.tables()}
+        )
+        if getattr(self, "_primary_gate", None) is None:
+            self._primary_gate = self.gate
+            self._primary_store = self.store
+        self.gate = CypherGate(engine, graph_id=workspace_id, store=ws_store)
+        self.store = ws_store
+        return {"success": True, "active_workspace": workspace_id}
+
+    # -- delete-workspace --------------------------------------------------
+    def delete_workspace(self, workspace_id: str, force: bool = False) -> dict:
+        """Drop a workspace (workspace.py:141-295 delete-workspace):
+        must belong to the toolkit's bound graph; a workspace that
+        still holds data requires ``force=True`` (the reference's
+        guard).  Deleting the ACTIVE workspace switches back to
+        primary first."""
+        from robosystems_spark.queryapi.graph_identity import parse_graph_id
+        from robosystems_spark.sources.subgraphs import SubgraphError
+
+        svc = self._require("subgraphs")
+        parent, sub = parse_graph_id(workspace_id)
+        if sub is None or parent != self._primary_graph_id():
+            raise SubgraphError(
+                f"Workspace {workspace_id} does not belong to graph "
+                f"{self._primary_graph_id()}"
+            )
+        info = svc.get_subgraph_info(workspace_id)
+        if info.get("has_data") and not force:
+            raise SubgraphError(
+                f"Workspace {workspace_id} contains data; pass force=True "
+                "to delete it"
+            )
+        if self.active_workspace == workspace_id:
+            self.switch_workspace("primary")
+        out = svc.delete_subgraph(workspace_id)
+        return {"success": True, **out}

@@ -241,3 +241,77 @@ def test_toolkit_profile_table(gate):
     assert all(r["n_null"] >= 0 and r["n_distinct"] >= 1 for r in rows)
     with pytest.raises(KeyError):
         tk.profile_table("NoSuchTable")
+
+
+def test_workspace_tools_create_switch_query_delete(spark, tmp_path):
+    """MCP workspace tool parity (reference middleware/mcp/tools/
+    workspace.py): create-workspace -> switch-workspace -> query in
+    the workspace (read-write by subgraph identity) -> materialize
+    into the workspace only -> delete-workspace (data guard + active-
+    workspace switch-back)."""
+    from robosystems_spark.queryapi.tools import DataToolkit
+    from robosystems_spark.sources.subgraphs import SubgraphError, SubgraphService
+
+    root = str(tmp_path / "g")
+    parent_id = "kg0123456789abcdef"
+    store = GraphStore(spark, root, parent_id)
+    store.copy_into(
+        "Account",
+        spark.createDataFrame(
+            [("a1", "Cash", 100.5), ("a2", "AR", 20.0)],
+            ["identifier", "name", "balance"],
+        ),
+        primary_keys=["identifier"],
+    )
+    engine = CypherEngine({"Account": store.read("Account")})
+    tk = DataToolkit(
+        CypherGate(engine, graph_id=parent_id),
+        store=store,
+        staging_root=str(tmp_path / "staging"),
+        subgraphs=SubgraphService(spark, root),
+    )
+    assert tk.active_workspace == "primary"
+
+    # name gate (reference: alnum, 1-20 chars)
+    with pytest.raises(SubgraphError):
+        tk.create_workspace("bad-name")
+
+    out = tk.create_workspace("dev", fork_parent=True)
+    assert out["success"] and out["workspace_id"] == f"{parent_id}_dev"
+    assert [w["subgraph_id"] for w in tk.list_workspaces()] == [f"{parent_id}_dev"]
+
+    # switch: gate + store rebind to the workspace
+    sw = tk.switch_workspace(f"{parent_id}_dev")
+    assert sw["active_workspace"] == f"{parent_id}_dev"
+    assert tk.active_workspace == f"{parent_id}_dev"
+    rows = tk.read_cypher(
+        "MATCH (a:Account) RETURN a.name AS name ORDER BY name"
+    )
+    assert [r["name"] for r in rows] == ["AR", "Cash"]
+
+    # ingest lands in the WORKSPACE store, not the parent
+    src = tmp_path / "ws.csv"
+    src.write_text("identifier,name,balance\na3,AP,-5.0\n")
+    tk.ingest_file(str(src), "Account2", ingest_to_graph=True)
+    ws_store = GraphStore(spark, root, f"{parent_id}_dev")
+    assert ws_store.read("Account2").count() == 1
+    assert "Account2" not in store.tables()
+
+    # switch to a workspace of ANOTHER graph is refused
+    with pytest.raises(SubgraphError):
+        tk.switch_workspace("kg000000000000dead_dev")
+
+    # delete guard: forked workspace has data -> force required
+    with pytest.raises(SubgraphError):
+        tk.delete_workspace(f"{parent_id}_dev")
+    # deleting the ACTIVE workspace switches back to primary first
+    out = tk.delete_workspace(f"{parent_id}_dev", force=True)
+    assert out["success"] and out["deleted"] == f"{parent_id}_dev"
+    assert tk.active_workspace == "primary"
+    assert tk.gate.graph_id == parent_id
+    assert tk.list_workspaces() == []
+    # parent data untouched
+    assert store.read("Account").count() == 2
+
+    # switch back to primary is idempotent
+    assert tk.switch_workspace("primary")["active_workspace"] == "primary"
