@@ -681,3 +681,143 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return clustering_coefficient(edges)
+
+
+def _hits_oracle(num_iter: int) -> str:
+    """Unrolled-CTE HITS twin: L1-normalized authority/hub updates with
+    the same per-iteration ROUND(…, 10) contract as `_pagerank_oracle`."""
+    head = """
+    WITH e AS (
+      SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                      'p' || CAST(l_partkey AS VARCHAR) AS dst
+      FROM lineitem
+    ),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    h0 AS (SELECT node, ROUND(1.0 / nn.n, 10) AS hub FROM nodes, nn)"""
+    step = """,
+    a{k}_raw AS (
+      SELECT e.dst AS node, SUM(h.hub) AS r
+      FROM e JOIN h{p} h ON h.node = e.src GROUP BY e.dst
+    ),
+    a{k} AS (
+      SELECT n.node, ROUND(COALESCE(ar.r, 0) / t.t, 10) AS authority
+      FROM nodes n
+      LEFT JOIN a{k}_raw ar ON ar.node = n.node
+      CROSS JOIN (SELECT SUM(r) AS t FROM a{k}_raw) t
+    ),
+    h{k}_raw AS (
+      SELECT e.src AS node, SUM(a.authority) AS r
+      FROM e JOIN a{k} a ON a.node = e.dst GROUP BY e.src
+    ),
+    h{k} AS (
+      SELECT n.node, ROUND(COALESCE(hr.r, 0) / t.t, 10) AS hub
+      FROM nodes n
+      LEFT JOIN h{k}_raw hr ON hr.node = n.node
+      CROSS JOIN (SELECT SUM(r) AS t FROM h{k}_raw) t
+    )"""
+    sql = head
+    for k in range(1, num_iter + 1):
+        sql += step.format(k=k, p=k - 1)
+    # NO second rounding on output: re-rounding the 10-digit iteration
+    # values to fewer digits creates fresh ..50 ties that the two
+    # engines' doubles break differently (seen once in 2100 rows at
+    # sf0.01); the round-10 values ARE the contract.
+    return (
+        sql
+        + f"""
+    SELECT h.node, h.hub, a.authority
+    FROM h{num_iter} h JOIN a{num_iter} a USING (node)
+    """
+    )
+
+
+_HITS_ITER = 3
+
+
+@register(
+    "graph_hits_supplier_part",
+    oracle=_hits_oracle(_HITS_ITER),
+    doc=(
+        "HITS hubs-and-authorities (Kleinberg 1999; 3 L1-normalized "
+        "mutually-recursive updates) over the supplier->part digraph: "
+        "hub suppliers stock many authoritative parts, authoritative "
+        "parts are stocked by hub suppliers. Pregel-as-joins with two "
+        "1-row normalization broadcasts per iteration; per-iteration "
+        "rounding is the cross-engine contract, oracle is the "
+        "unrolled-CTE twin. State is one row per node."
+    ),
+    tags=("graph",),
+    bench=True,
+)
+def graph_hits_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from robosystems_spark.operators.graph import hits
+
+    li = read_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    # emit the per-iteration round-10 values directly — a second
+    # rounding would introduce new tie boundaries (see oracle note)
+    return hits(edges, num_iter=_HITS_ITER)
+
+
+@register(
+    "graph_link_prediction_jaccard",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS a,
+                      'p' || CAST(l_partkey AS VARCHAR) AS b
+      FROM lineitem
+    ),
+    adj AS (
+      SELECT a AS node, b AS nbr FROM e
+      UNION
+      SELECT b AS node, a AS nbr FROM e
+    ),
+    deg AS (SELECT node, COUNT(*) AS degree FROM adj GROUP BY node),
+    capped AS (
+      SELECT adj.node, adj.nbr FROM adj
+      JOIN deg d ON d.node = adj.nbr AND d.degree <= 40
+    ),
+    common AS (
+      SELECT x.node AS u1, y.node AS u2, COUNT(*) AS common_neighbors
+      FROM capped x JOIN capped y
+        ON x.nbr = y.nbr AND x.node < y.node
+      GROUP BY 1, 2
+    )
+    SELECT c.u1, c.u2, c.common_neighbors,
+           d1.degree AS degree_u1, d2.degree AS degree_u2,
+           ROUND(CAST(c.common_neighbors AS DOUBLE)
+                 / (d1.degree + d2.degree - c.common_neighbors), 6)
+             AS jaccard
+    FROM common c
+    JOIN deg d1 ON d1.node = c.u1
+    JOIN deg d2 ON d2.node = c.u2
+    ORDER BY jaccard DESC, u1 ASC, u2 ASC
+    LIMIT 50
+    """,
+    doc=(
+        "Common-neighbor link prediction: top-50 node pairs by Jaccard "
+        "neighborhood overlap over the undirected supplier-part graph "
+        "(s-s pairs share parts, p-p pairs share suppliers). Wedge "
+        "generation is the shared-neighbor self-join with the worst key "
+        "capped at degree 40 (hubs connect everyone and carry no "
+        "signal — the Adamic-Adar cap); full degrees still count "
+        "capped hubs. Exact integer counts, one rounded division, "
+        "total-ordered top-k."
+    ),
+    tags=("graph",),
+)
+def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from robosystems_spark.operators.graph import link_prediction_jaccard
+
+    li = read_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    return link_prediction_jaccard(
+        edges, max_neighbor_degree=40, topk=50
+    )

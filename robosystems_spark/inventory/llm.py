@@ -327,7 +327,10 @@ def jaccard_blocked_pairs(
     )
 
 
-_DUP_CLUSTERS_ORACLE = rf"""
+# Shared CTE prefix: capped-block Jaccard pairs -> recursive min-label
+# components — consumed by the clusters oracle AND the representative-
+# selection oracle below.
+_DUP_CLUSTERS_CTES = rf"""
     WITH RECURSIVE t AS (
       SELECT doc_id,
              LIST_DISTINCT(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+')) AS toks,
@@ -359,12 +362,17 @@ _DUP_CLUSTERS_ORACLE = rf"""
       UNION
       SELECT e.b AS node, r.lbl FROM reach r JOIN edges e ON e.a = r.node
     ),
-    comp AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+    comp AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node)"""
+
+_DUP_CLUSTERS_ORACLE = (
+    _DUP_CLUSTERS_CTES
+    + """,
     sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id)
     SELECT c.node AS doc_id, c.cluster_id, s.cluster_size,
            c.node = c.cluster_id AS keep
     FROM comp c JOIN sizes s USING (cluster_id)
     """
+)
 
 
 @register(
@@ -2091,3 +2099,65 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "dedup_cluster_representatives",
+    oracle=_DUP_CLUSTERS_CTES
+    + """,
+    q AS (
+      SELECT c.node AS doc_id, c.cluster_id, d.n_chars AS quality
+      FROM comp c JOIN documents d ON d.doc_id = c.node
+    ),
+    reps AS (
+      SELECT cluster_id, doc_id AS representative_id
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY cluster_id ORDER BY quality DESC, doc_id ASC) AS rn
+        FROM q
+      ) WHERE rn = 1
+    )
+    SELECT q.doc_id, q.cluster_id, r.representative_id, q.quality,
+           q.doc_id = r.representative_id AS keep
+    FROM q JOIN reps r USING (cluster_id)
+    """,
+    doc=(
+        "Keep-best representative selection over duplicate clusters: "
+        "within each near-dup cluster keep the doc with max n_chars "
+        "(ties -> lowest id, a total order) and map every member to it "
+        "— the drop-list decision after clustering. One quality join + "
+        "one cluster-keyed row_number window + one broadcast map-back; "
+        "oracle extends the recursive-CTE cluster oracle with the same "
+        "window."
+    ),
+    tags=("dedup", "graph"),
+)
+def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from robosystems_spark.operators.dedup import cluster_representatives
+    from robosystems_spark.operators.graph import duplicate_clusters
+
+    docs = _docs(spark, sf_dir)
+    pairs = jaccard_blocked_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    clusters = duplicate_clusters(pairs).select("doc_id", "cluster_id")
+    return cluster_representatives(clusters, docs, quality_col="n_chars")
+
+
+@register(
+    "doc_top_terms",
+    oracle=__import__(
+        "robosystems_spark.operators.search",
+        fromlist=["doc_top_terms_oracle_sql"],
+    ).doc_top_terms_oracle_sql(topk_per_doc=3),
+    doc=(
+        "Per-document keyphrase extraction: top-3 terms by tf*idf "
+        "(idf = ln(N/df), rounded at 9 digits before the multiply — "
+        "the cross-engine sync point). One tokenize+explode pass; df "
+        "derives FROM the (doc, term) aggregate so the corpus is "
+        "scanned once; per-doc top-k is a total-ordered window."
+    ),
+    tags=("text", "search"),
+)
+def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from robosystems_spark.operators.search import doc_top_terms as _dtt
+
+    return _dtt(_docs(spark, sf_dir), topk_per_doc=3)

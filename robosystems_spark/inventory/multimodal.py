@@ -276,3 +276,78 @@ def multimodal_mp4_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("media_id", "doc_id")
         .orderBy("doc_id")
     )
+
+
+_SIL_WINDOW, _SIL_THRESH = 16, 256
+
+
+@register(
+    "multimodal_wav_silence_ratio",
+    oracle=f"""
+    WITH s AS (
+      SELECT d.doc_id, t.i,
+             CASE WHEN (t.i // {_SIL_WINDOW}) % 3 = 0 THEN 0
+                  ELSE (d.doc_id * 131 + t.i * 17) % 65536 - 32768 END AS v
+      FROM documents d, range({_WAV_N}) t(i)
+      WHERE d.doc_id < {_N_DOCS}
+    ),
+    w AS (
+      SELECT doc_id, i // {_SIL_WINDOW} AS win, MAX(ABS(v)) AS mx
+      FROM s GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS INTEGER) AS n_windows,
+           CAST(SUM(CASE WHEN mx < {_SIL_THRESH} THEN 1 ELSE 0 END)
+                AS INTEGER) AS n_silent,
+           ROUND(CAST(SUM(CASE WHEN mx < {_SIL_THRESH} THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS silence_ratio
+    FROM w
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    doc="REAL audio silence detection: synthesize 16-bit PCM WAV per "
+    "document where every third 16-sample window is zeroed (closed-"
+    "form function of doc_id), round-trip through actual RIFF bytes, "
+    "and flag silent windows by integer max-|sample| < threshold in "
+    "mapInPandas — voice-activity screening with an exact integer "
+    "decision; the oracle computes the identical windows from the "
+    "formula.",
+    tags=("multimodal",),
+)
+def multimodal_wav_silence_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from robosystems_spark.operators.multimodal import (
+        audio_silence_profile,
+        encode_wav_pcm,
+    )
+
+    def encode(it):
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                i = np.arange(_WAV_N)
+                v = (int(did) * 131 + i * 17) % 65536 - 32768
+                v[(i // _SIL_WINDOW) % 3 == 0] = 0
+                payloads.append(
+                    encode_wav_pcm(v.astype(np.int16), _WAV_RATE, 1)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": payloads})
+
+    media = _doc_ids(spark, sf_dir).mapInPandas(
+        encode,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("content", T.BinaryType()),
+            ]
+        ),
+    )
+    return (
+        audio_silence_profile(
+            media, id_col="doc_id", window=_SIL_WINDOW, threshold=_SIL_THRESH
+        )
+        .withColumnRenamed("media_id", "doc_id")
+        .orderBy("doc_id")
+    )

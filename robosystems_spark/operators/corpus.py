@@ -474,10 +474,23 @@ def item_cooccurrence_topk(
     """
     from pyspark.sql.window import Window
 
-    b = baskets.select(
-        F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
-    ).dropDuplicates()
-    cnt = b.groupBy("_i").agg(F.count(F.lit(1)).alias("_c"))
+    # Checkpoint BEFORE the three-consumer fan-out (item counts + both
+    # sides of the basket self-join): Catalyst re-inlines the distinct
+    # over the source per consumer (the PPJoin re-inlining lesson).
+    b = (
+        baskets.select(
+            F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
+        )
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    # item-count frame is consumed twice (ci/cj) — it is item-sized,
+    # so materializing beats re-running its shuffle per consumer
+    cnt = (
+        b.groupBy("_i")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint(eager=True)
+    )
     x, y = b.alias("x"), b.alias("y")
     cooc = (
         x.join(
@@ -599,7 +612,9 @@ def ppmi_word_similarity(
             .select(F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
         )
 
-    raw = _dir(1).unionAll(_dir(2))
+    # Checkpoint raw BEFORE the symmetrization reads it twice — the two
+    # union branches would otherwise each re-run both corpus explodes.
+    raw = _dir(1).unionAll(_dir(2)).localCheckpoint(eager=True)
     pairs = raw.select(
         F.col("a").alias("_w"), F.col("b").alias("_c")
     ).unionAll(raw.select(F.col("b").alias("_w"), F.col("a").alias("_c")))
@@ -608,7 +623,13 @@ def ppmi_word_similarity(
     # consumer otherwise (the PPJoin re-inlining lesson).
     pairs = pairs.localCheckpoint(eager=True)
 
-    cnt = pairs.groupBy("_w").agg(F.count(F.lit(1)).alias("cw"))
+    # vocab-sized marginals are consumed twice (cw1/cw2 joins):
+    # materialize once instead of re-shuffling the pair stream twice
+    cnt = (
+        pairs.groupBy("_w")
+        .agg(F.count(F.lit(1)).alias("cw"))
+        .localCheckpoint(eager=True)
+    )
     n = pairs.agg(F.count(F.lit(1)).cast("double").alias("_n"))
     joint = pairs.groupBy("_w", "_c").agg(F.count(F.lit(1)).alias("cwc"))
     ppmi = (
@@ -653,7 +674,12 @@ def ppmi_word_similarity(
     # Checkpoint again: the truncated matrix fans out to the norm
     # aggregation and BOTH sides of the sparse-matmul self-join.
     ppmi = ppmi.join(ctx_ok, "_c", "left_semi").localCheckpoint(eager=True)
-    norms = ppmi.groupBy("_w").agg(F.sum(F.col("p_i") * F.col("p_i")).alias("n2"))
+    # vocab-sized norm frame joins twice (n2a/n2b) — materialize once
+    norms = (
+        ppmi.groupBy("_w")
+        .agg(F.sum(F.col("p_i") * F.col("p_i")).alias("n2"))
+        .localCheckpoint(eager=True)
+    )
     left = ppmi.select(
         F.col("_w").alias("w1"), F.col("_c").alias("_cc"), F.col("p_i").alias("pa")
     )

@@ -1286,7 +1286,12 @@ def weighted_jaccard_pairs(
         )
         .localCheckpoint(eager=True)
     )
-    totals = tw.groupBy(id_col).agg(F.sum("_w").alias("_tot"))
+    # doc-sized totals join back twice (doc_a/doc_b) — materialize once
+    totals = (
+        tw.groupBy(id_col)
+        .agg(F.sum("_w").alias("_tot"))
+        .localCheckpoint(eager=True)
+    )
     a, b = tw.alias("a"), tw.alias("b")
     shared = (
         a.join(
@@ -1365,3 +1370,53 @@ def weighted_jaccard_oracle_sql(
     JOIN totals tb ON tb.doc_id = s.doc_b
     WHERE s.w_shared * {threshold_den} >= (ta.tot + tb.tot - s.w_shared) * {threshold_num}
     """
+
+
+def cluster_representatives(
+    clusters: DataFrame,
+    docs: DataFrame,
+    quality_col: str = "n_chars",
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Representative selection over duplicate clusters: within each
+    cluster KEEP the document with the highest ``quality_col`` (ties
+    broken by lowest id — a total order), map every member to it —
+    the step after clustering that decides WHICH copy of a near-dup
+    group survives into the training corpus (keep-best, not keep-
+    first: the longest/highest-quality variant usually carries the
+    most signal).
+
+    Scale shape: one quality join keyed by doc id + one per-cluster
+    row_number window (cluster-keyed shuffle; near-dup clusters are
+    tiny, so no skew) + one map-back join keyed by cluster id.
+
+    Returns (doc_id, cluster_id, representative_id, quality, keep)
+    where keep = (doc_id == representative_id).
+    """
+    from pyspark.sql.window import Window
+
+    joined = clusters.select(id_col, cluster_col).join(
+        docs.select(id_col, F.col(quality_col).alias("quality")), id_col
+    )
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.desc("quality"), F.asc(id_col)
+    )
+    reps = (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col(cluster_col),
+            F.col(id_col).alias("representative_id"),
+        )
+    )
+    return (
+        joined.join(F.broadcast(reps), cluster_col)
+        .select(
+            id_col,
+            cluster_col,
+            "representative_id",
+            "quality",
+            (F.col(id_col) == F.col("representative_id")).alias("keep"),
+        )
+    )

@@ -259,7 +259,14 @@ def pagerank(
     )
     nodes.persist(StorageLevel.MEMORY_AND_DISK)
     n = nodes.count()  # one scalar; node state itself never leaves executors
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    # node-sized and loop-invariant, but consumed by the hoisted ed
+    # join AND the per-iteration dangling anti-join — checkpoint once
+    # or the degree shuffle re-runs every iteration
+    deg = (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=True)
+    )
 
     ranks = nodes.withColumn(
         "rank", F.round(F.lit(1.0) / F.lit(float(n)), round_digits)
@@ -331,7 +338,11 @@ def triangle_count(
     middleware/mcp/query_validator.py) — this is the bounded-shuffle
     formulation of MATCH (a)--(b)--(c)--(a).
     """
-    # canonical undirected edge set (dedup both directions, drop loops)
+    # canonical undirected edge set (dedup both directions, drop loops).
+    # Checkpointed: consumed by the degree aggregation AND both x/y
+    # degree joins — un-materialized, the caller's edge construction
+    # (a lineitem self-join in the registered co-occurrence query)
+    # would execute three times (the PPJoin re-inlining lesson).
     e = (
         edges.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("x"),
@@ -339,6 +350,7 @@ def triangle_count(
         )
         .filter(F.col("x") != F.col("y"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = (
         e.select(F.col("x").alias("node"))
@@ -423,7 +435,12 @@ def connected_components_star(
     prev_sig = None
     for _ in range(max_iters):
         # ---- large-star ----
-        und = undirected(e).dropDuplicates()
+        # Per-phase checkpoints: each phase's canonical frame feeds a
+        # min-aggregation AND a join (and small-star's union reads its
+        # min frame twice) — un-materialized, Catalyst re-inlines the
+        # whole prior phase per consumer, multiplying every round's
+        # work ~3x (the PPJoin re-inlining lesson, loop edition).
+        und = undirected(e).dropDuplicates().localCheckpoint(eager=True)
         mins = und.groupBy("src").agg(
             F.least(F.min("dst"), F.first("src")).alias("m")
         )
@@ -439,8 +456,13 @@ def connected_components_star(
             undirected(e)
             .filter(F.col("src") > F.col("dst"))
             .dropDuplicates()
+            .localCheckpoint(eager=True)
         )
-        mins_s = o.groupBy("src").agg(F.min("dst").alias("m"))
+        mins_s = (
+            o.groupBy("src")
+            .agg(F.min("dst").alias("m"))
+            .localCheckpoint(eager=True)
+        )
         joined = o.join(mins_s, "src")
         small = joined.filter(F.col("dst") != F.col("m")).select(
             F.col("dst").alias("src"), F.col("m").alias("dst")
@@ -506,11 +528,14 @@ def kcore(
         .localCheckpoint(eager=True)
     )
     for _ in range(rounds):
+        # node-sized survivor set, consumed by BOTH semi-joins — one
+        # degree shuffle per round, not two
         keep = (
             e.groupBy("src")
             .agg(F.count(F.lit(1)).alias("_d"))
             .filter(F.col("_d") >= k)
             .select("src")
+            .localCheckpoint(eager=True)
         )
         e = (
             e.join(keep, "src", "left_semi")
@@ -745,7 +770,13 @@ def personalized_pagerank(
         )
     )
     nodes.persist(StorageLevel.MEMORY_AND_DISK)
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    # loop-invariant degree frame consumed per-iteration by the
+    # dangling anti-join — checkpoint once (same as pagerank)
+    deg = (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=True)
+    )
 
     ranks = nodes.select(
         "node", F.round(F.col("s"), round_digits).alias("rank")
@@ -836,4 +867,162 @@ def clustering_coefficient(
                 6,
             ).alias("coefficient"),
         )
+    )
+
+
+def hits(
+    edges: DataFrame,
+    num_iter: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    round_digits: int = 10,
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) over a directed edge
+    DataFrame, returning (node, hub, authority) after ``num_iter``
+    mutually-recursive updates: authority(v) = Σ hub(u) over in-edges,
+    hub(u) = Σ authority(v) over out-edges, each L1-normalized.
+
+    Cross-engine determinism contract (the pagerank discipline): every
+    score is ROUNDed to ``round_digits`` after each normalization, so
+    summation-order differences between engines/partitionings cannot
+    drift through the iterations; the oracle is the unrolled-CTE twin.
+
+    Scale shape: state is one (node, hub, authority) row per node; an
+    iteration is two edge⋈state joins + two grouped sums + two 1-row
+    L1 totals broadcast back — no driver-side node state, per-round
+    ``localCheckpoint`` keeps lineage flat.  Pre-partition the edge
+    table by src/dst at cluster scale and the joins are shuffle-free.
+    """
+    if num_iter < 1:
+        raise ValueError("num_iter must be >= 1")
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    h = nodes.withColumn(
+        "hub", F.round(F.lit(1.0) / F.lit(float(n)), round_digits)
+    ).localCheckpoint(eager=True)
+    a = None
+    for _ in range(num_iter):
+        a_raw = (
+            e.join(h, e.src == h.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("_r"))
+        )
+        a_tot = a_raw.agg(F.sum("_r").alias("_t"))
+        a = (
+            nodes.join(a_raw, "node", "left_outer")
+            .crossJoin(F.broadcast(a_tot))
+            .select(
+                "node",
+                F.round(
+                    F.coalesce(F.col("_r"), F.lit(0.0)) / F.col("_t"),
+                    round_digits,
+                ).alias("authority"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        h_raw = (
+            e.join(a, e.dst == a.node)
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("authority").alias("_r"))
+        )
+        h_tot = h_raw.agg(F.sum("_r").alias("_t"))
+        h = (
+            nodes.join(h_raw, "node", "left_outer")
+            .crossJoin(F.broadcast(h_tot))
+            .select(
+                "node",
+                F.round(
+                    F.coalesce(F.col("_r"), F.lit(0.0)) / F.col("_t"),
+                    round_digits,
+                ).alias("hub"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return h.join(a, "node").select("node", "hub", "authority")
+
+
+def link_prediction_jaccard(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_neighbor_degree: int = 1000,
+    topk: int = 50,
+    decimals: int = 6,
+) -> DataFrame:
+    """Common-neighbor link prediction over an undirected graph:
+    jaccard(u1, u2) = |N(u1) ∩ N(u2)| / |N(u1) ∪ N(u2)| for node pairs
+    sharing at least one neighbor — the classic missing-edge /
+    recommendation score beside Adamic-Adar (which down-weights hubs;
+    Jaccard normalizes by neighborhood size instead).
+
+    Scale shape: wedge generation is the shared-neighbor-keyed
+    self-join, so the worst key is bounded by ``max_neighbor_degree``
+    — a hub z above the cap is dropped from the SHARED-neighbor pass
+    (it connects everyone to everyone, carrying no signal) while full
+    degrees still count it, mirroring the Adamic-Adar / PPMI
+    hot-context cap.  Counts are exact integers; the one division is
+    rounded at output.
+
+    Returns (u1, u2, common_neighbors, degree_u1, degree_u2, jaccard),
+    top-``topk`` by (jaccard, u1, u2) — a total order.
+    """
+    adj = (
+        undirected(edges, src_col, dst_col)
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates()
+        .select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
+        .localCheckpoint(eager=True)  # feeds degrees AND both wedge sides
+    )
+    deg = (
+        adj.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .localCheckpoint(eager=True)  # joins back on BOTH pair sides
+    )
+    z_ok = (
+        deg.filter(F.col("degree") <= max_neighbor_degree)
+        .select(F.col("node").alias("nbr"))
+    )
+    capped = adj.join(F.broadcast(z_ok), "nbr", "left_semi")
+    lo = capped.select(F.col("nbr").alias("_z"), F.col("node").alias("u1"))
+    hi = capped.select(F.col("nbr").alias("_z"), F.col("node").alias("u2"))
+    common = (
+        lo.join(hi, "_z")
+        .filter(F.col("u1") < F.col("u2"))
+        .groupBy("u1", "u2")
+        .agg(F.count(F.lit(1)).alias("common_neighbors"))
+    )
+    d1 = deg.select(F.col("node").alias("u1"), F.col("degree").alias("degree_u1"))
+    d2 = deg.select(F.col("node").alias("u2"), F.col("degree").alias("degree_u2"))
+    return (
+        common.join(d1, "u1")
+        .join(d2, "u2")
+        .select(
+            "u1",
+            "u2",
+            "common_neighbors",
+            "degree_u1",
+            "degree_u2",
+            F.round(
+                F.col("common_neighbors")
+                / (
+                    F.col("degree_u1")
+                    + F.col("degree_u2")
+                    - F.col("common_neighbors")
+                ),
+                decimals,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), F.asc("u1"), F.asc("u2"))
+        .limit(topk)
     )

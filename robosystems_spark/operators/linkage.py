@@ -135,8 +135,12 @@ def entity_clusters(
 
     pairs = fuzzy_name_matches(df, name_col, name_col, max_dist, block_cap)
     comp = connected_components(pairs, "name_a", "name_b")
-    names = df.groupBy(F.col(name_col).alias("name")).agg(
-        F.count(F.lit(1)).alias("n_records")
+    # distinct-name-sized; consumed by the blocked pair generation AND
+    # the final rollup join — materialize once, not two source scans
+    names = (
+        df.groupBy(F.col(name_col).alias("name"))
+        .agg(F.count(F.lit(1)).alias("n_records"))
+        .localCheckpoint(eager=True)
     )
     return (
         comp.join(names, comp.node == names.name)

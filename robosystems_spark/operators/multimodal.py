@@ -875,3 +875,61 @@ def video_container_stats(
     return df.select(F.col(id_col), F.col(binary_col)).mapInPandas(
         batches, MP4_META_SCHEMA
     )
+
+
+AUDIO_SILENCE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_windows", T.IntegerType()),
+        T.StructField("n_silent", T.IntegerType()),
+        T.StructField("silence_ratio", T.DoubleType()),
+    ]
+)
+
+
+def audio_silence_profile(
+    df: DataFrame,
+    binary_col: str = "content",
+    id_col: str = "media_id",
+    window: int = 16,
+    threshold: int = 256,
+    decimals: int = 6,
+) -> DataFrame:
+    """Silence detection over REAL PCM WAV decode: split each clip into
+    fixed ``window``-sample windows (last partial window included) and
+    flag a window silent when its max |sample| < ``threshold`` — the
+    voice-activity / dead-air screen an audio-training pipeline runs
+    before transcription (silent clips are dropped or trimmed).
+
+    Integer max-abs (never float RMS) keeps the silent/active decision
+    EXACT across engines; the one division rounds at output.  Same
+    mapInPandas shape as ``audio_clip_stats`` — payloads never shuffle.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[binary_col]):
+                samples, _rate = decode_wav_pcm(bytes(payload))
+                mono = np.abs(samples).max(axis=1)  # per-frame max over channels
+                n = mono.shape[0]
+                n_windows = (n + window - 1) // window
+                pad = np.zeros(n_windows * window, dtype=mono.dtype)
+                pad[:n] = mono
+                mx = pad.reshape(n_windows, window).max(axis=1)
+                n_silent = int((mx < threshold).sum())
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "n_windows": n_windows,
+                        "n_silent": n_silent,
+                        "silence_ratio": round(n_silent / n_windows, decimals),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(
+        F.col(id_col).alias(id_col), F.col(binary_col)
+    ).mapInPandas(batches, AUDIO_SILENCE_SCHEMA)

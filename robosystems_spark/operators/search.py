@@ -51,8 +51,14 @@ def bm25_topk(
     toks = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
 
     # Per-document length (|D|) over ALL terms (must precede the query
-    # filter: BM25 normalizes by full document length).
-    doclen = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    # filter: BM25 normalizes by full document length).  Checkpointed:
+    # consumed by the corpus-constant aggregate AND the contribution
+    # join — un-materialized, the tokenize+explode re-runs per consumer.
+    doclen = (
+        toks.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("dl"))
+        .localCheckpoint(eager=True)
+    )
 
     # Corpus constants as a 1-row aggregate: broadcast-safe at any SF.
     corpus = doclen.agg(
@@ -62,7 +68,11 @@ def bm25_topk(
 
     # Postings for the query terms only — this filter prunes the
     # explode output to the |query| posting lists before any shuffle.
-    q = toks.filter(F.col("term").isin([t.lower() for t in query_terms]))
+    # Checkpointed: the |query|-term posting rows feed BOTH tf and
+    # document frequency — one corpus pass, not two.
+    q = toks.filter(
+        F.col("term").isin([t.lower() for t in query_terms])
+    ).localCheckpoint(eager=True)
     tf = q.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = q.groupBy("term").agg(F.countDistinct(id_col).alias("dfq"))
 
@@ -347,4 +357,98 @@ def trigram_like_oracle_sql(
     return f"""
     SELECT {id_col} AS doc_id FROM {table}
     WHERE CONTAINS(LOWER(text), '{esc}')
+    """
+
+
+def doc_top_terms(
+    docs: DataFrame,
+    topk_per_doc: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-document keyphrase extraction: the ``topk_per_doc`` terms
+    with the highest tf·idf in each document (idf = ln(N/df) over the
+    tokenized corpus, N = documents with at least one token) — the
+    summarization / tagging primitive feeding search facets and
+    training-data topic labels.
+
+    One tokenize+explode pass: term frequencies are the (doc, term)
+    hash aggregate, document frequencies derive FROM that aggregate
+    (one row per (doc, term), so df is a count, not a countDistinct),
+    and the per-doc top-k is a window ordered by (score DESC, term
+    ASC) — a total order, engine-stable.
+
+    PORTABILITY: idf is rounded to 9 digits BEFORE the tf multiply and
+    the score to ``decimals`` after — the cross-engine sync points.
+    """
+    from pyspark.sql.window import Window
+
+    from robosystems_spark.operators.text import tokens
+
+    tf = (
+        docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+        # split('') yields [''] — drop the empty token (oracle parity)
+        .filter(F.col("term") != "")
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)  # feeds df agg, N agg AND the join
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = tf.agg(
+        F.countDistinct(F.col(id_col)).cast("double").alias("n_docs")
+    )
+    idf = F.round(F.log(F.col("n_docs") / F.col("df")), 9)
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "term",
+            "tf",
+            "df",
+            F.round(F.col("tf") * idf, decimals).alias("score"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk_per_doc)
+        .select(id_col, "rank", "term", "tf", "df", "score")
+    )
+
+
+def doc_top_terms_oracle_sql(
+    table: str = "documents",
+    topk_per_doc: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    decimals: int = 6,
+) -> str:
+    """DuckDB twin: identical tokenization, idf rounding sync point,
+    and total-ordered per-doc window."""
+    return rf"""
+    WITH toks AS (
+      SELECT {id_col},
+             UNNEST(STRING_SPLIT_REGEX(LOWER(TRIM({text_col})), '\s+')) AS term
+      FROM {table}
+    ),
+    tf AS (
+      SELECT {id_col}, term, COUNT(*) AS tf
+      FROM toks WHERE term <> '' GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT CAST(COUNT(DISTINCT {id_col}) AS DOUBLE) AS n_docs FROM tf),
+    scored AS (
+      SELECT tf.{id_col}, tf.term, tf.tf, d.df,
+             ROUND(tf.tf * ROUND(LN(n.n_docs / d.df), 9), {decimals})
+               AS score
+      FROM tf JOIN dfreq d USING (term), n
+    )
+    SELECT {id_col},
+           CAST(rank AS INTEGER) AS rank,
+           term, tf, df, score
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY {id_col} ORDER BY score DESC, term ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {topk_per_doc}
     """

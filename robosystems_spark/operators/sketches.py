@@ -588,7 +588,14 @@ def portable_hll_set_algebra(
             rank.alias("_r"),
         )
     )
-    per_set = tagged.groupBy("_set", "_b").agg(F.max("_r").alias("_m"))
+    # <= 2*m register rows, but consumed by BOTH the union merge and
+    # the per-set estimate — un-materialized, the full data scan runs
+    # twice; checkpointing keeps it one pass + register-frame algebra
+    per_set = (
+        tagged.groupBy("_set", "_b")
+        .agg(F.max("_r").alias("_m"))
+        .localCheckpoint(eager=True)
+    )
     union = (
         per_set.groupBy("_b")
         .agg(F.max("_m").alias("_m"))

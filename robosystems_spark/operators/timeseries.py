@@ -41,12 +41,18 @@ def gap_fill_interpolate(
     n_events=0, LOCF (last observation carried forward) and linear
     interpolation between the surrounding observed bucket averages.
     """
-    agg = events.groupBy(
-        F.col(series_col).alias("series"),
-        F.date_trunc("hour", F.col(ts_col)).alias("bucket_ts"),
-    ).agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.avg(val_col).alias("observed_avg"),
+    # bucket-count-sized; consumed by the span aggregate AND the spine
+    # join — materialize once instead of re-scanning events per consumer
+    agg = (
+        events.groupBy(
+            F.col(series_col).alias("series"),
+            F.date_trunc("hour", F.col(ts_col)).alias("bucket_ts"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.avg(val_col).alias("observed_avg"),
+        )
+        .localCheckpoint(eager=True)
     )
     spans = agg.groupBy("series").agg(
         F.min("bucket_ts").alias("lo"), F.max("bucket_ts").alias("hi")
@@ -345,10 +351,16 @@ def cusum_drift(
     Python; this is what makes CUSUM feasible as a plan instead of a
     per-key loop at 100 TB.
     """
-    agg = events.groupBy(
-        F.col(series_col).alias("series"),
-        F.date_trunc("hour", F.col(ts_col)).alias("bucket_ts"),
-    ).agg(F.avg(val_col).alias("bucket_avg"))
+    # bucket-count-sized; consumed by the series-stats aggregate AND
+    # the z-score join — materialize once, not two event scans
+    agg = (
+        events.groupBy(
+            F.col(series_col).alias("series"),
+            F.date_trunc("hour", F.col(ts_col)).alias("bucket_ts"),
+        )
+        .agg(F.avg(val_col).alias("bucket_avg"))
+        .localCheckpoint(eager=True)
+    )
     stats = agg.groupBy("series").agg(
         F.avg("bucket_avg").alias("_m"),
         F.avg(F.col("bucket_avg") * F.col("bucket_avg")).alias("_m2"),
@@ -672,4 +684,105 @@ def touch_attribution_oracle_sql(
     SELECT 'last_touch' AS model, COALESCE(lt, 'none') AS touch_type,
            COUNT(*) AS conversions, ROUND(SUM(value), {decimals}) AS attributed_value
     FROM conv GROUP BY COALESCE(lt, 'none')
+    """
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    max_offset_weeks: int = 8,
+    decimals: int = 6,
+) -> DataFrame:
+    """Cohort retention analysis: users cohorted by first-activity week
+    (Monday-truncated), then for every (cohort_week, offset_weeks) the
+    count of cohort members active that week and the retention rate —
+    the standard product-analytics retention triangle, and the
+    engagement read a training-data pipeline runs on its own usage
+    telemetry.
+
+    Scale shape: one (user, week) distinct shuffle, one per-user min,
+    one cohort join keyed by user, one grid aggregation — no windows,
+    no driver state.  All counts are exact integers; the single
+    division is rounded at output.
+
+    Returns (cohort_week, offset_weeks, cohort_size, n_active,
+    retention) ordered by (cohort_week, offset_weeks).
+    """
+    weeks = (
+        events.select(
+            F.col(user_col).alias("user_id"),
+            F.date_trunc("week", F.col(ts_col)).cast("date").alias("week"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds cohort min AND activity join
+    )
+    first = (
+        weeks.groupBy("user_id")
+        .agg(F.min("week").alias("cohort_week"))
+        .localCheckpoint(eager=True)  # feeds cohort sizes AND the join
+    )
+    sizes = first.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    grid = (
+        weeks.join(first, "user_id")
+        .withColumn(
+            "offset_weeks",
+            (F.datediff("week", "cohort_week") / 7).cast("int"),
+        )
+        .filter(F.col("offset_weeks") <= max_offset_weeks)
+        .groupBy("cohort_week", "offset_weeks")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return (
+        grid.join(sizes, "cohort_week")
+        .select(
+            "cohort_week",
+            "offset_weeks",
+            "cohort_size",
+            "n_active",
+            F.round(
+                F.col("n_active") / F.col("cohort_size"), decimals
+            ).alias("retention"),
+        )
+        .orderBy("cohort_week", "offset_weeks")
+    )
+
+
+def retention_cohorts_oracle_sql(
+    table: str = "events",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    max_offset_weeks: int = 8,
+    decimals: int = 6,
+) -> str:
+    """DuckDB twin: same Monday week truncation, exact-integer counts,
+    one rounded division."""
+    return f"""
+    WITH weeks AS (
+      SELECT DISTINCT {user_col} AS user_id,
+             CAST(DATE_TRUNC('week', {ts_col}) AS DATE) AS week
+      FROM {table}
+    ),
+    first AS (
+      SELECT user_id, MIN(week) AS cohort_week FROM weeks GROUP BY user_id
+    ),
+    sizes AS (
+      SELECT cohort_week, COUNT(*) AS cohort_size FROM first GROUP BY 1
+    ),
+    grid AS (
+      SELECT f.cohort_week,
+             CAST(DATE_DIFF('day', f.cohort_week, w.week) / 7 AS INTEGER)
+               AS offset_weeks,
+             COUNT(*) AS n_active
+      FROM weeks w JOIN first f USING (user_id)
+      WHERE DATE_DIFF('day', f.cohort_week, w.week) / 7 <= {max_offset_weeks}
+      GROUP BY 1, 2
+    )
+    SELECT g.cohort_week, g.offset_weeks, s.cohort_size, g.n_active,
+           ROUND(CAST(g.n_active AS DOUBLE) / s.cohort_size, {decimals})
+             AS retention
+    FROM grid g JOIN sizes s USING (cohort_week)
+    ORDER BY cohort_week, offset_weeks
     """
