@@ -43,7 +43,15 @@ def register(
     tags: tuple[str, ...] = (),
     bench: bool = False,
 ):
-    """Decorator registering a query spec under ``name``."""
+    """Decorator registering a query spec under ``name``.
+
+    Duplicate names are a hard error: a silent dict overwrite DROPS an
+    existing operator from the driver contract (this nearly shipped in
+    round 7 — a second `events_retention_cohorts` replaced the
+    day-level entry).
+    """
+    if name in REGISTRY:
+        raise ValueError(f"duplicate registry entry {name!r}")
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:

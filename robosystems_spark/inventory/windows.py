@@ -746,23 +746,24 @@ def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "events_retention_cohorts",
+    "events_retention_cohorts_weekly",
     oracle=__import__(
         "robosystems_spark.operators.timeseries",
         fromlist=["retention_cohorts_oracle_sql"],
     ).retention_cohorts_oracle_sql(max_offset_weeks=8),
     doc=(
-        "Cohort retention triangle: users cohorted by first-activity "
+        "WEEKLY cohort retention triangle (the day-level sibling is "
+        "events_retention_cohorts): users cohorted by first-activity "
         "week (Monday-truncated), per (cohort_week, offset_weeks) the "
-        "active-member count and retention rate. One (user, week) "
-        "distinct + per-user min + user-keyed join + grid aggregation — "
-        "no windows, no driver state; exact integer counts with a "
-        "single rounded division."
+        "active-member count and retention rate, offsets capped at 8. "
+        "One (user, week) distinct + per-user min + user-keyed join + "
+        "grid aggregation — no windows, no driver state; exact integer "
+        "counts with a single rounded division."
     ),
     tags=("analytics", "timeseries"),
     bench=True,
 )
-def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_retention_cohorts_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from robosystems_spark.operators.timeseries import retention_cohorts
 
     return retention_cohorts(_events(spark, sf_dir), max_offset_weeks=8)
