@@ -340,13 +340,15 @@ def test_tpch_battery_hint_policy(spark, sf_dir):
 
 
 def test_triangle_count_never_goes_cartesian(spark, sf_dir):
-    """Wedge generation and closure must stay equi-joins on the pivot /
-    (b, c) keys — a cartesian or nested-loop fallback explodes at any
-    scale; degree aggregation must combine map-side."""
+    """The adjacency joins must stay equi-joins on the a/b keys — a
+    cartesian or nested-loop fallback explodes at any scale; closure
+    is the codegen'd array_intersect + explode (never a wedge shuffle
+    or a per-wedge semi-join); degree aggregation combines map-side."""
     plan = plan_of(REGISTRY["graph_triangle_counts"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "LeftSemi" in plan  # closure is a semi-join, not a count
+    assert "array_intersect" in plan  # closure via adjacency intersect
+    assert "Generate" in plan  # explode of the closing set
     assert plan.count("HashAggregate") >= 2
 
 
