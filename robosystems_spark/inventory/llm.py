@@ -2161,3 +2161,30 @@ def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from robosystems_spark.operators.search import doc_top_terms as _dtt
 
     return _dtt(_docs(spark, sf_dir), topk_per_doc=3)
+
+
+@register(
+    "dedup_containment_pairs",
+    oracle=D.containment_oracle_sql(threshold_num=19, threshold_den=20, min_size_a=30),
+    doc=(
+        "Asymmetric containment dedup: C(a->b) = |S(a) n S(b)|/|S(a)| "
+        ">= 19/20 over distinct token sets (contained side floored at 30 "
+    "tokens — tiny sets are promiscuously contained) — doc-inside-doc "
+        "detection (quotes, concats, boilerplate wrappers) symmetric Jaccard "
+        "misses when the container is much larger. EXACT via the "
+        "containment form of the prefix-filter theorem: candidates "
+        "from each contained side's floor((1-t)n)+1 RAREST tokens "
+        "against full postings — no recall loss, never all-pairs; the "
+        "threshold is an integer cross-multiply. The oracle verifies "
+        "all token-sharing pairs (the prefix is a pure performance "
+        "device)."
+    ),
+    tags=("dedup",),
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from robosystems_spark.operators.dedup import containment_prefix_join
+
+    return containment_prefix_join(
+        _docs(spark, sf_dir), threshold_num=19, threshold_den=20,
+        min_size_a=30,
+    )

@@ -1420,3 +1420,146 @@ def cluster_representatives(
             (F.col(id_col) == F.col("representative_id")).alias("keep"),
         )
     )
+
+
+def containment_prefix_join(
+    df: DataFrame,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ndigits: int = 6,
+    min_size_a: int = 1,
+) -> DataFrame:
+    """EXACT asymmetric containment join: C(a -> b) =
+    |S(a) ∩ S(b)| / |S(a)| over distinct token sets — the doc-inside-
+    doc detector (quotes, concatenations, boilerplate wrappers) that
+    symmetric Jaccard structurally misses: when b is much larger than
+    a, the union denominator drowns the overlap even at C = 1.
+
+    Prefix-filter theorem, containment form: if C(a->b) >= t then
+    |S(a) \\ S(b)| <= (1-t)|S(a)|, so ANY floor((1-t)n)+1 of a's
+    tokens must hit b — generate candidates from a's that many RAREST
+    tokens (smallest posting lists) joined against the FULL token
+    postings (containment is asymmetric: only the contained side gets
+    a prefix).  No recall loss; never all-pairs.  The threshold is the
+    integer cross-multiply ``den·|a∩b| >= num·|a|`` — exact on both
+    engines.
+
+    Returns ordered pairs (doc_a = contained, doc_b = container,
+    size_a, overlap, containment) with C >= num/den and doc_a != doc_b.
+    Same checkpoint discipline as ``jaccard_prefix_join``: the tokenset
+    frame feeds the prefix pipeline and both verify sides.
+    """
+    from pyspark.sql.window import Window
+
+    n_part = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    toksets = (
+        df.select(
+            F.col(id_col),
+            F.array_distinct(tokens(text_col)).alias("_toks"),
+        )
+        .filter(F.size("_toks") >= 1)
+        .repartition(n_part, id_col)
+        .localCheckpoint(eager=True)
+    )
+    tok_rows = toksets.select(id_col, F.explode("_toks").alias("_tok"))
+    freq = tok_rows.groupBy("_tok").agg(F.count(F.lit(1)).alias("_c"))
+    w = Window.partitionBy(id_col).orderBy(F.asc("_c"), F.asc("_tok"))
+    ranked = (
+        tok_rows.join(freq, "_tok")
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "_n", F.count(F.lit(1)).over(Window.partitionBy(id_col))
+        )
+    )
+    # floor((1-t)n) + 1 == n - ceil(t*n) + 1 rarest tokens of the
+    # CONTAINED side
+    # ``min_size_a`` floors the CONTAINED side: tiny token sets are
+    # promiscuously contained in everything (low-signal pairs) and
+    # their prefixes are their whole set — pruning them here shrinks
+    # candidate generation, not just the output.
+    prefix = ranked.filter(
+        (F.col("_n") >= min_size_a)
+        & (
+            F.col("_rn")
+            <= F.col("_n")
+            - F.ceil(F.col("_n") * threshold_num / threshold_den)
+            + 1
+        )
+    ).select(id_col, "_tok")
+    cand = (
+        prefix.alias("a")
+        .join(
+            tok_rows.alias("b"),
+            (F.col("a._tok") == F.col("b._tok"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .dropDuplicates()
+    )
+    ta = toksets.select(
+        F.col(id_col).alias("doc_a"), F.col("_toks").alias("_ta")
+    )
+    tb = toksets.select(
+        F.col(id_col).alias("doc_b"), F.col("_toks").alias("_tb")
+    )
+    overlap = F.size(F.array_intersect("_ta", "_tb"))
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size("_ta").alias("size_a"),
+            overlap.alias("overlap"),
+            F.round(
+                overlap.cast("double") / F.size("_ta"), ndigits
+            ).alias("containment"),
+        )
+        .filter(
+            F.col("overlap") * threshold_den
+            >= F.col("size_a") * threshold_num
+        )
+    )
+
+
+def containment_oracle_sql(
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    table: str = "documents",
+    ndigits: int = 6,
+    min_size_a: int = 1,
+) -> str:
+    """DuckDB twin: same distinct token sets, same integer
+    cross-multiplied threshold.  The oracle skips the prefix filter
+    (a performance device with zero recall loss — the verified output
+    is identical) and verifies all candidate pairs sharing any token."""
+    return rf"""
+    WITH t AS MATERIALIZED (
+      SELECT doc_id,
+             LIST_DISTINCT(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+')) AS toks
+      FROM {table}
+    ),
+    tok AS (SELECT doc_id, UNNEST(toks) AS tk FROM t),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM tok a JOIN tok b ON a.tk = b.tk AND a.doc_id <> b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(LEN(ta.toks) AS INTEGER) AS size_a,
+           CAST(LEN(LIST_INTERSECT(ta.toks, tb.toks)) AS INTEGER) AS overlap,
+           ROUND(CAST(LEN(LIST_INTERSECT(ta.toks, tb.toks)) AS DOUBLE)
+                 / LEN(ta.toks), {ndigits}) AS containment
+    FROM cand c
+    JOIN t ta ON ta.doc_id = c.doc_a
+    JOIN t tb ON tb.doc_id = c.doc_b
+    WHERE LEN(LIST_INTERSECT(ta.toks, tb.toks)) * {threshold_den}
+          >= LEN(ta.toks) * {threshold_num}
+      AND LEN(ta.toks) >= {min_size_a}
+    """

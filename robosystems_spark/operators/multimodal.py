@@ -422,9 +422,11 @@ def decode_png(data: bytes):
     nothing but stdlib ``zlib`` and numpy: chunk walk, IDAT inflate,
     and full per-row unfiltering (None/Sub/Up/Average/Paeth).
 
-    Still honest seams: 16-bit depth, palette (color type 3), and
-    Adam7 interlace raise ``NotImplementedError`` (rare in training
-    corpora; palette needs only a PLTE lookup if ever needed).
+    Palette PNGs (color type 3) decode for real too: the unfiltered
+    index bytes map through the PLTE table to (h, w, 3) RGB (a tRNS
+    alpha chunk, rare in photos, is ignored — output stays RGB).
+    Still honest seams: 16-bit depth and Adam7 interlace raise
+    ``NotImplementedError`` (rare in training corpora).
 
     Scale note: None/Up unfilter are vectorized; Sub is a per-lane
     ``cumsum % 256``; Average/Paeth are per-byte within a row (their
@@ -436,13 +438,15 @@ def decode_png(data: bytes):
 
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG file")
-    i, ihdr, idat = 8, None, []
+    i, ihdr, idat, plte = 8, None, [], None
     while i + 8 <= len(data):
         clen = int.from_bytes(data[i : i + 4], "big")
         ctype = data[i + 4 : i + 8]
         chunk = data[i + 8 : i + 8 + clen]
         if ctype == b"IHDR":
             ihdr = chunk
+        elif ctype == b"PLTE":
+            plte = chunk
         elif ctype == b"IDAT":
             idat.append(chunk)
         elif ctype == b"IEND":
@@ -457,9 +461,11 @@ def decode_png(data: bytes):
         raise NotImplementedError(f"{depth}-bit PNG not supported (8 only)")
     if interlace != 0:
         raise NotImplementedError("Adam7-interlaced PNG not supported")
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if channels is None:
         raise NotImplementedError(f"PNG color type {color} not supported")
+    if color == 3 and (plte is None or len(plte) % 3):
+        raise ValueError("palette PNG without a valid PLTE chunk")
     import zlib
 
     raw = zlib.decompress(b"".join(idat))
@@ -501,6 +507,12 @@ def decode_png(data: bytes):
         else:
             raise ValueError(f"unknown PNG filter type {ft}")
         out[r] = cur
+    if color == 3:  # palette: map index bytes through PLTE -> RGB
+        table = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = out.reshape(h, w)
+        if int(idx.max(initial=0)) >= table.shape[0]:
+            raise ValueError("palette index out of PLTE range")
+        return table[idx]
     return out.reshape(h, w, channels)
 
 

@@ -615,3 +615,65 @@ def test_weighted_jaccard_downweights_boilerplate(spark):
     # unweighted Jaccard of (1, 2) is 5/9 > 0.4 — the weighting is what
     # rejects it, not the threshold
     assert 5 / 9 > 2 / 5
+
+
+def test_containment_prefix_join_matches_bruteforce(spark, sf_dir):
+    """The containment prefix filter must have ZERO recall loss: output
+    equals the brute-force all-ordered-pairs containment join."""
+    from pyspark.sql import functions as F
+
+    from robosystems_spark.io import read_table
+    from robosystems_spark.operators.dedup import containment_prefix_join
+
+    docs = read_table(spark, sf_dir, "documents").limit(150)
+    got = {
+        (r["doc_a"], r["doc_b"], r["containment"])
+        for r in containment_prefix_join(
+            docs, threshold_num=3, threshold_den=5
+        ).collect()
+    }
+    toks = docs.select(
+        "doc_id", F.array_distinct(F.split(F.lower(F.trim("text")), r"\s+")).alias("t")
+    )
+    a = toks.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("ta"))
+    b = toks.select(F.col("doc_id").alias("doc_b"), F.col("t").alias("tb"))
+    ov = F.size(F.array_intersect("ta", "tb"))
+    brute = {
+        (r["doc_a"], r["doc_b"], r["c"])
+        for r in a.crossJoin(b)
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(ov.cast("double") / F.size("ta"), 6).alias("c"),
+            (ov * 5 >= F.size("ta") * 3).alias("hit"),
+        )
+        .filter("hit")
+        .collect()
+    }
+    assert got == brute and len(got) > 0
+
+
+def test_containment_catches_doc_inside_doc(spark):
+    """A short doc fully quoted inside a long one: containment = 1.0
+    in the contained->container direction while Jaccard is far below
+    any dedup threshold (the case this operator exists for)."""
+    from robosystems_spark.operators.dedup import containment_prefix_join
+
+    short = "alpha bravo charlie delta"
+    filler = " ".join(f"w{i}" for i in range(60))
+    rows = [
+        (1, short),
+        (2, filler + " " + short + " " + filler),
+        (3, "totally unrelated text here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in containment_prefix_join(
+            df, threshold_num=4, threshold_den=5
+        ).collect()
+    }
+    assert out[(1, 2)] == 1.0
+    assert (2, 1) not in out  # asymmetric: the big doc is NOT contained
+    assert all(3 not in pair for pair in out)

@@ -498,8 +498,8 @@ def test_png_decode_golden_bytes():
     assert got.shape == (4, 2, 3)
     assert (got == expected).all()
 
-    # honest seams: 16-bit depth, palette color, Adam7 interlace
-    for bd, ct, il in [(16, 2, 0), (8, 3, 0), (8, 2, 1)]:
+    # honest seams: 16-bit depth, Adam7 interlace
+    for bd, ct, il in [(16, 2, 0), (8, 2, 1)]:
         bad_ihdr = (
             (2).to_bytes(4, "big") + (4).to_bytes(4, "big")
             + bytes([bd, ct, 0, 0, il])
@@ -509,6 +509,36 @@ def test_png_decode_golden_bytes():
             decode_png(bad)
     with pytest.raises(ValueError):
         decode_png(b"\x89PNX" + data[4:])
+
+    # palette (color type 3): index bytes map through PLTE to RGB.
+    # 3x2 image, filter 0 rows, palette [red, green, blue, white].
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255])
+    pscan = b"\x00" + bytes([0, 1, 2]) + b"\x00" + bytes([2, 3, 0])
+    pihdr = (
+        (3).to_bytes(4, "big") + (2).to_bytes(4, "big")
+        + bytes([8, 3, 0, 0, 0])
+    )
+    pdata = (
+        sig + chunk(b"IHDR", pihdr) + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(pscan)) + chunk(b"IEND", b"")
+    )
+    pexp = np.array(
+        [
+            [[255, 0, 0], [0, 255, 0], [0, 0, 255]],
+            [[0, 0, 255], [255, 255, 255], [255, 0, 0]],
+        ],
+        dtype=np.uint8,
+    )
+    assert (decode_png(pdata) == pexp).all()
+    # palette PNG without PLTE, and out-of-range index, are errors
+    with pytest.raises(ValueError):
+        decode_png(sig + chunk(b"IHDR", pihdr)
+                   + chunk(b"IDAT", zlib.compress(pscan)) + chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
+        decode_png(
+            sig + chunk(b"IHDR", pihdr) + chunk(b"PLTE", plte[:9])
+            + chunk(b"IDAT", zlib.compress(pscan)) + chunk(b"IEND", b"")
+        )
 
 
 def test_png_roundtrip_every_filter_and_channel_count():
