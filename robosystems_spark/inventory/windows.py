@@ -767,3 +767,30 @@ def events_retention_cohorts_weekly(spark: SparkSession, sf_dir: str) -> DataFra
     from robosystems_spark.operators.timeseries import retention_cohorts
 
     return retention_cohorts(_events(spark, sf_dir), max_offset_weeks=8)
+
+
+@register(
+    "events_value_quantile_sketch",
+    oracle=__import__(
+        "robosystems_spark.operators.sketches",
+        fromlist=["log2_histogram_oracle_sql"],
+    ).log2_histogram_oracle_sql("events", "value"),
+    doc=(
+        "Mergeable quantile SKETCH (the DDSketch idea with an "
+        "integer-exact bucket function): values scale to ints and "
+        "bucket by (bit length, top-3 mantissa bits) — a log2 "
+        "histogram guaranteeing <=~9% relative error at any quantile. "
+        "One hash aggregation into a bounded register frame that "
+        "merges by addition across partitions/shards/days; extraction "
+        "is a window over the tiny bucket frame. The bucketing is "
+        "pure integer arithmetic (no libm), so the whole approximate "
+        "structure hash-matches the DuckDB twin — unlike "
+        "percentile_disc, no per-group sort of the data ever happens."
+    ),
+    tags=("sketch", "timeseries"),
+    bench=True,
+)
+def events_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from robosystems_spark.operators.sketches import log2_histogram_quantiles
+
+    return log2_histogram_quantiles(_events(spark, sf_dir), "value")

@@ -678,3 +678,160 @@ def portable_hll_set_algebra_oracle_sql(
            ROUND(approx_a + approx_b - approx_union, 4) AS approx_intersection
     FROM wide
     """
+
+
+def log2_histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    sub_bits: int = 3,
+    scale: int = 100,
+) -> DataFrame:
+    """Mergeable quantile SKETCH (the DDSketch idea with an
+    INTEGER-EXACT bucket function, so it is hash-checkable): values
+    scale to ints (``round(x*scale)``), each positive int buckets by
+    (bit length, top ``sub_bits`` mantissa bits) — a log2 histogram
+    with 2^sub_bits sub-buckets per octave, guaranteeing relative
+    error <= 2^(1/2^sub_bits)-1 (~9% at sub_bits=3) for any quantile.
+
+    Unlike exact percentile_disc (a per-group sort) this is ONE
+    hash-aggregation over the data into a bounded register frame
+    (<= 64 * 2^sub_bits buckets), buckets merge by addition across
+    partitions/days/shards, and quantile extraction is a window over
+    the tiny bucket frame — the 100 TB shape for latency/size
+    percentile monitoring.  Zero/negative values clamp into bucket 0
+    (count-only; the estimate floor is 1/scale).
+
+    The bucket function is pure integer arithmetic (bit length via
+    BIN-string length, shift, mask) — bit-identical in any engine, no
+    libm in the bucketing path (floor(log(x)/log(gamma)) flips on
+    last-ulp LN differences across engines; this formulation cannot).
+
+    Returns one row per requested quantile: (quantile, n_values,
+    bucket_id, estimate) where estimate is the bucket's geometric
+    lower bound divided back by ``scale``.
+    """
+    from pyspark.sql.window import Window
+
+    m = 1 << sub_bits
+    scaled = df.select(
+        F.greatest(
+            F.round(F.col(value_col).cast("double") * scale).cast("long"),
+            F.lit(0).cast("long"),
+        ).alias("_v")
+    )
+    # small values (< 2^sub_bits) get EXACT singleton buckets (= v);
+    # larger values bucket by (octave, top sub_bits mantissa bits).
+    # expr() because the shift amount is itself a column (the Python
+    # F.shiftright helper only takes a literal offset).
+    bucketed = scaled.select(
+        F.expr(
+            f"CASE WHEN _v <= 0 THEN CAST(0 AS BIGINT) "
+            f"WHEN length(bin(_v)) <= {sub_bits} THEN _v "
+            f"ELSE CAST((length(bin(_v)) - 1) * {m} AS BIGINT) "
+            f"     + shiftright(_v, length(bin(_v)) - {sub_bits} - 1) "
+            f"     - {m} + 1 END"
+        ).alias("bucket_id")
+    )
+    hist = bucketed.groupBy("bucket_id").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("bucket_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = hist.select(
+        "bucket_id",
+        "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n_values"),
+    )
+    # invert the bucket function: lower bound of bucket b>0 is
+    # 2^(octave) * (1 + sub/2^sub_bits) at octave=(b-1)>>sub_bits ...
+    # for small buckets (v <= 2^sub_bits) the bucket IS the value.
+    b0 = F.col("bucket_id") - 1
+    octave = F.floor(b0 / (1 << sub_bits))
+    subv = b0 % (1 << sub_bits)
+    small = F.col("bucket_id") <= (1 << sub_bits)
+    lower = F.when(F.col("bucket_id") == 0, F.lit(0.0)).otherwise(
+        F.when(small, F.col("bucket_id").cast("double")).otherwise(
+            F.pow(F.lit(2.0), octave)
+            * (F.lit(1.0) + subv / F.lit(float(1 << sub_bits)))
+        )
+    )
+    parts = []
+    for q in quantiles:
+        parts.append(
+            cum.filter(
+                F.col("cum") * 1_000_000
+                >= F.lit(int(round(q * 1_000_000))) * F.col("n_values")
+            )
+            .orderBy("bucket_id")
+            .limit(1)
+            .select(
+                F.lit(q).alias("quantile"),
+                "n_values",
+                "bucket_id",
+                F.round(lower / scale, 9).alias("estimate"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def log2_histogram_oracle_sql(
+    table: str,
+    value_col: str,
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    sub_bits: int = 3,
+    scale: int = 100,
+    where: str = "TRUE",
+) -> str:
+    """DuckDB twin: the same integer bucket function via BIT_LENGTH-
+    style arithmetic (LENGTH(BIN(v))), shift, mask — no libm."""
+    m = 1 << sub_bits
+    qsel = " UNION ALL ".join(
+        f"""
+    (SELECT CAST({q} AS DOUBLE) AS quantile, n_values, bucket_id, estimate
+    FROM est
+    WHERE cum * 1000000 >= {int(round(q * 1_000_000))} * n_values
+    ORDER BY bucket_id LIMIT 1)""".strip()
+        for q in quantiles
+    )
+    return f"""
+    WITH vals AS (
+      SELECT GREATEST(CAST(ROUND(CAST({value_col} AS DOUBLE) * {scale})
+                      AS BIGINT), 0) AS v
+      FROM {table} WHERE {where}
+    ),
+    bucketed AS (
+      SELECT CASE WHEN v <= 0 THEN 0
+                  WHEN LENGTH(BIN(v)) <= {sub_bits} THEN v
+                  ELSE (LENGTH(BIN(v)) - 1) * {m}
+                       + (v >> (LENGTH(BIN(v)) - {sub_bits} - 1)) - {m}
+                       + 1 END AS bucket_id
+      FROM vals
+    ),
+    hist AS (SELECT bucket_id, COUNT(*) AS cnt FROM bucketed GROUP BY 1),
+    cum AS (
+      SELECT bucket_id, cnt,
+             SUM(cnt) OVER (ORDER BY bucket_id
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(cnt) OVER () AS n_values
+      FROM hist
+    ),
+    est AS (
+      SELECT bucket_id, cnt, cum,
+             CAST(n_values AS BIGINT) AS n_values,
+             ROUND(CASE WHEN bucket_id = 0 THEN 0.0
+                   WHEN bucket_id <= {m} THEN CAST(bucket_id AS DOUBLE)
+                   ELSE POW(2.0, FLOOR((bucket_id - 1) / {m}.0))
+                        * (1.0 + ((bucket_id - 1) % {m}) / {m}.0)
+                   END / {scale}, 9) AS estimate
+      FROM cum
+    )
+    {qsel}
+    """
