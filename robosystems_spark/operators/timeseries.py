@@ -26,6 +26,20 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def hourly_buckets(
+    events: DataFrame, series_col: str, ts_col: str, **aggs
+) -> DataFrame:
+    """(series, hour bucket) aggregation over raw events — the ONE
+    fact-sized pass both gap-fill and CUSUM start from, factored out
+    un-checkpointed so plan gates can verify its scan pushdown (the
+    callers checkpoint the result before fanning it out, which hides
+    the parquet scan behind an RDD scan in the final plan)."""
+    return events.groupBy(
+        F.col(series_col).alias("series"),
+        F.date_trunc("hour", F.col(ts_col)).alias("bucket_ts"),
+    ).agg(*aggs.values())
+
+
 def gap_fill_interpolate(
     events: DataFrame,
     series_col: str = "event_type",
@@ -43,17 +57,13 @@ def gap_fill_interpolate(
     """
     # bucket-count-sized; consumed by the span aggregate AND the spine
     # join — materialize once instead of re-scanning events per consumer
-    agg = (
-        events.groupBy(
-            F.col(series_col).alias("series"),
-            F.date_trunc("hour", F.col(ts_col)).alias("bucket_ts"),
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.avg(val_col).alias("observed_avg"),
-        )
-        .localCheckpoint(eager=True)
-    )
+    agg = hourly_buckets(
+        events,
+        series_col,
+        ts_col,
+        n_events=F.count(F.lit(1)).alias("n_events"),
+        observed_avg=F.avg(val_col).alias("observed_avg"),
+    ).localCheckpoint(eager=True)
     spans = agg.groupBy("series").agg(
         F.min("bucket_ts").alias("lo"), F.max("bucket_ts").alias("hi")
     )
@@ -353,14 +363,12 @@ def cusum_drift(
     """
     # bucket-count-sized; consumed by the series-stats aggregate AND
     # the z-score join — materialize once, not two event scans
-    agg = (
-        events.groupBy(
-            F.col(series_col).alias("series"),
-            F.date_trunc("hour", F.col(ts_col)).alias("bucket_ts"),
-        )
-        .agg(F.avg(val_col).alias("bucket_avg"))
-        .localCheckpoint(eager=True)
-    )
+    agg = hourly_buckets(
+        events,
+        series_col,
+        ts_col,
+        bucket_avg=F.avg(val_col).alias("bucket_avg"),
+    ).localCheckpoint(eager=True)
     stats = agg.groupBy("series").agg(
         F.avg("bucket_avg").alias("_m"),
         F.avg(F.col("bucket_avg") * F.col("bucket_avg")).alias("_m2"),

@@ -382,12 +382,27 @@ def test_grouping_sets_single_expand_pass(spark, sf_dir):
 
 def test_gap_fill_no_python_no_cartesian(spark, sf_dir):
     # The gap-filled grid is window + join work over the bucket grid:
-    # no Python on the path, no cartesian blow-up, and the raw-event
-    # scan reads only the three referenced columns.
+    # no Python on the path, no cartesian blow-up.  The raw-event scan
+    # is checkpointed before the grid fan-out (so the final plan shows
+    # an RDD scan) — pushdown is therefore gated on the un-checkpointed
+    # bucket construction itself.
+    from pyspark.sql import functions as F
+
+    from robosystems_spark.io import read_table
+    from robosystems_spark.operators.timeseries import hourly_buckets
+
     plan = plan_of(REGISTRY["events_gap_fill_interpolate"].fn(spark, sf_dir))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
-    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    bucket_plan = plan_of(
+        hourly_buckets(
+            read_table(spark, sf_dir, "events"),
+            "event_type",
+            "ts",
+            observed_avg=F.avg("value").alias("observed_avg"),
+        )
+    )
+    m = re.search(r"ReadSchema: struct<([^>]*)>", bucket_plan)
     assert m and "props" not in m.group(1) and "event_id" not in m.group(1)
 
 
