@@ -172,3 +172,113 @@ def streaming_frequent_items(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+QUANT_SCHEMA = T.StructType(
+    [
+        T.StructField("series", T.StringType()),
+        T.StructField("quantile", T.DoubleType()),
+        T.StructField("n_values", T.LongType()),
+        T.StructField("estimate", T.DoubleType()),
+    ]
+)
+
+_QUANT_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("buckets", T.ArrayType(T.LongType())),
+        T.StructField("cnts", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def _log2_bucket(x: float, sub_bits: int, scale: int) -> int:
+    """The SAME integer-exact bucket function as the batch sketch
+    (operators/sketches.log2_histogram_quantiles) — bit length + top
+    mantissa bits, no libm, so streaming state merges with (and can be
+    audited against) batch histograms bucket-for-bucket."""
+    v = max(int(round(float(x) * scale)), 0)
+    if v <= 0:
+        return 0
+    bits = v.bit_length()
+    m = 1 << sub_bits
+    if bits <= sub_bits:
+        return v
+    return (bits - 1) * m + (v >> (bits - sub_bits - 1)) - m + 1
+
+
+def _bucket_lower(b: int, sub_bits: int, scale: int) -> float:
+    m = 1 << sub_bits
+    if b == 0:
+        return 0.0
+    if b <= m:
+        return b / scale
+    b0 = b - 1
+    return (2.0 ** (b0 // m)) * (1.0 + (b0 % m) / m) / scale
+
+
+def streaming_quantile_monitor(
+    events: DataFrame,
+    series_col: str = "event_type",
+    value_col: str = "value",
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    sub_bits: int = 3,
+    scale: int = 100,
+) -> DataFrame:
+    """Streaming quantile monitor: per series, grouped state holds the
+    mergeable log2-histogram registers (<= 64 * 2^sub_bits counters —
+    O(1) FOREVER regardless of stream volume); every micro-batch folds
+    its values in by bucket-count addition, and the current p50/p90/
+    p99 estimates are emitted per batch with the batch sketch's
+    <=~9% relative-error guarantee (sub_bits=3).
+
+    The latency/size percentile dashboard over an infinite stream —
+    the streaming twin of ``events_value_quantile_sketch``, sharing
+    its exact bucket function so a batch backfill and the streaming
+    state reconcile bucket-for-bucket.
+    """
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    def update(key, pdfs, state: GroupState):
+        (series,) = key
+        if state.exists:
+            bks, cns = state.get
+            hist = dict(zip(bks, cns))
+        else:
+            hist = {}
+        for pdf in pdfs:
+            for x in pdf[value_col].to_numpy():
+                b = _log2_bucket(x, sub_bits, scale)
+                hist[b] = hist.get(b, 0) + 1
+        state.update((list(hist.keys()), [int(c) for c in hist.values()]))
+        order = sorted(hist)
+        cum = np.cumsum([hist[b] for b in order])
+        n = int(cum[-1]) if len(cum) else 0
+        rows = []
+        for q in quantiles:
+            target = int(round(q * 1_000_000))
+            idx = int(np.searchsorted(cum * 1_000_000, target * n))
+            idx = min(idx, len(order) - 1)
+            rows.append(
+                {
+                    "series": series,
+                    "quantile": q,
+                    "n_values": n,
+                    "estimate": round(
+                        _bucket_lower(order[idx], sub_bits, scale), 9
+                    ),
+                }
+            )
+        yield pd.DataFrame(rows)
+
+    keyed = events.select(
+        F.col(series_col).cast("string").alias("series"),
+        F.col(value_col).cast("double").alias(value_col),
+    )
+    return keyed.groupBy("series").applyInPandasWithState(
+        update,
+        outputStructType=QUANT_SCHEMA,
+        stateStructType=_QUANT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -443,3 +443,63 @@ def test_streaming_frequent_items_state_bounded_and_superset(spark, tmp_path):
     )
     for shard, n in final.items():
         assert n <= 2 * 8  # two emissions (one per batch) x k bound
+
+
+def test_streaming_quantile_monitor_matches_batch_sketch(spark, tmp_path):
+    """Streaming quantile monitor: state folds across micro-batches and
+    after all batches the per-series estimates EQUAL the batch log2
+    sketch over the union of the data (same integer bucket function),
+    with bounded register state."""
+    import datetime as _dt
+
+    from robosystems_spark.operators.sketches import log2_histogram_quantiles
+    from robosystems_spark.streaming.events import events_stream
+    from robosystems_spark.streaming.stateful import streaming_quantile_monitor
+
+    src = str(tmp_path / "quant_src")
+    os.makedirs(src)
+    base = _dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def write(values, offset):
+        rows = [
+            (offset + i, base + _dt.timedelta(seconds=offset + i), 1, "a", v, "{}")
+            for i, v in enumerate(values)
+        ]
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    batch1 = [float(x) for x in range(1, 201)]
+    batch2 = [float(x * 7 % 500) for x in range(1, 151)]
+    write(batch1, 0)
+    stream = events_stream(spark, src, max_files_per_trigger=1)
+    q = (
+        streaming_quantile_monitor(stream, "event_type", "value")
+        .writeStream.format("memory")
+        .queryName("quant_t")
+        .outputMode("update")
+        .start()
+    )
+    q.processAllAvailable()
+    write(batch2, 10_000)
+    q.processAllAvailable()
+    q.stop()
+
+    # latest emission (largest n_values) per quantile
+    rows = spark.sql(
+        "SELECT * FROM quant_t WHERE n_values = "
+        "(SELECT MAX(n_values) FROM quant_t)"
+    ).collect()
+    got = {r["quantile"]: (r["n_values"], r["estimate"]) for r in rows}
+    assert all(n == len(batch1) + len(batch2) for n, _ in got.values())
+
+    both = spark.createDataFrame(
+        [(v,) for v in batch1 + batch2], "value double"
+    )
+    want = {
+        r["quantile"]: r["estimate"]
+        for r in log2_histogram_quantiles(both, "value").collect()
+    }
+    for qq in (0.5, 0.9, 0.99):
+        assert got[qq][1] == want[qq], (qq, got[qq], want[qq])
