@@ -351,3 +351,73 @@ def multimodal_wav_silence_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("media_id", "doc_id")
         .orderBy("doc_id")
     )
+
+
+_JPG_W, _JPG_H = 16, 16
+
+
+@register(
+    "multimodal_jpeg_roundtrip_bound",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({_JPG_W} AS INTEGER) AS width,
+           CAST({_JPG_H} AS INTEGER) AS height,
+           TRUE AS within_bound
+    FROM documents
+    WHERE doc_id < {_N_DOCS}
+    ORDER BY doc_id
+    """,
+    doc="REAL baseline-JPEG codec path (pure-numpy DCT + Huffman, "
+    "operators/jpeg.py): synthesize a 16x16 RGB image per document "
+    "(closed-form pixels), encode with unit quantization tables, "
+    "decode the actual entropy-coded stream, and assert the lossy "
+    "round-trip honors its error CONTRACT (max |err| <= 3: <=0.5 per "
+    "quantized coefficient + YCbCr rounding). JPEG pixels are not "
+    "SQL-expressible (lossy DCT), so the oracle pins the contract "
+    "plus the SOF dimensions — a codec bug (Huffman, zigzag, DC "
+    "prediction, stuffing, IDCT) breaks the bound and the hash.",
+    tags=("multimodal",),
+)
+def multimodal_jpeg_roundtrip_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from robosystems_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    w, h = _JPG_W, _JPG_H
+
+    def roundtrip(it):
+        q1 = np.ones((8, 8), dtype=int)
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                px = ((int(did) * 37 + 11 * np.arange(w * h * 3)) % 256).astype(
+                    np.uint8
+                ).reshape(h, w, 3)
+                dec = decode_jpeg(encode_jpeg(px, q_luma=q1, q_chroma=q1))
+                err = int(np.abs(dec.astype(int) - px.astype(int)).max())
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "width": dec.shape[1],
+                        "height": dec.shape[0],
+                        "within_bound": bool(err <= 3),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return (
+        _doc_ids(spark, sf_dir)
+        .mapInPandas(
+            roundtrip,
+            T.StructType(
+                [
+                    T.StructField("doc_id", T.LongType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("within_bound", T.BooleanType()),
+                ]
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,442 @@
+"""Baseline JPEG (ITU T.81 sequential DCT) codec in pure numpy —
+no PIL/libjpeg.  Closes the last compressed-image seam for the
+multimodal pipeline: ``decode_jpeg`` handles any baseline, 8-bit,
+non-subsampled (1x1 sampling) JFIF stream with arbitrary DQT/DHT
+tables read FROM THE FILE (as the standard requires — no table
+constants are assumed); ``encode_jpeg`` produces a structurally
+standard baseline stream for fixture synthesis, embedding its own
+valid canonical Huffman tables (flat-length, suboptimal but legal —
+decoders must read DHT, so optimality is irrelevant to correctness).
+
+Honest seams: progressive (SOF2), arithmetic coding, 12-bit depth,
+and chroma subsampling raise ``NotImplementedError`` — each is a
+decode-path variant, not a new idea; baseline 4:4:4 covers the
+round-trip semantics (DCT, quantization, zigzag, DC prediction,
+run-length + Huffman entropy coding, byte stuffing) end to end.
+
+JPEG is LOSSY, so unlike BMP/PPM/PNG there is no closed-form pixel
+oracle — correctness is gated by round-trip error bounds instead:
+quantization error per coefficient is <= Q[u,v]/2, so a constant
+block (DC-only) must round-trip within +-1 and smooth gradients
+within a computable bound (tests/test_multimodal_functions.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# 8x8 DCT basis (orthonormal type-II); FDCT: C f C^T, IDCT: C^T F C
+# ---------------------------------------------------------------------------
+_C = np.zeros((8, 8))
+for _u in range(8):
+    for _x in range(8):
+        _a = np.sqrt(0.125) if _u == 0 else 0.5
+        _C[_u, _x] = _a * np.cos((2 * _x + 1) * _u * np.pi / 16)
+
+_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+)
+_UNZIGZAG = np.argsort(_ZIGZAG)
+
+# default quantization tables for the encoder (flat: uniform loss,
+# simple error bounds; any table works — the decoder reads DQT)
+_Q_LUMA = np.full((8, 8), 16, dtype=np.int32)
+_Q_CHROMA = np.full((8, 8), 16, dtype=np.int32)
+
+
+def _fdct(block: np.ndarray) -> np.ndarray:
+    return _C @ block @ _C.T
+
+
+def _idct(coef: np.ndarray) -> np.ndarray:
+    return _C.T @ coef @ _C
+
+
+def _category(v: int) -> int:
+    """JPEG magnitude category: number of bits in |v| (0 for v=0)."""
+    return int(abs(v)).bit_length()
+
+
+def _amplitude_bits(v: int, size: int) -> int:
+    """Ones'-complement amplitude encoding (T.81 F.1.2.1)."""
+    return v if v >= 0 else v + (1 << size) - 1
+
+
+def _extend(bits: int, size: int) -> int:
+    """Inverse of _amplitude_bits (T.81 F.2.2.1 EXTEND)."""
+    if size == 0:
+        return 0
+    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
+# ---------------------------------------------------------------------------
+# Canonical Huffman helpers: tables live in DHT as (BITS[1..16], VALS)
+# ---------------------------------------------------------------------------
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) for a canonical (BITS, VALS) table."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol lookup for the decoder."""
+    return {
+        (length, code): sym
+        for sym, (code, length) in _canonical_codes(bits, vals).items()
+    }
+
+
+# encoder's own tables: every symbol at one length (Kraft-valid, legal)
+_DC_BITS = [0, 0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))  # categories 0..11
+_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 0, 162, 0, 0, 0, 0, 0, 0, 0]
+_AC_VALS = [
+    (r << 4) | s for r in range(16) for s in range(11) if not (r != 0 and s == 0)
+] + [0xF0]  # (run 0-15, size 1-10) + EOB(0x00) + ZRL(0xF0)
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # pad with 1s
+        return bytes(self.buf)
+
+
+class _BitReader:
+    """MSB-first reader over the entropy-coded segment with 0xFF00
+    de-stuffing; 0xFF followed by a marker ends the stream."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1
+                else:
+                    raise ValueError("hit marker inside entropy stream")
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def huff(self, table: dict[tuple[int, int], int]) -> int:
+        code, length = 0, 0
+        while length < 17:
+            code = (code << 1) | self.bit()
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in entropy stream")
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+def _rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    r, g, b = (rgb[:, :, i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=2)
+
+
+def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y, cb, cr = (ycc[:, :, i] for i in range(3))
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
+
+
+def _encode_component(
+    plane: np.ndarray,
+    q: np.ndarray,
+    dc_codes,
+    ac_codes,
+    writer: _BitWriter,
+    prev_dc: int,
+) -> int:
+    h, w = plane.shape
+    for by in range(0, h, 8):
+        for bx in range(0, w, 8):
+            block = plane[by : by + 8, bx : bx + 8].astype(np.float64) - 128.0
+            coef = np.round(_fdct(block) / q).astype(np.int64)
+            zz = coef.flatten()[_ZIGZAG]
+            # DC (differential)
+            diff = int(zz[0]) - prev_dc
+            prev_dc = int(zz[0])
+            size = _category(diff)
+            code, length = dc_codes[size]
+            writer.write(code, length)
+            if size:
+                writer.write(_amplitude_bits(diff, size), size)
+            # AC run-length
+            run = 0
+            for k in range(1, 64):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    zc, zl = ac_codes[0xF0]
+                    writer.write(zc, zl)
+                    run -= 16
+                size = _category(v)
+                code, length = ac_codes[(run << 4) | size]
+                writer.write(code, length)
+                writer.write(_amplitude_bits(v, size), size)
+                run = 0
+            if run:
+                ec, el = ac_codes[0x00]
+                writer.write(ec, el)
+    return prev_dc
+
+
+def encode_jpeg(arr: np.ndarray, q_luma=None, q_chroma=None) -> bytes:
+    """Encode an (h, w, 3) RGB or (h, w) grayscale uint8 array as a
+    baseline 4:4:4 JFIF JPEG.  Interleaved scan (Y, Cb, Cr per MCU),
+    flat default quantization tables (override per call)."""
+    a = np.asarray(arr, dtype=np.uint8)
+    gray = a.ndim == 2
+    h, w = a.shape[:2]
+    qy = np.asarray(q_luma if q_luma is not None else _Q_LUMA, dtype=np.int32)
+    qc = np.asarray(q_chroma if q_chroma is not None else _Q_CHROMA, dtype=np.int32)
+
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8  # pad to block multiples
+    if gray:
+        planes = [np.pad(a.astype(np.float64), ((0, ph - h), (0, pw - w)), mode="edge")]
+    else:
+        ycc = _rgb_to_ycbcr(a)
+        planes = [
+            np.pad(ycc[:, :, i], ((0, ph - h), (0, pw - w)), mode="edge")
+            for i in range(3)
+        ]
+
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    # DQT: table 0 (luma) and, for color, table 1 (chroma); 8-bit precision
+    out += seg(0xDB, bytes([0x00]) + bytes(int(v) for v in qy.flatten()[_ZIGZAG]))
+    if not gray:
+        out += seg(0xDB, bytes([0x01]) + bytes(int(v) for v in qc.flatten()[_ZIGZAG]))
+    # SOF0: baseline
+    ncomp = 1 if gray else 3
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])  # 1x1 sampling
+    out += seg(0xC0, sof)
+    # DHT: class 0 (DC) id 0, class 1 (AC) id 0 — shared by all components
+    out += seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+    out += seg(0xC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
+    # SOS
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00])  # DC table 0 / AC table 0
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+
+    writer = _BitWriter()
+    prev = [0] * ncomp
+    # interleaved MCUs: with 1x1 sampling, one block per component per MCU
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            for ci in range(ncomp):
+                q = qy if ci == 0 else qc
+                block = planes[ci][by : by + 8, bx : bx + 8] - 128.0
+                coef = np.round(_fdct(block) / q).astype(np.int64)
+                zz = coef.flatten()[_ZIGZAG]
+                diff = int(zz[0]) - prev[ci]
+                prev[ci] = int(zz[0])
+                size = _category(diff)
+                c, ln = dc_codes[size]
+                writer.write(c, ln)
+                if size:
+                    writer.write(_amplitude_bits(diff, size), size)
+                run = 0
+                for k in range(1, 64):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run >= 16:
+                        zc, zl = ac_codes[0xF0]
+                        writer.write(zc, zl)
+                        run -= 16
+                    size = _category(v)
+                    c, ln = ac_codes[(run << 4) | size]
+                    writer.write(c, ln)
+                    writer.write(_amplitude_bits(v, size), size)
+                    run = 0
+                if run:
+                    ec, el = ac_codes[0x00]
+                    writer.write(ec, el)
+    out += writer.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Decode a baseline, 8-bit, non-subsampled JPEG into (h, w, 3)
+    RGB (or (h, w, 1) for grayscale streams).  All quantization and
+    Huffman tables are read from the file's DQT/DHT segments."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG file")
+    i = 2
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], dict] = {}
+    sof = None
+    comps = []
+    scan_comps = []
+    scan_start = None
+    while i + 4 <= len(data):
+        if data[i] != 0xFF:
+            raise ValueError("bad marker alignment")
+        marker = data[i + 1]
+        if marker == 0xD9:  # EOI
+            break
+        length = int.from_bytes(data[i + 2 : i + 4], "big")
+        payload = data[i + 4 : i + 2 + length]
+        if marker == 0xDB:  # DQT (possibly multiple tables per segment)
+            j = 0
+            while j < len(payload):
+                pq, tq = payload[j] >> 4, payload[j] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quantization tables")
+                q = np.zeros(64, dtype=np.int32)
+                q[_ZIGZAG] = np.frombuffer(payload[j + 1 : j + 65], np.uint8)
+                qtabs[tq] = q.reshape(8, 8)
+                j += 65
+        elif marker == 0xC4:  # DHT (possibly multiple tables)
+            j = 0
+            while j < len(payload):
+                tc, th = payload[j] >> 4, payload[j] & 0x0F
+                bits = list(payload[j + 1 : j + 17])
+                n = sum(bits)
+                vals = list(payload[j + 17 : j + 17 + n])
+                htabs[(tc, th)] = _decode_table(bits, vals)
+                j += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            precision = payload[0]
+            if precision != 8:
+                raise NotImplementedError(f"{precision}-bit JPEG")
+            hh = int.from_bytes(payload[1:3], "big")
+            ww = int.from_bytes(payload[3:5], "big")
+            nc = payload[5]
+            for c in range(nc):
+                cid, samp, tq = payload[6 + 3 * c : 9 + 3 * c]
+                if samp != 0x11:
+                    raise NotImplementedError(
+                        "chroma-subsampled JPEG (only 1x1 sampling supported)"
+                    )
+                comps.append((cid, tq))
+            sof = (hh, ww, nc)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError(
+                "non-baseline JPEG (progressive/arithmetic/lossless)"
+            )
+        elif marker == 0xDD:
+            raise NotImplementedError("restart intervals not supported")
+        elif marker == 0xDA:  # SOS
+            ns = payload[0]
+            for c in range(ns):
+                cid, tabs = payload[1 + 2 * c], payload[2 + 2 * c]
+                scan_comps.append((cid, tabs >> 4, tabs & 0x0F))
+            scan_start = i + 2 + length
+            break
+        i += 2 + length
+    if sof is None or scan_start is None:
+        raise ValueError("missing SOF/SOS")
+    h, w, nc = sof
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    planes = [np.zeros((ph, pw), dtype=np.float64) for _ in range(nc)]
+    qt = {cid: qtabs[tq] for cid, tq in comps}
+
+    reader = _BitReader(data, scan_start)
+    prev = {cid: 0 for cid, _, _ in scan_comps}
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            for ci, (cid, dct, act) in enumerate(scan_comps):
+                dc_tab = htabs[(0, dct)]
+                ac_tab = htabs[(1, act)]
+                zz = np.zeros(64, dtype=np.int64)
+                size = reader.huff(dc_tab)
+                diff = _extend(reader.bits(size), size)
+                prev[cid] += diff
+                zz[0] = prev[cid]
+                k = 1
+                while k < 64:
+                    sym = reader.huff(ac_tab)
+                    if sym == 0x00:  # EOB
+                        break
+                    run, size = sym >> 4, sym & 0x0F
+                    if size == 0:
+                        if run == 15:  # ZRL
+                            k += 16
+                            continue
+                        raise ValueError("invalid AC symbol")
+                    k += run
+                    if k >= 64:
+                        raise ValueError("AC run past block end")
+                    zz[k] = _extend(reader.bits(size), size)
+                    k += 1
+                coef = np.zeros(64, dtype=np.float64)
+                coef[_ZIGZAG] = zz
+                block = _idct(coef.reshape(8, 8) * qt[cid]) + 128.0
+                planes[ci][by : by + 8, bx : bx + 8] = block
+    if nc == 1:
+        y = np.clip(np.round(planes[0][:h, :w]), 0, 255).astype(np.uint8)
+        return y[:, :, None]
+    ycc = np.stack([p[:h, :w] for p in planes], axis=2)
+    return _ycbcr_to_rgb(ycc)

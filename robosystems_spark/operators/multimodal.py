@@ -580,9 +580,11 @@ def encode_png(arr, level: int = 6) -> bytes:
 
 
 def decode_image(data: bytes):
-    """Dispatch decode by magic: BMP, P6 PPM, and 8-bit PNG (stdlib
-    zlib inflate + numpy unfilter) decode for REAL; JPEG stays the
-    documented codec seam (needs a DCT/Huffman stack)."""
+    """Dispatch decode by magic: BMP, P6 PPM, 8-bit PNG (stdlib zlib
+    inflate + numpy unfilter), and baseline JPEG (pure-numpy DCT +
+    Huffman, operators/jpeg.py) all decode for REAL.  Remaining honest
+    seams live inside the codecs (progressive/subsampled JPEG, 16-bit/
+    interlaced PNG)."""
     if data[:2] == b"BM":
         return decode_bmp(data)
     if data[:2] == b"P6":
@@ -590,10 +592,9 @@ def decode_image(data: bytes):
     if data[:8] == _PNG_SIG:
         return decode_png(data)
     if data[:3] == b"\xff\xd8\xff":
-        raise NotImplementedError(
-            "JPEG decode requires a DCT/Huffman codec (PIL), not present; "
-            "BMP/PPM/PNG decode for real"
-        )
+        from robosystems_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(data)
     raise ValueError("unrecognized image container")
 
 

@@ -324,11 +324,12 @@ def test_ppm_decode_comments_and_errors(spark):
         decode_ppm(b"P5\n1 1\n255\n\x00")
     with _pytest.raises(ValueError):
         decode_ppm(b"P6\n3 2\n255\n" + img.tobytes()[:-1])
-    # PNG decodes for REAL now — a malformed PNG is a ValueError, not
-    # the codec seam; JPEG remains the honest NotImplementedError seam.
+    # PNG and baseline JPEG decode for REAL now — malformed streams are
+    # ValueErrors, not codec seams (the seams moved inside the codecs:
+    # progressive/subsampled JPEG, 16-bit/interlaced PNG).
     with _pytest.raises(ValueError):
         decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 20)
-    with _pytest.raises(NotImplementedError):
+    with _pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 20)
 
 
@@ -561,3 +562,74 @@ def test_png_roundtrip_every_filter_and_channel_count():
     assert (decode_png(encode_png(g)) == g).all()
     # dispatch by magic
     assert decode_image(encode_png(g)).shape == (9, 7, 3)
+
+
+def test_jpeg_baseline_roundtrip_error_bounds():
+    """Pure-numpy baseline JPEG codec: constant blocks (DC-only) must
+    round-trip within +-1; q=1 tables are near-lossless (+-3 incl.
+    YCbCr rounding); flat q=16 keeps gradients above 30 dB PSNR; the
+    decoder reads arbitrary DQT/DHT from the stream."""
+    import numpy as np
+    import pytest
+
+    from robosystems_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    a = np.full((16, 24, 3), 77, dtype=np.uint8)
+    d = decode_jpeg(encode_jpeg(a))
+    assert int(np.abs(d.astype(int) - a.astype(int)).max()) <= 1
+
+    rng = np.random.RandomState(0)
+    q1 = np.ones((8, 8), dtype=int)
+    b = rng.randint(0, 256, (16, 16, 3), dtype=np.uint8)
+    d = decode_jpeg(encode_jpeg(b, q_luma=q1, q_chroma=q1))
+    assert int(np.abs(d.astype(int) - b.astype(int)).max()) <= 3
+
+    g = (np.arange(32 * 40 * 3) % 256).astype(np.uint8).reshape(32, 40, 3)
+    d = decode_jpeg(encode_jpeg(g))
+    mse = ((d.astype(float) - g.astype(float)) ** 2).mean()
+    assert 10 * np.log10(255**2 / max(mse, 1e-9)) > 30
+
+    # grayscale single-component stream
+    gray = (np.arange(17 * 19) % 256).astype(np.uint8).reshape(17, 19)
+    d = decode_jpeg(encode_jpeg(gray))
+    assert d.shape == (17, 19, 1)
+
+    # non-baseline markers are honest seams, garbage is an error
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x00")
+    enc = bytearray(encode_jpeg(a))
+    i = enc.find(b"\xff\xc0")
+    enc[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(enc))
+
+
+def test_jpeg_decode_via_dispatch_and_channel_stats(spark):
+    """decode_image dispatches JPEG by magic and the channel-stats
+    operator consumes real JPEG payloads end to end."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from robosystems_spark.operators.jpeg import encode_jpeg
+    from robosystems_spark.operators.multimodal import (
+        decode_image,
+        image_channel_stats,
+    )
+
+    a = np.full((8, 8, 3), 200, dtype=np.uint8)
+    assert decode_image(encode_jpeg(a)).shape == (8, 8, 3)
+
+    rows = [(i, encode_jpeg(np.full((8, 8, 3), 10 * i, dtype=np.uint8)))
+            for i in range(5)]
+    df = spark.createDataFrame(
+        rows,
+        T.StructType([
+            T.StructField("media_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]),
+    )
+    out = {r["media_id"]: r for r in image_channel_stats(df).collect()}
+    for i in range(5):
+        assert abs(out[i]["mean_r"] - 10 * i) <= 1.0
+        assert out[i]["width"] == 8 and out[i]["height"] == 8
