@@ -1,18 +1,21 @@
 """Baseline JPEG (ITU T.81 sequential DCT) codec in pure numpy —
 no PIL/libjpeg.  Closes the last compressed-image seam for the
-multimodal pipeline: ``decode_jpeg`` handles any baseline, 8-bit,
-non-subsampled (1x1 sampling) JFIF stream with arbitrary DQT/DHT
-tables read FROM THE FILE (as the standard requires — no table
-constants are assumed); ``encode_jpeg`` produces a structurally
-standard baseline stream for fixture synthesis, embedding its own
-valid canonical Huffman tables (flat-length, suboptimal but legal —
-decoders must read DHT, so optimality is irrelevant to correctness).
+multimodal pipeline: ``decode_jpeg`` handles any baseline, 8-bit
+JFIF stream with sampling factors 1 or 2 per axis — including 4:2:0,
+the layout virtually every camera/web JPEG uses — with arbitrary
+DQT/DHT tables read FROM THE FILE (as the standard requires — no
+table constants are assumed); ``encode_jpeg`` produces structurally
+standard 4:4:4 or 4:2:0 streams for fixture synthesis, embedding its
+own valid canonical Huffman tables (flat-length, suboptimal but
+legal — decoders must read DHT, so optimality is irrelevant to
+correctness).
 
 Honest seams: progressive (SOF2), arithmetic coding, 12-bit depth,
-and chroma subsampling raise ``NotImplementedError`` — each is a
-decode-path variant, not a new idea; baseline 4:4:4 covers the
-round-trip semantics (DCT, quantization, zigzag, DC prediction,
-run-length + Huffman entropy coding, byte stuffing) end to end.
+restart intervals, and sampling factors > 2 raise
+``NotImplementedError`` — each is a decode-path variant, not a new
+idea; the implemented paths cover the round-trip semantics (DCT,
+quantization, zigzag, DC prediction, run-length + Huffman entropy
+coding, byte stuffing, chroma down/upsampling) end to end.
 
 JPEG is LOSSY, so unlike BMP/PPM/PNG there is no closed-form pixel
 oracle — correctness is gated by round-trip error bounds instead:
@@ -236,17 +239,63 @@ def _encode_component(
     return prev_dc
 
 
-def encode_jpeg(arr: np.ndarray, q_luma=None, q_chroma=None) -> bytes:
+def _write_block(
+    writer: _BitWriter,
+    plane: np.ndarray,
+    by: int,
+    bx: int,
+    q: np.ndarray,
+    dc_codes,
+    ac_codes,
+    prev_dc: int,
+) -> int:
+    """FDCT + quantize + entropy-code one 8x8 block; returns new DC."""
+    block = plane[by : by + 8, bx : bx + 8] - 128.0
+    coef = np.round(_fdct(block) / q).astype(np.int64)
+    zz = coef.flatten()[_ZIGZAG]
+    diff = int(zz[0]) - prev_dc
+    size = _category(diff)
+    c, ln = dc_codes[size]
+    writer.write(c, ln)
+    if size:
+        writer.write(_amplitude_bits(diff, size), size)
+    run = 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            zc, zl = ac_codes[0xF0]
+            writer.write(zc, zl)
+            run -= 16
+        size = _category(v)
+        c, ln = ac_codes[(run << 4) | size]
+        writer.write(c, ln)
+        writer.write(_amplitude_bits(v, size), size)
+        run = 0
+    if run:
+        ec, el = ac_codes[0x00]
+        writer.write(ec, el)
+    return int(zz[0])
+
+
+def encode_jpeg(
+    arr: np.ndarray, q_luma=None, q_chroma=None, subsample: bool = False
+) -> bytes:
     """Encode an (h, w, 3) RGB or (h, w) grayscale uint8 array as a
-    baseline 4:4:4 JFIF JPEG.  Interleaved scan (Y, Cb, Cr per MCU),
-    flat default quantization tables (override per call)."""
+    baseline JFIF JPEG — 4:4:4 by default, 4:2:0 with
+    ``subsample=True`` (2x2-mean chroma downsampling, the layout
+    virtually every camera/web JPEG uses).  Interleaved scan, flat
+    default quantization tables (override per call)."""
     a = np.asarray(arr, dtype=np.uint8)
     gray = a.ndim == 2
     h, w = a.shape[:2]
     qy = np.asarray(q_luma if q_luma is not None else _Q_LUMA, dtype=np.int32)
     qc = np.asarray(q_chroma if q_chroma is not None else _Q_CHROMA, dtype=np.int32)
 
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8  # pad to block multiples
+    mcu = 16 if (subsample and not gray) else 8
+    ph, pw = -(-h // mcu) * mcu, -(-w // mcu) * mcu  # pad to MCU multiples
     if gray:
         planes = [np.pad(a.astype(np.float64), ((0, ph - h), (0, pw - w)), mode="edge")]
     else:
@@ -255,6 +304,12 @@ def encode_jpeg(arr: np.ndarray, q_luma=None, q_chroma=None) -> bytes:
             np.pad(ycc[:, :, i], ((0, ph - h), (0, pw - w)), mode="edge")
             for i in range(3)
         ]
+        if subsample:  # 2x2 mean downsample of Cb/Cr
+            for i in (1, 2):
+                p = planes[i]
+                planes[i] = (
+                    p[0::2, 0::2] + p[1::2, 0::2] + p[0::2, 1::2] + p[1::2, 1::2]
+                ) / 4.0
 
     dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
     ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
@@ -268,11 +323,12 @@ def encode_jpeg(arr: np.ndarray, q_luma=None, q_chroma=None) -> bytes:
     out += seg(0xDB, bytes([0x00]) + bytes(int(v) for v in qy.flatten()[_ZIGZAG]))
     if not gray:
         out += seg(0xDB, bytes([0x01]) + bytes(int(v) for v in qc.flatten()[_ZIGZAG]))
-    # SOF0: baseline
+    # SOF0: baseline; luma samples 2x2 in 4:2:0 mode
     ncomp = 1 if gray else 3
+    y_samp = 0x22 if (subsample and not gray) else 0x11
     sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
     for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])  # 1x1 sampling
+        sof += bytes([ci + 1, y_samp if ci == 0 else 0x11, 0 if ci == 0 else 1])
     out += seg(0xC0, sof)
     # DHT: class 0 (DC) id 0, class 1 (AC) id 0 — shared by all components
     out += seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
@@ -286,39 +342,28 @@ def encode_jpeg(arr: np.ndarray, q_luma=None, q_chroma=None) -> bytes:
 
     writer = _BitWriter()
     prev = [0] * ncomp
-    # interleaved MCUs: with 1x1 sampling, one block per component per MCU
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
-            for ci in range(ncomp):
-                q = qy if ci == 0 else qc
-                block = planes[ci][by : by + 8, bx : bx + 8] - 128.0
-                coef = np.round(_fdct(block) / q).astype(np.int64)
-                zz = coef.flatten()[_ZIGZAG]
-                diff = int(zz[0]) - prev[ci]
-                prev[ci] = int(zz[0])
-                size = _category(diff)
-                c, ln = dc_codes[size]
-                writer.write(c, ln)
-                if size:
-                    writer.write(_amplitude_bits(diff, size), size)
-                run = 0
-                for k in range(1, 64):
-                    v = int(zz[k])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run >= 16:
-                        zc, zl = ac_codes[0xF0]
-                        writer.write(zc, zl)
-                        run -= 16
-                    size = _category(v)
-                    c, ln = ac_codes[(run << 4) | size]
-                    writer.write(c, ln)
-                    writer.write(_amplitude_bits(v, size), size)
-                    run = 0
-                if run:
-                    ec, el = ac_codes[0x00]
-                    writer.write(ec, el)
+    if subsample and not gray:
+        # MCU = 4 luma blocks (2x2) + 1 Cb + 1 Cr
+        for my in range(0, ph, 16):
+            for mx in range(0, pw, 16):
+                for dy, dx in ((0, 0), (0, 8), (8, 0), (8, 8)):
+                    prev[0] = _write_block(
+                        writer, planes[0], my + dy, mx + dx, qy,
+                        dc_codes, ac_codes, prev[0],
+                    )
+                for ci in (1, 2):
+                    prev[ci] = _write_block(
+                        writer, planes[ci], my // 2, mx // 2, qc,
+                        dc_codes, ac_codes, prev[ci],
+                    )
+    else:
+        for by in range(0, ph, 8):
+            for bx in range(0, pw, 8):
+                for ci in range(ncomp):
+                    q = qy if ci == 0 else qc
+                    prev[ci] = _write_block(
+                        writer, planes[ci], by, bx, q, dc_codes, ac_codes, prev[ci]
+                    )
     out += writer.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
@@ -376,11 +421,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             nc = payload[5]
             for c in range(nc):
                 cid, samp, tq = payload[6 + 3 * c : 9 + 3 * c]
-                if samp != 0x11:
+                hi, vi = samp >> 4, samp & 0x0F
+                if hi not in (1, 2) or vi not in (1, 2):
                     raise NotImplementedError(
-                        "chroma-subsampled JPEG (only 1x1 sampling supported)"
+                        f"sampling factor {hi}x{vi} (1 or 2 supported)"
                     )
-                comps.append((cid, tq))
+                comps.append((cid, tq, hi, vi))
             sof = (hh, ww, nc)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
@@ -399,44 +445,69 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     if sof is None or scan_start is None:
         raise ValueError("missing SOF/SOS")
     h, w, nc = sof
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    planes = [np.zeros((ph, pw), dtype=np.float64) for _ in range(nc)]
-    qt = {cid: qtabs[tq] for cid, tq in comps}
+    hmax = max(hi for _, _, hi, _ in comps)
+    vmax = max(vi for _, _, _, vi in comps)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x, mcus_y = -(-w // mcu_w), -(-h // mcu_h)
+    meta = {cid: (tq, hi, vi) for cid, tq, hi, vi in comps}
+    # per-component plane at its NATIVE (possibly subsampled) resolution
+    planes = {}
+    for cid, _tq, hi, vi in comps:
+        planes[cid] = np.zeros((mcus_y * vi * 8, mcus_x * hi * 8), np.float64)
 
     reader = _BitReader(data, scan_start)
     prev = {cid: 0 for cid, _, _ in scan_comps}
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
-            for ci, (cid, dct, act) in enumerate(scan_comps):
-                dc_tab = htabs[(0, dct)]
-                ac_tab = htabs[(1, act)]
-                zz = np.zeros(64, dtype=np.int64)
-                size = reader.huff(dc_tab)
-                diff = _extend(reader.bits(size), size)
-                prev[cid] += diff
-                zz[0] = prev[cid]
-                k = 1
-                while k < 64:
-                    sym = reader.huff(ac_tab)
-                    if sym == 0x00:  # EOB
-                        break
-                    run, size = sym >> 4, sym & 0x0F
-                    if size == 0:
-                        if run == 15:  # ZRL
-                            k += 16
-                            continue
-                        raise ValueError("invalid AC symbol")
-                    k += run
-                    if k >= 64:
-                        raise ValueError("AC run past block end")
-                    zz[k] = _extend(reader.bits(size), size)
-                    k += 1
-                coef = np.zeros(64, dtype=np.float64)
-                coef[_ZIGZAG] = zz
-                block = _idct(coef.reshape(8, 8) * qt[cid]) + 128.0
-                planes[ci][by : by + 8, bx : bx + 8] = block
+
+    def read_block(dc_tab, ac_tab, cid) -> np.ndarray:
+        zz = np.zeros(64, dtype=np.int64)
+        size = reader.huff(dc_tab)
+        diff = _extend(reader.bits(size), size)
+        prev[cid] += diff
+        zz[0] = prev[cid]
+        k = 1
+        while k < 64:
+            sym = reader.huff(ac_tab)
+            if sym == 0x00:  # EOB
+                break
+            run, size = sym >> 4, sym & 0x0F
+            if size == 0:
+                if run == 15:  # ZRL
+                    k += 16
+                    continue
+                raise ValueError("invalid AC symbol")
+            k += run
+            if k >= 64:
+                raise ValueError("AC run past block end")
+            zz[k] = _extend(reader.bits(size), size)
+            k += 1
+        coef = np.zeros(64, dtype=np.float64)
+        coef[_ZIGZAG] = zz
+        return _idct(coef.reshape(8, 8) * qtabs[meta[cid][0]]) + 128.0
+
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for cid, dct, act in scan_comps:
+                _tq, hi, vi = meta[cid]
+                dc_tab, ac_tab = htabs[(0, dct)], htabs[(1, act)]
+                for byi in range(vi):
+                    for bxi in range(hi):
+                        by = (my * vi + byi) * 8
+                        bx = (mx * hi + bxi) * 8
+                        planes[cid][by : by + 8, bx : bx + 8] = read_block(
+                            dc_tab, ac_tab, cid
+                        )
+
+    # upsample subsampled components to full resolution (replication)
+    full = []
+    for cid, _tq, hi, vi in comps:
+        p = planes[cid]
+        if hi < hmax:
+            p = np.repeat(p, hmax // hi, axis=1)
+        if vi < vmax:
+            p = np.repeat(p, vmax // vi, axis=0)
+        full.append(p[:h, :w])
     if nc == 1:
-        y = np.clip(np.round(planes[0][:h, :w]), 0, 255).astype(np.uint8)
+        y = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
         return y[:, :, None]
-    ycc = np.stack([p[:h, :w] for p in planes], axis=2)
+    ycc = np.stack(full, axis=2)
     return _ycbcr_to_rgb(ycc)

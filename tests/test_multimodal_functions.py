@@ -633,3 +633,34 @@ def test_jpeg_decode_via_dispatch_and_channel_stats(spark):
     for i in range(5):
         assert abs(out[i]["mean_r"] - 10 * i) <= 1.0
         assert out[i]["width"] == 8 and out[i]["height"] == 8
+
+
+def test_jpeg_420_subsampled_roundtrip():
+    """4:2:0 chroma subsampling (the near-universal web/camera layout):
+    MCU = 4 luma + Cb + Cr; constant images round-trip exactly,
+    constant-hue gradients within +-1 at q=1, textured color stays
+    above 35 dB PSNR, odd dimensions crop correctly."""
+    import numpy as np
+
+    from robosystems_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    c = np.full((24, 40, 3), 130, dtype=np.uint8)
+    d = decode_jpeg(encode_jpeg(c, subsample=True))
+    assert d.shape == (24, 40, 3)
+    assert int(np.abs(d.astype(int) - c.astype(int)).max()) == 0
+
+    q1 = np.ones((8, 8), dtype=int)
+    y = np.linspace(30, 220, 32 * 48).reshape(32, 48)
+    img = np.stack([y, y, y], axis=2).astype(np.uint8)  # constant chroma
+    d = decode_jpeg(encode_jpeg(img, subsample=True, q_luma=q1, q_chroma=q1))
+    assert int(np.abs(d.astype(int) - img.astype(int)).max()) <= 1
+
+    x = np.arange(48 * 48 * 3).reshape(48, 48, 3)
+    img = ((np.sin(x / 97.0) + 1) * 127).astype(np.uint8)
+    d = decode_jpeg(encode_jpeg(img, subsample=True))
+    mse = ((d.astype(float) - img.astype(float)) ** 2).mean()
+    assert 10 * np.log10(255**2 / mse) > 35
+
+    rng = np.random.RandomState(1)
+    o = rng.randint(0, 256, (17, 21, 3), dtype=np.uint8)
+    assert decode_jpeg(encode_jpeg(o, subsample=True)).shape == (17, 21, 3)
