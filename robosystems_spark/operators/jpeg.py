@@ -10,12 +10,16 @@ own valid canonical Huffman tables (flat-length, suboptimal but
 legal — decoders must read DHT, so optimality is irrelevant to
 correctness).
 
-Honest seams: progressive (SOF2), arithmetic coding, 12-bit depth,
-restart intervals, and sampling factors > 2 raise
+Restart intervals (DRI + RSTn markers, common in camera files)
+are honored on both sides: the decoder re-syncs at the byte boundary
+and resets DC predictors; the encoder emits them via
+``restart_interval``.  Honest seams: progressive (SOF2), arithmetic
+coding, 12-bit depth, and sampling factors > 2 raise
 ``NotImplementedError`` — each is a decode-path variant, not a new
 idea; the implemented paths cover the round-trip semantics (DCT,
 quantization, zigzag, DC prediction, run-length + Huffman entropy
-coding, byte stuffing, chroma down/upsampling) end to end.
+coding, byte stuffing, chroma down/upsampling, restart re-sync)
+end to end.
 
 JPEG is LOSSY, so unlike BMP/PPM/PNG there is no closed-form pixel
 oracle — correctness is gated by round-trip error bounds instead:
@@ -195,50 +199,6 @@ def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
     return np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
 
 
-def _encode_component(
-    plane: np.ndarray,
-    q: np.ndarray,
-    dc_codes,
-    ac_codes,
-    writer: _BitWriter,
-    prev_dc: int,
-) -> int:
-    h, w = plane.shape
-    for by in range(0, h, 8):
-        for bx in range(0, w, 8):
-            block = plane[by : by + 8, bx : bx + 8].astype(np.float64) - 128.0
-            coef = np.round(_fdct(block) / q).astype(np.int64)
-            zz = coef.flatten()[_ZIGZAG]
-            # DC (differential)
-            diff = int(zz[0]) - prev_dc
-            prev_dc = int(zz[0])
-            size = _category(diff)
-            code, length = dc_codes[size]
-            writer.write(code, length)
-            if size:
-                writer.write(_amplitude_bits(diff, size), size)
-            # AC run-length
-            run = 0
-            for k in range(1, 64):
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run >= 16:
-                    zc, zl = ac_codes[0xF0]
-                    writer.write(zc, zl)
-                    run -= 16
-                size = _category(v)
-                code, length = ac_codes[(run << 4) | size]
-                writer.write(code, length)
-                writer.write(_amplitude_bits(v, size), size)
-                run = 0
-            if run:
-                ec, el = ac_codes[0x00]
-                writer.write(ec, el)
-    return prev_dc
-
-
 def _write_block(
     writer: _BitWriter,
     plane: np.ndarray,
@@ -281,7 +241,11 @@ def _write_block(
 
 
 def encode_jpeg(
-    arr: np.ndarray, q_luma=None, q_chroma=None, subsample: bool = False
+    arr: np.ndarray,
+    q_luma=None,
+    q_chroma=None,
+    subsample: bool = False,
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode an (h, w, 3) RGB or (h, w) grayscale uint8 array as a
     baseline JFIF JPEG — 4:4:4 by default, 4:2:0 with
@@ -337,11 +301,25 @@ def encode_jpeg(
     sos = bytes([ncomp])
     for ci in range(ncomp):
         sos += bytes([ci + 1, 0x00])  # DC table 0 / AC table 0
+    if restart_interval:
+        out += seg(0xDD, restart_interval.to_bytes(2, "big"))
     sos += bytes([0, 63, 0])
     out += seg(0xDA, sos)
 
     writer = _BitWriter()
     prev = [0] * ncomp
+    mcu_count = 0
+    rst = 0
+
+    def maybe_restart():
+        nonlocal mcu_count, rst, writer, prev
+        mcu_count += 1
+        if restart_interval and mcu_count % restart_interval == 0:
+            out.extend(writer.flush())
+            writer = _BitWriter()
+            out.extend(bytes([0xFF, 0xD0 + rst]))
+            rst = (rst + 1) % 8
+            prev = [0] * ncomp
     if subsample and not gray:
         # MCU = 4 luma blocks (2x2) + 1 Cb + 1 Cr
         for my in range(0, ph, 16):
@@ -356,6 +334,7 @@ def encode_jpeg(
                         writer, planes[ci], my // 2, mx // 2, qc,
                         dc_codes, ac_codes, prev[ci],
                     )
+                maybe_restart()
     else:
         for by in range(0, ph, 8):
             for bx in range(0, pw, 8):
@@ -364,6 +343,7 @@ def encode_jpeg(
                     prev[ci] = _write_block(
                         writer, planes[ci], by, bx, q, dc_codes, ac_codes, prev[ci]
                     )
+                maybe_restart()
     out += writer.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
@@ -379,6 +359,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG file")
     i = 2
+    restart_interval = 0
     qtabs: dict[int, np.ndarray] = {}
     htabs: dict[tuple[int, int], dict] = {}
     sof = None
@@ -432,8 +413,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             raise NotImplementedError(
                 "non-baseline JPEG (progressive/arithmetic/lossless)"
             )
-        elif marker == 0xDD:
-            raise NotImplementedError("restart intervals not supported")
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(payload[:2], "big")
         elif marker == 0xDA:  # SOS
             ns = payload[0]
             for c in range(ns):
@@ -484,8 +465,21 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         coef[_ZIGZAG] = zz
         return _idct(coef.reshape(8, 8) * qtabs[meta[cid][0]]) + 128.0
 
+    mcu_count = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                # RSTn: skip to the marker at the next byte boundary,
+                # consume it, reset bit state and DC predictors
+                reader.n = 0
+                while reader.data[reader.pos] != 0xFF or not (
+                    0xD0 <= reader.data[reader.pos + 1] <= 0xD7
+                ):
+                    reader.pos += 1
+                reader.pos += 2
+                for cid in prev:
+                    prev[cid] = 0
+            mcu_count += 1
             for cid, dct, act in scan_comps:
                 _tq, hi, vi = meta[cid]
                 dc_tab, ac_tab = htabs[(0, dct)], htabs[(1, act)]

@@ -416,17 +416,67 @@ def decode_ppm(data: bytes):
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
-def decode_png(data: bytes):
-    """Decode an 8-bit non-interlaced PNG (gray / RGB / gray+alpha /
-    RGBA) into an (h, w, channels) uint8 array — REAL decoding with
-    nothing but stdlib ``zlib`` and numpy: chunk walk, IDAT inflate,
-    and full per-row unfiltering (None/Sub/Up/Average/Paeth).
+def _png_unfilter(
+    raw: bytes, offset: int, w: int, h: int, channels: int
+) -> tuple:
+    """Unfilter ``h`` scanlines of ``w`` pixels starting at ``offset``
+    in the inflated stream; returns ((h, w*channels) uint8, new
+    offset).  Shared by the sequential path and each Adam7 pass (a
+    pass is an independently-filtered sub-image)."""
+    import numpy as np
 
-    Palette PNGs (color type 3) decode for real too: the unfiltered
-    index bytes map through the PLTE table to (h, w, 3) RGB (a tRNS
-    alpha chunk, rare in photos, is ignored — output stays RGB).
-    Still honest seams: 16-bit depth and Adam7 interlace raise
-    ``NotImplementedError`` (rare in training corpora).
+    stride = w * channels
+    bpp = channels  # bytes per pixel at 8-bit depth
+    if offset + h * (stride + 1) > len(raw):
+        raise ValueError("PNG scanline data size mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for r in range(h):
+        base = offset + r * (stride + 1)
+        ft = raw[base]
+        line = np.frombuffer(raw, np.uint8, count=stride, offset=base + 1).copy()
+        prev = out[r - 1] if r else np.zeros(stride, np.uint8)
+        if ft == 0:  # None
+            cur = line
+        elif ft == 1:  # Sub: recon[x] = raw[x] + recon[x-bpp]
+            cur = line
+            for o in range(bpp):  # per-lane cumulative sum mod 256
+                lane = cur[o::bpp].astype(np.uint64)
+                cur[o::bpp] = np.cumsum(lane) & 0xFF
+        elif ft == 2:  # Up
+            cur = line + prev  # uint8 wraparound IS mod-256
+        elif ft == 3:  # Average
+            cur = line
+            for x in range(stride):
+                left = int(cur[x - bpp]) if x >= bpp else 0
+                cur[x] = (int(cur[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            cur = line
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (int(cur[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out[r] = cur
+    return out, offset + h * (stride + 1)
+
+
+def decode_png(data: bytes):
+    """Decode an 8-bit PNG (gray / RGB / gray+alpha / RGBA / palette;
+    sequential OR Adam7-interlaced) into an (h, w, channels) uint8
+    array — REAL decoding with nothing but stdlib ``zlib`` and numpy:
+    chunk walk, IDAT inflate, full per-row unfiltering
+    (None/Sub/Up/Average/Paeth), and 7-pass de-interlace scatter.
+
+    Palette PNGs (color type 3) map the unfiltered index bytes through
+    the PLTE table to (h, w, 3) RGB (a tRNS alpha chunk, rare in
+    photos, is ignored — output stays RGB).  The one honest seam left:
+    16-bit depth raises ``NotImplementedError`` (rare in training
+    corpora).
 
     Scale note: None/Up unfilter are vectorized; Sub is a per-lane
     ``cumsum % 256``; Average/Paeth are per-byte within a row (their
@@ -459,8 +509,8 @@ def decode_png(data: bytes):
     depth, color, _comp, _filt, interlace = ihdr[8:13]
     if depth != 8:
         raise NotImplementedError(f"{depth}-bit PNG not supported (8 only)")
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if channels is None:
         raise NotImplementedError(f"PNG color type {color} not supported")
@@ -469,44 +519,29 @@ def decode_png(data: bytes):
     import zlib
 
     raw = zlib.decompress(b"".join(idat))
-    stride = w * channels
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG scanline data size mismatch")
-    bpp = channels  # bytes per pixel at 8-bit depth
-    out = np.zeros((h, stride), dtype=np.uint8)
-    for r in range(h):
-        ft = raw[r * (stride + 1)]
-        line = np.frombuffer(
-            raw, np.uint8, count=stride, offset=r * (stride + 1) + 1
-        ).copy()
-        prev = out[r - 1] if r else np.zeros(stride, np.uint8)
-        if ft == 0:  # None
-            cur = line
-        elif ft == 1:  # Sub: recon[x] = raw[x] + recon[x-bpp]
-            cur = line
-            for o in range(bpp):  # per-lane cumulative sum mod 256
-                lane = cur[o::bpp].astype(np.uint64)
-                cur[o::bpp] = np.cumsum(lane) & 0xFF
-        elif ft == 2:  # Up
-            cur = line + prev  # uint8 wraparound IS mod-256
-        elif ft == 3:  # Average
-            cur = line
-            for x in range(stride):
-                left = int(cur[x - bpp]) if x >= bpp else 0
-                cur[x] = (int(cur[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
-        elif ft == 4:  # Paeth
-            cur = line
-            for x in range(stride):
-                a = int(cur[x - bpp]) if x >= bpp else 0
-                b = int(prev[x])
-                c = int(prev[x - bpp]) if x >= bpp else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                cur[x] = (int(cur[x]) + pred) & 0xFF
-        else:
-            raise ValueError(f"unknown PNG filter type {ft}")
-        out[r] = cur
+    if interlace == 0:
+        stride = w * channels
+        if len(raw) != h * (stride + 1):
+            raise ValueError("PNG scanline data size mismatch")
+        out = _png_unfilter(raw, 0, w, h, channels)[0].reshape(h, stride)
+    else:
+        # Adam7: seven independently-filtered sub-images scattered
+        # onto the (x0, y0, dx, dy) grids; empty passes emit nothing
+        out = np.zeros((h, w * channels), dtype=np.uint8)
+        grid = out.reshape(h, w, channels)
+        offset = 0
+        for x0, y0, dx, dy in (
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        ):
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            sub, offset = _png_unfilter(raw, offset, pw, ph, channels)
+            grid[y0::dy, x0::dx, :] = sub.reshape(ph, pw, channels)
+        if offset != len(raw):
+            raise ValueError("PNG interlaced scanline data size mismatch")
     if color == 3:  # palette: map index bytes through PLTE -> RGB
         table = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
         idx = out.reshape(h, w)

@@ -499,17 +499,85 @@ def test_png_decode_golden_bytes():
     assert got.shape == (4, 2, 3)
     assert (got == expected).all()
 
-    # honest seams: 16-bit depth, Adam7 interlace
-    for bd, ct, il in [(16, 2, 0), (8, 2, 1)]:
-        bad_ihdr = (
-            (2).to_bytes(4, "big") + (4).to_bytes(4, "big")
-            + bytes([bd, ct, 0, 0, il])
-        )
-        bad = sig + chunk(b"IHDR", bad_ihdr) + chunk(b"IDAT", comp) + chunk(b"IEND", b"")
-        with pytest.raises(NotImplementedError):
-            decode_png(bad)
+    # honest seam: 16-bit depth
+    bad_ihdr = (
+        (2).to_bytes(4, "big") + (4).to_bytes(4, "big")
+        + bytes([16, 2, 0, 0, 0])
+    )
+    bad = sig + chunk(b"IHDR", bad_ihdr) + chunk(b"IDAT", comp) + chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError):
+        decode_png(bad)
     with pytest.raises(ValueError):
         decode_png(b"\x89PNX" + data[4:])
+
+
+def test_png_adam7_interlaced_decode():
+    """Adam7 de-interlacing: a hand-built 7-pass IDAT stream (each pass
+    an independently-filtered sub-image) must scatter back to the
+    original pixels; a 9x5 image also exercises partial passes."""
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from robosystems_spark.operators.multimodal import decode_png
+
+    def chunk(typ: bytes, payload: bytes) -> bytes:
+        return (
+            len(payload).to_bytes(4, "big") + typ + payload
+            + (zlib.crc32(typ + payload) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    passes = (
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    )
+
+    def build_interlaced(img: np.ndarray) -> bytes:
+        h, w, ch = img.shape
+        scan = bytearray()
+        for x0, y0, dx, dy in passes:
+            sub = img[y0::dy, x0::dx, :]
+            ph, pw = sub.shape[:2]
+            if ph == 0 or pw == 0:
+                continue
+            flat = sub.reshape(ph, pw * ch)
+            for r in range(ph):
+                if r == 0:
+                    scan += b"\x00" + flat[r].tobytes()  # filter None
+                else:  # filter Up: exercises per-pass prev-row state
+                    scan += b"\x02" + ((flat[r].astype(np.int16)
+                                        - flat[r - 1]) & 0xFF).astype(
+                        np.uint8
+                    ).tobytes()
+        ihdr = (
+            w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([8, 2, 0, 0, 1])  # RGB, Adam7
+        )
+        return (
+            sig + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(scan)))
+            + chunk(b"IEND", b"")
+        )
+
+    rng = np.random.RandomState(5)
+    for shape in [(8, 8, 3), (9, 5, 3), (16, 11, 3), (1, 1, 3), (3, 2, 3)]:
+        img = rng.randint(0, 256, size=shape, dtype=np.uint8)
+        got = decode_png(build_interlaced(img))
+        assert got.shape == img.shape, shape
+        assert (got == img).all(), shape
+    # unknown interlace method is an error
+    bad_ihdr = (
+        (2).to_bytes(4, "big") + (2).to_bytes(4, "big")
+        + bytes([8, 2, 0, 0, 7])
+    )
+    with pytest.raises(ValueError):
+        decode_png(
+            sig + chunk(b"IHDR", bad_ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+            + chunk(b"IEND", b"")
+        )
 
     # palette (color type 3): index bytes map through PLTE to RGB.
     # 3x2 image, filter 0 rows, palette [red, green, blue, white].
@@ -664,3 +732,28 @@ def test_jpeg_420_subsampled_roundtrip():
     rng = np.random.RandomState(1)
     o = rng.randint(0, 256, (17, 21, 3), dtype=np.uint8)
     assert decode_jpeg(encode_jpeg(o, subsample=True)).shape == (17, 21, 3)
+
+
+def test_jpeg_restart_intervals_roundtrip():
+    """DRI + RSTn markers (common in camera JPEGs): the decoder must
+    re-sync at the byte boundary and reset DC predictors at every
+    restart; round-trip error bounds are unchanged."""
+    import numpy as np
+
+    from robosystems_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(3)
+    q1 = np.ones((8, 8), dtype=int)
+    a = rng.randint(0, 256, (32, 48, 3), dtype=np.uint8)
+    for ri in (1, 2, 5):
+        enc = encode_jpeg(a, q_luma=q1, q_chroma=q1, restart_interval=ri)
+        assert any(bytes([0xFF, 0xD0 + m]) in enc for m in range(8))
+        d = decode_jpeg(enc)
+        assert int(np.abs(d.astype(int) - a.astype(int)).max()) <= 3
+    # 4:2:0 with restarts on a constant-chroma image
+    y = np.linspace(20, 230, 40 * 56).reshape(40, 56)
+    img = np.stack([y, y, y], axis=2).astype(np.uint8)
+    d = decode_jpeg(
+        encode_jpeg(img, subsample=True, q_luma=q1, q_chroma=q1, restart_interval=3)
+    )
+    assert int(np.abs(d.astype(int) - img.astype(int)).max()) <= 1
