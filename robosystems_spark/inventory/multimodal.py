@@ -421,3 +421,77 @@ def multimodal_jpeg_roundtrip_bound(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("doc_id")
     )
+
+
+_GIF_W, _GIF_H, _GIF_NCOL = 12, 10, 6
+
+
+@register(
+    "multimodal_gif_channel_stats",
+    oracle=f"""
+    WITH px AS (
+      SELECT d.doc_id, (d.doc_id * 3 + t.i) % {_GIF_NCOL} AS c
+      FROM documents d, range({_GIF_W * _GIF_H}) t(i)
+      WHERE d.doc_id < {_N_DOCS}
+    )
+    SELECT doc_id,
+           CAST({_GIF_W} AS INTEGER) AS width,
+           CAST({_GIF_H} AS INTEGER) AS height,
+           ROUND(AVG(CAST(40 * c AS DOUBLE)), 6) AS mean_r,
+           ROUND(AVG(CAST(80 + 20 * c AS DOUBLE)), 6) AS mean_g,
+           ROUND(AVG(CAST(5 * c AS DOUBLE)), 6) AS mean_b,
+           CAST(40 * ((doc_id * 3) % {_GIF_NCOL}) AS INTEGER) AS corner_r
+    FROM px
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    doc="REAL GIF decode path (pure-Python LZW, operators/gif.py): "
+    "synthesize an INTERLACED 6-color GIF per document (palette index "
+    "and color values are closed-form functions of doc_id), LZW-"
+    "compress with a genuine dictionary encoder, decode the actual "
+    "variable-width code stream + 4-pass de-interlace in mapInPandas, "
+    "and emit per-channel means + the interlace-order-sensitive "
+    "top-left red value; GIF is lossless for palette images, so the "
+    "oracle computes the same stats from the formula — an LZW or "
+    "interlace bug diverges.",
+    tags=("multimodal",),
+)
+def multimodal_gif_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from robosystems_spark.operators.gif import encode_gif
+    from robosystems_spark.operators.multimodal import image_channel_stats
+
+    w, h, ncol = _GIF_W, _GIF_H, _GIF_NCOL
+    pal = np.stack(
+        [
+            40 * np.arange(ncol),
+            80 + 20 * np.arange(ncol),
+            5 * np.arange(ncol),
+        ],
+        axis=1,
+    ).astype(np.uint8)
+
+    def encode(it):
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                idx = ((int(did) * 3 + np.arange(w * h)) % ncol).reshape(h, w)
+                payloads.append(encode_gif(pal[idx], interlace=True))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": payloads})
+
+    media = _doc_ids(spark, sf_dir).mapInPandas(
+        encode,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("content", T.BinaryType()),
+            ]
+        ),
+    )
+    return (
+        image_channel_stats(media, id_col="doc_id")
+        .withColumnRenamed("media_id", "doc_id")
+        .orderBy("doc_id")
+    )

@@ -630,6 +630,10 @@ def decode_image(data: bytes):
         from robosystems_spark.operators.jpeg import decode_jpeg
 
         return decode_jpeg(data)
+    if data[:4] == b"GIF8":
+        from robosystems_spark.operators.gif import decode_gif
+
+        return decode_gif(data)
     raise ValueError("unrecognized image container")
 
 

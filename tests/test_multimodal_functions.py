@@ -757,3 +757,46 @@ def test_jpeg_restart_intervals_roundtrip():
         encode_jpeg(img, subsample=True, q_luma=q1, q_chroma=q1, restart_interval=3)
     )
     assert int(np.abs(d.astype(int) - img.astype(int)).max()) <= 1
+
+
+def test_gif_lzw_roundtrip_and_edge_cases():
+    """GIF LZW codec: palette round-trips are LOSSLESS; dictionary
+    growth through 9-12 bit codes, CLEAR-on-overflow, the KwKwK
+    decoder case, 4-pass interlace, and dispatch by magic."""
+    import numpy as np
+    import pytest
+
+    from robosystems_spark.operators.gif import (
+        _lzw_decode,
+        _lzw_encode,
+        decode_gif,
+        encode_gif,
+    )
+    from robosystems_spark.operators.multimodal import decode_image
+
+    rng = np.random.RandomState(9)
+    pal = rng.randint(0, 256, (7, 3), dtype=np.uint8)
+    img = pal[rng.randint(0, 7, (23, 31))]
+    assert (decode_gif(encode_gif(img)) == img).all()
+    assert (decode_image(encode_gif(img)) == img).all()  # magic dispatch
+
+    # interlaced
+    timg = pal[rng.randint(0, 7, (17, 9))]
+    assert (decode_gif(encode_gif(timg, interlace=True)) == timg).all()
+
+    # 256 distinct colors: forces code-width growth + CLEAR emission
+    gray = rng.randint(0, 256, (64, 64, 1)).repeat(3, axis=2).astype(np.uint8)
+    assert (decode_gif(encode_gif(gray)) == gray).all()
+
+    # KwKwK: a run of identical symbols makes the decoder read a code
+    # equal to next_code before the table entry exists
+    seq = np.zeros(5, dtype=np.uint8)
+    assert (_lzw_decode(_lzw_encode(seq, 2), 2, 5) == seq).all()
+
+    with pytest.raises(ValueError):
+        decode_gif(b"NOTGIF")
+    # > 256 distinct colors is refused (GIF is palette-only)
+    yy, xx = np.mgrid[0:17, 0:17]
+    many = np.stack([xx * 15, yy * 15, xx + yy], axis=2).astype(np.uint8)
+    with pytest.raises(ValueError):
+        encode_gif(many)
