@@ -99,7 +99,11 @@ def main() -> None:
             {
                 "aggregation": f"median of {runs} steady-state runs after 1 warm run",
                 "spread_max_minus_min": spread,
-                "variance_note": "single-run timings on this box vary +/-15-45%",
+                "variance_note": (
+                    "reported timings are median-of-3 steady-state runs with "
+                    "per-query quiesce (clearCache + unpersist + JVM GC); "
+                    "residual box variance ~+/-15%"
+                ),
             }
         ),
         file=sys.stderr,

@@ -142,7 +142,18 @@ class CypherEngine:
         return self._finalize(df, scope, q, params)
 
     def _spark(self):
-        return next(iter(self.tables.values())).sparkSession
+        for df in self.tables.values():
+            return df.sparkSession
+        # zero registered tables (e.g. a fresh un-forked workspace):
+        # fall back to the active session rather than StopIteration
+        from pyspark.sql import SparkSession
+
+        active = SparkSession.getActiveSession()
+        if active is None:
+            raise CypherCompileError(
+                "No tables registered and no active SparkSession"
+            )
+        return active
 
     # -------------------------------------------------------------- patterns
     def _is_rel_table(self, name: str) -> bool:

@@ -52,10 +52,31 @@ class CypherGate:
         # GraphStore backing writable subgraphs: admitted WRITE
         # statements execute against it (cypher/writes.py)
         self.store = store
+        self._store_tables: set[str] = (
+            set(store.tables()) if store is not None else set()
+        )
 
     @property
     def is_subgraph(self) -> bool:
         return self.identity.is_subgraph
+
+    def _spark(self):
+        """The gate's SparkSession, resolvable even when the engine has
+        ZERO tables — a fresh un-forked workspace starts empty, and its
+        first CREATE (which populates it) must not die deriving a
+        session from a table that doesn't exist yet."""
+        if self.store is not None:
+            return self.store.spark
+        for df in self.engine.tables.values():
+            return df.sparkSession
+        from pyspark.sql import SparkSession
+
+        active = SparkSession.getActiveSession()
+        if active is None:
+            raise CypherGateError(
+                "Gate has no tables, no store, and no active SparkSession"
+            )
+        return active
 
     def query(self, cypher: str, params: dict | None = None) -> DataFrame:
         if not cypher or not cypher.strip():
@@ -64,7 +85,7 @@ class CypherGate:
             raise CypherGateError(
                 f"Query length {len(cypher)} exceeds limit {self.max_query_length}"
             )
-        spark = next(iter(self.engine.tables.values())).sparkSession
+        spark = self._spark()
         if is_call(cypher):
             return execute_call(spark, cypher, store=self.store)
         op = classify_operation(cypher)
@@ -92,6 +113,7 @@ class CypherGate:
             from robosystems_spark.schema.ddl import apply_graph_ddl
 
             stats = apply_graph_ddl(self.store, cypher)
+            self._refresh_from_store()
             return spark.createDataFrame(
                 [tuple(stats.values())], list(stats.keys())
             )
@@ -104,7 +126,23 @@ class CypherGate:
             from robosystems_spark.cypher.writes import CypherWriteExecutor
 
             stats = CypherWriteExecutor(self.store).execute(cypher, params)
+            self._refresh_from_store()
             return spark.createDataFrame(
                 [tuple(stats.values())], list(stats.keys())
             )
         return self.engine.query(cypher, params)
+
+    def _refresh_from_store(self) -> None:
+        """Re-register store-backed tables in the engine after a
+        WRITE/DDL, so a CREATE on a fresh (empty, un-forked) workspace
+        is immediately visible to MATCH on the same gate.  Only names
+        the store owns are touched — externally-registered frames on a
+        mixed gate keep their bindings."""
+        if self.store is None:
+            return
+        current = set(self.store.tables())
+        for name in self._store_tables - current:  # DDL drops
+            self.engine.tables.pop(name, None)
+        for name in current:
+            self.engine.tables[name] = self.store.read(name)
+        self._store_tables = current

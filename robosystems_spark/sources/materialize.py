@@ -1179,17 +1179,7 @@ class GraphStore:
                 # declared schema — read().filter(False) would
                 # re-materialize the full snapshot dict on the driver,
                 # exactly the 10^5-file case _plan_prune exists to avoid.
-                declared = self._declared_schema(table, version)
-                if declared is None:
-                    declared = self.spark.read.parquet(
-                        self.table_path(table)
-                    ).schema
-                empty = self.spark.createDataFrame([], declared)
-                return (
-                    empty.drop(BUCKET_COL)
-                    if BUCKET_COL in empty.columns
-                    else empty
-                )
+                return self._empty_frame(table, version)
             df = self._read_raw(
                 table, version, file_subset=keep, dv_override=dv
             )
@@ -1208,7 +1198,7 @@ class GraphStore:
             and self._file_may_match_nulls(stats.get(f), is_null)
         ]
         if not keep:
-            return self.read(table, version).filter(F.lit(False))
+            return self._empty_frame(table, version)
         df = self._read_raw(table, version, file_subset=keep)
         if BUCKET_COL in df.columns:
             df = df.drop(BUCKET_COL)
@@ -1569,6 +1559,16 @@ class GraphStore:
                 return T.StructType.fromJson(js)
             v -= 1
         return None
+
+    def _empty_frame(self, table: str, version: int | None = None) -> DataFrame:
+        """A zero-row frame with the table's effective schema, built as a
+        LocalRelation — never via ``read().filter(False)``, which would
+        re-materialize the snapshot manifest on the driver for nothing."""
+        declared = self._declared_schema(table, version)
+        if declared is None:
+            declared = self.spark.read.parquet(self.table_path(table)).schema
+        empty = self.spark.createDataFrame([], declared)
+        return empty.drop(BUCKET_COL) if BUCKET_COL in empty.columns else empty
 
     def _read_raw(
         self,

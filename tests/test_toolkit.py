@@ -315,3 +315,42 @@ def test_workspace_tools_create_switch_query_delete(spark, tmp_path):
 
     # switch back to primary is idempotent
     assert tk.switch_workspace("primary")["active_workspace"] == "primary"
+
+
+def test_workspace_unforked_create_then_match(spark, tmp_path):
+    """A FRESH workspace (fork_parent=False, the create default) has
+    zero tables: switching in must not die deriving a SparkSession
+    from a nonexistent table (ADVICE r7: bare StopIteration at
+    cypher_gate), the first CREATE must populate it, and MATCH on the
+    same gate must see the write immediately (post-write refresh)."""
+    from robosystems_spark.queryapi.tools import DataToolkit
+    from robosystems_spark.sources.subgraphs import SubgraphService
+
+    root = str(tmp_path / "g")
+    parent_id = "kg0123456789abcdef"
+    store = GraphStore(spark, root, parent_id)
+    store.copy_into(
+        "Account",
+        spark.createDataFrame([("a1", "Cash", 100.5)], ["identifier", "name", "balance"]),
+        primary_keys=["identifier"],
+    )
+    engine = CypherEngine({"Account": store.read("Account")})
+    tk = DataToolkit(
+        CypherGate(engine, graph_id=parent_id),
+        store=store,
+        staging_root=str(tmp_path / "staging"),
+        subgraphs=SubgraphService(spark, root),
+    )
+
+    tk.create_workspace("scratch")  # fork_parent defaults to False
+    ws_id = f"{parent_id}_scratch"
+    assert tk.switch_workspace(ws_id)["active_workspace"] == ws_id
+    assert tk.gate.engine.tables == {}
+
+    # write-then-read round trip on the empty workspace
+    tk.gate.query("CREATE (n:Note {identifier: 'n1', body: 'hello'})")
+    rows = tk.read_cypher("MATCH (n:Note) RETURN n.body AS body")
+    assert [r["body"] for r in rows] == ["hello"]
+
+    tk.delete_workspace(ws_id, force=True)
+    assert tk.active_workspace == "primary"
