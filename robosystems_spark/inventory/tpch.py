@@ -453,7 +453,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("total_revenue")
     )
-    # the revenue view feeds both branches of the plan; localCheckpoint
+    # the revenue view feeds both branches of the plan; materialize
     # is unnecessary at this size — Catalyst reuses the exchange
     mx = revenue.agg(F.max("total_revenue").alias("_mx"))
     supp = _t(spark, sf_dir, "supplier")

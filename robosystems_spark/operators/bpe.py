@@ -11,7 +11,7 @@ aggregation; each merge iteration is pure window/aggregate work over a
 counting is a ``lead`` window + groupBy-sum, greedy merge application
 is window arithmetic (no joins), and the only driver traffic per
 iteration is ONE row (the argmax pair), exactly like the k-means
-centroid collect.  The symbol table is localCheckpointed per iteration
+centroid collect.  The symbol table is materialize()'d per iteration
 to keep lineage flat.  At 100 TB the symbol table is
 O(total distinct-word characters) — it shuffles by ``word`` once per
 iteration and never grows.
@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+from robosystems_spark.checkpointing import materialize
 
 END_OF_WORD = "</w>"
 
@@ -137,7 +139,7 @@ def _training_seq(docs: DataFrame, text_col: str) -> DataFrame:
     n_words = wf.count()
     parallelism = spark.sparkContext.defaultParallelism
     parts = max(1, min(parallelism, n_words // 4096 + 1))
-    return _initial_symbols(wf).repartition(parts, "word").localCheckpoint()
+    return _initial_symbols(wf).repartition(parts, "word").transform(materialize)
 
 
 def _train_loop(
@@ -165,7 +167,7 @@ def _train_loop(
         merges.append((rank, left, right, cnt))
         # Lazy checkpoint: truncates lineage without its own job — the
         # next iteration's argmax (or the final aggregate) materializes it.
-        seq = _merge_step(seq, left, right).localCheckpoint(eager=False)
+        seq = _merge_step(seq, left, right).transform(materialize, eager=False)
     return seq, merges
 
 
@@ -197,7 +199,7 @@ def bpe_apply_merges(
         if i % 2 == 0:
             # Truncate the 3-windows-per-merge plan growth without
             # spending a job: lazy checkpoint.
-            seq = seq.localCheckpoint(eager=False)
+            seq = seq.transform(materialize, eager=False)
     return seq
 
 

@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from robosystems_spark.checkpointing import materialize
+
 FEATURES = ("x_len", "x_uniq", "x_shape")
 LABEL_THRESHOLD = 0.52
 
@@ -64,9 +66,7 @@ def quality_lr_train(
     """Batch gradient descent from zero weights; returns
     [w_len, w_uniq, w_shape, bias] after ``iters`` full-batch steps.
     Each step is one distributed aggregation (4 doubles back)."""
-    feats = _feature_frame(docs, text_col, id_col).localCheckpoint(
-        eager=True
-    )
+    feats = _feature_frame(docs, text_col, id_col).transform(materialize)
     w = [0.0, 0.0, 0.0, 0.0]
     for _ in range(iters):
         # Left-associated dot product — the oracle mirrors this exact

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from robosystems_spark.checkpointing import materialize
+
 from robosystems_spark.functions import vector as V
 
 
@@ -308,7 +310,7 @@ def semantic_dedup(
         .drop("_csz")
         # The assignment is an Arrow matmul per batch — checkpoint so
         # the self-join doesn't recompute it for both sides.
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     x, y = a.alias("x"), a.alias("y")
     sim = F.round(

@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from robosystems_spark.checkpointing import materialize
+
 from robosystems_spark.operators.dedup import shingles_of
 from robosystems_spark.operators.text import tokens
 
@@ -427,7 +429,7 @@ def bigram_pmi(
     # marginals, total): Catalyst re-inlines the scan + tokenize +
     # explode per consumer otherwise — one materialization beats four
     # corpus passes (the PPJoin re-inlining lesson).
-    pairs = pairs.localCheckpoint(eager=True)
+    pairs = pairs.transform(materialize)
     cb = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_cb"))
     # Unigram counts over the SAME bigram-position universe so the
     # marginals and the joint live on one sample space.
@@ -482,14 +484,14 @@ def item_cooccurrence_topk(
             F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
         )
         .dropDuplicates()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     # item-count frame is consumed twice (ci/cj) — it is item-sized,
     # so materializing beats re-running its shuffle per consumer
     cnt = (
         b.groupBy("_i")
         .agg(F.count(F.lit(1)).alias("_c"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     x, y = b.alias("x"), b.alias("y")
     cooc = (
@@ -614,21 +616,21 @@ def ppmi_word_similarity(
 
     # Checkpoint raw BEFORE the symmetrization reads it twice — the two
     # union branches would otherwise each re-run both corpus explodes.
-    raw = _dir(1).unionAll(_dir(2)).localCheckpoint(eager=True)
+    raw = _dir(1).unionAll(_dir(2)).transform(materialize)
     pairs = raw.select(
         F.col("a").alias("_w"), F.col("b").alias("_c")
     ).unionAll(raw.select(F.col("b").alias("_w"), F.col("a").alias("_c")))
     # Checkpoint BEFORE the three-consumer fan-out (marginals, total,
     # joint): Catalyst re-inlines the tokenize + four explodes per
     # consumer otherwise (the PPJoin re-inlining lesson).
-    pairs = pairs.localCheckpoint(eager=True)
+    pairs = pairs.transform(materialize)
 
     # vocab-sized marginals are consumed twice (cw1/cw2 joins):
     # materialize once instead of re-shuffling the pair stream twice
     cnt = (
         pairs.groupBy("_w")
         .agg(F.count(F.lit(1)).alias("cw"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     n = pairs.agg(F.count(F.lit(1)).cast("double").alias("_n"))
     joint = pairs.groupBy("_w", "_c").agg(F.count(F.lit(1)).alias("cwc"))
@@ -661,7 +663,7 @@ def ppmi_word_similarity(
     # Checkpoint: consumed by the degree census AND the semi-join probe
     # side — un-materialized, the joint aggregation + two count joins
     # would execute twice.
-    ppmi = ppmi.localCheckpoint(eager=True)
+    ppmi = ppmi.transform(materialize)
     # hot-context cap: semi-join against the in-degree-bounded context
     # set BEFORE norms and the matmul, so both sides see the same
     # truncated matrix
@@ -673,12 +675,12 @@ def ppmi_word_similarity(
     )
     # Checkpoint again: the truncated matrix fans out to the norm
     # aggregation and BOTH sides of the sparse-matmul self-join.
-    ppmi = ppmi.join(ctx_ok, "_c", "left_semi").localCheckpoint(eager=True)
+    ppmi = ppmi.join(ctx_ok, "_c", "left_semi").transform(materialize)
     # vocab-sized norm frame joins twice (n2a/n2b) — materialize once
     norms = (
         ppmi.groupBy("_w")
         .agg(F.sum(F.col("p_i") * F.col("p_i")).alias("n2"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     left = ppmi.select(
         F.col("_w").alias("w1"), F.col("_c").alias("_cc"), F.col("p_i").alias("pa")

@@ -18,6 +18,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from robosystems_spark.checkpointing import materialize
+
 from robosystems_spark.operators.text import tokens
 
 # pandas/numpy MUST be module-level imports here: under
@@ -194,19 +196,19 @@ def minhash_lsh_candidates(
     plain string, identical in any engine (md5 of it would also work;
     the raw join key skips a hash and cannot collide).
 
-    ``materialized`` says the caller already localCheckpoint'ed
+    ``materialized`` says the caller already materialize()'d
     ``sigs`` (the compact id+signature frame), so the self-join can
     share it without this function checkpointing the LARGER exploded
     band frame — banding from a materialized signature is a cheap
     per-side projection."""
     banded = band_projection(sigs, id_col, bands, rows_per_band)
-    # localCheckpoint (not persist): the self-join would otherwise
+    # materialize (checkpointing.py backend): the self-join would otherwise
     # recompute the full shingle->signature->band pipeline for BOTH
     # sides; unlike persist(), checkpointed partitions are reclaimed by
     # the ContextCleaner once this frame is unreferenced, so repeated
     # pipeline runs in a long-lived session don't leak executor memory
     if not materialized:
-        banded = banded.localCheckpoint(eager=True)
+        banded = banded.transform(materialize)
     left = banded.alias("l")
     right = banded.alias("r")
     out = (
@@ -235,12 +237,12 @@ def jaccard_verify(
 
     Pass ``shingles_df`` (an already-materialized ``distinct_shingles``
     frame) to skip re-tokenizing; otherwise one is built and
-    localCheckpoint'ed here (GC-reclaimable, unlike persist())."""
+    materialize()'d here (backend per checkpointing.py)."""
     sh = (
         shingles_df
         if shingles_df is not None
-        else distinct_shingles(df, text_col, id_col, shingle_k).localCheckpoint(
-            eager=True
+        else distinct_shingles(df, text_col, id_col, shingle_k).transform(
+            materialize
         )
     )
     a = sh.select(F.col(id_col).alias("doc_a"), F.col("_sh").alias("sh_a"))
@@ -273,7 +275,7 @@ def minhash_near_duplicates(
     """Full MinHash+LSH near-dup pipeline: shingle → signature → band →
     bucket-join → exact-Jaccard verify.
 
-    The distinct-shingle frame is materialized ONCE (localCheckpoint)
+    The distinct-shingle frame is materialized ONCE (materialize())
     and shared by the signature pipeline and the verify join — the
     corpus is tokenized/shingled a single time.  The BANDED frame (not
     the compact signature frame) is the second checkpoint: a same-
@@ -281,7 +283,7 @@ def minhash_near_duplicates(
     faster end-to-end than signature-checkpoint (2.05s vs 2.43s),
     because the self-join then shares one materialization instead of
     re-projecting bands per side."""
-    sh = distinct_shingles(df, text_col, id_col, shingle_k).localCheckpoint(eager=True)
+    sh = distinct_shingles(df, text_col, id_col, shingle_k).transform(materialize)
     sigs = minhash_signatures(
         df, text_col, id_col, num_hashes, shingle_k, shingles_df=sh
     )
@@ -635,10 +637,10 @@ def embedding_near_duplicates(
         return df.sparkSession.createDataFrame(
             [], "id_a long, id_b long, cosine double"
         )
-    # localCheckpoint: the self-join would otherwise run the Arrow
+    # materialize: the self-join would otherwise run the Arrow
     # signature matmul for BOTH sides; checkpointed partitions are
     # GC-reclaimed once the frame is unreferenced (unlike persist)
-    side = side.localCheckpoint(eager=True)
+    side = side.transform(materialize)
     a, b = side.alias("a"), side.alias("b")
     cands = (
         a.join(
@@ -821,7 +823,7 @@ def dedup_against_index(
     idx = spark.read.parquet(index_path)
     new_sigs = minhash_signatures(
         new_docs, text_col, id_col, num_hashes, shingle_k
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     nb = band_projection(new_sigs, id_col, bands, rows).withColumnRenamed(
         id_col, "new_doc_id"
     )
@@ -986,7 +988,7 @@ def remove_duplicated_spans(
         .cast("long")
         .alias("_span"),
     )
-    occ = occ.localCheckpoint(eager=True)  # reused for dup-count AND coverage
+    occ = occ.transform(materialize)  # reused for dup-count AND coverage
     dup = (
         occ.groupBy("_span")
         .agg(F.count_distinct(id_col).alias("_nd"))
@@ -1063,7 +1065,7 @@ def jaccard_prefix_join(
     prefix-token join, and the verify joins — all keyed, no cartesian.
 
     The tokenset frame is materialized ONCE (repartition by id +
-    localCheckpoint) before fan-out: it feeds the prefix pipeline and
+    materialize()) before fan-out: it feeds the prefix pipeline and
     BOTH verify sides, and Catalyst does not share common subplans
     across joins — un-checkpointed, the whole tokenize/hash lineage
     re-executes per consumer on the raw scan's partitioning (a single
@@ -1091,7 +1093,7 @@ def jaccard_prefix_join(
         sh = (
             distinct_shingles(df, text_col, id_col, shingle_k)
             .repartition(n_part, id_col)
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
         toksets = sh.select(
             F.col(id_col), F.col("_sh").alias("_toks")
@@ -1104,7 +1106,7 @@ def jaccard_prefix_join(
             )
             .filter(F.size("_toks") >= 1)
             .repartition(n_part, id_col)
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
     tok_rows = toksets.select(id_col, F.explode("_toks").alias("_tok"))
     freq = tok_rows.groupBy("_tok").agg(F.count(F.lit(1)).alias("_c"))
@@ -1284,13 +1286,13 @@ def weighted_jaccard_pairs(
             int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")),
             id_col,
         )
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     # doc-sized totals join back twice (doc_a/doc_b) — materialize once
     totals = (
         tw.groupBy(id_col)
         .agg(F.sum("_w").alias("_tot"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     a, b = tw.alias("a"), tw.alias("b")
     shared = (
@@ -1463,7 +1465,7 @@ def containment_prefix_join(
         )
         .filter(F.size("_toks") >= 1)
         .repartition(n_part, id_col)
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     tok_rows = toksets.select(id_col, F.explode("_toks").alias("_tok"))
     freq = tok_rows.groupBy("_tok").agg(F.count(F.lit(1)).alias("_c"))

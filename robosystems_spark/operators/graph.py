@@ -13,7 +13,8 @@ Scale notes:
   join input never exceeds |reachable pairs|, not |paths| (path count
   can be exponential; pair count is bounded by |V|^2).
 - Each level is persisted and the previous level unpersisted to keep
-  lineage short; at cluster scale substitute ``localCheckpoint()``.
+  lineage short (``materialize`` — backend selected per deployment,
+  see checkpointing.py).
 - The edge table is reused across iterations — on a real cluster,
   pre-partition it by ``src`` (``repartition("src")`` or bucketing)
   once so every BFS level joins without reshuffling the edges side.
@@ -25,6 +26,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 from pyspark.storagelevel import StorageLevel
+
+from robosystems_spark.checkpointing import materialize
 
 
 def bounded_paths(
@@ -93,7 +96,7 @@ def connected_components(
     a bounded action.  Label propagation converges in O(component
     diameter) iterations — near-dup clusters are shallow, so this is
     typically 2-4 rounds.  Lineage is truncated per round with
-    ``localCheckpoint`` (GC-reclaimable), the iterative-algorithm
+    ``materialize`` (conf-selected backend), the iterative-algorithm
     idiom ``bounded_paths`` also uses.
 
     Returns (node, component) with component = min id in the
@@ -105,7 +108,7 @@ def connected_components(
         und.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     for _ in range(max_iters):
         # candidate label per node: min of own label and neighbors'
@@ -117,7 +120,7 @@ def connected_components(
             labels.unionByName(neighbor_labels)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
         changed = (
             new_labels.alias("n")
@@ -216,7 +219,7 @@ def weighted_shortest_paths(
 
     # hand back GC-reclaimable partitions and release the cache pin —
     # callers never have to know the loop persisted anything
-    result = best.localCheckpoint(eager=True)
+    result = best.transform(materialize)
     best.unpersist()
     return result
 
@@ -245,7 +248,7 @@ def pagerank(
     src at cluster scale and the join is shuffle-free), one grouped
     sum on ``dst``, and a 1-row dangling-mass aggregate broadcast back
     via cross join — no driver-side collect of node state, and the
-    per-iteration ``localCheckpoint`` keeps lineage flat."""
+    per-iteration ``materialize`` keeps lineage flat."""
     if num_iter < 1:
         raise ValueError("num_iter must be >= 1")
     e = edges.select(
@@ -265,17 +268,17 @@ def pagerank(
     deg = (
         e.groupBy("src")
         .agg(F.count(F.lit(1)).alias("d"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
 
     ranks = nodes.withColumn(
         "rank", F.round(F.lit(1.0) / F.lit(float(n)), round_digits)
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
 
     # static across iterations: hoist the edge⋈degree join out of the
     # loop (division stays rank/d inside the loop, so the float
     # arithmetic — and the oracle hash — is unchanged)
-    ed = e.join(deg, "src").localCheckpoint(eager=True)
+    ed = e.join(deg, "src").transform(materialize)
 
     base = (1.0 - damping) / float(n)
     for _ in range(num_iter):
@@ -304,7 +307,7 @@ def pagerank(
                     round_digits,
                 ).alias("rank"),
             )
-        ).localCheckpoint(eager=True)
+        ).transform(materialize)
         ranks = new_ranks
     e.unpersist()
     nodes.unpersist()
@@ -353,7 +356,7 @@ def triangle_count(
         )
         .filter(F.col("x") != F.col("y"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     deg = (
         e.select(F.col("x").alias("node"))
@@ -373,7 +376,7 @@ def triangle_count(
     oriented = ex.select(
         F.when(kx < ky, F.col("x")).otherwise(F.col("y")).alias("a"),
         F.when(kx < ky, F.col("y")).otherwise(F.col("x")).alias("b"),
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     # oriented out-adjacency arrays (size bounded by the orientation)
     adj = oriented.groupBy("a").agg(F.collect_list("b").alias("_nbrs"))
     # every c in N+(a) ∩ N+(b) closes the oriented triangle (a, b, c);
@@ -437,7 +440,7 @@ def connected_components_star(
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .filter(F.col("src") != F.col("dst"))
         .dropDuplicates()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     prev_sig = None
     for _ in range(max_iters):
@@ -477,7 +480,7 @@ def connected_components_star(
             small.unionByName(self_edge)
             .filter(F.col("src") != F.col("dst"))
             .dropDuplicates()
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
         # decimal sums: exact under ANSI mode (a long sum of hashes
         # overflows), collision odds ~2^-64 per round — and a missed
@@ -530,7 +533,7 @@ def kcore(
         undirected(edges, src_col, dst_col)
         .filter(F.col("src") != F.col("dst"))
         .dropDuplicates()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     for _ in range(rounds):
         # survivor set feeds both semi-joins, but its lineage is the
@@ -548,7 +551,7 @@ def kcore(
             .join(
                 keep.withColumnRenamed("src", "dst"), "dst", "left_semi"
             )
-            .localCheckpoint(eager=False)
+            .transform(materialize, eager=False)
         )
     return (
         e.groupBy("src")
@@ -613,7 +616,7 @@ def label_propagation(
         undirected(edges, src_col, dst_col)
         .filter(F.col("src") != F.col("dst"))
         .dropDuplicates()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     labels = e.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
@@ -637,7 +640,7 @@ def label_propagation(
                 ).alias("_m")
             )
             .select(F.col("src").alias("node"), F.col("_m._l").alias("lbl"))
-            .localCheckpoint(eager=False)
+            .transform(materialize, eager=False)
         )
     return (
         labels.groupBy(F.col("lbl").alias("community"))
@@ -712,7 +715,7 @@ def adamic_adar_bipartite(
     # sides: Catalyst re-inlines the lineage (the caller's edge
     # construction plus the degree-weight join) once per consumer
     # otherwise — the PPJoin re-inlining lesson.
-    annotated = edges.join(w, right_col).localCheckpoint(eager=True)
+    annotated = edges.join(w, right_col).transform(materialize)
     a = annotated.select(
         F.col(right_col).alias("_z"), F.col(left_col).alias("u1"), "_w"
     )
@@ -781,16 +784,16 @@ def personalized_pagerank(
     deg = (
         e.groupBy("src")
         .agg(F.count(F.lit(1)).alias("d"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
 
     ranks = nodes.select(
         "node", F.round(F.col("s"), round_digits).alias("rank")
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
 
     # static across iterations (same hoist as pagerank; float math
     # inside the loop unchanged)
-    ed = e.join(deg, "src").localCheckpoint(eager=True)
+    ed = e.join(deg, "src").transform(materialize)
 
     for _ in range(num_iter):
         contrib = (
@@ -818,7 +821,7 @@ def personalized_pagerank(
                     round_digits,
                 ).alias("rank"),
             )
-        ).localCheckpoint(eager=True)
+        ).transform(materialize)
     e.unpersist()
     nodes.unpersist()
     return ranks
@@ -850,7 +853,7 @@ def clustering_coefficient(
         # consumer, so without this the caller's edge construction (a
         # lineitem self-join in the registered co-occurrence query)
         # executes twice — same fan-out class as the PPJoin 146s->2s fix.
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     deg = (
         e.select(F.col("x").alias("node"))
@@ -896,7 +899,7 @@ def hits(
     Scale shape: state is one (node, hub, authority) row per node; an
     iteration is two edge⋈state joins + two grouped sums + two 1-row
     L1 totals broadcast back — no driver-side node state, per-round
-    ``localCheckpoint`` keeps lineage flat.  Pre-partition the edge
+    ``materialize`` keeps lineage flat.  Pre-partition the edge
     table by src/dst at cluster scale and the joins are shuffle-free.
     """
     if num_iter < 1:
@@ -905,18 +908,18 @@ def hits(
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     n = nodes.count()
     h = nodes.withColumn(
         "hub", F.round(F.lit(1.0) / F.lit(float(n)), round_digits)
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     a = None
     for _ in range(num_iter):
         a_raw = (
@@ -935,7 +938,7 @@ def hits(
                     round_digits,
                 ).alias("authority"),
             )
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
         h_raw = (
             e.join(a, e.dst == a.node)
@@ -953,7 +956,7 @@ def hits(
                     round_digits,
                 ).alias("hub"),
             )
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
     return h.join(a, "node").select("node", "hub", "authority")
 
@@ -988,12 +991,12 @@ def link_prediction_jaccard(
         .filter(F.col("src") != F.col("dst"))
         .dropDuplicates()
         .select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
-        .localCheckpoint(eager=True)  # feeds degrees AND both wedge sides
+        .transform(materialize)  # feeds degrees AND both wedge sides
     )
     deg = (
         adj.groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
-        .localCheckpoint(eager=True)  # joins back on BOTH pair sides
+        .transform(materialize)  # joins back on BOTH pair sides
     )
     z_ok = (
         deg.filter(F.col("degree") <= max_neighbor_degree)

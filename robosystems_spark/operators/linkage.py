@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from robosystems_spark.checkpointing import materialize
+
 
 def _sub_key(col: str, n_sub_col: str):
     """Engine-portable hash bucket: md5 hex prefix -> int, mod n_sub."""
@@ -140,7 +142,7 @@ def entity_clusters(
     names = (
         df.groupBy(F.col(name_col).alias("name"))
         .agg(F.count(F.lit(1)).alias("n_records"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     return (
         comp.join(names, comp.node == names.name)

@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from robosystems_spark.checkpointing import materialize
+
 from robosystems_spark.operators.text import tokens
 
 
@@ -57,7 +59,7 @@ def bm25_topk(
     doclen = (
         toks.groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("dl"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
 
     # Corpus constants as a 1-row aggregate: broadcast-safe at any SF.
@@ -72,7 +74,7 @@ def bm25_topk(
     # document frequency — one corpus pass, not two.
     q = toks.filter(
         F.col("term").isin([t.lower() for t in query_terms])
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     tf = q.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = q.groupBy("term").agg(F.countDistinct(id_col).alias("dfq"))
 
@@ -392,7 +394,7 @@ def doc_top_terms(
         .filter(F.col("term") != "")
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=True)  # feeds df agg, N agg AND the join
+        .transform(materialize)  # feeds df agg, N agg AND the join
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = tf.agg(

@@ -23,6 +23,8 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from robosystems_spark.checkpointing import materialize
+
 # 60-bit portable hash (15 md5 hex chars), as in operators/dedup.py
 _HASH_BITS = 60
 
@@ -594,7 +596,7 @@ def portable_hll_set_algebra(
     per_set = (
         tagged.groupBy("_set", "_b")
         .agg(F.max("_r").alias("_m"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     union = (
         per_set.groupBy("_b")

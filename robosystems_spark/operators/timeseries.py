@@ -25,6 +25,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from robosystems_spark.checkpointing import materialize
+
 
 def hourly_buckets(
     events: DataFrame, series_col: str, ts_col: str, **aggs
@@ -63,7 +65,7 @@ def gap_fill_interpolate(
         ts_col,
         n_events=F.count(F.lit(1)).alias("n_events"),
         observed_avg=F.avg(val_col).alias("observed_avg"),
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     spans = agg.groupBy("series").agg(
         F.min("bucket_ts").alias("lo"), F.max("bucket_ts").alias("hi")
     )
@@ -368,7 +370,7 @@ def cusum_drift(
         series_col,
         ts_col,
         bucket_avg=F.avg(val_col).alias("bucket_avg"),
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     stats = agg.groupBy("series").agg(
         F.avg("bucket_avg").alias("_m"),
         F.avg(F.col("bucket_avg") * F.col("bucket_avg")).alias("_m2"),
@@ -723,12 +725,12 @@ def retention_cohorts(
             F.date_trunc("week", F.col(ts_col)).cast("date").alias("week"),
         )
         .distinct()
-        .localCheckpoint(eager=True)  # feeds cohort min AND activity join
+        .transform(materialize)  # feeds cohort min AND activity join
     )
     first = (
         weeks.groupBy("user_id")
         .agg(F.min("week").alias("cohort_week"))
-        .localCheckpoint(eager=True)  # feeds cohort sizes AND the join
+        .transform(materialize)  # feeds cohort sizes AND the join
     )
     sizes = first.groupBy("cohort_week").agg(
         F.count(F.lit(1)).alias("cohort_size")

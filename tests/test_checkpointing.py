@@ -1,0 +1,111 @@
+"""Backend-pluggable materialization (checkpointing.materialize).
+
+VERDICT r7 #1: ``localCheckpoint`` stores executor blocks with no
+lineage — fault-fragile on real clusters.  Every iterative/fan-out
+operator now routes through ``materialize()``, whose backend is chosen
+by the session conf ``spark.robosystems.materialize``:
+
+- localCheckpoint (default, sandbox/bench)
+- diskPersist      (persist DISK_ONLY + count; recomputable lineage)
+- checkpoint       (reliable checkpoint dir; production)
+
+The contract: identical RESULTS under every backend; only the storage
+mechanism differs.  Verified here on a real iterative operator
+(pagerank — 5 rounds of join+agg with per-round materialize) and a
+fan-out operator (minhash_lsh_pairs).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from robosystems_spark.checkpointing import CONF_KEY, materialize
+
+BACKENDS = ["localCheckpoint", "diskPersist", "checkpoint"]
+
+
+@pytest.fixture
+def backend_conf(spark):
+    """Restore the materialize backend conf after each test."""
+    try:
+        prev = spark.conf.get(CONF_KEY)
+    except Exception:
+        prev = None
+    yield spark
+    if prev is None:
+        spark.conf.unset(CONF_KEY)
+    else:
+        spark.conf.set(CONF_KEY, prev)
+
+
+def _edges(spark):
+    rows = [
+        ("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"),
+        ("d", "e"), ("e", "a"), ("b", "d"),
+    ]
+    return spark.createDataFrame(rows, ["src", "dst"])
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_materialize_roundtrip_each_backend(backend, backend_conf):
+    spark = backend_conf
+    spark.conf.set(CONF_KEY, backend)
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    out = materialize(df)
+    assert out.count() == 100
+    assert out.agg(F.sum("v")).first()[0] == 9900
+    # lazy flavor materializes on first action
+    lazy = materialize(df.filter(F.col("id") < 10), eager=False)
+    assert lazy.count() == 10
+
+
+def test_materialize_unknown_backend_raises(backend_conf):
+    spark = backend_conf
+    spark.conf.set(CONF_KEY, "bogus")
+    with pytest.raises(ValueError, match="bogus"):
+        materialize(spark.range(1))
+
+
+def test_pagerank_identical_across_backends(backend_conf):
+    """An iterative operator (per-round materialize inside) returns
+    bit-identical ranks under all three backends."""
+    from robosystems_spark.operators.graph import pagerank
+
+    spark = backend_conf
+    results = {}
+    for backend in BACKENDS:
+        spark.conf.set(CONF_KEY, backend)
+        got = pagerank(_edges(spark), num_iter=4).orderBy("node").collect()
+        results[backend] = [(r["node"], r["rank"]) for r in got]
+    assert results["diskPersist"] == results["localCheckpoint"]
+    assert results["checkpoint"] == results["localCheckpoint"]
+    total = sum(r for _, r in results["localCheckpoint"])
+    assert abs(total - 1.0) < 1e-6
+
+
+def test_fanout_operator_identical_across_backends(backend_conf):
+    """A fan-out-materialized operator (minhash LSH) is backend-
+    agnostic too."""
+    from robosystems_spark.operators.dedup import minhash_near_duplicates
+
+    spark = backend_conf
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumped over the lazy dog"),
+            (3, "completely unrelated text about spark and parquet"),
+        ],
+        ["doc_id", "body"],
+    )
+    outs = {}
+    for backend in BACKENDS:
+        spark.conf.set(CONF_KEY, backend)
+        got = minhash_near_duplicates(
+            docs, text_col="body", id_col="doc_id", threshold=0.5
+        )
+        outs[backend] = sorted(
+            (r[0], r[1]) for r in got.select("doc_a", "doc_b").collect()
+        )
+    assert outs["diskPersist"] == outs["localCheckpoint"]
+    assert outs["checkpoint"] == outs["localCheckpoint"]
