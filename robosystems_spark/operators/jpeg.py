@@ -1,25 +1,29 @@
-"""Baseline JPEG (ITU T.81 sequential DCT) codec in pure numpy —
-no PIL/libjpeg.  Closes the last compressed-image seam for the
-multimodal pipeline: ``decode_jpeg`` handles any baseline, 8-bit
-JFIF stream with sampling factors 1 or 2 per axis — including 4:2:0,
-the layout virtually every camera/web JPEG uses — with arbitrary
-DQT/DHT tables read FROM THE FILE (as the standard requires — no
-table constants are assumed); ``encode_jpeg`` produces structurally
-standard 4:4:4 or 4:2:0 streams for fixture synthesis, embedding its
+"""JPEG (ITU T.81) codec in pure numpy — no PIL/libjpeg.
+``decode_jpeg`` handles any 8-bit Huffman JFIF stream, BASELINE
+(SOF0) or PROGRESSIVE (SOF2), with sampling factors 1 or 2 per axis
+— 4:4:4/4:2:2/4:2:0, the layouts virtually every camera/web JPEG
+uses — with arbitrary DQT/DHT tables read FROM THE FILE (as the
+standard requires — no table constants are assumed).  Progressive
+covers full spectral selection + successive approximation: DC
+first/refinement scans, AC first scans with cross-block EOBRUN
+batching, and AC refinement scans with buffered correction bits
+(T.81 G.2).  ``encode_jpeg`` / ``encode_jpeg_progressive`` produce
+structurally standard streams for fixture synthesis, embedding their
 own valid canonical Huffman tables (flat-length, suboptimal but
 legal — decoders must read DHT, so optimality is irrelevant to
 correctness).
 
 Restart intervals (DRI + RSTn markers, common in camera files)
 are honored on both sides: the decoder re-syncs at the byte boundary
-and resets DC predictors; the encoder emits them via
-``restart_interval``.  Honest seams: progressive (SOF2), arithmetic
-coding, 12-bit depth, and sampling factors > 2 raise
-``NotImplementedError`` — each is a decode-path variant, not a new
-idea; the implemented paths cover the round-trip semantics (DCT,
-quantization, zigzag, DC prediction, run-length + Huffman entropy
-coding, byte stuffing, chroma down/upsampling, restart re-sync)
-end to end.
+and resets DC predictors (and EOBRUN, in progressive scans); the
+baseline encoder emits them via ``restart_interval``.  Honest seams:
+arithmetic coding, 12-bit depth, non-interleaved multi-scan
+baseline, and sampling factors > 2 raise ``NotImplementedError`` —
+each is a decode-path variant, not a new idea; the implemented paths
+cover the round-trip semantics (DCT, quantization, zigzag, DC
+prediction, run-length + Huffman entropy coding, byte stuffing,
+chroma down/upsampling, restart re-sync, multi-scan coefficient
+accumulation) end to end.
 
 JPEG is LOSSY, so unlike BMP/PPM/PNG there is no closed-form pixel
 oracle — correctness is gated by round-trip error bounds instead:
@@ -310,11 +314,18 @@ def encode_jpeg(
     prev = [0] * ncomp
     mcu_count = 0
     rst = 0
+    total_mcus = (ph // mcu) * (pw // mcu)
 
     def maybe_restart():
         nonlocal mcu_count, rst, writer, prev
         mcu_count += 1
-        if restart_interval and mcu_count % restart_interval == 0:
+        # T.81 F.2.1.3: RSTn separates restart intervals — never emitted
+        # after the final MCU (strict decoders reject a trailing marker).
+        if (
+            restart_interval
+            and mcu_count < total_mcus
+            and mcu_count % restart_interval == 0
+        ):
             out.extend(writer.flush())
             writer = _BitWriter()
             out.extend(bytes([0xFF, 0xD0 + rst]))
@@ -352,8 +363,32 @@ def encode_jpeg(
 # ---------------------------------------------------------------------------
 # Decoder
 # ---------------------------------------------------------------------------
+def _parse_dqt(payload: bytes, qtabs: dict) -> None:
+    j = 0
+    while j < len(payload):
+        pq, tq = payload[j] >> 4, payload[j] & 0x0F
+        if pq != 0:
+            raise NotImplementedError("16-bit quantization tables")
+        q = np.zeros(64, dtype=np.int32)
+        q[_ZIGZAG] = np.frombuffer(payload[j + 1 : j + 65], np.uint8)
+        qtabs[tq] = q.reshape(8, 8)
+        j += 65
+
+
+def _parse_dht(payload: bytes, htabs: dict) -> None:
+    j = 0
+    while j < len(payload):
+        tc, th = payload[j] >> 4, payload[j] & 0x0F
+        bits = list(payload[j + 1 : j + 17])
+        n = sum(bits)
+        vals = list(payload[j + 17 : j + 17 + n])
+        htabs[(tc, th)] = _decode_table(bits, vals)
+        j += 17 + n
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode a baseline, 8-bit, non-subsampled JPEG into (h, w, 3)
+    """Decode a baseline 8-bit JPEG — 4:4:4, 4:2:2, or 4:2:0 chroma
+    subsampling, with or without restart intervals — into (h, w, 3)
     RGB (or (h, w, 1) for grayscale streams).  All quantization and
     Huffman tables are read from the file's DQT/DHT segments."""
     if data[:2] != b"\xff\xd8":
@@ -375,24 +410,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         length = int.from_bytes(data[i + 2 : i + 4], "big")
         payload = data[i + 4 : i + 2 + length]
         if marker == 0xDB:  # DQT (possibly multiple tables per segment)
-            j = 0
-            while j < len(payload):
-                pq, tq = payload[j] >> 4, payload[j] & 0x0F
-                if pq != 0:
-                    raise NotImplementedError("16-bit quantization tables")
-                q = np.zeros(64, dtype=np.int32)
-                q[_ZIGZAG] = np.frombuffer(payload[j + 1 : j + 65], np.uint8)
-                qtabs[tq] = q.reshape(8, 8)
-                j += 65
+            _parse_dqt(payload, qtabs)
         elif marker == 0xC4:  # DHT (possibly multiple tables)
-            j = 0
-            while j < len(payload):
-                tc, th = payload[j] >> 4, payload[j] & 0x0F
-                bits = list(payload[j + 1 : j + 17])
-                n = sum(bits)
-                vals = list(payload[j + 17 : j + 17 + n])
-                htabs[(tc, th)] = _decode_table(bits, vals)
-                j += 17 + n
+            _parse_dht(payload, htabs)
+        elif marker == 0xC2:  # SOF2: progressive — dedicated multi-scan path
+            return _decode_progressive(data)
         elif marker == 0xC0:  # SOF0 baseline
             precision = payload[0]
             if precision != 8:
@@ -409,9 +431,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     )
                 comps.append((cid, tq, hi, vi))
             sof = (hh, ww, nc)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
-                "non-baseline JPEG (progressive/arithmetic/lossless)"
+                "non-baseline JPEG (arithmetic/lossless/hierarchical)"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(payload[:2], "big")
@@ -420,6 +442,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for c in range(ns):
                 cid, tabs = payload[1 + 2 * c], payload[2 + 2 * c]
                 scan_comps.append((cid, tabs >> 4, tabs & 0x0F))
+            if len(scan_comps) != len(comps):
+                # Legal baseline streams may split components across
+                # several SOS segments; decoding only the first would
+                # silently zero the remaining planes.  Fail loudly.
+                raise NotImplementedError(
+                    "non-interleaved baseline JPEG (Ns < Nf multi-scan)"
+                )
             scan_start = i + 2 + length
             break
         i += 2 + length
@@ -505,3 +534,595 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         return y[:, :, None]
     ycc = np.stack(full, axis=2)
     return _ycbcr_to_rgb(ycc)
+
+
+# ---------------------------------------------------------------------------
+# Progressive JPEG (ITU T.81 SOF2): spectral selection + successive
+# approximation.  The quantized coefficients are IDENTICAL to baseline
+# — progressive only reorganizes the entropy coding into multiple
+# scans — so decode(progressive) must equal decode(baseline) for the
+# same source and tables, pixel for pixel.  That exact equality is the
+# test oracle (tests/test_jpeg_progressive.py).
+# ---------------------------------------------------------------------------
+
+# AC table for progressive scans: needs EOBn symbols (r<<4)|0 for
+# r=1..14 (end-of-band runs up to 32767 blocks) on top of the baseline
+# (run,size) symbols.  176 symbols, all at length 8 (Kraft 176/256,
+# max code 175 — the all-ones code stays reserved, as T.81 requires).
+_AC_VALS_PROG = [
+    (r << 4) | s for r in range(16) for s in range(11) if not (r != 0 and s == 0)
+] + [(r << 4) for r in range(1, 16)]
+_AC_BITS_PROG = [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0]
+
+
+def _pt_ac(v: int, al: int) -> int:
+    """AC point transform (T.81 G.1.2.2): sign-magnitude shift,
+    NOT arithmetic shift — sign(v) * (|v| >> Al)."""
+    return (abs(v) >> al) * (1 if v >= 0 else -1)
+
+
+def _default_scan_script(ncomp: int) -> list:
+    """The classic libjpeg-style progressive script: DC first at Al=1,
+    luma AC split into two spectral bands at Al=2 then refined, chroma
+    AC at Al=1 then refined, DC refinement last-ish.  Entries are
+    (component_indexes, Ss, Se, Ah, Al)."""
+    if ncomp == 1:
+        return [
+            ([0], 0, 0, 0, 1),
+            ([0], 1, 5, 0, 2),
+            ([0], 6, 63, 0, 2),
+            ([0], 1, 63, 2, 1),
+            ([0], 0, 0, 1, 0),
+            ([0], 1, 63, 1, 0),
+        ]
+    return [
+        ([0, 1, 2], 0, 0, 0, 1),
+        ([0], 1, 5, 0, 2),
+        ([2], 1, 63, 0, 1),
+        ([1], 1, 63, 0, 1),
+        ([0], 6, 63, 0, 2),
+        ([0], 1, 63, 2, 1),
+        ([0, 1, 2], 0, 0, 1, 0),
+        ([2], 1, 63, 1, 0),
+        ([0], 1, 63, 1, 0),
+        ([1], 1, 63, 1, 0),
+    ]
+
+
+def _quantized_blocks(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """(bh, bw, 64) zigzag-ordered quantized coefficients for a padded
+    component plane — the shared substance of baseline and progressive
+    encoding."""
+    bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+    out = np.zeros((bh, bw, 64), dtype=np.int64)
+    for by in range(bh):
+        for bx in range(bw):
+            block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            coef = np.round(_fdct(block) / q).astype(np.int64)
+            out[by, bx] = coef.flatten()[_ZIGZAG]
+    return out
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray,
+    q_luma=None,
+    q_chroma=None,
+    subsample: bool = False,
+    scans: list | None = None,
+) -> bytes:
+    """Encode an RGB/grayscale uint8 array as a progressive (SOF2)
+    JFIF JPEG with spectral selection + successive approximation.
+
+    Same color transform, padding, and quantization as
+    ``encode_jpeg`` — only the scan organization differs, so a decoder
+    must reproduce the baseline encoding's pixels exactly.  ``scans``
+    overrides the default script with (comp_idxs, Ss, Se, Ah, Al)
+    tuples (successive approximation must step Al down by exactly 1
+    with Ah = previous Al, per G.1.1.1.1)."""
+    a = np.asarray(arr, dtype=np.uint8)
+    gray = a.ndim == 2
+    h, w = a.shape[:2]
+    qy = np.asarray(q_luma if q_luma is not None else _Q_LUMA, dtype=np.int32)
+    qc = np.asarray(q_chroma if q_chroma is not None else _Q_CHROMA, dtype=np.int32)
+
+    mcu = 16 if (subsample and not gray) else 8
+    ph, pw = -(-h // mcu) * mcu, -(-w // mcu) * mcu
+    if gray:
+        planes = [np.pad(a.astype(np.float64), ((0, ph - h), (0, pw - w)), mode="edge")]
+    else:
+        ycc = _rgb_to_ycbcr(a)
+        planes = [
+            np.pad(ycc[:, :, i], ((0, ph - h), (0, pw - w)), mode="edge")
+            for i in range(3)
+        ]
+        if subsample:
+            for i in (1, 2):
+                p = planes[i]
+                planes[i] = (
+                    p[0::2, 0::2] + p[1::2, 0::2] + p[0::2, 1::2] + p[1::2, 1::2]
+                ) / 4.0
+
+    ncomp = 1 if gray else 3
+    samp = [(2, 2) if (subsample and ci == 0) else (1, 1) for ci in range(ncomp)] \
+        if (subsample and not gray) else [(1, 1)] * ncomp
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    # quantized coefficient arrays at the PADDED grid; non-interleaved
+    # scans only walk the effective (ceil of true-size) sub-grid
+    coefs = [
+        _quantized_blocks(planes[ci], qy if ci == 0 else qc)
+        for ci in range(ncomp)
+    ]
+    eff = []
+    for ci in range(ncomp):
+        hi, vi = samp[ci]
+        comp_h = -(-h * vi // vmax)  # ceil(h*vi/vmax): true comp samples
+        comp_w = -(-w * hi // hmax)
+        eff.append((-(-comp_h // 8), -(-comp_w // 8)))
+    mcus_x = pw // mcu
+    mcus_y = ph // mcu
+
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _canonical_codes(_AC_BITS_PROG, _AC_VALS_PROG)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00]) + bytes(int(v) for v in qy.flatten()[_ZIGZAG]))
+    if not gray:
+        out += seg(0xDB, bytes([0x01]) + bytes(int(v) for v in qc.flatten()[_ZIGZAG]))
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
+    for ci in range(ncomp):
+        hi, vi = samp[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, 0 if ci == 0 else 1])
+    out += seg(0xC2, sof)  # SOF2: progressive DCT, Huffman
+    out += seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+    out += seg(0xC4, bytes([0x10]) + bytes(_AC_BITS_PROG) + bytes(_AC_VALS_PROG))
+
+    for comp_idxs, ss, se, ah, al in (scans or _default_scan_script(ncomp)):
+        sos = bytes([len(comp_idxs)])
+        for ci in comp_idxs:
+            sos += bytes([ci + 1, 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xDA, sos)
+        writer = _BitWriter()
+        if ss == 0:
+            _encode_dc_scan(
+                writer, coefs, comp_idxs, samp, eff, mcus_x, mcus_y,
+                ah, al, dc_codes,
+            )
+        elif ah == 0:
+            _encode_ac_first_scan(
+                writer, coefs[comp_idxs[0]], eff[comp_idxs[0]],
+                ss, se, al, ac_codes,
+            )
+        else:
+            _encode_ac_refine_scan(
+                writer, coefs[comp_idxs[0]], eff[comp_idxs[0]],
+                ss, se, al, ac_codes,
+            )
+        out += writer.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _encode_dc_scan(
+    writer, coefs, comp_idxs, samp, eff, mcus_x, mcus_y, ah, al, dc_codes
+):
+    """DC scan: interleaved MCU order when Ns>1 (the padded grid),
+    effective-grid raster order when Ns==1 (T.81 A.2)."""
+    if len(comp_idxs) > 1:
+        prev = {ci: 0 for ci in comp_idxs}
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci in comp_idxs:
+                    hi, vi = samp[ci]
+                    for byi in range(vi):
+                        for bxi in range(hi):
+                            dc = int(coefs[ci][my * vi + byi, mx * hi + bxi, 0])
+                            if ah == 0:
+                                diff = (dc >> al) - prev[ci]
+                                prev[ci] = dc >> al
+                                size = _category(diff)
+                                c, ln = dc_codes[size]
+                                writer.write(c, ln)
+                                if size:
+                                    writer.write(_amplitude_bits(diff, size), size)
+                            else:
+                                writer.write((dc >> al) & 1, 1)
+    else:
+        ci = comp_idxs[0]
+        bh, bw = eff[ci]
+        prev_dc = 0
+        for by in range(bh):
+            for bx in range(bw):
+                dc = int(coefs[ci][by, bx, 0])
+                if ah == 0:
+                    diff = (dc >> al) - prev_dc
+                    prev_dc = dc >> al
+                    size = _category(diff)
+                    c, ln = dc_codes[size]
+                    writer.write(c, ln)
+                    if size:
+                        writer.write(_amplitude_bits(diff, size), size)
+                else:
+                    writer.write((dc >> al) & 1, 1)
+
+
+def _encode_ac_first_scan(writer, coef, eff_dims, ss, se, al, ac_codes):
+    """AC first pass (Ah=0): band run-length coding with cross-block
+    EOBRUN batching (G.1.2.2) — EOBn symbols cover up to 32767
+    all-zero band remainders in one code."""
+    bh, bw = eff_dims
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if not eobrun:
+            return
+        # eobrun <= 32767 (flushed at the cap), so one EOBn always
+        # suffices: r = floor(log2(eobrun)) <= 14, run in [2^r, 2^(r+1)-1]
+        r = eobrun.bit_length() - 1
+        c, ln = ac_codes[r << 4]
+        writer.write(c, ln)
+        if r:
+            writer.write(eobrun - (1 << r), r)
+        eobrun = 0
+
+    for by in range(bh):
+        for bx in range(bw):
+            band = [_pt_ac(int(coef[by, bx, k]), al) for k in range(ss, se + 1)]
+            last_nz = -1
+            for idx, v in enumerate(band):
+                if v != 0:
+                    last_nz = idx
+            if last_nz < 0:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+                continue
+            flush_eob()
+            run = 0
+            for idx in range(last_nz + 1):
+                v = band[idx]
+                if v == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    c, ln = ac_codes[0xF0]
+                    writer.write(c, ln)
+                    run -= 16
+                size = _category(v)
+                c, ln = ac_codes[(run << 4) | size]
+                writer.write(c, ln)
+                writer.write(_amplitude_bits(v, size), size)
+                run = 0
+            if last_nz < se - ss:
+                eobrun = 1
+    flush_eob()
+
+
+def _encode_ac_refine_scan(writer, coef, eff_dims, ss, se, al, ac_codes):
+    """AC refinement pass (Ah=Al+1): newly-significant coefficients as
+    (run|1)+sign over ZERO-HISTORY positions, correction bits for
+    already-nonzero ones buffered and flushed in decoder consumption
+    order (G.1.2.3 / the jcphuff discipline)."""
+    bh, bw = eff_dims
+    eobrun = 0
+    pending: list[int] = []  # correction bits owed after the next EOBn
+
+    def flush_eob():
+        nonlocal eobrun, pending
+        if eobrun == 0 and not pending:
+            return
+        if eobrun == 0:
+            # pending bits with no EOB run can't happen: bits are only
+            # deferred when a block ends in EOB (eobrun incremented)
+            raise AssertionError("buffered bits without an EOB run")
+        r = min(14, eobrun.bit_length() - 1)
+        c, ln = ac_codes[r << 4]
+        writer.write(c, ln)
+        if r:
+            writer.write(eobrun - (1 << r), r)
+        for b in pending:
+            writer.write(b, 1)
+        eobrun = 0
+        pending = []
+
+    for by in range(bh):
+        for bx in range(bw):
+            band = [int(coef[by, bx, k]) for k in range(ss, se + 1)]
+            absval = [abs(v) >> al for v in band]
+            eob_idx = -1
+            for idx, t in enumerate(absval):
+                if t == 1:
+                    eob_idx = idx
+            run = 0
+            br: list[int] = []  # bits buffered within this block
+            for idx, t in enumerate(absval):
+                if t == 0:
+                    run += 1
+                    continue
+                while run > 15 and idx <= eob_idx:
+                    flush_eob()
+                    c, ln = ac_codes[0xF0]
+                    writer.write(c, ln)
+                    for b in br:
+                        writer.write(b, 1)
+                    br = []
+                    run -= 16
+                if t > 1:
+                    br.append(t & 1)
+                    continue
+                flush_eob()
+                c, ln = ac_codes[(run << 4) | 1]
+                writer.write(c, ln)
+                writer.write(1 if band[idx] > 0 else 0, 1)
+                for b in br:
+                    writer.write(b, 1)
+                br = []
+                run = 0
+            if run > 0 or br:
+                eobrun += 1
+                pending.extend(br)
+                if eobrun == 0x7FFF:
+                    flush_eob()
+    flush_eob()
+
+
+def _decode_progressive(data: bytes) -> np.ndarray:
+    """Decode a progressive (SOF2, Huffman) JPEG: any number of scans
+    with spectral selection (Ss..Se) and successive approximation
+    (Ah/Al) — DC first/refine, AC first with EOBRUN, AC refinement
+    with correction bits (T.81 G.2; the jdphuff-documented decode
+    order).  Coefficients accumulate across scans; dequantization,
+    IDCT, chroma upsampling, and color conversion run once at the end,
+    identically to the baseline path — so a progressive re-encode of a
+    baseline stream decodes to the SAME pixels."""
+    i = 2
+    restart_interval = 0
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], dict] = {}
+    sof = None
+    comps: list[tuple[int, int, int, int]] = []
+    coefs: dict[int, np.ndarray] = {}
+    eff: dict[int, tuple[int, int]] = {}
+    geom = None  # (mcus_x, mcus_y, hmax, vmax)
+    while i + 2 <= len(data):
+        if data[i] != 0xFF:
+            raise ValueError("bad marker alignment")
+        marker = data[i + 1]
+        if marker == 0xD9:  # EOI
+            break
+        length = int.from_bytes(data[i + 2 : i + 4], "big")
+        payload = data[i + 4 : i + 2 + length]
+        if marker == 0xDB:
+            _parse_dqt(payload, qtabs)
+        elif marker == 0xC4:
+            _parse_dht(payload, htabs)
+        elif marker == 0xC2:  # SOF2
+            precision = payload[0]
+            if precision != 8:
+                raise NotImplementedError(f"{precision}-bit JPEG")
+            hh = int.from_bytes(payload[1:3], "big")
+            ww = int.from_bytes(payload[3:5], "big")
+            nc = payload[5]
+            for c in range(nc):
+                cid, samp, tq = payload[6 + 3 * c : 9 + 3 * c]
+                hi, vi = samp >> 4, samp & 0x0F
+                if hi not in (1, 2) or vi not in (1, 2):
+                    raise NotImplementedError(
+                        f"sampling factor {hi}x{vi} (1 or 2 supported)"
+                    )
+                comps.append((cid, tq, hi, vi))
+            sof = (hh, ww, nc)
+            hmax = max(hi for _, _, hi, _ in comps)
+            vmax = max(vi for _, _, _, vi in comps)
+            mcus_x = -(-ww // (8 * hmax))
+            mcus_y = -(-hh // (8 * vmax))
+            geom = (mcus_x, mcus_y, hmax, vmax)
+            for cid, _tq, hi, vi in comps:
+                coefs[cid] = np.zeros(
+                    (mcus_y * vi, mcus_x * hi, 64), dtype=np.int32
+                )
+                comp_h = -(-hh * vi // vmax)
+                comp_w = -(-ww * hi // hmax)
+                eff[cid] = (-(-comp_h // 8), -(-comp_w // 8))
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("mixed/unsupported SOF in progressive stream")
+        elif marker == 0xDD:
+            restart_interval = int.from_bytes(payload[:2], "big")
+        elif marker == 0xDA:
+            if sof is None or geom is None:
+                raise ValueError("SOS before SOF")
+            ns = payload[0]
+            scan_comps = []
+            for c in range(ns):
+                cid, tabs = payload[1 + 2 * c], payload[2 + 2 * c]
+                scan_comps.append((cid, tabs >> 4, tabs & 0x0F))
+            ss = payload[1 + 2 * ns]
+            se = payload[2 + 2 * ns]
+            a = payload[3 + 2 * ns]
+            ah, al = a >> 4, a & 0x0F
+            meta = {cid: (tq, hi, vi) for cid, tq, hi, vi in comps}
+            i = _decode_prog_scan(
+                data, i + 2 + length, scan_comps, ss, se, ah, al,
+                meta, eff, geom, coefs, htabs, restart_interval,
+            )
+            continue
+        i += 2 + length
+    if sof is None:
+        raise ValueError("missing SOF")
+    h, w, nc = sof
+    mcus_x, mcus_y, hmax, vmax = geom
+    # reconstruct: dequant + IDCT per block, then upsample + color
+    full = []
+    for cid, tq, hi, vi in comps:
+        q = qtabs[tq].astype(np.float64)
+        arr = coefs[cid]
+        bh, bw = arr.shape[:2]
+        plane = np.zeros((bh * 8, bw * 8), np.float64)
+        for by in range(bh):
+            for bx in range(bw):
+                coef = np.zeros(64, dtype=np.float64)
+                coef[_ZIGZAG] = arr[by, bx]
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _idct(coef.reshape(8, 8) * q) + 128.0
+                )
+        if hi < hmax:
+            plane = np.repeat(plane, hmax // hi, axis=1)
+        if vi < vmax:
+            plane = np.repeat(plane, vmax // vi, axis=0)
+        full.append(plane[:h, :w])
+    if nc == 1:
+        y = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return y[:, :, None]
+    return _ycbcr_to_rgb(np.stack(full, axis=2))
+
+
+def _decode_prog_scan(
+    data, pos, scan_comps, ss, se, ah, al, meta, eff, geom, coefs, htabs,
+    restart_interval,
+):
+    """Decode one progressive scan's entropy data; returns the index
+    of the next marker after the scan."""
+    mcus_x, mcus_y, hmax, vmax = geom
+    reader = _BitReader(data, pos)
+    eobrun = 0
+    prev = {cid: 0 for cid, _, _ in scan_comps}
+    is_dc = ss == 0
+    if is_dc and se != 0:
+        raise ValueError("DC scan must have Se=0")
+    if not is_dc and len(scan_comps) != 1:
+        raise ValueError("progressive AC scans carry exactly one component")
+    if ah != 0 and ah != al + 1:
+        raise ValueError("successive approximation must step Al by 1")
+
+    def resync():
+        nonlocal eobrun
+        reader.n = 0
+        p = reader.pos
+        while data[p] != 0xFF or not (0xD0 <= data[p + 1] <= 0xD7):
+            p += 1
+        reader.pos = p + 2
+        for cid in prev:
+            prev[cid] = 0
+        eobrun = 0
+
+    def decode_dc(cid, dct, by, bx):
+        block = coefs[cid][by, bx]
+        if ah == 0:
+            size = reader.huff(htabs[(0, dct)])
+            diff = _extend(reader.bits(size), size)
+            prev[cid] += diff
+            block[0] = prev[cid] << al
+        else:
+            if reader.bit():
+                block[0] = int(block[0]) | (1 << al)
+
+    def refine_coef(block, k, p1, m1):
+        if reader.bit() and (int(block[k]) & p1) == 0:
+            block[k] = int(block[k]) + (p1 if block[k] >= 0 else m1)
+
+    def decode_ac(cid, act, by, bx):
+        nonlocal eobrun
+        block = coefs[cid][by, bx]
+        ac_tab = htabs[(1, act)]
+        if ah == 0:  # first pass: band run-length + EOBRUN
+            if eobrun > 0:
+                eobrun -= 1
+                return
+            k = ss
+            while k <= se:
+                sym = reader.huff(ac_tab)
+                r, s = sym >> 4, sym & 0x0F
+                if s == 0:
+                    if r == 15:  # ZRL
+                        k += 16
+                        continue
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += reader.bits(r)
+                    break
+                k += r
+                if k > se:
+                    raise ValueError("AC run past band end")
+                block[k] = _extend(reader.bits(s), s) << al
+                k += 1
+        else:  # refinement pass: correction bits + newly-significant
+            p1, m1 = 1 << al, -(1 << al)
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    sym = reader.huff(ac_tab)
+                    r, s = sym >> 4, sym & 0x0F
+                    newval = 0
+                    if s == 0:
+                        if r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += reader.bits(r)
+                            break
+                        # ZRL: skip 16 zero-history positions below
+                    else:
+                        if s != 1:
+                            raise ValueError("refinement size must be 1")
+                        newval = p1 if reader.bit() else m1
+                    while k <= se:
+                        if block[k] != 0:
+                            refine_coef(block, k, p1, m1)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if s and k <= se:
+                        block[k] = newval
+                    k += 1
+            if eobrun > 0:
+                # inside an EOB run the block still owes correction
+                # bits for its remaining nonzero-history coefficients
+                while k <= se:
+                    if block[k] != 0:
+                        refine_coef(block, k, p1, m1)
+                    k += 1
+                eobrun -= 1
+
+    mcu_count = 0
+    if is_dc and len(scan_comps) > 1:  # interleaved DC scan (MCU order)
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                    resync()
+                mcu_count += 1
+                for cid, dct, _act in scan_comps:
+                    _tq, hi, vi = meta[cid]
+                    for byi in range(vi):
+                        for bxi in range(hi):
+                            decode_dc(cid, dct, my * vi + byi, mx * hi + bxi)
+    else:  # single-component scan: effective-grid raster order
+        cid, dct, act = scan_comps[0]
+        bh, bw = eff[cid]
+        for by in range(bh):
+            for bx in range(bw):
+                if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                    resync()
+                mcu_count += 1
+                if is_dc:
+                    decode_dc(cid, dct, by, bx)
+                else:
+                    decode_ac(cid, act, by, bx)
+
+    # skip to the next marker (entropy data may end mid-byte; stuffed
+    # FF00 bytes and RSTn markers belong to this scan)
+    p = reader.pos
+    while p + 1 < len(data):
+        if data[p] == 0xFF and data[p + 1] != 0x00:
+            if 0xD0 <= data[p + 1] <= 0xD7:
+                p += 2
+                continue
+            return p
+        p += 1
+    return len(data)

@@ -615,11 +615,12 @@ def encode_png(arr, level: int = 6) -> bytes:
 
 
 def decode_image(data: bytes):
-    """Dispatch decode by magic: BMP, P6 PPM, 8-bit PNG (stdlib zlib
-    inflate + numpy unfilter), and baseline JPEG (pure-numpy DCT +
-    Huffman, operators/jpeg.py) all decode for REAL.  Remaining honest
-    seams live inside the codecs (progressive/subsampled JPEG, 16-bit/
-    interlaced PNG)."""
+    """Dispatch decode by magic: BMP, P6 PPM, PNG (stdlib zlib inflate
+    + numpy unfilter; palette + Adam7 interlace included), baseline
+    JPEG (pure-numpy DCT + Huffman with 4:2:0/4:2:2 subsampling and
+    restart intervals, operators/jpeg.py), and GIF (pure-Python LZW,
+    operators/gif.py) all decode for REAL.  Remaining honest seams
+    live inside the codecs (12-bit/arithmetic JPEG, 16-bit PNG)."""
     if data[:2] == b"BM":
         return decode_bmp(data)
     if data[:2] == b"P6":

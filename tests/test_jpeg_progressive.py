@@ -1,0 +1,139 @@
+"""Progressive JPEG (SOF2) decode + fixture encoder.
+
+Oracle: progressive coding reorganizes the SAME quantized
+coefficients into multiple scans — so decode(progressive_encode(img))
+must equal decode(baseline_encode(img)) EXACTLY, pixel for pixel,
+given identical quantization tables.  That removes the usual lossy-
+codec ambiguity: any deviation is an entropy-coding bug, not "noise".
+
+Pure numpy/stdlib — no Spark session needed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from robosystems_spark.operators.jpeg import (
+    decode_jpeg,
+    encode_jpeg,
+    encode_jpeg_progressive,
+)
+
+
+def _rng_img(h, w, ch=3, seed=7, smooth=False):
+    rng = np.random.default_rng(seed)
+    if smooth:
+        base = rng.integers(0, 256, (max(1, h // 8), max(1, w // 8), ch))
+        img = np.kron(base, np.ones((8, 8, 1)))[:h, :w]
+        return img.astype(np.uint8)
+    shape = (h, w, ch) if ch else (h, w)
+    return rng.integers(0, 256, shape, dtype=np.uint8).astype(np.uint8)
+
+
+def test_progressive_stream_structure():
+    img = _rng_img(16, 16)
+    data = encode_jpeg_progressive(img)
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    assert b"\xff\xc2" in data  # SOF2
+    assert data.count(b"\xff\xda") >= 6  # multiple scans
+
+
+@pytest.mark.parametrize(
+    "h,w", [(16, 16), (24, 17), (8, 8), (31, 23)]
+)
+def test_progressive_equals_baseline_rgb(h, w):
+    img = _rng_img(h, w)
+    base = decode_jpeg(encode_jpeg(img))
+    prog = decode_jpeg(encode_jpeg_progressive(img))
+    assert prog.shape == base.shape
+    np.testing.assert_array_equal(prog, base)
+
+
+def test_progressive_equals_baseline_gray():
+    img = np.asarray(_rng_img(21, 19, ch=None), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(img))
+    prog = decode_jpeg(encode_jpeg_progressive(img))
+    np.testing.assert_array_equal(prog, base)
+
+
+@pytest.mark.parametrize("h,w", [(32, 32), (24, 24), (40, 26)])
+def test_progressive_equals_baseline_420(h, w):
+    """4:2:0 subsampling: interleaved DC scan over 2x2 luma MCUs,
+    chroma AC scans on the half-resolution effective grid."""
+    img = _rng_img(h, w, seed=11)
+    base = decode_jpeg(encode_jpeg(img, subsample=True))
+    prog = decode_jpeg(encode_jpeg_progressive(img, subsample=True))
+    np.testing.assert_array_equal(prog, base)
+
+
+def test_progressive_eobrun_path():
+    """A smooth (blocky-constant) image has mostly-zero AC bands →
+    long EOB runs across blocks; this drives the EOBn>0 decode path
+    (batched end-of-band) in both first and refinement AC scans."""
+    img = _rng_img(64, 64, smooth=True, seed=3)
+    base = decode_jpeg(encode_jpeg(img))
+    prog = decode_jpeg(encode_jpeg_progressive(img))
+    np.testing.assert_array_equal(prog, base)
+
+
+def test_progressive_custom_scan_script():
+    """Spectral selection split into many narrow bands, deeper
+    successive approximation on luma."""
+    img = _rng_img(24, 24, seed=5)
+    scans = [
+        ([0, 1, 2], 0, 0, 0, 2),
+        ([0], 1, 2, 0, 1),
+        ([0], 3, 9, 0, 1),
+        ([0], 10, 63, 0, 1),
+        ([1], 1, 63, 0, 0),
+        ([2], 1, 63, 0, 0),
+        ([0, 1, 2], 0, 0, 2, 1),
+        ([0, 1, 2], 0, 0, 1, 0),
+        ([0], 1, 2, 1, 0),
+        ([0], 3, 9, 1, 0),
+        ([0], 10, 63, 1, 0),
+    ]
+    base = decode_jpeg(encode_jpeg(img))
+    prog = decode_jpeg(encode_jpeg_progressive(img, scans=scans))
+    np.testing.assert_array_equal(prog, base)
+
+
+def test_progressive_spectral_only_no_refinement():
+    """Pure spectral selection (all Al=0): every scan final-pass."""
+    img = _rng_img(17, 33, seed=9)
+    scans = [
+        ([0, 1, 2], 0, 0, 0, 0),
+        ([0], 1, 63, 0, 0),
+        ([1], 1, 63, 0, 0),
+        ([2], 1, 63, 0, 0),
+    ]
+    base = decode_jpeg(encode_jpeg(img))
+    prog = decode_jpeg(encode_jpeg_progressive(img, scans=scans))
+    np.testing.assert_array_equal(prog, base)
+
+
+def test_progressive_constant_roundtrip_bound():
+    """Error contract carried over from baseline: a constant block is
+    DC-only, quantization error <= Q/2 → round-trip within +-1."""
+    img = np.full((16, 16, 3), 137, dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg_progressive(img))
+    assert int(np.abs(out.astype(int) - 137).max()) <= 1
+
+
+def test_progressive_custom_quant_tables():
+    q = np.arange(1, 65).reshape(8, 8).astype(np.int32)
+    img = _rng_img(16, 24, seed=13)
+    base = decode_jpeg(encode_jpeg(img, q_luma=q, q_chroma=q * 2))
+    prog = decode_jpeg(
+        encode_jpeg_progressive(img, q_luma=q, q_chroma=q * 2)
+    )
+    np.testing.assert_array_equal(prog, base)
+
+
+def test_decode_image_dispatches_progressive():
+    from robosystems_spark.operators.multimodal import decode_image
+
+    img = _rng_img(16, 16, seed=21)
+    out = decode_image(encode_jpeg_progressive(img))
+    assert out.shape == (16, 16, 3)

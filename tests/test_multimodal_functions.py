@@ -667,8 +667,14 @@ def test_jpeg_baseline_roundtrip_error_bounds():
         decode_jpeg(b"\x00\x00")
     enc = bytearray(encode_jpeg(a))
     i = enc.find(b"\xff\xc0")
-    enc[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    enc[i + 1] = 0xC9  # rewrite SOF0 -> SOF9 (arithmetic coding)
     with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(enc))
+    # SOF2 now dispatches to the real progressive decoder — a
+    # baseline-shaped scan header under SOF2 is a malformed stream
+    # (DC scan with Se=63), rejected loudly rather than mis-decoded
+    enc[i + 1] = 0xC2
+    with pytest.raises(ValueError):
         decode_jpeg(bytes(enc))
 
 
