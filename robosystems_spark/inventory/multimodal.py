@@ -495,3 +495,95 @@ def multimodal_gif_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("media_id", "doc_id")
         .orderBy("doc_id")
     )
+
+
+_ANIM_NCOL = 6
+
+
+@register(
+    "multimodal_gif_animation_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(2 + doc_id % 3 AS INTEGER) AS frame_count,
+           CAST(5 * (2 + doc_id % 3) * (3 + doc_id % 3) AS BIGINT)
+             AS total_duration_cs,
+           ROUND(CAST(2 + doc_id % 3 AS DOUBLE), 6) AS mean_delta_pixels,
+           ROUND(CAST(40 * (doc_id % {_ANIM_NCOL}) AS DOUBLE), 6)
+             AS first_frame_mean_r
+    FROM documents
+    WHERE doc_id < {_N_DOCS}
+    ORDER BY doc_id
+    """,
+    doc="REAL animated-GIF decode + frame COMPOSITION (operators/"
+    "gif.py decode_gif_frames): synthesize a 2-4 frame animation per "
+    "document — uniform 8x8 base frame, then RGBA delta frames whose "
+    "opaque 2xk rects land at offset (k, k) with GCE transparency, "
+    "per-frame delays 10(k+1) cs, disposal keep — decode and compose "
+    "every frame in mapInPandas, and emit frame count, total GCE "
+    "duration, mean changed-pixels between consecutive composed "
+    "frames, and first-frame mean red.  Closed-form oracle: rect k "
+    "paints exactly 2k pixels a color nothing under it holds, so "
+    "mean delta = n, duration = 5n(n+1); an offset, transparency, or "
+    "composition bug diverges immediately.",
+    tags=("multimodal",),
+)
+def multimodal_gif_animation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from robosystems_spark.operators.gif import encode_gif_animation
+    from robosystems_spark.operators.multimodal import gif_animation_stats
+
+    ncol = _ANIM_NCOL
+    pal = np.stack(
+        [
+            40 * np.arange(ncol),
+            80 + 20 * np.arange(ncol),
+            5 * np.arange(ncol),
+        ],
+        axis=1,
+    ).astype(np.uint8)
+
+    def encode(it):
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                b = int(did) % ncol
+                n = 2 + int(did) % 3
+                base = np.empty((8, 8, 3), np.uint8)
+                base[:, :] = pal[b]
+                frames = [base]
+                offsets = [(0, 0)]
+                delays = [10]
+                for k in range(1, n):
+                    delta = np.zeros((4, 4, 4), np.uint8)
+                    delta[0:2, 0:k, :3] = pal[(b + k) % ncol]
+                    delta[0:2, 0:k, 3] = 255
+                    frames.append(delta)
+                    offsets.append((k, k))
+                    delays.append(10 * (k + 1))
+                payloads.append(
+                    encode_gif_animation(
+                        frames,
+                        delays_cs=delays,
+                        disposals=[1] * n,
+                        offsets=offsets,
+                        screen=(8, 8),
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": payloads})
+
+    media = _doc_ids(spark, sf_dir).mapInPandas(
+        encode,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("content", T.BinaryType()),
+            ]
+        ),
+    )
+    return (
+        gif_animation_stats(media, id_col="doc_id")
+        .withColumnRenamed("media_id", "doc_id")
+        .orderBy("doc_id")
+    )

@@ -1,17 +1,21 @@
 """GIF87a/89a decoder (and a real LZW encoder for fixtures) in pure
 Python/numpy — no PIL.  Completes the stdlib-only image codec set
 (BMP/PPM/PNG/JPEG/GIF): ``decode_gif`` handles the logical screen
-descriptor, global and local color tables, extension-block skipping,
+descriptor, global and local color tables, extension blocks,
 variable-width LZW with dictionary growth and CLEAR handling, and the
-4-pass GIF row interlace; ``encode_gif`` writes a single-frame GIF
-with a genuine LZW compressor (dictionary build + width growth +
-CLEAR at table overflow), so decoding exercises the full algorithm,
-not a degenerate root-codes-only stream.
+4-pass GIF row interlace; ``decode_gif_frames`` composes FULL
+ANIMATIONS — every frame rendered onto the logical screen honoring
+frame offsets, Graphic Control Extension transparency, and disposal
+methods 0-3 (none / keep / restore-to-background / restore-previous),
+the web-GIF semantics.  ``encode_gif`` writes a single-frame GIF and
+``encode_gif_animation`` a multi-frame GIF89a (NETSCAPE loop block,
+per-frame GCE with delay/disposal/transparent index, per-frame
+offsets) with a genuine LZW compressor (dictionary build + width
+growth + CLEAR at table overflow), so decoding exercises the full
+algorithm, not a degenerate root-codes-only stream.
 
-Scope (honest seams): the FIRST image block is decoded — animation
-frame composition (disposal methods, frame deltas) raises
-``NotImplementedError``; transparency (GCE bit) is ignored (output
-stays RGB), matching the PNG palette policy.
+Remaining honest seam: none for the GIF container — plain-text
+extension blocks are skipped (as virtually every renderer does).
 """
 
 from __future__ import annotations
@@ -91,10 +95,91 @@ def _lzw_decode(blocks: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
     return out
 
 
+def _decode_image_block(data: bytes, pos: int, global_table):
+    """Decode one image descriptor (0x2C at ``pos``): returns
+    (index_rows (h, w), color_table, left, top, new_pos) with
+    interlace already undone."""
+    left = int.from_bytes(data[pos + 1 : pos + 3], "little")
+    top = int.from_bytes(data[pos + 3 : pos + 5], "little")
+    w = int.from_bytes(data[pos + 5 : pos + 7], "little")
+    h = int.from_bytes(data[pos + 7 : pos + 9], "little")
+    iflags = data[pos + 9]
+    pos += 10
+    table = global_table
+    if iflags & 0x80:
+        table, pos = _color_table(data, pos, 2 << (iflags & 0x07))
+    if table is None:
+        raise ValueError("GIF image without a color table")
+    min_code_size = data[pos]
+    pos += 1
+    blocks = bytearray()
+    while data[pos] != 0:
+        n = data[pos]
+        blocks += data[pos + 1 : pos + 1 + n]
+        pos += 1 + n
+    pos += 1  # block terminator
+    idx = _lzw_decode(bytes(blocks), min_code_size, w * h)
+    if int(idx.max(initial=0)) >= table.shape[0]:
+        raise ValueError("palette index out of color-table range")
+    rows = idx.reshape(h, w)
+    if iflags & 0x40:  # 4-pass row interlace
+        deinter = np.empty_like(rows)
+        r = 0
+        for start, step in _INTERLACE_PASSES:
+            for y in range(start, h, step):
+                deinter[y] = rows[r]
+                r += 1
+        rows = deinter
+    return rows, table, left, top, pos
+
+
 def decode_gif(data: bytes) -> np.ndarray:
     """Decode the first frame of a GIF into an (h, w, 3) uint8 RGB
     array (image-descriptor dimensions; frames smaller than the
-    logical screen are returned at their own size)."""
+    logical screen are returned at their own size).  Transparency is
+    ignored here — use ``decode_gif_frames`` for composed RGBA."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF file")
+    flags = data[10]
+    pos = 13
+    global_table = None
+    if flags & 0x80:
+        global_table, pos = _color_table(data, pos, 2 << (flags & 0x07))
+    while pos < len(data):
+        block = data[pos]
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            rows, table, _left, _top, pos = _decode_image_block(
+                data, pos, global_table
+            )
+            return table[rows]
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError("GIF contains no image block")
+
+
+def decode_gif_frames(data: bytes) -> list[dict]:
+    """Decode ALL frames of a (possibly animated) GIF, composed onto
+    the logical screen.  Returns one dict per frame:
+
+    - ``image``: (screen_h, screen_w, 4) uint8 RGBA — the rendered
+      state of the logical screen after this frame is drawn (alpha 0
+      where nothing opaque has been painted)
+    - ``delay_cs``: GCE delay in centiseconds (0 if none)
+    - ``disposal``: the frame's disposal method (0-3)
+
+    Composition follows GIF89a + universal renderer practice:
+    the canvas starts fully transparent; each frame's non-transparent
+    pixels are painted at its (left, top) offset; after the frame is
+    emitted its disposal runs — 0/1 keep the canvas, 2 clears the
+    frame's rectangle back to transparent, 3 restores the canvas to
+    its pre-frame state."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF file")
     sw = int.from_bytes(data[6:8], "little")
@@ -104,49 +189,70 @@ def decode_gif(data: bytes) -> np.ndarray:
     global_table = None
     if flags & 0x80:
         global_table, pos = _color_table(data, pos, 2 << (flags & 0x07))
-    del sw, sh
+
+    canvas = np.zeros((sh, sw, 4), dtype=np.uint8)
+    frames: list[dict] = []
+    # pending GCE state (applies to the NEXT image block only)
+    disposal = 0
+    delay_cs = 0
+    transparent_idx = -1
+
     while pos < len(data):
         block = data[pos]
-        if block == 0x21:  # extension: label + sub-blocks
+        if block == 0x21:  # extension
+            label = data[pos + 1]
             pos += 2
+            if label == 0xF9:  # Graphic Control Extension
+                n = data[pos]
+                gce = data[pos + 1 : pos + 1 + n]
+                packed = gce[0]
+                disposal = (packed >> 2) & 0x07
+                if disposal > 3:
+                    # 4-7 are "to be defined"; renderers treat as none
+                    disposal = 0
+                delay_cs = int.from_bytes(gce[1:3], "little")
+                transparent_idx = gce[3] if packed & 0x01 else -1
             while data[pos] != 0:
                 pos += 1 + data[pos]
             pos += 1
-        elif block == 0x2C:  # image descriptor
-            w = int.from_bytes(data[pos + 5 : pos + 7], "little")
-            h = int.from_bytes(data[pos + 7 : pos + 9], "little")
-            iflags = data[pos + 9]
-            pos += 10
-            table = global_table
-            if iflags & 0x80:
-                table, pos = _color_table(data, pos, 2 << (iflags & 0x07))
-            if table is None:
-                raise ValueError("GIF image without a color table")
-            min_code_size = data[pos]
-            pos += 1
-            blocks = bytearray()
-            while data[pos] != 0:
-                n = data[pos]
-                blocks += data[pos + 1 : pos + 1 + n]
-                pos += 1 + n
-            idx = _lzw_decode(bytes(blocks), min_code_size, w * h)
-            if int(idx.max(initial=0)) >= table.shape[0]:
-                raise ValueError("palette index out of color-table range")
-            rows = idx.reshape(h, w)
-            if iflags & 0x40:  # 4-pass row interlace
-                deinter = np.empty_like(rows)
-                r = 0
-                for start, step in _INTERLACE_PASSES:
-                    for y in range(start, h, step):
-                        deinter[y] = rows[r]
-                        r += 1
-                rows = deinter
-            return table[rows]
-        elif block == 0x3B:  # trailer
+        elif block == 0x2C:
+            rows, table, left, top, pos = _decode_image_block(
+                data, pos, global_table
+            )
+            h, w = rows.shape
+            y0, y1 = top, min(top + h, sh)
+            x0, x1 = left, min(left + w, sw)
+            saved = canvas.copy() if disposal == 3 else None
+            rgb = table[rows]
+            opaque = (
+                rows != transparent_idx
+                if transparent_idx >= 0
+                else np.ones_like(rows, dtype=bool)
+            )
+            region = canvas[y0:y1, x0:x1]
+            sub_rgb = rgb[: y1 - y0, : x1 - x0]
+            sub_op = opaque[: y1 - y0, : x1 - x0]
+            region[sub_op, :3] = sub_rgb[sub_op]
+            region[sub_op, 3] = 255
+            frames.append(
+                {
+                    "image": canvas.copy(),
+                    "delay_cs": delay_cs,
+                    "disposal": disposal,
+                }
+            )
+            if disposal == 2:  # restore to background = clear rect
+                canvas[y0:y1, x0:x1] = 0
+            elif disposal == 3 and saved is not None:
+                canvas = saved
+            disposal, delay_cs, transparent_idx = 0, 0, -1
+        elif block == 0x3B:
             break
         else:
             raise ValueError(f"unknown GIF block 0x{block:02x}")
-    raise ValueError("GIF contains no image block")
+    if not frames:
+        raise ValueError("GIF contains no image block")
+    return frames
 
 
 def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
@@ -197,6 +303,15 @@ def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
     return bytes(out)
 
 
+def _sub_blocks(payload: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(payload), 255):
+        chunk = payload[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00"
+    return bytes(out)
+
+
 def encode_gif(arr: np.ndarray, interlace: bool = False) -> bytes:
     """Encode an (h, w, 3) uint8 RGB array as a single-frame GIF89a
     with an exact 256-color palette built from the image's distinct
@@ -230,8 +345,112 @@ def encode_gif(arr: np.ndarray, interlace: bool = False) -> bytes:
     out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
     out += bytes([0x40 if interlace else 0x00])
     out += bytes([min_code_size])
-    for i in range(0, len(lzw), 255):
-        chunk = lzw[i : i + 255]
-        out += bytes([len(chunk)]) + chunk
-    out += b"\x00\x3b"
+    out += _sub_blocks(lzw)
+    out += b"\x3b"
+    return bytes(out)
+
+
+def encode_gif_animation(
+    frames: list,
+    delays_cs: list | None = None,
+    disposals: list | None = None,
+    offsets: list | None = None,
+    screen: tuple | None = None,
+    loop: int = 0,
+) -> bytes:
+    """Encode an animated GIF89a for fixture synthesis.
+
+    - ``frames``: list of uint8 arrays, each (h, w, 3) RGB or
+      (h, w, 4) RGBA — alpha 0 pixels become the GCE transparent
+      index (frame deltas: paint only what changed)
+    - ``delays_cs`` / ``disposals`` / ``offsets``: per-frame GCE
+      delay (centiseconds), disposal method 0-3, and (left, top)
+      placement; defaults 4 cs / 1 (keep) / (0, 0)
+    - ``screen``: logical screen (h, w); default covers every frame
+    - ``loop``: NETSCAPE2.0 loop count (0 = forever)
+
+    One shared global palette is built from every frame's opaque
+    colors plus one reserved transparent slot when any frame has
+    alpha; raises if that exceeds 256 entries."""
+    arrs = [np.asarray(f, dtype=np.uint8) for f in frames]
+    if not arrs:
+        raise ValueError("no frames")
+    n = len(arrs)
+    delays_cs = list(delays_cs) if delays_cs is not None else [4] * n
+    disposals = list(disposals) if disposals is not None else [1] * n
+    offsets = list(offsets) if offsets is not None else [(0, 0)] * n
+    if not (len(delays_cs) == len(disposals) == len(offsets) == n):
+        raise ValueError("per-frame metadata length mismatch")
+    if any(d < 0 or d > 3 for d in disposals):
+        raise ValueError("disposal must be 0-3")
+
+    has_alpha = any(a.ndim == 3 and a.shape[2] == 4 for a in arrs)
+    opaque_colors = []
+    for a in arrs:
+        if a.shape[2] == 4:
+            op = a[a[:, :, 3] != 0][:, :3]
+        else:
+            op = a.reshape(-1, a.shape[2])[:, :3]
+        if op.size:
+            opaque_colors.append(op.reshape(-1, 3))
+    allc = (
+        np.concatenate(opaque_colors)
+        if opaque_colors
+        else np.zeros((0, 3), np.uint8)
+    )
+    colors = np.unique(allc, axis=0)
+    n_colors = colors.shape[0] + (1 if has_alpha else 0)
+    if n_colors > 256:
+        raise ValueError("more than 256 distinct colors across frames")
+    bits = max(1, int(np.ceil(np.log2(max(n_colors, 2)))))
+    n_pal = 1 << bits
+    pal = np.zeros((n_pal, 3), dtype=np.uint8)
+    pal[: colors.shape[0]] = colors
+    transparent_idx = colors.shape[0] if has_alpha else -1
+    # color -> index lookup via packed-int sort
+    packed = (
+        colors[:, 0].astype(np.int64) << 16
+    ) | (colors[:, 1].astype(np.int64) << 8) | colors[:, 2].astype(np.int64)
+    order = np.argsort(packed)
+    packed_sorted = packed[order]
+
+    if screen is None:
+        sh = max(a.shape[0] + offsets[i][1] for i, a in enumerate(arrs))
+        sw = max(a.shape[1] + offsets[i][0] for i, a in enumerate(arrs))
+    else:
+        sh, sw = screen
+
+    out = bytearray(b"GIF89a")
+    out += sw.to_bytes(2, "little") + sh.to_bytes(2, "little")
+    out += bytes([0x80 | ((bits - 1) & 0x07), 0, 0])
+    out += pal.tobytes()
+    # NETSCAPE2.0 application extension: loop count
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01"
+    out += int(loop).to_bytes(2, "little") + b"\x00"
+
+    min_code_size = max(2, bits)
+    for i, a in enumerate(arrs):
+        h, w = a.shape[:2]
+        left, top = offsets[i]
+        rgb = a[:, :, :3]
+        p = (
+            rgb[:, :, 0].astype(np.int64) << 16
+        ) | (rgb[:, :, 1].astype(np.int64) << 8) | rgb[:, :, 2].astype(np.int64)
+        loc = np.searchsorted(packed_sorted, p.reshape(-1))
+        idx = order[np.clip(loc, 0, len(order) - 1)].astype(np.uint8).reshape(h, w)
+        if a.shape[2] == 4:
+            idx = np.where(a[:, :, 3] == 0, np.uint8(transparent_idx), idx)
+        # GCE
+        packed_gce = (disposals[i] << 2) | (1 if transparent_idx >= 0 else 0)
+        out += b"\x21\xf9\x04" + bytes([packed_gce])
+        out += int(delays_cs[i]).to_bytes(2, "little")
+        out += bytes([transparent_idx if transparent_idx >= 0 else 0, 0])
+        # image descriptor
+        out += b"\x2c"
+        out += left.to_bytes(2, "little") + top.to_bytes(2, "little")
+        out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        out += b"\x00"
+        out += bytes([min_code_size])
+        out += _sub_blocks(_lzw_encode(idx.reshape(-1), min_code_size))
+    out += b"\x3b"
     return bytes(out)

@@ -806,3 +806,108 @@ def test_gif_lzw_roundtrip_and_edge_cases():
     many = np.stack([xx * 15, yy * 15, xx + yy], axis=2).astype(np.uint8)
     with pytest.raises(ValueError):
         encode_gif(many)
+
+
+def test_gif_animation_compose_disposals():
+    """Animated GIF: frame composition onto the logical screen with
+    disposal 0-3, GCE transparency, frame deltas at offsets."""
+    import numpy as np
+
+    from robosystems_spark.operators.gif import (
+        decode_gif,
+        decode_gif_frames,
+        encode_gif_animation,
+    )
+
+    red = np.zeros((8, 10, 3), np.uint8); red[:, :, 0] = 200
+    blue_sq = np.zeros((3, 4, 4), np.uint8)
+    blue_sq[:, :, 2] = 220
+    blue_sq[:, :, 3] = 255
+
+    # --- disposal 1 (keep): delta frame persists into frame 3's base
+    delta3 = np.zeros((2, 2, 4), np.uint8)
+    delta3[:, :, 1] = 180
+    delta3[:, :, 3] = 255
+    data = encode_gif_animation(
+        [red, blue_sq, delta3],
+        delays_cs=[10, 20, 30],
+        disposals=[1, 1, 1],
+        offsets=[(0, 0), (2, 3), (7, 1)],
+    )
+    frames = decode_gif_frames(data)
+    assert len(frames) == 3
+    assert [f["delay_cs"] for f in frames] == [10, 20, 30]
+    f1, f2, f3 = (f["image"] for f in frames)
+    assert f1.shape == (8, 10, 4)
+    assert (f1[:, :, 0] == 200).all() and (f1[:, :, 3] == 255).all()
+    # frame 2 = red with blue square at x=2,y=3
+    assert (f2[3:6, 2:6, 2] == 220).all()
+    assert (f2[0, 0] == [200, 0, 0, 255]).all()
+    # frame 3 keeps the blue square (disposal 1) and adds green at x=7,y=1
+    assert (f3[3:6, 2:6, 2] == 220).all()
+    assert (f3[1:3, 7:9, 1] == 180).all()
+    # single-frame decode still returns the first frame's own rect
+    assert (decode_gif(data) == red).all()
+
+    # --- disposal 2 (restore to background): square's rect cleared
+    data2 = encode_gif_animation(
+        [red, blue_sq, delta3],
+        disposals=[1, 2, 1],
+        offsets=[(0, 0), (2, 3), (7, 1)],
+    )
+    g1, g2, g3 = (f["image"] for f in decode_gif_frames(data2))
+    assert (g2[3:6, 2:6, 2] == 220).all()          # visible while shown
+    assert (g3[3:6, 2:6, 3] == 0).all()            # cleared after disposal
+    assert (g3[0, 0] == [200, 0, 0, 255]).all()    # rest of canvas kept
+    assert (g3[1:3, 7:9, 1] == 180).all()
+
+    # --- disposal 3 (restore previous): canvas reverts to frame-1 state
+    data3 = encode_gif_animation(
+        [red, blue_sq, delta3],
+        disposals=[1, 3, 1],
+        offsets=[(0, 0), (2, 3), (7, 1)],
+    )
+    h1, h2, h3 = (f["image"] for f in decode_gif_frames(data3))
+    assert (h2[3:6, 2:6, 2] == 220).all()
+    assert (h3[3:6, 2:6, 0] == 200).all()          # red restored
+    assert (h3[3:6, 2:6, 3] == 255).all()
+    assert (h3[1:3, 7:9, 1] == 180).all()
+
+
+def test_gif_animation_transparency_and_metadata():
+    import numpy as np
+
+    from robosystems_spark.operators.gif import (
+        decode_gif_frames,
+        encode_gif_animation,
+    )
+
+    base = np.zeros((4, 4, 3), np.uint8)
+    base[:, :] = [10, 20, 30]
+    # delta with a transparent hole: only the border is painted
+    delta = np.zeros((4, 4, 4), np.uint8)
+    delta[:, :, 0] = 99
+    delta[:, :, 3] = 255
+    delta[1:3, 1:3, 3] = 0  # hole
+    data = encode_gif_animation([base, delta], disposals=[1, 0])
+    f1, f2 = (f["image"] for f in decode_gif_frames(data))
+    assert (f2[0, 0, :3] == [99, 0, 0]).all()       # painted border
+    assert (f2[1, 1, :3] == [10, 20, 30]).all()     # hole shows base
+    assert decode_gif_frames(data)[1]["disposal"] == 0
+    # NETSCAPE loop block present
+    assert b"NETSCAPE2.0" in data
+
+
+def test_gif_animation_rejects_bad_metadata():
+    import numpy as np
+    import pytest as _pytest
+
+    from robosystems_spark.operators.gif import encode_gif_animation
+
+    f = np.zeros((2, 2, 3), np.uint8)
+    with _pytest.raises(ValueError):
+        encode_gif_animation([f], disposals=[7])
+    with _pytest.raises(ValueError):
+        encode_gif_animation([f, f], delays_cs=[1])
+    with _pytest.raises(ValueError):
+        encode_gif_animation([])
