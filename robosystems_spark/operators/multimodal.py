@@ -417,16 +417,19 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
 def _png_unfilter(
-    raw: bytes, offset: int, w: int, h: int, channels: int
+    raw: bytes, offset: int, w: int, h: int, channels: int, bps: int = 1
 ) -> tuple:
     """Unfilter ``h`` scanlines of ``w`` pixels starting at ``offset``
-    in the inflated stream; returns ((h, w*channels) uint8, new
+    in the inflated stream; returns ((h, w*channels*bps) uint8, new
     offset).  Shared by the sequential path and each Adam7 pass (a
-    pass is an independently-filtered sub-image)."""
+    pass is an independently-filtered sub-image).  ``bps`` is bytes
+    per sample (2 for 16-bit depth): PNG filters operate on BYTES
+    with the pixel distance measured in bytes, so 16-bit support is
+    just a wider bpp."""
     import numpy as np
 
-    stride = w * channels
-    bpp = channels  # bytes per pixel at 8-bit depth
+    stride = w * channels * bps
+    bpp = channels * bps  # filter distance in bytes
     if offset + h * (stride + 1) > len(raw):
         raise ValueError("PNG scanline data size mismatch")
     out = np.zeros((h, stride), dtype=np.uint8)
@@ -466,17 +469,25 @@ def _png_unfilter(
 
 
 def decode_png(data: bytes):
-    """Decode an 8-bit PNG (gray / RGB / gray+alpha / RGBA / palette;
-    sequential OR Adam7-interlaced) into an (h, w, channels) uint8
-    array — REAL decoding with nothing but stdlib ``zlib`` and numpy:
-    chunk walk, IDAT inflate, full per-row unfiltering
-    (None/Sub/Up/Average/Paeth), and 7-pass de-interlace scatter.
+    """Decode an 8-bit or 16-bit PNG (gray / RGB / gray+alpha / RGBA /
+    palette; sequential OR Adam7-interlaced), with tRNS transparency,
+    into an (h, w, channels) uint8 array — REAL decoding with nothing
+    but stdlib ``zlib`` and numpy: chunk walk, IDAT inflate, full
+    per-row unfiltering (None/Sub/Up/Average/Paeth), and 7-pass
+    de-interlace scatter.
 
-    Palette PNGs (color type 3) map the unfiltered index bytes through
-    the PLTE table to (h, w, 3) RGB (a tRNS alpha chunk, rare in
-    photos, is ignored — output stays RGB).  The one honest seam left:
-    16-bit depth raises ``NotImplementedError`` (rare in training
-    corpora).
+    16-bit samples (big-endian, common in scientific/medical imagery)
+    are filtered at the byte level (PNG filters are byte filters with
+    a 2x pixel distance) and scaled to 8 bits as ``round(v / 257)`` —
+    the exact inverse of the ``v * 257`` 8-to-16 expansion, so a
+    16-bit encode of an 8-bit image round-trips losslessly.
+
+    tRNS handling (applied BEFORE depth scaling, at the source bit
+    depth, per the spec):
+    - palette (color 3): per-entry alpha table, missing entries
+      opaque -> output becomes (h, w, 4) RGBA (RGB without tRNS)
+    - gray (color 0): 16-bit key sample -> (h, w, 2) gray+alpha
+    - RGB (color 2): 16-bit RGB key -> (h, w, 4) RGBA
 
     Scale note: None/Up unfilter are vectorized; Sub is a per-lane
     ``cumsum % 256``; Average/Paeth are per-byte within a row (their
@@ -488,7 +499,7 @@ def decode_png(data: bytes):
 
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG file")
-    i, ihdr, idat, plte = 8, None, [], None
+    i, ihdr, idat, plte, trns = 8, None, [], None, None
     while i + 8 <= len(data):
         clen = int.from_bytes(data[i : i + 4], "big")
         ctype = data[i + 4 : i + 8]
@@ -497,6 +508,8 @@ def decode_png(data: bytes):
             ihdr = chunk
         elif ctype == b"PLTE":
             plte = chunk
+        elif ctype == b"tRNS":
+            trns = chunk
         elif ctype == b"IDAT":
             idat.append(chunk)
         elif ctype == b"IEND":
@@ -507,8 +520,10 @@ def decode_png(data: bytes):
     w = int.from_bytes(ihdr[0:4], "big")
     h = int.from_bytes(ihdr[4:8], "big")
     depth, color, _comp, _filt, interlace = ihdr[8:13]
-    if depth != 8:
-        raise NotImplementedError(f"{depth}-bit PNG not supported (8 only)")
+    if depth not in (8, 16) or (depth == 16 and color == 3):
+        raise NotImplementedError(
+            f"{depth}-bit PNG color type {color} not supported"
+        )
     if interlace not in (0, 1):
         raise ValueError(f"unknown PNG interlace method {interlace}")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
@@ -518,17 +533,18 @@ def decode_png(data: bytes):
         raise ValueError("palette PNG without a valid PLTE chunk")
     import zlib
 
+    bps = depth // 8
     raw = zlib.decompress(b"".join(idat))
     if interlace == 0:
-        stride = w * channels
+        stride = w * channels * bps
         if len(raw) != h * (stride + 1):
             raise ValueError("PNG scanline data size mismatch")
-        out = _png_unfilter(raw, 0, w, h, channels)[0].reshape(h, stride)
+        out = _png_unfilter(raw, 0, w, h, channels, bps)[0].reshape(h, stride)
     else:
         # Adam7: seven independently-filtered sub-images scattered
         # onto the (x0, y0, dx, dy) grids; empty passes emit nothing
-        out = np.zeros((h, w * channels), dtype=np.uint8)
-        grid = out.reshape(h, w, channels)
+        out = np.zeros((h, w * channels * bps), dtype=np.uint8)
+        grid = out.reshape(h, w, channels * bps)
         offset = 0
         for x0, y0, dx, dy in (
             (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
@@ -538,39 +554,85 @@ def decode_png(data: bytes):
             ph = (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue
-            sub, offset = _png_unfilter(raw, offset, pw, ph, channels)
-            grid[y0::dy, x0::dx, :] = sub.reshape(ph, pw, channels)
+            sub, offset = _png_unfilter(raw, offset, pw, ph, channels, bps)
+            grid[y0::dy, x0::dx, :] = sub.reshape(ph, pw, channels * bps)
         if offset != len(raw):
             raise ValueError("PNG interlaced scanline data size mismatch")
-    if color == 3:  # palette: map index bytes through PLTE -> RGB
+    if color == 3:  # palette: map index bytes through PLTE
         table = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
         idx = out.reshape(h, w)
         if int(idx.max(initial=0)) >= table.shape[0]:
             raise ValueError("palette index out of PLTE range")
-        return table[idx]
-    return out.reshape(h, w, channels)
+        if trns is None:
+            return table[idx]
+        alpha_lut = np.full(table.shape[0], 255, dtype=np.uint8)
+        n_t = min(len(trns), table.shape[0])
+        alpha_lut[:n_t] = np.frombuffer(trns[:n_t], dtype=np.uint8)
+        return np.concatenate(
+            [table[idx], alpha_lut[idx][:, :, None]], axis=2
+        )
+    # sample values at the source depth (for tRNS keying + scaling)
+    if depth == 16:
+        b2 = out.reshape(h, w, channels, 2).astype(np.uint32)
+        samples = (b2[:, :, :, 0] << 8) | b2[:, :, :, 1]
+    else:
+        samples = out.reshape(h, w, channels).astype(np.uint32)
+    alpha = None
+    if trns is not None and color in (0, 2):
+        key = np.array(
+            [
+                int.from_bytes(trns[2 * c : 2 * c + 2], "big")
+                for c in range(channels)
+            ],
+            dtype=np.uint32,
+        )
+        if depth == 8:
+            key = key & 0xFF  # spec stores keys in 2 bytes at any depth
+        matches = (samples == key).all(axis=2)
+        alpha = np.where(matches, 0, 255).astype(np.uint8)
+    if depth == 16:
+        # round(v / 257): exact inverse of the v*257 8->16 expansion
+        px = ((samples + 128) // 257).astype(np.uint8)
+    else:
+        px = samples.astype(np.uint8)
+    if alpha is not None:
+        return np.concatenate([px, alpha[:, :, None]], axis=2)
+    return px
 
 
-def encode_png(arr, level: int = 6) -> bytes:
-    """Encode an (h, w) or (h, w, channels) uint8 array as an 8-bit
-    non-interlaced PNG (the ``decode_png`` inverse), cycling the row
-    filter through None/Sub/Up/Average/Paeth by row index so a
-    round-trip exercises EVERY unfilter path — used to synthesize
-    real compressed fixtures without PIL."""
+def encode_png(arr, level: int = 6, depth: int = 8, trns=None) -> bytes:
+    """Encode an (h, w) or (h, w, channels) array as a non-interlaced
+    PNG (the ``decode_png`` inverse), cycling the row filter through
+    None/Sub/Up/Average/Paeth by row index so a round-trip exercises
+    EVERY unfilter path — used to synthesize real compressed fixtures
+    without PIL.
+
+    ``depth=16`` takes uint16 samples and writes them big-endian
+    (filters run on the byte stream with a 2x pixel distance, per the
+    spec).  ``trns`` writes a tRNS transparent-color key: a (gray,)
+    or (r, g, b) tuple in SAMPLE units for color types 0/2."""
     import struct
     import zlib
 
     import numpy as np
 
-    a = np.asarray(arr, dtype=np.uint8)
+    if depth not in (8, 16):
+        raise ValueError("depth must be 8 or 16")
+    a = np.asarray(arr, dtype=np.uint8 if depth == 8 else np.uint16)
     if a.ndim == 2:
         a = a[:, :, None]
     h, w, ch = a.shape
     color = {1: 0, 2: 4, 3: 2, 4: 6}.get(ch)
     if color is None:
         raise ValueError(f"unsupported channel count {ch}")
-    flat = a.reshape(h, w * ch)
-    bpp = ch
+    if depth == 16:  # big-endian byte stream: filters see bytes
+        b2 = np.empty((h, w, ch, 2), dtype=np.uint8)
+        b2[:, :, :, 0] = a >> 8
+        b2[:, :, :, 1] = a & 0xFF
+        flat = b2.reshape(h, w * ch * 2)
+    else:
+        flat = a.reshape(h, w * ch)
+    bpp = ch * (depth // 8)
     pieces = []
     for r in range(h):
         cur = flat[r].astype(np.int16)
@@ -608,10 +670,15 @@ def encode_png(arr, level: int = 6) -> bytes:
             + (zlib.crc32(typ + payload) & 0xFFFFFFFF).to_bytes(4, "big")
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
-    return (
-        _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
-    )
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0)
+    pieces_out = _PNG_SIG + chunk(b"IHDR", ihdr)
+    if trns is not None:
+        if color not in (0, 2):
+            raise ValueError("trns key only valid for gray/RGB color types")
+        pieces_out += chunk(
+            b"tRNS", b"".join(int(v).to_bytes(2, "big") for v in trns)
+        )
+    return pieces_out + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
 
 
 def decode_image(data: bytes):

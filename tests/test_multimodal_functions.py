@@ -499,14 +499,23 @@ def test_png_decode_golden_bytes():
     assert got.shape == (4, 2, 3)
     assert (got == expected).all()
 
-    # honest seam: 16-bit depth
+    # 16-bit is now REAL (see test_png_16bit_depth_roundtrip_and_
+    # goldens); a 16-bit header over 8-bit-sized scanlines is a size
+    # error, and remaining unimplemented depths stay honest seams
     bad_ihdr = (
         (2).to_bytes(4, "big") + (4).to_bytes(4, "big")
         + bytes([16, 2, 0, 0, 0])
     )
     bad = sig + chunk(b"IHDR", bad_ihdr) + chunk(b"IDAT", comp) + chunk(b"IEND", b"")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_png(bad)
+    seam_ihdr = (
+        (2).to_bytes(4, "big") + (4).to_bytes(4, "big")
+        + bytes([4, 3, 0, 0, 0])  # 4-bit palette: sub-byte packing seam
+    )
+    seam = sig + chunk(b"IHDR", seam_ihdr) + chunk(b"IDAT", comp) + chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError):
+        decode_png(seam)
     with pytest.raises(ValueError):
         decode_png(b"\x89PNX" + data[4:])
 
@@ -911,3 +920,124 @@ def test_gif_animation_rejects_bad_metadata():
         encode_gif_animation([f, f], delays_cs=[1])
     with _pytest.raises(ValueError):
         encode_gif_animation([])
+
+
+def test_png_16bit_depth_roundtrip_and_goldens():
+    """16-bit PNG: byte-level filters at 2x pixel distance, big-endian
+    samples, round(v/257) scale-to-8 — a v*257 expansion of an 8-bit
+    image round-trips LOSSLESSLY through the 16-bit container."""
+    import numpy as np
+
+    from robosystems_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.RandomState(7)
+    for shape in [(6, 5, 3), (4, 4), (7, 3, 4), (5, 9, 2)]:
+        img8 = rng.randint(0, 256, size=shape, dtype=np.uint8)
+        img16 = img8.astype(np.uint16) * 257  # exact 8->16 expansion
+        got = decode_png(encode_png(img16, depth=16))
+        want = img8[:, :, None] if img8.ndim == 2 else img8
+        assert got.shape == want.shape
+        assert (got == want).all(), shape
+
+    # golden: known 16-bit values scale by round(v/257)
+    vals = np.array([[0, 257, 258, 65535, 32767, 128]], dtype=np.uint16)
+    got = decode_png(encode_png(vals, depth=16))
+    assert got.reshape(-1).tolist() == [0, 1, 1, 255, 127, 0]
+
+    # 16-bit Adam7 interlace: hand-build (encode_png is sequential)
+    import zlib
+
+    def chunk(typ, payload):
+        return (
+            len(payload).to_bytes(4, "big") + typ + payload
+            + (zlib.crc32(typ + payload) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    img8 = rng.randint(0, 256, size=(9, 5, 3), dtype=np.uint8)
+    img16 = img8.astype(np.uint16) * 257
+    h, w, ch = img16.shape
+    scan = bytearray()
+    for x0, y0, dx, dy in (
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    ):
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        sub = img16[y0::dy, x0::dx, :]
+        b2 = np.empty((ph, pw, ch, 2), dtype=np.uint8)
+        b2[:, :, :, 0] = sub >> 8
+        b2[:, :, :, 1] = sub & 0xFF
+        flat = b2.reshape(ph, pw * ch * 2)
+        for r in range(ph):
+            scan += b"\x00" + flat[r].tobytes()
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([16, 2, 0, 0, 1])
+    )
+    data = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(scan)))
+        + chunk(b"IEND", b"")
+    )
+    assert (decode_png(data) == img8).all()
+
+
+def test_png_trns_transparency():
+    """tRNS: palette per-entry alpha; gray/RGB color-key matching at
+    the source bit depth."""
+    import zlib
+
+    import numpy as np
+
+    from robosystems_spark.operators.multimodal import decode_png, encode_png
+
+    # RGB color key (8-bit): key pixels get alpha 0
+    img = np.zeros((2, 3, 3), np.uint8)
+    img[0, 0] = [10, 20, 30]
+    img[1, 2] = [10, 20, 30]
+    img[0, 1] = [10, 20, 31]  # near-miss must stay opaque
+    out = decode_png(encode_png(img, trns=(10, 20, 30)))
+    assert out.shape == (2, 3, 4)
+    assert out[0, 0, 3] == 0 and out[1, 2, 3] == 0
+    assert out[0, 1, 3] == 255 and out[1, 1, 3] == 255
+    assert (out[:, :, :3] == img).all()
+
+    # gray key at 16-bit: keyed at source depth BEFORE scaling
+    g16 = np.array([[1000, 1001], [65535, 1000]], dtype=np.uint16)
+    out = decode_png(encode_png(g16, depth=16, trns=(1000,)))
+    assert out.shape == (2, 2, 2)
+    assert out[0, 0, 1] == 0 and out[1, 1, 1] == 0
+    assert out[0, 1, 1] == 255 and out[1, 0, 1] == 255
+    # 1000/257 rounds to 4; near-key 1001 also scales to 4 but opaque
+    assert out[0, 0, 0] == 4 and out[0, 1, 0] == 4
+
+    # palette tRNS: per-entry alpha, missing entries opaque
+    def chunk(typ, payload):
+        return (
+            len(payload).to_bytes(4, "big") + typ + payload
+            + (zlib.crc32(typ + payload) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    pscan = b"\x00" + bytes([0, 1, 2]) + b"\x00" + bytes([2, 1, 0])
+    pihdr = (
+        (3).to_bytes(4, "big") + (2).to_bytes(4, "big")
+        + bytes([8, 3, 0, 0, 0])
+    )
+    pdata = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", pihdr) + chunk(b"PLTE", plte)
+        + chunk(b"tRNS", bytes([0, 128]))  # entry0 clear, entry1 half
+        + chunk(b"IDAT", zlib.compress(pscan)) + chunk(b"IEND", b"")
+    )
+    out = decode_png(pdata)
+    assert out.shape == (2, 3, 4)
+    assert out[0, 0].tolist() == [255, 0, 0, 0]
+    assert out[0, 1].tolist() == [0, 255, 0, 128]
+    assert out[0, 2].tolist() == [0, 0, 255, 255]  # beyond tRNS: opaque
+    # encoder refuses a tRNS key on alpha-bearing color types
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        encode_png(np.zeros((2, 2, 4), np.uint8), trns=(0, 0, 0))
