@@ -821,3 +821,103 @@ def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
     return link_prediction_jaccard(
         edges, max_neighbor_degree=40, topk=50
     )
+
+
+_SCC_EDGES_CTE = """e0 AS (
+  SELECT CAST(a.n_nationkey AS BIGINT) AS src,
+         CAST(COALESCE(
+           (SELECT MIN(b.n_nationkey) FROM nation b
+             WHERE b.n_regionkey = a.n_regionkey
+               AND b.n_nationkey > a.n_nationkey),
+           (SELECT MIN(b.n_nationkey) FROM nation b
+             WHERE b.n_regionkey = a.n_regionkey)) AS BIGINT) AS dst
+  FROM nation a
+  UNION ALL
+  SELECT CAST(x.m AS BIGINT), CAST(y.m AS BIGINT)
+  FROM (SELECT n_regionkey, MIN(n_nationkey) AS m FROM nation GROUP BY n_regionkey) x
+  JOIN (SELECT n_regionkey, MIN(n_nationkey) AS m FROM nation GROUP BY n_regionkey) y
+    ON y.n_regionkey = x.n_regionkey + 1
+  UNION ALL
+  SELECT CAST(m AS BIGINT), CAST(m + 100 AS BIGINT)
+  FROM (SELECT n_regionkey, MIN(n_nationkey) AS m FROM nation GROUP BY n_regionkey)
+)"""
+
+
+@register(
+    "graph_scc_components",
+    oracle=__import__(
+        "robosystems_spark.operators.graph", fromlist=["scc_oracle_sql"]
+    ).scc_oracle_sql(_SCC_EDGES_CTE),
+    doc="Strongly-connected components (directed) by forward-backward "
+    "min-label peeling over a nation-derived digraph: per-region "
+    "cyclic rings (5 nontrivial SCCs), one-directional bridges "
+    "between region minima (condensation DAG edges that must NOT "
+    "merge components), and dangling leaf nodes (singleton SCCs). "
+    "Oracle = mutual-reachability closure (DISTINCT-fixpoint "
+    "recursive CTE) with component = min of the mutual set.",
+    tags=("graph",),
+)
+def graph_scc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from robosystems_spark.operators.graph import strongly_connected_components
+
+    nation = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("n"),
+        F.col("n_regionkey").alias("r"),
+    )
+    win = Window.partitionBy("r").orderBy("n")
+    ring = nation.select(
+        F.col("n").alias("src"),
+        F.coalesce(
+            F.lead("n").over(win), F.min("n").over(Window.partitionBy("r"))
+        ).alias("dst"),
+    )
+    mins = nation.groupBy("r").agg(F.min("n").alias("m"))
+    bridge = (
+        mins.alias("x")
+        .join(mins.alias("y"), F.col("y.r") == F.col("x.r") + 1)
+        .select(F.col("x.m").alias("src"), F.col("y.m").alias("dst"))
+    )
+    leaf = mins.select(
+        F.col("m").alias("src"), (F.col("m") + 100).alias("dst")
+    )
+    edges = ring.unionByName(bridge).unionByName(leaf)
+    return strongly_connected_components(edges).orderBy("node")
+
+
+_HARMONIC_DEPTH = 3
+
+_HARMONIC_EDGES_CTE = """e0 AS (
+  SELECT CAST(c_custkey AS BIGINT) AS src,
+         CAST((c_custkey * 31 + 7) % (SELECT COUNT(*) FROM customer)
+              AS BIGINT) AS dst
+  FROM customer
+)"""
+
+
+@register(
+    "graph_harmonic_centrality",
+    oracle=__import__(
+        "robosystems_spark.operators.graph", fromlist=["harmonic_oracle_sql"]
+    ).harmonic_oracle_sql(_HARMONIC_EDGES_CTE, _HARMONIC_DEPTH),
+    doc="Bounded harmonic centrality (sum of 1/d over nodes within "
+    "depth 3) on the customer 'referral' functional digraph "
+    "(c -> (31c+7) mod N): multi-source BFS via the bounded_paths "
+    "frontier machinery, then counts-per-depth folded in a FIXED "
+    "order (c1/1 + c2/2 + c3/3) so Spark and the unrolled-BFS DuckDB "
+    "oracle compute bit-identical doubles before ROUND — the "
+    "distance-based centrality complementing PageRank/HITS.",
+    tags=("graph",),
+)
+def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from robosystems_spark.operators.graph import harmonic_centrality
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("src")
+    )
+    n = cust.agg(F.count("*").alias("_n"))
+    edges = cust.crossJoin(F.broadcast(n)).select(
+        "src", ((F.col("src") * 31 + 7) % F.col("_n")).alias("dst")
+    )
+    return harmonic_centrality(edges, max_depth=_HARMONIC_DEPTH).orderBy("node")

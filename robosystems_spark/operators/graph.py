@@ -1035,3 +1035,214 @@ def link_prediction_jaccard(
         .orderBy(F.desc("jaccard"), F.asc("u1"), F.asc("u2"))
         .limit(topk)
     )
+
+
+def _min_label_fixpoint(
+    edges: DataFrame, nodes: DataFrame, max_iters: int = 30
+) -> DataFrame:
+    """Directed min-label propagation to fixpoint: every node ends up
+    with the minimum id among its ANCESTORS (nodes that can reach it
+    along edge direction) plus itself.  One node-keyed join + one
+    groupBy-min per round, converging in O(longest min-carrying path)
+    rounds with an early-exit change check; per-round ``materialize``
+    keeps lineage flat.  Returns (node, lbl)."""
+    labels = nodes.withColumn("lbl", F.col("node")).transform(materialize)
+    for _ in range(max_iters):
+        pushed = (
+            edges.join(labels.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"), "lbl")
+        )
+        new_labels = (
+            labels.unionByName(pushed)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+            .transform(materialize)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 10,
+    max_label_iters: int = 30,
+) -> DataFrame:
+    """Strongly-connected components of a DIRECTED graph — the
+    directed sibling of ``connected_components`` (dependency graphs,
+    citation/link graphs).  Forward-backward min-label peeling
+    (the Orzan coloring idea with min-id colors):
+
+    Per round, over the remaining subgraph:
+    1. ``f(v)`` = min id among ancestors-of-v plus v (forward
+       fixpoint), ``b(v)`` = the same over descendants (backward
+       fixpoint — the reversed edges).
+    2. Nodes with ``f(v) == b(v) == m`` form COMPLETE SCCs whose
+       minimum member is ``m`` (m reaches v and v reaches m, and
+       since the whole SCC is inside both closures, m is its min):
+       assign component = m and remove them.
+    3. The SCC containing the remaining globally-minimal node always
+       satisfies the test, so every round peels at least one SCC —
+       and in practice every "locally minimal" SCC peels in
+       parallel, so rounds ~ depth of the condensation DAG, not the
+       SCC count.
+
+    Returns (node, component) with component = min node id of the
+    SCC, matching the mutual-reachability oracle
+    (``scc_oracle_sql``).  Scale shape: each fixpoint round is one
+    edge join + one hash min per iteration, state one row per node;
+    no driver-side graph state."""
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .transform(materialize)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .transform(materialize)
+    )
+    assigned = None
+    for _ in range(max_rounds):
+        if nodes.isEmpty():
+            break
+        f = _min_label_fixpoint(e, nodes, max_label_iters)
+        rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        b = _min_label_fixpoint(rev, nodes, max_label_iters)
+        scc = (
+            f.withColumnRenamed("lbl", "f")
+            .join(b.withColumnRenamed("lbl", "b"), "node")
+            .filter(F.col("f") == F.col("b"))
+            .select("node", F.col("f").alias("component"))
+            .transform(materialize)
+        )
+        assigned = (
+            scc if assigned is None else assigned.unionByName(scc)
+        ).transform(materialize)
+        nodes = nodes.join(scc, "node", "left_anti").transform(materialize)
+        e = (
+            e.join(nodes.withColumnRenamed("node", "src"), "src", "left_semi")
+            .join(nodes.withColumnRenamed("node", "dst"), "dst", "left_semi")
+            .transform(materialize)
+        )
+    return assigned
+
+
+def scc_oracle_sql(edges_cte: str) -> str:
+    """ANSI-SQL mutual-reachability oracle for ``strongly_connected_
+    components``: transitive closure via a DISTINCT-fixpoint recursive
+    CTE (terminates on cyclic graphs), then component(v) = min over
+    {v} and every u with reach(v,u) AND reach(u,v).  ``edges_cte``
+    must define ``e0(src, dst)``."""
+    return f"""
+    WITH RECURSIVE {edges_cte},
+    reach AS (
+      SELECT src, dst FROM e0
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN e0 e ON r.dst = e.src
+    ),
+    nodes AS (SELECT src AS node FROM e0 UNION SELECT dst FROM e0),
+    mutual AS (
+      SELECT a.src AS node, a.dst AS comp
+      FROM reach a JOIN reach b ON a.src = b.dst AND a.dst = b.src
+    ),
+    labeled AS (
+      SELECT node, node AS comp FROM nodes
+      UNION ALL
+      SELECT node, comp FROM mutual
+    )
+    SELECT node, MIN(comp) AS component
+    FROM labeled GROUP BY node ORDER BY node
+    """
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    max_depth: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    decimals: int = 6,
+) -> DataFrame:
+    """Bounded harmonic centrality: H(v) = sum over nodes u at
+    shortest-path distance d(u, v) <= max_depth of 1/d(u, v) — the
+    distance-based centrality complementing the eigenvector family
+    (PageRank/HITS).  Built on the ``bounded_paths`` frontier
+    machinery (min-depth BFS pairs), excluding self-pairs.
+
+    Cross-engine determinism: instead of SUM(1.0/depth) — whose
+    floating addition order is engine-dependent — counts per depth
+    are aggregated first and folded in a FIXED order
+    (c1/1 + c2/2 + ... + ck/k), so Spark and any SQL oracle compute
+    bit-identical doubles before the final ROUND.
+
+    Scale shape: bounded_paths is level-synchronous BFS with pair
+    dedup per level (state bounded by reachable PAIRS, never path
+    counts); the fold is one hash aggregate keyed by node."""
+    if max_depth < 1:
+        raise ValueError("max_depth must be >= 1")
+    pairs = bounded_paths(edges, max_depth, src_col, dst_col).filter(
+        F.col("src") != F.col("dst")
+    )
+    agg = pairs.groupBy(F.col("dst").alias("node")).agg(
+        *[
+            F.sum(F.when(F.col("depth") == d, 1).otherwise(0)).alias(f"c{d}")
+            for d in range(1, max_depth + 1)
+        ]
+    )
+    expr = F.lit(0.0)
+    for d in range(1, max_depth + 1):
+        expr = expr + F.col(f"c{d}") / F.lit(float(d))
+    return agg.select(
+        "node", F.round(expr, decimals).alias("harmonic")
+    )
+
+
+def harmonic_oracle_sql(edges_cte: str, max_depth: int, decimals: int = 6) -> str:
+    """ANSI-SQL oracle for ``harmonic_centrality``: unrolled min-depth
+    BFS (frontier d_k = neighbors of d_{k-1} EXCEPT already-reached,
+    the kcore_oracle_ctes discipline), then the SAME fixed-order
+    fold.  ``edges_cte`` must define ``e0(src, dst)``."""
+    parts = [
+        edges_cte,
+        "d1 AS MATERIALIZED (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst)",
+    ]
+    reached = "SELECT src, dst FROM d1"
+    for d in range(2, max_depth + 1):
+        prev = f"d{d - 1}"
+        parts.append(
+            f"""s{d} AS MATERIALIZED (
+      SELECT DISTINCT p.src, e.dst FROM {prev} p JOIN e0 e ON p.dst = e.src
+      WHERE p.src <> e.dst
+    )"""
+        )
+        parts.append(
+            f"d{d} AS MATERIALIZED (SELECT src, dst FROM s{d} EXCEPT ({reached}))"
+        )
+        reached = f"{reached} UNION SELECT src, dst FROM d{d}"
+    unions = " UNION ALL ".join(
+        f"SELECT src, dst, {d} AS depth FROM d{d}"
+        for d in range(1, max_depth + 1)
+    )
+    fold = " + ".join(
+        f"(SUM(CASE WHEN depth = {d} THEN 1 ELSE 0 END) / {float(d)})"
+        for d in range(1, max_depth + 1)
+    )
+    joined = ",\n    ".join(parts)
+    return f"""
+    WITH {joined},
+    pairs AS ({unions})
+    SELECT dst AS node,
+           ROUND(0.0 + {fold}, {decimals}) AS harmonic
+    FROM pairs GROUP BY dst ORDER BY node
+    """

@@ -263,3 +263,62 @@ def test_clustering_coefficient_known_graph(spark):
     assert out["b"] == (2, 1, 1.0)
     assert out["c"] == (3, 1, round(1 / 3, 6))
     assert "d" not in out
+
+
+def test_scc_known_graphs(spark):
+    """SCC goldens: two cycles + bridge + tail; a pure DAG (all
+    singletons); a single big cycle; disposal of cross-SCC edges."""
+    from robosystems_spark.operators.graph import strongly_connected_components
+
+    def run(edges):
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        return sorted(
+            (r["node"], r["component"])
+            for r in strongly_connected_components(df).collect()
+        )
+
+    # 1->2->3->1 cycle, bridge 3->4, 4<->5 cycle, tail 5->6
+    got = run([(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 4), (5, 6)])
+    assert got == [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 6)]
+
+    # DAG: every node its own SCC despite full weak connectivity
+    got = run([(1, 2), (1, 3), (2, 4), (3, 4)])
+    assert got == [(1, 1), (2, 2), (3, 3), (4, 4)]
+
+    # one big cycle: everything labeled by the minimum member
+    got = run([(5, 6), (6, 7), (7, 8), (8, 5)])
+    assert got == [(5, 5), (6, 5), (7, 5), (8, 5)]
+
+    # descending chain (worst case for naive peeling): singletons
+    got = run([(3, 2), (2, 1)])
+    assert got == [(1, 1), (2, 2), (3, 3)]
+
+
+def test_harmonic_centrality_star_golden(spark):
+    """Star graph golden: leaves -> hub.  H(hub) = (n-1)/1; each leaf
+    receives nothing (directed).  Reversed star: H(leaf) = 1."""
+    from robosystems_spark.operators.graph import harmonic_centrality
+
+    star = spark.createDataFrame(
+        [(i, 0) for i in range(1, 6)], ["src", "dst"]
+    )
+    got = {
+        r["node"]: r["harmonic"]
+        for r in harmonic_centrality(star, max_depth=3).collect()
+    }
+    assert got == {0: 5.0}
+
+    rev = spark.createDataFrame([(0, i) for i in range(1, 6)], ["src", "dst"])
+    got = {
+        r["node"]: r["harmonic"]
+        for r in harmonic_centrality(rev, max_depth=3).collect()
+    }
+    assert got == {i: 1.0 for i in range(1, 6)}
+
+    # path 1->2->3->4 at depth 3: H(4) = 1 + 1/2 + 1/3 = 1.833333
+    path = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["src", "dst"])
+    got = {
+        r["node"]: r["harmonic"]
+        for r in harmonic_centrality(path, max_depth=3).collect()
+    }
+    assert got[4] == 1.833333 and got[3] == 1.5 and got[2] == 1.0
