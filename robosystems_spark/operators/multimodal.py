@@ -417,19 +417,27 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
 def _png_unfilter(
-    raw: bytes, offset: int, w: int, h: int, channels: int, bps: int = 1
+    raw: bytes,
+    offset: int,
+    w: int,
+    h: int,
+    channels: int,
+    bps: int = 1,
+    stride_bytes: int | None = None,
 ) -> tuple:
     """Unfilter ``h`` scanlines of ``w`` pixels starting at ``offset``
-    in the inflated stream; returns ((h, w*channels*bps) uint8, new
-    offset).  Shared by the sequential path and each Adam7 pass (a
-    pass is an independently-filtered sub-image).  ``bps`` is bytes
-    per sample (2 for 16-bit depth): PNG filters operate on BYTES
-    with the pixel distance measured in bytes, so 16-bit support is
-    just a wider bpp."""
+    in the inflated stream; returns ((h, stride) uint8, new offset).
+    Shared by the sequential path and each Adam7 pass (a pass is an
+    independently-filtered sub-image).  ``bps`` is bytes per sample
+    (2 for 16-bit depth): PNG filters operate on BYTES with the pixel
+    distance measured in bytes, so 16-bit support is just a wider
+    bpp.  For sub-byte depths pass ``stride_bytes`` (the padded
+    scanline byte length); the filter distance is then one byte, per
+    the spec."""
     import numpy as np
 
-    stride = w * channels * bps
-    bpp = channels * bps  # filter distance in bytes
+    stride = stride_bytes if stride_bytes is not None else w * channels * bps
+    bpp = channels * bps if stride_bytes is None else 1
     if offset + h * (stride + 1) > len(raw):
         raise ValueError("PNG scanline data size mismatch")
     out = np.zeros((h, stride), dtype=np.uint8)
@@ -469,12 +477,13 @@ def _png_unfilter(
 
 
 def decode_png(data: bytes):
-    """Decode an 8-bit or 16-bit PNG (gray / RGB / gray+alpha / RGBA /
-    palette; sequential OR Adam7-interlaced), with tRNS transparency,
-    into an (h, w, channels) uint8 array — REAL decoding with nothing
-    but stdlib ``zlib`` and numpy: chunk walk, IDAT inflate, full
-    per-row unfiltering (None/Sub/Up/Average/Paeth), and 7-pass
-    de-interlace scatter.
+    """Decode a PNG at EVERY legal depth/color combination — 1/2/4-bit
+    gray and palette, 8-bit everything, 16-bit gray/RGB/alpha;
+    sequential OR Adam7-interlaced; with tRNS transparency — into an
+    (h, w, channels) uint8 array.  REAL decoding with nothing but
+    stdlib ``zlib`` and numpy: chunk walk, IDAT inflate, full per-row
+    unfiltering (None/Sub/Up/Average/Paeth), sub-byte MSB-first
+    unpacking, and 7-pass de-interlace scatter.
 
     16-bit samples (big-endian, common in scientific/medical imagery)
     are filtered at the byte level (PNG filters are byte filters with
@@ -520,9 +529,12 @@ def decode_png(data: bytes):
     w = int.from_bytes(ihdr[0:4], "big")
     h = int.from_bytes(ihdr[4:8], "big")
     depth, color, _comp, _filt, interlace = ihdr[8:13]
-    if depth not in (8, 16) or (depth == 16 and color == 3):
-        raise NotImplementedError(
-            f"{depth}-bit PNG color type {color} not supported"
+    sub_byte = depth in (1, 2, 4) and color in (0, 3)
+    if not sub_byte and (depth not in (8, 16) or (depth == 16 and color == 3)):
+        # every LEGAL depth/color combination decodes; what's left is
+        # spec-invalid (e.g. 4-bit RGB, 16-bit palette)
+        raise ValueError(
+            f"illegal PNG depth/color combination {depth}/{color}"
         )
     if interlace not in (0, 1):
         raise ValueError(f"unknown PNG interlace method {interlace}")
@@ -533,8 +545,64 @@ def decode_png(data: bytes):
         raise ValueError("palette PNG without a valid PLTE chunk")
     import zlib
 
-    bps = depth // 8
+    bps = max(1, depth // 8)
     raw = zlib.decompress(b"".join(idat))
+    if sub_byte:
+        # 1/2/4-bit gray or palette: filters run on the PADDED byte
+        # scanline with a one-byte pixel distance; samples are packed
+        # MSB-first and unpacked after unfiltering
+        def unpack(rows: "np.ndarray", pw: int) -> "np.ndarray":
+            bits = np.unpackbits(rows, axis=1)[:, : pw * depth]
+            if depth == 1:
+                return bits
+            g = bits.reshape(rows.shape[0], pw, depth)
+            weights = 1 << np.arange(depth - 1, -1, -1)
+            return (g * weights).sum(axis=2).astype(np.uint8)
+
+        if interlace == 0:
+            stride = (w * depth + 7) // 8
+            if len(raw) != h * (stride + 1):
+                raise ValueError("PNG scanline data size mismatch")
+            rows, _ = _png_unfilter(raw, 0, w, h, 1, stride_bytes=stride)
+            samples = unpack(rows, w)
+        else:
+            samples = np.zeros((h, w), dtype=np.uint8)
+            offset = 0
+            for x0, y0, dx, dy in (
+                (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+            ):
+                pw = (w - x0 + dx - 1) // dx
+                ph = (h - y0 + dy - 1) // dy
+                if pw <= 0 or ph <= 0:
+                    continue
+                pstride = (pw * depth + 7) // 8
+                sub, offset = _png_unfilter(
+                    raw, offset, pw, ph, 1, stride_bytes=pstride
+                )
+                samples[y0::dy, x0::dx] = unpack(sub, pw)
+            if offset != len(raw):
+                raise ValueError("PNG interlaced scanline data size mismatch")
+        if color == 3:
+            table = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+            if int(samples.max(initial=0)) >= table.shape[0]:
+                raise ValueError("palette index out of PLTE range")
+            if trns is None:
+                return table[samples]
+            alpha_lut = np.full(table.shape[0], 255, dtype=np.uint8)
+            n_t = min(len(trns), table.shape[0])
+            alpha_lut[:n_t] = np.frombuffer(trns[:n_t], dtype=np.uint8)
+            return np.concatenate(
+                [table[samples], alpha_lut[samples][:, :, None]], axis=2
+            )
+        # grayscale: exact scale-to-8 (255 divisible by 2^d - 1)
+        scale = 255 // ((1 << depth) - 1)
+        px = (samples * scale).astype(np.uint8)[:, :, None]
+        if trns is not None:
+            key = int.from_bytes(trns[0:2], "big") & ((1 << depth) - 1)
+            alpha = np.where(samples == key, 0, 255).astype(np.uint8)
+            return np.concatenate([px, alpha[:, :, None]], axis=2)
+        return px
     if interlace == 0:
         stride = w * channels * bps
         if len(raw) != h * (stride + 1):
@@ -687,7 +755,8 @@ def decode_image(data: bytes):
     JPEG (pure-numpy DCT + Huffman with 4:2:0/4:2:2 subsampling and
     restart intervals, operators/jpeg.py), and GIF (pure-Python LZW,
     operators/gif.py) all decode for REAL.  Remaining honest seams
-    live inside the codecs (12-bit/arithmetic JPEG, 16-bit PNG)."""
+    live inside the codecs (12-bit/arithmetic JPEG; PNG decodes at
+    every legal depth)."""
     if data[:2] == b"BM":
         return decode_bmp(data)
     if data[:2] == b"P6":

@@ -499,9 +499,9 @@ def test_png_decode_golden_bytes():
     assert got.shape == (4, 2, 3)
     assert (got == expected).all()
 
-    # 16-bit is now REAL (see test_png_16bit_depth_roundtrip_and_
-    # goldens); a 16-bit header over 8-bit-sized scanlines is a size
-    # error, and remaining unimplemented depths stay honest seams
+    # 16-bit and sub-byte depths are now REAL (see the dedicated
+    # tests); a 16-bit header over 8-bit-sized scanlines is a size
+    # error, and spec-ILLEGAL depth/color combos are rejected
     bad_ihdr = (
         (2).to_bytes(4, "big") + (4).to_bytes(4, "big")
         + bytes([16, 2, 0, 0, 0])
@@ -509,13 +509,16 @@ def test_png_decode_golden_bytes():
     bad = sig + chunk(b"IHDR", bad_ihdr) + chunk(b"IDAT", comp) + chunk(b"IEND", b"")
     with pytest.raises(ValueError):
         decode_png(bad)
-    seam_ihdr = (
+    illegal_ihdr = (
         (2).to_bytes(4, "big") + (4).to_bytes(4, "big")
-        + bytes([4, 3, 0, 0, 0])  # 4-bit palette: sub-byte packing seam
+        + bytes([4, 2, 0, 0, 0])  # 4-bit RGB does not exist in the spec
     )
-    seam = sig + chunk(b"IHDR", seam_ihdr) + chunk(b"IDAT", comp) + chunk(b"IEND", b"")
-    with pytest.raises(NotImplementedError):
-        decode_png(seam)
+    illegal = (
+        sig + chunk(b"IHDR", illegal_ihdr) + chunk(b"IDAT", comp)
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        decode_png(illegal)
     with pytest.raises(ValueError):
         decode_png(b"\x89PNX" + data[4:])
 
@@ -1041,3 +1044,123 @@ def test_png_trns_transparency():
 
     with _pytest.raises(ValueError):
         encode_png(np.zeros((2, 2, 4), np.uint8), trns=(0, 0, 0))
+
+
+def test_png_sub_byte_depths():
+    """1/2/4-bit PNG (gray + palette): filters run on the PADDED byte
+    scanline with one-byte pixel distance; samples unpack MSB-first;
+    gray scales exactly (255 divisible by 2^d-1).  Covers sequential
+    + Adam7, non-byte-aligned widths, Sub/Up filters, tRNS keys."""
+    import zlib
+
+    import numpy as np
+
+    from robosystems_spark.operators.multimodal import decode_png
+
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def chunk(typ, payload):
+        return (
+            len(payload).to_bytes(4, "big") + typ + payload
+            + (zlib.crc32(typ + payload) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    def pack_rows(samples, depth):
+        """(h, w) samples -> padded scanline bytes, MSB-first."""
+        h, w = samples.shape
+        rows = []
+        for r in range(h):
+            bits = np.zeros(w * depth, dtype=np.uint8)
+            for x in range(w):
+                v = int(samples[r, x])
+                for b in range(depth):
+                    bits[x * depth + b] = (v >> (depth - 1 - b)) & 1
+            rows.append(np.packbits(bits).tobytes())
+        return rows
+
+    def build(samples, depth, color, plte=None, trns=None, filters=None):
+        h, w = samples.shape
+        rows = pack_rows(samples, depth)
+        stride = (w * depth + 7) // 8
+        scan = bytearray()
+        prev = b"\x00" * stride
+        for r, row in enumerate(rows):
+            ft = (filters or [0] * h)[r]
+            if ft == 0:
+                scan += b"\x00" + row
+            elif ft == 1:  # Sub with bpp=1
+                arr = np.frombuffer(row, np.uint8).astype(np.int16)
+                left = np.concatenate([[0], arr[:-1]])
+                scan += b"\x01" + ((arr - left) & 0xFF).astype(np.uint8).tobytes()
+            elif ft == 2:  # Up
+                arr = np.frombuffer(row, np.uint8).astype(np.int16)
+                pr = np.frombuffer(prev, np.uint8).astype(np.int16)
+                scan += b"\x02" + ((arr - pr) & 0xFF).astype(np.uint8).tobytes()
+            prev = row
+        ihdr = (
+            w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([depth, color, 0, 0, 0])
+        )
+        out = sig + chunk(b"IHDR", ihdr)
+        if plte is not None:
+            out += chunk(b"PLTE", plte)
+        if trns is not None:
+            out += chunk(b"tRNS", trns)
+        return out + chunk(b"IDAT", zlib.compress(bytes(scan))) + chunk(b"IEND", b"")
+
+    rng = np.random.RandomState(11)
+    # gray at each depth, non-byte-aligned width, mixed filters
+    for depth in (1, 2, 4):
+        maxv = (1 << depth) - 1
+        s = rng.randint(0, maxv + 1, size=(5, 11)).astype(np.uint8)
+        got = decode_png(build(s, depth, 0, filters=[0, 1, 2, 1, 2]))
+        scale = 255 // maxv
+        assert got.shape == (5, 11, 1)
+        assert (got[:, :, 0] == s * scale).all(), depth
+
+    # 2-bit palette
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9])
+    s = np.array([[0, 1, 2, 3, 0], [3, 2, 1, 0, 1]], dtype=np.uint8)
+    got = decode_png(build(s, 2, 3, plte=plte))
+    assert got.shape == (2, 5, 3)
+    assert got[0, 3].tolist() == [9, 9, 9] and got[1, 0].tolist() == [9, 9, 9]
+    assert got[0, 0].tolist() == [255, 0, 0]
+
+    # 4-bit palette + tRNS per-entry alpha
+    plte4 = bytes(bytearray(range(48)))  # 16 entries
+    s = np.array([[0, 5, 15], [7, 0, 3]], dtype=np.uint8)
+    got = decode_png(build(s, 4, 3, plte=plte4, trns=bytes([0, 200])))
+    assert got.shape == (2, 3, 4)
+    assert got[0, 0, 3] == 0 and got[1, 1, 3] == 0      # entry 0 clear
+    assert got[0, 1, 3] == 255 and got[1, 0, 3] == 255  # beyond tRNS
+    assert got[0, 1, :3].tolist() == [15, 16, 17]
+
+    # 1-bit gray with tRNS key (white transparent)
+    s = np.array([[1, 0, 1, 1]], dtype=np.uint8)
+    got = decode_png(build(s, 1, 0, trns=(1).to_bytes(2, "big")))
+    assert got.shape == (1, 4, 2)
+    assert got[0, :, 0].tolist() == [255, 0, 255, 255]
+    assert got[0, :, 1].tolist() == [0, 255, 0, 0]
+
+    # Adam7 at 2-bit: scatter on the sample grid, per-pass strides
+    s = rng.randint(0, 4, size=(9, 7)).astype(np.uint8)
+    scan = bytearray()
+    for x0, y0, dx, dy in (
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    ):
+        sub = s[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for row in pack_rows(sub, 2):
+            scan += b"\x00" + row
+    ihdr = (
+        (7).to_bytes(4, "big") + (9).to_bytes(4, "big")
+        + bytes([2, 0, 0, 0, 1])
+    )
+    data = (
+        sig + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(scan))) + chunk(b"IEND", b"")
+    )
+    got = decode_png(data)
+    assert (got[:, :, 0] == s * 85).all()
