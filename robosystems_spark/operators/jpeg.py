@@ -603,12 +603,55 @@ def _quantized_blocks(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
     return out
 
 
+class _ProgScanWriter:
+    """Per-scan bit writer with restart-interval support: pads to the
+    byte boundary and emits RSTn between intervals (never after the
+    final MCU).  Scan encoders must flush any open EOB run BEFORE a
+    boundary (``next_is_boundary``) — a restart closes the run — and
+    reset their DC predictors when ``end_mcu`` reports a restart."""
+
+    def __init__(self, out: bytearray, restart_interval: int, total_mcus: int):
+        self.out = out
+        self.interval = restart_interval
+        self.total = total_mcus
+        self.mcu = 0
+        self.rst = 0
+        self.writer = _BitWriter()
+
+    def write(self, code: int, length: int) -> None:
+        self.writer.write(code, length)
+
+    def next_is_boundary(self) -> bool:
+        nxt = self.mcu + 1
+        return bool(
+            self.interval and nxt < self.total and nxt % self.interval == 0
+        )
+
+    def end_mcu(self) -> bool:
+        self.mcu += 1
+        if (
+            self.interval
+            and self.mcu < self.total
+            and self.mcu % self.interval == 0
+        ):
+            self.out.extend(self.writer.flush())
+            self.writer = _BitWriter()
+            self.out.extend(bytes([0xFF, 0xD0 + self.rst]))
+            self.rst = (self.rst + 1) % 8
+            return True
+        return False
+
+    def finish(self) -> None:
+        self.out.extend(self.writer.flush())
+
+
 def encode_jpeg_progressive(
     arr: np.ndarray,
     q_luma=None,
     q_chroma=None,
     subsample: bool = False,
     scans: list | None = None,
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode an RGB/grayscale uint8 array as a progressive (SOF2)
     JFIF JPEG with spectral selection + successive approximation.
@@ -618,7 +661,9 @@ def encode_jpeg_progressive(
     must reproduce the baseline encoding's pixels exactly.  ``scans``
     overrides the default script with (comp_idxs, Ss, Se, Ah, Al)
     tuples (successive approximation must step Al down by exactly 1
-    with Ah = previous Al, per G.1.1.1.1)."""
+    with Ah = previous Al, per G.1.1.1.1).  ``restart_interval``
+    emits DRI + per-scan RSTn markers (resetting DC predictors and
+    EOB runs at each boundary, as the decoder's resync expects)."""
     a = np.asarray(arr, dtype=np.uint8)
     gray = a.ndim == 2
     h, w = a.shape[:2]
@@ -680,6 +725,8 @@ def encode_jpeg_progressive(
     out += seg(0xC2, sof)  # SOF2: progressive DCT, Huffman
     out += seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
     out += seg(0xC4, bytes([0x10]) + bytes(_AC_BITS_PROG) + bytes(_AC_VALS_PROG))
+    if restart_interval:
+        out += seg(0xDD, restart_interval.to_bytes(2, "big"))
 
     for comp_idxs, ss, se, ah, al in (scans or _default_scan_script(ncomp)):
         sos = bytes([len(comp_idxs)])
@@ -687,23 +734,28 @@ def encode_jpeg_progressive(
             sos += bytes([ci + 1, 0x00])
         sos += bytes([ss, se, (ah << 4) | al])
         out += seg(0xDA, sos)
-        writer = _BitWriter()
+        if ss == 0 and len(comp_idxs) > 1:
+            total = mcus_x * mcus_y
+        else:
+            bh, bw = eff[comp_idxs[0]]
+            total = bh * bw
+        psw = _ProgScanWriter(out, restart_interval, total)
         if ss == 0:
             _encode_dc_scan(
-                writer, coefs, comp_idxs, samp, eff, mcus_x, mcus_y,
+                psw, coefs, comp_idxs, samp, eff, mcus_x, mcus_y,
                 ah, al, dc_codes,
             )
         elif ah == 0:
             _encode_ac_first_scan(
-                writer, coefs[comp_idxs[0]], eff[comp_idxs[0]],
+                psw, coefs[comp_idxs[0]], eff[comp_idxs[0]],
                 ss, se, al, ac_codes,
             )
         else:
             _encode_ac_refine_scan(
-                writer, coefs[comp_idxs[0]], eff[comp_idxs[0]],
+                psw, coefs[comp_idxs[0]], eff[comp_idxs[0]],
                 ss, se, al, ac_codes,
             )
-        out += writer.flush()
+        psw.finish()
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -732,6 +784,8 @@ def _encode_dc_scan(
                                     writer.write(_amplitude_bits(diff, size), size)
                             else:
                                 writer.write((dc >> al) & 1, 1)
+                if writer.end_mcu():
+                    prev = {ci: 0 for ci in comp_idxs}
     else:
         ci = comp_idxs[0]
         bh, bw = eff[ci]
@@ -749,6 +803,8 @@ def _encode_dc_scan(
                         writer.write(_amplitude_bits(diff, size), size)
                 else:
                     writer.write((dc >> al) & 1, 1)
+                if writer.end_mcu():
+                    prev_dc = 0
 
 
 def _encode_ac_first_scan(writer, coef, eff_dims, ss, se, al, ac_codes):
@@ -782,6 +838,9 @@ def _encode_ac_first_scan(writer, coef, eff_dims, ss, se, al, ac_codes):
                 eobrun += 1
                 if eobrun == 0x7FFF:
                     flush_eob()
+                if writer.next_is_boundary():
+                    flush_eob()
+                writer.end_mcu()
                 continue
             flush_eob()
             run = 0
@@ -801,6 +860,9 @@ def _encode_ac_first_scan(writer, coef, eff_dims, ss, se, al, ac_codes):
                 run = 0
             if last_nz < se - ss:
                 eobrun = 1
+            if writer.next_is_boundary():
+                flush_eob()  # a restart closes any open EOB run
+            writer.end_mcu()
     flush_eob()
 
 
@@ -869,6 +931,9 @@ def _encode_ac_refine_scan(writer, coef, eff_dims, ss, se, al, ac_codes):
                 pending.extend(br)
                 if eobrun == 0x7FFF:
                     flush_eob()
+            if writer.next_is_boundary():
+                flush_eob()  # restart closes the run + owed bits
+            writer.end_mcu()
     flush_eob()
 
 

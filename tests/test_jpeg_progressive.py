@@ -137,3 +137,33 @@ def test_decode_image_dispatches_progressive():
     img = _rng_img(16, 16, seed=21)
     out = decode_image(encode_jpeg_progressive(img))
     assert out.shape == (16, 16, 3)
+
+
+@pytest.mark.parametrize("interval", [1, 2, 5])
+def test_progressive_restart_intervals(interval):
+    """DRI + RSTn in progressive scans: the decoder must re-sync at
+    byte boundaries, resetting DC predictors AND the EOB run, in
+    every scan kind (DC first/refine, AC first, AC refinement)."""
+    img = _rng_img(32, 24, seed=17)
+    data = encode_jpeg_progressive(img, restart_interval=interval)
+    assert b"\xff\xdd" in data  # DRI present
+    assert any(bytes([0xFF, 0xD0 + i]) in data for i in range(8))
+    base = decode_jpeg(encode_jpeg(img))
+    np.testing.assert_array_equal(decode_jpeg(data), base)
+
+
+def test_progressive_restart_with_eobrun_and_420():
+    """Smooth image (long EOB runs crossing would-be boundaries — the
+    encoder must close the run before each RSTn) and 4:2:0 MCU
+    geometry under restarts."""
+    img = _rng_img(64, 48, smooth=True, seed=19)
+    base = decode_jpeg(encode_jpeg(img))
+    got = decode_jpeg(encode_jpeg_progressive(img, restart_interval=3))
+    np.testing.assert_array_equal(got, base)
+
+    img2 = _rng_img(48, 32, seed=23)
+    base2 = decode_jpeg(encode_jpeg(img2, subsample=True))
+    got2 = decode_jpeg(
+        encode_jpeg_progressive(img2, subsample=True, restart_interval=2)
+    )
+    np.testing.assert_array_equal(got2, base2)
