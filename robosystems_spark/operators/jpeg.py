@@ -16,9 +16,11 @@ correctness).
 Restart intervals (DRI + RSTn markers, common in camera files)
 are honored on both sides: the decoder re-syncs at the byte boundary
 and resets DC predictors (and EOBRUN, in progressive scans); the
-baseline encoder emits them via ``restart_interval``.  Honest seams:
-arithmetic coding, 12-bit depth, non-interleaved multi-scan
-baseline, and sampling factors > 2 raise ``NotImplementedError`` —
+baseline encoder emits them via ``restart_interval``.
+Non-interleaved baseline (one SOS per component, Ns<Nf) decodes via
+the same multi-scan coefficient-accumulation path as progressive.
+Honest seams: arithmetic coding, 12-bit depth, and sampling
+factors > 2 raise ``NotImplementedError`` —
 each is a decode-path variant, not a new idea; the implemented paths
 cover the round-trip semantics (DCT, quantization, zigzag, DC
 prediction, run-length + Huffman entropy coding, byte stuffing,
@@ -444,11 +446,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 scan_comps.append((cid, tabs >> 4, tabs & 0x0F))
             if len(scan_comps) != len(comps):
                 # Legal baseline streams may split components across
-                # several SOS segments; decoding only the first would
-                # silently zero the remaining planes.  Fail loudly.
-                raise NotImplementedError(
-                    "non-interleaved baseline JPEG (Ns < Nf multi-scan)"
-                )
+                # several SOS segments (non-interleaved): decode via
+                # the multi-scan coefficient-accumulation path the
+                # progressive decoder uses
+                return _decode_multiscan(data, progressive=False)
             scan_start = i + 2 + length
             break
         i += 2 + length
@@ -938,14 +939,27 @@ def _encode_ac_refine_scan(writer, coef, eff_dims, ss, se, al, ac_codes):
 
 
 def _decode_progressive(data: bytes) -> np.ndarray:
-    """Decode a progressive (SOF2, Huffman) JPEG: any number of scans
-    with spectral selection (Ss..Se) and successive approximation
-    (Ah/Al) — DC first/refine, AC first with EOBRUN, AC refinement
-    with correction bits (T.81 G.2; the jdphuff-documented decode
-    order).  Coefficients accumulate across scans; dequantization,
-    IDCT, chroma upsampling, and color conversion run once at the end,
-    identically to the baseline path — so a progressive re-encode of a
-    baseline stream decodes to the SAME pixels."""
+    return _decode_multiscan(data, progressive=True)
+
+
+def _decode_multiscan(data: bytes, progressive: bool) -> np.ndarray:
+    """Decode a multi-scan JPEG into per-component coefficient arrays,
+    then reconstruct once.
+
+    ``progressive=True`` (SOF2): any number of scans with spectral
+    selection (Ss..Se) and successive approximation (Ah/Al) — DC
+    first/refine, AC first with EOBRUN, AC refinement with correction
+    bits (T.81 G.2; the jdphuff-documented decode order).
+
+    ``progressive=False`` (SOF0): NON-INTERLEAVED baseline — each SOS
+    carries a subset of components coded as full blocks (DC diff + AC
+    run-length) in effective-grid raster order (MCU order when Ns>1).
+
+    Coefficients accumulate across scans; dequantization, IDCT,
+    chroma upsampling, and color conversion run once at the end,
+    identically to the single-scan path — so a progressive or
+    non-interleaved re-encode of a stream decodes to the SAME
+    pixels."""
     i = 2
     restart_interval = 0
     qtabs: dict[int, np.ndarray] = {}
@@ -967,7 +981,9 @@ def _decode_progressive(data: bytes) -> np.ndarray:
             _parse_dqt(payload, qtabs)
         elif marker == 0xC4:
             _parse_dht(payload, htabs)
-        elif marker == 0xC2:  # SOF2
+        elif marker in (0xC0, 0xC2):  # SOF0 (multi-scan baseline) / SOF2
+            if (marker == 0xC2) != progressive:
+                raise ValueError("SOF marker inconsistent with scan mode")
             precision = payload[0]
             if precision != 8:
                 raise NotImplementedError(f"{precision}-bit JPEG")
@@ -995,8 +1011,8 @@ def _decode_progressive(data: bytes) -> np.ndarray:
                 comp_h = -(-hh * vi // vmax)
                 comp_w = -(-ww * hi // hmax)
                 eff[cid] = (-(-comp_h // 8), -(-comp_w // 8))
-        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-            raise ValueError("mixed/unsupported SOF in progressive stream")
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("mixed/unsupported SOF in multi-scan stream")
         elif marker == 0xDD:
             restart_interval = int.from_bytes(payload[:2], "big")
         elif marker == 0xDA:
@@ -1015,6 +1031,7 @@ def _decode_progressive(data: bytes) -> np.ndarray:
             i = _decode_prog_scan(
                 data, i + 2 + length, scan_comps, ss, se, ah, al,
                 meta, eff, geom, coefs, htabs, restart_interval,
+                progressive,
             )
             continue
         i += 2 + length
@@ -1049,21 +1066,25 @@ def _decode_progressive(data: bytes) -> np.ndarray:
 
 def _decode_prog_scan(
     data, pos, scan_comps, ss, se, ah, al, meta, eff, geom, coefs, htabs,
-    restart_interval,
+    restart_interval, progressive=True,
 ):
-    """Decode one progressive scan's entropy data; returns the index
-    of the next marker after the scan."""
+    """Decode one scan's entropy data (progressive passes, or full
+    baseline blocks when ``progressive=False``); returns the index of
+    the next marker after the scan."""
     mcus_x, mcus_y, hmax, vmax = geom
     reader = _BitReader(data, pos)
     eobrun = 0
     prev = {cid: 0 for cid, _, _ in scan_comps}
-    is_dc = ss == 0
-    if is_dc and se != 0:
-        raise ValueError("DC scan must have Se=0")
-    if not is_dc and len(scan_comps) != 1:
-        raise ValueError("progressive AC scans carry exactly one component")
-    if ah != 0 and ah != al + 1:
-        raise ValueError("successive approximation must step Al by 1")
+    if progressive:
+        is_dc = ss == 0
+        if is_dc and se != 0:
+            raise ValueError("DC scan must have Se=0")
+        if not is_dc and len(scan_comps) != 1:
+            raise ValueError("progressive AC scans carry exactly one component")
+        if ah != 0 and ah != al + 1:
+            raise ValueError("successive approximation must step Al by 1")
+    else:
+        is_dc = True  # baseline scans use MCU geometry when Ns>1
 
     def resync():
         nonlocal eobrun
@@ -1155,18 +1176,50 @@ def _decode_prog_scan(
                     k += 1
                 eobrun -= 1
 
+    def decode_full(cid, dct, act, by, bx):
+        # baseline block: DC diff + AC run-length straight into the
+        # coefficient array (the single-scan fast path's read_block,
+        # minus dequant/IDCT, which run once at the end)
+        block = coefs[cid][by, bx]
+        size = reader.huff(htabs[(0, dct)])
+        diff = _extend(reader.bits(size), size)
+        prev[cid] += diff
+        block[0] = prev[cid]
+        k = 1
+        while k < 64:
+            sym = reader.huff(htabs[(1, act)])
+            if sym == 0x00:  # EOB
+                break
+            run, size = sym >> 4, sym & 0x0F
+            if size == 0:
+                if run == 15:  # ZRL
+                    k += 16
+                    continue
+                raise ValueError("invalid AC symbol")
+            k += run
+            if k >= 64:
+                raise ValueError("AC run past block end")
+            block[k] = _extend(reader.bits(size), size)
+            k += 1
+
     mcu_count = 0
-    if is_dc and len(scan_comps) > 1:  # interleaved DC scan (MCU order)
+    if is_dc and len(scan_comps) > 1:  # interleaved scan (MCU order)
         for my in range(mcus_y):
             for mx in range(mcus_x):
                 if restart_interval and mcu_count and mcu_count % restart_interval == 0:
                     resync()
                 mcu_count += 1
-                for cid, dct, _act in scan_comps:
+                for cid, dct, act in scan_comps:
                     _tq, hi, vi = meta[cid]
                     for byi in range(vi):
                         for bxi in range(hi):
-                            decode_dc(cid, dct, my * vi + byi, mx * hi + bxi)
+                            if progressive:
+                                decode_dc(cid, dct, my * vi + byi, mx * hi + bxi)
+                            else:
+                                decode_full(
+                                    cid, dct, act,
+                                    my * vi + byi, mx * hi + bxi,
+                                )
     else:  # single-component scan: effective-grid raster order
         cid, dct, act = scan_comps[0]
         bh, bw = eff[cid]
@@ -1175,7 +1228,9 @@ def _decode_prog_scan(
                 if restart_interval and mcu_count and mcu_count % restart_interval == 0:
                     resync()
                 mcu_count += 1
-                if is_dc:
+                if not progressive:
+                    decode_full(cid, dct, act, by, bx)
+                elif is_dc:
                     decode_dc(cid, dct, by, bx)
                 else:
                     decode_ac(cid, act, by, bx)
@@ -1191,3 +1246,116 @@ def _decode_prog_scan(
             return p
         p += 1
     return len(data)
+
+
+def _write_block_coefs(writer, zz, dc_codes, ac_codes, prev_dc: int) -> int:
+    """Entropy-code one block from precomputed zigzag coefficients
+    (the tail of ``_write_block``, reused where quantization already
+    happened); returns the new DC predictor."""
+    diff = int(zz[0]) - prev_dc
+    size = _category(diff)
+    c, ln = dc_codes[size]
+    writer.write(c, ln)
+    if size:
+        writer.write(_amplitude_bits(diff, size), size)
+    run = 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            zc, zl = ac_codes[0xF0]
+            writer.write(zc, zl)
+            run -= 16
+        size = _category(v)
+        c, ln = ac_codes[(run << 4) | size]
+        writer.write(c, ln)
+        writer.write(_amplitude_bits(v, size), size)
+        run = 0
+    if run:
+        ec, el = ac_codes[0x00]
+        writer.write(ec, el)
+    return int(zz[0])
+
+
+def encode_jpeg_noninterleaved(
+    arr: np.ndarray,
+    q_luma=None,
+    q_chroma=None,
+    subsample: bool = False,
+) -> bytes:
+    """Encode a baseline (SOF0) JPEG with one SOS PER COMPONENT
+    (Ns=1 non-interleaved scans, T.81 A.2.2) — the legal baseline
+    layout some encoders emit that an interleaved-only decoder would
+    silently mis-decode.  Identical quantized coefficients to
+    ``encode_jpeg``, so decode must match the interleaved encoding
+    pixel for pixel."""
+    a = np.asarray(arr, dtype=np.uint8)
+    gray = a.ndim == 2
+    h, w = a.shape[:2]
+    qy = np.asarray(q_luma if q_luma is not None else _Q_LUMA, dtype=np.int32)
+    qc = np.asarray(q_chroma if q_chroma is not None else _Q_CHROMA, dtype=np.int32)
+
+    mcu = 16 if (subsample and not gray) else 8
+    ph, pw = -(-h // mcu) * mcu, -(-w // mcu) * mcu
+    if gray:
+        planes = [np.pad(a.astype(np.float64), ((0, ph - h), (0, pw - w)), mode="edge")]
+    else:
+        ycc = _rgb_to_ycbcr(a)
+        planes = [
+            np.pad(ycc[:, :, i], ((0, ph - h), (0, pw - w)), mode="edge")
+            for i in range(3)
+        ]
+        if subsample:
+            for i in (1, 2):
+                p = planes[i]
+                planes[i] = (
+                    p[0::2, 0::2] + p[1::2, 0::2] + p[0::2, 1::2] + p[1::2, 1::2]
+                ) / 4.0
+
+    ncomp = 1 if gray else 3
+    samp = [(2, 2) if (subsample and ci == 0) else (1, 1) for ci in range(ncomp)] \
+        if (subsample and not gray) else [(1, 1)] * ncomp
+    hmax = max(x for x, _ in samp)
+    vmax = max(y for _, y in samp)
+    coefs = [
+        _quantized_blocks(planes[ci], qy if ci == 0 else qc)
+        for ci in range(ncomp)
+    ]
+
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00]) + bytes(int(v) for v in qy.flatten()[_ZIGZAG]))
+    if not gray:
+        out += seg(0xDB, bytes([0x01]) + bytes(int(v) for v in qc.flatten()[_ZIGZAG]))
+    y_samp = (samp[0][0] << 4) | samp[0][1]
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
+    for ci in range(ncomp):
+        hi, vi = samp[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, 0 if ci == 0 else 1])
+    out += seg(0xC0, sof)
+    out += seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+    out += seg(0xC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
+
+    for ci in range(ncomp):
+        hi, vi = samp[ci]
+        bh = -(-(-(-h * vi // vmax)) // 8)
+        bw = -(-(-(-w * hi // hmax)) // 8)
+        out += seg(0xDA, bytes([1, ci + 1, 0x00, 0, 63, 0]))
+        writer = _BitWriter()
+        prev_dc = 0
+        for by in range(bh):
+            for bx in range(bw):
+                prev_dc = _write_block_coefs(
+                    writer, coefs[ci][by, bx], dc_codes, ac_codes, prev_dc
+                )
+        out += writer.flush()
+    out += b"\xff\xd9"
+    return bytes(out)

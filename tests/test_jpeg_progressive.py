@@ -167,3 +167,28 @@ def test_progressive_restart_with_eobrun_and_420():
         encode_jpeg_progressive(img2, subsample=True, restart_interval=2)
     )
     np.testing.assert_array_equal(got2, base2)
+
+
+@pytest.mark.parametrize("h,w,sub", [(16, 16, False), (24, 17, False), (40, 26, True), (21, 19, None)])
+def test_noninterleaved_baseline_equals_interleaved(h, w, sub):
+    """Non-interleaved baseline (one SOS per component, Ns=1): same
+    quantized coefficients as interleaved, so decode must match
+    pixel for pixel — including 4:2:0 effective-grid geometry and
+    grayscale (sub=None)."""
+    from robosystems_spark.operators.jpeg import encode_jpeg_noninterleaved
+
+    if sub is None:
+        img = np.asarray(_rng_img(h, w, ch=None, seed=29), dtype=np.uint8)
+        base = decode_jpeg(encode_jpeg(img))
+        got = decode_jpeg(encode_jpeg_noninterleaved(img))
+    else:
+        img = _rng_img(h, w, seed=29)
+        base = decode_jpeg(encode_jpeg(img, subsample=sub))
+        got = decode_jpeg(encode_jpeg_noninterleaved(img, subsample=sub))
+    np.testing.assert_array_equal(got, base)
+    data = (
+        encode_jpeg_noninterleaved(img)
+        if sub is None
+        else encode_jpeg_noninterleaved(img, subsample=sub)
+    )
+    assert data.count(b"\xff\xda") == (1 if sub is None else 3)
