@@ -775,9 +775,13 @@ def decode_image(data: bytes):
 
 
 def decode_wav_pcm(data: bytes):
-    """Decode integer-PCM WAV into ((n_samples, channels) int32 array,
+    """Decode WAV into ((n_samples, channels) int32 array,
     sample_rate) — real RIFF chunk walking (fmt /data in any order,
-    odd-size chunk padding), 8-bit unsigned and 16-bit signed PCM."""
+    odd-size chunk padding).  Integer PCM at 8 (unsigned-offset),
+    16, 24 (packed 3-byte), and 32 bits; IEEE float 32/64 (format 3,
+    scaled from [-1, 1] to the int32 domain); and
+    WAVE_FORMAT_EXTENSIBLE (0xFFFE) with the real code read from the
+    SubFormat GUID.  Remaining seams: ADPCM and mu-law."""
     import numpy as np
 
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
@@ -798,9 +802,33 @@ def decode_wav_pcm(data: bytes):
     channels = int.from_bytes(fmt[2:4], "little")
     rate = int.from_bytes(fmt[4:8], "little")
     bits = int.from_bytes(fmt[14:16], "little")
-    if audio_format != 1:
-        raise NotImplementedError("non-PCM WAV (float/ADPCM) not supported")
-    if bits == 16:
+    if audio_format == 0xFFFE:
+        # WAVE_FORMAT_EXTENSIBLE (the standard container for >2
+        # channels and 24-bit): the REAL format code is the first two
+        # bytes of the SubFormat GUID in the fmt extension
+        if len(fmt) < 26:
+            raise ValueError("EXTENSIBLE fmt chunk too short")
+        audio_format = int.from_bytes(fmt[24:26], "little")
+    if audio_format == 3:  # IEEE float
+        if bits == 32:
+            f = np.frombuffer(body, dtype="<f4", count=len(body) // 4)
+        elif bits == 64:
+            f = np.frombuffer(body, dtype="<f8", count=len(body) // 8)
+        else:
+            raise ValueError(f"{bits}-bit IEEE-float WAV is not legal")
+        # float WAV is nominally in [-1, 1]: scale to the int32 domain
+        # the integer paths use (exact for fixture values on the
+        # 2^31-scaled lattice), clamping like every PCM converter
+        samples = np.clip(
+            np.round(f.astype(np.float64) * 2147483647.0),
+            -2147483648,
+            2147483647,
+        ).astype(np.int64).astype(np.int32)
+    elif audio_format != 1:
+        raise NotImplementedError(
+            f"WAV format {audio_format} (ADPCM/mu-law) not supported"
+        )
+    elif bits == 16:
         samples = np.frombuffer(
             body, dtype="<i2", count=len(body) // 2
         ).astype(np.int32)
@@ -808,25 +836,87 @@ def decode_wav_pcm(data: bytes):
         samples = (
             np.frombuffer(body, dtype=np.uint8).astype(np.int32) - 128
         )
+    elif bits == 24:
+        # 3-byte little-endian signed: widen via zero-padded uint8
+        # view, then arithmetic shift to sign-extend
+        n3 = (len(body) // 3) * 3
+        b = np.frombuffer(body, dtype=np.uint8, count=n3).reshape(-1, 3)
+        wide = np.zeros((b.shape[0], 4), dtype=np.uint8)
+        wide[:, 1:] = b
+        samples = (wide.view("<i4").reshape(-1)) >> 8
+    elif bits == 32:
+        samples = np.frombuffer(body, dtype="<i4", count=len(body) // 4).copy()
     else:
-        raise NotImplementedError(f"{bits}-bit PCM not supported (8/16 only)")
+        raise NotImplementedError(
+            f"{bits}-bit PCM not supported (8/16/24/32)"
+        )
     n = (samples.size // channels) * channels
     return samples[:n].reshape(-1, channels), rate
 
 
-def encode_wav_pcm(samples, rate: int, channels: int = 1) -> bytes:
-    """Encode int16 samples as a PCM WAV (decode_wav_pcm inverse)."""
+def encode_wav_pcm(
+    samples,
+    rate: int,
+    channels: int = 1,
+    bits: int = 16,
+    float_format: bool = False,
+    extensible: bool = False,
+) -> bytes:
+    """Encode samples as a WAV (decode_wav_pcm inverse).
+
+    ``bits`` ∈ {8, 16, 24, 32} for integer PCM (8-bit stored
+    unsigned-offset, 24-bit packed 3-byte little-endian);
+    ``float_format=True`` writes IEEE-float (format 3, bits 32/64)
+    from samples in [-1, 1]; ``extensible=True`` wraps the format in
+    a WAVE_FORMAT_EXTENSIBLE fmt chunk (SubFormat GUID), the layout
+    real encoders use for >2 channels and 24-bit."""
     import numpy as np
 
-    body = np.asarray(samples, dtype="<i2").tobytes()
-    byte_rate = rate * channels * 2
-    fmt = (
-        (1).to_bytes(2, "little") + channels.to_bytes(2, "little")
+    a = np.asarray(samples)
+    if float_format:
+        fmt_code = 3
+        body = a.astype("<f4" if bits == 32 else "<f8").tobytes()
+    elif bits == 16:
+        fmt_code = 1
+        body = a.astype("<i2").tobytes()
+    elif bits == 8:
+        fmt_code = 1
+        body = (a.astype(np.int64) + 128).astype(np.uint8).tobytes()
+    elif bits == 24:
+        fmt_code = 1
+        wide = (a.astype("<i4") << 8).view(np.uint8).reshape(-1, 4)
+        body = wide[:, 1:].tobytes()
+    elif bits == 32:
+        fmt_code = 1
+        body = a.astype("<i4").tobytes()
+    else:
+        raise ValueError(f"unsupported bits {bits}")
+    block_align = channels * bits // 8
+    byte_rate = rate * block_align
+    base = (
+        channels.to_bytes(2, "little")
         + rate.to_bytes(4, "little") + byte_rate.to_bytes(4, "little")
-        + (channels * 2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+        + block_align.to_bytes(2, "little") + bits.to_bytes(2, "little")
     )
+    if extensible:
+        guid = fmt_code.to_bytes(2, "little") + bytes.fromhex(
+            "000000001000800000aa00389b71"
+        )
+        fmt = (
+            (0xFFFE).to_bytes(2, "little") + base
+            + (22).to_bytes(2, "little")  # cbSize
+            + bits.to_bytes(2, "little")  # valid bits
+            + (0).to_bytes(4, "little")   # channel mask
+            + guid
+        )
+    else:
+        fmt = fmt_code.to_bytes(2, "little") + base
     chunks = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    if len(fmt) & 1:
+        chunks += b"\x00"
     chunks += b"data" + len(body).to_bytes(4, "little") + body
+    if len(body) & 1:
+        chunks += b"\x00"
     return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
 
 

@@ -303,10 +303,11 @@ def test_wav_pcm_decode_golden_bytes(spark):
     out8, rate8 = decode_wav_pcm(wav8)
     assert rate8 == 8000 and out8.reshape(-1).tolist() == [0, 127, -128]
 
-    # IEEE-float WAV is the remaining honest seam
+    # IEEE float now decodes (see test_wav_extended_formats); a
+    # format-3 header with an illegal 8-bit width is a stream error
     float_fmt = (3).to_bytes(2, "little") + fmt8[2:]
     bad = wav8.replace(fmt8, float_fmt)
-    with _pytest.raises(NotImplementedError):
+    with _pytest.raises(ValueError):
         decode_wav_pcm(bad)
 
 
@@ -1164,3 +1165,63 @@ def test_png_sub_byte_depths():
     )
     got = decode_png(data)
     assert (got[:, :, 0] == s * 85).all()
+
+
+def test_wav_extended_formats():
+    """24/32-bit PCM, IEEE float, and WAVE_FORMAT_EXTENSIBLE decode;
+    8-bit unsigned-offset round-trips; sign extension is exact at the
+    24-bit extremes."""
+    import numpy as np
+
+    from robosystems_spark.operators.multimodal import (
+        decode_wav_pcm,
+        encode_wav_pcm,
+    )
+
+    # 24-bit: extremes + sign extension
+    vals = np.array([-(2**23), 2**23 - 1, 0, -1, 1234567, -1234567])
+    got, rate = decode_wav_pcm(encode_wav_pcm(vals, 8000, bits=24))
+    assert rate == 8000
+    assert got.reshape(-1).tolist() == vals.tolist()
+
+    # 32-bit int PCM
+    vals32 = np.array([-(2**31), 2**31 - 1, 7, -7], dtype=np.int64)
+    got, _ = decode_wav_pcm(encode_wav_pcm(vals32, 44100, bits=32))
+    assert got.reshape(-1).tolist() == vals32.tolist()
+
+    # 8-bit unsigned offset
+    vals8 = np.array([-128, 127, 0, 1])
+    got, _ = decode_wav_pcm(encode_wav_pcm(vals8, 8000, bits=8))
+    assert got.reshape(-1).tolist() == vals8.tolist()
+
+    # IEEE float 32/64: [-1, 1] scaled to int32 domain
+    f = np.array([0.0, 0.5, -0.5, 1.0, -1.0])
+    for bits in (32, 64):
+        got, _ = decode_wav_pcm(
+            encode_wav_pcm(f, 16000, bits=bits, float_format=True)
+        )
+        v = got.reshape(-1)
+        assert v[0] == 0
+        assert abs(int(v[1]) - 2**30) <= 64  # 0.5 * (2^31-1), f32 rounding
+        assert v[3] == 2**31 - 1 and v[4] == -(2**31 - 1)
+
+    # EXTENSIBLE wrapper: real format from the SubFormat GUID
+    stereo = np.array([1000, -1000, 2000, -2000])
+    got, rate = decode_wav_pcm(
+        encode_wav_pcm(stereo, 48000, channels=2, bits=24, extensible=True)
+    )
+    assert rate == 48000 and got.shape == (2, 2)
+    assert got.reshape(-1).tolist() == stereo.tolist()
+    gotf, _ = decode_wav_pcm(
+        encode_wav_pcm(f, 16000, bits=32, float_format=True, extensible=True)
+    )
+    assert gotf.reshape(-1)[3] == 2**31 - 1
+
+    # remaining seams stay honest: ADPCM format code
+    import pytest as _pytest
+
+    bad = bytearray(encode_wav_pcm(vals8, 8000, bits=8))
+    i = bad.find(b"fmt ") + 8
+    bad[i:i+2] = (2).to_bytes(2, "little")  # MS-ADPCM
+    with _pytest.raises(NotImplementedError):
+        decode_wav_pcm(bytes(bad))
