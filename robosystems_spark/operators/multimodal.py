@@ -326,34 +326,98 @@ def parse_media_headers(
 
 
 def decode_bmp(data: bytes):
-    """Decode an uncompressed 24-bit BMP into an (h, w, 3) uint8 RGB
-    array — handles the 4-byte row padding, bottom-up row order, and
-    BGR channel order of the on-disk format."""
+    """Decode a BMP into an (h, w, 3) uint8 RGB array — 24-bit BGR,
+    32-bit BGRA (alpha dropped; BI_RGB marks it reserved), 8-bit and
+    4-bit palette, and RLE8 compression (runs, absolute mode, EOL /
+    EOF / delta escapes).  Handles the 4-byte row padding, bottom-up
+    OR top-down (negative height) row order, and BGR channel order of
+    the on-disk format.  Remaining seams: RLE4 and BI_BITFIELDS
+    custom channel masks."""
     import numpy as np
 
     if len(data) < 54 or data[:2] != b"BM":
         raise ValueError("not a BMP file")
     pixel_offset = int.from_bytes(data[10:14], "little")
+    header_size = int.from_bytes(data[14:18], "little")
     width = int.from_bytes(data[18:22], "little", signed=True)
     height = int.from_bytes(data[22:26], "little", signed=True)
     bpp = int.from_bytes(data[28:30], "little")
     compression = int.from_bytes(data[30:34], "little")
-    if compression != 0:
-        raise NotImplementedError("compressed BMP (RLE) not supported")
-    if bpp != 24:
-        raise NotImplementedError(f"{bpp}-bpp BMP not supported (24 only)")
+    clr_used = int.from_bytes(data[46:50], "little")
     bottom_up = height > 0
     h = abs(height)
-    row_bytes = (width * 3 + 3) & ~3  # rows pad to 4-byte boundaries
-    need = pixel_offset + row_bytes * h
-    if len(data) < need:
-        raise ValueError("truncated BMP pixel data")
-    raw = np.frombuffer(data, dtype=np.uint8, count=row_bytes * h,
-                        offset=pixel_offset)
-    rows = raw.reshape(h, row_bytes)[:, : width * 3].reshape(h, width, 3)
-    if bottom_up:
-        rows = rows[::-1]
-    return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+    def palette():
+        n = clr_used or (1 << bpp)
+        off = 14 + header_size
+        quads = np.frombuffer(
+            data, dtype=np.uint8, count=4 * n, offset=off
+        ).reshape(n, 4)
+        return quads[:, 2::-1].copy()  # BGRx -> RGB
+
+    if compression == 1:  # RLE8 (always bottom-up in the wild)
+        if bpp != 8:
+            raise ValueError("RLE8 requires 8-bpp")
+        table = palette()
+        idx = np.zeros((h, width), dtype=np.uint8)
+        i, x, y = pixel_offset, 0, 0
+        while i + 1 < len(data):
+            cnt, val = data[i], data[i + 1]
+            i += 2
+            if cnt > 0:  # encoded run
+                idx[y, x : min(x + cnt, width)] = val
+                x += cnt
+            elif val == 0:  # end of line
+                x, y = 0, y + 1
+                if y >= h:
+                    break
+            elif val == 1:  # end of bitmap
+                break
+            elif val == 2:  # delta
+                x += data[i]
+                y += data[i + 1]
+                i += 2
+            else:  # absolute mode: val literal indices, word-aligned
+                lit = np.frombuffer(data, np.uint8, count=val, offset=i)
+                idx[y, x : min(x + val, width)] = lit[: max(0, width - x)]
+                x += val
+                i += val + (val & 1)
+        rows = table[idx]
+        return rows[::-1].copy() if bottom_up else rows
+    if compression != 0:
+        raise NotImplementedError(
+            f"BMP compression {compression} (RLE4/BITFIELDS) not supported"
+        )
+    if bpp == 24 or bpp == 32:
+        nb = bpp // 8
+        row_bytes = (width * nb + 3) & ~3  # rows pad to 4-byte boundaries
+        need = pixel_offset + row_bytes * h
+        if len(data) < need:
+            raise ValueError("truncated BMP pixel data")
+        raw = np.frombuffer(data, dtype=np.uint8, count=row_bytes * h,
+                            offset=pixel_offset)
+        rows = raw.reshape(h, row_bytes)[:, : width * nb].reshape(h, width, nb)
+        if bottom_up:
+            rows = rows[::-1]
+        return rows[:, :, 2::-1].copy()  # BGR(A) -> RGB, alpha dropped
+    if bpp in (4, 8):
+        table = palette()
+        bits_per_row = width * bpp
+        row_bytes = ((bits_per_row + 7) // 8 + 3) & ~3
+        raw = np.frombuffer(data, dtype=np.uint8, count=row_bytes * h,
+                            offset=pixel_offset).reshape(h, row_bytes)
+        if bpp == 8:
+            idx = raw[:, :width]
+        else:  # 4-bit: high nibble first
+            nib = np.empty((h, row_bytes * 2), dtype=np.uint8)
+            nib[:, 0::2] = raw >> 4
+            nib[:, 1::2] = raw & 0x0F
+            idx = nib[:, :width]
+        if int(idx.max(initial=0)) >= table.shape[0]:
+            raise ValueError("palette index out of color-table range")
+        rows = table[idx]
+        return rows[::-1].copy() if bottom_up else rows
+    raise NotImplementedError(f"{bpp}-bpp BMP not supported")
 
 
 def encode_bmp(arr) -> bytes:
@@ -379,6 +443,79 @@ def encode_bmp(arr) -> bytes:
         + b"\x00" * 16
     )
     return header + body.tobytes()
+
+
+def encode_bmp_palette(indices, palette, rle: bool = False) -> bytes:
+    """Encode an (h, w) uint8 index array + (n, 3) RGB palette as an
+    8-bpp BMP, uncompressed or RLE8-compressed (runs + absolute mode
+    + EOL/EOF escapes) — fixture synthesis for the palette/RLE decode
+    paths."""
+    import numpy as np
+
+    idx = np.asarray(indices, dtype=np.uint8)
+    pal = np.asarray(palette, dtype=np.uint8)
+    h, w = idx.shape
+    n_pal = pal.shape[0]
+    quads = np.zeros((n_pal, 4), dtype=np.uint8)
+    quads[:, :3] = pal[:, ::-1]  # RGB -> BGRx
+    if rle:
+        body = bytearray()
+        for r in range(h - 1, -1, -1):  # bottom-up
+            row = idx[r]
+            x = 0
+            while x < w:
+                run = 1
+                while x + run < w and row[x + run] == row[x] and run < 255:
+                    run += 1
+                if run >= 3 or x + run >= w:
+                    body += bytes([run, int(row[x])])
+                    x += run
+                else:  # absolute mode for short heterogeneous spans
+                    end = x
+                    while (
+                        end < w
+                        and end - x < 255
+                        and (
+                            end + 2 >= w
+                            or not (
+                                row[end] == row[end + 1] == row[end + 2]
+                            )
+                        )
+                    ):
+                        end += 1
+                    lit = row[x:end].tobytes()
+                    if len(lit) < 3:  # escape needs >= 3: emit runs
+                        for v in lit:
+                            body += bytes([1, v])
+                    else:
+                        body += bytes([0, len(lit)]) + lit
+                        if len(lit) & 1:
+                            body += b"\x00"
+                    x = end
+            body += b"\x00\x00"  # end of line
+        body += b"\x00\x01"  # end of bitmap
+        compression, sizeimg = 1, len(body)
+        body = bytes(body)
+    else:
+        row_bytes = (w + 3) & ~3
+        grid = np.zeros((h, row_bytes), dtype=np.uint8)
+        grid[:, :w] = idx[::-1]
+        body = grid.tobytes()
+        compression, sizeimg = 0, len(body)
+    pixel_offset = 54 + 4 * n_pal
+    size = pixel_offset + len(body)
+    header = (
+        b"BM" + size.to_bytes(4, "little") + b"\x00" * 4
+        + pixel_offset.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + (8).to_bytes(2, "little")
+        + compression.to_bytes(4, "little") + sizeimg.to_bytes(4, "little")
+        + b"\x00" * 8
+        + n_pal.to_bytes(4, "little") + b"\x00" * 4
+    )
+    return header + quads.tobytes() + body
 
 
 def decode_ppm(data: bytes):

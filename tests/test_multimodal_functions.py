@@ -260,8 +260,13 @@ def test_bmp_decode_golden_bytes(spark):
     assert (decode_bmp(bytes(body)) == img).all()
     import pytest as _pytest
 
-    with _pytest.raises(NotImplementedError):
+    # RLE8 now decodes for 8-bpp (see test_bmp_palette_rle_and_32bit);
+    # an RLE8 flag on a 24-bpp stream is malformed
+    with _pytest.raises(ValueError):
         decode_bmp(header[:30] + (1).to_bytes(4, "little") + header[34:] + b"\x00" * 16)
+    # RLE4 remains the honest seam
+    with _pytest.raises(NotImplementedError):
+        decode_bmp(header[:30] + (2).to_bytes(4, "little") + header[34:] + b"\x00" * 16)
 
 
 def test_wav_pcm_decode_golden_bytes(spark):
@@ -1225,3 +1230,79 @@ def test_wav_extended_formats():
     bad[i:i+2] = (2).to_bytes(2, "little")  # MS-ADPCM
     with _pytest.raises(NotImplementedError):
         decode_wav_pcm(bytes(bad))
+
+
+def test_bmp_palette_rle_and_32bit():
+    """BMP beyond 24-bit: 8-bit palette (uncompressed + RLE8 with
+    runs/absolute/EOL/EOF), 4-bit nibble palette, 32-bit BGRA
+    (alpha dropped), and top-down negative-height rows."""
+    import numpy as np
+
+    from robosystems_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp_palette,
+    )
+
+    rng = np.random.RandomState(3)
+    pal = rng.randint(0, 256, (16, 3)).astype(np.uint8)
+
+    # runs + heterogeneous spans: exercises both RLE modes
+    idx = np.zeros((6, 23), dtype=np.uint8)
+    idx[0, :] = 5
+    idx[1, :10] = np.arange(10) % 16
+    idx[2, 3:20] = 7
+    idx[3] = rng.randint(0, 16, 23)
+    expected = pal[idx]
+    got_plain = decode_bmp(encode_bmp_palette(idx, pal, rle=False))
+    assert (got_plain == expected).all()
+    got_rle = decode_bmp(encode_bmp_palette(idx, pal, rle=True))
+    assert (got_rle == expected).all()
+
+    # 4-bit palette: hand-build (encoder is 8-bpp only)
+    pal4 = pal[:4]
+    quads = np.zeros((4, 4), np.uint8)
+    quads[:, :3] = pal4[:, ::-1]
+    idx4 = np.array([[0, 1, 2, 3, 1], [3, 2, 1, 0, 2]], dtype=np.uint8)
+    h, w = idx4.shape
+    row_bytes = (((w * 4 + 7) // 8) + 3) & ~3
+    grid = np.zeros((h, row_bytes), np.uint8)
+    for r in range(h):
+        for c in range(w):
+            grid[r, c // 2] |= idx4[r, c] << (4 if c % 2 == 0 else 0)
+    body = grid[::-1].tobytes()
+    off = 54 + 16
+    hdr = (
+        b"BM" + (off + len(body)).to_bytes(4, "little") + b"\x00" * 4
+        + off.to_bytes(4, "little") + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + (4).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + len(body).to_bytes(4, "little")
+        + b"\x00" * 8 + (4).to_bytes(4, "little") + b"\x00" * 4
+    )
+    assert (decode_bmp(hdr + quads.tobytes() + body) == pal4[idx4]).all()
+
+    # 32-bit BGRA, TOP-DOWN (negative height): alpha dropped
+    rgb = rng.randint(0, 256, (3, 5, 3)).astype(np.uint8)
+    bgra = np.zeros((3, 5, 4), np.uint8)
+    bgra[:, :, :3] = rgb[:, :, ::-1]
+    bgra[:, :, 3] = 200
+    body32 = bgra.tobytes()  # 5*4=20 bytes/row, already 4-aligned
+    hdr32 = (
+        b"BM" + (54 + len(body32)).to_bytes(4, "little") + b"\x00" * 4
+        + (54).to_bytes(4, "little") + (40).to_bytes(4, "little")
+        + (5).to_bytes(4, "little", signed=True)
+        + (-3).to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + (32).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + len(body32).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    assert (decode_bmp(hdr32 + body32) == rgb).all()
+
+    # RLE4 stays an honest seam
+    import pytest as _pytest
+
+    bad = bytearray(encode_bmp_palette(idx, pal, rle=True))
+    bad[30:34] = (2).to_bytes(4, "little")  # compression=2 (RLE4)
+    with _pytest.raises(NotImplementedError):
+        decode_bmp(bytes(bad))
