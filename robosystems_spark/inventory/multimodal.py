@@ -587,3 +587,87 @@ def multimodal_gif_animation_stats(spark: SparkSession, sf_dir: str) -> DataFram
         .withColumnRenamed("media_id", "doc_id")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "multimodal_jpeg_scan_equivalence",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(0 AS INTEGER) AS progressive_diff,
+           CAST(0 AS INTEGER) AS noninterleaved_diff,
+           CAST(0 AS INTEGER) AS restart_diff,
+           TRUE AS within_bound
+    FROM documents
+    WHERE doc_id < {_N_DOCS}
+    ORDER BY doc_id
+    """,
+    doc="JPEG scan-organization equivalence, proven INSIDE the Spark "
+    "pipeline: per document, encode the same image four ways — "
+    "interleaved baseline, progressive SOF2 (spectral selection + "
+    "successive approximation), non-interleaved baseline (one SOS "
+    "per component), and progressive with restart intervals — and "
+    "decode all four.  The quantized coefficients are identical by "
+    "construction, so every variant must decode to EXACTLY the "
+    "baseline pixels: the oracle pins all three max-abs-diffs to 0. "
+    "Any entropy-coding divergence (EOBRUN, refinement bits, RSTn "
+    "re-sync, per-scan predictors) flips a diff and the hash.",
+    tags=("multimodal",),
+)
+def multimodal_jpeg_scan_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from robosystems_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_noninterleaved,
+        encode_jpeg_progressive,
+    )
+
+    w, h = _JPG_W, _JPG_H
+
+    def compare(it):
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                px = ((int(did) * 37 + 11 * np.arange(w * h * 3)) % 256).astype(
+                    np.uint8
+                ).reshape(h, w, 3)
+                base = decode_jpeg(encode_jpeg(px)).astype(int)
+                diffs = {}
+                for key, data in (
+                    ("progressive_diff", encode_jpeg_progressive(px)),
+                    ("noninterleaved_diff", encode_jpeg_noninterleaved(px)),
+                    (
+                        "restart_diff",
+                        encode_jpeg_progressive(px, restart_interval=2),
+                    ),
+                ):
+                    diffs[key] = int(
+                        np.abs(decode_jpeg(data).astype(int) - base).max()
+                    )
+                rows.append(
+                    {
+                        "doc_id": did,
+                        **diffs,
+                        "within_bound": all(v == 0 for v in diffs.values()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return (
+        _doc_ids(spark, sf_dir)
+        .mapInPandas(
+            compare,
+            T.StructType(
+                [
+                    T.StructField("doc_id", T.LongType()),
+                    T.StructField("progressive_diff", T.IntegerType()),
+                    T.StructField("noninterleaved_diff", T.IntegerType()),
+                    T.StructField("restart_diff", T.IntegerType()),
+                    T.StructField("within_bound", T.BooleanType()),
+                ]
+            ),
+        )
+        .orderBy("doc_id")
+    )
