@@ -503,3 +503,75 @@ def test_streaming_quantile_monitor_matches_batch_sketch(spark, tmp_path):
     }
     for qq in (0.5, 0.9, 0.99):
         assert got[qq][1] == want[qq], (qq, got[qq], want[qq])
+
+
+def test_streaming_distinct_monitor_matches_batch_hll(spark, tmp_path):
+    """Streaming HLL distinct monitor: registers fold across
+    micro-batches; after all batches the per-series estimate EQUALS
+    the batch portable HLL over the union (same md5 hash, same
+    bias-corrected estimator, 4-decimal rounding), with <= 2^p
+    register state forever."""
+    import datetime as _dt
+
+    from robosystems_spark.operators.sketches import portable_hll_distinct
+    from robosystems_spark.streaming.events import events_stream
+    from robosystems_spark.streaming.stateful import streaming_distinct_monitor
+
+    src = str(tmp_path / "hll_src")
+    os.makedirs(src)
+    base = _dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def write(users, offset):
+        rows = [
+            (offset + i, base + _dt.timedelta(seconds=offset + i), u,
+             "a" if u % 2 == 0 else "b", 1.0, "{}")
+            for i, u in enumerate(users)
+        ]
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    batch1 = [u % 400 for u in range(0, 600)]       # heavy repeats
+    batch2 = [u * 3 % 1000 for u in range(0, 500)]  # overlap + new
+    write(batch1, 0)
+    stream = events_stream(spark, src, max_files_per_trigger=1)
+    q = (
+        streaming_distinct_monitor(stream, "event_type", "user_id")
+        .writeStream.format("memory")
+        .queryName("hll_t")
+        .outputMode("update")
+        .start()
+    )
+    q.processAllAvailable()
+    write(batch2, 10_000)
+    q.processAllAvailable()
+    q.stop()
+
+    rows = spark.sql(
+        "SELECT series, approx_distinct, n_events FROM hll_t t "
+        "WHERE n_events = (SELECT MAX(n_events) FROM hll_t u "
+        "                  WHERE u.series = t.series)"
+    ).collect()
+    got = {r["series"]: r["approx_distinct"] for r in rows}
+    n_by_series = {r["series"]: r["n_events"] for r in rows}
+
+    both = spark.createDataFrame(
+        [(("a" if u % 2 == 0 else "b"), str(u)) for u in batch1 + batch2],
+        "event_type string, user_id string",
+    )
+    want = {
+        r["event_type"]: r["approx_distinct"]
+        for r in portable_hll_distinct(both, "event_type", "user_id").collect()
+    }
+    assert set(got) == {"a", "b"}
+    assert sum(n_by_series.values()) == len(batch1) + len(batch2)
+    for s in ("a", "b"):
+        assert got[s] == want[s], (s, got[s], want[s])
+    # sanity: estimate within the ~4.6% HLL error of the truth
+    truth = {
+        "a": len({u for u in batch1 + batch2 if u % 2 == 0}),
+        "b": len({u for u in batch1 + batch2 if u % 2 == 1}),
+    }
+    for s in ("a", "b"):
+        assert abs(got[s] - truth[s]) / truth[s] < 0.15
