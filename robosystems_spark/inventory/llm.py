@@ -2188,3 +2188,87 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir), threshold_num=19, threshold_den=20,
         min_size_a=30,
     )
+
+
+@register(
+    "text_unicode_nfc",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             text || repeat('e' || chr(769), CAST(doc_id % 4 AS INTEGER)) AS s
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(LENGTH(s) AS BIGINT) AS raw_len,
+           CAST(LENGTH(nfc_normalize(s)) AS BIGINT) AS nfc_len,
+           CAST(LENGTH(s) - LENGTH(nfc_normalize(s)) AS BIGINT) AS n_composed,
+           LENGTH(s) = LENGTH(nfc_normalize(s)) AS already_nfc
+    FROM t
+    ORDER BY doc_id
+    """,
+    doc="Unicode NFC canonicalization stats: documents are augmented "
+    "with doc_id%4 combining sequences ('e' + U+0301), then NFC'd — "
+    "Spark runs stdlib unicodedata in an Arrow pandas_udf, the oracle "
+    "runs DuckDB's utf8proc nfc_normalize, so two independent UCD "
+    "implementations must agree on every composed character count. "
+    "The canonicalization pass text pipelines run before dedup "
+    "(combining sequences hash differently from precomposed forms).",
+    tags=("text",),
+)
+def text_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from robosystems_spark.operators.text import unicode_nfc_stats
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.expr("repeat('é', CAST(doc_id % 4 AS INT))"),
+        ).alias("text"),
+    )
+    return unicode_nfc_stats(docs).orderBy("doc_id")
+
+
+@register(
+    "text_url_extraction",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             text || ' see http://site' || CAST(doc_id % 7 AS VARCHAR)
+                  || '.com/p/' || CAST(doc_id AS VARCHAR)
+                  || ' and https://cdn' || CAST(doc_id % 3 AS VARCHAR)
+                  || '.org/img.png done' AS s
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(LEN(regexp_extract_all(s, 'https?://[a-z0-9./-]+')) AS BIGINT)
+             AS n_urls,
+           regexp_extract_all(s, 'https?://[a-z0-9./-]+')[1] AS first_url,
+           regexp_extract(s, 'https?://([a-z0-9.-]+)', 1) AS first_host
+    FROM t
+    ORDER BY doc_id
+    """,
+    doc="URL extraction/normalization over documents (crawl-pipeline "
+    "link mining): deterministic URLs appended per doc_id, then "
+    "extracted with the SAME regex in Spark (Java regex, "
+    "regexp_extract_all) and DuckDB (RE2) — pattern restricted to a "
+    "dialect-neutral class so both engines must return identical "
+    "URL lists, first URLs, and hosts.",
+    tags=("text",),
+)
+def text_url_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    s = F.concat(
+        F.col("text"),
+        F.lit(" see http://site"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".com/p/"), F.col("doc_id").cast("string"),
+        F.lit(" and https://cdn"), (F.col("doc_id") % 3).cast("string"),
+        F.lit(".org/img.png done"),
+    )
+    pat = r"https?://[a-z0-9./-]+"
+    urls = F.regexp_extract_all(s, F.lit(pat), 0)
+    return docs.select(
+        "doc_id",
+        F.size(urls).cast("long").alias("n_urls"),
+        urls.getItem(0).alias("first_url"),
+        F.regexp_extract(s, r"https?://([a-z0-9.-]+)", 1).alias("first_host"),
+    ).orderBy("doc_id")

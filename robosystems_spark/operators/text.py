@@ -11,6 +11,7 @@ Operators: tokenization, token stats, quality scoring, language-ID
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf hint resolution (dedup.py note)
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -399,3 +400,42 @@ def zipf_fit_oracle_sql(
                  / ((sxx - sx * sx / n) * (syy - sy * sy / n)), {decimals}) AS r2
     FROM agg
     """
+
+
+def unicode_nfc_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Unicode NFC normalization stats: raw character
+    length, NFC'd length, number of characters composed away, and an
+    already-normalized flag — the canonicalization pass every text
+    pipeline runs before dedup/tokenization (combining sequences like
+    'e' + U+0301 otherwise hash differently from the precomposed
+    form).
+
+    Normalization runs in an Arrow-batched pandas_udf over stdlib
+    ``unicodedata``; the DuckDB oracle uses ``nfc_normalize``
+    (utf8proc), so the gate compares two INDEPENDENT UCD
+    implementations."""
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    # pd must resolve via module globals (future-annotations string
+    # hints; see operators/dedup.py header note), and the returnType
+    # must be a DataType object, not a DDL string
+    @pandas_udf(StringType())
+    def nfc(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    raw_len = F.length(F.col(text_col))
+    nfc_len = F.length(nfc(F.col(text_col)))
+    return df.select(
+        F.col(id_col),
+        raw_len.cast("long").alias("raw_len"),
+        nfc_len.cast("long").alias("nfc_len"),
+        (raw_len - nfc_len).cast("long").alias("n_composed"),
+        (raw_len == nfc_len).alias("already_nfc"),
+    )
