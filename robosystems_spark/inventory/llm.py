@@ -2272,3 +2272,52 @@ def text_url_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         urls.getItem(0).alias("first_url"),
         F.regexp_extract(s, r"https?://([a-z0-9.-]+)", 1).alias("first_host"),
     ).orderBy("doc_id")
+
+
+@register(
+    "embedding_sq8_topk",
+    oracle="""
+    WITH ex AS (
+      SELECT e.vec_id, g.i, CAST(e.embedding[g.i] AS DOUBLE) AS x
+      FROM embeddings e
+      JOIN (SELECT UNNEST(RANGE(1,
+              (SELECT LEN(embedding) FROM embeddings LIMIT 1) + 1)) AS i
+           ) g ON TRUE
+    ),
+    dims AS (SELECT i, MIN(x) AS lo, MAX(x) AS hi FROM ex GROUP BY i),
+    rec AS (
+      SELECT ex.vec_id,
+             LIST(CASE WHEN d.hi = d.lo THEN d.lo
+                  ELSE d.lo + LEAST(255, GREATEST(0,
+                         FLOOR((ex.x - d.lo) / ((d.hi - d.lo) / 255) + 0.5)))
+                       * ((d.hi - d.lo) / 255) END ORDER BY ex.i) AS r
+      FROM ex JOIN dims d ON d.i = ex.i
+      GROUP BY ex.vec_id
+    ),
+    q AS (SELECT r AS qr FROM rec WHERE vec_id = 0),
+    scores AS (
+      SELECT rec.vec_id AS nn_id,
+             ROUND(list_dot_product(CAST(rec.r AS DOUBLE[]),
+                                    CAST(q.qr AS DOUBLE[])), 6) AS score
+      FROM rec, q
+    )
+    SELECT 0 AS query_id, nn_id, score,
+           CAST(ROW_NUMBER() OVER (ORDER BY score DESC, nn_id) AS INT) AS rank
+    FROM scores ORDER BY score DESC, nn_id LIMIT 10
+    """,
+    doc="SQ8 scalar-quantized ANN (FAISS ScalarQuantizer QT_8bit): "
+    "per-dimension (lo, (hi-lo)/255) codebook trained in one "
+    "posexplode aggregate, vectors stored as dim uint8 codes (4x "
+    "smaller than float32), symmetric reconstructed dot-product "
+    "search entirely in JVM array expressions (explicit floor(x+0.5) "
+    "half-up rounding shared with the oracle; sequential fold "
+    "matching list_dot_product order). Completes the vector-"
+    "compression family alongside PQ/IVF-PQ.",
+    tags=("similarity",),
+)
+def embedding_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), F.col("embedding")
+    )
+    return S.sq8_topk(emb, queries, k=10)

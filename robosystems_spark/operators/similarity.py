@@ -403,3 +403,91 @@ def cosine_band_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "nn_id", "cosine", "rank")
     )
+
+
+def sq8_fit(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+) -> tuple[list[float], list[float]]:
+    """Train an SQ8 scalar quantizer: per-dimension (lo, scale) with
+    scale = (hi - lo) / 255 — one posexplode + groupBy(dim) aggregate
+    over the corpus; only the 2*dim doubles come to the driver (the
+    FAISS ScalarQuantizer QT_8bit train step)."""
+    stats = (
+        corpus.select(
+            F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+                "pos", "x"
+            )
+        )
+        .groupBy("pos")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+        .orderBy("pos")
+        .collect()
+    )
+    lo = [float(r["lo"]) for r in stats]
+    scale = [(float(r["hi"]) - float(r["lo"])) / 255.0 for r in stats]
+    return lo, scale
+
+
+def _sq8_reconstruct(vec_col, lo: list[float], scale: list[float]):
+    """SQ8 quantize-then-reconstruct as one JVM-side array transform:
+    r_i = lo_i + clamp_0_255(floor((x_i - lo_i)/scale_i + 0.5)) *
+    scale_i (floor(x+0.5) is the explicit half-up shared with the SQL
+    oracle — numpy/SQL ROUND disagree at .5).  Constant dimensions
+    (scale 0) reconstruct to lo_i."""
+    lo_arr = F.array(*[F.lit(float(v)) for v in lo])
+    sc_arr = F.array(*[F.lit(float(v)) for v in scale])
+
+    def recon(x, i):
+        l = F.element_at(lo_arr, i + 1)
+        s = F.element_at(sc_arr, i + 1)
+        code = F.least(
+            F.lit(255.0),
+            F.greatest(F.lit(0.0), F.floor((x - l) / s + F.lit(0.5))),
+        )
+        return F.when(s == 0.0, l).otherwise(l + code * s)
+
+    return F.transform(F.col(vec_col).cast("array<double>"), recon)
+
+
+def sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    codebook: tuple[list[float], list[float]] | None = None,
+    decimals: int = 6,
+) -> DataFrame:
+    """Top-k ANN over SQ8 scalar-quantized vectors (FAISS SQ8): every
+    vector is stored as dim uint8 codes (4x smaller than float32, 8x
+    vs float64); search scores the SYMMETRIC reconstructed dot
+    product.  100 TB shape: the (2*dim)-double codebook broadcasts as
+    literals, reconstruction + dot run entirely in JVM array
+    expressions (one sequential fold, matching the SQL oracle's
+    list_dot_product order), and ranking reuses the cosine_topk
+    window with the deterministic (score DESC, id ASC) tiebreak."""
+    lo, scale = codebook if codebook is not None else sq8_fit(corpus, vec_col)
+    c = corpus.select(
+        F.col(id_col).alias("nn_id"),
+        _sq8_reconstruct(vec_col, lo, scale).alias("_cr"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        _sq8_reconstruct(vec_col, lo, scale).alias("_qr"),
+    )
+    dot = F.aggregate(
+        F.zip_with("_cr", "_qr", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sims = c.crossJoin(F.broadcast(q)).select(
+        "query_id", "nn_id", F.round(dot, decimals).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("nn_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nn_id", "score", "rank")
+    )
