@@ -909,6 +909,7 @@ _HARMONIC_EDGES_CTE = """e0 AS (
     "oracle compute bit-identical doubles before ROUND — the "
     "distance-based centrality complementing PageRank/HITS.",
     tags=("graph",),
+    bench=True,
 )
 def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from robosystems_spark.operators.graph import harmonic_centrality

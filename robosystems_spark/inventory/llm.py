@@ -2314,6 +2314,7 @@ def text_url_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     "matching list_dot_product order). Completes the vector-"
     "compression family alongside PQ/IVF-PQ.",
     tags=("similarity",),
+    bench=True,
 )
 def embedding_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)

@@ -911,14 +911,81 @@ def decode_image(data: bytes):
     raise ValueError("unrecognized image container")
 
 
+def _g711_ulaw_table():
+    """256-entry mu-law -> 16-bit linear decode table (ITU-T G.711).
+
+    ``t = ((mant << 3) + 0x84) << seg`` then re-centered by the 0x84
+    bias; the wire byte is stored complemented.  Built once with
+    numpy so WAV decode is a single table lookup per sample.
+    """
+    import numpy as np
+
+    u = ~np.arange(256, dtype=np.int64) & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+    return np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int32)
+
+
+def _g711_alaw_table():
+    """256-entry A-law -> 16-bit linear decode table (ITU-T G.711).
+
+    Wire bytes are XOR 0x55; segment 0 is linear (step 16, +8
+    mid-rise offset), segments 1-7 double the step per segment.  In
+    A-law the (post-XOR) sign bit SET means positive.
+    """
+    import numpy as np
+
+    a = np.arange(256, dtype=np.int64) ^ 0x55
+    seg = (a & 0x70) >> 4
+    t = (a & 0x0F) << 4
+    t = np.where(seg == 0, t + 8, (t + 0x108) << np.maximum(seg - 1, 0))
+    return np.where(a & 0x80, t, -t).astype(np.int32)
+
+
+def g711_ulaw_encode(samples):
+    """Vectorized 16-bit linear -> mu-law bytes (ITU-T G.711).
+
+    Clip to 32635, add the 0x84 bias, segment = highest-bit position
+    above bit 7, 4-bit mantissa below it; byte stored complemented.
+    Exact inverse of the decode table on the quantization lattice.
+    """
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.int64)
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), 32635) + 0x84
+    # frexp exponent e satisfies 2^(e-1) <= mag < 2^e; the segment is
+    # e-8 clamped at 0 (mag >= 0x84 so e >= 8 always)
+    seg = np.maximum(np.frexp(mag.astype(np.float64))[1] - 8, 0)
+    mant = (mag >> (seg + 3)) & 0x0F
+    return (~(sign | (seg << 4) | mant) & 0xFF).astype(np.uint8)
+
+
+def g711_alaw_encode(samples):
+    """Vectorized 16-bit linear -> A-law bytes (ITU-T G.711)."""
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.int64)
+    mask = np.where(x >= 0, 0xD5, 0x55)
+    mag = np.minimum(np.abs(x), 32635)
+    e = np.frexp(np.maximum(mag, 1).astype(np.float64))[1]
+    seg = np.maximum(e - 8, 0)
+    a = np.where(
+        mag < 256,
+        mag >> 4,
+        (seg << 4) | ((mag >> (seg + 3)) & 0x0F),
+    )
+    return ((a ^ mask) & 0xFF).astype(np.uint8)
+
+
 def decode_wav_pcm(data: bytes):
     """Decode WAV into ((n_samples, channels) int32 array,
     sample_rate) — real RIFF chunk walking (fmt /data in any order,
     odd-size chunk padding).  Integer PCM at 8 (unsigned-offset),
     16, 24 (packed 3-byte), and 32 bits; IEEE float 32/64 (format 3,
-    scaled from [-1, 1] to the int32 domain); and
-    WAVE_FORMAT_EXTENSIBLE (0xFFFE) with the real code read from the
-    SubFormat GUID.  Remaining seams: ADPCM and mu-law."""
+    scaled from [-1, 1] to the int32 domain); G.711 A-law/mu-law
+    telephony companding (formats 6/7, table-decoded to 16-bit
+    linear); and WAVE_FORMAT_EXTENSIBLE (0xFFFE) with the real code
+    read from the SubFormat GUID.  Remaining seam: ADPCM."""
     import numpy as np
 
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
@@ -961,9 +1028,14 @@ def decode_wav_pcm(data: bytes):
             -2147483648,
             2147483647,
         ).astype(np.int64).astype(np.int32)
+    elif audio_format in (6, 7):  # G.711 A-law / mu-law
+        if bits != 8:
+            raise ValueError(f"G.711 WAV must be 8-bit, got {bits}")
+        table = _g711_alaw_table() if audio_format == 6 else _g711_ulaw_table()
+        samples = table[np.frombuffer(body, dtype=np.uint8)]
     elif audio_format != 1:
         raise NotImplementedError(
-            f"WAV format {audio_format} (ADPCM/mu-law) not supported"
+            f"WAV format {audio_format} (ADPCM) not supported"
         )
     elif bits == 16:
         samples = np.frombuffer(
@@ -998,19 +1070,28 @@ def encode_wav_pcm(
     bits: int = 16,
     float_format: bool = False,
     extensible: bool = False,
+    g711: str | None = None,
 ) -> bytes:
     """Encode samples as a WAV (decode_wav_pcm inverse).
 
     ``bits`` ∈ {8, 16, 24, 32} for integer PCM (8-bit stored
     unsigned-offset, 24-bit packed 3-byte little-endian);
     ``float_format=True`` writes IEEE-float (format 3, bits 32/64)
-    from samples in [-1, 1]; ``extensible=True`` wraps the format in
-    a WAVE_FORMAT_EXTENSIBLE fmt chunk (SubFormat GUID), the layout
-    real encoders use for >2 channels and 24-bit."""
+    from samples in [-1, 1]; ``g711='ulaw'/'alaw'`` compands 16-bit
+    linear samples to 8-bit G.711 (formats 7/6); ``extensible=True``
+    wraps the format in a WAVE_FORMAT_EXTENSIBLE fmt chunk (SubFormat
+    GUID), the layout real encoders use for >2 channels and 24-bit."""
     import numpy as np
 
     a = np.asarray(samples)
-    if float_format:
+    if g711 is not None:
+        if g711 not in ("ulaw", "alaw"):
+            raise ValueError(f"g711 must be 'ulaw'/'alaw', got {g711!r}")
+        fmt_code = 7 if g711 == "ulaw" else 6
+        bits = 8
+        enc = g711_ulaw_encode if g711 == "ulaw" else g711_alaw_encode
+        body = enc(a).tobytes()
+    elif float_format:
         fmt_code = 3
         body = a.astype("<f4" if bits == 32 else "<f8").tobytes()
     elif bits == 16:

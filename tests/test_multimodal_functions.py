@@ -1232,6 +1232,54 @@ def test_wav_extended_formats():
         decode_wav_pcm(bytes(bad))
 
 
+def test_wav_g711_companding():
+    """G.711 mu-law/A-law: ITU reference golden values, exact
+    encode/decode inverse on the quantization lattice, WAV container
+    round-trip (formats 7/6), and the standard <=1024 max
+    quantization error across the full 16-bit range."""
+    import numpy as np
+
+    from robosystems_spark.operators.multimodal import (
+        _g711_alaw_table,
+        _g711_ulaw_table,
+        decode_wav_pcm,
+        encode_wav_pcm,
+        g711_alaw_encode,
+        g711_ulaw_encode,
+    )
+
+    ut, at = _g711_ulaw_table(), _g711_alaw_table()
+    # golden values from the ITU-T G.711 reference tables
+    assert ut[0x00] == -32124 and ut[0x80] == 32124 and ut[0xFF] == 0
+    assert ut[0x7F] == 0 and ut[0xF0] == 120  # mu-law negative zero
+    assert at[0x55] == -8 and at[0xD5] == 8
+    assert at[0x2A] == -32256 and at[0xAA] == 32256
+
+    # encode inverts decode exactly on the lattice (all 256 codes)
+    b = np.arange(256, dtype=np.uint8)
+    assert np.array_equal(ut[g711_ulaw_encode(ut[b])], ut[b])
+    assert np.array_equal(at[g711_alaw_encode(at[b])], at[b])
+
+    # full-range error bound: top segment step is 1024 (A) / 512+bias (mu)
+    x = np.arange(-32768, 32768, dtype=np.int64)
+    xc = np.clip(x, -32635, 32635)
+    assert np.max(np.abs(ut[g711_ulaw_encode(x)] - xc)) <= 1024
+    assert np.max(np.abs(at[g711_alaw_encode(x)] - xc)) <= 1024
+
+    # WAV container round-trip: fmt codes 7 (mu) and 6 (A), 8-bit
+    s = ut[np.arange(0, 256, 7, dtype=np.uint8)]
+    got, rate = decode_wav_pcm(encode_wav_pcm(s, 8000, g711="ulaw"))
+    assert rate == 8000 and got.reshape(-1).tolist() == s.tolist()
+    got, _ = decode_wav_pcm(encode_wav_pcm(at[b], 8000, g711="alaw"))
+    assert got.reshape(-1).tolist() == at[b].tolist()
+    # stereo interleave survives companding
+    st = at[np.arange(0, 64, dtype=np.uint8)]
+    got, _ = decode_wav_pcm(
+        encode_wav_pcm(st, 16000, channels=2, g711="alaw")
+    )
+    assert got.shape == (32, 2) and got.reshape(-1).tolist() == st.tolist()
+
+
 def test_bmp_palette_rle_and_32bit():
     """BMP beyond 24-bit: 8-bit palette (uncompressed + RLE8 with
     runs/absolute/EOL/EOF), 4-bit nibble palette, 32-bit BGRA
