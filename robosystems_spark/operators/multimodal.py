@@ -327,12 +327,15 @@ def parse_media_headers(
 
 def decode_bmp(data: bytes):
     """Decode a BMP into an (h, w, 3) uint8 RGB array — 24-bit BGR,
-    32-bit BGRA (alpha dropped; BI_RGB marks it reserved), 8-bit and
-    4-bit palette, and RLE8 compression (runs, absolute mode, EOL /
-    EOF / delta escapes).  Handles the 4-byte row padding, bottom-up
-    OR top-down (negative height) row order, and BGR channel order of
-    the on-disk format.  Remaining seams: RLE4 and BI_BITFIELDS
-    custom channel masks."""
+    32-bit BGRA (alpha dropped; BI_RGB marks it reserved), 16-bit
+    (BI_RGB 5-5-5 default and BI_BITFIELDS arbitrary masks, e.g.
+    5-6-5), 32-bit BI_BITFIELDS, 8-bit and 4-bit palette, and RLE8 +
+    RLE4 compression (runs, absolute mode, EOL / EOF / delta
+    escapes).  Handles the 4-byte row padding, bottom-up OR top-down
+    (negative height) row order, and BGR channel order of the
+    on-disk format.  Every field of BITMAPINFOHEADER/V4/V5 that
+    changes pixel layout is honored; the remaining BMP seams are the
+    never-seen-in-practice BI_JPEG/BI_PNG embeddings."""
     import numpy as np
 
     if len(data) < 54 or data[:2] != b"BM":
@@ -384,10 +387,86 @@ def decode_bmp(data: bytes):
                 i += val + (val & 1)
         rows = table[idx]
         return rows[::-1].copy() if bottom_up else rows
+    if compression == 2:  # RLE4: runs alternate the two nibbles of val
+        if bpp != 4:
+            raise ValueError("RLE4 requires 4-bpp")
+        table = palette()
+        idx = np.zeros((h, width), dtype=np.uint8)
+        i, x, y = pixel_offset, 0, 0
+        while i + 1 < len(data):
+            cnt, val = data[i], data[i + 1]
+            i += 2
+            if cnt > 0:  # encoded run
+                n = min(cnt, width - x)
+                if n > 0:
+                    pat = np.empty(cnt, dtype=np.uint8)
+                    pat[0::2] = val >> 4
+                    pat[1::2] = val & 0x0F
+                    idx[y, x : x + n] = pat[:n]
+                x += cnt
+            elif val == 0:  # end of line
+                x, y = 0, y + 1
+                if y >= h:
+                    break
+            elif val == 1:  # end of bitmap
+                break
+            elif val == 2:  # delta
+                x += data[i]
+                y += data[i + 1]
+                i += 2
+            else:  # absolute mode: val literal nibbles, word-aligned
+                nbytes = (val + 1) // 2
+                lit = np.frombuffer(data, np.uint8, count=nbytes, offset=i)
+                nib = np.empty(nbytes * 2, dtype=np.uint8)
+                nib[0::2] = lit >> 4
+                nib[1::2] = lit & 0x0F
+                n = min(val, width - x)
+                if n > 0:
+                    idx[y, x : x + n] = nib[:n]
+                x += val
+                i += nbytes + (nbytes & 1)
+        rows = table[idx]
+        return rows[::-1].copy() if bottom_up else rows
+
+    def masked(masks):
+        # 16/32-bpp packed pixels -> per-channel mask extraction,
+        # integer-rounded scale of each channel's full range to 0-255
+        nb = bpp // 8
+        row_bytes = (width * nb + 3) & ~3
+        raw = np.frombuffer(
+            data, np.uint8, count=row_bytes * h, offset=pixel_offset
+        ).reshape(h, row_bytes)
+        v = raw[:, : width * nb].reshape(h, width, nb).astype(np.uint32)
+        val = v[..., 0]
+        for k in range(1, nb):
+            val = val | (v[..., k] << (8 * k))
+        out = np.empty((h, width, 3), dtype=np.uint8)
+        for c, m in enumerate(masks):
+            if m == 0:
+                out[..., c] = 0
+                continue
+            shift = (m & -m).bit_length() - 1
+            top = m >> shift
+            ch = (val & m) >> shift
+            out[..., c] = ((ch * 255 + top // 2) // top).astype(np.uint8)
+        return out[::-1].copy() if bottom_up else out.copy()
+
+    if compression == 3:  # BI_BITFIELDS: masks at bytes 54-65 for
+        # both the 40-byte header (masks appended) and V4/V5 headers
+        # (mask fields at info-header offsets 40/44/48)
+        if bpp not in (16, 32):
+            raise ValueError("BITFIELDS requires 16/32-bpp")
+        masks = [
+            int.from_bytes(data[54 + 4 * k : 58 + 4 * k], "little")
+            for k in range(3)
+        ]
+        return masked(masks)
     if compression != 0:
         raise NotImplementedError(
-            f"BMP compression {compression} (RLE4/BITFIELDS) not supported"
+            f"BMP compression {compression} (BI_JPEG/BI_PNG) not supported"
         )
+    if bpp == 16:  # BI_RGB 16-bpp defaults to 5-5-5
+        return masked([0x7C00, 0x03E0, 0x001F])
     if bpp == 24 or bpp == 32:
         nb = bpp // 8
         row_bytes = (width * nb + 3) & ~3  # rows pad to 4-byte boundaries
@@ -400,7 +479,7 @@ def decode_bmp(data: bytes):
         if bottom_up:
             rows = rows[::-1]
         return rows[:, :, 2::-1].copy()  # BGR(A) -> RGB, alpha dropped
-    if bpp in (4, 8):
+    if bpp in (1, 4, 8):
         table = palette()
         bits_per_row = width * bpp
         row_bytes = ((bits_per_row + 7) // 8 + 3) & ~3
@@ -408,11 +487,13 @@ def decode_bmp(data: bytes):
                             offset=pixel_offset).reshape(h, row_bytes)
         if bpp == 8:
             idx = raw[:, :width]
-        else:  # 4-bit: high nibble first
+        elif bpp == 4:  # high nibble first
             nib = np.empty((h, row_bytes * 2), dtype=np.uint8)
             nib[:, 0::2] = raw >> 4
             nib[:, 1::2] = raw & 0x0F
             idx = nib[:, :width]
+        else:  # 1-bit monochrome: MSB-first bit order
+            idx = np.unpackbits(raw, axis=1)[:, :width]
         if int(idx.max(initial=0)) >= table.shape[0]:
             raise ValueError("palette index out of color-table range")
         rows = table[idx]
@@ -520,7 +601,10 @@ def encode_bmp_palette(indices, palette, rle: bool = False) -> bytes:
 
 def decode_ppm(data: bytes):
     """Decode a binary PPM (P6) into an (h, w, 3) uint8 RGB array —
-    real header tokenization including '#' comments."""
+    real header tokenization including '#' comments.  Any legal
+    maxval decodes: 2-byte big-endian samples above 255 (the netpbm
+    16-bit form) and sub-255 maxvals are integer-round scaled to the
+    0-255 range (``round(v * 255 / maxval)``)."""
     import numpy as np
 
     if data[:2] != b"P6":
@@ -542,12 +626,20 @@ def decode_ppm(data: bytes):
     if len(tokens) < 3:
         raise ValueError("truncated PPM header")
     w, h, maxval = (int(t) for t in tokens)
-    if maxval > 255:
-        raise NotImplementedError("16-bit PPM not supported")
-    raw = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=i)
+    if not 0 < maxval < 65536:
+        raise ValueError(f"illegal PPM maxval {maxval}")
+    if maxval > 255:  # 2-byte big-endian samples
+        raw = np.frombuffer(data, dtype=">u2", count=w * h * 3, offset=i)
+    else:
+        raw = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=i)
     if raw.size < w * h * 3:
         raise ValueError("truncated PPM pixel data")
-    return raw.reshape(h, w, 3).copy()
+    px = raw.reshape(h, w, 3)
+    if maxval == 255:
+        return px.copy()
+    return (
+        (px.astype(np.uint32) * 255 + maxval // 2) // maxval
+    ).astype(np.uint8)
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"

@@ -264,8 +264,8 @@ def test_bmp_decode_golden_bytes(spark):
     # an RLE8 flag on a 24-bpp stream is malformed
     with _pytest.raises(ValueError):
         decode_bmp(header[:30] + (1).to_bytes(4, "little") + header[34:] + b"\x00" * 16)
-    # RLE4 remains the honest seam
-    with _pytest.raises(NotImplementedError):
+    # an RLE4 flag on a 24-bpp stream is likewise malformed
+    with _pytest.raises(ValueError):
         decode_bmp(header[:30] + (2).to_bytes(4, "little") + header[34:] + b"\x00" * 16)
 
 
@@ -1280,6 +1280,108 @@ def test_wav_g711_companding():
     assert got.shape == (32, 2) and got.reshape(-1).tolist() == st.tolist()
 
 
+def _bmp_header(w, h, bpp, compression, body_len, n_pal=0, extra=b""):
+    off = 54 + len(extra) + 4 * n_pal
+    return (
+        b"BM" + (off + body_len).to_bytes(4, "little") + b"\x00" * 4
+        + off.to_bytes(4, "little") + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + bpp.to_bytes(2, "little")
+        + compression.to_bytes(4, "little")
+        + body_len.to_bytes(4, "little") + b"\x00" * 8
+        + n_pal.to_bytes(4, "little") + b"\x00" * 4
+    ) + extra
+
+
+def test_bmp_rle4_bitfields_16bpp_1bpp():
+    """The final BMP variants: RLE4 (alternating-nibble runs +
+    absolute mode + escapes), 16-bpp BI_RGB 5-5-5 default, 5-6-5
+    BI_BITFIELDS masks, 32-bpp BITFIELDS with a zero channel, and
+    1-bpp monochrome; BI_JPEG stays the honest seam."""
+    import numpy as np
+    import pytest as _pytest
+
+    from robosystems_spark.operators.multimodal import decode_bmp
+
+    # RLE4: bottom row = run of 4 alternating 1,2; top row =
+    # absolute(3,4,5) + run(6)
+    pal = b"".join(bytes([i * 17, i * 17, i * 17, 0]) for i in range(16))
+    pix = bytes(
+        [4, 0x12, 0, 0,       # run 4 of 0x12, EOL
+         0, 3, 0x34, 0x50,    # absolute 3 nibbles (word-aligned)
+         1, 0x66,             # run 1 of 6
+         0, 0, 0, 1]          # EOL, EOF
+    )
+    hdr = _bmp_header(4, 2, 4, 2, len(pix), n_pal=16)
+    img = decode_bmp(hdr + pal + pix)
+    assert img.shape == (2, 4, 3)
+    assert [p[0] for p in img[0]] == [51, 68, 85, 102]
+    assert [p[0] for p in img[1]] == [17, 34, 17, 34]
+
+    def bmp16(vals, compression=0, masks=None):
+        w, h = len(vals[0]), len(vals)
+        row = (w * 2 + 3) & ~3
+        body = b""
+        for r in vals[::-1]:
+            rb = b"".join(int(v).to_bytes(2, "little") for v in r)
+            body += rb + b"\x00" * (row - len(rb))
+        extra = (
+            b"".join(m.to_bytes(4, "little") for m in masks)
+            if masks else b""
+        )
+        return _bmp_header(w, h, 16, compression, len(body), extra=extra) + body
+
+    # BI_RGB 16-bpp defaults to 5-5-5: red 0x7C00, half-green 15/31
+    img = decode_bmp(bmp16([[0x7C00, 0x01E0]]))
+    assert img[0, 0].tolist() == [255, 0, 0]
+    assert img[0, 1].tolist() == [0, 123, 0]  # round(15*255/31)
+    # BI_BITFIELDS 5-6-5
+    img = decode_bmp(
+        bmp16([[0x07E0, 31 << 11]], 3, [0xF800, 0x07E0, 0x001F])
+    )
+    assert img[0, 0].tolist() == [0, 255, 0]
+    assert img[0, 1].tolist() == [255, 0, 0]
+
+    # 32-bpp BITFIELDS with a zero blue mask -> blue forced 0
+    body = (0x00FF8040).to_bytes(4, "little")
+    data = _bmp_header(
+        1, 1, 32, 3, 4,
+        extra=b"".join(
+            m.to_bytes(4, "little") for m in (0x00FF0000, 0x0000FF00, 0)
+        ),
+    ) + body
+    assert decode_bmp(data)[0, 0].tolist() == [255, 128, 0]
+
+    # 1-bpp monochrome, MSB first
+    pal2 = bytes([0, 0, 0, 0, 255, 255, 255, 0])
+    row = bytes([0b10100000]) + b"\x00" * 3
+    img = decode_bmp(_bmp_header(3, 1, 1, 0, 4, n_pal=2) + pal2 + row)
+    assert [p[0] for p in img[0]] == [255, 0, 255]
+
+    # BI_JPEG embedding stays a loud seam
+    with _pytest.raises(NotImplementedError):
+        decode_bmp(_bmp_header(1, 1, 24, 4, 4) + b"\x00" * 4)
+
+
+def test_ppm_16bit_and_scaled_maxval():
+    """PPM maxval generality: 2-byte big-endian samples above 255,
+    integer-round scaling for both 16-bit and sub-255 maxvals."""
+    from robosystems_spark.operators.multimodal import decode_ppm
+
+    d = (
+        b"P6 2 1 65535\n"
+        + (65535).to_bytes(2, "big") + (0).to_bytes(2, "big") * 2
+        + (32768).to_bytes(2, "big") * 3
+    )
+    img = decode_ppm(d)
+    assert img[0, 0].tolist() == [255, 0, 0]
+    assert img[0, 1].tolist() == [128, 128, 128]  # round(32768*255/65535)
+
+    img = decode_ppm(b"P6 1 1 15\n" + bytes([15, 0, 7]))
+    assert img[0, 0].tolist() == [255, 0, 119]  # round(7*255/15)=119
+
+
 def test_bmp_palette_rle_and_32bit():
     """BMP beyond 24-bit: 8-bit palette (uncompressed + RLE8 with
     runs/absolute/EOL/EOF), 4-bit nibble palette, 32-bit BGRA
@@ -1347,10 +1449,11 @@ def test_bmp_palette_rle_and_32bit():
     )
     assert (decode_bmp(hdr32 + body32) == rgb).all()
 
-    # RLE4 stays an honest seam
+    # an RLE4 flag on an 8-bpp stream is malformed (RLE4 itself
+    # decodes: see test_bmp_rle4_bitfields_16bpp_1bpp)
     import pytest as _pytest
 
     bad = bytearray(encode_bmp_palette(idx, pal, rle=True))
     bad[30:34] = (2).to_bytes(4, "little")  # compression=2 (RLE4)
-    with _pytest.raises(NotImplementedError):
+    with _pytest.raises(ValueError):
         decode_bmp(bytes(bad))
