@@ -158,6 +158,84 @@ def multimodal_png_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TIFF_W, _TIFF_H = 8, 4
+
+
+@register(
+    "multimodal_tiff_channel_stats",
+    oracle=f"""
+    SELECT d.doc_id,
+           CAST({_TIFF_W} AS INTEGER) AS width,
+           CAST({_TIFF_H} AS INTEGER) AS height,
+           ROUND(AVG(CAST((d.doc_id * 11 + 5 * (3 * t.i)) % 256 AS DOUBLE)), 6) AS mean_r,
+           ROUND(AVG(CAST((d.doc_id * 11 + 5 * (3 * t.i + 1)) % 256 AS DOUBLE)), 6) AS mean_g,
+           ROUND(AVG(CAST((d.doc_id * 11 + 5 * (3 * t.i + 2)) % 256 AS DOUBLE)), 6) AS mean_b,
+           CAST((d.doc_id * 11) % 256 AS INTEGER) AS corner_r
+    FROM documents d, range({_TIFF_W * _TIFF_H}) t(i)
+    WHERE d.doc_id < {_N_DOCS}
+    GROUP BY d.doc_id
+    ORDER BY d.doc_id
+    """,
+    doc="REAL TIFF decode path (the dominant scanned-document corpus "
+    "format): synthesize an RGB TIFF per document (pixels a closed-"
+    "form function of doc_id) with the STORAGE VARIANT cycling by "
+    "doc_id — uncompressed / LZW / LZW+predictor-2 / PackBits, II "
+    "and MM byte orders, multi-strip — decode the actual strips in "
+    "mapInPandas (operators/tiff.py, pure numpy LZW/PackBits), and "
+    "emit per-channel means + the top-left red value; the oracle is "
+    "variant-blind, so any compression/byte-order/predictor/strip "
+    "bug diverges on exactly the affected doc_ids.",
+    tags=("multimodal",),
+)
+def multimodal_tiff_channel_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from robosystems_spark.operators.multimodal import image_channel_stats
+    from robosystems_spark.operators.tiff import encode_tiff
+
+    w, h = _TIFF_W, _TIFF_H
+
+    def encode(it):
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                px = ((int(did) * 11 + 5 * np.arange(w * h * 3)) % 256)
+                img = px.astype(np.uint8).reshape(h, w, 3)
+                variant = int(did) % 8
+                comp = (1, 5, 5, 32773)[variant % 4]
+                pred = 2 if variant == 2 or variant == 6 else 1
+                bo = "<" if variant < 4 else ">"
+                rps = 2 if variant in (1, 7) else None
+                payloads.append(
+                    encode_tiff(
+                        img,
+                        compression=comp,
+                        byte_order=bo,
+                        predictor=pred,
+                        rows_per_strip=rps,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": payloads})
+
+    media = _doc_ids(spark, sf_dir).mapInPandas(
+        encode,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("content", T.BinaryType()),
+            ]
+        ),
+    )
+    return (
+        image_channel_stats(media, id_col="doc_id")
+        .withColumnRenamed("media_id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
 @register(
     "multimodal_wav_pcm_rms",
     oracle=f"""

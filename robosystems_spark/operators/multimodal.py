@@ -982,14 +982,19 @@ def decode_image(data: bytes):
     """Dispatch decode by magic: BMP, P6 PPM, PNG (stdlib zlib inflate
     + numpy unfilter; palette + Adam7 interlace included), baseline
     JPEG (pure-numpy DCT + Huffman with 4:2:0/4:2:2 subsampling and
-    restart intervals, operators/jpeg.py), and GIF (pure-Python LZW,
-    operators/gif.py) all decode for REAL.  Remaining honest seams
-    live inside the codecs (12-bit/arithmetic JPEG; PNG decodes at
-    every legal depth)."""
+    restart intervals, operators/jpeg.py), GIF (pure-Python LZW,
+    operators/gif.py), and TIFF (strips, LZW/PackBits,
+    operators/tiff.py) all decode for REAL.  Remaining honest seams
+    live inside the codecs (12-bit/arithmetic JPEG, tiled TIFF; PNG
+    decodes at every legal depth)."""
     if data[:2] == b"BM":
         return decode_bmp(data)
     if data[:2] == b"P6":
         return decode_ppm(data)
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        from robosystems_spark.operators.tiff import decode_tiff
+
+        return decode_tiff(data)
     if data[:8] == _PNG_SIG:
         return decode_png(data)
     if data[:3] == b"\xff\xd8\xff":

@@ -1,0 +1,515 @@
+"""Baseline TIFF 6.0 codec in pure numpy + stdlib — no libtiff/PIL.
+
+TIFF is the dominant container for scanned-document corpora (the
+exact kind of 100 TB crawl/archive input a training-data pipeline
+ingests), so the decode path is real, not a stub:
+
+- both byte orders (``II`` little-endian, ``MM`` big-endian)
+- strip organization (any RowsPerStrip, multiple strips)
+- Compression 1 (none), 5 (LZW: MSB-first variable-width codes with
+  the TIFF "early change" width bump, optional horizontal-
+  differencing Predictor 2), 32773 (PackBits)
+- PhotometricInterpretation 0/1 (WhiteIsZero / BlackIsZero grayscale
+  and bilevel at 1/2/4/8/16 bits per sample), 2 (RGB at 8/16 bits),
+  3 (palette-color via the 16-bit ColorMap)
+- chunky planar configuration (PlanarConfiguration 1, the default
+  virtually every writer uses)
+
+Output is always an (h, w, 3) uint8 RGB array matching the repo's
+other decoders: 16-bit samples scale as ``round(v / 257)`` (the exact
+inverse of ``v * 257``), sub-byte grayscale scales by
+``round(v * 255 / (2^bits - 1))``.
+
+Honest seams (loud ``NotImplementedError``): tile organization,
+planar configuration 2, CCITT fax / JPEG-in-TIFF compression, and
+floating-point samples.
+
+``encode_tiff`` is the fixture synthesizer (the decode inverse) so
+oracle entries and tests round-trip REAL container bytes, including a
+genuine TIFF-variant LZW compressor.
+
+Reference parity: the reference repo ships no image codecs; this
+module exists for the multimodal ingestion surface its pipelines
+gate on (robosystems/operations/pipelines, binary payload columns),
+re-expressed as pure-numpy decode inside Spark's mapInPandas seam.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# TIFF tag ids (TIFF 6.0 spec section 8)
+_T_WIDTH = 256
+_T_HEIGHT = 257
+_T_BITS = 258
+_T_COMPRESSION = 259
+_T_PHOTOMETRIC = 262
+_T_STRIP_OFFSETS = 273
+_T_SPP = 277
+_T_ROWS_PER_STRIP = 278
+_T_STRIP_COUNTS = 279
+_T_PLANAR = 284
+_T_PREDICTOR = 317
+_T_COLORMAP = 320
+_T_TILE_WIDTH = 322
+
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
+
+
+def _read_ifd(data: bytes, bo: str) -> dict[int, list[int]]:
+    """Parse the first IFD into {tag: [values...]} (ints only;
+    RATIONAL returned as numerator/denominator pairs flattened)."""
+    ifd_off = int.from_bytes(data[4:8], "little" if bo == "<" else "big")
+    end = "little" if bo == "<" else "big"
+    n = int.from_bytes(data[ifd_off : ifd_off + 2], end)
+    tags: dict[int, list[int]] = {}
+    for k in range(n):
+        e = ifd_off + 2 + 12 * k
+        tag = int.from_bytes(data[e : e + 2], end)
+        typ = int.from_bytes(data[e + 2 : e + 4], end)
+        cnt = int.from_bytes(data[e + 4 : e + 8], end)
+        size = _TYPE_SIZES.get(typ, 1) * cnt
+        if size <= 4:
+            raw = data[e + 8 : e + 8 + size]
+        else:
+            off = int.from_bytes(data[e + 8 : e + 12], end)
+            raw = data[off : off + size]
+        step = _TYPE_SIZES.get(typ, 1)
+        if typ == 5:  # RATIONAL: pairs of u32
+            vals = [
+                int.from_bytes(raw[i : i + 4], end)
+                for i in range(0, size, 4)
+            ]
+        else:
+            vals = [
+                int.from_bytes(raw[i : i + step], end)
+                for i in range(0, size, step)
+            ]
+        tags[tag] = vals
+    return tags
+
+
+def _lzw_decode(buf: bytes) -> bytes:
+    """TIFF-variant LZW: MSB-first bit packing, 9-bit initial codes,
+    Clear=256 / EOI=257, and the early code-width change (width bumps
+    when the table reaches 2^bits - 1, one code before GIF would)."""
+    out = bytearray()
+    bitpos = 0
+    nbits = 9
+    total_bits = len(buf) * 8
+    table: list[bytes] = []
+    prev: bytes | None = None
+
+    def read_code() -> int:
+        nonlocal bitpos
+        byte = bitpos >> 3
+        shift = bitpos & 7
+        chunk = int.from_bytes(buf[byte : byte + 3].ljust(3, b"\0"), "big")
+        code = (chunk >> (24 - shift - nbits)) & ((1 << nbits) - 1)
+        bitpos += nbits
+        return code
+
+    while bitpos + nbits <= total_bits:
+        code = read_code()
+        if code == 256:  # Clear
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            nbits = 9
+            prev = None
+            continue
+        if code == 257:  # EndOfInformation
+            break
+        if prev is None:
+            if not table:
+                raise ValueError("LZW stream must start with Clear")
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):
+                entry = prev + prev[:1]
+            else:
+                raise ValueError("corrupt LZW stream (code ahead of table)")
+            table.append(prev + entry[:1])
+        out += entry
+        prev = entry
+        # early change, decoder side: the decoder's table lags the
+        # encoder's by one entry (an entry completes only when the
+        # NEXT code arrives), so it must widen at 2^n - 2 where the
+        # encoder widens at 2^n - 1 — the classic TIFF LZW off-by-one
+        if len(table) == (1 << nbits) - 2 and nbits < 12:
+            nbits += 1
+    return bytes(out)
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW compressor (the _lzw_decode inverse): emits
+    Clear up front and whenever the table fills to 4094 entries."""
+    out = bytearray()
+    acc = 0
+    accbits = 0
+
+    state = {"nbits": 9, "next": 258, "dict": {}}
+
+    def emit(code: int) -> None:
+        nonlocal acc, accbits
+        acc = (acc << state["nbits"]) | code
+        accbits += state["nbits"]
+        while accbits >= 8:
+            accbits -= 8
+            out.append((acc >> accbits) & 0xFF)
+
+    def reset() -> None:
+        emit(256)
+        state["nbits"] = 9
+        state["next"] = 258
+        state["dict"] = {bytes([i]): i for i in range(256)}
+
+    reset()
+    w = b""
+    for b in data:
+        c = bytes([b])
+        wc = w + c
+        if wc in state["dict"]:
+            w = wc
+            continue
+        emit(state["dict"][w])
+        state["dict"][wc] = state["next"]
+        state["next"] += 1
+        # early change: width bumps when the NEXT code to assign
+        # equals 2^bits - 1 (decoder mirrors on table length)
+        if state["next"] == (1 << state["nbits"]) - 1:
+            if state["nbits"] < 12:
+                state["nbits"] += 1
+            else:
+                pass
+        if state["next"] >= 4094:
+            reset()
+            w = b""
+        w = c
+    if w:
+        emit(state["dict"][w])
+    emit(257)
+    if accbits:
+        out.append((acc << (8 - accbits)) & 0xFF)
+    return bytes(out)
+
+
+def _packbits_decode(buf: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(buf):
+        n = buf[i]
+        i += 1
+        if n < 128:  # literal run of n+1
+            out += buf[i : i + n + 1]
+            i += n + 1
+        elif n > 128:  # repeat next byte 257-n times
+            if i < len(buf):
+                out += bytes([buf[i]]) * (257 - n)
+                i += 1
+        # n == 128: noop per spec
+    return bytes(out)
+
+
+def _packbits_encode(row: bytes) -> bytes:
+    """Greedy PackBits: replicate packets for runs >= 3, literal
+    packets otherwise (max 128 per packet)."""
+    out = bytearray()
+    i, n = 0, len(row)
+    while i < n:
+        # measure run length at i
+        j = i + 1
+        while j < n and j - i < 128 and row[j] == row[i]:
+            j += 1
+        run = j - i
+        if run >= 3:
+            out.append(257 - run)
+            out.append(row[i])
+            i = j
+            continue
+        # literal: scan until a run of >=3 starts (or 128 bytes)
+        j = i
+        while j < n and j - i < 128:
+            if j + 2 < n and row[j] == row[j + 1] == row[j + 2]:
+                break
+            j += 1
+        out.append(j - i - 1)
+        out += row[i:j]
+        i = j
+    return bytes(out)
+
+
+def decode_tiff(data: bytes):
+    """Decode a baseline TIFF into an (h, w, 3) uint8 RGB array.
+
+    See the module docstring for the supported envelope; unsupported
+    organizations raise loudly instead of decoding wrong pixels.
+    """
+    if len(data) < 8 or data[:2] not in (b"II", b"MM"):
+        raise ValueError("not a TIFF file")
+    bo = "<" if data[:2] == b"II" else ">"
+    end = "little" if bo == "<" else "big"
+    if int.from_bytes(data[2:4], end) != 42:
+        raise ValueError("bad TIFF magic")
+    tags = _read_ifd(data, bo)
+    if _T_TILE_WIDTH in tags:
+        raise NotImplementedError("tiled TIFF organization not supported")
+    if _T_WIDTH not in tags or _T_HEIGHT not in tags:
+        raise ValueError("TIFF missing ImageWidth/ImageLength")
+    w = tags[_T_WIDTH][0]
+    h = tags[_T_HEIGHT][0]
+    spp = tags.get(_T_SPP, [1])[0]
+    bits_list = tags.get(_T_BITS, [1] * spp)
+    if len(set(bits_list)) != 1:
+        raise NotImplementedError("per-sample heterogeneous BitsPerSample")
+    bits = bits_list[0]
+    compression = tags.get(_T_COMPRESSION, [1])[0]
+    photometric = tags.get(_T_PHOTOMETRIC, [1])[0]
+    planar = tags.get(_T_PLANAR, [1])[0]
+    predictor = tags.get(_T_PREDICTOR, [1])[0]
+    if planar != 1:
+        raise NotImplementedError("planar configuration 2 not supported")
+    if compression in (2, 3, 4):
+        raise NotImplementedError("CCITT fax compression not supported")
+    if compression in (6, 7):
+        raise NotImplementedError("JPEG-in-TIFF not supported")
+    if compression not in (1, 5, 32773):
+        raise NotImplementedError(f"TIFF compression {compression}")
+    if bits not in (1, 2, 4, 8, 16):
+        raise NotImplementedError(f"{bits}-bit samples not supported")
+    if predictor not in (1, 2):
+        raise NotImplementedError(f"TIFF predictor {predictor}")
+    if predictor == 2 and bits < 8:
+        raise ValueError("predictor 2 requires 8/16-bit samples")
+
+    offsets = tags.get(_T_STRIP_OFFSETS)
+    counts = tags.get(_T_STRIP_COUNTS)
+    if not offsets:
+        raise ValueError("TIFF missing StripOffsets")
+    if not counts:  # single uncompressed strip may legally omit it
+        if len(offsets) != 1 or compression != 1:
+            raise ValueError("TIFF missing StripByteCounts")
+        counts = [len(data) - offsets[0]]
+
+    row_bytes = (w * spp * bits + 7) // 8
+    raw = bytearray()
+    for off, cnt in zip(offsets, counts):
+        strip = bytes(data[off : off + cnt])
+        if compression == 5:
+            strip = _lzw_decode(strip)
+        elif compression == 32773:
+            strip = _packbits_decode(strip)
+        raw += strip
+    if len(raw) < row_bytes * h:
+        raise ValueError("truncated TIFF strip data")
+    rows = np.frombuffer(
+        bytes(raw), dtype=np.uint8, count=row_bytes * h
+    ).reshape(h, row_bytes)
+
+    if bits == 16:
+        px = (
+            rows.reshape(h, -1)
+            .view(np.uint8)
+            .reshape(h, w * spp, 2)
+            .copy()
+            .view(f"{bo}u2")
+            .reshape(h, w, spp)
+            .astype(np.uint32)
+        )
+    elif bits == 8:
+        px = rows[:, : w * spp].reshape(h, w, spp).astype(np.uint32)
+    else:  # sub-byte: MSB-first bit order within each byte
+        unpacked = np.unpackbits(rows, axis=1)[:, : w * spp * bits]
+        g = unpacked.reshape(h, w * spp, bits)
+        weights = (1 << np.arange(bits - 1, -1, -1)).astype(np.uint32)
+        px = (g * weights).sum(axis=2).reshape(h, w, spp).astype(np.uint32)
+
+    if predictor == 2:
+        # horizontal differencing: undo by cumulative sum along the
+        # row, per sample channel, modulo the sample width
+        mod = 1 << bits
+        px = np.cumsum(px, axis=1, dtype=np.uint64) % mod
+        px = px.astype(np.uint32)
+
+    if photometric == 3:  # palette-color
+        cmap = tags.get(_T_COLORMAP)
+        if not cmap:
+            raise ValueError("palette TIFF missing ColorMap")
+        n = 1 << bits
+        if len(cmap) < 3 * n:
+            raise ValueError("ColorMap shorter than 3 * 2^bits")
+        table = np.array(
+            [cmap[0:n], cmap[n : 2 * n], cmap[2 * n : 3 * n]],
+            dtype=np.uint32,
+        ).T  # (n, 3) 16-bit entries
+        idx = px[:, :, 0]
+        if int(idx.max(initial=0)) >= n:
+            raise ValueError("palette index out of ColorMap range")
+        out16 = table[idx]  # (h, w, 3) in 0..65535
+        return ((out16 + 128) // 257).astype(np.uint8)
+
+    # scale samples to 0..255 with integer rounding
+    maxval = (1 << bits) - 1
+    if bits == 16:
+        scaled = (px + 128) // 257
+    elif bits == 8:
+        scaled = px
+    else:
+        scaled = (px * 255 + maxval // 2) // maxval
+    if photometric == 0:  # WhiteIsZero
+        scaled = 255 - scaled
+    scaled = scaled.astype(np.uint8)
+    if photometric in (0, 1):
+        if spp != 1:
+            raise NotImplementedError("extra samples on grayscale TIFF")
+        return np.repeat(scaled, 3, axis=2).reshape(h, w, 3)
+    if photometric == 2:
+        if spp < 3:
+            raise ValueError("RGB TIFF requires >= 3 samples per pixel")
+        return scaled[:, :, :3].copy()  # extra samples (alpha) dropped
+    raise NotImplementedError(f"TIFF photometric {photometric}")
+
+
+def encode_tiff(
+    arr,
+    compression: int = 1,
+    byte_order: str = "<",
+    bits: int = 8,
+    photometric: int | None = None,
+    predictor: int = 1,
+    rows_per_strip: int | None = None,
+    palette=None,
+) -> bytes:
+    """Encode an array as a baseline TIFF (decode_tiff inverse) —
+    fixture synthesis for oracle entries and tests.
+
+    ``arr``: (h, w, 3) RGB for photometric 2; (h, w) grayscale for
+    photometric 0/1 (values at SOURCE depth for bits <= 8, or 16-bit
+    values when ``bits=16``); (h, w) palette indices with
+    ``palette=(n, 3) uint8`` for photometric 3 (ColorMap entries
+    written as ``c * 257``).  ``compression``: 1 / 5 (LZW, with
+    optional ``predictor=2``) / 32773 (PackBits, per-row packets).
+    """
+    a = np.asarray(arr)
+    end = "little" if byte_order == "<" else "big"
+    if palette is not None:
+        photometric = 3
+        spp = 1
+        h, w = a.shape
+    elif a.ndim == 3:
+        photometric = 2 if photometric is None else photometric
+        h, w, spp = a.shape
+    else:
+        photometric = 1 if photometric is None else photometric
+        spp = 1
+        h, w = a.shape
+    if predictor == 2 and compression != 5:
+        raise ValueError("predictor 2 is only meaningful with LZW")
+
+    # pack sample rows at the target depth
+    if bits == 16:
+        vals = a.reshape(h, w * spp).astype(np.uint16)
+        if predictor == 2:
+            vals = np.diff(
+                vals.reshape(h, w, spp).astype(np.int64),
+                axis=1,
+                prepend=np.zeros((h, 1, spp), dtype=np.int64),
+            ).astype(np.uint16).reshape(h, w * spp)
+        rows = vals.astype(f"{byte_order}u2").view(np.uint8).reshape(h, -1)
+    elif bits == 8:
+        vals = a.reshape(h, w, spp).astype(np.uint8)
+        if predictor == 2:
+            vals = np.diff(
+                vals.astype(np.int16),
+                axis=1,
+                prepend=np.zeros((h, 1, spp), dtype=np.int16),
+            ).astype(np.uint8)
+        rows = vals.reshape(h, w * spp)
+    elif bits in (1, 2, 4):
+        flat = a.reshape(h, w * spp).astype(np.uint8)
+        b = np.unpackbits(
+            flat[..., None], axis=2, count=8, bitorder="big"
+        )[:, :, 8 - bits :]
+        rows = np.packbits(b.reshape(h, -1), axis=1)
+    else:
+        raise ValueError(f"unsupported bits {bits}")
+    row_bytes = (w * spp * bits + 7) // 8
+    rows = rows[:, :row_bytes]
+
+    rps = rows_per_strip or h
+    strips = []
+    for y0 in range(0, h, rps):
+        chunk = rows[y0 : y0 + rps].tobytes()
+        if compression == 5:
+            chunk = _lzw_encode(chunk)
+        elif compression == 32773:
+            nrows = min(rps, h - y0)
+            chunk = b"".join(
+                _packbits_encode(rows[y0 + r].tobytes())
+                for r in range(nrows)
+            )
+        elif compression != 1:
+            raise ValueError(f"unsupported compression {compression}")
+        strips.append(chunk)
+
+    # layout: header(8) | strip data | colormap? | IFD
+    body = bytearray(b"\x00" * 8)
+    strip_offsets, strip_counts = [], []
+    for s in strips:
+        strip_offsets.append(len(body))
+        strip_counts.append(len(s))
+        body += s
+        if len(body) & 1:
+            body += b"\x00"
+
+    extra = bytearray()  # out-of-line tag values, placed after the IFD
+
+    entries: list[tuple[int, int, int, bytes | int]] = []
+
+    def tag(tid: int, typ: int, vals: list[int]) -> None:
+        entries.append((tid, typ, len(vals), vals))
+
+    tag(_T_WIDTH, 4, [w])
+    tag(_T_HEIGHT, 4, [h])
+    tag(_T_BITS, 3, [bits] * spp)
+    tag(_T_COMPRESSION, 3, [compression])
+    tag(_T_PHOTOMETRIC, 3, [photometric])
+    tag(_T_STRIP_OFFSETS, 4, strip_offsets)
+    tag(_T_SPP, 3, [spp])
+    tag(_T_ROWS_PER_STRIP, 4, [rps])
+    tag(_T_STRIP_COUNTS, 4, strip_counts)
+    tag(_T_PLANAR, 3, [1])
+    if predictor == 2:
+        tag(_T_PREDICTOR, 3, [predictor])
+    if palette is not None:
+        p = np.asarray(palette, dtype=np.uint32)
+        n = 1 << bits
+        full = np.zeros((n, 3), dtype=np.uint32)
+        full[: p.shape[0]] = p * 257
+        cmap = list(full[:, 0]) + list(full[:, 1]) + list(full[:, 2])
+        tag(_T_COLORMAP, 3, [int(v) for v in cmap])
+
+    entries.sort(key=lambda e: e[0])
+    ifd_off = len(body)
+    ifd = bytearray(len(entries).to_bytes(2, end))
+    extra_base = ifd_off + 2 + 12 * len(entries) + 4
+    for tid, typ, cnt, vals in entries:
+        step = _TYPE_SIZES[typ]
+        raw = b"".join(int(v).to_bytes(step, end) for v in vals)
+        ent = tid.to_bytes(2, end) + typ.to_bytes(2, end)
+        ent += cnt.to_bytes(4, end)
+        if len(raw) <= 4:
+            ent += raw.ljust(4, b"\x00")
+        else:
+            off = extra_base + len(extra)
+            ent += off.to_bytes(4, end)
+            extra += raw
+            if len(extra) & 1:
+                extra += b"\x00"
+        ifd += ent
+    ifd += (0).to_bytes(4, end)  # next-IFD pointer: none
+
+    body[0:2] = b"II" if byte_order == "<" else b"MM"
+    body[2:4] = (42).to_bytes(2, end)
+    body[4:8] = ifd_off.to_bytes(4, end)
+    return bytes(body) + bytes(ifd) + bytes(extra)

