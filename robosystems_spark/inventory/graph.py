@@ -922,3 +922,127 @@ def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "src", ((F.col("src") * 31 + 7) % F.col("_n")).alias("dst")
     )
     return harmonic_centrality(edges, max_depth=_HARMONIC_DEPTH).orderBy("node")
+
+
+@register(
+    "graph_modularity_lpa",
+    oracle=__import__(
+        "robosystems_spark.operators.graph",
+        fromlist=["modularity_oracle_sql"],
+    ).modularity_oracle_sql(_LPA_ROUNDS, _LPA_EDGES_CTE),
+    doc="Newman modularity (Newman & Girvan 2004) of the "
+    "deterministic-LPA communities over the supplier-part bipartite "
+    "graph: per community Q_c = e_c/m - (d_c/2m)^2 — the standard "
+    "quality score that tells whether LPA's communities are real "
+    "structure or noise. All counting stays integer and doubled "
+    "(2e_c, 2m) until one fixed IEEE expression (explicit multiply, "
+    "no POWER) rounds once, so the doubles are bit-identical to the "
+    "unrolled-CTE oracle. Two label joins + two hash aggregates on "
+    "top of the LPA assignment.",
+    tags=("graph",),
+)
+def graph_modularity_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from robosystems_spark.operators.graph import (
+        label_propagation_assignments,
+        modularity,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+    ).dropDuplicates()
+    assign = label_propagation_assignments(edges, rounds=_LPA_ROUNDS)
+    return modularity(edges, assign)
+
+
+_TRUSS_K = 10
+_TRUSS_ROUNDS = 3
+_TRUSS_EDGES_CTE = """e0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)"""
+
+
+@register(
+    "graph_ktruss_edges",
+    oracle=__import__(
+        "robosystems_spark.operators.graph", fromlist=["ktruss_oracle_sql"]
+    ).ktruss_oracle_sql(_TRUSS_K, _TRUSS_ROUNDS, _TRUSS_EDGES_CTE),
+    doc=f"{_TRUSS_K}-truss of the part co-purchase graph (Cohen "
+    "2008): fixed-round edge peeling on triangle support — the "
+    "cohesive-core sibling of k-core (degree bound -> triangle "
+    "bound). Support reuses the adjacency-array array_intersect "
+    "closure of triangle_count (codegen, no wedge shuffle); the "
+    "edge frame shrinks monotonically per round and the oracle "
+    "unrolls the identical peel. Returns surviving edges with "
+    "final support.",
+    tags=("graph", "triangles"),
+)
+def graph_ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from robosystems_spark.operators.graph import ktruss
+
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "o").filter(F.col("src") < F.col("dst")).select("src", "dst")
+    )
+    return ktruss(edges, k=_TRUSS_K, rounds=_TRUSS_ROUNDS)
+
+
+_STRESS_DEPTH = 3
+_STRESS_EDGES_CTE = """nn AS (SELECT COUNT(*) AS n FROM customer),
+d0 AS (
+  SELECT CAST(c_custkey AS BIGINT) AS src,
+         CAST((c_custkey * 31 + 7) % nn.n AS BIGINT) AS dst
+  FROM customer, nn
+),
+e0 AS MATERIALIZED (
+  SELECT src, dst FROM d0 WHERE src <> dst
+  UNION
+  SELECT dst, src FROM d0 WHERE src <> dst
+)"""
+_STRESS_SOURCES_CTE = (
+    "src0 AS (SELECT CAST(c_custkey AS BIGINT) AS s FROM customer "
+    "WHERE c_custkey % 50 = 3)"
+)
+
+
+@register(
+    "graph_stress_centrality",
+    oracle=__import__(
+        "robosystems_spark.operators.graph", fromlist=["stress_oracle_sql"]
+    ).stress_oracle_sql(_STRESS_EDGES_CTE, _STRESS_SOURCES_CTE, _STRESS_DEPTH),
+    doc="Bounded stress centrality (Shimbel 1953; Brandes 2001 "
+    "two-pass, Brandes & Pich 2007 source sampling) on the "
+    "undirected customer referral graph: shortest-path counts "
+    "through each node from a 2%-sampled source set, depth <= 3. "
+    "The integer-exact sibling of betweenness — sigma and suffix "
+    "counts stay BIGINT through both passes, so the result is "
+    "hash-checkable with zero float-order risk. Forward pass: "
+    "per-depth edge join + anti-join + integer sum; backward pass: "
+    "per-depth DAG-successor join; state one row per (source, "
+    "reached node).",
+    tags=("graph",),
+)
+def graph_stress_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from robosystems_spark.operators.graph import stress_centrality
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("src")
+    )
+    n = cust.agg(F.count("*").alias("_n"))
+    d = cust.crossJoin(F.broadcast(n)).select(
+        "src", ((F.col("src") * 31 + 7) % F.col("_n")).alias("dst")
+    )
+    sources = cust.filter(F.col("src") % 50 == 3).select(
+        F.col("src").alias("s")
+    )
+    return stress_centrality(d, sources, max_depth=_STRESS_DEPTH)

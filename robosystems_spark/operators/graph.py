@@ -610,6 +610,23 @@ def label_propagation(
     all O(edges) shuffles, label state is one row per node, nothing
     on the driver.  Returns (community, n_nodes) sizes.
     """
+    return (
+        label_propagation_assignments(edges, rounds, src_col, dst_col)
+        .groupBy(F.col("lbl").alias("community"))
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("community")
+    )
+
+
+def label_propagation_assignments(
+    edges: DataFrame,
+    rounds: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """The (node, lbl) assignment frame behind
+    :func:`label_propagation` — exposed so downstream community
+    measures (modularity) share the exact deterministic labels."""
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
     e = (
@@ -642,10 +659,414 @@ def label_propagation(
             .select(F.col("src").alias("node"), F.col("_m._l").alias("lbl"))
             .transform(materialize, eager=False)
         )
+    return labels
+
+
+def modularity(
+    edges: DataFrame,
+    assignments: DataFrame,
+    decimals: int = 9,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Newman modularity per community:
+    ``Q_c = e_c/m - (d_c/(2m))^2`` (Newman & Girvan 2004), the
+    standard quality score for a community assignment — pairs with
+    :func:`label_propagation_assignments` to quantify how good LPA's
+    communities actually are (reference semantics: graph analytics
+    surface, robosystems/operations/graph metrics endpoints).
+
+    ``assignments`` is (node, lbl).  All counting is integer and
+    DOUBLED (``2*e_c``, ``2*m``) so nothing divides by two early;
+    the one floating expression ``w2/m2 - (d/m2)*(d/m2)`` is a fixed
+    IEEE formula of integers (explicit multiply, not POWER) and
+    rounds once — hash-identical cross-engine.
+
+    Scale: two broadcast-or-shuffle joins of edges to labels + two
+    hash aggregates; assignment state is one row per node; nothing
+    iterates.
+    """
+    e = (
+        undirected(edges, src_col, dst_col)
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates()
+    )  # doubled: both directions present
+    a_src = assignments.select(
+        F.col("node").alias("src"), F.col("lbl").alias("_ls")
+    )
+    a_dst = assignments.select(
+        F.col("node").alias("dst"), F.col("lbl").alias("_ld")
+    )
+    # three consumers (count, degrees, within) -> materialize once
+    labeled = e.join(a_src, "src").join(a_dst, "dst").transform(materialize)
+    m2 = labeled.count()  # 2m (each undirected edge twice)
+    if m2 == 0:
+        raise ValueError("modularity of an empty graph")
+    deg = labeled.groupBy("src", "_ls").agg(
+        F.count(F.lit(1)).alias("_deg")
+    )
+    per_comm = (
+        deg.groupBy(F.col("_ls").alias("community"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("_deg").alias("degree_sum"),
+        )
+    )
+    within = (
+        labeled.filter(F.col("_ls") == F.col("_ld"))
+        .groupBy(F.col("_ls").alias("community"))
+        .agg(F.count(F.lit(1)).alias("_w2"))
+    )
+    frac = F.col("degree_sum").cast("double") / F.lit(float(m2))
     return (
-        labels.groupBy(F.col("lbl").alias("community"))
-        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        per_comm.join(within, "community", "left")
+        .select(
+            "community",
+            "n_nodes",
+            (F.coalesce(F.col("_w2"), F.lit(0)) / 2).cast("long").alias(
+                "internal_edges"
+            ),
+            "degree_sum",
+            F.round(
+                F.coalesce(F.col("_w2"), F.lit(0)).cast("double")
+                / F.lit(float(m2))
+                - frac * frac,
+                decimals,
+            ).alias("q_contrib"),
+        )
         .orderBy("community")
+    )
+
+
+def modularity_oracle_sql(
+    rounds: int, edges_cte: str, decimals: int = 9
+) -> str:
+    """Modularity of the unrolled-LPA assignment as one DuckDB
+    query.  ``edges_cte`` must define ``e0(src, dst)`` doubled
+    (both directions), distinct, no self-loops — the same contract
+    as :func:`lpa_oracle_ctes`."""
+    parts = [edges_cte, "l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e0)"]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""v{r} AS (
+  SELECT e.src, l.lbl, COUNT(*) AS c
+  FROM e0 e JOIN l{r - 1} l ON l.node = e.dst
+  GROUP BY e.src, l.lbl
+),
+l{r} AS MATERIALIZED (
+  SELECT src AS node, lbl FROM (
+    SELECT src, lbl,
+           ROW_NUMBER() OVER (PARTITION BY src
+                              ORDER BY c DESC, lbl ASC) AS rn
+    FROM v{r}
+  ) WHERE rn = 1
+)"""
+        )
+    parts.append(
+        f"""lab AS MATERIALIZED (
+  SELECT e.src, e.dst, ls.lbl AS lsrc, ld.lbl AS ldst
+  FROM e0 e
+  JOIN l{rounds} ls ON ls.node = e.src
+  JOIN l{rounds} ld ON ld.node = e.dst
+),
+m2 AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m2 FROM lab),
+deg AS (
+  SELECT src, lsrc AS community, COUNT(*) AS d
+  FROM lab GROUP BY src, lsrc
+),
+pc AS (
+  SELECT community, COUNT(*) AS n_nodes, SUM(d) AS degree_sum
+  FROM deg GROUP BY community
+),
+w AS (
+  SELECT lsrc AS community, COUNT(*) AS w2
+  FROM lab WHERE lsrc = ldst GROUP BY lsrc
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT pc.community,
+       pc.n_nodes,
+       CAST(COALESCE(w.w2, 0) / 2 AS BIGINT) AS internal_edges,
+       CAST(pc.degree_sum AS BIGINT) AS degree_sum,
+       ROUND(CAST(COALESCE(w.w2, 0) AS DOUBLE) / m2.m2
+             - (CAST(pc.degree_sum AS DOUBLE) / m2.m2)
+               * (CAST(pc.degree_sum AS DOUBLE) / m2.m2),
+             {decimals}) AS q_contrib
+FROM pc CROSS JOIN m2 LEFT JOIN w ON w.community = pc.community
+ORDER BY pc.community"""
+    )
+
+
+def ktruss(
+    edges: DataFrame,
+    k: int = 4,
+    rounds: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-round k-truss peeling (Cohen 2008): repeatedly drop
+    edges supported by fewer than ``k - 2`` triangles, ``rounds``
+    times; returns surviving canonical edges with their final
+    support.  The truss is the cohesive-subgraph sibling of
+    :func:`kcore` — cores bound DEGREE, trusses bound TRIANGLE
+    support, the standard community-core primitive.
+
+    Fixed peel rounds (the :func:`kcore` discipline) keep the result
+    deterministic and oracle-unrollable; each round is one adjacency
+    aggregation + two array-intersect joins, all hash-exact integer
+    counts.  Support is computed against the CURRENT edge set each
+    round, so peeling cascades.
+
+    Scale: support per round reuses the adjacency-array intersection
+    shape of :func:`triangle_count` (codegen ``array_intersect``, no
+    wedge shuffle); the edge frame shrinks monotonically and is
+    re-materialized per round.  Hub adjacency arrays are bounded by
+    the caller capping degrees upstream (same contract as
+    :func:`adamic_adar_bipartite`).
+    """
+    if k < 3:
+        raise ValueError("k-truss requires k >= 3")
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .dropDuplicates()
+        .transform(materialize)
+    )
+
+    def support(cur: DataFrame) -> DataFrame:
+        und = cur.select(
+            F.col("a").alias("p"), F.col("b").alias("q")
+        ).unionAll(cur.select(F.col("b").alias("p"), F.col("a").alias("q")))
+        adj = und.groupBy("p").agg(
+            F.sort_array(F.collect_set("q")).alias("n")
+        )
+        return (
+            cur.join(
+                adj.select(F.col("p").alias("a"), F.col("n").alias("_na")),
+                "a",
+            )
+            .join(
+                adj.select(F.col("p").alias("b"), F.col("n").alias("_nb")),
+                "b",
+            )
+            .select(
+                "a",
+                "b",
+                F.size(F.array_intersect("_na", "_nb")).alias("support"),
+            )
+        )
+
+    for _ in range(rounds):
+        e = (
+            support(e)
+            .filter(F.col("support") >= k - 2)
+            .select("a", "b")
+            .transform(materialize)
+        )
+    return support(e).orderBy("a", "b")
+
+
+def ktruss_oracle_sql(k: int, rounds: int, edges_cte: str) -> str:
+    """The fixed-round truss peel unrolled as DuckDB CTEs.
+    ``edges_cte`` must define ``e0(a, b)`` canonical (a < b),
+    distinct, no self-loops."""
+    parts = [edges_cte]
+    for r in range(1, rounds + 1):
+        parts.append(_ktruss_round_ctes(r - 1, r, k))
+    parts.append(_ktruss_support_cte(rounds, "sfin"))
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT e.a, e.b, CAST(COALESCE(s.c, 0) AS INTEGER) AS support
+FROM e{rounds} e LEFT JOIN sfin s ON s.a = e.a AND s.b = e.b
+ORDER BY e.a, e.b"""
+    )
+
+
+def _ktruss_support_cte(r: int, name: str) -> str:
+    return f"""u_{name} AS (
+  SELECT a AS p, b AS q FROM e{r} UNION ALL SELECT b, a FROM e{r}
+),
+{name} AS (
+  SELECT e.a, e.b, COUNT(*) AS c
+  FROM e{r} e
+  JOIN u_{name} x ON x.p = e.a
+  JOIN u_{name} y ON y.p = e.b AND y.q = x.q
+  GROUP BY e.a, e.b
+)"""
+
+
+def _ktruss_round_ctes(prev: int, r: int, k: int) -> str:
+    return f"""{_ktruss_support_cte(prev, f"s{r}")},
+e{r} AS MATERIALIZED (
+  SELECT e.a, e.b FROM e{prev} e
+  LEFT JOIN s{r} s ON s.a = e.a AND s.b = e.b
+  WHERE COALESCE(s.c, 0) >= {k - 2}
+)"""
+
+
+def stress_centrality(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_depth: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Bounded stress centrality (Shimbel 1953): for every node v,
+    the number of shortest paths of length <= ``max_depth`` that
+    start at a sampled source, end anywhere, and pass THROUGH v —
+    the integer-exact sibling of betweenness (betweenness divides
+    each count by sigma_st; stress keeps the raw path counts, so
+    every intermediate value is an integer and the result is
+    hash-checkable cross-engine with no float-summation-order risk).
+
+    Brandes' two-pass shape (Brandes 2001), bounded and batched over
+    all sources at once:
+
+    - forward: per depth, one edge join + one (s, v) integer-sum of
+      path counts sigma, with an anti-join against visited pairs so
+      only first (= shortest) arrivals count;
+    - backward: per depth, suffix path counts
+      ``f(v) = sum over DAG-successors w of (f(w) + 1)``;
+    - ``stress(v) = sum over sources of sigma(s, v) * f(s, v)``.
+
+    State is one row per (source, reached node); both passes are
+    fixed-round joins + hash aggregates, materialized per round —
+    the same frontier discipline as :func:`bounded_paths` /
+    :func:`harmonic_centrality`.
+
+    ``sources`` is a one-column frame ``s``; sample it upstream
+    (sqrt-n sources approximate full betweenness rankings well —
+    Brandes & Pich 2007 — and bound the (s, v) state at 100 TB).
+    """
+    if max_depth < 1:
+        raise ValueError("max_depth must be >= 1")
+    e = (
+        undirected(edges, src_col, dst_col)
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates()
+        .select(F.col("src").alias("v"), F.col("dst").alias("w"))
+        .transform(materialize)
+    )
+    f0 = sources.select(
+        F.col("s"),
+        F.col("s").alias("v"),
+        F.lit(1).cast("long").alias("sigma"),
+    ).transform(materialize)
+    layers = [f0]
+    visited = f0.select("s", "v").transform(materialize)
+    for _d in range(1, max_depth + 1):
+        nxt = (
+            layers[-1]
+            .join(e, "v")
+            .select("s", F.col("w").alias("v"), "sigma")
+            .join(visited, ["s", "v"], "left_anti")
+            .groupBy("s", "v")
+            .agg(F.sum("sigma").alias("sigma"))
+            .transform(materialize)
+        )
+        layers.append(nxt)
+        visited = visited.unionAll(nxt.select("s", "v")).transform(
+            materialize
+        )
+    # backward suffix counts: deepest layer has no successors
+    fcur = layers[max_depth].select(
+        "s", "v", "sigma", F.lit(0).cast("long").alias("fsuf")
+    )
+    parts = [fcur]
+    for d in range(max_depth - 1, 0, -1):
+        succ = fcur.select("s", F.col("v").alias("w"), "fsuf")
+        sums = (
+            layers[d]
+            .select("s", "v")
+            .join(e, "v")
+            .join(succ, ["s", "w"])
+            .groupBy("s", "v")
+            .agg(F.sum(F.col("fsuf") + F.lit(1)).alias("_fs"))
+        )
+        fcur = (
+            layers[d]
+            .join(sums, ["s", "v"], "left")
+            .select(
+                "s",
+                "v",
+                "sigma",
+                F.coalesce(F.col("_fs"), F.lit(0)).alias("fsuf"),
+            )
+            .transform(materialize)
+        )
+        parts.append(fcur)
+    stacked = parts[0]
+    for p in parts[1:]:
+        stacked = stacked.unionAll(p)
+    return (
+        stacked.groupBy(F.col("v").alias("node"))
+        .agg(F.sum(F.col("sigma") * F.col("fsuf")).alias("stress"))
+        .orderBy("node")
+    )
+
+
+def stress_oracle_sql(
+    edges_cte: str, sources_cte: str, max_depth: int
+) -> str:
+    """Bounded stress centrality unrolled as DuckDB CTEs.
+    ``edges_cte`` defines ``e0(src, dst)`` doubled/distinct/no-self;
+    ``sources_cte`` defines ``src0(s)``."""
+    parts = [edges_cte, sources_cte]
+    parts.append(
+        "f0 AS (SELECT s, s AS v, CAST(1 AS BIGINT) AS sigma FROM src0),"
+        "\nvis0 AS (SELECT s, v FROM f0)"
+    )
+    for d in range(1, max_depth + 1):
+        parts.append(
+            f"""f{d} AS MATERIALIZED (
+  SELECT f.s, e.dst AS v, SUM(f.sigma) AS sigma
+  FROM f{d - 1} f JOIN e0 e ON e.src = f.v
+  WHERE NOT EXISTS (
+    SELECT 1 FROM vis{d - 1} x WHERE x.s = f.s AND x.v = e.dst
+  )
+  GROUP BY f.s, e.dst
+),
+vis{d} AS MATERIALIZED (
+  SELECT s, v FROM vis{d - 1} UNION ALL SELECT s, v FROM f{d}
+)"""
+        )
+    parts.append(
+        f"b{max_depth} AS (SELECT s, v, sigma, CAST(0 AS BIGINT) AS fsuf "
+        f"FROM f{max_depth})"
+    )
+    for d in range(max_depth - 1, 0, -1):
+        parts.append(
+            f"""b{d} AS MATERIALIZED (
+  SELECT f.s, f.v, f.sigma, COALESCE(x.fs, 0) AS fsuf
+  FROM f{d} f LEFT JOIN (
+    SELECT f2.s, f2.v, SUM(b.fsuf + 1) AS fs
+    FROM f{d} f2
+    JOIN e0 e ON e.src = f2.v
+    JOIN b{d + 1} b ON b.s = f2.s AND b.v = e.dst
+    GROUP BY f2.s, f2.v
+  ) x ON x.s = f.s AND x.v = f.v
+)"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT v, sigma, fsuf FROM b{d}"
+        for d in range(1, max_depth + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT v AS node, CAST(SUM(sigma * fsuf) AS BIGINT) AS stress
+FROM ({union})
+GROUP BY v
+ORDER BY node"""
     )
 
 
