@@ -453,6 +453,30 @@ def events_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_holt_linear_forecast",
+    oracle=__import__(
+        "robosystems_spark.operators.timeseries",
+        fromlist=["holt_linear_oracle_sql"],
+    ).holt_linear_oracle_sql(),
+    doc="Holt's linear-trend (double exponential) smoothing per user "
+    "(alpha=0.5, beta=0.3, b_1=0): final level/trend + one-step "
+    "forecast. The 2-component recursion folds as a 2-element DOUBLE "
+    "ARRAY in F.aggregate / DuckDB list_reduce — an array and NOT a "
+    "struct because list_reduce mutates struct accumulators field-by-"
+    "field in place (second field sees the first already updated); "
+    "arrays read-all-then-write, so both engines run the textbook "
+    "recursion bit-identically. Same O(days)-per-key shape as EWMA.",
+    tags=("window", "events", "timeseries"),
+)
+def events_holt_linear_forecast(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from robosystems_spark.operators.timeseries import holt_linear
+
+    return holt_linear(_events(spark, sf_dir))
+
+
+@register(
     "events_value_percentiles",
     oracle="""
     SELECT event_type,

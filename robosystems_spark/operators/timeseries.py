@@ -522,6 +522,124 @@ def ewma_daily_oracle_sql(
     """
 
 
+def holt_linear(
+    df: DataFrame,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Holt's linear-trend (double exponential) smoothing over each
+    key's daily series — the trend-aware sibling of
+    :func:`ewma_daily`:
+
+    ``l_t = alpha*x_t + (1-alpha)*(l_{t-1} + b_{t-1})``
+    ``b_t = beta*(l_t - l_{t-1}) + (1-beta)*b_{t-1}``
+
+    seeded ``l_1 = x_1, b_1 = 0``; emits the final level/trend and
+    the one-step forecast ``l + b`` per key.
+
+    The recursion carries a 2-component state, so the accumulator is
+    a 2-element DOUBLE ARRAY folded with ``F.aggregate`` (DuckDB:
+    ``list_reduce``).  Deliberately an array and NOT a struct:
+    DuckDB's ``list_reduce`` updates struct accumulators field-by-
+    field in place (the second field's lambda sees the first field
+    already overwritten), while array construction reads all inputs
+    before writing — arrays give the textbook semantics in BOTH
+    engines, bit-identically (same IEEE expression tree, sequential
+    fold).
+
+    Scale shape: identical to :func:`ewma_daily` — daily
+    pre-aggregation bounds the per-key list, one window pass, fold in
+    codegen; state O(days) per key.
+    """
+    day = F.to_date(F.col(ts_col)).alias("day")
+    daily = df.groupBy(F.col(key_col), day).agg(
+        F.round(F.sum(value_col), 4).alias("x")
+    )
+    xs = daily.groupBy(key_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("day"), F.col("x")))
+        ).alias("_sx")
+    ).select(
+        key_col,
+        F.transform(
+            F.col("_sx"), lambda s: F.array(s["x"], F.lit(0.0))
+        ).alias("xs"),
+        F.size("_sx").alias("n_days"),
+    )
+    a, b = float(alpha), float(beta)
+    seed = F.element_at("xs", 1)
+    rest = F.slice(
+        F.col("xs"), F.lit(2), F.greatest(F.size("xs") - 1, F.lit(0))
+    )
+
+    def step(acc, v):
+        lvl = F.lit(a) * v[0] + F.lit(1.0 - a) * (acc[0] + acc[1])
+        new_b = (
+            F.lit(b)
+            * (
+                F.lit(a) * v[0]
+                + F.lit(1.0 - a) * (acc[0] + acc[1])
+                - acc[0]
+            )
+            + F.lit(1.0 - b) * acc[1]
+        )
+        return F.array(lvl, new_b)
+
+    st = F.aggregate(rest, seed, step)
+    return xs.select(
+        key_col,
+        "n_days",
+        F.round(st[0], 6).alias("level"),
+        F.round(st[1], 6).alias("trend"),
+        F.round(st[0] + st[1], 6).alias("forecast_1"),
+    ).orderBy(key_col)
+
+
+def holt_linear_oracle_sql(
+    table: str = "events",
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> str:
+    """DuckDB SQL for the identical Holt fold (array accumulator in
+    ``list_reduce`` — see :func:`holt_linear` for why an array, not a
+    struct)."""
+    a, b = float(alpha), float(beta)
+    lvl = f"{a}e0 * v[1] + {1.0 - a}e0 * (acc[1] + acc[2])"
+    return f"""
+    WITH daily AS (
+      SELECT {key_col}, CAST({ts_col} AS DATE) AS day,
+             ROUND(SUM({value_col}), 4) AS x
+      FROM {table} GROUP BY 1, 2
+    ),
+    packed AS (
+      SELECT {key_col},
+             list([CAST(x AS DOUBLE), CAST(0 AS DOUBLE)]
+                  ORDER BY day) AS xs,
+             COUNT(*) AS n_days
+      FROM daily GROUP BY {key_col}
+    ),
+    folded AS (
+      SELECT {key_col}, n_days,
+             list_reduce(xs, (acc, v) ->
+               [ {lvl},
+                 {b}e0 * (({lvl}) - acc[1]) + {1.0 - b}e0 * acc[2] ]
+             ) AS st
+      FROM packed
+    )
+    SELECT {key_col}, CAST(n_days AS INTEGER) AS n_days,
+           ROUND(st[1], 6) AS level,
+           ROUND(st[2], 6) AS trend,
+           ROUND(st[1] + st[2], 6) AS forecast_1
+    FROM folded ORDER BY {key_col}
+    """
+
+
 def mad_outliers(
     events: DataFrame,
     series_col: str = "event_type",

@@ -182,3 +182,46 @@ def test_ewma_matches_pandas_adjust_false(spark):
         .tolist()
     )
     assert list(got.values()) == want
+
+
+def test_holt_linear_matches_reference_recursion(spark):
+    """The array fold must equal the textbook Holt recursion
+    (l_1 = x_1, b_1 = 0) computed in plain Python, and the one-step
+    forecast must be level + trend of the final day."""
+    from pyspark.sql import functions as F
+
+    from robosystems_spark.operators.timeseries import holt_linear
+
+    vals = [10.0, 20, 5, 40, 40, 1, 13]
+    rows = [
+        (1, f"2024-01-0{d} 00:00:00", float(v))
+        for d, v in zip(range(1, 8), vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id LONG, ts STRING, value DOUBLE"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    a, b = 0.5, 0.3
+    lvl, tr = vals[0], 0.0
+    for x in vals[1:]:
+        new_l = a * x + (1 - a) * (lvl + tr)
+        tr = b * (new_l - lvl) + (1 - b) * tr
+        lvl = new_l
+    out = holt_linear(df, alpha=a, beta=b).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_days"] == 7
+    assert r["level"] == round(lvl, 6)
+    assert r["trend"] == round(tr, 6)
+    assert r["forecast_1"] == round(lvl + tr, 6)
+
+    # a perfectly linear series converges toward trend = slope
+    lin = [
+        (2, f"2024-01-{d:02d} 00:00:00", 100.0 + 5 * d)
+        for d in range(1, 21)
+    ]
+    df2 = spark.createDataFrame(
+        lin, "user_id LONG, ts STRING, value DOUBLE"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    r2 = holt_linear(df2, alpha=0.5, beta=0.3).collect()[0]
+    assert abs(r2["trend"] - 5.0) < 0.5
+    assert abs(r2["forecast_1"] - (100.0 + 5 * 21)) < 2.0
