@@ -96,6 +96,55 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.quality_score(_docs(spark, sf_dir))
 
 
+@register(
+    "text_gopher_quality_flags",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS toks,
+             TRIM(text) AS c
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             LEN(toks) AS n,
+             LIST_SUM(LIST_TRANSFORM(toks, t -> LENGTH(t))) AS sum_len,
+             LENGTH(c) - LENGTH(REPLACE(c, '#', '')) AS n_hash,
+             (LENGTH(c) - LENGTH(REPLACE(c, '...', ''))) / 3 AS n_ell,
+             LEN(LIST_FILTER(toks, t -> REGEXP_MATCHES(t, '[a-z]')))
+               AS alpha_words,
+             LEN(LIST_INTERSECT(LIST_DISTINCT(toks),
+                 ['the','be','to','of','and','that','have','with']))
+               AS stops
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(n AS INTEGER) AS n_words,
+           ROUND(CAST(sum_len AS DOUBLE) / n, 6) AS mean_word_len,
+           ROUND(CAST(n_hash + n_ell AS DOUBLE) / n, 6) AS symbol_ratio,
+           ROUND(CAST(alpha_words AS DOUBLE) / n, 6) AS alpha_word_frac,
+           CAST(stops AS INTEGER) AS n_required_stopwords,
+           ((n >= 50) AND (n <= 100000)
+            AND (CAST(sum_len AS DOUBLE) / n >= 3.0)
+            AND (CAST(sum_len AS DOUBLE) / n <= 10.0)
+            AND (CAST(n_hash + n_ell AS DOUBLE) / n <= 0.1)
+            AND (CAST(alpha_words AS DOUBLE) / n >= 0.8)
+            AND (stops >= 2)) AS passes_gopher
+    FROM m
+    """,
+    doc="The PUBLISHED Gopher quality-filter rules (Rae et al. 2021 "
+    "A1.1; the MassiveText/Dolma keep/drop bit): word-count bounds, "
+    "mean-word-length bounds, symbol-to-word ratio, alphabetic-word "
+    "fraction, required-stopword presence — each an integer count + "
+    "one exact division in whole-stage codegen (list aggregates, no "
+    "UDF), plus the AND of all rules. Line-based rules omitted "
+    "(single-line corpus) — documented seam in operators/text.py.",
+    tags=("text",),
+)
+def text_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.gopher_quality_flags(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Language ID heuristic.
 # ---------------------------------------------------------------------------
@@ -162,6 +211,167 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.zipf_fit(_docs(spark, sf_dir), top_n=200)
+
+
+@register(
+    "corpus_temperature_mixture",
+    oracle="""
+    WITH s AS (
+      SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(n) AS nn FROM s),
+    arr AS (
+      SELECT list(SQRT(CAST(n AS DOUBLE)
+                       / (SELECT CAST(nn AS DOUBLE) FROM tot))
+                  ORDER BY source) AS xs
+      FROM s
+    ),
+    den AS (
+      SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE), xs),
+                         (acc, v) -> acc + v) AS d
+      FROM arr
+    )
+    SELECT s.source,
+           CAST(s.n AS BIGINT) AS n_docs,
+           ROUND(CAST(s.n AS DOUBLE) / tot.nn, 6) AS p,
+           ROUND(SQRT(CAST(s.n AS DOUBLE) / tot.nn) / den.d, 6) AS weight,
+           ROUND((SQRT(CAST(s.n AS DOUBLE) / tot.nn) / den.d)
+                 / (CAST(s.n AS DOUBLE) / tot.nn), 6) AS upsample_factor
+    FROM s CROSS JOIN tot CROSS JOIN den
+    ORDER BY s.source
+    """,
+    doc="Temperature-based mixture reweighting (alpha = 0.5, the "
+    "multilingual-LLM sampling rule: w_s proportional to p_s^alpha) "
+    "per source: sampling weight and the implied upsample factor "
+    "w_s/p_s. The normalizing sum of sqrt terms folds in FIXED "
+    "source order (list fold seeded with 0) because a plain SUM of "
+    "doubles is partial-aggregation-order-dependent — the harmonic-"
+    "centrality discipline applied to a mixture formula. SQRT (not "
+    "POWER(x, 0.5)) keeps both engines on the same libm entry "
+    "point.",
+    tags=("corpus",),
+)
+def corpus_temperature_mixture(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    s = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    tot = s.agg(F.sum("n").alias("nn"))
+    packed = s.crossJoin(F.broadcast(tot)).select(
+        "source", "n", "nn", (F.col("n").cast("double") / F.col("nn")).alias("p")
+    )
+    arr = packed.agg(
+        F.array_sort(
+            F.collect_list(F.struct("source", F.col("n").cast("double").alias("x")))
+        ).alias("sx"),
+        F.first("nn").alias("nn"),
+    ).select(
+        F.aggregate(
+            F.transform(F.col("sx"), lambda r: r["x"]),
+            F.lit(0.0),
+            lambda acc, v: acc + F.sqrt(v / F.col("nn").cast("double")),
+        ).alias("d")
+    )
+    return (
+        packed.crossJoin(F.broadcast(arr))
+        .select(
+            "source",
+            F.col("n").alias("n_docs"),
+            F.round("p", 6).alias("p"),
+            F.round(F.sqrt("p") / F.col("d"), 6).alias("weight"),
+            F.round((F.sqrt("p") / F.col("d")) / F.col("p"), 6).alias(
+                "upsample_factor"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "corpus_source_kl_divergence",
+    oracle=r"""
+    WITH tok AS MATERIALIZED (
+      SELECT source, UNNEST(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+')) AS t
+      FROM documents
+    ),
+    st AS MATERIALIZED (SELECT source, t, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+    gt AS MATERIALIZED (SELECT t, SUM(c) AS c FROM st GROUP BY 1),
+    ns AS (SELECT source, SUM(c) AS n FROM st GROUP BY 1),
+    tot AS (SELECT SUM(c) AS n FROM gt),
+    contrib AS (
+      SELECT st.source,
+             SUM(st.c * (CAST(ROUND(1000000000.0 * LN(st.c)) AS BIGINT)
+                         - CAST(ROUND(1000000000.0 * LN(ns.n)) AS BIGINT)
+                         - CAST(ROUND(1000000000.0 * LN(gt.c)) AS BIGINT)
+                         + CAST(ROUND(1000000000.0 * LN(tot.n)) AS BIGINT)))
+               AS s
+      FROM st
+      JOIN gt ON gt.t = st.t
+      JOIN ns ON ns.source = st.source
+      CROSS JOIN tot
+      GROUP BY st.source
+    )
+    SELECT c.source,
+           CAST(ns.n AS BIGINT) AS n_tokens,
+           ROUND(CAST(c.s AS DOUBLE) / (1000000000.0 * ns.n), 6)
+             AS kl_to_corpus
+    FROM contrib c JOIN ns ON ns.source = c.source
+    ORDER BY c.source
+    """,
+    doc="Per-source KL divergence of the unigram distribution against "
+    "the whole corpus — the domain-shift / mixture-drift monitor a "
+    "training-data pipeline runs per ingest batch. KL = sum p ln(p/q) "
+    "decomposes into integer-scaled log terms: every ln runs on an "
+    "INTEGER count and is rounded to a 1e-9 lattice (the Adamic-Adar "
+    "discipline), so the big per-term sum is exact BIGINT arithmetic "
+    "and hash-stable; one float division at the very end. Two "
+    "token-count shuffles + one broadcastable totals join.",
+    tags=("text", "corpus", "quality"),
+)
+def corpus_source_kl_divergence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "source", F.explode(T.tokens("text")).alias("t")
+    )
+    from robosystems_spark.checkpointing import materialize
+
+    st = (
+        tok.groupBy("source", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .transform(materialize)  # feeds gt, ns, contrib (3 consumers)
+    )
+    gt = st.groupBy("t").agg(F.sum("c").alias("gc"))
+    ns = st.groupBy("source").agg(F.sum("c").alias("n"))
+    tot = gt.agg(F.sum("gc").alias("tn"))
+
+    def sl(col):
+        return F.round(F.lit(1000000000.0) * F.log(col)).cast("long")
+
+    contrib = (
+        st.join(gt, "t")
+        .join(ns, "source")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source")
+        .agg(
+            F.sum(
+                F.col("c")
+                * (sl(F.col("c")) - sl(F.col("n")) - sl(F.col("gc"))
+                   + sl(F.col("tn")))
+            ).alias("s"),
+            F.first("n").alias("n_tokens"),
+        )
+    )
+    return contrib.select(
+        "source",
+        "n_tokens",
+        F.round(
+            F.col("s").cast("double")
+            / (F.lit(1000000000.0) * F.col("n_tokens")),
+            6,
+        ).alias("kl_to_corpus"),
+    ).orderBy("source")
 
 
 # ---------------------------------------------------------------------------
@@ -538,6 +748,93 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return S.ivf_topk(
         emb, queries, k=10, nprobe=3, centroids=_ivf_centroids(spark, sf_dir, 8)
+    )
+
+
+@register(
+    "embedding_ivf_recall_at_k",
+    oracle=f"""
+    WITH allsims AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS nn_id,
+             ROUND(LIST_COSINE_SIMILARITY(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(q.embedding AS DOUBLE[])), 6)
+               AS cosine
+      FROM embeddings e
+      JOIN embeddings q ON q.vec_id < 3
+    ),
+    ex AS (
+      SELECT query_id, nn_id FROM (
+        SELECT query_id, nn_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, nn_id) AS rank
+        FROM allsims
+      ) WHERE rank <= 10
+    ),
+    ivf AS (
+      SELECT query_id, nn_id FROM (
+        {__import__("robosystems_spark.operators.similarity", fromlist=["ivf_oracle_sql"]).ivf_oracle_sql(num_centroids=8, iters=2, dim=64, nprobe=3, k=10, n_queries=3)}
+      ) t
+    )
+    SELECT ex.query_id,
+           COUNT(iv.nn_id) AS n_hit,
+           ROUND(CAST(COUNT(iv.nn_id) AS DOUBLE) / 10, 6) AS recall_at_10
+    FROM ex LEFT JOIN ivf iv
+      ON iv.query_id = ex.query_id AND iv.nn_id = ex.nn_id
+    GROUP BY ex.query_id
+    ORDER BY ex.query_id
+    """,
+    doc="ANN quality evaluation: recall@10 of the IVF probe (8 "
+    "centroids, nprobe=3) against exact brute-force cosine, per "
+    "query — the metric every production ANN deployment monitors "
+    "before trading exactness for speed. Exact side ranks on "
+    "ROUND(cosine, 6) with an id tie-break IN BOTH ENGINES so the "
+    "rank-10 boundary is engine-stable; overlap is an integer "
+    "semi-count. Composes the existing IVF oracle as a subquery — "
+    "the approximation AND its measured quality are both "
+    "hash-checked.",
+    tags=("similarity",),
+)
+def embedding_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from robosystems_spark.functions import vector as V
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    c = emb.select(F.col("vec_id").alias("nn_id"), F.col("embedding").alias("_cv"))
+    q = queries.select("query_id", F.col("embedding").alias("_qv"))
+    sims = c.crossJoin(F.broadcast(q)).select(
+        "query_id", "nn_id", F.round(V.cosine("_cv", "_qv"), 6).alias("_cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("nn_id"))
+    exact = (
+        sims.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= 10)
+        .select("query_id", "nn_id")
+    )
+    approx = S.ivf_topk(
+        emb, queries, k=10, nprobe=3,
+        centroids=_ivf_centroids(spark, sf_dir, 8),
+    ).select("query_id", "nn_id")
+    hits = exact.join(approx, ["query_id", "nn_id"], "left_semi")
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(
+            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")),
+            "query_id",
+            "left",
+        )
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double") / 10.0, 6
+            ).alias("recall_at_10"),
+        )
+        .orderBy("query_id")
     )
 
 

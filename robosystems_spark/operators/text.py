@@ -73,6 +73,70 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The published Gopher document-quality filter rules (Rae et al.
+    2021 appendix A1.1, reused by MassiveText/Dolma/RefinedWeb-class
+    pipelines) as exact column expressions:
+
+    1. word count in [50, 100000]
+    2. mean word length in [3, 10]
+    3. symbol-to-word ratio <= 0.1  (symbols: '#' and '...')
+    4. >= 80% of words contain at least one alphabetic character
+    5. >= 2 distinct required stop words present
+
+    (The two line-based rules — bullet-start and ellipsis-end line
+    fractions — are omitted: they need newline structure, and this
+    corpus is single-line; plug them in as two more LIST aggregates
+    when documents carry lines.)
+
+    Everything is integer counting + one exact division per rule —
+    whole-stage codegen, no UDFs — so the flags hash-match a SQL
+    oracle exactly; ``passes_gopher`` is the AND of all rules, the
+    production keep/drop bit."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    nd = n.cast("double")
+    sum_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    mean_len = sum_len.cast("double") / nd
+    c = F.trim(F.col(text_col))
+    n_hash = F.length(c) - F.length(F.replace(c, F.lit("#")))
+    n_ell = (F.length(c) - F.length(F.replace(c, F.lit("...")))) / F.lit(3)
+    symbol_ratio = (n_hash + n_ell).cast("double") / nd
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    alpha_frac = alpha_words.cast("double") / nd
+    stops = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+        )
+    )
+    passes = (
+        (n >= 50) & (n <= 100000)
+        & (mean_len >= 3.0) & (mean_len <= 10.0)
+        & (symbol_ratio <= 0.1)
+        & (alpha_frac >= 0.8)
+        & (stops >= 2)
+    )
+    return df.select(
+        id_col,
+        n.alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        stops.alias("n_required_stopwords"),
+        passes.alias("passes_gopher"),
+    )
+
+
 def langid(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """N-gram/stopword language-ID heuristic.
 

@@ -463,3 +463,135 @@ def test_zipf_fit_recovers_synthetic_power_law(spark):
     )
     flat = zipf_fit(flat_doc, top_n=50).collect()[0]
     assert abs(flat["slope"]) < 0.01
+
+
+def test_gopher_quality_flags_rules(spark):
+    """Each Gopher rule flips the keep/drop bit on a targeted doc."""
+    from robosystems_spark.operators.text import gopher_quality_flags
+
+    # 60 words, mean len 4, four distinct required stopwords
+    good = " ".join(["the", "have", "with", "that", "word", "token"] * 10)
+    short = "the be of"                               # fails word count
+    # 60 words of length 1 -> mean_word_len 1 < 3
+    thin = " ".join(["a"] * 58 + ["the", "be"])
+    # 60 words, >20% numeric-only tokens -> alpha_frac < 0.8
+    nums = " ".join(["the", "be", "word"] * 15 + ["123"] * 15)
+    # no required stopwords
+    nostop = " ".join(["alpha", "beta", "gamma"] * 20)
+    docs = spark.createDataFrame(
+        [(1, good), (2, short), (3, thin), (4, nums), (5, nostop)],
+        "doc_id LONG, text STRING",
+    )
+    out = {r["doc_id"]: r for r in gopher_quality_flags(docs).collect()}
+    assert out[1]["passes_gopher"] is True
+    assert out[2]["passes_gopher"] is False and out[2]["n_words"] == 3
+    assert out[3]["passes_gopher"] is False
+    assert out[3]["mean_word_len"] < 3
+    assert out[4]["passes_gopher"] is False
+    assert out[4]["alpha_word_frac"] < 0.8
+    assert out[5]["passes_gopher"] is False
+    assert out[5]["n_required_stopwords"] == 0
+    # symbol rule: hashes push the ratio over 0.1
+    hashy = good + " " + " ".join(["##"] * 10)
+    out2 = gopher_quality_flags(
+        spark.createDataFrame([(6, hashy)], "doc_id LONG, text STRING")
+    ).collect()[0]
+    assert out2["symbol_ratio"] > 0.1 and out2["passes_gopher"] is False
+
+
+def test_corpus_kl_divergence_zero_for_identical(spark):
+    """Two sources with identical unigram distributions -> KL 0;
+    a skewed source -> strictly positive."""
+    from robosystems_spark.inventory.llm import corpus_source_kl_divergence
+
+    # same text in both sources: each source's distribution equals
+    # the corpus distribution exactly
+    rows = [
+        (i, "alpha beta gamma delta", None, "s1", 0) for i in range(5)
+    ] + [
+        (i + 10, "alpha beta gamma delta", None, "s2", 0) for i in range(5)
+    ]
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        out = {r["source"]: r["kl_to_corpus"]
+               for r in corpus_source_kl_divergence(spark, d).collect()}
+        assert out == {"s1": 0.0, "s2": 0.0}
+
+    skew = [(i, "alpha alpha alpha alpha", None, "s1", 0) for i in range(5)] + [
+        (i + 10, "beta gamma delta zeta", None, "s2", 0) for i in range(5)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            skew, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        out = {r["source"]: r["kl_to_corpus"]
+               for r in corpus_source_kl_divergence(spark, d).collect()}
+        assert out["s1"] > 0.5 and out["s2"] > 0.1
+
+
+def test_temperature_mixture_closed_form(spark):
+    """80/20 split at alpha=0.5: weights proportional to sqrt(p),
+    the rare source upsampled, the common one downsampled."""
+    import math
+    import os
+    import tempfile
+
+    from robosystems_spark.inventory.llm import corpus_temperature_mixture
+
+    rows = [(i, "x", None, "big", 0) for i in range(80)] + [
+        (i + 100, "x", None, "small", 0) for i in range(20)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        out = {r["source"]: r for r in
+               corpus_temperature_mixture(spark, d).collect()}
+    den = math.sqrt(0.8) + math.sqrt(0.2)
+    assert out["big"]["n_docs"] == 80
+    assert abs(out["big"]["weight"] - math.sqrt(0.8) / den) < 1e-6
+    assert abs(out["small"]["weight"] - math.sqrt(0.2) / den) < 1e-6
+    assert out["small"]["upsample_factor"] > 1.0 > out["big"]["upsample_factor"]
+
+
+def test_ivf_recall_bounds(spark):
+    """recall@10 is in [0, 1], and with every bucket probed IVF
+    equals exact search so recall is exactly 1."""
+    from robosystems_spark.inventory.llm import _emb  # noqa: F401
+    # synthetic embeddings written as a tiny sf dir
+    import os
+    import random
+    import tempfile
+
+    random.seed(7)
+    rows = [
+        (i, [random.uniform(-1, 1) for _ in range(8)], "l0")
+        for i in range(40)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "vec_id LONG, embedding ARRAY<DOUBLE>, label STRING"
+        ).write.parquet(os.path.join(d, "embeddings.parquet"))
+        from pyspark.sql import functions as F
+
+        from robosystems_spark.operators import similarity as S
+
+        emb = spark.read.parquet(os.path.join(d, "embeddings.parquet"))
+        queries = emb.filter(F.col("vec_id") < 2).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        exact = S.cosine_topk(emb, queries, k=5).select("query_id", "nn_id")
+        # nprobe == num_centroids: IVF probes everything == exact
+        approx = S.ivf_topk(
+            emb, queries, k=5, num_centroids=4, nprobe=4
+        ).select("query_id", "nn_id")
+        hits = exact.join(approx, ["query_id", "nn_id"], "left_semi")
+        per_q = {r["query_id"]: r["c"] for r in
+                 hits.groupBy("query_id").agg(
+                     F.count(F.lit(1)).alias("c")).collect()}
+        assert per_q == {0: 5, 1: 5}
