@@ -327,6 +327,7 @@ def corpus_temperature_mixture(
     "and hash-stable; one float division at the very end. Two "
     "token-count shuffles + one broadcastable totals join.",
     tags=("text", "corpus", "quality"),
+    bench=True,
 )
 def corpus_source_kl_divergence(
     spark: SparkSession, sf_dir: str

@@ -186,6 +186,7 @@ _TIFF_W, _TIFF_H = 8, 4
     "variant-blind, so any compression/byte-order/predictor/strip "
     "bug diverges on exactly the affected doc_ids.",
     tags=("multimodal",),
+    bench=True,
 )
 def multimodal_tiff_channel_stats(
     spark: SparkSession, sf_dir: str

@@ -1013,6 +1013,106 @@ def stress_centrality(
     )
 
 
+def betweenness_centrality(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_depth: int = 3,
+    decimals: int = 6,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Bounded betweenness centrality (Brandes 2001), batched over
+    sampled sources — the float sibling of
+    :func:`stress_centrality` (same forward sigma pass; the backward
+    pass accumulates ``delta(v) = sum over successors w of
+    sigma(v)/sigma(w) * (1 + delta(w))``).
+
+    Betweenness divides by sigma, so the per-node sums are floats
+    whose grouped-aggregation ORDER is engine- and partitioning-
+    dependent — this operator is therefore gated by pytest goldens
+    (exact small-graph Brandes values), NOT a cross-engine hash
+    oracle; :func:`stress_centrality` is the integer-exact member of
+    the family that carries the driver oracle.  Scale shape is
+    identical: state one row per (source, reached node), fixed-depth
+    join rounds, sqrt-n source sampling (Brandes & Pich 2007).
+    """
+    if max_depth < 1:
+        raise ValueError("max_depth must be >= 1")
+    e = (
+        undirected(edges, src_col, dst_col)
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates()
+        .select(F.col("src").alias("v"), F.col("dst").alias("w"))
+        .transform(materialize)
+    )
+    f0 = sources.select(
+        F.col("s"),
+        F.col("s").alias("v"),
+        F.lit(1).cast("long").alias("sigma"),
+    ).transform(materialize)
+    layers = [f0]
+    visited = f0.select("s", "v").transform(materialize)
+    for _d in range(1, max_depth + 1):
+        nxt = (
+            layers[-1]
+            .join(e, "v")
+            .select("s", F.col("w").alias("v"), "sigma")
+            .join(visited, ["s", "v"], "left_anti")
+            .groupBy("s", "v")
+            .agg(F.sum("sigma").alias("sigma"))
+            .transform(materialize)
+        )
+        layers.append(nxt)
+        visited = visited.unionAll(nxt.select("s", "v")).transform(
+            materialize
+        )
+    dcur = layers[max_depth].select(
+        "s", "v", "sigma", F.lit(0.0).alias("delta")
+    )
+    parts = [dcur]
+    for d in range(max_depth - 1, 0, -1):
+        succ = dcur.select(
+            "s",
+            F.col("v").alias("w"),
+            F.col("sigma").alias("_sw"),
+            "delta",
+        )
+        sums = (
+            layers[d]
+            .join(e, "v")
+            .join(succ, ["s", "w"])
+            .groupBy("s", "v")
+            .agg(
+                F.sum(
+                    (F.lit(1.0) + F.col("delta")) / F.col("_sw")
+                ).alias("_part")
+            )
+        )
+        dcur = (
+            layers[d]
+            .join(sums, ["s", "v"], "left")
+            .select(
+                "s",
+                "v",
+                "sigma",
+                (
+                    F.col("sigma").cast("double")
+                    * F.coalesce(F.col("_part"), F.lit(0.0))
+                ).alias("delta"),
+            )
+            .transform(materialize)
+        )
+        parts.append(dcur)
+    stacked = parts[0]
+    for p in parts[1:]:
+        stacked = stacked.unionAll(p)
+    return (
+        stacked.groupBy(F.col("v").alias("node"))
+        .agg(F.round(F.sum("delta"), decimals).alias("betweenness"))
+        .orderBy("node")
+    )
+
+
 def stress_oracle_sql(
     edges_cte: str, sources_cte: str, max_depth: int
 ) -> str:

@@ -429,3 +429,37 @@ def test_stress_centrality_star_and_path_goldens(spark):
     out = {r["node"]: r["stress"] for r in
            stress_centrality(cyc, cnodes, max_depth=3).collect()}
     assert out == {"a": 2, "b": 2, "c": 2, "d": 2}
+
+
+def test_betweenness_centrality_goldens(spark):
+    """Exact Brandes values on small graphs (ordered-pair convention):
+    star center 6.0; path interior 4.0; 4-cycle: each a<->d shortest
+    path splits sigma 2 ways -> 1.0 per intermediate."""
+    from robosystems_spark.operators.graph import betweenness_centrality
+
+    star = spark.createDataFrame(
+        [("c", "l1"), ("c", "l2"), ("c", "l3")], "src STRING, dst STRING"
+    )
+    nodes = spark.createDataFrame(
+        [("c",), ("l1",), ("l2",), ("l3",)], "s STRING"
+    )
+    out = {r["node"]: r["betweenness"] for r in
+           betweenness_centrality(star, nodes, max_depth=3).collect()}
+    assert out["c"] == 6.0 and out["l1"] == 0.0
+
+    path = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src STRING, dst STRING"
+    )
+    pnodes = spark.createDataFrame([(x,) for x in "abcd"], "s STRING")
+    out = {r["node"]: r["betweenness"] for r in
+           betweenness_centrality(path, pnodes, max_depth=3).collect()}
+    assert out == {"a": 0.0, "b": 4.0, "c": 4.0, "d": 0.0}
+
+    cyc = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d")],
+        "src STRING, dst STRING",
+    )
+    cnodes = spark.createDataFrame([(x,) for x in "abcd"], "s STRING")
+    out = {r["node"]: r["betweenness"] for r in
+           betweenness_centrality(cyc, cnodes, max_depth=3).collect()}
+    assert out == {"a": 1.0, "b": 1.0, "c": 1.0, "d": 1.0}
