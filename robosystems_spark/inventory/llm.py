@@ -621,6 +621,25 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_minhash_estimate_error",
+    oracle=D.minhash_estimate_oracle_sql(),
+    doc="Sketch-quality evaluation: per LSH candidate pair, the "
+    "signature-ESTIMATED Jaccard (matching positions / 64) beside "
+    "the EXACT shingle Jaccard, plus a within-0.2 accuracy flag — "
+    "the recall@k sibling for set similarity (is the sketch good "
+    "enough to trust?). The flag cross-multiplies integers "
+    "(tau_den*|est*u - 64*i| <= tau_num*64*u), so no float division "
+    "feeds a comparison; candidates come from banding, never "
+    "all-pairs.",
+    tags=("dedup", "lsh"),
+)
+def dedup_minhash_estimate_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return D.minhash_estimate_error(_docs(spark, sf_dir))
+
+
+@register(
     "dedup_simhash",
     oracle=D.simhash_oracle_sql(max_hamming=3),
     doc="60-bit md5-derived SimHash near-dup with 15-bit chunk banding + hamming "

@@ -452,6 +452,182 @@ def minhash_oracle_sql(
     """
 
 
+def minhash_estimate_error(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    tau_num: int = 1,
+    tau_den: int = 5,
+) -> DataFrame:
+    """Sketch-quality evaluation for the MinHash pipeline: for every
+    LSH candidate pair, the SIGNATURE-estimated Jaccard (matching
+    positions / num_hashes) next to the EXACT shingle Jaccard, plus a
+    within-bound flag |est - exact| <= tau — the eval every
+    production near-dup deployment runs before trusting the sketch
+    (the ANN-recall@k sibling for set similarity).
+
+    Everything that decides the flag is integer: est_matches,
+    |intersection|, |union|, and the bound check cross-multiplies
+    (``tau_den * |est*u - P*i| <= tau_num * P * u``) so no float
+    division ever feeds a comparison — hash-exact cross-engine.
+
+    Scale: the candidate set comes from banding (never all-pairs);
+    signatures and shingle arrays are joined per candidate pair only.
+    """
+    from robosystems_spark.checkpointing import materialize
+
+    sh = distinct_shingles(df, text_col, id_col, shingle_k).transform(
+        materialize
+    )  # feeds signatures + both pair sides
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_k, shingles_df=sh
+    ).transform(materialize)  # feeds banding + both pair sides
+    rows = num_hashes // bands
+    cands = minhash_lsh_candidates(
+        sigs, id_col=id_col, bands=bands, rows_per_band=rows,
+        materialized=True,
+    )
+    pairs = (
+        cands.join(
+            sigs.select(
+                F.col(id_col).alias("doc_a"),
+                F.col("signature").alias("_sa"),
+            ),
+            "doc_a",
+        )
+        .join(
+            sigs.select(
+                F.col(id_col).alias("doc_b"),
+                F.col("signature").alias("_sb"),
+            ),
+            "doc_b",
+        )
+        .join(
+            sh.select(F.col(id_col).alias("doc_a"), F.col("_sh").alias("_ha")),
+            "doc_a",
+        )
+        .join(
+            sh.select(F.col(id_col).alias("doc_b"), F.col("_sh").alias("_hb")),
+            "doc_b",
+        )
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with("_sa", "_sb", lambda x, y: x == y), lambda b: b
+        )
+    )
+    inter = F.size(F.array_intersect("_ha", "_hb"))
+    uni = F.size(F.array_union("_ha", "_hb"))
+    lhs = F.abs(
+        est.cast("long") * uni.cast("long")
+        - F.lit(num_hashes) * inter.cast("long")
+    )
+    within = (F.lit(tau_den) * lhs) <= (
+        F.lit(tau_num) * F.lit(num_hashes) * uni.cast("long")
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        est.alias("est_matches"),
+        inter.alias("n_intersect"),
+        uni.alias("n_union"),
+        F.round(est.cast("double") / num_hashes, 6).alias("est_jaccard"),
+        F.round(inter.cast("double") / uni, 6).alias("exact_jaccard"),
+        within.alias("within_bound"),
+    ).orderBy("doc_a", "doc_b")
+
+
+def minhash_estimate_oracle_sql(
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    tau_num: int = 1,
+    tau_den: int = 5,
+    table: str = "documents",
+) -> str:
+    """DuckDB SQL for :func:`minhash_estimate_error` — same shingle
+    hash / permutations / banding as :func:`minhash_oracle_sql`, then
+    per-candidate signature position matching and exact Jaccard."""
+    rows = num_hashes // bands
+    horner = "COALESCE(th[i], 0)"
+    for j in range(1, shingle_k):
+        horner = (
+            f"(({horner}) * {SHINGLE_B} + COALESCE(th[i + {j}], 0))"
+            f" % {MINHASH_P}"
+        )
+    mins = ", ".join(
+        "MIN(({a} * hm + {b}) % {p}) AS m{i}".format(
+            a=minhash_perm_consts(i)[0],
+            b=minhash_perm_consts(i)[1],
+            p=MINHASH_P,
+            i=i,
+        )
+        for i in range(num_hashes)
+    )
+    sig_arr = ", ".join(f"m{i}" for i in range(num_hashes))
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {band} AS band, CONCAT_WS(',', {cols}) AS val"
+        " FROM sig".format(
+            band=b,
+            cols=", ".join(f"m{b * rows + r}" for r in range(rows)),
+        )
+        for b in range(bands)
+    )
+    return rf"""
+    WITH t AS (
+      SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS toks
+      FROM {table}
+    ),
+    tk AS (
+      SELECT doc_id,
+             LIST_TRANSFORM(toks, t -> ('0x' || SUBSTR(md5(t), 1, 15))::BIGINT % {MINHASH_P}) AS th
+      FROM t
+    ),
+    sh AS MATERIALIZED (
+      SELECT doc_id,
+             LIST_DISTINCT([{horner}
+                            FOR i IN GENERATE_SERIES(1, GREATEST(LEN(th) - {shingle_k - 1}, 1))]) AS shl
+      FROM tk
+    ),
+    h AS (
+      SELECT doc_id, UNNEST(shl) AS hm FROM sh
+    ),
+    sig AS MATERIALIZED (SELECT doc_id, {mins} FROM h GROUP BY doc_id),
+    sigarr AS (SELECT doc_id, [{sig_arr}] AS sg FROM sig),
+    banded AS ({band_selects}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT c.doc_a, c.doc_b,
+             LEN([i FOR i IN GENERATE_SERIES(1, {num_hashes})
+                  IF ga.sg[i] = gb.sg[i]]) AS est,
+             LEN(LIST_INTERSECT(sa.shl, sb.shl)) AS i2,
+             LEN(LIST_DISTINCT(LIST_CONCAT(sa.shl, sb.shl))) AS u2
+      FROM cand c
+      JOIN sigarr ga ON ga.doc_id = c.doc_a
+      JOIN sigarr gb ON gb.doc_id = c.doc_b
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b,
+           CAST(est AS INTEGER) AS est_matches,
+           CAST(i2 AS INTEGER) AS n_intersect,
+           CAST(u2 AS INTEGER) AS n_union,
+           ROUND(CAST(est AS DOUBLE) / {num_hashes}, 6) AS est_jaccard,
+           ROUND(CAST(i2 AS DOUBLE) / u2, 6) AS exact_jaccard,
+           ({tau_den} * ABS(est * u2 - {num_hashes} * i2)
+            <= {tau_num} * {num_hashes} * u2) AS within_bound
+    FROM scored
+    ORDER BY doc_a, doc_b
+    """
+
+
 def simhash_oracle_sql(
     max_hamming: int = 3, table: str = "documents", ndocs_guard: int = 20000
 ) -> str:
