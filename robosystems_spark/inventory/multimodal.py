@@ -180,7 +180,8 @@ _TIFF_W, _TIFF_H = 8, 4
     "format): synthesize an RGB TIFF per document (pixels a closed-"
     "form function of doc_id) with the STORAGE VARIANT cycling by "
     "doc_id — uncompressed / LZW / LZW+predictor-2 / PackBits, II "
-    "and MM byte orders, multi-strip — decode the actual strips in "
+    "and MM byte orders, multi-strip AND tiled — decode the actual "
+    "strips/tiles in "
     "mapInPandas (operators/tiff.py, pure numpy LZW/PackBits), and "
     "emit per-channel means + the top-left red value; the oracle is "
     "variant-blind, so any compression/byte-order/predictor/strip "
@@ -210,6 +211,7 @@ def multimodal_tiff_channel_stats(
                 pred = 2 if variant == 2 or variant == 6 else 1
                 bo = "<" if variant < 4 else ">"
                 rps = 2 if variant in (1, 7) else None
+                til = (16, 16) if variant in (3, 4) else None
                 payloads.append(
                     encode_tiff(
                         img,
@@ -217,6 +219,7 @@ def multimodal_tiff_channel_stats(
                         byte_order=bo,
                         predictor=pred,
                         rows_per_strip=rps,
+                        tile=til,
                     )
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": payloads})

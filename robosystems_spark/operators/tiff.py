@@ -5,7 +5,9 @@ exact kind of 100 TB crawl/archive input a training-data pipeline
 ingests), so the decode path is real, not a stub:
 
 - both byte orders (``II`` little-endian, ``MM`` big-endian)
-- strip organization (any RowsPerStrip, multiple strips)
+- strip organization (any RowsPerStrip, multiple strips) AND tile
+  organization (TIFF 6.0 §15: tile grid with edge padding — the
+  layout of aerial/satellite/pyramid TIFFs)
 - Compression 1 (none), 5 (LZW: MSB-first variable-width codes with
   the TIFF "early change" width bump, optional horizontal-
   differencing Predictor 2), 32773 (PackBits)
@@ -20,9 +22,8 @@ other decoders: 16-bit samples scale as ``round(v / 257)`` (the exact
 inverse of ``v * 257``), sub-byte grayscale scales by
 ``round(v * 255 / (2^bits - 1))``.
 
-Honest seams (loud ``NotImplementedError``): tile organization,
-planar configuration 2, CCITT fax / JPEG-in-TIFF compression, and
-floating-point samples.
+Honest seams (loud ``NotImplementedError``): planar configuration 2,
+CCITT fax / JPEG-in-TIFF compression, and floating-point samples.
 
 ``encode_tiff`` is the fixture synthesizer (the decode inverse) so
 oracle entries and tests round-trip REAL container bytes, including a
@@ -52,6 +53,9 @@ _T_PLANAR = 284
 _T_PREDICTOR = 317
 _T_COLORMAP = 320
 _T_TILE_WIDTH = 322
+_T_TILE_LENGTH = 323
+_T_TILE_OFFSETS = 324
+_T_TILE_COUNTS = 325
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
 
@@ -252,8 +256,6 @@ def decode_tiff(data: bytes):
     if int.from_bytes(data[2:4], end) != 42:
         raise ValueError("bad TIFF magic")
     tags = _read_ifd(data, bo)
-    if _T_TILE_WIDTH in tags:
-        raise NotImplementedError("tiled TIFF organization not supported")
     if _T_WIDTH not in tags or _T_HEIGHT not in tags:
         raise ValueError("TIFF missing ImageWidth/ImageLength")
     w = tags[_T_WIDTH][0]
@@ -282,54 +284,94 @@ def decode_tiff(data: bytes):
     if predictor == 2 and bits < 8:
         raise ValueError("predictor 2 requires 8/16-bit samples")
 
-    offsets = tags.get(_T_STRIP_OFFSETS)
-    counts = tags.get(_T_STRIP_COUNTS)
-    if not offsets:
-        raise ValueError("TIFF missing StripOffsets")
-    if not counts:  # single uncompressed strip may legally omit it
-        if len(offsets) != 1 or compression != 1:
-            raise ValueError("TIFF missing StripByteCounts")
-        counts = [len(data) - offsets[0]]
-
-    row_bytes = (w * spp * bits + 7) // 8
-    raw = bytearray()
-    for off, cnt in zip(offsets, counts):
-        strip = bytes(data[off : off + cnt])
+    def decompress(off: int, cnt: int) -> bytes:
+        chunk = bytes(data[off : off + cnt])
         if compression == 5:
-            strip = _lzw_decode(strip)
-        elif compression == 32773:
-            strip = _packbits_decode(strip)
-        raw += strip
-    if len(raw) < row_bytes * h:
-        raise ValueError("truncated TIFF strip data")
-    rows = np.frombuffer(
-        bytes(raw), dtype=np.uint8, count=row_bytes * h
-    ).reshape(h, row_bytes)
+            return _lzw_decode(chunk)
+        if compression == 32773:
+            return _packbits_decode(chunk)
+        return chunk
 
-    if bits == 16:
-        px = (
-            rows.reshape(h, -1)
-            .view(np.uint8)
-            .reshape(h, w * spp, 2)
-            .copy()
-            .view(f"{bo}u2")
-            .reshape(h, w, spp)
-            .astype(np.uint32)
-        )
-    elif bits == 8:
-        px = rows[:, : w * spp].reshape(h, w, spp).astype(np.uint32)
-    else:  # sub-byte: MSB-first bit order within each byte
-        unpacked = np.unpackbits(rows, axis=1)[:, : w * spp * bits]
-        g = unpacked.reshape(h, w * spp, bits)
-        weights = (1 << np.arange(bits - 1, -1, -1)).astype(np.uint32)
-        px = (g * weights).sum(axis=2).reshape(h, w, spp).astype(np.uint32)
+    def unpack(raw: bytes, n_rows: int, w_px: int):
+        """Byte rows -> (n_rows, w_px, spp) uint32 at source depth,
+        predictor undone.  Shared by the strip and tile paths (a tile
+        is just a little image with its own filtered rows)."""
+        row_bytes = (w_px * spp * bits + 7) // 8
+        if len(raw) < row_bytes * n_rows:
+            raise ValueError("truncated TIFF pixel data")
+        rows = np.frombuffer(
+            raw, dtype=np.uint8, count=row_bytes * n_rows
+        ).reshape(n_rows, row_bytes)
+        if bits == 16:
+            px = (
+                rows.reshape(n_rows, -1)
+                .view(np.uint8)
+                .reshape(n_rows, w_px * spp, 2)
+                .copy()
+                .view(f"{bo}u2")
+                .reshape(n_rows, w_px, spp)
+                .astype(np.uint32)
+            )
+        elif bits == 8:
+            px = (
+                rows[:, : w_px * spp]
+                .reshape(n_rows, w_px, spp)
+                .astype(np.uint32)
+            )
+        else:  # sub-byte: MSB-first bit order within each byte
+            unpacked = np.unpackbits(rows, axis=1)[:, : w_px * spp * bits]
+            g = unpacked.reshape(n_rows, w_px * spp, bits)
+            weights = (1 << np.arange(bits - 1, -1, -1)).astype(np.uint32)
+            px = (
+                (g * weights)
+                .sum(axis=2)
+                .reshape(n_rows, w_px, spp)
+                .astype(np.uint32)
+            )
+        if predictor == 2:
+            # horizontal differencing: undo by cumulative sum along
+            # the row, per sample channel, modulo the sample width
+            mod = 1 << bits
+            px = (np.cumsum(px, axis=1, dtype=np.uint64) % mod).astype(
+                np.uint32
+            )
+        return px
 
-    if predictor == 2:
-        # horizontal differencing: undo by cumulative sum along the
-        # row, per sample channel, modulo the sample width
-        mod = 1 << bits
-        px = np.cumsum(px, axis=1, dtype=np.uint64) % mod
-        px = px.astype(np.uint32)
+    if _T_TILE_WIDTH in tags:  # tile organization (TIFF 6.0 §15)
+        tw = tags[_T_TILE_WIDTH][0]
+        tl = tags.get(_T_TILE_LENGTH, [0])[0]
+        offsets = tags.get(_T_TILE_OFFSETS)
+        counts = tags.get(_T_TILE_COUNTS)
+        if not tw or not tl or not offsets or not counts:
+            raise ValueError("tiled TIFF missing tile tags")
+        if tw % 16 or tl % 16:
+            raise ValueError("tile dimensions must be multiples of 16")
+        tiles_across = (w + tw - 1) // tw
+        tiles_down = (h + tl - 1) // tl
+        if len(offsets) < tiles_across * tiles_down:
+            raise ValueError("tile count does not cover the image")
+        px = np.zeros((h, w, spp), dtype=np.uint32)
+        for ty in range(tiles_down):
+            for tx in range(tiles_across):
+                i = ty * tiles_across + tx
+                tile = unpack(decompress(offsets[i], counts[i]), tl, tw)
+                y0, x0 = ty * tl, tx * tw
+                ch = min(tl, h - y0)
+                cw = min(tw, w - x0)
+                px[y0 : y0 + ch, x0 : x0 + cw] = tile[:ch, :cw]
+    else:
+        offsets = tags.get(_T_STRIP_OFFSETS)
+        counts = tags.get(_T_STRIP_COUNTS)
+        if not offsets:
+            raise ValueError("TIFF missing StripOffsets")
+        if not counts:  # single uncompressed strip may legally omit it
+            if len(offsets) != 1 or compression != 1:
+                raise ValueError("TIFF missing StripByteCounts")
+            counts = [len(data) - offsets[0]]
+        raw = bytearray()
+        for off, cnt in zip(offsets, counts):
+            raw += decompress(off, cnt)
+        px = unpack(bytes(raw), h, w)
 
     if photometric == 3:  # palette-color
         cmap = tags.get(_T_COLORMAP)
@@ -379,6 +421,7 @@ def encode_tiff(
     predictor: int = 1,
     rows_per_strip: int | None = None,
     palette=None,
+    tile: tuple[int, int] | None = None,
 ) -> bytes:
     """Encode an array as a baseline TIFF (decode_tiff inverse) —
     fixture synthesis for oracle entries and tests.
@@ -406,56 +449,82 @@ def encode_tiff(
     if predictor == 2 and compression != 5:
         raise ValueError("predictor 2 is only meaningful with LZW")
 
-    # pack sample rows at the target depth
-    if bits == 16:
-        vals = a.reshape(h, w * spp).astype(np.uint16)
-        if predictor == 2:
-            vals = np.diff(
-                vals.reshape(h, w, spp).astype(np.int64),
-                axis=1,
-                prepend=np.zeros((h, 1, spp), dtype=np.int64),
-            ).astype(np.uint16).reshape(h, w * spp)
-        rows = vals.astype(f"{byte_order}u2").view(np.uint8).reshape(h, -1)
-    elif bits == 8:
-        vals = a.reshape(h, w, spp).astype(np.uint8)
-        if predictor == 2:
-            vals = np.diff(
-                vals.astype(np.int16),
-                axis=1,
-                prepend=np.zeros((h, 1, spp), dtype=np.int16),
-            ).astype(np.uint8)
-        rows = vals.reshape(h, w * spp)
-    elif bits in (1, 2, 4):
-        flat = a.reshape(h, w * spp).astype(np.uint8)
-        b = np.unpackbits(
-            flat[..., None], axis=2, count=8, bitorder="big"
-        )[:, :, 8 - bits :]
-        rows = np.packbits(b.reshape(h, -1), axis=1)
-    else:
-        raise ValueError(f"unsupported bits {bits}")
-    row_bytes = (w * spp * bits + 7) // 8
-    rows = rows[:, :row_bytes]
-
-    rps = rows_per_strip or h
-    strips = []
-    for y0 in range(0, h, rps):
-        chunk = rows[y0 : y0 + rps].tobytes()
-        if compression == 5:
-            chunk = _lzw_encode(chunk)
-        elif compression == 32773:
-            nrows = min(rps, h - y0)
-            chunk = b"".join(
-                _packbits_encode(rows[y0 + r].tobytes())
-                for r in range(nrows)
+    def pack(sub) -> np.ndarray:
+        """Pack a (rows, cols[, spp]) sub-image into filtered byte
+        rows — predictor differencing restarts at the sub-image's
+        left edge, which is why tiles pack independently."""
+        sh, sw = sub.shape[0], sub.shape[1]
+        if bits == 16:
+            vals = sub.reshape(sh, sw, spp).astype(np.uint16)
+            if predictor == 2:
+                vals = np.diff(
+                    vals.astype(np.int64),
+                    axis=1,
+                    prepend=np.zeros((sh, 1, spp), dtype=np.int64),
+                ).astype(np.uint16)
+            return (
+                vals.reshape(sh, sw * spp)
+                .astype(f"{byte_order}u2")
+                .view(np.uint8)
+                .reshape(sh, -1)
             )
-        elif compression != 1:
-            raise ValueError(f"unsupported compression {compression}")
-        strips.append(chunk)
+        if bits == 8:
+            vals = sub.reshape(sh, sw, spp).astype(np.uint8)
+            if predictor == 2:
+                vals = np.diff(
+                    vals.astype(np.int16),
+                    axis=1,
+                    prepend=np.zeros((sh, 1, spp), dtype=np.int16),
+                ).astype(np.uint8)
+            return vals.reshape(sh, sw * spp)
+        if bits in (1, 2, 4):
+            flat = sub.reshape(sh, sw * spp).astype(np.uint8)
+            b = np.unpackbits(
+                flat[..., None], axis=2, count=8, bitorder="big"
+            )[:, :, 8 - bits :]
+            packed = np.packbits(b.reshape(sh, -1), axis=1)
+            return packed[:, : (sw * spp * bits + 7) // 8]
+        raise ValueError(f"unsupported bits {bits}")
 
-    # layout: header(8) | strip data | colormap? | IFD
+    def compress_rows(rows: np.ndarray) -> bytes:
+        if compression == 5:
+            return _lzw_encode(rows.tobytes())
+        if compression == 32773:
+            return b"".join(
+                _packbits_encode(rows[r].tobytes())
+                for r in range(rows.shape[0])
+            )
+        if compression != 1:
+            raise ValueError(f"unsupported compression {compression}")
+        return rows.tobytes()
+
+    chunks = []
+    if tile is not None:
+        tw, tl = tile
+        if tw % 16 or tl % 16:
+            raise ValueError("tile dimensions must be multiples of 16")
+        a3 = a.reshape(h, w, spp)
+        padded = np.zeros(
+            (((h + tl - 1) // tl) * tl, ((w + tw - 1) // tw) * tw, spp),
+            dtype=a3.dtype,
+        )
+        padded[:h, :w] = a3
+        for y0 in range(0, padded.shape[0], tl):
+            for x0 in range(0, padded.shape[1], tw):
+                chunks.append(
+                    compress_rows(pack(padded[y0 : y0 + tl, x0 : x0 + tw]))
+                )
+        rps = None
+    else:
+        rows = pack(a.reshape(h, w, spp) if a.ndim == 3 else a.reshape(h, w))
+        rps = rows_per_strip or h
+        for y0 in range(0, h, rps):
+            chunks.append(compress_rows(rows[y0 : y0 + rps]))
+
+    # layout: header(8) | strip/tile data | IFD | out-of-line values
     body = bytearray(b"\x00" * 8)
     strip_offsets, strip_counts = [], []
-    for s in strips:
+    for s in chunks:
         strip_offsets.append(len(body))
         strip_counts.append(len(s))
         body += s
@@ -474,10 +543,16 @@ def encode_tiff(
     tag(_T_BITS, 3, [bits] * spp)
     tag(_T_COMPRESSION, 3, [compression])
     tag(_T_PHOTOMETRIC, 3, [photometric])
-    tag(_T_STRIP_OFFSETS, 4, strip_offsets)
     tag(_T_SPP, 3, [spp])
-    tag(_T_ROWS_PER_STRIP, 4, [rps])
-    tag(_T_STRIP_COUNTS, 4, strip_counts)
+    if tile is not None:
+        tag(_T_TILE_WIDTH, 4, [tile[0]])
+        tag(_T_TILE_LENGTH, 4, [tile[1]])
+        tag(_T_TILE_OFFSETS, 4, strip_offsets)
+        tag(_T_TILE_COUNTS, 4, strip_counts)
+    else:
+        tag(_T_STRIP_OFFSETS, 4, strip_offsets)
+        tag(_T_ROWS_PER_STRIP, 4, [rps])
+        tag(_T_STRIP_COUNTS, 4, strip_counts)
     tag(_T_PLANAR, 3, [1])
     if predictor == 2:
         tag(_T_PREDICTOR, 3, [predictor])

@@ -236,3 +236,35 @@ def test_tiff_decode_image_dispatch_and_seams():
         decode_tiff(b"II+\x00" + b"\x00" * 16)
     with pytest.raises(ValueError):
         decode_tiff(b"ZZZZ")
+
+
+def test_tiff_tiled_organization():
+    """Tile organization (TIFF 6.0 §15): non-multiple image sizes pad
+    at the right/bottom tile edges; predictor differencing restarts
+    at every tile's left edge; all compressions; both byte orders."""
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, (37, 53, 3)).astype(np.uint8)
+    for comp in (1, 5, 32773):
+        for pred in (1, 2) if comp == 5 else (1,):
+            for bo in ("<", ">"):
+                d = decode_tiff(
+                    encode_tiff(img, compression=comp, predictor=pred,
+                                byte_order=bo, tile=(16, 32))
+                )
+                assert (d == img).all(), (comp, pred, bo)
+    # 16-bit gray and 4-bit palette tiles
+    v = rng.randint(0, 256, (20, 40)).astype(np.uint16)
+    d = decode_tiff(
+        encode_tiff(v * 257, bits=16, photometric=1, compression=5,
+                    predictor=2, tile=(16, 16))
+    )
+    assert (d[:, :, 0] == v).all()
+    pal = rng.randint(0, 256, (16, 3)).astype(np.uint8)
+    idx = rng.randint(0, 16, (18, 22)).astype(np.uint8)
+    d = decode_tiff(
+        encode_tiff(idx, bits=4, palette=pal, compression=5, tile=(16, 16))
+    )
+    assert (d == pal[idx]).all()
+    # non-multiple-of-16 tile dims are malformed per spec
+    with pytest.raises(ValueError):
+        encode_tiff(img, tile=(20, 16))
