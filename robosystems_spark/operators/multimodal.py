@@ -1074,6 +1074,159 @@ def g711_alaw_encode(samples):
     return ((a ^ mask) & 0xFF).astype(np.uint8)
 
 
+_IMA_STEP_TABLE = None
+_IMA_INDEX_TABLE = None
+
+
+def _ima_tables():
+    """IMA/DVI ADPCM step + index tables (IMA Digital Audio Pack,
+    1992).  The 89-entry step table is the standard ~1.1x geometric
+    ladder; the index table is the canonical (-1,-1,-1,-1,2,4,6,8)
+    folded over the sign bit."""
+    global _IMA_STEP_TABLE, _IMA_INDEX_TABLE
+    import numpy as np
+
+    if _IMA_STEP_TABLE is None:
+        _IMA_STEP_TABLE = np.array([
+            7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+            34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118,
+            130, 143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371,
+            408, 449, 494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166,
+            1282, 1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024,
+            3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845,
+            8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500,
+            20350, 22385, 24623, 27086, 29794, 32767,
+        ], dtype=np.int64)
+        _IMA_INDEX_TABLE = np.array(
+            [-1, -1, -1, -1, 2, 4, 6, 8] * 2, dtype=np.int64
+        )
+    return _IMA_STEP_TABLE, _IMA_INDEX_TABLE
+
+
+def _ima_adpcm_decode_blocks(body: bytes, block_align: int):
+    """Decode mono IMA ADPCM WAV data: sequential per block (the
+    codec's predictor state is inherently serial), VECTORIZED across
+    blocks with numpy — the same sequential-within/parallel-across
+    shape the PNG unfilter uses.  Returns int16-domain int32 samples.
+    """
+    import numpy as np
+
+    step_t, idx_t = _ima_tables()
+    nblocks = len(body) // block_align
+    if nblocks == 0:
+        return np.zeros(0, dtype=np.int32)
+    raw = np.frombuffer(
+        body, dtype=np.uint8, count=nblocks * block_align
+    ).reshape(nblocks, block_align)
+    # 4-byte block header: int16 predictor, uint8 step index, reserved
+    pred = raw[:, 0:2].copy().view("<i2").reshape(nblocks).astype(np.int64)
+    index = np.clip(raw[:, 2].astype(np.int64), 0, 88)
+    nib_bytes = raw[:, 4:]
+    codes = np.empty((nblocks, nib_bytes.shape[1] * 2), dtype=np.int64)
+    codes[:, 0::2] = nib_bytes & 0x0F  # low nibble first, per spec
+    codes[:, 1::2] = nib_bytes >> 4
+    n_per_block = codes.shape[1]
+    out = np.empty((nblocks, 1 + n_per_block), dtype=np.int32)
+    out[:, 0] = pred.astype(np.int32)  # header predictor IS sample 0
+    for i in range(n_per_block):
+        code = codes[:, i]
+        step = step_t[index]
+        diff = step >> 3
+        diff += np.where(code & 1, step >> 2, 0)
+        diff += np.where(code & 2, step >> 1, 0)
+        diff += np.where(code & 4, step, 0)
+        pred = np.clip(
+            np.where(code & 8, pred - diff, pred + diff), -32768, 32767
+        )
+        index = np.clip(index + idx_t[code], 0, 88)
+        out[:, 1 + i] = pred.astype(np.int32)
+    return out.reshape(-1)
+
+
+def ima_adpcm_encode(samples, block_align: int = 1024) -> bytes:
+    """Mono IMA ADPCM encoder (the decoder inverse; fixture
+    synthesis).  Canonical quantizer: sign bit + 3 magnitude bits by
+    successive step subtraction; predictor state tracks the DECODED
+    value so error never accumulates past one step."""
+    import numpy as np
+
+    step_t, idx_t = _ima_tables()
+    x = np.clip(np.asarray(samples, dtype=np.int64), -32768, 32767)
+    n_per_block = (block_align - 4) * 2 + 1
+    out = bytearray()
+    pos = 0
+    index = 0
+    while pos < len(x):
+        chunk = x[pos : pos + n_per_block]
+        pos += n_per_block
+        pred = int(chunk[0])
+        out += int(pred).to_bytes(2, "little", signed=True)
+        out.append(int(index))
+        out.append(0)
+        nibbles = []
+        for s in chunk[1:]:
+            step = int(step_t[index])
+            delta = int(s) - pred
+            code = 0
+            if delta < 0:
+                code = 8
+                delta = -delta
+            if delta >= step:
+                code |= 4
+                delta -= step
+            if delta >= step >> 1:
+                code |= 2
+                delta -= step >> 1
+            if delta >= step >> 2:
+                code |= 1
+            # reconstruct exactly as the decoder will
+            diff = step >> 3
+            if code & 1:
+                diff += step >> 2
+            if code & 2:
+                diff += step >> 1
+            if code & 4:
+                diff += step
+            pred = max(-32768, min(32767, pred - diff if code & 8 else pred + diff))
+            index = max(0, min(88, index + int(idx_t[code])))
+            nibbles.append(code)
+        while len(nibbles) < n_per_block - 1:
+            nibbles.append(0)  # pad the final partial block
+        for j in range(0, len(nibbles), 2):
+            out.append(nibbles[j] | (nibbles[j + 1] << 4))
+    return bytes(out)
+
+
+def encode_wav_ima_adpcm(
+    samples, rate: int, block_align: int = 1024
+) -> bytes:
+    """Wrap :func:`ima_adpcm_encode` output in a WAV container
+    (format 0x11, mono) with the fact chunk real decoders expect."""
+    body = ima_adpcm_encode(samples, block_align)
+    import numpy as np
+
+    n = len(np.asarray(samples))
+    n_per_block = (block_align - 4) * 2 + 1
+    fmt = (
+        (0x11).to_bytes(2, "little")
+        + (1).to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * block_align // n_per_block).to_bytes(4, "little")
+        + block_align.to_bytes(2, "little")
+        + (4).to_bytes(2, "little")       # bits per (compressed) sample
+        + (2).to_bytes(2, "little")       # cbSize
+        + n_per_block.to_bytes(2, "little")  # samples per block
+    )
+    chunks = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    chunks += b"fact" + (4).to_bytes(4, "little") + n.to_bytes(4, "little")
+    chunks += b"data" + len(body).to_bytes(4, "little") + body
+    if len(body) & 1:
+        chunks += b"\x00"
+    return (
+        b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+    )
+
+
 def decode_wav_pcm(data: bytes):
     """Decode WAV into ((n_samples, channels) int32 array,
     sample_rate) — real RIFF chunk walking (fmt /data in any order,
@@ -1081,13 +1234,15 @@ def decode_wav_pcm(data: bytes):
     16, 24 (packed 3-byte), and 32 bits; IEEE float 32/64 (format 3,
     scaled from [-1, 1] to the int32 domain); G.711 A-law/mu-law
     telephony companding (formats 6/7, table-decoded to 16-bit
-    linear); and WAVE_FORMAT_EXTENSIBLE (0xFFFE) with the real code
-    read from the SubFormat GUID.  Remaining seam: ADPCM."""
+    linear); mono IMA ADPCM (format 0x11, block headers + 4-bit
+    codes, fact-chunk sample-count trim); and WAVE_FORMAT_EXTENSIBLE
+    (0xFFFE) with the real code read from the SubFormat GUID.
+    Remaining seams: MS-ADPCM (format 2) and multichannel ADPCM."""
     import numpy as np
 
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
-    i, fmt, body = 12, None, None
+    i, fmt, body, fact = 12, None, None, None
     while i + 8 <= len(data):
         cid = data[i : i + 4]
         clen = int.from_bytes(data[i + 4 : i + 8], "little")
@@ -1096,12 +1251,15 @@ def decode_wav_pcm(data: bytes):
             fmt = payload
         elif cid == b"data":
             body = payload
+        elif cid == b"fact" and clen >= 4:
+            fact = int.from_bytes(payload[0:4], "little")
         i += 8 + clen + (clen & 1)  # odd chunks pad one byte
     if fmt is None or body is None:
         raise ValueError("missing fmt /data chunk")
     audio_format = int.from_bytes(fmt[0:2], "little")
     channels = int.from_bytes(fmt[2:4], "little")
     rate = int.from_bytes(fmt[4:8], "little")
+    block_align = int.from_bytes(fmt[12:14], "little")
     bits = int.from_bytes(fmt[14:16], "little")
     if audio_format == 0xFFFE:
         # WAVE_FORMAT_EXTENSIBLE (the standard container for >2
@@ -1130,9 +1288,18 @@ def decode_wav_pcm(data: bytes):
             raise ValueError(f"G.711 WAV must be 8-bit, got {bits}")
         table = _g711_alaw_table() if audio_format == 6 else _g711_ulaw_table()
         samples = table[np.frombuffer(body, dtype=np.uint8)]
+    elif audio_format == 0x11:  # IMA ADPCM
+        if channels != 1:
+            raise NotImplementedError("multichannel IMA ADPCM")
+        if block_align < 8:
+            raise ValueError(f"bad IMA ADPCM block align {block_align}")
+        samples = _ima_adpcm_decode_blocks(body, block_align)
+        if fact is not None:
+            samples = samples[:fact]  # drop final-block pad samples
+        return samples.reshape(-1, 1), rate
     elif audio_format != 1:
         raise NotImplementedError(
-            f"WAV format {audio_format} (ADPCM) not supported"
+            f"WAV format {audio_format} (MS-ADPCM) not supported"
         )
     elif bits == 16:
         samples = np.frombuffer(

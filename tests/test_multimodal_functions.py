@@ -1457,3 +1457,73 @@ def test_bmp_palette_rle_and_32bit():
     bad[30:34] = (2).to_bytes(4, "little")  # compression=2 (RLE4)
     with _pytest.raises(ValueError):
         decode_bmp(bytes(bad))
+
+
+def test_wav_ima_adpcm():
+    """IMA ADPCM (WAV format 0x11): the block-vectorized decoder
+    matches a scalar reference implementation bit-for-bit; the
+    container round-trips with fact-chunk sample trim; tracking
+    error on a smooth signal stays small; multichannel stays an
+    honest seam."""
+    import numpy as np
+    import pytest as _pytest
+
+    from robosystems_spark.operators.multimodal import (
+        _ima_adpcm_decode_blocks,
+        _ima_tables,
+        decode_wav_pcm,
+        encode_wav_ima_adpcm,
+        ima_adpcm_encode,
+    )
+
+    st, it = _ima_tables()
+    # goldens from the IMA spec tables
+    assert st[0] == 7 and st[88] == 32767 and st[44] == 494
+    assert it[7] == 8 and it[0] == -1 and it[15] == 8
+
+    def ref_decode(body, ba):
+        out = []
+        for b0 in range(0, len(body) - ba + 1, ba):
+            blk = body[b0:b0 + ba]
+            pred = int.from_bytes(blk[0:2], "little", signed=True)
+            index = min(88, max(0, blk[2]))
+            out.append(pred)
+            nibs = []
+            for byte in blk[4:]:
+                nibs.append(byte & 0xF)
+                nibs.append(byte >> 4)
+            for code in nibs:
+                step = int(st[index])
+                diff = step >> 3
+                if code & 1:
+                    diff += step >> 2
+                if code & 2:
+                    diff += step >> 1
+                if code & 4:
+                    diff += step
+                pred = pred - diff if code & 8 else pred + diff
+                pred = max(-32768, min(32767, pred))
+                index = max(0, min(88, index + int(it[code])))
+                out.append(pred)
+        return np.array(out, dtype=np.int32)
+
+    rng = np.random.RandomState(9)
+    t = np.arange(3000)
+    sig = (12000 * np.sin(t / 30)
+           + rng.randint(-200, 200, t.size)).astype(np.int64)
+    ba = 256
+    body = ima_adpcm_encode(sig, block_align=ba)
+    assert np.array_equal(
+        _ima_adpcm_decode_blocks(body, ba), ref_decode(body, ba)
+    )
+    dec, rate = decode_wav_pcm(encode_wav_ima_adpcm(sig, 8000, block_align=ba))
+    assert rate == 8000 and dec.shape == (3000, 1)
+    err = np.abs(dec.reshape(-1) - np.clip(sig, -32768, 32767))
+    assert err.max() < 4000 and err.mean() < 300
+
+    # stereo ADPCM stays loud
+    bad = bytearray(encode_wav_ima_adpcm(sig[:100], 8000, block_align=ba))
+    i = bad.find(b"fmt ") + 8
+    bad[i + 2:i + 4] = (2).to_bytes(2, "little")
+    with _pytest.raises(NotImplementedError):
+        decode_wav_pcm(bytes(bad))
