@@ -1197,6 +1197,146 @@ def ima_adpcm_encode(samples, block_align: int = 1024) -> bytes:
     return bytes(out)
 
 
+_MSADPCM_COEFS = (
+    (256, 0), (512, -256), (0, 0), (192, 64),
+    (240, 0), (460, -208), (392, -232),
+)
+_MSADPCM_ADAPT = (
+    230, 230, 230, 230, 307, 409, 512, 614,
+    768, 614, 512, 409, 307, 230, 230, 230,
+)
+
+
+def _ms_adpcm_decode_blocks(body: bytes, block_align: int):
+    """Decode mono MS-ADPCM (WAV format 2): per block a 7-byte header
+    (predictor index, initial delta, two seed samples) then 4-bit
+    codes HIGH nibble first, two-tap LPC predictor with adaptive
+    delta.  Sequential within block, vectorized across blocks (the
+    IMA shape).  Returns int16-domain int32 samples."""
+    import numpy as np
+
+    nblocks = len(body) // block_align
+    if nblocks == 0:
+        return np.zeros(0, dtype=np.int32)
+    raw = np.frombuffer(
+        body, dtype=np.uint8, count=nblocks * block_align
+    ).reshape(nblocks, block_align)
+    cidx = np.minimum(raw[:, 0].astype(np.int64), 6)
+    coefs = np.array(_MSADPCM_COEFS, dtype=np.int64)
+    c1 = coefs[cidx, 0]
+    c2 = coefs[cidx, 1]
+    delta = raw[:, 1:3].copy().view("<i2").reshape(nblocks).astype(np.int64)
+    s1 = raw[:, 3:5].copy().view("<i2").reshape(nblocks).astype(np.int64)
+    s2 = raw[:, 5:7].copy().view("<i2").reshape(nblocks).astype(np.int64)
+    nib_bytes = raw[:, 7:]
+    codes = np.empty((nblocks, nib_bytes.shape[1] * 2), dtype=np.int64)
+    codes[:, 0::2] = nib_bytes >> 4  # HIGH nibble first (unlike IMA)
+    codes[:, 1::2] = nib_bytes & 0x0F
+    adapt = np.array(_MSADPCM_ADAPT, dtype=np.int64)
+    n_codes = codes.shape[1]
+    out = np.empty((nblocks, 2 + n_codes), dtype=np.int32)
+    out[:, 0] = s2.astype(np.int32)  # header samples play s2 first
+    out[:, 1] = s1.astype(np.int32)
+    for i in range(n_codes):
+        code = codes[:, i]
+        signed = np.where(code >= 8, code - 16, code)
+        pred = (s1 * c1 + s2 * c2) >> 8
+        sample = np.clip(pred + signed * delta, -32768, 32767)
+        out[:, 2 + i] = sample.astype(np.int32)
+        s2 = s1
+        s1 = sample
+        delta = np.maximum(16, (adapt[code] * delta) >> 8)
+    return out.reshape(-1)
+
+
+def ms_adpcm_encode(samples, block_align: int = 1024) -> bytes:
+    """Mono MS-ADPCM encoder (decoder inverse; fixture synthesis):
+    per block, tries all 7 coefficient pairs and keeps the one with
+    the least squared error; the predictor state tracks DECODED
+    samples so error never accumulates."""
+    import numpy as np
+
+    x = np.clip(np.asarray(samples, dtype=np.int64), -32768, 32767)
+    n_per_block = (block_align - 7) * 2 + 2
+    out = bytearray()
+    for pos in range(0, len(x), n_per_block):
+        chunk = [int(v) for v in x[pos : pos + n_per_block]]
+        while len(chunk) < 2:
+            chunk.append(0)
+        d0 = np.abs(np.diff(np.asarray(chunk[: min(len(chunk), 32)])))
+        delta0 = max(16, int(d0.mean() // 4) if d0.size else 16)
+        best = None
+        for ci, (c1, c2) in enumerate(_MSADPCM_COEFS):
+            s2, s1 = chunk[0], chunk[1]
+            delta = delta0
+            nibs = []
+            err = 0
+            for v in chunk[2:]:
+                pred = (s1 * c1 + s2 * c2) >> 8
+                diff = v - pred
+                code = max(-8, min(7, int(round(diff / delta))))
+                sample = max(-32768, min(32767, pred + code * delta))
+                err += (sample - v) ** 2
+                nibs.append(code & 0x0F)
+                s2, s1 = s1, sample
+                delta = max(16, (_MSADPCM_ADAPT[code & 0x0F] * delta) >> 8)
+            if best is None or err < best[0]:
+                best = (err, ci, nibs)
+        _, ci, nibs = best
+        out.append(ci)
+        out += delta0.to_bytes(2, "little", signed=True)
+        out += chunk[1].to_bytes(2, "little", signed=True)  # sample1
+        out += chunk[0].to_bytes(2, "little", signed=True)  # sample2
+        while len(nibs) < n_per_block - 2:
+            nibs.append(0)
+        for j in range(0, len(nibs), 2):
+            out.append((nibs[j] << 4) | nibs[j + 1])
+    return bytes(out)
+
+
+def encode_wav_ms_adpcm(
+    samples, rate: int, block_align: int = 1024
+) -> bytes:
+    """Wrap :func:`ms_adpcm_encode` in a WAV container (format 2,
+    mono) with the coefficient table in the fmt extension and the
+    fact chunk."""
+    import numpy as np
+
+    body = ms_adpcm_encode(samples, block_align)
+    n = len(np.asarray(samples))
+    n_per_block = (block_align - 7) * 2 + 2
+    coef_blob = b"".join(
+        c1.to_bytes(2, "little", signed=True)
+        + c2.to_bytes(2, "little", signed=True)
+        for c1, c2 in _MSADPCM_COEFS
+    )
+    ext = (
+        n_per_block.to_bytes(2, "little")
+        + (7).to_bytes(2, "little")
+        + coef_blob
+    )
+    fmt = (
+        (2).to_bytes(2, "little")
+        + (1).to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * block_align // n_per_block).to_bytes(4, "little")
+        + block_align.to_bytes(2, "little")
+        + (4).to_bytes(2, "little")
+        + len(ext).to_bytes(2, "little")
+        + ext
+    )
+    chunks = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    if len(fmt) & 1:
+        chunks += b"\x00"
+    chunks += b"fact" + (4).to_bytes(4, "little") + n.to_bytes(4, "little")
+    chunks += b"data" + len(body).to_bytes(4, "little") + body
+    if len(body) & 1:
+        chunks += b"\x00"
+    return (
+        b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+    )
+
+
 def encode_wav_ima_adpcm(
     samples, rate: int, block_align: int = 1024
 ) -> bytes:
@@ -1234,10 +1374,11 @@ def decode_wav_pcm(data: bytes):
     16, 24 (packed 3-byte), and 32 bits; IEEE float 32/64 (format 3,
     scaled from [-1, 1] to the int32 domain); G.711 A-law/mu-law
     telephony companding (formats 6/7, table-decoded to 16-bit
-    linear); mono IMA ADPCM (format 0x11, block headers + 4-bit
-    codes, fact-chunk sample-count trim); and WAVE_FORMAT_EXTENSIBLE
-    (0xFFFE) with the real code read from the SubFormat GUID.
-    Remaining seams: MS-ADPCM (format 2) and multichannel ADPCM."""
+    linear); mono IMA ADPCM (format 0x11) and MS-ADPCM (format 2) —
+    block headers + 4-bit codes, fact-chunk sample-count trim; and
+    WAVE_FORMAT_EXTENSIBLE (0xFFFE) with the real code read from the
+    SubFormat GUID.  Remaining seams: multichannel ADPCM and the
+    perceptual codecs (MP3/AAC in WAV)."""
     import numpy as np
 
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
@@ -1297,9 +1438,18 @@ def decode_wav_pcm(data: bytes):
         if fact is not None:
             samples = samples[:fact]  # drop final-block pad samples
         return samples.reshape(-1, 1), rate
+    elif audio_format == 2:  # MS-ADPCM
+        if channels != 1:
+            raise NotImplementedError("multichannel MS-ADPCM")
+        if block_align < 8:
+            raise ValueError(f"bad MS-ADPCM block align {block_align}")
+        samples = _ms_adpcm_decode_blocks(body, block_align)
+        if fact is not None:
+            samples = samples[:fact]
+        return samples.reshape(-1, 1), rate
     elif audio_format != 1:
         raise NotImplementedError(
-            f"WAV format {audio_format} (MS-ADPCM) not supported"
+            f"WAV format {audio_format} not supported"
         )
     elif bits == 16:
         samples = np.frombuffer(

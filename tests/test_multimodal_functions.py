@@ -1222,12 +1222,12 @@ def test_wav_extended_formats():
     )
     assert gotf.reshape(-1)[3] == 2**31 - 1
 
-    # remaining seams stay honest: ADPCM format code
+    # remaining seams stay honest: a perceptual-codec format code
     import pytest as _pytest
 
     bad = bytearray(encode_wav_pcm(vals8, 8000, bits=8))
     i = bad.find(b"fmt ") + 8
-    bad[i:i+2] = (2).to_bytes(2, "little")  # MS-ADPCM
+    bad[i:i+2] = (0x55).to_bytes(2, "little")  # MP3-in-WAV
     with _pytest.raises(NotImplementedError):
         decode_wav_pcm(bytes(bad))
 
@@ -1523,6 +1523,69 @@ def test_wav_ima_adpcm():
 
     # stereo ADPCM stays loud
     bad = bytearray(encode_wav_ima_adpcm(sig[:100], 8000, block_align=ba))
+    i = bad.find(b"fmt ") + 8
+    bad[i + 2:i + 4] = (2).to_bytes(2, "little")
+    with _pytest.raises(NotImplementedError):
+        decode_wav_pcm(bytes(bad))
+
+
+def test_wav_ms_adpcm():
+    """MS-ADPCM (WAV format 2): block-vectorized decoder matches a
+    scalar reference; two-tap LPC with adaptive delta tracks a smooth
+    signal; high-nibble-first packing; per-block best-coefficient
+    choice round-trips through the container."""
+    import numpy as np
+    import pytest as _pytest
+
+    from robosystems_spark.operators.multimodal import (
+        _MSADPCM_ADAPT,
+        _MSADPCM_COEFS,
+        _ms_adpcm_decode_blocks,
+        decode_wav_pcm,
+        encode_wav_ms_adpcm,
+        ms_adpcm_encode,
+    )
+
+    def ref_decode(body, ba):
+        out = []
+        for b0 in range(0, len(body) - ba + 1, ba):
+            blk = body[b0:b0 + ba]
+            c1, c2 = _MSADPCM_COEFS[min(blk[0], 6)]
+            delta = int.from_bytes(blk[1:3], "little", signed=True)
+            s1 = int.from_bytes(blk[3:5], "little", signed=True)
+            s2 = int.from_bytes(blk[5:7], "little", signed=True)
+            out += [s2, s1]
+            nibs = []
+            for byte in blk[7:]:
+                nibs.append(byte >> 4)
+                nibs.append(byte & 0xF)
+            for code in nibs:
+                signed = code - 16 if code >= 8 else code
+                pred = (s1 * c1 + s2 * c2) >> 8
+                sample = max(-32768, min(32767, pred + signed * delta))
+                out.append(sample)
+                s2, s1 = s1, sample
+                delta = max(16, (_MSADPCM_ADAPT[code] * delta) >> 8)
+        return np.array(out, dtype=np.int32)
+
+    rng = np.random.RandomState(13)
+    t = np.arange(2500)
+    sig = (9000 * np.sin(t / 25)
+           + rng.randint(-150, 150, t.size)).astype(np.int64)
+    ba = 256
+    body = ms_adpcm_encode(sig, block_align=ba)
+    assert np.array_equal(
+        _ms_adpcm_decode_blocks(body, ba), ref_decode(body, ba)
+    )
+    dec, rate = decode_wav_pcm(
+        encode_wav_ms_adpcm(sig, 16000, block_align=ba)
+    )
+    assert rate == 16000 and dec.shape == (2500, 1)
+    err = np.abs(dec.reshape(-1) - np.clip(sig, -32768, 32767))
+    assert err.max() < 4000 and err.mean() < 300
+
+    # multichannel stays loud
+    bad = bytearray(encode_wav_ms_adpcm(sig[:100], 8000, block_align=ba))
     i = bad.find(b"fmt ") + 8
     bad[i + 2:i + 4] = (2).to_bytes(2, "little")
     with _pytest.raises(NotImplementedError):
