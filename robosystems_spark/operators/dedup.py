@@ -108,11 +108,17 @@ def distinct_shingles(
     base = df.select(F.col(id_col), token_hash.alias("_th"))
 
     def _horner(arr, i):
-        h = F.coalesce(F.element_at(arr, i + 1), F.lit(0).cast("long"))
+        # try_element_at, NOT element_at: documents shorter than the
+        # shingle width index past the array end, which must yield
+        # NULL -> COALESCE 0 (the oracle's semantics) rather than the
+        # Spark-4 strict-indexing error
+        h = F.coalesce(F.try_element_at(arr, i + 1), F.lit(0).cast("long"))
         for j in range(1, shingle_k):
             h = (
                 h * F.lit(SHINGLE_B)
-                + F.coalesce(F.element_at(arr, i + 1 + j), F.lit(0).cast("long"))
+                + F.coalesce(
+                    F.try_element_at(arr, i + 1 + j), F.lit(0).cast("long")
+                )
             ) % MINHASH_P
         return h
 

@@ -383,3 +383,172 @@ def streaming_distinct_monitor(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+NEARDUP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("matched_doc_id", T.LongType()),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("est_matches", T.IntegerType()),
+        T.StructField("est_jaccard", T.DoubleType()),
+    ]
+)
+
+_NEARDUP_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ids", T.ArrayType(T.LongType())),
+        T.StructField("sigs", T.ArrayType(T.ArrayType(T.LongType()))),
+    ]
+)
+
+
+def python_minhash_signature(
+    text: str, num_hashes: int = 64, shingle_k: int = 5
+) -> list[int]:
+    """The batch MinHash signature (operators/dedup.py
+    ``minhash_signatures``) recomputed in plain Python, POSITION FOR
+    POSITION: same md5 token hash (first 15 hex digits mod 2^31-1),
+    same Horner shingle fold with 0 for out-of-range tokens, same
+    Carter-Wegman permutations.  A unit test pins exact equality with
+    the Spark column pipeline, so the streaming monitor below and the
+    batch LSH see identical signatures — stream flags reconcile with
+    batch candidate pairs with no correction pass."""
+    import hashlib
+    import re
+
+    from robosystems_spark.operators.dedup import (
+        MINHASH_P,
+        SHINGLE_B,
+        minhash_perm_consts,
+    )
+
+    toks = re.split(r"\s+", text.strip().lower())
+    th = [
+        int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16) % MINHASH_P
+        for t in toks
+    ]
+    n = max(len(th) - (shingle_k - 1), 1)
+    shingles = set()
+    for i in range(n):
+        h = 0
+        for j in range(shingle_k):
+            v = th[i + j] if i + j < len(th) else 0
+            h = (h * SHINGLE_B + v) % MINHASH_P
+        shingles.add(h)
+    sig = []
+    for seed in range(num_hashes):
+        a, b = minhash_perm_consts(seed)
+        sig.append(min((a * h + b) % MINHASH_P for h in shingles))
+    return sig
+
+
+def streaming_neardup_monitor(
+    docs: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    est_threshold: float = 0.5,
+    bucket_cap: int = 8,
+) -> DataFrame:
+    """Streaming near-duplicate detection: as documents arrive, flag
+    any that MinHash-LSH-collide with an EARLIER document — the
+    dedup-at-ingest primitive a continuously-fed training corpus
+    needs (don't store the duplicate, don't re-embed it).
+
+    Two stages, both bounded:
+
+    1. stateless ``mapInPandas``: per doc, the batch-identical MinHash
+       signature (:func:`python_minhash_signature`) exploded into
+       ``bands`` band keys — same banding as the batch operator, so a
+       pair the batch pipeline would candidate is exactly a pair that
+       shares a band bucket here;
+    2. ``applyInPandasWithState`` grouped by (band, band_value): state
+       is at most ``bucket_cap`` (id, signature) pairs per bucket
+       FOREVER (the batch bucket-cap discipline); each incoming doc is
+       scored against the bucket's residents by signature-estimated
+       Jaccard (matching positions / num_hashes, the
+       ``minhash_estimate_error`` estimator) and emitted when >=
+       ``est_threshold``.
+
+    Emits (doc_id, matched_doc_id, band, est_matches, est_jaccard) —
+    a pair colliding in several bands appears once per band
+    (downstream dedup is one ``dropDuplicates``).  State store:
+    RocksDB at production scale; per-bucket state is O(bucket_cap *
+    num_hashes) longs.
+    """
+    rows = num_hashes // bands
+
+    def sig_bands(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"doc_id": [], "band": [], "val": [], "sig": []}
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                sig = python_minhash_signature(
+                    str(text), num_hashes, shingle_k=5
+                )
+                for b in range(bands):
+                    out["doc_id"].append(int(did))
+                    out["band"].append(b)
+                    out["val"].append(
+                        ",".join(
+                            str(x) for x in sig[b * rows : (b + 1) * rows]
+                        )
+                    )
+                    out["sig"].append(sig)
+            yield pd.DataFrame(out)
+
+    banded_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("band", T.IntegerType()),
+            T.StructField("val", T.StringType()),
+            T.StructField("sig", T.ArrayType(T.LongType())),
+        ]
+    )
+    banded = docs.select("doc_id", "text").mapInPandas(
+        sig_bands, banded_schema
+    )
+
+    def update(key, pdfs, state: GroupState):
+        band, _val = key
+        if state.exists:
+            ids, sigs = state.get
+            ids = list(ids)
+            sigs = [list(s) for s in sigs]
+        else:
+            ids, sigs = [], []
+        out = {
+            "doc_id": [], "matched_doc_id": [], "band": [],
+            "est_matches": [], "est_jaccard": [],
+        }
+        for pdf in pdfs:
+            # doc_id order within the batch for determinism
+            for _, row in pdf.sort_values("doc_id").iterrows():
+                did = int(row["doc_id"])
+                sig = [int(x) for x in row["sig"]]
+                for known_id, known_sig in zip(ids, sigs):
+                    if known_id == did:
+                        continue
+                    est = sum(
+                        1 for a, b in zip(sig, known_sig) if a == b
+                    )
+                    if est >= est_threshold * num_hashes:
+                        out["doc_id"].append(did)
+                        out["matched_doc_id"].append(known_id)
+                        out["band"].append(int(band))
+                        out["est_matches"].append(est)
+                        out["est_jaccard"].append(
+                            round(est / num_hashes, 6)
+                        )
+                if len(ids) < bucket_cap:
+                    ids.append(did)
+                    sigs.append(sig)
+        state.update((ids, sigs))
+        yield pd.DataFrame(out)
+
+    return banded.groupBy("band", "val").applyInPandasWithState(
+        update,
+        outputStructType=NEARDUP_SCHEMA,
+        stateStructType=_NEARDUP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -575,3 +575,95 @@ def test_streaming_distinct_monitor_matches_batch_hll(spark, tmp_path):
     }
     for s in ("a", "b"):
         assert abs(got[s] - truth[s]) / truth[s] < 0.15
+
+
+def test_python_minhash_signature_equals_batch(spark):
+    """The streaming monitor's Python signature must equal the batch
+    column pipeline POSITION FOR POSITION, or stream flags would not
+    reconcile with batch LSH candidates."""
+    from robosystems_spark.operators.dedup import minhash_signatures
+    from robosystems_spark.streaming.stateful import (
+        python_minhash_signature,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "pack my box with five dozen liquor jugs for the party",
+        "short text",
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id LONG, text STRING"
+    )
+    batch = {
+        r["doc_id"]: list(r["signature"])
+        for r in minhash_signatures(docs, num_hashes=64).collect()
+    }
+    for i, t in enumerate(texts):
+        assert python_minhash_signature(t, 64) == batch[i], i
+
+
+def test_streaming_neardup_monitor(spark, tmp_path):
+    """Near-dup at ingest: a batch-2 document that near-duplicates a
+    batch-1 document is flagged against the EARLIER doc_id; an
+    unrelated document is not flagged; the flagged pair is also a
+    batch-LSH candidate (stream/batch reconciliation)."""
+    import os
+
+    from robosystems_spark.operators.dedup import minhash_near_duplicates
+    from robosystems_spark.streaming.stateful import (
+        streaming_neardup_monitor,
+    )
+
+    base = (
+        "large scale training data pipelines deduplicate documents "
+        "with minhash signatures banded into buckets for locality "
+        "sensitive hashing at ingest time every single day"
+    )
+    near = base.replace("every single day", "every other day")
+    other = (
+        "completely different content about graph algorithms and "
+        "shortest path computation over distributed edge partitions "
+        "with no overlap whatsoever in any shingle window"
+    )
+    src = str(tmp_path / "docs_src")
+    os.makedirs(src)
+
+    def write(rows):
+        spark.createDataFrame(rows, "doc_id LONG, text STRING").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    write([(1, base), (2, other)])
+    stream = (
+        spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_neardup_monitor(stream, est_threshold=0.5)
+        .writeStream.format("memory")
+        .queryName("neardup_t")
+        .outputMode("update")
+        .start()
+    )
+    q.processAllAvailable()
+    assert spark.sql("SELECT * FROM neardup_t").count() == 0
+
+    write([(3, near)])
+    q.processAllAvailable()
+    q.stop()
+    flagged = {
+        (r["doc_id"], r["matched_doc_id"])
+        for r in spark.sql("SELECT * FROM neardup_t").collect()
+    }
+    assert flagged == {(3, 1)}  # later doc flagged against earlier
+
+    # reconciliation: the batch pipeline finds the same pair
+    docs = spark.createDataFrame(
+        [(1, base), (2, other), (3, near)], "doc_id LONG, text STRING"
+    )
+    batch_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_near_duplicates(docs, threshold=0.5).collect()
+    }
+    assert (1, 3) in batch_pairs and len(batch_pairs) == 1
