@@ -1046,3 +1046,47 @@ def graph_stress_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("src").alias("s")
     )
     return stress_centrality(d, sources, max_depth=_STRESS_DEPTH)
+
+
+_SUMMARY_EDGES_CTE = """canon AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+e0 AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM canon
+  UNION ALL SELECT b, a FROM canon
+)"""
+
+
+@register(
+    "graph_summary_stats",
+    oracle=__import__(
+        "robosystems_spark.operators.graph",
+        fromlist=["graph_summary_oracle_sql"],
+    ).graph_summary_oracle_sql(_SUMMARY_EDGES_CTE),
+    doc="One-row structural profile of the part co-purchase graph: "
+    "node/edge counts, average degree, density, and Newman degree "
+    "assortativity (Newman 2002) — the SUMMARIZE analog for graphs. "
+    "Assortativity is computed from INTEGER sums over the doubled "
+    "edge list (M*Sxy - Sx^2 over M*Sxx - Sx^2) with one float "
+    "division at the end, so the Pearson correlation hash-matches "
+    "with zero float-accumulation risk. One degree agg + one degree "
+    "join + one global aggregate.",
+    tags=("graph", "profile"),
+)
+def graph_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from robosystems_spark.operators.graph import graph_summary
+
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "o").filter(F.col("src") < F.col("dst")).select("src", "dst")
+    )
+    return graph_summary(edges)

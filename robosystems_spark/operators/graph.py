@@ -1013,6 +1013,98 @@ def stress_centrality(
     )
 
 
+def graph_summary(
+    edges: DataFrame,
+    decimals: int = 9,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """One-row structural summary of an undirected graph: node/edge
+    counts, average degree, density, and Newman's degree
+    assortativity coefficient (Newman 2002) — the
+    profile/SUMMARIZE analog for graphs (is this corpus hub-and-
+    spoke or mesh? do hubs attach to hubs?).
+
+    Assortativity is the Pearson correlation of end-point degrees
+    over the DOUBLED edge list, computed entirely from integer sums
+    (``M*Sxy - Sx^2`` over ``M*Sxx - Sx^2``) with ONE float division
+    at the end — hash-exact cross-engine, no float accumulation.
+
+    Plan: one degree aggregation, one broadcastable degree join onto
+    edges, one global aggregate.
+    """
+    e = (
+        undirected(edges, src_col, dst_col)
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates()
+        .transform(materialize)  # feeds degree agg + the pair join
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_d"))
+    pairs = (
+        e.join(deg.select(F.col("src"), F.col("_d").alias("_dx")), "src")
+        .join(
+            deg.select(
+                F.col("src").alias("dst"), F.col("_d").alias("_dy")
+            ),
+            "dst",
+        )
+    )
+    agg = pairs.agg(
+        F.count(F.lit(1)).alias("m2"),
+        F.sum(F.col("_dx") * F.col("_dy")).alias("sxy"),
+        F.sum("_dx").alias("sx"),
+        F.sum(F.col("_dx") * F.col("_dx")).alias("sxx"),
+    ).crossJoin(
+        F.broadcast(deg.agg(F.count(F.lit(1)).alias("n_nodes")))
+    )
+    m2 = F.col("m2").cast("double")
+    n = F.col("n_nodes").cast("double")
+    num = F.col("m2") * F.col("sxy") - F.col("sx") * F.col("sx")
+    den = F.col("m2") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return agg.select(
+        "n_nodes",
+        (F.col("m2") / 2).cast("long").alias("n_edges"),
+        F.round(m2 / n, decimals).alias("avg_degree"),
+        F.round(m2 / (n * (n - F.lit(1.0))), decimals).alias("density"),
+        F.round(
+            num.cast("double") / den.cast("double"), decimals
+        ).alias("assortativity"),
+    )
+
+
+def graph_summary_oracle_sql(edges_cte: str, decimals: int = 9) -> str:
+    """DuckDB SQL for :func:`graph_summary`.  ``edges_cte`` defines
+    ``e0(src, dst)`` doubled, distinct, no self-loops."""
+    return f"""WITH {edges_cte},
+    deg AS (SELECT src, COUNT(*) AS d FROM e0 GROUP BY src),
+    pairs AS (
+      SELECT dx.d AS x, dy.d AS y
+      FROM e0
+      JOIN deg dx ON dx.src = e0.src
+      JOIN deg dy ON dy.src = e0.dst
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m2,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM pairs
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg)
+    SELECT nn.n_nodes,
+           CAST(agg.m2 / 2 AS BIGINT) AS n_edges,
+           ROUND(CAST(agg.m2 AS DOUBLE) / nn.n_nodes, {decimals})
+             AS avg_degree,
+           ROUND(CAST(agg.m2 AS DOUBLE)
+                 / (CAST(nn.n_nodes AS DOUBLE)
+                    * (CAST(nn.n_nodes AS DOUBLE) - 1.0)), {decimals})
+             AS density,
+           ROUND(CAST(agg.m2 * agg.sxy - agg.sx * agg.sx AS DOUBLE)
+                 / CAST(agg.m2 * agg.sxx - agg.sx * agg.sx AS DOUBLE),
+                 {decimals}) AS assortativity
+    FROM agg CROSS JOIN nn"""
+
+
 def betweenness_centrality(
     edges: DataFrame,
     sources: DataFrame,
