@@ -859,6 +859,27 @@ def embedding_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_mmr_diversified",
+    oracle=S.mmr_oracle_sql(k=5, pool=20, lam=0.7, n_queries=3),
+    doc="Maximal Marginal Relevance diversified retrieval (Carbonell "
+    "& Goldstein 1998) — the RAG re-selection step: greedy k=5 from "
+    "each query's exact top-20 maximizing lam*sim(q,d) - (1-lam)*"
+    "max sim(d, selected). Every similarity rounds to 6 decimals "
+    "BEFORE comparison and the argmax tie-breaks on id, so the "
+    "DuckDB oracle's unrolled 5-step selection picks identical "
+    "documents. Stage 2 is applyInPandas over one query's pool "
+    "(pool^2 floats per group, never corpus-sized).",
+    tags=("similarity",),
+)
+def embedding_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return S.mmr_topk(emb, queries, k=5, pool=20, lam=0.7)
+
+
+@register(
     "embedding_norm_stats",
     oracle="""
     SELECT label,

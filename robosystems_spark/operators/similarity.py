@@ -491,3 +491,180 @@ def sq8_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "nn_id", "score", "rank")
     )
+
+
+MMR_SCHEMA = "query_id LONG, step INT, nn_id LONG, mmr_score DOUBLE"
+
+
+def mmr_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified retrieval (Carbonell &
+    Goldstein 1998) — the RAG re-selection step: from each query's
+    exact-cosine top-``pool``, greedily pick ``k`` documents
+    maximizing ``lam*sim(q,d) - (1-lam)*max sim(d, selected)`` so the
+    context window isn't k copies of the same passage.
+
+    Cross-engine determinism: every similarity is rounded to 6
+    decimals BEFORE any comparison (the repo's cosine contract), the
+    greedy argmax tie-breaks on id, and pairwise sims use the same
+    dot/(na*nb) clamp as :mod:`functions.vector` — so the unrolled
+    selection in the DuckDB oracle picks identical documents step for
+    step.
+
+    Scale: stage 1 is the broadcast-query exact top-k (or swap in any
+    ANN tier); stage 2 is ``applyInPandas`` over ONE query's pool —
+    pool × pool floats per group, never corpus-sized.  The greedy
+    loop runs k times over ≤ pool candidates inside one task.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cand = cosine_topk(corpus, queries, k=pool, vec_col=vec_col,
+                       id_col=id_col)
+    withv = cand.select("query_id", "nn_id", "cosine").join(
+        corpus.select(
+            F.col(id_col).alias("nn_id"), F.col(vec_col).alias("_v")
+        ),
+        "nn_id",
+    )
+
+    def mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("nn_id").reset_index(drop=True)
+        vv = np.array([list(v) for v in pdf["_v"]], dtype=np.float64)
+        num = vv @ vv.T
+        nrm = np.sqrt(np.einsum("ij,ij->i", vv, vv))
+        sims = np.round(
+            num / np.maximum(np.outer(nrm, nrm), 1e-300), 6
+        )
+        qs = pdf["cosine"].to_numpy()  # already round-6 by contract
+        ids = pdf["nn_id"].to_numpy()
+        qid = int(pdf["query_id"].iloc[0])
+        chosen: list[int] = []
+        remaining = list(range(len(ids)))
+        rows = []
+        for step in range(min(k, len(ids))):
+            best = None
+            for idx in remaining:
+                div = max((sims[idx][c] for c in chosen), default=0.0)
+                score = lam * qs[idx] - (1.0 - lam) * div
+                key = (-score, ids[idx])
+                if best is None or key < best[0]:
+                    best = (key, idx, score)
+            _, bidx, bscore = best
+            chosen.append(bidx)
+            remaining.remove(bidx)
+            rows.append(
+                (qid, step + 1, int(ids[bidx]), round(float(bscore), 6))
+            )
+        return pd.DataFrame(
+            rows, columns=["query_id", "step", "nn_id", "mmr_score"]
+        )
+
+    return (
+        withv.groupBy("query_id")
+        .applyInPandas(mmr, MMR_SCHEMA)
+        .orderBy("query_id", "step")
+    )
+
+
+def mmr_oracle_sql(
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.7,
+    n_queries: int = 3,
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """DuckDB SQL for :func:`mmr_topk`: the greedy selection unrolled
+    into ``k`` argmax CTEs over the same round-6 similarities."""
+    lam_s = f"{lam}e0"
+    red_s = f"{1.0 - lam}e0"
+    parts = [
+        f"""q AS (SELECT {id_col} AS query_id, {vec_col} AS qv
+      FROM {table} WHERE {id_col} < {n_queries}),
+    allsims AS (
+      SELECT q.query_id, e.{id_col} AS nn_id,
+             ROUND(LIST_COSINE_SIMILARITY(CAST(e.{vec_col} AS DOUBLE[]),
+                                          CAST(q.qv AS DOUBLE[])), 6)
+               AS qsim
+      FROM {table} e JOIN q ON TRUE
+    ),
+    pool AS MATERIALIZED (
+      SELECT query_id, nn_id, qsim FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY qsim DESC, nn_id) AS rn
+        FROM allsims
+      ) WHERE rn <= {pool}
+    ),
+    pair AS MATERIALIZED (
+      SELECT p1.query_id, p1.nn_id AS i, p2.nn_id AS j,
+             ROUND(LIST_COSINE_SIMILARITY(CAST(e1.{vec_col} AS DOUBLE[]),
+                                          CAST(e2.{vec_col} AS DOUBLE[])),
+                   6) AS s
+      FROM pool p1
+      JOIN pool p2 ON p2.query_id = p1.query_id
+      JOIN {table} e1 ON e1.{id_col} = p1.nn_id
+      JOIN {table} e2 ON e2.{id_col} = p2.nn_id
+    ),
+    sel1 AS (
+      SELECT query_id, nn_id, CAST(1 AS INT) AS step,
+             ROUND({lam_s} * qsim, 6) AS mmr_score
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY {lam_s} * qsim DESC,
+                                              nn_id) AS rn
+        FROM pool
+      ) WHERE rn = 1
+    ),
+    chosen1 AS (SELECT query_id, nn_id FROM sel1)"""
+    ]
+    for i in range(2, k + 1):
+        parts.append(
+            f"""sc{i} AS (
+      SELECT p.query_id, p.nn_id, p.qsim,
+             {lam_s} * p.qsim - {red_s} * (
+               SELECT MAX(pr.s) FROM pair pr
+               JOIN chosen{i - 1} c
+                 ON c.query_id = pr.query_id AND c.nn_id = pr.j
+               WHERE pr.query_id = p.query_id AND pr.i = p.nn_id
+             ) AS sc
+      FROM pool p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM chosen{i - 1} c
+        WHERE c.query_id = p.query_id AND c.nn_id = p.nn_id
+      )
+    ),
+    sel{i} AS (
+      SELECT query_id, nn_id, CAST({i} AS INT) AS step,
+             ROUND(sc, 6) AS mmr_score
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY sc DESC, nn_id) AS rn
+        FROM sc{i}
+      ) WHERE rn = 1
+    ),
+    chosen{i} AS MATERIALIZED (
+      SELECT query_id, nn_id FROM chosen{i - 1}
+      UNION ALL SELECT query_id, nn_id FROM sel{i}
+    )"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT query_id, nn_id, step, mmr_score FROM sel{i}"
+        for i in range(1, k + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT query_id, step, nn_id, mmr_score
+FROM ({union})
+ORDER BY query_id, step"""
+    )
