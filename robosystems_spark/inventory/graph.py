@@ -1090,3 +1090,38 @@ def graph_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "o").filter(F.col("src") < F.col("dst")).select("src", "dst")
     )
     return graph_summary(edges)
+
+
+_ECC_DEPTH = 4
+
+
+@register(
+    "graph_eccentricity_sample",
+    oracle=__import__(
+        "robosystems_spark.operators.graph",
+        fromlist=["eccentricity_oracle_sql"],
+    ).eccentricity_oracle_sql(
+        _STRESS_EDGES_CTE, _STRESS_SOURCES_CTE, _ECC_DEPTH
+    ),
+    doc="Bounded eccentricity per sampled source (depth <= 4) on the "
+    "undirected customer referral graph, plus reach counts — the "
+    "sampled distance profile behind diameter/radius estimation "
+    "(BFS-bound technique, Magnien et al. 2009). Pure integer "
+    "frontier counting: per depth one edge join + anti-join + "
+    "count; shares the stress-centrality edge/source construction.",
+    tags=("graph",),
+)
+def graph_eccentricity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from robosystems_spark.operators.graph import eccentricity_sample
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("src")
+    )
+    n = cust.agg(F.count("*").alias("_n"))
+    d = cust.crossJoin(F.broadcast(n)).select(
+        "src", ((F.col("src") * 31 + 7) % F.col("_n")).alias("dst")
+    )
+    sources = cust.filter(F.col("src") % 50 == 3).select(
+        F.col("src").alias("s")
+    )
+    return eccentricity_sample(d, sources, max_depth=_ECC_DEPTH)

@@ -1013,6 +1013,104 @@ def stress_centrality(
     )
 
 
+def eccentricity_sample(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_depth: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Bounded eccentricity per sampled source: the largest BFS depth
+    (<= ``max_depth``) at which new nodes are still being reached,
+    plus the reach count — the sampled distance profile behind
+    diameter/radius estimates (Magnien et al. 2009 BFS-bound
+    technique).  Pure integer frontier counting: per depth one edge
+    join + one anti-join + one count, state one row per (source,
+    reached node)."""
+    if max_depth < 1:
+        raise ValueError("max_depth must be >= 1")
+    e = (
+        undirected(edges, src_col, dst_col)
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates()
+        .select(F.col("src").alias("v"), F.col("dst").alias("w"))
+        .transform(materialize)
+    )
+    frontier = sources.select(F.col("s"), F.col("s").alias("v")).transform(
+        materialize
+    )
+    visited = frontier
+    stats = [
+        frontier.groupBy("s").agg(
+            F.lit(0).alias("depth"), F.count(F.lit(1)).alias("_n")
+        )
+    ]
+    for d in range(1, max_depth + 1):
+        frontier = (
+            frontier.join(e, "v")
+            .select("s", F.col("w").alias("v"))
+            .dropDuplicates()
+            .join(visited, ["s", "v"], "left_anti")
+            .transform(materialize)
+        )
+        visited = visited.unionAll(frontier).transform(materialize)
+        stats.append(
+            frontier.groupBy("s").agg(
+                F.lit(d).alias("depth"), F.count(F.lit(1)).alias("_n")
+            )
+        )
+    stacked = stats[0]
+    for p in stats[1:]:
+        stacked = stacked.unionAll(p)
+    return (
+        stacked.groupBy("s")
+        .agg(
+            F.max("depth").alias("eccentricity_bounded"),
+            F.sum("_n").alias("n_reached"),
+        )
+        .orderBy("s")
+    )
+
+
+def eccentricity_oracle_sql(
+    edges_cte: str, sources_cte: str, max_depth: int
+) -> str:
+    """Bounded eccentricity unrolled as DuckDB CTEs (same contracts
+    as :func:`stress_oracle_sql`)."""
+    parts = [edges_cte, sources_cte]
+    parts.append(
+        "g0 AS (SELECT s, s AS v FROM src0),"
+        "\nvz0 AS (SELECT s, v FROM g0)"
+    )
+    for d in range(1, max_depth + 1):
+        parts.append(
+            f"""g{d} AS MATERIALIZED (
+  SELECT DISTINCT f.s, e.dst AS v
+  FROM g{d - 1} f JOIN e0 e ON e.src = f.v
+  WHERE NOT EXISTS (
+    SELECT 1 FROM vz{d - 1} x WHERE x.s = f.s AND x.v = e.dst
+  )
+),
+vz{d} AS MATERIALIZED (
+  SELECT s, v FROM vz{d - 1} UNION ALL SELECT s, v FROM g{d}
+)"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT s, {d} AS depth, COUNT(*) AS n FROM g{d} GROUP BY s"
+        for d in range(0, max_depth + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT s, CAST(MAX(depth) AS INTEGER) AS eccentricity_bounded,
+       CAST(SUM(n) AS BIGINT) AS n_reached
+FROM ({union})
+GROUP BY s
+ORDER BY s"""
+    )
+
+
 def graph_summary(
     edges: DataFrame,
     decimals: int = 9,

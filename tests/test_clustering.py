@@ -463,3 +463,43 @@ def test_betweenness_centrality_goldens(spark):
     out = {r["node"]: r["betweenness"] for r in
            betweenness_centrality(cyc, cnodes, max_depth=3).collect()}
     assert out == {"a": 1.0, "b": 1.0, "c": 1.0, "d": 1.0}
+
+
+def test_mmr_diversifies_against_redundancy(spark):
+    """MMR must skip a near-duplicate of an already-selected document
+    in favor of a less relevant but novel one (the whole point), and
+    must reduce to pure relevance order at lam=1."""
+    from robosystems_spark.operators.similarity import mmr_topk
+
+    # query q; a and a2 nearly identical and most relevant; b distinct
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),          # the query itself
+        (1, [0.98, 0.20, 0.0]),        # a: very relevant
+        (2, [0.97, 0.24, 0.0]),        # a2: near-dup of a
+        (3, [0.60, 0.0, 0.80]),        # b: less relevant, novel
+        (4, [0.0, 1.0, 0.0]),          # c: irrelevant
+    ]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v], "l") for i, v in vecs],
+        "vec_id LONG, embedding ARRAY<DOUBLE>, label STRING",
+    )
+    q = emb.filter("vec_id = 0").selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    picks = [
+        (r["step"], r["nn_id"])
+        for r in mmr_topk(emb, q, k=3, pool=5, lam=0.6).collect()
+    ]
+    order = [n for _, n in sorted(picks)]
+    assert order[0] == 0  # the query vector itself is most relevant
+    assert order[1] == 1  # then the most relevant real doc
+    # step 3 must prefer novel b(3) over near-dup a2(2)
+    assert order[2] == 3, order
+
+    # lam=1: pure relevance order (cosine desc, id tiebreak)
+    picks = [
+        (r["step"], r["nn_id"])
+        for r in mmr_topk(emb, q, k=3, pool=5, lam=1.0).collect()
+    ]
+    order = [n for _, n in sorted(picks)]
+    assert order == [0, 1, 2]
