@@ -1125,3 +1125,70 @@ def graph_eccentricity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("src").alias("s")
     )
     return eccentricity_sample(d, sources, max_depth=_ECC_DEPTH)
+
+
+def _pagerank_weighted_oracle(num_iter: int, damping: float) -> str:
+    head = """
+    WITH e AS MATERIALIZED (
+      SELECT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+             'p' || CAST(l_partkey AS VARCHAR) AS dst,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM lineitem GROUP BY 1, 2
+    ),
+    nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    ws AS MATERIALIZED (SELECT src, SUM(w) AS wt FROM e GROUP BY src),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    r0 AS (
+      SELECT node, ROUND(1.0 / nn.n, 10) AS rank FROM nodes, nn
+    )"""
+    step = """,
+    r{k} AS MATERIALIZED (
+      SELECT n.node,
+             ROUND((1 - {d}) / nn.n
+                   + {d} * (COALESCE(c.s, 0) + dang.m / nn.n), 10) AS rank
+      FROM nodes n
+      CROSS JOIN nn
+      LEFT JOIN (
+        SELECT e.dst AS node, SUM(r.rank * e.w / ws.wt) AS s
+        FROM e JOIN r{p} r ON r.node = e.src JOIN ws ON ws.src = e.src
+        GROUP BY e.dst
+      ) c ON c.node = n.node
+      CROSS JOIN (
+        SELECT COALESCE(SUM(r.rank), 0) AS m
+        FROM r{p} r LEFT JOIN ws ON ws.src = r.node
+        WHERE ws.src IS NULL
+      ) dang
+    )"""
+    sql = head
+    for k in range(1, num_iter + 1):
+        sql += step.format(k=k, p=k - 1, d=damping)
+    sql += f"""
+    SELECT node, ROUND(rank, 8) AS rank FROM r{num_iter}
+    """
+    return sql
+
+
+@register(
+    "graph_pagerank_weighted",
+    oracle=_pagerank_weighted_oracle(_PR_ITER, _PR_DAMP),
+    doc="Weighted PageRank (Xing & Ghorbani 2004) over the "
+    "supplier->part graph with lineitem MULTIPLICITY as the edge "
+    "weight: rank splits across out-edges proportionally to "
+    "interaction strength (rank*w/W) instead of uniformly. Same "
+    "discipline as the unweighted entry: damping, dangling "
+    "redistribution, per-iteration ROUND(...,10), hoisted "
+    "loop-invariant edge-weight join. Integer weights keep the "
+    "per-edge float shape to one division.",
+    tags=("graph",),
+)
+def graph_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from robosystems_spark.operators.graph import pagerank_weighted
+
+    li = read_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+        F.lit(1).alias("w"),
+    )
+    out = pagerank_weighted(edges, num_iter=_PR_ITER, damping=_PR_DAMP)
+    return out.select("node", F.round("rank", 8).alias("rank"))
