@@ -240,6 +240,84 @@ def multimodal_tiff_channel_stats(
     )
 
 
+_G4_W, _G4_H = 32, 16
+
+
+@register(
+    "multimodal_tiff_g4_stats",
+    oracle=f"""
+    SELECT d.doc_id,
+           CAST({_G4_W} AS INTEGER) AS width,
+           CAST({_G4_H} AS INTEGER) AS height,
+           ROUND(AVG(CASE WHEN (d.doc_id * 7 + t.i) % 13 < 4
+                          THEN 0.0 ELSE 255.0 END), 6) AS mean_r,
+           ROUND(AVG(CASE WHEN (d.doc_id * 7 + t.i) % 13 < 4
+                          THEN 0.0 ELSE 255.0 END), 6) AS mean_g,
+           ROUND(AVG(CASE WHEN (d.doc_id * 7 + t.i) % 13 < 4
+                          THEN 0.0 ELSE 255.0 END), 6) AS mean_b,
+           CAST(CASE WHEN (d.doc_id * 7) % 13 < 4 THEN 0 ELSE 255 END
+                AS INTEGER) AS corner_r
+    FROM documents d, range({_G4_W * _G4_H}) t(i)
+    WHERE d.doc_id < {_N_DOCS}
+    GROUP BY d.doc_id
+    ORDER BY d.doc_id
+    """,
+    doc="REAL CCITT Group 4 (ITU-T T.6) decode path — the "
+    "compression of scanned-document corpora: synthesize a bilevel "
+    "page per document (ink bit a closed-form function of doc_id), "
+    "G4-encode it (vertical/pass/horizontal modes + T.4 MH run "
+    "tables, operators/g4.py) with strip/tile organization cycling "
+    "by doc_id, decode the actual fax stream in mapInPandas, and "
+    "emit channel means + the corner pixel; the oracle computes the "
+    "same stats from the ink formula — any mode/MH-table/reference-"
+    "row bug diverges.",
+    tags=("multimodal",),
+)
+def multimodal_tiff_g4_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from robosystems_spark.operators.multimodal import image_channel_stats
+    from robosystems_spark.operators.tiff import encode_tiff
+
+    w, h = _G4_W, _G4_H
+
+    def encode(it):
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                ink = (
+                    ((int(did) * 7 + np.arange(w * h)) % 13) < 4
+                ).astype(np.uint8).reshape(h, w)
+                variant = int(did) % 3
+                kw = {}
+                if variant == 1:
+                    kw["rows_per_strip"] = 5
+                elif variant == 2:
+                    kw["tile"] = (16, 16)
+                payloads.append(
+                    encode_tiff(
+                        ink, bits=1, photometric=0, compression=4, **kw
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": payloads})
+
+    media = _doc_ids(spark, sf_dir).mapInPandas(
+        encode,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("content", T.BinaryType()),
+            ]
+        ),
+    )
+    return (
+        image_channel_stats(media, id_col="doc_id")
+        .withColumnRenamed("media_id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
 @register(
     "multimodal_wav_pcm_rms",
     oracle=f"""

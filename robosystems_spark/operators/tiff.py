@@ -271,12 +271,16 @@ def decode_tiff(data: bytes):
     predictor = tags.get(_T_PREDICTOR, [1])[0]
     if planar != 1:
         raise NotImplementedError("planar configuration 2 not supported")
-    if compression in (2, 3, 4):
-        raise NotImplementedError("CCITT fax compression not supported")
+    if compression in (2, 3):
+        raise NotImplementedError(
+            "CCITT Group 3 compression not supported (Group 4 is)"
+        )
     if compression in (6, 7):
         raise NotImplementedError("JPEG-in-TIFF not supported")
-    if compression not in (1, 5, 32773):
+    if compression not in (1, 4, 5, 32773):
         raise NotImplementedError(f"TIFF compression {compression}")
+    if compression == 4 and (bits != 1 or spp != 1):
+        raise ValueError("CCITT G4 requires 1-bit single-sample data")
     if bits not in (1, 2, 4, 8, 16):
         raise NotImplementedError(f"{bits}-bit samples not supported")
     if predictor not in (1, 2):
@@ -284,12 +288,28 @@ def decode_tiff(data: bytes):
     if predictor == 2 and bits < 8:
         raise ValueError("predictor 2 requires 8/16-bit samples")
 
-    def decompress(off: int, cnt: int) -> bytes:
+    def decompress(off: int, cnt: int, n_rows: int, w_px: int) -> bytes:
         chunk = bytes(data[off : off + cnt])
         if compression == 5:
             return _lzw_decode(chunk)
         if compression == 32773:
             return _packbits_decode(chunk)
+        if compression == 4:
+            # each strip/tile is an independent G4 stream; decode to
+            # the same packed-bit row layout the uncompressed path
+            # uses (G4 '1' = black = the photometric-0 sample value;
+            # invert for BlackIsZero)
+            from robosystems_spark.operators.g4 import (
+                g4_decode,
+                transitions_to_bits,
+            )
+
+            bitrows = transitions_to_bits(
+                g4_decode(chunk, w_px, n_rows), w_px
+            )
+            if photometric == 1:
+                bitrows = 1 - bitrows
+            return np.packbits(bitrows, axis=1).tobytes()
         return chunk
 
     def unpack(raw: bytes, n_rows: int, w_px: int):
@@ -354,7 +374,9 @@ def decode_tiff(data: bytes):
         for ty in range(tiles_down):
             for tx in range(tiles_across):
                 i = ty * tiles_across + tx
-                tile = unpack(decompress(offsets[i], counts[i]), tl, tw)
+                tile = unpack(
+                    decompress(offsets[i], counts[i], tl, tw), tl, tw
+                )
                 y0, x0 = ty * tl, tx * tw
                 ch = min(tl, h - y0)
                 cw = min(tw, w - x0)
@@ -368,9 +390,13 @@ def decode_tiff(data: bytes):
             if len(offsets) != 1 or compression != 1:
                 raise ValueError("TIFF missing StripByteCounts")
             counts = [len(data) - offsets[0]]
+        rps_dec = tags.get(_T_ROWS_PER_STRIP, [h])[0] or h
         raw = bytearray()
+        remaining = h
         for off, cnt in zip(offsets, counts):
-            raw += decompress(off, cnt)
+            n_rows = min(rps_dec, remaining)
+            raw += decompress(off, cnt, n_rows, w)
+            remaining -= n_rows
         px = unpack(bytes(raw), h, w)
 
     if photometric == 3:  # palette-color
@@ -498,6 +524,20 @@ def encode_tiff(
             raise ValueError(f"unsupported compression {compression}")
         return rows.tobytes()
 
+    def g4_chunk(sub) -> bytes:
+        from robosystems_spark.operators.g4 import (
+            bits_to_transitions,
+            g4_encode,
+        )
+
+        bits01 = np.asarray(sub, dtype=np.uint8)
+        if photometric == 1:
+            bits01 = 1 - bits01
+        return g4_encode(bits_to_transitions(bits01), bits01.shape[1])
+
+    if compression == 4 and (bits != 1 or spp != 1):
+        raise ValueError("CCITT G4 requires 1-bit single-sample data")
+
     chunks = []
     if tile is not None:
         tw, tl = tile
@@ -511,15 +551,25 @@ def encode_tiff(
         padded[:h, :w] = a3
         for y0 in range(0, padded.shape[0], tl):
             for x0 in range(0, padded.shape[1], tw):
+                sub = padded[y0 : y0 + tl, x0 : x0 + tw]
                 chunks.append(
-                    compress_rows(pack(padded[y0 : y0 + tl, x0 : x0 + tw]))
+                    g4_chunk(sub[:, :, 0])
+                    if compression == 4
+                    else compress_rows(pack(sub))
                 )
         rps = None
     else:
-        rows = pack(a.reshape(h, w, spp) if a.ndim == 3 else a.reshape(h, w))
         rps = rows_per_strip or h
-        for y0 in range(0, h, rps):
-            chunks.append(compress_rows(rows[y0 : y0 + rps]))
+        if compression == 4:
+            flat = a.reshape(h, w)
+            for y0 in range(0, h, rps):
+                chunks.append(g4_chunk(flat[y0 : y0 + rps]))
+        else:
+            rows = pack(
+                a.reshape(h, w, spp) if a.ndim == 3 else a.reshape(h, w)
+            )
+            for y0 in range(0, h, rps):
+                chunks.append(compress_rows(rows[y0 : y0 + rps]))
 
     # layout: header(8) | strip/tile data | IFD | out-of-line values
     body = bytearray(b"\x00" * 8)

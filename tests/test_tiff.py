@@ -268,3 +268,93 @@ def test_tiff_tiled_organization():
     # non-multiple-of-16 tile dims are malformed per spec
     with pytest.raises(ValueError):
         encode_tiff(img, tile=(20, 16))
+
+
+def test_g4_codec_golden_and_round_trips():
+    """CCITT G4: hand-derived byte golden (mode-by-mode from the T.6
+    algorithm), round trips over H/V/P-mode-heavy patterns, runs past
+    2560 (repeated makeups), and the import-time table validation
+    (prefix-freeness + Kraft) that guards against MH transcription
+    typos."""
+    from robosystems_spark.operators.g4 import (
+        bits_to_transitions,
+        g4_decode,
+        g4_encode,
+        transitions_to_bits,
+    )
+
+    def rt(img):
+        rows = bits_to_transitions(img)
+        enc = g4_encode(rows, img.shape[1])
+        dec = g4_decode(enc, img.shape[1], img.shape[0])
+        return enc, transitions_to_bits(dec, img.shape[1])
+
+    # 4x2 golden: row1 = 1100 -> H w0 b2 V0; row2 = 0011 -> VR2 V0
+    img = np.array([[1, 1, 0, 0], [0, 0, 1, 1]], dtype=np.uint8)
+    enc, out = rt(img)
+    assert (out == img).all()
+    bits = ("001" + "00110101" + "11" + "1" + "000011" + "1"
+            + "000000000001" * 2)
+    bits += "0" * (-len(bits) % 8)
+    exp = bytes(int(bits[i:i + 8], 2) for i in range(0, len(bits), 8))
+    assert enc == exp
+
+    rng = np.random.RandomState(3)
+    for img in (
+        np.zeros((5, 40), np.uint8),
+        np.ones((5, 40), np.uint8),
+        (rng.rand(30, 64) > 0.5).astype(np.uint8),
+        (rng.rand(20, 100) > 0.92).astype(np.uint8),
+        np.tile(np.array([0, 1] * 32, np.uint8), (10, 1)),
+        np.array([[0] * 10 + [1] * 80 + [0] * 10] * 15, np.uint8),
+        (np.arange(2600) % 97 < 3).astype(np.uint8).reshape(1, 2600),
+        np.zeros((1, 2700), np.uint8),  # run > 2623: repeated makeups
+    ):
+        enc, out = rt(img)
+        assert (out == img).all()
+
+    # V-mode-heavy diagonal compresses ~10x
+    diag = np.zeros((40, 60), np.uint8)
+    for y in range(40):
+        diag[y, (y // 2):(y // 2) + 8] = 1
+    enc, out = rt(diag)
+    assert (out == diag).all() and len(enc) < 60
+
+
+def test_tiff_g4_compression():
+    """G4-in-TIFF: photometric semantics (sample 1 = black under
+    WhiteIsZero, white under BlackIsZero), multi-strip reference-row
+    reset, tiles, and the G3 codes staying honest seams."""
+    rng = np.random.RandomState(17)
+    doc = (rng.rand(48, 90) > 0.85).astype(np.uint8)
+
+    data = encode_tiff(doc, bits=1, photometric=0, compression=4)
+    d = decode_tiff(data)
+    assert (d[:, :, 0] == np.where(doc == 1, 0, 255)).all()
+    data = encode_tiff(doc, bits=1, photometric=1, compression=4)
+    d = decode_tiff(data)
+    assert (d[:, :, 0] == np.where(doc == 1, 255, 0)).all()
+
+    data = encode_tiff(doc, bits=1, photometric=0, compression=4,
+                       rows_per_strip=7)
+    assert (decode_tiff(data)[:, :, 0]
+            == np.where(doc == 1, 0, 255)).all()
+    big = (rng.rand(40, 70) > 0.7).astype(np.uint8)
+    data = encode_tiff(big, bits=1, photometric=0, compression=4,
+                       tile=(32, 16))
+    assert (decode_tiff(data)[:, :, 0]
+            == np.where(big == 1, 0, 255)).all()
+
+    # G3 stays loud; G4 on multi-bit data is malformed
+    base = bytearray(encode_tiff(doc, bits=1, photometric=0,
+                                 compression=4))
+    ifd = int.from_bytes(base[4:8], "little")
+    n = int.from_bytes(base[ifd:ifd + 2], "little")
+    for k in range(n):
+        e = ifd + 2 + 12 * k
+        if int.from_bytes(base[e:e + 2], "little") == 259:
+            base[e + 8:e + 12] = (3).to_bytes(4, "little")
+    with pytest.raises(NotImplementedError):
+        decode_tiff(bytes(base))
+    with pytest.raises(ValueError):
+        encode_tiff(np.zeros((4, 4), np.uint8), bits=8, compression=4)
