@@ -265,9 +265,10 @@ _G4_W, _G4_H = 32, 16
     doc="REAL CCITT Group 4 (ITU-T T.6) decode path — the "
     "compression of scanned-document corpora: synthesize a bilevel "
     "page per document (ink bit a closed-form function of doc_id), "
-    "G4-encode it (vertical/pass/horizontal modes + T.4 MH run "
-    "tables, operators/g4.py) with strip/tile organization cycling "
-    "by doc_id, decode the actual fax stream in mapInPandas, and "
+    "CCITT-encode it — G4 (vertical/pass/horizontal modes) OR MH "
+    "RLE (compression 2), with strip/tile organization, all cycling "
+    "by doc_id (operators/g4.py: T.4 MH run tables shared by both) "
+    "— decode the actual fax stream in mapInPandas, and "
     "emit channel means + the corner pixel; the oracle computes the "
     "same stats from the ink formula — any mode/MH-table/reference-"
     "row bug diverges.",
@@ -289,15 +290,17 @@ def multimodal_tiff_g4_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ink = (
                     ((int(did) * 7 + np.arange(w * h)) % 13) < 4
                 ).astype(np.uint8).reshape(h, w)
-                variant = int(did) % 3
+                variant = int(did) % 6
+                comp = 4 if variant < 3 else 2  # G4 / MH RLE
                 kw = {}
-                if variant == 1:
+                if variant % 3 == 1:
                     kw["rows_per_strip"] = 5
-                elif variant == 2:
+                elif variant % 3 == 2:
                     kw["tile"] = (16, 16)
                 payloads.append(
                     encode_tiff(
-                        ink, bits=1, photometric=0, compression=4, **kw
+                        ink, bits=1, photometric=0, compression=comp,
+                        **kw,
                     )
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": payloads})

@@ -329,3 +329,69 @@ def bits_to_transitions(arr) -> list[list[int]]:
         prev = np.concatenate(([0], row[:-1]))
         rows.append(list(np.nonzero(row != prev)[0].astype(int)))
     return rows
+
+
+def mh_decode_rows(
+    data: bytes, width: int, height: int
+) -> list[list[int]]:
+    """CCITT Modified-Huffman RLE (TIFF compression 2): each row is
+    an independent 1-D sequence of alternating white/black T.4 run
+    codes, BYTE-ALIGNED at the start of every row (no EOL codes —
+    the TIFF flavor).  Returns per-row transition lists."""
+    rows: list[list[int]] = []
+    r = _BitReader(data)
+    for _y in range(height):
+        if r.pos % 8:  # rows start on byte boundaries
+            r.pos += 8 - (r.pos % 8)
+        cur: list[int] = []
+        pos = 0
+        black = False
+        while pos < width:
+            run = r.read_run(black=black)
+            pos += run
+            if pos > width:
+                raise ValueError("MH run past row end")
+            cur.append(pos)
+            black = not black
+        rows.append([t for t in cur if t < width])
+    return rows
+
+
+def mh_encode_rows(rows: list[list[int]], width: int) -> bytes:
+    """MH RLE encoder (decode inverse): alternating runs per row,
+    byte-aligned rows."""
+    out = bytearray()
+    bitbuf = ""
+
+    def flush_row(bits: str) -> None:
+        nonlocal bitbuf
+        bitbuf += bits
+        bitbuf += "0" * (-len(bitbuf) % 8)
+        while len(bitbuf) >= 8:
+            out.append(int(bitbuf[:8], 2))
+            bitbuf = bitbuf[8:]
+
+    for tr in rows:
+        bits_parts: list[str] = []
+        prev = 0
+        black = False
+        for t in list(tr) + [width]:
+            run = t - prev
+            term = _BLACK_TERM if black else _WHITE_TERM
+            makeup = {
+                **(_BLACK_MAKEUP if black else _WHITE_MAKEUP),
+                **_EXT_MAKEUP,
+            }
+            while run >= 64:
+                best = max(m for m in makeup if m <= run)
+                if run - best >= 64:
+                    bits_parts.append(makeup[2560])
+                    run -= 2560
+                    continue
+                bits_parts.append(makeup[best])
+                run -= best
+            bits_parts.append(term[run])
+            prev = t
+            black = not black
+        flush_row("".join(bits_parts))
+    return bytes(out)

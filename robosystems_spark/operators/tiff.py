@@ -10,7 +10,8 @@ ingests), so the decode path is real, not a stub:
   layout of aerial/satellite/pyramid TIFFs)
 - Compression 1 (none), 5 (LZW: MSB-first variable-width codes with
   the TIFF "early change" width bump, optional horizontal-
-  differencing Predictor 2), 32773 (PackBits)
+  differencing Predictor 2), 32773 (PackBits), 2 (CCITT MH RLE) and
+  4 (CCITT Group 4 / T.6 MMR — operators/g4.py) for bilevel scans
 - PhotometricInterpretation 0/1 (WhiteIsZero / BlackIsZero grayscale
   and bilevel at 1/2/4/8/16 bits per sample), 2 (RGB at 8/16 bits),
   3 (palette-color via the 16-bit ColorMap)
@@ -23,7 +24,8 @@ inverse of ``v * 257``), sub-byte grayscale scales by
 ``round(v * 255 / (2^bits - 1))``.
 
 Honest seams (loud ``NotImplementedError``): planar configuration 2,
-CCITT fax / JPEG-in-TIFF compression, and floating-point samples.
+CCITT T.4 Group 3 (EOL-framed), JPEG-in-TIFF, and floating-point
+samples.
 
 ``encode_tiff`` is the fixture synthesizer (the decode inverse) so
 oracle entries and tests round-trip REAL container bytes, including a
@@ -271,16 +273,17 @@ def decode_tiff(data: bytes):
     predictor = tags.get(_T_PREDICTOR, [1])[0]
     if planar != 1:
         raise NotImplementedError("planar configuration 2 not supported")
-    if compression in (2, 3):
+    if compression == 3:
         raise NotImplementedError(
-            "CCITT Group 3 compression not supported (Group 4 is)"
+            "CCITT T.4 Group 3 (EOL-framed) not supported "
+            "(MH RLE = 2 and Group 4 = 4 are)"
         )
     if compression in (6, 7):
         raise NotImplementedError("JPEG-in-TIFF not supported")
-    if compression not in (1, 4, 5, 32773):
+    if compression not in (1, 2, 4, 5, 32773):
         raise NotImplementedError(f"TIFF compression {compression}")
-    if compression == 4 and (bits != 1 or spp != 1):
-        raise ValueError("CCITT G4 requires 1-bit single-sample data")
+    if compression in (2, 4) and (bits != 1 or spp != 1):
+        raise ValueError("CCITT data requires 1-bit single samples")
     if bits not in (1, 2, 4, 8, 16):
         raise NotImplementedError(f"{bits}-bit samples not supported")
     if predictor not in (1, 2):
@@ -294,18 +297,20 @@ def decode_tiff(data: bytes):
             return _lzw_decode(chunk)
         if compression == 32773:
             return _packbits_decode(chunk)
-        if compression == 4:
-            # each strip/tile is an independent G4 stream; decode to
-            # the same packed-bit row layout the uncompressed path
-            # uses (G4 '1' = black = the photometric-0 sample value;
+        if compression in (2, 4):
+            # each strip/tile is an independent CCITT stream; decode
+            # to the same packed-bit row layout the uncompressed path
+            # uses ('1' = black = the photometric-0 sample value;
             # invert for BlackIsZero)
             from robosystems_spark.operators.g4 import (
                 g4_decode,
+                mh_decode_rows,
                 transitions_to_bits,
             )
 
+            dec = g4_decode if compression == 4 else mh_decode_rows
             bitrows = transitions_to_bits(
-                g4_decode(chunk, w_px, n_rows), w_px
+                dec(chunk, w_px, n_rows), w_px
             )
             if photometric == 1:
                 bitrows = 1 - bitrows
@@ -528,15 +533,17 @@ def encode_tiff(
         from robosystems_spark.operators.g4 import (
             bits_to_transitions,
             g4_encode,
+            mh_encode_rows,
         )
 
         bits01 = np.asarray(sub, dtype=np.uint8)
         if photometric == 1:
             bits01 = 1 - bits01
-        return g4_encode(bits_to_transitions(bits01), bits01.shape[1])
+        enc = g4_encode if compression == 4 else mh_encode_rows
+        return enc(bits_to_transitions(bits01), bits01.shape[1])
 
-    if compression == 4 and (bits != 1 or spp != 1):
-        raise ValueError("CCITT G4 requires 1-bit single-sample data")
+    if compression in (2, 4) and (bits != 1 or spp != 1):
+        raise ValueError("CCITT data requires 1-bit single samples")
 
     chunks = []
     if tile is not None:
@@ -554,13 +561,13 @@ def encode_tiff(
                 sub = padded[y0 : y0 + tl, x0 : x0 + tw]
                 chunks.append(
                     g4_chunk(sub[:, :, 0])
-                    if compression == 4
+                    if compression in (2, 4)
                     else compress_rows(pack(sub))
                 )
         rps = None
     else:
         rps = rows_per_strip or h
-        if compression == 4:
+        if compression in (2, 4):
             flat = a.reshape(h, w)
             for y0 in range(0, h, rps):
                 chunks.append(g4_chunk(flat[y0 : y0 + rps]))

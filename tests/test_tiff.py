@@ -226,7 +226,9 @@ def test_tiff_decode_image_dispatch_and_seams():
                 return bytes(out)
         raise AssertionError(f"tag {tag} not found")
 
-    with pytest.raises(NotImplementedError):  # CCITT G4
+    with pytest.raises(NotImplementedError):  # T.4 Group 3 (EOL-framed)
+        decode_tiff(with_tag_value(base, 259, 3))
+    with pytest.raises(ValueError):  # G4 flagged on multi-bit data
         decode_tiff(with_tag_value(base, 259, 4))
     with pytest.raises(NotImplementedError):  # JPEG-in-TIFF
         decode_tiff(with_tag_value(base, 259, 7))
@@ -358,3 +360,20 @@ def test_tiff_g4_compression():
         decode_tiff(bytes(base))
     with pytest.raises(ValueError):
         encode_tiff(np.zeros((4, 4), np.uint8), bits=8, compression=4)
+
+
+def test_tiff_mh_rle_compression():
+    """CCITT MH RLE (compression 2): byte-aligned independent rows
+    over the same T.4 tables as G4; full photometric/strip/tile
+    matrix; T.4 Group 3 (compression 3) stays the honest seam."""
+    rng = np.random.RandomState(29)
+    doc = (rng.rand(25, 66) > 0.8).astype(np.uint8)
+    for pm in (0, 1):
+        for kw in ({}, {"rows_per_strip": 6}, {"tile": (16, 16)}):
+            d = decode_tiff(
+                encode_tiff(doc, bits=1, photometric=pm,
+                            compression=2, **kw)
+            )
+            want = (np.where(doc == 1, 0, 255) if pm == 0
+                    else np.where(doc == 1, 255, 0))
+            assert (d[:, :, 0] == want).all(), (pm, kw)
