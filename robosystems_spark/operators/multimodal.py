@@ -1103,25 +1103,14 @@ def _ima_tables():
     return _IMA_STEP_TABLE, _IMA_INDEX_TABLE
 
 
-def _ima_adpcm_decode_blocks(body: bytes, block_align: int):
-    """Decode mono IMA ADPCM WAV data: sequential per block (the
-    codec's predictor state is inherently serial), VECTORIZED across
-    blocks with numpy — the same sequential-within/parallel-across
-    shape the PNG unfilter uses.  Returns int16-domain int32 samples.
-    """
+def _ima_channel_decode(pred, index, nib_bytes):
+    """The IMA core: one channel's nibble bytes (blocks, n_bytes) +
+    per-block header state -> (blocks, 1 + 2*n_bytes) samples,
+    vectorized across blocks."""
     import numpy as np
 
     step_t, idx_t = _ima_tables()
-    nblocks = len(body) // block_align
-    if nblocks == 0:
-        return np.zeros(0, dtype=np.int32)
-    raw = np.frombuffer(
-        body, dtype=np.uint8, count=nblocks * block_align
-    ).reshape(nblocks, block_align)
-    # 4-byte block header: int16 predictor, uint8 step index, reserved
-    pred = raw[:, 0:2].copy().view("<i2").reshape(nblocks).astype(np.int64)
-    index = np.clip(raw[:, 2].astype(np.int64), 0, 88)
-    nib_bytes = raw[:, 4:]
+    nblocks = nib_bytes.shape[0]
     codes = np.empty((nblocks, nib_bytes.shape[1] * 2), dtype=np.int64)
     codes[:, 0::2] = nib_bytes & 0x0F  # low nibble first, per spec
     codes[:, 1::2] = nib_bytes >> 4
@@ -1140,60 +1129,126 @@ def _ima_adpcm_decode_blocks(body: bytes, block_align: int):
         )
         index = np.clip(index + idx_t[code], 0, 88)
         out[:, 1 + i] = pred.astype(np.int32)
-    return out.reshape(-1)
+    return out
 
 
-def ima_adpcm_encode(samples, block_align: int = 1024) -> bytes:
-    """Mono IMA ADPCM encoder (the decoder inverse; fixture
-    synthesis).  Canonical quantizer: sign bit + 3 magnitude bits by
-    successive step subtraction; predictor state tracks the DECODED
-    value so error never accumulates past one step."""
+def _ima_adpcm_decode_blocks(
+    body: bytes, block_align: int, channels: int = 1
+):
+    """Decode IMA ADPCM WAV data (mono or stereo): sequential per
+    block (the codec's predictor state is inherently serial),
+    VECTORIZED across blocks with numpy — the sequential-within/
+    parallel-across shape the PNG unfilter uses.  Stereo blocks carry
+    a 4-byte header per channel, then 4-byte nibble groups
+    alternating channels.  Returns interleaved int16-domain int32
+    samples (n, channels order flattened row-major)."""
     import numpy as np
 
+    nblocks = len(body) // block_align
+    if nblocks == 0:
+        return np.zeros(0, dtype=np.int32)
+    raw = np.frombuffer(
+        body, dtype=np.uint8, count=nblocks * block_align
+    ).reshape(nblocks, block_align)
+    hdr = 4 * channels
+    data = raw[:, hdr:]
+    ngroups = data.shape[1] // (4 * channels)
+    grouped = data[:, : ngroups * 4 * channels].reshape(
+        nblocks, ngroups, channels, 4
+    )
+    per_ch = []
+    for ch in range(channels):
+        pred = (
+            raw[:, 4 * ch : 4 * ch + 2]
+            .copy()
+            .view("<i2")
+            .reshape(nblocks)
+            .astype(np.int64)
+        )
+        index = np.clip(raw[:, 4 * ch + 2].astype(np.int64), 0, 88)
+        nib = grouped[:, :, ch, :].reshape(nblocks, ngroups * 4).copy()
+        per_ch.append(_ima_channel_decode(pred, index, nib))
+    # interleave: (blocks, samples, channels) -> flat
+    stacked = np.stack(per_ch, axis=2)
+    return stacked.reshape(-1)
+
+
+def _ima_channel_encode(chunk, index, n_codes):
+    """One channel's samples within one block -> (header bytes,
+    nibble list, next index)."""
     step_t, idx_t = _ima_tables()
+    pred = int(chunk[0]) if len(chunk) else 0
+    header = (
+        int(pred).to_bytes(2, "little", signed=True)
+        + bytes([int(index), 0])
+    )
+    nibbles = []
+    for s in chunk[1:]:
+        step = int(step_t[index])
+        delta = int(s) - pred
+        code = 0
+        if delta < 0:
+            code = 8
+            delta = -delta
+        if delta >= step:
+            code |= 4
+            delta -= step
+        if delta >= step >> 1:
+            code |= 2
+            delta -= step >> 1
+        if delta >= step >> 2:
+            code |= 1
+        # reconstruct exactly as the decoder will
+        diff = step >> 3
+        if code & 1:
+            diff += step >> 2
+        if code & 2:
+            diff += step >> 1
+        if code & 4:
+            diff += step
+        pred = max(
+            -32768, min(32767, pred - diff if code & 8 else pred + diff)
+        )
+        index = max(0, min(88, index + int(idx_t[code])))
+        nibbles.append(code)
+    while len(nibbles) < n_codes:
+        nibbles.append(0)  # pad the final partial block
+    return header, nibbles, index
+
+
+def ima_adpcm_encode(
+    samples, block_align: int = 1024, channels: int = 1
+) -> bytes:
+    """IMA ADPCM encoder (the decoder inverse; fixture synthesis),
+    mono or stereo (interleaved input).  Canonical quantizer: sign
+    bit + 3 magnitude bits by successive step subtraction; predictor
+    state tracks the DECODED value so error never accumulates past
+    one step.  Stereo packs nibble streams as alternating 4-byte
+    channel groups per the IMA WAV layout."""
+    import numpy as np
+
     x = np.clip(np.asarray(samples, dtype=np.int64), -32768, 32767)
-    n_per_block = (block_align - 4) * 2 + 1
+    x = x.reshape(-1, channels)
+    frames_per_block = (block_align - 4 * channels) * 2 // channels + 1
+    n_codes = frames_per_block - 1
     out = bytearray()
-    pos = 0
-    index = 0
-    while pos < len(x):
-        chunk = x[pos : pos + n_per_block]
-        pos += n_per_block
-        pred = int(chunk[0])
-        out += int(pred).to_bytes(2, "little", signed=True)
-        out.append(int(index))
-        out.append(0)
-        nibbles = []
-        for s in chunk[1:]:
-            step = int(step_t[index])
-            delta = int(s) - pred
-            code = 0
-            if delta < 0:
-                code = 8
-                delta = -delta
-            if delta >= step:
-                code |= 4
-                delta -= step
-            if delta >= step >> 1:
-                code |= 2
-                delta -= step >> 1
-            if delta >= step >> 2:
-                code |= 1
-            # reconstruct exactly as the decoder will
-            diff = step >> 3
-            if code & 1:
-                diff += step >> 2
-            if code & 2:
-                diff += step >> 1
-            if code & 4:
-                diff += step
-            pred = max(-32768, min(32767, pred - diff if code & 8 else pred + diff))
-            index = max(0, min(88, index + int(idx_t[code])))
-            nibbles.append(code)
-        while len(nibbles) < n_per_block - 1:
-            nibbles.append(0)  # pad the final partial block
-        for j in range(0, len(nibbles), 2):
-            out.append(nibbles[j] | (nibbles[j + 1] << 4))
+    indices = [0] * channels
+    for pos in range(0, x.shape[0], frames_per_block):
+        blk = x[pos : pos + frames_per_block]
+        headers, nib_ch = [], []
+        for ch in range(channels):
+            header, nibbles, indices[ch] = _ima_channel_encode(
+                blk[:, ch], indices[ch], n_codes
+            )
+            headers.append(header)
+            nib_ch.append(nibbles)
+        out += b"".join(headers)
+        # pack: 4-byte (8-nibble) groups alternating channels
+        for g in range(0, n_codes, 8):
+            for ch in range(channels):
+                nib = (nib_ch[ch][g : g + 8] + [0] * 8)[:8]
+                for j in range(0, 8, 2):
+                    out.append(nib[j] | (nib[j + 1] << 4))
     return bytes(out)
 
 
@@ -1338,18 +1393,19 @@ def encode_wav_ms_adpcm(
 
 
 def encode_wav_ima_adpcm(
-    samples, rate: int, block_align: int = 1024
+    samples, rate: int, block_align: int = 1024, channels: int = 1
 ) -> bytes:
     """Wrap :func:`ima_adpcm_encode` output in a WAV container
-    (format 0x11, mono) with the fact chunk real decoders expect."""
-    body = ima_adpcm_encode(samples, block_align)
+    (format 0x11, mono or stereo) with the fact chunk real decoders
+    expect."""
+    body = ima_adpcm_encode(samples, block_align, channels)
     import numpy as np
 
-    n = len(np.asarray(samples))
-    n_per_block = (block_align - 4) * 2 + 1
+    n = len(np.asarray(samples).reshape(-1, channels))
+    n_per_block = (block_align - 4 * channels) * 2 // channels + 1
     fmt = (
         (0x11).to_bytes(2, "little")
-        + (1).to_bytes(2, "little")
+        + channels.to_bytes(2, "little")
         + rate.to_bytes(4, "little")
         + (rate * block_align // n_per_block).to_bytes(4, "little")
         + block_align.to_bytes(2, "little")
@@ -1429,15 +1485,17 @@ def decode_wav_pcm(data: bytes):
             raise ValueError(f"G.711 WAV must be 8-bit, got {bits}")
         table = _g711_alaw_table() if audio_format == 6 else _g711_ulaw_table()
         samples = table[np.frombuffer(body, dtype=np.uint8)]
-    elif audio_format == 0x11:  # IMA ADPCM
-        if channels != 1:
-            raise NotImplementedError("multichannel IMA ADPCM")
-        if block_align < 8:
+    elif audio_format == 0x11:  # IMA ADPCM (mono or stereo)
+        if channels not in (1, 2):
+            raise NotImplementedError(">2-channel IMA ADPCM")
+        if block_align < 8 * channels:
             raise ValueError(f"bad IMA ADPCM block align {block_align}")
-        samples = _ima_adpcm_decode_blocks(body, block_align)
+        frames = _ima_adpcm_decode_blocks(
+            body, block_align, channels
+        ).reshape(-1, channels)
         if fact is not None:
-            samples = samples[:fact]  # drop final-block pad samples
-        return samples.reshape(-1, 1), rate
+            frames = frames[:fact]  # drop final-block pad frames
+        return frames, rate
     elif audio_format == 2:  # MS-ADPCM
         if channels != 1:
             raise NotImplementedError("multichannel MS-ADPCM")
