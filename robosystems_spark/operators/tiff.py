@@ -15,17 +15,17 @@ ingests), so the decode path is real, not a stub:
 - PhotometricInterpretation 0/1 (WhiteIsZero / BlackIsZero grayscale
   and bilevel at 1/2/4/8/16 bits per sample), 2 (RGB at 8/16 bits),
   3 (palette-color via the 16-bit ColorMap)
-- chunky planar configuration (PlanarConfiguration 1, the default
-  virtually every writer uses)
+- chunky (PlanarConfiguration 1) AND planar (2, plane-major
+  strips) sample layouts
 
 Output is always an (h, w, 3) uint8 RGB array matching the repo's
 other decoders: 16-bit samples scale as ``round(v / 257)`` (the exact
 inverse of ``v * 257``), sub-byte grayscale scales by
 ``round(v * 255 / (2^bits - 1))``.
 
-Honest seams (loud ``NotImplementedError``): planar configuration 2,
-CCITT T.4 Group 3 (EOL-framed), JPEG-in-TIFF, and floating-point
-samples.
+Honest seams (loud ``NotImplementedError``): CCITT T.4 Group 3
+(EOL-framed), JPEG-in-TIFF, planar TILES, and floating-point
+samples.  Planar configuration 2 with strips decodes.
 
 ``encode_tiff`` is the fixture synthesizer (the decode inverse) so
 oracle entries and tests round-trip REAL container bytes, including a
@@ -262,7 +262,7 @@ def decode_tiff(data: bytes):
         raise ValueError("TIFF missing ImageWidth/ImageLength")
     w = tags[_T_WIDTH][0]
     h = tags[_T_HEIGHT][0]
-    spp = tags.get(_T_SPP, [1])[0]
+    spp = _spp = tags.get(_T_SPP, [1])[0]
     bits_list = tags.get(_T_BITS, [1] * spp)
     if len(set(bits_list)) != 1:
         raise NotImplementedError("per-sample heterogeneous BitsPerSample")
@@ -271,8 +271,8 @@ def decode_tiff(data: bytes):
     photometric = tags.get(_T_PHOTOMETRIC, [1])[0]
     planar = tags.get(_T_PLANAR, [1])[0]
     predictor = tags.get(_T_PREDICTOR, [1])[0]
-    if planar != 1:
-        raise NotImplementedError("planar configuration 2 not supported")
+    if planar not in (1, 2):
+        raise NotImplementedError(f"planar configuration {planar}")
     if compression == 3:
         raise NotImplementedError(
             "CCITT T.4 Group 3 (EOL-framed) not supported "
@@ -317,10 +317,12 @@ def decode_tiff(data: bytes):
             return np.packbits(bitrows, axis=1).tobytes()
         return chunk
 
-    def unpack(raw: bytes, n_rows: int, w_px: int):
-        """Byte rows -> (n_rows, w_px, spp) uint32 at source depth,
-        predictor undone.  Shared by the strip and tile paths (a tile
-        is just a little image with its own filtered rows)."""
+    def unpack(raw: bytes, n_rows: int, w_px: int, n_spp: int | None = None):
+        """Byte rows -> (n_rows, w_px, n_spp) uint32 at source depth,
+        predictor undone.  Shared by the strip, tile, and planar
+        paths (a tile is just a little image with its own filtered
+        rows; a plane is a 1-component image)."""
+        spp = n_spp if n_spp is not None else _spp
         row_bytes = (w_px * spp * bits + 7) // 8
         if len(raw) < row_bytes * n_rows:
             raise ValueError("truncated TIFF pixel data")
@@ -362,7 +364,29 @@ def decode_tiff(data: bytes):
             )
         return px
 
-    if _T_TILE_WIDTH in tags:  # tile organization (TIFF 6.0 §15)
+    if planar == 2:  # plane-major strips (all strips of plane 0, ...)
+        if _T_TILE_WIDTH in tags:
+            raise NotImplementedError("planar tile organization")
+        offsets = tags.get(_T_STRIP_OFFSETS)
+        counts = tags.get(_T_STRIP_COUNTS)
+        if not offsets or not counts or len(offsets) % spp:
+            raise ValueError("planar TIFF strip tags malformed")
+        spl = len(offsets) // spp
+        rps_dec = tags.get(_T_ROWS_PER_STRIP, [h])[0] or h
+        planes = []
+        for pidx in range(spp):
+            raw = bytearray()
+            remaining = h
+            for off, cnt in zip(
+                offsets[pidx * spl : (pidx + 1) * spl],
+                counts[pidx * spl : (pidx + 1) * spl],
+            ):
+                n_rows = min(rps_dec, remaining)
+                raw += decompress(off, cnt, n_rows, w)
+                remaining -= n_rows
+            planes.append(unpack(bytes(raw), h, w, 1)[:, :, 0])
+        px = np.stack(planes, axis=2).astype(np.uint32)
+    elif _T_TILE_WIDTH in tags:  # tile organization (TIFF 6.0 §15)
         tw = tags[_T_TILE_WIDTH][0]
         tl = tags.get(_T_TILE_LENGTH, [0])[0]
         offsets = tags.get(_T_TILE_OFFSETS)
@@ -453,6 +477,7 @@ def encode_tiff(
     rows_per_strip: int | None = None,
     palette=None,
     tile: tuple[int, int] | None = None,
+    planar: int = 1,
 ) -> bytes:
     """Encode an array as a baseline TIFF (decode_tiff inverse) —
     fixture synthesis for oracle entries and tests.
@@ -479,11 +504,13 @@ def encode_tiff(
         h, w = a.shape
     if predictor == 2 and compression != 5:
         raise ValueError("predictor 2 is only meaningful with LZW")
+    _spp = spp
 
-    def pack(sub) -> np.ndarray:
-        """Pack a (rows, cols[, spp]) sub-image into filtered byte
+    def pack(sub, n_spp: int | None = None) -> np.ndarray:
+        """Pack a (rows, cols[, n_spp]) sub-image into filtered byte
         rows — predictor differencing restarts at the sub-image's
         left edge, which is why tiles pack independently."""
+        spp = n_spp if n_spp is not None else _spp
         sh, sw = sub.shape[0], sub.shape[1]
         if bits == 16:
             vals = sub.reshape(sh, sw, spp).astype(np.uint16)
@@ -546,7 +573,18 @@ def encode_tiff(
         raise ValueError("CCITT data requires 1-bit single samples")
 
     chunks = []
-    if tile is not None:
+    if planar == 2:
+        if tile is not None:
+            raise ValueError("planar tiles not supported")
+        if spp < 2:
+            raise ValueError("planar 2 needs multiple samples")
+        a3 = a.reshape(h, w, spp)
+        rps = rows_per_strip or h
+        for pidx in range(spp):
+            rows = pack(a3[:, :, pidx], 1)
+            for y0 in range(0, h, rps):
+                chunks.append(compress_rows(rows[y0 : y0 + rps]))
+    elif tile is not None:
         tw, tl = tile
         if tw % 16 or tl % 16:
             raise ValueError("tile dimensions must be multiples of 16")
@@ -610,7 +648,7 @@ def encode_tiff(
         tag(_T_STRIP_OFFSETS, 4, strip_offsets)
         tag(_T_ROWS_PER_STRIP, 4, [rps])
         tag(_T_STRIP_COUNTS, 4, strip_counts)
-    tag(_T_PLANAR, 3, [1])
+    tag(_T_PLANAR, 3, [planar])
     if predictor == 2:
         tag(_T_PREDICTOR, 3, [predictor])
     if palette is not None:

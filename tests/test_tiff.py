@@ -232,8 +232,12 @@ def test_tiff_decode_image_dispatch_and_seams():
         decode_tiff(with_tag_value(base, 259, 4))
     with pytest.raises(NotImplementedError):  # JPEG-in-TIFF
         decode_tiff(with_tag_value(base, 259, 7))
-    with pytest.raises(NotImplementedError):  # planar 2
+    # planar 2 decodes now (test_tiff_planar_configuration_2); a
+    # planar flag whose strip count doesn't divide by spp is malformed
+    with pytest.raises(ValueError):
         decode_tiff(with_tag_value(base, 284, 2))
+    with pytest.raises(NotImplementedError):  # planar 3 is not a thing
+        decode_tiff(with_tag_value(base, 284, 3))
     with pytest.raises(ValueError):
         decode_tiff(b"II+\x00" + b"\x00" * 16)
     with pytest.raises(ValueError):
@@ -377,3 +381,30 @@ def test_tiff_mh_rle_compression():
             want = (np.where(doc == 1, 0, 255) if pm == 0
                     else np.where(doc == 1, 255, 0))
             assert (d[:, :, 0] == want).all(), (pm, kw)
+
+
+def test_tiff_planar_configuration_2():
+    """Planar config 2 (plane-major strips): each sample plane packs
+    and compresses independently, strips ordered all-of-plane-0
+    first; predictor restarts per plane row; 8- and 16-bit, all
+    compressions, both byte orders; planar tiles stay the seam."""
+    rng = np.random.RandomState(37)
+    img = rng.randint(0, 256, (13, 21, 3)).astype(np.uint8)
+    for comp in (1, 5, 32773):
+        for pred in (1, 2) if comp == 5 else (1,):
+            for rps in (None, 4):
+                for bo in ("<", ">"):
+                    d = decode_tiff(
+                        encode_tiff(img, compression=comp,
+                                    predictor=pred, rows_per_strip=rps,
+                                    byte_order=bo, planar=2)
+                    )
+                    assert (d == img).all(), (comp, pred, rps, bo)
+    v3 = rng.randint(0, 256, (6, 9, 3)).astype(np.uint16)
+    d = decode_tiff(
+        encode_tiff(v3 * 257, bits=16, compression=5, predictor=2,
+                    planar=2)
+    )
+    assert (d == v3).all()
+    with pytest.raises(ValueError):
+        encode_tiff(img, planar=2, tile=(16, 16))
