@@ -395,3 +395,136 @@ def mh_encode_rows(rows: list[list[int]], width: int) -> bytes:
             black = not black
         flush_row("".join(bits_parts))
     return bytes(out)
+
+
+_EOL = "000000000001"
+
+
+def g3_decode(
+    data: bytes, width: int, height: int, two_d: bool
+) -> list[list[int]]:
+    """CCITT T.4 Group 3 decode (TIFF compression 3): every row is
+    framed by an EOL code (with optional zero fill bits before it);
+    in 2-D mode (T4Options bit 0) a tag bit after each EOL says
+    whether the row is 1-D (MH runs) or 2-D (the G4 modes against
+    the previous row).  Returns per-row transition lists."""
+    r = _BitReader(data)
+    rows: list[list[int]] = []
+    ref: list[int] = []
+    for _y in range(height):
+        at = r.bits.find(_EOL, r.pos)
+        if at < 0:
+            raise ValueError("missing G3 EOL")
+        if r.bits[r.pos : at].strip("0"):
+            raise ValueError("non-zero fill bits before G3 EOL")
+        r.pos = at + len(_EOL)
+        one_d = True
+        if two_d:
+            one_d = r.bits[r.pos] == "1"
+            r.pos += 1
+        cur: list[int] = []
+        if one_d:
+            pos = 0
+            black = False
+            while pos < width:
+                run = r.read_run(black=black)
+                pos += run
+                if pos > width:
+                    raise ValueError("G3 1-D run past row end")
+                cur.append(pos)
+                black = not black
+        else:
+            a0 = -1
+            color = 0
+            while a0 < width:
+                kind, d = r.read_mode()
+                b1, b2 = _next_ref(ref, a0, color, width)
+                if kind == "P":
+                    a0 = b2
+                elif kind == "V":
+                    a1 = b1 + d
+                    if not -1 <= a1 <= width:
+                        raise ValueError("G3 2-D vertical out of range")
+                    cur.append(a1)
+                    a0 = a1
+                    color ^= 1
+                else:
+                    s = max(a0, 0)
+                    r1 = r.read_run(black=bool(color))
+                    r2 = r.read_run(black=not bool(color))
+                    a1 = s + r1
+                    a2 = a1 + r2
+                    if a2 > width:
+                        raise ValueError("G3 2-D run past row end")
+                    cur.append(a1)
+                    cur.append(a2)
+                    a0 = a2
+        rows.append([t for t in cur if t < width])
+        ref = cur
+    return rows
+
+
+def g3_encode(
+    rows: list[list[int]], width: int, two_d: bool
+) -> bytes:
+    """G3 encoder (decode inverse): EOL-framed rows; in 2-D mode,
+    rows alternate 1-D / 2-D so both tag-bit paths are exercised
+    (the K-parameter discipline of real G3 encoders)."""
+    out: list[str] = []
+
+    def emit_run(run: int, black: bool) -> None:
+        term = _BLACK_TERM if black else _WHITE_TERM
+        makeup = {**(_BLACK_MAKEUP if black else _WHITE_MAKEUP),
+                  **_EXT_MAKEUP}
+        while run >= 64:
+            best = max(m for m in makeup if m <= run)
+            if run - best >= 64:
+                out.append(makeup[2560])
+                run -= 2560
+                continue
+            out.append(makeup[best])
+            run -= best
+        out.append(term[run])
+
+    ref: list[int] = []
+    for y, cur in enumerate(rows):
+        out.append(_EOL)
+        one_d = (y % 2 == 0) or not two_d
+        if two_d:
+            out.append("1" if one_d else "0")
+        if one_d:
+            prev = 0
+            black = False
+            for t in list(cur) + [width]:
+                emit_run(t - prev, black)
+                prev = t
+                black = not black
+        else:
+            a0 = -1
+            color = 0
+            while a0 < width:
+                j = bisect_right(cur, a0)
+                a1 = cur[j] if j < len(cur) else width
+                b1, b2 = _next_ref(ref, a0, color, width)
+                if b2 < a1:
+                    out.append("0001")
+                    a0 = b2
+                elif abs(a1 - b1) <= 3:
+                    out.append(
+                        {0: "1", 1: "011", -1: "010", 2: "000011",
+                         -2: "000010", 3: "0000011",
+                         -3: "0000010"}[a1 - b1]
+                    )
+                    a0 = a1
+                    color ^= 1
+                else:
+                    out.append("001")
+                    s = max(a0, 0)
+                    a2 = cur[j + 1] if j + 1 < len(cur) else width
+                    emit_run(a1 - s, black=bool(color))
+                    emit_run(a2 - a1, black=not bool(color))
+                    a0 = a2
+        ref = cur
+    bits = "".join(out)
+    bits += "0" * (-len(bits) % 8)
+    return bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))

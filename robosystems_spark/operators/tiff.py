@@ -52,6 +52,7 @@ _T_SPP = 277
 _T_ROWS_PER_STRIP = 278
 _T_STRIP_COUNTS = 279
 _T_PLANAR = 284
+_T_T4OPTIONS = 292
 _T_PREDICTOR = 317
 _T_COLORMAP = 320
 _T_TILE_WIDTH = 322
@@ -273,16 +274,14 @@ def decode_tiff(data: bytes):
     predictor = tags.get(_T_PREDICTOR, [1])[0]
     if planar not in (1, 2):
         raise NotImplementedError(f"planar configuration {planar}")
-    if compression == 3:
-        raise NotImplementedError(
-            "CCITT T.4 Group 3 (EOL-framed) not supported "
-            "(MH RLE = 2 and Group 4 = 4 are)"
-        )
+    t4opts = tags.get(_T_T4OPTIONS, [0])[0]
+    if compression == 3 and t4opts & 2:
+        raise NotImplementedError("G3 uncompressed mode not supported")
     if compression in (6, 7):
         raise NotImplementedError("JPEG-in-TIFF not supported")
-    if compression not in (1, 2, 4, 5, 32773):
+    if compression not in (1, 2, 3, 4, 5, 32773):
         raise NotImplementedError(f"TIFF compression {compression}")
-    if compression in (2, 4) and (bits != 1 or spp != 1):
+    if compression in (2, 3, 4) and (bits != 1 or spp != 1):
         raise ValueError("CCITT data requires 1-bit single samples")
     if bits not in (1, 2, 4, 8, 16):
         raise NotImplementedError(f"{bits}-bit samples not supported")
@@ -297,21 +296,25 @@ def decode_tiff(data: bytes):
             return _lzw_decode(chunk)
         if compression == 32773:
             return _packbits_decode(chunk)
-        if compression in (2, 4):
+        if compression in (2, 3, 4):
             # each strip/tile is an independent CCITT stream; decode
             # to the same packed-bit row layout the uncompressed path
             # uses ('1' = black = the photometric-0 sample value;
             # invert for BlackIsZero)
             from robosystems_spark.operators.g4 import (
+                g3_decode,
                 g4_decode,
                 mh_decode_rows,
                 transitions_to_bits,
             )
 
-            dec = g4_decode if compression == 4 else mh_decode_rows
-            bitrows = transitions_to_bits(
-                dec(chunk, w_px, n_rows), w_px
-            )
+            if compression == 4:
+                trs = g4_decode(chunk, w_px, n_rows)
+            elif compression == 3:
+                trs = g3_decode(chunk, w_px, n_rows, bool(t4opts & 1))
+            else:
+                trs = mh_decode_rows(chunk, w_px, n_rows)
+            bitrows = transitions_to_bits(trs, w_px)
             if photometric == 1:
                 bitrows = 1 - bitrows
             return np.packbits(bitrows, axis=1).tobytes()
@@ -478,6 +481,7 @@ def encode_tiff(
     palette=None,
     tile: tuple[int, int] | None = None,
     planar: int = 1,
+    t4options: int = 0,
 ) -> bytes:
     """Encode an array as a baseline TIFF (decode_tiff inverse) —
     fixture synthesis for oracle entries and tests.
@@ -559,6 +563,7 @@ def encode_tiff(
     def g4_chunk(sub) -> bytes:
         from robosystems_spark.operators.g4 import (
             bits_to_transitions,
+            g3_encode,
             g4_encode,
             mh_encode_rows,
         )
@@ -566,10 +571,14 @@ def encode_tiff(
         bits01 = np.asarray(sub, dtype=np.uint8)
         if photometric == 1:
             bits01 = 1 - bits01
-        enc = g4_encode if compression == 4 else mh_encode_rows
-        return enc(bits_to_transitions(bits01), bits01.shape[1])
+        trs = bits_to_transitions(bits01)
+        if compression == 4:
+            return g4_encode(trs, bits01.shape[1])
+        if compression == 3:
+            return g3_encode(trs, bits01.shape[1], two_d=bool(t4options & 1))
+        return mh_encode_rows(trs, bits01.shape[1])
 
-    if compression in (2, 4) and (bits != 1 or spp != 1):
+    if compression in (2, 3, 4) and (bits != 1 or spp != 1):
         raise ValueError("CCITT data requires 1-bit single samples")
 
     chunks = []
@@ -599,13 +608,13 @@ def encode_tiff(
                 sub = padded[y0 : y0 + tl, x0 : x0 + tw]
                 chunks.append(
                     g4_chunk(sub[:, :, 0])
-                    if compression in (2, 4)
+                    if compression in (2, 3, 4)
                     else compress_rows(pack(sub))
                 )
         rps = None
     else:
         rps = rows_per_strip or h
-        if compression in (2, 4):
+        if compression in (2, 3, 4):
             flat = a.reshape(h, w)
             for y0 in range(0, h, rps):
                 chunks.append(g4_chunk(flat[y0 : y0 + rps]))
@@ -649,6 +658,8 @@ def encode_tiff(
         tag(_T_ROWS_PER_STRIP, 4, [rps])
         tag(_T_STRIP_COUNTS, 4, strip_counts)
     tag(_T_PLANAR, 3, [planar])
+    if compression == 3:
+        tag(_T_T4OPTIONS, 4, [t4options])
     if predictor == 2:
         tag(_T_PREDICTOR, 3, [predictor])
     if palette is not None:

@@ -226,9 +226,9 @@ def test_tiff_decode_image_dispatch_and_seams():
                 return bytes(out)
         raise AssertionError(f"tag {tag} not found")
 
-    with pytest.raises(NotImplementedError):  # T.4 Group 3 (EOL-framed)
-        decode_tiff(with_tag_value(base, 259, 3))
-    with pytest.raises(ValueError):  # G4 flagged on multi-bit data
+    with pytest.raises(NotImplementedError):  # JPEG-in-TIFF
+        decode_tiff(with_tag_value(base, 259, 7))
+    with pytest.raises(ValueError):  # CCITT flagged on multi-bit data
         decode_tiff(with_tag_value(base, 259, 4))
     with pytest.raises(NotImplementedError):  # JPEG-in-TIFF
         decode_tiff(with_tag_value(base, 259, 7))
@@ -351,7 +351,8 @@ def test_tiff_g4_compression():
     assert (decode_tiff(data)[:, :, 0]
             == np.where(big == 1, 0, 255)).all()
 
-    # G3 stays loud; G4 on multi-bit data is malformed
+    # a G4 stream flagged as G3 is malformed (no EOL framing); G4
+    # on multi-bit data is malformed too
     base = bytearray(encode_tiff(doc, bits=1, photometric=0,
                                  compression=4))
     ifd = int.from_bytes(base[4:8], "little")
@@ -360,7 +361,7 @@ def test_tiff_g4_compression():
         e = ifd + 2 + 12 * k
         if int.from_bytes(base[e:e + 2], "little") == 259:
             base[e + 8:e + 12] = (3).to_bytes(4, "little")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_tiff(bytes(base))
     with pytest.raises(ValueError):
         encode_tiff(np.zeros((4, 4), np.uint8), bits=8, compression=4)
@@ -408,3 +409,34 @@ def test_tiff_planar_configuration_2():
     assert (d == v3).all()
     with pytest.raises(ValueError):
         encode_tiff(img, planar=2, tile=(16, 16))
+
+
+def test_tiff_g3_compression():
+    """CCITT T.4 Group 3 (compression 3): EOL-framed rows, both
+    T4Options modes (pure 1-D, and 2-D with tag bits alternating
+    1-D/2-D rows), full photometric/strip/tile matrix; the G3
+    uncompressed-mode option stays the honest seam."""
+    rng = np.random.RandomState(43)
+    doc = (rng.rand(22, 58) > 0.8).astype(np.uint8)
+    for t4 in (0, 1):
+        for pm in (0, 1):
+            for kw in ({}, {"rows_per_strip": 5}, {"tile": (16, 16)}):
+                d = decode_tiff(
+                    encode_tiff(doc, bits=1, photometric=pm,
+                                compression=3, t4options=t4, **kw)
+                )
+                want = (np.where(doc == 1, 0, 255) if pm == 0
+                        else np.where(doc == 1, 255, 0))
+                assert (d[:, :, 0] == want).all(), (t4, pm, kw)
+    # uncompressed-mode option (bit 1) raises loudly
+    data = bytearray(
+        encode_tiff(doc, bits=1, photometric=0, compression=3)
+    )
+    ifd = int.from_bytes(data[4:8], "little")
+    n = int.from_bytes(data[ifd:ifd + 2], "little")
+    for k in range(n):
+        e = ifd + 2 + 12 * k
+        if int.from_bytes(data[e:e + 2], "little") == 292:
+            data[e + 8:e + 12] = (2).to_bytes(4, "little")
+    with pytest.raises(NotImplementedError):
+        decode_tiff(bytes(data))
