@@ -1262,34 +1262,18 @@ _MSADPCM_ADAPT = (
 )
 
 
-def _ms_adpcm_decode_blocks(body: bytes, block_align: int):
-    """Decode mono MS-ADPCM (WAV format 2): per block a 7-byte header
-    (predictor index, initial delta, two seed samples) then 4-bit
-    codes HIGH nibble first, two-tap LPC predictor with adaptive
-    delta.  Sequential within block, vectorized across blocks (the
-    IMA shape).  Returns int16-domain int32 samples."""
+def _ms_channel_decode(cidx, delta, s1, s2, codes):
+    """The MS-ADPCM core for one channel: per-block header state +
+    (blocks, n_codes) nibble codes -> (blocks, 2 + n_codes) samples,
+    vectorized across blocks."""
     import numpy as np
 
-    nblocks = len(body) // block_align
-    if nblocks == 0:
-        return np.zeros(0, dtype=np.int32)
-    raw = np.frombuffer(
-        body, dtype=np.uint8, count=nblocks * block_align
-    ).reshape(nblocks, block_align)
-    cidx = np.minimum(raw[:, 0].astype(np.int64), 6)
     coefs = np.array(_MSADPCM_COEFS, dtype=np.int64)
     c1 = coefs[cidx, 0]
     c2 = coefs[cidx, 1]
-    delta = raw[:, 1:3].copy().view("<i2").reshape(nblocks).astype(np.int64)
-    s1 = raw[:, 3:5].copy().view("<i2").reshape(nblocks).astype(np.int64)
-    s2 = raw[:, 5:7].copy().view("<i2").reshape(nblocks).astype(np.int64)
-    nib_bytes = raw[:, 7:]
-    codes = np.empty((nblocks, nib_bytes.shape[1] * 2), dtype=np.int64)
-    codes[:, 0::2] = nib_bytes >> 4  # HIGH nibble first (unlike IMA)
-    codes[:, 1::2] = nib_bytes & 0x0F
     adapt = np.array(_MSADPCM_ADAPT, dtype=np.int64)
     n_codes = codes.shape[1]
-    out = np.empty((nblocks, 2 + n_codes), dtype=np.int32)
+    out = np.empty((codes.shape[0], 2 + n_codes), dtype=np.int32)
     out[:, 0] = s2.astype(np.int32)  # header samples play s2 first
     out[:, 1] = s1.astype(np.int32)
     for i in range(n_codes):
@@ -1301,65 +1285,138 @@ def _ms_adpcm_decode_blocks(body: bytes, block_align: int):
         s2 = s1
         s1 = sample
         delta = np.maximum(16, (adapt[code] * delta) >> 8)
-    return out.reshape(-1)
+    return out
 
 
-def ms_adpcm_encode(samples, block_align: int = 1024) -> bytes:
-    """Mono MS-ADPCM encoder (decoder inverse; fixture synthesis):
-    per block, tries all 7 coefficient pairs and keeps the one with
-    the least squared error; the predictor state tracks DECODED
-    samples so error never accumulates."""
+def _ms_adpcm_decode_blocks(
+    body: bytes, block_align: int, channels: int = 1
+):
+    """Decode MS-ADPCM (WAV format 2), mono or stereo: per block a
+    7-byte-per-channel header (channel-interleaved per FIELD:
+    predictors, deltas, sample1s, sample2s) then 4-bit codes HIGH
+    nibble first — for stereo each byte is one left (high) + one
+    right (low) sample.  Two-tap LPC predictor with adaptive delta;
+    sequential within block, vectorized across blocks (the IMA
+    shape).  Returns interleaved int16-domain int32 samples."""
+    import numpy as np
+
+    nblocks = len(body) // block_align
+    if nblocks == 0:
+        return np.zeros(0, dtype=np.int32)
+    raw = np.frombuffer(
+        body, dtype=np.uint8, count=nblocks * block_align
+    ).reshape(nblocks, block_align)
+    ch = channels
+    nib_bytes = raw[:, 7 * ch :]
+    all_codes = np.empty(
+        (nblocks, nib_bytes.shape[1] * 2), dtype=np.int64
+    )
+    all_codes[:, 0::2] = nib_bytes >> 4  # HIGH nibble first
+    all_codes[:, 1::2] = nib_bytes & 0x0F
+    per = []
+    for c in range(ch):
+        cidx = np.minimum(raw[:, c].astype(np.int64), 6)
+        delta = (
+            raw[:, ch + 2 * c : ch + 2 * c + 2]
+            .copy().view("<i2").reshape(nblocks).astype(np.int64)
+        )
+        s1 = (
+            raw[:, 3 * ch + 2 * c : 3 * ch + 2 * c + 2]
+            .copy().view("<i2").reshape(nblocks).astype(np.int64)
+        )
+        s2 = (
+            raw[:, 5 * ch + 2 * c : 5 * ch + 2 * c + 2]
+            .copy().view("<i2").reshape(nblocks).astype(np.int64)
+        )
+        per.append(
+            _ms_channel_decode(cidx, delta, s1, s2, all_codes[:, c::ch])
+        )
+    stacked = np.stack(per, axis=2)  # (blocks, samples, channels)
+    return stacked.reshape(-1)
+
+
+def _ms_channel_encode(chunk, n_codes):
+    """One channel's block samples -> (coef index, delta0, nibble
+    list), best of the 7 coefficient pairs by squared error."""
+    import numpy as np
+
+    while len(chunk) < 2:
+        chunk.append(0)
+    d0 = np.abs(np.diff(np.asarray(chunk[: min(len(chunk), 32)])))
+    delta0 = max(16, int(d0.mean() // 4) if d0.size else 16)
+    best = None
+    for ci, (c1, c2) in enumerate(_MSADPCM_COEFS):
+        s2, s1 = chunk[0], chunk[1]
+        delta = delta0
+        nibs = []
+        err = 0
+        for v in chunk[2:]:
+            pred = (s1 * c1 + s2 * c2) >> 8
+            diff = v - pred
+            code = max(-8, min(7, int(round(diff / delta))))
+            sample = max(-32768, min(32767, pred + code * delta))
+            err += (sample - v) ** 2
+            nibs.append(code & 0x0F)
+            s2, s1 = s1, sample
+            delta = max(16, (_MSADPCM_ADAPT[code & 0x0F] * delta) >> 8)
+        if best is None or err < best[0]:
+            best = (err, ci, nibs)
+    _, ci, nibs = best
+    while len(nibs) < n_codes:
+        nibs.append(0)
+    return ci, delta0, chunk, nibs
+
+
+def ms_adpcm_encode(
+    samples, block_align: int = 1024, channels: int = 1
+) -> bytes:
+    """MS-ADPCM encoder (decoder inverse; fixture synthesis), mono or
+    stereo: per block and channel, tries all 7 coefficient pairs and
+    keeps the least-squared-error one; stereo interleaves header
+    FIELDS by channel and nibbles left-high/right-low per byte."""
     import numpy as np
 
     x = np.clip(np.asarray(samples, dtype=np.int64), -32768, 32767)
-    n_per_block = (block_align - 7) * 2 + 2
+    x = x.reshape(-1, channels)
+    frames_per_block = (block_align - 7 * channels) * 2 // channels + 2
+    n_codes = frames_per_block - 2
     out = bytearray()
-    for pos in range(0, len(x), n_per_block):
-        chunk = [int(v) for v in x[pos : pos + n_per_block]]
-        while len(chunk) < 2:
-            chunk.append(0)
-        d0 = np.abs(np.diff(np.asarray(chunk[: min(len(chunk), 32)])))
-        delta0 = max(16, int(d0.mean() // 4) if d0.size else 16)
-        best = None
-        for ci, (c1, c2) in enumerate(_MSADPCM_COEFS):
-            s2, s1 = chunk[0], chunk[1]
-            delta = delta0
-            nibs = []
-            err = 0
-            for v in chunk[2:]:
-                pred = (s1 * c1 + s2 * c2) >> 8
-                diff = v - pred
-                code = max(-8, min(7, int(round(diff / delta))))
-                sample = max(-32768, min(32767, pred + code * delta))
-                err += (sample - v) ** 2
-                nibs.append(code & 0x0F)
-                s2, s1 = s1, sample
-                delta = max(16, (_MSADPCM_ADAPT[code & 0x0F] * delta) >> 8)
-            if best is None or err < best[0]:
-                best = (err, ci, nibs)
-        _, ci, nibs = best
-        out.append(ci)
-        out += delta0.to_bytes(2, "little", signed=True)
-        out += chunk[1].to_bytes(2, "little", signed=True)  # sample1
-        out += chunk[0].to_bytes(2, "little", signed=True)  # sample2
-        while len(nibs) < n_per_block - 2:
-            nibs.append(0)
-        for j in range(0, len(nibs), 2):
-            out.append((nibs[j] << 4) | nibs[j + 1])
+    for pos in range(0, x.shape[0], frames_per_block):
+        blk = x[pos : pos + frames_per_block]
+        enc = [
+            _ms_channel_encode([int(v) for v in blk[:, c]], n_codes)
+            for c in range(channels)
+        ]
+        out += bytes(e[0] for e in enc)  # coef indices
+        for e in enc:
+            out += e[1].to_bytes(2, "little", signed=True)  # deltas
+        for e in enc:
+            out += e[2][1].to_bytes(2, "little", signed=True)  # sample1s
+        for e in enc:
+            out += e[2][0].to_bytes(2, "little", signed=True)  # sample2s
+        # nibbles: round-robin channels, high nibble first
+        flat = []
+        for i in range(n_codes):
+            for c in range(channels):
+                flat.append(enc[c][3][i])
+        if len(flat) & 1:
+            flat.append(0)
+        for j in range(0, len(flat), 2):
+            out.append((flat[j] << 4) | flat[j + 1])
     return bytes(out)
 
 
 def encode_wav_ms_adpcm(
-    samples, rate: int, block_align: int = 1024
+    samples, rate: int, block_align: int = 1024, channels: int = 1
 ) -> bytes:
     """Wrap :func:`ms_adpcm_encode` in a WAV container (format 2,
-    mono) with the coefficient table in the fmt extension and the
-    fact chunk."""
+    mono or stereo) with the coefficient table in the fmt extension
+    and the fact chunk."""
     import numpy as np
 
-    body = ms_adpcm_encode(samples, block_align)
-    n = len(np.asarray(samples))
-    n_per_block = (block_align - 7) * 2 + 2
+    body = ms_adpcm_encode(samples, block_align, channels)
+    n = len(np.asarray(samples).reshape(-1, channels))
+    n_per_block = (block_align - 7 * channels) * 2 // channels + 2
     coef_blob = b"".join(
         c1.to_bytes(2, "little", signed=True)
         + c2.to_bytes(2, "little", signed=True)
@@ -1372,7 +1429,7 @@ def encode_wav_ms_adpcm(
     )
     fmt = (
         (2).to_bytes(2, "little")
-        + (1).to_bytes(2, "little")
+        + channels.to_bytes(2, "little")
         + rate.to_bytes(4, "little")
         + (rate * block_align // n_per_block).to_bytes(4, "little")
         + block_align.to_bytes(2, "little")
@@ -1496,15 +1553,17 @@ def decode_wav_pcm(data: bytes):
         if fact is not None:
             frames = frames[:fact]  # drop final-block pad frames
         return frames, rate
-    elif audio_format == 2:  # MS-ADPCM
-        if channels != 1:
-            raise NotImplementedError("multichannel MS-ADPCM")
-        if block_align < 8:
+    elif audio_format == 2:  # MS-ADPCM (mono or stereo)
+        if channels not in (1, 2):
+            raise NotImplementedError(">2-channel MS-ADPCM")
+        if block_align < 8 * channels:
             raise ValueError(f"bad MS-ADPCM block align {block_align}")
-        samples = _ms_adpcm_decode_blocks(body, block_align)
+        frames = _ms_adpcm_decode_blocks(
+            body, block_align, channels
+        ).reshape(-1, channels)
         if fact is not None:
-            samples = samples[:fact]
-        return samples.reshape(-1, 1), rate
+            frames = frames[:fact]
+        return frames, rate
     elif audio_format != 1:
         raise NotImplementedError(
             f"WAV format {audio_format} not supported"

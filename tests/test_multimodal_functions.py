@@ -1585,10 +1585,10 @@ def test_wav_ms_adpcm():
     err = np.abs(dec.reshape(-1) - np.clip(sig, -32768, 32767))
     assert err.max() < 4000 and err.mean() < 300
 
-    # multichannel stays loud
+    # >2-channel stays loud (stereo decodes: test_wav_ms_adpcm_stereo)
     bad = bytearray(encode_wav_ms_adpcm(sig[:100], 8000, block_align=ba))
     i = bad.find(b"fmt ") + 8
-    bad[i + 2:i + 4] = (2).to_bytes(2, "little")
+    bad[i + 2:i + 4] = (3).to_bytes(2, "little")
     with _pytest.raises(NotImplementedError):
         decode_wav_pcm(bytes(bad))
 
@@ -1619,6 +1619,34 @@ def test_wav_ima_adpcm_stereo():
     silent = np.stack([left, np.zeros_like(left)], axis=1)
     dec, _ = decode_wav_pcm(
         encode_wav_ima_adpcm(silent, 8000, block_align=256, channels=2)
+    )
+    assert np.abs(dec[:, 1]).max() <= 16
+    assert np.abs(dec[:, 0] - left).mean() < 300
+
+
+def test_wav_ms_adpcm_stereo():
+    """Stereo MS-ADPCM: header fields channel-interleaved, nibbles
+    left-high/right-low per byte; channels independent (no bleed)."""
+    import numpy as np
+
+    from robosystems_spark.operators.multimodal import (
+        decode_wav_pcm,
+        encode_wav_ms_adpcm,
+    )
+
+    t = np.arange(2000)
+    left = (9000 * np.sin(t / 33)).astype(np.int64)
+    right = (7000 * np.cos(t / 21)).astype(np.int64)
+    inter = np.stack([left, right], axis=1)
+    dec, rate = decode_wav_pcm(
+        encode_wav_ms_adpcm(inter, 16000, block_align=256, channels=2)
+    )
+    assert rate == 16000 and dec.shape == (2000, 2)
+    assert np.abs(dec[:, 0] - left).mean() < 300
+    assert np.abs(dec[:, 1] - right).mean() < 300
+    sil = np.stack([left, np.zeros_like(left)], axis=1)
+    dec, _ = decode_wav_pcm(
+        encode_wav_ms_adpcm(sil, 8000, block_align=256, channels=2)
     )
     assert np.abs(dec[:, 1]).max() <= 16
     assert np.abs(dec[:, 0] - left).mean() < 300
