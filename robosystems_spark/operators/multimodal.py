@@ -1487,10 +1487,10 @@ def decode_wav_pcm(data: bytes):
     16, 24 (packed 3-byte), and 32 bits; IEEE float 32/64 (format 3,
     scaled from [-1, 1] to the int32 domain); G.711 A-law/mu-law
     telephony companding (formats 6/7, table-decoded to 16-bit
-    linear); mono IMA ADPCM (format 0x11) and MS-ADPCM (format 2) —
-    block headers + 4-bit codes, fact-chunk sample-count trim; and
+    linear); IMA ADPCM (format 0x11) and MS-ADPCM (format 2), mono
+    AND stereo — block headers + 4-bit codes, fact-chunk trim; and
     WAVE_FORMAT_EXTENSIBLE (0xFFFE) with the real code read from the
-    SubFormat GUID.  Remaining seams: multichannel ADPCM and the
+    SubFormat GUID.  Remaining seams: >2-channel ADPCM and the
     perceptual codecs (MP3/AAC in WAV)."""
     import numpy as np
 
