@@ -222,7 +222,11 @@ def g4_decode(data: bytes, width: int, height: int) -> list[list[int]]:
         cur: list[int] = []
         a0 = -1
         color = 0  # 0 = white
+        budget = 2 * width + 64  # corrupt streams must fail, not hang
         while a0 < width:
+            budget -= 1
+            if budget < 0:
+                raise ValueError("G4 row does not terminate")
             kind, d = r.read_mode()
             b1, b2 = _next_ref(ref, a0, color, width)
             if kind == "P":
@@ -346,7 +350,11 @@ def mh_decode_rows(
         cur: list[int] = []
         pos = 0
         black = False
+        budget = 2 * width + 64
         while pos < width:
+            budget -= 1
+            if budget < 0:
+                raise ValueError("MH row does not terminate")
             run = r.read_run(black=black)
             pos += run
             if pos > width:
@@ -423,10 +431,14 @@ def g3_decode(
             one_d = r.bits[r.pos] == "1"
             r.pos += 1
         cur: list[int] = []
+        budget = 2 * width + 64
         if one_d:
             pos = 0
             black = False
             while pos < width:
+                budget -= 1
+                if budget < 0:
+                    raise ValueError("G3 row does not terminate")
                 run = r.read_run(black=black)
                 pos += run
                 if pos > width:
@@ -437,6 +449,9 @@ def g3_decode(
             a0 = -1
             color = 0
             while a0 < width:
+                budget -= 1
+                if budget < 0:
+                    raise ValueError("G3 row does not terminate")
                 kind, d = r.read_mode()
                 b1, b2 = _next_ref(ref, a0, color, width)
                 if kind == "P":

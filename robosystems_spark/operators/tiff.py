@@ -82,15 +82,19 @@ def _read_ifd(data: bytes, bo: str) -> dict[int, list[int]]:
             off = int.from_bytes(data[e + 8 : e + 12], end)
             raw = data[off : off + size]
         step = _TYPE_SIZES.get(typ, 1)
+        # iterate over the bytes actually present, not the DECLARED
+        # count — a corrupt count field (crawl corpora have them)
+        # would otherwise spin this loop for billions of empty slices
+        n_bytes = min(size, len(raw))
         if typ == 5:  # RATIONAL: pairs of u32
             vals = [
                 int.from_bytes(raw[i : i + 4], end)
-                for i in range(0, size, 4)
+                for i in range(0, n_bytes, 4)
             ]
         else:
             vals = [
                 int.from_bytes(raw[i : i + step], end)
-                for i in range(0, size, step)
+                for i in range(0, n_bytes, step)
             ]
         tags[tag] = vals
     return tags
@@ -264,6 +268,12 @@ def decode_tiff(data: bytes):
     w = tags[_T_WIDTH][0]
     h = tags[_T_HEIGHT][0]
     spp = _spp = tags.get(_T_SPP, [1])[0]
+    if not (0 < w and 0 < h and 0 < spp <= 16):
+        raise ValueError("TIFF dimensions out of range")
+    if w * h > (1 << 26):
+        # corrupt headers in a crawl corpus routinely declare
+        # billion-pixel images; fail loudly instead of allocating
+        raise ValueError(f"TIFF {w}x{h} exceeds the decode pixel cap")
     bits_list = tags.get(_T_BITS, [1] * spp)
     if len(set(bits_list)) != 1:
         raise NotImplementedError("per-sample heterogeneous BitsPerSample")

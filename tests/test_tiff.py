@@ -440,3 +440,35 @@ def test_tiff_g3_compression():
             data[e + 8:e + 12] = (2).to_bytes(4, "little")
     with pytest.raises(NotImplementedError):
         decode_tiff(bytes(data))
+
+
+def test_tiff_fuzz_fails_fast():
+    """Malformed inputs (random bytes, bit-flipped valid files) must
+    raise promptly — a 100 TB crawl WILL contain corrupt files, and
+    the decode seam's contract is fail-loud, never hang."""
+    import time
+
+    rng = np.random.RandomState(99)
+    t0 = time.time()
+    for _ in range(150):
+        data = bytes(
+            rng.randint(0, 256, rng.randint(0, 200)).astype(np.uint8)
+        )
+        try:
+            decode_tiff(b"II*\x00" + data)
+        except Exception:
+            pass
+    # bit-flip a valid G4 file at random positions
+    doc = (rng.rand(16, 40) > 0.8).astype(np.uint8)
+    good = bytearray(
+        encode_tiff(doc, bits=1, photometric=0, compression=4)
+    )
+    for _ in range(150):
+        bad = bytearray(good)
+        for _k in range(3):
+            bad[rng.randint(8, len(bad))] ^= 1 << rng.randint(0, 8)
+        try:
+            decode_tiff(bytes(bad))
+        except Exception:
+            pass
+    assert time.time() - t0 < 30  # fail-fast, not hang
