@@ -15,7 +15,12 @@ operator decision:
   force it.  Blocks are recomputable from lineage if an executor dies
   (at re-run cost), and disk-only avoids memory pressure.  Lineage is
   NOT cut, so very deep loops still grow plans — our loops are fixed
-  small round counts, which keeps that bounded.
+  small round counts, which keeps that bounded.  Persisted frames are
+  tracked in a bounded FIFO (``spark.robosystems.materialize.
+  maxPersisted``, default 64): the oldest frame beyond the window is
+  unpersisted automatically, so long-lived sessions don't accumulate
+  pinned disk blocks round after round; ``release(df)`` unpersists a
+  superseded frame explicitly.
 - ``checkpoint`` — reliable ``DataFrame.checkpoint()`` to the cluster
   checkpoint dir (HDFS/S3).  Cuts lineage AND survives executor loss;
   the right backend for 1000-executor production runs.
@@ -34,13 +39,48 @@ from __future__ import annotations
 
 import os
 import tempfile
+from collections import deque
 
 from pyspark.sql import DataFrame
 
 CONF_KEY = "spark.robosystems.materialize"
 CHECKPOINT_DIR_KEY = "spark.robosystems.checkpointDir"
+MAX_PERSISTED_KEY = "spark.robosystems.materialize.maxPersisted"
 
 _BACKENDS = ("localCheckpoint", "diskPersist", "checkpoint")
+
+# diskPersist registers every materialized frame in the CacheManager,
+# which the ContextCleaner never reclaims (persist() is not GC-driven),
+# so iterative loops would pin one disk block set per round for the
+# session's lifetime.  This FIFO evicts the oldest persisted frame
+# beyond a bounded window — diskPersist keeps lineage, so an evicted
+# frame that is still referenced simply recomputes (cost, not
+# correctness).  Loop frames are superseded within 1-2 rounds; the
+# default window of 64 is far wider than any loop's live set.
+_persisted: deque[DataFrame] = deque()
+
+
+def _register_persisted(df: DataFrame, limit: int) -> None:
+    _persisted.append(df)
+    while len(_persisted) > max(limit, 1):
+        old = _persisted.popleft()
+        try:
+            old.unpersist(blocking=False)
+        except Exception:
+            pass  # session torn down / already unpersisted
+
+
+def release(df: DataFrame) -> None:
+    """Explicitly unpersist a frame returned by ``materialize`` under
+    the diskPersist backend (no-op handle for the other backends)."""
+    try:
+        _persisted.remove(df)
+    except ValueError:
+        pass
+    try:
+        df.unpersist(blocking=False)
+    except Exception:
+        pass
 
 
 def materialize(df: DataFrame, *, eager: bool = True) -> DataFrame:
@@ -63,6 +103,11 @@ def materialize(df: DataFrame, *, eager: bool = True) -> DataFrame:
         out = df.persist(StorageLevel.DISK_ONLY)
         if eager:
             out.count()
+        try:
+            limit = int(spark.conf.get(MAX_PERSISTED_KEY, "64"))
+        except Exception:
+            limit = 64
+        _register_persisted(out, limit)
         return out
     if backend == "checkpoint":
         _ensure_checkpoint_dir(spark)

@@ -1830,14 +1830,25 @@ def link_prediction_jaccard(
 def _min_label_fixpoint(
     edges: DataFrame, nodes: DataFrame, max_iters: int = 30
 ) -> DataFrame:
-    """Directed min-label propagation to fixpoint: every node ends up
-    with the minimum id among its ANCESTORS (nodes that can reach it
+    """Directed min-label propagation to TRUE fixpoint: every node ends
+    up with the minimum id among its ANCESTORS (nodes that can reach it
     along edge direction) plus itself.  One node-keyed join + one
     groupBy-min per round, converging in O(longest min-carrying path)
     rounds with an early-exit change check; per-round ``materialize``
-    keeps lineage flat.  Returns (node, lbl)."""
+    keeps lineage flat.  Returns (node, lbl).
+
+    ``max_iters`` is a soft target, NOT a truncation point: labels must
+    reach the fixpoint for SCC peeling to be correct (a non-converged
+    ``f``/``b`` would let ``f == b`` hold spuriously and split one SCC
+    into many), so iteration continues past ``max_iters`` until no label
+    changes.  Convergence is guaranteed — labels are monotone
+    non-increasing over a finite domain — but a hard safety cap (1 << 20
+    rounds) turns a logic bug into a loud RuntimeError instead of a
+    silent wrong answer or an unbounded job."""
     labels = nodes.withColumn("lbl", F.col("node")).transform(materialize)
-    for _ in range(max_iters):
+    hard_cap = max(max_iters, 1 << 20)
+    rounds = 0
+    while True:
         pushed = (
             edges.join(labels.withColumnRenamed("node", "src"), "src")
             .select(F.col("dst").alias("node"), "lbl")
@@ -1856,9 +1867,14 @@ def _min_label_fixpoint(
             .count()
         )
         labels = new_labels
+        rounds += 1
         if changed == 0:
-            break
-    return labels
+            return labels
+        if rounds >= hard_cap:
+            raise RuntimeError(
+                f"_min_label_fixpoint did not converge in {rounds} rounds"
+                " — monotone min-propagation cannot do this; report a bug"
+            )
 
 
 def strongly_connected_components(
@@ -1903,6 +1919,9 @@ def strongly_connected_components(
         .distinct()
         .transform(materialize)
     )
+    empty = nodes.select(
+        F.col("node"), F.col("node").alias("component")
+    ).limit(0)
     assigned = None
     for _ in range(max_rounds):
         if nodes.isEmpty():
@@ -1926,7 +1945,17 @@ def strongly_connected_components(
             .join(nodes.withColumnRenamed("node", "dst"), "dst", "left_semi")
             .transform(materialize)
         )
-    return assigned
+    if not nodes.isEmpty():
+        # Every round is guaranteed to peel at least the SCC holding the
+        # remaining minimum node, so hitting this means max_rounds was
+        # too small for the condensation depth — fail loudly rather
+        # than silently dropping the unassigned nodes from the output.
+        raise RuntimeError(
+            f"strongly_connected_components: {nodes.count()} nodes still"
+            f" unassigned after max_rounds={max_rounds}; raise max_rounds"
+            " (rounds needed ~ depth of the condensation DAG)"
+        )
+    return assigned if assigned is not None else empty
 
 
 def scc_oracle_sql(edges_cte: str) -> str:

@@ -1279,7 +1279,10 @@ def _ms_channel_decode(cidx, delta, s1, s2, codes):
     for i in range(n_codes):
         code = codes[:, i]
         signed = np.where(code >= 8, code - 16, code)
-        pred = (s1 * c1 + s2 * c2) >> 8
+        # msadpcm.c divides by 256 truncating toward ZERO; >> 8 floors,
+        # which is off by one whenever the predictor sum is negative
+        acc = s1 * c1 + s2 * c2
+        pred = np.where(acc >= 0, acc >> 8, -((-acc) >> 8))
         sample = np.clip(pred + signed * delta, -32768, 32767)
         out[:, 2 + i] = sample.astype(np.int32)
         s2 = s1
@@ -1351,7 +1354,8 @@ def _ms_channel_encode(chunk, n_codes):
         nibs = []
         err = 0
         for v in chunk[2:]:
-            pred = (s1 * c1 + s2 * c2) >> 8
+            acc = s1 * c1 + s2 * c2
+            pred = acc >> 8 if acc >= 0 else -((-acc) >> 8)
             diff = v - pred
             code = max(-8, min(7, int(round(diff / delta))))
             sample = max(-32768, min(32767, pred + code * delta))

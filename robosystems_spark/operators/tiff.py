@@ -96,7 +96,12 @@ def _read_ifd(data: bytes, bo: str) -> dict[int, list[int]]:
                 int.from_bytes(raw[i : i + step], end)
                 for i in range(0, n_bytes, step)
             ]
-        tags[tag] = vals
+        # a declared count of 0, or a value offset past EOF, yields an
+        # empty list — skip the entry entirely so downstream [0] indexing
+        # hits the decoder's "missing tag" ValueError path instead of
+        # IndexError (fuzz contract: corrupt files fail with ValueError)
+        if vals:
+            tags[tag] = vals
     return tags
 
 

@@ -109,3 +109,43 @@ def test_fanout_operator_identical_across_backends(backend_conf):
         )
     assert outs["diskPersist"] == outs["localCheckpoint"]
     assert outs["checkpoint"] == outs["localCheckpoint"]
+
+def test_diskpersist_bounded_registry_evicts(backend_conf):
+    """ADVICE r8: diskPersist used to pin every per-iteration frame in
+    the CacheManager forever (persist() is not ContextCleaner-
+    reclaimed).  The bounded FIFO must unpersist the oldest frame
+    beyond the window, and ``release`` must unpersist on demand."""
+    from pyspark import StorageLevel
+
+    from robosystems_spark.checkpointing import MAX_PERSISTED_KEY, release
+
+    spark = backend_conf
+    spark.conf.set(CONF_KEY, "diskPersist")
+    prev_limit = None
+    try:
+        prev_limit = spark.conf.get(MAX_PERSISTED_KEY)
+    except Exception:
+        pass
+    spark.conf.set(MAX_PERSISTED_KEY, "2")
+    try:
+        frames = [
+            materialize(spark.range(10 + i).withColumn("v", F.col("id")))
+            for i in range(4)
+        ]
+        # window=2: frames[0] and frames[1] evicted, last two still pinned
+        assert frames[0].storageLevel == StorageLevel.NONE
+        assert frames[1].storageLevel == StorageLevel.NONE
+        assert frames[2].storageLevel != StorageLevel.NONE
+        assert frames[3].storageLevel != StorageLevel.NONE
+        # evicted frames still produce correct results (lineage intact)
+        assert frames[0].count() == 10
+        # explicit release unpins immediately and is idempotent
+        release(frames[3])
+        assert frames[3].storageLevel == StorageLevel.NONE
+        release(frames[3])
+        release(frames[2])
+    finally:
+        if prev_limit is None:
+            spark.conf.unset(MAX_PERSISTED_KEY)
+        else:
+            spark.conf.set(MAX_PERSISTED_KEY, prev_limit)

@@ -532,3 +532,33 @@ def test_graph_summary_star_golden(spark):
     r = graph_summary(g).collect()[0]
     assert r["n_nodes"] == 4 and r["n_edges"] == 5
     assert -1.0 <= r["assortativity"] <= 0.0  # chord makes it disassortative
+
+
+def test_scc_long_cycle_converges_past_soft_cap(spark):
+    """ADVICE r8 (medium): a directed cycle LONGER than the fixpoint's
+    soft iteration target used to return non-converged labels silently,
+    splitting one SCC into singletons.  The fixpoint now runs to true
+    convergence, so a 34-node cycle is one component labeled 0."""
+    from robosystems_spark.operators.graph import strongly_connected_components
+
+    n = 34
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % n) for i in range(n)], ["src", "dst"]
+    )
+    got = sorted(
+        (r["node"], r["component"])
+        for r in strongly_connected_components(edges).collect()
+    )
+    assert got == [(i, 0) for i in range(n)]
+
+
+def test_scc_empty_edges_returns_empty_frame(spark):
+    """ADVICE r8: no edges -> an empty (node, component) DataFrame,
+    not None."""
+    from robosystems_spark.operators.graph import strongly_connected_components
+
+    edges = spark.createDataFrame([], "src long, dst long")
+    out = strongly_connected_components(edges)
+    assert out is not None
+    assert out.columns == ["node", "component"]
+    assert out.count() == 0

@@ -1562,7 +1562,9 @@ def test_wav_ms_adpcm():
                 nibs.append(byte & 0xF)
             for code in nibs:
                 signed = code - 16 if code >= 8 else code
-                pred = (s1 * c1 + s2 * c2) >> 8
+                # msadpcm.c: / 256 truncating toward zero, NOT >> 8
+                acc = s1 * c1 + s2 * c2
+                pred = acc >> 8 if acc >= 0 else -((-acc) >> 8)
                 sample = max(-32768, min(32767, pred + signed * delta))
                 out.append(sample)
                 s2, s1 = s1, sample
@@ -1650,3 +1652,34 @@ def test_wav_ms_adpcm_stereo():
     )
     assert np.abs(dec[:, 1]).max() <= 16
     assert np.abs(dec[:, 0] - left).mean() < 300
+
+
+def test_wav_ms_adpcm_negative_predictor_golden():
+    """ADVICE r8: the MS-ADPCM predictor divides by 256 truncating
+    toward ZERO (msadpcm.c), not flooring — round-trip tests can't
+    catch the off-by-one on negative sums because the encoder mirrors
+    the decoder, so this golden is hand-computed from the spec.
+
+    Block: coef idx 3 (c1=192, c2=64), delta=16, s1=-1, s2=0, code
+    nibbles [0, 1]:
+      step 1: acc = (-1)*192 + 0*64 = -192 -> pred = trunc(-192/256) = 0
+              (floor would give -1); sample = 0 + 0*16 = 0
+      step 2: state s1=0, s2=-1, delta = max(16, (230*16)>>8) = 16;
+              acc = 0*192 + (-1)*64 = -64 -> pred = 0 (floor: -1);
+              sample = 0 + 1*16 = 16
+    Decoded block = [s2, s1, step1, step2] = [0, -1, 0, 16]."""
+    import numpy as np
+
+    from robosystems_spark.operators.multimodal import (
+        _ms_adpcm_decode_blocks,
+    )
+
+    block = (
+        bytes([3])
+        + (16).to_bytes(2, "little", signed=True)
+        + (-1).to_bytes(2, "little", signed=True)
+        + (0).to_bytes(2, "little", signed=True)
+        + bytes([0x01])  # high nibble 0, low nibble 1
+    )
+    got = _ms_adpcm_decode_blocks(block, block_align=8, channels=1)
+    assert np.array_equal(got, np.array([0, -1, 0, 16], dtype=np.int32))

@@ -472,3 +472,39 @@ def test_tiff_fuzz_fails_fast():
         except Exception:
             pass
     assert time.time() - t0 < 30  # fail-fast, not hang
+
+
+def test_tiff_zero_count_and_past_eof_ifd_entries_value_error():
+    """ADVICE r8: an IFD entry with declared count 0 (or a value offset
+    past EOF) yields an empty value list; the reader must skip the
+    entry so missing-tag handling raises ValueError, not IndexError."""
+    import pytest
+
+    def ifd_entry(tag, typ, cnt, val):
+        return (
+            tag.to_bytes(2, "little")
+            + typ.to_bytes(2, "little")
+            + cnt.to_bytes(4, "little")
+            + val.to_bytes(4, "little")
+        )
+
+    # ImageWidth declared count=0, ImageLength valid -> width "missing"
+    head = b"II" + (42).to_bytes(2, "little") + (8).to_bytes(4, "little")
+    body = (
+        (2).to_bytes(2, "little")
+        + ifd_entry(256, 3, 0, 0)       # width SHORT count 0
+        + ifd_entry(257, 3, 1, 1)       # height = 1
+        + (0).to_bytes(4, "little")
+    )
+    with pytest.raises(ValueError):
+        decode_tiff(head + body)
+
+    # ImageWidth value offset far past EOF (count 5 LONGs) -> ValueError
+    body = (
+        (2).to_bytes(2, "little")
+        + ifd_entry(256, 4, 5, 1 << 24)  # offset way past EOF
+        + ifd_entry(257, 3, 1, 1)
+        + (0).to_bytes(4, "little")
+    )
+    with pytest.raises(ValueError):
+        decode_tiff(head + body)
