@@ -231,6 +231,7 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     round_digits: int = 10,
+    broadcast_state: bool = False,
 ) -> DataFrame:
     """Distributed PageRank over an edge DataFrame (Pregel-style as
     joins + grouped sums), returning (node, rank).
@@ -243,60 +244,75 @@ def pagerank(
     contract (summation order differs between engines and partitions),
     the same discipline operators/clustering.py uses for k-means.
 
-    Scale shape: state is one (node, rank) row per node; each
-    iteration is one join on ``src`` (pre-partition the edge table by
-    src at cluster scale and the join is shuffle-free), one grouped
-    sum on ``dst``, and a 1-row dangling-mass aggregate broadcast back
-    via cross join — no driver-side collect of node state, and the
-    per-iteration ``materialize`` keeps lineage flat."""
+    The out-degree is folded INTO the state frame once at setup
+    (``d`` null = dangling), so the per-iteration dangling mass is a
+    filter+sum over the checkpointed state — no anti-join per round.
+    Same float values: the summed multiset is identical to the
+    anti-join formulation, and every ROUND point is unchanged.
+
+    ``broadcast_state=True`` adds explicit broadcast hints on the
+    node-state side of the two per-iteration joins.  Right when the
+    node set is small relative to edges (catalogs, entity graphs —
+    state stays map-side, the grouped sum is the only shuffle);
+    WRONG for billion-node graphs where state exceeds executor
+    memory — leave False there and pre-partition edges by src so the
+    state join is shuffle-free (SCALE.md).
+
+    Scale shape: state is one (node, d, rank) row per node; each
+    iteration is one join on ``src``, one grouped sum on ``dst``, and
+    a 1-row dangling-mass broadcast — no driver-side collect of node
+    state, and the per-iteration ``materialize`` keeps lineage flat."""
     if num_iter < 1:
         raise ValueError("num_iter must be >= 1")
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).distinct()
-    e.persist(StorageLevel.MEMORY_AND_DISK)
-    nodes = (
+    bc = F.broadcast if broadcast_state else (lambda df: df)
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .transform(materialize)
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    # static node frame carrying out-degree (null = dangling); feeds
+    # every iteration's left-outer join AND the initial state
+    nd = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-    )
-    nodes.persist(StorageLevel.MEMORY_AND_DISK)
-    n = nodes.count()  # one scalar; node state itself never leaves executors
-    # node-sized and loop-invariant, but consumed by the hoisted ed
-    # join AND the per-iteration dangling anti-join — checkpoint once
-    # or the degree shuffle re-runs every iteration
-    deg = (
-        e.groupBy("src")
-        .agg(F.count(F.lit(1)).alias("d"))
+        .join(deg.withColumnRenamed("src", "node"), "node", "left_outer")
         .transform(materialize)
     )
-
-    ranks = nodes.withColumn(
-        "rank", F.round(F.lit(1.0) / F.lit(float(n)), round_digits)
-    ).transform(materialize)
+    n = nd.count()  # one scalar; node state itself never leaves executors
 
     # static across iterations: hoist the edge⋈degree join out of the
     # loop (division stays rank/d inside the loop, so the float
     # arithmetic — and the oracle hash — is unchanged)
     ed = e.join(deg, "src").transform(materialize)
 
+    ranks = nd.withColumn(
+        "rank", F.round(F.lit(1.0) / F.lit(float(n)), round_digits)
+    ).transform(materialize)
+
     base = (1.0 - damping) / float(n)
     for _ in range(num_iter):
+        r_small = ranks.select("node", "rank")
         contrib = (
-            ed.join(ranks, ed.src == ranks.node)
-            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("d")).alias("c"))
+            ed.join(bc(r_small), ed.src == F.col("node"))
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / ed["d"]).alias("c"),
+            )
             .groupBy("node")
             .agg(F.sum("c").alias("s"))
         )
         dangling = (
-            ranks.join(deg, ranks.node == deg.src, "left_anti")
+            ranks.filter(F.col("d").isNull())
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
         )
-        new_ranks = (
-            nodes.join(contrib, "node", "left_outer")
+        ranks = (
+            nd.join(bc(contrib), "node", "left_outer")
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
+                "d",
                 F.round(
                     F.lit(base)
                     + F.lit(damping)
@@ -308,10 +324,7 @@ def pagerank(
                 ).alias("rank"),
             )
         ).transform(materialize)
-        ranks = new_ranks
-    e.unpersist()
-    nodes.unpersist()
-    return ranks
+    return ranks.select("node", "rank")
 
 
 def pagerank_weighted(
@@ -1675,6 +1688,7 @@ def hits(
     src_col: str = "src",
     dst_col: str = "dst",
     round_digits: int = 10,
+    broadcast_state: bool = False,
 ) -> DataFrame:
     """HITS hubs-and-authorities (Kleinberg 1999) over a directed edge
     DataFrame, returning (node, hub, authority) after ``num_iter``
@@ -1686,14 +1700,24 @@ def hits(
     summation-order differences between engines/partitionings cannot
     drift through the iterations; the oracle is the unrolled-CTE twin.
 
-    Scale shape: state is one (node, hub, authority) row per node; an
-    iteration is two edge⋈state joins + two grouped sums + two 1-row
-    L1 totals broadcast back — no driver-side node state, per-round
-    ``materialize`` keeps lineage flat.  Pre-partition the edge
-    table by src/dst at cluster scale and the joins are shuffle-free.
-    """
+    Checkpoint placement: the RAW grouped sums (``a_raw``/``h_raw``)
+    are the fan-out frames — each feeds its L1 total AND the
+    normalize join, so un-checkpointed, Catalyst re-inlines the heavy
+    edge⋈state join into both consumers and every half-iteration runs
+    twice (the dedup.py fan-out discipline).  The normalized frames
+    have one consumer each and derive lazily from the checkpoints.
+    ``broadcast_state=True`` additionally hints the node-sized state
+    side of each join map-side (right when nodes ≪ edges; WRONG for
+    billion-node state — leave False and pre-partition edges by
+    src/dst so the joins are shuffle-free, see SCALE.md).
+
+    Scale shape: state is one row per node; an iteration is two
+    edge⋈state joins + two grouped sums + two 1-row L1 totals
+    broadcast back — no driver-side node state, per-round
+    ``materialize`` keeps lineage flat."""
     if num_iter < 1:
         raise ValueError("num_iter must be >= 1")
+    bc = F.broadcast if broadcast_state else (lambda df: df)
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
@@ -1707,19 +1731,22 @@ def hits(
         .transform(materialize)
     )
     n = nodes.count()
+    # initial hub state = checkpointed nodes + a literal; recomputing
+    # it under a consumer is a map over the checkpoint
     h = nodes.withColumn(
         "hub", F.round(F.lit(1.0) / F.lit(float(n)), round_digits)
-    ).transform(materialize)
+    )
     a = None
     for _ in range(num_iter):
         a_raw = (
-            e.join(h, e.src == h.node)
+            e.join(bc(h), e.src == h.node)
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("hub").alias("_r"))
+            .transform(materialize)
         )
         a_tot = a_raw.agg(F.sum("_r").alias("_t"))
         a = (
-            nodes.join(a_raw, "node", "left_outer")
+            nodes.join(bc(a_raw), "node", "left_outer")
             .crossJoin(F.broadcast(a_tot))
             .select(
                 "node",
@@ -1728,16 +1755,16 @@ def hits(
                     round_digits,
                 ).alias("authority"),
             )
-            .transform(materialize)
         )
         h_raw = (
-            e.join(a, e.dst == a.node)
+            e.join(bc(a), e.dst == a.node)
             .groupBy(F.col("src").alias("node"))
             .agg(F.sum("authority").alias("_r"))
+            .transform(materialize)
         )
         h_tot = h_raw.agg(F.sum("_r").alias("_t"))
         h = (
-            nodes.join(h_raw, "node", "left_outer")
+            nodes.join(bc(h_raw), "node", "left_outer")
             .crossJoin(F.broadcast(h_tot))
             .select(
                 "node",
@@ -1746,7 +1773,6 @@ def hits(
                     round_digits,
                 ).alias("hub"),
             )
-            .transform(materialize)
         )
     return h.join(a, "node").select("node", "hub", "authority")
 
