@@ -440,6 +440,8 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("src"))
     b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("dst"))
     edges = a.join(b, "o").filter(F.col("src") < F.col("dst")).select("src", "dst")
+    # NOT canonical: the same part pair recurs across orders, so the
+    # operator's distinct is load-bearing here
     return triangle_counts_per_node(edges).orderBy("node")
 
 
@@ -490,7 +492,8 @@ def graph_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .dropDuplicates()
     )
-    return kcore(pairs, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+    # pairs are distinct with src<dst: doubling is dup/loop-free
+    return kcore(pairs, k=_KCORE_K, rounds=_KCORE_ROUNDS, canonical=True)
 
 
 _LPA_ROUNDS = 3
@@ -535,8 +538,10 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # long-encoded node ids; the tie-break ranks labels numerically on
     # BOTH sides (_LPA_EDGES_CTE uses the same encoding), so community
     # ids are the encoded longs in the output of both engines
+    # bipartite distinct edges (even->odd ids): doubling is simple
     return label_propagation(
-        _sp_edges(li).dropDuplicates(), rounds=_LPA_ROUNDS
+        _sp_edges(li).dropDuplicates(), rounds=_LPA_ROUNDS,
+        canonical=True, broadcast_state=True,
     )
 
 
@@ -989,8 +994,10 @@ def graph_modularity_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same long encoding as graph_label_propagation — the shared
     # _LPA_EDGES_CTE keeps the oracle's tie-break in the same domain
     edges = _sp_edges(li).dropDuplicates()
-    assign = label_propagation_assignments(edges, rounds=_LPA_ROUNDS)
-    return modularity(edges, assign)
+    assign = label_propagation_assignments(
+        edges, rounds=_LPA_ROUNDS, canonical=True, broadcast_state=True
+    )
+    return modularity(edges, assign, canonical=True)
 
 
 _TRUSS_K = 10

@@ -407,7 +407,10 @@ def pagerank_weighted(
 
 
 def triangle_count(
-    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    canonical: bool = False,
 ) -> DataFrame:
     """Exact triangle enumeration over an undirected edge DataFrame,
     returning one row per triangle ``(a, b, c)`` with ``a < b < c`` in
@@ -441,15 +444,24 @@ def triangle_count(
     # degree joins — un-materialized, the caller's edge construction
     # (a lineitem self-join in the registered co-occurrence query)
     # would execute three times (the PPJoin re-inlining lesson).
-    e = (
-        edges.select(
-            F.least(F.col(src_col), F.col(dst_col)).alias("x"),
-            F.greatest(F.col(src_col), F.col(dst_col)).alias("y"),
+    # ``canonical=True``: the caller guarantees a DISTINCT src<dst
+    # simple edge list (the co-occurrence convention), so the
+    # least/greatest + distinct shuffle — a full re-shuffle of the
+    # edge set — is skipped (see kcore).
+    if canonical:
+        e = edges.select(
+            F.col(src_col).alias("x"), F.col(dst_col).alias("y")
+        ).transform(materialize)
+    else:
+        e = (
+            edges.select(
+                F.least(F.col(src_col), F.col(dst_col)).alias("x"),
+                F.greatest(F.col(src_col), F.col(dst_col)).alias("y"),
+            )
+            .filter(F.col("x") != F.col("y"))
+            .distinct()
+            .transform(materialize)
         )
-        .filter(F.col("x") != F.col("y"))
-        .distinct()
-        .transform(materialize)
-    )
     deg = (
         e.select(F.col("x").alias("node"))
         .unionByName(e.select(F.col("y").alias("node")))
@@ -489,12 +501,15 @@ def triangle_count(
 
 
 def triangle_counts_per_node(
-    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    canonical: bool = False,
 ) -> DataFrame:
     """Per-node triangle participation counts: (node, n_triangles).
     Each triangle credits all three corners; nodes in no triangle are
     absent (join against the vertex set to zero-fill if needed)."""
-    tri = triangle_count(edges, src_col, dst_col)
+    tri = triangle_count(edges, src_col, dst_col, canonical=canonical)
     return (
         tri.select(
             F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("node")
@@ -605,6 +620,7 @@ def kcore(
     rounds: int = 4,
     src_col: str = "src",
     dst_col: str = "dst",
+    canonical: bool = False,
 ) -> DataFrame:
     """Fixed-round k-core peeling: run EXACTLY ``rounds`` rounds of
     'drop nodes with undirected degree < k', then report the surviving
@@ -618,15 +634,20 @@ def kcore(
     semi-joins keyed by node — O(edges) per round, no driver state.
 
     Returns (node, core_degree) for nodes surviving all rounds.
+
+    ``canonical=True`` declares the input a DISTINCT simple edge list
+    with no self-loops and at most one direction per pair (e.g. the
+    src<dst co-occurrence convention): doubling such a list cannot
+    create duplicates or loops, so the setup dedup shuffle — the
+    single most expensive stage at sf0.1 — is skipped.  The caller
+    owns the guarantee; a wrong claim double-counts degrees.
     """
     if k < 1 or rounds < 1:
         raise ValueError("k and rounds must be >= 1")
-    e = (
-        undirected(edges, src_col, dst_col)
-        .filter(F.col("src") != F.col("dst"))
-        .dropDuplicates()
-        .transform(materialize)
-    )
+    e = undirected(edges, src_col, dst_col)
+    if not canonical:
+        e = e.filter(F.col("src") != F.col("dst")).dropDuplicates()
+    e = e.transform(materialize)
     for _ in range(rounds):
         # survivor set feeds both semi-joins, but its lineage is the
         # round's checkpointed `e` — re-running one degree shuffle is
@@ -683,6 +704,8 @@ def label_propagation(
     rounds: int = 3,
     src_col: str = "src",
     dst_col: str = "dst",
+    canonical: bool = False,
+    broadcast_state: bool = False,
 ) -> DataFrame:
     """Synchronous label-propagation community detection (Raghavan
     et al. 2007), made deterministic and hash-checkable: every node
@@ -703,7 +726,10 @@ def label_propagation(
     on the driver.  Returns (community, n_nodes) sizes.
     """
     return (
-        label_propagation_assignments(edges, rounds, src_col, dst_col)
+        label_propagation_assignments(
+            edges, rounds, src_col, dst_col,
+            canonical=canonical, broadcast_state=broadcast_state,
+        )
         .groupBy(F.col("lbl").alias("community"))
         .agg(F.count(F.lit(1)).alias("n_nodes"))
         .orderBy("community")
@@ -715,24 +741,32 @@ def label_propagation_assignments(
     rounds: int = 3,
     src_col: str = "src",
     dst_col: str = "dst",
+    canonical: bool = False,
+    broadcast_state: bool = False,
 ) -> DataFrame:
     """The (node, lbl) assignment frame behind
     :func:`label_propagation` — exposed so downstream community
-    measures (modularity) share the exact deterministic labels."""
+    measures (modularity) share the exact deterministic labels.
+
+    ``canonical=True``: input is a distinct simple edge list with at
+    most one direction per pair (see :func:`kcore`) — skips the
+    setup dedup shuffle after doubling.  ``broadcast_state=True``
+    hints the node-sized label frame map-side in the per-round vote
+    join (right when nodes ≪ edges; leave False for billion-node
+    label state — see :func:`pagerank`)."""
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
-    e = (
-        undirected(edges, src_col, dst_col)
-        .filter(F.col("src") != F.col("dst"))
-        .dropDuplicates()
-        .transform(materialize)
-    )
+    bc = F.broadcast if broadcast_state else (lambda df: df)
+    e = undirected(edges, src_col, dst_col)
+    if not canonical:
+        e = e.filter(F.col("src") != F.col("dst")).dropDuplicates()
+    e = e.transform(materialize)
     labels = e.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     )
     for _ in range(rounds):
         votes = (
-            e.join(labels, e.dst == labels.node)
+            e.join(bc(labels), e.dst == labels.node)
             .groupBy("src", "lbl")
             .agg(F.count(F.lit(1)).alias("_c"))
         )
@@ -760,6 +794,7 @@ def modularity(
     decimals: int = 9,
     src_col: str = "src",
     dst_col: str = "dst",
+    canonical: bool = False,
 ) -> DataFrame:
     """Newman modularity per community:
     ``Q_c = e_c/m - (d_c/(2m))^2`` (Newman & Girvan 2004), the
@@ -778,11 +813,9 @@ def modularity(
     hash aggregates; assignment state is one row per node; nothing
     iterates.
     """
-    e = (
-        undirected(edges, src_col, dst_col)
-        .filter(F.col("src") != F.col("dst"))
-        .dropDuplicates()
-    )  # doubled: both directions present
+    e = undirected(edges, src_col, dst_col)  # doubled: both directions
+    if not canonical:  # see kcore: skip dedup for declared-simple input
+        e = e.filter(F.col("src") != F.col("dst")).dropDuplicates()
     a_src = assignments.select(
         F.col("node").alias("src"), F.col("lbl").alias("_ls")
     )
