@@ -11,6 +11,10 @@ from robosystems_spark.pipelines.xbrl import (  # noqa: F401
     build_xbrl_taxonomy_frames,
     classify_elements,
 )
+from robosystems_spark.pipelines.xbrl_parse import (  # noqa: F401
+    parse_instance,
+    raw_facts_from_filings,
+)
 from robosystems_spark.pipelines.gl import build_gl_frames  # noqa: F401
 from robosystems_spark.pipelines.connectors import (  # noqa: F401
     normalize_plaid_transactions,

@@ -1,0 +1,301 @@
+"""Raw XBRL instance documents → RAW_FACT_SCHEMA rows (the parse seam).
+
+The reference feeds its fact pipeline from Arelle's parsed model
+(/root/reference/robosystems/adapters/sec/processors/xbrl_graph.py:
+155-226 builds the controller, :527-620 walks ``cntlr.facts``); this
+module is the dependency-free twin for plain XBRL 2.1 instance
+documents: a stdlib ``xml.etree`` reader that emits one dict per
+reported fact with exactly the fields ``pipelines/xbrl.py``'s
+RAW_FACT_SCHEMA documents (each field's Arelle-side source is listed
+there).  Anyone holding EDGAR bytes can now run raw XML →
+``build_xbrl_graph_frames`` end-to-end without Arelle; Arelle (or any
+richer parser) remains pluggable at the same seam for inline-XBRL /
+full-DTS needs.
+
+Supported envelope (fail-soft, never wrong-value):
+
+- XBRL 2.1 instance documents: ``xbrli:context`` (entity identifier,
+  duration/instant periods, ``xbrldi:explicitMember`` dimensions in
+  segment or scenario), ``xbrli:unit`` (single measure or
+  ``xbrli:divide``), and item facts anywhere under the root carrying
+  ``contextRef`` (tuples are traversed, so facts nested in tuples are
+  found).
+- ``xsi:nil`` facts keep value NULL; unresolvable namespace prefixes
+  fall back to the local name (never silently mislabel).
+- Inline XBRL (ix:) is NOT parsed here — that is Arelle territory;
+  the reader raises ValueError on an ix root so callers route those
+  filings to the richer front-end instead of getting zero facts.
+
+Distributed shape: parsing is per-document CPU work with no cross-file
+state — ``raw_facts_from_filings`` runs it inside ``mapInPandas``
+(one task per batch of filings, Arrow-framed), the same pattern as
+``operators/multimodal.py``'s codec seam.  The driver never sees file
+bytes.
+"""
+
+from __future__ import annotations
+
+import io
+import xml.etree.ElementTree as ET
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+
+XBRLI_NS = "http://www.xbrl.org/2003/instance"
+XBRLDI_NS = "http://xbrl.org/2006/xbrldi"
+LINK_NS = "http://www.xbrl.org/2003/linkbase"
+XSI_NS = "http://www.w3.org/2001/XMLSchema-instance"
+IX_NS_PREFIX = "http://www.xbrl.org/2013/inlineXBRL"
+DEI_NS_PREFIX = "http://xbrl.sec.gov/dei"
+
+_NON_FACT_NS = {XBRLI_NS, LINK_NS, XSI_NS}
+
+
+def _split_tag(tag: str) -> tuple[str, str]:
+    """'{ns}local' -> (ns, local); no-namespace tags -> ('', local)."""
+    if tag.startswith("{"):
+        ns, _, local = tag[1:].partition("}")
+        return ns, local
+    return "", tag
+
+
+def _parse_with_nsmap(data: bytes) -> tuple[ET.Element, dict[str, str]]:
+    """Parse and return (root, {namespace_uri: prefix}).
+
+    ElementTree drops prefix bindings from the tree, so they are
+    collected from ``start-ns`` events; the first NON-EMPTY prefix
+    seen for a URI wins (documents rebinding a URI to several
+    prefixes are rare and any of them is a faithful qname)."""
+    ns_by_uri: dict[str, str] = {}
+    root = None
+    for event, payload in ET.iterparse(
+        io.BytesIO(data), events=("start-ns", "start")
+    ):
+        if event == "start-ns":
+            prefix, uri = payload
+            if prefix and uri not in ns_by_uri:
+                ns_by_uri[uri] = prefix
+        elif root is None:
+            root = payload
+    if root is None:
+        raise ValueError("empty XML document")
+    return root, ns_by_uri
+
+
+def _text(elem: ET.Element | None) -> str | None:
+    if elem is None or elem.text is None:
+        return None
+    t = elem.text.strip()
+    return t or None
+
+
+def _parse_contexts(
+    root: ET.Element,
+) -> dict[str, dict]:
+    """context id -> {cik, period_start, period_end, period_instant,
+    dimensions} (xbrl_graph.py's make_fact reads the same context
+    fields off Arelle's ModelContext)."""
+    out: dict[str, dict] = {}
+    for ctx in root.iter(f"{{{XBRLI_NS}}}context"):
+        cid = ctx.get("id")
+        if not cid:
+            continue
+        ident = ctx.find(f"{{{XBRLI_NS}}}entity/{{{XBRLI_NS}}}identifier")
+        cik = _text(ident)
+        period = ctx.find(f"{{{XBRLI_NS}}}period")
+        start = end = instant = None
+        if period is not None:
+            start = _text(period.find(f"{{{XBRLI_NS}}}startDate"))
+            end = _text(period.find(f"{{{XBRLI_NS}}}endDate"))
+            instant = _text(period.find(f"{{{XBRLI_NS}}}instant"))
+        dims: dict[str, str] = {}
+        # explicit dimensions live in entity/segment or scenario
+        for holder in (
+            ctx.find(f"{{{XBRLI_NS}}}entity/{{{XBRLI_NS}}}segment"),
+            ctx.find(f"{{{XBRLI_NS}}}scenario"),
+        ):
+            if holder is None:
+                continue
+            for mem in holder.iter(f"{{{XBRLDI_NS}}}explicitMember"):
+                dim = mem.get("dimension")
+                val = _text(mem)
+                if dim and val:
+                    dims[dim] = val
+        out[cid] = {
+            "cik": cik,
+            "period_start": start,
+            "period_end": end,
+            "period_instant": instant,
+            "dimensions": dims or None,
+        }
+    return out
+
+
+def _parse_units(root: ET.Element) -> dict[str, str]:
+    """unit id -> measure string: single measures keep their qname
+    text; xbrli:divide renders 'numerator/denominator' (the shape
+    pipelines/xbrl.py's unit frame splits back apart)."""
+    out: dict[str, str] = {}
+    for unit in root.iter(f"{{{XBRLI_NS}}}unit"):
+        uid = unit.get("id")
+        if not uid:
+            continue
+        divide = unit.find(f"{{{XBRLI_NS}}}divide")
+        if divide is not None:
+            num = _text(
+                divide.find(
+                    f"{{{XBRLI_NS}}}unitNumerator/{{{XBRLI_NS}}}measure"
+                )
+            )
+            den = _text(
+                divide.find(
+                    f"{{{XBRLI_NS}}}unitDenominator/{{{XBRLI_NS}}}measure"
+                )
+            )
+            if num and den:
+                out[uid] = f"{num}/{den}"
+        else:
+            measure = _text(unit.find(f"{{{XBRLI_NS}}}measure"))
+            if measure:
+                out[uid] = measure
+    return out
+
+
+def parse_instance(
+    data: bytes,
+    accession: str,
+    form: str | None = None,
+    filing_date: str | None = None,
+    entity_name: str | None = None,
+) -> list[dict]:
+    """Parse one XBRL instance document into RAW_FACT_SCHEMA dicts.
+
+    ``accession``/``form``/``filing_date`` are filing metadata the
+    instance itself doesn't carry (the reference reads them from the
+    SEC index); ``form`` and ``entity_name`` fall back to the
+    dei:DocumentType / dei:EntityRegistrantName facts when present.
+    """
+    root, ns_by_uri = _parse_with_nsmap(data)
+    root_ns, _ = _split_tag(root.tag)
+    if root_ns.startswith(IX_NS_PREFIX):
+        raise ValueError(
+            "inline XBRL (ix:) documents need a full parser front-end "
+            "(Arelle); this reader handles plain XBRL 2.1 instances"
+        )
+    contexts = _parse_contexts(root)
+    units = _parse_units(root)
+
+    facts: list[dict] = []
+    dei_name = None
+    dei_form = None
+    for elem in root.iter():
+        ctx_ref = elem.get("contextRef")
+        if ctx_ref is None:
+            continue
+        ns, local = _split_tag(elem.tag)
+        if ns in _NON_FACT_NS:
+            continue
+        ctx = contexts.get(ctx_ref)
+        if ctx is None or ctx["cik"] is None:
+            continue  # dangling contextRef: not a reportable fact
+        prefix = ns_by_uri.get(ns)
+        qname = f"{prefix}:{local}" if prefix else local
+        nil = elem.get(f"{{{XSI_NS}}}nil")
+        value = None if nil == "true" else _text(elem)
+        if ns.startswith(DEI_NS_PREFIX):
+            if local == "EntityRegistrantName" and value:
+                dei_name = value
+            elif local == "DocumentType" and value:
+                dei_form = value
+        unit_ref = elem.get("unitRef")
+        facts.append(
+            {
+                "entity_cik": ctx["cik"],
+                "entity_name": None,  # backfilled below
+                "accession": accession,
+                "form": None,  # backfilled below
+                "filing_date": filing_date,
+                "concept_qname": qname,
+                "concept_uri": f"{ns}#{local}" if ns else local,
+                "value": value,
+                "decimals": elem.get("decimals"),
+                "unit": units.get(unit_ref) if unit_ref else None,
+                "period_start": ctx["period_start"],
+                "period_end": ctx["period_end"],
+                "period_instant": ctx["period_instant"],
+                "dimensions": ctx["dimensions"],
+            }
+        )
+    name = entity_name or dei_name
+    form_final = form or dei_form
+    for f in facts:
+        f["entity_name"] = name
+        f["form"] = form_final
+    return facts
+
+
+def raw_facts_from_filings(filings: DataFrame) -> DataFrame:
+    """Distributed front-end: a DataFrame of filings → one
+    RAW_FACT_SCHEMA row per fact, parsed inside ``mapInPandas``.
+
+    ``filings`` columns: ``accession`` STRING (required), ``content``
+    BINARY (the instance document bytes, required), plus optional
+    ``form``, ``filing_date``, ``entity_name`` STRINGs.
+
+    Scale shape: one task per Arrow batch of filings, no shuffle, no
+    driver-side bytes; a filing that fails to parse is reported as a
+    single poison row (entity_cik='__parse_error__', value=the
+    message) instead of killing the stage — the 100 TB crawl-corpus
+    discipline every decode seam here follows."""
+    from robosystems_spark.pipelines.xbrl import RAW_FACT_SCHEMA
+
+    opt = set(filings.columns)
+
+    def _parse_batch(batches) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows: list[dict] = []
+            for _, r in pdf.iterrows():
+                acc = r["accession"]
+                try:
+                    content = r["content"]
+                    if isinstance(content, memoryview):
+                        content = bytes(content)
+                    rows.extend(
+                        parse_instance(
+                            content,
+                            accession=acc,
+                            form=r["form"] if "form" in opt else None,
+                            filing_date=(
+                                r["filing_date"] if "filing_date" in opt else None
+                            ),
+                            entity_name=(
+                                r["entity_name"] if "entity_name" in opt else None
+                            ),
+                        )
+                    )
+                except Exception as exc:  # noqa: BLE001 - poison-row contract
+                    rows.append(
+                        {
+                            "entity_cik": "__parse_error__",
+                            "entity_name": None,
+                            "accession": acc,
+                            "form": None,
+                            "filing_date": None,
+                            "concept_qname": "__parse_error__",
+                            "concept_uri": "__parse_error__",
+                            "value": f"{type(exc).__name__}: {exc}",
+                            "decimals": None,
+                            "unit": None,
+                            "period_start": None,
+                            "period_end": None,
+                            "period_instant": None,
+                            "dimensions": None,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in RAW_FACT_SCHEMA.fields]
+            )
+
+    return filings.mapInPandas(_parse_batch, schema=RAW_FACT_SCHEMA)
