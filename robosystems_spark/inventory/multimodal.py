@@ -158,6 +158,78 @@ def multimodal_png_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TIFFJ_W, _TIFFJ_H = 16, 16
+
+
+@register(
+    "multimodal_tiff_jpeg_stats",
+    oracle=f"""
+    SELECT d.doc_id,
+           CAST({_TIFFJ_W} AS INTEGER) AS width,
+           CAST({_TIFFJ_H} AS INTEGER) AS height,
+           ROUND(CAST((d.doc_id * 26) % 256 AS DOUBLE), 6) AS mean_r,
+           ROUND(CAST((d.doc_id * 26) % 256 AS DOUBLE), 6) AS mean_g,
+           ROUND(CAST((d.doc_id * 26) % 256 AS DOUBLE), 6) AS mean_b,
+           CAST((d.doc_id * 26) % 256 AS INTEGER) AS corner_r
+    FROM documents d
+    WHERE d.doc_id < {_N_DOCS}
+    ORDER BY d.doc_id
+    """,
+    doc="New-style JPEG-in-TIFF (compression 7, TIFF Technote 2): one "
+    "baseline-JPEG stream per strip/tile, shared DQT/DHT via the "
+    "JPEGTables tag.  JPEG is lossy, so the hash-exact oracle rides "
+    "the DC-only exactness property: a CONSTANT grayscale image at an "
+    "EVEN level survives FDCT->quantize->IDCT bit-exactly (odd levels "
+    "do not — verified), making decode(encode(const)) == const a hard "
+    "contract.  Variants cycle by doc_id: strips / strips+JPEGTables / "
+    "tiles / tiles+JPEGTables, so the table-splice path and the "
+    "edge-replicated tile padding both sit inside the oracle gate.",
+    tags=("multimodal",),
+    bench=True,
+)
+def multimodal_tiff_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from robosystems_spark.operators.multimodal import image_channel_stats
+    from robosystems_spark.operators.tiff import encode_tiff
+
+    w, h = _TIFFJ_W, _TIFFJ_H
+
+    def encode(it):
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                v = (int(did) * 26) % 256  # always even: DC-exact
+                img = np.full((h, w), v, dtype=np.uint8)
+                variant = int(did) % 4
+                payloads.append(
+                    encode_tiff(
+                        img,
+                        compression=7,
+                        rows_per_strip=8 if variant < 2 else None,
+                        tile=(16, 16) if variant >= 2 else None,
+                        jpeg_tables=variant % 2 == 1,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": payloads})
+
+    media = _doc_ids(spark, sf_dir).mapInPandas(
+        encode,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("content", T.BinaryType()),
+            ]
+        ),
+    )
+    return (
+        image_channel_stats(media, id_col="doc_id")
+        .withColumnRenamed("media_id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
 _TIFF_W, _TIFF_H = 8, 4
 
 

@@ -59,6 +59,7 @@ _T_TILE_WIDTH = 322
 _T_TILE_LENGTH = 323
 _T_TILE_OFFSETS = 324
 _T_TILE_COUNTS = 325
+_T_JPEGTABLES = 347
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
 
@@ -255,6 +256,107 @@ def _packbits_encode(row: bytes) -> bytes:
     return bytes(out)
 
 
+def _jpeg_splice_tables(chunk: bytes, tables: bytes | None) -> bytes:
+    """TIFF Technote 2 table sharing: the JPEGTables tag holds an
+    abbreviated tables-only stream (SOI, DQT/DHT..., EOI) whose
+    tables apply to every strip/tile stream (themselves often
+    abbreviated: SOI straight to SOF/SOS).  Splicing the tables body
+    after the chunk's SOI yields one self-contained stream; tables a
+    chunk redefines come later in marker order, so they override —
+    exactly the Technote's precedence."""
+    if not tables or len(tables) < 4:
+        return chunk
+    if tables[:2] != b"\xff\xd8" or chunk[:2] != b"\xff\xd8":
+        raise ValueError("JPEGTables / strip stream missing SOI")
+    body = tables[2:]
+    if body[-2:] == b"\xff\xd9":
+        body = body[:-2]
+    return b"\xff\xd8" + body + chunk[2:]
+
+
+def _decode_tiff_jpeg(
+    data: bytes,
+    tags: dict[int, list[int]],
+    w: int,
+    h: int,
+    spp: int,
+    photometric: int,
+    planar: int,
+):
+    """Compression-7 organization walker: decode each strip/tile with
+    the baseline/progressive JPEG decoder (operators/jpeg.py) and
+    paste pixels.  Photometric 6 (YCbCr, the Technote-2 standard for
+    color) rides the decoder's built-in YCbCr->RGB; 0/1 grayscale
+    replicates; photometric 2 would need the 3 components passed
+    through UNconverted, which the shared decoder doesn't expose —
+    loud seam, never wrong colors."""
+    from robosystems_spark.operators.jpeg import decode_jpeg
+
+    if planar != 1:
+        raise NotImplementedError("planar JPEG-in-TIFF")
+    if photometric not in (0, 1, 6):
+        raise NotImplementedError(
+            f"JPEG-in-TIFF photometric {photometric} (0/1 grayscale and "
+            "6 YCbCr supported)"
+        )
+    if spp not in (1, 3):
+        raise ValueError("JPEG-in-TIFF requires 1 or 3 samples per pixel")
+    tables_vals = tags.get(_T_JPEGTABLES)
+    tables = bytes(tables_vals) if tables_vals else None
+
+    def dec(off: int, cnt: int, n_rows: int, n_cols: int) -> np.ndarray:
+        px = decode_jpeg(_jpeg_splice_tables(bytes(data[off : off + cnt]), tables))
+        if px.shape[2] == 1:
+            px = np.repeat(px, 3, axis=2)
+        if px.shape[0] < n_rows or px.shape[1] < n_cols:
+            raise ValueError("JPEG strip/tile smaller than declared region")
+        return px[:n_rows, :n_cols]
+
+    out = np.zeros((h, w, 3), dtype=np.uint8)
+    if _T_TILE_WIDTH in tags:
+        tw = tags[_T_TILE_WIDTH][0]
+        tl = tags.get(_T_TILE_LENGTH, [0])[0]
+        offsets = tags.get(_T_TILE_OFFSETS)
+        counts = tags.get(_T_TILE_COUNTS)
+        if not tw or not tl or not offsets or not counts:
+            raise ValueError("tiled TIFF missing tile tags")
+        if tw % 16 or tl % 16:
+            raise ValueError("tile dimensions must be multiples of 16")
+        tiles_across = (w + tw - 1) // tw
+        tiles_down = (h + tl - 1) // tl
+        if len(offsets) < tiles_across * tiles_down:
+            raise ValueError("tile count does not cover the image")
+        for ty in range(tiles_down):
+            for tx in range(tiles_across):
+                i = ty * tiles_across + tx
+                y0, x0 = ty * tl, tx * tw
+                ch = min(tl, h - y0)
+                cw = min(tw, w - x0)
+                # JPEG tiles are encoded at full tile size (edge tiles
+                # padded); crop to the in-image region
+                out[y0 : y0 + ch, x0 : x0 + cw] = dec(
+                    offsets[i], counts[i], ch, cw
+                )
+    else:
+        offsets = tags.get(_T_STRIP_OFFSETS)
+        counts = tags.get(_T_STRIP_COUNTS)
+        if not offsets or not counts:
+            raise ValueError("TIFF missing StripOffsets/StripByteCounts")
+        rps = tags.get(_T_ROWS_PER_STRIP, [h])[0] or h
+        y = 0
+        for off, cnt in zip(offsets, counts):
+            n_rows = min(rps, h - y)
+            if n_rows <= 0:
+                break
+            out[y : y + n_rows] = dec(off, cnt, n_rows, w)
+            y += n_rows
+        if y < h:
+            raise ValueError("JPEG strips do not cover the image height")
+    if photometric == 0:  # WhiteIsZero grayscale: invert
+        out = (255 - out.astype(np.int32)).astype(np.uint8)
+    return out
+
+
 def decode_tiff(data: bytes):
     """Decode a baseline TIFF into an (h, w, 3) uint8 RGB array.
 
@@ -292,8 +394,16 @@ def decode_tiff(data: bytes):
     t4opts = tags.get(_T_T4OPTIONS, [0])[0]
     if compression == 3 and t4opts & 2:
         raise NotImplementedError("G3 uncompressed mode not supported")
-    if compression in (6, 7):
-        raise NotImplementedError("JPEG-in-TIFF not supported")
+    if compression == 6:
+        raise NotImplementedError(
+            "old-style JPEG-in-TIFF (compression 6, deprecated by "
+            "Technote 2) not supported; new-style compression 7 decodes"
+        )
+    if compression == 7:
+        # new-style JPEG (TIFF Technote 2): each strip/tile is a JPEG
+        # stream, shared tables come from the JPEGTables tag — decodes
+        # straight to pixels, bypassing the byte-row unpack machinery
+        return _decode_tiff_jpeg(data, tags, w, h, spp, photometric, planar)
     if compression not in (1, 2, 3, 4, 5, 32773):
         raise NotImplementedError(f"TIFF compression {compression}")
     if compression in (2, 3, 4) and (bits != 1 or spp != 1):
@@ -485,6 +595,34 @@ def decode_tiff(data: bytes):
     raise NotImplementedError(f"TIFF photometric {photometric}")
 
 
+def _jpeg_split_tables(stream: bytes) -> tuple[bytes, bytes]:
+    """Split a self-contained JPEG into (tables-only stream,
+    abbreviated image stream) — the Technote-2 JPEGTables factoring
+    ``_jpeg_splice_tables`` reverses.  DQT/DHT segments move to the
+    tables stream; everything else (APPn, SOF, SOS + entropy data)
+    stays in the image stream."""
+    if stream[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream")
+    tables = bytearray()
+    rest = bytearray()
+    i = 2
+    while i + 4 <= len(stream):
+        if stream[i] != 0xFF:
+            raise ValueError("bad marker alignment")
+        marker = stream[i + 1]
+        if marker == 0xDA:  # SOS: entropy data through EOI stays
+            rest += stream[i:]
+            break
+        seglen = int.from_bytes(stream[i + 2 : i + 4], "big")
+        seg = stream[i : i + 2 + seglen]
+        (tables if marker in (0xDB, 0xC4) else rest).extend(seg)
+        i += 2 + seglen
+    return (
+        b"\xff\xd8" + bytes(tables) + b"\xff\xd9",
+        b"\xff\xd8" + bytes(rest),
+    )
+
+
 def encode_tiff(
     arr,
     compression: int = 1,
@@ -497,6 +635,7 @@ def encode_tiff(
     tile: tuple[int, int] | None = None,
     planar: int = 1,
     t4options: int = 0,
+    jpeg_tables: bool = False,
 ) -> bytes:
     """Encode an array as a baseline TIFF (decode_tiff inverse) —
     fixture synthesis for oracle entries and tests.
@@ -506,7 +645,11 @@ def encode_tiff(
     values when ``bits=16``); (h, w) palette indices with
     ``palette=(n, 3) uint8`` for photometric 3 (ColorMap entries
     written as ``c * 257``).  ``compression``: 1 / 5 (LZW, with
-    optional ``predictor=2``) / 32773 (PackBits, per-row packets).
+    optional ``predictor=2``) / 32773 (PackBits, per-row packets) /
+    2/3/4 (CCITT bilevel) / 7 (new-style JPEG: one baseline stream
+    per strip/tile; ``jpeg_tables=True`` factors the shared DQT/DHT
+    into a JPEGTables tag with abbreviated per-chunk streams, the
+    real-world Technote-2 shape).
     """
     a = np.asarray(arr)
     end = "little" if byte_order == "<" else "big"
@@ -597,7 +740,47 @@ def encode_tiff(
         raise ValueError("CCITT data requires 1-bit single samples")
 
     chunks = []
-    if planar == 2:
+    jpeg_tables_bytes: bytes | None = None
+    if compression == 7:
+        from robosystems_spark.operators.jpeg import encode_jpeg
+
+        if planar != 1:
+            raise ValueError("planar JPEG-in-TIFF not supported")
+        if bits != 8:
+            raise ValueError("JPEG-in-TIFF requires 8-bit samples")
+        photometric = 6 if spp == 3 else 1
+        a3 = a.reshape(h, w, spp)
+        img = a3 if spp == 3 else a3[:, :, 0]
+        if tile is not None:
+            tw, tl = tile
+            if tw % 16 or tl % 16:
+                raise ValueError("tile dimensions must be multiples of 16")
+            ph = ((h + tl - 1) // tl) * tl
+            pw = ((w + tw - 1) // tw) * tw
+            # edge-replicate (not zero-fill): zero padding would put a
+            # hard edge inside boundary DCT blocks and ring back into
+            # the cropped region on decode
+            pad = ((0, ph - h), (0, pw - w)) + (
+                ((0, 0),) if spp == 3 else ()
+            )
+            padded = np.pad(np.asarray(img, dtype=np.uint8), pad, mode="edge")
+            for y0 in range(0, padded.shape[0], tl):
+                for x0 in range(0, padded.shape[1], tw):
+                    chunks.append(
+                        encode_jpeg(padded[y0 : y0 + tl, x0 : x0 + tw])
+                    )
+            rps = None
+        else:
+            rps = rows_per_strip or h
+            for y0 in range(0, h, rps):
+                chunks.append(encode_jpeg(img[y0 : y0 + rps]))
+        if jpeg_tables:
+            split = [_jpeg_split_tables(c) for c in chunks]
+            jpeg_tables_bytes = split[0][0]
+            if any(t != jpeg_tables_bytes for t, _ in split):
+                raise ValueError("per-chunk tables differ; cannot share")
+            chunks = [abbrev for _, abbrev in split]
+    elif planar == 2:
         if tile is not None:
             raise ValueError("planar tiles not supported")
         if spp < 2:
@@ -677,6 +860,8 @@ def encode_tiff(
         tag(_T_T4OPTIONS, 4, [t4options])
     if predictor == 2:
         tag(_T_PREDICTOR, 3, [predictor])
+    if jpeg_tables_bytes is not None:
+        tag(_T_JPEGTABLES, 7, list(jpeg_tables_bytes))
     if palette is not None:
         p = np.asarray(palette, dtype=np.uint32)
         n = 1 << bits

@@ -508,3 +508,62 @@ def test_tiff_zero_count_and_past_eof_ifd_entries_value_error():
     )
     with pytest.raises(ValueError):
         decode_tiff(head + body)
+
+
+def test_tiff_jpeg_compression7():
+    """New-style JPEG-in-TIFF (Technote 2): strips and tiles, with and
+    without the shared JPEGTables tag; the splice must be LOSSLESS
+    relative to decoding the same JPEG stream directly, and constant
+    even-valued grayscale round-trips bit-exactly (DC-only blocks)."""
+    from robosystems_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    x = np.linspace(0, 4 * np.pi, 64)
+    img = (
+        127
+        + 100 * np.sin(x)[None, :, None] * np.cos(0.7 * x)[:, None, None]
+        * np.array([1.0, 0.8, 0.6])[None, None, :]
+    ).astype(np.uint8)
+
+    for kwargs in (
+        dict(rows_per_strip=16),
+        dict(rows_per_strip=16, jpeg_tables=True),
+        dict(tile=(32, 32)),
+        dict(tile=(32, 32), jpeg_tables=True),
+    ):
+        got = decode_tiff(encode_tiff(img, compression=7, **kwargs))
+        assert got.shape == (64, 64, 3)
+        assert np.abs(got.astype(int) - img.astype(int)).mean() < 12
+    # splice exactness: single-strip TIFF decode == direct JPEG decode
+    got = decode_tiff(encode_tiff(img, compression=7, rows_per_strip=64))
+    assert np.array_equal(got, decode_jpeg(encode_jpeg(img)))
+    # JPEGTables factoring exactness: same pixels with/without sharing
+    a = decode_tiff(encode_tiff(img, compression=7, rows_per_strip=16))
+    b = decode_tiff(
+        encode_tiff(img, compression=7, rows_per_strip=16, jpeg_tables=True)
+    )
+    assert np.array_equal(a, b)
+    # DC-exactness contract for the oracle entry: constant EVEN gray
+    for variant in range(4):
+        const = np.full((16, 16), 128, dtype=np.uint8)
+        t = encode_tiff(
+            const,
+            compression=7,
+            rows_per_strip=8 if variant < 2 else None,
+            tile=(16, 16) if variant >= 2 else None,
+            jpeg_tables=variant % 2 == 1,
+        )
+        assert np.all(decode_tiff(t) == 128)
+    # non-16-multiple image through tiles: edge-replication pads, crop
+    # restores; error stays JPEG-small at the image edge too
+    odd = img[:40, :56]
+    got = decode_tiff(encode_tiff(odd, compression=7, tile=(32, 32)))
+    assert got.shape == (40, 56, 3)
+    assert np.abs(got.astype(int) - odd.astype(int)).mean() < 12
+    # old-style compression 6 stays a loud seam
+    import pytest
+
+    t6 = bytearray(encode_tiff(img[:16, :16], compression=1))
+    i = t6.find((259).to_bytes(2, "little") + (3).to_bytes(2, "little"))
+    t6[i + 8] = 6  # flip the compression tag value to 6
+    with pytest.raises(NotImplementedError, match="old-style"):
+        decode_tiff(bytes(t6))
