@@ -23,9 +23,10 @@ other decoders: 16-bit samples scale as ``round(v / 257)`` (the exact
 inverse of ``v * 257``), sub-byte grayscale scales by
 ``round(v * 255 / (2^bits - 1))``.
 
-Honest seams (loud ``NotImplementedError``): CCITT T.4 Group 3
-(EOL-framed), JPEG-in-TIFF, planar TILES, and floating-point
-samples.  Planar configuration 2 with strips decodes.
+Honest seams (loud ``NotImplementedError``): old-style JPEG
+(compression 6, deprecated), G3 uncompressed mode, floating-point
+samples.  New-style JPEG (compression 7, strips/tiles/JPEGTables)
+and planar configuration 2 with strips AND tiles decode.
 
 ``encode_tiff`` is the fixture synthesizer (the decode inverse) so
 oracle entries and tests round-trip REAL container bytes, including a
@@ -324,7 +325,8 @@ def _decode_tiff_jpeg(
             raise ValueError("tile dimensions must be multiples of 16")
         tiles_across = (w + tw - 1) // tw
         tiles_down = (h + tl - 1) // tl
-        if len(offsets) < tiles_across * tiles_down:
+        if (len(offsets) < tiles_across * tiles_down
+                or len(counts) < tiles_across * tiles_down):
             raise ValueError("tile count does not cover the image")
         for ty in range(tiles_down):
             for tx in range(tiles_across):
@@ -492,9 +494,39 @@ def decode_tiff(data: bytes):
             )
         return px
 
-    if planar == 2:  # plane-major strips (all strips of plane 0, ...)
-        if _T_TILE_WIDTH in tags:
-            raise NotImplementedError("planar tile organization")
+    if planar == 2 and _T_TILE_WIDTH in tags:
+        # plane-major TILES (TIFF 6.0 §15 + PlanarConfiguration 2:
+        # the full tile grid of plane 0, then plane 1, ...) — each
+        # tile is a 1-component little image
+        tw = tags[_T_TILE_WIDTH][0]
+        tl = tags.get(_T_TILE_LENGTH, [0])[0]
+        offsets = tags.get(_T_TILE_OFFSETS)
+        counts = tags.get(_T_TILE_COUNTS)
+        if not tw or not tl or not offsets or not counts:
+            raise ValueError("tiled TIFF missing tile tags")
+        if tw % 16 or tl % 16:
+            raise ValueError("tile dimensions must be multiples of 16")
+        tiles_across = (w + tw - 1) // tw
+        tiles_down = (h + tl - 1) // tl
+        tpp = tiles_across * tiles_down  # tiles per plane
+        if len(offsets) < tpp * spp or len(counts) < tpp * spp:
+            raise ValueError("tile count does not cover all planes")
+        planes = []
+        for pidx in range(spp):
+            plane = np.zeros((h, w), dtype=np.uint32)
+            for ty in range(tiles_down):
+                for tx in range(tiles_across):
+                    i = pidx * tpp + ty * tiles_across + tx
+                    tile = unpack(
+                        decompress(offsets[i], counts[i], tl, tw), tl, tw, 1
+                    )[:, :, 0]
+                    y0, x0 = ty * tl, tx * tw
+                    ch = min(tl, h - y0)
+                    cw = min(tw, w - x0)
+                    plane[y0 : y0 + ch, x0 : x0 + cw] = tile[:ch, :cw]
+            planes.append(plane)
+        px = np.stack(planes, axis=2)
+    elif planar == 2:  # plane-major strips (all strips of plane 0, ...)
         offsets = tags.get(_T_STRIP_OFFSETS)
         counts = tags.get(_T_STRIP_COUNTS)
         if not offsets or not counts or len(offsets) % spp:
@@ -525,7 +557,8 @@ def decode_tiff(data: bytes):
             raise ValueError("tile dimensions must be multiples of 16")
         tiles_across = (w + tw - 1) // tw
         tiles_down = (h + tl - 1) // tl
-        if len(offsets) < tiles_across * tiles_down:
+        if (len(offsets) < tiles_across * tiles_down
+                or len(counts) < tiles_across * tiles_down):
             raise ValueError("tile count does not cover the image")
         px = np.zeros((h, w, spp), dtype=np.uint32)
         for ty in range(tiles_down):
@@ -781,16 +814,32 @@ def encode_tiff(
                 raise ValueError("per-chunk tables differ; cannot share")
             chunks = [abbrev for _, abbrev in split]
     elif planar == 2:
-        if tile is not None:
-            raise ValueError("planar tiles not supported")
         if spp < 2:
             raise ValueError("planar 2 needs multiple samples")
         a3 = a.reshape(h, w, spp)
-        rps = rows_per_strip or h
-        for pidx in range(spp):
-            rows = pack(a3[:, :, pidx], 1)
-            for y0 in range(0, h, rps):
-                chunks.append(compress_rows(rows[y0 : y0 + rps]))
+        if tile is not None:
+            tw, tl = tile
+            if tw % 16 or tl % 16:
+                raise ValueError("tile dimensions must be multiples of 16")
+            ph = ((h + tl - 1) // tl) * tl
+            pw = ((w + tw - 1) // tw) * tw
+            for pidx in range(spp):  # plane-major tile order
+                padded = np.zeros((ph, pw), dtype=a3.dtype)
+                padded[:h, :w] = a3[:, :, pidx]
+                for y0 in range(0, ph, tl):
+                    for x0 in range(0, pw, tw):
+                        chunks.append(
+                            compress_rows(
+                                pack(padded[y0 : y0 + tl, x0 : x0 + tw], 1)
+                            )
+                        )
+            rps = None
+        else:
+            rps = rows_per_strip or h
+            for pidx in range(spp):
+                rows = pack(a3[:, :, pidx], 1)
+                for y0 in range(0, h, rps):
+                    chunks.append(compress_rows(rows[y0 : y0 + rps]))
     elif tile is not None:
         tw, tl = tile
         if tw % 16 or tl % 16:
