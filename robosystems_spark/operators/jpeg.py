@@ -19,8 +19,12 @@ and resets DC predictors (and EOBRUN, in progressive scans); the
 baseline encoder emits them via ``restart_interval``.
 Non-interleaved baseline (one SOS per component, Ns<Nf) decodes via
 the same multi-scan coefficient-accumulation path as progressive.
-Honest seams: arithmetic coding, 12-bit depth, and sampling
-factors > 2 raise ``NotImplementedError`` —
+12-bit extended-sequential (SOF1: level shift 2048, 16-bit DQT
+entries, extended Huffman category ranges) decodes and encodes in
+the interleaved single-scan shape, scaling to the uint8 output
+contract via round(v * 255 / 4095).
+Honest seams: arithmetic coding, 12-bit multi-scan/progressive, and
+sampling factors > 2 raise ``NotImplementedError`` —
 each is a decode-path variant, not a new idea; the implemented paths
 cover the round-trip semantics (DCT, quantization, zigzag, DC
 prediction, run-length + Huffman entropy coding, byte stuffing,
@@ -119,6 +123,18 @@ _AC_VALS = [
     (r << 4) | s for r in range(16) for s in range(11) if not (r != 0 and s == 0)
 ] + [0xF0]  # (run 0-15, size 1-10) + EOB(0x00) + ZRL(0xF0)
 
+# 12-bit (extended sequential) tables: DC categories reach 15 and AC
+# coefficient sizes reach 14 (T.81 Tables F.1/F.2 extended ranges).
+# 16 DC symbols at length 5 (Kraft 16/32, max code 01111 — the
+# all-ones code stays reserved); 226 AC symbols at length 8
+# (Kraft 226/256, max code 225).
+_DC_BITS_12 = [0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS_12 = list(range(16))
+_AC_VALS_12 = [
+    (r << 4) | s for r in range(16) for s in range(15) if not (r != 0 and s == 0)
+] + [0xF0]
+_AC_BITS_12 = [0, 0, 0, 0, 0, 0, 0, 0, len(_AC_VALS_12), 0, 0, 0, 0, 0, 0, 0]
+
 
 class _BitWriter:
     def __init__(self) -> None:
@@ -214,9 +230,10 @@ def _write_block(
     dc_codes,
     ac_codes,
     prev_dc: int,
+    level: float = 128.0,
 ) -> int:
     """FDCT + quantize + entropy-code one 8x8 block; returns new DC."""
-    block = plane[by : by + 8, bx : bx + 8] - 128.0
+    block = plane[by : by + 8, bx : bx + 8] - level
     coef = np.round(_fdct(block) / q).astype(np.int64)
     zz = coef.flatten()[_ZIGZAG]
     diff = int(zz[0]) - prev_dc
@@ -252,24 +269,50 @@ def encode_jpeg(
     q_chroma=None,
     subsample: bool = False,
     restart_interval: int = 0,
+    precision: int = 8,
 ) -> bytes:
     """Encode an (h, w, 3) RGB or (h, w) grayscale uint8 array as a
     baseline JFIF JPEG — 4:4:4 by default, 4:2:0 with
     ``subsample=True`` (2x2-mean chroma downsampling, the layout
     virtually every camera/web JPEG uses).  Interleaved scan, flat
-    default quantization tables (override per call)."""
-    a = np.asarray(arr, dtype=np.uint8)
+    default quantization tables (override per call).
+
+    ``precision=12`` emits the extended-sequential process (SOF1):
+    samples in [0, 4095], level shift 2048, 16-bit DQT entries
+    (default tables scaled 16x to keep quality comparable), and
+    Huffman tables with the extended DC-category/AC-size ranges —
+    the medical/scientific-corpus variant."""
+    if precision not in (8, 12):
+        raise ValueError("precision must be 8 or 12")
+    ext = precision == 12
+    level = float(1 << (precision - 1))
+    maxval = (1 << precision) - 1
+    a = np.asarray(arr)
+    a = np.clip(a, 0, maxval).astype(np.uint16 if ext else np.uint8)
     gray = a.ndim == 2
     h, w = a.shape[:2]
-    qy = np.asarray(q_luma if q_luma is not None else _Q_LUMA, dtype=np.int32)
-    qc = np.asarray(q_chroma if q_chroma is not None else _Q_CHROMA, dtype=np.int32)
+    qscale = 16 if ext else 1
+    qy = np.asarray(
+        q_luma if q_luma is not None else _Q_LUMA * qscale, dtype=np.int32
+    )
+    qc = np.asarray(
+        q_chroma if q_chroma is not None else _Q_CHROMA * qscale,
+        dtype=np.int32,
+    )
 
     mcu = 16 if (subsample and not gray) else 8
     ph, pw = -(-h // mcu) * mcu, -(-w // mcu) * mcu  # pad to MCU multiples
     if gray:
         planes = [np.pad(a.astype(np.float64), ((0, ph - h), (0, pw - w)), mode="edge")]
     else:
-        ycc = _rgb_to_ycbcr(a)
+        ycc = _rgb_to_ycbcr(a) if not ext else None
+        if ext:
+            # native-domain YCbCr with chroma centered at `level`
+            r, g, b = (a[:, :, i].astype(np.float64) for i in range(3))
+            y_ = 0.299 * r + 0.587 * g + 0.114 * b
+            cb = -0.168736 * r - 0.331264 * g + 0.5 * b + level
+            cr = 0.5 * r - 0.418688 * g - 0.081312 * b + level
+            ycc = np.stack([y_, cb, cr], axis=2)
         planes = [
             np.pad(ycc[:, :, i], ((0, ph - h), (0, pw - w)), mode="edge")
             for i in range(3)
@@ -281,28 +324,44 @@ def encode_jpeg(
                     p[0::2, 0::2] + p[1::2, 0::2] + p[0::2, 1::2] + p[1::2, 1::2]
                 ) / 4.0
 
-    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
-    ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
+    dc_codes = _canonical_codes(
+        _DC_BITS_12 if ext else _DC_BITS, _DC_VALS_12 if ext else _DC_VALS
+    )
+    ac_codes = _canonical_codes(
+        _AC_BITS_12 if ext else _AC_BITS, _AC_VALS_12 if ext else _AC_VALS
+    )
 
     def seg(marker: int, payload: bytes) -> bytes:
         return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
 
+    def dqt(tq: int, q: np.ndarray) -> bytes:
+        zz = q.flatten()[_ZIGZAG]
+        if ext:  # Pq=1: 16-bit big-endian entries
+            return seg(
+                0xDB,
+                bytes([0x10 | tq])
+                + b"".join(int(v).to_bytes(2, "big") for v in zz),
+            )
+        return seg(0xDB, bytes([tq]) + bytes(int(v) for v in zz))
+
     out = bytearray(b"\xff\xd8")  # SOI
     out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    # DQT: table 0 (luma) and, for color, table 1 (chroma); 8-bit precision
-    out += seg(0xDB, bytes([0x00]) + bytes(int(v) for v in qy.flatten()[_ZIGZAG]))
+    # DQT: table 0 (luma) and, for color, table 1 (chroma)
+    out += dqt(0, qy)
     if not gray:
-        out += seg(0xDB, bytes([0x01]) + bytes(int(v) for v in qc.flatten()[_ZIGZAG]))
-    # SOF0: baseline; luma samples 2x2 in 4:2:0 mode
+        out += dqt(1, qc)
+    # SOF0 baseline / SOF1 extended; luma samples 2x2 in 4:2:0 mode
     ncomp = 1 if gray else 3
     y_samp = 0x22 if (subsample and not gray) else 0x11
-    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
+    sof = bytes([precision]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
     for ci in range(ncomp):
         sof += bytes([ci + 1, y_samp if ci == 0 else 0x11, 0 if ci == 0 else 1])
-    out += seg(0xC0, sof)
+    out += seg(0xC1 if ext else 0xC0, sof)
     # DHT: class 0 (DC) id 0, class 1 (AC) id 0 — shared by all components
-    out += seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
-    out += seg(0xC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
+    dbits, dvals = (_DC_BITS_12, _DC_VALS_12) if ext else (_DC_BITS, _DC_VALS)
+    abits, avals = (_AC_BITS_12, _AC_VALS_12) if ext else (_AC_BITS, _AC_VALS)
+    out += seg(0xC4, bytes([0x00]) + bytes(dbits) + bytes(dvals))
+    out += seg(0xC4, bytes([0x10]) + bytes(abits) + bytes(avals))
     # SOS
     sos = bytes([ncomp])
     for ci in range(ncomp):
@@ -340,12 +399,12 @@ def encode_jpeg(
                 for dy, dx in ((0, 0), (0, 8), (8, 0), (8, 8)):
                     prev[0] = _write_block(
                         writer, planes[0], my + dy, mx + dx, qy,
-                        dc_codes, ac_codes, prev[0],
+                        dc_codes, ac_codes, prev[0], level,
                     )
                 for ci in (1, 2):
                     prev[ci] = _write_block(
                         writer, planes[ci], my // 2, mx // 2, qc,
-                        dc_codes, ac_codes, prev[ci],
+                        dc_codes, ac_codes, prev[ci], level,
                     )
                 maybe_restart()
     else:
@@ -354,7 +413,8 @@ def encode_jpeg(
                 for ci in range(ncomp):
                     q = qy if ci == 0 else qc
                     prev[ci] = _write_block(
-                        writer, planes[ci], by, bx, q, dc_codes, ac_codes, prev[ci]
+                        writer, planes[ci], by, bx, q,
+                        dc_codes, ac_codes, prev[ci], level,
                     )
                 maybe_restart()
     out += writer.flush()
@@ -369,12 +429,18 @@ def _parse_dqt(payload: bytes, qtabs: dict) -> None:
     j = 0
     while j < len(payload):
         pq, tq = payload[j] >> 4, payload[j] & 0x0F
-        if pq != 0:
-            raise NotImplementedError("16-bit quantization tables")
         q = np.zeros(64, dtype=np.int32)
-        q[_ZIGZAG] = np.frombuffer(payload[j + 1 : j + 65], np.uint8)
+        if pq == 0:
+            q[_ZIGZAG] = np.frombuffer(payload[j + 1 : j + 65], np.uint8)
+            j += 65
+        elif pq == 1:  # 16-bit entries (12-bit sample precision)
+            q[_ZIGZAG] = np.frombuffer(
+                payload[j + 1 : j + 129], ">u2"
+            ).astype(np.int32)
+            j += 129
+        else:
+            raise ValueError(f"bad DQT precision {pq}")
         qtabs[tq] = q.reshape(8, 8)
-        j += 65
 
 
 def _parse_dht(payload: bytes, htabs: dict) -> None:
@@ -397,6 +463,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         raise ValueError("not a JPEG file")
     i = 2
     restart_interval = 0
+    precision = 8
     qtabs: dict[int, np.ndarray] = {}
     htabs: dict[tuple[int, int], dict] = {}
     sof = None
@@ -417,9 +484,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             _parse_dht(payload, htabs)
         elif marker == 0xC2:  # SOF2: progressive — dedicated multi-scan path
             return _decode_progressive(data)
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 extended seq.
+            # the extended-sequential process (SOF1) is the baseline
+            # decode loop with 12-bit precision allowed (T.81 Annex F
+            # applies to both); 8-bit SOF1 streams decode identically
             precision = payload[0]
-            if precision != 8:
+            if precision not in (8, 12):
                 raise NotImplementedError(f"{precision}-bit JPEG")
             hh = int.from_bytes(payload[1:3], "big")
             ww = int.from_bytes(payload[3:5], "big")
@@ -433,7 +503,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     )
                 comps.append((cid, tq, hi, vi))
             sof = (hh, ww, nc)
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
                 "non-baseline JPEG (arithmetic/lossless/hierarchical)"
             )
@@ -456,6 +526,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     if sof is None or scan_start is None:
         raise ValueError("missing SOF/SOS")
     h, w, nc = sof
+    level = float(1 << (precision - 1))  # 128 (8-bit) / 2048 (12-bit)
+    maxval = (1 << precision) - 1
     hmax = max(hi for _, _, hi, _ in comps)
     vmax = max(vi for _, _, _, vi in comps)
     mcu_w, mcu_h = 8 * hmax, 8 * vmax
@@ -493,7 +565,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             k += 1
         coef = np.zeros(64, dtype=np.float64)
         coef[_ZIGZAG] = zz
-        return _idct(coef.reshape(8, 8) * qtabs[meta[cid][0]]) + 128.0
+        return _idct(coef.reshape(8, 8) * qtabs[meta[cid][0]]) + level
 
     mcu_count = 0
     for my in range(mcus_y):
@@ -531,9 +603,20 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             p = np.repeat(p, vmax // vi, axis=0)
         full.append(p[:h, :w])
     if nc == 1:
-        y = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
-        return y[:, :, None]
+        y = np.clip(np.round(full[0]), 0, maxval)
+        if precision > 8:  # scale to the uint8 output contract
+            y = np.round(y * 255.0 / maxval)
+        return y.astype(np.uint8)[:, :, None]
     ycc = np.stack(full, axis=2)
+    if precision > 8:
+        # YCbCr->RGB in the native domain (chroma centered at `level`),
+        # then scale to the uint8 output contract
+        y_, cb, cr = ycc[:, :, 0], ycc[:, :, 1], ycc[:, :, 2]
+        r = y_ + 1.402 * (cr - level)
+        g = y_ - 0.344136 * (cb - level) - 0.714136 * (cr - level)
+        b = y_ + 1.772 * (cb - level)
+        rgb = np.clip(np.round(np.stack([r, g, b], axis=2)), 0, maxval)
+        return np.round(rgb * 255.0 / maxval).astype(np.uint8)
     return _ycbcr_to_rgb(ycc)
 
 
@@ -981,12 +1064,15 @@ def _decode_multiscan(data: bytes, progressive: bool) -> np.ndarray:
             _parse_dqt(payload, qtabs)
         elif marker == 0xC4:
             _parse_dht(payload, htabs)
-        elif marker in (0xC0, 0xC2):  # SOF0 (multi-scan baseline) / SOF2
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 multi-scan / SOF2
             if (marker == 0xC2) != progressive:
                 raise ValueError("SOF marker inconsistent with scan mode")
             precision = payload[0]
             if precision != 8:
-                raise NotImplementedError(f"{precision}-bit JPEG")
+                raise NotImplementedError(
+                    f"{precision}-bit multi-scan JPEG (12-bit decodes "
+                    "interleaved single-scan only)"
+                )
             hh = int.from_bytes(payload[1:3], "big")
             ww = int.from_bytes(payload[3:5], "big")
             nc = payload[5]
@@ -1011,7 +1097,7 @@ def _decode_multiscan(data: bytes, progressive: bool) -> np.ndarray:
                 comp_h = -(-hh * vi // vmax)
                 comp_w = -(-ww * hi // hmax)
                 eff[cid] = (-(-comp_h // 8), -(-comp_w // 8))
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError("mixed/unsupported SOF in multi-scan stream")
         elif marker == 0xDD:
             restart_interval = int.from_bytes(payload[:2], "big")
