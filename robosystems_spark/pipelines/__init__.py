@@ -11,6 +11,11 @@ from robosystems_spark.pipelines.xbrl import (  # noqa: F401
     build_xbrl_taxonomy_frames,
     classify_elements,
 )
+from robosystems_spark.pipelines.assets import (  # noqa: F401
+    AssetContext,
+    AssetGraph,
+    MaterializeResult,
+)
 from robosystems_spark.pipelines.xbrl_parse import (  # noqa: F401
     parse_instance,
     raw_facts_from_filings,
