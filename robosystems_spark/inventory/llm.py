@@ -2660,3 +2660,26 @@ def embedding_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).alias("query_id"), F.col("embedding")
     )
     return S.sq8_topk(emb, queries, k=10)
+
+
+@register(
+    "corpus_dsir_importance",
+    oracle=__import__(
+        "robosystems_spark.operators.corpus", fromlist=["dsir_oracle_sql"]
+    ).dsir_oracle_sql("lang = 'en'"),
+    doc="DSIR importance weights (Xie et al. 2023): score every raw "
+    "document by target-likeness — log w = Σ_f c(f)·ln(p̂_t(f)/p̂_r(f)) "
+    "over Laplace-smoothed hashed unigram+bigram bag models (target = "
+    "English docs here). Features hash via md5-15-hex mod 4096 "
+    "(engine-portable), every ln runs on an INTEGER rounded to the "
+    "1e-9 lattice, so the per-doc sum is exact BIGINT — one float "
+    "division + ROUND at the end. One tokenize pass, bucket stats "
+    "(≤4096 rows) broadcast back; the raw pool shuffles once.",
+    tags=("text", "corpus", "sampling"),
+    bench=True,
+)
+def corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from robosystems_spark.operators.corpus import dsir_importance
+
+    docs = _docs(spark, sf_dir).withColumn("is_target", F.col("lang") == "en")
+    return dsir_importance(docs).orderBy("doc_id")

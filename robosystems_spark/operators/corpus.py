@@ -775,3 +775,165 @@ def ppmi_word_similarity_oracle_sql(
     ORDER BY cosine DESC, w1, w2
     LIMIT {k}
     """
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target_col: str = "is_target",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 4096,
+    decimals: int = 6,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw
+    document by how target-like its hashed n-gram features are —
+    ``log w(x) = Σ_f c_x(f) · ln( p̂_target(f) / p̂_raw(f) )`` with
+    Laplace-smoothed hashed-unigram+bigram bag models.  Selection is
+    then top-k by weight (the paper adds Gumbel noise for sampled
+    resampling; the deterministic top-k is the hash-checkable
+    variant — callers wanting the sampled flavor add Gumbel keys on
+    top of ``log_importance``).
+
+    Cross-engine exactness (the KL/AA lattice discipline): features
+    hash via the first 15 md5 hex chars (bit-identical in any engine,
+    unlike engine hashes) mod ``buckets``; every ln runs on an
+    INTEGER (count+1, N+B) and is rounded to the 1e-9 lattice, so the
+    per-document sum is exact BIGINT arithmetic — one float division
+    at the end, then one ROUND.
+
+    Scale shape: one tokenize+explode pass builds (doc, bucket,
+    count); bucket statistics are at most ``buckets`` rows →
+    broadcast back; the raw pool is scanned once and shuffled once
+    (by doc for the final sum).  The target indicator is just a
+    boolean column, so "target" can be a tiny curated slice of the
+    same table — the 100 TB side never joins anything bigger than
+    the bucket table.
+
+    Returns (id, n_features, log_importance), one row per document
+    with at least one feature.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("_id"),
+        F.col(target_col).cast("boolean").alias("_t"),
+        tokens(text_col).alias("_toks"),
+    )
+    unigrams = toks.select(
+        "_id", "_t", F.explode("_toks").alias("_f")
+    )
+    bigrams = toks.filter(F.size("_toks") >= 2).select(
+        "_id",
+        "_t",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("_toks"), 1, F.size("_toks") - 1),
+                F.slice(F.col("_toks"), 2, F.size("_toks") - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("_f"),
+    )
+    feats = unigrams.unionByName(bigrams).select(
+        "_id",
+        "_t",
+        (
+            F.conv(F.substring(F.md5("_f"), 1, 15), 16, 10).cast("long")
+            % buckets
+        ).alias("_b"),
+    )
+    # (doc, bucket) counts — feeds bucket stats AND the per-doc sum
+    dbc = (
+        feats.groupBy("_id", "_t", "_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .transform(materialize)
+    )
+    bstats = dbc.groupBy("_b").agg(
+        F.sum(F.when(F.col("_t"), F.col("_c")).otherwise(F.lit(0))).alias("_ct"),
+        F.sum("_c").alias("_cr"),
+    )
+    totals = bstats.agg(
+        F.sum("_ct").alias("_nt"), F.sum("_cr").alias("_nr")
+    )
+
+    def sl(col):
+        return F.round(F.lit(1000000000.0) * F.log(col)).cast("long")
+
+    scored = (
+        dbc.join(F.broadcast(bstats), "_b")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("_id")
+        .agg(
+            F.sum("_c").alias("n_features"),
+            F.sum(
+                F.col("_c")
+                * (
+                    sl(F.col("_ct") + 1)
+                    - sl(F.col("_cr") + 1)
+                    + sl(F.col("_nr") + F.lit(buckets))
+                    - sl(F.col("_nt") + F.lit(buckets))
+                )
+            ).alias("_s"),
+        )
+    )
+    return scored.select(
+        F.col("_id").alias(id_col),
+        "n_features",
+        F.round(
+            F.col("_s").cast("double") / F.lit(1000000000.0), decimals
+        ).alias("log_importance"),
+    )
+
+
+def dsir_oracle_sql(
+    target_pred: str,
+    buckets: int = 4096,
+    decimals: int = 6,
+    table: str = "documents",
+    topk: int | None = None,
+) -> str:
+    """DuckDB twin of :func:`dsir_importance`: same md5-bucketed
+    unigram+bigram features, same Laplace lattice.  ``target_pred``
+    is a SQL boolean over the table's columns (e.g. ``lang = 'en'``).
+    """
+    sel = f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, ({target_pred}) AS t,
+             STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+') AS w
+      FROM {table}
+    ),
+    feats AS MATERIALIZED (
+      SELECT doc_id, t,
+             ('0x' || SUBSTR(md5(f), 1, 15))::BIGINT % {buckets} AS b
+      FROM (
+        SELECT doc_id, t, UNNEST(w) AS f FROM toks
+        UNION ALL
+        SELECT doc_id, t, w[gs.i] || ' ' || w[gs.i + 1] AS f
+        FROM toks, UNNEST(GENERATE_SERIES(1, LEN(w) - 1)) AS gs(i)
+        WHERE LEN(w) >= 2
+      )
+    ),
+    dbc AS MATERIALIZED (
+      SELECT doc_id, t, b, COUNT(*) AS c FROM feats GROUP BY 1, 2, 3
+    ),
+    bs AS (
+      SELECT b, SUM(CASE WHEN t THEN c ELSE 0 END) AS ct, SUM(c) AS cr
+      FROM dbc GROUP BY b
+    ),
+    tot AS (SELECT SUM(ct) AS nt, SUM(cr) AS nr FROM bs)
+    SELECT dbc.doc_id,
+           CAST(SUM(dbc.c) AS BIGINT) AS n_features,
+           ROUND(CAST(SUM(dbc.c * (
+               CAST(ROUND(1000000000.0 * LN(bs.ct + 1)) AS BIGINT)
+             - CAST(ROUND(1000000000.0 * LN(bs.cr + 1)) AS BIGINT)
+             + CAST(ROUND(1000000000.0 * LN(tot.nr + {buckets})) AS BIGINT)
+             - CAST(ROUND(1000000000.0 * LN(tot.nt + {buckets})) AS BIGINT)
+           )) AS DOUBLE) / 1000000000.0, {decimals}) AS log_importance
+    FROM dbc JOIN bs USING (b) CROSS JOIN tot
+    GROUP BY dbc.doc_id"""
+    if topk:
+        return (
+            sel
+            + f"""
+    ORDER BY log_importance DESC, dbc.doc_id ASC
+    LIMIT {topk}"""
+        )
+    return sel + "\n    ORDER BY dbc.doc_id"

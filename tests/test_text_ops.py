@@ -595,3 +595,35 @@ def test_ivf_recall_bounds(spark):
                  hits.groupBy("query_id").agg(
                      F.count(F.lit(1)).alias("c")).collect()}
         assert per_q == {0: 5, 1: 5}
+
+
+def test_dsir_importance_directionality_and_lattice(spark):
+    """DSIR (Xie et al. 2023): documents made of target-domain n-grams
+    must out-score raw-only documents; the lattice arithmetic makes
+    scores engine-exact (driver entry corpus_dsir_importance carries
+    the DuckDB twin)."""
+    from pyspark.sql import functions as F
+
+    from robosystems_spark.operators.corpus import dsir_importance
+
+    rows = [
+        # target slice: legal-ish vocabulary
+        (1, True, "contract clause liability indemnify party breach"),
+        (2, True, "party contract breach clause remedy liability"),
+        # raw pool: cooking vocabulary + one target-like raw doc
+        (3, False, "simmer onion butter garlic stock season taste"),
+        (4, False, "whisk flour butter sugar bake oven cool rack"),
+        (5, False, "contract clause liability party breach remedy"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, is_target boolean, text string")
+    out = {r["doc_id"]: r["log_importance"]
+           for r in dsir_importance(docs).collect()}
+    assert len(out) == 5
+    # the target-like raw doc (5) scores far above the cooking docs
+    assert out[5] > out[3] and out[5] > out[4]
+    # and target docs score above raw-only docs
+    assert min(out[1], out[2]) > max(out[3], out[4])
+    # deterministic: same input -> identical scores
+    out2 = {r["doc_id"]: r["log_importance"]
+            for r in dsir_importance(docs).collect()}
+    assert out == out2
