@@ -55,22 +55,75 @@ def pq_train_codebooks(
     id_col: str = "vec_id",
     round_decimals: int = 9,
 ) -> list[list[list[float]]]:
-    """Per-subspace L2 k-means codebooks (m codebooks of k x dim/m).
-    Each subspace trains on the full corpus via the portable Lloyd
-    loop; only m * k * dim/m doubles return to the driver."""
+    """Per-subspace L2 k-means codebooks (m codebooks of k x dim/m),
+    trained FUSED: all m subspaces assign and aggregate in ONE job per
+    Lloyd iteration instead of m independent loops (m x fewer job
+    submissions; at cluster scale, one corpus scan per iteration
+    instead of m).  Values are identical to the per-subspace loops:
+    the deterministic k-lowest-id seed sliced per subspace, each
+    subspace's argmin and per-(cluster, position) rounded means are
+    computed over exactly the same groups with the same expressions.
+    Only m * k * dim/m doubles ever return to the driver."""
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub_dim = dim // m
-    books = []
-    for j in range(m):
-        sub = emb.select(
-            F.col(id_col), _subspace(vec_col, j, sub_dim).alias("_sub")
+    # deterministic seed: ONE pass takes the k lowest-id vectors;
+    # slicing after element-wise rounding equals rounding each slice
+    rows = (
+        emb.orderBy(id_col)
+        .limit(k)
+        .select(
+            F.expr(
+                f"transform({vec_col}, x -> round(cast(x as double), "
+                f"{round_decimals}))"
+            ).alias("c")
         )
-        books.append(
-            CL.kmeans_fit(
-                sub, k, iters, "_sub", id_col, round_decimals, metric="l2"
+        .collect()
+    )
+    books = [
+        [list(r["c"])[j * sub_dim : (j + 1) * sub_dim] for r in rows]
+        for j in range(m)
+    ]
+    for _ in range(iters):
+        cids = F.array(
+            *[
+                V.nearest_centroid(
+                    _subspace(vec_col, j, sub_dim), books[j], "l2"
+                )
+                for j in range(m)
+            ]
+        )
+        exploded = emb.select(
+            cids.alias("_cids"),
+            F.posexplode(
+                F.expr(f"transform({vec_col}, x -> cast(x as double))")
+            ).alias("_pos", "_x"),
+        )
+        j_col = (F.col("_pos") / sub_dim).cast("int")
+        means = (
+            exploded.select(
+                j_col.alias("_j"),
+                F.element_at("_cids", j_col + 1).alias("_cid"),
+                (F.col("_pos") % sub_dim).alias("_sp"),
+                "_x",
             )
+            .groupBy("_j", "_cid", "_sp")
+            .agg(F.round(F.avg("_x"), round_decimals).alias("_m"))
+            .collect()
         )
+        new: dict[tuple[int, int], dict[int, float]] = {}
+        for r in means:
+            new.setdefault((r["_j"], r["_cid"]), {})[r["_sp"]] = r["_m"]
+        # empty (j, cluster) groups keep their previous centroid
+        books = [
+            [
+                new.get((j, c), None)
+                and [new[(j, c)][p] for p in range(sub_dim)]
+                or books[j][c]
+                for c in range(k)
+            ]
+            for j in range(m)
+        ]
     return books
 
 
