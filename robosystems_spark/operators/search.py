@@ -263,6 +263,7 @@ def trigram_postings(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    only: list[str] | None = None,
 ) -> DataFrame:
     """Character-trigram posting lists over lowercased text — the
     pg_trgm-shaped index that turns ``LIKE '%pattern%'`` from a full
@@ -272,6 +273,12 @@ def trigram_postings(
     3-char window (whole-stage codegen, no Python), explode, distinct
     per doc.  Persist the result corpus-partitioned by trigram and a
     search prunes to the pattern's posting lists only.
+
+    ``only`` restricts the build to the given trigrams — the ad-hoc
+    analog of that partition pruning: the gram generation still runs
+    in codegen (cheap, map-side), but the per-doc DISTINCT shuffle
+    carries only matching rows instead of the whole corpus's gram
+    set, which is the entire cost of a single-query index build.
     """
     # bind lower(text) as a LAMBDA VARIABLE: higher-order functions run
     # interpreted and re-evaluate child expressions per element, so
@@ -295,11 +302,12 @@ def trigram_postings(
         ),
         1,
     )
-    return (
-        docs.select(F.col(id_col).alias("doc_id"), grams.alias("_g"))
-        .select("doc_id", F.explode("_g").alias("trigram"))
-        .distinct()
-    )
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"), grams.alias("_g")
+    ).select("doc_id", F.explode("_g").alias("trigram"))
+    if only is not None:
+        exploded = exploded.filter(F.col("trigram").isin(list(only)))
+    return exploded.distinct()
 
 
 def trigram_like_search(
@@ -335,7 +343,15 @@ def trigram_like_search(
             base.filter(F.col("_t").contains(pat)).select("doc_id")
         )
     grams = sorted({pat[i : i + 3] for i in range(len(pat) - 2)})
-    idx = postings if postings is not None else trigram_postings(docs, text_col, id_col)
+    # ad-hoc (no persisted index): build only the pattern's posting
+    # lists — the shuffle carries |pattern grams| rows per doc, not the
+    # corpus's whole gram set (persisted indexes get the same effect
+    # from partition pruning on the isin filter below)
+    idx = (
+        postings
+        if postings is not None
+        else trigram_postings(docs, text_col, id_col, only=grams)
+    )
     cand = (
         idx.filter(F.col("trigram").isin(grams))
         .groupBy("doc_id")

@@ -78,20 +78,14 @@ def test_query_matches_oracle(name, spark, sf_dir, con):
 
 # ---------------------------------------------------------------------------
 # Driver-sample insurance (VERDICT r8 #4): the driver samples 50
-# queries per round and has never drawn the TPC-H battery (q2-q22) or
-# the events_* family — the sweep above covers them at sf0.001 only.
-# Run exactly those families at the DRIVER'S scale factor (sf0.01) too,
-# so a future draw can't surprise: cardinality-dependent bugs (empty
-# groups at tiny SF, tie-break order flips, quantile boundaries) show
-# up between SFs, not within one.
+# queries per round, so half the registry has never faced its sf0.01
+# compare — the sweep above covers sf0.001 only.  Run EVERY entry at
+# the driver's scale factor too, so a future draw can't surprise:
+# cardinality-dependent bugs (empty groups at tiny SF, tie-break order
+# flips, quantile boundaries) show up between SFs, not within one.
 # ---------------------------------------------------------------------------
 
-import re as _re
-
-_INSURED = sorted(
-    n for n in REGISTRY
-    if _re.match(r"q\d+_", n) or n.startswith("events_")
-)
+_INSURED = sorted(REGISTRY)
 
 
 @pytest.fixture(scope="module")
