@@ -643,15 +643,19 @@ def kcore(
     single most expensive stage at sf0.1 — is skipped.  The caller
     owns the guarantee; a wrong claim double-counts degrees.
 
-    Partitioning: the doubled edge frame is hash-partitioned by
-    ``src`` ONCE up front; localCheckpoint preserves output
-    partitioning and broadcast semi-joins don't disturb it, so all
-    ``rounds`` degree groupBys are exchange-free — one shuffle total
-    instead of one per round (sf1 spot-run: 58s -> 41s).
-    ``broadcast_keep=True`` hints the survivor set map-side, which is
-    what keeps the partitioning alive end-to-end; leave False when k
-    is small enough that most nodes survive (a huge keep set must
-    shuffle — AQE then picks the join side at runtime).
+    Partitioning: the doubled edge frame is hash-CLUSTERED by ``src``
+    once up front before its checkpoint.  The checkpoint scan does not
+    carry Catalyst partitioning metadata (Scan ExistingRDD), so each
+    round's degree groupBy still plans an exchange — but with every
+    partition holding contiguous src runs, the MAP-SIDE partial
+    aggregate collapses each src to one row before the shuffle, so the
+    exchange carries ~|nodes| rows instead of |edges| every round
+    (measured: 58s -> 41s at sf1, 5.4 -> 4.2 at sf0.1).  Broadcast
+    semi-joins preserve the clustering across rounds.
+    ``broadcast_keep=True`` hints the survivor set map-side (keeps the
+    semi-joins shuffle-free); leave False when k is small enough that
+    most nodes survive — a huge keep set must shuffle, and AQE then
+    picks the join side at runtime.
     """
     if k < 1 or rounds < 1:
         raise ValueError("k and rounds must be >= 1")
