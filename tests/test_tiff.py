@@ -599,3 +599,47 @@ def test_tiff_jpeg_compression7():
     t6[i + 8] = 6  # flip the compression tag value to 6
     with pytest.raises(NotImplementedError, match="old-style"):
         decode_tiff(bytes(t6))
+
+
+def test_tiff_jpeg_and_12bit_fuzz_fail_fast():
+    """Corrupt compression-7 containers and 12-bit JPEG streams must
+    fail (or decode garbage) PROMPTLY — never hang a 100 TB scan task.
+    Bit flips in entropy data may still decode (JPEG is locally
+    robust); the contract here is the wall-clock bound + no crash
+    class other than ValueError/NotImplementedError/IndexError-free
+    decoder errors."""
+    import time
+
+    from robosystems_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(5)
+    img = np.full((16, 16), 128, dtype=np.uint8)
+    good = bytearray(
+        encode_tiff(img, compression=7, rows_per_strip=8, jpeg_tables=True)
+    )
+    g12 = np.full((16, 16), 2048, dtype=np.uint16)
+    s12 = bytearray(encode_jpeg(g12, precision=12))
+    t0 = time.time()
+    for _ in range(200):
+        bad = bytearray(good)
+        for _k in range(4):
+            bad[rng.randint(8, len(bad))] ^= 1 << rng.randint(0, 8)
+        try:
+            decode_tiff(bytes(bad))
+        except Exception:
+            pass
+        bad12 = bytearray(s12)
+        for _k in range(3):
+            bad12[rng.randint(2, len(bad12))] ^= 1 << rng.randint(0, 8)
+        try:
+            decode_jpeg(bytes(bad12))
+        except Exception:
+            pass
+    # corrupt JPEGTables (no SOI) hits the splice's ValueError
+    import pytest
+
+    from robosystems_spark.operators.tiff import _jpeg_splice_tables
+
+    with pytest.raises(ValueError, match="SOI"):
+        _jpeg_splice_tables(b"\xff\xd8rest", b"not-a-jpeg")
+    assert time.time() - t0 < 20  # fail-fast, not hang
