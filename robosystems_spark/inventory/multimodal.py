@@ -911,3 +911,78 @@ def multimodal_jpeg_scan_equivalence(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("doc_id")
     )
+
+
+_SPEC_N = 256
+
+
+@register(
+    "multimodal_wav_spectral_peak",
+    oracle=f"""
+    WITH s AS (
+      SELECT d.doc_id,
+             3 + d.doc_id % 100 AS k,
+             CAST(FLOOR((2000 + d.doc_id % 89 * 100)
+                        * SIN(2 * PI() * (3 + d.doc_id % 100) * t.i / {_SPEC_N})
+                        + 0.5) AS BIGINT) AS v
+      FROM documents d, range({_SPEC_N}) t(i)
+      WHERE d.doc_id < {_N_DOCS}
+    )
+    SELECT doc_id,
+           CAST({_SPEC_N} AS BIGINT) AS n_samples,
+           CAST(MIN(k) AS INTEGER) AS peak_bin,
+           CAST(SUM(v * v) AS BIGINT) AS energy
+    FROM s
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    doc="Dominant-frequency detection (the pitch-detection / spectral-"
+    "fingerprint feature extractor): synthesize an integer-cycle sine "
+    "per document (bin and amplitude closed-form in doc_id), round-trip "
+    "through real WAV bytes, numpy-rfft in mapInPandas, and emit the "
+    "argmax bin + the EXACT BIGINT sample-energy. Float spectra never "
+    "reach the compare: peak_bin is an integer decision with a huge "
+    "margin (pure tone), and energy is Parseval's time-domain side — "
+    "both computable identically in DuckDB from the synthesis formula "
+    "(half-up FLOOR(x+0.5) quantization matches the generator).",
+    tags=("multimodal",),
+    bench=True,
+)
+def multimodal_wav_spectral_peak(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from robosystems_spark.operators.multimodal import (
+        audio_spectral_peak,
+        encode_wav_pcm,
+    )
+
+    def encode(it):
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                k = 3 + int(did) % 100
+                a = 2000 + int(did) % 89 * 100
+                i = np.arange(_SPEC_N, dtype=np.float64)
+                v = np.floor(
+                    a * np.sin(2 * np.pi * k * i / _SPEC_N) + 0.5
+                ).astype(np.int16)
+                payloads.append(encode_wav_pcm(v, _WAV_RATE, 1))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": payloads})
+
+    media = _doc_ids(spark, sf_dir).mapInPandas(
+        encode,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("content", T.BinaryType()),
+            ]
+        ),
+    )
+    return (
+        audio_spectral_peak(media, id_col="doc_id")
+        .withColumnRenamed("media_id", "doc_id")
+        .orderBy("doc_id")
+    )
