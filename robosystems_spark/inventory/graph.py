@@ -389,10 +389,10 @@ def graph_pagerank_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     # long-encoded node ids (see _sp_edges): rank values are identical
     # to the string-keyed run — node ids only ever GROUP here, and
     # grouping is preserved by any injective encoding
-    out = pagerank(
-        _sp_edges(li), num_iter=_PR_ITER, damping=_PR_DAMP,
-        broadcast_state=True,  # node set ≪ edges here (suppliers+parts)
-    )
+    # broadcast_state stays "auto": the operator measures the node
+    # count and hints map-side state joins only while it fits the
+    # broadcast budget — at 100 TB the same query degrades to shuffles
+    out = pagerank(_sp_edges(li), num_iter=_PR_ITER, damping=_PR_DAMP)
     return out.select(
         _sp_decode("node").alias("node"), F.round("rank", 8).alias("rank")
     )
@@ -543,8 +543,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ids are the encoded longs in the output of both engines
     # bipartite distinct edges (even->odd ids): doubling is simple
     return label_propagation(
-        _sp_edges(li).dropDuplicates(), rounds=_LPA_ROUNDS,
-        canonical=True, broadcast_state=True,
+        _sp_edges(li).dropDuplicates(), rounds=_LPA_ROUNDS, canonical=True,
     )
 
 
@@ -801,7 +800,7 @@ def graph_hits_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
     # long-encoded node ids (see _sp_edges): hub/authority values are
     # identical — ids only group, never order
-    out = hits(_sp_edges(li), num_iter=_HITS_ITER, broadcast_state=True)
+    out = hits(_sp_edges(li), num_iter=_HITS_ITER)  # auto broadcast_state
     # emit the per-iteration round-10 values directly — a second
     # rounding would introduce new tie boundaries (see oracle note)
     return out.select(
@@ -998,7 +997,7 @@ def graph_modularity_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     # _LPA_EDGES_CTE keeps the oracle's tie-break in the same domain
     edges = _sp_edges(li).dropDuplicates()
     assign = label_propagation_assignments(
-        edges, rounds=_LPA_ROUNDS, canonical=True, broadcast_state=True
+        edges, rounds=_LPA_ROUNDS, canonical=True
     )
     return modularity(edges, assign, canonical=True)
 

@@ -81,6 +81,26 @@ def undirected(edges: DataFrame, src_col: str = "src", dst_col: str = "dst") -> 
     return fwd.unionByName(rev)
 
 
+# Node-state frames small enough to broadcast per executor.  The
+# "auto" broadcast_state mode compares the MEASURED node count against
+# this: ~24 bytes/row of (node, double) state => ~100 MB at 4M nodes,
+# comfortably inside a typical executor's broadcast budget.  Billion-
+# node graphs exceed it and automatically keep the shuffle path.
+MAX_BROADCAST_NODES = 4_000_000
+
+
+def _state_bc(broadcast_state, n_nodes: int):
+    """Resolve the broadcast decision for node-sized state frames:
+    True forces the hint, False never hints, "auto" (default) hints
+    exactly when the measured node count fits MAX_BROADCAST_NODES —
+    the policy test_plans.py pins for static hints, extended to
+    measured cardinalities (the count is already computed by every
+    caller, so auto costs nothing)."""
+    if broadcast_state == "auto":
+        broadcast_state = n_nodes <= MAX_BROADCAST_NODES
+    return F.broadcast if broadcast_state else (lambda df: df)
+
+
 def connected_components(
     edges: DataFrame,
     src_col: str = "src",
@@ -231,7 +251,7 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     round_digits: int = 10,
-    broadcast_state: bool = False,
+    broadcast_state: bool | str = "auto",
 ) -> DataFrame:
     """Distributed PageRank over an edge DataFrame (Pregel-style as
     joins + grouped sums), returning (node, rank).
@@ -250,13 +270,13 @@ def pagerank(
     Same float values: the summed multiset is identical to the
     anti-join formulation, and every ROUND point is unchanged.
 
-    ``broadcast_state=True`` adds explicit broadcast hints on the
-    node-state side of the two per-iteration joins.  Right when the
-    node set is small relative to edges (catalogs, entity graphs —
-    state stays map-side, the grouped sum is the only shuffle);
-    WRONG for billion-node graphs where state exceeds executor
-    memory — leave False there and pre-partition edges by src so the
-    state join is shuffle-free (SCALE.md).
+    ``broadcast_state`` controls explicit broadcast hints on the
+    node-state side of the two per-iteration joins: "auto" (default)
+    hints exactly when the node count — already measured for the
+    teleport term — fits MAX_BROADCAST_NODES, so small graphs get
+    map-side state joins and billion-node graphs automatically keep
+    the shuffle path (pre-partition edges by src there — SCALE.md);
+    True/False force either way.
 
     Scale shape: state is one (node, d, rank) row per node; each
     iteration is one join on ``src``, one grouped sum on ``dst``, and
@@ -264,7 +284,6 @@ def pagerank(
     state, and the per-iteration ``materialize`` keeps lineage flat."""
     if num_iter < 1:
         raise ValueError("num_iter must be >= 1")
-    bc = F.broadcast if broadcast_state else (lambda df: df)
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .distinct()
@@ -281,6 +300,7 @@ def pagerank(
         .transform(materialize)
     )
     n = nd.count()  # one scalar; node state itself never leaves executors
+    bc = _state_bc(broadcast_state, n)
 
     # static across iterations: hoist the edge⋈degree join out of the
     # loop (division stays rank/d inside the loop, so the float
@@ -721,7 +741,7 @@ def label_propagation(
     src_col: str = "src",
     dst_col: str = "dst",
     canonical: bool = False,
-    broadcast_state: bool = False,
+    broadcast_state: bool | str = "auto",
 ) -> DataFrame:
     """Synchronous label-propagation community detection (Raghavan
     et al. 2007), made deterministic and hash-checkable: every node
@@ -758,7 +778,7 @@ def label_propagation_assignments(
     src_col: str = "src",
     dst_col: str = "dst",
     canonical: bool = False,
-    broadcast_state: bool = False,
+    broadcast_state: bool | str = "auto",
 ) -> DataFrame:
     """The (node, lbl) assignment frame behind
     :func:`label_propagation` — exposed so downstream community
@@ -766,13 +786,14 @@ def label_propagation_assignments(
 
     ``canonical=True``: input is a distinct simple edge list with at
     most one direction per pair (see :func:`kcore`) — skips the
-    setup dedup shuffle after doubling.  ``broadcast_state=True``
-    hints the node-sized label frame map-side in the per-round vote
-    join (right when nodes ≪ edges; leave False for billion-node
-    label state — see :func:`pagerank`)."""
+    setup dedup shuffle after doubling.  ``broadcast_state``
+    ("auto" default) hints the node-sized label frame map-side in the
+    per-round vote join when the measured node count fits
+    MAX_BROADCAST_NODES (the one extra count amortizes over the
+    rounds); billion-node label state keeps the shuffle path — see
+    :func:`pagerank`."""
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
-    bc = F.broadcast if broadcast_state else (lambda df: df)
     e = undirected(edges, src_col, dst_col)
     if not canonical:
         e = e.filter(F.col("src") != F.col("dst")).dropDuplicates()
@@ -780,6 +801,10 @@ def label_propagation_assignments(
     labels = e.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     )
+    if broadcast_state == "auto":
+        bc = _state_bc("auto", labels.count())
+    else:
+        bc = _state_bc(broadcast_state, 0)
     for _ in range(rounds):
         votes = (
             e.join(bc(labels), e.dst == labels.node)
@@ -1737,7 +1762,7 @@ def hits(
     src_col: str = "src",
     dst_col: str = "dst",
     round_digits: int = 10,
-    broadcast_state: bool = False,
+    broadcast_state: bool | str = "auto",
 ) -> DataFrame:
     """HITS hubs-and-authorities (Kleinberg 1999) over a directed edge
     DataFrame, returning (node, hub, authority) after ``num_iter``
@@ -1755,10 +1780,11 @@ def hits(
     edge⋈state join into both consumers and every half-iteration runs
     twice (the dedup.py fan-out discipline).  The normalized frames
     have one consumer each and derive lazily from the checkpoints.
-    ``broadcast_state=True`` additionally hints the node-sized state
-    side of each join map-side (right when nodes ≪ edges; WRONG for
-    billion-node state — leave False and pre-partition edges by
-    src/dst so the joins are shuffle-free, see SCALE.md).
+    ``broadcast_state`` ("auto" default) additionally hints the
+    node-sized state side of each join map-side when the measured
+    node count fits MAX_BROADCAST_NODES — billion-node state
+    automatically keeps the shuffle path (pre-partition edges by
+    src/dst there, see SCALE.md); True/False force either way.
 
     Scale shape: state is one row per node; an iteration is two
     edge⋈state joins + two grouped sums + two 1-row L1 totals
@@ -1766,7 +1792,6 @@ def hits(
     ``materialize`` keeps lineage flat."""
     if num_iter < 1:
         raise ValueError("num_iter must be >= 1")
-    bc = F.broadcast if broadcast_state else (lambda df: df)
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
@@ -1780,6 +1805,7 @@ def hits(
         .transform(materialize)
     )
     n = nodes.count()
+    bc = _state_bc(broadcast_state, n)
     # initial hub state = checkpointed nodes + a literal; recomputing
     # it under a consumer is a map over the checkpoint
     h = nodes.withColumn(

@@ -541,3 +541,41 @@ def test_views_never_broadcast_fact_scale_edges(spark):
             )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_graph_state_broadcast_is_measured_not_hardcoded(spark, sf_dir):
+    """broadcast_state policy: node-state frames GROW with the data, so
+    a hard-coded hint would OOM at 100x scale — the "auto" mode hints
+    only when the MEASURED node count fits MAX_BROADCAST_NODES.  Pin
+    both directions: at test scale the hint fires (map-side state
+    joins, no SortMergeJoin in the iteration plan); with the budget
+    forced to 0 the same call plans no broadcast hint."""
+    from pyspark.sql import functions as F
+
+    from robosystems_spark.operators import graph as G
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    edges = li.select(
+        (F.col("l_suppkey").cast("long") * 2).alias("src"),
+        (F.col("l_partkey").cast("long") * 2 + 1).alias("dst"),
+    )
+    out = G.pagerank(edges, num_iter=1)
+    plan = plan_of(out)
+    assert "SortMergeJoin" not in plan  # state joins stayed map-side
+
+    # force the budget to zero: auto must fall back to no hint, and
+    # results must be identical either way (values never depend on
+    # the join strategy)
+    budget = G.MAX_BROADCAST_NODES
+    try:
+        G.MAX_BROADCAST_NODES = 0
+        out0 = G.pagerank(edges, num_iter=1)
+        # with the budget at zero only the 1-row dangling-mass
+        # aggregate may carry a hint — the state frames must not
+        hints = analyzed_plan_of(out0).count("ResolvedHint")
+        assert hints <= 1, f"state hint leaked past the budget ({hints})"
+        a = sorted(tuple(r) for r in out.collect())
+        b = sorted(tuple(r) for r in out0.collect())
+        assert a == b  # values never depend on the join strategy
+    finally:
+        G.MAX_BROADCAST_NODES = budget
