@@ -2683,3 +2683,56 @@ def corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir).withColumn("is_target", F.col("lang") == "en")
     return dsir_importance(docs).orderBy("doc_id")
+
+
+@register(
+    "corpus_ccnet_buckets",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS t
+      FROM documents
+    ),
+    big AS (
+      SELECT doc_id, t[gs.i] AS w1, t[gs.i + 1] AS w2
+      FROM toks, UNNEST(GENERATE_SERIES(1, LEN(t) - 1)) AS gs(i)
+      WHERE LEN(t) >= 2
+    ),
+    cb AS (SELECT w1, w2, COUNT(*) AS cb FROM big GROUP BY 1, 2),
+    c1 AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY 1),
+    vocab AS (
+      SELECT CAST(COUNT(DISTINCT tok) AS DOUBLE) AS v
+      FROM (SELECT UNNEST(t) AS tok FROM toks)
+    ),
+    scored AS (
+      SELECT doc_id, COUNT(*) AS n_bigrams,
+             ROUND(AVG(LN((cb.cb + 0.5) / (c1.c1 + 0.5 * (SELECT v FROM vocab)))), 4)
+               AS avg_logprob
+      FROM big JOIN cb USING (w1, w2) JOIN c1 USING (w1)
+      GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           avg_logprob,
+           CAST(NTILE(3) OVER (ORDER BY avg_logprob DESC, doc_id ASC)
+                AS INTEGER) AS bucket,
+           CASE NTILE(3) OVER (ORDER BY avg_logprob DESC, doc_id ASC)
+                WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+           END AS tier
+    FROM scored
+    ORDER BY doc_id
+    """,
+    doc="CCNet quality tiers (Wenzek et al. 2020): rank every document "
+    "by the corpus-trained bigram-LM score and NTILE into equal head/"
+    "middle/tail thirds — the quality bucketing CCNet mixtures sample "
+    "at different rates. The tier boundary is NTILE over a TOTAL order "
+    "(rounded score DESC, id) so bucket edges are engine-identical. "
+    "Two count shuffles + one global window; corpora too large for one "
+    "sort switch to approxQuantile boundaries (documented, not "
+    "silently approximated).",
+    tags=("text", "corpus", "quality"),
+    bench=True,
+)
+def corpus_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from robosystems_spark.operators.corpus import ccnet_perplexity_buckets
+
+    return ccnet_perplexity_buckets(_docs(spark, sf_dir)).orderBy("doc_id")

@@ -937,3 +937,49 @@ def dsir_oracle_sql(
     LIMIT {topk}"""
         )
     return sel + "\n    ORDER BY dbc.doc_id"
+
+
+def ccnet_perplexity_buckets(
+    docs: DataFrame,
+    n_buckets: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style quality bucketing (Wenzek et al. 2020, "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl
+    Data"): rank every document by a language-model score and split
+    the corpus into equal-sized quality tiers — CCNet's head /
+    middle / tail thirds, which downstream mixtures sample at
+    different rates.  The LM here is the corpus-trained add-k bigram
+    model (:func:`robosystems_spark.operators.text.bigram_logprob`),
+    the repo's perplexity proxy; swapping in an external KenLM score
+    column is the same NTILE over a different input.
+
+    Determinism: the tier boundary is NTILE over a TOTAL order
+    (rounded avg_logprob DESC, then id) — no engine-dependent tie
+    placement at bucket edges.
+
+    Scale shape: bigram_logprob's two count shuffles + one
+    corpus-wide NTILE window.  A single global window is the honest
+    formulation of exact equal-sized tiers; corpora too large for one
+    sort should switch to approx percentile boundaries
+    (approxQuantile on avg_logprob) — noted here rather than silently
+    approximated.
+
+    Returns (id, n_bigrams, avg_logprob, bucket, tier) with tier in
+    head/middle/tail for 3 buckets (stringified index otherwise).
+    """
+    from robosystems_spark.operators.text import bigram_logprob
+
+    scored = bigram_logprob(docs, text_col, id_col)
+    w = Window.orderBy(F.desc("avg_logprob"), F.asc(id_col))
+    out = scored.withColumn("bucket", F.ntile(n_buckets).over(w))
+    if n_buckets == 3:
+        tier = (
+            F.when(F.col("bucket") == 1, "head")
+            .when(F.col("bucket") == 2, "middle")
+            .otherwise("tail")
+        )
+    else:
+        tier = F.col("bucket").cast("string")
+    return out.withColumn("tier", tier)

@@ -627,3 +627,35 @@ def test_dsir_importance_directionality_and_lattice(spark):
     out2 = {r["doc_id"]: r["log_importance"]
             for r in dsir_importance(docs).collect()}
     assert out == out2
+
+
+def test_ccnet_buckets_tiers_and_determinism(spark):
+    """CCNet tiers (Wenzek et al. 2020): fluent (corpus-typical) docs
+    land in the head, rare-vocabulary docs in the tail; equal-size
+    NTILE thirds; deterministic under re-run."""
+    from robosystems_spark.operators.corpus import ccnet_perplexity_buckets
+
+    fluent = "the model trains on the data and the data feeds the model"
+    rows = (
+        [(i, fluent) for i in range(4)]
+        + [(10 + i, f"zq{i}x vex{i} jolt{i} wub{i} kree{i} plon{i}")
+           for i in range(4)]
+        + [(20 + i, "the model trains on unusual vex data sometimes")
+           for i in range(4)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: (r["tier"], r["bucket"])
+           for r in ccnet_perplexity_buckets(docs).collect()}
+    assert len(out) == 12
+    from collections import Counter
+
+    sizes = Counter(t for t, _ in out.values())
+    assert sizes == {"head": 4, "middle": 4, "tail": 4}
+    # the rare-vocabulary docs (every bigram unique) must fill the
+    # tail; both fluent groups fill head+middle
+    assert all(out[10 + i][0] == "tail" for i in range(4))
+    assert all(out[i][0] in ("head", "middle") for i in range(4))
+    assert all(out[20 + i][0] in ("head", "middle") for i in range(4))
+    out2 = {r["doc_id"]: (r["tier"], r["bucket"])
+            for r in ccnet_perplexity_buckets(docs).collect()}
+    assert out == out2
