@@ -145,6 +145,103 @@ def text_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.gopher_quality_flags(_docs(spark, sf_dir))
 
 
+@register(
+    "text_gopher_repetition_flags",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS toks,
+             GREATEST(LENGTH(TRIM(text)), 1) AS total
+      FROM documents),
+    gi AS (SELECT t.doc_id, t.total, r.n, t.toks,
+                  UNNEST(RANGE(1, LEN(t.toks) - r.n + 2)) AS i
+           FROM t, RANGE(2, 11) r(n)),
+    g AS (SELECT doc_id, total, n,
+                 ARRAY_TO_STRING(toks[i : i + n - 1], ' ') AS gram
+          FROM gi),
+    c AS (SELECT doc_id, total, n, gram, COUNT(*) AS cnt, LENGTH(gram) AS l
+          FROM g GROUP BY doc_id, total, n, gram),
+    p AS (SELECT doc_id, total, n,
+                 MAX(STRUCT_PACK(c := cnt, l := CAST(l AS BIGINT), g := gram)) AS win,
+                 SUM(CASE WHEN cnt > 1 THEN cnt * l ELSE 0 END) AS dup
+          FROM c GROUP BY doc_id, total, n),
+    f AS (SELECT doc_id,
+                 MAX(CASE WHEN n = 2 THEN win.c * win.l END) AS t2,
+                 MAX(CASE WHEN n = 3 THEN win.c * win.l END) AS t3,
+                 MAX(CASE WHEN n = 4 THEN win.c * win.l END) AS t4,
+                 MAX(CASE WHEN n = 5 THEN dup END) AS d5,
+                 MAX(CASE WHEN n = 6 THEN dup END) AS d6,
+                 MAX(CASE WHEN n = 7 THEN dup END) AS d7,
+                 MAX(CASE WHEN n = 8 THEN dup END) AS d8,
+                 MAX(CASE WHEN n = 9 THEN dup END) AS d9,
+                 MAX(CASE WHEN n = 10 THEN dup END) AS d10
+          FROM p GROUP BY doc_id)
+    SELECT t.doc_id,
+           ROUND(COALESCE(f.t2, 0) / t.total, 6) AS rep_top2_frac,
+           ROUND(COALESCE(f.t3, 0) / t.total, 6) AS rep_top3_frac,
+           ROUND(COALESCE(f.t4, 0) / t.total, 6) AS rep_top4_frac,
+           ROUND(COALESCE(f.d5, 0) / t.total, 6) AS rep_dup5_frac,
+           ROUND(COALESCE(f.d6, 0) / t.total, 6) AS rep_dup6_frac,
+           ROUND(COALESCE(f.d7, 0) / t.total, 6) AS rep_dup7_frac,
+           ROUND(COALESCE(f.d8, 0) / t.total, 6) AS rep_dup8_frac,
+           ROUND(COALESCE(f.d9, 0) / t.total, 6) AS rep_dup9_frac,
+           ROUND(COALESCE(f.d10, 0) / t.total, 6) AS rep_dup10_frac,
+           ((COALESCE(f.t2, 0) / t.total <= 0.20) AND (COALESCE(f.t3, 0) / t.total <= 0.18)
+            AND (COALESCE(f.t4, 0) / t.total <= 0.16) AND (COALESCE(f.d5, 0) / t.total <= 0.15)
+            AND (COALESCE(f.d6, 0) / t.total <= 0.14) AND (COALESCE(f.d7, 0) / t.total <= 0.13)
+            AND (COALESCE(f.d8, 0) / t.total <= 0.12) AND (COALESCE(f.d9, 0) / t.total <= 0.11)
+            AND (COALESCE(f.d10, 0) / t.total <= 0.10)) AS passes_repetition
+    FROM t LEFT JOIN f USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+    doc="The PUBLISHED Gopher repetition-filter rules (Rae et al. 2021 "
+    "A1.2, the other half of the MassiveText filter): fraction of "
+    "characters in the most common {2,3,4}-gram and in duplicated "
+    "{5..10}-grams, with the paper's drop thresholds and the AND "
+    "keep/drop bit. Spark side is a map-only single-fold run-length "
+    "pass over each document's sorted n-gram array (zero shuffles — "
+    "the explode+groupBy formulation shuffles ~9x the corpus token "
+    "count for a doc-local key); the oracle materializes the explode. "
+    "Duplicate-line/paragraph rules omitted (single-line corpus seam).",
+    tags=("text", "quality"),
+)
+def text_gopher_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.gopher_repetition_flags(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+@register(
+    "text_unigram_entropy",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+')) AS tok
+      FROM documents),
+    c AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY 1, 2),
+    d AS (SELECT doc_id, SUM(c) AS n, COUNT(*) AS k,
+                 SUM(c * CAST(ROUND(1000000000.0 * LN(c)) AS BIGINT)) AS u
+          FROM c GROUP BY doc_id)
+    SELECT doc_id,
+           CAST(n AS INT) AS n_tokens,
+           CAST(k AS INT) AS n_unique_tokens,
+           ROUND(LN(n) - (CAST(u AS DOUBLE) / 1000000000.0) / n, 6)
+             AS unigram_entropy,
+           ROUND(CASE WHEN k > 1
+                      THEN (LN(n) - (CAST(u AS DOUBLE) / 1000000000.0) / n)
+                           / LN(k)
+                      ELSE 0.0 END, 6) AS norm_entropy
+    FROM d ORDER BY doc_id
+    """,
+    doc="Per-document unigram Shannon entropy in nats + normalized "
+    "entropy (RedPajama-v2-class information-density signal; low = "
+    "boilerplate/keyword stuffing). H = ln N - (1/N) sum c ln c with "
+    "every ln on an INTEGER count rounded to the 1e-9 lattice (the KL "
+    "entry's discipline) so the per-doc sum is exact BIGINT. Spark "
+    "side is a map-only run-length fold over the sorted token array — "
+    "zero shuffles; the oracle uses the explode+groupBy form.",
+    tags=("text", "quality"),
+)
+def text_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.unigram_entropy(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Language ID heuristic.
 # ---------------------------------------------------------------------------

@@ -137,6 +137,223 @@ def gopher_quality_flags(
     )
 
 
+# (frac_threshold) per rule, from Rae et al. 2021 table A1: a document
+# is DROPPED when the fraction exceeds the threshold.
+GOPHER_REPETITION_THRESHOLDS: dict[str, float] = {
+    "top2": 0.20,
+    "top3": 0.18,
+    "top4": 0.16,
+    "dup5": 0.15,
+    "dup6": 0.14,
+    "dup7": 0.13,
+    "dup8": 0.12,
+    "dup9": 0.11,
+    "dup10": 0.10,
+}
+
+
+def _ngram_run_stats(toks: Column, n: int) -> Column:
+    """struct(top, dup) of character-coverage counts for word ``n``-grams.
+
+    ``top`` = (occurrences of the winning n-gram) x (its char length);
+    the winner maximizes (count, char length, gram) lexicographically —
+    the published rule says "most common n-gram", and the (len, gram)
+    tie-break makes count ties deterministic and engine-identical.
+    ``dup`` = sum over n-grams occurring more than once of
+    (count x char length) — every occurrence of a duplicated n-gram
+    counts (the NeMo-Curator variant; DataTrove instead marks character
+    spans so overlapping occurrences aren't double-counted — stated
+    deviation).
+
+    Entirely per-row higher-order functions on the token array (sort +
+    one run-length FOLD over the sorted array): NO explode, NO shuffle —
+    the 100 TB path is a map-only scan.  Char length of a gram includes
+    the single joining spaces (length of the space-joined form).
+
+    Implementation note: the fold is a SINGLE ``F.aggregate`` pass whose
+    lambda references only the accumulator and the element.  Spark does
+    no common-subexpression elimination inside lambda bodies, so the
+    obvious staged form (``starts`` referencing the sorted array,
+    ``runs`` referencing ``starts``, reductions referencing ``runs``)
+    re-evaluates each upstream array per element — measured O(len^3..4)
+    per document, 150 s for 20 rows.  The fold is O(len).
+    """
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    s = F.array_sort(grams)
+    zero = F.lit(0).cast("long")
+
+    # acc: (prev gram, current run length, best (count, chars, gram),
+    # duplicated-char sum).  Runs close when the gram changes; the
+    # sorted order makes the (c, l, g)-lexicographic max equivalent to
+    # "replace on strictly-better (c, l)" since g always increases.
+    def _close(acc: Column):
+        candc = acc["run"]
+        candl = F.length(acc["prev"]).cast("long")
+        better = (candc > acc["topc"]) | (
+            (candc == acc["topc"]) & (candl >= acc["topl"])
+        )
+        return (
+            F.when(better, candc).otherwise(acc["topc"]),
+            F.when(better, candl).otherwise(acc["topl"]),
+            acc["dup"] + F.when(candc > 1, candc * candl).otherwise(zero),
+        )
+
+    def _merge(acc: Column, x: Column) -> Column:
+        is_close = acc["prev"].isNotNull() & (x != acc["prev"])
+        tc, tl, dp = _close(acc)
+        return F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.when(is_close, tc).otherwise(acc["topc"]).alias("topc"),
+            F.when(is_close, tl).otherwise(acc["topl"]).alias("topl"),
+            F.when(is_close, dp).otherwise(acc["dup"]).alias("dup"),
+        )
+
+    def _finish(acc: Column) -> Column:
+        has = acc["prev"].isNotNull()
+        tc, tl, dp = _close(acc)
+        return F.struct(
+            (F.when(has, tc).otherwise(zero) * F.when(has, tl).otherwise(zero)).alias(
+                "top"
+            ),
+            F.when(has, dp).otherwise(zero).alias("dup"),
+        )
+
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        zero.alias("run"),
+        zero.alias("topc"),
+        zero.alias("topl"),
+        zero.alias("dup"),
+    )
+    return F.aggregate(s, init, _merge, _finish)
+
+
+def gopher_repetition_flags(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The published Gopher repetition filter rules (Rae et al. 2021
+    appendix A1.2, the second half of the MassiveText filter next to
+    :func:`gopher_quality_flags`):
+
+    - fraction of characters in the most common {2,3,4}-gram must not
+      exceed {0.20, 0.18, 0.16}
+    - fraction of characters in duplicated {5..10}-grams must not
+      exceed {0.15, 0.14, 0.13, 0.12, 0.11, 0.10}
+
+    The duplicate-line / duplicate-paragraph rules are omitted: this
+    corpus is single-line (same documented seam as the two line-based
+    A1.1 rules).  Character fractions use the trimmed document length
+    as the denominator.
+
+    Scale: a per-document map-only computation — token array sort +
+    run-length per n, all whole-stage-codegen higher-order functions,
+    zero shuffles (the naive explode->groupBy(doc, n, gram) formulation
+    shuffles ~9x the corpus token count for a doc-local key).
+    """
+    toks = tokens(text_col)
+    denom = F.greatest(
+        F.length(F.trim(F.col(text_col))).cast("long"), F.lit(1).cast("long")
+    ).cast("double")
+    stats = {n: _ngram_run_stats(toks, n) for n in range(2, 11)}
+    fracs: dict[str, Column] = {}
+    for n in (2, 3, 4):
+        fracs[f"top{n}"] = stats[n]["top"] / denom
+    for n in range(5, 11):
+        fracs[f"dup{n}"] = stats[n]["dup"] / denom
+    passes = F.lit(True)
+    for key, thr in GOPHER_REPETITION_THRESHOLDS.items():
+        passes = passes & (fracs[key] <= F.lit(thr))
+    return df.select(
+        id_col,
+        *[
+            F.round(fracs[key], 6).alias(f"rep_{key}_frac")
+            for key in GOPHER_REPETITION_THRESHOLDS
+        ],
+        passes.alias("passes_repetition"),
+    )
+
+
+def unigram_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document unigram (Shannon) entropy in nats — the
+    RedPajama-v2-class information-density signal (low entropy = boilerplate
+    / keyword stuffing; the natural companion of the corpus-level KL drift
+    monitor).
+
+    H = ln(N) - (1/N) * sum_w c_w ln(c_w).  Float discipline follows the
+    KL entry (Adamic-Adar lattice): every ln runs on an INTEGER count and
+    is rounded to a 1e-9 lattice, the per-doc sum is exact BIGINT, and a
+    single float expression at the end produces the value — hash-stable
+    across engines.  ``norm_entropy`` = H / ln(n_unique) in [0, 1]
+    (0 when the doc has a single distinct token).
+
+    Scale: map-only like :func:`gopher_repetition_flags` — token-array
+    sort + run-length fold, no shuffle.
+    """
+    toks = tokens(text_col)
+    s = F.array_sort(toks)
+    m = F.size(s)
+    zero = F.lit(0).cast("long")
+
+    # Single-fold run-length pass (same no-CSE-inside-lambdas rationale
+    # as _ngram_run_stats): acc = (prev token, run length,
+    # sum c*round(1e9*ln(c)) over closed runs, distinct-token count).
+    def _units(run: Column) -> Column:
+        return run * F.round(F.log(run.cast("double")) * 1e9).cast("long")
+
+    def _merge(acc: Column, x: Column) -> Column:
+        is_close = acc["prev"].isNotNull() & (x != acc["prev"])
+        return F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            (acc["u"] + F.when(is_close, _units(acc["run"])).otherwise(zero)).alias(
+                "u"
+            ),
+            (acc["k"] + F.when(is_close, F.lit(1)).otherwise(F.lit(0))).alias("k"),
+        )
+
+    def _finish(acc: Column) -> Column:
+        has = acc["prev"].isNotNull()
+        return F.struct(
+            (acc["u"] + F.when(has, _units(acc["run"])).otherwise(zero)).alias("u"),
+            (acc["k"] + F.when(has, F.lit(1)).otherwise(F.lit(0))).alias("k"),
+        )
+
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        zero.alias("run"),
+        zero.alias("u"),
+        F.lit(0).alias("k"),
+    )
+    folded = F.aggregate(s, init, _merge, _finish)
+    u = folded["u"]
+    k = folded["k"]
+    nd = m.cast("double")
+    entropy = F.when(
+        m > 0, F.log(nd) - (u.cast("double") / 1e9) / nd
+    ).otherwise(F.lit(0.0))
+    norm = F.when(k > 1, entropy / F.log(k.cast("double"))).otherwise(F.lit(0.0))
+    return df.select(
+        id_col,
+        m.alias("n_tokens"),
+        k.alias("n_unique_tokens"),
+        F.round(entropy, 6).alias("unigram_entropy"),
+        F.round(norm, 6).alias("norm_entropy"),
+    )
+
+
 def langid(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """N-gram/stopword language-ID heuristic.
 

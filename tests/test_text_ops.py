@@ -659,3 +659,81 @@ def test_ccnet_buckets_tiers_and_determinism(spark):
     out2 = {r["doc_id"]: (r["tier"], r["bucket"])
             for r in ccnet_perplexity_buckets(docs).collect()}
     assert out == out2
+
+
+def test_gopher_repetition_flags_hand_values(spark):
+    """Rae et al. 2021 A1.2 on hand-computable docs: char fractions of
+    the top {2,3,4}-gram and duplicated {5..10}-grams."""
+    from robosystems_spark.operators.text import gopher_repetition_flags
+
+    # "a b a b a b": 2-grams {"a b":3, "b a":2} -> top2 = 3*3 = 9 chars
+    # of 11; 3-grams tie at count 2 -> (len, gram) tie-break picks
+    # "b a b" (l=5) -> 10/11; all 5..10-grams unique -> dup = 0.
+    long_clean = " ".join(f"tok{i:02d}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, long_clean)], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in gopher_repetition_flags(docs).collect()}
+    r1 = rows[1]
+    assert r1["rep_top2_frac"] == round(9 / 11, 6)
+    assert r1["rep_top3_frac"] == round(10 / 11, 6)
+    assert r1["rep_dup5_frac"] == 0.0
+    assert r1["rep_dup10_frac"] == 0.0
+    assert not r1["passes_repetition"]
+    # 60 distinct 5-char tokens: top-n coverage is one occurrence of an
+    # (6n-1)-char gram out of 359 chars -> far below every threshold.
+    r2 = rows[2]
+    assert r2["rep_top4_frac"] == round(23 / 359, 6)
+    assert r2["rep_dup5_frac"] == 0.0
+    assert r2["passes_repetition"]
+
+
+def test_gopher_repetition_duplicated_ngram_chars(spark):
+    """A repeated 5-gram counts every occurrence's chars in dup5."""
+    from robosystems_spark.operators.text import gopher_repetition_flags
+
+    # "p q r s t" appears twice (separated by distinct filler), so
+    # dup5 = 2 * len("p q r s t") = 18 chars.
+    text = "p q r s t u1 v2 w3 x4 y5 z6 p q r s t"
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = gopher_repetition_flags(docs).collect()[0]
+    total = len(text)
+    assert r["rep_dup5_frac"] == round(18 / total, 6)
+    # no 6-gram repeats (fillers differ on both sides)
+    assert r["rep_dup6_frac"] == 0.0
+
+
+def test_gopher_repetition_short_and_empty_docs(spark):
+    """Docs shorter than n produce zero fractions, never errors."""
+    from robosystems_spark.operators.text import gopher_repetition_flags
+
+    docs = spark.createDataFrame(
+        [(1, "solo"), (2, ""), (3, "two words")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in gopher_repetition_flags(docs).collect()}
+    assert rows[1]["rep_top2_frac"] == 0.0 and rows[1]["passes_repetition"]
+    assert rows[2]["rep_top2_frac"] == 0.0
+    # "two words": one 2-gram covering all 9 chars -> top2 = 1.0, drop
+    assert rows[3]["rep_top2_frac"] == 1.0
+    assert not rows[3]["passes_repetition"]
+
+
+def test_unigram_entropy_closed_forms(spark):
+    """H("a a b b") = ln2 with norm 1; single-type docs get H = 0."""
+    import math
+
+    from robosystems_spark.operators.text import unigram_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "a a b b"), (2, "x x x"), (3, "u v w z")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in unigram_entropy(docs).collect()}
+    assert rows[1]["n_tokens"] == 4 and rows[1]["n_unique_tokens"] == 2
+    assert rows[1]["unigram_entropy"] == round(math.log(2), 6)
+    assert rows[1]["norm_entropy"] == 1.0
+    assert rows[2]["unigram_entropy"] == 0.0
+    assert rows[2]["norm_entropy"] == 0.0
+    # uniform over 4 types: H = ln 4, norm = 1
+    assert rows[3]["unigram_entropy"] == round(math.log(4), 6)
+    assert rows[3]["norm_entropy"] == 1.0
