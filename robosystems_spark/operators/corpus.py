@@ -818,21 +818,34 @@ def dsir_importance(
         F.col(target_col).cast("boolean").alias("_t"),
         tokens(text_col).alias("_toks"),
     )
-    unigrams = toks.select(
-        "_id", "_t", F.explode("_toks").alias("_f")
-    )
-    bigrams = toks.filter(F.size("_toks") >= 2).select(
-        "_id",
-        "_t",
-        F.explode(
+    # Small-scan parallelism rescue (metadata-only decision, no job):
+    # the explode+md5 map work below parallelizes by input split, so a
+    # table smaller than one split would run single-task.  When splits
+    # < cores the input is by definition tiny — redistribute it.  At
+    # real scale splits >> cores and no shuffle is added.
+    try:
+        nin = docs.rdd.getNumPartitions()
+        cores = docs.sparkSession.sparkContext.defaultParallelism
+    except Exception:  # noqa: BLE001 - connect sessions lack .rdd
+        nin = cores = 0
+    if nin and nin < cores:
+        toks = toks.repartition(cores)
+    # unigrams ++ bigrams in ONE array -> one explode -> one parquet
+    # scan (the union-of-two-branches form scans the table twice)
+    grams = F.concat(
+        F.col("_toks"),
+        F.when(
+            F.size("_toks") >= 2,
             F.zip_with(
                 F.slice(F.col("_toks"), 1, F.size("_toks") - 1),
                 F.slice(F.col("_toks"), 2, F.size("_toks") - 1),
                 lambda a, b: F.concat(a, F.lit(" "), b),
-            )
-        ).alias("_f"),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
     )
-    feats = unigrams.unionByName(bigrams).select(
+    feats = toks.select(
+        "_id", "_t", F.explode(grams).alias("_f")
+    ).select(
         "_id",
         "_t",
         (
