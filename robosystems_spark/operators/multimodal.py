@@ -334,8 +334,9 @@ def decode_bmp(data: bytes):
     escapes).  Handles the 4-byte row padding, bottom-up OR top-down
     (negative height) row order, and BGR channel order of the
     on-disk format.  Every field of BITMAPINFOHEADER/V4/V5 that
-    changes pixel layout is honored; the remaining BMP seams are the
-    never-seen-in-practice BI_JPEG/BI_PNG embeddings."""
+    changes pixel layout is honored, and BI_JPEG/BI_PNG embedded
+    streams delegate to the in-repo JPEG/PNG decoders — the BMP
+    surface is seam-free."""
     import numpy as np
 
     if len(data) < 54 or data[:2] != b"BM":
@@ -461,9 +462,35 @@ def decode_bmp(data: bytes):
             for k in range(3)
         ]
         return masked(masks)
+    if compression in (4, 5):  # BI_JPEG / BI_PNG: the "pixel data" is
+        # a complete embedded JPEG/PNG stream of biSizeImage bytes at
+        # pixel_offset.  The inner codec owns orientation (GDI passes
+        # the stream to the decoder as-is), so no bottom-up flip; the
+        # output is normalized to decode_bmp's (h, w, 3) RGB contract
+        # (gray replicated, alpha dropped like 32-bpp BI_RGB).
+        size_image = int.from_bytes(data[34:38], "little")
+        end = pixel_offset + size_image if size_image else len(data)
+        stream = data[pixel_offset:end]
+        if compression == 4:
+            from robosystems_spark.operators.jpeg import decode_jpeg
+
+            px = decode_jpeg(stream)
+        else:
+            px = decode_png(stream)
+        if px.ndim == 2:
+            px = px[:, :, None]
+        if px.shape[2] in (1, 2):  # gray / gray+alpha
+            px = np.repeat(px[:, :, :1], 3, axis=2)
+        elif px.shape[2] == 4:
+            px = px[:, :, :3].copy()
+        if px.shape[0] != h or px.shape[1] != abs(width):
+            raise ValueError(
+                "embedded stream dimensions disagree with BMP header"
+            )
+        return px
     if compression != 0:
         raise NotImplementedError(
-            f"BMP compression {compression} (BI_JPEG/BI_PNG) not supported"
+            f"BMP compression {compression} not supported"
         )
     if bpp == 16:  # BI_RGB 16-bpp defaults to 5-5-5
         return masked([0x7C00, 0x03E0, 0x001F])
@@ -524,6 +551,40 @@ def encode_bmp(arr) -> bytes:
         + b"\x00" * 16
     )
     return header + body.tobytes()
+
+
+def encode_bmp_embedded(arr, codec: str = "png") -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a BMP whose pixel data is
+    an embedded PNG (BI_PNG, compression 5) or JPEG (BI_JPEG, 4)
+    stream — fixture synthesis for the delegation paths in
+    ``decode_bmp``.  JPEG embedding is lossy in general; constant
+    even-gray inputs survive bit-exactly (the TIFF compression-7
+    oracle's DC-exactness argument)."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w, _ = a.shape
+    if codec == "png":
+        stream, comp = encode_png(a), 5
+    elif codec == "jpeg":
+        from robosystems_spark.operators.jpeg import encode_jpeg
+
+        stream, comp = encode_jpeg(a), 4
+    else:
+        raise ValueError(f"unknown embedded codec {codec!r}")
+    pixel_offset = 54
+    size = pixel_offset + len(stream)
+    header = (
+        b"BM" + size.to_bytes(4, "little") + b"\x00" * 4
+        + pixel_offset.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + (0).to_bytes(2, "little")
+        + comp.to_bytes(4, "little") + len(stream).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return header + stream
 
 
 def encode_bmp_palette(indices, palette, rle: bool = False) -> bytes:

@@ -1727,3 +1727,60 @@ def test_jpeg_12bit_extended_sequential():
 
     with pytest.raises(ValueError, match="precision"):
         encode_jpeg(g12, precision=10)
+
+
+def test_bmp_embedded_png_and_jpeg_streams():
+    """BI_PNG/BI_JPEG BMPs delegate to the in-repo codecs; PNG
+    round-trips exactly, JPEG is DC-exact on constant even gray."""
+    import numpy as np
+
+    from robosystems_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp_embedded,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(13, 9, 3), dtype=np.uint8)
+    got = decode_bmp(encode_bmp_embedded(img, codec="png"))
+    assert np.array_equal(got, img)
+
+    gray = np.full((16, 16, 3), 128, dtype=np.uint8)
+    got_j = decode_bmp(encode_bmp_embedded(gray, codec="jpeg"))
+    assert np.array_equal(got_j, gray)
+
+
+def test_bmp_embedded_normalizes_channels_and_checks_dims():
+    """Gray embedded PNGs replicate to RGB; RGBA drops alpha; a
+    header/stream dimension mismatch raises ValueError."""
+    import numpy as np
+
+    from robosystems_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp_embedded,
+        encode_png,
+    )
+
+    gray = np.arange(20, dtype=np.uint8).reshape(5, 4)
+    bmp = bytearray(encode_bmp_embedded(np.repeat(gray[:, :, None], 3, 2)))
+    # swap the embedded stream for a single-channel PNG of the same dims
+    stream = encode_png(gray)
+    base = bmp[:54]
+    base[34:38] = len(stream).to_bytes(4, "little")
+    got = decode_bmp(bytes(base) + stream)
+    assert got.shape == (5, 4, 3)
+    assert np.array_equal(got[:, :, 0], gray)
+    assert np.array_equal(got[:, :, 1], gray)
+
+    rgba = np.dstack([gray, gray, gray, np.full((5, 4), 9, np.uint8)])
+    stream4 = encode_png(rgba)
+    base[34:38] = len(stream4).to_bytes(4, "little")
+    got4 = decode_bmp(bytes(base) + stream4)
+    assert got4.shape == (5, 4, 3)
+    assert np.array_equal(got4[:, :, 2], gray)
+
+    import pytest
+
+    wrong = encode_png(np.zeros((7, 7), np.uint8))
+    base[34:38] = len(wrong).to_bytes(4, "little")
+    with pytest.raises(ValueError):
+        decode_bmp(bytes(base) + wrong)
