@@ -22,9 +22,19 @@ Supported envelope (fail-soft, never wrong-value):
   found).
 - ``xsi:nil`` facts keep value NULL; unresolvable namespace prefixes
   fall back to the local name (never silently mislabel).
-- Inline XBRL (ix:) is NOT parsed here — that is Arelle territory;
-  the reader raises ValueError on an ix root so callers route those
-  filings to the richer front-end instead of getting zero facts.
+- Inline XBRL (ix: 2008/2013 namespaces, what EDGAR actually serves
+  today): ``ix:nonFraction`` with decimals/scale/sign and the common
+  numeric ixt transforms (num-dot-decimal, num-comma-decimal,
+  zerodash/fixed-zero family), ``ix:nonNumeric`` (verbatim,
+  fixed-true/false/empty, and the numeric date-order transforms),
+  ``ix:continuation`` chains, ``ix:exclude`` subtrees, and hidden
+  facts in ``ix:hidden`` (plain xbrli items).  Contexts and units
+  live under ``ix:resources`` and parse with the same readers.
+  An UNKNOWN ixt transform keeps the fact with value NULL — emitting
+  the untransformed text would be a wrong value (fail-soft contract);
+  ``ix:fraction`` facts are likewise emitted value-NULL.  ``escape``
+  facts collapse to their text content (the reference's Arelle path
+  preserves XHTML; stated simplification).
 
 Distributed shape: parsing is per-document CPU work with no cross-file
 state — ``raw_facts_from_filings`` runs it inside ``mapInPandas``
@@ -67,6 +77,7 @@ def _parse_with_nsmap(data: bytes) -> tuple[ET.Element, dict[str, str]]:
     seen for a URI wins (documents rebinding a URI to several
     prefixes are rare and any of them is a faithful qname)."""
     ns_by_uri: dict[str, str] = {}
+    uri_by_prefix: dict[str, str] = {}
     root = None
     for event, payload in ET.iterparse(
         io.BytesIO(data), events=("start-ns", "start")
@@ -75,11 +86,13 @@ def _parse_with_nsmap(data: bytes) -> tuple[ET.Element, dict[str, str]]:
             prefix, uri = payload
             if prefix and uri not in ns_by_uri:
                 ns_by_uri[uri] = prefix
+            if prefix and prefix not in uri_by_prefix:
+                uri_by_prefix[prefix] = uri
         elif root is None:
             root = payload
     if root is None:
         raise ValueError("empty XML document")
-    return root, ns_by_uri
+    return root, ns_by_uri, uri_by_prefix
 
 
 def _text(elem: ET.Element | None) -> str | None:
@@ -161,6 +174,217 @@ def _parse_units(root: ET.Element) -> dict[str, str]:
     return out
 
 
+def _is_ix_ns(ns: str) -> bool:
+    """True for any inline-XBRL namespace version (2008 draft + 2013)."""
+    return ns.startswith("http://www.xbrl.org/") and "inlineXBRL" in ns
+
+
+def _ix_text(elem: ET.Element) -> str:
+    """Concatenated text content of an ix fact element, skipping
+    ``ix:exclude`` subtrees (spec: excluded content is presentation-
+    only, e.g. footnote markers inside the tagged number)."""
+    parts: list[str] = []
+    if elem.text:
+        parts.append(elem.text)
+    for child in elem:
+        ns, local = _split_tag(child.tag)
+        if not (_is_ix_ns(ns) and local == "exclude"):
+            parts.append(_ix_text(child))
+        if child.tail:
+            parts.append(child.tail)
+    return "".join(parts)
+
+
+def _ix_full_text(
+    elem: ET.Element, continuations: dict[str, ET.Element]
+) -> str:
+    """Fact text including its ``continuedAt`` chain (cycle-guarded)."""
+    parts = [_ix_text(elem)]
+    seen: set[str] = set()
+    nxt = elem.get("continuedAt")
+    while nxt and nxt not in seen:
+        seen.add(nxt)
+        cont = continuations.get(nxt)
+        if cont is None:
+            break
+        parts.append(_ix_text(cont))
+        nxt = cont.get("continuedAt")
+    return "".join(parts)
+
+
+_IXT_DATE_ORDERS = {
+    "date-day-month-year": (0, 1, 2),
+    "datedaymonthyear": (0, 1, 2),
+    "date-month-day-year": (1, 0, 2),
+    "datemonthdayyear": (1, 0, 2),
+    "date-year-month-day": (2, 0, 1),
+    "dateyearmonthday": (2, 0, 1),
+}
+
+
+def _ixt_transform(fmt_local: str, raw: str) -> str | None:
+    """Apply an ixt transform by LOCAL name (version-agnostic: the
+    same local names appear across TRR v1-v4 namespaces).  Returns the
+    canonical lexical value, or None for an unknown transform (the
+    caller emits a NULL-valued fact rather than a wrong one)."""
+    t = raw.strip()
+    if fmt_local in ("num-dot-decimal", "numdotdecimal", "numcommadot"):
+        return t.replace(",", "").replace(" ", "").replace("\xa0", "")
+    if fmt_local in ("num-comma-decimal", "numcommadecimal", "numdotcomma"):
+        return (
+            t.replace(".", "")
+            .replace(" ", "")
+            .replace("\xa0", "")
+            .replace(",", ".")
+        )
+    if fmt_local in (
+        "zerodash", "numdash", "fixed-zero", "fixedzero", "num-dash"
+    ):
+        return "0"
+    if fmt_local in ("fixed-empty", "fixedempty", "nocontent"):
+        return ""
+    if fmt_local in ("fixed-true", "fixedtrue", "booleantrue"):
+        return "true"
+    if fmt_local in ("fixed-false", "fixedfalse", "booleanfalse"):
+        return "false"
+    order = _IXT_DATE_ORDERS.get(fmt_local)
+    if order is not None:
+        import re
+
+        comps = [c for c in re.split(r"[^0-9]+", t) if c]
+        if len(comps) != 3:
+            return None
+        d, m, y = comps[order[0]], comps[order[1]], comps[order[2]]
+        if len(y) == 2:  # TRR rule: two-digit years are 20yy
+            y = "20" + y
+        return f"{y}-{int(m):02d}-{int(d):02d}"
+    return None
+
+
+def _ix_numeric_value(
+    raw: str, fmt_local: str | None, scale: str | None, sign: str | None
+) -> str | None:
+    """ix:nonFraction value: transform -> Decimal -> scale -> sign,
+    rendered without exponent (integral values drop the point).  None
+    when the transform is unknown or the text isn't numeric."""
+    from decimal import Decimal, InvalidOperation
+
+    if fmt_local is None:
+        txt = raw.strip()
+    else:
+        txt = _ixt_transform(fmt_local, raw)
+        if txt is None:
+            return None
+    try:
+        v = Decimal(txt)
+    except (InvalidOperation, ValueError):
+        return None
+    if scale:
+        try:
+            v = v.scaleb(int(scale))
+        except (ValueError, InvalidOperation):
+            return None
+    if sign == "-":
+        v = -v
+    v = v.normalize()
+    if v == v.to_integral_value():
+        return str(v.quantize(Decimal(1)))
+    return format(v, "f")
+
+
+def _parse_inline(
+    root: ET.Element,
+    ns_by_uri: dict[str, str],
+    uri_by_prefix: dict[str, str],
+) -> list[dict]:
+    """Walk an inline-XBRL document: ix fact elements resolve their
+    concept from the ``name`` attribute (prefix form); hidden plain
+    xbrli items (inside ``ix:hidden``) resolve from their tag, exactly
+    like the 2.1 path.  Returns partially-filled RAW_FACT dicts (the
+    caller backfills filing metadata)."""
+    contexts = _parse_contexts(root)
+    units = _parse_units(root)
+    continuations: dict[str, ET.Element] = {}
+    for elem in root.iter():
+        ns, local = _split_tag(elem.tag)
+        if _is_ix_ns(ns) and local == "continuation":
+            cid = elem.get("id")
+            if cid:
+                continuations[cid] = elem
+
+    facts: list[dict] = []
+    for elem in root.iter():
+        ctx_ref = elem.get("contextRef")
+        if ctx_ref is None:
+            continue
+        ctx = contexts.get(ctx_ref)
+        if ctx is None or ctx["cik"] is None:
+            continue
+        ns, local = _split_tag(elem.tag)
+        if _is_ix_ns(ns):
+            if local not in ("nonFraction", "nonNumeric", "fraction"):
+                continue  # tuple refs etc. carry contextRef but no value
+            name = elem.get("name") or ""
+            prefix, _, cname = name.rpartition(":")
+            concept_ns = uri_by_prefix.get(prefix, "") if prefix else ""
+            qname = name if prefix else cname
+            fmt = elem.get("format")
+            fmt_local = fmt.rpartition(":")[2] if fmt else None
+            nil = elem.get(f"{{{XSI_NS}}}nil")
+            if nil == "true" or local == "fraction":
+                value = None
+            elif local == "nonFraction":
+                value = _ix_numeric_value(
+                    _ix_full_text(elem, continuations),
+                    fmt_local,
+                    elem.get("scale"),
+                    elem.get("sign"),
+                )
+            else:  # nonNumeric
+                raw = _ix_full_text(elem, continuations)
+                if fmt_local is None:
+                    value = raw.strip() or None
+                else:
+                    value = _ixt_transform(fmt_local, raw)
+            facts.append(
+                {
+                    "concept_qname": qname,
+                    "concept_uri": (
+                        f"{concept_ns}#{cname}" if concept_ns else cname
+                    ),
+                    "value": value,
+                    "decimals": elem.get("decimals"),
+                    "unit": (
+                        units.get(elem.get("unitRef"))
+                        if elem.get("unitRef")
+                        else None
+                    ),
+                    "_ctx": ctx,
+                    "_ns": concept_ns,
+                    "_local": cname,
+                }
+            )
+        elif ns not in _NON_FACT_NS:
+            # hidden plain items (ix:hidden) — the 2.1 item shape
+            prefix = ns_by_uri.get(ns)
+            qname = f"{prefix}:{local}" if prefix else local
+            nil = elem.get(f"{{{XSI_NS}}}nil")
+            unit_ref = elem.get("unitRef")
+            facts.append(
+                {
+                    "concept_qname": qname,
+                    "concept_uri": f"{ns}#{local}" if ns else local,
+                    "value": None if nil == "true" else _text(elem),
+                    "decimals": elem.get("decimals"),
+                    "unit": units.get(unit_ref) if unit_ref else None,
+                    "_ctx": ctx,
+                    "_ns": ns,
+                    "_local": local,
+                }
+            )
+    return facts
+
+
 def parse_instance(
     data: bytes,
     accession: str,
@@ -175,39 +399,57 @@ def parse_instance(
     SEC index); ``form`` and ``entity_name`` fall back to the
     dei:DocumentType / dei:EntityRegistrantName facts when present.
     """
-    root, ns_by_uri = _parse_with_nsmap(data)
+    root, ns_by_uri, uri_by_prefix = _parse_with_nsmap(data)
     root_ns, _ = _split_tag(root.tag)
-    if root_ns.startswith(IX_NS_PREFIX):
-        raise ValueError(
-            "inline XBRL (ix:) documents need a full parser front-end "
-            "(Arelle); this reader handles plain XBRL 2.1 instances"
-        )
-    contexts = _parse_contexts(root)
-    units = _parse_units(root)
+    inline = (
+        _is_ix_ns(root_ns)
+        or root_ns == "http://www.w3.org/1999/xhtml"
+        or any(_is_ix_ns(u) for u in uri_by_prefix.values())
+    )
+    if inline:
+        partial = _parse_inline(root, ns_by_uri, uri_by_prefix)
+    else:
+        contexts = _parse_contexts(root)
+        units = _parse_units(root)
+        partial = []
+        for elem in root.iter():
+            ctx_ref = elem.get("contextRef")
+            if ctx_ref is None:
+                continue
+            ns, local = _split_tag(elem.tag)
+            if ns in _NON_FACT_NS:
+                continue
+            ctx = contexts.get(ctx_ref)
+            if ctx is None or ctx["cik"] is None:
+                continue  # dangling contextRef: not a reportable fact
+            prefix = ns_by_uri.get(ns)
+            qname = f"{prefix}:{local}" if prefix else local
+            nil = elem.get(f"{{{XSI_NS}}}nil")
+            unit_ref = elem.get("unitRef")
+            partial.append(
+                {
+                    "concept_qname": qname,
+                    "concept_uri": f"{ns}#{local}" if ns else local,
+                    "value": None if nil == "true" else _text(elem),
+                    "decimals": elem.get("decimals"),
+                    "unit": units.get(unit_ref) if unit_ref else None,
+                    "_ctx": ctx,
+                    "_ns": ns,
+                    "_local": local,
+                }
+            )
 
     facts: list[dict] = []
     dei_name = None
     dei_form = None
-    for elem in root.iter():
-        ctx_ref = elem.get("contextRef")
-        if ctx_ref is None:
-            continue
-        ns, local = _split_tag(elem.tag)
-        if ns in _NON_FACT_NS:
-            continue
-        ctx = contexts.get(ctx_ref)
-        if ctx is None or ctx["cik"] is None:
-            continue  # dangling contextRef: not a reportable fact
-        prefix = ns_by_uri.get(ns)
-        qname = f"{prefix}:{local}" if prefix else local
-        nil = elem.get(f"{{{XSI_NS}}}nil")
-        value = None if nil == "true" else _text(elem)
-        if ns.startswith(DEI_NS_PREFIX):
-            if local == "EntityRegistrantName" and value:
+    for p in partial:
+        value = p["value"]
+        if p["_ns"].startswith(DEI_NS_PREFIX) and value:
+            if p["_local"] == "EntityRegistrantName":
                 dei_name = value
-            elif local == "DocumentType" and value:
+            elif p["_local"] == "DocumentType":
                 dei_form = value
-        unit_ref = elem.get("unitRef")
+        ctx = p["_ctx"]
         facts.append(
             {
                 "entity_cik": ctx["cik"],
@@ -215,11 +457,11 @@ def parse_instance(
                 "accession": accession,
                 "form": None,  # backfilled below
                 "filing_date": filing_date,
-                "concept_qname": qname,
-                "concept_uri": f"{ns}#{local}" if ns else local,
+                "concept_qname": p["concept_qname"],
+                "concept_uri": p["concept_uri"],
                 "value": value,
-                "decimals": elem.get("decimals"),
-                "unit": units.get(unit_ref) if unit_ref else None,
+                "decimals": p["decimals"],
+                "unit": p["unit"],
                 "period_start": ctx["period_start"],
                 "period_end": ctx["period_end"],
                 "period_instant": ctx["period_instant"],

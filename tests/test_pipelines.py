@@ -602,10 +602,100 @@ def test_xbrl_parse_instance_fields():
     assert text["unit"] is None and text["value"].startswith("Long risk")
 
 
-def test_xbrl_parse_rejects_inline_and_poisons_garbage(spark):
-    """ix: roots raise (route to a full parser); garbage bytes become
-    a poison row in the distributed path instead of killing the
-    stage."""
+_IXBRL_XML = b"""<?xml version="1.0" encoding="utf-8"?>
+<html xmlns="http://www.w3.org/1999/xhtml"
+      xmlns:ix="http://www.xbrl.org/2013/inlineXBRL"
+      xmlns:ixt="http://www.xbrl.org/inlineXBRL/transformation/2015-02-26"
+      xmlns:xbrli="http://www.xbrl.org/2003/instance"
+      xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance"
+      xmlns:dei="http://xbrl.sec.gov/dei/2023"
+      xmlns:us-gaap="http://fasb.org/us-gaap/2023">
+ <head><title>Acme 10-K</title></head>
+ <body>
+  <div style="display:none">
+   <ix:header>
+    <ix:hidden>
+     <dei:EntityCentralIndexKey contextRef="d2023">0000123456</dei:EntityCentralIndexKey>
+    </ix:hidden>
+    <ix:resources>
+     <xbrli:context id="d2023">
+      <xbrli:entity>
+       <xbrli:identifier scheme="http://www.sec.gov/CIK">0000123456</xbrli:identifier>
+      </xbrli:entity>
+      <xbrli:period>
+       <xbrli:startDate>2023-01-01</xbrli:startDate>
+       <xbrli:endDate>2023-12-31</xbrli:endDate>
+      </xbrli:period>
+     </xbrli:context>
+     <xbrli:unit id="usd"><xbrli:measure>iso4217:USD</xbrli:measure></xbrli:unit>
+    </ix:resources>
+   </ix:header>
+  </div>
+  <p>Registrant:
+   <ix:nonNumeric name="dei:EntityRegistrantName" contextRef="d2023"
+                  continuedAt="c1">Acme</ix:nonNumeric>
+   filed a
+   <ix:nonNumeric name="dei:DocumentType" contextRef="d2023">10-K</ix:nonNumeric>
+   for the period ending
+   <ix:nonNumeric name="dei:DocumentPeriodEndDate" contextRef="d2023"
+                  format="ixt:date-month-day-year">12/31/2023</ix:nonNumeric>.
+  </p>
+  <p>Revenue was $<ix:nonFraction name="us-gaap:Revenues" contextRef="d2023"
+        unitRef="usd" decimals="-3" scale="3"
+        format="ixt:num-dot-decimal">1,000<ix:exclude><span>(a)</span></ix:exclude></ix:nonFraction> thousand,
+   a change of <ix:nonFraction name="us-gaap:OtherNonoperatingIncomeExpense"
+        contextRef="d2023" unitRef="usd" decimals="2" scale="0"
+        sign="-">25.5</ix:nonFraction> dollars;
+   prior impairment: <ix:nonFraction name="us-gaap:AssetImpairmentCharges"
+        contextRef="d2023" unitRef="usd" decimals="0"
+        format="ixt:zerodash">-</ix:nonFraction>.
+   In words: <ix:nonFraction name="us-gaap:Liabilities" contextRef="d2023"
+        unitRef="usd" decimals="0"
+        format="ixt:numwordsen">one million</ix:nonFraction>.
+  </p>
+  <ix:continuation id="c1"> Corp</ix:continuation>
+ </body>
+</html>
+"""
+
+
+def test_xbrl_parse_inline_documents():
+    """Inline-XBRL front door: nonFraction scale/sign/format
+    transforms, exclude subtrees, continuation chains, hidden plain
+    items, resources-resident contexts/units, dei backfill; unknown
+    transforms keep NULL (never a wrong value)."""
+    from robosystems_spark.pipelines.xbrl_parse import parse_instance
+
+    rows = parse_instance(_IXBRL_XML, accession="acc-ix",
+                          filing_date="2024-02-01")
+    by = {r["concept_qname"]: r for r in rows}
+
+    assert all(r["entity_cik"] == "0000123456" for r in rows)
+    # continuation chain assembled, then backfilled everywhere
+    assert all(r["entity_name"] == "Acme Corp" for r in rows)
+    assert all(r["form"] == "10-K" for r in rows)
+
+    rev = by["us-gaap:Revenues"]
+    # "1,000" -> num-dot-decimal -> 1000 -> scale 3 -> 1000000;
+    # the ix:exclude footnote marker is ignored
+    assert rev["value"] == "1000000"
+    assert rev["unit"] == "iso4217:USD"
+    assert rev["decimals"] == "-3"
+    assert rev["period_start"] == "2023-01-01"
+    assert rev["concept_uri"] == "http://fasb.org/us-gaap/2023#Revenues"
+
+    assert by["us-gaap:OtherNonoperatingIncomeExpense"]["value"] == "-25.5"
+    assert by["us-gaap:AssetImpairmentCharges"]["value"] == "0"
+    assert by["us-gaap:Liabilities"]["value"] is None  # unknown ixt
+    assert by["dei:DocumentPeriodEndDate"]["value"] == "2023-12-31"
+    # hidden plain item parses via the 2.1 item shape
+    assert by["dei:EntityCentralIndexKey"]["value"] == "0000123456"
+
+
+def test_xbrl_parse_inline_empty_and_poisons_garbage(spark):
+    """An ix document with no facts yields zero rows (not an error);
+    garbage bytes become a poison row in the distributed path instead
+    of killing the stage."""
     from robosystems_spark.pipelines.xbrl_parse import (
         parse_instance,
         raw_facts_from_filings,
@@ -613,8 +703,7 @@ def test_xbrl_parse_rejects_inline_and_poisons_garbage(spark):
 
     ix = (b'<?xml version="1.0"?>'
           b'<html xmlns="http://www.xbrl.org/2013/inlineXBRL"/>')
-    with pytest.raises(ValueError, match="inline XBRL"):
-        parse_instance(ix, accession="a")
+    assert parse_instance(ix, accession="a") == []
 
     filings = spark.createDataFrame(
         [("acc-good", bytearray(_INSTANCE_XML)),
