@@ -1238,3 +1238,59 @@ def graph_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = pagerank_weighted(edges, num_iter=_PR_ITER, damping=_PR_DAMP)
     return out.select("node", F.round("rank", 8).alias("rank"))
+
+
+_RW_EDGES_CTE = """e0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+  SELECT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst FROM lineitem
+  UNION ALL
+  SELECT l_partkey * 2 + 1 AS src, l_suppkey * 2 AS dst FROM lineitem))"""
+_RW_SOURCES_CTE = (
+    "src0 AS (SELECT CAST(s_suppkey * 2 AS BIGINT) AS s"
+    " FROM supplier WHERE s_suppkey <= 8)"
+)
+_RW_LEN = 3
+_RW_WALKS = 2
+_RW_SEED = 42
+
+
+@register(
+    "graph_random_walks",
+    oracle=__import__(
+        "robosystems_spark.operators.graph",
+        fromlist=["random_walks_oracle_sql"],
+    ).random_walks_oracle_sql(
+        _RW_EDGES_CTE, _RW_SOURCES_CTE, _RW_LEN, _RW_WALKS, _RW_SEED
+    ),
+    doc="Hash-deterministic DeepWalk/node2vec sampling (Perozzi et "
+    "al. 2014) over the undirected supplier-part graph: the hop into "
+    "step t picks md5(seed:start:walk:t:node) mod degree over the "
+    "SORTED neighbor list, so the walk corpus is reproducible and "
+    "hash-identical across engines — graph-embedding training data "
+    "under the full value oracle (unrolled-CTE twin), not a "
+    "rows-only check. One adjacency groupBy + one join per step over "
+    "|sources| x walks_per_node rows of state.",
+    tags=("graph", "ml"),
+)
+def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from robosystems_spark.operators.graph import random_walks
+
+    li = read_table(spark, sf_dir, "lineitem")
+    sp = li.select(
+        (F.col("l_suppkey").cast("long") * 2).alias("src"),
+        (F.col("l_partkey").cast("long") * 2 + 1).alias("dst"),
+    )
+    edges = sp.unionAll(
+        sp.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).dropDuplicates()
+    sources = (
+        read_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") <= 8)
+        .select((F.col("s_suppkey").cast("long") * 2).alias("s"))
+    )
+    return random_walks(
+        edges,
+        sources,
+        walk_len=_RW_LEN,
+        walks_per_node=_RW_WALKS,
+        seed=_RW_SEED,
+    ).orderBy("start_node", "walk_id", "step")

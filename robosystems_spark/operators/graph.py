@@ -2166,3 +2166,140 @@ def harmonic_oracle_sql(edges_cte: str, max_depth: int, decimals: int = 6) -> st
            ROUND(0.0 + {fold}, {decimals}) AS harmonic
     FROM pairs GROUP BY dst ORDER BY node
     """
+
+
+def random_walks(
+    edges: DataFrame,
+    sources: DataFrame,
+    walk_len: int = 3,
+    walks_per_node: int = 2,
+    seed: int = 42,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Hash-deterministic fixed-length random walks — the DeepWalk /
+    node2vec (p=q=1) sampling pass that turns a graph into a
+    skip-gram training corpus (Perozzi et al. 2014 §4.1).
+
+    Determinism is the point: the hop INTO step ``t`` from node ``v``
+    on walk ``(s, w)`` picks neighbor index
+    ``md5("{seed}:{s}:{w}:{t}:{v}") mod degree(v)`` over the SORTED
+    neighbor multiset — md5 is bit-identical in any engine (the DSIR
+    feature-hash trick), so the sampled corpus is reproducible and
+    hash-checkable across engines, the property a training pipeline
+    needs for repeatable dataset builds (and the reason this carries
+    a full value oracle instead of a rows-only check).  A walk that
+    reaches a sink (no out-edges) truncates there.
+
+    Scale shape: adjacency is ONE groupBy (sorted neighbor lists);
+    each step is one join keyed by the current node over state of one
+    row per active walk — pre-partitioning edges by ``src`` makes the
+    loop exchange-free (the kcore trick).  ``sources`` gates the walk
+    count, so corpus size is |sources| x walks_per_node x walk_len
+    regardless of graph size.
+
+    Returns (start_node, walk_id, step, node), step 0 = the start.
+    """
+    if walk_len < 1:
+        raise ValueError("walk_len must be >= 1")
+    if walks_per_node < 1:
+        raise ValueError("walks_per_node must be >= 1")
+    adj = (
+        edges.groupBy(F.col(src_col).alias("v"))
+        .agg(F.array_sort(F.collect_list(F.col(dst_col))).alias("_nbrs"))
+        .transform(materialize)
+    )
+    state = sources.select(
+        F.col("s").cast("long").alias("s"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(walks_per_node - 1))
+        ).alias("w"),
+    ).select("s", "w", F.col("s").alias("v"))
+    out = [
+        state.select(
+            "s", "w", F.lit(0).alias("step"), F.col("v").alias("node")
+        )
+    ]
+    for t in range(1, walk_len + 1):
+        key = F.concat_ws(
+            ":",
+            F.lit(str(seed)),
+            F.col("s"),
+            F.col("w"),
+            F.lit(str(t)),
+            F.col("v"),
+        )
+        idx = (
+            F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+            % F.size("_nbrs")
+        )
+        state = (
+            state.join(adj, "v")
+            .select(
+                "s",
+                "w",
+                F.element_at("_nbrs", (idx + 1).cast("int")).alias("v"),
+            )
+            .transform(materialize)
+        )
+        out.append(
+            state.select(
+                "s", "w", F.lit(t).alias("step"), F.col("v").alias("node")
+            )
+        )
+    res = out[0]
+    for p in out[1:]:
+        res = res.unionAll(p)
+    return res.select(
+        F.col("s").alias("start_node"),
+        F.col("w").alias("walk_id"),
+        "step",
+        "node",
+    )
+
+
+def random_walks_oracle_sql(
+    edges_cte: str,
+    sources_cte: str,
+    walk_len: int,
+    walks_per_node: int,
+    seed: int = 42,
+) -> str:
+    """:func:`random_walks` unrolled as DuckDB CTEs.  ``edges_cte``
+    must define ``e0(src, dst)`` and ``sources_cte`` ``src0(s)`` (same
+    contracts as :func:`stress_oracle_sql`); the md5 key string is
+    constructed byte-identically to the Spark side."""
+    parts = [
+        edges_cte,
+        sources_cte,
+        "adj AS MATERIALIZED (SELECT src AS v, LIST(dst ORDER BY dst)"
+        " AS nbrs FROM e0 GROUP BY src)",
+        f"w0 AS (SELECT s, CAST(u.w AS INT) AS w, s AS v FROM src0,"
+        f" (SELECT UNNEST(RANGE(0, {walks_per_node})) AS w) u)",
+    ]
+    for t in range(1, walk_len + 1):
+        key = (
+            f"'{seed}:' || CAST(x.s AS VARCHAR) || ':' ||"
+            f" CAST(x.w AS VARCHAR) || ':{t}:' || CAST(x.v AS VARCHAR)"
+        )
+        parts.append(
+            f"""w{t} AS MATERIALIZED (
+  SELECT x.s, x.w,
+         a.nbrs[CAST(1 + (('0x' || SUBSTR(MD5({key}), 1, 15))::BIGINT
+                          % LEN(a.nbrs)) AS INT)] AS v
+  FROM w{t - 1} x JOIN adj a ON a.v = x.v
+)"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT s, w, {t} AS step, v FROM w{t}"
+        for t in range(walk_len + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT s AS start_node, w AS walk_id, CAST(step AS INT) AS step,
+       CAST(v AS BIGINT) AS node
+FROM ({union})
+ORDER BY start_node, walk_id, step"""
+    )

@@ -737,3 +737,48 @@ def test_unigram_entropy_closed_forms(spark):
     # uniform over 4 types: H = ln 4, norm = 1
     assert rows[3]["unigram_entropy"] == round(math.log(4), 6)
     assert rows[3]["norm_entropy"] == 1.0
+
+
+def test_random_walks_match_independent_hash_recomputation(spark):
+    """The walk corpus is reproducible from the published rule alone:
+    recompute every hop with hashlib over the sorted adjacency and
+    require exact equality (the cross-engine determinism contract)."""
+    import hashlib
+
+    from robosystems_spark.operators.graph import random_walks
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 1), (2, 3), (3, 1), (3, 4), (4, 1)],
+        "src long, dst long",
+    )
+    sources = spark.createDataFrame([(1,), (3,)], "s long")
+    got = {
+        (r["start_node"], r["walk_id"], r["step"]): r["node"]
+        for r in random_walks(
+            edges, sources, walk_len=4, walks_per_node=3, seed=7
+        ).collect()
+    }
+    adj = {1: [2, 3], 2: [1, 3], 3: [1, 4], 4: [1]}
+    expect = {}
+    for s in (1, 3):
+        for w in range(3):
+            v = s
+            expect[(s, w, 0)] = v
+            for t in range(1, 5):
+                h = hashlib.md5(f"7:{s}:{w}:{t}:{v}".encode()).hexdigest()
+                v = adj[v][int(h[:15], 16) % len(adj[v])]
+                expect[(s, w, t)] = v
+    assert got == expect
+
+
+def test_random_walks_truncate_at_sinks(spark):
+    """Walks reaching a node with no out-edges stop there."""
+    from robosystems_spark.operators.graph import random_walks
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    sources = spark.createDataFrame([(1,)], "s long")
+    rows = random_walks(
+        edges, sources, walk_len=5, walks_per_node=1, seed=1
+    ).collect()
+    # step 0 at node 1, step 1 at node 2 (2 is a sink) - nothing after
+    assert {(r["step"], r["node"]) for r in rows} == {(0, 1), (1, 2)}
