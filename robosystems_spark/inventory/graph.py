@@ -1294,3 +1294,45 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         walks_per_node=_RW_WALKS,
         seed=_RW_SEED,
     ).orderBy("start_node", "walk_id", "step")
+
+
+@register(
+    "graph_skipgram_pairs",
+    oracle=__import__(
+        "robosystems_spark.operators.graph",
+        fromlist=["skipgram_oracle_sql"],
+    ).skipgram_oracle_sql(
+        _RW_EDGES_CTE, _RW_SOURCES_CTE, _RW_LEN, _RW_WALKS, _RW_SEED, 2
+    ),
+    doc="Skip-gram (center, context) pair counts within a 2-step "
+    "window over the deterministic walk corpus — the training pairs "
+    "word2vec-style graph embeddings consume (Perozzi et al. 2014 "
+    "feeds exactly these to SkipGram). Composes the random_walks "
+    "operator: one self-join keyed by (start, walk) whose groups are "
+    "walk_len+1 rows, then one count shuffle on the pair key.",
+    tags=("graph", "ml"),
+)
+def graph_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from robosystems_spark.operators.graph import random_walks, skipgram_pairs
+
+    li = read_table(spark, sf_dir, "lineitem")
+    sp = li.select(
+        (F.col("l_suppkey").cast("long") * 2).alias("src"),
+        (F.col("l_partkey").cast("long") * 2 + 1).alias("dst"),
+    )
+    edges = sp.unionAll(
+        sp.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).dropDuplicates()
+    sources = (
+        read_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") <= 8)
+        .select((F.col("s_suppkey").cast("long") * 2).alias("s"))
+    )
+    walks = random_walks(
+        edges,
+        sources,
+        walk_len=_RW_LEN,
+        walks_per_node=_RW_WALKS,
+        seed=_RW_SEED,
+    )
+    return skipgram_pairs(walks, window=2).orderBy("center", "context")

@@ -2258,17 +2258,15 @@ def random_walks(
     )
 
 
-def random_walks_oracle_sql(
+def _random_walk_ctes(
     edges_cte: str,
     sources_cte: str,
     walk_len: int,
     walks_per_node: int,
-    seed: int = 42,
-) -> str:
-    """:func:`random_walks` unrolled as DuckDB CTEs.  ``edges_cte``
-    must define ``e0(src, dst)`` and ``sources_cte`` ``src0(s)`` (same
-    contracts as :func:`stress_oracle_sql`); the md5 key string is
-    constructed byte-identically to the Spark side."""
+    seed: int,
+) -> tuple[list[str], str]:
+    """Shared CTE builder for the walk-family oracles: returns
+    (CTE parts, the UNION ALL producing (s, w, step, v))."""
     parts = [
         edges_cte,
         sources_cte,
@@ -2294,6 +2292,23 @@ def random_walks_oracle_sql(
         f"SELECT s, w, {t} AS step, v FROM w{t}"
         for t in range(walk_len + 1)
     )
+    return parts, union
+
+
+def random_walks_oracle_sql(
+    edges_cte: str,
+    sources_cte: str,
+    walk_len: int,
+    walks_per_node: int,
+    seed: int = 42,
+) -> str:
+    """:func:`random_walks` unrolled as DuckDB CTEs.  ``edges_cte``
+    must define ``e0(src, dst)`` and ``sources_cte`` ``src0(s)`` (same
+    contracts as :func:`stress_oracle_sql`); the md5 key string is
+    constructed byte-identically to the Spark side."""
+    parts, union = _random_walk_ctes(
+        edges_cte, sources_cte, walk_len, walks_per_node, seed
+    )
     return (
         "WITH "
         + ",\n".join(parts)
@@ -2302,4 +2317,69 @@ SELECT s AS start_node, w AS walk_id, CAST(step AS INT) AS step,
        CAST(v AS BIGINT) AS node
 FROM ({union})
 ORDER BY start_node, walk_id, step"""
+    )
+
+
+def skipgram_pairs(
+    walks: DataFrame, window: int = 2
+) -> DataFrame:
+    """(center, context) co-occurrence counts within ``window`` steps
+    on each walk — the skip-gram corpus word2vec-style embedding
+    training consumes (Perozzi et al. 2014 §4.2 feeds exactly these
+    pairs to SkipGram).  Input is :func:`random_walks` output (or any
+    (start_node, walk_id, step, node) frame).
+
+    One self-join keyed by (start_node, walk_id) — each group is
+    walk_len+1 rows, so the join output is bounded by
+    |walks| x 2 x window — then one count shuffle on the pair key.
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    a = walks.select(
+        F.col("start_node").alias("_s"),
+        F.col("walk_id").alias("_w"),
+        F.col("step").alias("_i"),
+        F.col("node").alias("center"),
+    )
+    b = walks.select(
+        F.col("start_node").alias("_s"),
+        F.col("walk_id").alias("_w"),
+        F.col("step").alias("_j"),
+        F.col("node").alias("context"),
+    )
+    return (
+        a.join(b, ["_s", "_w"])
+        .filter(
+            (F.col("_i") != F.col("_j"))
+            & (F.abs(F.col("_i") - F.col("_j")) <= window)
+        )
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+def skipgram_oracle_sql(
+    edges_cte: str,
+    sources_cte: str,
+    walk_len: int,
+    walks_per_node: int,
+    seed: int = 42,
+    window: int = 2,
+) -> str:
+    """:func:`skipgram_pairs` over :func:`random_walks`, unrolled."""
+    parts, union = _random_walk_ctes(
+        edges_cte, sources_cte, walk_len, walks_per_node, seed
+    )
+    parts.append(f"wk AS MATERIALIZED ({union})")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT CAST(a.v AS BIGINT) AS center, CAST(b.v AS BIGINT) AS context,
+       COUNT(*) AS n_pairs
+FROM wk a JOIN wk b
+  ON a.s = b.s AND a.w = b.w AND a.step <> b.step
+ AND ABS(a.step - b.step) <= {window}
+GROUP BY 1, 2
+ORDER BY center, context"""
     )

@@ -782,3 +782,25 @@ def test_random_walks_truncate_at_sinks(spark):
     ).collect()
     # step 0 at node 1, step 1 at node 2 (2 is a sink) - nothing after
     assert {(r["step"], r["node"]) for r in rows} == {(0, 1), (1, 2)}
+
+
+def test_skipgram_pairs_window_semantics(spark):
+    """Pairs count every ordered (center, context) within the window,
+    per walk, excluding self-steps."""
+    from robosystems_spark.operators.graph import skipgram_pairs
+
+    walks = spark.createDataFrame(
+        [(1, 0, 0, 10), (1, 0, 1, 20), (1, 0, 2, 30), (1, 0, 3, 10)],
+        "start_node long, walk_id int, step int, node long",
+    )
+    got = {
+        (r["center"], r["context"]): r["n_pairs"]
+        for r in skipgram_pairs(walks, window=2).collect()
+    }
+    # step pairs with |i-j| in {1,2}: (0,1),(0,2),(1,2),(1,3),(2,3)
+    # and mirrors; node 10 appears at steps 0 and 3
+    assert got[(10, 20)] == 2  # (0,1) and (3,1)
+    assert got[(20, 10)] == 2
+    assert got[(10, 30)] == 2  # (0,2) and (3,2)
+    assert got[(20, 30)] == 1
+    assert (10, 10) not in got  # |0-3| = 3 > window
