@@ -137,6 +137,22 @@ def gopher_quality_flags(
     )
 
 
+def _parallelize_small_scan(df: DataFrame) -> DataFrame:
+    """Small-scan parallelism rescue (metadata-only decision, no job):
+    per-document map work parallelizes by input split, so a table
+    smaller than one split runs single-task.  When splits < cores the
+    input is by definition tiny — redistribute it.  At real scale
+    splits >> cores and no shuffle is added."""
+    try:
+        nin = df.rdd.getNumPartitions()
+        cores = df.sparkSession.sparkContext.defaultParallelism
+    except Exception:  # noqa: BLE001 - connect sessions lack .rdd
+        return df
+    if nin and nin < cores:
+        return df.repartition(cores)
+    return df
+
+
 # (frac_threshold) per rule, from Rae et al. 2021 table A1: a document
 # is DROPPED when the fraction exceeds the threshold.
 GOPHER_REPETITION_THRESHOLDS: dict[str, float] = {
@@ -259,20 +275,35 @@ def gopher_repetition_flags(
     zero shuffles (the naive explode->groupBy(doc, n, gram) formulation
     shuffles ~9x the corpus token count for a doc-local key).
     """
-    toks = tokens(text_col)
     denom = F.greatest(
         F.length(F.trim(F.col(text_col))).cast("long"), F.lit(1).cast("long")
     ).cast("double")
-    stats = {n: _ngram_run_stats(toks, n) for n in range(2, 11)}
+    # Two staging projections so non-cheap expressions evaluate ONCE
+    # per row (CollapseProject declines to inline non-cheap
+    # expressions referenced more than once): tokenization feeds all
+    # nine folds, and each fold feeds both its frac column and the
+    # keep/drop flag — without the barriers the re-expansion ran the
+    # split 9x and every sort+fold 2x (measured).
+    toked = _parallelize_small_scan(df).select(
+        id_col, denom.alias("_denom"), tokens(text_col).alias("_toks")
+    )
+    staged = toked.select(
+        id_col,
+        "_denom",
+        *[
+            _ngram_run_stats(F.col("_toks"), n).alias(f"_n{n}")
+            for n in range(2, 11)
+        ],
+    )
     fracs: dict[str, Column] = {}
     for n in (2, 3, 4):
-        fracs[f"top{n}"] = stats[n]["top"] / denom
+        fracs[f"top{n}"] = F.col(f"_n{n}")["top"] / F.col("_denom")
     for n in range(5, 11):
-        fracs[f"dup{n}"] = stats[n]["dup"] / denom
+        fracs[f"dup{n}"] = F.col(f"_n{n}")["dup"] / F.col("_denom")
     passes = F.lit(True)
     for key, thr in GOPHER_REPETITION_THRESHOLDS.items():
         passes = passes & (fracs[key] <= F.lit(thr))
-    return df.select(
+    return staged.select(
         id_col,
         *[
             F.round(fracs[key], 6).alias(f"rep_{key}_frac")
@@ -300,9 +331,7 @@ def unigram_entropy(
     Scale: map-only like :func:`gopher_repetition_flags` — token-array
     sort + run-length fold, no shuffle.
     """
-    toks = tokens(text_col)
-    s = F.array_sort(toks)
-    m = F.size(s)
+    s = F.array_sort(F.col("_toks"))
     zero = F.lit(0).cast("long")
 
     # Single-fold run-length pass (same no-CSE-inside-lambdas rationale
@@ -338,14 +367,24 @@ def unigram_entropy(
         F.lit(0).alias("k"),
     )
     folded = F.aggregate(s, init, _merge, _finish)
-    u = folded["u"]
-    k = folded["k"]
+    # stage tokenization, then the fold + the token count (same
+    # CollapseProject rationale as gopher_repetition_flags: each is
+    # referenced by several downstream expressions)
+    toked = _parallelize_small_scan(df).select(
+        id_col, tokens(text_col).alias("_toks")
+    )
+    staged = toked.select(
+        id_col, F.size("_toks").alias("_m"), folded.alias("_f")
+    )
+    m = F.col("_m")
+    u = F.col("_f")["u"]
+    k = F.col("_f")["k"]
     nd = m.cast("double")
     entropy = F.when(
         m > 0, F.log(nd) - (u.cast("double") / 1e9) / nd
     ).otherwise(F.lit(0.0))
     norm = F.when(k > 1, entropy / F.log(k.cast("double"))).otherwise(F.lit(0.0))
-    return df.select(
+    return staged.select(
         id_col,
         m.alias("n_tokens"),
         k.alias("n_unique_tokens"),
