@@ -1280,12 +1280,12 @@ def _ima_channel_encode(chunk, index, n_codes):
 def ima_adpcm_encode(
     samples, block_align: int = 1024, channels: int = 1
 ) -> bytes:
-    """IMA ADPCM encoder (the decoder inverse; fixture synthesis),
-    mono or stereo (interleaved input).  Canonical quantizer: sign
+    """IMA ADPCM encoder (the decoder inverse; fixture synthesis) at
+    ANY channel count (interleaved input).  Canonical quantizer: sign
     bit + 3 magnitude bits by successive step subtraction; predictor
     state tracks the DECODED value so error never accumulates past
-    one step.  Stereo packs nibble streams as alternating 4-byte
-    channel groups per the IMA WAV layout."""
+    one step.  Multichannel packs nibble streams as 4-byte groups
+    cycling through the channels per the IMA WAV layout."""
     import numpy as np
 
     x = np.clip(np.asarray(samples, dtype=np.int64), -32768, 32767)
@@ -1552,11 +1552,12 @@ def decode_wav_pcm(data: bytes):
     16, 24 (packed 3-byte), and 32 bits; IEEE float 32/64 (format 3,
     scaled from [-1, 1] to the int32 domain); G.711 A-law/mu-law
     telephony companding (formats 6/7, table-decoded to 16-bit
-    linear); IMA ADPCM (format 0x11) and MS-ADPCM (format 2), mono
-    AND stereo — block headers + 4-bit codes, fact-chunk trim; and
+    linear); IMA ADPCM (format 0x11) at ANY channel count and
+    MS-ADPCM (format 2) mono/stereo (the spec's own limit) — block
+    headers + 4-bit codes, fact-chunk trim; and
     WAVE_FORMAT_EXTENSIBLE (0xFFFE) with the real code read from the
-    SubFormat GUID.  Remaining seams: >2-channel ADPCM and the
-    perceptual codecs (MP3/AAC in WAV)."""
+    SubFormat GUID.  Remaining seam: the perceptual codecs (MP3/AAC
+    in WAV)."""
     import numpy as np
 
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
@@ -1607,9 +1608,9 @@ def decode_wav_pcm(data: bytes):
             raise ValueError(f"G.711 WAV must be 8-bit, got {bits}")
         table = _g711_alaw_table() if audio_format == 6 else _g711_ulaw_table()
         samples = table[np.frombuffer(body, dtype=np.uint8)]
-    elif audio_format == 0x11:  # IMA ADPCM (mono or stereo)
-        if channels not in (1, 2):
-            raise NotImplementedError(">2-channel IMA ADPCM")
+    elif audio_format == 0x11:  # IMA ADPCM (any channel count)
+        if channels < 1:
+            raise ValueError("IMA ADPCM needs >= 1 channel")
         if block_align < 8 * channels:
             raise ValueError(f"bad IMA ADPCM block align {block_align}")
         frames = _ima_adpcm_decode_blocks(
@@ -1618,9 +1619,11 @@ def decode_wav_pcm(data: bytes):
         if fact is not None:
             frames = frames[:fact]  # drop final-block pad frames
         return frames, rate
-    elif audio_format == 2:  # MS-ADPCM (mono or stereo)
+    elif audio_format == 2:  # MS-ADPCM (mono or stereo BY SPEC: the
+        # ADPCMWAVEFORMAT header interleave is defined only for 1-2
+        # channels — this is a format limit, not a seam)
         if channels not in (1, 2):
-            raise NotImplementedError(">2-channel MS-ADPCM")
+            raise ValueError("MS-ADPCM is defined for 1-2 channels only")
         if block_align < 8 * channels:
             raise ValueError(f"bad MS-ADPCM block align {block_align}")
         frames = _ms_adpcm_decode_blocks(

@@ -1784,3 +1784,55 @@ def test_bmp_embedded_normalizes_channels_and_checks_dims():
     base[34:38] = len(wrong).to_bytes(4, "little")
     with pytest.raises(ValueError):
         decode_bmp(bytes(base) + wrong)
+
+
+def test_ima_adpcm_four_channel_round_trip():
+    """IMA ADPCM at >2 channels: the 4-byte nibble groups cycle
+    through all channels and each channel's predictor state is
+    independent (a silent channel stays bit-silent)."""
+    import numpy as np
+
+    from robosystems_spark.operators.multimodal import (
+        decode_wav_pcm,
+        encode_wav_ima_adpcm,
+        ima_adpcm_encode,
+        _ima_adpcm_decode_blocks,
+    )
+
+    rng = np.random.default_rng(3)
+    n, ch = 4 * 505, 4
+    base = np.cumsum(rng.integers(-300, 301, size=(n, ch)), axis=0)
+    x = np.clip(base, -30000, 30000).astype(np.int64)
+    x[:, 2] = 0  # silent third channel
+    block_align = 4 * ch + 4 * ch * 15  # 31 frames/block
+    wav = encode_wav_ima_adpcm(x.reshape(-1), 16000, block_align, ch)
+    got, rate = decode_wav_pcm(wav)
+    assert rate == 16000 and got.shape == (n, ch)
+    # ADPCM is lossy but stepwise-bounded; silent channel is exact
+    assert np.array_equal(got[:, 2], np.zeros(n, dtype=got.dtype))
+    err = np.abs(got.astype(np.int64) - x)
+    assert err.max() < 2048  # worst step bound, far under full scale
+    # container-free core agrees with the container path
+    raw = ima_adpcm_encode(x.reshape(-1), block_align, ch)
+    core = _ima_adpcm_decode_blocks(raw, block_align, ch).reshape(-1, ch)
+    assert np.array_equal(core[: got.shape[0]], got)
+
+
+def test_ms_adpcm_channel_limit_is_a_value_error():
+    """MS-ADPCM beyond 2 channels is spec-invalid input, not a seam."""
+    import pytest
+
+    from robosystems_spark.operators.multimodal import decode_wav_pcm
+
+    fmt = (
+        (2).to_bytes(2, "little") + (4).to_bytes(2, "little")
+        + (8000).to_bytes(4, "little") + (8000).to_bytes(4, "little")
+        + (256).to_bytes(2, "little") + (4).to_bytes(2, "little")
+    )
+    wav = (
+        b"RIFF" + (36).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + b"data" + (0).to_bytes(4, "little")
+    )
+    with pytest.raises(ValueError, match="1-2 channels"):
+        decode_wav_pcm(wav)
