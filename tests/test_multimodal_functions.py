@@ -1359,8 +1359,10 @@ def test_bmp_rle4_bitfields_16bpp_1bpp():
     img = decode_bmp(_bmp_header(3, 1, 1, 0, 4, n_pal=2) + pal2 + row)
     assert [p[0] for p in img[0]] == [255, 0, 255]
 
-    # BI_JPEG embedding stays a loud seam
-    with _pytest.raises(NotImplementedError):
+    # BI_JPEG now delegates to the real decoder: a corrupt embedded
+    # stream fails via its ValueError contract
+    # (test_bmp_embedded_png_and_jpeg_streams covers the decode path)
+    with _pytest.raises(ValueError, match="not a JPEG"):
         decode_bmp(_bmp_header(1, 1, 24, 4, 4) + b"\x00" * 4)
 
 
@@ -1463,10 +1465,9 @@ def test_wav_ima_adpcm():
     """IMA ADPCM (WAV format 0x11): the block-vectorized decoder
     matches a scalar reference implementation bit-for-bit; the
     container round-trips with fact-chunk sample trim; tracking
-    error on a smooth signal stays small; multichannel stays an
-    honest seam."""
+    error on a smooth signal stays small (N-channel decode:
+    test_ima_adpcm_four_channel_round_trip)."""
     import numpy as np
-    import pytest as _pytest
 
     from robosystems_spark.operators.multimodal import (
         _ima_adpcm_decode_blocks,
@@ -1521,13 +1522,6 @@ def test_wav_ima_adpcm():
     err = np.abs(dec.reshape(-1) - np.clip(sig, -32768, 32767))
     assert err.max() < 4000 and err.mean() < 300
 
-    # >2-channel ADPCM stays loud (stereo decodes: see
-    # test_wav_ima_adpcm_stereo)
-    bad = bytearray(encode_wav_ima_adpcm(sig[:100], 8000, block_align=ba))
-    i = bad.find(b"fmt ") + 8
-    bad[i + 2:i + 4] = (3).to_bytes(2, "little")
-    with _pytest.raises(NotImplementedError):
-        decode_wav_pcm(bytes(bad))
 
 
 def test_wav_ms_adpcm():
@@ -1587,11 +1581,12 @@ def test_wav_ms_adpcm():
     err = np.abs(dec.reshape(-1) - np.clip(sig, -32768, 32767))
     assert err.max() < 4000 and err.mean() < 300
 
-    # >2-channel stays loud (stereo decodes: test_wav_ms_adpcm_stereo)
+    # >2-channel MS-ADPCM is spec-invalid input (ADPCMWAVEFORMAT
+    # defines the header interleave for 1-2 channels only)
     bad = bytearray(encode_wav_ms_adpcm(sig[:100], 8000, block_align=ba))
     i = bad.find(b"fmt ") + 8
     bad[i + 2:i + 4] = (3).to_bytes(2, "little")
-    with _pytest.raises(NotImplementedError):
+    with _pytest.raises(ValueError, match="1-2 channels"):
         decode_wav_pcm(bytes(bad))
 
 
