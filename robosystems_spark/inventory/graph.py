@@ -1336,3 +1336,56 @@ def graph_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed=_RW_SEED,
     )
     return skipgram_pairs(walks, window=2).orderBy("center", "context")
+
+
+@register(
+    "graph_skipgram_negatives",
+    oracle=__import__(
+        "robosystems_spark.operators.graph",
+        fromlist=["skipgram_negatives_oracle_sql"],
+    ).skipgram_negatives_oracle_sql(
+        _RW_EDGES_CTE, _RW_SOURCES_CTE, _RW_LEN, _RW_WALKS, _RW_SEED, 2, 3
+    ),
+    doc="Hash-deterministic negative sampling (Mikolov et al. 2013) "
+    "for the skip-gram pairs: negative j for pair (a,b) is the node "
+    "owning cumulative position md5(seed:a:b:j) mod W on the walk-"
+    "corpus unigram count line. Spark side resolves probes against "
+    "cumulative intervals with a BUCKETED interval join (intervals "
+    "explode into fixed-width buckets, probes equi-join on bucket, "
+    "range filter) — no broadcast nested loop; the oracle uses a "
+    "plain range join. Raw counts, not count^0.75 (float pow is "
+    "last-ulp engine-divergent — stated deviation).",
+    tags=("graph", "ml"),
+)
+def graph_skipgram_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from robosystems_spark.operators.graph import (
+        random_walks,
+        skipgram_negatives,
+        skipgram_pairs,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    sp = li.select(
+        (F.col("l_suppkey").cast("long") * 2).alias("src"),
+        (F.col("l_partkey").cast("long") * 2 + 1).alias("dst"),
+    )
+    edges = sp.unionAll(
+        sp.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).dropDuplicates()
+    sources = (
+        read_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") <= 8)
+        .select((F.col("s_suppkey").cast("long") * 2).alias("s"))
+    )
+    walks = random_walks(
+        edges,
+        sources,
+        walk_len=_RW_LEN,
+        walks_per_node=_RW_WALKS,
+        seed=_RW_SEED,
+    )
+    freq = walks.groupBy(F.col("node")).agg(F.count(F.lit(1)).alias("c"))
+    pairs = skipgram_pairs(walks, window=2)
+    return skipgram_negatives(pairs, freq, k=3, seed=_RW_SEED).orderBy(
+        "center", "context", "neg_rank"
+    )

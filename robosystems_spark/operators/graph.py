@@ -2383,3 +2383,169 @@ FROM wk a JOIN wk b
 GROUP BY 1, 2
 ORDER BY center, context"""
     )
+
+
+def skipgram_negatives(
+    pairs: DataFrame,
+    freq: DataFrame,
+    k: int = 3,
+    seed: int = 42,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Hash-deterministic negative samples for skip-gram training
+    (Mikolov et al. 2013 §2.2): for every (center, context) pair draw
+    ``k`` negatives from the corpus unigram distribution.  ``freq`` is
+    (node, c) — e.g. node occurrence counts over the walk corpus.
+
+    Negative ``j`` for pair (a, b) is the node owning cumulative
+    position ``md5(seed:a:b:j) mod W`` on the count line (W = total
+    count) — fully reproducible cross-engine, like the walks
+    themselves.  Weights are the RAW counts: the paper's count^0.75
+    tempering needs float pow, whose last-ulp behavior differs across
+    engines and would break the hash oracle (stated deviation; an
+    integer-lattice 4th-root-of-cube variant is the upgrade path).
+    No rejection of accidental center/context collisions (word2vec
+    resamples; a deterministic oracle cannot) — stated.
+
+    Scale shape: the cumulative intervals come from one window cumsum
+    over the node-frequency table (single-partition window over |V|
+    rows — the CCNet-tiers caveat; two-pass partition-offset cumsum is
+    the billion-node alternative).  The probe->interval lookup is a
+    BUCKETED interval join: intervals explode into the fixed-width
+    buckets they overlap, probes compute their bucket, equi-join on
+    bucket then range-filter — no broadcast nested loop anywhere.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from pyspark.sql.window import Window
+
+    tot = freq.agg(F.sum("c").cast("long").alias("_W"))
+    win = Window.orderBy("node").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = freq.select(
+        "node",
+        F.col("c").cast("long").alias("_c"),
+        F.sum(F.col("c").cast("long")).over(win).alias("_hi"),
+    ).select(
+        "node", "_hi", (F.col("_hi") - F.col("_c")).alias("_lo")
+    )
+    bw = F.greatest(
+        (F.col("_W") / F.lit(n_buckets)).cast("long"), F.lit(1).cast("long")
+    )
+    intervals = (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            "node",
+            "_lo",
+            "_hi",
+            F.explode(
+                F.sequence(
+                    (F.col("_lo") / bw).cast("long"),
+                    ((F.col("_hi") - 1) / bw).cast("long"),
+                )
+            ).alias("_b"),
+        )
+    )
+    probes = (
+        pairs.select("center", "context")
+        .dropDuplicates()
+        .select(
+            "center",
+            "context",
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("neg_rank"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "center",
+            "context",
+            "neg_rank",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":",
+                                F.lit(str(seed)),
+                                F.col("center"),
+                                F.col("context"),
+                                F.col("neg_rank"),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % F.col("_W")
+            ).alias("_h"),
+            bw.alias("_bw"),
+        )
+        .select(
+            "center",
+            "context",
+            "neg_rank",
+            "_h",
+            (F.col("_h") / F.col("_bw")).cast("long").alias("_b"),
+        )
+    )
+    return (
+        probes.join(intervals, "_b")
+        .filter((F.col("_h") >= F.col("_lo")) & (F.col("_h") < F.col("_hi")))
+        .select("center", "context", "neg_rank", F.col("node").alias("negative"))
+    )
+
+
+def skipgram_negatives_oracle_sql(
+    edges_cte: str,
+    sources_cte: str,
+    walk_len: int,
+    walks_per_node: int,
+    seed: int = 42,
+    window: int = 2,
+    k: int = 3,
+) -> str:
+    """:func:`skipgram_negatives` over the walk corpus, unrolled: the
+    node-frequency table is the walk node counts, pairs are the
+    distinct skip-gram pairs.  DuckDB does the interval lookup as a
+    plain range join (oracle side need not be bucketed)."""
+    parts, union = _random_walk_ctes(
+        edges_cte, sources_cte, walk_len, walks_per_node, seed
+    )
+    parts.append(f"wk AS MATERIALIZED ({union})")
+    parts.append(
+        "freq AS (SELECT v AS node, COUNT(*) AS c FROM wk GROUP BY v)"
+    )
+    parts.append(
+        "cum AS (SELECT node, SUM(c) OVER (ORDER BY node) - c AS lo,"
+        " SUM(c) OVER (ORDER BY node) AS hi FROM freq)"
+    )
+    parts.append("tot AS (SELECT SUM(c) AS w FROM freq)")
+    parts.append(
+        f"""prs AS (
+  SELECT DISTINCT a.v AS center, b.v AS context
+  FROM wk a JOIN wk b
+    ON a.s = b.s AND a.w = b.w AND a.step <> b.step
+   AND ABS(a.step - b.step) <= {window}
+)"""
+    )
+    key = (
+        f"'{seed}:' || CAST(center AS VARCHAR) || ':' ||"
+        " CAST(context AS VARCHAR) || ':' || CAST(r.j AS VARCHAR)"
+    )
+    parts.append(
+        f"""probes AS (
+  SELECT center, context, CAST(r.j AS INT) AS neg_rank,
+         ('0x' || SUBSTR(MD5({key}), 1, 15))::BIGINT % tot.w AS h
+  FROM prs, (SELECT UNNEST(RANGE(0, {k})) AS j) r, tot
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT p.center, p.context, p.neg_rank, CAST(c.node AS BIGINT) AS negative
+FROM probes p JOIN cum c ON p.h >= c.lo AND p.h < c.hi
+ORDER BY center, context, neg_rank"""
+    )

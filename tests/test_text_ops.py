@@ -804,3 +804,54 @@ def test_skipgram_pairs_window_semantics(spark):
     assert got[(10, 30)] == 2  # (0,2) and (3,2)
     assert got[(20, 30)] == 1
     assert (10, 10) not in got  # |0-3| = 3 > window
+
+
+def test_skipgram_negatives_deterministic_and_weighted(spark):
+    """Negatives resolve to the node owning md5(...) mod W on the
+    cumulative count line: recompute independently with hashlib; a
+    zero-count node can never be drawn; re-runs are identical."""
+    import hashlib
+
+    from robosystems_spark.operators.graph import skipgram_negatives
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "center long, context long"
+    )
+    freq = spark.createDataFrame(
+        [(10, 5), (20, 1), (30, 4)], "node long, c long"
+    )
+    # cumulative line ordered by node: 10 -> [0,5), 20 -> [5,6), 30 -> [6,10)
+    def owner(h):
+        return 10 if h < 5 else (20 if h < 6 else 30)
+
+    got = {
+        (r["center"], r["context"], r["neg_rank"]): r["negative"]
+        for r in skipgram_negatives(pairs, freq, k=4, seed=9).collect()
+    }
+    assert len(got) == 8
+    for (a, b) in ((1, 2), (2, 3)):
+        for j in range(4):
+            h = int(
+                hashlib.md5(f"9:{a}:{b}:{j}".encode()).hexdigest()[:15], 16
+            ) % 10
+            assert got[(a, b, j)] == owner(h)
+    got2 = {
+        (r["center"], r["context"], r["neg_rank"]): r["negative"]
+        for r in skipgram_negatives(pairs, freq, k=4, seed=9).collect()
+    }
+    assert got == got2
+
+
+def test_skipgram_negatives_bucket_boundaries(spark):
+    """Intervals spanning several buckets and intervals inside one
+    bucket both resolve (the bucketed interval-join edge cases)."""
+    from robosystems_spark.operators.graph import skipgram_negatives
+
+    pairs = spark.createDataFrame([(1, 2)], "center long, context long")
+    # one huge interval + two tiny ones, tiny bucket width
+    freq = spark.createDataFrame(
+        [(1, 1000), (2, 1), (3, 1)], "node long, c long"
+    )
+    rows = skipgram_negatives(pairs, freq, k=16, seed=3, n_buckets=7).collect()
+    assert len(rows) == 16  # every probe resolves to exactly one node
+    assert all(r["negative"] in (1, 2, 3) for r in rows)
