@@ -2833,3 +2833,26 @@ def corpus_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from robosystems_spark.operators.corpus import ccnet_perplexity_buckets
 
     return ccnet_perplexity_buckets(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+@register(
+    "quality_calibration_bins",
+    oracle=__import__(
+        "robosystems_spark.operators.classifier",
+        fromlist=["quality_calibration_oracle_sql"],
+    ).quality_calibration_oracle_sql(iters=6, lr=20.0, bins=10),
+    doc="Reliability diagram (Guo et al. 2017) for the distilled "
+    "quality classifier: decile-bin the predicted probability, "
+    "compare mean predicted vs observed positive rate per bin (the "
+    "ECE terms) — the calibration gate a filtering pipeline runs "
+    "before trusting a learned keep/drop threshold. p_quality is "
+    "engine-identical (per-step rounded GD), so the binning floor and "
+    "the 1e6-lattice BIGINT mean hash-match the unrolled-GD oracle.",
+    tags=("text", "classifier", "eval"),
+)
+def quality_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from robosystems_spark.operators.classifier import (
+        quality_calibration_bins as _cal,
+    )
+
+    return _cal(_docs(spark, sf_dir), iters=6, lr=20.0, bins=10)

@@ -396,3 +396,75 @@ def naive_bayes_confusion_oracle_sql(
     FROM preds WHERE rn = 1
     GROUP BY 1, 2 ORDER BY 1, 2
     """
+
+
+def quality_calibration_bins(
+    docs: DataFrame,
+    iters: int = 4,
+    lr: float = 1.0,
+    bins: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reliability diagram for the distilled quality classifier — the
+    calibration check (Guo et al. 2017) a filtering pipeline runs
+    before trusting a learned keep/drop threshold: bin documents by
+    predicted probability, compare mean predicted vs observed positive
+    rate per bin (their gaps are the ECE terms).
+
+    Float discipline: ``p_quality`` is already rounded to 1e-6 (the LR
+    entry's per-step re-sync makes the weights, hence the score,
+    engine-identical), so binning multiplies the SAME double in both
+    engines (identical floor even at representation boundaries) and the
+    per-bin mean sums exact 1e6-lattice BIGINTs with one final
+    division.  One map pass + one ``bins``-ary groupBy on top of the
+    trained scorer."""
+    scored = quality_lr_score(docs, iters, lr, text_col, id_col)
+    b = F.least(
+        F.floor(F.col("p_quality") * bins).cast("int"), F.lit(bins - 1)
+    )
+    return (
+        scored.groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("y").cast("long").alias("n_quality"),
+            F.sum(
+                F.round(F.col("p_quality") * 1000000.0).cast("long")
+            ).alias("_ps"),
+        )
+        .select(
+            "bin",
+            "n_docs",
+            "n_quality",
+            F.round(
+                F.col("_ps").cast("double") / 1000000.0 / F.col("n_docs"), 6
+            ).alias("mean_predicted"),
+            F.round(
+                F.col("n_quality").cast("double") / F.col("n_docs"), 6
+            ).alias("observed_rate"),
+        )
+        .orderBy("bin")
+    )
+
+
+def quality_calibration_oracle_sql(
+    iters: int = 4,
+    lr: float = 1.0,
+    bins: int = 10,
+    table: str = "documents",
+) -> str:
+    """:func:`quality_calibration_bins` oracle: the full LR oracle as
+    a subquery, binned with the same 1e6-lattice mean."""
+    inner = quality_lr_oracle_sql(iters=iters, lr=lr, table=table)
+    return f"""
+SELECT LEAST(CAST(FLOOR(p_quality * {bins}) AS INT), {bins - 1}) AS bin,
+       COUNT(*) AS n_docs,
+       CAST(SUM(y) AS BIGINT) AS n_quality,
+       ROUND(CAST(SUM(CAST(ROUND(p_quality * 1000000.0) AS BIGINT))
+                  AS DOUBLE) / 1000000.0 / COUNT(*), 6) AS mean_predicted,
+       ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS observed_rate
+FROM (
+{inner}
+) scored
+GROUP BY 1
+ORDER BY bin"""

@@ -855,3 +855,34 @@ def test_skipgram_negatives_bucket_boundaries(spark):
     rows = skipgram_negatives(pairs, freq, k=16, seed=3, n_buckets=7).collect()
     assert len(rows) == 16  # every probe resolves to exactly one node
     assert all(r["negative"] in (1, 2, 3) for r in rows)
+
+
+def test_quality_calibration_bins_accounting(spark):
+    """Bins partition the corpus; per-bin means are the exact lattice
+    means of the scored frame; p=1.0 lands in the top bin (LEAST
+    clamp)."""
+    from robosystems_spark.operators.classifier import (
+        quality_calibration_bins,
+        quality_lr_score,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    )
+    scored = quality_lr_score(docs, iters=6, lr=20.0).collect()
+    out = quality_calibration_bins(docs, iters=6, lr=20.0).collect()
+    assert sum(r["n_docs"] for r in out) == len(scored)
+    assert sum(r["n_quality"] for r in out) == sum(r["y"] for r in scored)
+    by = {r["bin"]: r for r in out}
+    for b, r in by.items():
+        assert 0 <= b <= 9
+        members = [
+            s for s in scored
+            if min(int(s["p_quality"] * 10), 9) == b
+        ]
+        assert r["n_docs"] == len(members)
+        want = round(
+            sum(round(s["p_quality"] * 1e6) for s in members)
+            / 1e6 / len(members), 6,
+        )
+        assert abs(r["mean_predicted"] - want) < 1e-9
