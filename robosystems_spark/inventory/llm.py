@@ -2856,3 +2856,121 @@ def quality_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return _cal(_docs(spark, sf_dir), iters=6, lr=20.0, bins=10)
+
+
+_MRL_DIMS = (8, 16, 32)
+
+
+@register(
+    "embedding_matryoshka_recall",
+    oracle=f"""
+    WITH fullsims AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS nn_id,
+             ROUND(LIST_COSINE_SIMILARITY(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(q.embedding AS DOUBLE[])), 6)
+               AS cosine
+      FROM embeddings e
+      JOIN embeddings q ON q.vec_id < 3
+    ),
+    ex AS (
+      SELECT query_id, nn_id FROM (
+        SELECT query_id, nn_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, nn_id) AS rank
+        FROM fullsims
+      ) WHERE rank <= 10
+    ),
+    tr AS (
+      {" UNION ALL ".join(f'''
+      SELECT {d} AS trunc_dim, query_id, nn_id FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS nn_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY ROUND(LIST_COSINE_SIMILARITY(
+                     CAST(e.embedding[1:{d}] AS DOUBLE[]),
+                     CAST(q.embedding[1:{d}] AS DOUBLE[])), 6) DESC,
+                   e.vec_id) AS rank
+        FROM embeddings e JOIN embeddings q ON q.vec_id < 3
+      ) WHERE rank <= 10''' for d in _MRL_DIMS)}
+    )
+    SELECT t.trunc_dim, ex.query_id,
+           COUNT(t2.nn_id) AS n_hit,
+           ROUND(CAST(COUNT(t2.nn_id) AS DOUBLE) / 10, 6) AS recall_at_10
+    FROM (SELECT DISTINCT trunc_dim FROM tr) t
+    CROSS JOIN (SELECT DISTINCT query_id FROM ex) ex
+    LEFT JOIN tr t2
+      ON t2.trunc_dim = t.trunc_dim AND t2.query_id = ex.query_id
+     AND EXISTS (SELECT 1 FROM ex e2
+                 WHERE e2.query_id = t2.query_id AND e2.nn_id = t2.nn_id)
+    GROUP BY t.trunc_dim, ex.query_id
+    ORDER BY t.trunc_dim, ex.query_id
+    """,
+    doc="Matryoshka-truncation evaluation (Kusupati et al. 2022): "
+    "recall@10 of prefix-truncated embeddings (dims 8/16/32) against "
+    "full-dim exact cosine — the dimension-vs-quality trade curve an "
+    "MRL deployment measures before shipping truncated vectors. Both "
+    "sides rank on ROUND(cos, 6) with id tie-break; overlap is an "
+    "integer semi-count, so the whole curve is hash-checked.",
+    tags=("similarity", "eval"),
+)
+def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from robosystems_spark.functions import vector as V
+
+    emb = _emb(spark, sf_dir)
+    c = emb.select(F.col("vec_id").alias("nn_id"), F.col("embedding").alias("_cv"))
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv")
+    )
+    pairs = c.crossJoin(F.broadcast(q))
+    w = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("nn_id"))
+    exact = (
+        pairs.select(
+            "query_id", "nn_id", V.cosine("_cv", "_qv").alias("_cos")
+        )
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= 10)
+        .select("query_id", "nn_id")
+    )
+    truncs = None
+    for d in _MRL_DIMS:
+        t = (
+            pairs.select(
+                "query_id",
+                "nn_id",
+                V.cosine(
+                    F.slice("_cv", 1, d), F.slice("_qv", 1, d)
+                ).alias("_cos"),
+            )
+            .withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= 10)
+            .select(F.lit(d).alias("trunc_dim"), "query_id", "nn_id")
+        )
+        truncs = t if truncs is None else truncs.unionAll(t)
+    hits = truncs.join(exact, ["query_id", "nn_id"], "left_semi")
+    grid = (
+        exact.select("query_id")
+        .distinct()
+        .crossJoin(
+            truncs.select("trunc_dim").distinct()
+        )
+    )
+    return (
+        grid.join(
+            hits.groupBy("trunc_dim", "query_id").agg(
+                F.count(F.lit(1)).alias("n_hit")
+            ),
+            ["trunc_dim", "query_id"],
+            "left",
+        )
+        .select(
+            "trunc_dim",
+            "query_id",
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double") / 10, 6
+            ).alias("recall_at_10"),
+        )
+        .orderBy("trunc_dim", "query_id")
+    )
