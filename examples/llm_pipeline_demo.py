@@ -5,13 +5,15 @@ The 100 TB shape of LLM data prep, run at demo scale: every stage is a
 registry operator, composed the way a production curation DAG would be:
 
   1. profile the raw corpus               (operators/profile.py)
-  2. score quality: heuristic + trained   (operators/classifier.py)
+  2. published + learned quality gates    (operators/text.py Gopher
+     A1.1/A1.2; classifier.py LR + calibration check)
   3. exact + MinHash near-dedup           (operators/dedup.py)
   4. screen a "new crawl" incrementally   (dedup_against_index)
   5. semantic dedup over embeddings       (operators/clustering.py)
   6. train a BPE tokenizer, budget tokens (operators/bpe.py)
   7. weighted mixture draw                (operators/sampling.py)
   8. pack sequences for training          (operators/corpus.py)
+  9. ship WebDataset tar shards           (sources/shards.py)
 
 Run: python examples/llm_pipeline_demo.py [sf_dir]
 """
@@ -48,11 +50,35 @@ def main() -> None:
             f"distinct={r['n_distinct']}"
         )
 
-    # 2. Quality: train the linear filter against the heuristic teacher,
-    #    keep docs the model scores >= 0.5.
-    from robosystems_spark.operators.classifier import quality_lr_score
+    # 2a. Published rule filters: Gopher quality (A1.1) + repetition
+    #     (A1.2) — the MassiveText keep/drop gate, map-only.
+    from robosystems_spark.operators.text import (
+        gopher_quality_flags,
+        gopher_repetition_flags,
+    )
+
+    rep_ok = gopher_repetition_flags(docs).filter(
+        F.col("passes_repetition")
+    ).select("doc_id")
+    print(
+        f"gopher repetition gate: kept {rep_ok.count()}/{n0} "
+        f"(quality-rule gate would keep "
+        f"{gopher_quality_flags(docs).filter(F.col('passes_gopher')).count()})"
+    )
+
+    # 2b. Learned quality: train the linear filter against the
+    #     heuristic teacher, CHECK ITS CALIBRATION, keep docs >= 0.5.
+    from robosystems_spark.operators.classifier import (
+        quality_calibration_bins,
+        quality_lr_score,
+    )
 
     scored = quality_lr_score(docs, iters=6, lr=20.0)
+    cal = quality_calibration_bins(docs, iters=6, lr=20.0).collect()
+    worst = max(
+        abs(r["mean_predicted"] - r["observed_rate"]) for r in cal
+    )
+    print(f"calibration: {len(cal)} bins, worst |pred-obs| gap {worst:.3f}")
     keep_q = scored.filter(F.col("pred_label") == 1).select("doc_id")
     print(f"quality filter: kept {keep_q.count()}/{n0}")
 
@@ -119,6 +145,24 @@ def main() -> None:
     )
     n_packs = packed.select("source", "seq_idx").distinct().count()
     print(f"packed into {n_packs} sequences of <= 256 tokens")
+
+    # 9. Ship the curated corpus as WebDataset tar shards (the format
+    #    training loaders mount) — byte-deterministic, manifest-signed.
+    from robosystems_spark.sources.shards import write_webdataset_shards
+
+    shard_dir = tempfile.mkdtemp(prefix="demo_wds_")
+    manifest = write_webdataset_shards(
+        curated.withColumn("meta", F.to_json(F.struct("lang", "source"))),
+        shard_dir,
+        members={"txt": "text", "json": "meta"},
+        key_col="doc_id",
+        n_shards=4,
+    ).collect()
+    print(
+        f"shards: {len(manifest)} tars, "
+        f"{sum(r['n_samples'] for r in manifest)} samples, "
+        f"sha256[0]={manifest[0]['sha256'][:12]}..."
+    )
     print("pipeline complete.")
 
 

@@ -1831,3 +1831,31 @@ def test_ms_adpcm_channel_limit_is_a_value_error():
     )
     with pytest.raises(ValueError, match="1-2 channels"):
         decode_wav_pcm(wav)
+
+
+def test_bmp_embedded_fuzz_fails_fast():
+    """Bit-flipped BI_PNG/BI_JPEG BMPs must raise promptly (the
+    crawl-corpus fail-loud contract every decode seam follows)."""
+    import time
+
+    import numpy as np
+
+    from robosystems_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp_embedded,
+    )
+
+    rng = np.random.RandomState(41)
+    img = rng.randint(0, 256, size=(24, 18, 3)).astype(np.uint8)
+    t0 = time.time()
+    for codec in ("png", "jpeg"):
+        good = bytearray(encode_bmp_embedded(img, codec=codec))
+        for _ in range(120):
+            bad = bytearray(good)
+            for _k in range(3):
+                bad[rng.randint(2, len(bad))] ^= 1 << rng.randint(0, 8)
+            try:
+                decode_bmp(bytes(bad))
+            except Exception:
+                pass
+    assert time.time() - t0 < 60
