@@ -759,3 +759,105 @@ def unicode_nfc_stats(
         (raw_len - nfc_len).cast("long").alias("n_composed"),
         (raw_len == nfc_len).alias("already_nfc"),
     )
+
+
+def gopher_line_flags(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The line/paragraph-structured Gopher rules (Rae et al. 2021
+    A1.1 + A1.2) that :func:`gopher_quality_flags` /
+    :func:`gopher_repetition_flags` omit on single-line corpora —
+    provided for documents that carry newline structure:
+
+    - fraction of lines starting with a bullet character <= 0.90
+    - fraction of lines ending with an ellipsis <= 0.30
+    - duplicate-line fraction <= 0.30 (fraction of LINES that are
+      repeats of an earlier-seen line)
+    - duplicate-line CHARACTER fraction <= 0.20 (fraction of non-
+      newline characters inside duplicated lines, every occurrence
+      beyond the first counted — the repetition-family definition)
+
+    Lines are ``\\n``-separated, trimmed, empties ignored.  Paragraph
+    variants are the same computation over ``\\n\\n`` splits; callers
+    pass ``sep="\\n\\n"``.  All list aggregates in codegen-free HOFs
+    (same fold machinery as the n-gram rules), map-only.
+    """
+    return _gopher_line_flags(df, text_col, id_col, sep="\n")
+
+
+def _gopher_line_flags(
+    df: DataFrame, text_col: str, id_col: str, sep: str
+) -> DataFrame:
+    raw_lines = F.split(F.col(text_col), sep)
+    lines = F.filter(
+        F.transform(raw_lines, lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    n = F.size(lines)
+    nd = F.greatest(n, F.lit(1)).cast("double")
+    bullets = F.size(
+        F.filter(
+            lines,
+            lambda s: F.substring(s, 1, 1).isin("-", "*", "•"),
+        )
+    )
+    ellipsis = F.size(
+        F.filter(
+            lines,
+            lambda s: s.endswith("...") | s.endswith("…"),
+        )
+    )
+    # duplicate-line stats: run-length fold over the sorted line array
+    # (the unigram_entropy shape): d = lines beyond first occurrence,
+    # dc = their characters
+    s = F.array_sort(lines)
+    zero = F.lit(0).cast("long")
+
+    def _merge(acc: Column, x: Column) -> Column:
+        dup = acc["prev"].isNotNull() & (x == acc["prev"])
+        return F.struct(
+            x.alias("prev"),
+            (acc["d"] + F.when(dup, 1).otherwise(0)).alias("d"),
+            (
+                acc["dc"]
+                + F.when(dup, F.length(x).cast("long")).otherwise(zero)
+            ).alias("dc"),
+        )
+
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("d"),
+        zero.alias("dc"),
+    )
+    folded = F.aggregate(s, init, _merge)
+    total_chars = F.aggregate(
+        lines, zero, lambda acc, x: acc + F.length(x)
+    )
+    staged = _parallelize_small_scan(df).select(
+        id_col,
+        n.alias("_n"),
+        nd.alias("_nd"),
+        bullets.alias("_b"),
+        ellipsis.alias("_e"),
+        folded.alias("_f"),
+        F.greatest(total_chars, F.lit(1).cast("long")).alias("_tc"),
+    )
+    bullet_frac = F.col("_b") / F.col("_nd")
+    ell_frac = F.col("_e") / F.col("_nd")
+    dup_frac = F.col("_f")["d"] / F.col("_nd")
+    dup_char_frac = F.col("_f")["dc"].cast("double") / F.col("_tc")
+    passes = (
+        (bullet_frac <= 0.90)
+        & (ell_frac <= 0.30)
+        & (dup_frac <= 0.30)
+        & (dup_char_frac <= 0.20)
+    )
+    return staged.select(
+        id_col,
+        F.col("_n").alias("n_lines"),
+        F.round(bullet_frac, 6).alias("bullet_line_frac"),
+        F.round(ell_frac, 6).alias("ellipsis_line_frac"),
+        F.round(dup_frac, 6).alias("dup_line_frac"),
+        F.round(dup_char_frac, 6).alias("dup_line_char_frac"),
+        passes.alias("passes_line_rules"),
+    )

@@ -886,3 +886,43 @@ def test_quality_calibration_bins_accounting(spark):
             / 1e6 / len(members), 6,
         )
         assert abs(r["mean_predicted"] - want) < 1e-9
+
+
+def test_gopher_line_flags_rules(spark):
+    """Line-structured Gopher rules on synthetic multi-line docs:
+    bullet/ellipsis fractions, duplicate-line and duplicate-line-char
+    fractions (every repeat beyond the first counts)."""
+    from robosystems_spark.operators.text import gopher_line_flags
+
+    doc1 = "- alpha\n- beta\nplain line\nanother one..."
+    # "same line" appears 3x -> 2 duplicate lines of 9 chars each;
+    # chars total = 9*3 + 5 = 32
+    doc2 = "same line\nsame line\nsame line\nother"
+    docs = spark.createDataFrame(
+        [(1, doc1), (2, doc2), (3, "single")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in gopher_line_flags(docs).collect()}
+    r1 = rows[1]
+    assert r1["n_lines"] == 4
+    assert r1["bullet_line_frac"] == 0.5
+    assert r1["ellipsis_line_frac"] == 0.25
+    assert r1["dup_line_frac"] == 0.0
+    assert r1["passes_line_rules"]
+    r2 = rows[2]
+    assert r2["dup_line_frac"] == 0.5
+    assert r2["dup_line_char_frac"] == round(18 / 32, 6)
+    assert not r2["passes_line_rules"]
+    r3 = rows[3]
+    assert r3["n_lines"] == 1 and r3["passes_line_rules"]
+
+
+def test_gopher_line_flags_blank_lines_ignored(spark):
+    """Empty/whitespace lines don't count toward any fraction."""
+    from robosystems_spark.operators.text import gopher_line_flags
+
+    docs = spark.createDataFrame(
+        [(1, "a\n\n  \nb\n\nc")], "doc_id long, text string"
+    )
+    r = gopher_line_flags(docs).collect()[0]
+    assert r["n_lines"] == 3
+    assert r["dup_line_frac"] == 0.0
