@@ -201,7 +201,8 @@ def text_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pass over each document's sorted n-gram array (zero shuffles — "
     "the explode+groupBy formulation shuffles ~9x the corpus token "
     "count for a doc-local key); the oracle materializes the explode. "
-    "Duplicate-line/paragraph rules omitted (single-line corpus seam).",
+    "Duplicate-line/paragraph rules live in text.gopher_line_flags "
+    "(pytest-gated; this corpus is single-line).",
     tags=("text", "quality"),
 )
 def text_gopher_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -90,9 +90,9 @@ def gopher_quality_flags(
     5. >= 2 distinct required stop words present
 
     (The two line-based rules — bullet-start and ellipsis-end line
-    fractions — are omitted: they need newline structure, and this
-    corpus is single-line; plug them in as two more LIST aggregates
-    when documents carry lines.)
+    fractions — need newline structure this corpus doesn't have:
+    :func:`gopher_line_flags` implements them, plus the duplicate-
+    line family, for corpora that carry lines.)
 
     Everything is integer counting + one exact division per rule —
     whole-stage codegen, no UDFs — so the flags hash-match a SQL
@@ -265,10 +265,9 @@ def gopher_repetition_flags(
     - fraction of characters in duplicated {5..10}-grams must not
       exceed {0.15, 0.14, 0.13, 0.12, 0.11, 0.10}
 
-    The duplicate-line / duplicate-paragraph rules are omitted: this
-    corpus is single-line (same documented seam as the two line-based
-    A1.1 rules).  Character fractions use the trimmed document length
-    as the denominator.
+    The duplicate-line / duplicate-paragraph rules live in
+    :func:`gopher_line_flags` (this corpus is single-line).  Character
+    fractions use the trimmed document length as the denominator.
 
     Scale: a per-document map-only computation — token array sort +
     run-length per n, all whole-stage-codegen higher-order functions,
