@@ -860,3 +860,59 @@ def _gopher_line_flags(
         F.round(dup_char_frac, 6).alias("dup_line_char_frac"),
         passes.alias("passes_line_rules"),
     )
+
+
+def gopher_quality_passes(text_col: str | Column = "text") -> Column:
+    """The A1.1 keep/drop bit of :func:`gopher_quality_flags` as a
+    single reusable boolean expression (for streaming monitors and
+    filter pushdown; each component referenced once, so no staging
+    projection is needed)."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    nd = n.cast("double")
+    sum_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    mean_len = sum_len.cast("double") / nd
+    c = F.trim(F.col(text_col) if isinstance(text_col, str) else text_col)
+    n_hash = F.length(c) - F.length(F.replace(c, F.lit("#")))
+    n_ell = (F.length(c) - F.length(F.replace(c, F.lit("...")))) / F.lit(3)
+    symbol_ratio = (n_hash + n_ell).cast("double") / nd
+    alpha_frac = (
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("double") / nd
+    )
+    stops = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+        )
+    )
+    return (
+        (n >= 50) & (n <= 100000)
+        & (mean_len >= 3.0) & (mean_len <= 10.0)
+        & (symbol_ratio <= 0.1)
+        & (alpha_frac >= 0.8)
+        & (stops >= 2)
+    )
+
+
+def gopher_repetition_passes(text_col: str | Column = "text") -> Column:
+    """The A1.2 keep/drop bit of :func:`gopher_repetition_flags` as a
+    single boolean expression (each fold referenced exactly once, so
+    the staging projection the flags variant needs is unnecessary)."""
+    toks = tokens(text_col)
+    denom = F.greatest(
+        F.length(
+            F.trim(F.col(text_col) if isinstance(text_col, str) else text_col)
+        ).cast("long"),
+        F.lit(1).cast("long"),
+    ).cast("double")
+    passes = F.lit(True)
+    for key, thr in GOPHER_REPETITION_THRESHOLDS.items():
+        n = int(key.replace("top", "").replace("dup", ""))
+        field = "top" if key.startswith("top") else "dup"
+        frac = _ngram_run_stats(toks, n)[field] / denom
+        passes = passes & (frac <= F.lit(thr))
+    return passes

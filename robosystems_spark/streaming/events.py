@@ -126,3 +126,57 @@ def stream_dedup(
     if within_watermark:
         return src.dropDuplicatesWithinWatermark(keys)
     return src.dropDuplicates(keys)
+
+
+def corpus_quality_monitor(
+    docs: DataFrame,
+    window_size: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """Windowed corpus-quality monitor for a continuously-ingested
+    document stream: per event-time window, how many documents arrive
+    and how many pass the Gopher quality (A1.1) and repetition (A1.2)
+    gates — the drift dashboard a training-data ingest pipeline
+    watches (a crawl source going spammy shows up as a keep-rate drop
+    in its window, not as a surprise at the next full-corpus audit).
+
+    The keep bits are the SAME column expressions the batch operators
+    use (``gopher_quality_passes`` / ``gopher_repetition_passes``), so
+    batch and stream agree row-for-row — pytest pins the equality.
+    Works on both a streaming frame (watermarked windowed agg, state
+    pruned) and a batch frame (same plan minus the watermark).
+    """
+    from robosystems_spark.operators.text import (
+        gopher_quality_passes,
+        gopher_repetition_passes,
+    )
+
+    src = docs.withWatermark(ts_col, watermark) if docs.isStreaming else docs
+    flagged = src.select(
+        F.col(ts_col),
+        gopher_quality_passes(text_col).alias("_pq"),
+        gopher_repetition_passes(text_col).alias("_pr"),
+    )
+    return (
+        flagged.groupBy(F.window(ts_col, window_size).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("_pq").cast("long")).alias("n_pass_quality"),
+            F.sum(F.col("_pr").cast("long")).alias("n_pass_repetition"),
+            F.sum((F.col("_pq") & F.col("_pr")).cast("long")).alias(
+                "n_pass_all"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_docs",
+            "n_pass_quality",
+            "n_pass_repetition",
+            "n_pass_all",
+            F.round(
+                F.col("n_pass_all").cast("double") / F.col("n_docs"), 6
+            ).alias("keep_rate"),
+        )
+    )

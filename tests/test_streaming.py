@@ -667,3 +667,40 @@ def test_streaming_neardup_monitor(spark, tmp_path):
         for r in minhash_near_duplicates(docs, threshold=0.5).collect()
     }
     assert (1, 3) in batch_pairs and len(batch_pairs) == 1
+
+
+def test_corpus_quality_monitor_stream_matches_batch(spark, sf_dir, tmp_path):
+    """The windowed quality monitor computes IDENTICAL rows on a
+    stream and on the same data as a batch frame (the house
+    batch-twin contract), with keep bits matching the batch flag
+    operators row-for-row."""
+    from robosystems_spark.operators.text import (
+        gopher_quality_flags,
+        gopher_repetition_flags,
+    )
+    from robosystems_spark.streaming.events import corpus_quality_monitor
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.timestamp_seconds(
+            F.lit(1700000000) + (F.col("doc_id") % 6) * 1800
+        ).alias("ts"),
+    )
+    src = str(tmp_path / "docs_src")
+    docs.write.mode("overwrite").parquet(src)
+    batch = corpus_quality_monitor(docs)
+    stream = corpus_quality_monitor(
+        spark.readStream.schema(docs.schema).parquet(src)
+    )
+    q = run_to_memory(stream, "quality_mon_t", output_mode="complete")
+    _wait_done(q)
+    got = spark.sql("SELECT * FROM quality_mon_t")
+    b = {tuple(r) for r in batch.collect()}
+    s = {tuple(r) for r in got.collect()}
+    assert b == s and len(b) == 3  # 6 half-hour offsets -> 3 hour windows
+    # keep bits agree with the batch flag operators
+    n_all = sum(r[4] for r in b)
+    q_ok = gopher_quality_flags(docs).filter("passes_gopher")
+    r_ok = gopher_repetition_flags(docs).filter("passes_repetition")
+    assert n_all == q_ok.join(r_ok, "doc_id").count()
