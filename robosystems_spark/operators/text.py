@@ -761,7 +761,10 @@ def unicode_nfc_stats(
 
 
 def gopher_line_flags(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
 ) -> DataFrame:
     """The line/paragraph-structured Gopher rules (Rae et al. 2021
     A1.1 + A1.2) that :func:`gopher_quality_flags` /
@@ -781,7 +784,7 @@ def gopher_line_flags(
     pass ``sep="\\n\\n"``.  All list aggregates in codegen-free HOFs
     (same fold machinery as the n-gram rules), map-only.
     """
-    return _gopher_line_flags(df, text_col, id_col, sep="\n")
+    return _gopher_line_flags(df, text_col, id_col, sep=sep)
 
 
 def _gopher_line_flags(
