@@ -2975,3 +2975,49 @@ def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("trunc_dim", "query_id")
     )
+
+
+@register(
+    "dedup_winnowing_candidates",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS toks
+      FROM documents),
+    h AS (
+      SELECT t.doc_id, r.i AS i,
+             ('0x' || SUBSTR(MD5(ARRAY_TO_STRING(
+                 t.toks[r.i : r.i + 3], ' ')), 1, 15))::BIGINT AS h
+      FROM t, (SELECT UNNEST(RANGE(1, GREATEST(LEN(t.toks) - 4 + 2, 2)))
+               AS i) r),
+    m AS (
+      SELECT doc_id, i,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS f,
+             COUNT(*) OVER (PARTITION BY doc_id) AS nsh
+      FROM h),
+    fp AS (SELECT DISTINCT doc_id, f FROM m
+           WHERE i <= GREATEST(nsh - 5 + 1, 1)),
+    ok AS (SELECT f FROM fp GROUP BY f HAVING COUNT(*) <= 50),
+    fpo AS (SELECT fp.doc_id, fp.f FROM fp JOIN ok USING (f))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           COUNT(*) AS n_shared_fps
+    FROM fpo a JOIN fpo b ON a.f = b.f AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+    ORDER BY doc_a, doc_b
+    """,
+    doc="Winnowing near-dup candidates (Schleimer et al. 2003, the "
+    "MOSS algorithm): min-hash-per-window fingerprint selection with "
+    "the paper's guarantee (any shared run >= w+k-1 tokens shares a "
+    "fingerprint, density 2/(w+1)) — the LOCAL-guarantee member of "
+    "the dedup family next to MinHash's global Jaccard estimate. "
+    "Pairs come from the inverted-index join with a stop-fingerprint "
+    "document-frequency cap bounding the worst key; windows slide "
+    "over a staged hash-array column so nothing re-evaluates "
+    "per-element (k=4, w=5, >= 2 shared, df cap 50).",
+    tags=("dedup",),
+)
+def dedup_winnowing_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.winnowing_candidates(
+        _docs(spark, sf_dir), k=4, w=5, min_shared=2, max_fp_df=50
+    ).orderBy("doc_a", "doc_b")

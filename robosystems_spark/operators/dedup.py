@@ -1747,3 +1747,88 @@ def containment_oracle_sql(
           >= LEN(ta.toks) * {threshold_num}
       AND LEN(ta.toks) >= {min_size_a}
     """
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    w: int = 5,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS algorithm): hash every k-shingle, slide a window
+    of ``w`` consecutive hashes, select each window's MINIMUM — the
+    paper proves any shared substring of length >= w+k-1 yields at
+    least one shared selected fingerprint, with expected density
+    2/(w+1).  The local-guarantee member of the dedup family (MinHash
+    gives global Jaccard estimates; winnowing guarantees detection of
+    long enough overlaps).
+
+    Selection = min VALUE per window (the paper's rightmost-position
+    tie-break only affects positions, which are not emitted).  Hashes
+    are the portable first-15-md5-hex longs, windows via slice over a
+    STAGED hash-array column (a bound column reference inside the
+    lambda is an attribute read — no re-evaluation; the staging
+    projection is the no-CSE-inside-lambdas discipline).  Map-only:
+    returns (id, fingerprint) distinct per document.
+    """
+    if k < 1 or w < 1:
+        raise ValueError("k and w must be >= 1")
+    toked = df.select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("_toks")
+    )
+    hashed = toked.select(
+        "doc_id",
+        F.transform(
+            shingles_of("_toks", k),
+            lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast(
+                "long"
+            ),
+        ).alias("_h"),
+    )
+    mins = F.transform(
+        F.sequence(
+            F.lit(1), F.greatest(F.size("_h") - w + 1, F.lit(1))
+        ),
+        lambda i: F.array_min(F.slice(F.col("_h"), i, w)),
+    )
+    return hashed.select(
+        "doc_id", F.explode(F.array_distinct(mins)).alias("fingerprint")
+    )
+
+
+def winnowing_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    w: int = 5,
+    min_shared: int = 2,
+    max_fp_df: int = 50,
+) -> DataFrame:
+    """Near-duplicate candidates by shared winnowing fingerprints:
+    (doc_a < doc_b, n_shared_fps >= min_shared).  Fingerprints held by
+    more than ``max_fp_df`` documents are dropped before pairing (the
+    stop-fingerprint cap bounding the inverted-index join's worst key
+    at C(max_fp_df, 2) — without it one boilerplate fingerprint goes
+    quadratic in documents)."""
+    fps = winnowing_fingerprints(df, text_col, id_col, k, w).transform(
+        materialize
+    )
+    ok = (
+        fps.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= max_fp_df)
+        .select("fingerprint")
+    )
+    kept = fps.join(ok, "fingerprint")
+    a = kept.select("fingerprint", F.col("doc_id").alias("doc_a"))
+    b = kept.select("fingerprint", F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, "fingerprint")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+        .filter(F.col("n_shared_fps") >= min_shared)
+    )

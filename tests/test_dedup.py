@@ -677,3 +677,56 @@ def test_containment_catches_doc_inside_doc(spark):
     assert out[(1, 2)] == 1.0
     assert (2, 1) not in out  # asymmetric: the big doc is NOT contained
     assert all(3 not in pair for pair in out)
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """The paper's detection guarantee: two documents sharing a run of
+    >= w+k-1 tokens share at least one selected fingerprint; disjoint
+    documents share none; selected density is far below 1 per
+    position."""
+    from robosystems_spark.operators.dedup import (
+        winnowing_candidates,
+        winnowing_fingerprints,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, "intro words here " + shared + " tail one"),
+            (2, "completely different start " + shared + " other end"),
+            (3, "no overlap with anything else at all whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    # k=4, w=5 -> guarantee kicks in at 8 shared tokens
+    cands = {
+        (r["doc_a"], r["doc_b"])
+        for r in winnowing_candidates(
+            docs, k=4, w=5, min_shared=1, max_fp_df=50
+        ).collect()
+    }
+    assert (1, 2) in cands
+    assert (1, 3) not in cands and (2, 3) not in cands
+
+    fps = winnowing_fingerprints(docs, k=4, w=5)
+    per_doc = {r["doc_id"]: r["n"] for r in
+               fps.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    # density bound: far fewer fingerprints than positions
+    assert all(0 < n <= 12 for n in per_doc.values())
+
+
+def test_winnowing_stop_fingerprint_cap(spark):
+    """A fingerprint shared by more documents than the cap never
+    produces pairs (the quadratic-key guard)."""
+    from robosystems_spark.operators.dedup import winnowing_candidates
+
+    same = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [(i, same) for i in range(6)], "doc_id long, text string"
+    )
+    # df cap below the 6 identical docs: no candidates at all
+    none = winnowing_candidates(docs, k=4, w=5, min_shared=1, max_fp_df=5)
+    assert none.count() == 0
+    # with a permissive cap every pair appears
+    allp = winnowing_candidates(docs, k=4, w=5, min_shared=1, max_fp_df=10)
+    assert allp.count() == 15
