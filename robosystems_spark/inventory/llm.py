@@ -3021,3 +3021,64 @@ def dedup_winnowing_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.winnowing_candidates(
         _docs(spark, sf_dir), k=4, w=5, min_shared=2, max_fp_df=50
     ).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "embedding_margin_bitext",
+    oracle="""
+    WITH a AS (
+      SELECT e.vec_id AS x, e.embedding FROM embeddings e
+      JOIN documents d ON d.doc_id = e.vec_id WHERE d.lang = 'en'),
+    b AS (
+      SELECT e.vec_id AS y, e.embedding FROM embeddings e
+      JOIN documents d ON d.doc_id = e.vec_id WHERE d.lang = 'de'),
+    p AS (
+      SELECT a.x, b.y,
+             CAST(ROUND(ROUND(LIST_COSINE_SIMILARITY(
+                    CAST(a.embedding AS DOUBLE[]),
+                    CAST(b.embedding AS DOUBLE[])), 6) * 1000000.0)
+                  AS BIGINT) AS r
+      FROM a, b),
+    sx AS (
+      SELECT x, SUM(r) AS sx FROM (
+        SELECT x, r, ROW_NUMBER() OVER (PARTITION BY x
+                                        ORDER BY r DESC, y) AS rn
+        FROM p) WHERE rn <= 4 GROUP BY x),
+    sy AS (
+      SELECT y, SUM(r) AS sy FROM (
+        SELECT y, r, ROW_NUMBER() OVER (PARTITION BY y
+                                        ORDER BY r DESC, x) AS rn
+        FROM p) WHERE rn <= 4 GROUP BY y),
+    m AS (
+      SELECT p.x, p.y, p.r,
+             ROUND(8.0 * p.r / (sx.sx + sy.sy), 6) AS margin
+      FROM p JOIN sx USING (x) JOIN sy USING (y)
+      WHERE sx.sx + sy.sy > 0)
+    SELECT x AS src_id, y AS tgt_id,
+           ROUND(r / 1000000.0, 6) AS cosine, margin
+    FROM m
+    ORDER BY margin DESC, src_id, tgt_id
+    LIMIT 20
+    """,
+    doc="Margin-based bitext mining (Artetxe & Schwenk 2019, the "
+    "LASER/CCMatrix parallel-corpus miner): cross-lingual candidate "
+    "pairs (en x de) scored by the RATIO margin — cosine over the "
+    "mean of each side's 4-NN cosines — which cancels hubness that "
+    "plain cosine thresholds cannot. Cosines scale to exact BIGINT "
+    "1e-6 units, each k-NN sum is an exact integer (rank with id "
+    "tie-break), margin is ONE float division of exact ints; top 20 "
+    "by (margin, ids). At scale the candidate matrix composes with "
+    "the ANN shortlist operators.",
+    tags=("similarity", "ml"),
+)
+def embedding_margin_bitext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from robosystems_spark.operators.similarity import margin_bitext_mining
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    emb = _emb(spark, sf_dir)
+    joined = emb.join(docs, emb.vec_id == docs.doc_id).select(
+        F.col("vec_id").alias("id"), "embedding", "lang"
+    )
+    a = joined.filter(F.col("lang") == "en").select("id", "embedding")
+    b = joined.filter(F.col("lang") == "de").select("id", "embedding")
+    return margin_bitext_mining(a, b, k=4, top=20)

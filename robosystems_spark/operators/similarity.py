@@ -668,3 +668,79 @@ SELECT query_id, step, nn_id, mmr_score
 FROM ({union})
 ORDER BY query_id, step"""
     )
+
+
+def margin_bitext_mining(
+    emb_a: DataFrame,
+    emb_b: DataFrame,
+    k: int = 4,
+    top: int = 20,
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019, the
+    LASER/CCMatrix method): score every cross-lingual candidate pair
+    by the RATIO margin — cosine normalized by the mean cosine of each
+    side's k nearest neighbors — and keep the top pairs.  The margin
+    cancels hubness (a vector that is close to everything gets a high
+    denominator), which plain cosine thresholding cannot; this is the
+    standard miner behind large-scale parallel-corpus construction.
+
+    ``emb_a``/``emb_b``: (id, embedding) frames for the two sides.
+
+    Float discipline: cosines round to 1e-6 and scale to BIGINT units;
+    each side's k-NN sum is an exact integer (rank by units desc, id
+    tie-break), so margin = 2k·r/(sx+sy) is ONE float division of
+    exact integers, rounded once — hash-identical cross-engine.
+    Pairs with a non-positive neighborhood sum are dropped (margin
+    undefined; stated).  Scale: the candidate matrix is |A|x|B| with
+    the smaller side broadcast — production miners narrow A/B to ANN
+    shortlists first (compose with the IVF operators); the margin
+    algebra is shortlist-agnostic."""
+    if k < 1 or top < 1:
+        raise ValueError("k and top must be >= 1")
+    from robosystems_spark.checkpointing import materialize
+
+    a = emb_a.select(F.col("id").alias("x"), F.col("embedding").alias("_xa"))
+    b = emb_b.select(F.col("id").alias("y"), F.col("embedding").alias("_yb"))
+    from robosystems_spark.functions import vector as V
+
+    p = a.crossJoin(F.broadcast(b)).select(
+        "x",
+        "y",
+        F.round(V.cosine("_xa", "_yb") * 1000000.0)
+        .cast("long")
+        .alias("_r"),
+    ).transform(materialize)
+    wx = Window.partitionBy("x").orderBy(F.desc("_r"), F.asc("y"))
+    sx = (
+        p.withColumn("_rn", F.row_number().over(wx))
+        .filter(F.col("_rn") <= k)
+        .groupBy("x")
+        .agg(F.sum("_r").alias("_sx"))
+    )
+    wy = Window.partitionBy("y").orderBy(F.desc("_r"), F.asc("x"))
+    sy = (
+        p.withColumn("_rn", F.row_number().over(wy))
+        .filter(F.col("_rn") <= k)
+        .groupBy("y")
+        .agg(F.sum("_r").alias("_sy"))
+    )
+    m = (
+        p.join(sx, "x")
+        .join(sy, "y")
+        .filter(F.col("_sx") + F.col("_sy") > 0)
+        .select(
+            F.col("x").alias("src_id"),
+            F.col("y").alias("tgt_id"),
+            F.round(F.col("_r").cast("double") / 1000000.0, 6).alias(
+                "cosine"
+            ),
+            F.round(
+                (F.lit(float(2 * k)) * F.col("_r"))
+                / (F.col("_sx") + F.col("_sy")),
+                6,
+            ).alias("margin"),
+        )
+    )
+    return m.orderBy(
+        F.desc("margin"), F.asc("src_id"), F.asc("tgt_id")
+    ).limit(top)

@@ -562,3 +562,35 @@ def test_scc_empty_edges_returns_empty_frame(spark):
     assert out is not None
     assert out.columns == ["node", "component"]
     assert out.count() == 0
+
+
+def test_margin_bitext_cancels_hubness(spark):
+    """The ratio margin ranks a mutually-exclusive match above a hub
+    that is merely close to everything (the property plain cosine
+    thresholding lacks)."""
+    from robosystems_spark.operators.similarity import margin_bitext_mining
+
+    # x1 matches y1 tightly and nothing else; hub x2 is moderately
+    # close to EVERY y, so its neighborhood mean is as high as its
+    # best cosine -> margin ~= 2k/(k+k) ~ 1, while x1-y1 margin >> 1.
+    a = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.5, 0.5, 0.5, 0.5]),
+        ],
+        "id long, embedding array<float>",
+    )
+    b = spark.createDataFrame(
+        [
+            (10, [0.99, 0.1, 0.0, 0.0]),
+            (11, [0.5, 0.5, 0.5, 0.49]),
+            (12, [0.49, 0.5, 0.5, 0.5]),
+            (13, [0.5, 0.49, 0.5, 0.5]),
+        ],
+        "id long, embedding array<float>",
+    )
+    rows = margin_bitext_mining(a, b, k=3, top=10).collect()
+    best = rows[0]
+    assert (best["src_id"], best["tgt_id"]) == (1, 10)
+    hub_margins = [r["margin"] for r in rows if r["src_id"] == 2]
+    assert best["margin"] > max(hub_margins) + 0.05
