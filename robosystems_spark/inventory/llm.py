@@ -3082,3 +3082,77 @@ def embedding_margin_bitext(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = joined.filter(F.col("lang") == "en").select("id", "embedding")
     b = joined.filter(F.col("lang") == "de").select("id", "embedding")
     return margin_bitext_mining(a, b, k=4, top=20)
+
+
+@register(
+    "corpus_datasheet",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS toks,
+             TRIM(text) AS c,
+             MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS fp
+      FROM documents),
+    m AS (
+      SELECT doc_id, lang, fp,
+             LEN(toks) AS n,
+             CAST(LEN(LIST_DISTINCT(toks)) AS DOUBLE) AS uniq,
+             CAST(LENGTH(REPLACE(c, ' ', '')) AS DOUBLE) AS nospace,
+             LIST_SUM(LIST_TRANSFORM(toks, x -> LENGTH(x))) AS sum_len,
+             LENGTH(c) - LENGTH(REPLACE(c, '#', '')) AS n_hash,
+             (LENGTH(c) - LENGTH(REPLACE(c, '...', ''))) / 3 AS n_ell,
+             LEN(LIST_FILTER(toks, x -> REGEXP_MATCHES(x, '[a-z]')))
+               AS alpha_words,
+             LEN(LIST_INTERSECT(LIST_DISTINCT(toks),
+                 ['the','be','to','of','and','that','have','with']))
+               AS stops
+      FROM t),
+    q AS (
+      SELECT doc_id,
+             ROUND(LEAST(n / 100.0, 1.0) * 0.4 + (uniq / n) * 0.4
+                   + LEAST(nospace / n / 8.0, 1.0) * 0.2, 6) AS qs,
+             ((n >= 50) AND (n <= 100000)
+              AND (CAST(sum_len AS DOUBLE) / n >= 3.0)
+              AND (CAST(sum_len AS DOUBLE) / n <= 10.0)
+              AND (CAST(n_hash + n_ell AS DOUBLE) / n <= 0.1)
+              AND (CAST(alpha_words AS DOUBLE) / n >= 0.8)
+              AND (stops >= 2)) AS pg
+      FROM m),
+    agg AS (
+      SELECT COUNT(*) AS n_docs,
+             COUNT(DISTINCT m.fp) AS n_distinct_texts,
+             SUM(CAST(q.pg AS BIGINT)) AS npg,
+             SUM(CAST(m.n AS BIGINT)) AS n_tokens,
+             SUM(CAST(ROUND(q.qs * 1000000.0) AS BIGINT)) AS qsu
+      FROM m JOIN q USING (doc_id)),
+    lc AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY 1),
+    le AS (SELECT SUM(c) AS ln_total, COUNT(*) AS n_languages,
+                  SUM(c * CAST(ROUND(1000000000.0 * LN(c)) AS BIGINT)) AS lu
+           FROM lc)
+    SELECT CAST(agg.n_docs AS BIGINT) AS n_docs,
+           CAST(agg.n_tokens AS BIGINT) AS n_tokens,
+           CAST(agg.n_distinct_texts AS BIGINT) AS n_distinct_texts,
+           ROUND(CAST(agg.n_docs - agg.n_distinct_texts AS DOUBLE)
+                 / agg.n_docs, 6) AS dup_doc_frac,
+           CAST(le.n_languages AS BIGINT) AS n_languages,
+           ROUND(LN(le.ln_total)
+                 - (CAST(le.lu AS DOUBLE) / 1000000000.0) / le.ln_total,
+                 6) AS lang_entropy_nats,
+           ROUND(CAST(agg.qsu AS DOUBLE) / 1000000.0 / agg.n_docs, 6)
+             AS mean_quality,
+           ROUND(CAST(agg.npg AS DOUBLE) / agg.n_docs, 6)
+             AS gopher_keep_rate
+    FROM agg CROSS JOIN le
+    """,
+    doc="One-row corpus data card (Gebru et al. 2021 'Datasheets for "
+    "Datasets', the quantitative half): size, exact-duplicate "
+    "fraction, language-mix entropy (1e-9 integer-log lattice), mean "
+    "heuristic quality (1e-6 lattice sums), and the Gopher A1.1 keep "
+    "rate — the summary block a curation run publishes with its "
+    "output. Two aggregations joined as 1-row broadcasts.",
+    tags=("corpus", "quality"),
+)
+def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from robosystems_spark.operators.corpus import corpus_datasheet as _ds
+
+    return _ds(_docs(spark, sf_dir))

@@ -996,3 +996,82 @@ def ccnet_perplexity_buckets(
     else:
         tier = F.col("bucket").cast("string")
     return out.withColumn("tier", tier)
+
+
+def corpus_datasheet(
+    docs: DataFrame, text_col: str = "text", lang_col: str = "lang"
+) -> DataFrame:
+    """One-row corpus data card (Gebru et al. 2021 "Datasheets for
+    Datasets", the quantitative half): size, exact-duplicate fraction,
+    language-mix entropy, mean heuristic quality, and the Gopher A1.1
+    keep rate — the summary block a curation run publishes next to its
+    output (compose with ``gopher_repetition_flags`` /
+    ``ccnet_perplexity_buckets`` for the deeper slices).
+
+    Float discipline: quality scores are already 1e-6-rounded, so the
+    mean sums exact BIGINT units; language entropy uses the KL entry's
+    1e-9 integer-log lattice; duplicate fraction is one division of
+    exact counts.  Two aggregations total (corpus-wide + per-language)
+    joined as 1-row broadcasts."""
+    from robosystems_spark.operators.text import (
+        gopher_quality_passes,
+        quality_score,
+    )
+
+    q = quality_score(docs, text_col=text_col).select(
+        "quality_score", "n_tokens"
+    )
+    fp = F.md5(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    )
+    base = docs.select(
+        fp.alias("_fp"),
+        gopher_quality_passes(text_col).alias("_pg"),
+    )
+    agg = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("_fp").alias("n_distinct_texts"),
+        F.sum(F.col("_pg").cast("long")).alias("_npg"),
+    )
+    qagg = q.agg(
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.sum(
+            F.round(F.col("quality_score") * 1000000.0).cast("long")
+        ).alias("_qs"),
+    )
+    lc = docs.groupBy(F.col(lang_col).alias("_lang")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    le = lc.agg(
+        F.sum("_c").alias("_ln"),
+        F.count(F.lit(1)).alias("n_languages"),
+        F.sum(
+            F.col("_c")
+            * F.round(F.log(F.col("_c").cast("double")) * 1e9).cast("long")
+        ).alias("_lu"),
+    )
+    out = agg.crossJoin(F.broadcast(qagg)).crossJoin(F.broadcast(le))
+    nd = F.col("n_docs").cast("double")
+    return out.select(
+        "n_docs",
+        "n_tokens",
+        "n_distinct_texts",
+        F.round(
+            (F.col("n_docs") - F.col("n_distinct_texts")).cast("double")
+            / nd,
+            6,
+        ).alias("dup_doc_frac"),
+        "n_languages",
+        F.round(
+            F.log(F.col("_ln").cast("double"))
+            - (F.col("_lu").cast("double") / 1e9)
+            / F.col("_ln").cast("double"),
+            6,
+        ).alias("lang_entropy_nats"),
+        F.round(F.col("_qs").cast("double") / 1000000.0 / nd, 6).alias(
+            "mean_quality"
+        ),
+        F.round(F.col("_npg").cast("double") / nd, 6).alias(
+            "gopher_keep_rate"
+        ),
+    )
