@@ -3156,3 +3156,48 @@ def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     from robosystems_spark.operators.corpus import corpus_datasheet as _ds
 
     return _ds(_docs(spark, sf_dir))
+
+
+@register(
+    "corpus_fim_transform",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, text,
+             STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS toks,
+             ('0x' || SUBSTR(MD5('42:' || CAST(doc_id AS VARCHAR) || ':0'),
+                             1, 15))::BIGINT % 100 < 50 AS apply,
+             ('0x' || SUBSTR(MD5('42:' || CAST(doc_id AS VARCHAR) || ':1'),
+                             1, 15))::BIGINT AS u1,
+             ('0x' || SUBSTR(MD5('42:' || CAST(doc_id AS VARCHAR) || ':2'),
+                             1, 15))::BIGINT AS u2
+      FROM documents),
+    c AS (
+      SELECT doc_id, text, toks, apply,
+             LEAST(u1 % (LEN(toks) + 1), u2 % (LEN(toks) + 1)) AS i,
+             GREATEST(u1 % (LEN(toks) + 1), u2 % (LEN(toks) + 1)) AS j,
+             LEN(toks) AS n
+      FROM t)
+    SELECT doc_id, apply AS fim_applied,
+           CASE WHEN apply THEN
+             '<|fim_pre|>' || COALESCE(ARRAY_TO_STRING(toks[1 : i], ' '), '')
+             || '<|fim_suf|>'
+             || COALESCE(ARRAY_TO_STRING(toks[j + 1 : n], ' '), '')
+             || '<|fim_mid|>'
+             || COALESCE(ARRAY_TO_STRING(toks[i + 1 : j], ' '), '')
+           ELSE text END AS fim_text
+    FROM c
+    ORDER BY doc_id
+    """,
+    doc="Fill-in-the-middle pretraining transform (Bavarian et al. "
+    "2022): a deterministic 50% of documents split at two hash-drawn "
+    "token cuts and emit the PSM reordering (prefix/suffix/middle "
+    "with sentinels) that teaches a causal LM to infill; cuts come "
+    "from md5(seed:doc:k) so the built corpus is reproducible and "
+    "hash-checkable. Map-only - two md5s + array slices per row, no "
+    "shuffle.",
+    tags=("corpus", "ml"),
+)
+def corpus_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from robosystems_spark.operators.corpus import fim_transform
+
+    return fim_transform(_docs(spark, sf_dir)).orderBy("doc_id")

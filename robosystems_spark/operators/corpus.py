@@ -1075,3 +1075,76 @@ def corpus_datasheet(
             "gopher_keep_rate"
         ),
     )
+
+
+FIM_PRE, FIM_SUF, FIM_MID = "<|fim_pre|>", "<|fim_suf|>", "<|fim_mid|>"
+
+
+def fim_transform(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fim_rate_pct: int = 50,
+    seed: int = 42,
+) -> DataFrame:
+    """Fill-in-the-middle pretraining transform (Bavarian et al. 2022):
+    for a deterministic ``fim_rate_pct``% of documents, split the token
+    sequence at two hash-drawn cut points and emit the PSM reordering
+    ``<|fim_pre|> prefix <|fim_suf|> suffix <|fim_mid|> middle`` (the
+    format that teaches a causal LM to infill); the rest pass through
+    unchanged.  The paper draws cuts uniformly at random — here they
+    come from ``md5(seed:doc:k)`` so the corpus is REPRODUCIBLE and
+    hash-checkable (the random-walk discipline; the paper's §3 notes
+    the transform is applied once at dataset build, exactly this shape).
+
+    Map-only: two md5s + array slices + concat per row, no shuffle.
+    Returns (id, fim_applied, fim_text).
+    """
+    toks = tokens(text_col)
+
+    def h(k: int):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.lit(str(seed)), F.col(id_col), F.lit(str(k))
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    staged = docs.select(
+        F.col(id_col),
+        F.col(text_col).alias("_text"),
+        toks.alias("_toks"),
+        (h(0) % 100 < fim_rate_pct).alias("_apply"),
+        h(1).alias("_u1"),
+        h(2).alias("_u2"),
+    )
+    n = F.size("_toks")
+    c1 = (F.col("_u1") % (n + 1)).cast("int")
+    c2 = (F.col("_u2") % (n + 1)).cast("int")
+    i = F.least(c1, c2)
+    j = F.greatest(c1, c2)
+    part = lambda s, ln: F.concat_ws(  # noqa: E731 - local slicer
+        " ", F.slice(F.col("_toks"), s, ln)
+    )
+    psm = F.concat(
+        F.lit(FIM_PRE),
+        part(F.lit(1), i),
+        F.lit(FIM_SUF),
+        part(j + 1, n - j),
+        F.lit(FIM_MID),
+        part(i + 1, j - i),
+    )
+    return staged.select(
+        id_col,
+        F.col("_apply").alias("fim_applied"),
+        F.when(F.col("_apply"), psm).otherwise(F.col("_text")).alias(
+            "fim_text"
+        ),
+    )

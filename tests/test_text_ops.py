@@ -926,3 +926,34 @@ def test_gopher_line_flags_blank_lines_ignored(spark):
     r = gopher_line_flags(docs).collect()[0]
     assert r["n_lines"] == 3
     assert r["dup_line_frac"] == 0.0
+
+
+def test_fim_transform_reconstructs_original(spark):
+    """PSM pieces reassemble to the original token sequence, the
+    unapplied share passes through verbatim, and the apply rate is
+    deterministic."""
+    from robosystems_spark.operators.corpus import (
+        FIM_MID,
+        FIM_PRE,
+        FIM_SUF,
+        fim_transform,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = {r["doc_id"]: r for r in fim_transform(docs).collect()}
+    orig = {r["doc_id"]: r["text"] for r in docs.collect()}
+    applied = [d for d, r in out.items() if r["fim_applied"]]
+    assert 0.35 < len(applied) / len(out) < 0.65
+    for d, r in out.items():
+        if not r["fim_applied"]:
+            assert r["fim_text"] == orig[d]
+            continue
+        t = r["fim_text"]
+        assert t.startswith(FIM_PRE)
+        pre, rest = t[len(FIM_PRE):].split(FIM_SUF, 1)
+        suf, mid = rest.split(FIM_MID, 1)
+        rebuilt = " ".join(x for x in (pre, mid, suf) if x)
+        assert rebuilt == " ".join(orig[d].lower().strip().split())
+    out2 = {r["doc_id"]: r["fim_text"]
+            for r in fim_transform(docs).collect()}
+    assert out2 == {d: r["fim_text"] for d, r in out.items()}
