@@ -3201,3 +3201,64 @@ def corpus_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     from robosystems_spark.operators.corpus import fim_transform
 
     return fim_transform(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+@register(
+    "corpus_moore_lewis",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id, (lang = 'en') AS tg,
+             STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS t
+      FROM documents),
+    pairs AS MATERIALIZED (
+      SELECT doc_id, tg, t[gs.i] AS w1, t[gs.i + 1] AS w2
+      FROM base, UNNEST(GENERATE_SERIES(1, LEN(t) - 1)) AS gs(i)
+      WHERE LEN(t) >= 2),
+    cb AS (SELECT w1, w2, COUNT(*) AS cbr,
+                  SUM(CASE WHEN tg THEN 1 ELSE 0 END) AS cbt
+           FROM pairs GROUP BY 1, 2),
+    c1 AS (SELECT w1, COUNT(*) AS c1r,
+                  SUM(CASE WHEN tg THEN 1 ELSE 0 END) AS c1t
+           FROM pairs GROUP BY 1),
+    vocab AS (
+      SELECT CAST(COUNT(DISTINCT tok) AS DOUBLE) AS vr,
+             CAST(COUNT(DISTINCT CASE WHEN tg THEN tok END) AS DOUBLE)
+               AS vt
+      FROM (SELECT (lang = 'en') AS tg,
+                   UNNEST(STRING_SPLIT_REGEX(LOWER(TRIM(text)),
+                                             '\s+')) AS tok
+            FROM documents)),
+    scored AS (
+      SELECT p.doc_id,
+             CAST(ROUND(1000000000.0 * (
+               LN((cb.cbt + 0.5) / (c1.c1t + 0.5 * vocab.vt))
+               - LN((cb.cbr + 0.5) / (c1.c1r + 0.5 * vocab.vr))
+             )) AS BIGINT) AS u
+      FROM pairs p
+      JOIN cb ON cb.w1 = p.w1 AND cb.w2 = p.w2
+      JOIN c1 ON c1.w1 = p.w1
+      CROSS JOIN vocab)
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           ROUND((CAST(SUM(u) AS DOUBLE) / 1000000000.0) / COUNT(*), 6)
+             AS ml_score
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    doc="Cross-entropy difference selection (Moore & Lewis 2010, the "
+    "classic domain-data selector DSIR generalizes): per-bigram "
+    "ln p_target - ln p_corpus under two add-k bigram LMs, each "
+    "difference rounded to the 1e-9 lattice before an exact BIGINT "
+    "per-doc sum (hiding last-ulp libm divergence), one division at "
+    "the end. One shared bigram explode feeds both LMs and the "
+    "scoring join; the target slice rides the same shuffle.",
+    tags=("corpus", "quality"),
+)
+def corpus_moore_lewis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from robosystems_spark.operators.corpus import moore_lewis_score
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "is_target", F.col("lang") == "en"
+    )
+    return moore_lewis_score(docs).orderBy("doc_id")

@@ -1148,3 +1148,87 @@ def fim_transform(
             "fim_text"
         ),
     )
+
+
+def moore_lewis_score(
+    docs: DataFrame,
+    target_col: str = "is_target",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 0.5,
+    decimals: int = 6,
+) -> DataFrame:
+    """Cross-entropy difference selection (Moore & Lewis 2010, the
+    classic domain-data selector DSIR §2 generalizes): score every
+    document by the per-bigram log-probability difference between an
+    in-domain LM (trained on the ``target_col`` slice) and the
+    general-corpus LM — positive means target-like.  Both LMs are the
+    add-k bigram models of :func:`...text.bigram_logprob`.
+
+    Float discipline: each per-bigram ``ln(p_t) - ln(p_r)`` rounds to
+    the 1e-9 lattice BEFORE summation (hiding last-ulp libm
+    divergence, the KL/AA trick), so the per-doc sum is exact BIGINT;
+    one division by the bigram count at the end.
+
+    Plan shape: one bigram explode shared by both LMs and scoring, two
+    count-table joins keyed by bigram (the target tables are a slice
+    of the same shuffle), vocab sizes as 1-row broadcasts.  The target
+    slice is tiny by construction — the 100 TB side shuffles once.
+    """
+    toks = tokens(text_col)
+    base = docs.select(
+        F.col(id_col),
+        F.col(target_col).cast("boolean").alias("_tg"),
+        toks.alias("_t"),
+    ).filter(F.size("_t") >= 2)
+    pairs = base.select(
+        id_col,
+        "_tg",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(_t) - 1), i -> "
+                "struct(_t[i - 1] AS w1, _t[i] AS w2))"
+            )
+        ).alias("_p"),
+    ).select(
+        id_col, "_tg", F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2")
+    ).transform(materialize)
+    cb = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("_cbr"),
+        F.sum(F.when(F.col("_tg"), 1).otherwise(0)).alias("_cbt"),
+    )
+    c1 = pairs.groupBy("w1").agg(
+        F.count(F.lit(1)).alias("_c1r"),
+        F.sum(F.when(F.col("_tg"), 1).otherwise(0)).alias("_c1t"),
+    )
+    vocab = docs.select(
+        F.col(target_col).cast("boolean").alias("_tg"),
+        F.explode(tokens(text_col)).alias("_tok"),
+    ).agg(
+        F.countDistinct("_tok").cast("double").alias("_vr"),
+        F.countDistinct(F.when(F.col("_tg"), F.col("_tok"))).cast(
+            "double"
+        ).alias("_vt"),
+    )
+    lp_t = F.log(
+        (F.col("_cbt") + k) / (F.col("_c1t") + k * F.col("_vt"))
+    )
+    lp_r = F.log(
+        (F.col("_cbr") + k) / (F.col("_c1r") + k * F.col("_vr"))
+    )
+    unit = F.round((lp_t - lp_r) * 1e9).cast("long")
+    return (
+        pairs.join(cb, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(id_col, unit.alias("_u"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                (F.sum("_u").cast("double") / 1e9)
+                / F.count(F.lit(1)),
+                decimals,
+            ).alias("ml_score"),
+        )
+    )

@@ -957,3 +957,23 @@ def test_fim_transform_reconstructs_original(spark):
     out2 = {r["doc_id"]: r["fim_text"]
             for r in fim_transform(docs).collect()}
     assert out2 == {d: r["fim_text"] for d, r in out.items()}
+
+
+def test_moore_lewis_directionality(spark):
+    """Target-like documents score higher than off-domain ones, and
+    the score is exactly the mean per-bigram lattice difference."""
+    from robosystems_spark.operators.corpus import moore_lewis_score
+    from pyspark.sql import functions as F
+
+    target = "the model trains on the data and the data feeds the model"
+    rows = (
+        [(i, target, True) for i in range(4)]
+        + [(10 + i, "zq vex jolt wub kree plon zq vex jolt wub", False)
+           for i in range(4)]
+    )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, is_target boolean"
+    )
+    out = {r["doc_id"]: r["ml_score"]
+           for r in moore_lewis_score(docs).collect()}
+    assert min(out[i] for i in range(4)) > max(out[10 + i] for i in range(4))
