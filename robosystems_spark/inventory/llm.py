@@ -3262,3 +3262,75 @@ def corpus_moore_lewis(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_target", F.col("lang") == "en"
     )
     return moore_lewis_score(docs).orderBy("doc_id")
+
+
+_TP_INNER = __import__(
+    "robosystems_spark.operators.bpe", fromlist=["bpe_oracle_sql"]
+).bpe_oracle_sql(n_merges=8, mode="token_counts")
+
+
+@register(
+    "tokenizer_parity_by_lang",
+    oracle=f"""
+    WITH tc AS MATERIALIZED (
+      {_TP_INNER}
+    ),
+    j AS (
+      SELECT d.lang, LENGTH(TRIM(d.text)) AS ch, tc.n_bpe_tokens AS tk
+      FROM tc JOIN documents d USING (doc_id)),
+    l AS (
+      SELECT lang, CAST(SUM(ch) AS BIGINT) AS chars,
+             CAST(SUM(tk) AS BIGINT) AS toks
+      FROM j GROUP BY 1),
+    e AS (SELECT chars AS ce, toks AS te FROM l WHERE lang = 'en')
+    SELECT lang,
+           chars AS n_chars,
+           toks AS n_bpe_tokens,
+           ROUND(CAST(chars AS DOUBLE) / toks, 6) AS chars_per_token,
+           ROUND((CAST(chars AS DOUBLE) / toks)
+                 / (CAST(ce AS DOUBLE) / te), 6) AS parity_vs_en
+    FROM l CROSS JOIN e
+    ORDER BY lang
+    """,
+    doc="Tokenizer parity across languages (Petrov et al. 2023, "
+    "'Language Model Tokenizers Introduce Unfairness Between "
+    "Languages'): chars-per-BPE-token per language and its ratio to "
+    "the English baseline — a language tokenized into more pieces "
+    "pays proportionally more compute and context window. Composes "
+    "the trained-BPE token counts (the unrolled-merge oracle rides "
+    "inside as a CTE); per-language ratios are single float "
+    "divisions of exact BIGINT sums.",
+    tags=("text", "tokenizer", "eval"),
+)
+def tokenizer_parity_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from robosystems_spark.operators.bpe import bpe_token_counts as _tc
+
+    docs = _docs(spark, sf_dir)
+    tc = _tc(docs, merges=_bpe_merges(spark, sf_dir))
+    d = docs.select(
+        "doc_id", "lang", F.length(F.trim(F.col("text"))).alias("_ch")
+    )
+    lang = (
+        tc.join(d, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.sum("_ch").cast("long").alias("n_chars"),
+            F.sum("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        )
+    )
+    en = lang.filter(F.col("lang") == "en").select(
+        F.col("n_chars").alias("_ce"), F.col("n_bpe_tokens").alias("_te")
+    )
+    cpt = F.col("n_chars").cast("double") / F.col("n_bpe_tokens")
+    ecpt = F.col("_ce").cast("double") / F.col("_te")
+    return (
+        lang.crossJoin(F.broadcast(en))
+        .select(
+            "lang",
+            "n_chars",
+            "n_bpe_tokens",
+            F.round(cpt, 6).alias("chars_per_token"),
+            F.round(cpt / ecpt, 6).alias("parity_vs_en"),
+        )
+        .orderBy("lang")
+    )
