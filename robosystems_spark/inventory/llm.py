@@ -3334,3 +3334,54 @@ def tokenizer_parity_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "corpus_padding_waste",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             LEN(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+')) AS n_tok
+      FROM documents),
+    a AS (
+      SELECT n_tok,
+             (ROW_NUMBER() OVER (ORDER BY doc_id) - 1) // 8 AS b
+      FROM t),
+    ab AS (SELECT b, COUNT(*) AS r, MAX(n_tok) AS mx, SUM(n_tok) AS s
+           FROM a GROUP BY b),
+    s AS (
+      SELECT n_tok,
+             (ROW_NUMBER() OVER (ORDER BY n_tok, doc_id) - 1) // 8 AS b
+      FROM t),
+    sb AS (SELECT b, COUNT(*) AS r, MAX(n_tok) AS mx, SUM(n_tok) AS s
+           FROM s GROUP BY b),
+    u AS (
+      SELECT 'arrival' AS strategy,
+             CAST(SUM(s) AS BIGINT) AS n_tokens,
+             CAST(SUM(r * mx - s) AS BIGINT) AS n_pad_slots
+      FROM ab
+      UNION ALL
+      SELECT 'sorted',
+             CAST(SUM(s) AS BIGINT),
+             CAST(SUM(r * mx - s) AS BIGINT)
+      FROM sb)
+    SELECT strategy, n_tokens, n_pad_slots,
+           ROUND(CAST(n_pad_slots AS DOUBLE)
+                 / (n_tokens + n_pad_slots), 6) AS pad_frac
+    FROM u
+    ORDER BY strategy
+    """,
+    doc="Padding-waste accounting for fixed-size training batches: "
+    "arrival-order vs length-sorted ('smart') batching, each padding "
+    "every sequence to its batch max — the FLOPs-on-pad-tokens "
+    "fraction that justifies length bucketing in every training "
+    "loader. All-integer batch assignment over total orders; one "
+    "division per row.",
+    tags=("corpus",),
+)
+def corpus_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from robosystems_spark.operators.corpus import padding_waste
+
+    return padding_waste(_docs(spark, sf_dir), batch_size=8).orderBy(
+        "strategy"
+    )

@@ -1232,3 +1232,61 @@ def moore_lewis_score(
             ).alias("ml_score"),
         )
     )
+
+
+def padding_waste(
+    docs: DataFrame,
+    batch_size: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Padding-waste accounting for fixed-size training batches — the
+    throughput question behind length-bucketed ("smart") batching:
+    a batch pads every sequence to its longest member, so arrival-order
+    batching wastes up to half the FLOPs on pad tokens while
+    length-sorted batching wastes almost none.  Returns one row per
+    strategy ('arrival' = id order, 'sorted' = token-length order)
+    with total real tokens, padded slots, and the waste fraction.
+
+    All-integer: batch assignment is a row_number over a TOTAL order
+    (length ties broken by id), waste = Σ(batch_rows · batch_max −
+    batch_sum); one final division per row.  The two global windows
+    are the honest exact formulation (the CCNet-tiers caveat); at
+    corpus scale the same report runs per partition/shard.
+    """
+    n = F.size(tokens(text_col)).alias("n_tok")
+    base = docs.select(F.col(id_col).alias("_id"), n).transform(materialize)
+
+    def strategy(name: str, order) -> DataFrame:
+        w = Window.orderBy(*order)
+        b = ((F.row_number().over(w) - 1) / batch_size).cast("long")
+        per_batch = (
+            base.select("n_tok", b.alias("_b"))
+            .groupBy("_b")
+            .agg(
+                F.count(F.lit(1)).alias("_rows"),
+                F.max("n_tok").alias("_mx"),
+                F.sum("n_tok").alias("_sum"),
+            )
+        )
+        return per_batch.agg(
+            F.lit(name).alias("strategy"),
+            F.sum("_sum").cast("long").alias("n_tokens"),
+            F.sum(F.col("_rows") * F.col("_mx") - F.col("_sum"))
+            .cast("long")
+            .alias("n_pad_slots"),
+        )
+
+    out = strategy("arrival", [F.asc("_id")]).unionAll(
+        strategy("sorted", [F.asc("n_tok"), F.asc("_id")])
+    )
+    return out.select(
+        "strategy",
+        "n_tokens",
+        "n_pad_slots",
+        F.round(
+            F.col("n_pad_slots").cast("double")
+            / (F.col("n_tokens") + F.col("n_pad_slots")),
+            6,
+        ).alias("pad_frac"),
+    )
