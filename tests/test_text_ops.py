@@ -977,3 +977,40 @@ def test_moore_lewis_directionality(spark):
     out = {r["doc_id"]: r["ml_score"]
            for r in moore_lewis_score(docs).collect()}
     assert min(out[i] for i in range(4)) > max(out[10 + i] for i in range(4))
+
+
+def test_padding_waste_sorted_never_worse(spark):
+    """Length-sorted batching never pads more than arrival order, and
+    identical-length corpora pad zero either way."""
+    from robosystems_spark.operators.corpus import padding_waste
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    r = {x["strategy"]: x for x in padding_waste(docs, 8).collect()}
+    assert r["sorted"]["n_pad_slots"] <= r["arrival"]["n_pad_slots"]
+    assert r["sorted"]["n_tokens"] == r["arrival"]["n_tokens"]
+
+    same = spark.createDataFrame(
+        [(i, "a b c d") for i in range(16)], "doc_id long, text string"
+    )
+    z = {x["strategy"]: x for x in padding_waste(same, 4).collect()}
+    assert z["sorted"]["n_pad_slots"] == 0
+    assert z["arrival"]["n_pad_slots"] == 0
+
+
+def test_tokenizer_parity_en_baseline_is_one(spark):
+    """The en row's parity ratio is exactly 1 and every language's
+    chars_per_token is the ratio of its sums."""
+    from robosystems_spark.inventory import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    rows = {
+        r["lang"]: r
+        for r in REGISTRY["tokenizer_parity_by_lang"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    assert rows["en"]["parity_vs_en"] == 1.0
+    for r in rows.values():
+        assert r["chars_per_token"] == round(
+            r["n_chars"] / r["n_bpe_tokens"], 6
+        )
