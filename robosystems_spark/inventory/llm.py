@@ -3385,3 +3385,45 @@ def corpus_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
     return padding_waste(_docs(spark, sf_dir), batch_size=8).orderBy(
         "strategy"
     )
+
+
+_CL_INNER = __import__(
+    "robosystems_spark.operators.classifier",
+    fromlist=["quality_lr_oracle_sql"],
+).quality_lr_oracle_sql(iters=6, lr=20.0)
+
+
+@register(
+    "quality_label_noise",
+    oracle=f"""
+    SELECT doc_id, y, p_quality, suspected_label FROM (
+      SELECT s.doc_id, s.y, s.p_quality,
+             CASE WHEN s.y = 0 AND s.p_quality >= t1.v THEN 1
+                  WHEN s.y = 1 AND 1.0 - s.p_quality >= t0.v THEN 0
+             END AS suspected_label
+      FROM ({_CL_INNER}) s
+      CROSS JOIN (
+        SELECT CAST(SUM(CAST(ROUND(p_quality * 1000000.0) AS BIGINT))
+                    AS DOUBLE) / 1000000.0 / COUNT(*) AS v
+        FROM ({_CL_INNER}) WHERE y = 1) t1
+      CROSS JOIN (
+        SELECT 1.0 - CAST(SUM(CAST(ROUND(p_quality * 1000000.0) AS BIGINT))
+                          AS DOUBLE) / 1000000.0 / COUNT(*) AS v
+        FROM ({_CL_INNER}) WHERE y = 0) t0
+    ) WHERE suspected_label IS NOT NULL
+    ORDER BY doc_id
+    """,
+    doc="Confident-learning label-noise detection (Northcutt et al. "
+    "2021, the cleanlab rule) over the distilled quality classifier: "
+    "flag documents whose predicted probability for the OTHER class "
+    "reaches that class's self-confidence threshold (its mean "
+    "predicted probability) - the audit a pipeline runs on its "
+    "heuristic teacher before retraining on its labels. Thresholds "
+    "are 1e-6-lattice means of the engine-identical scores, so the "
+    "flag boundary is engine-stable.",
+    tags=("text", "classifier", "eval"),
+)
+def quality_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from robosystems_spark.operators.classifier import label_noise_candidates
+
+    return label_noise_candidates(_docs(spark, sf_dir), iters=6, lr=20.0)

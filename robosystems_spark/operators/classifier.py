@@ -468,3 +468,61 @@ FROM (
 ) scored
 GROUP BY 1
 ORDER BY bin"""
+
+
+def label_noise_candidates(
+    docs: DataFrame,
+    iters: int = 4,
+    lr: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Confident-learning label-noise detection (Northcutt, Jiang &
+    Chuang 2021, the cleanlab rule) over the distilled quality
+    classifier: a document is a suspected label error when its
+    predicted probability for the OTHER class reaches that class's
+    self-confidence threshold t_j = mean p_j over documents labeled j.
+    The curation use: audit the heuristic teacher's labels before
+    retraining on them.
+
+    Binary form: flag (y=0, p1 >= t1) as suspected-1 and
+    (y=1, p0 >= t0) as suspected-0, where p1 = p_quality (already
+    1e-6-rounded and engine-identical) and p0 = 1 - p1.  Thresholds
+    are 1e-6-lattice means (exact BIGINT sums, one division), compared
+    against lattice values — the boundary is engine-stable.  One
+    scoring pass + one 2-row threshold aggregate broadcast back.
+
+    Returns the flagged documents: (id, y, p_quality,
+    suspected_label), ordered by id.
+    """
+    scored = quality_lr_score(docs, iters, lr, text_col, id_col)
+    units = F.round(F.col("p_quality") * 1000000.0).cast("long")
+    th = scored.groupBy("y").agg(
+        F.sum(units).alias("_su"), F.count(F.lit(1)).alias("_n")
+    ).select(
+        "y",
+        (F.col("_su").cast("double") / 1000000.0 / F.col("_n")).alias("_t1"),
+    )
+    t1 = th.filter(F.col("y") == 1).select(F.col("_t1").alias("_thr1"))
+    t0 = th.filter(F.col("y") == 0).select(
+        (1.0 - F.col("_t1")).alias("_thr0")
+    )
+    flagged = (
+        scored.crossJoin(F.broadcast(t1))
+        .crossJoin(F.broadcast(t0))
+        .withColumn(
+            "suspected_label",
+            F.when(
+                (F.col("y") == 0) & (F.col("p_quality") >= F.col("_thr1")),
+                F.lit(1),
+            ).when(
+                (F.col("y") == 1)
+                & (1.0 - F.col("p_quality") >= F.col("_thr0")),
+                F.lit(0),
+            ),
+        )
+        .filter(F.col("suspected_label").isNotNull())
+    )
+    return flagged.select(
+        id_col, "y", "p_quality", "suspected_label"
+    ).orderBy(id_col)

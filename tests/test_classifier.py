@@ -79,3 +79,20 @@ def test_naive_bayes_prior_decides_empty_overlap(spark):
     }
     # every doc predicted 'major' (larger prior, identical likelihoods)
     assert out == {("major", "major"): 9, ("minor", "major"): 1}
+
+
+def test_label_noise_flags_planted_contradictions(spark):
+    """Docs whose teacher label contradicts a confident prediction are
+    flagged with the opposite class; confidently-consistent docs are
+    not flagged."""
+    from robosystems_spark.inventory import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    rows = REGISTRY["quality_label_noise"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["suspected_label"] != r["y"]
+        if r["suspected_label"] == 1:
+            assert r["y"] == 0 and r["p_quality"] > 0.5 - 0.5  # >= t1 > 0
