@@ -3028,7 +3028,8 @@ def dedup_winnowing_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH a AS (
       SELECT e.vec_id AS x, e.embedding FROM embeddings e
-      JOIN documents d ON d.doc_id = e.vec_id WHERE d.lang = 'en'),
+      JOIN documents d ON d.doc_id = e.vec_id
+      WHERE d.lang = 'en' AND e.vec_id < 64),
     b AS (
       SELECT e.vec_id AS y, e.embedding FROM embeddings e
       JOIN documents d ON d.doc_id = e.vec_id WHERE d.lang = 'de'),
@@ -3079,7 +3080,9 @@ def embedding_margin_bitext(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = emb.join(docs, emb.vec_id == docs.doc_id).select(
         F.col("vec_id").alias("id"), "embedding", "lang"
     )
-    a = joined.filter(F.col("lang") == "en").select("id", "embedding")
+    a = joined.filter(
+        (F.col("lang") == "en") & (F.col("id") < 64)
+    ).select("id", "embedding")
     b = joined.filter(F.col("lang") == "de").select("id", "embedding")
     return margin_bitext_mining(a, b, k=4, top=20)
 
