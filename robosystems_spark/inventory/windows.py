@@ -818,3 +818,25 @@ def events_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from robosystems_spark.operators.sketches import log2_histogram_quantiles
 
     return log2_histogram_quantiles(_events(spark, sf_dir), "value")
+
+
+@register(
+    "events_holt_winters_seasonal",
+    oracle=__import__(
+        "robosystems_spark.operators.timeseries",
+        fromlist=["holt_winters_oracle_sql"],
+    ).holt_winters_oracle_sql(),
+    doc="Holt-Winters additive seasonal smoothing (triple exponential, "
+    "period 7) per event-type daily series — completes the ewma -> "
+    "Holt -> Holt-Winters classical family. State is a rotating "
+    "[level, trend, season-queue] DOUBLE ARRAY folded per key "
+    "(F.aggregate / list_reduce with every observation packed as a "
+    "1-element list, since list_reduce has no separate init); "
+    "textbook seeding (mean of first m, zero trend, x_i - mean "
+    "seasons). Emits level/trend/next-season/one-step forecast.",
+    tags=("window", "events", "timeseries"),
+)
+def events_holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from robosystems_spark.operators.timeseries import holt_winters_additive
+
+    return holt_winters_additive(_events(spark, sf_dir))

@@ -914,3 +914,163 @@ def retention_cohorts_oracle_sql(
     FROM grid g JOIN sizes s USING (cohort_week)
     ORDER BY cohort_week, offset_weeks
     """
+
+
+def holt_winters_additive(
+    df: DataFrame,
+    period: int = 7,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    gamma: float = 0.4,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Holt-Winters additive seasonal smoothing (the triple-exponential
+    member completing the ewma -> Holt family) over each key's daily
+    series with season length ``period``:
+
+    ``l_t = a*(x_t - s_{t-m}) + (1-a)*(l_{t-1} + b_{t-1})``
+    ``b_t = b*(l_t - l_{t-1}) + (1-b)*b_{t-1}``
+    ``s_t = g*(x_t - l_t) + (1-g)*s_{t-m}``
+
+    Textbook seeding: ``l_m`` = mean of the first m observations,
+    ``b = 0``, ``s_i = x_i - l_m``; the recursion folds over
+    observations m+1..n.  Emits the final level/trend, the NEXT
+    step's seasonal, and the one-step forecast ``l + b + s_next``.
+    Keys with fewer than m+1 days are dropped (under-seeded).
+
+    State is an (m+2)-element DOUBLE ARRAY ``[l, b, s_queue...]``
+    where the queue's HEAD is always the current step's season — each
+    step shifts the queue and appends the refreshed season (array,
+    not struct: the :func:`holt_linear` list_reduce rationale).  One
+    daily pre-aggregation + one fold per key, state O(days)."""
+    m = int(period)
+    if m < 2:
+        raise ValueError("period must be >= 2")
+    day = F.to_date(F.col(ts_col)).alias("day")
+    daily = df.groupBy(F.col(key_col), day).agg(
+        F.round(F.sum(value_col), 4).alias("x")
+    )
+    xs = (
+        daily.groupBy(key_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("day"), F.col("x")))
+            ).alias("_sx")
+        )
+        .select(
+            key_col,
+            F.transform(F.col("_sx"), lambda s: s["x"]).alias("xs"),
+            F.size("_sx").alias("n_days"),
+        )
+        .filter(F.col("n_days") >= m + 1)
+    )
+    a, b, g = float(alpha), float(beta), float(gamma)
+    first_m = F.slice(F.col("xs"), 1, m)
+    l0 = (
+        F.aggregate(first_m, F.lit(0.0), lambda acc, x: acc + x)
+        / F.lit(float(m))
+    )
+    staged = xs.select(
+        key_col,
+        "n_days",
+        F.concat(
+            F.array(l0, F.lit(0.0)),
+            F.transform(first_m, lambda x: x - l0),
+        ).alias("_seed"),
+        F.slice(
+            F.col("xs"), m + 1, F.greatest(F.size("xs") - m, F.lit(0))
+        ).alias("_rest"),
+    )
+
+    def step(acc, x):
+        s_head = F.element_at(acc, 3)
+        # the identical expression tree is inlined wherever the NEW
+        # level is consumed, mirroring the oracle's repeated string
+        lvl = F.lit(a) * (x - s_head) + F.lit(1.0 - a) * (
+            F.element_at(acc, 1) + F.element_at(acc, 2)
+        )
+        nb = F.lit(b) * (lvl - F.element_at(acc, 1)) + F.lit(
+            1.0 - b
+        ) * F.element_at(acc, 2)
+        ns = F.lit(g) * (x - lvl) + F.lit(1.0 - g) * s_head
+        return F.concat(
+            F.array(lvl, nb), F.slice(acc, 4, m - 1), F.array(ns)
+        )
+
+    st = F.aggregate(F.col("_rest"), F.col("_seed"), step)
+    return staged.select(
+        key_col,
+        "n_days",
+        F.round(F.element_at(st, 1), 6).alias("level"),
+        F.round(F.element_at(st, 2), 6).alias("trend"),
+        F.round(F.element_at(st, 3), 6).alias("season_next"),
+        F.round(
+            F.element_at(st, 1)
+            + F.element_at(st, 2)
+            + F.element_at(st, 3),
+            6,
+        ).alias("forecast_1"),
+    ).orderBy(key_col)
+
+
+def holt_winters_oracle_sql(
+    table: str = "events",
+    period: int = 7,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    gamma: float = 0.4,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> str:
+    """DuckDB twin of :func:`holt_winters_additive` (list_reduce over
+    the same rotating [l, b, s_queue...] array)."""
+    m = int(period)
+    a, b, g = float(alpha), float(beta), float(gamma)
+    # list_reduce has no separate init, so the seed array is prepended
+    # and every observation is packed as a 1-element list (uniform
+    # LIST(DOUBLE) type); x[1] is the observation
+    lvl = (
+        f"{a}e0 * (x[1] - acc[3]) + {1.0 - a}e0 * (acc[1] + acc[2])"
+    )
+    return f"""
+    WITH daily AS (
+      SELECT {key_col}, CAST({ts_col} AS DATE) AS day,
+             ROUND(SUM({value_col}), 4) AS x
+      FROM {table} GROUP BY 1, 2
+    ),
+    packed AS (
+      SELECT {key_col},
+             list(CAST(x AS DOUBLE) ORDER BY day) AS xs,
+             COUNT(*) AS n_days
+      FROM daily GROUP BY {key_col}
+      HAVING COUNT(*) >= {m + 1}
+    ),
+    seeded AS (
+      SELECT {key_col}, n_days,
+             [list_aggregate(xs[1:{m}], 'sum') / {m}.0e0, 0.0e0]
+               || list_transform(xs[1:{m}],
+                    x -> x - list_aggregate(xs[1:{m}], 'sum') / {m}.0e0)
+               AS seed,
+             list_transform(xs[{m + 1}:LEN(xs)], x -> [x]) AS rest
+      FROM packed
+    ),
+    folded AS (
+      SELECT {key_col}, n_days,
+             list_reduce(list_prepend(seed, rest), (acc, x) ->
+               [ {lvl},
+                 {b}e0 * (({lvl}) - acc[1]) + {1.0 - b}e0 * acc[2] ]
+               || acc[4:{m + 2}]
+               || [ {g}e0 * (x[1] - ({lvl})) + {1.0 - g}e0 * acc[3] ]
+             ) AS st
+      FROM seeded
+    )
+    SELECT {key_col}, CAST(n_days AS INTEGER) AS n_days,
+           ROUND(st[1], 6) AS level,
+           ROUND(st[2], 6) AS trend,
+           ROUND(st[3], 6) AS season_next,
+           ROUND(st[1] + st[2] + st[3], 6) AS forecast_1
+    FROM folded ORDER BY {key_col}
+    """

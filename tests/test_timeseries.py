@@ -225,3 +225,38 @@ def test_holt_linear_matches_reference_recursion(spark):
     r2 = holt_linear(df2, alpha=0.5, beta=0.3).collect()[0]
     assert abs(r2["trend"] - 5.0) < 0.5
     assert abs(r2["forecast_1"] - (100.0 + 5 * 21)) < 2.0
+
+
+def test_holt_winters_matches_textbook_recursion(spark):
+    """The fold reproduces the scalar Holt-Winters recursion exactly,
+    including seasonal-queue rotation; under-seeded keys are
+    dropped."""
+    from robosystems_spark.operators.timeseries import holt_winters_additive
+    import datetime
+
+    m, a, b, g = 3, 0.5, 0.3, 0.4
+    vals = [10.0, 14.0, 9.0, 12.0, 16.0, 10.5, 13.0, 17.5]
+    base = datetime.datetime(2024, 1, 1)
+    rows = [("k", base + datetime.timedelta(days=i), v)
+            for i, v in enumerate(vals)]
+    rows += [("short", base, 1.0), ("short", base + datetime.timedelta(days=1), 2.0)]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    out = holt_winters_additive(
+        df, period=m, alpha=a, beta=b, gamma=g
+    ).collect()
+    assert [r["event_type"] for r in out] == ["k"]
+
+    l = sum(vals[:m]) / m
+    tr = 0.0
+    season = [v - l for v in vals[:m]]
+    for x in vals[m:]:
+        s_head = season.pop(0)
+        new_l = a * (x - s_head) + (1 - a) * (l + tr)
+        tr = b * (new_l - l) + (1 - b) * tr
+        season.append(g * (x - new_l) + (1 - g) * s_head)
+        l = new_l
+    r = out[0]
+    assert r["level"] == round(l, 6)
+    assert r["trend"] == round(tr, 6)
+    assert r["season_next"] == round(season[0], 6)
+    assert r["forecast_1"] == round(l + tr + season[0], 6)
