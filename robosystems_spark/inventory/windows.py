@@ -840,3 +840,50 @@ def events_holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from robosystems_spark.operators.timeseries import holt_winters_additive
 
     return holt_winters_additive(_events(spark, sf_dir))
+
+
+@register(
+    "events_theil_sen_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             ROUND(SUM(value), 4) AS x
+      FROM events GROUP BY 1, 2),
+    d AS (
+      SELECT event_type,
+             DATEDIFF('day', DATE '2000-01-01', day) AS di, x
+      FROM daily),
+    n AS (SELECT event_type, COUNT(*) AS n_days FROM d
+          GROUP BY 1 HAVING COUNT(*) >= 2),
+    pairs AS (
+      SELECT a.event_type,
+             (b.x - a.x) / CAST(b.di - a.di AS DOUBLE) AS s
+      FROM d a JOIN d b
+        ON a.event_type = b.event_type AND b.di > a.di),
+    ms AS (SELECT event_type, QUANTILE_CONT(s, 0.5) AS slope
+           FROM pairs GROUP BY 1),
+    r AS (
+      SELECT d.event_type, ms.slope,
+             d.x - ms.slope * CAST(d.di AS DOUBLE) AS resid
+      FROM d JOIN ms USING (event_type))
+    SELECT r.event_type,
+           CAST(n.n_days AS INTEGER) AS n_days,
+           ROUND(MAX(r.slope), 6) AS slope_per_day,
+           ROUND(QUANTILE_CONT(r.resid, 0.5), 6) AS intercept
+    FROM r JOIN n USING (event_type)
+    GROUP BY 1, n.n_days
+    ORDER BY 1
+    """,
+    doc="Theil-Sen robust trend per event-type daily series (Sen "
+    "1968): slope = median of all pairwise slopes, intercept = "
+    "median residual — tolerates ~29% outliers where least squares "
+    "breaks on one; the trend companion of the MAD profile. Pairs "
+    "are O(days^2) on the DAILY series (calendar-bounded, generated "
+    "map-side from packed arrays); exact percentiles match "
+    "quantile_cont bit-for-bit.",
+    tags=("window", "events", "timeseries"),
+)
+def events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from robosystems_spark.operators.timeseries import theil_sen_trend
+
+    return theil_sen_trend(_events(spark, sf_dir))

@@ -260,3 +260,26 @@ def test_holt_winters_matches_textbook_recursion(spark):
     assert r["trend"] == round(tr, 6)
     assert r["season_next"] == round(season[0], 6)
     assert r["forecast_1"] == round(l + tr + season[0], 6)
+
+
+def test_theil_sen_recovers_planted_trend_through_outliers(spark):
+    """A clean linear series recovers its exact slope; 25% wild
+    outliers barely move the Theil-Sen estimate (least squares would
+    be dragged far off)."""
+    import datetime
+
+    from robosystems_spark.operators.timeseries import theil_sen_trend
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i in range(20):
+        rows.append(("clean", base + datetime.timedelta(days=i),
+                     5.0 + 2.0 * i))
+        v = 5.0 + 2.0 * i + (1000.0 if i % 4 == 0 else 0.0)
+        rows.append(("dirty", base + datetime.timedelta(days=i), v))
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, value double"
+    )
+    out = {r["event_type"]: r for r in theil_sen_trend(df).collect()}
+    assert out["clean"]["slope_per_day"] == 2.0
+    assert abs(out["dirty"]["slope_per_day"] - 2.0) < 0.75
