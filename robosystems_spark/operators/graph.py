@@ -2430,8 +2430,15 @@ def skipgram_negatives(
     ).select(
         "node", "_hi", (F.col("_hi") - F.col("_c")).alias("_lo")
     )
-    bw = F.greatest(
-        (F.col("_W") / F.lit(n_buckets)).cast("long"), F.lit(1).cast("long")
+    # Bucket ids use exact integer division (`div`): long/long in Spark
+    # is DOUBLE division, and past 2^52 a floor-flip at a bucket
+    # boundary could assign a probe a bucket the covering interval did
+    # not explode into, silently dropping that negative sample.
+    tot = tot.select(
+        "_W",
+        F.greatest(
+            F.expr(f"_W div {int(n_buckets)}"), F.lit(1).cast("long")
+        ).alias("_bw"),
     )
     intervals = (
         cum.crossJoin(F.broadcast(tot))
@@ -2441,8 +2448,8 @@ def skipgram_negatives(
             "_hi",
             F.explode(
                 F.sequence(
-                    (F.col("_lo") / bw).cast("long"),
-                    ((F.col("_hi") - 1) / bw).cast("long"),
+                    F.expr("_lo div _bw"),
+                    F.expr("(_hi - 1) div _bw"),
                 )
             ).alias("_b"),
         )
@@ -2480,14 +2487,14 @@ def skipgram_negatives(
                 ).cast("long")
                 % F.col("_W")
             ).alias("_h"),
-            bw.alias("_bw"),
+            "_bw",
         )
         .select(
             "center",
             "context",
             "neg_rank",
             "_h",
-            (F.col("_h") / F.col("_bw")).cast("long").alias("_b"),
+            F.expr("_h div _bw").alias("_b"),
         )
     )
     return (

@@ -69,8 +69,10 @@ def _split_tag(tag: str) -> tuple[str, str]:
     return "", tag
 
 
-def _parse_with_nsmap(data: bytes) -> tuple[ET.Element, dict[str, str]]:
-    """Parse and return (root, {namespace_uri: prefix}).
+def _parse_with_nsmap(
+    data: bytes,
+) -> tuple[ET.Element, dict[str, str], dict[str, str]]:
+    """Parse and return (root, {namespace_uri: prefix}, {prefix: namespace_uri}).
 
     ElementTree drops prefix bindings from the tree, so they are
     collected from ``start-ns`` events; the first NON-EMPTY prefix
@@ -217,8 +219,8 @@ _IXT_DATE_ORDERS = {
     "datedaymonthyear": (0, 1, 2),
     "date-month-day-year": (1, 0, 2),
     "datemonthdayyear": (1, 0, 2),
-    "date-year-month-day": (2, 0, 1),
-    "dateyearmonthday": (2, 0, 1),
+    "date-year-month-day": (2, 1, 0),
+    "dateyearmonthday": (2, 1, 0),
 }
 
 

@@ -80,6 +80,14 @@ def write_webdataset_shards(
     columns are written utf-8, binary columns raw; NULL members are
     skipped (a sample may lack an extension).  The sample key is
     ``CAST(key_col AS STRING)``; keys must be unique.
+
+    ``out_dir`` must be a SHARED filesystem visible to every executor
+    (NFS/FUSE mount, or local disk in local mode): the tar members are
+    written with plain ``open()`` inside ``applyInPandas``, so on a
+    multi-node cluster without a shared mount the shards would scatter
+    across executor-local disks while the manifest implies one
+    location.  Object stores need the Hadoop FS API instead — the
+    documented upgrade seam.
     """
     if not members:
         raise ValueError("members mapping must not be empty")
@@ -100,6 +108,7 @@ def write_webdataset_shards(
         import pandas as pd
 
         shard = int(pdf["_shard"].iloc[0])
+        os.makedirs(out_dir, exist_ok=True)  # executors see the dir too
         path = os.path.join(out_dir, f"{prefix}-{shard:0{width}d}.tar")
         pdf = pdf.sort_values("_k", kind="mergesort")
         buf = io.BytesIO()

@@ -692,6 +692,21 @@ def test_xbrl_parse_inline_documents():
     assert by["dei:EntityCentralIndexKey"]["value"] == "0000123456"
 
 
+def test_ixt_date_transforms_all_orders():
+    """Every TRR date-order transform maps its components correctly —
+    regression for the year-month-day order, which once swapped year
+    and month (returning '2005-2023-17' for '2023-05-17')."""
+    from robosystems_spark.pipelines.xbrl_parse import _ixt_transform
+
+    assert _ixt_transform("date-year-month-day", "2023-05-17") == "2023-05-17"
+    assert _ixt_transform("dateyearmonthday", "2023.05.17") == "2023-05-17"
+    assert _ixt_transform("date-day-month-year", "17/05/2023") == "2023-05-17"
+    assert _ixt_transform("date-month-day-year", "05/17/2023") == "2023-05-17"
+    assert _ixt_transform("datemonthdayyear", "5-17-23") == "2023-05-17"
+    # malformed: wrong component count -> None, never a wrong value
+    assert _ixt_transform("date-year-month-day", "2023-05") is None
+
+
 def test_xbrl_parse_inline_empty_and_poisons_garbage(spark):
     """An ix document with no facts yields zero rows (not an error);
     garbage bytes become a poison row in the distributed path instead
