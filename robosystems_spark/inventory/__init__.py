@@ -99,6 +99,7 @@ def _ensure_loaded() -> None:
     if _LOADED:
         return
     from robosystems_spark.inventory import (  # noqa: F401
+        crawl,
         graph,
         llm,
         multimodal,

@@ -1,0 +1,271 @@
+"""Crawl-corpus front-door registry entries with HARD DuckDB oracles.
+
+Same verification pattern as :mod:`inventory/multimodal`: the payloads
+(HTML pages, WARC archives) are synthesized DETERMINISTICALLY from the
+``documents`` table by a closed-form template both engines can state,
+the Spark side round-trips them through the REAL parsers
+(:mod:`operators/html` block extractor, :mod:`sources/warc` record
+walker) inside ``mapInPandas``, and the oracle computes the expected
+output from the template directly.  An extractor that mishandles
+skip-subtrees, chrome ancestors, link density, entity decoding, or
+WARC framing diverges from the oracle immediately.
+
+The fixture page exercises every classification rule at once: a
+``<script>`` whose string literal CONTAINS markup (must not leak), a
+``<nav>`` and a ``<footer>`` (chrome ancestors), an ``<h1>`` inside
+``<header>`` (chrome wins over heading), a share-bar ``<div>`` that is
+link-dense but NOT chrome (density rule must fire), an ``&copy;``
+entity, and the real document text in the one main ``<p>``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from robosystems_spark.inventory import register
+from robosystems_spark.io import read_table
+
+
+def _page(doc_id: int, text: str) -> str:
+    """The fixture page.  Layout constants the oracles depend on:
+    6 blocks (nav, h1, h2, p, share-div, footer), 4 boilerplate,
+    anchor chars = 9 (nav) + 14 (share) + 5 (footer) = 28, non-text
+    block chars = 12 + (4+len(id)) + 9 + 16 + 20."""
+    did = str(doc_id)
+    return (
+        "<html><head><title>Doc " + did + "</title>"
+        "<style>p{color:red}</style>"
+        '<script>var x="<p>nope</p>";</script></head>\n<body>\n'
+        '<nav><a href="/">Home</a> | <a href="/a">About</a></nav>\n'
+        "<header><h1>Doc " + did + "</h1></header>\n<article>\n"
+        "  <h2>Section " + str(doc_id % 7) + "</h2>\n"
+        "  <p>" + text + "</p>\n"
+        '  <div class="share"><a href="#">Tweet</a> <a href="#">Share</a>'
+        ' <a href="#">Like</a></div>\n'
+        "</article>\n"
+        "<footer>&copy; 2024 Example <a href=\"/t\">Terms</a></footer>\n"
+        "</body></html>"
+    )
+
+
+def _doc_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents scan redistributed across cores: the per-row work
+    here is Python (template render, gzip, parse), so a sub-split
+    table must not run single-task (operators/text.py rationale)."""
+    from robosystems_spark.operators.text import _parallelize_small_scan
+
+    return _parallelize_small_scan(
+        read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
+def _html_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    docs = _doc_texts(spark, sf_dir)
+
+    def gen(it):
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "html": [
+                        _page(int(i), t)
+                        for i, t in zip(pdf["doc_id"], pdf["text"])
+                    ],
+                }
+            )
+
+    return docs.mapInPandas(
+        gen,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("html", T.StringType()),
+            ]
+        ),
+    )
+
+
+@register(
+    "text_html_extract",
+    oracle=r"""
+    SELECT doc_id,
+           'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+           'Section ' || CAST(doc_id % 7 AS VARCHAR) || chr(10) || TRIM(text)
+             AS main_text,
+           6 AS n_blocks,
+           4 AS n_boilerplate,
+           ROUND(28.0 / (61 + LENGTH(CAST(doc_id AS VARCHAR))
+                            + LENGTH(TRIM(text))), 6) AS link_density
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="REAL HTML main-content extraction (jusText-class block "
+    "classifier, operators/html.py): each document is wrapped in a "
+    "fixture page with nav/header/footer chrome, a link-dense share "
+    "bar, a script whose string literal contains markup, and an "
+    "entity; the stdlib-parser extractor segments + classifies blocks "
+    "in mapInPandas and must recover exactly the heading + article "
+    "text, the block counts, and the page link density the template "
+    "implies — any skip-subtree, chrome-ancestor, whitespace, or "
+    "density bug diverges.",
+    tags=("crawl", "text"),
+    bench=True,
+)
+def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from robosystems_spark.operators.html import html_extract
+
+    return (
+        html_extract(_html_pages(spark, sf_dir))
+        .select(
+            "doc_id",
+            "title",
+            F.col("text").alias("main_text"),
+            "n_blocks",
+            "n_boilerplate",
+            F.round("link_density", 6).alias("link_density"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n" = 45 octets
+_HTTP_HEAD_LEN = 45
+
+
+def _warc_blob_rows(pdf, body_of, content_type: str):
+    """Build one per-record-gzip WARC blob for an Arrow batch and
+    re-parse it with the real reader — the round-trip both warc
+    entries share."""
+    from robosystems_spark.sources.warc import build_warc, parse_warc_file
+
+    recs = [
+        {
+            "warc_type": "response",
+            "target_uri": f"http://corpus.example/doc/{int(did)}",
+            "content_type": "application/http; msgtype=response",
+            "payload": (
+                b"HTTP/1.1 200 OK\r\nContent-Type: "
+                + content_type.encode()
+                + b"\r\n\r\n"
+                + body_of(int(did), t).encode("utf-8")
+            ),
+        }
+        for did, t in zip(pdf["doc_id"], pdf["text"])
+    ]
+    blob = build_warc(recs, per_record_gzip=True)
+    return parse_warc_file("mem://batch", blob)
+
+
+@register(
+    "warc_http_records",
+    oracle=f"""
+    SELECT doc_id,
+           'response' AS warc_type,
+           200 AS http_status,
+           'text/plain' AS http_content_type,
+           CAST({_HTTP_HEAD_LEN} + LENGTH(text) AS BIGINT) AS content_length,
+           text AS body_text
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="REAL WARC front door (sources/warc.py): each document becomes "
+    "a per-record-gzip WARC response member whose payload is a full "
+    "HTTP/1.1 response; the reader must walk the gzip members, "
+    "enforce Content-Length/CRLF framing, and strip the HTTP head — "
+    "record type, status, content type, the record's octet length, "
+    "and the exact body all hash-checked against the template.",
+    tags=("crawl",),
+)
+def warc_http_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    docs = _doc_texts(spark, sf_dir)
+
+    def run(it):
+        for pdf in it:
+            rows = _warc_blob_rows(pdf, lambda d, t: t, "text/plain")
+            yield pd.DataFrame(
+                {
+                    "doc_id": [
+                        int(r[4].rsplit("/", 1)[1]) for r in rows
+                    ],
+                    "warc_type": [r[3] for r in rows],
+                    "http_status": [r[8] for r in rows],
+                    "http_content_type": [r[9] for r in rows],
+                    "content_length": [r[7] for r in rows],
+                    "body_text": [r[10].decode("utf-8") for r in rows],
+                }
+            )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("warc_type", T.StringType()),
+            T.StructField("http_status", T.IntegerType()),
+            T.StructField("http_content_type", T.StringType()),
+            T.StructField("content_length", T.LongType()),
+            T.StructField("body_text", T.StringType()),
+        ]
+    )
+    return docs.mapInPandas(run, out_schema).orderBy("doc_id")
+
+
+@register(
+    "warc_html_quality_funnel",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(2 + LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS INTEGER)
+             AS n_words,
+           (2 + LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+'))) >= 50 AS kept
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="END-TO-END crawl funnel: WARC bytes (per-record gzip, HTTP "
+    "payload carrying the fixture HTML page) -> real WARC record walk "
+    "-> real HTML main-content extraction -> word-count quality gate "
+    "(the Gopher lower bound, >= 50 words) — the full crawl-ingest "
+    "path a training corpus runs, verified value-exact: extracted "
+    "words = 2 heading words + the document's own words.",
+    tags=("crawl", "text"),
+    bench=True,
+)
+def warc_html_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from robosystems_spark.operators.html import extract_main_text
+
+    docs = _doc_texts(spark, sf_dir)
+
+    def run(it):
+        for pdf in it:
+            rows = _warc_blob_rows(pdf, _page, "text/html")
+            ids, texts = [], []
+            for r in rows:
+                ids.append(int(r[4].rsplit("/", 1)[1]))
+                texts.append(
+                    extract_main_text(r[10].decode("utf-8"))["text"]
+                )
+            yield pd.DataFrame({"doc_id": ids, "extracted": texts})
+
+    extracted = docs.mapInPandas(
+        run,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("extracted", T.StringType()),
+            ]
+        ),
+    )
+    n_words = F.size(F.split(F.col("extracted"), r"\s+"))
+    return (
+        extracted.select(
+            "doc_id",
+            n_words.cast("int").alias("n_words"),
+            (n_words >= F.lit(50)).alias("kept"),
+        )
+        .orderBy("doc_id")
+    )

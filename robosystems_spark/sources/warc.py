@@ -1,0 +1,284 @@
+"""WARC (Web ARChive, ISO 28500) record source — the crawl front door.
+
+Common Crawl, Heritrix, and wget all emit WARC: a sequence of records,
+each a small CRLF-headed block (``WARC/1.0``/``1.1`` version line,
+``Name: value`` headers, blank line, ``Content-Length`` octets of
+payload, then ``CRLF CRLF``).  Crawl archives ship as ``.warc.gz``
+where EVERY RECORD is an independent gzip member, so a reader can
+stream member-by-member without decompressing the whole file — this
+module honors both the plain and the per-record-gzip layout.
+
+Distributed shape (the Common Crawl posture): one WARC file ~1 GB is
+the unit of parallelism — ``spark.read.format("binaryFile")`` lists the
+files, and one ``mapInPandas`` task walks one file's records
+sequentially (gzip members force sequential scan anyway; there is no
+random access into a .warc.gz).  Nothing touches the driver; a 100 TB
+crawl is just more files.  Corrupt records follow the codec contract
+(:mod:`operators/tiff`): structural damage raises ``ValueError`` with
+the byte offset — loud, never a hang or a silent skip — while the
+file-level reader isolates the damage to a poison row per file.
+
+The reference has no crawl ingestion (its front door is structured
+filings — /root/reference/robosystems/adapters/sec); this is extension
+surface from the LLM-pipeline brief, feeding
+:mod:`operators/html` -> Gopher/CCNet/dedup.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import uuid
+import zlib
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+__all__ = [
+    "build_warc",
+    "iter_warc_records",
+    "split_http_response",
+    "read_warc",
+    "WARC_SCHEMA",
+]
+
+_CRLF = b"\r\n"
+
+
+# ---------------------------------------------------------------------------
+# Writer (deterministic — for tests, fixtures, and re-sharding)
+# ---------------------------------------------------------------------------
+
+
+def build_warc(records: list[dict], per_record_gzip: bool = False) -> bytes:
+    """Serialize ``records`` into WARC bytes.
+
+    Each record dict: ``{warc_type, target_uri?, date?, record_id?,
+    content_type?, payload: bytes}``.  Deterministic: records with no
+    ``record_id`` get ``<urn:uuid:{md5-of-payload}>`` — same input,
+    same bytes, so fixtures hash-pin like the codec goldens.
+    """
+    out = io.BytesIO()
+    for rec in records:
+        payload = rec["payload"]
+        rid = rec.get("record_id")
+        if rid is None:
+            import hashlib
+
+            rid = "<urn:uuid:%s>" % uuid.UUID(
+                hashlib.md5(payload).hexdigest()
+            )
+        headers = [
+            ("WARC-Type", rec.get("warc_type", "response")),
+            ("WARC-Record-ID", rid),
+            ("WARC-Date", rec.get("date", "2024-01-01T00:00:00Z")),
+        ]
+        if rec.get("target_uri"):
+            headers.append(("WARC-Target-URI", rec["target_uri"]))
+        if rec.get("content_type"):
+            headers.append(("Content-Type", rec["content_type"]))
+        headers.append(("Content-Length", str(len(payload))))
+        buf = b"WARC/1.0" + _CRLF
+        buf += b"".join(
+            f"{k}: {v}".encode("utf-8") + _CRLF for k, v in headers
+        )
+        buf += _CRLF + payload + _CRLF + _CRLF
+        if per_record_gzip:
+            # mtime=0 + fixed OS byte keep the member deterministic
+            gz = io.BytesIO()
+            with gzip.GzipFile(
+                fileobj=gz, mode="wb", compresslevel=6, mtime=0
+            ) as f:
+                f.write(buf)
+            member = bytearray(gz.getvalue())
+            member[9] = 255  # OS = unknown, not host-dependent
+            out.write(bytes(member))
+        else:
+            out.write(buf)
+    return out.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# Reader
+# ---------------------------------------------------------------------------
+
+
+def _gunzip_members(data: bytes) -> bytes:
+    """Decompress concatenated gzip members (the .warc.gz layout).
+    Raises ValueError on a truncated/corrupt member."""
+    out = io.BytesIO()
+    pos = 0
+    n = len(data)
+    while pos < n:
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        try:
+            out.write(d.decompress(data[pos:]))
+            out.write(d.flush())
+        except zlib.error as e:
+            raise ValueError(f"corrupt gzip member at offset {pos}: {e}")
+        if not d.eof:
+            raise ValueError(f"truncated gzip member at offset {pos}")
+        consumed = n - pos - len(d.unused_data)
+        if consumed <= 0:  # defensive: cannot happen with eof set
+            raise ValueError(f"gzip member at offset {pos} consumed 0 bytes")
+        pos += consumed
+    return out.getvalue()
+
+
+def iter_warc_records(data: bytes) -> Iterator[dict]:
+    """Walk WARC bytes (plain or per-record/whole-file gzip) and yield
+    ``{headers: dict, payload: bytes, offset: int}`` per record.
+    Header names are lower-cased for lookup; the blank-line /
+    Content-Length / trailing-CRLFCRLF framing is enforced and a
+    violation raises ``ValueError`` with the offset (loud-failure
+    contract — a desynced parser must never resync silently)."""
+    if data[:2] == b"\x1f\x8b":
+        data = _gunzip_members(data)
+    pos = 0
+    n = len(data)
+    while pos < n:
+        # tolerate extra blank lines between records (some writers pad)
+        while pos < n and data[pos : pos + 2] == _CRLF:
+            pos += 2
+        if pos >= n:
+            return
+        start = pos
+        eol = data.find(_CRLF, pos)
+        if eol < 0 or not data[pos:eol].startswith(b"WARC/"):
+            raise ValueError(f"expected WARC version line at offset {start}")
+        pos = eol + 2
+        headers: dict[str, str] = {}
+        while True:
+            eol = data.find(_CRLF, pos)
+            if eol < 0:
+                raise ValueError(
+                    f"unterminated header block in record at {start}"
+                )
+            line = data[pos:eol]
+            pos = eol + 2
+            if not line:
+                break
+            k, sep, v = line.partition(b":")
+            if not sep:
+                raise ValueError(
+                    f"malformed header {line[:40]!r} in record at {start}"
+                )
+            headers[k.decode("utf-8").strip().lower()] = v.decode(
+                "utf-8", "replace"
+            ).strip()
+        try:
+            clen = int(headers["content-length"])
+        except (KeyError, ValueError):
+            raise ValueError(f"missing Content-Length in record at {start}")
+        if pos + clen > n:
+            raise ValueError(
+                f"record at {start} claims {clen} payload bytes past EOF"
+            )
+        payload = data[pos : pos + clen]
+        pos += clen
+        if data[pos : pos + 4] != _CRLF + _CRLF:
+            raise ValueError(
+                f"record at {start} missing CRLFCRLF terminator at {pos}"
+            )
+        pos += 4
+        yield {"headers": headers, "payload": payload, "offset": start}
+
+
+def split_http_response(payload: bytes) -> tuple[int | None, dict, bytes]:
+    """Split an ``application/http`` response payload into
+    ``(status, headers, body)``.  Returns ``(None, {}, payload)`` when
+    the payload is not an HTTP response (revisit/metadata records)."""
+    if not payload.startswith(b"HTTP/"):
+        return None, {}, payload
+    head, sep, body = payload.partition(_CRLF + _CRLF)
+    if not sep:
+        return None, {}, payload
+    lines = head.split(_CRLF)
+    parts = lines[0].split(None, 2)
+    try:
+        status = int(parts[1])
+    except (IndexError, ValueError):
+        return None, {}, payload
+    headers: dict[str, str] = {}
+    for line in lines[1:]:
+        k, sep2, v = line.partition(b":")
+        if sep2:
+            headers[k.decode("utf-8", "replace").strip().lower()] = v.decode(
+                "utf-8", "replace"
+            ).strip()
+    return status, headers, body
+
+
+WARC_SCHEMA = T.StructType(
+    [
+        T.StructField("warc_file", T.StringType()),
+        T.StructField("record_offset", T.LongType()),
+        T.StructField("record_id", T.StringType()),
+        T.StructField("warc_type", T.StringType()),
+        T.StructField("target_uri", T.StringType()),
+        T.StructField("warc_date", T.StringType()),
+        T.StructField("content_type", T.StringType()),
+        T.StructField("content_length", T.LongType()),
+        T.StructField("http_status", T.IntegerType()),
+        T.StructField("http_content_type", T.StringType()),
+        T.StructField("body", T.BinaryType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def parse_warc_file(path: str, data: bytes) -> list[tuple]:
+    """One file -> rows (pure function, runs executor-side).  A
+    structurally corrupt FILE yields one poison row (error set, body
+    NULL) so a single bad crawl segment cannot kill a 100k-file scan,
+    while the per-record parser stays loud."""
+    rows: list[tuple] = []
+    try:
+        for rec in iter_warc_records(data):
+            h = rec["headers"]
+            status, hh, body = split_http_response(rec["payload"])
+            rows.append(
+                (
+                    path,
+                    rec["offset"],
+                    h.get("warc-record-id"),
+                    h.get("warc-type"),
+                    h.get("warc-target-uri"),
+                    h.get("warc-date"),
+                    h.get("content-type"),
+                    int(h.get("content-length", "0")),
+                    status,
+                    hh.get("content-type"),
+                    bytes(body),
+                    None,
+                )
+            )
+    except ValueError as e:
+        rows.append(
+            (path, None, None, None, None, None, None, None, None, None,
+             None, str(e))
+        )
+    return rows
+
+
+def read_warc(spark: SparkSession, paths: str | list[str]) -> DataFrame:
+    """Read WARC file(s) into :data:`WARC_SCHEMA`.
+
+    ``binaryFile`` lists and reads whole files (one task per file —
+    the correct unit: .warc.gz members force sequential scan); record
+    splitting + HTTP header stripping happen in ``mapInPandas``.  For
+    crawl-scale corpora point this at the segment directory and let
+    the file listing drive parallelism."""
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(paths)
+
+    def run(it):
+        for pdf in it:
+            rows: list[tuple] = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                rows.extend(parse_warc_file(path, bytes(content)))
+            yield pd.DataFrame(rows, columns=[f.name for f in WARC_SCHEMA])
+
+    return files.select("path", "content").mapInPandas(run, WARC_SCHEMA)
