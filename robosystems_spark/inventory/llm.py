@@ -956,6 +956,127 @@ def embedding_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _nsw_graph_and_queries(spark: SparkSession, sf_dir: str):
+    from robosystems_spark.operators.ann_graph import build_nsw_graph
+
+    emb = _emb(spark, sf_dir)
+    graph = build_nsw_graph(
+        emb, _ivf_centroids(spark, sf_dir, 8), M=8, nb=3
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return emb, graph, queries
+
+
+@register(
+    "embedding_nsw_topk",
+    oracle=__import__(
+        "robosystems_spark.operators.ann_graph", fromlist=["nsw_oracle_sql"]
+    ).nsw_oracle_sql(
+        num_centroids=8, iters=2, dim=64, M=8, nb=3, k=10, ef=20, hops=4,
+        entry_stride=8, n_queries=3,
+    ),
+    doc="Graph-ANN (NSW/DiskANN family): blocked k-NN graph over the "
+    "shared portable centroids (top-6 neighbors among vectors sharing "
+    "a probe bucket — never all-pairs), then 3-hop beam search "
+    "(ef=12) from the deterministic stride-16 entry set. Every "
+    "selection ranks on ROUND(cosine,6) with an id tie-break, so the "
+    "search PATH is engine-stable and the DuckDB oracle (Lloyd CTEs + "
+    "graph build + hop-unrolled beam) hash-checks the approximation "
+    "itself, exactly like the IVF entry.",
+    tags=("similarity",),
+    bench=True,
+)
+def embedding_nsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from robosystems_spark.operators.ann_graph import nsw_topk
+
+    emb, graph, queries = _nsw_graph_and_queries(spark, sf_dir)
+    return nsw_topk(
+        emb, graph, queries, k=10, ef=20, hops=4, entry_stride=8
+    )
+
+
+@register(
+    "embedding_nsw_recall_at_k",
+    oracle=f"""
+    WITH allsims AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS nn_id,
+             ROUND(LIST_COSINE_SIMILARITY(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(q.embedding AS DOUBLE[])), 6)
+               AS cosine
+      FROM embeddings e
+      JOIN embeddings q ON q.vec_id < 3
+    ),
+    ex AS (
+      SELECT query_id, nn_id FROM (
+        SELECT query_id, nn_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, nn_id) AS rank
+        FROM allsims
+      ) WHERE rank <= 10
+    ),
+    nsw AS (
+      SELECT query_id, nn_id FROM (
+        {__import__("robosystems_spark.operators.ann_graph", fromlist=["nsw_oracle_sql"]).nsw_oracle_sql(num_centroids=8, iters=2, dim=64, M=8, nb=3, k=10, ef=20, hops=4, entry_stride=8, n_queries=3)}
+      ) t
+    )
+    SELECT ex.query_id,
+           COUNT(nv.nn_id) AS n_hit,
+           ROUND(CAST(COUNT(nv.nn_id) AS DOUBLE) / 10, 6) AS recall_at_10
+    FROM ex LEFT JOIN nsw nv
+      ON nv.query_id = ex.query_id AND nv.nn_id = ex.nn_id
+    GROUP BY ex.query_id
+    ORDER BY ex.query_id
+    """,
+    doc="Graph-ANN quality evaluation: recall@10 of the 3-hop beam "
+    "search against exact brute-force cosine, per query — the IVF "
+    "recall entry's twin for the graph index, composing the NSW "
+    "oracle as a subquery so the approximation AND its measured "
+    "quality are both hash-checked.",
+    tags=("similarity",),
+)
+def embedding_nsw_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from robosystems_spark.functions import vector as V
+    from robosystems_spark.operators.ann_graph import nsw_topk
+
+    emb, graph, queries = _nsw_graph_and_queries(spark, sf_dir)
+    c = emb.select(F.col("vec_id").alias("nn_id"), F.col("embedding").alias("_cv"))
+    q = queries.select("query_id", F.col("embedding").alias("_qv"))
+    sims = c.crossJoin(F.broadcast(q)).select(
+        "query_id", "nn_id", F.round(V.cosine("_cv", "_qv"), 6).alias("_cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("nn_id"))
+    exact = (
+        sims.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= 10)
+        .select("query_id", "nn_id")
+    )
+    approx = nsw_topk(
+        emb, graph, queries, k=10, ef=20, hops=4, entry_stride=8
+    ).select("query_id", "nn_id")
+    hits = exact.join(approx, ["query_id", "nn_id"], "left_semi")
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(
+            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")),
+            "query_id",
+            "left",
+        )
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double") / 10.0, 6
+            ).alias("recall_at_10"),
+        )
+        .orderBy("query_id")
+    )
+
+
 @register(
     "embedding_mmr_diversified",
     oracle=S.mmr_oracle_sql(k=5, pool=20, lam=0.7, n_queries=3),

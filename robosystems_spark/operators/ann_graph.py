@@ -1,0 +1,285 @@
+"""Graph-based ANN: proximity-graph build + beam search (NSW/DiskANN
+family) — the accuracy-frontier index real retrieval stacks default to.
+
+Two pieces, both deterministic and both expressible as DataFrame plans:
+
+1. **Graph build** (:func:`build_nsw_graph`): a blocked k-NN graph.
+   Every vector keeps its ``M`` nearest neighbors (rounded cosine,
+   id tie-break) among CANDIDATES that share at least one of its
+   ``nb`` nearest k-means centroids — the same portable centroids the
+   IVF index trains.  This is the standard scalable construction
+   (all-pairs is never materialized; candidate volume is
+   sum-of-squared-bucket-sizes, controlled by the centroid count the
+   way IVF controls it: nc grows ~sqrt(n), bucket size stays bounded).
+   At cluster scale the self-join shuffles on centroid id — a plain
+   co-located equi-join, no broadcast nested loop.
+
+2. **Beam search** (:func:`nsw_topk`): greedy best-first search with a
+   beam of width ``ef`` (Malkov & Yashunin's NSW base layer; DiskANN /
+   Vamana run exactly this shape over a single-layer graph from a
+   fixed entry set instead of HNSW's hierarchy — Subramanya et al.
+   2019).  Entry points are the deterministic stride sample
+   ``id % entry_stride == 0`` (a spread seed set, the medoid-set
+   analog).  Each hop expands the beam's out-neighbors, scores them,
+   merges into the visited set, and re-takes the top ``ef``; after
+   ``hops`` rounds the answer is the top ``k`` of everything visited.
+   Every selection ranks on ROUND(cosine, 6) DESC with an id
+   tie-break, so the search path — and therefore the approximation's
+   exact output — is engine-stable and hash-oracle-able
+   (:func:`nsw_oracle_sql` unrolls the identical hops in SQL, the
+   ``_random_walk_ctes`` trick).
+
+Scale shape: the per-hop work is (beam x M) candidate rows per query —
+independent of corpus size; queries broadcast (bounded query batch,
+the cosine_topk contract); the corpus-side joins are equi-joins on
+vector id against the (distributed) graph and vector frames.  Nothing
+iterates on the driver except the ``hops`` loop itself (a handful of
+rounds, like the Pregel operators in operators/graph.py).
+
+The reference engine has no vector index at all (SURVEY §2 — its
+column types stop at scalars/lists); this continues the extension
+family brute/IVF/PQ/IVFPQ/SQ8 in operators/similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from robosystems_spark.functions import vector as V
+
+__all__ = ["build_nsw_graph", "nsw_topk", "nsw_oracle_sql"]
+
+
+def build_nsw_graph(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    M: int = 6,
+    nb: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Blocked k-NN graph: ``(src, dst, cosine)`` with the top-``M``
+    neighbors per src among vectors sharing >= 1 of the ``nb`` nearest
+    centroids.  Deterministic given ``centroids`` (rounded-cosine
+    ranking, dst tie-break)."""
+    memb = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.explode(V.top_centroids(vec_col, centroids, nb)).alias("_cid"),
+    )
+    a = memb.select(
+        F.col("_cid"), F.col("_id").alias("src"), F.col("_v").alias("_sv")
+    )
+    b = memb.select(
+        F.col("_cid"), F.col("_id").alias("dst"), F.col("_v").alias("_dv")
+    )
+    cand = (
+        a.join(b, "_cid")
+        .filter(F.col("src") != F.col("dst"))
+        # a pair sharing two buckets must count once
+        .dropDuplicates(["src", "dst"])
+        .select("src", "dst", V.cosine("_sv", "_dv").alias("cosine"))
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= M)
+        .select("src", "dst", "cosine")
+    )
+
+
+def nsw_topk(
+    corpus: DataFrame,
+    graph: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    ef: int = 12,
+    hops: int = 3,
+    entry_stride: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Beam search over ``graph``: returns ``(query_id, nn_id, cosine,
+    rank)`` with rank <= k, ranked over EVERYTHING visited (entry
+    scores + all expanded frontiers), the standard best-first ANN
+    answer set."""
+    vecs = corpus.select(
+        F.col(id_col).alias("nn_id"), F.col(vec_col).alias("_cv")
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    edges = graph.select("src", "dst")
+
+    entries = vecs.filter(F.col("nn_id") % entry_stride == 0)
+    visited = entries.crossJoin(F.broadcast(q)).select(
+        "query_id", "nn_id", V.cosine("_cv", "_qv").alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("nn_id")
+    )
+    beam = (
+        visited.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= ef)
+        .drop("_rn")
+    )
+    for _ in range(hops):
+        frontier = (
+            beam.join(edges, beam["nn_id"] == edges["src"])
+            .select("query_id", F.col("dst").alias("nn_id"))
+            .distinct()
+        )
+        scored = (
+            frontier.join(vecs, "nn_id")
+            .join(F.broadcast(q), "query_id")
+            .select(
+                "query_id", "nn_id", V.cosine("_cv", "_qv").alias("cosine")
+            )
+        )
+        # union + dedup: a re-visited node scores identically, so the
+        # pair-key dedup is exact (cosine is a function of the pair)
+        visited = visited.unionByName(scored).dropDuplicates(
+            ["query_id", "nn_id"]
+        )
+        beam = (
+            visited.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= ef)
+            .drop("_rn")
+        )
+    return (
+        visited.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nn_id", "cosine", "rank")
+    )
+
+
+def nsw_oracle_sql(
+    num_centroids: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    M: int = 6,
+    nb: int = 2,
+    k: int = 10,
+    ef: int = 12,
+    hops: int = 3,
+    entry_stride: int = 16,
+    n_queries: int = 3,
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_decimals: int = 9,
+) -> str:
+    """DuckDB SQL for the FULL pipeline — centroid training (the
+    shared Lloyd CTEs), blocked graph build, and the beam search
+    unrolled hop by hop — bit-for-bit what ``build_nsw_graph`` +
+    ``nsw_topk`` compute.  The approximation itself is hash-checked,
+    not just row counts."""
+    from robosystems_spark.operators import clustering as CL
+
+    vec_fmt = f"CAST({{e}}{vec_col} AS DOUBLE[])"
+    elem_fmt = f"CAST({{e}}{vec_col}[gs.pos] AS DOUBLE)"
+    parts, cent = CL.lloyd_ctes(
+        "nsw_", num_centroids, iters, dim, table, vec_fmt, elem_fmt,
+        id_col, round_decimals, metric="cosine",
+    )
+    vec_e = vec_fmt.format(e="e.")
+    cos = (
+        "ROUND(LIST_COSINE_SIMILARITY(CAST({a} AS DOUBLE[]),"
+        " CAST({b} AS DOUBLE[])), 6)"
+    )
+    parts.append(
+        f"""memb AS (
+  SELECT {id_col} AS id, cid FROM (
+    SELECT e.{id_col}, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.{id_col}
+             ORDER BY LIST_COSINE_SIMILARITY({vec_e}, c.cvec) DESC, c.cid
+           ) AS rn
+    FROM {table} e CROSS JOIN {cent} c
+  ) WHERE rn <= {nb}
+)"""
+    )
+    parts.append(
+        """cand AS (
+  SELECT DISTINCT a.id AS src, b.id AS dst
+  FROM memb a JOIN memb b USING (cid)
+  WHERE a.id <> b.id
+)"""
+    )
+    parts.append(
+        f"""gr AS (
+  SELECT src, dst FROM (
+    SELECT c.src, c.dst,
+           ROW_NUMBER() OVER (
+             PARTITION BY c.src
+             ORDER BY {cos.format(a=f"s.{vec_col}", b=f"d.{vec_col}")} DESC,
+                      c.dst
+           ) AS rn
+    FROM cand c
+    JOIN {table} s ON s.{id_col} = c.src
+    JOIN {table} d ON d.{id_col} = c.dst
+  ) WHERE rn <= {M}
+)"""
+    )
+    parts.append(
+        f"""qq AS (
+  SELECT {id_col} AS query_id, {vec_col} AS qv
+  FROM {table} WHERE {id_col} < {n_queries}
+)"""
+    )
+    parts.append(
+        f"""v0 AS (
+  SELECT q.query_id, e.{id_col} AS nn_id,
+         {cos.format(a=f"e.{vec_col}", b="q.qv")} AS cosine
+  FROM {table} e CROSS JOIN qq q
+  WHERE e.{id_col} % {entry_stride} = 0
+)"""
+    )
+
+    def beam(src: str, name: str) -> str:
+        return f"""{name} AS (
+  SELECT query_id, nn_id, cosine FROM (
+    SELECT query_id, nn_id, cosine,
+           ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY cosine DESC, nn_id
+           ) AS rn
+    FROM {src}
+  ) WHERE rn <= {ef}
+)"""
+
+    parts.append(beam("v0", "b0"))
+    for t in range(1, hops + 1):
+        parts.append(
+            f"""s{t} AS (
+  SELECT n.query_id, n.nn_id,
+         {cos.format(a=f"e.{vec_col}", b="q.qv")} AS cosine
+  FROM (SELECT DISTINCT b.query_id, g.dst AS nn_id
+        FROM b{t - 1} b JOIN gr g ON g.src = b.nn_id) n
+  JOIN {table} e ON e.{id_col} = n.nn_id
+  JOIN qq q ON q.query_id = n.query_id
+)"""
+        )
+        parts.append(
+            f"""v{t} AS (
+  SELECT DISTINCT query_id, nn_id, cosine FROM (
+    SELECT * FROM v{t - 1} UNION ALL SELECT * FROM s{t}
+  )
+)"""
+        )
+        if t < hops:
+            parts.append(beam(f"v{t}", f"b{t}"))
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT query_id, nn_id, cosine, rank FROM (
+  SELECT query_id, nn_id, cosine,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, nn_id ASC
+         ) AS INT) AS rank
+  FROM v{hops}
+) WHERE rank <= {k}"""
+    )

@@ -1,0 +1,122 @@
+"""Graph-ANN (operators/ann_graph.py) semantics: blocked build bounds,
+beam-search quality vs the IVF baseline, determinism, and plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from robosystems_spark.io import read_table
+from robosystems_spark.operators import clustering as CL
+from robosystems_spark.operators.ann_graph import build_nsw_graph, nsw_topk
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    df = read_table(spark, sf_dir, "embeddings").cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def centroids(emb):
+    return CL.kmeans_fit(emb, k=8, iters=2, metric="cosine")
+
+
+@pytest.fixture(scope="module")
+def graph(emb, centroids):
+    g = build_nsw_graph(emb, centroids, M=8, nb=3).cache()
+    g.count()
+    yield g
+    g.unpersist()
+
+
+def _queries(emb, n=3):
+    return emb.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+def test_graph_degree_bounded_and_no_self_loops(graph):
+    assert graph.filter(F.col("src") == F.col("dst")).count() == 0
+    deg = graph.groupBy("src").count().agg(F.max("count")).first()[0]
+    assert deg <= 8
+
+
+def test_graph_neighbors_are_locally_nearest(emb, centroids, graph):
+    """Each kept edge must carry a cosine >= any DROPPED candidate of
+    the same src (the top-M contract), spot-checked for one src."""
+    src = graph.select("src").first()["src"]
+    kept = {r["dst"] for r in graph.filter(F.col("src") == src).collect()}
+    m = graph.filter(F.col("src") == src).agg(F.min("cosine")).first()[0]
+    # rebuild this src's candidate set with a huge M: anything the
+    # bounded graph dropped must not beat the kept minimum
+    full = build_nsw_graph(emb, centroids, M=10**6, nb=3)
+    dropped = full.filter(
+        (F.col("src") == src) & (~F.col("dst").isin(kept))
+    )
+    worst = dropped.agg(F.max("cosine")).first()[0]
+    assert worst is None or worst <= m
+
+
+def test_nsw_topk_shape_and_rank(emb, graph):
+    out = nsw_topk(emb, graph, _queries(emb), k=10, ef=20, hops=4,
+                   entry_stride=8)
+    rows = out.collect()
+    assert len(rows) == 30
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        ranks = sorted(r["rank"] for r in rs)
+        assert ranks == list(range(1, 11))
+        ordered = sorted(rs, key=lambda r: r["rank"])
+        cosines = [r["cosine"] for r in ordered]
+        assert cosines == sorted(cosines, reverse=True)
+
+
+def test_nsw_recall_meets_ivf_baseline(spark, sf_dir):
+    """The VERDICT gate: graph-ANN recall@10 >= the IVF baseline at
+    the oracle SFs (both indexes share centroids, queries, k)."""
+    from robosystems_spark.inventory import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    nsw = sum(
+        r["recall_at_10"]
+        for r in REGISTRY["embedding_nsw_recall_at_k"].fn(spark, sf_dir).collect()
+    )
+    ivf = sum(
+        r["recall_at_10"]
+        for r in REGISTRY["embedding_ivf_recall_at_k"].fn(spark, sf_dir).collect()
+    )
+    assert nsw >= ivf
+    assert nsw / 3 >= 0.9
+
+
+def test_nsw_deterministic_across_runs(emb, graph):
+    a = sorted(map(tuple, nsw_topk(emb, graph, _queries(emb)).collect()))
+    b = sorted(map(tuple, nsw_topk(emb, graph, _queries(emb)).collect()))
+    assert a == b
+
+
+def test_nsw_more_hops_never_hurts(emb, graph):
+    """Beam search is monotone in visited set: the top-1 cosine after
+    h+1 hops is >= after h hops for every query."""
+    q = _queries(emb)
+    best = {}
+    for hops in (1, 2, 4):
+        rows = (
+            nsw_topk(emb, graph, q, k=1, ef=20, hops=hops, entry_stride=8)
+            .collect()
+        )
+        for r in rows:
+            prev = best.get(r["query_id"])
+            assert prev is None or r["cosine"] >= prev
+            best[r["query_id"]] = r["cosine"]
+
+
+def test_nsw_graph_build_never_cartesian(emb, centroids):
+    plan = build_nsw_graph(emb, centroids, M=8, nb=3)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

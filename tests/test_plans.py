@@ -95,7 +95,7 @@ def test_ann_paths_are_arrow_vectorized_not_row_at_a_time(spark, sf_dir):
     Python UDFs (BatchEvalPython), and never interpreted nested-lambda
     expressions (no aggregate(zip_with(...)) in the plan)."""
     for name in ("embedding_cosine_topk", "embedding_ivf_topk",
-                 "embedding_kmeans_clusters"):
+                 "embedding_kmeans_clusters", "embedding_nsw_topk"):
         plan = plan_of(REGISTRY[name].fn(spark, sf_dir))
         assert "BatchEvalPython" not in plan, f"{name} fell back to a row UDF"
         assert "ArrowEvalPython" in plan, f"{name} lost Arrow vectorization"
