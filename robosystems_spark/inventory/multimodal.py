@@ -158,6 +158,111 @@ def multimodal_png_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_png_subbyte_stats",
+    oracle=f"""
+    WITH params AS (
+      SELECT doc_id,
+             CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END AS depth,
+             (doc_id % 6) >= 3 AS pal
+      FROM documents WHERE doc_id < {_N_DOCS}
+    ),
+    px AS (
+      SELECT p.doc_id, p.depth, p.pal,
+             (p.doc_id * 5 + t.i)
+               % (CASE p.depth WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 16 END) AS v,
+             t.i,
+             CASE p.depth WHEN 1 THEN 255 WHEN 2 THEN 85 ELSE 17 END AS scale
+      FROM params p, range(64) t(i)
+    )
+    SELECT doc_id,
+           CAST(depth AS INTEGER) AS depth,
+           CAST(8 AS INTEGER) AS width,
+           CAST(8 AS INTEGER) AS height,
+           ROUND(AVG(CASE WHEN pal THEN CAST((v * 7) % 256 AS DOUBLE)
+                          ELSE CAST(v * scale AS DOUBLE) END), 6) AS mean_r,
+           ROUND(AVG(CASE WHEN pal THEN CAST((v * 11) % 256 AS DOUBLE)
+                          ELSE CAST(v * scale AS DOUBLE) END), 6) AS mean_g,
+           ROUND(AVG(CASE WHEN pal THEN CAST((v * 13) % 256 AS DOUBLE)
+                          ELSE CAST(v * scale AS DOUBLE) END), 6) AS mean_b,
+           CAST(MAX(CASE WHEN i = 0 THEN
+                 CASE WHEN pal THEN (v * 7) % 256 ELSE v * scale END
+               END) AS INTEGER) AS corner_r
+    FROM px
+    GROUP BY doc_id, depth, pal
+    ORDER BY doc_id
+    """,
+    doc="Sub-byte PNG decode path (1/2/4-bit, the icons/scans/fax "
+    "depths): each document cycles depth by doc_id%3 and gray-vs-"
+    "palette by doc_id%6, samples are a closed-form function of "
+    "doc_id packed MSB-first with the row filter cycling through all "
+    "five types; the decoder must unfilter the PADDED byte scanline "
+    "at one-byte pixel distance, unpack, and apply exact gray "
+    "scaling (255//maxv) or the closed-form PLTE — any packing, "
+    "stride, or palette bug diverges from the formula oracle.",
+    tags=("multimodal",),
+)
+def multimodal_png_subbyte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from robosystems_spark.operators.multimodal import (
+        encode_png,
+        image_channel_stats,
+    )
+
+    def encode(it):
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                depth = {0: 1, 1: 2, 2: 4}[did % 3]
+                nv = 1 << depth
+                s = ((did * 5 + np.arange(64)) % nv).astype(np.uint8)
+                s = s.reshape(8, 8)
+                if did % 6 >= 3:
+                    plte = bytes(
+                        b
+                        for j in range(nv)
+                        for b in ((j * 7) % 256, (j * 11) % 256, (j * 13) % 256)
+                    )
+                    payloads.append(encode_png(s, depth=depth, plte=plte))
+                else:
+                    payloads.append(encode_png(s, depth=depth))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": payloads})
+
+    media = _doc_ids(spark, sf_dir).mapInPandas(
+        encode,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("content", T.BinaryType()),
+            ]
+        ),
+    )
+    depth_expr = (
+        F.when(F.col("doc_id") % 3 == 0, 1)
+        .when(F.col("doc_id") % 3 == 1, 2)
+        .otherwise(4)
+        .cast("int")
+    )
+    return (
+        image_channel_stats(media, id_col="doc_id")
+        .withColumnRenamed("media_id", "doc_id")
+        .select(
+            "doc_id",
+            depth_expr.alias("depth"),
+            "width",
+            "height",
+            "mean_r",
+            "mean_g",
+            "mean_b",
+            "corner_r",
+        )
+        .orderBy("doc_id")
+    )
+
+
 _TIFFJ_W, _TIFFJ_H = 16, 16
 
 

@@ -958,7 +958,7 @@ def decode_png(data: bytes):
     return px
 
 
-def encode_png(arr, level: int = 6, depth: int = 8, trns=None) -> bytes:
+def encode_png(arr, level: int = 6, depth: int = 8, trns=None, plte: bytes | None = None) -> bytes:
     """Encode an (h, w) or (h, w, channels) array as a non-interlaced
     PNG (the ``decode_png`` inverse), cycling the row filter through
     None/Sub/Up/Average/Paeth by row index so a round-trip exercises
@@ -968,29 +968,53 @@ def encode_png(arr, level: int = 6, depth: int = 8, trns=None) -> bytes:
     ``depth=16`` takes uint16 samples and writes them big-endian
     (filters run on the byte stream with a 2x pixel distance, per the
     spec).  ``trns`` writes a tRNS transparent-color key: a (gray,)
-    or (r, g, b) tuple in SAMPLE units for color types 0/2."""
+    or (r, g, b) tuple in SAMPLE units for color types 0/2.
+
+    ``depth`` 1/2/4 takes a 2-D (h, w) sample array (< 2^depth) and
+    writes sub-byte gray (color 0), or palette (color 3) when
+    ``plte`` — a flat RGB byte string — is given: samples pack
+    MSB-first into the padded scanline and filters run byte-wise with
+    a ONE-byte pixel distance, per the spec; the filter still cycles
+    by row so every unfilter path executes at every depth."""
     import struct
     import zlib
 
     import numpy as np
 
-    if depth not in (8, 16):
-        raise ValueError("depth must be 8 or 16")
-    a = np.asarray(arr, dtype=np.uint8 if depth == 8 else np.uint16)
-    if a.ndim == 2:
-        a = a[:, :, None]
-    h, w, ch = a.shape
-    color = {1: 0, 2: 4, 3: 2, 4: 6}.get(ch)
-    if color is None:
-        raise ValueError(f"unsupported channel count {ch}")
-    if depth == 16:  # big-endian byte stream: filters see bytes
-        b2 = np.empty((h, w, ch, 2), dtype=np.uint8)
-        b2[:, :, :, 0] = a >> 8
-        b2[:, :, :, 1] = a & 0xFF
-        flat = b2.reshape(h, w * ch * 2)
+    if depth not in (1, 2, 4, 8, 16):
+        raise ValueError("depth must be 1/2/4/8/16")
+    if depth in (1, 2, 4):
+        a = np.asarray(arr, dtype=np.uint8)
+        if a.ndim != 2:
+            raise ValueError("sub-byte depths take a 2-D sample array")
+        if int(a.max(initial=0)) >= (1 << depth):
+            raise ValueError(f"sample out of range for depth {depth}")
+        h, w = a.shape
+        color = 0 if plte is None else 3
+        # MSB-first packing into the padded scanline
+        bits = (
+            (a[:, :, None] >> np.arange(depth - 1, -1, -1)) & 1
+        ).reshape(h, w * depth).astype(np.uint8)
+        flat = np.packbits(bits, axis=1)
+        bpp = 1
     else:
-        flat = a.reshape(h, w * ch)
-    bpp = ch * (depth // 8)
+        if plte is not None:
+            raise ValueError("plte only valid for sub-byte depths here")
+        a = np.asarray(arr, dtype=np.uint8 if depth == 8 else np.uint16)
+        if a.ndim == 2:
+            a = a[:, :, None]
+        h, w, ch = a.shape
+        color = {1: 0, 2: 4, 3: 2, 4: 6}.get(ch)
+        if color is None:
+            raise ValueError(f"unsupported channel count {ch}")
+        if depth == 16:  # big-endian byte stream: filters see bytes
+            b2 = np.empty((h, w, ch, 2), dtype=np.uint8)
+            b2[:, :, :, 0] = a >> 8
+            b2[:, :, :, 1] = a & 0xFF
+            flat = b2.reshape(h, w * ch * 2)
+        else:
+            flat = a.reshape(h, w * ch)
+        bpp = ch * (depth // 8)
     pieces = []
     for r in range(h):
         cur = flat[r].astype(np.int16)
@@ -1030,12 +1054,19 @@ def encode_png(arr, level: int = 6, depth: int = 8, trns=None) -> bytes:
 
     ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0)
     pieces_out = _PNG_SIG + chunk(b"IHDR", ihdr)
+    if color == 3:
+        pieces_out += chunk(b"PLTE", plte)
     if trns is not None:
-        if color not in (0, 2):
-            raise ValueError("trns key only valid for gray/RGB color types")
-        pieces_out += chunk(
-            b"tRNS", b"".join(int(v).to_bytes(2, "big") for v in trns)
-        )
+        if color == 3:  # per-entry alpha table, raw bytes
+            pieces_out += chunk(b"tRNS", bytes(trns))
+        elif color in (0, 2):
+            pieces_out += chunk(
+                b"tRNS", b"".join(int(v).to_bytes(2, "big") for v in trns)
+            )
+        else:
+            raise ValueError(
+                "trns key only valid for gray/RGB/palette color types"
+            )
     return pieces_out + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
 
 
