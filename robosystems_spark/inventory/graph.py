@@ -1094,6 +1094,40 @@ def graph_stress_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stress_centrality(d, sources, max_depth=_STRESS_DEPTH)
 
 
+@register(
+    "graph_betweenness_sample",
+    oracle=__import__(
+        "robosystems_spark.operators.graph",
+        fromlist=["betweenness_oracle_sql"],
+    ).betweenness_oracle_sql(
+        _STRESS_EDGES_CTE, _STRESS_SOURCES_CTE, _STRESS_DEPTH
+    ),
+    doc="Bounded betweenness centrality (Brandes 2001, Brandes & "
+    "Pich 2007 sampling) on the same customer referral graph and "
+    "source sample as the stress entry.  The float backward pass "
+    "runs on the INTEGER LATTICE — dint(v) = sum over successors of "
+    "((1e9 + dint(w)) * sigma(v)) div sigma(w), every term a BIGINT, "
+    "one float division at the end — so the grouped sums are order-"
+    "independent and the result hash-checks cross-engine like its "
+    "integer-exact stress sibling.",
+    tags=("graph",),
+)
+def graph_betweenness_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from robosystems_spark.operators.graph import betweenness_centrality
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("src")
+    )
+    n = cust.agg(F.count("*").alias("_n"))
+    d = cust.crossJoin(F.broadcast(n)).select(
+        "src", ((F.col("src") * 31 + 7) % F.col("_n")).alias("dst")
+    )
+    sources = cust.filter(F.col("src") % 50 == 3).select(
+        F.col("src").alias("s")
+    )
+    return betweenness_centrality(d, sources, max_depth=_STRESS_DEPTH)
+
+
 _SUMMARY_EDGES_CTE = """canon AS MATERIALIZED (
   SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
   FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a

@@ -1376,6 +1376,7 @@ def betweenness_centrality(
     decimals: int = 6,
     src_col: str = "src",
     dst_col: str = "dst",
+    lattice: int = 10**9,
 ) -> DataFrame:
     """Bounded betweenness centrality (Brandes 2001), batched over
     sampled sources — the float sibling of
@@ -1383,14 +1384,20 @@ def betweenness_centrality(
     pass accumulates ``delta(v) = sum over successors w of
     sigma(v)/sigma(w) * (1 + delta(w))``).
 
-    Betweenness divides by sigma, so the per-node sums are floats
-    whose grouped-aggregation ORDER is engine- and partitioning-
-    dependent — this operator is therefore gated by pytest goldens
-    (exact small-graph Brandes values), NOT a cross-engine hash
-    oracle; :func:`stress_centrality` is the integer-exact member of
-    the family that carries the driver oracle.  Scale shape is
-    identical: state one row per (source, reached node), fixed-depth
-    join rounds, sqrt-n source sampling (Brandes & Pich 2007).
+    Betweenness divides by sigma, and float-sum ORDER is engine- and
+    partitioning-dependent — so the backward pass runs on the INTEGER
+    LATTICE (the KL/entropy discipline): deltas are carried as
+    ``dint ~= delta * lattice`` via the exact integer recurrence
+    ``dint(v) = sum over successors w of
+    ((lattice + dint(w)) * sigma(v)) div sigma(w)`` — each term an
+    integer, integer sums order-independent — with ONE float division
+    at the very end.  The lattice recurrence IS the operator's
+    definition (both engines compute identical integers, so it is
+    hash-oracle-able via :func:`betweenness_oracle_sql`); it sits
+    within ``depth * degree / lattice`` of true Brandes, far below
+    the 1e-6 output rounding.  Scale shape matches stress: state one
+    row per (source, reached node), fixed-depth join rounds, sqrt-n
+    source sampling (Brandes & Pich 2007).
     """
     if max_depth < 1:
         raise ValueError("max_depth must be >= 1")
@@ -1423,26 +1430,25 @@ def betweenness_centrality(
             materialize
         )
     dcur = layers[max_depth].select(
-        "s", "v", "sigma", F.lit(0.0).alias("delta")
+        "s", "v", "sigma", F.lit(0).cast("long").alias("dint")
     )
     parts = [dcur]
+    term = F.expr(
+        f"((CAST({lattice} AS BIGINT) + _dw) * sigma) div _sw"
+    )
     for d in range(max_depth - 1, 0, -1):
         succ = dcur.select(
             "s",
             F.col("v").alias("w"),
             F.col("sigma").alias("_sw"),
-            "delta",
+            F.col("dint").alias("_dw"),
         )
         sums = (
             layers[d]
             .join(e, "v")
             .join(succ, ["s", "w"])
             .groupBy("s", "v")
-            .agg(
-                F.sum(
-                    (F.lit(1.0) + F.col("delta")) / F.col("_sw")
-                ).alias("_part")
-            )
+            .agg(F.sum(term).alias("_dint"))
         )
         dcur = (
             layers[d]
@@ -1451,10 +1457,9 @@ def betweenness_centrality(
                 "s",
                 "v",
                 "sigma",
-                (
-                    F.col("sigma").cast("double")
-                    * F.coalesce(F.col("_part"), F.lit(0.0))
-                ).alias("delta"),
+                F.coalesce(F.col("_dint"), F.lit(0))
+                .cast("long")
+                .alias("dint"),
             )
             .transform(materialize)
         )
@@ -1464,7 +1469,12 @@ def betweenness_centrality(
         stacked = stacked.unionAll(p)
     return (
         stacked.groupBy(F.col("v").alias("node"))
-        .agg(F.round(F.sum("delta"), decimals).alias("betweenness"))
+        .agg(
+            F.round(
+                F.sum("dint").cast("double") / F.lit(float(lattice)),
+                decimals,
+            ).alias("betweenness")
+        )
         .orderBy("node")
     )
 
@@ -1520,6 +1530,71 @@ vis{d} AS MATERIALIZED (
         + ",\n".join(parts)
         + f"""
 SELECT v AS node, CAST(SUM(sigma * fsuf) AS BIGINT) AS stress
+FROM ({union})
+GROUP BY v
+ORDER BY node"""
+    )
+
+
+def betweenness_oracle_sql(
+    edges_cte: str,
+    sources_cte: str,
+    max_depth: int,
+    lattice: int = 10**9,
+) -> str:
+    """Bounded lattice betweenness unrolled as DuckDB CTEs — the
+    stress oracle's forward pass plus the integer-lattice backward
+    recurrence of :func:`betweenness_centrality` (``//`` on positive
+    BIGINTs floors exactly like Spark's ``div``).  ``edges_cte``
+    defines ``e0(src, dst)`` doubled/distinct/no-self;
+    ``sources_cte`` defines ``src0(s)``."""
+    parts = [edges_cte, sources_cte]
+    parts.append(
+        "f0 AS (SELECT s, s AS v, CAST(1 AS BIGINT) AS sigma FROM src0),"
+        "\nvis0 AS (SELECT s, v FROM f0)"
+    )
+    for d in range(1, max_depth + 1):
+        parts.append(
+            f"""f{d} AS MATERIALIZED (
+  SELECT f.s, e.dst AS v, SUM(f.sigma) AS sigma
+  FROM f{d - 1} f JOIN e0 e ON e.src = f.v
+  WHERE NOT EXISTS (
+    SELECT 1 FROM vis{d - 1} x WHERE x.s = f.s AND x.v = e.dst
+  )
+  GROUP BY f.s, e.dst
+),
+vis{d} AS MATERIALIZED (
+  SELECT s, v FROM vis{d - 1} UNION ALL SELECT s, v FROM f{d}
+)"""
+        )
+    parts.append(
+        f"b{max_depth} AS (SELECT s, v, sigma, CAST(0 AS BIGINT) AS dint "
+        f"FROM f{max_depth})"
+    )
+    for d in range(max_depth - 1, 0, -1):
+        parts.append(
+            f"""b{d} AS MATERIALIZED (
+  SELECT f.s, f.v, f.sigma, CAST(COALESCE(x.di, 0) AS BIGINT) AS dint
+  FROM f{d} f LEFT JOIN (
+    SELECT f2.s, f2.v,
+           SUM(((CAST({lattice} AS BIGINT) + b.dint) * f2.sigma) // b.sigma)
+             AS di
+    FROM f{d} f2
+    JOIN e0 e ON e.src = f2.v
+    JOIN b{d + 1} b ON b.s = f2.s AND b.v = e.dst
+    GROUP BY f2.s, f2.v
+  ) x ON x.s = f.s AND x.v = f.v
+)"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT v, dint FROM b{d}" for d in range(1, max_depth + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT v AS node,
+       ROUND(CAST(SUM(dint) AS BIGINT) / {float(lattice)}, 6) AS betweenness
 FROM ({union})
 GROUP BY v
 ORDER BY node"""
