@@ -287,8 +287,11 @@ _TIFFJ_W, _TIFFJ_H = 16, 16
     "EVEN level survives FDCT->quantize->IDCT bit-exactly (odd levels "
     "do not — verified), making decode(encode(const)) == const a hard "
     "contract.  Variants cycle by doc_id: strips / strips+JPEGTables / "
-    "tiles / tiles+JPEGTables, so the table-splice path and the "
-    "edge-replicated tile padding both sit inside the oracle gate.",
+    "tiles / tiles+JPEGTables / old-style-interchange / old-style-"
+    "fragmented (compression 6, TIFF 6.0 section 22: table-tag "
+    "reconstruction), so the table-splice path, the edge-replicated "
+    "tile padding, AND both deprecated old-style shapes sit inside "
+    "the oracle gate.",
     tags=("multimodal",),
     bench=True,
 )
@@ -307,16 +310,29 @@ def multimodal_tiff_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             for did in pdf["doc_id"]:
                 v = (int(did) * 26) % 256  # always even: DC-exact
                 img = np.full((h, w), v, dtype=np.uint8)
-                variant = int(did) % 4
-                payloads.append(
-                    encode_tiff(
-                        img,
-                        compression=7,
-                        rows_per_strip=8 if variant < 2 else None,
-                        tile=(16, 16) if variant >= 2 else None,
-                        jpeg_tables=variant % 2 == 1,
+                variant = int(did) % 6
+                if variant < 4:
+                    payloads.append(
+                        encode_tiff(
+                            img,
+                            compression=7,
+                            rows_per_strip=8 if variant < 2 else None,
+                            tile=(16, 16) if variant >= 2 else None,
+                            jpeg_tables=variant % 2 == 1,
+                        )
                     )
-                )
+                else:  # old-style (compression 6), both real shapes
+                    payloads.append(
+                        encode_tiff(
+                            img,
+                            compression=6,
+                            oldjpeg=(
+                                "interchange"
+                                if variant == 4
+                                else "fragmented"
+                            ),
+                        )
+                    )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": payloads})
 
     media = _doc_ids(spark, sf_dir).mapInPandas(

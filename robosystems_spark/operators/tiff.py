@@ -61,6 +61,15 @@ _T_TILE_LENGTH = 323
 _T_TILE_OFFSETS = 324
 _T_TILE_COUNTS = 325
 _T_JPEGTABLES = 347
+# old-style JPEG (TIFF 6.0 section 22, deprecated by Technote 2)
+_T_JPEGPROC = 512
+_T_JPEGIF = 513  # JPEGInterchangeFormat: offset of a full JPEG stream
+_T_JPEGIF_LEN = 514
+_T_JPEGRESTART = 515
+_T_JPEGQTABLES = 519  # per-component offsets of 64 zigzag quant bytes
+_T_JPEGDCTABLES = 520  # per-component offsets of 16+values DHT payloads
+_T_JPEGACTABLES = 521
+_T_YCBCRSUBSAMPLING = 530
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
 
@@ -359,6 +368,123 @@ def _decode_tiff_jpeg(
     return out
 
 
+def _decode_tiff_oldjpeg(
+    data: bytes,
+    tags: dict[int, list[int]],
+    w: int,
+    h: int,
+    spp: int,
+    photometric: int,
+):
+    """Old-style JPEG-in-TIFF (compression 6, TIFF 6.0 section 22 —
+    deprecated by Technote 2 but alive in scanned archives).  Two
+    real-world shapes, both decoded via the shared baseline decoder:
+
+    1. **JPEGInterchangeFormat** (tags 513/514): the file simply
+       embeds one complete JPEG stream — by far the most common shape
+       (libtiff's primary OJPEG path) — decode it whole and crop.
+    2. **Fragmented tables** (tags 519/520/521 + strips): quant
+       tables are raw 64-byte zigzag blobs, Huffman tables raw
+       16-count+values DHT payloads, and strips carry bare entropy
+       data; a self-contained stream is RECONSTRUCTED (SOI, DQT/DHT
+       per component, SOF0 with the YCbCrSubSampling tag's factors,
+       SOS, entropy data with RSTm markers re-inserted between
+       strips, EOI) and decoded.  Multi-strip files without a
+       JPEGRestartInterval cannot be stitched (the spec requires it)
+       and fail loudly.
+
+    Lossless procs (JPEGProc != 1) are a loud seam — never wrong
+    pixels."""
+    from robosystems_spark.operators.jpeg import decode_jpeg
+
+    if photometric not in (0, 1, 6):
+        raise NotImplementedError(
+            f"old-style JPEG photometric {photometric}"
+        )
+    if _T_JPEGIF in tags:
+        off = tags[_T_JPEGIF][0]
+        ln = tags.get(_T_JPEGIF_LEN, [len(data) - off])[0]
+        px = decode_jpeg(bytes(data[off : off + ln]))
+    else:
+        proc = tags.get(_T_JPEGPROC, [1])[0]
+        if proc != 1:
+            raise NotImplementedError(
+                f"old-style JPEG proc {proc} (only baseline proc 1)"
+            )
+        qoffs = tags.get(_T_JPEGQTABLES)
+        dcoffs = tags.get(_T_JPEGDCTABLES)
+        acoffs = tags.get(_T_JPEGACTABLES)
+        offsets = tags.get(_T_STRIP_OFFSETS)
+        counts = tags.get(_T_STRIP_COUNTS)
+        if not (qoffs and dcoffs and acoffs and offsets and counts):
+            raise ValueError(
+                "old-style JPEG missing table tags or strip data"
+            )
+        if not (len(qoffs) >= spp and len(dcoffs) >= spp
+                and len(acoffs) >= spp):
+            raise ValueError("old-style JPEG table count < components")
+        sub = tags.get(_T_YCBCRSUBSAMPLING, [2, 2])
+        sh_, sv_ = (sub + [2])[0], (sub + [2])[1]
+        stream = bytearray(b"\xff\xd8")
+
+        def dht_payload(off: int) -> bytes:
+            n_vals = sum(data[off : off + 16])
+            if n_vals > 256:
+                raise ValueError("old-style JPEG DHT counts out of range")
+            return bytes(data[off : off + 16 + n_vals])
+
+        for i in range(spp):
+            q = bytes(data[qoffs[i] : qoffs[i] + 64])
+            if len(q) != 64:
+                raise ValueError("old-style JPEG quant table truncated")
+            stream += b"\xff\xdb" + (67).to_bytes(2, "big") + bytes([i]) + q
+            for tc, off in ((0, dcoffs[i]), (1, acoffs[i])):
+                payload = dht_payload(off)
+                stream += (
+                    b"\xff\xc4"
+                    + (3 + len(payload)).to_bytes(2, "big")
+                    + bytes([(tc << 4) | i])
+                    + payload
+                )
+        ri = tags.get(_T_JPEGRESTART, [0])[0]
+        if ri:
+            stream += b"\xff\xdd" + (4).to_bytes(2, "big") + ri.to_bytes(
+                2, "big"
+            )
+        elif len(offsets) > 1:
+            raise ValueError(
+                "multi-strip old-style JPEG requires JPEGRestartInterval"
+            )
+        sof = bytearray()
+        sof += (8 + 3 * spp).to_bytes(2, "big")
+        sof += bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+        sof += bytes([spp])
+        for i in range(spp):
+            fac = (sh_ << 4) | sv_ if (spp == 3 and i == 0) else 0x11
+            sof += bytes([i, fac, i])
+        stream += b"\xff\xc0" + sof
+        sos = bytearray()
+        sos += (6 + 2 * spp).to_bytes(2, "big") + bytes([spp])
+        for i in range(spp):
+            sos += bytes([i, (i << 4) | i])
+        sos += bytes([0, 63, 0])
+        stream += b"\xff\xda" + sos
+        for k, (off, cnt) in enumerate(zip(offsets, counts)):
+            if k:
+                stream += bytes([0xFF, 0xD0 + ((k - 1) % 8)])
+            stream += data[off : off + cnt]
+        stream += b"\xff\xd9"
+        px = decode_jpeg(bytes(stream))
+    if px.shape[2] == 1:
+        px = np.repeat(px, 3, axis=2)
+    if px.shape[0] < h or px.shape[1] < w:
+        raise ValueError("old-style JPEG stream smaller than declared")
+    px = px[:h, :w]
+    if photometric == 0:
+        px = (255 - px.astype(np.int32)).astype(np.uint8)
+    return px
+
+
 def decode_tiff(data: bytes):
     """Decode a baseline TIFF into an (h, w, 3) uint8 RGB array.
 
@@ -397,10 +523,7 @@ def decode_tiff(data: bytes):
     if compression == 3 and t4opts & 2:
         raise NotImplementedError("G3 uncompressed mode not supported")
     if compression == 6:
-        raise NotImplementedError(
-            "old-style JPEG-in-TIFF (compression 6, deprecated by "
-            "Technote 2) not supported; new-style compression 7 decodes"
-        )
+        return _decode_tiff_oldjpeg(data, tags, w, h, spp, photometric)
     if compression == 7:
         # new-style JPEG (TIFF Technote 2): each strip/tile is a JPEG
         # stream, shared tables come from the JPEGTables tag — decodes
@@ -656,6 +779,76 @@ def _jpeg_split_tables(stream: bytes) -> tuple[bytes, bytes]:
     )
 
 
+def _jpeg_parse_for_oldstyle(stream: bytes) -> dict:
+    """Walk a self-contained baseline JPEG and pull out the pieces
+    the old-style (compression 6) tag set stores separately: raw
+    64-byte zigzag quant bodies by Tq, raw DHT payloads by (Tc, Th),
+    SOF/SOS per-component table ids + sampling factors, and the bare
+    entropy data (SOS to EOI, exclusive)."""
+    if stream[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream")
+    out: dict = {"dqt": {}, "dht": {}}
+    i = 2
+    while i + 4 <= len(stream):
+        if stream[i] != 0xFF:
+            raise ValueError("bad marker alignment")
+        marker = stream[i + 1]
+        seglen = int.from_bytes(stream[i + 2 : i + 4], "big")
+        seg = stream[i + 4 : i + 2 + seglen]
+        if marker == 0xDB:
+            j = 0
+            while j < len(seg):
+                if seg[j] >> 4:
+                    raise NotImplementedError(
+                        "16-bit quant tables have no old-style tag form"
+                    )
+                out["dqt"][seg[j] & 0xF] = bytes(seg[j + 1 : j + 65])
+                j += 65
+        elif marker == 0xC4:
+            j = 0
+            while j < len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 0xF
+                n_vals = sum(seg[j + 1 : j + 17])
+                out["dht"][(tc, th)] = bytes(seg[j + 1 : j + 17 + n_vals])
+                j += 17 + n_vals
+        elif marker == 0xC0:
+            n = seg[5]
+            out["sof"] = [
+                (seg[6 + 3 * c], seg[7 + 3 * c] >> 4,
+                 seg[7 + 3 * c] & 0xF, seg[8 + 3 * c])
+                for c in range(n)
+            ]
+        elif marker == 0xDA:
+            n = seg[0]
+            out["sos"] = [
+                (seg[1 + 2 * c], seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 0xF)
+                for c in range(n)
+            ]
+            body = stream[i + 2 + seglen :]
+            if body[-2:] != b"\xff\xd9":
+                raise ValueError("JPEG stream missing EOI")
+            out["entropy"] = bytes(body[:-2])
+            return out
+        i += 2 + seglen
+    raise ValueError("JPEG stream missing SOS")
+
+
+def _split_entropy_at_rst(entropy: bytes) -> list[bytes]:
+    """Split entropy-coded data at top-level RSTm markers (stuffed
+    FF00 bytes skipped) — the strip boundaries of a multi-strip
+    old-style JPEG."""
+    parts, start, i, n = [], 0, 0, len(entropy)
+    while i + 1 < n:
+        if entropy[i] == 0xFF and 0xD0 <= entropy[i + 1] <= 0xD7:
+            parts.append(entropy[start:i])
+            i += 2
+            start = i
+        else:
+            i += 1
+    parts.append(entropy[start:])
+    return parts
+
+
 def encode_tiff(
     arr,
     compression: int = 1,
@@ -669,6 +862,9 @@ def encode_tiff(
     planar: int = 1,
     t4options: int = 0,
     jpeg_tables: bool = False,
+    oldjpeg: str = "interchange",
+    oldjpeg_restart_interval: int = 0,
+    jpeg_subsample: bool = False,
 ) -> bytes:
     """Encode an array as a baseline TIFF (decode_tiff inverse) —
     fixture synthesis for oracle entries and tests.
@@ -774,7 +970,58 @@ def encode_tiff(
 
     chunks = []
     jpeg_tables_bytes: bytes | None = None
-    if compression == 7:
+    oldjpeg_meta: dict | None = None
+    if compression == 6:
+        from robosystems_spark.operators.jpeg import encode_jpeg
+
+        if planar != 1 or tile is not None:
+            raise ValueError("old-style JPEG supports chunky strips only")
+        if bits != 8:
+            raise ValueError("JPEG-in-TIFF requires 8-bit samples")
+        photometric = 6 if spp == 3 else 1
+        a3 = a.reshape(h, w, spp)
+        img = a3 if spp == 3 else a3[:, :, 0]
+        stream = encode_jpeg(
+            img,
+            subsample=jpeg_subsample and spp == 3,
+            restart_interval=oldjpeg_restart_interval,
+        )
+        rps = h
+        if oldjpeg == "interchange":
+            # shape 1: the whole interchange stream, referenced by
+            # JPEGInterchangeFormat/-Length instead of strip tags
+            chunks = [stream]
+            oldjpeg_meta = {"shape": "interchange"}
+        elif oldjpeg == "fragmented":
+            parsed = _jpeg_parse_for_oldstyle(stream)
+            strips = (
+                _split_entropy_at_rst(parsed["entropy"])
+                if oldjpeg_restart_interval
+                else [parsed["entropy"]]
+            )
+            if oldjpeg_restart_interval:
+                rps = oldjpeg_restart_interval * (
+                    16 if (jpeg_subsample and spp == 3) else 8
+                )
+            chunks = list(strips)
+            # per-component raw table blobs ride along as aux regions
+            sof, sos = parsed["sof"], parsed["sos"]
+            aux = []
+            for i in range(spp):
+                aux.append(parsed["dqt"][sof[i][3]])
+            for i in range(spp):
+                aux.append(parsed["dht"][(0, sos[i][1])])
+            for i in range(spp):
+                aux.append(parsed["dht"][(1, sos[i][2])])
+            oldjpeg_meta = {
+                "shape": "fragmented",
+                "aux": aux,
+                "subsampling": [sof[0][1], sof[0][2]],
+                "restart": oldjpeg_restart_interval,
+            }
+        else:
+            raise ValueError(f"unknown oldjpeg shape {oldjpeg!r}")
+    elif compression == 7:
         from robosystems_spark.operators.jpeg import encode_jpeg
 
         if planar != 1:
@@ -881,6 +1128,13 @@ def encode_tiff(
         body += s
         if len(body) & 1:
             body += b"\x00"
+    aux_offsets: list[int] = []
+    if oldjpeg_meta and oldjpeg_meta["shape"] == "fragmented":
+        for blob in oldjpeg_meta["aux"]:
+            aux_offsets.append(len(body))
+            body += blob
+            if len(body) & 1:
+                body += b"\x00"
 
     extra = bytearray()  # out-of-line tag values, placed after the IFD
 
@@ -895,7 +1149,22 @@ def encode_tiff(
     tag(_T_COMPRESSION, 3, [compression])
     tag(_T_PHOTOMETRIC, 3, [photometric])
     tag(_T_SPP, 3, [spp])
-    if tile is not None:
+    if oldjpeg_meta and oldjpeg_meta["shape"] == "interchange":
+        tag(_T_JPEGIF, 4, [strip_offsets[0]])
+        tag(_T_JPEGIF_LEN, 4, [strip_counts[0]])
+    elif oldjpeg_meta:  # fragmented
+        tag(_T_STRIP_OFFSETS, 4, strip_offsets)
+        tag(_T_ROWS_PER_STRIP, 4, [rps])
+        tag(_T_STRIP_COUNTS, 4, strip_counts)
+        tag(_T_JPEGPROC, 3, [1])
+        tag(_T_JPEGQTABLES, 4, aux_offsets[:spp])
+        tag(_T_JPEGDCTABLES, 4, aux_offsets[spp : 2 * spp])
+        tag(_T_JPEGACTABLES, 4, aux_offsets[2 * spp : 3 * spp])
+        if spp == 3:
+            tag(_T_YCBCRSUBSAMPLING, 3, oldjpeg_meta["subsampling"])
+        if oldjpeg_meta["restart"]:
+            tag(_T_JPEGRESTART, 3, [oldjpeg_meta["restart"]])
+    elif tile is not None:
         tag(_T_TILE_WIDTH, 4, [tile[0]])
         tag(_T_TILE_LENGTH, 4, [tile[1]])
         tag(_T_TILE_OFFSETS, 4, strip_offsets)

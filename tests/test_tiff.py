@@ -643,3 +643,74 @@ def test_tiff_jpeg_and_12bit_fuzz_fail_fast():
     with pytest.raises(ValueError, match="SOI"):
         _jpeg_splice_tables(b"\xff\xd8rest", b"not-a-jpeg")
     assert time.time() - t0 < 20  # fail-fast, not hang
+
+
+def test_oldstyle_jpeg_interchange_and_fragmented():
+    """Compression 6 (TIFF 6.0 section 22): both real-world shapes
+    decode bit-identically to decoding the underlying JPEG stream —
+    full interchange (tags 513/514) and fragmented table tags
+    (519/520/521 + bare entropy strips), gray + color, 4:4:4 + 4:2:0,
+    and multi-strip stitching via JPEGRestartInterval RSTm markers."""
+    import numpy as np
+
+    from robosystems_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from robosystems_spark.operators.tiff import decode_tiff, encode_tiff
+
+    x = np.linspace(0, 255, 48)
+    img = np.stack(np.meshgrid(x, x), -1).sum(-1) / 2
+    rgb = np.stack([img, img[::-1], img.T], -1).astype(np.uint8)
+    gray = img.astype(np.uint8)
+
+    ref_rgb = decode_jpeg(encode_jpeg(rgb))
+    ref_gray = np.repeat(decode_jpeg(encode_jpeg(gray)), 3, axis=2)
+
+    for shape in ("interchange", "fragmented"):
+        got = decode_tiff(encode_tiff(rgb, compression=6, oldjpeg=shape))
+        assert (got == ref_rgb).all(), shape
+        got = decode_tiff(encode_tiff(gray, compression=6, oldjpeg=shape))
+        assert (got == ref_gray).all(), shape
+
+    ref_sub = decode_jpeg(encode_jpeg(rgb, subsample=True))
+    got = decode_tiff(
+        encode_tiff(rgb, compression=6, oldjpeg="fragmented",
+                    jpeg_subsample=True)
+    )
+    assert (got == ref_sub).all()
+
+    ref_rst = decode_jpeg(encode_jpeg(rgb, restart_interval=2))
+    got = decode_tiff(
+        encode_tiff(rgb, compression=6, oldjpeg="fragmented",
+                    oldjpeg_restart_interval=2)
+    )
+    assert (got == ref_rst).all()
+
+
+def test_oldstyle_jpeg_loud_seams():
+    """Comp-6 structural damage and unsupported procs fail loudly."""
+    import numpy as np
+    import pytest
+
+    from robosystems_spark.operators.tiff import decode_tiff, encode_tiff
+
+    rgb = np.full((32, 32, 3), 100, dtype=np.uint8)
+    frag = encode_tiff(rgb, compression=6, oldjpeg="fragmented",
+                       oldjpeg_restart_interval=2)
+    # strip the restart-interval tag (515): multi-strip without it
+    # cannot be stitched -> loud
+    import struct
+
+    data = bytearray(frag)
+    end = "little"
+    ifd_off = int.from_bytes(data[4:8], end)
+    n = int.from_bytes(data[ifd_off:ifd_off + 2], end)
+    for k in range(n):
+        e = ifd_off + 2 + 12 * k
+        if int.from_bytes(data[e:e + 2], end) == 515:
+            data[e:e + 2] = struct.pack("<H", 60000)  # unknown tag id
+    with pytest.raises(ValueError, match="JPEGRestartInterval"):
+        decode_tiff(bytes(data))
+
+    # truncated interchange stream -> decoder error, not wrong pixels
+    inter = encode_tiff(rgb, compression=6, oldjpeg="interchange")
+    with pytest.raises(Exception):
+        decode_tiff(inter[:160])
