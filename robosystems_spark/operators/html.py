@@ -314,17 +314,22 @@ def html_extract(
     id_col: str = "doc_id",
     max_link_density: float = 0.5,
     min_chars: int = 3,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Distributed main-text extraction: ``(id, html)`` ->
-    ``(id, title, text, n_blocks, n_boilerplate, link_density)``.
+    ``(id, *keep_cols, title, text, n_blocks, n_boilerplate,
+    link_density)``.  ``keep_cols`` ride through unchanged (the crawl
+    timestamp / URL columns a streaming ingest needs downstream).
 
     Pure map over Arrow batches — no shuffle, no state, no driver
     round-trip; at 100 TB this is scan-bound and embarrassingly
-    parallel, the same posture as the codec decoders."""
+    parallel, the same posture as the codec decoders.  Works on both
+    batch and streaming frames (stateless mapInPandas)."""
     import pandas as pd
 
+    keep_fields = [df.schema[c] for c in keep_cols]
     id_field = df.schema[id_col]
-    schema = T.StructType([id_field, *_EXTRACT_FIELDS])
+    schema = T.StructType([id_field, *keep_fields, *_EXTRACT_FIELDS])
 
     def run(it):
         for pdf in it:
@@ -337,10 +342,12 @@ def html_extract(
                 for h in pdf[html_col]
             ]
             out = pd.DataFrame(recs)
+            for k, c in enumerate(keep_cols):
+                out.insert(k, c, pdf[c].values)
             out.insert(0, id_col, pdf[id_col].values)
             yield out
 
-    return df.select(id_col, html_col).mapInPandas(run, schema)
+    return df.select(id_col, *keep_cols, html_col).mapInPandas(run, schema)
 
 
 def html_blocks(
