@@ -269,3 +269,129 @@ def warc_html_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _fixture_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Messy crawl URLs as a closed-form function of doc_id (pure
+    column expressions — no UDF even in the synthesis): three shapes
+    covering uppercase scheme/host, default ports, tracking params,
+    unsorted query, fragments, and the empty path."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    k = (did % 37).cast("string")
+    j = (did % 7).cast("string")
+    url = (
+        F.when(
+            did % 10 == 5,
+            F.concat(F.lit("HTTPS://Domain"), j, F.lit(".COM:443")),
+        )
+        .when(
+            did % 2 == 0,
+            F.concat(
+                F.lit("HTTP://WWW.Sub"), k, F.lit(".Domain"), j,
+                F.lit(".COM:80/articles/"), did.cast("string"),
+                F.lit("/?utm_source=feed&b=2&a=1&fbclid=X"),
+                did.cast("string"), F.lit("#frag"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("HTTPS://Sub"), k, F.lit(".Domain"), j,
+                F.lit(".COM:443/doc/"), did.cast("string"),
+            )
+        )
+    )
+    return d.select("doc_id", url.alias("url"))
+
+
+_URL_ORACLE_RAW = """CASE
+  WHEN doc_id % 10 = 5 THEN 'HTTPS://Domain' || CAST(doc_id % 7 AS VARCHAR) || '.COM:443'
+  WHEN doc_id % 2 = 0 THEN 'HTTP://WWW.Sub' || CAST(doc_id % 37 AS VARCHAR)
+       || '.Domain' || CAST(doc_id % 7 AS VARCHAR) || '.COM:80/articles/'
+       || CAST(doc_id AS VARCHAR) || '/?utm_source=feed&b=2&a=1&fbclid=X'
+       || CAST(doc_id AS VARCHAR) || '#frag'
+  ELSE 'HTTPS://Sub' || CAST(doc_id % 37 AS VARCHAR) || '.Domain'
+       || CAST(doc_id % 7 AS VARCHAR) || '.COM:443/doc/'
+       || CAST(doc_id AS VARCHAR)
+END"""
+
+
+@register(
+    "crawl_url_normalize",
+    oracle=f"""
+    SELECT doc_id,
+           CASE
+             WHEN doc_id % 10 = 5 THEN
+               'https://domain' || CAST(doc_id % 7 AS VARCHAR) || '.com/'
+             WHEN doc_id % 2 = 0 THEN
+               'http://www.sub' || CAST(doc_id % 37 AS VARCHAR)
+               || '.domain' || CAST(doc_id % 7 AS VARCHAR)
+               || '.com/articles/' || CAST(doc_id AS VARCHAR) || '/?a=1&b=2'
+             ELSE
+               'https://sub' || CAST(doc_id % 37 AS VARCHAR)
+               || '.domain' || CAST(doc_id % 7 AS VARCHAR)
+               || '.com/doc/' || CAST(doc_id AS VARCHAR)
+           END AS canonical_url,
+           'domain' || CAST(doc_id % 7 AS VARCHAR) || '.com'
+             AS registered_domain
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="URL canonicalization (RefinedWeb/CCNet curation front step): "
+    "lowercase scheme+host, default-port strip, fragment strip, "
+    "tracking-param drop (utm_*/fbclid/...), query-param sort, empty "
+    "path -> '/', plus the registrable-domain extraction — all ONE "
+    "codegen expression (RFC 3986 regex + array HOFs, no UDF); the "
+    "oracle states the canonical string closed-form from doc_id, so "
+    "any parsing/normalization bug diverges.",
+    tags=("crawl",),
+)
+def crawl_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from robosystems_spark.operators.urls import (
+        normalize_url,
+        registered_domain,
+    )
+
+    return (
+        _fixture_urls(spark, sf_dir)
+        .select(
+            "doc_id",
+            normalize_url("url").alias("canonical_url"),
+            registered_domain("url").alias("registered_domain"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "crawl_domain_caps",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id, {_URL_ORACLE_RAW} AS url,
+             'domain' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS domain
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, url, domain,
+             CAST(ROW_NUMBER() OVER (PARTITION BY domain ORDER BY doc_id)
+                  AS INTEGER) AS domain_rank,
+             COUNT(*) OVER (PARTITION BY domain) AS domain_total
+      FROM u
+    )
+    SELECT doc_id, url, domain, domain_rank, domain_total
+    FROM r WHERE domain_rank <= 5
+    ORDER BY doc_id
+    """,
+    doc="Per-domain contribution caps (RefinedWeb section 3.1 shape): "
+    "keep at most 5 docs per registered domain, lowest ids first, "
+    "with each kept row's rank and the domain's total — the SEO-farm "
+    "bound a crawl mixture needs; one shuffle on the domain key, "
+    "window rank + count share it.",
+    tags=("crawl",),
+)
+def crawl_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from robosystems_spark.operators.urls import domain_caps
+
+    return domain_caps(_fixture_urls(spark, sf_dir), cap=5).orderBy(
+        "doc_id"
+    )

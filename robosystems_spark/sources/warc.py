@@ -106,20 +106,32 @@ def build_warc(records: list[dict], per_record_gzip: bool = False) -> bytes:
 
 def _gunzip_members(data: bytes) -> bytes:
     """Decompress concatenated gzip members (the .warc.gz layout).
-    Raises ValueError on a truncated/corrupt member."""
+    Raises ValueError on a truncated/corrupt member.
+
+    Members are fed in bounded chunks off a memoryview: handing the
+    decompressor the whole remaining buffer per member costs an O(n)
+    slice AND an O(n) ``unused_data`` copy per member — quadratic in
+    records per file, invisible at bench scale, dominant a decade up
+    (caught by the sf10 spot-run at exponent 1.61).  Chunked feeding
+    keeps both at O(chunk)."""
     out = io.BytesIO()
+    mv = memoryview(data)
     pos = 0
     n = len(data)
+    CHUNK = 1 << 18
     while pos < n:
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        p = pos
         try:
-            out.write(d.decompress(data[pos:]))
+            while not d.eof and p < n:
+                out.write(d.decompress(mv[p : p + CHUNK]))
+                p += min(CHUNK, n - p)
             out.write(d.flush())
         except zlib.error as e:
             raise ValueError(f"corrupt gzip member at offset {pos}: {e}")
         if not d.eof:
             raise ValueError(f"truncated gzip member at offset {pos}")
-        consumed = n - pos - len(d.unused_data)
+        consumed = p - pos - len(d.unused_data)
         if consumed <= 0:  # defensive: cannot happen with eof set
             raise ValueError(f"gzip member at offset {pos} consumed 0 bytes")
         pos += consumed

@@ -302,3 +302,84 @@ def test_warc_read_warc_end_to_end(spark, tmp_path):
     # 2 records from a + 1 from b + 1 poison
     assert len(rows) == 4
     df.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (operators/urls.py)
+# ---------------------------------------------------------------------------
+
+
+def test_url_normalize_rules(spark):
+    from robosystems_spark.operators.urls import (
+        normalize_url,
+        registered_domain,
+    )
+
+    cases = [
+        # (raw, canonical, domain)
+        ("HTTP://WWW.Example.COM:80/a?b=2&a=1#x",
+         "http://www.example.com/a?a=1&b=2", "example.com"),
+        ("https://Example.com:443", "https://example.com/", "example.com"),
+        # non-default port survives
+        ("http://example.com:8080/p", "http://example.com:8080/p",
+         "example.com"),
+        # tracking params drop; 'referrer' is NOT 'ref'
+        ("https://a.b.c.net/p?utm_source=x&utm_medium=y&fbclid=z&referrer=k",
+         "https://a.b.c.net/p?referrer=k", "c.net"),
+        # valueless tracking param drops too
+        ("http://x.org/p?gclid&keep=1", "http://x.org/p?keep=1", "x.org"),
+        # all params dropped -> no '?'
+        ("http://x.org/p?utm_campaign=c", "http://x.org/p", "x.org"),
+        # single-label host: domain is the host
+        ("http://localhost:80/", "http://localhost/", "localhost"),
+    ]
+    df = spark.createDataFrame(
+        [(i, raw) for i, (raw, _, _) in enumerate(cases)],
+        "i long, url string",
+    )
+    got = (
+        df.select(
+            "i",
+            normalize_url("url").alias("c"),
+            registered_domain("url").alias("d"),
+        )
+        .orderBy("i")
+        .collect()
+    )
+    for row, (_, want_c, want_d) in zip(got, cases):
+        assert row["c"] == want_c, (row["c"], want_c)
+        assert row["d"] == want_d, (row["d"], want_d)
+
+
+def test_url_normalize_is_codegen_no_udf(spark):
+    from robosystems_spark.operators.urls import normalize_url
+
+    df = spark.createDataFrame([(1, "http://a.com/")], "i long, url string")
+    plan = (
+        df.select(normalize_url("url"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_domain_caps_bounds_and_determinism(spark):
+    from robosystems_spark.operators.urls import domain_caps
+
+    rows = [(i, f"http://site{i % 2}.com/p/{i}") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = domain_caps(df, cap=3).collect()
+    by_dom = {}
+    for r in out:
+        by_dom.setdefault(r["domain"], []).append(r)
+    assert set(by_dom) == {"site0.com", "site1.com"}
+    for dom, rs in by_dom.items():
+        assert len(rs) == 3
+        assert sorted(r["domain_rank"] for r in rs) == [1, 2, 3]
+        assert all(r["domain_total"] == 10 for r in rs)
+        # lowest ids kept
+        assert sorted(r["doc_id"] for r in rs) == sorted(
+            [i for i in range(20) if f"site{i % 2}.com" == dom]
+        )[:3]
