@@ -49,7 +49,13 @@ from pyspark.sql.window import Window
 
 from robosystems_spark.functions import vector as V
 
-__all__ = ["build_nsw_graph", "nsw_topk", "nsw_oracle_sql"]
+__all__ = [
+    "build_nsw_graph",
+    "nsw_topk",
+    "nsw_oracle_sql",
+    "nsw_write_index",
+    "nsw_topk_indexed",
+]
 
 
 def build_nsw_graph(
@@ -149,6 +155,128 @@ def nsw_topk(
             .filter(F.col("_rn") <= ef)
             .drop("_rn")
         )
+    return (
+        visited.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nn_id", "cosine", "rank")
+    )
+
+
+def nsw_write_index(
+    corpus: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    M: int = 8,
+    nb: int = 3,
+    n_buckets: int = 32,
+    entry_stride: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Materialize the proximity graph as a DISK-RESIDENT index (the
+    DiskANN shape): adjacency lists and vectors hive-partitioned by
+    ``id % n_buckets``, plus the stride entry sample as its own tiny
+    dataset.  A beam search then touches only the buckets its frontier
+    names — partition-pruned reads of O(beam * M) rows per hop instead
+    of a full graph scan (verify with PartitionFilters in the plan,
+    the ivf_write_index discipline)."""
+    graph = build_nsw_graph(
+        corpus, centroids, M=M, nb=nb, vec_col=vec_col, id_col=id_col
+    )
+    adj = graph.groupBy("src").agg(
+        F.sort_array(F.collect_list("dst")).alias("dsts")
+    )
+    adj.withColumn("bucket", F.pmod(F.col("src"), F.lit(n_buckets))).write.partitionBy(
+        "bucket"
+    ).mode("overwrite").parquet(f"{path}/graph")
+    vecs = corpus.select(
+        F.col(id_col).alias("nn_id"), F.col(vec_col).alias("vec")
+    )
+    vecs.withColumn("bucket", F.pmod(F.col("nn_id"), F.lit(n_buckets))).write.partitionBy(
+        "bucket"
+    ).mode("overwrite").parquet(f"{path}/vectors")
+    vecs.filter(F.col("nn_id") % entry_stride == 0).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/entries")
+
+
+def nsw_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    ef: int = 20,
+    hops: int = 4,
+    n_buckets: int = 32,
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Beam search over a written index: per hop, the frontier's
+    bucket set (a BOUNDED collect, <= ef * |queries| ids) prunes both
+    the adjacency and the vector reads to the named partitions —
+    per-query IO proportional to the beam, not the corpus.  Returns
+    identical values to :func:`nsw_topk` over the same graph/params
+    (pytest-pinned)."""
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    entries = spark.read.parquet(f"{path}/entries")
+    visited = entries.crossJoin(F.broadcast(q)).select(
+        "query_id", "nn_id", V.cosine("vec", "_qv").alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("nn_id")
+    )
+    beam = (
+        visited.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= ef)
+        .drop("_rn")
+    )
+    for _ in range(hops):
+        frontier = beam.select("query_id", "nn_id").cache()
+        fbuckets = [
+            r[0]
+            for r in frontier.select(
+                F.pmod(F.col("nn_id"), F.lit(n_buckets))
+            )
+            .distinct()
+            .collect()
+        ]
+        adj = spark.read.parquet(f"{path}/graph").filter(
+            F.col("bucket").isin(fbuckets)
+        )
+        expand = (
+            frontier.join(adj, frontier["nn_id"] == adj["src"])
+            .select("query_id", F.explode("dsts").alias("nn_id"))
+            .distinct()
+            .cache()
+        )
+        cbuckets = [
+            r[0]
+            for r in expand.select(F.pmod(F.col("nn_id"), F.lit(n_buckets)))
+            .distinct()
+            .collect()
+        ]
+        cvecs = spark.read.parquet(f"{path}/vectors").filter(
+            F.col("bucket").isin(cbuckets)
+        )
+        scored = (
+            expand.join(cvecs, "nn_id")
+            .join(F.broadcast(q), "query_id")
+            .select(
+                "query_id", "nn_id", V.cosine("vec", "_qv").alias("cosine")
+            )
+        )
+        visited = visited.unionByName(scored).dropDuplicates(
+            ["query_id", "nn_id"]
+        )
+        beam = (
+            visited.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= ef)
+            .drop("_rn")
+        )
+        frontier.unpersist()
+        expand.unpersist()
     return (
         visited.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

@@ -568,6 +568,7 @@ def ppmi_word_similarity(
     scale: int = 10_000,
     decimals: int = 6,
     max_context_degree: int = 100_000,
+    max_vocab: int = 10_000,
 ) -> DataFrame:
     """Count-based word embeddings: symmetric +/-2 skip-gram
     co-occurrence -> PPMI matrix -> top-k most-similar word pairs by
@@ -583,6 +584,18 @@ def ppmi_word_similarity(
     so cosines stay <= 1 and the oracle mirrors the same rule).
     Standard practice for count-based embeddings — near-ubiquitous
     contexts carry ~zero PPMI signal anyway.
+
+    ``max_vocab`` bounds the OTHER axis (the sf10 decade run's
+    lesson): the sparse matmul costs sum-over-contexts deg(c)^2, and
+    deg grows with VOCABULARY, which grows with the corpus (Heaps'
+    law; min_count alone does not bound it — measured 1.2/decade
+    super-linear at sf10 when clone-marker vocab grew 240x).  Keeping
+    only the ``max_vocab`` most frequent words (count desc, word asc —
+    deterministic) bounds the matmul at V^2 regardless of corpus size,
+    the standard count-based-embedding discipline (Levy & Goldberg
+    train on a frequency-capped vocabulary).  Marginals and N are
+    still computed over the FULL pair stream, so surviving PPMI
+    values are unchanged by the cap.
 
     Plan: context pairs are generated MAP-SIDE with array transforms
     (offset-1 and offset-2 struct sequences, symmetrized) — no window
@@ -632,6 +645,19 @@ def ppmi_word_similarity(
         .agg(F.count(F.lit(1)).alias("cw"))
         .transform(materialize)
     )
+    if max_vocab is not None:
+        from pyspark.sql.window import Window as _W
+
+        cnt = (
+            cnt.withColumn(
+                "_vr",
+                F.row_number().over(
+                    _W.orderBy(F.desc("cw"), F.asc("_w"))
+                ),
+            )
+            .filter(F.col("_vr") <= max_vocab)
+            .drop("_vr")
+        )
     n = pairs.agg(F.count(F.lit(1)).cast("double").alias("_n"))
     joint = pairs.groupBy("_w", "_c").agg(F.count(F.lit(1)).alias("cwc"))
     ppmi = (
@@ -714,6 +740,7 @@ def ppmi_word_similarity_oracle_sql(
     scale: int = 10_000,
     decimals: int = 6,
     max_context_degree: int = 100_000,
+    max_vocab: int = 10_000,
 ) -> str:
     """DuckDB SQL computing the identical PPMI cosine top-k (ordered
     adjacency joins reproduce the map-side pair generation's counts)."""
@@ -740,7 +767,13 @@ def ppmi_word_similarity_oracle_sql(
       UNION ALL
       SELECT wb, wa FROM raw
     ),
-    cnt AS (SELECT w, COUNT(*) AS cw FROM pairs GROUP BY w),
+    cnt AS (
+      SELECT w, cw FROM (
+        SELECT w, COUNT(*) AS cw,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, w) AS vr
+        FROM pairs GROUP BY w
+      ) WHERE vr <= {max_vocab}
+    ),
     n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM pairs),
     joint AS (SELECT w, c, COUNT(*) AS cwc FROM pairs GROUP BY w, c),
     ppmi AS (

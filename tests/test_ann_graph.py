@@ -120,3 +120,36 @@ def test_nsw_graph_build_never_cartesian(emb, centroids):
     plan = build_nsw_graph(emb, centroids, M=8, nb=3)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_nsw_indexed_matches_inmemory_and_prunes(spark, sf_dir, emb, centroids, graph, tmp_path):
+    """The disk-resident index returns IDENTICAL values to the
+    in-memory search over the same graph, and its per-hop reads carry
+    PartitionFilters (the DiskANN promise: IO proportional to the
+    beam, not the corpus)."""
+    from robosystems_spark.operators.ann_graph import (
+        nsw_topk_indexed,
+        nsw_write_index,
+    )
+
+    path = str(tmp_path / "nsw_index")
+    nsw_write_index(emb, path, centroids, M=8, nb=3, n_buckets=16,
+                    entry_stride=8)
+    q = _queries(emb)
+    mem = sorted(
+        map(tuple, nsw_topk(emb, graph, q, k=10, ef=20, hops=4,
+                            entry_stride=8).collect())
+    )
+    idx_df = nsw_topk_indexed(spark, path, q, k=10, ef=20, hops=4,
+                              n_buckets=16)
+    idx = sorted(map(tuple, idx_df.collect()))
+    assert mem == idx
+    plan = idx_df._jdf.queryExecution().executedPlan().toString()
+    # every graph/vector scan in the final plan is partition-pruned on
+    # the bucket column (non-empty PartitionFilters naming bucket)
+    import re
+
+    pf = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    pruned = [f for f in pf if "bucket" in f]
+    assert pruned, plan[:2000]
+    assert all("bucket" in f for f in pf if f.strip()), pf
