@@ -47,6 +47,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from robosystems_spark.checkpointing import materialize
 from robosystems_spark.functions import vector as V
 
 __all__ = [
@@ -70,27 +71,36 @@ def build_nsw_graph(
     neighbors per src among vectors sharing >= 1 of the ``nb`` nearest
     centroids.  Deterministic given ``centroids`` (rounded-cosine
     ranking, dst tie-break)."""
+    # candidate pairs stay SLIM (two ids) through the bucket self-join
+    # and the shared-two-buckets dedup; vectors attach afterwards via
+    # two id equi-joins.  Carrying both 64-dim vectors through the
+    # dedup shuffle cost ~5 GB of exchange at a 2k-vector corpus
+    # (bench-sweep catch: 28s -> ~4s).
     memb = corpus.select(
         F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_v"),
         F.explode(V.top_centroids(vec_col, centroids, nb)).alias("_cid"),
     )
-    a = memb.select(
-        F.col("_cid"), F.col("_id").alias("src"), F.col("_v").alias("_sv")
-    )
-    b = memb.select(
-        F.col("_cid"), F.col("_id").alias("dst"), F.col("_v").alias("_dv")
-    )
     cand = (
-        a.join(b, "_cid")
+        memb.select("_cid", F.col("_id").alias("src"))
+        .join(memb.select("_cid", F.col("_id").alias("dst")), "_cid")
         .filter(F.col("src") != F.col("dst"))
         # a pair sharing two buckets must count once
         .dropDuplicates(["src", "dst"])
+    )
+    vec_s = corpus.select(
+        F.col(id_col).alias("src"), F.col(vec_col).alias("_sv")
+    )
+    vec_d = corpus.select(
+        F.col(id_col).alias("dst"), F.col(vec_col).alias("_dv")
+    )
+    scored = (
+        cand.join(vec_s, "src")
+        .join(vec_d, "dst")
         .select("src", "dst", V.cosine("_sv", "_dv").alias("cosine"))
     )
     w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
     return (
-        cand.withColumn("_rn", F.row_number().over(w))
+        scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= M)
         .select("src", "dst", "cosine")
     )
@@ -118,11 +128,16 @@ def nsw_topk(
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv")
     )
-    edges = graph.select("src", "dst")
+    # the graph is consumed once PER HOP: un-materialized, Catalyst
+    # re-inlines (and re-executes) the whole blocked build into every
+    # hop's plan — measured 28s vs ~4s at sf0.1 (bench-sweep catch)
+    edges = materialize(graph.select("src", "dst"))
 
     entries = vecs.filter(F.col("nn_id") % entry_stride == 0)
-    visited = entries.crossJoin(F.broadcast(q)).select(
-        "query_id", "nn_id", V.cosine("_cv", "_qv").alias("cosine")
+    visited = materialize(
+        entries.crossJoin(F.broadcast(q)).select(
+            "query_id", "nn_id", V.cosine("_cv", "_qv").alias("cosine")
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("nn_id")
@@ -146,9 +161,12 @@ def nsw_topk(
             )
         )
         # union + dedup: a re-visited node scores identically, so the
-        # pair-key dedup is exact (cosine is a function of the pair)
-        visited = visited.unionByName(scored).dropDuplicates(
-            ["query_id", "nn_id"]
+        # pair-key dedup is exact (cosine is a function of the pair);
+        # materialized per hop so lineage stays one-hop deep
+        visited = materialize(
+            visited.unionByName(scored).dropDuplicates(
+                ["query_id", "nn_id"]
+            )
         )
         beam = (
             visited.withColumn("_rn", F.row_number().over(w))

@@ -168,10 +168,17 @@ def minhash_signatures(
     map-side partial mins (an earlier nested-lambda formulation spent
     ~4s per query in driver-side analysis alone).
     """
+    # Materialize the shingle frame when the caller didn't: `_sh` is a
+    # large interpreted HOF expression (CodegenFallback), and feeding
+    # it un-materialized into the 64-way min aggregation re-evaluates
+    # it catastrophically (measured 86s vs 3s at sf0.1 on the
+    # write_minhash_index path — the bench-sweep catch; the
+    # minhash_near_duplicates path always materialized, which is why
+    # the LSH entry never showed it).
     base = (
         shingles_df
         if shingles_df is not None
-        else distinct_shingles(df, text_col, id_col, shingle_k)
+        else materialize(distinct_shingles(df, text_col, id_col, shingle_k))
     )
     # _sh already holds the portable hashed shingles (distinct_shingles)
     exploded = base.select(F.col(id_col), F.explode("_sh").alias("_h"))
