@@ -95,11 +95,23 @@ def test_ann_paths_are_arrow_vectorized_not_row_at_a_time(spark, sf_dir):
     Python UDFs (BatchEvalPython), and never interpreted nested-lambda
     expressions (no aggregate(zip_with(...)) in the plan)."""
     for name in ("embedding_cosine_topk", "embedding_ivf_topk",
-                 "embedding_kmeans_clusters", "embedding_nsw_topk"):
+                 "embedding_kmeans_clusters"):
         plan = plan_of(REGISTRY[name].fn(spark, sf_dir))
         assert "BatchEvalPython" not in plan, f"{name} fell back to a row UDF"
         assert "ArrowEvalPython" in plan, f"{name} lost Arrow vectorization"
         assert "zip_with" not in plan, f"{name} still has interpreted zip_with"
+    # NSW materializes per hop, so its FINAL plan is a window over a
+    # checkpoint scan; the UDF discipline is pinned on the graph-build
+    # plan (where the pair cosines actually run)
+    from robosystems_spark.inventory.llm import _ivf_centroids
+    from robosystems_spark.io import read_table
+    from robosystems_spark.operators.ann_graph import build_nsw_graph
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    plan = plan_of(build_nsw_graph(emb, _ivf_centroids(spark, sf_dir, 8)))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" in plan
+    assert "zip_with" not in plan
 
 
 def test_kmeans_lloyd_means_have_partial_aggregation(spark, sf_dir):
