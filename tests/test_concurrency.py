@@ -318,3 +318,85 @@ def test_fork_propagates_lock_settings(spark, tmp_path):
     st.copy_into("T", _row_df(spark, 1, "a"), primary_keys=["identifier"])
     child = st.fork("kgforklock000000_dev")
     assert child.lock_timeout_s == 7 and child.lock_stale_s == 777
+
+
+def test_stress_writers_readers_compact_vacuum(spark, store):
+    """r10 verdict item 10: the snapshot layer's concurrency guarantees
+    were tested single-shot; this loops N writers × M readers ×
+    periodic compact/vacuum under one time bound.  Invariants checked
+    on every concurrent read: (a) each table shows exactly ONE version
+    marker across all its rows (no torn manifest), (b) the two columns
+    every commit keeps equal never diverge (no file/DV skew), (c) row
+    count never changes (writers only rewrite in place)."""
+    import threading
+    from pyspark.sql import functions as F
+
+    n_rows = 32
+    for t in ("A", "B"):
+        store.copy_into(
+            t,
+            spark.createDataFrame(
+                [(i, 0, 0) for i in range(n_rows)],
+                "identifier long, va long, vb long",
+            ),
+            primary_keys=["identifier"],
+        )
+
+    stop = threading.Event()
+    failures: list[str] = []
+
+    def writer(table: str) -> None:
+        k = 0
+        while not stop.is_set():
+            k += 1
+            try:
+                store.update_where(
+                    table,
+                    F.col("identifier") >= 0,
+                    {"va": F.lit(k), "vb": F.lit(k)},
+                )
+            except Exception as e:  # noqa: BLE001
+                failures.append(f"writer[{table}]: {e!r}")
+                return
+
+    def reader(table: str) -> None:
+        while not stop.is_set():
+            try:
+                rows = store.read(table).select("va", "vb").collect()
+            except Exception as e:  # noqa: BLE001
+                failures.append(f"reader[{table}]: {e!r}")
+                return
+            vals = {r["va"] for r in rows}
+            if len(vals) != 1:
+                failures.append(f"torn manifest[{table}]: {vals}")
+                return
+            if any(r["va"] != r["vb"] for r in rows):
+                failures.append(f"file/DV skew[{table}]")
+                return
+            if len(rows) != n_rows:
+                failures.append(f"row count[{table}]: {len(rows)}")
+                return
+
+    threads = [threading.Thread(target=writer, args=(t,)) for t in ("A", "B")]
+    threads += [
+        threading.Thread(target=reader, args=(t,)) for t in ("A", "B", "A", "B")
+    ]
+    for th in threads:
+        th.start()
+    deadline = time.monotonic() + 50.0
+    try:
+        while time.monotonic() < deadline and not failures:
+            # maintenance races the writers through the same lock and
+            # races the readers through the snapshot layer
+            store.compact("A", min_files=2)
+            store.vacuum("B", keep_last=4)
+            time.sleep(2.0)
+    finally:
+        stop.set()
+        for th in threads:
+            th.join()
+    assert failures == [], failures[:5]
+    for t in ("A", "B"):
+        rows = store.read(t).select("va", "vb").collect()
+        assert len(rows) == n_rows
+        assert len({r["va"] for r in rows}) == 1

@@ -1106,3 +1106,130 @@ def test_dv_sidecar_writes_are_size_aware(spark, store):
     after = {e["path"] for e in store._dv_at("T")}
     assert len(after - before) == 1
     assert store.read("T").count() == 99
+
+
+# -- r10 torn-read race: atomic record publication + walk-down safety --------
+#
+# Round-10's full-suite run caught test_racing_reader_never_sees_torn_state
+# returning rows from FOUR versions in one collect.  Root cause: _commit
+# claimed the record file (O_CREAT|O_EXCL) and only then wrote its JSON, so
+# a racing reader's version()/record parse glimpsed an empty file, hit
+# _SNAP_RETIRED, and _read_raw fell back to the legacy whole-directory
+# parquet read — every live version's files at once.  The fixes these tests
+# pin: (1) records publish atomically via hard link, (2) an unreadable
+# NEWEST record walks down to the previous consistent version instead of
+# ever dir-listing, (3) manifest + DVs resolve from ONE snapshot state.
+
+
+def test_read_skips_claimed_unpublished_record(spark, store):
+    """An empty (claimed-but-unpublished) newest record must not tear
+    the read: the reader serves the newest reconstructible version."""
+    _seed(spark, store)  # v1: all rows v=0
+    store.update_where("T", F.col("identifier") >= 0, {"v": F.lit(1)})  # v2
+    # simulate a writer that died between claim and publish on a
+    # no-hardlink filesystem
+    open(os.path.join(store._txn_dir("T"), "v00000003.json"), "w").close()
+
+    vals = {r["v"] for r in store.read("T").select("v").collect()}
+    assert vals == {1}, f"expected the consistent v2 snapshot, got {vals}"
+
+    # the next writer (under the lock) repairs the crashed claim and
+    # reuses its slot; history stays hole-free
+    store.update_where("T", F.col("identifier") >= 0, {"v": F.lit(2)})
+    assert store.version("T") == 3
+    assert {r["v"] for r in store.read("T").select("v").collect()} == {2}
+    assert store.read("T", version=2).filter("v <> 1").count() == 0
+
+
+def test_commit_record_publishes_atomically(spark, store):
+    """No scratch files survive a commit, and the newest record always
+    parses — the hard-link publish leaves no observable half-state."""
+    _seed(spark, store)
+    store.update_where("T", F.col("identifier") >= 0, {"v": F.lit(1)})
+    d = store._txn_dir("T")
+    assert not [n for n in os.listdir(d) if ".inflight." in n]
+    import json as _json
+
+    with open(os.path.join(d, f"v{store.version('T'):08d}.json")) as fh:
+        assert _json.load(fh)["v"] == store.version("T")
+
+
+def test_injected_commit_between_version_read_and_walk(spark, store):
+    """Deterministic interleaving of the r10 race: a full-table rewrite
+    commits BETWEEN the reader's version() resolution and its log walk.
+    The read must return exactly one version's rows."""
+    _seed(spark, store)  # v1: all rows v=0
+    orig_version = GraphStore.version
+    armed = {"on": False}
+
+    def racing_version(self, table):
+        v = orig_version(self, table)
+        if armed["on"]:
+            armed["on"] = False  # fire once; update_where re-enters version()
+            self.update_where(
+                "T", F.col("identifier") >= 0, {"v": F.lit(1)}
+            )
+        return v
+
+    GraphStore.version = racing_version
+    try:
+        armed["on"] = True
+        vals = {r["v"] for r in store.read("T").select("v").collect()}
+    finally:
+        GraphStore.version = orig_version
+    assert len(vals) == 1, f"torn read across versions: {vals}"
+    assert {r["v"] for r in store.read("T").select("v").collect()} == {1}
+
+
+def test_read_resolves_manifest_and_dv_in_one_state(spark, store, monkeypatch):
+    """read() must take the file manifest AND the deletion vectors from
+    a single snapshot resolution — two separate latest-reads would let
+    a commit in between pair version-N files with version-N+1 DVs."""
+    _seed(spark, store)
+    store.delete_where("T", F.col("identifier") == 0, merge_on_read=True)
+    calls = []
+    orig = GraphStore._state_at
+
+    def spy(self, table, version=None):
+        calls.append((table, version))
+        return orig(self, table, version)
+
+    monkeypatch.setattr(GraphStore, "_state_at", spy)
+    assert store.read("T").count() == 23
+    assert calls.count(("T", None)) == 1, calls
+
+
+def test_racing_reader_looped_stress(spark, store):
+    """Time-bounded re-run of the racing-reader scenario (the r10
+    escape was ~1-in-6 full-suite runs; a single pass proves little).
+    Readers collect continuously while a writer flips the whole table
+    once per round; every collect must see exactly one version."""
+    import time as _time
+
+    _seed(spark, store)
+    stop = threading.Event()
+    torn: list[set] = []
+
+    def reader():
+        while not stop.is_set():
+            vals = {r["v"] for r in store.read("T").select("v").collect()}
+            if len(vals) > 1:
+                torn.append(vals)
+                return
+
+    threads = [threading.Thread(target=reader) for _ in range(4)]
+    for t in threads:
+        t.start()
+    k = 0
+    deadline = _time.monotonic() + 45.0
+    try:
+        while _time.monotonic() < deadline and not torn:
+            k += 1
+            store.update_where("T", F.col("identifier") >= 0, {"v": F.lit(k)})
+    finally:
+        stop.set()
+        for t in threads:
+            t.join()
+    assert torn == [], f"torn reads after {k} rounds: {torn[:3]}"
+    assert k >= 5, "stress loop did not exercise enough commits"
+    assert {r["v"] for r in store.read("T").select("v").collect()} == {k}
