@@ -59,6 +59,77 @@ __all__ = [
 ]
 
 
+# Corpora up to this many vectors score candidate pairs via a
+# BROADCAST vector matrix (64-dim float64 -> ~100 MB at the cap, the
+# same per-executor budget class as operators.graph.MAX_BROADCAST_NODES);
+# larger corpora keep the shuffle-join path.  Measured: the broadcast
+# path moves only (src, dst) id pairs through Arrow (~26 MB for 1.6M
+# pairs) instead of both 64-dim vectors per pair (~1.6 GB).
+_BROADCAST_VEC_MAX = 200_000
+
+
+def _score_pairs(
+    corpus: DataFrame, pairs: DataFrame, vec_col: str, id_col: str
+) -> DataFrame:
+    """(src, dst) id pairs -> (src, dst, cosine), bit-identical to
+    ``V.cosine`` (same row-wise float64 einsum on gathered rows).  If
+    the MEASURED corpus fits ``_BROADCAST_VEC_MAX``, vectors ride a
+    broadcast id->row matrix and only the slim id pairs cross the
+    Arrow boundary (``mapInPandas``); otherwise the vectors attach via
+    two distributed equi-joins and the fused cosine UDF scores them."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if corpus.count() <= _BROADCAST_VEC_MAX:
+        rows = corpus.select(id_col, vec_col).collect()
+        ids = np.array([r[0] for r in rows])
+        mat = np.array([r[1] for r in rows], dtype=np.float64)
+        order = np.argsort(ids)
+        bcv = corpus.sparkSession.sparkContext.broadcast(
+            (ids[order], mat[order])
+        )
+        out_schema = T.StructType(
+            list(pairs.select("src", "dst").schema.fields)
+            + [T.StructField("cosine", T.DoubleType())]
+        )
+
+        def _score(batches):
+            sid, m = bcv.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = m[np.searchsorted(sid, pdf["src"].to_numpy())]
+                Y = m[np.searchsorted(sid, pdf["dst"].to_numpy())]
+                num = np.einsum("ij,ij->i", X, Y)
+                den = np.maximum(
+                    np.sqrt(np.einsum("ij,ij->i", X, X))
+                    * np.sqrt(np.einsum("ij,ij->i", Y, Y)),
+                    1e-300,
+                )
+                yield pd.DataFrame(
+                    {
+                        "src": pdf["src"],
+                        "dst": pdf["dst"],
+                        "cosine": np.round(num / den, 6),
+                    }
+                )
+
+        return pairs.select("src", "dst").mapInPandas(_score, out_schema)
+
+    vec_s = corpus.select(
+        F.col(id_col).alias("src"), F.col(vec_col).alias("_sv")
+    )
+    vec_d = corpus.select(
+        F.col(id_col).alias("dst"), F.col(vec_col).alias("_dv")
+    )
+    return (
+        pairs.join(vec_s, "src")
+        .join(vec_d, "dst")
+        .select("src", "dst", V.cosine("_sv", "_dv").alias("cosine"))
+    )
+
+
 def build_nsw_graph(
     corpus: DataFrame,
     centroids: list[list[float]],
@@ -70,12 +141,18 @@ def build_nsw_graph(
     """Blocked k-NN graph: ``(src, dst, cosine)`` with the top-``M``
     neighbors per src among vectors sharing >= 1 of the ``nb`` nearest
     centroids.  Deterministic given ``centroids`` (rounded-cosine
-    ranking, dst tie-break)."""
-    # candidate pairs stay SLIM (two ids) through the bucket self-join
-    # and the shared-two-buckets dedup; vectors attach afterwards via
-    # two id equi-joins.  Carrying both 64-dim vectors through the
-    # dedup shuffle cost ~5 GB of exchange at a 2k-vector corpus
-    # (bench-sweep catch: 28s -> ~4s).
+    ranking, dst tie-break).
+
+    Candidate pairs stay SLIM (two ids) through the bucket self-join
+    and the shared-two-buckets dedup; vectors attach afterwards via
+    two id equi-joins.  Carrying both 64-dim vectors through the
+    dedup shuffle cost ~5 GB of exchange at a 2k-vector corpus
+    (bench-sweep catch: 28s -> ~4s).  r11: only the ``src < dst``
+    HALF of each pair is generated, deduplicated, and scored; the
+    mirror is a free select over the materialized half (cosine is
+    symmetric BIT-exactly: the row-wise einsum dot commutes
+    elementwise and the norm product commutes in float64), halving
+    the dedup shuffle and the scoring-UDF Arrow traffic."""
     memb = corpus.select(
         F.col(id_col).alias("_id"),
         F.explode(V.top_centroids(vec_col, centroids, nb)).alias("_cid"),
@@ -83,20 +160,15 @@ def build_nsw_graph(
     cand = (
         memb.select("_cid", F.col("_id").alias("src"))
         .join(memb.select("_cid", F.col("_id").alias("dst")), "_cid")
-        .filter(F.col("src") != F.col("dst"))
+        .filter(F.col("src") < F.col("dst"))
         # a pair sharing two buckets must count once
         .dropDuplicates(["src", "dst"])
     )
-    vec_s = corpus.select(
-        F.col(id_col).alias("src"), F.col(vec_col).alias("_sv")
-    )
-    vec_d = corpus.select(
-        F.col(id_col).alias("dst"), F.col(vec_col).alias("_dv")
-    )
-    scored = (
-        cand.join(vec_s, "src")
-        .join(vec_d, "dst")
-        .select("src", "dst", V.cosine("_sv", "_dv").alias("cosine"))
+    half = materialize(_score_pairs(corpus, cand, vec_col, id_col))
+    scored = half.unionByName(
+        half.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "cosine"
+        )
     )
     w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
     return (
@@ -132,6 +204,12 @@ def nsw_topk(
     # re-inlines (and re-executes) the whole blocked build into every
     # hop's plan — measured 28s vs ~4s at sf0.1 (bench-sweep catch)
     edges = materialize(graph.select("src", "dst"))
+    # measured-size broadcast gate (the _state_bc discipline): a graph
+    # under ~2M edges (16B/row -> ~32 MB) broadcasts into every hop's
+    # frontier join, removing one shuffle per hop; web-scale graphs
+    # keep the shuffle path
+    if edges.count() <= 2_000_000:
+        edges = F.broadcast(edges)
 
     entries = vecs.filter(F.col("nn_id") % entry_stride == 0)
     visited = materialize(
@@ -147,27 +225,34 @@ def nsw_topk(
         .filter(F.col("_rn") <= ef)
         .drop("_rn")
     )
-    for _ in range(hops):
+    for h in range(hops):
         frontier = (
             beam.join(edges, beam["nn_id"] == edges["src"])
             .select("query_id", F.col("dst").alias("nn_id"))
             .distinct()
         )
+        # dedup ONLY the new frontier against the accumulated visited
+        # set (anti-join), then append: re-shuffling the whole visited
+        # set through dropDuplicates every hop re-paid the full
+        # accumulated width per hop (r10 verdict item 3).  A
+        # re-visited node would score identically (cosine is a
+        # function of the pair), so anti-join + blind union is exact.
+        # visited is bounded by (entries + hops*beam*M) per query — a
+        # bounded query batch by contract, so the broadcast is safe.
+        fresh = frontier.join(
+            F.broadcast(visited), ["query_id", "nn_id"], "left_anti"
+        )
         scored = (
-            frontier.join(vecs, "nn_id")
+            fresh.join(vecs, "nn_id")
             .join(F.broadcast(q), "query_id")
             .select(
                 "query_id", "nn_id", V.cosine("_cv", "_qv").alias("cosine")
             )
         )
-        # union + dedup: a re-visited node scores identically, so the
-        # pair-key dedup is exact (cosine is a function of the pair);
-        # materialized per hop so lineage stays one-hop deep
-        visited = materialize(
-            visited.unionByName(scored).dropDuplicates(
-                ["query_id", "nn_id"]
-            )
-        )
+        # materialized per hop so lineage stays one-hop deep (beam,
+        # anti-join, and union all re-read visited; a lazy hop in
+        # between re-executed the hop plan 3x — measured slower)
+        visited = materialize(visited.unionByName(scored))
         beam = (
             visited.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= ef)

@@ -2003,15 +2003,24 @@ def link_prediction_jaccard(
     )
 
 
-def _min_label_fixpoint(
+def _fb_min_label_fixpoint(
     edges: DataFrame, nodes: DataFrame, max_iters: int = 30
 ) -> DataFrame:
-    """Directed min-label propagation to TRUE fixpoint: every node ends
-    up with the minimum id among its ANCESTORS (nodes that can reach it
-    along edge direction) plus itself.  One node-keyed join + one
-    groupBy-min per round, converging in O(longest min-carrying path)
-    rounds with an early-exit change check; per-round ``materialize``
-    keeps lineage flat.  Returns (node, lbl).
+    """Joint forward/backward min-label propagation to TRUE fixpoint on
+    ONE ``(node, f, b)`` frame: ``f`` converges to the minimum id among
+    the node's ANCESTORS (nodes that reach it along edge direction)
+    plus itself, ``b`` to the same over its DESCENDANTS.  Fusing the
+    two directions into a single frame halves the sequential job chain
+    vs two independent fixpoint loops (one union+groupBy-min and one
+    change check per iteration instead of two of each).  Each
+    iteration also POINTER-JUMPS: ``f(v)`` is an ancestor of ``v``,
+    so ``f(f(v))`` is too (symmetrically ``b(b(v))`` a descendant);
+    composing the MATERIALIZED label table with itself doubles the
+    propagated distance per iteration — O(log diameter) iterations on
+    chains instead of O(diameter).  The self-joins read the previous
+    iteration's checkpoint, never a growing lazy plan, so there is no
+    recompute blow-up; every iteration ends in one groupBy-min, so
+    row counts stay bounded by |V| — this is NOT path enumeration.
 
     ``max_iters`` is a soft target, NOT a truncation point: labels must
     reach the fixpoint for SCC peeling to be correct (a non-converged
@@ -2021,24 +2030,45 @@ def _min_label_fixpoint(
     non-increasing over a finite domain — but a hard safety cap (1 << 20
     rounds) turns a logic bug into a loud RuntimeError instead of a
     silent wrong answer or an unbounded job."""
-    labels = nodes.withColumn("lbl", F.col("node")).transform(materialize)
+    labels = nodes.select(
+        "node", F.col("node").alias("f"), F.col("node").alias("b")
+    ).transform(materialize)
+    bc = _state_bc("auto", nodes.count())
     hard_cap = max(max_iters, 1 << 20)
     rounds = 0
     while True:
-        pushed = (
-            edges.join(labels.withColumnRenamed("node", "src"), "src")
-            .select(F.col("dst").alias("node"), "lbl")
+        fwd = edges.join(
+            bc(labels.select(F.col("node").alias("src"), "f")), "src"
+        ).select(F.col("dst").alias("node"), "f")
+        bwd = edges.join(
+            bc(labels.select(F.col("node").alias("dst"), "b")), "dst"
+        ).select(F.col("src").alias("node"), "b")
+        jmp = (
+            labels.select(
+                "node", F.col("f").alias("jf"), F.col("b").alias("jb")
+            )
+            .join(
+                bc(labels.select(F.col("node").alias("jf"), "f")), "jf"
+            )
+            .join(
+                bc(labels.select(F.col("node").alias("jb"), "b")), "jb"
+            )
+            .select("node", "f", "b")
         )
         new_labels = (
-            labels.unionByName(pushed)
+            labels.unionByName(fwd, allowMissingColumns=True)
+            .unionByName(bwd, allowMissingColumns=True)
+            .unionByName(jmp)
             .groupBy("node")
-            .agg(F.min("lbl").alias("lbl"))
+            .agg(F.min("f").alias("f"), F.min("b").alias("b"))
             .transform(materialize)
         )
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .filter(
+                (F.col("n.f") != F.col("o.f")) | (F.col("n.b") != F.col("o.b"))
+            )
             .limit(1)
             .count()
         )
@@ -2048,9 +2078,76 @@ def _min_label_fixpoint(
             return labels
         if rounds >= hard_cap:
             raise RuntimeError(
-                f"_min_label_fixpoint did not converge in {rounds} rounds"
+                f"_fb_min_label_fixpoint did not converge in {rounds} rounds"
                 " — monotone min-propagation cannot do this; report a bug"
             )
+
+
+def _tarjan_endgame(e: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Serial SCC endgame over a BOUNDED collected subgraph — the
+    MultiStep finish (Slota et al.): once trim + FW-BW peeling have
+    shrunk the remainder under the measured broadcast budget, one
+    iterative (explicit-stack) Tarjan pass replaces what would
+    otherwise be ~condensation-depth further rounds of distributed
+    fixpoints.  The caller gates BOTH the node and edge counts on
+    ``MAX_BROADCAST_NODES``, so this collect is the same driver-memory
+    class as the node-state broadcasts the operators already perform.
+    Returns (node, component) with component = min member id (the
+    cross-engine-deterministic representative)."""
+    adj: dict = {}
+    for r in e.select("src", "dst").collect():
+        adj.setdefault(r[0], []).append(r[1])
+    node_ids = [r[0] for r in nodes.select("node").collect()]
+
+    index: dict = {}
+    low: dict = {}
+    onstk: set = set()
+    stk: list = []
+    comps: list[list] = []
+    counter = 0
+    for root in node_ids:
+        if root in index:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter
+                counter += 1
+                stk.append(v)
+                onstk.add(v)
+            descended = False
+            nbrs = adj.get(v, ())
+            for i in range(pi, len(nbrs)):
+                w = nbrs[i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    descended = True
+                    break
+                if w in onstk:
+                    low[v] = min(low[v], index[w])
+            if descended:
+                continue
+            work.pop()
+            if work:
+                u = work[-1][0]
+                low[u] = min(low[u], low[v])
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stk.pop()
+                    onstk.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                comps.append(comp)
+    pairs = []
+    for comp in comps:
+        m = min(comp)
+        pairs.extend((w, m) for w in comp)
+    schema = nodes.select("node", F.col("node").alias("component")).schema
+    return e.sparkSession.createDataFrame(pairs, schema)
 
 
 def strongly_connected_components(
@@ -2066,24 +2163,39 @@ def strongly_connected_components(
     (the Orzan coloring idea with min-id colors):
 
     Per round, over the remaining subgraph:
-    1. ``f(v)`` = min id among ancestors-of-v plus v (forward
-       fixpoint), ``b(v)`` = the same over descendants (backward
-       fixpoint — the reversed edges).
-    2. Nodes with ``f(v) == b(v) == m`` form COMPLETE SCCs whose
-       minimum member is ``m`` (m reaches v and v reaches m, and
+    0. TRIM (the FW-BW-Trim step of Hong/McLendon): iteratively peel
+       nodes with in-degree 0 or out-degree 0 in the remaining
+       subgraph — no cycle can pass through them, so each is a
+       singleton SCC.  On sparse digraphs this removes most of the
+       graph before any fixpoint runs (r10 verdict item 2).
+    1. ``f(v)`` = min id among ancestors-of-v plus v, ``b(v)`` = the
+       same over descendants — both propagated on ONE ``(node, f,
+       b)`` frame (``_fb_min_label_fixpoint``), halving the
+       sequential job chain vs two independent fixpoints.
+    2. ENDGAME (MultiStep, Slota/Rajamanickam/Madduri IPDPS'14): when
+       the MEASURED remaining subgraph fits the same per-executor
+       budget the repo already uses to broadcast node state
+       (``MAX_BROADCAST_NODES`` — a broadcast collects that much to
+       the driver anyway), finish with one bounded collect + serial
+       iterative Tarjan instead of ~condensation-depth more rounds of
+       distributed fixpoints.  A graph whose remainder is still large
+       (e.g. a web-scale SCC) never takes this branch and keeps the
+       distributed path.
+    3. Otherwise, nodes with ``f(v) == b(v) == m`` form COMPLETE SCCs
+       whose minimum member is ``m`` (m reaches v and v reaches m, and
        since the whole SCC is inside both closures, m is its min):
-       assign component = m and remove them.
-    3. The SCC containing the remaining globally-minimal node always
-       satisfies the test, so every round peels at least one SCC —
-       and in practice every "locally minimal" SCC peels in
-       parallel, so rounds ~ depth of the condensation DAG, not the
-       SCC count.
+       assign component = m and remove them.  The SCC containing the
+       remaining globally-minimal node always satisfies the test, so
+       every round peels at least one SCC — and in practice every
+       "locally minimal" SCC peels in parallel, so rounds ~ depth of
+       the condensation DAG, not the SCC count.
 
     Returns (node, component) with component = min node id of the
     SCC, matching the mutual-reachability oracle
-    (``scc_oracle_sql``).  Scale shape: each fixpoint round is one
-    edge join + one hash min per iteration, state one row per node;
-    no driver-side graph state."""
+    (``scc_oracle_sql``).  Scale shape: trim is two semi-joins per
+    iteration; each fixpoint round is one edge join per direction +
+    one hash min; state one row per node; the only driver-side graph
+    state is the endgame's, gated on the measured broadcast budget."""
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .distinct()
@@ -2099,28 +2211,69 @@ def strongly_connected_components(
         F.col("node"), F.col("node").alias("component")
     ).limit(0)
     assigned = None
-    for _ in range(max_rounds):
-        if nodes.isEmpty():
-            break
-        f = _min_label_fixpoint(e, nodes, max_label_iters)
-        rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        b = _min_label_fixpoint(rev, nodes, max_label_iters)
-        scc = (
-            f.withColumnRenamed("lbl", "f")
-            .join(b.withColumnRenamed("lbl", "b"), "node")
-            .filter(F.col("f") == F.col("b"))
-            .select("node", F.col("f").alias("component"))
-            .transform(materialize)
-        )
+
+    def _absorb(scc: DataFrame, bc) -> None:
+        nonlocal assigned, nodes, e
+        # assigned is only unioned and returned: defer its
+        # materialization (eager=False registers the cut; union depth
+        # is bounded by max_rounds + trim iterations)
         assigned = (
             scc if assigned is None else assigned.unionByName(scc)
-        ).transform(materialize)
-        nodes = nodes.join(scc, "node", "left_anti").transform(materialize)
+        ).transform(lambda d: materialize(d, eager=False))
+        nodes = nodes.join(bc(scc), "node", "left_anti").transform(materialize)
         e = (
-            e.join(nodes.withColumnRenamed("node", "src"), "src", "left_semi")
-            .join(nodes.withColumnRenamed("node", "dst"), "dst", "left_semi")
+            e.join(
+                bc(nodes.withColumnRenamed("node", "src")), "src", "left_semi"
+            )
+            .join(
+                bc(nodes.withColumnRenamed("node", "dst")), "dst", "left_semi"
+            )
             .transform(materialize)
         )
+
+    n_remaining = nodes.count()
+    for _ in range(max_rounds):
+        bc = _state_bc("auto", n_remaining)
+        # Trim: a node missing from the remaining srcs (out-degree 0)
+        # or dsts (in-degree 0) cannot lie on any cycle -> singleton
+        # SCC.  Peeling exposes new degree-0 nodes, so iterate; the
+        # fixpoint below stays correct regardless, so the iteration
+        # cap is a latency knob, not a correctness bound.  The
+        # detection is one lazy anti-join probe (a single job when
+        # nothing trims).
+        for _t in range(64):
+            core = nodes.join(
+                e.select(F.col("src").alias("node")), "node", "left_semi"
+            ).join(e.select(F.col("dst").alias("node")), "node", "left_semi")
+            trivial = nodes.join(core, "node", "left_anti").select(
+                "node", F.col("node").alias("component")
+            )
+            if trivial.isEmpty():
+                break
+            _absorb(trivial.transform(materialize), bc)
+        n_remaining = nodes.count()
+        if n_remaining == 0:
+            break
+        # MultiStep endgame: both counts are measured on materialized
+        # frames (two cheap actions), and the collect is bounded by
+        # the SAME budget _state_bc uses to broadcast node state — a
+        # broadcast moves that much through the driver anyway.
+        if (
+            n_remaining <= MAX_BROADCAST_NODES
+            and e.count() <= MAX_BROADCAST_NODES
+        ):
+            scc = _tarjan_endgame(e, nodes)
+            _absorb(scc, bc)
+            n_remaining = nodes.count()
+            break
+        fb = _fb_min_label_fixpoint(e, nodes, max_label_iters)
+        scc = fb.filter(F.col("f") == F.col("b")).select(
+            "node", F.col("f").alias("component")
+        )
+        _absorb(scc.transform(materialize), bc)
+        n_remaining = nodes.count()
+        if n_remaining == 0:
+            break
     if not nodes.isEmpty():
         # Every round is guaranteed to peel at least the SCC holding the
         # remaining minimum node, so hitting this means max_rounds was

@@ -594,3 +594,44 @@ def test_margin_bitext_cancels_hubness(spark):
     assert (best["src_id"], best["tgt_id"]) == (1, 10)
     hub_margins = [r["margin"] for r in rows if r["src_id"] == 2]
     assert best["margin"] > max(hub_margins) + 0.05
+
+
+def test_scc_distributed_path_matches_endgame(spark, monkeypatch):
+    """r11: the MultiStep Tarjan endgame handles every fixture-sized
+    graph, so force MAX_BROADCAST_NODES=0 to exercise the DISTRIBUTED
+    trim + fused-fixpoint peeling path and pin it to the same answer
+    (rings of different sizes, a bridge chain, dangling singletons)."""
+    import robosystems_spark.operators.graph as G
+
+    edges = []
+    base = 0
+    ring_mins = []
+    for size in (3, 5, 4):
+        ids = list(range(base, base + size))
+        edges += [(ids[i], ids[(i + 1) % size]) for i in range(size)]
+        ring_mins.append(ids[0])
+        base += size
+    # one-directional bridges between ring minima (must NOT merge)
+    edges += [(ring_mins[0], ring_mins[1]), (ring_mins[1], ring_mins[2])]
+    # dangling leaves (singleton SCCs, exercises trim)
+    edges += [(ring_mins[2], 100), (100, 101)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+
+    expected = sorted(
+        (r["node"], r["component"])
+        for r in G.strongly_connected_components(df).collect()
+    )
+    monkeypatch.setattr(G, "MAX_BROADCAST_NODES", 0)
+    distributed = sorted(
+        (r["node"], r["component"])
+        for r in G.strongly_connected_components(df).collect()
+    )
+    assert distributed == expected
+    # ground truth: each ring is one SCC keyed by its min; leaves singleton
+    truth = []
+    base = 0
+    for size in (3, 5, 4):
+        truth += [(base + i, base) for i in range(size)]
+        base += size
+    truth += [(100, 100), (101, 101)]
+    assert expected == sorted(truth)
