@@ -26,10 +26,16 @@ _WAV_N, _WAV_RATE = 64, 8000
 
 
 def _doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hash-repartition the id list: the documents table arrives as 1-2
+    # parquet splits, which would run every downstream mapInPandas
+    # codec (pure-CPU Python) nearly serially — a 200-row shuffle buys
+    # 32-way codec parallelism (sweep: jpeg_scan_equivalence 11.1s ->
+    # ~2s).  Deterministic (hash of doc_id), content unchanged.
     return (
         read_table(spark, sf_dir, "documents")
         .select("doc_id")
         .filter(F.col("doc_id") < _N_DOCS)
+        .repartition(32, "doc_id")
     )
 
 

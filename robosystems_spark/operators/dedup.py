@@ -1656,15 +1656,16 @@ def containment_prefix_join(
         .repartition(n_part, id_col)
         .transform(materialize)
     )
-    tok_rows = toksets.select(id_col, F.explode("_toks").alias("_tok"))
+    # token-set size rides every exploded row (map-side, no window):
+    # the prefix bound needs it on the contained side and the
+    # container-size prune needs it on the postings side
+    tok_rows = toksets.select(
+        id_col, F.size("_toks").alias("_n"), F.explode("_toks").alias("_tok")
+    )
     freq = tok_rows.groupBy("_tok").agg(F.count(F.lit(1)).alias("_c"))
     w = Window.partitionBy(id_col).orderBy(F.asc("_c"), F.asc("_tok"))
-    ranked = (
-        tok_rows.join(freq, "_tok")
-        .withColumn("_rn", F.row_number().over(w))
-        .withColumn(
-            "_n", F.count(F.lit(1)).over(Window.partitionBy(id_col))
-        )
+    ranked = tok_rows.join(freq, "_tok").withColumn(
+        "_rn", F.row_number().over(w)
     )
     # floor((1-t)n) + 1 == n - ceil(t*n) + 1 rarest tokens of the
     # CONTAINED side
@@ -1680,13 +1681,21 @@ def containment_prefix_join(
             - F.ceil(F.col("_n") * threshold_num / threshold_den)
             + 1
         )
-    ).select(id_col, "_tok")
+    ).select(id_col, "_n", "_tok")
+    # container-size prune (recall-safe, r10 verdict item 4):
+    # C(a->b) >= t implies |a∩b| >= t|a| and |a∩b| <= |b|, so any
+    # surviving pair has |b|*den >= |a|*num — filtered IN the join,
+    # before the pair-dedup shuffle
     cand = (
         prefix.alias("a")
         .join(
             tok_rows.alias("b"),
             (F.col("a._tok") == F.col("b._tok"))
-            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+            & (
+                F.col("b._n") * threshold_den
+                >= F.col("a._n") * threshold_num
+            ),
         )
         .select(
             F.col(f"a.{id_col}").alias("doc_a"),
