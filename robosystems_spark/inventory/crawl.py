@@ -167,7 +167,8 @@ def _warc_blob_rows(pdf, body_of, content_type: str):
            'response' AS warc_type,
            200 AS http_status,
            'text/plain' AS http_content_type,
-           CAST({_HTTP_HEAD_LEN} + LENGTH(text) AS BIGINT) AS content_length,
+           CAST({_HTTP_HEAD_LEN} + OCTET_LENGTH(ENCODE(text)) AS BIGINT)
+             AS content_length,
            text AS body_text
     FROM documents
     ORDER BY doc_id

@@ -978,9 +978,10 @@ def _nsw_graph_and_queries(spark: SparkSession, sf_dir: str):
         entry_stride=8, n_queries=3,
     ),
     doc="Graph-ANN (NSW/DiskANN family): blocked k-NN graph over the "
-    "shared portable centroids (top-6 neighbors among vectors sharing "
-    "a probe bucket — never all-pairs), then 3-hop beam search "
-    "(ef=12) from the deterministic stride-16 entry set. Every "
+    "shared portable centroids (top-8 neighbors among vectors sharing "
+    "one of each side's 3 probe buckets — never all-pairs), then "
+    "4-hop beam search (ef=20) from the deterministic stride-8 entry "
+    "set. Every "
     "selection ranks on ROUND(cosine,6) with an id tie-break, so the "
     "search PATH is engine-stable and the DuckDB oracle (Lloyd CTEs + "
     "graph build + hop-unrolled beam) hash-checks the approximation "

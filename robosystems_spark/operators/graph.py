@@ -1433,8 +1433,24 @@ def betweenness_centrality(
         "s", "v", "sigma", F.lit(0).cast("long").alias("dint")
     )
     parts = [dcur]
+    # Overflow guard (ADVICE r10, medium): sigma is a bounded-depth
+    # PATH COUNT that can reach degree^depth on dense graphs, so the
+    # lattice product (lattice + dint) * sigma can exceed BIGINT —
+    # non-ANSI Spark would wrap silently while DuckDB errors, i.e.
+    # wrong values plus cross-engine divergence.  try_add/try_multiply
+    # turn the wrap into NULL, and raise_error makes it LOUD: the
+    # operator contract is "fits the 63-bit lattice or fails", the
+    # same behavior the oracle engine exhibits.
+    _prod = (
+        f"try_multiply(try_add(CAST({lattice} AS BIGINT), _dw), sigma)"
+    )
     term = F.expr(
-        f"((CAST({lattice} AS BIGINT) + _dw) * sigma) div _sw"
+        f"CASE WHEN {_prod} IS NULL THEN "
+        "raise_error('betweenness_centrality: integer-lattice overflow"
+        " — (lattice + dint) * sigma exceeds BIGINT (sigma grows like"
+        " degree^depth on dense graphs); lower `lattice` or"
+        " `max_depth`') "
+        f"ELSE {_prod} div _sw END"
     )
     for d in range(max_depth - 1, 0, -1):
         succ = dcur.select(

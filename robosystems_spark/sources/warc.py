@@ -56,18 +56,30 @@ def build_warc(records: list[dict], per_record_gzip: bool = False) -> bytes:
 
     Each record dict: ``{warc_type, target_uri?, date?, record_id?,
     content_type?, payload: bytes}``.  Deterministic: records with no
-    ``record_id`` get ``<urn:uuid:{md5-of-payload}>`` — same input,
-    same bytes, so fixtures hash-pin like the codec goldens.
+    ``record_id`` get ``<urn:uuid:{md5 of (index, target-uri, date,
+    payload)}>`` — same input, same bytes, so fixtures hash-pin like
+    the codec goldens, while two records with IDENTICAL payloads
+    (e.g. re-fetches of the same page during re-sharding) still get
+    DISTINCT ids, as ISO 28500 requires per record (ADVICE r10: a
+    payload-only hash violated that uniqueness).
     """
     out = io.BytesIO()
-    for rec in records:
+    for idx, rec in enumerate(records):
         payload = rec["payload"]
         rid = rec.get("record_id")
         if rid is None:
             import hashlib
 
+            seed = (
+                str(idx).encode()
+                + b"|"
+                + rec.get("target_uri", "").encode("utf-8")
+                + b"|"
+                + rec.get("date", "").encode("utf-8")
+                + b"|"
+            )
             rid = "<urn:uuid:%s>" % uuid.UUID(
-                hashlib.md5(payload).hexdigest()
+                hashlib.md5(seed + payload).hexdigest()
             )
         headers = [
             ("WARC-Type", rec.get("warc_type", "response")),

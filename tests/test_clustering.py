@@ -635,3 +635,29 @@ def test_scc_distributed_path_matches_endgame(spark, monkeypatch):
         base += size
     truth += [(100, 100), (101, 101)]
     assert expected == sorted(truth)
+
+
+def test_betweenness_lattice_overflow_raises(spark):
+    """ADVICE r10 (medium): (lattice + dint) * sigma is BIGINT; on
+    inputs where it would exceed 2^63-1 the operator must raise loudly
+    (matching DuckDB's overflow error) instead of wrapping silently in
+    non-ANSI Spark.  A huge `lattice` makes a tiny path graph trigger
+    the product overflow deterministically."""
+    import pytest as _pytest
+
+    from robosystems_spark.operators.graph import betweenness_centrality
+
+    # diamond + tail: sigma(3 from 0) = 2 with node 3 mid-path, so the
+    # backward term multiplies (lattice + dint) by sigma(v)=2 and
+    # crosses 2^63 at lattice = 5e18
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4)], ["src", "dst"]
+    )
+    sources = spark.createDataFrame([(0,)], ["s"])
+    with _pytest.raises(Exception, match="integer-lattice overflow"):
+        betweenness_centrality(
+            edges, sources, max_depth=3, lattice=5 * 10**18
+        ).collect()
+    # sane lattice on the same graph still works
+    out = betweenness_centrality(edges, sources, max_depth=3).collect()
+    assert len(out) > 0

@@ -383,3 +383,29 @@ def test_domain_caps_bounds_and_determinism(spark):
         assert sorted(r["doc_id"] for r in rs) == sorted(
             [i for i in range(20) if f"site{i % 2}.com" == dom]
         )[:3]
+
+
+def test_build_warc_duplicate_payloads_get_distinct_record_ids():
+    """ADVICE r10: WARC-Record-ID derived from md5(payload) alone gave
+    two identical payloads (same-page re-fetches) duplicate ids,
+    violating ISO 28500 per-record uniqueness.  The id now mixes the
+    record index + target URI + date, staying deterministic."""
+    from robosystems_spark.sources.warc import build_warc, iter_warc_records
+
+    recs = [
+        {
+            "warc_type": "response",
+            "target_uri": "http://x.example/a",
+            "payload": b"same bytes",
+        },
+        {
+            "warc_type": "response",
+            "target_uri": "http://x.example/a",
+            "payload": b"same bytes",
+        },
+    ]
+    blob = build_warc(recs)
+    ids = [r["headers"]["warc-record-id"] for r in iter_warc_records(blob)]
+    assert len(ids) == 2 and ids[0] != ids[1]
+    # deterministic: same input -> same bytes
+    assert build_warc(recs) == blob
