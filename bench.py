@@ -54,6 +54,26 @@ def main() -> None:
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     spread: dict[str, float] = {}
 
+    def _canary() -> float:
+        """Fixed-work calibration: a constant 1e8-row whole-stage-codegen
+        aggregate, median of 3.  Pure CPU, no IO, no Python — its time
+        depends ONLY on available cycles, so a contended box shows up as
+        an inflated canary (r10's driver bench ran 1.55x slow purely
+        from box load; cross-checking BENCH_SWEEP was the only tell).
+        Timed FIRST and LAST: compare canary_first/canary_last between
+        rounds (and to the ~0.1-0.2 s idle-box figure) before reading
+        any query delta as a regression."""
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spark.range(100_000_000).selectExpr(
+                "sum(id * 2 + 1) as s"
+            ).collect()
+            samples.append(time.perf_counter() - t0)
+        return round(statistics.median(samples), 3)
+
+    canary_first = _canary()
+
     def _quiesce() -> None:
         # De-noise between queries: drop cached blocks + localCheckpoint
         # RDDs left by earlier entries and force a JVM GC, so later
@@ -90,6 +110,7 @@ def main() -> None:
             print(f"# bench error in {name}: {type(exc).__name__}: {exc}", file=sys.stderr)
             timings[name] = -1.0
 
+    canary_last = _canary()
     total = round(sum(t for t in timings.values() if t > 0), 3)
     # Diagnostics go to STDERR: the driver keeps only a ~2000-char tail
     # of stdout, and the r5 artifact was unparseable because the spread
@@ -118,6 +139,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # fixed-work contamination canary (see _canary): if
+                # these exceed ~2x the idle-box figure recorded in
+                # README.md, the whole artifact ran contended
+                "canary_first": canary_first,
+                "canary_last": canary_last,
             },
             separators=(",", ":"),
         )
