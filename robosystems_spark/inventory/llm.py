@@ -999,6 +999,43 @@ def embedding_nsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_hnsw_topk",
+    oracle=__import__(
+        "robosystems_spark.operators.ann_graph", fromlist=["hnsw_oracle_sql"]
+    ).hnsw_oracle_sql(
+        num_centroids=8, iters=2, dim=64, M=8, nb=3, k=10, ef=20, hops=4,
+        level_mods=(8, 64), descent_beam=4, descent_hops=1, n_queries=3,
+    ),
+    doc="HNSW (Malkov & Yashunin 2016): md5-seeded geometric level "
+    "draws (nested ~n/8 and ~n/64 layers, deterministic in any "
+    "engine) with one blocked k-NN graph per layer; search enters at "
+    "every top-layer member, descends with a narrow beam (width 4, "
+    "one expansion per upper layer), then runs the standard ef=20 "
+    "4-hop beam on the base layer.  The DuckDB oracle unrolls the "
+    "Lloyd training, all three layer builds, the descent, and the "
+    "base search — the hierarchy's exact output is hash-checked.",
+    tags=("similarity",),
+)
+def embedding_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from robosystems_spark.operators.ann_graph import (
+        build_hnsw_graphs,
+        hnsw_topk,
+    )
+
+    emb = _emb(spark, sf_dir)
+    graphs = build_hnsw_graphs(
+        emb, _ivf_centroids(spark, sf_dir, 8), M=8, nb=3, level_mods=(8, 64)
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return hnsw_topk(
+        emb, graphs, queries, k=10, ef=20, hops=4, level_mods=(8, 64),
+        descent_beam=4, descent_hops=1,
+    )
+
+
+@register(
     "embedding_nsw_recall_at_k",
     oracle=f"""
     WITH allsims AS (

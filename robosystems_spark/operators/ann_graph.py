@@ -56,6 +56,10 @@ __all__ = [
     "nsw_oracle_sql",
     "nsw_write_index",
     "nsw_topk_indexed",
+    "hnsw_level_hash",
+    "build_hnsw_graphs",
+    "hnsw_topk",
+    "hnsw_oracle_sql",
 ]
 
 
@@ -512,5 +516,293 @@ SELECT query_id, nn_id, cosine, rank FROM (
            PARTITION BY query_id ORDER BY cosine DESC, nn_id ASC
          ) AS INT) AS rank
   FROM v{hops}
+) WHERE rank <= {k}"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# HNSW: hierarchical layers atop the NSW base graph (Malkov & Yashunin
+# 2016).  Levels come from a DETERMINISTIC md5 draw (the repo's
+# seed:key discipline — bit-identical in any engine), so the hierarchy
+# — and therefore the search path and the approximation's exact output
+# — is hash-oracle-able like the flat NSW entry.
+# ---------------------------------------------------------------------------
+
+
+def hnsw_level_hash(id_col: str | Column) -> Column:
+    """The per-node level-draw hash: a 60-bit integer from
+    ``md5(cast(id as string))`` — ``h % mod == 0`` selects a ~1/mod
+    subset, and nested mods (8, 64, ...) give geometrically thinning
+    NESTED layers, the HNSW level distribution with p = 1/8 per level
+    instead of a float RNG (deterministic, engine-portable)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def build_hnsw_graphs(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    M: int = 8,
+    nb: int = 3,
+    level_mods: tuple[int, ...] = (8, 64),
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[DataFrame]:
+    """One blocked k-NN graph per layer: index 0 is the full-corpus
+    NSW base layer; index l >= 1 covers the nodes whose level hash is
+    divisible by ``level_mods[l-1]`` (nested subsets, ~n/8, ~n/64...).
+    Same centroids, same M/nb at every layer — upper layers are just
+    sparser, the long-range express lanes of the hierarchy."""
+    graphs = [
+        build_nsw_graph(
+            corpus, centroids, M=M, nb=nb, vec_col=vec_col, id_col=id_col
+        )
+    ]
+    h = hnsw_level_hash(id_col)
+    for mod in level_mods:
+        sub = corpus.filter(h % mod == 0)
+        graphs.append(
+            build_nsw_graph(
+                sub, centroids, M=M, nb=nb, vec_col=vec_col, id_col=id_col
+            )
+        )
+    return graphs
+
+
+def hnsw_topk(
+    corpus: DataFrame,
+    graphs: list[DataFrame],
+    queries: DataFrame,
+    k: int = 10,
+    ef: int = 20,
+    hops: int = 4,
+    level_mods: tuple[int, ...] = (8, 64),
+    descent_beam: int = 4,
+    descent_hops: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Hierarchical beam search: enter at the TOP layer (all its ~n/64
+    members scored — the medoid-set analog, O(n / top_mod) instead of
+    the flat NSW's O(n / stride) entries), descend layer by layer with
+    a narrow beam (``descent_beam``, ``descent_hops`` expansions per
+    upper layer), then run the standard ``ef``-beam ``hops``-hop search
+    on the base layer seeded by everything the descent visited.
+    Returns (query_id, nn_id, cosine, rank), rank <= k over ALL visited
+    nodes.  Never cartesian: queries broadcast (bounded batch), every
+    expansion is an equi-join on node id."""
+    vecs = corpus.select(
+        F.col(id_col).alias("nn_id"), F.col(vec_col).alias("_cv")
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    layer_edges = []
+    for g in graphs:
+        e = materialize(g.select("src", "dst"))
+        if e.count() <= 2_000_000:
+            e = F.broadcast(e)
+        layer_edges.append(e)
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("nn_id")
+    )
+    top_mod = level_mods[-1]
+    entries = vecs.filter(
+        hnsw_level_hash(F.col("nn_id")) % top_mod == 0
+    )
+    visited = materialize(
+        entries.crossJoin(F.broadcast(q)).select(
+            "query_id", "nn_id", V.cosine("_cv", "_qv").alias("cosine")
+        )
+    )
+
+    def expand(edges, beam_width: int, n_hops: int):
+        nonlocal visited
+        for _ in range(n_hops):
+            beam = (
+                visited.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= beam_width)
+                .drop("_rn")
+            )
+            frontier = (
+                beam.join(edges, beam["nn_id"] == edges["src"])
+                .select("query_id", F.col("dst").alias("nn_id"))
+                .distinct()
+            )
+            fresh = frontier.join(
+                F.broadcast(visited), ["query_id", "nn_id"], "left_anti"
+            )
+            scored = (
+                fresh.join(vecs, "nn_id")
+                .join(F.broadcast(q), "query_id")
+                .select(
+                    "query_id",
+                    "nn_id",
+                    V.cosine("_cv", "_qv").alias("cosine"),
+                )
+            )
+            visited = materialize(visited.unionByName(scored))
+
+    # descent: upper layers, top-down, narrow beam
+    for layer in range(len(level_mods), 0, -1):
+        expand(layer_edges[layer], descent_beam, descent_hops)
+    # base layer: the full beam search, seeded by the descent's visited
+    expand(layer_edges[0], ef, hops)
+    return (
+        visited.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nn_id", "cosine", "rank")
+    )
+
+
+def hnsw_oracle_sql(
+    num_centroids: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    M: int = 8,
+    nb: int = 3,
+    k: int = 10,
+    ef: int = 20,
+    hops: int = 4,
+    level_mods: tuple[int, ...] = (8, 64),
+    descent_beam: int = 4,
+    descent_hops: int = 1,
+    n_queries: int = 3,
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_decimals: int = 9,
+) -> str:
+    """DuckDB SQL twin of ``build_hnsw_graphs`` + ``hnsw_topk`` — the
+    shared Lloyd CTEs, one blocked-graph build PER LAYER (the upper
+    layers filtered by the md5 level hash), the top-layer entry scan,
+    the narrow-beam descent, and the base-layer beam search, all
+    unrolled.  The hierarchy's exact output is hash-checked."""
+    from robosystems_spark.operators import clustering as CL
+
+    vec_fmt = f"CAST({{e}}{vec_col} AS DOUBLE[])"
+    elem_fmt = f"CAST({{e}}{vec_col}[gs.pos] AS DOUBLE)"
+    parts, cent = CL.lloyd_ctes(
+        "hnsw_", num_centroids, iters, dim, table, vec_fmt, elem_fmt,
+        id_col, round_decimals, metric="cosine",
+    )
+    vec_e = vec_fmt.format(e="e.")
+    cos = (
+        "ROUND(LIST_COSINE_SIMILARITY(CAST({a} AS DOUBLE[]),"
+        " CAST({b} AS DOUBLE[])), 6)"
+    )
+    hexpr = (
+        f"('0x' || SUBSTR(MD5(CAST({{e}}{id_col} AS VARCHAR)), 1, 15))"
+        "::BIGINT"
+    )
+    # one blocked graph per layer; layer 0 = whole corpus
+    mods = [None] + list(level_mods)
+    for lyr, mod in enumerate(mods):
+        where = (
+            "" if mod is None
+            else f"WHERE {hexpr.format(e='e.')} % {mod} = 0"
+        )
+        parts.append(
+            f"""memb{lyr} AS (
+  SELECT {id_col} AS id, cid FROM (
+    SELECT e.{id_col}, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.{id_col}
+             ORDER BY LIST_COSINE_SIMILARITY({vec_e}, c.cvec) DESC, c.cid
+           ) AS rn
+    FROM {table} e CROSS JOIN {cent} c {where}
+  ) WHERE rn <= {nb}
+)"""
+        )
+        parts.append(
+            f"""cand{lyr} AS (
+  SELECT DISTINCT a.id AS src, b.id AS dst
+  FROM memb{lyr} a JOIN memb{lyr} b USING (cid)
+  WHERE a.id <> b.id
+)"""
+        )
+        parts.append(
+            f"""gr{lyr} AS (
+  SELECT src, dst FROM (
+    SELECT c.src, c.dst,
+           ROW_NUMBER() OVER (
+             PARTITION BY c.src
+             ORDER BY {cos.format(a=f"s.{vec_col}", b=f"d.{vec_col}")} DESC,
+                      c.dst
+           ) AS rn
+    FROM cand{lyr} c
+    JOIN {table} s ON s.{id_col} = c.src
+    JOIN {table} d ON d.{id_col} = c.dst
+  ) WHERE rn <= {M}
+)"""
+        )
+    parts.append(
+        f"""qq AS (
+  SELECT {id_col} AS query_id, {vec_col} AS qv
+  FROM {table} WHERE {id_col} < {n_queries}
+)"""
+    )
+    # entries: every member of the TOP layer
+    parts.append(
+        f"""v0 AS (
+  SELECT q.query_id, e.{id_col} AS nn_id,
+         {cos.format(a=f"e.{vec_col}", b="q.qv")} AS cosine
+  FROM {table} e CROSS JOIN qq q
+  WHERE {hexpr.format(e='e.')} % {level_mods[-1]} = 0
+)"""
+    )
+
+    def beam(src: str, name: str, width: int) -> str:
+        return f"""{name} AS (
+  SELECT query_id, nn_id, cosine FROM (
+    SELECT query_id, nn_id, cosine,
+           ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY cosine DESC, nn_id
+           ) AS rn
+    FROM {src}
+  ) WHERE rn <= {width}
+)"""
+
+    # hop schedule mirroring hnsw_topk: descent over upper layers
+    # top-down (narrow beam), then the base-layer ef search
+    schedule = []
+    for layer in range(len(level_mods), 0, -1):
+        schedule += [(layer, descent_beam)] * descent_hops
+    schedule += [(0, ef)] * hops
+    t = 0
+    for layer, width in schedule:
+        parts.append(beam(f"v{t}", f"b{t}", width))
+        parts.append(
+            f"""s{t + 1} AS (
+  SELECT n.query_id, n.nn_id,
+         {cos.format(a=f"e.{vec_col}", b="q.qv")} AS cosine
+  FROM (SELECT DISTINCT b.query_id, g.dst AS nn_id
+        FROM b{t} b JOIN gr{layer} g ON g.src = b.nn_id) n
+  JOIN {table} e ON e.{id_col} = n.nn_id
+  JOIN qq q ON q.query_id = n.query_id
+)"""
+        )
+        parts.append(
+            f"""v{t + 1} AS (
+  SELECT DISTINCT query_id, nn_id, cosine FROM (
+    SELECT * FROM v{t} UNION ALL SELECT * FROM s{t + 1}
+  )
+)"""
+        )
+        t += 1
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT query_id, nn_id, cosine, rank FROM (
+  SELECT query_id, nn_id, cosine,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, nn_id ASC
+         ) AS INT) AS rank
+  FROM v{t}
 ) WHERE rank <= {k}"""
     )

@@ -153,3 +153,85 @@ def test_nsw_indexed_matches_inmemory_and_prunes(spark, sf_dir, emb, centroids, 
     pruned = [f for f in pf if "bucket" in f]
     assert pruned, plan[:2000]
     assert all("bucket" in f for f in pf if f.strip()), pf
+
+
+# -- HNSW hierarchy (r11) -----------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def hgraphs(emb, centroids):
+    from robosystems_spark.operators.ann_graph import build_hnsw_graphs
+
+    gs = [g.cache() for g in build_hnsw_graphs(emb, centroids, M=8, nb=3)]
+    for g in gs:
+        g.count()
+    yield gs
+    for g in gs:
+        g.unpersist()
+
+
+def test_hnsw_layers_are_nested_and_thinner(emb, hgraphs):
+    """Upper layers cover geometrically thinner NESTED node subsets."""
+    from robosystems_spark.operators.ann_graph import hnsw_level_hash
+
+    n = emb.count()
+    sizes = [
+        g.select("src").distinct().count() for g in hgraphs
+    ]
+    assert sizes[0] > sizes[1] > sizes[2] >= 1
+    assert sizes[1] < n / 4  # ~n/8 draw
+    # nested: every layer-2 node hash-qualifies for layer 1 too
+    h = hnsw_level_hash(F.col("vec_id"))
+    l2 = emb.filter(h % 64 == 0)
+    assert l2.filter(~(h % 8 == 0)).count() == 0
+
+
+def test_hnsw_recall_meets_nsw_at_equal_ef(spark, sf_dir, emb, centroids, hgraphs):
+    """VERDICT r10 item 6 gate: HNSW recall@10 >= flat NSW at equal
+    ef/hops/k (exact brute-force top-10 as ground truth)."""
+    from robosystems_spark.operators.ann_graph import hnsw_topk
+
+    q = _queries(emb)
+    # exact ground truth: brute-force cosine top-10 per query
+    from robosystems_spark.functions import vector as V
+
+    exact = (
+        emb.crossJoin(F.broadcast(q.select(F.col("query_id"), F.col("embedding").alias("_qv"))))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("nn_id"),
+            V.cosine("embedding", "_qv").alias("cosine"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nn_id"))
+    truth = {
+        (r["query_id"], r["nn_id"])
+        for r in exact.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .collect()
+    }
+    hns = {
+        (r["query_id"], r["nn_id"])
+        for r in hnsw_topk(emb, hgraphs, q, k=10, ef=20, hops=4).collect()
+    }
+    nsw = {
+        (r["query_id"], r["nn_id"])
+        for r in nsw_topk(
+            emb, hgraphs[0], q, k=10, ef=20, hops=4, entry_stride=8
+        ).collect()
+    }
+    hnsw_recall = len(hns & truth) / len(truth)
+    nsw_recall = len(nsw & truth) / len(truth)
+    assert hnsw_recall >= nsw_recall, (hnsw_recall, nsw_recall)
+    assert hnsw_recall >= 0.9
+
+
+def test_hnsw_deterministic_across_runs(emb, hgraphs):
+    from robosystems_spark.operators.ann_graph import hnsw_topk
+
+    a = sorted(map(tuple, hnsw_topk(emb, hgraphs, _queries(emb)).collect()))
+    b = sorted(map(tuple, hnsw_topk(emb, hgraphs, _queries(emb)).collect()))
+    assert a == b and len(a) == 30
