@@ -396,3 +396,152 @@ def crawl_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_caps(_fixture_urls(spark, sf_dir), cap=5).orderBy(
         "doc_id"
     )
+
+
+def _curation_oracle() -> str:
+    """Composed-funnel oracle: the closed-form extracted text
+    ('Section k' + newline + body, pinned by the extraction goldens),
+    the registered domain from the URL fixture, the Gopher word gate,
+    RefinedWeb domain caps, and the FULL minhash oracle (nested WITH,
+    table = the cap survivors) for the dedup stage."""
+    from robosystems_spark.operators.dedup import minhash_oracle_sql
+
+    inner = minhash_oracle_sql(threshold=0.7, table="surv")
+    return rf"""
+    WITH ex AS (
+      SELECT doc_id,
+             'Section ' || CAST(doc_id % 7 AS VARCHAR) || chr(10) || text
+               AS text,
+             CAST(2 + LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS INTEGER)
+               AS n_words,
+             'domain' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS domain
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, text, n_words, domain, n_words >= 50 AS quality_pass
+      FROM ex
+    ),
+    capr AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY domain ORDER BY doc_id)
+                  AS INTEGER) AS domain_rank
+      FROM q WHERE quality_pass
+    ),
+    surv AS (
+      SELECT q.doc_id, q.text
+      FROM q JOIN capr c USING (doc_id)
+      WHERE c.domain_rank <= 5
+    ),
+    pairs AS (SELECT doc_a, doc_b FROM ({inner}) mp),
+    dup AS (
+      SELECT doc_b AS doc_id, MIN(doc_a) AS dup_of
+      FROM pairs GROUP BY doc_b
+    )
+    SELECT q.doc_id,
+           q.domain AS registered_domain,
+           q.n_words,
+           q.quality_pass,
+           c.domain_rank,
+           COALESCE(c.domain_rank <= 5, FALSE) AS cap_pass,
+           d.dup_of,
+           (q.quality_pass AND COALESCE(c.domain_rank <= 5, FALSE)
+            AND d.dup_of IS NULL) AS kept
+    FROM q
+    LEFT JOIN capr c USING (doc_id)
+    LEFT JOIN dup d USING (doc_id)
+    ORDER BY q.doc_id
+    """
+
+
+@register(
+    "crawl_curation_pipeline",
+    oracle=_curation_oracle(),
+    doc="The COMPOSED crawl front door as one funnel (r10 verdict item "
+    "7, mirroring examples/crawl_pipeline_demo.py): WARC bytes -> real "
+    "record walk -> real HTML main-text extraction -> URL "
+    "canonicalization + registered domain -> Gopher word gate (>= 50) "
+    "-> RefinedWeb per-domain caps (5) -> MinHash(64)+LSH(16) near-dup "
+    "drop (keep the min id of each pair).  Per-document verdict row "
+    "with every stage's flag, hash-checked end-to-end: the oracle "
+    "replays extraction closed-form and the whole minhash pipeline "
+    "over the cap survivors in DuckDB.",
+    tags=("crawl", "text", "dedup"),
+    bench=True,
+)
+def crawl_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from robosystems_spark.operators.dedup import minhash_near_duplicates
+    from robosystems_spark.operators.html import extract_main_text
+    from robosystems_spark.operators.urls import registered_domain
+    from pyspark.sql.window import Window
+
+    docs = _doc_texts(spark, sf_dir)
+
+    def run(it):
+        for pdf in it:
+            rows = _warc_blob_rows(pdf, _page, "text/html")
+            ids, texts = [], []
+            for r in rows:
+                ids.append(int(r[4].rsplit("/", 1)[1]))
+                texts.append(
+                    extract_main_text(r[10].decode("utf-8"))["text"]
+                )
+            yield pd.DataFrame({"doc_id": ids, "text": texts})
+
+    extracted = docs.mapInPandas(
+        run,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+            ]
+        ),
+    )
+    urls = _fixture_urls(spark, sf_dir).select(
+        "doc_id", registered_domain("url").alias("registered_domain")
+    )
+    n_words = F.size(F.split(F.col("text"), r"\s+"))
+    q = extracted.join(urls, "doc_id").select(
+        "doc_id",
+        "text",
+        "registered_domain",
+        n_words.cast("int").alias("n_words"),
+        (n_words >= F.lit(50)).alias("quality_pass"),
+    )
+    w = Window.partitionBy("registered_domain").orderBy("doc_id")
+    capr = (
+        q.filter("quality_pass")
+        .withColumn("domain_rank", F.row_number().over(w).cast("int"))
+        .select("doc_id", "domain_rank")
+    )
+    surv = (
+        q.join(capr, "doc_id")
+        .filter(F.col("domain_rank") <= 5)
+        .select("doc_id", "text")
+    )
+    pairs = minhash_near_duplicates(surv, threshold=0.7)
+    dup = pairs.groupBy(F.col("doc_b").alias("doc_id")).agg(
+        F.min("doc_a").alias("dup_of")
+    )
+    return (
+        q.join(capr, "doc_id", "left")
+        .join(dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            "registered_domain",
+            "n_words",
+            "quality_pass",
+            "domain_rank",
+            F.coalesce(F.col("domain_rank") <= 5, F.lit(False)).alias(
+                "cap_pass"
+            ),
+            "dup_of",
+            (
+                F.col("quality_pass")
+                & F.coalesce(F.col("domain_rank") <= 5, F.lit(False))
+                & F.col("dup_of").isNull()
+            ).alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
