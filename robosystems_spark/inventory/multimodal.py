@@ -963,21 +963,25 @@ def multimodal_gif_animation_stats(spark: SparkSession, sf_dir: str) -> DataFram
            CAST(0 AS INTEGER) AS progressive_diff,
            CAST(0 AS INTEGER) AS noninterleaved_diff,
            CAST(0 AS INTEGER) AS restart_diff,
+           CAST(0 AS INTEGER) AS prog12_diff,
            TRUE AS within_bound
     FROM documents
     WHERE doc_id < {_N_DOCS}
     ORDER BY doc_id
     """,
     doc="JPEG scan-organization equivalence, proven INSIDE the Spark "
-    "pipeline: per document, encode the same image four ways — "
+    "pipeline: per document, encode the same image five ways — "
     "interleaved baseline, progressive SOF2 (spectral selection + "
     "successive approximation), non-interleaved baseline (one SOS "
-    "per component), and progressive with restart intervals — and "
-    "decode all four.  The quantized coefficients are identical by "
-    "construction, so every variant must decode to EXACTLY the "
-    "baseline pixels: the oracle pins all three max-abs-diffs to 0. "
-    "Any entropy-coding divergence (EOBRUN, refinement bits, RSTn "
-    "re-sync, per-scan predictors) flips a diff and the hash.",
+    "per component), progressive with restart intervals, and (r11) "
+    "12-BIT progressive vs 12-bit extended-sequential — and decode "
+    "all of them.  The quantized coefficients are identical by "
+    "construction within each precision, so every variant must "
+    "decode to EXACTLY its baseline's pixels: the oracle pins all "
+    "four max-abs-diffs to 0.  Any entropy-coding divergence "
+    "(EOBRUN, refinement bits, RSTn re-sync, per-scan predictors, "
+    "extended DC/AC tables, 2048 level shift) flips a diff and the "
+    "hash.",
     tags=("multimodal",),
 )
 def multimodal_jpeg_scan_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1013,6 +1017,22 @@ def multimodal_jpeg_scan_equivalence(spark: SparkSession, sf_dir: str) -> DataFr
                     diffs[key] = int(
                         np.abs(decode_jpeg(data).astype(int) - base).max()
                     )
+                # 12-bit multi-scan: progressive SOF2 at precision 12
+                # must decode to the 12-bit extended-sequential pixels
+                px12 = (
+                    (int(did) * 571 + 13 * np.arange(w * h * 3)) % 4096
+                ).astype(np.uint16).reshape(h, w, 3)
+                base12 = decode_jpeg(encode_jpeg(px12, precision=12)).astype(
+                    int
+                )
+                diffs["prog12_diff"] = int(
+                    np.abs(
+                        decode_jpeg(
+                            encode_jpeg_progressive(px12, precision=12)
+                        ).astype(int)
+                        - base12
+                    ).max()
+                )
                 rows.append(
                     {
                         "doc_id": did,
@@ -1032,6 +1052,7 @@ def multimodal_jpeg_scan_equivalence(spark: SparkSession, sf_dir: str) -> DataFr
                     T.StructField("progressive_diff", T.IntegerType()),
                     T.StructField("noninterleaved_diff", T.IntegerType()),
                     T.StructField("restart_diff", T.IntegerType()),
+                    T.StructField("prog12_diff", T.IntegerType()),
                     T.StructField("within_bound", T.BooleanType()),
                 ]
             ),

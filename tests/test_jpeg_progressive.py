@@ -192,3 +192,68 @@ def test_noninterleaved_baseline_equals_interleaved(h, w, sub):
         else encode_jpeg_noninterleaved(img, subsample=sub)
     )
     assert data.count(b"\xff\xda") == (1 if sub is None else 3)
+
+
+# -- 12-bit multi-scan (r10 verdict item 9) -----------------------------------
+
+
+def _px12(h=24, w=16):
+    import numpy as np
+
+    return (
+        ((np.arange(h * w * 3) * 137 + 41) % 4096)
+        .astype(np.uint16)
+        .reshape(h, w, 3)
+    )
+
+
+def test_progressive_12bit_matches_extended_sequential():
+    """12-bit SOF2 (extended DC categories, full-EOBn AC table, 2048
+    level shift, 16-bit DQT) decodes to EXACTLY the 12-bit
+    extended-sequential pixels — the composition that used to raise."""
+    import numpy as np
+
+    from robosystems_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    px = _px12()
+    base = decode_jpeg(encode_jpeg(px, precision=12)).astype(int)
+    for variant in (
+        encode_jpeg_progressive(px, precision=12),
+        encode_jpeg_progressive(px, precision=12, restart_interval=2),
+        encode_jpeg_progressive(px, precision=12, subsample=True),
+    ):
+        got = decode_jpeg(variant).astype(int)
+        ref = base
+        if variant is not None and got.shape != base.shape:
+            raise AssertionError("shape")
+        # subsample variant compares against the subsampled baseline
+        if variant == encode_jpeg_progressive(px, precision=12, subsample=True):
+            ref = decode_jpeg(encode_jpeg(px, precision=12, subsample=True)).astype(int)
+        assert np.abs(got - ref).max() == 0
+
+
+def test_progressive_12bit_grayscale_and_stream_shape():
+    import numpy as np
+
+    from robosystems_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    g = (((np.arange(24 * 16) * 59 + 3) % 4096).astype(np.uint16)).reshape(
+        24, 16
+    )
+    data = encode_jpeg_progressive(g, precision=12)
+    # stream really is 12-bit SOF2 with Pq=1 DQT
+    assert b"\xff\xc2" in data
+    sof_at = data.index(b"\xff\xc2")
+    assert data[sof_at + 4] == 12  # precision byte
+    dqt_at = data.index(b"\xff\xdb")
+    assert data[dqt_at + 4] & 0xF0 == 0x10  # Pq=1: 16-bit entries
+    base = decode_jpeg(encode_jpeg(g, precision=12)).astype(int)
+    assert np.abs(decode_jpeg(data).astype(int) - base).max() == 0
