@@ -100,18 +100,34 @@ def test_ann_paths_are_arrow_vectorized_not_row_at_a_time(spark, sf_dir):
         assert "BatchEvalPython" not in plan, f"{name} fell back to a row UDF"
         assert "ArrowEvalPython" in plan, f"{name} lost Arrow vectorization"
         assert "zip_with" not in plan, f"{name} still has interpreted zip_with"
-    # NSW materializes per hop, so its FINAL plan is a window over a
-    # checkpoint scan; the UDF discipline is pinned on the graph-build
-    # plan (where the pair cosines actually run)
-    from robosystems_spark.inventory.llm import _ivf_centroids
+    # NSW materializes per hop AND eagerly materializes the scored
+    # half inside the build (r11), so its FINAL plan is a window over
+    # a checkpoint scan; the UDF discipline is pinned on the pair
+    # SCORING plan (where the cosines actually run): the broadcast
+    # path is one MapInPandas over slim id pairs, the join fallback is
+    # an ArrowEvalPython of the fused cosine — never a row UDF, never
+    # interpreted zip_with
+    import robosystems_spark.operators.ann_graph as AG
+    from pyspark.sql import functions as F
+
     from robosystems_spark.io import read_table
-    from robosystems_spark.operators.ann_graph import build_nsw_graph
 
     emb = read_table(spark, sf_dir, "embeddings")
-    plan = plan_of(build_nsw_graph(emb, _ivf_centroids(spark, sf_dir, 8)))
-    assert "BatchEvalPython" not in plan
-    assert "ArrowEvalPython" in plan
-    assert "zip_with" not in plan
+    pairs = emb.select(F.col("vec_id").alias("src")).crossJoin(
+        emb.select(F.col("vec_id").alias("dst")).limit(4)
+    )
+    for cap in (AG._BROADCAST_VEC_MAX, 0):  # broadcast path, join path
+        saved = AG._BROADCAST_VEC_MAX
+        AG._BROADCAST_VEC_MAX = cap
+        try:
+            plan = plan_of(
+                AG._score_pairs(emb, pairs, "embedding", "vec_id")
+            )
+        finally:
+            AG._BROADCAST_VEC_MAX = saved
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+        assert "zip_with" not in plan
 
 
 def test_kmeans_lloyd_means_have_partial_aggregation(spark, sf_dir):
