@@ -2028,15 +2028,20 @@ def _fb_min_label_fixpoint(
     plus itself, ``b`` to the same over its DESCENDANTS.  Fusing the
     two directions into a single frame halves the sequential job chain
     vs two independent fixpoint loops (one union+groupBy-min and one
-    change check per iteration instead of two of each).  Each
-    iteration also POINTER-JUMPS: ``f(v)`` is an ancestor of ``v``,
-    so ``f(f(v))`` is too (symmetrically ``b(b(v))`` a descendant);
-    composing the MATERIALIZED label table with itself doubles the
-    propagated distance per iteration — O(log diameter) iterations on
-    chains instead of O(diameter).  The self-joins read the previous
-    iteration's checkpoint, never a growing lazy plan, so there is no
-    recompute blow-up; every iteration ends in one groupBy-min, so
-    row counts stay bounded by |V| — this is NOT path enumeration.
+    change check per iteration instead of two of each).
+
+    Convergence is O(diameter of the remaining subgraph) iterations —
+    the GraphX-class bound.  Pointer jumping (folding ``f(f(v))`` in
+    via a label-table self-join) would make chains O(log diameter),
+    but was measured to EXPLODE here: executing a plan that self-joins
+    a materialized frame cascades upstream recompute ~4x per iteration
+    under BOTH materialize backends (localCheckpoint and diskPersist;
+    n=100 ring: 0.5s/iter -> 61s by iteration 14), so the jump was
+    removed.  In practice the distributed fixpoint only ever peels
+    remainders ABOVE the MultiStep endgame's broadcast budget (> 4M
+    nodes), where real graphs (web/citation/social) have small
+    diameters; a > 4M-node chain-shaped condensation is the documented
+    slow case.
 
     ``max_iters`` is a soft target, NOT a truncation point: labels must
     reach the fixpoint for SCC peeling to be correct (a non-converged
@@ -2059,22 +2064,9 @@ def _fb_min_label_fixpoint(
         bwd = edges.join(
             bc(labels.select(F.col("node").alias("dst"), "b")), "dst"
         ).select(F.col("src").alias("node"), "b")
-        jmp = (
-            labels.select(
-                "node", F.col("f").alias("jf"), F.col("b").alias("jb")
-            )
-            .join(
-                bc(labels.select(F.col("node").alias("jf"), "f")), "jf"
-            )
-            .join(
-                bc(labels.select(F.col("node").alias("jb"), "b")), "jb"
-            )
-            .select("node", "f", "b")
-        )
         new_labels = (
             labels.unionByName(fwd, allowMissingColumns=True)
             .unionByName(bwd, allowMissingColumns=True)
-            .unionByName(jmp)
             .groupBy("node")
             .agg(F.min("f").alias("f"), F.min("b").alias("b"))
             .transform(materialize)

@@ -78,11 +78,19 @@ def main() -> None:
         cust = read_table(spark, sf_dir, "customer").select(
             F.col("c_custkey").cast("long").alias("src")
         )
-        n = cust.count()
+        # Fixed-diameter graph: n/32 disjoint 32-cycles.  Min-label
+        # fixpoints converge in O(diameter) iterations, so the honest
+        # scale experiment holds the diameter FIXED and grows the DATA
+        # 10x — the web-graph shape (small diameter, huge n).  A
+        # single giant cycle or a broken-cycle chain instead measures
+        # the documented O(diameter) iteration bound, not data scaling.
+        n = cust.count() // 32 * 32
+        cust = cust.filter(F.col("src") <= n)
+        base = ((F.col("src") - 1) - (F.col("src") - 1) % 32) + 1
         return (
             cust.select(
                 "src",
-                ((F.col("src") * 31 + 7) % F.lit(n)).alias("dst"),
+                (base + (F.col("src") - base + 1) % 32).alias("dst"),
             ),
             n,
         )
