@@ -501,13 +501,20 @@ def crawl_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     urls = _fixture_urls(spark, sf_dir).select(
         "doc_id", registered_domain("url").alias("registered_domain")
     )
+    from robosystems_spark.checkpointing import materialize
+
     n_words = F.size(F.split(F.col("text"), r"\s+"))
-    q = extracted.join(urls, "doc_id").select(
-        "doc_id",
-        "text",
-        "registered_domain",
-        n_words.cast("int").alias("n_words"),
-        (n_words >= F.lit(50)).alias("quality_pass"),
+    # materialized once: q feeds the cap window, the dedup survivors,
+    # AND the final verdict join — un-cut, the WARC+extract mapInPandas
+    # would re-run ~3x (one per consumer)
+    q = materialize(
+        extracted.join(urls, "doc_id").select(
+            "doc_id",
+            "text",
+            "registered_domain",
+            n_words.cast("int").alias("n_words"),
+            (n_words >= F.lit(50)).alias("quality_pass"),
+        )
     )
     w = Window.partitionBy("registered_domain").orderBy("doc_id")
     capr = (
