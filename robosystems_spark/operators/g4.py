@@ -408,14 +408,73 @@ def mh_encode_rows(rows: list[list[int]], width: int) -> bytes:
 _EOL = "000000000001"
 
 
+# T.4 uncompressed-mode entry codes: the 2-D extension code
+# 0000001xxx and the 1-D extension code 000000001xxx, both with
+# xxx = 111 (T.4 sections 4.2.1.3.5 / table 10)
+_UNC_ENTRY_2D = "0000001111"
+_UNC_ENTRY_1D = "000000001111"
+
+
+def _read_uncompressed(
+    r: "_BitReader", pos: int, color: int, cur: list[int], width: int
+) -> tuple[int, int]:
+    """Decode one T.4 uncompressed-mode span: literal pixel codes
+    (n<=4 zeros + '1' emits n whites + a black; five zeros + '1'
+    emits five whites; 6..10 zeros + '1' + T exits with 0..4 whites
+    and T = the color of the next ordinary run).  Appends transitions
+    to ``cur`` as the literal pixels change color; returns the new
+    position and the resumed coding color."""
+
+    def emit(px_color: int, count: int) -> int:
+        nonlocal pos, color
+        if count and px_color != color:
+            cur.append(pos)
+            color = px_color
+        pos += count
+        if pos > width:
+            raise ValueError("G3 uncompressed run past row end")
+        return pos
+
+    while True:
+        zeros = 0
+        while r.bits[r.pos : r.pos + 1] == "0":
+            zeros += 1
+            r.pos += 1
+            if zeros > 10:
+                raise ValueError("bad G3 uncompressed code")
+        if r.bits[r.pos : r.pos + 1] != "1":
+            raise ValueError("truncated G3 uncompressed code")
+        r.pos += 1
+        if zeros <= 4:
+            emit(0, zeros)
+            emit(1, 1)
+        elif zeros == 5:
+            emit(0, 5)
+        else:  # 6..10: exit with (zeros - 6) whites + next-color bit
+            emit(0, zeros - 6)
+            t = r.bits[r.pos : r.pos + 1]
+            if t not in ("0", "1"):
+                raise ValueError("truncated G3 uncompressed exit")
+            r.pos += 1
+            if int(t) != color and pos < width:
+                # the color flips AT the exit point; ordinary coding
+                # resumes with the new color, so the transition must
+                # be recorded here or it is lost
+                cur.append(pos)
+            return pos, int(t)
+
+
 def g3_decode(
-    data: bytes, width: int, height: int, two_d: bool
+    data: bytes, width: int, height: int, two_d: bool,
+    uncompressed: bool = False,
 ) -> list[list[int]]:
     """CCITT T.4 Group 3 decode (TIFF compression 3): every row is
     framed by an EOL code (with optional zero fill bits before it);
     in 2-D mode (T4Options bit 0) a tag bit after each EOL says
     whether the row is 1-D (MH runs) or 2-D (the G4 modes against
-    the previous row).  Returns per-row transition lists."""
+    the previous row).  With ``uncompressed`` (T4Options bit 1), the
+    T.4 extension codes may switch any row into literal-pixel
+    uncompressed mode mid-row.  Returns per-row transition lists."""
     r = _BitReader(data)
     rows: list[list[int]] = []
     ref: list[int] = []
@@ -439,6 +498,15 @@ def g3_decode(
                 budget -= 1
                 if budget < 0:
                     raise ValueError("G3 row does not terminate")
+                if uncompressed and r.bits.startswith(
+                    _UNC_ENTRY_1D, r.pos
+                ):
+                    r.pos += len(_UNC_ENTRY_1D)
+                    pos, nxt = _read_uncompressed(
+                        r, pos, int(black), cur, width
+                    )
+                    black = bool(nxt)
+                    continue
                 run = r.read_run(black=black)
                 pos += run
                 if pos > width:
@@ -452,6 +520,14 @@ def g3_decode(
                 budget -= 1
                 if budget < 0:
                     raise ValueError("G3 row does not terminate")
+                if uncompressed and r.bits.startswith(
+                    _UNC_ENTRY_2D, r.pos
+                ):
+                    r.pos += len(_UNC_ENTRY_2D)
+                    a0, color = _read_uncompressed(
+                        r, max(a0, 0), color, cur, width
+                    )
+                    continue
                 kind, d = r.read_mode()
                 b1, b2 = _next_ref(ref, a0, color, width)
                 if kind == "P":
@@ -480,12 +556,40 @@ def g3_decode(
 
 
 def g3_encode(
-    rows: list[list[int]], width: int, two_d: bool
+    rows: list[list[int]], width: int, two_d: bool,
+    uncompressed: bool = False,
 ) -> bytes:
     """G3 encoder (decode inverse): EOL-framed rows; in 2-D mode,
     rows alternate 1-D / 2-D so both tag-bit paths are exercised
-    (the K-parameter discipline of real G3 encoders)."""
+    (the K-parameter discipline of real G3 encoders).  With
+    ``uncompressed`` (T4Options bit 1), every row is coded in T.4
+    uncompressed mode — entry extension code, literal pixel codes,
+    exit at row end — exercising both entry shapes (1-D and 2-D tag
+    rows keep their tag bits)."""
     out: list[str] = []
+
+    def emit_uncompressed(cur: list[int]) -> None:
+        whites = 0
+        prev, c = 0, 0
+        for t in list(cur) + [width]:
+            ln = t - prev
+            prev = t
+            if c == 0:
+                whites += ln
+            else:
+                for _ in range(ln):
+                    while whites >= 5:
+                        out.append("000001")
+                        whites -= 5
+                    out.append("0" * whites + "1")
+                    whites = 0
+            c ^= 1
+        while whites > 4:
+            out.append("000001")
+            whites -= 5
+        # exit: 0..4 trailing whites folded into the code, next-run
+        # color bit 0 (white) — the row ends here anyway
+        out.append("0" * (6 + whites) + "1" + "0")
 
     def emit_run(run: int, black: bool) -> None:
         term = _BLACK_TERM if black else _WHITE_TERM
@@ -507,6 +611,11 @@ def g3_encode(
         one_d = (y % 2 == 0) or not two_d
         if two_d:
             out.append("1" if one_d else "0")
+        if uncompressed:
+            out.append(_UNC_ENTRY_1D if one_d else _UNC_ENTRY_2D)
+            emit_uncompressed(cur)
+            ref = cur
+            continue
         if one_d:
             prev = 0
             black = False

@@ -23,10 +23,12 @@ other decoders: 16-bit samples scale as ``round(v / 257)`` (the exact
 inverse of ``v * 257``), sub-byte grayscale scales by
 ``round(v * 255 / (2^bits - 1))``.
 
-Honest seams (loud ``NotImplementedError``): old-style JPEG
-(compression 6, deprecated), G3 uncompressed mode, floating-point
-samples.  New-style JPEG (compression 7, strips/tiles/JPEGTables)
-and planar configuration 2 with strips AND tiles decode.
+Honest seams (loud ``NotImplementedError``): floating-point samples,
+per-sample heterogeneous BitsPerSample.  Old-style JPEG (compression
+6, both interchange and fragmented-table shapes), new-style JPEG
+(compression 7, strips/tiles/JPEGTables), G3 uncompressed mode
+(T4Options bit 1, r11), and planar configuration 2 with strips AND
+tiles all decode.
 
 ``encode_tiff`` is the fixture synthesizer (the decode inverse) so
 oracle entries and tests round-trip REAL container bytes, including a
@@ -520,8 +522,6 @@ def decode_tiff(data: bytes):
     if planar not in (1, 2):
         raise NotImplementedError(f"planar configuration {planar}")
     t4opts = tags.get(_T_T4OPTIONS, [0])[0]
-    if compression == 3 and t4opts & 2:
-        raise NotImplementedError("G3 uncompressed mode not supported")
     if compression == 6:
         return _decode_tiff_oldjpeg(data, tags, w, h, spp, photometric)
     if compression == 7:
@@ -561,7 +561,10 @@ def decode_tiff(data: bytes):
             if compression == 4:
                 trs = g4_decode(chunk, w_px, n_rows)
             elif compression == 3:
-                trs = g3_decode(chunk, w_px, n_rows, bool(t4opts & 1))
+                trs = g3_decode(
+                    chunk, w_px, n_rows, bool(t4opts & 1),
+                    uncompressed=bool(t4opts & 2),
+                )
             else:
                 trs = mh_decode_rows(chunk, w_px, n_rows)
             bitrows = transitions_to_bits(trs, w_px)
@@ -962,7 +965,10 @@ def encode_tiff(
         if compression == 4:
             return g4_encode(trs, bits01.shape[1])
         if compression == 3:
-            return g3_encode(trs, bits01.shape[1], two_d=bool(t4options & 1))
+            return g3_encode(
+                trs, bits01.shape[1], two_d=bool(t4options & 1),
+                uncompressed=bool(t4options & 2),
+            )
         return mh_encode_rows(trs, bits01.shape[1])
 
     if compression in (2, 3, 4) and (bits != 1 or spp != 1):

@@ -446,8 +446,9 @@ def test_tiff_planar_tiles():
 def test_tiff_g3_compression():
     """CCITT T.4 Group 3 (compression 3): EOL-framed rows, both
     T4Options modes (pure 1-D, and 2-D with tag bits alternating
-    1-D/2-D rows), full photometric/strip/tile matrix; the G3
-    uncompressed-mode option stays the honest seam."""
+    1-D/2-D rows), full photometric/strip/tile matrix; a stream that
+    merely DECLARES uncompressed mode (bit 1) without using the
+    extension codes decodes unchanged (r11: the seam closed)."""
     rng = np.random.RandomState(43)
     doc = (rng.rand(22, 58) > 0.8).astype(np.uint8)
     for t4 in (0, 1):
@@ -460,7 +461,9 @@ def test_tiff_g3_compression():
                 want = (np.where(doc == 1, 0, 255) if pm == 0
                         else np.where(doc == 1, 255, 0))
                 assert (d[:, :, 0] == want).all(), (t4, pm, kw)
-    # uncompressed-mode option (bit 1) raises loudly
+    # declaring uncompressed mode (bit 1) without emitting extension
+    # codes must decode to the same pixels (the flag only ENABLES the
+    # entry codes)
     data = bytearray(
         encode_tiff(doc, bits=1, photometric=0, compression=3)
     )
@@ -470,8 +473,8 @@ def test_tiff_g3_compression():
         e = ifd + 2 + 12 * k
         if int.from_bytes(data[e:e + 2], "little") == 292:
             data[e + 8:e + 12] = (2).to_bytes(4, "little")
-    with pytest.raises(NotImplementedError):
-        decode_tiff(bytes(data))
+    d = decode_tiff(bytes(data))
+    assert (d[:, :, 0] == np.where(doc == 1, 0, 255)).all()
 
 
 def test_tiff_fuzz_fails_fast():
@@ -714,3 +717,64 @@ def test_oldstyle_jpeg_loud_seams():
     inter = encode_tiff(rgb, compression=6, oldjpeg="interchange")
     with pytest.raises(Exception):
         decode_tiff(inter[:160])
+
+
+# -- T.4 uncompressed mode (r11: the G3 seam closed) --------------------------
+
+
+def test_g3_uncompressed_roundtrip_both_entry_shapes():
+    """Literal-pixel uncompressed mode round-trips in 1-D rows (12-bit
+    entry code) and 2-D tag rows (10-bit extension entry), including
+    long white runs (the five-zeros code), black row starts, rows
+    ending in black, and all-white rows (exit-only coding)."""
+    from robosystems_spark.operators.g4 import g3_decode, g3_encode
+
+    width = 40
+    rows = [
+        [0, 3, 10, 11],          # starts black
+        [],                       # all white
+        [5, 25],                  # long runs both colors
+        [39, 40],                 # ends in a single black pixel
+        [1, 2, 3, 4, 5, 6],       # dense alternation
+    ]
+    for two_d in (False, True):
+        data = g3_encode(rows, width, two_d=two_d, uncompressed=True)
+        got = g3_decode(data, width, len(rows), two_d, uncompressed=True)
+        assert got == [[t for t in r if t < width] for r in rows], (
+            two_d,
+            got,
+        )
+
+
+def test_g3_uncompressed_rejected_without_flag():
+    """A stream using the extension codes must fail LOUDLY on a
+    decoder that was not told T4Options bit 1 is set."""
+    import pytest as _pytest
+
+    from robosystems_spark.operators.g4 import g3_decode, g3_encode
+
+    data = g3_encode([[2, 5]], 16, two_d=False, uncompressed=True)
+    with _pytest.raises(ValueError):
+        g3_decode(data, 16, 1, False, uncompressed=False)
+
+
+def test_tiff_g3_uncompressed_mode_roundtrip():
+    """encode_tiff/decode_tiff with T4Options bit 1 (uncompressed) in
+    both 1-D (t4options=2) and 2-D (t4options=3) shapes."""
+    import numpy as np
+
+    from robosystems_spark.operators.tiff import decode_tiff, encode_tiff
+
+    doc = (np.arange(32 * 48).reshape(32, 48) % 7 < 2).astype(np.uint8)
+    for t4 in (2, 3):
+        for pm in (0, 1):
+            blob = encode_tiff(
+                doc, bits=1, photometric=pm, compression=3, t4options=t4
+            )
+            out = decode_tiff(blob)
+            want = (
+                np.where(doc == 1, 0, 255)
+                if pm == 0
+                else np.where(doc == 1, 255, 0)
+            )
+            assert np.array_equal(out[:, :, 0], want), (t4, pm)
