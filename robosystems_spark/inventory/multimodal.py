@@ -466,9 +466,11 @@ _G4_W, _G4_H = 32, 16
     "page per document (ink bit a closed-form function of doc_id), "
     "CCITT-encode it — G4 (vertical/pass/horizontal modes), MH RLE "
     "(compression 2), G3 1-D and G3 2-D (compression 3, EOL-framed "
-    "with tag bits) — each over single-strip/multi-strip/tiled "
-    "layouts, all cycling by doc_id (operators/g4.py: shared T.4 MH "
-    "tables) — decode the actual fax stream in mapInPandas, and "
+    "with tag bits), and G3 uncompressed mode in both entry shapes "
+    "(T4Options bit 1, the T.4 extension codes — r11) — each over "
+    "single-strip/multi-strip/tiled layouts, all cycling by doc_id "
+    "(operators/g4.py: shared T.4 MH tables) — decode the actual "
+    "fax stream in mapInPandas, and "
     "emit channel means + the corner pixel; the oracle computes the "
     "same stats from the ink formula — any mode/MH-table/reference-"
     "row bug diverges.",
@@ -490,13 +492,18 @@ def multimodal_tiff_g4_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ink = (
                     ((int(did) * 7 + np.arange(w * h)) % 13) < 4
                 ).astype(np.uint8).reshape(h, w)
-                variant = int(did) % 12
-                # G4 / MH RLE / G3 1-D / G3 2-D, each over the three
-                # layout variants (single strip / multi-strip / tiles)
-                comp = (4, 2, 3, 3)[variant // 3]
+                variant = int(did) % 18
+                # G4 / MH RLE / G3 1-D / G3 2-D / G3 1-D uncompressed /
+                # G3 2-D uncompressed (r11: T.4 extension codes), each
+                # over the three layout variants (single strip /
+                # multi-strip / tiles).  The oracle computes stats from
+                # the ink formula, so widening the cycle leaves the
+                # hash UNCHANGED — only a decode bug would diverge.
+                comp = (4, 2, 3, 3, 3, 3)[variant // 3]
                 kw = {}
-                if variant // 3 == 3:
-                    kw["t4options"] = 1  # G3 with 2-D rows
+                t4 = (0, 0, 0, 1, 2, 3)[variant // 3]
+                if t4:
+                    kw["t4options"] = t4
                 if variant % 3 == 1:
                     kw["rows_per_strip"] = 5
                 elif variant % 3 == 2:
