@@ -291,7 +291,11 @@ def encode_jpeg(
     samples in [0, 4095], level shift 2048, 16-bit DQT entries
     (default tables scaled 16x to keep quality comparable), and
     Huffman tables with the extended DC-category/AC-size ranges —
-    the medical/scientific-corpus variant."""
+    the medical/scientific-corpus variant.
+
+    ``subsample`` accepts True/"420" (2x2 chroma, the camera/web
+    default), "422" (2x1, broadcast video), and "411" (4x1, the
+    DV/NTSC shape — luma sampling factor 4, r11)."""
     if precision not in (8, 12):
         raise ValueError("precision must be 8 or 12")
     ext = precision == 12
@@ -310,8 +314,15 @@ def encode_jpeg(
         dtype=np.int32,
     )
 
-    mcu = 16 if (subsample and not gray) else 8
-    ph, pw = -(-h // mcu) * mcu, -(-w // mcu) * mcu  # pad to MCU multiples
+    if subsample is True:
+        subsample = "420"
+    if subsample and subsample not in ("420", "422", "411"):
+        raise ValueError(f"unknown subsampling {subsample!r}")
+    hs, vs = {"420": (2, 2), "422": (2, 1), "411": (4, 1)}.get(
+        subsample, (1, 1)
+    ) if (subsample and not gray) else (1, 1)
+    mcu_w, mcu_h = 8 * hs, 8 * vs
+    ph, pw = -(-h // mcu_h) * mcu_h, -(-w // mcu_w) * mcu_w  # pad to MCUs
     if gray:
         planes = [np.pad(a.astype(np.float64), ((0, ph - h), (0, pw - w)), mode="edge")]
     else:
@@ -327,12 +338,12 @@ def encode_jpeg(
             np.pad(ycc[:, :, i], ((0, ph - h), (0, pw - w)), mode="edge")
             for i in range(3)
         ]
-        if subsample:  # 2x2 mean downsample of Cb/Cr
+        if hs * vs > 1:  # hs x vs block-mean downsample of Cb/Cr
             for i in (1, 2):
                 p = planes[i]
-                planes[i] = (
-                    p[0::2, 0::2] + p[1::2, 0::2] + p[0::2, 1::2] + p[1::2, 1::2]
-                ) / 4.0
+                planes[i] = p.reshape(
+                    p.shape[0] // vs, vs, p.shape[1] // hs, hs
+                ).mean(axis=(1, 3))
 
     dc_codes = _canonical_codes(
         _DC_BITS_12 if ext else _DC_BITS, _DC_VALS_12 if ext else _DC_VALS
@@ -360,9 +371,9 @@ def encode_jpeg(
     out += dqt(0, qy)
     if not gray:
         out += dqt(1, qc)
-    # SOF0 baseline / SOF1 extended; luma samples 2x2 in 4:2:0 mode
+    # SOF0 baseline / SOF1 extended; luma sampling factors per mode
     ncomp = 1 if gray else 3
-    y_samp = 0x22 if (subsample and not gray) else 0x11
+    y_samp = (hs << 4) | vs
     sof = bytes([precision]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
     for ci in range(ncomp):
         sof += bytes([ci + 1, y_samp if ci == 0 else 0x11, 0 if ci == 0 else 1])
@@ -385,7 +396,7 @@ def encode_jpeg(
     prev = [0] * ncomp
     mcu_count = 0
     rst = 0
-    total_mcus = (ph // mcu) * (pw // mcu)
+    total_mcus = (ph // mcu_h) * (pw // mcu_w)
 
     def maybe_restart():
         nonlocal mcu_count, rst, writer, prev
@@ -402,18 +413,19 @@ def encode_jpeg(
             out.extend(bytes([0xFF, 0xD0 + rst]))
             rst = (rst + 1) % 8
             prev = [0] * ncomp
-    if subsample and not gray:
-        # MCU = 4 luma blocks (2x2) + 1 Cb + 1 Cr
-        for my in range(0, ph, 16):
-            for mx in range(0, pw, 16):
-                for dy, dx in ((0, 0), (0, 8), (8, 0), (8, 8)):
-                    prev[0] = _write_block(
-                        writer, planes[0], my + dy, mx + dx, qy,
-                        dc_codes, ac_codes, prev[0], level,
-                    )
+    if hs * vs > 1:
+        # MCU = hs*vs luma blocks (raster order) + 1 Cb + 1 Cr
+        for my in range(0, ph, mcu_h):
+            for mx in range(0, pw, mcu_w):
+                for byi in range(vs):
+                    for bxi in range(hs):
+                        prev[0] = _write_block(
+                            writer, planes[0], my + 8 * byi, mx + 8 * bxi,
+                            qy, dc_codes, ac_codes, prev[0], level,
+                        )
                 for ci in (1, 2):
                     prev[ci] = _write_block(
-                        writer, planes[ci], my // 2, mx // 2, qc,
+                        writer, planes[ci], my // vs, mx // hs, qc,
                         dc_codes, ac_codes, prev[ci], level,
                     )
                 maybe_restart()
@@ -507,9 +519,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for c in range(nc):
                 cid, samp, tq = payload[6 + 3 * c : 9 + 3 * c]
                 hi, vi = samp >> 4, samp & 0x0F
-                if hi not in (1, 2) or vi not in (1, 2):
+                if hi not in (1, 2, 4) or vi not in (1, 2, 4):
                     raise NotImplementedError(
-                        f"sampling factor {hi}x{vi} (1 or 2 supported)"
+                        f"sampling factor {hi}x{vi} (1/2/4 supported)"
                     )
                 comps.append((cid, tq, hi, vi))
             sof = (hh, ww, nc)
@@ -786,6 +798,11 @@ def encode_jpeg_progressive(
         dtype=np.int32,
     )
 
+    if subsample not in (False, True, "420"):
+        raise NotImplementedError(
+            "only 4:4:4 and 4:2:0 here (the baseline interleaved "
+            "encoder handles 422/411)"
+        )
     mcu = 16 if (subsample and not gray) else 8
     ph, pw = -(-h // mcu) * mcu, -(-w // mcu) * mcu
     if gray:
@@ -1135,9 +1152,9 @@ def _decode_multiscan(data: bytes, progressive: bool) -> np.ndarray:
             for c in range(nc):
                 cid, samp, tq = payload[6 + 3 * c : 9 + 3 * c]
                 hi, vi = samp >> 4, samp & 0x0F
-                if hi not in (1, 2) or vi not in (1, 2):
+                if hi not in (1, 2, 4) or vi not in (1, 2, 4):
                     raise NotImplementedError(
-                        f"sampling factor {hi}x{vi} (1 or 2 supported)"
+                        f"sampling factor {hi}x{vi} (1/2/4 supported)"
                     )
                 comps.append((cid, tq, hi, vi))
             sof = (hh, ww, nc)
@@ -1453,6 +1470,11 @@ def encode_jpeg_noninterleaved(
     qy = np.asarray(q_luma if q_luma is not None else _Q_LUMA, dtype=np.int32)
     qc = np.asarray(q_chroma if q_chroma is not None else _Q_CHROMA, dtype=np.int32)
 
+    if subsample not in (False, True, "420"):
+        raise NotImplementedError(
+            "only 4:4:4 and 4:2:0 here (the baseline interleaved "
+            "encoder handles 422/411)"
+        )
     mcu = 16 if (subsample and not gray) else 8
     ph, pw = -(-h // mcu) * mcu, -(-w // mcu) * mcu
     if gray:

@@ -257,3 +257,54 @@ def test_progressive_12bit_grayscale_and_stream_shape():
     assert data[dqt_at + 4] & 0xF0 == 0x10  # Pq=1: 16-bit entries
     base = decode_jpeg(encode_jpeg(g, precision=12)).astype(int)
     assert np.abs(decode_jpeg(data).astype(int) - base).max() == 0
+
+
+def test_baseline_422_and_411_subsampling():
+    """r11: 4:2:2 (2x1) and 4:1:1 (4x1, sampling factor 4 — the
+    DV/NTSC shape) round-trip through encode/decode; constants are
+    chroma-exact; the stream carries the declared sampling factors."""
+    import numpy as np
+
+    from robosystems_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    yy, xx = np.mgrid[0:24, 0:40]
+    # truly smooth ramps (no modulo wrap = no high-frequency edges)
+    px = np.stack(
+        [yy * 3 + xx * 2 + 20, xx * 3 + 30, yy * 4 + 40], axis=2
+    ).astype(np.uint8)
+    for mode, samp in (("422", 0x21), ("411", 0x41)):
+        data = encode_jpeg(px, subsample=mode)
+        sof = data.index(b"\xff\xc0")
+        assert data[sof + 11] == samp  # luma sampling byte
+        out = decode_jpeg(data)
+        assert out.shape == px.shape
+        # smooth gradient: subsampling + quantization error stays small
+        assert np.abs(out.astype(int) - px.astype(int)).max() < 96, mode
+    c = np.full((16, 32, 3), 130, np.uint8)
+    for mode in ("422", "411"):
+        got = decode_jpeg(encode_jpeg(c, subsample=mode)).astype(int)
+        assert np.abs(got - 130).max() <= 1, mode
+    # restart intervals + 12-bit compose with the new factors
+    out = decode_jpeg(encode_jpeg(px, subsample="411", restart_interval=2))
+    assert out.shape == px.shape
+    px12 = ((np.arange(16 * 32 * 3) * 97 + 5) % 4096).astype(
+        np.uint16
+    ).reshape(16, 32, 3)
+    assert decode_jpeg(
+        encode_jpeg(px12, precision=12, subsample="411")
+    ).shape == (16, 32, 3)
+
+
+def test_multiscan_encoders_reject_unsupported_subsampling():
+    import numpy as np
+    import pytest as _pytest
+
+    from robosystems_spark.operators.jpeg import (
+        encode_jpeg_noninterleaved,
+        encode_jpeg_progressive,
+    )
+
+    px = np.zeros((8, 8, 3), np.uint8)
+    for fn in (encode_jpeg_progressive, encode_jpeg_noninterleaved):
+        with _pytest.raises(NotImplementedError):
+            fn(px, subsample="411")
