@@ -971,6 +971,7 @@ def multimodal_gif_animation_stats(spark: SparkSession, sf_dir: str) -> DataFram
            CAST(0 AS INTEGER) AS noninterleaved_diff,
            CAST(0 AS INTEGER) AS restart_diff,
            CAST(0 AS INTEGER) AS prog12_diff,
+           CAST(0 AS INTEGER) AS subsamp_diff,
            TRUE AS within_bound
     FROM documents
     WHERE doc_id < {_N_DOCS}
@@ -1040,6 +1041,21 @@ def multimodal_jpeg_scan_equivalence(spark: SparkSession, sf_dir: str) -> DataFr
                         - base12
                     ).max()
                 )
+                # 4:2:2 / 4:1:1 (sampling factor 4, r11): a CONSTANT
+                # even-level image is DC-exact AND subsample-invariant
+                # (block means of a constant are the constant), so the
+                # subsampled decode must equal the 4:4:4 decode exactly
+                v = (int(did) * 26) % 256  # always even
+                cimg = np.full((h, w, 3), v, dtype=np.uint8)
+                mode = "411" if int(did) % 2 else "422"
+                diffs["subsamp_diff"] = int(
+                    np.abs(
+                        decode_jpeg(
+                            encode_jpeg(cimg, subsample=mode)
+                        ).astype(int)
+                        - decode_jpeg(encode_jpeg(cimg)).astype(int)
+                    ).max()
+                )
                 rows.append(
                     {
                         "doc_id": did,
@@ -1060,6 +1076,7 @@ def multimodal_jpeg_scan_equivalence(spark: SparkSession, sf_dir: str) -> DataFr
                     T.StructField("noninterleaved_diff", T.IntegerType()),
                     T.StructField("restart_diff", T.IntegerType()),
                     T.StructField("prog12_diff", T.IntegerType()),
+                    T.StructField("subsamp_diff", T.IntegerType()),
                     T.StructField("within_bound", T.BooleanType()),
                 ]
             ),
