@@ -1,7 +1,7 @@
 """Graph-based ANN: proximity-graph build + beam search (NSW/DiskANN
 family) — the accuracy-frontier index real retrieval stacks default to.
 
-Two pieces, both deterministic and both expressible as DataFrame plans:
+Three pieces, all deterministic:
 
 1. **Graph build** (:func:`build_nsw_graph`): a blocked k-NN graph.
    Every vector keeps its ``M`` nearest neighbors (rounded cosine,
@@ -29,12 +29,49 @@ Two pieces, both deterministic and both expressible as DataFrame plans:
    (:func:`nsw_oracle_sql` unrolls the identical hops in SQL, the
    ``_random_walk_ctes`` trick).
 
-Scale shape: the per-hop work is (beam x M) candidate rows per query —
-independent of corpus size; queries broadcast (bounded query batch,
-the cosine_topk contract); the corpus-side joins are equi-joins on
-vector id against the (distributed) graph and vector frames.  Nothing
-iterates on the driver except the ``hops`` loop itself (a handful of
-rounds, like the Pregel operators in operators/graph.py).
+3. **Execution tiers** — the dimension real ANN serving scales on is
+   the QUERY axis, not the corpus axis, so the physical strategy is
+   picked by a measured corpus size:
+
+   - *executor-resident index* (corpus ``<= index_broadcast_max``,
+     default 200k vectors ~ 100 MB + adjacency): ids, the vector
+     matrix, and every layer's CSR adjacency broadcast once, and the
+     ENTIRE multi-hop search runs in ONE ``mapInPandas`` pass
+     partitioned over the queries frame — millions of queries
+     parallelize perfectly, zero per-hop job boundaries, bit-identical
+     scores (the same float64 einsum as :mod:`functions.vector`).
+     This is how production vector serving works: the index is a
+     memory-resident artifact per executor; queries are the data.
+   - *distributed hop loop* (bigger corpora): the per-hop DataFrame
+     plan below — frontier anti-join against the accumulated visited
+     set, equi-joins for scoring.  The visited-side broadcast is
+     GATED on a measured bound (seed rows + ef·|Q|·max_degree per
+     hop); past ``visited_broadcast_max`` the anti-join falls back to
+     a shuffle join — an unbounded broadcast of beam state was the
+     one OOM-class plan in this file (r11 verdict item 1).
+   - *disk-resident index* (:func:`nsw_write_index` /
+     :func:`hnsw_write_index`): build once, hive-partition adjacency
+     + vectors by ``id % n_buckets``, search with partition-pruned
+     reads — IO proportional to the beam, not the corpus (the
+     DiskANN serving shape; corpora past executor memory).
+
+**Entry-set scale policy** (:func:`auto_entry_stride` /
+:func:`auto_level_mods`): a FIXED stride makes the seed set O(n) —
+at 10⁹ vectors the seed alone is tens of millions of rows per query.
+The policy keeps the entry set ~O(sqrt(n)) capped at a constant
+(the nc~sqrt(n) precedent from the blocked-kNN build): pass
+``entry_stride="auto"`` / ``level_mods="auto"`` with the measured
+corpus size and the stride/top-layer grows with n so entries shrink
+relative to the corpus.  The oracle entries pin small fixed strides
+(sf-scale fixtures); the policy is for real deployments and is
+exercised by the scale harness (SCALE.md).
+
+Scale shape: per-hop work is (beam x M) candidate rows per query —
+independent of corpus size; queries distribute (resident tier) or
+broadcast (bounded batch, distributed tier); corpus-side joins are
+equi-joins on vector id.  Nothing iterates on the driver except the
+``hops`` loop itself (a handful of rounds, like the Pregel operators
+in operators/graph.py).
 
 The reference engine has no vector index at all (SURVEY §2 — its
 column types stop at scalars/lists); this continues the extension
@@ -42,6 +79,8 @@ family brute/IVF/PQ/IVFPQ/SQ8 in operators/similarity.py.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -51,6 +90,8 @@ from robosystems_spark.checkpointing import materialize
 from robosystems_spark.functions import vector as V
 
 __all__ = [
+    "auto_entry_stride",
+    "auto_level_mods",
     "build_nsw_graph",
     "nsw_topk",
     "nsw_oracle_sql",
@@ -60,32 +101,75 @@ __all__ = [
     "build_hnsw_graphs",
     "hnsw_topk",
     "hnsw_oracle_sql",
+    "hnsw_write_index",
+    "hnsw_topk_indexed",
 ]
 
 
-# Corpora up to this many vectors score candidate pairs via a
-# BROADCAST vector matrix (64-dim float64 -> ~100 MB at the cap, the
-# same per-executor budget class as operators.graph.MAX_BROADCAST_NODES);
-# larger corpora keep the shuffle-join path.  Measured: the broadcast
-# path moves only (src, dst) id pairs through Arrow (~26 MB for 1.6M
-# pairs) instead of both 64-dim vectors per pair (~1.6 GB).
+# Corpora up to this many vectors run the executor-resident tier: the
+# id array + 64-dim float64 matrix (~100 MB at the cap) + CSR
+# adjacency (~M * 8B per node) broadcast once — the same per-executor
+# budget class as operators.graph.MAX_BROADCAST_NODES.  Larger corpora
+# keep the distributed hop loop / disk-resident index.
 _BROADCAST_VEC_MAX = 200_000
+
+# A materialized edge list under this many rows (16 B/row -> ~32 MB)
+# broadcasts into every hop's frontier join; web-scale graphs keep the
+# shuffle path (the _state_bc measured-gate discipline).
+_EDGE_BROADCAST_MAX = 2_000_000
+
+# The accumulated visited set broadcasts into the per-hop anti-join
+# only while its TRACKED upper bound (measured seed rows plus
+# ef * |queries| * max_degree per hop, all measured once at setup)
+# stays under this; past it the anti-join falls back to a shuffle
+# join.  visited seeds from the entry set — O(n / stride) rows per
+# query — so an ungated broadcast grows with the corpus (r11 verdict).
+_VISITED_BROADCAST_MAX = 2_000_000
+
+
+def auto_entry_stride(n: int, cap: int = 4096) -> int:
+    """Entry-set scale policy: a stride giving ~min(cap, sqrt(n))
+    entry points, so the seed set stays sublinear in the corpus (the
+    nc~sqrt(n) blocked-kNN precedent) instead of the O(n) a fixed
+    stride yields.  Deterministic given the measured ``n``."""
+    target = max(1, min(cap, math.isqrt(max(n, 1))))
+    return max(1, n // target)
+
+
+def auto_level_mods(
+    n: int, base: int = 8, cap: int = 4096
+) -> tuple[int, ...]:
+    """HNSW layer policy: extend the geometric mods (8, 64, 512, ...)
+    until the top layer's expected size ``n / mods[-1]`` is at most
+    min(cap, sqrt(n)) — the top-layer entry scan stays sublinear at
+    any corpus size."""
+    mods = [base]
+    target = max(1, min(cap, math.isqrt(max(n, 1))))
+    while n // mods[-1] > target:
+        mods.append(mods[-1] * base)
+    return tuple(mods)
 
 
 def _score_pairs(
-    corpus: DataFrame, pairs: DataFrame, vec_col: str, id_col: str
+    corpus: DataFrame,
+    pairs: DataFrame,
+    vec_col: str,
+    id_col: str,
+    corpus_count: int | None = None,
 ) -> DataFrame:
     """(src, dst) id pairs -> (src, dst, cosine), bit-identical to
     ``V.cosine`` (same row-wise float64 einsum on gathered rows).  If
-    the MEASURED corpus fits ``_BROADCAST_VEC_MAX``, vectors ride a
-    broadcast id->row matrix and only the slim id pairs cross the
-    Arrow boundary (``mapInPandas``); otherwise the vectors attach via
-    two distributed equi-joins and the fused cosine UDF scores them."""
+    the corpus size (measured once by the caller, or counted here)
+    fits ``_BROADCAST_VEC_MAX``, vectors ride a broadcast id->row
+    matrix and only the slim id pairs cross the Arrow boundary
+    (``mapInPandas``); otherwise the vectors attach via two
+    distributed equi-joins and the fused cosine UDF scores them."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
-    if corpus.count() <= _BROADCAST_VEC_MAX:
+    n = corpus.count() if corpus_count is None else corpus_count
+    if n <= _BROADCAST_VEC_MAX:
         rows = corpus.select(id_col, vec_col).collect()
         ids = np.array([r[0] for r in rows])
         mat = np.array([r[1] for r in rows], dtype=np.float64)
@@ -141,6 +225,7 @@ def build_nsw_graph(
     nb: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    corpus_count: int | None = None,
 ) -> DataFrame:
     """Blocked k-NN graph: ``(src, dst, cosine)`` with the top-``M``
     neighbors per src among vectors sharing >= 1 of the ``nb`` nearest
@@ -168,7 +253,9 @@ def build_nsw_graph(
         # a pair sharing two buckets must count once
         .dropDuplicates(["src", "dst"])
     )
-    half = materialize(_score_pairs(corpus, cand, vec_col, id_col))
+    half = materialize(
+        _score_pairs(corpus, cand, vec_col, id_col, corpus_count)
+    )
     scored = half.unionByName(
         half.select(
             F.col("dst").alias("src"), F.col("src").alias("dst"), "cosine"
@@ -182,6 +269,206 @@ def build_nsw_graph(
     )
 
 
+# ---------------------------------------------------------------------------
+# Executor-resident tier: whole search in one mapInPandas over queries
+# ---------------------------------------------------------------------------
+
+
+def _cos_rows(mat, pos, qv):
+    """Rounded cosine of ``mat[pos]`` vs one query vector, reproducing
+    the exact float64 operation order of the ``V.cosine`` pandas UDF
+    (same einsum signature over a row-tiled B) so resident-tier scores
+    are bit-identical to the distributed tier's."""
+    import numpy as np
+
+    A = mat[pos]
+    B = np.broadcast_to(qv, A.shape)
+    num = np.einsum("ij,ij->i", A, B)
+    den = np.maximum(
+        np.sqrt(np.einsum("ij,ij->i", A, A))
+        * np.sqrt(np.einsum("ij,ij->i", B, B)),
+        1e-300,
+    )
+    return np.round(num / den, 6)
+
+
+def _resident_topk(
+    corpus: DataFrame,
+    graphs: list[DataFrame],
+    queries: DataFrame,
+    schedule: list[tuple[int, int]],
+    entry_mask,
+    k: int,
+    vec_col: str,
+    id_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """The resident fast path shared by NSW and HNSW: collect (ids,
+    vector matrix, per-layer CSR adjacency, entry positions) into ONE
+    broadcast — model-parameter-sized by the ``_BROADCAST_VEC_MAX``
+    gate — then run every (layer, beam-width) hop of ``schedule`` per
+    query inside a single ``mapInPandas`` over the queries frame.
+    Beam/rank selection is np.lexsort on (-cosine, id), the exact
+    ROW_NUMBER order of the distributed tier and the SQL oracle."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    rows = corpus.select(
+        F.col(id_col), F.col(vec_col), entry_mask.alias("_e")
+    ).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    order = np.argsort(ids)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)[order]
+    entry = np.array([bool(r[2]) for r in rows])[order]
+    ids = ids[order]
+    n = len(ids)
+    layers = []
+    for g in graphs:
+        pr = g.select("src", "dst").collect()
+        src = np.searchsorted(
+            ids, np.array([p[0] for p in pr], dtype=np.int64)
+        )
+        dst = np.searchsorted(
+            ids, np.array([p[1] for p in pr], dtype=np.int64)
+        )
+        o = np.argsort(src, kind="stable")
+        src, dst = src[o], dst[o]
+        indptr = np.concatenate(
+            [[0], np.cumsum(np.bincount(src, minlength=n))]
+        ).astype(np.int64)
+        layers.append((indptr, dst))
+    bidx = corpus.sparkSession.sparkContext.broadcast(
+        (ids, mat, np.flatnonzero(entry), layers)
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField(
+                "query_id", queries.schema[query_id_col].dataType
+            ),
+            T.StructField("nn_id", corpus.schema[id_col].dataType),
+            T.StructField("cosine", T.DoubleType()),
+            T.StructField("rank", T.IntegerType()),
+        ]
+    )
+    sched = list(schedule)
+
+    def _search(batches):
+        sid, m, entry_pos, lyrs = bidx.value
+        for pdf in batches:
+            out = {"query_id": [], "nn_id": [], "cosine": [], "rank": []}
+            for qid, qvec in zip(pdf.iloc[:, 0], pdf.iloc[:, 1]):
+                qv = np.asarray(qvec, dtype=np.float64)
+                vis_pos = entry_pos.copy()
+                vis_cos = _cos_rows(m, vis_pos, qv)
+                vis_mask = np.zeros(len(sid), dtype=bool)
+                vis_mask[vis_pos] = True
+                for layer_i, width in sched:
+                    if not len(vis_pos):
+                        break
+                    sel = np.lexsort((sid[vis_pos], -vis_cos))[:width]
+                    beam = vis_pos[sel]
+                    indptr, idx = lyrs[layer_i]
+                    neigh = (
+                        np.concatenate(
+                            [idx[indptr[p] : indptr[p + 1]] for p in beam]
+                        )
+                        if len(beam)
+                        else np.empty(0, dtype=np.int64)
+                    )
+                    if not len(neigh):
+                        continue
+                    fresh = np.unique(neigh[~vis_mask[neigh]])
+                    if not len(fresh):
+                        continue
+                    vis_pos = np.concatenate([vis_pos, fresh])
+                    vis_cos = np.concatenate(
+                        [vis_cos, _cos_rows(m, fresh, qv)]
+                    )
+                    vis_mask[fresh] = True
+                top = np.lexsort((sid[vis_pos], -vis_cos))[:k]
+                out["query_id"].extend([qid] * len(top))
+                out["nn_id"].extend(sid[vis_pos[top]].tolist())
+                out["cosine"].extend(vis_cos[top].tolist())
+                out["rank"].extend(range(1, len(top) + 1))
+            yield pd.DataFrame(out)
+
+    return queries.select(query_id_col, vec_col).mapInPandas(
+        _search, out_schema
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distributed tier: per-hop DataFrame plan with the gated visited side
+# ---------------------------------------------------------------------------
+
+
+def _edge_stats(edges: DataFrame) -> tuple[int, int]:
+    """(row count, max out-degree) of a materialized edge frame in ONE
+    job — both feed the broadcast gates."""
+    r = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("_d"))
+        .agg(F.sum("_d").alias("_n"), F.max("_d").alias("_m"))
+        .first()
+    )
+    return int(r["_n"] or 0), int(r["_m"] or 0)
+
+
+def _distributed_beam(
+    vecs: DataFrame,
+    q: DataFrame,
+    layer_edges: list,
+    visited: DataFrame,
+    schedule: list[tuple[int, int]],
+    w,
+    nq: int,
+    max_deg: int,
+    visited_bound: int,
+    visited_broadcast_max: int,
+) -> DataFrame:
+    """The shared per-hop loop: beam -> frontier -> anti-join against
+    visited -> score -> union, materialized per hop so lineage stays
+    one hop deep.  The visited side of the anti-join broadcasts only
+    while its tracked upper bound (seed rows measured once +
+    width * |queries| * max_degree per completed hop, all measured at
+    setup — zero per-hop jobs) stays under the gate; past it the
+    anti-join runs as a shuffle join.  A re-visited node would score
+    identically (cosine is a function of the pair), so anti-join +
+    blind union is exact."""
+    for layer_i, width in schedule:
+        beam = (
+            visited.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= width)
+            .drop("_rn")
+        )
+        edges = layer_edges[layer_i]
+        frontier = (
+            beam.join(edges, beam["nn_id"] == edges["src"])
+            .select("query_id", F.col("dst").alias("nn_id"))
+            .distinct()
+        )
+        anti_side = (
+            F.broadcast(visited)
+            if visited_bound <= visited_broadcast_max
+            else visited
+        )
+        fresh = frontier.join(
+            anti_side, ["query_id", "nn_id"], "left_anti"
+        )
+        scored = (
+            fresh.join(vecs, "nn_id")
+            .join(F.broadcast(q), "query_id")
+            .select(
+                "query_id", "nn_id", V.cosine("_cv", "_qv").alias("cosine")
+            )
+        )
+        visited = materialize(visited.unionByName(scored))
+        visited_bound += width * nq * max_deg
+    return visited
+
+
 def nsw_topk(
     corpus: DataFrame,
     graph: DataFrame,
@@ -189,15 +476,38 @@ def nsw_topk(
     k: int = 10,
     ef: int = 12,
     hops: int = 3,
-    entry_stride: int = 16,
+    entry_stride: int | str = 16,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
+    corpus_count: int | None = None,
+    index_broadcast_max: int = _BROADCAST_VEC_MAX,
+    visited_broadcast_max: int = _VISITED_BROADCAST_MAX,
 ) -> DataFrame:
     """Beam search over ``graph``: returns ``(query_id, nn_id, cosine,
     rank)`` with rank <= k, ranked over EVERYTHING visited (entry
     scores + all expanded frontiers), the standard best-first ANN
-    answer set."""
+    answer set.  ``entry_stride="auto"`` applies the
+    :func:`auto_entry_stride` scale policy to the measured corpus
+    size.  Tier dispatch is by measured size (module docstring §3);
+    both tiers return identical rows."""
+    n = corpus.count() if corpus_count is None else corpus_count
+    if entry_stride == "auto":
+        entry_stride = auto_entry_stride(n)
+    entry_mask = F.col(id_col) % entry_stride == 0
+    if n <= index_broadcast_max:
+        return _resident_topk(
+            corpus,
+            [graph],
+            queries,
+            [(0, ef)] * hops,
+            entry_mask,
+            k,
+            vec_col,
+            id_col,
+            query_id_col,
+        )
+
     vecs = corpus.select(
         F.col(id_col).alias("nn_id"), F.col(vec_col).alias("_cv")
     )
@@ -208,60 +518,34 @@ def nsw_topk(
     # re-inlines (and re-executes) the whole blocked build into every
     # hop's plan — measured 28s vs ~4s at sf0.1 (bench-sweep catch)
     edges = materialize(graph.select("src", "dst"))
-    # measured-size broadcast gate (the _state_bc discipline): a graph
-    # under ~2M edges (16B/row -> ~32 MB) broadcasts into every hop's
-    # frontier join, removing one shuffle per hop; web-scale graphs
-    # keep the shuffle path
-    if edges.count() <= 2_000_000:
+    n_edges, max_deg = _edge_stats(edges)
+    if n_edges <= _EDGE_BROADCAST_MAX:
         edges = F.broadcast(edges)
 
-    entries = vecs.filter(F.col("nn_id") % entry_stride == 0)
+    nq = q.count()
     visited = materialize(
-        entries.crossJoin(F.broadcast(q)).select(
+        vecs.filter(F.col("nn_id") % entry_stride == 0)
+        .crossJoin(F.broadcast(q))
+        .select(
             "query_id", "nn_id", V.cosine("_cv", "_qv").alias("cosine")
         )
     )
+    seed_rows = visited.count()
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("nn_id")
     )
-    beam = (
-        visited.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= ef)
-        .drop("_rn")
+    visited = _distributed_beam(
+        vecs,
+        q,
+        [edges],
+        visited,
+        [(0, ef)] * hops,
+        w,
+        nq,
+        max_deg,
+        seed_rows,
+        visited_broadcast_max,
     )
-    for h in range(hops):
-        frontier = (
-            beam.join(edges, beam["nn_id"] == edges["src"])
-            .select("query_id", F.col("dst").alias("nn_id"))
-            .distinct()
-        )
-        # dedup ONLY the new frontier against the accumulated visited
-        # set (anti-join), then append: re-shuffling the whole visited
-        # set through dropDuplicates every hop re-paid the full
-        # accumulated width per hop (r10 verdict item 3).  A
-        # re-visited node would score identically (cosine is a
-        # function of the pair), so anti-join + blind union is exact.
-        # visited is bounded by (entries + hops*beam*M) per query — a
-        # bounded query batch by contract, so the broadcast is safe.
-        fresh = frontier.join(
-            F.broadcast(visited), ["query_id", "nn_id"], "left_anti"
-        )
-        scored = (
-            fresh.join(vecs, "nn_id")
-            .join(F.broadcast(q), "query_id")
-            .select(
-                "query_id", "nn_id", V.cosine("_cv", "_qv").alias("cosine")
-            )
-        )
-        # materialized per hop so lineage stays one-hop deep (beam,
-        # anti-join, and union all re-read visited; a lazy hop in
-        # between re-executed the hop plan 3x — measured slower)
-        visited = materialize(visited.unionByName(scored))
-        beam = (
-            visited.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= ef)
-            .drop("_rn")
-        )
     return (
         visited.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -290,12 +574,7 @@ def nsw_write_index(
     graph = build_nsw_graph(
         corpus, centroids, M=M, nb=nb, vec_col=vec_col, id_col=id_col
     )
-    adj = graph.groupBy("src").agg(
-        F.sort_array(F.collect_list("dst")).alias("dsts")
-    )
-    adj.withColumn("bucket", F.pmod(F.col("src"), F.lit(n_buckets))).write.partitionBy(
-        "bucket"
-    ).mode("overwrite").parquet(f"{path}/graph")
+    _write_adjacency(graph, f"{path}/graph", n_buckets)
     vecs = corpus.select(
         F.col(id_col).alias("nn_id"), F.col(vec_col).alias("vec")
     )
@@ -305,6 +584,72 @@ def nsw_write_index(
     vecs.filter(F.col("nn_id") % entry_stride == 0).write.mode(
         "overwrite"
     ).parquet(f"{path}/entries")
+
+
+def _write_adjacency(graph: DataFrame, path: str, n_buckets: int) -> None:
+    adj = graph.groupBy("src").agg(
+        F.sort_array(F.collect_list("dst")).alias("dsts")
+    )
+    adj.withColumn(
+        "bucket", F.pmod(F.col("src"), F.lit(n_buckets))
+    ).write.partitionBy("bucket").mode("overwrite").parquet(path)
+
+
+def _pruned_hop(
+    spark,
+    graph_path: str,
+    vec_path: str,
+    q: DataFrame,
+    visited: DataFrame,
+    w,
+    width: int,
+    n_buckets: int,
+) -> DataFrame:
+    """One partition-pruned hop over a written index: the frontier's
+    bucket set (a BOUNDED collect, <= width * |queries| ids) prunes
+    both the adjacency and the vector reads to the named partitions —
+    per-query IO proportional to the beam, not the corpus."""
+    beam = (
+        visited.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= width)
+        .drop("_rn")
+    )
+    frontier = beam.select("query_id", "nn_id").cache()
+    fbuckets = [
+        r[0]
+        for r in frontier.select(F.pmod(F.col("nn_id"), F.lit(n_buckets)))
+        .distinct()
+        .collect()
+    ]
+    adj = spark.read.parquet(graph_path).filter(
+        F.col("bucket").isin(fbuckets)
+    )
+    expand = (
+        frontier.join(adj, frontier["nn_id"] == adj["src"])
+        .select("query_id", F.explode("dsts").alias("nn_id"))
+        .distinct()
+        .cache()
+    )
+    cbuckets = [
+        r[0]
+        for r in expand.select(F.pmod(F.col("nn_id"), F.lit(n_buckets)))
+        .distinct()
+        .collect()
+    ]
+    cvecs = spark.read.parquet(vec_path).filter(
+        F.col("bucket").isin(cbuckets)
+    )
+    scored = (
+        expand.join(cvecs, "nn_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id", "nn_id", V.cosine("vec", "_qv").alias("cosine")
+        )
+    )
+    out = visited.unionByName(scored).dropDuplicates(["query_id", "nn_id"])
+    frontier.unpersist()
+    expand.unpersist()
+    return out
 
 
 def nsw_topk_indexed(
@@ -318,12 +663,9 @@ def nsw_topk_indexed(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """Beam search over a written index: per hop, the frontier's
-    bucket set (a BOUNDED collect, <= ef * |queries| ids) prunes both
-    the adjacency and the vector reads to the named partitions —
-    per-query IO proportional to the beam, not the corpus.  Returns
-    identical values to :func:`nsw_topk` over the same graph/params
-    (pytest-pinned)."""
+    """Beam search over a written index via :func:`_pruned_hop`.
+    Returns identical values to :func:`nsw_topk` over the same
+    graph/params (pytest-pinned)."""
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv")
     )
@@ -334,56 +676,17 @@ def nsw_topk_indexed(
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("nn_id")
     )
-    beam = (
-        visited.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= ef)
-        .drop("_rn")
-    )
     for _ in range(hops):
-        frontier = beam.select("query_id", "nn_id").cache()
-        fbuckets = [
-            r[0]
-            for r in frontier.select(
-                F.pmod(F.col("nn_id"), F.lit(n_buckets))
-            )
-            .distinct()
-            .collect()
-        ]
-        adj = spark.read.parquet(f"{path}/graph").filter(
-            F.col("bucket").isin(fbuckets)
+        visited = _pruned_hop(
+            spark,
+            f"{path}/graph",
+            f"{path}/vectors",
+            q,
+            visited,
+            w,
+            ef,
+            n_buckets,
         )
-        expand = (
-            frontier.join(adj, frontier["nn_id"] == adj["src"])
-            .select("query_id", F.explode("dsts").alias("nn_id"))
-            .distinct()
-            .cache()
-        )
-        cbuckets = [
-            r[0]
-            for r in expand.select(F.pmod(F.col("nn_id"), F.lit(n_buckets)))
-            .distinct()
-            .collect()
-        ]
-        cvecs = spark.read.parquet(f"{path}/vectors").filter(
-            F.col("bucket").isin(cbuckets)
-        )
-        scored = (
-            expand.join(cvecs, "nn_id")
-            .join(F.broadcast(q), "query_id")
-            .select(
-                "query_id", "nn_id", V.cosine("vec", "_qv").alias("cosine")
-            )
-        )
-        visited = visited.unionByName(scored).dropDuplicates(
-            ["query_id", "nn_id"]
-        )
-        beam = (
-            visited.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= ef)
-            .drop("_rn")
-        )
-        frontier.unpersist()
-        expand.unpersist()
     return (
         visited.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -546,29 +849,57 @@ def build_hnsw_graphs(
     centroids: list[list[float]],
     M: int = 8,
     nb: int = 3,
-    level_mods: tuple[int, ...] = (8, 64),
+    level_mods: tuple[int, ...] | str = (8, 64),
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    corpus_count: int | None = None,
 ) -> list[DataFrame]:
     """One blocked k-NN graph per layer: index 0 is the full-corpus
     NSW base layer; index l >= 1 covers the nodes whose level hash is
     divisible by ``level_mods[l-1]`` (nested subsets, ~n/8, ~n/64...).
     Same centroids, same M/nb at every layer — upper layers are just
-    sparser, the long-range express lanes of the hierarchy."""
+    sparser, the long-range express lanes of the hierarchy.
+    ``level_mods="auto"`` applies :func:`auto_level_mods` to the
+    measured corpus size.  All layer sizes come from ONE aggregate
+    scan and feed each layer's scoring-path gate."""
+    n = corpus.count() if corpus_count is None else corpus_count
+    if level_mods == "auto":
+        level_mods = auto_level_mods(n)
+    h = hnsw_level_hash(id_col)
+    sizes = corpus.agg(
+        *[
+            F.sum((h % mod == 0).cast("long")).alias(f"_n{i}")
+            for i, mod in enumerate(level_mods)
+        ]
+    ).first()
     graphs = [
         build_nsw_graph(
-            corpus, centroids, M=M, nb=nb, vec_col=vec_col, id_col=id_col
+            corpus, centroids, M=M, nb=nb, vec_col=vec_col,
+            id_col=id_col, corpus_count=n,
         )
     ]
-    h = hnsw_level_hash(id_col)
-    for mod in level_mods:
+    for i, mod in enumerate(level_mods):
         sub = corpus.filter(h % mod == 0)
         graphs.append(
             build_nsw_graph(
-                sub, centroids, M=M, nb=nb, vec_col=vec_col, id_col=id_col
+                sub, centroids, M=M, nb=nb, vec_col=vec_col,
+                id_col=id_col, corpus_count=int(sizes[f"_n{i}"] or 0),
             )
         )
     return graphs
+
+
+def _hnsw_schedule(
+    n_levels: int, ef: int, hops: int, descent_beam: int, descent_hops: int
+) -> list[tuple[int, int]]:
+    """The (layer, beam-width) hop schedule shared by every HNSW
+    search tier: descend the upper layers top-down with the narrow
+    beam, then the full ef-beam search on the base layer."""
+    sched = []
+    for layer in range(n_levels, 0, -1):
+        sched += [(layer, descent_beam)] * descent_hops
+    sched += [(0, ef)] * hops
+    return sched
 
 
 def hnsw_topk(
@@ -584,16 +915,39 @@ def hnsw_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
+    corpus_count: int | None = None,
+    index_broadcast_max: int = _BROADCAST_VEC_MAX,
+    visited_broadcast_max: int = _VISITED_BROADCAST_MAX,
 ) -> DataFrame:
     """Hierarchical beam search: enter at the TOP layer (all its ~n/64
-    members scored — the medoid-set analog, O(n / top_mod) instead of
-    the flat NSW's O(n / stride) entries), descend layer by layer with
-    a narrow beam (``descent_beam``, ``descent_hops`` expansions per
-    upper layer), then run the standard ``ef``-beam ``hops``-hop search
-    on the base layer seeded by everything the descent visited.
-    Returns (query_id, nn_id, cosine, rank), rank <= k over ALL visited
-    nodes.  Never cartesian: queries broadcast (bounded batch), every
-    expansion is an equi-join on node id."""
+    members scored — the medoid-set analog), descend layer by layer
+    with a narrow beam (``descent_beam``, ``descent_hops`` expansions
+    per upper layer), then run the standard ``ef``-beam ``hops``-hop
+    search on the base layer seeded by everything the descent visited.
+    Returns (query_id, nn_id, cosine, rank), rank <= k over ALL
+    visited nodes.  Same measured tier dispatch and visited-broadcast
+    gate as :func:`nsw_topk`; never cartesian — queries distribute or
+    broadcast (bounded batch), every expansion is an equi-join on
+    node id."""
+    n = corpus.count() if corpus_count is None else corpus_count
+    top_mod = level_mods[-1]
+    entry_mask = hnsw_level_hash(F.col(id_col)) % top_mod == 0
+    schedule = _hnsw_schedule(
+        len(level_mods), ef, hops, descent_beam, descent_hops
+    )
+    if n <= index_broadcast_max:
+        return _resident_topk(
+            corpus,
+            graphs,
+            queries,
+            schedule,
+            entry_mask,
+            k,
+            vec_col,
+            id_col,
+            query_id_col,
+        )
+
     vecs = corpus.select(
         F.col(id_col).alias("nn_id"), F.col(vec_col).alias("_cv")
     )
@@ -601,57 +955,125 @@ def hnsw_topk(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv")
     )
     layer_edges = []
+    max_deg = 0
     for g in graphs:
         e = materialize(g.select("src", "dst"))
-        if e.count() <= 2_000_000:
+        n_e, d = _edge_stats(e)
+        max_deg = max(max_deg, d)
+        if n_e <= _EDGE_BROADCAST_MAX:
             e = F.broadcast(e)
         layer_edges.append(e)
 
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("nn_id")
     )
-    top_mod = level_mods[-1]
     entries = vecs.filter(
         hnsw_level_hash(F.col("nn_id")) % top_mod == 0
     )
+    nq = q.count()
     visited = materialize(
         entries.crossJoin(F.broadcast(q)).select(
             "query_id", "nn_id", V.cosine("_cv", "_qv").alias("cosine")
         )
     )
+    seed_rows = visited.count()
+    visited = _distributed_beam(
+        vecs,
+        q,
+        layer_edges,
+        visited,
+        schedule,
+        w,
+        nq,
+        max_deg,
+        seed_rows,
+        visited_broadcast_max,
+    )
+    return (
+        visited.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nn_id", "cosine", "rank")
+    )
 
-    def expand(edges, beam_width: int, n_hops: int):
-        nonlocal visited
-        for _ in range(n_hops):
-            beam = (
-                visited.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") <= beam_width)
-                .drop("_rn")
-            )
-            frontier = (
-                beam.join(edges, beam["nn_id"] == edges["src"])
-                .select("query_id", F.col("dst").alias("nn_id"))
-                .distinct()
-            )
-            fresh = frontier.join(
-                F.broadcast(visited), ["query_id", "nn_id"], "left_anti"
-            )
-            scored = (
-                fresh.join(vecs, "nn_id")
-                .join(F.broadcast(q), "query_id")
-                .select(
-                    "query_id",
-                    "nn_id",
-                    V.cosine("_cv", "_qv").alias("cosine"),
-                )
-            )
-            visited = materialize(visited.unionByName(scored))
 
-    # descent: upper layers, top-down, narrow beam
-    for layer in range(len(level_mods), 0, -1):
-        expand(layer_edges[layer], descent_beam, descent_hops)
-    # base layer: the full beam search, seeded by the descent's visited
-    expand(layer_edges[0], ef, hops)
+def hnsw_write_index(
+    corpus: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    M: int = 8,
+    nb: int = 3,
+    level_mods: tuple[int, ...] = (8, 64),
+    n_buckets: int = 32,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Materialize the WHOLE hierarchy as a disk-resident index (the
+    build-once/search-many serving shape; :func:`hnsw_topk` rebuilds
+    every layer per invocation — wrong amortization for a serving
+    path, r11 verdict item 2): each layer's adjacency hive-partitioned
+    by ``src % n_buckets`` under ``graph{l}``, the vectors bucketed
+    once, and the top layer's members written as the entry set."""
+    graphs = build_hnsw_graphs(
+        corpus, centroids, M=M, nb=nb, level_mods=level_mods,
+        vec_col=vec_col, id_col=id_col,
+    )
+    for lyr, g in enumerate(graphs):
+        _write_adjacency(g, f"{path}/graph{lyr}", n_buckets)
+    vecs = corpus.select(
+        F.col(id_col).alias("nn_id"), F.col(vec_col).alias("vec")
+    )
+    vecs.withColumn(
+        "bucket", F.pmod(F.col("nn_id"), F.lit(n_buckets))
+    ).write.partitionBy("bucket").mode("overwrite").parquet(
+        f"{path}/vectors"
+    )
+    vecs.filter(
+        hnsw_level_hash(F.col("nn_id")) % level_mods[-1] == 0
+    ).write.mode("overwrite").parquet(f"{path}/entries")
+
+
+def hnsw_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    ef: int = 20,
+    hops: int = 4,
+    n_levels: int = 2,
+    descent_beam: int = 4,
+    descent_hops: int = 1,
+    n_buckets: int = 32,
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Hierarchical beam search over a written index: the same
+    (layer, width) schedule as :func:`hnsw_topk`, each hop a
+    partition-pruned :func:`_pruned_hop` against that layer's
+    adjacency dataset.  Returns identical values to :func:`hnsw_topk`
+    over the same hierarchy/params (pytest-pinned)."""
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    entries = spark.read.parquet(f"{path}/entries")
+    visited = entries.crossJoin(F.broadcast(q)).select(
+        "query_id", "nn_id", V.cosine("vec", "_qv").alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("nn_id")
+    )
+    for layer, width in _hnsw_schedule(
+        n_levels, ef, hops, descent_beam, descent_hops
+    ):
+        visited = _pruned_hop(
+            spark,
+            f"{path}/graph{layer}",
+            f"{path}/vectors",
+            q,
+            visited,
+            w,
+            width,
+            n_buckets,
+        )
     return (
         visited.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -769,10 +1191,9 @@ def hnsw_oracle_sql(
 
     # hop schedule mirroring hnsw_topk: descent over upper layers
     # top-down (narrow beam), then the base-layer ef search
-    schedule = []
-    for layer in range(len(level_mods), 0, -1):
-        schedule += [(layer, descent_beam)] * descent_hops
-    schedule += [(0, ef)] * hops
+    schedule = _hnsw_schedule(
+        len(level_mods), ef, hops, descent_beam, descent_hops
+    )
     t = 0
     for layer, width in schedule:
         parts.append(beam(f"v{t}", f"b{t}", width))
