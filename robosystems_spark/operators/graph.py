@@ -1444,8 +1444,18 @@ def betweenness_centrality(
     _prod = (
         f"try_multiply(try_add(CAST({lattice} AS BIGINT), _dw), sigma)"
     )
+    # _dw/sigma are non-null by construction (initial sigma = 1,
+    # every later value is a SUM over non-null terms or COALESCE'd to
+    # 0), but the guard still distinguishes a null INPUT — which
+    # would mean that invariant broke upstream — from a genuine
+    # lattice overflow, so the error names the real defect (r11
+    # ADVICE item 4).
     term = F.expr(
-        f"CASE WHEN {_prod} IS NULL THEN "
+        "CASE WHEN _dw IS NULL OR sigma IS NULL THEN "
+        "raise_error('betweenness_centrality: null _dw/sigma reached"
+        " the lattice product — upstream accumulation invariant"
+        " violated (expected non-null path counts)') "
+        f"WHEN {_prod} IS NULL THEN "
         "raise_error('betweenness_centrality: integer-lattice overflow"
         " — (lattice + dint) * sigma exceeds BIGINT (sigma grows like"
         " degree^depth on dense graphs); lower `lattice` or"
@@ -1726,15 +1736,30 @@ def personalized_pagerank(
     (1/|S| on seeds, else 0 — carried as an indicator column, no
     driver-side state) and the dangling mass, which also restarts to
     the seeds.  rank0 = s, so mass is conserved at 1 every iteration.
-    """
+
+    r12: adopted ``pagerank``'s per-iteration plan wholesale — the
+    out-degree folds INTO the state frame once at setup (``d`` null =
+    dangling), so the dangling mass is a filter+sum over the
+    checkpointed state instead of a per-iteration anti-join shuffle,
+    and both state-sided joins take the measured ``_state_bc``
+    broadcast gate (map-side when the node count fits
+    MAX_BROADCAST_NODES, shuffle path above it).  Float math at every
+    ROUND point is unchanged: the summed multisets are identical, so
+    the oracle's unrolled CTE still hash-matches (sweep 8.9s -> see
+    BENCH_SWEEP)."""
     if num_iter < 1:
         raise ValueError("num_iter must be >= 1")
     if not seeds:
         raise ValueError("seeds must be non-empty")
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).distinct()
-    e.persist(StorageLevel.MEMORY_AND_DISK)
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .transform(materialize)
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    # static node frame carrying the teleport indicator AND the
+    # out-degree (null = dangling) — feeds every iteration's outer
+    # join, the dangling filter, and the initial state
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -1745,18 +1770,13 @@ def personalized_pagerank(
                 F.col("node").isin(seeds), F.lit(1.0 / len(seeds))
             ).otherwise(F.lit(0.0)),
         )
-    )
-    nodes.persist(StorageLevel.MEMORY_AND_DISK)
-    # loop-invariant degree frame consumed per-iteration by the
-    # dangling anti-join — checkpoint once (same as pagerank)
-    deg = (
-        e.groupBy("src")
-        .agg(F.count(F.lit(1)).alias("d"))
+        .join(deg.withColumnRenamed("src", "node"), "node", "left_outer")
         .transform(materialize)
     )
+    bc = _state_bc("auto", nodes.count())
 
     ranks = nodes.select(
-        "node", F.round(F.col("s"), round_digits).alias("rank")
+        "node", "s", "d", F.round(F.col("s"), round_digits).alias("rank")
     ).transform(materialize)
 
     # static across iterations (same hoist as pagerank; float math
@@ -1764,21 +1784,27 @@ def personalized_pagerank(
     ed = e.join(deg, "src").transform(materialize)
 
     for _ in range(num_iter):
+        r_small = ranks.select("node", "rank")
         contrib = (
-            ed.join(ranks, ed.src == ranks.node)
-            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("d")).alias("c"))
+            ed.join(bc(r_small), ed.src == F.col("node"))
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / ed["d"]).alias("c"),
+            )
             .groupBy("node")
             .agg(F.sum("c").alias("cs"))
         )
         dangling = (
-            ranks.join(deg, ranks.node == deg.src, "left_anti")
+            ranks.filter(F.col("d").isNull())
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
         )
         ranks = (
-            nodes.join(contrib, "node", "left_outer")
+            nodes.join(bc(contrib), "node", "left_outer")
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
+                "s",
+                "d",
                 F.round(
                     (F.lit(1.0 - damping) * F.col("s"))
                     + F.lit(damping)
@@ -1790,9 +1816,7 @@ def personalized_pagerank(
                 ).alias("rank"),
             )
         ).transform(materialize)
-    e.unpersist()
-    nodes.unpersist()
-    return ranks
+    return ranks.select("node", "rank")
 
 
 def clustering_coefficient(
@@ -2101,59 +2125,94 @@ def _tarjan_endgame(e: DataFrame, nodes: DataFrame) -> DataFrame:
     ``MAX_BROADCAST_NODES``, so this collect is the same driver-memory
     class as the node-state broadcasts the operators already perform.
     Returns (node, component) with component = min member id (the
-    cross-engine-deterministic representative)."""
-    adj: dict = {}
-    for r in e.select("src", "dst").collect():
-        adj.setdefault(r[0], []).append(r[1])
-    node_ids = [r[0] for r in nodes.select("node").collect()]
+    cross-engine-deterministic representative).
 
-    index: dict = {}
-    low: dict = {}
-    onstk: set = set()
-    stk: list = []
-    comps: list[list] = []
+    The collect rides Arrow (``toPandas``) into numpy id arrays + a
+    CSR adjacency and the Tarjan state lives in flat int arrays —
+    per-row driver memory is a few machine words, the SAME class as
+    the Arrow node-state broadcasts the gate is equated to, instead
+    of the ~10x of Python Row objects + per-node dict/list adjacency
+    (r11 ADVICE item 2).  Component membership and the min-id
+    representative are traversal-order-invariant, so results are
+    unchanged."""
+    import numpy as np
+
+    epdf = e.select("src", "dst").toPandas()
+    npdf = nodes.select("node").toPandas()
+    # universe = declared nodes plus any edge endpoint (traversal may
+    # reach endpoints outside `nodes`, matching the dict version)
+    ids = np.unique(
+        np.concatenate(
+            [
+                npdf["node"].to_numpy(),
+                epdf["src"].to_numpy(),
+                epdf["dst"].to_numpy(),
+            ]
+        )
+    )
+    n = len(ids)
+    src = np.searchsorted(ids, epdf["src"].to_numpy())
+    dst = np.searchsorted(ids, epdf["dst"].to_numpy())
+    o = np.argsort(src, kind="stable")
+    src, dst = src[o], dst[o]
+    indptr = np.concatenate(
+        [[0], np.cumsum(np.bincount(src, minlength=n))]
+    ).astype(np.int64)
+    roots = np.unique(np.searchsorted(ids, npdf["node"].to_numpy()))
+
+    index = np.full(n, -1, dtype=np.int64)
+    low = np.zeros(n, dtype=np.int64)
+    onstk = np.zeros(n, dtype=bool)
+    comp_of = np.full(n, -1, dtype=np.int64)
+    visited_any = np.zeros(n, dtype=bool)
+    stk: list[int] = []
     counter = 0
-    for root in node_ids:
-        if root in index:
+    for root in roots:
+        if index[root] >= 0:
             continue
-        work = [(root, 0)]
+        work = [(int(root), 0)]
         while work:
             v, pi = work[-1]
             if pi == 0:
                 index[v] = low[v] = counter
                 counter += 1
                 stk.append(v)
-                onstk.add(v)
+                onstk[v] = True
             descended = False
-            nbrs = adj.get(v, ())
-            for i in range(pi, len(nbrs)):
-                w = nbrs[i]
-                if w not in index:
-                    work[-1] = (v, i + 1)
+            start, end = indptr[v], indptr[v + 1]
+            for i in range(start + pi, end):
+                w = int(dst[i])
+                if index[w] < 0:
+                    work[-1] = (v, i - start + 1)
                     work.append((w, 0))
                     descended = True
                     break
-                if w in onstk:
-                    low[v] = min(low[v], index[w])
+                if onstk[w]:
+                    if index[w] < low[v]:
+                        low[v] = index[w]
             if descended:
                 continue
             work.pop()
             if work:
                 u = work[-1][0]
-                low[u] = min(low[u], low[v])
+                if low[v] < low[u]:
+                    low[u] = low[v]
             if low[v] == index[v]:
                 comp = []
                 while True:
                     w = stk.pop()
-                    onstk.discard(w)
+                    onstk[w] = False
                     comp.append(w)
+                    visited_any[w] = True
                     if w == v:
                         break
-                comps.append(comp)
-    pairs = []
-    for comp in comps:
-        m = min(comp)
-        pairs.extend((w, m) for w in comp)
+                rep = min(comp)
+                for w in comp:
+                    comp_of[w] = rep
+    members = np.flatnonzero(visited_any)
+    member_ids = ids[members]
+    rep_ids = ids[comp_of[members]]
+    pairs = list(zip(member_ids.tolist(), rep_ids.tolist()))
     schema = nodes.select("node", F.col("node").alias("component")).schema
     return e.sparkSession.createDataFrame(pairs, schema)
 
