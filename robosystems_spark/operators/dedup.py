@@ -1664,8 +1664,14 @@ def containment_prefix_join(
     )
     freq = tok_rows.groupBy("_tok").agg(F.count(F.lit(1)).alias("_c"))
     w = Window.partitionBy(id_col).orderBy(F.asc("_c"), F.asc("_tok"))
-    ranked = tok_rows.join(freq, "_tok").withColumn(
-        "_rn", F.row_number().over(w)
+    # materialized once: the rarity-ranked token rows feed BOTH the
+    # contained side's prefix AND the postings side (the positional
+    # filter needs b's position too) — fan-out checkpoint discipline
+    ranked = (
+        tok_rows.join(freq, "_tok")
+        .withColumn("_rn", F.row_number().over(w))
+        .drop("_c")
+        .transform(materialize)
     )
     # floor((1-t)n) + 1 == n - ceil(t*n) + 1 rarest tokens of the
     # CONTAINED side
@@ -1681,19 +1687,38 @@ def containment_prefix_join(
             - F.ceil(F.col("_n") * threshold_num / threshold_den)
             + 1
         )
-    ).select(id_col, "_n", "_tok")
+    ).select(id_col, "_n", "_tok", "_rn")
     # container-size prune (recall-safe, r10 verdict item 4):
     # C(a->b) >= t implies |a∩b| >= t|a| and |a∩b| <= |b|, so any
     # surviving pair has |b|*den >= |a|*num — filtered IN the join,
-    # before the pair-dedup shuffle
+    # before the pair-dedup shuffle.
+    # POSITIONAL prefix filter (PPJoin, Xiao et al. 2008; r11 verdict
+    # item 5): with both sides ranked by the SAME global rarity order,
+    # a match on a's position i / b's position j bounds the total
+    # overlap by 1 + min(n_a - i, n_b - j) (every other common token
+    # sits strictly after both positions).  Recall-exact: a qualifying
+    # pair's FIRST common token is inside a's prefix (else the prefix
+    # were disjoint and C < t) and satisfies the bound by definition,
+    # so that generator row always survives the filter.
     cand = (
         prefix.alias("a")
         .join(
-            tok_rows.alias("b"),
+            ranked.alias("b"),
             (F.col("a._tok") == F.col("b._tok"))
             & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
             & (
                 F.col("b._n") * threshold_den
+                >= F.col("a._n") * threshold_num
+            )
+            & (
+                (
+                    F.lit(1)
+                    + F.least(
+                        F.col("a._n") - F.col("a._rn"),
+                        F.col("b._n") - F.col("b._rn"),
+                    )
+                )
+                * threshold_den
                 >= F.col("a._n") * threshold_num
             ),
         )
