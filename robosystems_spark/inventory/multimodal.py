@@ -972,6 +972,7 @@ def multimodal_gif_animation_stats(spark: SparkSession, sf_dir: str) -> DataFram
            CAST(0 AS INTEGER) AS restart_diff,
            CAST(0 AS INTEGER) AS prog12_diff,
            CAST(0 AS INTEGER) AS subsamp_diff,
+           CAST(0 AS INTEGER) AS prog_subsamp_diff,
            TRUE AS within_bound
     FROM documents
     WHERE doc_id < {_N_DOCS}
@@ -989,7 +990,12 @@ def multimodal_gif_animation_stats(spark: SparkSession, sf_dir: str) -> DataFram
     "four max-abs-diffs to 0.  Any entropy-coding divergence "
     "(EOBRUN, refinement bits, RSTn re-sync, per-scan predictors, "
     "extended DC/AC tables, 2048 level shift) flips a diff and the "
-    "hash.",
+    "hash.  r12 adds prog_subsamp_diff: progressive AND "
+    "non-interleaved encodings at 4:2:2/4:1:1 (the web-crawl "
+    "progressive-subsampled composition) must decode exactly to the "
+    "interleaved-baseline decode at the SAME subsampling — the "
+    "multi-scan MCU geometry for non-square sampling grids is what "
+    "this pins.",
     tags=("multimodal",),
 )
 def multimodal_jpeg_scan_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1056,6 +1062,33 @@ def multimodal_jpeg_scan_equivalence(spark: SparkSession, sf_dir: str) -> DataFr
                         - decode_jpeg(encode_jpeg(cimg)).astype(int)
                     ).max()
                 )
+                # progressive / non-interleaved at 422/411 (r12):
+                # identical quantized coefficients by construction, so
+                # both must decode EXACTLY to the interleaved baseline
+                # at the same subsampling — on the full gradient image
+                base_sub = decode_jpeg(
+                    encode_jpeg(px, subsample=mode)
+                ).astype(int)
+                diffs["prog_subsamp_diff"] = max(
+                    int(
+                        np.abs(
+                            decode_jpeg(
+                                encode_jpeg_progressive(px, subsample=mode)
+                            ).astype(int)
+                            - base_sub
+                        ).max()
+                    ),
+                    int(
+                        np.abs(
+                            decode_jpeg(
+                                encode_jpeg_noninterleaved(
+                                    px, subsample=mode
+                                )
+                            ).astype(int)
+                            - base_sub
+                        ).max()
+                    ),
+                )
                 rows.append(
                     {
                         "doc_id": did,
@@ -1077,6 +1110,7 @@ def multimodal_jpeg_scan_equivalence(spark: SparkSession, sf_dir: str) -> DataFr
                     T.StructField("restart_diff", T.IntegerType()),
                     T.StructField("prog12_diff", T.IntegerType()),
                     T.StructField("subsamp_diff", T.IntegerType()),
+                    T.StructField("prog_subsamp_diff", T.IntegerType()),
                     T.StructField("within_bound", T.BooleanType()),
                 ]
             ),

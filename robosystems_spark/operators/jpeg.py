@@ -1,9 +1,9 @@
 """JPEG (ITU T.81) codec in pure numpy — no PIL/libjpeg.
 ``decode_jpeg`` handles any 8-bit Huffman JFIF stream, BASELINE
-(SOF0) or PROGRESSIVE (SOF2), with sampling factors 1 or 2 per axis
-— 4:4:4/4:2:2/4:2:0, the layouts virtually every camera/web JPEG
-uses — with arbitrary DQT/DHT tables read FROM THE FILE (as the
-standard requires — no table constants are assumed).  Progressive
+(SOF0) or PROGRESSIVE (SOF2), with sampling factors 1, 2, or 4 per
+axis — 4:4:4/4:2:2/4:2:0/4:1:1, the camera/web layouts plus the
+DV/NTSC shape (r11) — with arbitrary DQT/DHT tables read FROM THE
+FILE (as the standard requires — no table constants are assumed).  Progressive
 covers full spectral selection + successive approximation: DC
 first/refinement scans, AC first scans with cross-block EOBRUN
 batching, and AC refinement scans with buffered correction bits
@@ -24,10 +24,14 @@ category ranges) decodes and encodes in the interleaved
 single-scan shape (SOF1) AND the multi-scan/progressive shape
 (SOF2 with the full-EOBn AC table — r11), scaling to the uint8
 output contract via round(v * 255 / 4095).
-Honest seams: arithmetic coding and
-sampling factors > 2 raise ``NotImplementedError`` —
-each is a decode-path variant, not a new idea; the implemented paths
-cover the round-trip semantics (DCT, quantization, zigzag, DC
+Every encoder (interleaved baseline, non-interleaved baseline,
+progressive) accepts subsample False/"420"/"422"/"411" (r12 closed
+the multi-scan 422/411 seam), so progressive-x-subsampling
+compositions — ubiquitous in web crawls — round-trip in-tree.
+Honest seams: arithmetic coding, lossless/hierarchical processes,
+and sampling factors outside {1, 2, 4} raise ``NotImplementedError``
+— each is a decode-path variant, not a new idea; the implemented
+paths cover the round-trip semantics (DCT, quantization, zigzag, DC
 prediction, run-length + Huffman entropy coding, byte stuffing,
 chroma down/upsampling, restart re-sync, multi-scan coefficient
 accumulation) end to end.
@@ -798,13 +802,15 @@ def encode_jpeg_progressive(
         dtype=np.int32,
     )
 
-    if subsample not in (False, True, "420"):
-        raise NotImplementedError(
-            "only 4:4:4 and 4:2:0 here (the baseline interleaved "
-            "encoder handles 422/411)"
-        )
-    mcu = 16 if (subsample and not gray) else 8
-    ph, pw = -(-h // mcu) * mcu, -(-w // mcu) * mcu
+    if subsample is True:
+        subsample = "420"
+    if subsample and subsample not in ("420", "422", "411"):
+        raise ValueError(f"unknown subsampling {subsample!r}")
+    hs, vs = {"420": (2, 2), "422": (2, 1), "411": (4, 1)}.get(
+        subsample, (1, 1)
+    ) if (subsample and not gray) else (1, 1)
+    mcu_w, mcu_h = 8 * hs, 8 * vs
+    ph, pw = -(-h // mcu_h) * mcu_h, -(-w // mcu_w) * mcu_w
     if gray:
         planes = [np.pad(a.astype(np.float64), ((0, ph - h), (0, pw - w)), mode="edge")]
     else:
@@ -821,15 +827,15 @@ def encode_jpeg_progressive(
             np.pad(ycc[:, :, i], ((0, ph - h), (0, pw - w)), mode="edge")
             for i in range(3)
         ]
-        if subsample:
+        if hs * vs > 1:  # hs x vs block-mean downsample of Cb/Cr
             for i in (1, 2):
                 p = planes[i]
-                planes[i] = (
-                    p[0::2, 0::2] + p[1::2, 0::2] + p[0::2, 1::2] + p[1::2, 1::2]
-                ) / 4.0
+                planes[i] = p.reshape(
+                    p.shape[0] // vs, vs, p.shape[1] // hs, hs
+                ).mean(axis=(1, 3))
 
     ncomp = 1 if gray else 3
-    samp = [(2, 2) if (subsample and ci == 0) else (1, 1) for ci in range(ncomp)] \
+    samp = [(hs, vs) if ci == 0 else (1, 1) for ci in range(ncomp)] \
         if (subsample and not gray) else [(1, 1)] * ncomp
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
@@ -845,8 +851,8 @@ def encode_jpeg_progressive(
         comp_h = -(-h * vi // vmax)  # ceil(h*vi/vmax): true comp samples
         comp_w = -(-w * hi // hmax)
         eff.append((-(-comp_h // 8), -(-comp_w // 8)))
-    mcus_x = pw // mcu
-    mcus_y = ph // mcu
+    mcus_x = pw // mcu_w
+    mcus_y = ph // mcu_h
 
     dc_bits, dc_vals = (_DC_BITS_12, _DC_VALS_12) if ext else (_DC_BITS, _DC_VALS)
     ac_bits, ac_vals = (
@@ -1470,13 +1476,15 @@ def encode_jpeg_noninterleaved(
     qy = np.asarray(q_luma if q_luma is not None else _Q_LUMA, dtype=np.int32)
     qc = np.asarray(q_chroma if q_chroma is not None else _Q_CHROMA, dtype=np.int32)
 
-    if subsample not in (False, True, "420"):
-        raise NotImplementedError(
-            "only 4:4:4 and 4:2:0 here (the baseline interleaved "
-            "encoder handles 422/411)"
-        )
-    mcu = 16 if (subsample and not gray) else 8
-    ph, pw = -(-h // mcu) * mcu, -(-w // mcu) * mcu
+    if subsample is True:
+        subsample = "420"
+    if subsample and subsample not in ("420", "422", "411"):
+        raise ValueError(f"unknown subsampling {subsample!r}")
+    hs, vs = {"420": (2, 2), "422": (2, 1), "411": (4, 1)}.get(
+        subsample, (1, 1)
+    ) if (subsample and not gray) else (1, 1)
+    mcu_w, mcu_h = 8 * hs, 8 * vs
+    ph, pw = -(-h // mcu_h) * mcu_h, -(-w // mcu_w) * mcu_w
     if gray:
         planes = [np.pad(a.astype(np.float64), ((0, ph - h), (0, pw - w)), mode="edge")]
     else:
@@ -1485,15 +1493,15 @@ def encode_jpeg_noninterleaved(
             np.pad(ycc[:, :, i], ((0, ph - h), (0, pw - w)), mode="edge")
             for i in range(3)
         ]
-        if subsample:
+        if hs * vs > 1:  # hs x vs block-mean downsample of Cb/Cr
             for i in (1, 2):
                 p = planes[i]
-                planes[i] = (
-                    p[0::2, 0::2] + p[1::2, 0::2] + p[0::2, 1::2] + p[1::2, 1::2]
-                ) / 4.0
+                planes[i] = p.reshape(
+                    p.shape[0] // vs, vs, p.shape[1] // hs, hs
+                ).mean(axis=(1, 3))
 
     ncomp = 1 if gray else 3
-    samp = [(2, 2) if (subsample and ci == 0) else (1, 1) for ci in range(ncomp)] \
+    samp = [(hs, vs) if ci == 0 else (1, 1) for ci in range(ncomp)] \
         if (subsample and not gray) else [(1, 1)] * ncomp
     hmax = max(x for x, _ in samp)
     vmax = max(y for _, y in samp)

@@ -295,16 +295,28 @@ def test_baseline_422_and_411_subsampling():
     ).shape == (16, 32, 3)
 
 
-def test_multiscan_encoders_reject_unsupported_subsampling():
+def test_multiscan_encoders_all_subsamplings_match_baseline():
+    """r12: progressive and non-interleaved encoders accept every
+    implemented subsampling (420/422/411) and must decode to the
+    interleaved baseline's exact pixels (identical quantized
+    coefficients by construction); unknown modes still raise."""
     import numpy as np
     import pytest as _pytest
 
     from robosystems_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
         encode_jpeg_noninterleaved,
         encode_jpeg_progressive,
     )
 
-    px = np.zeros((8, 8, 3), np.uint8)
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (21, 45, 3)).astype(np.uint8)
+    for mode in ("420", "422", "411"):
+        base = decode_jpeg(encode_jpeg(px, subsample=mode))
+        for fn in (encode_jpeg_progressive, encode_jpeg_noninterleaved):
+            got = decode_jpeg(fn(px, subsample=mode))
+            assert np.array_equal(got, base), (fn.__name__, mode)
     for fn in (encode_jpeg_progressive, encode_jpeg_noninterleaved):
-        with _pytest.raises(NotImplementedError):
-            fn(px, subsample="411")
+        with _pytest.raises(ValueError):
+            fn(px, subsample="440")
