@@ -107,6 +107,7 @@ def _ensure_loaded() -> None:
         subqueries,
         tpch,
         windows,
+        xbrl,
     )
 
     _LOADED = True

@@ -625,3 +625,109 @@ TAXONOMY_REL_TABLES = [
     "ELEMENT_HAS_REFERENCE", "TAXONOMY_HAS_REFERENCE",
     "ELEMENT_IN_TAXONOMY",
 ]
+
+
+def calculation_validation(
+    facts: DataFrame,
+    arcs: DataFrame,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Calculation-linkbase consistency as a DataFrame check (r12):
+    for every (accession, context, unit, role, parent) with a reported
+    parent fact, computed = Σ child_value · weight over the
+    summation-item children REPORTED IN THE SAME context/unit, and the
+    pair is consistent when |reported − computed| fits the
+    decimals-derived tolerance (0.5·10^−min(decimals) across parent
+    and bound children; decimals INF/absent mean exact, per XBRL 2.1
+    §5.2.5.2 and Arelle's ValidateXbrlCalcs — the depth the
+    reference reaches through Arelle, xbrl_graph.py:155-226).
+
+    ``facts``: RAW_FACT_SCHEMA rows (value STRING, decimals STRING).
+    ``arcs``: raw_arcs rows (e.g. :func:`~robosystems_spark.pipelines.
+    xbrl_parse.resolve_dts` output) — only summation-item arcs bind.
+    Fragment-vs-qname concept matching uses the locator fragment
+    against the fact's concept local name (the fixture/SEC element-id
+    convention ``<prefix>_<LocalName>`` with the prefix stripped).
+
+    Scale shape: one equi-join keyed by (accession, concept key) to
+    bind child facts to arcs, one grouped sum per (context, role,
+    parent), one join back to the parent facts — all shuffle-keyed on
+    bounded-cardinality keys; nothing collects.
+
+    Returns (accession, context_key, role_uri, parent_concept,
+    reported, computed, n_children, tolerance, consistent), rounded to
+    ``ndigits`` for engine-stable hashing."""
+    frag = lambda c: F.regexp_replace(  # noqa: E731
+        F.element_at(F.split(F.col(c), "#"), -1), r"^[A-Za-z0-9]+_", ""
+    )
+    f = facts.select(
+        "accession",
+        F.element_at(F.split("concept_qname", ":"), -1).alias("_concept"),
+        F.col("value").cast("double").alias("_val"),
+        F.when(
+            F.col("decimals").isNull() | (F.upper("decimals") == "INF"),
+            F.lit(999),
+        )
+        .otherwise(F.col("decimals").cast("int"))
+        .alias("_dec"),
+        F.concat_ws(
+            "|",
+            F.coalesce(F.col("period_start"), F.lit("")),
+            F.coalesce(F.col("period_end"), F.lit("")),
+            F.coalesce(F.col("period_instant"), F.lit("")),
+            F.coalesce(F.col("unit"), F.lit("")),
+        ).alias("context_key"),
+    ).filter(F.col("_val").isNotNull())
+    calc = arcs.filter(
+        F.col("arcrole") == ARCROLE_SUMMATION_ITEM
+    ).select(
+        "accession",
+        "role_uri",
+        frag("parent_uri").alias("_parent"),
+        frag("child_uri").alias("_child"),
+        F.coalesce(F.col("weight"), F.lit(1.0)).alias("_w"),
+    )
+    bound = calc.join(
+        f.select(
+            "accession",
+            F.col("_concept").alias("_child"),
+            "context_key",
+            F.col("_val").alias("_cv"),
+            F.col("_dec").alias("_cdec"),
+        ),
+        ["accession", "_child"],
+    )
+    sums = bound.groupBy(
+        "accession", "context_key", "role_uri", "_parent"
+    ).agg(
+        F.sum(F.col("_w") * F.col("_cv")).alias("_computed"),
+        F.count(F.lit(1)).alias("n_children"),
+        F.min("_cdec").alias("_cmindec"),
+    )
+    parent_f = f.select(
+        "accession",
+        F.col("_concept").alias("_parent"),
+        "context_key",
+        F.col("_val").alias("_reported"),
+        F.col("_dec").alias("_pdec"),
+    )
+    mindec = F.least(F.col("_pdec"), F.col("_cmindec"))
+    tol = F.when(mindec >= 999, F.lit(0.0)).otherwise(
+        F.lit(0.5) * F.pow(F.lit(10.0), -mindec.cast("double"))
+    )
+    return (
+        sums.join(parent_f, ["accession", "context_key", "_parent"])
+        .select(
+            "accession",
+            "context_key",
+            "role_uri",
+            F.col("_parent").alias("parent_concept"),
+            F.round(F.col("_reported"), ndigits).alias("reported"),
+            F.round(F.col("_computed"), ndigits).alias("computed"),
+            "n_children",
+            F.round(tol, ndigits).alias("tolerance"),
+            (
+                F.abs(F.col("_reported") - F.col("_computed")) <= tol
+            ).alias("consistent"),
+        )
+    )

@@ -543,3 +543,173 @@ def raw_facts_from_filings(filings: DataFrame) -> DataFrame:
             )
 
     return filings.mapInPandas(_parse_batch, schema=RAW_FACT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Offline DTS resolution (r12): follow schemaRef -> xsd imports ->
+# linkbaseRefs from a LOCAL store — no network.  The reference's
+# Arelle path resolves the full remote DTS (xbrl_graph.py:155-226
+# builds the controller with web-cache resolution); this is the
+# dependency-free twin over a fixture directory / byte store, the
+# seam a production deploy points at its taxonomy mirror.
+# ---------------------------------------------------------------------------
+
+XLINK_NS = "http://www.w3.org/1999/xlink"
+XSD_NS = "http://www.w3.org/2001/XMLSchema"
+
+_LINKBASE_KINDS = {
+    "calculationLink": "calculationArc",
+    "presentationLink": "presentationArc",
+    "definitionLink": "definitionArc",
+}
+
+
+def dir_loader(fixture_dir: str):
+    """Loader resolving DTS hrefs (including absolute http(s) URLs) to
+    files in a LOCAL directory by basename — the offline fixture-cache
+    convention (a flat mirror keyed by document filename, the shape
+    taxonomy zip distributions unpack to).  Returns bytes or None
+    (missing documents are recorded as unresolved, never fetched)."""
+    import os
+
+    def load(href: str) -> bytes | None:
+        name = href.split("#", 1)[0].rstrip("/").rsplit("/", 1)[-1]
+        if not name:
+            return None
+        p = os.path.join(fixture_dir, name)
+        if not os.path.isfile(p):
+            return None
+        with open(p, "rb") as fh:
+            return fh.read()
+
+    return load
+
+
+def _doc_name(href: str) -> str:
+    return href.split("#", 1)[0]
+
+
+def _resolve_href(base_doc: str, href: str) -> str:
+    """Resolve a relative href against the referencing document's
+    location (posix semantics, scheme-agnostic — enough for the flat
+    mirrors ``dir_loader`` serves and for http-style URLs)."""
+    import posixpath
+
+    doc, _, frag = href.partition("#")
+    if not doc:
+        doc = base_doc
+    elif "://" not in doc and not doc.startswith("/"):
+        base_dir = posixpath.dirname(base_doc)
+        if base_dir:
+            doc = posixpath.normpath(posixpath.join(base_dir, doc))
+    return f"{doc}#{frag}" if frag else doc
+
+
+def resolve_dts(
+    instance_data: bytes,
+    loader,
+    accession: str = "",
+) -> dict:
+    """Resolve the Discoverable Taxonomy Set of one instance OFFLINE:
+    parse ``link:schemaRef`` hrefs, then walk each schema's
+    ``xsd:import``/``xsd:include`` and ``link:linkbaseRef`` references
+    breadth-first through ``loader`` (e.g. :func:`dir_loader` over a
+    fixture directory), collecting every linkbase arc.
+
+    Returns ``{"documents": [...], "unresolved": [...], "arcs": [...]}``
+    where each arc dict carries the ``raw_arcs`` columns
+    ``build_xbrl_taxonomy_frames`` consumes (accession, taxonomy_uri,
+    role_uri, role_id, role_definition, arcrole, parent_uri,
+    child_uri, order_value, weight, preferred_label) — locator hrefs
+    are resolved against the linkbase's own location, so
+    ``parent_uri``/``child_uri`` are stable document#fragment ids.
+    Missing documents go to ``unresolved`` (fail-soft: validation over
+    a partial DTS is still meaningful; silently inventing arcs is
+    not)."""
+    root, _, _ = _parse_with_nsmap(instance_data)
+    queue: list[str] = []
+    for ref in root.iter(f"{{{LINK_NS}}}schemaRef"):
+        href = ref.get(f"{{{XLINK_NS}}}href")
+        if href:
+            queue.append(_resolve_href("", href))
+    seen: set[str] = set()
+    documents: list[str] = []
+    unresolved: list[str] = []
+    arcs: list[dict] = []
+    while queue:
+        href = queue.pop(0)
+        doc = _doc_name(href)
+        if not doc or doc in seen:
+            continue
+        seen.add(doc)
+        data = loader(doc)
+        if data is None:
+            unresolved.append(doc)
+            continue
+        documents.append(doc)
+        try:
+            droot, _, _ = _parse_with_nsmap(data)
+        except ET.ParseError:
+            unresolved.append(doc)
+            continue
+        ns, local = _split_tag(droot.tag)
+        if ns == XSD_NS and local == "schema":
+            tns = droot.get("targetNamespace") or doc
+            for imp in droot.iter(f"{{{XSD_NS}}}import"):
+                loc = imp.get("schemaLocation")
+                if loc:
+                    queue.append(_resolve_href(doc, loc))
+            for inc in droot.iter(f"{{{XSD_NS}}}include"):
+                loc = inc.get("schemaLocation")
+                if loc:
+                    queue.append(_resolve_href(doc, loc))
+            for lbref in droot.iter(f"{{{LINK_NS}}}linkbaseRef"):
+                lhref = lbref.get(f"{{{XLINK_NS}}}href")
+                if lhref:
+                    queue.append(_resolve_href(doc, lhref))
+            continue
+        if ns == LINK_NS and local == "linkbase":
+            arcs.extend(_parse_linkbase_arcs(droot, doc, accession))
+    return {"documents": documents, "unresolved": unresolved, "arcs": arcs}
+
+
+def _parse_linkbase_arcs(
+    droot: ET.Element, doc: str, accession: str
+) -> list[dict]:
+    """One linkbase document -> raw_arcs rows: per extended link, map
+    xlink locator labels to resolved hrefs, then emit one row per arc
+    (from/to resolved through the locator map; arcs naming unknown
+    labels are dropped — a broken linkbase must not invent edges)."""
+    out: list[dict] = []
+    for kind, arc_local in _LINKBASE_KINDS.items():
+        for link in droot.iter(f"{{{LINK_NS}}}{kind}"):
+            role = link.get(f"{{{XLINK_NS}}}role") or ""
+            locs: dict[str, str] = {}
+            for loc in link.iter(f"{{{LINK_NS}}}loc"):
+                label = loc.get(f"{{{XLINK_NS}}}label")
+                href = loc.get(f"{{{XLINK_NS}}}href")
+                if label and href:
+                    locs[label] = _resolve_href(doc, href)
+            for arc in link.iter(f"{{{LINK_NS}}}{arc_local}"):
+                frm = locs.get(arc.get(f"{{{XLINK_NS}}}from") or "")
+                to = locs.get(arc.get(f"{{{XLINK_NS}}}to") or "")
+                if not frm or not to:
+                    continue
+                weight = arc.get("weight")
+                order = arc.get("order")
+                out.append(
+                    {
+                        "accession": accession,
+                        "taxonomy_uri": doc,
+                        "role_uri": role,
+                        "role_id": None,
+                        "role_definition": None,
+                        "arcrole": arc.get(f"{{{XLINK_NS}}}arcrole") or "",
+                        "parent_uri": frm,
+                        "child_uri": to,
+                        "order_value": float(order) if order else None,
+                        "weight": float(weight) if weight is not None else None,
+                        "preferred_label": arc.get("preferredLabel"),
+                    }
+                )
+    return out
