@@ -92,6 +92,8 @@ from robosystems_spark.functions import vector as V
 __all__ = [
     "auto_entry_stride",
     "auto_level_mods",
+    "ResidentAnnIndex",
+    "build_resident_index",
     "build_nsw_graph",
     "nsw_topk",
     "nsw_oracle_sql",
@@ -292,27 +294,69 @@ def _cos_rows(mat, pos, qv):
     return np.round(num / den, 6)
 
 
-def _resident_topk(
+class ResidentAnnIndex:
+    """Build-once/search-many handle for the executor-resident tier:
+    the (ids, vector matrix, per-layer CSR adjacency, entry
+    positions) broadcast is collected ONCE and every
+    :meth:`topk` call reuses it — the serving amortization the
+    written indexes provide on disk, in memory (without it, each
+    search invocation re-collects the corpus, the same
+    rebuild-per-query shape the r11 verdict flagged for HNSW).
+
+    Build with :func:`build_resident_index`; one layer searches with
+    the flat NSW schedule, multiple layers with the HNSW descent
+    schedule."""
+
+    def __init__(self, bidx, n_layers: int, id_dtype, n: int):
+        self._bidx = bidx
+        self.n_layers = n_layers
+        self._id_dtype = id_dtype
+        self.n = n
+
+    def topk(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        ef: int = 20,
+        hops: int = 4,
+        descent_beam: int = 4,
+        descent_hops: int = 1,
+        vec_col: str = "embedding",
+        query_id_col: str = "query_id",
+    ) -> DataFrame:
+        if self.n_layers == 1:
+            schedule = [(0, ef)] * hops
+        else:
+            schedule = _hnsw_schedule(
+                self.n_layers - 1, ef, hops, descent_beam, descent_hops
+            )
+        return _resident_search(
+            self._bidx,
+            self._id_dtype,
+            queries,
+            schedule,
+            k,
+            vec_col,
+            query_id_col,
+        )
+
+    def unpersist(self) -> None:
+        self._bidx.unpersist()
+
+
+def build_resident_index(
     corpus: DataFrame,
     graphs: list[DataFrame],
-    queries: DataFrame,
-    schedule: list[tuple[int, int]],
     entry_mask,
-    k: int,
-    vec_col: str,
-    id_col: str,
-    query_id_col: str,
-) -> DataFrame:
-    """The resident fast path shared by NSW and HNSW: collect (ids,
-    vector matrix, per-layer CSR adjacency, entry positions) into ONE
-    broadcast — model-parameter-sized by the ``_BROADCAST_VEC_MAX``
-    gate — then run every (layer, beam-width) hop of ``schedule`` per
-    query inside a single ``mapInPandas`` over the queries frame.
-    Beam/rank selection is np.lexsort on (-cosine, id), the exact
-    ROW_NUMBER order of the distributed tier and the SQL oracle."""
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> ResidentAnnIndex:
+    """Collect (ids, vector matrix, per-layer CSR adjacency, entry
+    positions) into ONE broadcast — model-parameter-sized by the
+    ``_BROADCAST_VEC_MAX`` gate the callers apply.  ``entry_mask`` is
+    a boolean Column over ``corpus`` selecting the entry set (stride
+    or HNSW top-layer hash)."""
     import numpy as np
-    import pandas as pd
-    from pyspark.sql import types as T
 
     rows = corpus.select(
         F.col(id_col), F.col(vec_col), entry_mask.alias("_e")
@@ -341,13 +385,56 @@ def _resident_topk(
     bidx = corpus.sparkSession.sparkContext.broadcast(
         (ids, mat, np.flatnonzero(entry), layers)
     )
+    return ResidentAnnIndex(
+        bidx, len(graphs), corpus.schema[id_col].dataType, n
+    )
+
+
+def _resident_topk(
+    corpus: DataFrame,
+    graphs: list[DataFrame],
+    queries: DataFrame,
+    schedule: list[tuple[int, int]],
+    entry_mask,
+    k: int,
+    vec_col: str,
+    id_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """One-shot resident search (tier dispatch path): build the
+    broadcast index and run ``schedule`` once.  Serving paths that
+    search repeatedly should hold a :class:`ResidentAnnIndex`
+    instead."""
+    idx = build_resident_index(corpus, graphs, entry_mask, vec_col, id_col)
+    return _resident_search(
+        idx._bidx, idx._id_dtype, queries, schedule, k, vec_col,
+        query_id_col,
+    )
+
+
+def _resident_search(
+    bidx,
+    id_dtype,
+    queries: DataFrame,
+    schedule: list[tuple[int, int]],
+    k: int,
+    vec_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """Run every (layer, beam-width) hop of ``schedule`` per query
+    inside a single ``mapInPandas`` over the queries frame.
+    Beam/rank selection is np.lexsort on (-cosine, id), the exact
+    ROW_NUMBER order of the distributed tier and the SQL oracle."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
 
     out_schema = T.StructType(
         [
             T.StructField(
                 "query_id", queries.schema[query_id_col].dataType
             ),
-            T.StructField("nn_id", corpus.schema[id_col].dataType),
+            T.StructField("nn_id", id_dtype),
             T.StructField("cosine", T.DoubleType()),
             T.StructField("rank", T.IntegerType()),
         ]

@@ -67,12 +67,28 @@ def main() -> None:
         q = emb.filter(F.col("vec_id") < 3).select(
             F.col("vec_id").alias("query_id"), "embedding"
         )
-        t0 = time.perf_counter()
-        nsw_topk(emb, g, q, k=10, ef=20, hops=4, entry_stride=8).write.format(
-            "noop"
-        ).mode("overwrite").save()
-        t_search = time.perf_counter() - t0
-        return {"n": n, "nc": nc, "build_s": t_build, "search_s": t_search}
+        # r12: three search tiers.  "search" = the default dispatch
+        # (executor-resident under the 200k gate at these SFs);
+        # "search_dist" forces the distributed hop loop with the
+        # broadcast anti-join; "search_shuffle_anti" additionally
+        # forces the gated fallback (visited cap 0 -> shuffle
+        # anti-join), the billion-vector plan shape.
+        timings = {}
+        for key, kw in (
+            ("search_s", {}),
+            ("search_dist_s", {"index_broadcast_max": 0}),
+            (
+                "search_shuffle_anti_s",
+                {"index_broadcast_max": 0, "visited_broadcast_max": 0},
+            ),
+        ):
+            t0 = time.perf_counter()
+            nsw_topk(
+                emb, g, q, k=10, ef=20, hops=4, entry_stride=8,
+                corpus_count=n, **kw
+            ).write.format("noop").mode("overwrite").save()
+            timings[key] = time.perf_counter() - t0
+        return {"n": n, "nc": nc, "build_s": t_build, **timings}
 
     def scc_graph(sf_dir: str):
         cust = read_table(spark, sf_dir, "customer").select(
@@ -123,7 +139,9 @@ def main() -> None:
     _log(f"ann lo done {lo_ann}")
     hi_ann = ann_times(hi_dir)
     _log(f"ann hi done {hi_ann}")
-    for key in ("build_s", "search_s"):
+    for key in (
+        "build_s", "search_s", "search_dist_s", "search_shuffle_anti_s"
+    ):
         out[f"nsw_{key[:-2]}"] = {
             "lo_sec": round(lo_ann[key], 2),
             "hi_sec": round(hi_ann[key], 2),

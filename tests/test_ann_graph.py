@@ -367,3 +367,37 @@ def test_hnsw_indexed_matches_inmemory_and_prunes(
     pruned = [f for f in pf if "bucket" in f]
     assert pruned, plan[:2000]
     assert all("bucket" in f for f in pf if f.strip()), pf
+
+
+def test_resident_index_reuse(emb, graph, hgraphs):
+    """Build-once/search-many: a ResidentAnnIndex handle returns
+    bit-identical rows to the one-shot dispatch for both NSW and HNSW
+    schedules, across repeated topk calls."""
+    from pyspark.sql import functions as F2
+
+    from robosystems_spark.operators.ann_graph import (
+        build_resident_index,
+        hnsw_level_hash,
+        hnsw_topk,
+        nsw_topk,
+    )
+
+    q = _queries(emb)
+    nsw_idx = build_resident_index(
+        emb, [graph], F2.col("vec_id") % 8 == 0
+    )
+    want = sorted(map(tuple, nsw_topk(
+        emb, graph, q, k=10, ef=20, hops=4, entry_stride=8).collect()))
+    for _ in range(2):
+        got = sorted(map(tuple, nsw_idx.topk(q, k=10, ef=20, hops=4).collect()))
+        assert got == want
+    h_idx = build_resident_index(
+        emb, hgraphs, hnsw_level_hash(F2.col("vec_id")) % 64 == 0
+    )
+    hwant = sorted(map(tuple, hnsw_topk(
+        emb, hgraphs, q, k=10, ef=20, hops=4).collect()))
+    hgot = sorted(map(tuple, h_idx.topk(
+        q, k=10, ef=20, hops=4, descent_beam=4, descent_hops=1).collect()))
+    assert hgot == hwant
+    nsw_idx.unpersist()
+    h_idx.unpersist()
