@@ -350,14 +350,33 @@ def build_resident_index(
     entry_mask,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_rows: int = _BROADCAST_VEC_MAX,
+    corpus_count: int | None = None,
 ) -> ResidentAnnIndex:
     """Collect (ids, vector matrix, per-layer CSR adjacency, entry
-    positions) into ONE broadcast — model-parameter-sized by the
-    ``_BROADCAST_VEC_MAX`` gate the callers apply.  ``entry_mask`` is
-    a boolean Column over ``corpus`` selecting the entry set (stride
-    or HNSW top-layer hash)."""
+    positions) into ONE broadcast — model-parameter-sized: the
+    measured corpus count must fit ``max_rows`` (the
+    ``_BROADCAST_VEC_MAX`` budget) or this raises loudly — direct
+    callers get the same gate the tier dispatch applies, never an
+    unbounded driver collect.  Requires an integral id column (the
+    matrix/CSR are position-indexed via searchsorted); non-integral
+    ids use the distributed or disk-resident tiers.  ``entry_mask``
+    is a boolean Column over ``corpus`` selecting the entry set
+    (stride or HNSW top-layer hash)."""
     import numpy as np
 
+    if not _integral_id(corpus, id_col):
+        raise ValueError(
+            f"resident tier requires an integral id column; "
+            f"{id_col!r} is {corpus.schema[id_col].dataType}"
+        )
+    n_corpus = corpus.count() if corpus_count is None else corpus_count
+    if n_corpus > max_rows:
+        raise ValueError(
+            f"corpus has {n_corpus} rows, over the resident-index "
+            f"budget of {max_rows}; use the distributed search or a "
+            f"written index (nsw_write_index/hnsw_write_index)"
+        )
     rows = corpus.select(
         F.col(id_col), F.col(vec_col), entry_mask.alias("_e")
     ).collect()
@@ -390,6 +409,17 @@ def build_resident_index(
     )
 
 
+def _integral_id(corpus: DataFrame, id_col: str) -> bool:
+    """The resident tier position-indexes ids via searchsorted into an
+    int64 array — only integral id columns qualify."""
+    from pyspark.sql import types as T
+
+    return isinstance(
+        corpus.schema[id_col].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    )
+
+
 def _resident_topk(
     corpus: DataFrame,
     graphs: list[DataFrame],
@@ -400,12 +430,16 @@ def _resident_topk(
     vec_col: str,
     id_col: str,
     query_id_col: str,
+    corpus_count: int | None = None,
 ) -> DataFrame:
     """One-shot resident search (tier dispatch path): build the
     broadcast index and run ``schedule`` once.  Serving paths that
     search repeatedly should hold a :class:`ResidentAnnIndex`
     instead."""
-    idx = build_resident_index(corpus, graphs, entry_mask, vec_col, id_col)
+    idx = build_resident_index(
+        corpus, graphs, entry_mask, vec_col, id_col,
+        corpus_count=corpus_count,
+    )
     return _resident_search(
         idx._bidx, idx._id_dtype, queries, schedule, k, vec_col,
         query_id_col,
@@ -582,7 +616,7 @@ def nsw_topk(
     if entry_stride == "auto":
         entry_stride = auto_entry_stride(n)
     entry_mask = F.col(id_col) % entry_stride == 0
-    if n <= index_broadcast_max:
+    if n <= index_broadcast_max and _integral_id(corpus, id_col):
         return _resident_topk(
             corpus,
             [graph],
@@ -593,6 +627,7 @@ def nsw_topk(
             vec_col,
             id_col,
             query_id_col,
+            corpus_count=n,
         )
 
     vecs = corpus.select(
@@ -752,7 +787,11 @@ def nsw_topk_indexed(
 ) -> DataFrame:
     """Beam search over a written index via :func:`_pruned_hop`.
     Returns identical values to :func:`nsw_topk` over the same
-    graph/params (pytest-pinned)."""
+    graph/params (pytest-pinned).  Every hop but the last is
+    materialized: each hop's bucket-collects re-execute the visited
+    lineage, which otherwise re-runs ALL prior hops per hop (r12);
+    the final hop stays lazy so the returned plan exposes the
+    PartitionFilters the index promises (plan-pinned)."""
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv")
     )
@@ -763,7 +802,7 @@ def nsw_topk_indexed(
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("nn_id")
     )
-    for _ in range(hops):
+    for h in range(hops):
         visited = _pruned_hop(
             spark,
             f"{path}/graph",
@@ -774,6 +813,8 @@ def nsw_topk_indexed(
             ef,
             n_buckets,
         )
+        if h < hops - 1:
+            visited = materialize(visited)
     return (
         visited.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -1022,7 +1063,7 @@ def hnsw_topk(
     schedule = _hnsw_schedule(
         len(level_mods), ef, hops, descent_beam, descent_hops
     )
-    if n <= index_broadcast_max:
+    if n <= index_broadcast_max and _integral_id(corpus, id_col):
         return _resident_topk(
             corpus,
             graphs,
@@ -1033,6 +1074,7 @@ def hnsw_topk(
             vec_col,
             id_col,
             query_id_col,
+            corpus_count=n,
         )
 
     vecs = corpus.select(
@@ -1137,7 +1179,9 @@ def hnsw_topk_indexed(
     (layer, width) schedule as :func:`hnsw_topk`, each hop a
     partition-pruned :func:`_pruned_hop` against that layer's
     adjacency dataset.  Returns identical values to :func:`hnsw_topk`
-    over the same hierarchy/params (pytest-pinned)."""
+    over the same hierarchy/params (pytest-pinned).  Same hop
+    materialization discipline as :func:`nsw_topk_indexed` (all but
+    the last hop cut, keeping the PartitionFilters plan pin)."""
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv")
     )
@@ -1148,9 +1192,10 @@ def hnsw_topk_indexed(
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("nn_id")
     )
-    for layer, width in _hnsw_schedule(
+    schedule = _hnsw_schedule(
         n_levels, ef, hops, descent_beam, descent_hops
-    ):
+    )
+    for i, (layer, width) in enumerate(schedule):
         visited = _pruned_hop(
             spark,
             f"{path}/graph{layer}",
@@ -1161,6 +1206,8 @@ def hnsw_topk_indexed(
             width,
             n_buckets,
         )
+        if i < len(schedule) - 1:
+            visited = materialize(visited)
     return (
         visited.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
