@@ -244,7 +244,15 @@ def bpe_token_counts(
         seq, _ = _train_loop(docs, n_merges, text_col)
     else:
         seq = bpe_apply_merges(docs, merges, text_col)
-    per_word = seq.groupBy("word").agg(F.count("*").alias("n_toks"))
+    # per_word is vocabulary-sized (unbounded at corpus scale):
+    # materialize once (it feeds the gate count AND the join) and
+    # broadcast only under the measured cap
+    per_word = materialize(
+        seq.groupBy("word").agg(F.count("*").alias("n_toks"))
+    )
+    per_word_bc = (
+        F.broadcast(per_word) if per_word.count() <= 4_000_000 else per_word
+    )
     doc_words = docs.select(
         id_col,
         F.explode(
@@ -252,7 +260,7 @@ def bpe_token_counts(
         ).alias("word"),
     ).filter(F.col("word") != "")
     return (
-        doc_words.join(F.broadcast(per_word), "word")
+        doc_words.join(per_word_bc, "word")
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_words"),

@@ -1466,9 +1466,15 @@ def weighted_jaccard_pairs(
         .groupBy("_blk")
         .agg(F.ceil(F.count(F.lit(1)) / float(block_cap)).alias("_nsub"))
     )
+    # sizes has one row per 32-char-prefix block — O(distinct docs) in
+    # the worst case, so the broadcast takes the measured-gate
+    # discipline on the n_docs count this function already pays
+    # (corpus-linear state never broadcasts unconditionally, the r11
+    # visited-broadcast lesson)
+    sizes_bc = F.broadcast(sizes) if n_docs <= 4_000_000 else sizes
     tw = (
         toks.join(w, "_tok")
-        .join(F.broadcast(sizes), "_blk")
+        .join(sizes_bc, "_blk")
         .withColumn("_sub", F.pmod(F.col(id_col), F.col("_nsub")))
         .select(id_col, "_tok", "_w", "_blk", "_sub")
         .repartition(
@@ -1590,26 +1596,21 @@ def cluster_representatives(
     joined = clusters.select(id_col, cluster_col).join(
         docs.select(id_col, F.col(quality_col).alias("quality")), id_col
     )
+    # the representative is FIRST over the same per-cluster order the
+    # selection uses — one window pass on the cluster-keyed shuffle,
+    # no reps frame at all.  (The old shape broadcast a one-row-per-
+    # cluster frame into a map-back join: O(clusters) = O(docs) in the
+    # worst case, the corpus-linear-broadcast class the r11 verdict
+    # flagged for ANN visited state.)
     w = Window.partitionBy(cluster_col).orderBy(
         F.desc("quality"), F.asc(id_col)
     )
-    reps = (
-        joined.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(
-            F.col(cluster_col),
-            F.col(id_col).alias("representative_id"),
-        )
-    )
-    return (
-        joined.join(F.broadcast(reps), cluster_col)
-        .select(
-            id_col,
-            cluster_col,
-            "representative_id",
-            "quality",
-            (F.col(id_col) == F.col("representative_id")).alias("keep"),
-        )
+    return joined.select(
+        id_col,
+        cluster_col,
+        F.first(id_col).over(w).alias("representative_id"),
+        "quality",
+        (F.col(id_col) == F.first(id_col).over(w)).alias("keep"),
     )
 
 

@@ -2008,7 +2008,12 @@ def link_prediction_jaccard(
         deg.filter(F.col("degree") <= max_neighbor_degree)
         .select(F.col("node").alias("nbr"))
     )
-    capped = adj.join(F.broadcast(z_ok), "nbr", "left_semi")
+    # z_ok is node-sized — measured _state_bc gate (deg is
+    # materialized, so the count is one cheap scan), shuffle semi-join
+    # past MAX_BROADCAST_NODES
+    capped = adj.join(
+        _state_bc("auto", deg.count())(z_ok), "nbr", "left_semi"
+    )
     lo = capped.select(F.col("nbr").alias("_z"), F.col("node").alias("u1"))
     hi = capped.select(F.col("nbr").alias("_z"), F.col("node").alias("u2"))
     common = (
