@@ -70,6 +70,7 @@ def _filing_store(did: int) -> tuple[bytes, dict[str, bytes]]:
             targetNamespace="http://example.com/tax/entry">
   <xsd:annotation><xsd:appinfo>
     <link:linkbaseRef xlink:type="simple" xlink:href="cal-{did}.xml"/>
+    <link:linkbaseRef xlink:type="simple" xlink:href="pres-{did}.xml"/>
   </xsd:appinfo></xsd:annotation>
   <xsd:import namespace="http://example.com/tax" schemaLocation="base.xsd"/>
 </xsd:schema>""".encode()
@@ -113,10 +114,30 @@ def _filing_store(did: int) -> tuple[bytes, dict[str, bytes]]:
   </link:calculationLink>
 </link:linkbase>""".encode()
 
+    def parc(frm: str, to: str, order: int, plabel: str | None) -> str:
+        pl = f' preferredLabel="{plabel}"' if plabel else ""
+        return (
+            '<link:presentationArc xlink:type="arc" '
+            'xlink:arcrole="http://www.xbrl.org/2003/arcrole/'
+            f'parent-child" xlink:from="{frm}" xlink:to="{to}" '
+            f'order="{order}"{pl}/>'
+        )
+
+    pres = f"""<?xml version="1.0"?>
+<link:linkbase xmlns:link="http://www.xbrl.org/2003/linkbase"
+               xmlns:xlink="http://www.w3.org/1999/xlink">
+  <link:presentationLink xlink:type="extended" xlink:role="{_ROLE_BS}">
+    {loc("p", "Assets")}{loc("c1", "Liabilities")}{loc("c2", "Equity")}
+    {parc("p", "c1", 1, "http://www.xbrl.org/2003/role/terseLabel")}
+    {parc("p", "c2", 2, None)}
+  </link:presentationLink>
+</link:linkbase>""".encode()
+
     store = {
         f"ex-{did}.xsd": entry_xsd,
         "base.xsd": base_xsd,
         f"cal-{did}.xml": cal,
+        f"pres-{did}.xml": pres,
     }
     return instance, store
 
@@ -155,7 +176,7 @@ def _filing_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROUND(CAST(assets AS DOUBLE), 6) AS reported,
              ROUND(CAST(assets + delta AS DOUBLE), 6) AS computed,
              CAST(2 AS BIGINT) AS n_children,
-             0.5 AS tolerance,
+             CAST(0.5 AS DOUBLE) AS tolerance,
              delta = 0 AS consistent
       FROM d
       UNION ALL
@@ -166,7 +187,7 @@ def _filing_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROUND(CAST(debt - cash AS DOUBLE), 6) AS reported,
              ROUND(CAST(debt - cash AS DOUBLE), 6) AS computed,
              CAST(2 AS BIGINT) AS n_children,
-             0.5 AS tolerance,
+             CAST(0.5 AS DOUBLE) AS tolerance,
              TRUE AS consistent
       FROM d
     )
@@ -253,4 +274,93 @@ def xbrl_calc_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     arcs = ids.mapInPandas(gen_arcs, arc_schema)
     return calculation_validation(facts, arcs).orderBy(
         "accession", "parent_concept"
+    )
+
+
+@register(
+    "xbrl_dts_taxonomy_structures",
+    oracle=f"""
+    WITH d AS (
+      SELECT COUNT(*) AS nf FROM documents WHERE doc_id < {_N_FILINGS}
+    )
+    SELECT association_type, weight, preferred_label, root, n_assoc
+    FROM (
+      SELECT 'Calculation' AS association_type, CAST(1.0 AS DOUBLE) AS weight,
+             CAST(NULL AS VARCHAR) AS preferred_label, TRUE AS root,
+             CAST(3 * nf AS BIGINT) AS n_assoc
+      FROM d
+      UNION ALL
+      SELECT 'Calculation', CAST(-1.0 AS DOUBLE), CAST(NULL AS VARCHAR), TRUE,
+             CAST(nf AS BIGINT)
+      FROM d
+      UNION ALL
+      SELECT 'Presentation', CAST(NULL AS DOUBLE),
+             'http://www.xbrl.org/2003/role/terseLabel', TRUE,
+             CAST(nf AS BIGINT)
+      FROM d
+      UNION ALL
+      SELECT 'Presentation', CAST(NULL AS DOUBLE),
+             CAST(NULL AS VARCHAR), TRUE, CAST(nf AS BIGINT)
+      FROM d
+    )
+    ORDER BY association_type, weight, preferred_label
+    """,
+    doc="Resolver -> taxonomy-frames parity end to end: the SAME "
+    "resolve_dts arc rows (now including each filing's presentation "
+    "linkbase with preferredLabel and the two calculation roles) feed "
+    "build_xbrl_taxonomy_frames, and the Association frame's "
+    "type/weight/preferredLabel/root profile is hash-pinned — "
+    "summation weights +1/-1 classified Calculation, parent-child "
+    "arcs classified Presentation, and every parent (Assets/NetDebt) "
+    "detected as a structure ROOT by the distributed "
+    "never-a-child anti-join (the reference's Arelle rootConcepts "
+    "walk, xbrl_graph.py:1358-1449).",
+    tags=("xbrl",),
+)
+def xbrl_dts_taxonomy_structures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from robosystems_spark.pipelines.xbrl import build_xbrl_taxonomy_frames
+    from robosystems_spark.pipelines.xbrl_parse import resolve_dts
+
+    arc_schema = T.StructType(
+        [
+            T.StructField("accession", T.StringType()),
+            T.StructField("taxonomy_uri", T.StringType()),
+            T.StructField("role_uri", T.StringType()),
+            T.StructField("role_id", T.StringType()),
+            T.StructField("role_definition", T.StringType()),
+            T.StructField("arcrole", T.StringType()),
+            T.StructField("parent_uri", T.StringType()),
+            T.StructField("child_uri", T.StringType()),
+            T.StructField("order_value", T.DoubleType()),
+            T.StructField("weight", T.DoubleType()),
+            T.StructField("preferred_label", T.StringType()),
+        ]
+    )
+
+    def gen_arcs(it):
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                instance, store = _filing_store(int(did))
+                dts = resolve_dts(
+                    instance, store.get, accession=f"a{int(did):05d}"
+                )
+                for a in dts["arcs"]:
+                    rows.append(
+                        {k.name: a.get(k.name) for k in arc_schema.fields}
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in arc_schema.fields]
+            )
+
+    arcs = _filing_ids(spark, sf_dir).mapInPandas(gen_arcs, arc_schema)
+    assoc = build_xbrl_taxonomy_frames(arcs)["Association"]
+    return (
+        assoc.groupBy(
+            "association_type", "weight", "preferred_label", "root"
+        )
+        .agg(F.count(F.lit(1)).alias("n_assoc"))
+        .orderBy("association_type", "weight", "preferred_label")
     )

@@ -21,15 +21,20 @@ def test_resolver_walks_full_dts_in_memory():
     instance, store = _filing_store(5)
     dts = resolve_dts(instance, store.get, accession="a5")
     assert dts["unresolved"] == []
-    # entry schema + imported base schema + calculation linkbase
-    assert set(dts["documents"]) == {"ex-5.xsd", "base.xsd", "cal-5.xml"}
+    # entry schema + imported base schema + both linkbases
+    assert set(dts["documents"]) == {
+        "ex-5.xsd", "base.xsd", "cal-5.xml", "pres-5.xml",
+    }
     arcs = dts["arcs"]
-    assert len(arcs) == 4
-    assert all(
-        a["arcrole"].endswith("summation-item") for a in arcs
-    )
-    weights = sorted(a["weight"] for a in arcs)
+    assert len(arcs) == 6
+    calc = [a for a in arcs if a["arcrole"].endswith("summation-item")]
+    pres = [a for a in arcs if a["arcrole"].endswith("parent-child")]
+    assert len(calc) == 4 and len(pres) == 2
+    weights = sorted(a["weight"] for a in calc)
     assert weights == [-1.0, 1.0, 1.0, 1.0]
+    assert sorted(a["preferred_label"] or "" for a in pres) == [
+        "", "http://www.xbrl.org/2003/role/terseLabel",
+    ]
     # locator hrefs resolved against the linkbase's own location
     assert all(a["parent_uri"].startswith("base.xsd#ex_") for a in arcs)
     assert all(a["accession"] == "a5" for a in arcs)
@@ -43,12 +48,15 @@ def test_resolver_dir_loader_and_unresolved(tmp_path):
             (tmp_path / name).write_bytes(data)
     dts = resolve_dts(instance, dir_loader(str(tmp_path)), accession="a9")
     assert dts["unresolved"] == ["cal-9.xml"]
-    assert dts["arcs"] == []  # fail-soft: no invented edges
+    # fail-soft: only the presentation arcs (whose linkbase resolved)
+    assert all(
+        a["arcrole"].endswith("parent-child") for a in dts["arcs"]
+    )
     # the FULL mirror resolves identically to the in-memory store
     (tmp_path / "cal-9.xml").write_bytes(store["cal-9.xml"])
     full = resolve_dts(instance, dir_loader(str(tmp_path)), accession="a9")
     assert full["unresolved"] == []
-    assert len(full["arcs"]) == 4
+    assert len(full["arcs"]) == 6
 
 
 def test_dir_loader_maps_remote_urls_to_basenames(tmp_path):
