@@ -678,14 +678,19 @@ def calculation_validation(
             F.coalesce(F.col("unit"), F.lit("")),
         ).alias("context_key"),
     ).filter(F.col("_val").isNotNull())
-    calc = arcs.filter(
-        F.col("arcrole") == ARCROLE_SUMMATION_ITEM
-    ).select(
-        "accession",
-        "role_uri",
-        frag("parent_uri").alias("_parent"),
-        frag("child_uri").alias("_child"),
-        F.coalesce(F.col("weight"), F.lit(1.0)).alias("_w"),
+    calc = (
+        arcs.filter(F.col("arcrole") == ARCROLE_SUMMATION_ITEM)
+        .select(
+            "accession",
+            "role_uri",
+            frag("parent_uri").alias("_parent"),
+            frag("child_uri").alias("_child"),
+            F.coalesce(F.col("weight"), F.lit(1.0)).alias("_w"),
+        )
+        # one relationship per (role, parent, child): a DTS that names
+        # the same arc in two linkbase documents must not double-count
+        # the child (XBRL 2.1 base-set equivalence)
+        .dropDuplicates(["accession", "role_uri", "_parent", "_child"])
     )
     bound = calc.join(
         f.select(

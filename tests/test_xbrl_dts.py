@@ -198,3 +198,23 @@ def test_registry_entry_matches_closed_form(spark, did):
     delta = (did % 5) + 1 if did % 7 == 3 else 0
     assert out["Assets"]["consistent"] is (delta == 0)
     assert out["NetDebt"]["consistent"] is True
+
+
+def test_duplicate_arcs_bind_once(spark):
+    """The same summation arc appearing in two linkbase documents is
+    ONE relationship (XBRL 2.1 base-set equivalence) — the child must
+    not double-count into the sum."""
+    facts = spark.createDataFrame(
+        [
+            ("a", "ex:P", "10", "0", None, None, "2024-12-31", "USD"),
+            ("a", "ex:C1", "10", "0", None, None, "2024-12-31", "USD"),
+        ],
+        _FACT_DDL,
+    )
+    arc = ("a", "r", "http://www.xbrl.org/2003/arcrole/summation-item",
+           "t.xsd#ex_P", "t.xsd#ex_C1", 1.0)
+    arcs = spark.createDataFrame([arc, arc], _ARC_DDL)
+    out = calculation_validation(facts, arcs).collect()
+    assert len(out) == 1
+    assert out[0]["computed"] == 10.0 and out[0]["n_children"] == 1
+    assert out[0]["consistent"] is True
