@@ -237,9 +237,11 @@ def bpe_token_counts(
     """Per-document token count under the trained BPE tokenizer:
     (doc_id, n_words, n_bpe_tokens) — the 'how many tokens is my
     corpus' question every training-data budget starts with.  The
-    per-word token count is computed once on the (tiny) vocabulary
-    and broadcast-joined to the exploded corpus words, so the corpus
-    itself never re-tokenizes."""
+    per-word token count is computed once on the vocabulary and
+    joined to the exploded corpus words (broadcast under a measured
+    4M-row gate — vocabulary is unbounded at corpus scale — shuffle
+    join on the word key above it), so the corpus itself never
+    re-tokenizes."""
     if merges is None:
         seq, _ = _train_loop(docs, n_merges, text_col)
     else:

@@ -1584,9 +1584,12 @@ def cluster_representatives(
     first: the longest/highest-quality variant usually carries the
     most signal).
 
-    Scale shape: one quality join keyed by doc id + one per-cluster
-    row_number window (cluster-keyed shuffle; near-dup clusters are
-    tiny, so no skew) + one map-back join keyed by cluster id.
+    Scale shape: one quality join keyed by doc id + ONE per-cluster
+    window pass (cluster-keyed shuffle; near-dup clusters are tiny,
+    so no skew) — the representative is ``first()`` over the same
+    order the selection ranks on, so there is no reps frame, no
+    map-back join, and no O(clusters) broadcast (r12; the old
+    broadcast was corpus-linear in the worst case).
 
     Returns (doc_id, cluster_id, representative_id, quality, keep)
     where keep = (doc_id == representative_id).
