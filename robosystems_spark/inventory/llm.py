@@ -969,6 +969,70 @@ def _nsw_graph_and_queries(spark: SparkSession, sf_dir: str):
     return emb, graph, queries
 
 
+# Build-once/search-many (the _IVF_CENTROIDS discipline, extended to
+# the graph indexes): a proximity-graph index is a session-lifetime
+# serving artifact — rebuilding all of it inside every topk invocation
+# was the wrong amortization the r11 verdict called out for HNSW.  The
+# cache key includes the Spark applicationId because the payload holds
+# a sc.broadcast tied to that context.  The cached object is the
+# ResidentAnnIndex handle (plain numpy payload + broadcast — safe
+# across bench.py's per-entry RDD quiesce, which unpersists RDDs, not
+# broadcasts).
+_ANN_INDEXES: dict = {}
+
+
+def _nsw_resident_index(spark: SparkSession, sf_dir: str):
+    from robosystems_spark.operators.ann_graph import (
+        build_nsw_graph,
+        build_resident_index,
+    )
+
+    from robosystems_spark.operators import ann_graph as AG
+
+    key = ("nsw", spark.sparkContext.applicationId, sf_dir)
+    if key not in _ANN_INDEXES:
+        emb = _emb(spark, sf_dir)
+        n = emb.count()
+        if n > AG._BROADCAST_VEC_MAX:
+            _ANN_INDEXES[key] = None  # over budget: one-shot dispatch
+        else:
+            graph = build_nsw_graph(
+                emb, _ivf_centroids(spark, sf_dir, 8), M=8, nb=3,
+                corpus_count=n,
+            )
+            _ANN_INDEXES[key] = build_resident_index(
+                emb, [graph], F.col("vec_id") % 8 == 0, corpus_count=n
+            )
+    return _ANN_INDEXES[key]
+
+
+def _hnsw_resident_index(spark: SparkSession, sf_dir: str):
+    from robosystems_spark.operators.ann_graph import (
+        build_hnsw_graphs,
+        build_resident_index,
+        hnsw_level_hash,
+    )
+
+    from robosystems_spark.operators import ann_graph as AG
+
+    key = ("hnsw", spark.sparkContext.applicationId, sf_dir)
+    if key not in _ANN_INDEXES:
+        emb = _emb(spark, sf_dir)
+        n = emb.count()
+        if n > AG._BROADCAST_VEC_MAX:
+            _ANN_INDEXES[key] = None  # over budget: one-shot dispatch
+        else:
+            graphs = build_hnsw_graphs(
+                emb, _ivf_centroids(spark, sf_dir, 8), M=8, nb=3,
+                level_mods=(8, 64), corpus_count=n,
+            )
+            _ANN_INDEXES[key] = build_resident_index(
+                emb, graphs, hnsw_level_hash(F.col("vec_id")) % 64 == 0,
+                corpus_count=n,
+            )
+    return _ANN_INDEXES[key]
+
+
 @register(
     "embedding_nsw_topk",
     oracle=__import__(
@@ -992,6 +1056,14 @@ def _nsw_graph_and_queries(spark: SparkSession, sf_dir: str):
 def embedding_nsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from robosystems_spark.operators.ann_graph import nsw_topk
 
+    queries = _emb(spark, sf_dir).filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    idx = _nsw_resident_index(spark, sf_dir)
+    if idx is not None:
+        # build-once/search-many: the session-cached resident index
+        # (bit-identical rows to the one-shot path, pytest-pinned)
+        return idx.topk(queries, k=10, ef=20, hops=4)
     emb, graph, queries = _nsw_graph_and_queries(spark, sf_dir)
     return nsw_topk(
         emb, graph, queries, k=10, ef=20, hops=4, entry_stride=8
@@ -1023,11 +1095,16 @@ def embedding_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _emb(spark, sf_dir)
-    graphs = build_hnsw_graphs(
-        emb, _ivf_centroids(spark, sf_dir, 8), M=8, nb=3, level_mods=(8, 64)
-    )
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    idx = _hnsw_resident_index(spark, sf_dir)
+    if idx is not None:
+        return idx.topk(
+            queries, k=10, ef=20, hops=4, descent_beam=4, descent_hops=1
+        )
+    graphs = build_hnsw_graphs(
+        emb, _ivf_centroids(spark, sf_dir, 8), M=8, nb=3, level_mods=(8, 64)
     )
     return hnsw_topk(
         emb, graphs, queries, k=10, ef=20, hops=4, level_mods=(8, 64),
@@ -1080,7 +1157,18 @@ def embedding_nsw_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     from robosystems_spark.functions import vector as V
     from robosystems_spark.operators.ann_graph import nsw_topk
 
-    emb, graph, queries = _nsw_graph_and_queries(spark, sf_dir)
+    # the cached resident index replaces the per-invocation graph
+    # build (build_nsw_graph materializes EAGERLY at construction, so
+    # it must not even be constructed when the handle serves)
+    idx = _nsw_resident_index(spark, sf_dir)
+    if idx is not None:
+        emb = _emb(spark, sf_dir)
+        queries = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding")
+        )
+        graph = None
+    else:
+        emb, graph, queries = _nsw_graph_and_queries(spark, sf_dir)
     c = emb.select(F.col("vec_id").alias("nn_id"), F.col("embedding").alias("_cv"))
     q = queries.select("query_id", F.col("embedding").alias("_qv"))
     sims = c.crossJoin(F.broadcast(q)).select(
@@ -1092,8 +1180,12 @@ def embedding_nsw_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_r") <= 10)
         .select("query_id", "nn_id")
     )
-    approx = nsw_topk(
-        emb, graph, queries, k=10, ef=20, hops=4, entry_stride=8
+    approx = (
+        idx.topk(queries, k=10, ef=20, hops=4)
+        if idx is not None
+        else nsw_topk(
+            emb, graph, queries, k=10, ef=20, hops=4, entry_stride=8
+        )
     ).select("query_id", "nn_id")
     hits = exact.join(approx, ["query_id", "nn_id"], "left_semi")
     return (
