@@ -275,11 +275,31 @@ def trigram_postings(
     search prunes to the pattern's posting lists only.
 
     ``only`` restricts the build to the given trigrams — the ad-hoc
-    analog of that partition pruning: the gram generation still runs
-    in codegen (cheap, map-side), but the per-doc DISTINCT shuffle
-    carries only matching rows instead of the whole corpus's gram
-    set, which is the entire cost of a single-query index build.
+    analog of that partition pruning.  r12: the ``only`` branch skips
+    the positional gram generation entirely: a posting row for a
+    KNOWN gram exists iff ``contains(gram)``, so it is one
+    whole-stage-codegen ``contains`` per gram per doc and a map-side
+    array — no per-position array materialization, no distinct
+    shuffle at all (the rows are unique per doc by construction).
+    Measured: the search entry's posting build drops from the
+    interpreted O(len) transform + explode + distinct to a pure scan.
     """
+    if only is not None:
+        lowered = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.lower(F.col(text_col)).alias("_t"),
+        )
+        hits = F.array_compact(
+            F.array(
+                *[
+                    F.when(F.col("_t").contains(g), F.lit(g))
+                    for g in sorted(set(only))
+                ]
+            )
+        )
+        return lowered.select(
+            "doc_id", F.explode(hits).alias("trigram")
+        )
     # bind lower(text) as a LAMBDA VARIABLE: higher-order functions run
     # interpreted and re-evaluate child expressions per element, so
     # substring(lower(text), i, 3) would re-lower the whole string at
@@ -305,8 +325,6 @@ def trigram_postings(
     exploded = docs.select(
         F.col(id_col).alias("doc_id"), grams.alias("_g")
     ).select("doc_id", F.explode("_g").alias("trigram"))
-    if only is not None:
-        exploded = exploded.filter(F.col("trigram").isin(list(only)))
     return exploded.distinct()
 
 
