@@ -831,20 +831,18 @@ def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_band_topk(emb, queries, k=5, lo=0.20, hi=0.32)
 
 
-# IVF centroids per sf_dir: trained once per corpus (the PORTABLE
-# cosine Lloyd, clustering.kmeans_fit) and reused by every query call —
-# the query path measures SEARCH, not Lloyd iterations, and the
-# deterministic training is what lets the whole approximate pipeline
-# carry a DuckDB oracle (recall@k additionally gated in tests/test_dedup.py).
-_IVF_CENTROIDS: dict[str, list[list[float]]] = {}
-
-
+# IVF centroids: the PORTABLE cosine Lloyd (clustering.kmeans_fit),
+# trained INSIDE every invocation.  r12 removed the per-sf_dir module
+# memo this helper used to keep: a cross-invocation cache keyed on the
+# data directory let timed bench runs serve training from state built
+# in the warm run — precomputation, not optimization.  Every
+# invocation now computes the full pipeline from the parquet inputs;
+# the deterministic training is what lets the whole approximate
+# pipeline carry a DuckDB oracle (recall@k gated in tests/test_dedup.py).
 def _ivf_centroids(spark: SparkSession, sf_dir: str, num_centroids: int = 8):
-    if sf_dir not in _IVF_CENTROIDS:
-        _IVF_CENTROIDS[sf_dir] = CL.kmeans_fit(
-            _emb(spark, sf_dir), k=num_centroids, iters=2, metric="cosine"
-        )
-    return _IVF_CENTROIDS[sf_dir]
+    return CL.kmeans_fit(
+        _emb(spark, sf_dir), k=num_centroids, iters=2, metric="cosine"
+    )
 
 
 @register(
@@ -969,68 +967,16 @@ def _nsw_graph_and_queries(spark: SparkSession, sf_dir: str):
     return emb, graph, queries
 
 
-# Build-once/search-many (the _IVF_CENTROIDS discipline, extended to
-# the graph indexes): a proximity-graph index is a session-lifetime
-# serving artifact — rebuilding all of it inside every topk invocation
-# was the wrong amortization the r11 verdict called out for HNSW.  The
-# cache key includes the Spark applicationId because the payload holds
-# a sc.broadcast tied to that context.  The cached object is the
-# ResidentAnnIndex handle (plain numpy payload + broadcast — safe
-# across bench.py's per-entry RDD quiesce, which unpersists RDDs, not
-# broadcasts).
-_ANN_INDEXES: dict = {}
-
-
-def _nsw_resident_index(spark: SparkSession, sf_dir: str):
-    from robosystems_spark.operators.ann_graph import (
-        build_nsw_graph,
-        build_resident_index,
-    )
-
-    from robosystems_spark.operators import ann_graph as AG
-
-    key = ("nsw", spark.sparkContext.applicationId, sf_dir)
-    if key not in _ANN_INDEXES:
-        emb = _emb(spark, sf_dir)
-        n = emb.count()
-        if n > AG._BROADCAST_VEC_MAX:
-            _ANN_INDEXES[key] = None  # over budget: one-shot dispatch
-        else:
-            graph = build_nsw_graph(
-                emb, _ivf_centroids(spark, sf_dir, 8), M=8, nb=3,
-                corpus_count=n,
-            )
-            _ANN_INDEXES[key] = build_resident_index(
-                emb, [graph], F.col("vec_id") % 8 == 0, corpus_count=n
-            )
-    return _ANN_INDEXES[key]
-
-
-def _hnsw_resident_index(spark: SparkSession, sf_dir: str):
-    from robosystems_spark.operators.ann_graph import (
-        build_hnsw_graphs,
-        build_resident_index,
-        hnsw_level_hash,
-    )
-
-    from robosystems_spark.operators import ann_graph as AG
-
-    key = ("hnsw", spark.sparkContext.applicationId, sf_dir)
-    if key not in _ANN_INDEXES:
-        emb = _emb(spark, sf_dir)
-        n = emb.count()
-        if n > AG._BROADCAST_VEC_MAX:
-            _ANN_INDEXES[key] = None  # over budget: one-shot dispatch
-        else:
-            graphs = build_hnsw_graphs(
-                emb, _ivf_centroids(spark, sf_dir, 8), M=8, nb=3,
-                level_mods=(8, 64), corpus_count=n,
-            )
-            _ANN_INDEXES[key] = build_resident_index(
-                emb, graphs, hnsw_level_hash(F.col("vec_id")) % 64 == 0,
-                corpus_count=n,
-            )
-    return _ANN_INDEXES[key]
+# r12 note: an earlier draft of this round cached a built
+# ResidentAnnIndex per (applicationId, sf_dir) at module level, so the
+# ANN entries' timed bench runs served from an index the warm run had
+# built — cross-invocation precomputation, which this round's rules
+# (and honesty) forbid.  The cache is gone: every topk invocation
+# trains centroids, builds its graph(s), and searches, all from the
+# parquet inputs.  ResidentAnnIndex stays available as the
+# build-once/search-many SERVING handle for library callers
+# (tests/test_ann_graph.py), where amortizing the build across many
+# searches is the point and nothing is being timed against a contract.
 
 
 @register(
@@ -1056,14 +1002,6 @@ def _hnsw_resident_index(spark: SparkSession, sf_dir: str):
 def embedding_nsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from robosystems_spark.operators.ann_graph import nsw_topk
 
-    queries = _emb(spark, sf_dir).filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding")
-    )
-    idx = _nsw_resident_index(spark, sf_dir)
-    if idx is not None:
-        # build-once/search-many: the session-cached resident index
-        # (bit-identical rows to the one-shot path, pytest-pinned)
-        return idx.topk(queries, k=10, ef=20, hops=4)
     emb, graph, queries = _nsw_graph_and_queries(spark, sf_dir)
     return nsw_topk(
         emb, graph, queries, k=10, ef=20, hops=4, entry_stride=8
@@ -1098,11 +1036,6 @@ def embedding_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
-    idx = _hnsw_resident_index(spark, sf_dir)
-    if idx is not None:
-        return idx.topk(
-            queries, k=10, ef=20, hops=4, descent_beam=4, descent_hops=1
-        )
     graphs = build_hnsw_graphs(
         emb, _ivf_centroids(spark, sf_dir, 8), M=8, nb=3, level_mods=(8, 64)
     )
@@ -1157,18 +1090,7 @@ def embedding_nsw_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     from robosystems_spark.functions import vector as V
     from robosystems_spark.operators.ann_graph import nsw_topk
 
-    # the cached resident index replaces the per-invocation graph
-    # build (build_nsw_graph materializes EAGERLY at construction, so
-    # it must not even be constructed when the handle serves)
-    idx = _nsw_resident_index(spark, sf_dir)
-    if idx is not None:
-        emb = _emb(spark, sf_dir)
-        queries = emb.filter(F.col("vec_id") < 3).select(
-            F.col("vec_id").alias("query_id"), F.col("embedding")
-        )
-        graph = None
-    else:
-        emb, graph, queries = _nsw_graph_and_queries(spark, sf_dir)
+    emb, graph, queries = _nsw_graph_and_queries(spark, sf_dir)
     c = emb.select(F.col("vec_id").alias("nn_id"), F.col("embedding").alias("_cv"))
     q = queries.select("query_id", F.col("embedding").alias("_qv"))
     sims = c.crossJoin(F.broadcast(q)).select(
@@ -1180,12 +1102,8 @@ def embedding_nsw_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_r") <= 10)
         .select("query_id", "nn_id")
     )
-    approx = (
-        idx.topk(queries, k=10, ef=20, hops=4)
-        if idx is not None
-        else nsw_topk(
-            emb, graph, queries, k=10, ef=20, hops=4, entry_stride=8
-        )
+    approx = nsw_topk(
+        emb, graph, queries, k=10, ef=20, hops=4, entry_stride=8
     ).select("query_id", "nn_id")
     hits = exact.join(approx, ["query_id", "nn_id"], "left_semi")
     return (
@@ -1265,17 +1183,13 @@ def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CL.kmeans(_emb(spark, sf_dir), k=8, iters=2)
 
 
-# PQ codebooks per sf_dir: trained once per corpus and reused, so the
-# query path measures encode + ADC search, not codebook training.
-_PQ_CODEBOOKS: dict[str, list[list[list[float]]]] = {}
-
-
+# PQ codebooks: trained inside every invocation (r12 removed the
+# per-sf_dir module memo — same cross-invocation-precomputation class
+# as the former centroid cache; see _ivf_centroids).
 def _pq_codebooks(spark: SparkSession, sf_dir: str):
-    if sf_dir not in _PQ_CODEBOOKS:
-        _PQ_CODEBOOKS[sf_dir] = PQ.pq_train_codebooks(
-            _emb(spark, sf_dir), m=4, k=16, iters=1, dim=64
-        )
-    return _PQ_CODEBOOKS[sf_dir]
+    return PQ.pq_train_codebooks(
+        _emb(spark, sf_dir), m=4, k=16, iters=1, dim=64
+    )
 
 
 @register(
@@ -2050,22 +1964,16 @@ def dedup_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # BPE tokenizer training — distributed merge learning (Sennrich 2016).
-# The three entries share one trained merge list per sf_dir (training
-# collects 8 argmax rows; the memo avoids retraining when the vocab /
-# token-count entries run in the same process).
+# Each entry that needs the merge list trains it inside its own
+# invocation (r12 removed the per-sf_dir module memo that let the
+# vocab/token-count entries skip retraining in the same process —
+# cross-invocation precomputation; see _ivf_centroids).
 # ---------------------------------------------------------------------------
-_BPE_MERGE_MEMO: dict[str, list[tuple[str, str]]] = {}
-
-
 def _bpe_merges(spark: SparkSession, sf_dir: str) -> list[tuple[str, str]]:
-    if sf_dir not in _BPE_MERGE_MEMO:
-        from robosystems_spark.operators.bpe import bpe_train
+    from robosystems_spark.operators.bpe import bpe_train
 
-        rows = bpe_train(_docs(spark, sf_dir), n_merges=8).collect()
-        _BPE_MERGE_MEMO[sf_dir] = [
-            (r["left_sym"], r["right_sym"]) for r in rows
-        ]
-    return _BPE_MERGE_MEMO[sf_dir]
+    rows = bpe_train(_docs(spark, sf_dir), n_merges=8).collect()
+    return [(r["left_sym"], r["right_sym"]) for r in rows]
 
 
 @register(
@@ -2086,13 +1994,7 @@ def _bpe_merges(spark: SparkSession, sf_dir: str) -> list[tuple[str, str]]:
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from robosystems_spark.operators.bpe import bpe_train
 
-    df = bpe_train(_docs(spark, sf_dir), n_merges=8)
-    # Side-populate the memo so the vocab/token-count entries skip
-    # retraining when they run in the same process.
-    _BPE_MERGE_MEMO.setdefault(
-        sf_dir, [(r["left_sym"], r["right_sym"]) for r in df.collect()]
-    )
-    return df
+    return bpe_train(_docs(spark, sf_dir), n_merges=8)
 
 
 @register(
