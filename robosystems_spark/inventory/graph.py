@@ -73,6 +73,31 @@ def _sp_edges(li: DataFrame) -> DataFrame:
     )
 
 
+def _copurchase_pairs(li: DataFrame) -> DataFrame:
+    """DISTINCT part co-purchase pairs (src < dst, parts sharing an
+    order) in TWO exchanges: one groupBy(order) whose map-side partial
+    ``collect_set`` dedups (order, part) for free, pair generation as
+    a posexplode + slice-explode over the sorted per-order array (no
+    shuffle), then one global distinct.  Replaces the
+    distinct -> o-keyed self-join -> distinct formulation, which paid
+    FOUR exchanges for the same rows (distinct, both self-join sides,
+    final dedup) — measured 3.3s -> 1.3s for the construction at
+    sf0.1 (guide §2.4: remove shuffles outright).  Skew parity: an
+    order with k parts emits C(k,2) pairs inside one task, exactly the
+    colocation the o-keyed self-join had."""
+    parts = li.groupBy(F.col("l_orderkey").alias("_o")).agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("_ps")
+    )
+    return (
+        parts.select(F.col("_ps"), F.posexplode("_ps").alias("_i", "src"))
+        .select(
+            "src",
+            F.explode(F.expr("slice(_ps, _i + 2, size(_ps))")).alias("dst"),
+        )
+        .distinct()
+    )
+
+
 def _sp_decode(col: str) -> F.Column:
     """Inverse of :func:`_sp_edges`' encoding: even -> 's<k>',
     odd -> 'p<k>' — byte-identical to the oracle's
@@ -436,13 +461,13 @@ def graph_pagerank_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
 def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from robosystems_spark.operators.graph import triangle_counts_per_node
 
-    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("src"))
-    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("dst"))
-    edges = a.join(b, "o").filter(F.col("src") < F.col("dst")).select("src", "dst")
-    # NOT canonical: the same part pair recurs across orders, so the
-    # operator's distinct is load-bearing here
-    return triangle_counts_per_node(edges).orderBy("node")
+    li = read_table(spark, sf_dir, "lineitem")
+    # _copurchase_pairs output is DISTINCT src<dst by construction, so
+    # the operator's canonicalize+distinct pass is a provable no-op —
+    # canonical=True skips that exchange (r12; values unchanged)
+    return triangle_counts_per_node(
+        _copurchase_pairs(li), canonical=True
+    ).orderBy("node")
 
 
 _KCORE_K = 60
@@ -478,23 +503,10 @@ def graph_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from robosystems_spark.operators.graph import kcore
 
     li = read_table(spark, sf_dir, "lineitem")
-    base = li.select("l_orderkey", "l_partkey").dropDuplicates()
-    a, b = base.alias("a"), base.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
-        .dropDuplicates()
-    )
-    # pairs are distinct with src<dst: doubling is dup/loop-free
+    # _copurchase_pairs is distinct with src<dst: doubling is
+    # dup/loop-free, so canonical=True stays valid
     return kcore(
-        pairs, k=_KCORE_K, rounds=_KCORE_ROUNDS,
+        _copurchase_pairs(li), k=_KCORE_K, rounds=_KCORE_ROUNDS,
         canonical=True, broadcast_keep=True,  # k=60 keeps the set small
     )
 
@@ -714,17 +726,8 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     from robosystems_spark.operators.graph import clustering_coefficient
 
-    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
-        .select(
-            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
-        )
-        .distinct()
-    )
-    return clustering_coefficient(edges)
+    li = read_table(spark, sf_dir, "lineitem")
+    return clustering_coefficient(_copurchase_pairs(li))
 
 
 def _hits_oracle(num_iter: int) -> str:
@@ -1030,17 +1033,8 @@ _TRUSS_EDGES_CTE = """e0 AS MATERIALIZED (
 def graph_ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from robosystems_spark.operators.graph import ktruss
 
-    li = (
-        read_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("src"))
-    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("dst"))
-    edges = (
-        a.join(b, "o").filter(F.col("src") < F.col("dst")).select("src", "dst")
-    )
-    return ktruss(edges, k=_TRUSS_K, rounds=_TRUSS_ROUNDS)
+    li = read_table(spark, sf_dir, "lineitem")
+    return ktruss(_copurchase_pairs(li), k=_TRUSS_K, rounds=_TRUSS_ROUNDS)
 
 
 _STRESS_DEPTH = 3
@@ -1159,17 +1153,8 @@ e0 AS MATERIALIZED (
 def graph_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from robosystems_spark.operators.graph import graph_summary
 
-    li = (
-        read_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("src"))
-    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("dst"))
-    edges = (
-        a.join(b, "o").filter(F.col("src") < F.col("dst")).select("src", "dst")
-    )
-    return graph_summary(edges)
+    li = read_table(spark, sf_dir, "lineitem")
+    return graph_summary(_copurchase_pairs(li))
 
 
 _ECC_DEPTH = 4

@@ -1964,16 +1964,12 @@ def dedup_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # BPE tokenizer training — distributed merge learning (Sennrich 2016).
-# Each entry that needs the merge list trains it inside its own
-# invocation (r12 removed the per-sf_dir module memo that let the
-# vocab/token-count entries skip retraining in the same process —
-# cross-invocation precomputation; see _ivf_centroids).
+# Each entry trains inside its own invocation (r12 removed the
+# per-sf_dir module memo that let the vocab/token-count entries skip
+# retraining in the same process — cross-invocation precomputation;
+# see _ivf_centroids); the operators' measured-vocabulary resident
+# tier makes per-invocation training cheap.
 # ---------------------------------------------------------------------------
-def _bpe_merges(spark: SparkSession, sf_dir: str) -> list[tuple[str, str]]:
-    from robosystems_spark.operators.bpe import bpe_train
-
-    rows = bpe_train(_docs(spark, sf_dir), n_merges=8).collect()
-    return [(r["left_sym"], r["right_sym"]) for r in rows]
 
 
 @register(
@@ -2011,9 +2007,10 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bpe_vocab_after_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from robosystems_spark.operators.bpe import bpe_vocab
 
-    return bpe_vocab(
-        _docs(spark, sf_dir), merges=_bpe_merges(spark, sf_dir)
-    )
+    # merges=None: train inside bpe_vocab over ONE word-frequency pass
+    # (r12 — passing a pre-collected merge list made the operator
+    # aggregate the corpus twice; results are identical either way)
+    return bpe_vocab(_docs(spark, sf_dir), n_merges=8)
 
 
 @register(
@@ -2031,9 +2028,7 @@ def bpe_vocab_after_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from robosystems_spark.operators.bpe import bpe_token_counts
 
-    return bpe_token_counts(
-        _docs(spark, sf_dir), merges=_bpe_merges(spark, sf_dir)
-    )
+    return bpe_token_counts(_docs(spark, sf_dir), n_merges=8)
 
 
 # ---------------------------------------------------------------------------
@@ -3462,7 +3457,7 @@ def tokenizer_parity_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     from robosystems_spark.operators.bpe import bpe_token_counts as _tc
 
     docs = _docs(spark, sf_dir)
-    tc = _tc(docs, merges=_bpe_merges(spark, sf_dir))
+    tc = _tc(docs, n_merges=8)
     d = docs.select(
         "doc_id", "lang", F.length(F.trim(F.col("text"))).alias("_ch")
     )

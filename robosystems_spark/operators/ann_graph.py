@@ -220,6 +220,91 @@ def _score_pairs(
     )
 
 
+# Corpora up to this many vectors build the blocked k-NN graph on a
+# RESIDENT n x n similarity matrix (float64: 128 MB at the cap) — one
+# bounded collect + one BLAS matmul replaces the explode/self-join/
+# dedup/score/window pipeline (~6 jobs, 3 exchanges).  Deliberately
+# far below _BROADCAST_VEC_MAX: the n^2 matrix is quadratic, so the
+# resident BUILD gate is its own budget; 4096 < n <= 200k keeps the
+# distributed build with the resident search tier.
+_RESIDENT_BUILD_MAX = 4096
+
+
+def _resident_build_nsw(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    M: int,
+    nb: int,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Resident-tier blocked k-NN build: one bounded collect, then the
+    bucket mask, the full rounded-cosine matrix, and the per-row
+    stable top-M as numpy array ops.  Selection semantics match the
+    distributed path exactly — the same stable-argsort probe selection
+    as ``V.top_centroids``, candidates = pairs sharing >= 1 probe
+    bucket (symmetric mask), ranking on ROUND(cosine, 6) DESC with the
+    ascending-id tie-break (ids are the column order, so a stable
+    argsort IS the window's order).  The numerator matrix is
+    symmetrized from its lower triangle so mirrored edges carry
+    bit-equal cosines like the distributed half+mirror.  Edge-set
+    equality against the distributed build is pinned across all local
+    SFs in tests/test_ann_graph.py; the distributed plan above the
+    gate is unchanged."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    rows = corpus.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    mat = np.array([r[1] for r in rows], dtype=np.float64)[order]
+    n = len(ids)
+    schema = T.StructType(
+        [
+            T.StructField("src", corpus.schema[id_col].dataType),
+            T.StructField("dst", corpus.schema[id_col].dataType),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+    spark = corpus.sparkSession
+    if n < 2:
+        return spark.createDataFrame([], schema)
+    C = np.asarray(centroids, dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+    An = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
+    nbb = min(nb, len(centroids))
+    probes = np.argsort(-(An @ Cn.T), axis=1, kind="stable")[:, :nbb]
+    mask = np.zeros((n, n), dtype=bool)
+    for c in range(len(centroids)):
+        members = np.flatnonzero((probes == c).any(axis=1))
+        if len(members):
+            mask[np.ix_(members, members)] = True
+    np.fill_diagonal(mask, False)
+    num = mat @ mat.T
+    low = np.tril(num, -1)
+    num = low + low.T  # exact symmetry, like the half+mirror
+    norms = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+    cos = np.round(num / np.maximum(np.outer(norms, norms), 1e-300), 6)
+    ranked = np.where(mask, cos, -np.inf)
+    top = np.argsort(-ranked, axis=1, kind="stable")[:, :M]
+    valid = np.take_along_axis(ranked, top, axis=1) > -np.inf
+    flat = valid.ravel()
+    src_pos = np.repeat(np.arange(n), top.shape[1])[flat]
+    dst_pos = top.ravel()[flat]
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "src": ids[src_pos],
+                "dst": ids[dst_pos],
+                "cosine": cos[src_pos, dst_pos],
+            }
+        ),
+        schema,
+    )
+
+
 def build_nsw_graph(
     corpus: DataFrame,
     centroids: list[list[float]],
@@ -228,6 +313,7 @@ def build_nsw_graph(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     corpus_count: int | None = None,
+    resident_max: int = _RESIDENT_BUILD_MAX,
 ) -> DataFrame:
     """Blocked k-NN graph: ``(src, dst, cosine)`` with the top-``M``
     neighbors per src among vectors sharing >= 1 of the ``nb`` nearest
@@ -243,7 +329,16 @@ def build_nsw_graph(
     mirror is a free select over the materialized half (cosine is
     symmetric BIT-exactly: the row-wise einsum dot commutes
     elementwise and the norm product commutes in float64), halving
-    the dedup shuffle and the scoring-UDF Arrow traffic."""
+    the dedup shuffle and the scoring-UDF Arrow traffic.
+
+    r12 tier dispatch (the :func:`nsw_topk` discipline, applied to the
+    BUILD): a measured corpus within ``resident_max`` builds the same
+    edge set from one bounded collect (:func:`_resident_build_nsw`,
+    bit-identical, pytest-pinned); larger corpora keep this
+    distributed plan."""
+    n = corpus.count() if corpus_count is None else corpus_count
+    if n <= resident_max and _integral_id(corpus, id_col):
+        return _resident_build_nsw(corpus, centroids, M, nb, vec_col, id_col)
     memb = corpus.select(
         F.col(id_col).alias("_id"),
         F.explode(V.top_centroids(vec_col, centroids, nb)).alias("_cid"),
@@ -256,7 +351,7 @@ def build_nsw_graph(
         .dropDuplicates(["src", "dst"])
     )
     half = materialize(
-        _score_pairs(corpus, cand, vec_col, id_col, corpus_count)
+        _score_pairs(corpus, cand, vec_col, id_col, n)
     )
     scored = half.unionByName(
         half.select(

@@ -127,28 +127,107 @@ def _merge_step(seq: DataFrame, left: str, right: str) -> DataFrame:
     )
 
 
-def _training_seq(docs: DataFrame, text_col: str) -> DataFrame:
-    """Build the initial symbol table, partitioned by ``word`` at a
-    width proportional to the vocabulary (the symbol table is
-    O(distinct-word chars), tiny relative to the corpus — a 32-way
-    shuffle of 200 rows costs more in task scheduling than the work).
-    One extra count job up front buys 1-task iteration stages at test
-    scale while still fanning out for 10^7-word vocabularies."""
-    spark = docs.sparkSession
-    wf = word_frequencies(docs, text_col)
-    n_words = wf.count()
-    parallelism = spark.sparkContext.defaultParallelism
+# Vocabularies up to this many distinct words train the merge loop on
+# a DRIVER-RESIDENT symbol table (one bounded collect of (word, freq)
+# after the distributed corpus aggregation): each iteration is a pure-
+# integer Python pass instead of a window+argmax Spark job.  The
+# symbol table is VOCABULARY-sized, not corpus-sized — but a noisy
+# 100 TB crawl can have an unbounded vocabulary, so the distributed
+# loop stays the over-gate plan (forced-gate parity pinned in
+# tests/test_bpe.py).  Integer-exact: both paths count the same
+# multiset and share the (count DESC, left ASC, right ASC) tie-break
+# (UTF-8 byte order == codepoint order), so equality is by
+# construction, not by tolerance.
+_RESIDENT_VOCAB_MAX = 65536
+
+
+def _resident_merges(
+    wf_rows, n_merges: int
+) -> list[tuple[int, str, str, int]]:
+    """The merge loop over a collected (word, freq) vocabulary —
+    textbook Sennrich: count ALL adjacent pairs (overlapping
+    included), pick argmax with the deterministic tie-break, apply
+    greedily left-to-right (which IS the run-parity rule the window
+    implementation encodes: in a run of equal candidates the 1st,
+    3rd, ... merge and the following symbol is consumed)."""
+    words = [
+        [int(r["freq"]), list(r["word"]) + [END_OF_WORD]] for r in wf_rows
+    ]
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for freq, syms in words:
+            for i in range(len(syms) - 1):
+                k = (syms[i], syms[i + 1])
+                counts[k] = counts.get(k, 0) + freq
+        if not counts:
+            break
+        (left, right), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, left, right, cnt))
+        lr = left + right
+        for entry in words:
+            syms = entry[1]
+            if left not in syms:
+                continue
+            new = []
+            i, n = 0, len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+                    new.append(lr)
+                    i += 2
+                else:
+                    new.append(syms[i])
+                    i += 1
+            entry[1] = new
+    return merges
+
+
+def _seq_from_wf(wf: DataFrame, n_words: int, *, eager: bool = True) -> DataFrame:
+    """Initial symbol table from a word-frequency frame, partitioned
+    by ``word`` at a width proportional to the vocabulary (the symbol
+    table is O(distinct-word chars), tiny relative to the corpus — a
+    32-way shuffle of 200 rows costs more in task scheduling than the
+    work)."""
+    parallelism = wf.sparkSession.sparkContext.defaultParallelism
     parts = max(1, min(parallelism, n_words // 4096 + 1))
-    return _initial_symbols(wf).repartition(parts, "word").transform(materialize)
+    seq = _initial_symbols(wf).repartition(parts, "word")
+    return materialize(seq, eager=eager)
+
+
+def _training_seq(docs: DataFrame, text_col: str) -> DataFrame:
+    wf = word_frequencies(docs, text_col)
+    return _seq_from_wf(wf, wf.count())
 
 
 def _train_loop(
-    docs: DataFrame, n_merges: int, text_col: str
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str,
+    resident_max: int = _RESIDENT_VOCAB_MAX,
 ) -> tuple[DataFrame, list[tuple[int, str, str, int]]]:
     """Shared training loop: returns (final symbol table, merges).
-    Per iteration: ONE argmax job (which also materializes the
-    previous iteration's lazy checkpoint) + one driver row."""
-    seq = _training_seq(docs, text_col)
+
+    Tier dispatch on the measured vocabulary size (r12): within
+    ``resident_max`` the merges come from one bounded collect +
+    :func:`_resident_merges` (zero per-iteration jobs; the returned
+    symbol table is the LAZY merge-applied chain, so callers that only
+    need the merges — ``bpe_train`` — never execute it).  Above the
+    gate, the distributed loop: per iteration ONE argmax job (which
+    also materializes the previous iteration's lazy checkpoint) + one
+    driver row."""
+    wf = materialize(word_frequencies(docs, text_col))
+    n_words = wf.count()
+    if n_words <= resident_max:
+        merges = _resident_merges(wf.collect(), n_merges)
+        seq = _seq_from_wf(wf, n_words, eager=False)
+        for i, (_rank, left, right, _cnt) in enumerate(merges, 1):
+            seq = _merge_step(seq, left, right)
+            if i % 2 == 0:
+                seq = materialize(seq, eager=False)
+        return seq, merges
+    seq = _seq_from_wf(wf, n_words)
     w = Window.partitionBy("word").orderBy("pos")
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, n_merges + 1):
@@ -203,16 +282,71 @@ def bpe_apply_merges(
     return seq
 
 
+def _resident_word_tokens(wf_rows, merges):
+    """Final symbol sequence per word after greedily applying
+    ``merges`` left-to-right (the same parity rule as
+    :func:`_merge_step`): list of (word, freq, syms)."""
+    out = []
+    for r in wf_rows:
+        syms = list(r["word"]) + [END_OF_WORD]
+        for left, right in merges:
+            if left not in syms:
+                continue
+            lr = left + right
+            new = []
+            i, n = 0, len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+                    new.append(lr)
+                    i += 2
+                else:
+                    new.append(syms[i])
+                    i += 1
+            syms = new
+        out.append((r["word"], int(r["freq"]), syms))
+    return out
+
+
 def bpe_vocab(
     docs: DataFrame,
     n_merges: int = 8,
     text_col: str = "text",
     merges: list[tuple[str, str]] | None = None,
+    resident_max: int = _RESIDENT_VOCAB_MAX,
 ) -> DataFrame:
     """The symbol vocabulary AFTER applying the learned merges:
     (sym, total_freq, n_words) — what the trained tokenizer's unit
     inventory looks like over this corpus.  Pass ``merges`` (from a
-    prior ``bpe_train``) to skip retraining."""
+    prior ``bpe_train``) to skip retraining.
+
+    Tier dispatch on measured vocabulary size (r12): within
+    ``resident_max`` the merge application AND the final aggregation
+    run on the collected vocabulary (pure integer arithmetic — the
+    lazy 3-windows-per-merge chain cost ~5s of exchange overhead at
+    sf0.1 for a 31-word vocabulary); the distributed chain is
+    unchanged above the gate (forced-gate parity in tests)."""
+    wf = materialize(word_frequencies(docs, text_col))
+    n_words = wf.count()
+    if n_words <= resident_max:
+        rows = wf.collect()
+        if merges is None:
+            merges = [
+                (left, right)
+                for _rank, left, right, _cnt in _resident_merges(
+                    rows, n_merges
+                )
+            ]
+        total: dict[str, int] = {}
+        nw: dict[str, int] = {}
+        for _word, freq, syms in _resident_word_tokens(rows, merges):
+            for s in syms:
+                total[s] = total.get(s, 0) + freq
+            for s in set(syms):
+                nw[s] = nw.get(s, 0) + 1
+        return docs.sparkSession.createDataFrame(
+            [(s, total[s], nw[s]) for s in sorted(total)],
+            "sym STRING, total_freq BIGINT, n_words BIGINT",
+        )
     if merges is None:
         seq, _ = _train_loop(docs, n_merges, text_col)
     else:
@@ -241,20 +375,48 @@ def bpe_token_counts(
     joined to the exploded corpus words (broadcast under a measured
     4M-row gate — vocabulary is unbounded at corpus scale — shuffle
     join on the word key above it), so the corpus itself never
-    re-tokenizes."""
-    if merges is None:
-        seq, _ = _train_loop(docs, n_merges, text_col)
+    re-tokenizes.  Within the resident vocabulary gate (r12) the
+    per-word token counts come straight from the collected vocabulary
+    (integer-exact), skipping the merge-chain execution; the corpus
+    explode + join + per-doc aggregation stays distributed either
+    way."""
+    wf = materialize(word_frequencies(docs, text_col))
+    n_words = wf.count()
+    if n_words <= _RESIDENT_VOCAB_MAX:
+        rows = wf.collect()
+        eff = merges
+        if eff is None:
+            eff = [
+                (left, right)
+                for _rank, left, right, _cnt in _resident_merges(
+                    rows, n_merges
+                )
+            ]
+        per_word_bc = F.broadcast(
+            docs.sparkSession.createDataFrame(
+                [
+                    (word, len(syms))
+                    for word, _freq, syms in _resident_word_tokens(rows, eff)
+                ],
+                "word STRING, n_toks BIGINT",
+            )
+        )
     else:
-        seq = bpe_apply_merges(docs, merges, text_col)
-    # per_word is vocabulary-sized (unbounded at corpus scale):
-    # materialize once (it feeds the gate count AND the join) and
-    # broadcast only under the measured cap
-    per_word = materialize(
-        seq.groupBy("word").agg(F.count("*").alias("n_toks"))
-    )
-    per_word_bc = (
-        F.broadcast(per_word) if per_word.count() <= 4_000_000 else per_word
-    )
+        if merges is None:
+            seq, _ = _train_loop(docs, n_merges, text_col)
+        else:
+            seq = bpe_apply_merges(docs, merges, text_col)
+        # per_word is vocabulary-sized (unbounded at corpus scale):
+        # materialize once (it feeds the gate count AND the join) and
+        # broadcast only under the measured cap
+        per_word = materialize(
+            seq.groupBy("word").agg(F.count("*").alias("n_toks"))
+        )
+        per_word_bc = (
+            F.broadcast(per_word)
+            if per_word.count() <= 4_000_000
+            else per_word
+        )
     doc_words = docs.select(
         id_col,
         F.explode(

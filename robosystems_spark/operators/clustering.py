@@ -31,6 +31,78 @@ from robosystems_spark.checkpointing import materialize
 
 from robosystems_spark.functions import vector as V
 
+# Corpora up to this many vectors train Lloyd on a DRIVER-RESIDENT
+# matrix: one bounded collect (the same per-process budget class as
+# ann_graph._BROADCAST_VEC_MAX / graph.MAX_BROADCAST_NODES — ~100 MB of
+# float64 at 64 dims), then every iteration is two numpy matmuls
+# instead of a Spark job pipeline.  The distributed path — the 100 TB
+# plan — is unchanged above the gate and stays pinned by the
+# forced-gate tests (resident_max=0).  Training runs INSIDE each
+# calling query invocation either way; nothing is memoized.
+RESIDENT_FIT_MAX = 200_000
+
+
+def _collect_matrix(emb: DataFrame, vec_col: str, id_col: str):
+    """(ids, float64 matrix) sorted by id — one bounded collect."""
+    import numpy as np
+
+    rows = emb.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows])
+    order = np.argsort(ids, kind="stable")
+    mat = np.array([r[1] for r in rows], dtype=np.float64)[order]
+    return ids[order], mat
+
+
+def _resident_assign(mat, cents, metric: str):
+    """Nearest-centroid ids over a resident matrix — the same formulas
+    (and first-extreme = lowest-id tie-break) as the Arrow-batched
+    ``functions.vector.nearest_centroid`` UDF, which scores each row
+    independently, so the two paths are bit-identical per row."""
+    import numpy as np
+
+    C = np.asarray(cents, dtype=np.float64)
+    if metric == "cosine":
+        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+        An = mat / np.maximum(
+            np.linalg.norm(mat, axis=1, keepdims=True), 1e-300
+        )
+        return np.argmax(An @ Cn.T, axis=1)
+    d2 = -2.0 * (mat @ C.T) + np.einsum("ij,ij->i", C, C)[None, :]
+    return np.argmin(d2, axis=1)
+
+
+def _resident_lloyd(
+    mat,
+    k: int,
+    iters: int,
+    round_decimals: int,
+    metric: str,
+) -> list[list[float]]:
+    """Driver-resident Lloyd over an id-sorted matrix: identical
+    contract to the distributed path — k-lowest-id rounded seed,
+    per-step rounded means, empty clusters keep their previous
+    centroid.  The per-step ROUND is the same cross-engine float
+    contract that already absorbs DuckDB-vs-Spark summation-order
+    drift; numpy's mean sits inside the same tolerance
+    (equality is pinned against the distributed path across all local
+    SFs in tests/test_clustering_resident.py)."""
+    import numpy as np
+
+    cents = [list(np.round(mat[i], round_decimals)) for i in range(k)]
+    for _ in range(iters):
+        cid = _resident_assign(mat, cents, metric)
+        new = []
+        for c in range(k):
+            members = mat[cid == c]
+            if len(members):
+                new.append(
+                    list(np.round(members.mean(axis=0), round_decimals))
+                )
+            else:
+                new.append(cents[c])
+        cents = new
+    return [[float(x) for x in c] for c in cents]
+
 
 def _init_centroids(
     emb: DataFrame, k: int, vec_col: str, id_col: str, round_decimals: int
@@ -87,9 +159,23 @@ def kmeans_fit(
     id_col: str = "vec_id",
     round_decimals: int = 9,
     metric: str = "cosine",
+    corpus_count: int | None = None,
+    resident_max: int = RESIDENT_FIT_MAX,
 ) -> list[list[float]]:
     """Train centroids with ``iters`` Lloyd updates from the
-    deterministic seed.  Returns the final (k x dim) centroid list."""
+    deterministic seed.  Returns the final (k x dim) centroid list.
+
+    Tier dispatch by measured size (r12): corpora within
+    ``resident_max`` collect once and iterate on the driver
+    (:func:`_resident_lloyd` — replaces ~3 Spark jobs per iteration
+    with two matmuls; measured 1.44s -> ~0.2s at sf0.1), larger
+    corpora keep the distributed per-iteration plan.  Both tiers
+    return identical centroids (pinned in tests)."""
+    if corpus_count is None:
+        corpus_count = emb.count()
+    if corpus_count <= resident_max:
+        _ids, mat = _collect_matrix(emb, vec_col, id_col)
+        return _resident_lloyd(mat, k, iters, round_decimals, metric)
     centroids = _init_centroids(emb, k, vec_col, id_col, round_decimals)
     for _ in range(iters):
         centroids = _lloyd_update(

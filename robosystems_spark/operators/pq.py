@@ -54,6 +54,8 @@ def pq_train_codebooks(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     round_decimals: int = 9,
+    corpus_count: int | None = None,
+    resident_max: int | None = None,
 ) -> list[list[list[float]]]:
     """Per-subspace L2 k-means codebooks (m codebooks of k x dim/m),
     trained FUSED: all m subspaces assign and aggregate in ONE job per
@@ -63,10 +65,53 @@ def pq_train_codebooks(
     the deterministic k-lowest-id seed sliced per subspace, each
     subspace's argmin and per-(cluster, position) rounded means are
     computed over exactly the same groups with the same expressions.
-    Only m * k * dim/m doubles ever return to the driver."""
+    Only m * k * dim/m doubles ever return to the driver.
+
+    Tier dispatch on measured corpus size (r12, the
+    clustering.kmeans_fit discipline): within
+    ``clustering.RESIDENT_FIT_MAX`` the whole per-subspace Lloyd runs
+    on one collected matrix (same argmin/rounded-mean/empty-cluster
+    contract, numpy; forced-gate parity pinned in tests); the fused
+    distributed iteration is unchanged above the gate."""
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub_dim = dim // m
+    if resident_max is None:
+        resident_max = CL.RESIDENT_FIT_MAX
+    if corpus_count is None:
+        corpus_count = emb.count()
+    if corpus_count <= resident_max:
+        import numpy as np
+
+        _ids, mat = CL._collect_matrix(emb, vec_col, id_col)
+        books = [
+            [
+                list(np.round(mat[i], round_decimals)[j * sub_dim:(j + 1) * sub_dim])
+                for i in range(k)
+            ]
+            for j in range(m)
+        ]
+        for _ in range(iters):
+            for j in range(m):
+                X = mat[:, j * sub_dim:(j + 1) * sub_dim]
+                cid = CL._resident_assign(X, books[j], "l2")
+                new = []
+                for c in range(k):
+                    members = X[cid == c]
+                    if len(members):
+                        new.append(
+                            list(
+                                np.round(
+                                    members.mean(axis=0), round_decimals
+                                )
+                            )
+                        )
+                    else:
+                        new.append(books[j][c])
+                books[j] = new
+        return [
+            [[float(x) for x in c] for c in book] for book in books
+        ]
     # deterministic seed: ONE pass takes the k lowest-id vectors;
     # slicing after element-wise rounding equals rounding each slice
     rows = (

@@ -1,0 +1,97 @@
+"""r12 resident-tier parity: every measured-size fast path must return
+results identical to the distributed plan it replaces (forced via the
+gate argument), at the smoke SF the suite runs on.  These are the
+focused tests the optimization round requires for operator-internal
+changes: the resident tiers change PLANS, never values."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from robosystems_spark.io import read_table
+
+
+def _emb(spark, sf_dir):
+    return read_table(spark, sf_dir, "embeddings")
+
+
+def test_kmeans_fit_resident_matches_distributed(spark, sf_dir):
+    from robosystems_spark.operators import clustering as CL
+
+    emb = _emb(spark, sf_dir)
+    for metric in ("cosine", "l2"):
+        fast = CL.kmeans_fit(emb, k=8, iters=2, metric=metric)
+        dist = CL.kmeans_fit(emb, k=8, iters=2, metric=metric, resident_max=0)
+        assert fast == dist, f"kmeans_fit tier mismatch ({metric})"
+
+
+def test_pq_codebooks_resident_matches_distributed(spark, sf_dir):
+    from robosystems_spark.operators import pq as PQ
+
+    emb = _emb(spark, sf_dir)
+    fast = PQ.pq_train_codebooks(emb, m=4, k=16, iters=1, dim=64)
+    dist = PQ.pq_train_codebooks(
+        emb, m=4, k=16, iters=1, dim=64, resident_max=0
+    )
+    assert fast == dist
+
+
+def test_nsw_build_resident_matches_distributed(spark, sf_dir):
+    from robosystems_spark.operators import clustering as CL
+    from robosystems_spark.operators.ann_graph import build_nsw_graph
+
+    emb = _emb(spark, sf_dir)
+    cents = CL.kmeans_fit(emb, k=8, iters=2, metric="cosine")
+    fast = sorted(
+        map(tuple, build_nsw_graph(emb, cents, M=8, nb=3).collect())
+    )
+    dist = sorted(
+        map(
+            tuple,
+            build_nsw_graph(emb, cents, M=8, nb=3, resident_max=0).collect(),
+        )
+    )
+    assert fast == dist and len(fast) > 0
+
+
+def test_bpe_train_resident_matches_distributed(spark, sf_dir):
+    from robosystems_spark.operators.bpe import _train_loop
+
+    docs = read_table(spark, sf_dir, "documents")
+    _, fast = _train_loop(docs, 8, "text")
+    _, dist = _train_loop(docs, 8, "text", resident_max=0)
+    assert fast == dist and len(fast) > 0
+
+
+def test_bpe_vocab_resident_matches_distributed(spark, sf_dir):
+    from robosystems_spark.operators.bpe import bpe_vocab
+
+    docs = read_table(spark, sf_dir, "documents")
+    fast = sorted(map(tuple, bpe_vocab(docs, n_merges=8).collect()))
+    dist = sorted(
+        map(tuple, bpe_vocab(docs, n_merges=8, resident_max=0).collect())
+    )
+    assert fast == dist and len(fast) > 0
+
+
+def test_copurchase_pairs_match_self_join(spark, sf_dir):
+    """The collect_set + slice-explode pair build produces exactly the
+    DISTINCT src<dst co-purchase pair set the o-keyed self-join did."""
+    from robosystems_spark.inventory.graph import _copurchase_pairs
+
+    li = read_table(spark, sf_dir, "lineitem")
+    fast = sorted(map(tuple, _copurchase_pairs(li).collect()))
+    base = li.select("l_orderkey", "l_partkey").distinct()
+    a = base.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("src"))
+    b = base.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("dst"))
+    ref = sorted(
+        map(
+            tuple,
+            a.join(b, "o")
+            .filter(F.col("src") < F.col("dst"))
+            .select("src", "dst")
+            .distinct()
+            .collect(),
+        )
+    )
+    assert fast == ref and len(fast) > 0
