@@ -19,6 +19,13 @@ DataFrame/SQL API and Catalyst/Tungsten pick the physical strategy.
 
 __version__ = "0.1.0"
 
+from robosystems_spark._hostmem import harden_host_memory
+
+# Guard against the sandbox host's pathological THP fault path before
+# any operator allocates a large numpy buffer (see _hostmem docstring).
+# Probe-based: a healthy host pays ~5 ms once per process, no changes.
+harden_host_memory()
+
 from robosystems_spark.session import get_spark  # noqa: F401
 from robosystems_spark.cypher import CypherEngine  # noqa: F401
 from robosystems_spark.sources.materialize import GraphStore  # noqa: F401

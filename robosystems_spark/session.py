@@ -97,6 +97,9 @@ def get_spark(
     note hadoop confs bind at JVM startup — pass it to the FIRST
     ``get_spark`` call of the process, not after a session exists.
     """
+    from robosystems_spark._hostmem import harden_host_memory
+
+    harden_host_memory()
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     shuffle = shuffle_partitions or int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", cpus))
