@@ -99,6 +99,18 @@ def main() -> None:
             spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples = []
             for _ in range(runs):
+                # r12 measurement fix: quiesce before EVERY timed
+                # sample, not just once per entry.  localCheckpoint
+                # blocks left by the warm run / previous samples are
+                # only reclaimed by async GC, so checkpoint-heavy
+                # entries otherwise time their own block accumulation,
+                # not steady-state execution (graph_kcore_parts
+                # measured 9.6 -> 35.4 s across 6 back-to-back
+                # invocations, flat ~6 s with per-sample quiesce; the
+                # r6 between-entry quiesce fixed the same bug one
+                # level up).  Documented in OPTIMIZATION_r12.md with
+                # before/after numbers.
+                _quiesce()
                 t0 = time.perf_counter()
                 df = spec.fn(spark, sf_dir)
                 # force full materialization of every row/column
