@@ -35,16 +35,45 @@ def bounded_paths(
     max_depth: int,
     src_col: str = "src",
     dst_col: str = "dst",
+    resident_max: int | None = None,
 ) -> DataFrame:
     """All (src, dst, depth) pairs reachable in 1..max_depth hops.
 
     ``depth`` is the MINIMUM hop count (BFS level at first discovery),
     matching the ``MIN(depth)`` semantics of a recursive-CTE oracle.
+
+    r12 resident tier (the pagerank/kcore discipline): a measured
+    integral edge list within ``resident_max`` runs the level-
+    synchronous BFS as vectorized numpy set ops over one bounded Arrow
+    collect of the deduped, checkpointed edge frame — pair semantics
+    identical by construction (same per-level dedup + reached
+    anti-join, all integer).  The tier additionally BAILS back to the
+    distributed loop if the accumulated PAIR set exceeds the
+    broadcast-class budget mid-BFS (pairs grow with reachability, not
+    edges, so the edge gate alone cannot bound them).  Above the gate
+    the distributed loop is unchanged except that the deduped edge
+    frame is now checkpointed once up front — previously its
+    dedup shuffle re-ran inside every level's join.  Forced-gate
+    parity: tests/test_resident_tiers.py.
     """
     if max_depth < 1:
         raise ValueError("max_depth must be >= 1")
+    if resident_max is None:
+        resident_max = RESIDENT_EDGES_MAX
 
-    edges = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).dropDuplicates()
+    edges = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .dropDuplicates()
+        .transform(materialize)
+    )
+    if (
+        resident_max > 0
+        and _integral_edge_cols(edges)
+        and edges.count() <= resident_max
+    ):
+        res = _resident_bounded_paths(edges, max_depth)
+        if res is not None:
+            return res
     # reached: best-known (src,dst,depth); frontier: pairs discovered last level
     frontier = edges.withColumn("depth", F.lit(1))
     reached = frontier
@@ -204,6 +233,99 @@ def _round_half_up_np(vec, digits: int):
                 )
             )
     return out
+
+
+# Pair budget for the resident bounded-paths BFS: reached pairs are
+# the operator's true state (they grow with reachability, not edge
+# count), so the tier bails to the distributed loop — which spills —
+# when the accumulated pair set would exceed the broadcast memory
+# class (8M int64 codes = 64 MB, the MAX_BROADCAST_NODES budget).
+RESIDENT_PAIRS_MAX = 8_000_000
+
+
+def _resident_bounded_paths(e: DataFrame, max_depth: int):
+    """Resident twin of the ``bounded_paths`` level loop over one
+    bounded Arrow collect of the deduped checkpointed edge frame.
+    Integer-exact by construction: the SAME per-level expansion
+    (frontier ⋈ edges), per-level pair dedup, and reached anti-join,
+    as sorted-int64-code set ops.  Returns None when the pair budget
+    is exceeded (caller falls back to the distributed loop)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = e.sparkSession
+    ids, si, di = _collect_edges_np(e)
+    n = len(ids)
+    if n == 0:
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("src", e.schema["src"].dataType),
+                    T.StructField("dst", e.schema["dst"].dataType),
+                    T.StructField("depth", T.IntegerType(), False),
+                ]
+            ),
+        )
+    # CSR adjacency keyed by src position
+    order = np.argsort(si, kind="stable")
+    d_sorted = di[order]
+    deg = np.bincount(si, minlength=n)
+    indptr = np.concatenate(([0], np.cumsum(deg)))
+    codes = si * n + di  # distinct by construction (edges deduped)
+    reached = np.sort(codes)
+    out_codes = [reached]
+    out_depth = [np.full(len(reached), 1, dtype=np.int32)]
+    frontier = reached
+    total = len(reached)
+    for level in range(2, max_depth + 1):
+        fs, fd = frontier // n, frontier % n
+        cnt = deg[fd]
+        tot = int(cnt.sum())
+        if tot == 0:
+            break
+        if total + tot > RESIDENT_PAIRS_MAX:
+            return None
+        # vectorized CSR gather: out-neighbors of every frontier dst
+        cum = np.cumsum(cnt) - cnt
+        flat = (
+            np.repeat(indptr[fd] - cum, cnt)
+            + np.arange(tot, dtype=np.int64)
+        )
+        new_codes = np.repeat(fs, cnt) * n + d_sorted[flat]
+        new_codes = np.unique(new_codes)  # per-level pair dedup
+        # anti-join against reached (sorted): keep first-discovery level
+        pos = np.searchsorted(reached, new_codes)
+        pos_c = np.minimum(pos, len(reached) - 1)
+        new_codes = new_codes[
+            (pos >= len(reached)) | (reached[pos_c] != new_codes)
+        ]
+        if len(new_codes) == 0:
+            break
+        out_codes.append(new_codes)
+        out_depth.append(np.full(len(new_codes), level, dtype=np.int32))
+        reached = np.sort(np.concatenate((reached, new_codes)))
+        total = len(reached)
+        frontier = new_codes
+    allc = np.concatenate(out_codes)
+    schema = T.StructType(
+        [
+            T.StructField("src", e.schema["src"].dataType),
+            T.StructField("dst", e.schema["dst"].dataType),
+            T.StructField("depth", T.IntegerType(), False),
+        ]
+    )
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "src": ids[allc // n],
+                "dst": ids[allc % n],
+                "depth": np.concatenate(out_depth),
+            }
+        ),
+        schema,
+    )
 
 
 def connected_components(

@@ -95,3 +95,87 @@ def test_copurchase_pairs_match_self_join(spark, sf_dir):
         )
     )
     assert fast == ref and len(fast) > 0
+
+
+def _sp_edges_small(spark, sf_dir):
+    from robosystems_spark.inventory.graph import _sp_edges
+
+    return _sp_edges(read_table(spark, sf_dir, "lineitem"))
+
+
+def test_pagerank_resident_matches_distributed(spark, sf_dir):
+    from robosystems_spark.operators.graph import pagerank
+
+    e = _sp_edges_small(spark, sf_dir)
+    fast = sorted(map(tuple, pagerank(e, num_iter=3).collect()))
+    dist = sorted(
+        map(tuple, pagerank(e, num_iter=3, resident_max=0).collect())
+    )
+    assert fast == dist and len(fast) > 0
+
+
+def test_kcore_resident_matches_distributed(spark, sf_dir):
+    from robosystems_spark.inventory.graph import _copurchase_pairs
+    from robosystems_spark.operators.graph import kcore
+
+    pairs = _copurchase_pairs(read_table(spark, sf_dir, "lineitem"))
+    fast = sorted(
+        map(tuple, kcore(pairs, k=3, rounds=2, canonical=True).collect())
+    )
+    dist = sorted(
+        map(
+            tuple,
+            kcore(
+                pairs, k=3, rounds=2, canonical=True, resident_max=0
+            ).collect(),
+        )
+    )
+    assert fast == dist and len(fast) > 0
+
+
+def test_lpa_resident_matches_distributed(spark, sf_dir):
+    from robosystems_spark.operators.graph import label_propagation
+
+    e = _sp_edges_small(spark, sf_dir).dropDuplicates()
+    fast = sorted(
+        map(tuple, label_propagation(e, rounds=2, canonical=True).collect())
+    )
+    dist = sorted(
+        map(
+            tuple,
+            label_propagation(
+                e, rounds=2, canonical=True, resident_max=0
+            ).collect(),
+        )
+    )
+    assert fast == dist and len(fast) > 0
+
+
+def test_hits_resident_matches_distributed(spark, sf_dir):
+    from robosystems_spark.operators.graph import hits
+
+    e = _sp_edges_small(spark, sf_dir).dropDuplicates()
+    fast = sorted(map(tuple, hits(e, num_iter=2).collect()))
+    dist = sorted(map(tuple, hits(e, num_iter=2, resident_max=0).collect()))
+    assert fast == dist and len(fast) > 0
+
+
+def test_bounded_paths_resident_matches_distributed(spark, sf_dir):
+    """r12: the resident BFS twin (numpy set ops over one bounded
+    collect) must produce the exact (src, dst, min-depth) pair set of
+    the distributed level loop, schema included."""
+    from robosystems_spark.operators.graph import bounded_paths
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("src")
+    )
+    n = cust.agg(F.count("*").alias("_n"))
+    edges = cust.crossJoin(F.broadcast(n)).select(
+        "src", ((F.col("src") * 31 + 7) % F.col("_n")).alias("dst")
+    )
+    fast_df = bounded_paths(edges, 3)
+    dist_df = bounded_paths(edges, 3, resident_max=0)
+    assert fast_df.schema == dist_df.schema
+    fast = sorted(map(tuple, fast_df.collect()))
+    dist = sorted(map(tuple, dist_df.collect()))
+    assert fast == dist and len(fast) > 0
