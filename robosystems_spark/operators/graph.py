@@ -58,22 +58,39 @@ def bounded_paths(
     """
     if max_depth < 1:
         raise ValueError("max_depth must be >= 1")
-    if resident_max is None:
-        resident_max = RESIDENT_EDGES_MAX
+    edges = _bp_setup(edges, src_col, dst_col)
+    if _bp_gate(edges, resident_max):
+        res = _resident_bounded_paths(edges, max_depth)
+        if res is not None:
+            return res
+    return _bp_loop(edges, max_depth)
 
-    edges = (
+
+def _bp_setup(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
+    """Shared bounded-paths setup: normalize column names, dedup, and
+    checkpoint once (both the resident collect and every level of the
+    distributed loop read this frame)."""
+    return (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .dropDuplicates()
         .transform(materialize)
     )
-    if (
+
+
+def _bp_gate(e: DataFrame, resident_max: int | None) -> bool:
+    if resident_max is None:
+        resident_max = RESIDENT_EDGES_MAX
+    return (
         resident_max > 0
-        and _integral_edge_cols(edges)
-        and edges.count() <= resident_max
-    ):
-        res = _resident_bounded_paths(edges, max_depth)
-        if res is not None:
-            return res
+        and _integral_edge_cols(e)
+        and e.count() <= resident_max
+    )
+
+
+def _bp_loop(edges: DataFrame, max_depth: int) -> DataFrame:
+    """The distributed level-synchronous BFS loop (unchanged r11
+    plan, minus the per-level re-run of the edge dedup that the
+    shared up-front checkpoint now absorbs)."""
     # reached: best-known (src,dst,depth); frontier: pairs discovered last level
     frontier = edges.withColumn("depth", F.lit(1))
     reached = frontier
@@ -243,31 +260,21 @@ def _round_half_up_np(vec, digits: int):
 RESIDENT_PAIRS_MAX = 8_000_000
 
 
-def _resident_bounded_paths(e: DataFrame, max_depth: int):
-    """Resident twin of the ``bounded_paths`` level loop over one
-    bounded Arrow collect of the deduped checkpointed edge frame.
-    Integer-exact by construction: the SAME per-level expansion
-    (frontier ⋈ edges), per-level pair dedup, and reached anti-join,
-    as sorted-int64-code set ops.  Returns None when the pair budget
-    is exceeded (caller falls back to the distributed loop)."""
+def _resident_bp_codes(e: DataFrame, max_depth: int):
+    """Core of the resident BFS twin: one bounded Arrow collect of the
+    deduped checkpointed edge frame, then the level loop as sorted-
+    int64-code set ops — the SAME per-level expansion (frontier ⋈
+    edges), per-level pair dedup, and reached anti-join the
+    distributed loop runs, all integer.  Returns
+    ``(ids, n, codes, depths)`` (pair = ids[code//n] -> ids[code%n]),
+    or None when the accumulated pair set exceeds the budget (caller
+    falls back to the distributed loop)."""
     import numpy as np
-    import pandas as pd
-    from pyspark.sql import types as T
 
-    spark = e.sparkSession
     ids, si, di = _collect_edges_np(e)
     n = len(ids)
     if n == 0:
-        return spark.createDataFrame(
-            [],
-            T.StructType(
-                [
-                    T.StructField("src", e.schema["src"].dataType),
-                    T.StructField("dst", e.schema["dst"].dataType),
-                    T.StructField("depth", T.IntegerType(), False),
-                ]
-            ),
-        )
+        return ids, 0, np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int32)
     # CSR adjacency keyed by src position
     order = np.argsort(si, kind="stable")
     d_sorted = di[order]
@@ -308,7 +315,26 @@ def _resident_bounded_paths(e: DataFrame, max_depth: int):
         reached = np.sort(np.concatenate((reached, new_codes)))
         total = len(reached)
         frontier = new_codes
-    allc = np.concatenate(out_codes)
+    return (
+        ids,
+        n,
+        np.concatenate(out_codes),
+        np.concatenate(out_depth),
+    )
+
+
+def _resident_bounded_paths(e: DataFrame, max_depth: int):
+    """DataFrame wrapper over :func:`_resident_bp_codes` matching the
+    distributed loop's (src, dst, depth) schema exactly.  Returns None
+    on pair-budget bail (caller falls back)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = e.sparkSession
+    res = _resident_bp_codes(e, max_depth)
+    if res is None:
+        return None
+    ids, n, allc, alldepth = res
     schema = T.StructType(
         [
             T.StructField("src", e.schema["src"].dataType),
@@ -316,12 +342,14 @@ def _resident_bounded_paths(e: DataFrame, max_depth: int):
             T.StructField("depth", T.IntegerType(), False),
         ]
     )
+    if n == 0:
+        return spark.createDataFrame([], schema)
     return spark.createDataFrame(
         pd.DataFrame(
             {
                 "src": ids[allc // n],
                 "dst": ids[allc % n],
-                "depth": np.concatenate(out_depth),
+                "depth": alldepth,
             }
         ),
         schema,
@@ -2826,6 +2854,52 @@ def scc_oracle_sql(edges_cte: str) -> str:
     """
 
 
+def _resident_harmonic(e: DataFrame, max_depth: int, decimals: int):
+    """Resident twin of the ``harmonic_centrality`` fold over
+    :func:`_resident_bp_codes` pairs.  Float-exact with the
+    distributed fold by construction: per-depth pair counts are exact
+    integers, the fold accumulates in the SAME fixed order
+    (((0 + c1/1) + c2/2) + ... + ck/k) elementwise in float64, and the
+    final ROUND is the bit-exact Catalyst HALF_UP twin
+    (:func:`_round_half_up_np`).  Returns None on pair-budget bail."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    res = _resident_bp_codes(e, max_depth)
+    if res is None:
+        return None
+    ids, n, codes, depths = res
+    spark = e.sparkSession
+    schema = T.StructType(
+        [
+            T.StructField("node", e.schema["dst"].dataType),
+            T.StructField("harmonic", T.DoubleType()),
+        ]
+    )
+    if n == 0:
+        return spark.createDataFrame([], schema)
+    srcp, dstp = codes // n, codes % n
+    mask = srcp != dstp  # exclude self-pairs, like the distributed filter
+    dstp, depths = dstp[mask], depths[mask]
+    acc = np.zeros(n)
+    seen = np.zeros(n, dtype=np.int64)
+    for d in range(1, max_depth + 1):
+        cnt = np.bincount(dstp[depths == d], minlength=n)
+        seen += cnt
+        acc = acc + cnt / float(d)
+    nodes = seen > 0  # groupBy emits only nodes with >= 1 pair
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "node": ids[nodes],
+                "harmonic": _round_half_up_np(acc[nodes], decimals),
+            }
+        ),
+        schema,
+    )
+
+
 def harmonic_centrality(
     edges: DataFrame,
     max_depth: int = 3,
@@ -2850,9 +2924,12 @@ def harmonic_centrality(
     counts); the fold is one hash aggregate keyed by node."""
     if max_depth < 1:
         raise ValueError("max_depth must be >= 1")
-    pairs = bounded_paths(edges, max_depth, src_col, dst_col).filter(
-        F.col("src") != F.col("dst")
-    )
+    e = _bp_setup(edges, src_col, dst_col)
+    if _bp_gate(e, None):
+        res = _resident_harmonic(e, max_depth, decimals)
+        if res is not None:
+            return res
+    pairs = _bp_loop(e, max_depth).filter(F.col("src") != F.col("dst"))
     agg = pairs.groupBy(F.col("dst").alias("node")).agg(
         *[
             F.sum(F.when(F.col("depth") == d, 1).otherwise(0)).alias(f"c{d}")

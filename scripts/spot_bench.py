@@ -56,6 +56,7 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples = []
             for _ in range(runs):
+                quiesce()  # outside the timed region, like bench.py
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 samples.append(round(time.perf_counter() - t0, 3))

@@ -179,3 +179,30 @@ def test_bounded_paths_resident_matches_distributed(spark, sf_dir):
     fast = sorted(map(tuple, fast_df.collect()))
     dist = sorted(map(tuple, dist_df.collect()))
     assert fast == dist and len(fast) > 0
+
+
+def test_harmonic_resident_matches_distributed(spark, sf_dir):
+    """r12: the resident harmonic fold (numpy bincount + fixed-order
+    fold + Catalyst-twin HALF_UP round) must equal the distributed
+    groupBy fold bit-for-bit, schema included."""
+    import robosystems_spark.operators.graph as G
+    from robosystems_spark.operators.graph import harmonic_centrality
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("src")
+    )
+    n = cust.agg(F.count("*").alias("_n"))
+    edges = cust.crossJoin(F.broadcast(n)).select(
+        "src", ((F.col("src") * 31 + 7) % F.col("_n")).alias("dst")
+    )
+    fast_df = harmonic_centrality(edges, 3)
+    old = G.RESIDENT_EDGES_MAX
+    G.RESIDENT_EDGES_MAX = 0
+    try:
+        dist_df = harmonic_centrality(edges, 3)
+    finally:
+        G.RESIDENT_EDGES_MAX = old
+    assert fast_df.schema == dist_df.schema
+    fast = sorted(map(tuple, fast_df.collect()))
+    dist = sorted(map(tuple, dist_df.collect()))
+    assert fast == dist and len(fast) > 0
