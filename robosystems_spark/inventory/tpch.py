@@ -640,26 +640,34 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(orders_f.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
         .select("l_orderkey", "l_suppkey")
     )
-    l2 = li.select(
-        F.col("l_orderkey").alias("x_orderkey"), F.col("l_suppkey").alias("x_suppkey")
+    # r12 (guide §2.3/§3): the correlated EXISTS / NOT EXISTS pair used
+    # to semi- and anti-join l1 against two full-lineitem projections —
+    # two lineitem-sized hash builds (broadcast locally; at fact scale,
+    # two lineitem shuffles).  For an R-flagged row they reduce to
+    # per-ORDER supplier statistics:  EXISTS(other supplier, any flag)
+    # <=> #distinct suppliers in the order >= 2 (the row's own supplier
+    # is one of them);  NOT EXISTS(other R supplier) <=> #distinct
+    # R-suppliers == 1 (the row itself is R, so its supplier is that
+    # one).  Both counts come from one dedup aggregate over
+    # (orderkey, suppkey) — map-side partial agg, ~|orders| rows out —
+    # and one semi-join against the qualifying order keys.  Exact
+    # count-preserving rewrite: the kept l1 multiset is identical, so
+    # the oracle (unchanged correlated-subquery SQL) still hash-matches.
+    pair_stats = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(
+            F.when(F.col("l_returnflag") == "R", F.lit(1)).otherwise(F.lit(0))
+        ).alias("_r")
     )
-    l3 = li.filter(F.col("l_returnflag") == "R").select(
-        F.col("l_orderkey").alias("y_orderkey"), F.col("l_suppkey").alias("y_suppkey")
-    )
-    waiting = (
-        l1.join(
-            l2,
-            (F.col("l_orderkey") == F.col("x_orderkey"))
-            & (F.col("l_suppkey") != F.col("x_suppkey")),
-            "left_semi",
+    ok_orders = (
+        pair_stats.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("_ns"),
+            F.sum("_r").alias("_nr"),
         )
-        .join(
-            l3,
-            (F.col("l_orderkey") == F.col("y_orderkey"))
-            & (F.col("l_suppkey") != F.col("y_suppkey")),
-            "left_anti",
-        )
+        .filter((F.col("_ns") >= 2) & (F.col("_nr") == 1))
+        .select("l_orderkey")
     )
+    waiting = l1.join(ok_orders, "l_orderkey", "left_semi")
     return (
         waiting.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
