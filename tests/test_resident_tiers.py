@@ -206,3 +206,24 @@ def test_harmonic_resident_matches_distributed(spark, sf_dir):
     fast = sorted(map(tuple, fast_df.collect()))
     dist = sorted(map(tuple, dist_df.collect()))
     assert fast == dist and len(fast) > 0
+
+
+def test_connected_components_resident_matches_distributed(spark, sf_dir):
+    """r12: the resident scatter-min fixpoint must match both
+    distributed formulations (labelprop and star) on the minhash pair
+    graph, schema included."""
+    from robosystems_spark.inventory.llm import _docs
+    from robosystems_spark.operators.dedup import minhash_near_duplicates
+    from robosystems_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    pairs = minhash_near_duplicates(_docs(spark, sf_dir), threshold=0.7)
+    for fn in (connected_components, connected_components_star):
+        fast_df = fn(pairs, "doc_a", "doc_b")
+        dist_df = fn(pairs, "doc_a", "doc_b", resident_max=0)
+        assert fast_df.schema == dist_df.schema, fn.__name__
+        fast = sorted(map(tuple, fast_df.collect()))
+        dist = sorted(map(tuple, dist_df.collect()))
+        assert fast == dist and len(fast) > 0, fn.__name__
