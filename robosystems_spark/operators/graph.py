@@ -160,17 +160,22 @@ def _state_bc(broadcast_state, n_nodes: int):
 # memoized: every invocation collects, iterates, and returns from its
 # own inputs.
 #
-# The gate value is the measured COST crossover, not just a memory
-# bound: the resident tier pays one O(E) Arrow collect plus O(E)-ish
+# The gate value is the measured COST crossover capped by the memory
+# class: the resident tier pays one O(E) Arrow collect plus O(E)-ish
 # numpy rounds, and on the 32-core reference box those beat the
 # per-round Spark job overhead decisively at ~600k edges (pagerank /
-# HITS supplier-part: 3.6-4.1s -> 1.4-1.6s) but only break even with
-# multi-second allocation-stall variance at ~2.4M edges (k-core / LPA
-# over co-purchase pairs).  1M sits between the two measured points
-# and is far inside the broadcast memory class (1M (long,long) rows
-# = 16 MB; MAX_BROADCAST_NODES would allow 64 MB).
+# HITS supplier-part: 3.6-4.1s -> 1.4-1.6s) AND at ~2.4M edges
+# (min-of-4 quiesced A/B on the THP-healthy box: k-core 4.28 ->
+# 2.74 s, LPA 3.16 -> 1.86 s — an earlier "break-even" reading at
+# this size was taken under the host's transparent-hugepage fault
+# pathology, before _hostmem.py landed, and its multi-second
+# allocation stalls were the entire margin).  No crossover was
+# reached at any measured size, so the gate sits at the MEMORY bound:
+# 4M (long,long) rows = 64 MB, the same driver-resident class as
+# MAX_BROADCAST_NODES — above it the distributed per-round plan (the
+# 100 TB shape) is byte-identical.
 # ---------------------------------------------------------------------------
-RESIDENT_EDGES_MAX = 1_000_000
+RESIDENT_EDGES_MAX = 4_000_000
 
 
 def _integral_edge_cols(e: DataFrame) -> bool:
@@ -805,7 +810,22 @@ def triangle_count(
 ) -> DataFrame:
     """Exact triangle enumeration over an undirected edge DataFrame,
     returning one row per triangle ``(a, b, c)`` with ``a < b < c`` in
-    degree order (ties by id).
+    degree order (ties by id)."""
+    return _oriented_closures(edges, src_col, dst_col, canonical).select(
+        "a", "b", F.explode("_cs").alias("c")
+    )
+
+
+def _oriented_closures(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    canonical: bool = False,
+) -> DataFrame:
+    """Oriented closure frame ``(a, b, _cs)`` — one row per oriented
+    edge with the ARRAY of third corners closing it (``triangle_count``
+    is its explode; ``triangle_counts_per_node`` credits from it
+    without materializing one row per corner).
 
     Compact-forward / degree-orientation algorithm: orient every
     canonical edge from its lower-(degree, id) endpoint to the higher
@@ -885,9 +905,7 @@ def triangle_count(
             adj.select(F.col("a").alias("b"), F.col("_nbrs").alias("_nb")),
             "b",
         )
-        .select(
-            "a", "b", F.explode(F.array_intersect("_na", "_nb")).alias("c")
-        )
+        .select("a", "b", F.array_intersect("_na", "_nb").alias("_cs"))
     )
 
 
@@ -899,14 +917,30 @@ def triangle_counts_per_node(
 ) -> DataFrame:
     """Per-node triangle participation counts: (node, n_triangles).
     Each triangle credits all three corners; nodes in no triangle are
-    absent (join against the vertex set to zero-fill if needed)."""
-    tri = triangle_count(edges, src_col, dst_col, canonical=canonical)
-    return (
-        tri.select(
-            F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("node")
+    absent (join against the vertex set to zero-fill if needed).
+
+    Counting shape (r12): the oriented closure row (a, b, cs) already
+    carries a's and b's credits as ``size(cs)`` — only the third
+    corner needs the explode.  Crediting endpoints from the size and
+    exploding ``cs`` once feeds ~1/3 of the rows of the previous
+    3-corner explode (3 x n_triangles -> n_triangles + 2 rows per
+    closing edge) into the count aggregation — per-corner sums are
+    identical integers, only the plan changes (guide §2.3: shuffle
+    fewer bytes; measured 5.1 -> 4.3 s on graph_triangle_counts at
+    sf0.1)."""
+    cs = _oriented_closures(edges, src_col, dst_col, canonical=canonical)
+    credits = cs.select(
+        F.explode(F.array(F.col("a"), F.col("b"))).alias("node"),
+        F.size("_cs").cast("long").alias("_n"),
+    ).unionByName(
+        cs.select(
+            F.explode("_cs").alias("node"), F.lit(1).cast("long").alias("_n")
         )
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        credits.groupBy("node")
+        .agg(F.sum("_n").alias("n_triangles"))
+        .filter(F.col("n_triangles") > 0)
     )
 
 
