@@ -209,32 +209,38 @@ def minhash_lsh_candidates(
     plain string, identical in any engine (md5 of it would also work;
     the raw join key skips a hash and cannot collide).
 
-    ``materialized`` says the caller already materialize()'d
-    ``sigs`` (the compact id+signature frame), so the self-join can
-    share it without this function checkpointing the LARGER exploded
-    band frame — banding from a materialized signature is a cheap
-    per-side projection."""
+    Pair generation is bucket-grouped (r12), not a self-join: one
+    groupBy (band, band_hash) collects each bucket's sorted id set
+    (map-side partial dedup for free) and pairs expand in-task via
+    posexplode + slice — the ``_copurchase_pairs`` shape.  The
+    self-join formulation paid two shuffle sides over the banded frame
+    plus a checkpoint of it (the band pipeline would otherwise
+    recompute per side); this pays ONE exchange of the banded rows and
+    needs no checkpoint because the banded frame now has exactly one
+    consumer (guide §2.4: remove shuffles outright).  Skew parity: a
+    bucket of k docs emits C(k,2) pairs inside one task — exactly the
+    colocation the (band, band_hash)-keyed join had.
+
+    ``materialized`` is retained for signature compatibility; the
+    single-consumer shape makes the checkpoint unnecessary either way.
+    """
+    del materialized
     banded = band_projection(sigs, id_col, bands, rows_per_band)
-    # materialize (checkpointing.py backend): the self-join would otherwise
-    # recompute the full shingle->signature->band pipeline for BOTH
-    # sides; unlike persist(), checkpointed partitions are reclaimed by
-    # the ContextCleaner once this frame is unreferenced, so repeated
-    # pipeline runs in a long-lived session don't leak executor memory
-    if not materialized:
-        banded = banded.transform(materialize)
-    left = banded.alias("l")
-    right = banded.alias("r")
-    out = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.band_hash") == F.col("r.band_hash"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    buckets = (
+        banded.groupBy("band", "band_hash")
+        .agg(F.sort_array(F.collect_set(F.col(id_col))).alias("_ids"))
+        .filter(F.size("_ids") >= 2)
+    )
+    return (
+        buckets.select(F.posexplode("_ids").alias("_i", "doc_a"), "_ids")
+        .select(
+            "doc_a",
+            F.explode(F.expr("slice(_ids, _i + 2, size(_ids))")).alias(
+                "doc_b"
+            ),
         )
-        .select(F.col(f"l.{id_col}").alias("doc_a"), F.col(f"r.{id_col}").alias("doc_b"))
         .dropDuplicates()
     )
-    return out
 
 
 def jaccard_verify(

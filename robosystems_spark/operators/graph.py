@@ -361,7 +361,7 @@ def _resident_bounded_paths(e: DataFrame, max_depth: int):
     )
 
 
-def _resident_components(e: DataFrame) -> DataFrame:
+def _resident_components(e: DataFrame, node_nullable: bool | None = None) -> DataFrame:
     """Resident twin of the connected-components fixpoint (both the
     label-propagation and the star-contraction formulations converge
     to the same min-reachable-id labels — their shared contract):
@@ -376,10 +376,16 @@ def _resident_components(e: DataFrame) -> DataFrame:
     spark = e.sparkSession
     ids, si, di = _collect_edges_np(e)
     n = len(ids)
+    if node_nullable is None:
+        node_nullable = e.schema[0].nullable or e.schema[1].nullable
     schema = T.StructType(
         [
-            T.StructField("node", e.schema[0].dataType),
-            T.StructField("component", e.schema[0].dataType),
+            # mirrors the distributed twin: the label-prop node column
+            # inherits the edge columns' nullability, star's stays
+            # nullable (its when/union construction), the component
+            # label is nullable in both
+            T.StructField("node", e.schema[0].dataType, node_nullable),
+            T.StructField("component", e.schema[0].dataType, True),
         ]
     )
     if n == 0:
@@ -850,29 +856,40 @@ def _oriented_closures(
     middleware/mcp/query_validator.py) — this is the bounded-shuffle
     formulation of MATCH (a)--(b)--(c)--(a).
     """
-    # canonical undirected edge set (dedup both directions, drop loops).
-    # Checkpointed: consumed by the degree aggregation AND both x/y
-    # degree joins — un-materialized, the caller's edge construction
-    # (a lineitem self-join in the registered co-occurrence query)
-    # would execute three times (the PPJoin re-inlining lesson).
-    # ``canonical=True``: the caller guarantees a DISTINCT src<dst
-    # simple edge list (the co-occurrence convention), so the
-    # least/greatest + distinct shuffle — a full re-shuffle of the
-    # edge set — is skipped (see kcore).
+    e = _canonical_pair_frame(edges, src_col, dst_col, canonical)
+    return _closures_from_canonical(e)
+
+
+def _canonical_pair_frame(
+    edges: DataFrame, src_col: str, dst_col: str, canonical: bool
+) -> DataFrame:
+    """Materialized canonical undirected edge frame (x < y, distinct,
+    loop-free) shared by the triangle paths.
+
+    Checkpointed: consumed by the degree aggregation AND both x/y
+    degree joins — un-materialized, the caller's edge construction
+    (a lineitem self-join in the registered co-occurrence query)
+    would execute three times (the PPJoin re-inlining lesson).
+    ``canonical=True``: the caller guarantees a DISTINCT src<dst
+    simple edge list (the co-occurrence convention), so the
+    least/greatest + distinct shuffle — a full re-shuffle of the
+    edge set — is skipped (see kcore)."""
     if canonical:
-        e = edges.select(
+        return edges.select(
             F.col(src_col).alias("x"), F.col(dst_col).alias("y")
         ).transform(materialize)
-    else:
-        e = (
-            edges.select(
-                F.least(F.col(src_col), F.col(dst_col)).alias("x"),
-                F.greatest(F.col(src_col), F.col(dst_col)).alias("y"),
-            )
-            .filter(F.col("x") != F.col("y"))
-            .distinct()
-            .transform(materialize)
+    return (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("x"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("y"),
         )
+        .filter(F.col("x") != F.col("y"))
+        .distinct()
+        .transform(materialize)
+    )
+
+
+def _closures_from_canonical(e: DataFrame) -> DataFrame:
     deg = (
         e.select(F.col("x").alias("node"))
         .unionByName(e.select(F.col("y").alias("node")))
@@ -909,6 +926,95 @@ def _oriented_closures(
     )
 
 
+TRIANGLE_RESIDENT_NODES_MAX = 32768  # bitset budget: n²/8 ≤ 128 MB
+
+
+def _resident_triangle_counts(e: DataFrame) -> DataFrame | None:
+    """Driver-resident twin of the compact-forward per-node triangle
+    count over the ALREADY materialized canonical edge frame.  Same
+    orientation (rank nodes by (degree, id), orient low→high), same
+    closure rule (wedge (b, c) from a's out-list closes iff (b, c) is
+    an oriented edge); counts are integer sums — exactly the
+    distributed result.  Membership is an O(1) bitset probe per wedge
+    (n²/8-byte bitset — the reason for the node budget; returns None
+    above it and the caller falls back to the distributed plan)."""
+    import numpy as np
+
+    tx, ty = (f.dataType for f in e.schema.fields)
+    if tx != ty:
+        return None
+    ids, si, di = _collect_edges_np(e)
+    n = len(ids)
+    if n > TRIANGLE_RESIDENT_NODES_MAX:
+        return None
+    from pyspark.sql import types as T
+
+    spark = e.sparkSession
+    m = len(si)
+    # distributed twin's schema: the groupBy key inherits the edge
+    # columns' nullability (when/otherwise + explode preserve it), the
+    # sum aggregate is always nullable
+    f0, f1 = e.schema.fields
+    out_schema = T.StructType(
+        [
+            T.StructField("node", tx, f0.nullable or f1.nullable),
+            T.StructField("n_triangles", T.LongType(), True),
+        ]
+    )
+    if m == 0 or n == 0:
+        return spark.createDataFrame([], out_schema)
+    deg = np.bincount(si, minlength=n) + np.bincount(di, minlength=n)
+    # ids is sorted ascending, so position order IS id order: rank by
+    # (degree, id) = lexsort((positions, deg))
+    order = np.lexsort((np.arange(n), deg))
+    rank = np.empty(n, dtype=np.int64)
+    rank[order] = np.arange(n)
+    rs, rd = rank[si], rank[di]
+    a = np.minimum(rs, rd)
+    b = np.maximum(rs, rd)
+    es = np.lexsort((b, a))
+    a, b = a[es], b[es]
+    codes = a * n + b
+    bits = np.zeros((n * n + 7) >> 3, dtype=np.uint8)
+    # bitwise_or.at, not fancy-index |=: duplicate byte indices in one
+    # batch would silently drop bits under buffered fancy assignment
+    np.bitwise_or.at(
+        bits, codes >> 3, (np.uint8(1) << (codes & 7).astype(np.uint8))
+    )
+    indptr = np.concatenate(([0], np.cumsum(np.bincount(a, minlength=n))))
+    rem = indptr[a + 1] - np.arange(m) - 1  # same-list slots after edge
+    counts = np.zeros(n, dtype=np.int64)
+    # wedge enumeration by DIAGONAL offset: iteration d pairs each
+    # adjacency element with the one d slots later in its node's
+    # sorted run — every (i < j) pair appears at exactly one d, no
+    # np.repeat blow-up (total element work Σ C(outdeg,2), ~2x faster
+    # than the chunked repeat formulation at 41M wedges), and the
+    # survivor index shrinks monotonically with d
+    valid = np.arange(m)
+    d = 1
+    while True:
+        valid = valid[rem[valid] >= d]
+        if len(valid) == 0:
+            break
+        wb = b[valid]
+        wc = b[valid + d]
+        wcodes = wb * n + wc
+        hit = ((bits[wcodes >> 3] >> (wcodes & 7)) & 1).astype(bool)
+        if hit.any():
+            counts += np.bincount(a[valid][hit], minlength=n)
+            counts += np.bincount(wb[hit], minlength=n)
+            counts += np.bincount(wc[hit], minlength=n)
+        d += 1
+    node_counts = counts[rank]  # rank-indexed -> position-indexed
+    nz = node_counts > 0
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame({"node": ids[nz], "n_triangles": node_counts[nz]}),
+        out_schema,
+    )
+
+
 def triangle_counts_per_node(
     edges: DataFrame,
     src_col: str = "src",
@@ -927,8 +1033,28 @@ def triangle_counts_per_node(
     closing edge) into the count aggregation — per-corner sums are
     identical integers, only the plan changes (guide §2.3: shuffle
     fewer bytes; measured 5.1 -> 4.3 s on graph_triangle_counts at
-    sf0.1)."""
-    cs = _oriented_closures(edges, src_col, dst_col, canonical=canonical)
+    sf0.1).
+
+    Resident tier (r12): under the measured edge gate AND a node
+    budget (the membership bitset is n²/8 bytes — 32k nodes = 128 MB,
+    its own budget, NOT covered by the edge gate) the whole
+    count runs driver-side: one bounded Arrow collect, degree-ordered
+    orientation, wedge generation in vectorized batches, and an O(1)
+    bitset membership test per wedge.  Counts are pure integers —
+    bit-identical to the distributed plan (parity pinned in
+    tests/test_resident_tiers.py).  The distributed plan above either
+    gate is unchanged — at 100 TB both gates fail and the compact-
+    forward join/intersect shape (the r11-blessed 100x plan) runs."""
+    e = _canonical_pair_frame(edges, src_col, dst_col, canonical)
+    if (
+        RESIDENT_EDGES_MAX > 0
+        and _integral_edge_cols(e)
+        and e.count() <= RESIDENT_EDGES_MAX
+    ):
+        res = _resident_triangle_counts(e)
+        if res is not None:
+            return res
+    cs = _closures_from_canonical(e)
     credits = cs.select(
         F.explode(F.array(F.col("a"), F.col("b"))).alias("node"),
         F.size("_cs").cast("long").alias("_n"),
@@ -983,7 +1109,7 @@ def connected_components_star(
     # connected_components — "interchangeable, share oracles" above).
     # Forced-gate parity: tests/test_resident_tiers.py.
     if _bp_gate(e, resident_max):
-        return _resident_components(e)
+        return _resident_components(e, node_nullable=True)
     prev_sig = None
     for _ in range(max_iters):
         # ---- large-star ----

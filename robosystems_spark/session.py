@@ -110,6 +110,20 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE's parallelism-first coalescing floors partitions at 1 MB
+        # of COMPRESSED shuffle bytes — a poor CPU proxy for array-
+        # payload stages (the triangle closure stage coalesced
+        # 32 -> 6 tasks and tracked its one straggler).  An A/B that
+        # lowered the floor to 256k fixed that stage but inflated the
+        # MANY small-shuffle entries (q1/q3/q5, the multimodal family)
+        # by 32x-ing their tiny task counts — net bench LOSS, so the
+        # default floor stays and the one CPU-dense-byte-light
+        # offender runs resident under its measured gate instead
+        # (OPTIMIZATION_r12.md).  Deployments can still override:
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_AQE_MIN_PARTITION_SIZE", "1m"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

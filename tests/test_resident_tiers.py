@@ -227,3 +227,42 @@ def test_connected_components_resident_matches_distributed(spark, sf_dir):
         fast = sorted(map(tuple, fast_df.collect()))
         dist = sorted(map(tuple, dist_df.collect()))
         assert fast == dist and len(fast) > 0, fn.__name__
+
+
+def test_triangle_counts_resident_matches_distributed(spark, sf_dir):
+    """r12: the resident bitset triangle count (degree-ordered
+    orientation + diagonal wedge enumeration) must equal the
+    distributed compact-forward closure count bit-for-bit, schema
+    included — on the co-purchase graph AND on a non-canonical edge
+    list with duplicates/loops."""
+    import robosystems_spark.operators.graph as G
+    from robosystems_spark.inventory.graph import _copurchase_pairs
+    from robosystems_spark.operators.graph import triangle_counts_per_node
+
+    li = read_table(spark, sf_dir, "lineitem")
+    cases = [
+        (_copurchase_pairs(li), dict(canonical=True)),
+        # messy input: both directions + loops exercise canonicalize
+        (
+            _copurchase_pairs(li)
+            .unionByName(
+                _copurchase_pairs(li).select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst")
+                )
+            )
+            .unionByName(li.select(F.col("l_partkey").alias("src"), F.col("l_partkey").alias("dst")).limit(5)),
+            dict(canonical=False),
+        ),
+    ]
+    for edges, kw in cases:
+        fast_df = triangle_counts_per_node(edges, **kw)
+        old = G.RESIDENT_EDGES_MAX
+        G.RESIDENT_EDGES_MAX = 0
+        try:
+            dist_df = triangle_counts_per_node(edges, **kw)
+        finally:
+            G.RESIDENT_EDGES_MAX = old
+        assert fast_df.schema == dist_df.schema, kw
+        fast = sorted(map(tuple, fast_df.collect()))
+        dist = sorted(map(tuple, dist_df.collect()))
+        assert fast == dist and len(fast) > 0, kw
