@@ -206,21 +206,30 @@ def _train_loop(
     n_merges: int,
     text_col: str,
     resident_max: int = _RESIDENT_VOCAB_MAX,
-) -> tuple[DataFrame, list[tuple[int, str, str, int]]]:
+    build_seq: bool = True,
+) -> tuple[DataFrame | None, list[tuple[int, str, str, int]]]:
     """Shared training loop: returns (final symbol table, merges).
 
     Tier dispatch on the measured vocabulary size (r12): within
     ``resident_max`` the merges come from one bounded collect +
-    :func:`_resident_merges` (zero per-iteration jobs; the returned
-    symbol table is the LAZY merge-applied chain, so callers that only
-    need the merges — ``bpe_train`` — never execute it).  Above the
+    :func:`_resident_merges` (zero per-iteration jobs).  Above the
     gate, the distributed loop: per iteration ONE argmax job (which
     also materializes the previous iteration's lazy checkpoint) + one
-    driver row."""
+    driver row.
+
+    ``build_seq=False`` (the ``bpe_train`` path, which consumes only
+    the merges) skips CONSTRUCTING the merge-applied symbol chain and
+    returns ``(None, merges)``: the chain is 3 window expressions per
+    merge and even un-executed its per-DataFrame analysis cost ~2 s of
+    driver time at 8 merges — measured 2.35 -> 0.55 s for the whole
+    train loop (guide §7.3: very large plans spend their time in
+    analysis, so don't build plans nobody runs)."""
     wf = materialize(word_frequencies(docs, text_col))
     n_words = wf.count()
     if n_words <= resident_max:
         merges = _resident_merges(wf.collect(), n_merges)
+        if not build_seq:
+            return None, merges
         seq = _seq_from_wf(wf, n_words, eager=False)
         for i, (_rank, left, right, _cnt) in enumerate(merges, 1):
             seq = _merge_step(seq, left, right)
@@ -259,7 +268,7 @@ def bpe_train(
     (merge_rank, left_sym, right_sym, pair_count) ordered by rank —
     the artifact a tokenizer ships.  Stops early if pairs run dry."""
     spark = docs.sparkSession
-    _, merges = _train_loop(docs, n_merges, text_col)
+    _, merges = _train_loop(docs, n_merges, text_col, build_seq=False)
     return spark.createDataFrame(merges, _MERGES_SCHEMA)
 
 

@@ -614,35 +614,43 @@ def ppmi_word_similarity(
     base = df.select(tokens(text_col).alias("_t"))
 
     def _dir(o: int) -> DataFrame:
+        # symmetrized MAP-SIDE: each position pair emits (a,b) AND
+        # (b,a) from the same transform (r12) — the former
+        # checkpoint-then-union-both-directions shape re-read a
+        # materialized frame twice and paid an extra eager job; one
+        # expression now produces the identical pair multiset in a
+        # single pass.
         return (
             base.filter(F.size("_t") > o)
             .select(
                 F.explode(
                     F.expr(
-                        f"transform(sequence({o}, size(_t) - 1), "
-                        f"i -> struct(_t[i - {o}] AS a, _t[i] AS b))"
+                        f"flatten(transform(sequence({o}, size(_t) - 1), "
+                        f"i -> array(struct(_t[i - {o}] AS a, _t[i] AS b), "
+                        f"struct(_t[i] AS a, _t[i - {o}] AS b))))"
                     )
                 ).alias("_p")
             )
-            .select(F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
+            .select(F.col("_p.a").alias("_w"), F.col("_p.b").alias("_c"))
         )
 
-    # Checkpoint raw BEFORE the symmetrization reads it twice — the two
-    # union branches would otherwise each re-run both corpus explodes.
-    raw = _dir(1).unionAll(_dir(2)).transform(materialize)
-    pairs = raw.select(
-        F.col("a").alias("_w"), F.col("b").alias("_c")
-    ).unionAll(raw.select(F.col("b").alias("_w"), F.col("a").alias("_c")))
-    # Checkpoint BEFORE the three-consumer fan-out (marginals, total,
-    # joint): Catalyst re-inlines the tokenize + four explodes per
-    # consumer otherwise (the PPJoin re-inlining lesson).
-    pairs = pairs.transform(materialize)
+    pairs = _dir(1).unionAll(_dir(2))
 
-    # vocab-sized marginals are consumed twice (cw1/cw2 joins):
-    # materialize once instead of re-shuffling the pair stream twice
+    # ONE aggregation pass over the pair stream (r12): the joint
+    # (word, context) counts are the finest granularity — the word
+    # marginals and the total are exact integer roll-ups of it, so
+    # the pair stream is scanned/shuffled once and the marginal/total
+    # consumers read the much smaller materialized joint frame
+    # (guide §2.3: aggregate before you shuffle; previously the
+    # checkpointed pair stream fed three separate consumers).
+    joint = (
+        pairs.groupBy("_w", "_c")
+        .agg(F.count(F.lit(1)).alias("cwc"))
+        .transform(materialize)
+    )
     cnt = (
-        pairs.groupBy("_w")
-        .agg(F.count(F.lit(1)).alias("cw"))
+        joint.groupBy("_w")
+        .agg(F.sum("cwc").alias("cw"))
         .transform(materialize)
     )
     if max_vocab is not None:
@@ -658,8 +666,7 @@ def ppmi_word_similarity(
             .filter(F.col("_vr") <= max_vocab)
             .drop("_vr")
         )
-    n = pairs.agg(F.count(F.lit(1)).cast("double").alias("_n"))
-    joint = pairs.groupBy("_w", "_c").agg(F.count(F.lit(1)).alias("cwc"))
+    n = joint.agg(F.sum("cwc").cast("double").alias("_n"))
     ppmi = (
         joint.join(cnt.select(F.col("_w"), F.col("cw").alias("cw1")), "_w")
         .join(
@@ -686,22 +693,20 @@ def ppmi_word_similarity(
         )
         .filter(F.col("p_i") > 0)
     )
-    # Checkpoint: consumed by the degree census AND the semi-join probe
-    # side — un-materialized, the joint aggregation + two count joins
-    # would execute twice.
-    ppmi = ppmi.transform(materialize)
-    # hot-context cap: semi-join against the in-degree-bounded context
-    # set BEFORE norms and the matmul, so both sides see the same
-    # truncated matrix
-    ctx_ok = (
-        ppmi.groupBy("_c")
-        .agg(F.count(F.lit(1)).alias("_deg"))
-        .filter(F.col("_deg") <= max_context_degree)
-        .select("_c")
-    )
-    # Checkpoint again: the truncated matrix fans out to the norm
+    # hot-context cap via ONE window pass (r12): count(*) over
+    # partitionBy(_c) computes the same per-context degree the
+    # census groupBy did, inside the same exchange the filter needs —
+    # the former census + left-semi-join shape paid an extra
+    # checkpoint of the pre-truncation matrix plus a join (guide
+    # §2.4: two operations keyed the same way share one exchange).
+    from pyspark.sql.window import Window as _W2
+
+    ppmi = ppmi.withColumn(
+        "_deg", F.count(F.lit(1)).over(_W2.partitionBy("_c"))
+    ).filter(F.col("_deg") <= max_context_degree).drop("_deg")
+    # Checkpoint: the truncated matrix fans out to the norm
     # aggregation and BOTH sides of the sparse-matmul self-join.
-    ppmi = ppmi.join(ctx_ok, "_c", "left_semi").transform(materialize)
+    ppmi = ppmi.transform(materialize)
     # vocab-sized norm frame joins twice (n2a/n2b) — materialize once
     norms = (
         ppmi.groupBy("_w")

@@ -1317,16 +1317,23 @@ def jaccard_prefix_join(
         F.col("_rn")
         <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
     ).select(id_col, "_tok")
-    a, b = prefix.alias("a"), prefix.alias("b")
+    # bucket-grouped candidate generation (r12, the
+    # minhash_lsh_candidates shape): one groupBy per prefix token
+    # collecting its sorted posting list, pairs expanded in-task —
+    # replaces the token-keyed self-join's two shuffle sides with one
+    # exchange of the prefix rows (guide §2.4).  Identical pair set:
+    # sort_array guarantees doc_a < doc_b, dropDuplicates dedups
+    # across tokens exactly as the join's dropDuplicates did.
     cand = (
-        a.join(
-            b,
-            (F.col("a._tok") == F.col("b._tok"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
+        prefix.groupBy("_tok")
+        .agg(F.sort_array(F.collect_set(F.col(id_col))).alias("_ids"))
+        .filter(F.size("_ids") >= 2)
+        .select(F.posexplode("_ids").alias("_i", "doc_a"), "_ids")
         .select(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
+            "doc_a",
+            F.explode(F.expr("slice(_ids, _i + 2, size(_ids))")).alias(
+                "doc_b"
+            ),
         )
         .dropDuplicates()
     )
