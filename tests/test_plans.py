@@ -370,13 +370,22 @@ def test_tpch_battery_hint_policy(spark, sf_dir):
 def test_triangle_count_never_goes_cartesian(spark, sf_dir):
     """The adjacency joins must stay equi-joins on the a/b keys — a
     cartesian or nested-loop fallback explodes at any scale; closure
-    is the codegen'd array_intersect + explode (never a wedge shuffle
-    or a per-wedge semi-join); degree aggregation combines map-side."""
-    plan = plan_of(REGISTRY["graph_triangle_counts"].fn(spark, sf_dir))
+    is the codegen'd array_intersect (never a wedge shuffle or a
+    per-wedge semi-join); degree aggregation combines map-side.
+    Pins the DISTRIBUTED plan (gate forced to 0 — the r12 resident
+    tier otherwise returns a LocalTableScan at test scale)."""
+    import robosystems_spark.operators.graph as G
+
+    old = G.RESIDENT_EDGES_MAX
+    G.RESIDENT_EDGES_MAX = 0
+    try:
+        plan = plan_of(REGISTRY["graph_triangle_counts"].fn(spark, sf_dir))
+    finally:
+        G.RESIDENT_EDGES_MAX = old
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "array_intersect" in plan  # closure via adjacency intersect
-    assert "Generate" in plan  # explode of the closing set
+    assert "Generate" in plan  # explode of endpoint credits + corners
     assert plan.count("HashAggregate") >= 2
 
 
