@@ -516,24 +516,33 @@ def crawl_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             (n_words >= F.lit(50)).alias("quality_pass"),
         )
     )
+    # domain_rank inline on q (r12): a quality row's rank among its
+    # domain's quality rows (ordered by doc_id, unique) equals the
+    # running sum of quality flags at its position, so ONE window over
+    # q replaces the filtered row_number frame plus BOTH q⋈capr joins
+    # (the survivor filter and the final verdict assembly) — guide
+    # §2.4: operations keyed the same way share one exchange.
+    # Non-quality rows take the CASE's NULL branch, exactly the LEFT
+    # JOIN's null domain_rank in the oracle.
     w = Window.partitionBy("registered_domain").orderBy("doc_id")
-    capr = (
-        q.filter("quality_pass")
-        .withColumn("domain_rank", F.row_number().over(w).cast("int"))
-        .select("doc_id", "domain_rank")
+    ranked = q.withColumn(
+        "domain_rank",
+        F.when(
+            F.col("quality_pass"),
+            F.sum(F.col("quality_pass").cast("int"))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("int"),
+        ),
     )
-    surv = (
-        q.join(capr, "doc_id")
-        .filter(F.col("domain_rank") <= 5)
-        .select("doc_id", "text")
+    surv = ranked.filter(F.col("domain_rank") <= 5).select(
+        "doc_id", "text"
     )
     pairs = minhash_near_duplicates(surv, threshold=0.7)
     dup = pairs.groupBy(F.col("doc_b").alias("doc_id")).agg(
         F.min("doc_a").alias("dup_of")
     )
     return (
-        q.join(capr, "doc_id", "left")
-        .join(dup, "doc_id", "left")
+        ranked.join(dup, "doc_id", "left")
         .select(
             "doc_id",
             "registered_domain",

@@ -310,9 +310,15 @@ def test_q19_disjunction_pushed_to_part_scan(spark, sf_dir):
 
 
 def test_q21_double_existence_is_semi_plus_anti(spark, sf_dir):
+    """r12 (754e2dc): the correlated EXISTS / NOT EXISTS pair compiles
+    to per-order supplier statistics (dedup aggregate with map-side
+    partials) + a semi-join — NO anti-join against a second
+    lineitem-sized hash build survives (that was the rewrite's point:
+    zero lineitem-sized hash relations at fact scale)."""
     plan = plan_of(REGISTRY["q21_waiting_suppliers"].fn(spark, sf_dir))
     assert "LeftSemi" in plan
-    assert "LeftAnti" in plan
+    assert "LeftAnti" not in plan  # folded into the per-order stats
+    assert plan.count("HashAggregate") >= 4  # partial+final stat pairs
     # compound (equi + inequality) conditions must still hash-partition
     # on the equi key — never a nested-loop/cartesian fallback
     assert "CartesianProduct" not in plan
