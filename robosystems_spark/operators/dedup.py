@@ -379,19 +379,27 @@ def simhash_near_duplicates(
             )
         ).alias("chunk", "chunk_val"),
     )
-    l, r = banded.alias("l"), banded.alias("r")
+    # bucket-grouped pair expansion (r12, the minhash_lsh_candidates
+    # shape, payload-carrying variant): each (chunk, chunk_val) bucket
+    # collects its member (id, simhash) structs — sort_array orders by
+    # the leading unique id, so the slice expansion guarantees
+    # doc_a < doc_b — one exchange instead of the self-join's two.
+    member = F.struct(F.col(id_col), F.col("simhash"))
     cands = (
-        l.join(
-            r,
-            (F.col("l.chunk") == F.col("r.chunk"))
-            & (F.col("l.chunk_val") == F.col("r.chunk_val"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        banded.groupBy("chunk", "chunk_val")
+        .agg(F.sort_array(F.collect_set(member)).alias("_m"))
+        .filter(F.size("_m") >= 2)
+        .select(F.posexplode("_m").alias("_i", "_a"), "_m")
+        .select(
+            F.col(f"_a.{id_col}").alias("doc_a"),
+            F.col("_a.simhash").alias("sh_a"),
+            F.explode(F.expr("slice(_m, _i + 2, size(_m))")).alias("_b"),
         )
         .select(
-            F.col(f"l.{id_col}").alias("doc_a"),
-            F.col(f"r.{id_col}").alias("doc_b"),
-            F.col("l.simhash").alias("sh_a"),
-            F.col("r.simhash").alias("sh_b"),
+            "doc_a",
+            F.col(f"_b.{id_col}").alias("doc_b"),
+            "sh_a",
+            F.col("_b.simhash").alias("sh_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
@@ -1502,20 +1510,32 @@ def weighted_jaccard_pairs(
         .agg(F.sum("_w").alias("_tot"))
         .transform(materialize)
     )
-    a, b = tw.alias("a"), tw.alias("b")
+    # bucket-grouped pair expansion (r12, the minhash_lsh_candidates
+    # shape): one groupBy (block, sub, token) collecting the bucket's
+    # sorted doc ids + the token weight (constant within the bucket —
+    # _w is a function of _tok), pairs expanded in-task, then the
+    # per-pair integer weight sum — replaces the 4-conjunct self-join's
+    # two shuffle sides with one exchange of the token rows; the
+    # (pair, token) contribution multiset is identical because a doc
+    # has exactly one (_blk, _sub), so a matching pair meets in
+    # exactly one bucket per shared token.
     shared = (
-        a.join(
-            b,
-            (F.col("a._tok") == F.col("b._tok"))
-            & (F.col("a._blk") == F.col("b._blk"))
-            & (F.col("a._sub") == F.col("b._sub"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        tw.groupBy("_blk", "_sub", "_tok")
+        .agg(
+            F.sort_array(F.collect_set(F.col(id_col))).alias("_ids"),
+            F.first("_w").alias("_w"),
         )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
+        .filter(F.size("_ids") >= 2)
+        .select(F.posexplode("_ids").alias("_i", "doc_a"), "_ids", "_w")
+        .select(
+            "doc_a",
+            F.explode(F.expr("slice(_ids, _i + 2, size(_ids))")).alias(
+                "doc_b"
+            ),
+            "_w",
         )
-        .agg(F.sum("a._w").alias("w_shared"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum("_w").alias("w_shared"))
     )
     ta = totals.select(F.col(id_col).alias("doc_a"), F.col("_tot").alias("_ta"))
     tb = totals.select(F.col(id_col).alias("doc_b"), F.col("_tot").alias("_tb"))
