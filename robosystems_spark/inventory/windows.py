@@ -174,7 +174,21 @@ def events_asof_join_purchase_view(spark: SparkSession, sf_dir: str) -> DataFram
     views = ev.filter(F.col("event_type") == "view").select(
         "user_id", "ts", F.round("value", 2).alias("view_value")
     )
-    return asof_join(purchases, views, on="user_id", right_cols=["view_value"])
+    # column order pinned to the oracle's projection: the operator
+    # emits (..., view_value_right, ts_right) but the oracle SELECTs
+    # ts_right before view_value_right — the only registry entry whose
+    # output column ORDER diverged from its oracle (caught by an
+    # r12 positional full-registry sweep; values were identical)
+    return asof_join(
+        purchases, views, on="user_id", right_cols=["view_value"]
+    ).select(
+        "event_id",
+        "ts",
+        "user_id",
+        "purchase_value",
+        "ts_right",
+        "view_value_right",
+    )
 
 
 @register(
