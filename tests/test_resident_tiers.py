@@ -97,6 +97,83 @@ def test_copurchase_pairs_match_self_join(spark, sf_dir):
     assert fast == ref and len(fast) > 0
 
 
+def test_copurchase_pairs_np_matches_spark_build(spark, sf_dir):
+    """r13 fused construction: the numpy pair build must return the
+    exact DISTINCT src<dst pair set of the Spark construction, and
+    bail out (None) on inputs that violate its gates (nulls,
+    non-integral keys) so callers fall back to the unchanged plan."""
+    from robosystems_spark.inventory.graph import (
+        _copurchase_pairs,
+        _copurchase_pairs_np,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    ids, si, di = _copurchase_pairs_np(li)
+    fast = sorted(zip(ids[si].tolist(), ids[di].tolist()))
+    ref = sorted(map(tuple, _copurchase_pairs(li).collect()))
+    assert fast == ref and len(fast) > 0
+    # messy input: duplicate rows and single-part orders are handled
+    messy = li.unionByName(li.limit(50)).unionByName(
+        li.select(
+            (F.col("l_orderkey") + 90_000_000).alias("l_orderkey"),
+            "l_partkey",
+            *[c for c in li.columns if c not in ("l_orderkey", "l_partkey")],
+        ).limit(7)
+    )
+    ids2, si2, di2 = _copurchase_pairs_np(messy)
+    fast2 = sorted(zip(ids2[si2].tolist(), ids2[di2].tolist()))
+    ref2 = sorted(map(tuple, _copurchase_pairs(messy).collect()))
+    assert fast2 == ref2
+    # gate bailouts: NULL keys and non-integral keys return None
+    with_null = li.withColumn(
+        "l_partkey",
+        F.when(F.col("l_orderkey") % 97 == 0, None).otherwise(
+            F.col("l_partkey")
+        ),
+    )
+    assert _copurchase_pairs_np(with_null) is None
+    as_str = li.withColumn("l_partkey", F.col("l_partkey").cast("string"))
+    assert _copurchase_pairs_np(as_str) is None
+
+
+def test_fused_copurchase_entries_match_unfused(spark, sf_dir):
+    """The precollected fused path must equal the r12 plan (schema
+    included) for both bench consumers."""
+    from robosystems_spark.inventory.graph import (
+        _copurchase_pairs,
+        _copurchase_pairs_np,
+    )
+    from robosystems_spark.operators.graph import (
+        kcore,
+        triangle_counts_per_node,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    pre = _copurchase_pairs_np(li)
+    fused_tri = triangle_counts_per_node(
+        _copurchase_pairs(li), canonical=True, precollected=pre
+    )
+    plain_tri = triangle_counts_per_node(
+        _copurchase_pairs(li), canonical=True
+    )
+    assert fused_tri.schema == plain_tri.schema
+    assert sorted(map(tuple, fused_tri.collect())) == sorted(
+        map(tuple, plain_tri.collect())
+    )
+    fused_kc = kcore(
+        _copurchase_pairs(li), k=3, rounds=2, canonical=True,
+        broadcast_keep=True, precollected=pre,
+    )
+    plain_kc = kcore(
+        _copurchase_pairs(li), k=3, rounds=2, canonical=True,
+        broadcast_keep=True,
+    )
+    assert fused_kc.schema == plain_kc.schema
+    assert sorted(map(tuple, fused_kc.collect())) == sorted(
+        map(tuple, plain_kc.collect())
+    )
+
+
 def _sp_edges_small(spark, sf_dir):
     from robosystems_spark.inventory.graph import _sp_edges
 
