@@ -595,7 +595,10 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def jaccard_blocked_pairs(
-    docs: DataFrame, threshold: float = 0.5, cap: int = _JACCARD_BLOCK_CAP
+    docs: DataFrame,
+    threshold: float = 0.5,
+    cap: int = _JACCARD_BLOCK_CAP,
+    resident_max: int | None = None,
 ) -> DataFrame:
     """Prefix-blocked token-Jaccard near-dup with bounded block size.
 
@@ -606,8 +609,22 @@ def jaccard_blocked_pairs(
     groupBy (AQE skew-join handles the join-back); the sub-key is
     ``doc_id % n_sub`` — deterministic, engine-stable, uniform for
     dense ids.
+
+    r13 resident tier: under the measured corpus gates the block +
+    verify pipeline runs as one bounded Arrow collect + numpy twin
+    (``resident_text.blocked_pairs_resident``), schema from this lazy
+    distributed plan; the distributed plan is unchanged above them.
     """
-    t = docs.select(
+    from robosystems_spark.operators import resident_text as RT
+
+    got = RT.collect_corpus(docs, "text", "doc_id", max_docs=resident_max)
+    if got is not None:
+        pdf = RT.blocked_pairs_resident(got[0], got[1], threshold, cap)
+        if pdf is not None:
+            return docs.sparkSession.createDataFrame(
+                pdf, schema=RT.pairs_schema(docs, "doc_id", ids_nullable=True)
+            )
+    t = docs.select(  # distributed plan — byte-identical to r12
         "doc_id",
         F.array_distinct(T.tokens("text")).alias("toks"),
         F.substring("text", 1, 32).alias("blk"),
@@ -684,6 +701,31 @@ _DUP_CLUSTERS_ORACLE = (
 )
 
 
+def _blocked_pairs_pre(docs: DataFrame, threshold: float = 0.5, cap: int = _JACCARD_BLOCK_CAP):
+    """The resident blocked pair set as a ``(ids, si, di)`` triple for
+    the fused ``duplicate_clusters`` hook (the
+    ``_copurchase_pairs_np`` pattern) — or None when any corpus gate
+    fails, in which case callers run the unchanged distributed plan.
+    Skips the Spark pair build + CC setup checkpoint + re-collect
+    round trip when the clusters consumer would have gone resident
+    anyway."""
+    from robosystems_spark.operators import resident_text as RT
+
+    got = RT.collect_corpus(docs, "text", "doc_id")
+    if got is None:
+        return None
+    pdf = RT.blocked_pairs_resident(got[0], got[1], threshold, cap)
+    if pdf is None:
+        return None
+    import numpy as np
+    import pandas as pd
+
+    src = pdf["doc_a"].to_numpy()
+    dst = pdf["doc_b"].to_numpy()
+    ids = np.sort(pd.unique(np.concatenate([src, dst])))
+    return ids, np.searchsorted(ids, src), np.searchsorted(ids, dst)
+
+
 @register(
     "dedup_duplicate_clusters",
     oracle=_DUP_CLUSTERS_ORACLE,
@@ -695,10 +737,16 @@ _DUP_CLUSTERS_ORACLE = (
 def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from robosystems_spark.operators.graph import duplicate_clusters
 
-    pairs = jaccard_blocked_pairs(_docs(spark, sf_dir), threshold=0.5).select(
-        "doc_a", "doc_b"
-    )
-    return duplicate_clusters(pairs)
+    docs = _docs(spark, sf_dir)
+    pre = _blocked_pairs_pre(docs, threshold=0.5)
+    # pre built -> the pair frame is schema-only (resident_max=0 keeps
+    # it the lazy distributed construction, never executed); pre None
+    # -> same call IS the unchanged distributed plan (the corpus gate
+    # already failed once — don't pay it twice)
+    pairs = jaccard_blocked_pairs(
+        docs, threshold=0.5, resident_max=0
+    ).select("doc_a", "doc_b")
+    return duplicate_clusters(pairs, precollected=pre)
 
 
 # ---------------------------------------------------------------------------
@@ -2151,10 +2199,12 @@ def nb_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_duplicate_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     from robosystems_spark.operators.graph import duplicate_clusters
 
-    pairs = jaccard_blocked_pairs(_docs(spark, sf_dir), threshold=0.5).select(
-        "doc_a", "doc_b"
-    )
-    return duplicate_clusters(pairs, method="star")
+    docs = _docs(spark, sf_dir)
+    pre = _blocked_pairs_pre(docs, threshold=0.5)
+    pairs = jaccard_blocked_pairs(
+        docs, threshold=0.5, resident_max=0
+    ).select("doc_a", "doc_b")
+    return duplicate_clusters(pairs, method="star", precollected=pre)
 
 
 # ---------------------------------------------------------------------------
@@ -2721,8 +2771,13 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
     from robosystems_spark.operators.graph import duplicate_clusters
 
     docs = _docs(spark, sf_dir)
-    pairs = jaccard_blocked_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
-    clusters = duplicate_clusters(pairs).select("doc_id", "cluster_id")
+    pre = _blocked_pairs_pre(docs, threshold=0.5)
+    pairs = jaccard_blocked_pairs(
+        docs, threshold=0.5, resident_max=0
+    ).select("doc_a", "doc_b")
+    clusters = duplicate_clusters(pairs, precollected=pre).select(
+        "doc_id", "cluster_id"
+    )
     return cluster_representatives(clusters, docs, quality_col="n_chars")
 
 

@@ -282,6 +282,31 @@ def jaccard_verify(
     )
 
 
+def _minhash_pairs_lazy(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    num_hashes: int,
+    bands: int,
+    shingle_k: int,
+    sh: DataFrame,
+) -> DataFrame:
+    """The minhash pipeline over an externally supplied shingle frame
+    — pure plan construction (no materialize, no jobs): the resident
+    tier derives its output schema from this exact twin, and the
+    distributed path feeds it the checkpointed frame."""
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_k, shingles_df=sh
+    )
+    cands = minhash_lsh_candidates(
+        sigs, id_col, bands, num_hashes // bands, materialized=False
+    )
+    return jaccard_verify(
+        df, cands, text_col, id_col, threshold, shingle_k, shingles_df=sh
+    )
+
+
 def minhash_near_duplicates(
     df: DataFrame,
     text_col: str = "text",
@@ -290,9 +315,20 @@ def minhash_near_duplicates(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_k: int = 5,
+    resident_max: int | None = None,
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: shingle → signature → band →
     bucket-join → exact-Jaccard verify.
+
+    r13 resident tier: under the measured corpus gates
+    (``resident_text.collect_corpus`` — row/byte budgets, ASCII
+    tokenization-parity, integral unique ids) the whole pipeline runs
+    as one bounded Arrow collect + vectorized numpy with bit-identical
+    md5/Carter-Wegman/Horner integer arithmetic and the Catalyst
+    HALF_UP rounding twin; output schema comes from the (lazy, never
+    executed) distributed plan so the two tiers match bit-for-bit.
+    Above any gate the distributed plan below is byte-identical to
+    r12.  Forced-gate parity: tests/test_resident_tiers.py.
 
     The distinct-shingle frame is materialized ONCE (materialize())
     and shared by the signature pipeline and the verify join — the
@@ -302,15 +338,20 @@ def minhash_near_duplicates(
     faster end-to-end than signature-checkpoint (2.05s vs 2.43s),
     because the self-join then shares one materialization instead of
     re-projecting bands per side."""
+    from robosystems_spark.operators import resident_text as RT
+
+    got = RT.collect_corpus(df, text_col, id_col, max_docs=resident_max)
+    if got is not None:
+        pdf = RT.minhash_pairs_resident(
+            got[0], got[1], threshold, num_hashes, bands, shingle_k
+        )
+        if pdf is not None:
+            return df.sparkSession.createDataFrame(
+                pdf, schema=RT.pairs_schema(df, id_col)
+            )
     sh = distinct_shingles(df, text_col, id_col, shingle_k).transform(materialize)
-    sigs = minhash_signatures(
-        df, text_col, id_col, num_hashes, shingle_k, shingles_df=sh
-    )
-    cands = minhash_lsh_candidates(
-        sigs, id_col, bands, num_hashes // bands, materialized=False
-    )
-    return jaccard_verify(
-        df, cands, text_col, id_col, threshold, shingle_k, shingles_df=sh
+    return _minhash_pairs_lazy(
+        df, text_col, id_col, threshold, num_hashes, bands, shingle_k, sh
     )
 
 
@@ -1252,6 +1293,7 @@ def jaccard_prefix_join(
     id_col: str = "doc_id",
     ndigits: int = 6,
     shingle_k: int | None = None,
+    resident_max: int | None = None,
 ) -> DataFrame:
     """EXACT token-set similarity join via prefix filtering (the
     PPJoin family, Xiao et al.): order every document's distinct
@@ -1274,8 +1316,41 @@ def jaccard_prefix_join(
     re-executes per consumer on the raw scan's partitioning (a single
     task for a single-file input).  Measured at sf0.1: 151.6 s -> 3.7 s
     for the identical 256-pair output.
+
+    r13 resident tier: same contract as ``minhash_near_duplicates`` —
+    measured corpus gates, numpy twin of the exact prefix-filter
+    pipeline, schema from the lazy distributed plan, unchanged
+    distributed plan above any gate.
     """
+    from robosystems_spark.operators import resident_text as RT
+
+    got = RT.collect_corpus(df, text_col, id_col, max_docs=resident_max)
+    if got is not None:
+        pdf = RT.jaccard_prefix_resident(
+            got[0], got[1], threshold, shingle_k, ndigits
+        )
+        if pdf is not None:
+            return df.sparkSession.createDataFrame(
+                pdf, schema=RT.pairs_schema(df, id_col)
+            )
+    return _jaccard_prefix_plan(
+        df, threshold, text_col, id_col, ndigits, shingle_k
+    )
+
+
+def _jaccard_prefix_plan(
+    df: DataFrame,
+    threshold: float,
+    text_col: str,
+    id_col: str,
+    ndigits: int,
+    shingle_k: int | None,
+) -> DataFrame:
+    """The distributed prefix-join pipeline — byte-identical to r12."""
     from pyspark.sql.window import Window
+
+    def _cut(frame: DataFrame) -> DataFrame:
+        return frame.repartition(n_part, id_col).transform(materialize)
 
     # pin an explicit partition count: with only repartition(col), AQE
     # coalesces the tiny row count back to one partition and the
@@ -1293,23 +1368,16 @@ def jaccard_prefix_join(
         # nested token-hash transform at every reference (measured
         # ~20x slower materialization); checkpointing the bare
         # distinct_shingles output keeps its evaluation single-pass.
-        sh = (
-            distinct_shingles(df, text_col, id_col, shingle_k)
-            .repartition(n_part, id_col)
-            .transform(materialize)
-        )
+        sh = _cut(distinct_shingles(df, text_col, id_col, shingle_k))
         toksets = sh.select(
             F.col(id_col), F.col("_sh").alias("_toks")
         ).filter(F.size("_toks") >= 1)
     else:
-        toksets = (
+        toksets = _cut(
             df.select(
                 F.col(id_col),
                 F.array_distinct(tokens(text_col)).alias("_toks"),
-            )
-            .filter(F.size("_toks") >= 1)
-            .repartition(n_part, id_col)
-            .transform(materialize)
+            ).filter(F.size("_toks") >= 1)
         )
     tok_rows = toksets.select(id_col, F.explode("_toks").alias("_tok"))
     freq = tok_rows.groupBy("_tok").agg(F.count(F.lit(1)).alias("_c"))
@@ -1442,6 +1510,7 @@ def weighted_jaccard_pairs(
     id_col: str = "doc_id",
     block_cap: int = 64,
     scale: int = 1_000_000,
+    resident_max: int | None = None,
 ) -> DataFrame:
     """IDF-WEIGHTED Jaccard near-dup pairs: tokens weighted
     ln(N/df) (integer-scaled), so boilerplate/stop tokens contribute
@@ -1460,7 +1529,46 @@ def weighted_jaccard_pairs(
     32-char-prefix + modulo-sub-split block discipline as the
     unweighted path (never quadratic in a block), pair shared-sums via
     a (block, sub, token)-keyed self-join, per-doc totals joined back.
+
+    r13 resident tier: same contract as ``minhash_near_duplicates``
+    (measured corpus gates + numpy twin + lazy-plan schema), with one
+    extra numerical guard — the resident path bails whenever any
+    scaled ln(N/df) token weight lands within 1e-8 of a HALF_UP
+    boundary, where a 1-ulp ln() divergence between libm and
+    java.lang.Math could flip the rounded integer (see
+    ``resident_text.weighted_jaccard_resident``).
     """
+    from robosystems_spark.operators import resident_text as RT
+
+    got = RT.collect_corpus(df, text_col, id_col, max_docs=resident_max)
+    if got is not None:
+        pdf = RT.weighted_jaccard_resident(
+            got[0], got[1], got[2], threshold_num, threshold_den,
+            block_cap, scale,
+        )
+        if pdf is not None:
+            return df.sparkSession.createDataFrame(
+                pdf, schema=RT.pairs_schema(df, id_col, weighted=True)
+            )
+    return _weighted_jaccard_plan(
+        df, df.count(), threshold_num, threshold_den, text_col, id_col,
+        block_cap, scale,
+    )
+
+
+def _weighted_jaccard_plan(
+    df: DataFrame,
+    n_docs: int,
+    threshold_num: int,
+    threshold_den: int,
+    text_col: str,
+    id_col: str,
+    block_cap: int,
+    scale: int,
+) -> DataFrame:
+    """The distributed weighted-jaccard pipeline — byte-identical to
+    r12 (the corpus count is hoisted to the caller, shared with the
+    resident gate)."""
     toks = df.select(
         F.col(id_col),
         F.explode(
@@ -1468,7 +1576,6 @@ def weighted_jaccard_pairs(
         ).alias("_tok"),
         F.substring(text_col, 1, 32).alias("_blk"),
     )
-    n_docs = df.count()
     w = (
         toks.groupBy("_tok")
         .agg(F.count(F.lit(1)).alias("_df"))
@@ -1498,17 +1605,13 @@ def weighted_jaccard_pairs(
         .join(sizes_bc, "_blk")
         .withColumn("_sub", F.pmod(F.col(id_col), F.col("_nsub")))
         .select(id_col, "_tok", "_w", "_blk", "_sub")
-        .repartition(
-            int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")),
-            id_col,
-        )
-        .transform(materialize)
-    )
+    ).repartition(
+        int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")),
+        id_col,
+    ).transform(materialize)
     # doc-sized totals join back twice (doc_a/doc_b) — materialize once
     totals = (
-        tw.groupBy(id_col)
-        .agg(F.sum("_w").alias("_tot"))
-        .transform(materialize)
+        tw.groupBy(id_col).agg(F.sum("_w").alias("_tot")).transform(materialize)
     )
     # bucket-grouped pair expansion (r12, the minhash_lsh_candidates
     # shape): one groupBy (block, sub, token) collecting the bucket's

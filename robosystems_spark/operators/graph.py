@@ -390,6 +390,19 @@ def _resident_components(e: DataFrame, node_nullable: bool | None = None) -> Dat
     )
     if n == 0:
         return spark.createDataFrame([], schema)
+    lab = _components_labels_np(n, si, di)
+    return spark.createDataFrame(
+        pd.DataFrame({"node": ids, "component": ids[lab]}), schema
+    )
+
+
+def _components_labels_np(n: int, si, di):
+    """The min-reachable-id fixpoint as numpy scatter-min + pointer
+    jumping over position-indexed edges — shared by
+    :func:`_resident_components` and the fused
+    :func:`duplicate_clusters` path."""
+    import numpy as np
+
     lab = np.arange(n)
     while True:
         new = lab.copy()
@@ -403,9 +416,7 @@ def _resident_components(e: DataFrame, node_nullable: bool | None = None) -> Dat
         if np.array_equal(new, lab):
             break
         lab = new
-    return spark.createDataFrame(
-        pd.DataFrame({"node": ids, "component": ids[lab]}), schema
-    )
+    return lab
 
 
 def connected_components(
@@ -482,6 +493,7 @@ def duplicate_clusters(
     id_a: str = "doc_a",
     id_b: str = "doc_b",
     method: str = "labelprop",
+    precollected=None,
 ) -> DataFrame:
     """Near-dup pairs → duplicate clusters: (doc_id, cluster_id,
     cluster_size), cluster_id = min doc id in the component, plus the
@@ -492,7 +504,24 @@ def duplicate_clusters(
     ``method``: 'labelprop' (min-label propagation, O(diameter)
     rounds — right for shallow near-dup clusters) or 'star'
     (large-star/small-star, O(log^2 n) rounds — right for graphs with
-    long chains).  Identical output either way."""
+    long chains).  Identical output either way.
+
+    ``precollected`` (r13, the fused-construction hook of
+    :func:`triangle_counts_per_node`): an already-built
+    ``(ids, si, di)`` triple of the DISTINCT loop-free pair set from a
+    resident pair construction — the whole clusters computation
+    (components fixpoint + sizes + keep flags) then runs in numpy with
+    ``pairs`` used for schema analysis only, never executed.  Bounded
+    by the caller's gates plus ``RESIDENT_EDGES_MAX`` here; any miss
+    falls through to the unchanged plan."""
+    if precollected is not None:
+        ids, si, di = precollected
+        if RESIDENT_EDGES_MAX > 0 and len(si) <= RESIDENT_EDGES_MAX:
+            res = _resident_duplicate_clusters(
+                pairs, id_a, id_b, method, ids, si, di
+            )
+            if res is not None:
+                return res
     cc = connected_components_star if method == "star" else connected_components
     comp = cc(pairs, id_a, id_b)
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
@@ -504,6 +533,55 @@ def duplicate_clusters(
             "cluster_size",
             (F.col("node") == F.col("component")).alias("keep"),
         )
+    )
+
+
+def _resident_duplicate_clusters(
+    pairs: DataFrame, id_a: str, id_b: str, method: str, ids, si, di
+) -> DataFrame | None:
+    """Fused resident twin of :func:`duplicate_clusters` over an
+    already-built DISTINCT loop-free pair triple: the same
+    min-reachable-id fixpoint (:func:`_components_labels_np` — the
+    shared contract of both CC formulations), sizes as a bincount,
+    keep = node == component.  ``pairs`` supplies schema only (never
+    executed).  Schema mirrors the distributed plan: star's node
+    column is nullable by construction (when/union), labelprop's
+    inherits the pair columns'; the min-agg component is nullable,
+    the count is not — pinned by schema-equality parity tests."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    fa, fb = pairs.schema[id_a], pairs.schema[id_b]
+    if fa.dataType != fb.dataType or not isinstance(
+        fa.dataType, (T.LongType, T.IntegerType, T.ShortType)
+    ):
+        return None
+    node_nullable = True if method == "star" else (fa.nullable or fb.nullable)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", fa.dataType, node_nullable),
+            T.StructField("cluster_id", fa.dataType, True),
+            T.StructField("cluster_size", T.LongType(), False),
+            T.StructField("keep", T.BooleanType(), True),
+        ]
+    )
+    spark = pairs.sparkSession
+    n = len(ids)
+    if n == 0:
+        return spark.createDataFrame([], schema)
+    lab = _components_labels_np(n, si, di)
+    counts = np.bincount(lab, minlength=n)
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": ids,
+                "cluster_id": ids[lab],
+                "cluster_size": counts[lab].astype(np.int64),
+                "keep": lab == np.arange(n),
+            }
+        ),
+        schema,
     )
 
 

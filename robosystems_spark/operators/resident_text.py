@@ -1,0 +1,608 @@
+"""Driver-resident twins for the token/shingle set-similarity
+operators (r13), following the measured-gate resident-tier discipline
+of ``operators/graph.py`` (pagerank/kcore/LPA) and the r13 fused
+co-purchase construction: under measured input bounds the whole
+pipeline — tokenize → md5 shingle hash → signatures/blocks →
+candidate pairs → exact verify — runs as one bounded Arrow collect
+plus vectorized numpy, returning results identical to the distributed
+plan bit-for-bit; above any gate the caller falls back to the
+UNCHANGED distributed plan (the one that survives 100 TB).
+
+Why this is a faithful twin and not an approximation:
+
+- Every hash is integer arithmetic the distributed plan also does
+  (md5-15-hex mod P, Carter-Wegman perms, Horner shingles) — exact in
+  any engine.
+- Tokenization parity is *gated*, not assumed: Spark's
+  ``split(lower(trim(text)), '\\s+')`` matches Python's
+  ``re.split(r'\\s+', s.strip(' ').lower())`` exactly when the text is
+  pure ASCII (Java regex ``\\s`` = ``[ \\t\\n\\x0B\\f\\r]`` which is the
+  ASCII subset of Python's ``\\s``; ``lower``/``substring`` agree
+  trivially on ASCII).  The collect gate therefore *measures*
+  ``max(octet_length - char_length) == 0`` and bails to the
+  distributed plan on any non-ASCII corpus.
+- The only floats are the display-rounded ratios; rounding goes
+  through the proven Catalyst HALF_UP twin
+  (:func:`robosystems_spark.operators.graph._round_half_up_np`), and
+  jaccard division is the same IEEE double op both sides.
+
+Gate budgets (the broadcast-memory class, same reasoning as
+``RESIDENT_EDGES_MAX``): ``RESIDENT_DOCS_MAX`` rows and
+``RESIDENT_TEXT_BYTES_MAX`` total text bytes bound the one Arrow
+collect; both are measured with one aggregate job before anything is
+collected.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+RESIDENT_DOCS_MAX = 200_000
+RESIDENT_TEXT_BYTES_MAX = 64 * 1024 * 1024
+
+_WS = re.compile(r"\s+")
+
+_INTEGRAL = (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+
+
+def collect_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_docs: int | None = None,
+):
+    """One measured-gate Arrow collect of ``(id, text)``.
+
+    Returns ``(ids, texts, n_rows)`` — ids as int64 numpy, texts as a
+    Python list (None entries preserved), n_rows the total row count
+    (the gate aggregate's count, which callers like
+    ``weighted_jaccard_pairs`` need anyway) — or ``None`` when any
+    gate fails:
+
+    - id column not integral / text column not string (schema gate);
+    - row count above ``max_docs`` (default ``RESIDENT_DOCS_MAX``);
+    - total text bytes above ``RESIDENT_TEXT_BYTES_MAX``;
+    - any non-ASCII character (tokenization-parity gate, see module
+      docstring);
+    - any NULL id (never joins downstream — bail rather than model).
+    """
+    if max_docs is None:
+        max_docs = RESIDENT_DOCS_MAX
+    if max_docs <= 0:
+        return None
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    if not isinstance(schema.get(id_col), _INTEGRAL):
+        return None
+    if not isinstance(schema.get(text_col), T.StringType):
+        return None
+    t = F.col(text_col)
+    gate = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.octet_length(t)).alias("b"),
+        F.max(F.octet_length(t) - F.length(t)).alias("w"),
+        F.sum(F.col(id_col).isNull().cast("int")).alias("ni"),
+        F.count_distinct(F.col(id_col)).alias("nd"),
+    ).collect()[0]
+    if gate["n"] > max_docs:
+        return None
+    if (gate["b"] or 0) > RESIDENT_TEXT_BYTES_MAX:
+        return None
+    if (gate["w"] or 0) != 0:
+        return None
+    if (gate["ni"] or 0) != 0:
+        return None
+    if gate["nd"] != gate["n"]:
+        # duplicate ids: collect_set-based bucket semantics and the
+        # verify joins interact with dup rows in ways a twin should
+        # not re-model — run the distributed plan
+        return None
+    import numpy as np
+
+    tbl = df.select(id_col, text_col).toArrow().combine_chunks()
+    ids = tbl.column(0).to_numpy().astype(np.int64, copy=False)
+    texts = tbl.column(1).to_pylist()
+    return ids, texts, int(gate["n"])
+
+
+def pairs_schema(
+    df: DataFrame,
+    id_col: str,
+    weighted: bool = False,
+    ids_nullable: bool = False,
+) -> T.StructType:
+    """Output schema of the pair operators, constructed rather than
+    derived from the lazy distributed plan — analyzing the real
+    minhash plan costs ~1.4 s of driver time per call (the r12 BPE
+    plan-analysis lesson), two orders more than the resident kernel
+    itself.  Nullability facts (pinned by schema-equality asserts in
+    tests/test_resident_tiers.py against the actual distributed
+    plans): pair ids inherit the id column's TYPE; explode-of-
+    collect_set pair generation strips nullability (minhash / prefix /
+    weighted), while the blocked self-join preserves the input id
+    nullability (``ids_nullable``); every derived measure column is
+    nullable."""
+    idt = df.schema[id_col].dataType
+    idn = df.schema[id_col].nullable if ids_nullable else False
+    fields = [
+        T.StructField("doc_a", idt, idn),
+        T.StructField("doc_b", idt, idn),
+    ]
+    if weighted:
+        fields += [
+            T.StructField("w_shared", T.LongType(), True),
+            T.StructField("w_union", T.LongType(), True),
+            T.StructField("weighted_jaccard", T.DoubleType(), True),
+        ]
+    else:
+        fields.append(T.StructField("jaccard", T.DoubleType(), True))
+    return T.StructType(fields)
+
+
+def _tokens(s: str) -> list[str]:
+    """Exact twin of ``operators.text.tokens`` on ASCII input:
+    ``split(lower(trim(text)), '\\s+')`` — Spark ``trim`` strips the
+    space character only."""
+    return _WS.split(s.strip(" ").lower())
+
+
+# md5/Horner constants — MUST mirror operators.dedup (the oracle
+# contract); imported there, re-exported here for the kernels.
+from robosystems_spark.operators.dedup import (  # noqa: E402
+    MINHASH_P as _P,
+    SHINGLE_B as _B,
+    minhash_perm_consts,
+)
+
+
+def _hash_token(tok: str) -> int:
+    return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % _P
+
+
+def _tokenize_corpus(texts):
+    """Shared tokenize pass: returns ``(vocab_list, doc_codes)`` where
+    ``doc_codes[i]`` is an int64 numpy array of per-position vocab
+    codes (None for NULL text).  The vocabulary dict makes the md5
+    pass O(distinct tokens), not O(token occurrences) — values are
+    identical (md5 is a pure function of the token)."""
+    import numpy as np
+
+    vocab: dict[str, int] = {}
+    doc_codes = []
+    get = vocab.get
+    for s in texts:
+        if s is None:
+            doc_codes.append(None)
+            continue
+        toks = _tokens(s)
+        codes = np.empty(len(toks), dtype=np.int64)
+        for i, tok in enumerate(toks):
+            c = get(tok)
+            if c is None:
+                c = len(vocab)
+                vocab[tok] = c
+            codes[i] = c
+        doc_codes.append(codes)
+    return list(vocab), doc_codes
+
+
+def _vocab_hashes(vocab):
+    import numpy as np
+
+    return np.array([_hash_token(tok) for tok in vocab], dtype=np.int64)
+
+
+def _shingle_sets(doc_codes, vh, k: int):
+    """Distinct hashed k-shingle array per doc — the
+    ``distinct_shingles`` twin: position i's Horner fold over token
+    hashes i..i+k-1 with COALESCE(0) past the end, positions
+    0..max(n-k, 0), then distinct.  Returns a list of sorted int64
+    arrays (None for NULL text)."""
+    import numpy as np
+
+    zeros = np.zeros(k, dtype=np.int64)
+    out = []
+    for codes in doc_codes:
+        if codes is None:
+            out.append(None)
+            continue
+        th = vh[codes]
+        n = len(th)
+        npos = max(n - k, 0) + 1
+        pad = np.concatenate([th, zeros])
+        h = pad[0:npos].copy()
+        for j in range(1, k):
+            h = (h * _B + pad[j : npos + j]) % _P
+        out.append(np.unique(h))
+    return out
+
+
+def _token_sets(doc_codes, vh):
+    """Distinct hashed... no — distinct TOKEN-CODE set per doc (the
+    unigram ``array_distinct(tokens(text))`` element space).  Keeps
+    vocab codes (not hashes): unigram paths compare/join on the token
+    STRING, and codes are a bijection of the strings within one
+    corpus."""
+    import numpy as np
+
+    del vh
+    return [
+        None if c is None else np.unique(c) for c in doc_codes
+    ]
+
+
+def _round6(vals):
+    from robosystems_spark.operators.graph import _round_half_up_np
+
+    return _round_half_up_np(vals, 6)
+
+
+def _pairs_from_groups(group_ids, members):
+    """All (a, b) with a < b inside each group, as two int64 arrays.
+    ``group_ids``: sorted int64 codes (one per member row) —
+    members of one group are contiguous; ``members``: the member
+    values (doc ids).  Mirrors the bucket-grouped
+    posexplode+slice expansion (pairs within a bucket, a < b after
+    sort)."""
+    import numpy as np
+
+    if len(group_ids) == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e
+    order = np.lexsort((members, group_ids))
+    g = group_ids[order]
+    m = members[order]
+    starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+    lens = np.diff(np.r_[starts, len(g)])
+    grp = np.cumsum(np.r_[False, g[1:] != g[:-1]])
+    rem = starts[grp] + lens[grp] - np.arange(len(g)) - 1
+    pa, pb = [], []
+    valid = np.arange(len(g))
+    d = 1
+    while True:
+        valid = valid[rem[valid] >= d]
+        if len(valid) == 0:
+            break
+        pa.append(m[valid])
+        pb.append(m[valid + d])
+        d += 1
+    if not pa:
+        e = np.empty(0, dtype=np.int64)
+        return e, e
+    return np.concatenate(pa), np.concatenate(pb)
+
+
+def _dedup_pairs(a, b):
+    """DISTINCT (a, b) pairs (inputs already a < b)."""
+    import numpy as np
+
+    if len(a) == 0:
+        return a, b
+    codes = np.unique(a * (1 << 32) + b)
+    return (codes >> 32).astype(np.int64), (codes & 0xFFFFFFFF).astype(
+        np.int64
+    )
+
+
+def _pack_ok(ids) -> bool:
+    """Pair codes pack as a*2^32+b only for ids in [0, 2^31)."""
+    return len(ids) == 0 or (int(ids.min()) >= 0 and int(ids.max()) < (1 << 31))
+
+
+def _set_jaccard(sets, idx_of, pa, pb):
+    """Exact |∩|/|∪| per pair over per-doc sorted distinct arrays."""
+    import numpy as np
+
+    jac = np.empty(len(pa), dtype=np.float64)
+    for i in range(len(pa)):
+        sa = sets[idx_of[pa[i]]]
+        sb = sets[idx_of[pb[i]]]
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        jac[i] = inter / (len(sa) + len(sb) - inter)
+    return jac
+
+
+def minhash_pairs_resident(
+    ids,
+    texts,
+    threshold: float,
+    num_hashes: int,
+    bands: int,
+    shingle_k: int,
+):
+    """Resident twin of ``minhash_near_duplicates``: returns a pandas
+    DataFrame (doc_a, doc_b, jaccard) or None if ids don't pack.
+
+    Parity notes: the banded grouping uses the sig-slice TUPLE where
+    the distributed plan joins on the comma-joined STRING — a
+    bijection (the string is just the joined ints), so buckets are
+    identical.  Verify is the same exact shingle-set jaccard, rounded
+    HALF_UP 6 then filtered ``>= threshold``, as ``jaccard_verify``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if not _pack_ok(ids):
+        return None
+    vocab, doc_codes = _tokenize_corpus(texts)
+    vh = _vocab_hashes(vocab)
+    sh = _shingle_sets(doc_codes, vh, shingle_k)
+    live = [i for i, s in enumerate(sh) if s is not None]
+    if not live:
+        return pd.DataFrame(
+            {"doc_a": [], "doc_b": [], "jaccard": []}
+        ).astype({"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"})
+    live_sets = [sh[i] for i in live]
+    live_ids = ids[live]
+    lens = np.array([len(s) for s in live_sets], dtype=np.int64)
+    allsh = np.concatenate(live_sets)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    rows = num_hashes // bands
+    sigs = np.empty((len(live_sets), num_hashes), dtype=np.int64)
+    for i in range(num_hashes):
+        a, b = minhash_perm_consts(i)
+        hv = (a * allsh + b) % _P
+        sigs[:, i] = np.minimum.reduceat(hv, starts)
+    pa_all, pb_all = [], []
+    for band in range(bands):
+        sl = sigs[:, band * rows : (band + 1) * rows]
+        _, inv = np.unique(sl, axis=0, return_inverse=True)
+        pa, pb = _pairs_from_groups(inv.astype(np.int64), live_ids)
+        pa_all.append(pa)
+        pb_all.append(pb)
+    pa = np.concatenate(pa_all)
+    pb = np.concatenate(pb_all)
+    pa, pb = _dedup_pairs(pa, pb)
+    idx_of = {int(d): i for i, d in enumerate(live_ids)}
+    jac = _round6(_set_jaccard(live_sets, idx_of, pa, pb))
+    keep = jac >= threshold
+    return pd.DataFrame(
+        {"doc_a": pa[keep], "doc_b": pb[keep], "jaccard": jac[keep]}
+    )
+
+
+def jaccard_prefix_resident(
+    ids, texts, threshold: float, shingle_k: int | None, ndigits: int = 6
+):
+    """Resident twin of ``jaccard_prefix_join``: PPJoin prefix
+    filtering over the shingle (or unigram-token) element space.
+
+    Element-space parity: with ``shingle_k`` the elements are the
+    Horner shingle hashes (identical ints both sides); without, the
+    elements are token STRINGS — the prefix ranking orders by
+    (frequency asc, token asc), so the unigram path sorts by the
+    actual string (ASCII bytewise == Java string compare)."""
+    import numpy as np
+    import pandas as pd
+
+    if not _pack_ok(ids):
+        return None
+    vocab, doc_codes = _tokenize_corpus(texts)
+    if shingle_k:
+        vh = _vocab_hashes(vocab)
+        sets = _shingle_sets(doc_codes, vh, shingle_k)
+        # element order for the rank tie-break: numeric hash value —
+        # the distributed plan orders by the hash column itself
+        elem_order = None
+    else:
+        sets = _token_sets(doc_codes, None)
+        # tie-break orders by token STRING; map codes -> rank of the
+        # string so np comparisons reproduce the string order
+        str_rank = np.empty(len(vocab), dtype=np.int64)
+        str_rank[np.argsort(np.array(vocab, dtype=object))] = np.arange(
+            len(vocab)
+        )
+        elem_order = str_rank
+    live = [i for i, s in enumerate(sets) if s is not None and len(s) >= 1]
+    empty = pd.DataFrame(
+        {"doc_a": [], "doc_b": [], "jaccard": []}
+    ).astype({"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"})
+    if not live:
+        return empty
+    live_sets = [sets[i] for i in live]
+    live_ids = ids[live]
+    lens = np.array([len(s) for s in live_sets], dtype=np.int64)
+    alltok = np.concatenate(live_sets)
+    doc_rep = np.repeat(live_ids, lens)
+    # global element frequency (per-doc sets are distinct already)
+    uniq, inv, cnt = np.unique(alltok, return_inverse=True, return_counts=True)
+    freq = cnt[inv]
+    # per-doc rank by (freq asc, element asc) — element order is the
+    # hash value (shingles) or the string rank (unigrams)
+    if elem_order is None:
+        elem_key = alltok
+    else:
+        elem_key = elem_order[alltok]
+    doc_idx = np.repeat(np.arange(len(live_sets)), lens)
+    order = np.lexsort((elem_key, freq, doc_idx))
+    # row_number within doc over the (freq asc, element asc) order
+    rn = np.empty(len(alltok), dtype=np.int64)
+    sorted_doc = doc_idx[order]
+    grp_start = np.flatnonzero(np.r_[True, sorted_doc[1:] != sorted_doc[:-1]])
+    grp_len = np.diff(np.r_[grp_start, len(sorted_doc)])
+    rn[order] = np.arange(len(alltok)) - np.repeat(grp_start, grp_len) + 1
+    n_per = lens[doc_idx]
+    prefix_len = n_per - np.ceil(threshold * n_per).astype(np.int64) + 1
+    pre = rn <= prefix_len
+    pa, pb = _pairs_from_groups(alltok[pre], doc_rep[pre])
+    pa, pb = _dedup_pairs(pa, pb)
+    idx_of = {int(d): i for i, d in enumerate(live_ids)}
+    jac = _round6(_set_jaccard(live_sets, idx_of, pa, pb))
+    keep = jac >= threshold
+    return pd.DataFrame(
+        {"doc_a": pa[keep], "doc_b": pb[keep], "jaccard": jac[keep]}
+    )
+
+
+def blocked_pairs_resident(
+    ids, texts, threshold: float, cap: int, ndigits: int = 6
+):
+    """Resident twin of ``inventory.llm.jaccard_blocked_pairs``:
+    32-char-prefix blocks, ceil(size/cap) modulo sub-split, ALL pairs
+    within a (blk, sub) group verified by exact unigram-token-set
+    jaccard (round 6, >= threshold)."""
+    import numpy as np
+    import pandas as pd
+
+    if not _pack_ok(ids):
+        return None
+    vocab, doc_codes = _tokenize_corpus(texts)
+    sets = _token_sets(doc_codes, None)
+    live = [i for i, t in enumerate(texts) if t is not None]
+    empty = pd.DataFrame(
+        {"doc_a": [], "doc_b": [], "jaccard": []}
+    ).astype({"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"})
+    if not live:
+        return empty
+    live_ids = ids[live]
+    live_sets = [sets[i] for i in live]
+    blks = [texts[i][:32] for i in live]
+    buniq, binv = np.unique(np.array(blks, dtype=object), return_inverse=True)
+    bcnt = np.bincount(binv)
+    nsub = np.ceil(bcnt / float(cap)).astype(np.int64)
+    sub = np.mod(np.mod(live_ids, nsub[binv]) + nsub[binv], nsub[binv])
+    gcode = binv.astype(np.int64) * (1 << 32) + sub
+    _, ginv = np.unique(gcode, return_inverse=True)
+    pa, pb = _pairs_from_groups(ginv.astype(np.int64), live_ids)
+    pa, pb = _dedup_pairs(pa, pb)  # groups are disjoint; sorts pairs
+    idx_of = {int(d): i for i, d in enumerate(live_ids)}
+    jac = _round6(_set_jaccard(live_sets, idx_of, pa, pb))
+    keep = jac >= threshold
+    return pd.DataFrame(
+        {"doc_a": pa[keep], "doc_b": pb[keep], "jaccard": jac[keep]}
+    )
+
+
+def weighted_jaccard_resident(
+    ids,
+    texts,
+    n_docs: int,
+    threshold_num: int,
+    threshold_den: int,
+    block_cap: int,
+    scale: int,
+):
+    """Resident twin of ``weighted_jaccard_pairs``.  Returns the
+    pandas frame or None when the ln-lattice guard trips (a token
+    weight within 1e-8 of a HALF_UP boundary after scaling — closer
+    than any cross-library 1-ulp ln() divergence can move it, so
+    outside the guard numpy's and Java's rounded weights provably
+    agree; inside it we bail to the distributed plan rather than
+    risk a boundary flip)."""
+    import numpy as np
+    import pandas as pd
+
+    if not _pack_ok(ids):
+        return None
+    vocab, doc_codes = _tokenize_corpus(texts)
+    sets = _token_sets(doc_codes, None)
+    live = [i for i, t in enumerate(texts) if t is not None]
+    empty = pd.DataFrame(
+        {
+            "doc_a": [],
+            "doc_b": [],
+            "w_shared": [],
+            "w_union": [],
+            "weighted_jaccard": [],
+        }
+    ).astype(
+        {
+            "doc_a": "int64",
+            "doc_b": "int64",
+            "w_shared": "int64",
+            "w_union": "int64",
+            "weighted_jaccard": "float64",
+        }
+    )
+    if not live:
+        return empty
+    live_ids = ids[live]
+    live_sets = [sets[i] for i in live]
+    lens = np.array([len(s) for s in live_sets], dtype=np.int64)
+    alltok = np.concatenate(live_sets) if len(live_sets) else np.empty(0, np.int64)
+    # document frequency per token code (per-doc sets distinct)
+    dfreq = np.bincount(alltok, minlength=len(vocab))
+    used = np.flatnonzero(dfreq)
+    raw = np.log(float(n_docs) / dfreq[used].astype(np.float64)) * scale
+    frac = np.abs(raw - np.floor(raw) - 0.5)
+    if len(raw) and float(frac.min()) < 1e-8:
+        return None  # ln-lattice guard (see docstring)
+    w = np.zeros(len(vocab), dtype=np.int64)
+    from robosystems_spark.operators.graph import _round_half_up_np
+
+    w[used] = _round_half_up_np(raw, 0).astype(np.int64)
+    totals = np.array([int(w[s].sum()) for s in live_sets], dtype=np.int64)
+    # blocks over docs with non-null text (the explode drops null toks)
+    blks = [texts[i][:32] for i in live]
+    buniq, binv = np.unique(np.array(blks, dtype=object), return_inverse=True)
+    bcnt = np.bincount(binv)
+    nsub = np.ceil(bcnt / float(block_cap)).astype(np.int64)
+    sub = np.mod(np.mod(live_ids, nsub[binv]) + nsub[binv], nsub[binv])
+    # (blk, sub, token) buckets: shared-weight sums per candidate pair.
+    # Pack (blk, sub, token) into one int64 group code — guard the
+    # packing arithmetic against silent int64 wrap on huge vocabularies
+    # (numpy would not raise).
+    if (int(binv.max()) * (1 << 20) + int(nsub.max())) * (
+        len(vocab) + 1
+    ) + len(vocab) >= (1 << 62):
+        return None
+    doc_rep = np.repeat(np.arange(len(live_ids)), lens)
+    gcode = (binv.astype(np.int64)[doc_rep] * (1 << 20) + sub[doc_rep]) * np.int64(
+        len(vocab) + 1
+    ) + alltok
+    wtok = w[alltok]
+    # pairs within a (blk,sub,tok) bucket all share that bucket's
+    # token weight: expand with the member-index trick, carrying mw
+    order = np.lexsort((doc_rep, gcode))
+    g = gcode[order]
+    m = doc_rep[order]
+    mw = wtok[order]
+    starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+    glens = np.diff(np.r_[starts, len(g)])
+    grp = np.cumsum(np.r_[False, g[1:] != g[:-1]])
+    rem = starts[grp] + glens[grp] - np.arange(len(g)) - 1
+    pa_l, pb_l, pw_l = [], [], []
+    valid = np.arange(len(g))
+    d = 1
+    while True:
+        valid = valid[rem[valid] >= d]
+        if len(valid) == 0:
+            break
+        pa_l.append(m[valid])
+        pb_l.append(m[valid + d])
+        pw_l.append(mw[valid])
+        d += 1
+    pa_i = np.concatenate(pa_l)
+    pb_i = np.concatenate(pb_l)
+    pw = np.concatenate(pw_l)
+    a_ids = live_ids[pa_i]
+    b_ids = live_ids[pb_i]
+    lo = np.minimum(a_ids, b_ids)
+    hi = np.maximum(a_ids, b_ids)
+    codes = lo * (1 << 32) + hi
+    ucodes, cinv = np.unique(codes, return_inverse=True)
+    shared = np.zeros(len(ucodes), dtype=np.int64)
+    np.add.at(shared, cinv, pw)
+    doc_a = (ucodes >> 32).astype(np.int64)
+    doc_b = (ucodes & 0xFFFFFFFF).astype(np.int64)
+    idx_of = {int(dv): i for i, dv in enumerate(live_ids)}
+    ta = np.array([totals[idx_of[int(x)]] for x in doc_a], dtype=np.int64)
+    tb = np.array([totals[idx_of[int(x)]] for x in doc_b], dtype=np.int64)
+    union = ta + tb - shared
+    keep = shared * threshold_den >= union * threshold_num
+    ratio = _round6(
+        shared[keep].astype(np.float64) / union[keep].astype(np.float64)
+    )
+    return pd.DataFrame(
+        {
+            "doc_a": doc_a[keep],
+            "doc_b": doc_b[keep],
+            "w_shared": shared[keep],
+            "w_union": union[keep],
+            "weighted_jaccard": ratio,
+        }
+    )

@@ -343,3 +343,137 @@ def test_triangle_counts_resident_matches_distributed(spark, sf_dir):
         fast = sorted(map(tuple, fast_df.collect()))
         dist = sorted(map(tuple, dist_df.collect()))
         assert fast == dist and len(fast) > 0, kw
+
+
+# ---------------------------------------------------------------------------
+# r13 resident text-similarity tier (operators/resident_text.py)
+# ---------------------------------------------------------------------------
+
+
+def _messy_docs(spark, sf_dir):
+    """sf docs + adversarial rows: NULL text, empty text, whitespace-
+    only text, a doc that is pure tabs/newlines (split edge cases)."""
+    docs = read_table(spark, sf_dir, "documents").limit(200)
+    extra = spark.createDataFrame(
+        [
+            (900001, None, None, None, None),
+            (900002, "", "en", "web", 0),
+            (900003, "   ", "en", "web", 3),
+            (900004, "\tword\na  b\t", "en", "web", 12),
+            (900005, " the quick the quick the quick ", "en", "web", 31),
+        ],
+        schema=docs.schema,
+    )
+    return docs.unionByName(extra)
+
+
+def _assert_text_tier_parity(fast_df, dist_df, allow_empty=False):
+    assert fast_df.schema == dist_df.schema
+    fast = sorted(map(tuple, fast_df.collect()))
+    dist = sorted(map(tuple, dist_df.collect()))
+    assert fast == dist
+    if not allow_empty:
+        assert len(fast) > 0
+
+
+def test_minhash_resident_matches_distributed(spark, sf_dir):
+    from robosystems_spark.operators import dedup as D
+
+    docs = _messy_docs(spark, sf_dir)
+    _assert_text_tier_parity(
+        D.minhash_near_duplicates(docs, threshold=0.7),
+        D.minhash_near_duplicates(docs, threshold=0.7, resident_max=0),
+    )
+
+
+def test_jaccard_prefix_resident_matches_distributed(spark, sf_dir):
+    from robosystems_spark.operators import dedup as D
+
+    docs = _messy_docs(spark, sf_dir)
+    # shingle path (the bench entry's config) and the unigram path
+    _assert_text_tier_parity(
+        D.jaccard_prefix_join(docs, threshold=0.7, shingle_k=5),
+        D.jaccard_prefix_join(docs, threshold=0.7, shingle_k=5, resident_max=0),
+    )
+    _assert_text_tier_parity(
+        D.jaccard_prefix_join(docs.limit(60), threshold=0.6),
+        D.jaccard_prefix_join(docs.limit(60), threshold=0.6, resident_max=0),
+    )
+
+
+def test_weighted_jaccard_resident_matches_distributed(spark, sf_dir):
+    from robosystems_spark.operators import dedup as D
+
+    docs = _messy_docs(spark, sf_dir)
+    _assert_text_tier_parity(
+        D.weighted_jaccard_pairs(docs, threshold_num=2, threshold_den=5),
+        D.weighted_jaccard_pairs(
+            docs, threshold_num=2, threshold_den=5, resident_max=0
+        ),
+    )
+
+
+def test_blocked_pairs_resident_matches_distributed(spark, sf_dir):
+    from robosystems_spark.inventory.llm import jaccard_blocked_pairs
+
+    docs = _messy_docs(spark, sf_dir)
+    _assert_text_tier_parity(
+        jaccard_blocked_pairs(docs, threshold=0.5),
+        jaccard_blocked_pairs(docs, threshold=0.5, resident_max=0),
+    )
+
+
+def test_text_tier_gates_bail(spark, sf_dir):
+    """Non-ASCII corpora, duplicate ids and string ids must fall back
+    to the distributed plan (collect_corpus returns None)."""
+    from pyspark.sql import functions as F
+
+    from robosystems_spark.operators import resident_text as RT
+
+    docs = read_table(spark, sf_dir, "documents").limit(50)
+    non_ascii = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 0, F.lit("café au lait")).otherwise(
+            F.col("text")
+        ),
+    )
+    assert RT.collect_corpus(non_ascii, "text", "doc_id") is None
+    dup_ids = docs.unionByName(docs.limit(5))
+    assert RT.collect_corpus(dup_ids, "text", "doc_id") is None
+    str_ids = docs.withColumn("doc_id", F.col("doc_id").cast("string"))
+    assert RT.collect_corpus(str_ids, "text", "doc_id") is None
+    assert RT.collect_corpus(docs, "text", "doc_id", max_docs=0) is None
+    assert RT.collect_corpus(docs, "text", "doc_id", max_docs=10) is None
+    # and the non-ASCII corpus still computes correctly distributed:
+    from robosystems_spark.operators import dedup as D
+
+    out = D.minhash_near_duplicates(non_ascii, threshold=0.7)
+    out2 = D.minhash_near_duplicates(non_ascii, threshold=0.7, resident_max=0)
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, out2.collect())
+    )
+
+
+def test_fused_duplicate_clusters_match_unfused(spark, sf_dir):
+    """The precollected clusters path (resident blocked pairs -> numpy
+    components/sizes/keep) must equal the unfused plan, schema
+    included, for both CC methods."""
+    from robosystems_spark.inventory.llm import (
+        _blocked_pairs_pre,
+        jaccard_blocked_pairs,
+    )
+    from robosystems_spark.operators.graph import duplicate_clusters
+
+    docs = read_table(spark, sf_dir, "documents")
+    pre = _blocked_pairs_pre(docs, threshold=0.5)
+    assert pre is not None
+    pairs = jaccard_blocked_pairs(docs, threshold=0.5, resident_max=0).select(
+        "doc_a", "doc_b"
+    )
+    for method in ("labelprop", "star"):
+        fused = duplicate_clusters(pairs, method=method, precollected=pre)
+        plain = duplicate_clusters(pairs, method=method)
+        assert fused.schema == plain.schema, method
+        f = sorted(map(tuple, fused.collect()))
+        p = sorted(map(tuple, plain.collect()))
+        assert f == p and len(f) > 0, method
