@@ -73,6 +73,65 @@ def _sp_edges(li: DataFrame) -> DataFrame:
     )
 
 
+def _sp_edges_np(li: DataFrame, doubled: bool = False):
+    """Resident twin of ``_sp_edges(li).dropDuplicates()``: the same
+    DISTINCT long-encoded supplier->part edge set built in numpy from
+    one bounded Arrow collect of (l_suppkey, l_partkey) — returns the
+    ``(ids, si, di)`` triple for the graph operators' ``precollected``
+    hooks, or None when any measured gate fails (row budget, nulls,
+    non-integral keys), in which case callers fall back to the
+    unchanged Spark construction.  ``doubled=True`` returns the
+    undirected union (the LPA setup shape) — the two directions are
+    parity-disjoint (even->odd vs odd->even), so the union of two
+    internally-distinct sets needs no re-dedup.  Mirrors
+    :func:`_copurchase_pairs_np` (same gates, same parity pinning in
+    tests/test_resident_tiers.py)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    sel = li.select("l_suppkey", "l_partkey")
+    if not all(
+        isinstance(f.dataType, (T.LongType, T.IntegerType, T.ShortType))
+        for f in sel.schema.fields
+    ):
+        return None
+    if sel.count() > _COPURCHASE_ITEM_ROWS_MAX:
+        return None
+    tbl = sel.toArrow().combine_chunks()
+    if any(tbl.column(i).null_count for i in range(2)):
+        return None
+    s = tbl.column(0).to_numpy().astype(np.int64, copy=False)
+    p = tbl.column(1).to_numpy().astype(np.int64, copy=False)
+    if len(s) and (
+        min(int(s.min()), int(p.min())) < 0
+        or max(int(s.max()), int(p.max())) >= (1 << 30)
+    ):
+        return None  # encoded ids must pack into src*2^32+dst
+    src = s * 2
+    dst = p * 2 + 1
+    codes = np.unique(src * (1 << 32) + dst)
+    src = (codes >> 32).astype(np.int64)
+    dst = (codes & 0xFFFFFFFF).astype(np.int64)
+    if doubled:
+        src, dst = (
+            np.concatenate([src, dst]),
+            np.concatenate([dst, src]),
+        )
+    ids = np.sort(pd.unique(np.concatenate([src, dst])))
+    if len(ids) == 0:
+        return ids, src, dst
+    base, hi = int(ids[0]), int(ids[-1])
+    if hi - base + 1 <= max(4 * len(ids), 1 << 20):
+        # dense id range: O(E) table lookup (the _collect_edges_np
+        # guard — sparse huge key spaces take searchsorted instead)
+        lut = np.empty(hi - base + 1, dtype=np.int64)
+        lut[ids - base] = np.arange(len(ids), dtype=np.int64)
+        return ids, lut[src - base], lut[dst - base]
+    return ids, np.searchsorted(ids, src), np.searchsorted(ids, dst)
+
+
 def _copurchase_pairs(li: DataFrame) -> DataFrame:
     """DISTINCT part co-purchase pairs (src < dst, parts sharing an
     order) in TWO exchanges: one groupBy(order) whose map-side partial
@@ -185,10 +244,17 @@ def _copurchase_pairs_np(li: DataFrame):
     src = (codes >> 32).astype(np.int64)
     dst = (codes & 0xFFFFFFFF).astype(np.int64)
     ids = np.sort(pd.unique(np.concatenate([src, dst])))
-    base = int(ids[0]) if len(ids) else 0
-    lut = np.empty((int(ids[-1]) - base + 1) if len(ids) else 0, dtype=np.int64)
-    lut[ids - base] = np.arange(len(ids), dtype=np.int64)
-    return ids, lut[src - base], lut[dst - base]
+    if len(ids) == 0:
+        return ids, src, dst
+    base, hi = int(ids[0]), int(ids[-1])
+    if hi - base + 1 <= max(4 * len(ids), 1 << 20):
+        # dense id range: O(E) lookup; sparse huge key spaces would
+        # otherwise allocate a (hi-lo)-sized table (the
+        # _collect_edges_np guard)
+        lut = np.empty(hi - base + 1, dtype=np.int64)
+        lut[ids - base] = np.arange(len(ids), dtype=np.int64)
+        return ids, lut[src - base], lut[dst - base]
+    return ids, np.searchsorted(ids, src), np.searchsorted(ids, dst)
 
 
 def _sp_decode(col: str) -> F.Column:
@@ -510,7 +576,13 @@ def graph_pagerank_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast_state stays "auto": the operator measures the node
     # count and hints map-side state joins only while it fits the
     # broadcast budget — at 100 TB the same query degrades to shuffles
-    out = pagerank(_sp_edges(li), num_iter=_PR_ITER, damping=_PR_DAMP)
+    # r13: fused resident edge construction under the measured gates
+    # (skips the Spark distinct + checkpoint + re-collect round trip;
+    # None above the gates = the r12 plan unchanged)
+    out = pagerank(
+        _sp_edges(li), num_iter=_PR_ITER, damping=_PR_DAMP,
+        precollected=_sp_edges_np(li),
+    )
     return out.select(
         _sp_decode("node").alias("node"), F.round("rank", 8).alias("rank")
     )
@@ -657,8 +729,11 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # BOTH sides (_LPA_EDGES_CTE uses the same encoding), so community
     # ids are the encoded longs in the output of both engines
     # bipartite distinct edges (even->odd ids): doubling is simple
+    # r13: fused resident edge construction — the doubled triple is
+    # the LPA setup shape (see pagerank entry)
     return label_propagation(
         _sp_edges(li).dropDuplicates(), rounds=_LPA_ROUNDS, canonical=True,
+        precollected=_sp_edges_np(li, doubled=True),
     )
 
 
@@ -906,7 +981,11 @@ def graph_hits_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
     # long-encoded node ids (see _sp_edges): hub/authority values are
     # identical — ids only group, never order
-    out = hits(_sp_edges(li), num_iter=_HITS_ITER)  # auto broadcast_state
+    # r13: fused resident edge construction (see pagerank entry)
+    out = hits(
+        _sp_edges(li), num_iter=_HITS_ITER,  # auto broadcast_state
+        precollected=_sp_edges_np(li),
+    )
     # emit the per-iteration round-10 values directly — a second
     # rounding would introduce new tie boundaries (see oracle note)
     return out.select(

@@ -569,6 +569,7 @@ def ppmi_word_similarity(
     decimals: int = 6,
     max_context_degree: int = 100_000,
     max_vocab: int = 10_000,
+    resident_max: int | None = None,
 ) -> DataFrame:
     """Count-based word embeddings: symmetric +/-2 skip-gram
     co-occurrence -> PPMI matrix -> top-k most-similar word pairs by
@@ -608,8 +609,38 @@ def ppmi_word_similarity(
     (``ROUND(max(0, ln(cwc*N/(cw*cc))) * scale)``), so dot products
     and norms are EXACT integer sums; the final cosine divides by
     sqrt of each norm separately (never norm1*norm2 — that product
-    can overflow int64) in IEEE-exact double ops."""
+    can overflow int64) in IEEE-exact double ops.
+
+    r13 resident tier (the dedup-pair discipline,
+    ``operators/resident_text.py``): under the measured corpus gates
+    the whole pipeline runs as one bounded Arrow collect + numpy —
+    identical skip-gram multiset, integer-lattice PPMI with a
+    1e-5-of-boundary ln() guard (bails distributed when any scaled
+    weight sits closer to a HALF_UP boundary than cross-library libm
+    divergence could move it), exact integer dots/norms, IEEE cosine.
+    Distributed plan unchanged above any gate; forced-gate parity in
+    tests/test_resident_tiers.py."""
     from robosystems_spark.operators.text import tokens
+
+    from robosystems_spark.operators import resident_text as RT
+
+    got = RT.collect_corpus(df, text_col, id_col=None, max_docs=resident_max)
+    if got is not None:
+        pdf = RT.ppmi_resident(
+            got[1], k, min_count, scale, decimals,
+            max_context_degree, max_vocab,
+        )
+        if pdf is not None:
+            from pyspark.sql import types as _T
+
+            schema = _T.StructType(
+                [
+                    _T.StructField("w1", _T.StringType(), True),
+                    _T.StructField("w2", _T.StringType(), True),
+                    _T.StructField("cosine", _T.DoubleType(), True),
+                ]
+            )
+            return df.sparkSession.createDataFrame(pdf, schema=schema)
 
     base = df.select(tokens(text_col).alias("_t"))
 
@@ -822,6 +853,7 @@ def dsir_importance(
     id_col: str = "doc_id",
     buckets: int = 4096,
     decimals: int = 6,
+    resident_max: int | None = None,
 ) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023, "Data Selection for
     Language Models via Importance Resampling"): score every raw
@@ -850,7 +882,41 @@ def dsir_importance(
 
     Returns (id, n_features, log_importance), one row per document
     with at least one feature.
+
+    r13 resident tier (see ``ppmi_word_similarity``): measured corpus
+    gates + a BooleanType target column; numpy twin of the exact
+    lattice arithmetic with the 1e-5 ln() boundary guard; distributed
+    plan unchanged above any gate.
     """
+    from pyspark.sql import types as _T
+
+    from robosystems_spark.operators import resident_text as RT
+
+    if isinstance(docs.schema[target_col].dataType, _T.BooleanType):
+        got = RT.collect_corpus(
+            docs, text_col, id_col, max_docs=resident_max,
+            extra_cols=(target_col,),
+        )
+        if got is not None:
+            pdf = RT.dsir_resident(
+                got[0], got[1], got[3][target_col], buckets, decimals
+            )
+            if pdf is not None:
+                schema = _T.StructType(
+                    [
+                        _T.StructField(
+                            id_col, docs.schema[id_col].dataType, True
+                        ),
+                        _T.StructField("n_features", _T.LongType(), True),
+                        _T.StructField(
+                            "log_importance", _T.DoubleType(), True
+                        ),
+                    ]
+                )
+                return docs.sparkSession.createDataFrame(
+                    pdf.rename(columns={"_id": id_col}), schema=schema
+                )
+
     toks = docs.select(
         F.col(id_col).alias("_id"),
         F.col(target_col).cast("boolean").alias("_t"),

@@ -649,6 +649,7 @@ def _resident_pagerank(
     num_iter: int,
     damping: float,
     round_digits: int,
+    precollected=None,
 ) -> DataFrame:
     """Resident twin of the distributed pagerank loop below, over one
     bounded collect of the already-distinct checkpointed edge frame.
@@ -663,7 +664,9 @@ def _resident_pagerank(
     from pyspark.sql import types as T
 
     spark = e.sparkSession
-    ids, si, di = _collect_edges_np(e)
+    ids, si, di = (
+        precollected if precollected is not None else _collect_edges_np(e)
+    )
     n = len(ids)
     outdeg = np.bincount(si, minlength=n)
     base = (1.0 - damping) / float(n)
@@ -699,9 +702,16 @@ def pagerank(
     round_digits: int = 10,
     broadcast_state: bool | str = "auto",
     resident_max: int = RESIDENT_EDGES_MAX,
+    precollected=None,
 ) -> DataFrame:
     """Distributed PageRank over an edge DataFrame (Pregel-style as
     joins + grouped sums), returning (node, rank).
+
+    ``precollected`` (r13): an already-built DISTINCT ``(ids, si, di)``
+    edge triple from a fused resident construction (e.g.
+    ``_sp_edges_np``) — ``edges`` then supplies the schema only, never
+    executes (the :func:`triangle_counts_per_node` hook pattern); the
+    distributed plan above the gates is unchanged.
 
     Per iteration: every node's rank is split across its out-edges,
     summed at the receivers, damped, and topped up with the uniformly
@@ -731,6 +741,20 @@ def pagerank(
     state, and the per-iteration ``materialize`` keeps lineage flat."""
     if num_iter < 1:
         raise ValueError("num_iter must be >= 1")
+    if precollected is not None:
+        ids, si, di = precollected
+        e_lazy = edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+        if (
+            resident_max > 0
+            and len(si) <= resident_max
+            and _integral_edge_cols(e_lazy)
+        ):
+            return _resident_pagerank(
+                e_lazy, num_iter, damping, round_digits,
+                precollected=(ids, si, di),
+            )
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .distinct()
@@ -1480,6 +1504,7 @@ def label_propagation(
     canonical: bool = False,
     broadcast_state: bool | str = "auto",
     resident_max: int = RESIDENT_EDGES_MAX,
+    precollected=None,
 ) -> DataFrame:
     """Synchronous label-propagation community detection (Raghavan
     et al. 2007), made deterministic and hash-checkable: every node
@@ -1499,11 +1524,49 @@ def label_propagation(
     all O(edges) shuffles, label state is one row per node, nothing
     on the driver.  Returns (community, n_nodes) sizes.
     """
+    if precollected is not None:
+        # r13: when the fused triple engages, fold the community-size
+        # aggregation into the resident computation too — the
+        # node-sized assignment frame never round-trips through an
+        # exchange just to be counted (schema pinned by parity test;
+        # the tiny sizes frame still goes through the same orderBy).
+        ids, si, di = precollected
+        e_lazy = undirected(edges, src_col, dst_col)
+        if (
+            resident_max > 0
+            and len(si) <= resident_max
+            and _integral_edge_cols(e_lazy)
+        ):
+            import numpy as np
+            import pandas as pd
+            from pyspark.sql import types as T
+
+            present, lbl = _lpa_labels_np(len(ids), si, di, rounds)
+            comm, sizes = np.unique(lbl[present], return_counts=True)
+            node_t = e_lazy.schema[0].dataType
+            schema = T.StructType(
+                [
+                    T.StructField("community", node_t, True),
+                    T.StructField("n_nodes", T.LongType(), False),
+                ]
+            )
+            return (
+                edges.sparkSession.createDataFrame(
+                    pd.DataFrame(
+                        {
+                            "community": ids[comm],
+                            "n_nodes": sizes.astype(np.int64),
+                        }
+                    ),
+                    schema,
+                )
+                .orderBy("community")
+            )
     return (
         label_propagation_assignments(
             edges, rounds, src_col, dst_col,
             canonical=canonical, broadcast_state=broadcast_state,
-            resident_max=resident_max,
+            resident_max=resident_max, precollected=precollected,
         )
         .groupBy(F.col("lbl").alias("community"))
         .agg(F.count(F.lit(1)).alias("n_nodes"))
@@ -1511,7 +1574,7 @@ def label_propagation(
     )
 
 
-def _resident_lpa(e: DataFrame, rounds: int) -> DataFrame:
+def _resident_lpa(e: DataFrame, rounds: int, precollected=None) -> DataFrame:
     """Resident twin of the LPA rounds over the ALREADY doubled /
     deduped checkpointed edge frame (gate sits after the setup
     materialize — see :func:`_resident_kcore`): pure integer
@@ -1522,8 +1585,32 @@ def _resident_lpa(e: DataFrame, rounds: int) -> DataFrame:
     from pyspark.sql import types as T
 
     spark = e.sparkSession
-    ids, si, di = _collect_edges_np(e)
-    n = len(ids)
+    ids, si, di = (
+        precollected if precollected is not None else _collect_edges_np(e)
+    )
+    present, lbl = _lpa_labels_np(len(ids), si, di, rounds)
+    node_t = e.schema[0].dataType
+    schema = T.StructType(
+        [
+            T.StructField("node", node_t),
+            T.StructField("lbl", node_t),
+        ]
+    )
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {"node": ids[present], "lbl": ids[lbl[present]]}
+        ),
+        schema,
+    )
+
+
+def _lpa_labels_np(n: int, si, di, rounds: int):
+    """The deterministic LPA vote rounds as numpy over position-
+    indexed doubled edges: returns (present-src positions, final
+    label positions).  Shared by :func:`_resident_lpa` and the fused
+    sizes path in :func:`label_propagation`."""
+    import numpy as np
+
     # the distributed node set is distinct(src) of the doubled frame —
     # a node with only self-loops is absent from the output
     present = np.unique(si)
@@ -1542,19 +1629,7 @@ def _resident_lpa(e: DataFrame, rounds: int) -> DataFrame:
         sel = order[first]
         lbl = np.full(n, -1, dtype=np.int64)
         lbl[ks[sel]] = kl[sel]
-    node_t = e.schema[0].dataType
-    schema = T.StructType(
-        [
-            T.StructField("node", node_t),
-            T.StructField("lbl", node_t),
-        ]
-    )
-    return spark.createDataFrame(
-        pd.DataFrame(
-            {"node": ids[present], "lbl": ids[lbl[present]]}
-        ),
-        schema,
-    )
+    return present, lbl
 
 
 def label_propagation_assignments(
@@ -1565,6 +1640,7 @@ def label_propagation_assignments(
     canonical: bool = False,
     broadcast_state: bool | str = "auto",
     resident_max: int = RESIDENT_EDGES_MAX,
+    precollected=None,
 ) -> DataFrame:
     """The (node, lbl) assignment frame behind
     :func:`label_propagation` — exposed so downstream community
@@ -1580,6 +1656,18 @@ def label_propagation_assignments(
     :func:`pagerank`."""
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
+    if precollected is not None:
+        # r13 fused construction hook (see pagerank): the triple is the
+        # caller-built DOUBLED deduped loop-free edge set; the lazy
+        # undirected frame supplies the schema only, never executes.
+        ids, si, di = precollected
+        e_lazy = undirected(edges, src_col, dst_col)
+        if (
+            resident_max > 0
+            and len(si) <= resident_max
+            and _integral_edge_cols(e_lazy)
+        ):
+            return _resident_lpa(e_lazy, rounds, precollected=(ids, si, di))
     e = undirected(edges, src_col, dst_col)
     if not canonical:
         e = e.filter(F.col("src") != F.col("dst")).dropDuplicates()
@@ -2668,7 +2756,7 @@ def clustering_coefficient(
 
 
 def _resident_hits(
-    e: DataFrame, num_iter: int, round_digits: int
+    e: DataFrame, num_iter: int, round_digits: int, precollected=None
 ) -> DataFrame:
     """Resident twin of the distributed HITS loop over the ALREADY
     distinct checkpointed edge frame (gate sits after the setup
@@ -2682,7 +2770,9 @@ def _resident_hits(
     from pyspark.sql import types as T
 
     spark = e.sparkSession
-    ids, si, di = _collect_edges_np(e)
+    ids, si, di = (
+        precollected if precollected is not None else _collect_edges_np(e)
+    )
     n = len(ids)
     h = np.full(
         n, _round_half_up_np(np.array([1.0 / float(n)]), round_digits)[0]
@@ -2714,6 +2804,7 @@ def hits(
     round_digits: int = 10,
     broadcast_state: bool | str = "auto",
     resident_max: int = RESIDENT_EDGES_MAX,
+    precollected=None,
 ) -> DataFrame:
     """HITS hubs-and-authorities (Kleinberg 1999) over a directed edge
     DataFrame, returning (node, hub, authority) after ``num_iter``
@@ -2746,6 +2837,19 @@ def hits(
     raw = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    if precollected is not None:
+        # r13 fused construction hook (see pagerank): the triple is the
+        # caller-built DISTINCT null-free edge set; `raw` supplies the
+        # schema only and never executes.
+        ids, si, di = precollected
+        if (
+            resident_max > 0
+            and len(si) <= resident_max
+            and _integral_edge_cols(raw)
+        ):
+            return _resident_hits(
+                raw, num_iter, round_digits, precollected=(ids, si, di)
+            )
     e = raw.distinct().transform(materialize)
     # r12 resident tier — gate AFTER the setup checkpoint (see
     # pagerank): lineage runs once either way, count + collect read

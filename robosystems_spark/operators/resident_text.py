@@ -53,60 +53,80 @@ _INTEGRAL = (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
 def collect_corpus(
     df: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
+    id_col: str | None = "doc_id",
     max_docs: int | None = None,
+    extra_cols: tuple[str, ...] = (),
 ):
-    """One measured-gate Arrow collect of ``(id, text)``.
+    """One measured-gate Arrow collect of ``(id, text, *extras)``.
 
-    Returns ``(ids, texts, n_rows)`` — ids as int64 numpy, texts as a
-    Python list (None entries preserved), n_rows the total row count
-    (the gate aggregate's count, which callers like
-    ``weighted_jaccard_pairs`` need anyway) — or ``None`` when any
-    gate fails:
+    Returns ``(ids, texts, n_rows, extras)`` — ids as int64 numpy
+    (None when ``id_col`` is None — operators like PPMI consume texts
+    only), texts as a Python list (None entries preserved), n_rows
+    the total row count (the gate aggregate's count, which callers
+    like ``weighted_jaccard_pairs`` need anyway), extras a dict of
+    ``extra_cols`` name -> Python list — or ``None`` when any gate
+    fails:
 
     - id column not integral / text column not string (schema gate);
     - row count above ``max_docs`` (default ``RESIDENT_DOCS_MAX``);
     - total text bytes above ``RESIDENT_TEXT_BYTES_MAX``;
     - any non-ASCII character (tokenization-parity gate, see module
       docstring);
-    - any NULL id (never joins downstream — bail rather than model).
+    - any NULL or duplicate id (never joins/groups the way a twin
+      would model — bail rather than re-model).
     """
     if max_docs is None:
         max_docs = RESIDENT_DOCS_MAX
     if max_docs <= 0:
         return None
     schema = {f.name: f.dataType for f in df.schema.fields}
-    if not isinstance(schema.get(id_col), _INTEGRAL):
+    if id_col is not None and not isinstance(schema.get(id_col), _INTEGRAL):
         return None
     if not isinstance(schema.get(text_col), T.StringType):
         return None
     t = F.col(text_col)
-    gate = df.agg(
+    aggs = [
         F.count(F.lit(1)).alias("n"),
         F.sum(F.octet_length(t)).alias("b"),
         F.max(F.octet_length(t) - F.length(t)).alias("w"),
-        F.sum(F.col(id_col).isNull().cast("int")).alias("ni"),
-        F.count_distinct(F.col(id_col)).alias("nd"),
-    ).collect()[0]
+    ]
+    if id_col is not None:
+        aggs += [
+            F.sum(F.col(id_col).isNull().cast("int")).alias("ni"),
+            F.count_distinct(F.col(id_col)).alias("nd"),
+        ]
+    gate = df.agg(*aggs).collect()[0]
     if gate["n"] > max_docs:
         return None
     if (gate["b"] or 0) > RESIDENT_TEXT_BYTES_MAX:
         return None
     if (gate["w"] or 0) != 0:
         return None
-    if (gate["ni"] or 0) != 0:
-        return None
-    if gate["nd"] != gate["n"]:
-        # duplicate ids: collect_set-based bucket semantics and the
-        # verify joins interact with dup rows in ways a twin should
-        # not re-model — run the distributed plan
-        return None
+    if id_col is not None:
+        if (gate["ni"] or 0) != 0:
+            return None
+        if gate["nd"] != gate["n"]:
+            # duplicate ids: collect_set-based bucket semantics and
+            # the verify joins interact with dup rows in ways a twin
+            # should not re-model — run the distributed plan
+            return None
     import numpy as np
 
-    tbl = df.select(id_col, text_col).toArrow().combine_chunks()
-    ids = tbl.column(0).to_numpy().astype(np.int64, copy=False)
-    texts = tbl.column(1).to_pylist()
-    return ids, texts, int(gate["n"])
+    cols = ([id_col] if id_col is not None else []) + [text_col] + list(
+        extra_cols
+    )
+    tbl = df.select(*cols).toArrow().combine_chunks()
+    pos = 0
+    ids = None
+    if id_col is not None:
+        ids = tbl.column(0).to_numpy().astype(np.int64, copy=False)
+        pos = 1
+    texts = tbl.column(pos).to_pylist()
+    extras = {
+        name: tbl.column(pos + 1 + i).to_pylist()
+        for i, name in enumerate(extra_cols)
+    }
+    return ids, texts, int(gate["n"]), extras
 
 
 def pairs_schema(
@@ -606,3 +626,274 @@ def weighted_jaccard_resident(
             "weighted_jaccard": ratio,
         }
     )
+
+
+_LN_GUARD = 1e-5
+
+
+def _ln_lattice(vals, scale: float, digits: int = 0):
+    """``round_half_up(ln-derived * scale)`` with the cross-library
+    guard: returns None when any element lands within ``_LN_GUARD``
+    of a HALF_UP boundary after scaling — far wider than any 1-ulp
+    ln() divergence between numpy's libm and java.lang.Math can move
+    a value, so outside the guard both libraries provably round to
+    the same integer; inside it callers bail to the distributed
+    plan."""
+    import numpy as np
+
+    from robosystems_spark.operators.graph import _round_half_up_np
+
+    v = vals * scale
+    if len(v):
+        frac = np.abs(v - np.floor(v) - 0.5)
+        if float(frac.min()) < _LN_GUARD:
+            return None
+    return _round_half_up_np(v, digits)
+
+
+def ppmi_resident(
+    texts,
+    k: int,
+    min_count: int,
+    scale: int,
+    decimals: int,
+    max_context_degree: int,
+    max_vocab: int | None,
+):
+    """Resident twin of ``corpus.ppmi_word_similarity``: identical
+    skip-gram pair multiset (offsets 1 and 2, symmetrized), joint
+    counts, vocab cap (count desc, word asc), integer-scaled PPMI
+    lattice with the ln guard, hot-context truncation, exact integer
+    dots/norms, IEEE cosine + HALF_UP round, (cosine desc, w1, w2)
+    top-k.  Returns a pandas frame or None (ln guard)."""
+    import numpy as np
+    import pandas as pd
+
+    vocab, doc_codes = _tokenize_corpus(texts)
+    V = len(vocab)
+    pa, pb = [], []
+    for codes in doc_codes:
+        if codes is None:
+            continue
+        for o in (1, 2):
+            if len(codes) > o:
+                a = codes[:-o]
+                b = codes[o:]
+                pa.append(a)
+                pb.append(b)
+                pa.append(b)
+                pb.append(a)
+    empty = pd.DataFrame({"w1": [], "w2": [], "cosine": []}).astype(
+        {"w1": "object", "w2": "object", "cosine": "float64"}
+    )
+    if not pa:
+        return empty
+    a = np.concatenate(pa)
+    b = np.concatenate(pb)
+    codes, cwc = np.unique(a * np.int64(V) + b, return_counts=True)
+    jw = (codes // V).astype(np.int64)
+    jc = (codes % V).astype(np.int64)
+    cwc = cwc.astype(np.int64)
+    # word marginals (sum of joint counts per word)
+    cw = np.zeros(V, dtype=np.int64)
+    np.add.at(cw, jw, cwc)
+    n_total = float(int(cwc.sum()))  # .cast("double") of the long sum
+    # vocab cap: rank by (count desc, word-string asc)
+    in_vocab = np.ones(V, dtype=bool)
+    if max_vocab is not None and V > max_vocab:
+        str_rank = np.empty(V, dtype=np.int64)
+        str_rank[np.argsort(np.array(vocab, dtype=object))] = np.arange(V)
+        order = np.lexsort((str_rank, -cw))
+        in_vocab[:] = False
+        in_vocab[order[:max_vocab]] = True
+    keep = (
+        in_vocab[jw]
+        & in_vocab[jc]
+        & (cw[jw] >= min_count)
+        & (cw[jc] >= min_count)
+    )
+    jw, jc, cwc = jw[keep], jc[keep], cwc[keep]
+    if len(jw) == 0:
+        return empty
+    # PPMI lattice: round(max(0, ln(cwc*N/(cw1*cw2))) * scale)
+    lnv = np.log(
+        (cwc.astype(np.float64) * n_total)
+        / (cw[jw] * cw[jc]).astype(np.float64)
+    )
+    p = _ln_lattice(np.maximum(lnv, 0.0), float(scale))
+    if p is None:
+        return None
+    p = p.astype(np.int64)
+    pos = p > 0
+    jw, jc, p = jw[pos], jc[pos], p[pos]
+    # hot-context truncation: per-context row count over the
+    # positive-PPMI matrix
+    deg = np.zeros(V, dtype=np.int64)
+    np.add.at(deg, jc, 1)
+    cold = deg[jc] <= max_context_degree
+    jw, jc, p = jw[cold], jc[cold], p[cold]
+    if len(jw) == 0:
+        return empty
+    # norms per word (exact integer)
+    n2 = np.zeros(V, dtype=np.int64)
+    np.add.at(n2, jw, p * p)
+    # dots: pairs of words sharing a context — group rows by context,
+    # expand in-bucket pairs carrying pa*pb (the weighted-jaccard
+    # expansion), restrict to w1 < w2 in STRING order
+    str_rank = np.empty(V, dtype=np.int64)
+    str_rank[np.argsort(np.array(vocab, dtype=object))] = np.arange(V)
+    order = np.lexsort((str_rank[jw], jc))
+    g = jc[order]
+    m = jw[order]
+    mp = p[order]
+    starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+    glens = np.diff(np.r_[starts, len(g)])
+    grp = np.cumsum(np.r_[False, g[1:] != g[:-1]])
+    rem = starts[grp] + glens[grp] - np.arange(len(g)) - 1
+    w1_l, w2_l, dd_l = [], [], []
+    valid = np.arange(len(g))
+    d = 1
+    while True:
+        valid = valid[rem[valid] >= d]
+        if len(valid) == 0:
+            break
+        w1_l.append(m[valid])
+        w2_l.append(m[valid + d])
+        dd_l.append(mp[valid] * mp[valid + d])
+        d += 1
+    if not w1_l:
+        return empty
+    w1 = np.concatenate(w1_l)
+    w2 = np.concatenate(w2_l)
+    dd = np.concatenate(dd_l)
+    # members were sorted by string rank within a context group, so
+    # w1 < w2 in string order EXCEPT equal words (w1 == w2) — the
+    # distributed filter is strict <
+    ne = w1 != w2
+    w1, w2, dd = w1[ne], w2[ne], dd[ne]
+    pcodes, pinv = np.unique(w1 * np.int64(V) + w2, return_inverse=True)
+    dots = np.zeros(len(pcodes), dtype=np.int64)
+    np.add.at(dots, pinv, dd)
+    u1 = (pcodes // V).astype(np.int64)
+    u2 = (pcodes % V).astype(np.int64)
+    cosine = dots.astype(np.float64) / (
+        np.sqrt(n2[u1].astype(np.float64)) * np.sqrt(n2[u2].astype(np.float64))
+    )
+    from robosystems_spark.operators.graph import _round_half_up_np
+
+    cosine = _round_half_up_np(cosine, decimals)
+    words = np.array(vocab, dtype=object)
+    rows = sorted(
+        zip(words[u1], words[u2], cosine),
+        key=lambda r: (-r[2], r[0], r[1]),
+    )[:k]
+    return pd.DataFrame(
+        {
+            "w1": [r[0] for r in rows],
+            "w2": [r[1] for r in rows],
+            "cosine": [float(r[2]) for r in rows],
+        }
+    )
+
+
+def dsir_resident(
+    ids, texts, targets, buckets: int, decimals: int
+):
+    """Resident twin of ``corpus.dsir_importance``: hashed
+    unigram+bigram bag features (md5-15-hex mod buckets over the
+    DISTINCT gram vocabulary), Laplace-smoothed bucket statistics,
+    per-document exact BIGINT lattice sums, one rounded float at the
+    end.  Returns a pandas frame or None (ln guard)."""
+    import numpy as np
+    import pandas as pd
+
+    vocab, doc_codes = _tokenize_corpus(texts)
+    gram_vocab: dict[tuple, int] = {}
+    rows_doc, rows_bucket = [], []
+    doc_is_target = []
+    live_ids = []
+    # gram codes per doc: unigrams ++ bigrams (as code pairs)
+    gv_get = gram_vocab.get
+    for i, codes in enumerate(doc_codes):
+        if codes is None:
+            continue
+        live_ids.append(ids[i])
+        doc_is_target.append(targets[i])
+        grams = [(int(c),) for c in codes]
+        if len(codes) >= 2:
+            grams += list(zip(codes[:-1].tolist(), codes[1:].tolist()))
+        gcodes = np.empty(len(grams), dtype=np.int64)
+        for j, gm in enumerate(grams):
+            cc = gv_get(gm)
+            if cc is None:
+                cc = len(gram_vocab)
+                gram_vocab[gm] = cc
+            gcodes[j] = cc
+        rows_doc.append(np.full(len(gcodes), len(live_ids) - 1, dtype=np.int64))
+        rows_bucket.append(gcodes)
+    out_cols = {"_id": [], "n_features": [], "log_importance": []}
+    if not rows_doc:
+        return pd.DataFrame(out_cols).astype(
+            {"_id": "int64", "n_features": "int64", "log_importance": "float64"}
+        )
+    # hash the DISTINCT gram vocabulary once
+    gram_hash = np.empty(len(gram_vocab), dtype=np.int64)
+    for gm, cc in gram_vocab.items():
+        text = vocab[gm[0]] if len(gm) == 1 else (
+            vocab[gm[0]] + " " + vocab[gm[1]]
+        )
+        gram_hash[cc] = _hash_token_mod(text, buckets)
+    doc = np.concatenate(rows_doc)
+    bkt = gram_hash[np.concatenate(rows_bucket)]
+    nd = len(live_ids)
+    # (doc, bucket) counts
+    codes, c = np.unique(doc * np.int64(buckets) + bkt, return_counts=True)
+    cdoc = (codes // buckets).astype(np.int64)
+    cbkt = (codes % buckets).astype(np.int64)
+    c = c.astype(np.int64)
+    is_t = np.array(
+        [bool(t) if t is not None else False for t in doc_is_target]
+    )
+    ct = np.zeros(buckets, dtype=np.int64)
+    cr = np.zeros(buckets, dtype=np.int64)
+    np.add.at(ct, cbkt[is_t[cdoc]], c[is_t[cdoc]])
+    np.add.at(cr, cbkt, c)
+    nt, nr = int(ct.sum()), int(cr.sum())
+    # sl(x) = round(1e9 * ln(x)) over the distinct integer arguments
+    args = np.unique(
+        np.concatenate(
+            [
+                ct[cbkt] + 1,
+                cr[cbkt] + 1,
+                np.array([nr + buckets, nt + buckets], dtype=np.int64),
+            ]
+        )
+    )
+    sl_vals = _ln_lattice(np.log(args.astype(np.float64)), 1e9)
+    if sl_vals is None:
+        return None
+    sl_vals = sl_vals.astype(np.int64)
+    sl = dict(zip(args.tolist(), sl_vals.tolist()))
+    const = sl[nr + buckets] - sl[nt + buckets]
+    term = np.array(
+        [sl[x] for x in (ct[cbkt] + 1).tolist()], dtype=np.int64
+    ) - np.array([sl[x] for x in (cr[cbkt] + 1).tolist()], dtype=np.int64)
+    contrib = c * (term + const)
+    nf = np.zeros(nd, dtype=np.int64)
+    s = np.zeros(nd, dtype=np.int64)
+    np.add.at(nf, cdoc, c)
+    np.add.at(s, cdoc, contrib)
+    from robosystems_spark.operators.graph import _round_half_up_np
+
+    li = _round_half_up_np(s.astype(np.float64) / 1e9, decimals)
+    return pd.DataFrame(
+        {
+            "_id": np.array(live_ids, dtype=np.int64),
+            "n_features": nf,
+            "log_importance": li,
+        }
+    )
+
+
+def _hash_token_mod(tok: str, mod: int) -> int:
+    return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % mod

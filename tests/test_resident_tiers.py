@@ -477,3 +477,94 @@ def test_fused_duplicate_clusters_match_unfused(spark, sf_dir):
         f = sorted(map(tuple, fused.collect()))
         p = sorted(map(tuple, plain.collect()))
         assert f == p and len(f) > 0, method
+
+
+def test_sp_edges_np_matches_spark_build(spark, sf_dir):
+    """r13 fused _sp_edges construction: the numpy edge build must
+    equal the Spark distinct edge set (both directions of the doubled
+    variant), and bail (None) on gate violations."""
+    from robosystems_spark.inventory.graph import _sp_edges, _sp_edges_np
+
+    li = read_table(spark, sf_dir, "lineitem")
+    ids, si, di = _sp_edges_np(li)
+    fast = sorted(zip(ids[si].tolist(), ids[di].tolist()))
+    ref = sorted(map(tuple, _sp_edges(li).dropDuplicates().collect()))
+    assert fast == ref and len(fast) > 0
+    ids2, si2, di2 = _sp_edges_np(li, doubled=True)
+    fast2 = sorted(zip(ids2[si2].tolist(), ids2[di2].tolist()))
+    ref2 = sorted(fast + [(b, a) for a, b in fast])
+    assert fast2 == ref2
+    # gate bailouts
+    with_null = li.withColumn(
+        "l_partkey",
+        F.when(F.col("l_orderkey") % 97 == 0, None).otherwise(
+            F.col("l_partkey")
+        ),
+    )
+    assert _sp_edges_np(with_null) is None
+    as_str = li.withColumn("l_suppkey", F.col("l_suppkey").cast("string"))
+    assert _sp_edges_np(as_str) is None
+
+
+def test_fused_sp_edges_entries_match_unfused(spark, sf_dir):
+    """pagerank / HITS / LPA with the precollected triple must equal
+    the r12 plans (schema included)."""
+    from robosystems_spark.inventory.graph import _sp_edges, _sp_edges_np
+    from robosystems_spark.operators.graph import (
+        hits,
+        label_propagation,
+        pagerank,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    e = _sp_edges(li)
+    cases = [
+        (
+            pagerank(e, num_iter=2, precollected=_sp_edges_np(li)),
+            pagerank(e, num_iter=2),
+        ),
+        (
+            hits(e, num_iter=2, precollected=_sp_edges_np(li)),
+            hits(e, num_iter=2),
+        ),
+        (
+            label_propagation(
+                e.dropDuplicates(), rounds=2, canonical=True,
+                precollected=_sp_edges_np(li, doubled=True),
+            ),
+            label_propagation(e.dropDuplicates(), rounds=2, canonical=True),
+        ),
+    ]
+    for fused, plain in cases:
+        assert fused.schema == plain.schema
+        f = sorted(map(tuple, fused.collect()))
+        p = sorted(map(tuple, plain.collect()))
+        assert f == p and len(f) > 0
+
+
+def test_ppmi_resident_matches_distributed(spark, sf_dir):
+    from robosystems_spark.operators.corpus import ppmi_word_similarity
+
+    docs = _messy_docs(spark, sf_dir)
+    for kw in (dict(), dict(min_count=5, k=20)):
+        fast = ppmi_word_similarity(docs, **kw)
+        dist = ppmi_word_similarity(docs, resident_max=0, **kw)
+        assert fast.schema == dist.schema
+        assert sorted(map(tuple, fast.collect())) == sorted(
+            map(tuple, dist.collect())
+        )
+
+
+def test_dsir_resident_matches_distributed(spark, sf_dir):
+    from robosystems_spark.operators.corpus import dsir_importance
+
+    docs = _messy_docs(spark, sf_dir).withColumn(
+        "is_target",
+        F.when(F.col("doc_id") % 3 == 0, F.col("lang") == "en"),
+    )
+    fast = dsir_importance(docs)
+    dist = dsir_importance(docs, resident_max=0)
+    assert fast.schema == dist.schema
+    f = sorted(map(tuple, fast.collect()))
+    d = sorted(map(tuple, dist.collect()))
+    assert f == d and len(f) > 0
