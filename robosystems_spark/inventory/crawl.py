@@ -453,6 +453,113 @@ def _curation_oracle() -> str:
     """
 
 
+
+
+def _curation_resident_tail(q: DataFrame) -> DataFrame | None:
+    """Resident twin of the curation tail (domain-rank window ->
+    RefinedWeb caps -> survivor minhash -> verdict assembly) over ONE
+    bounded collect of the checkpointed q frame.  Exact by
+    construction: the rank is a cumulative integer count within
+    (domain, doc_id order), caps and verdict are boolean algebra, the
+    dedup stage is the bit-exact resident minhash kernel
+    (operators/resident_text.py).  Returns None on any corpus-gate
+    miss (callers run the unchanged distributed tail)."""
+    import numpy as np
+    import pandas as pd
+
+    from robosystems_spark.operators import resident_text as RT
+
+    got = RT.collect_corpus(
+        q, "text", "doc_id",
+        extra_cols=("registered_domain", "n_words", "quality_pass"),
+    )
+    if got is None:
+        return None
+    ids, texts, _n, ex = got
+    doms = ex["registered_domain"]
+    if any(d is None for d in doms):
+        return None  # window over null domains: keep the Spark tail
+    quality = np.array(
+        [bool(x) if x is not None else False for x in ex["quality_pass"]]
+    )
+    qnull = np.array([x is None for x in ex["quality_pass"]])
+    if qnull.any():
+        return None
+    # domain_rank: within (domain, doc_id asc), cumulative count of
+    # quality rows, exposed only on quality rows (CASE NULL branch)
+    order = np.lexsort((ids, np.array(doms, dtype=object)))
+    dsorted = np.array(doms, dtype=object)[order]
+    starts = np.flatnonzero(
+        np.r_[True, dsorted[1:] != dsorted[:-1]]
+    )
+    seg = np.cumsum(np.r_[False, dsorted[1:] != dsorted[:-1]])
+    csum = np.cumsum(quality[order])
+    base = np.concatenate(([0], csum[starts[1:] - 1]))
+    rank_sorted = csum - base[seg]
+    rank = np.empty(len(ids), dtype=np.int64)
+    rank[order] = rank_sorted
+    # survivors: quality rows with rank <= 5
+    surv = quality & (rank <= 5)
+    pairs = RT.minhash_pairs_resident(
+        ids[surv], [texts[i] for i in np.flatnonzero(surv)],
+        threshold=0.7, num_hashes=64, bands=16, shingle_k=5,
+    )
+    if pairs is None:
+        return None
+    dup_of: dict[int, int] = {}
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        b = int(b)
+        a = int(a)
+        if b not in dup_of or a < dup_of[b]:
+            dup_of[b] = a
+    has_dup = np.array([int(i) in dup_of for i in ids])
+    cap_pass = quality & (rank <= 5)
+    kept = quality & cap_pass & ~has_dup
+    o = np.argsort(ids, kind="stable")
+    pdf = pd.DataFrame(
+        {
+            "doc_id": ids[o],
+            "registered_domain": np.array(doms, dtype=object)[o],
+            # nullable ints as OBJECT columns of python int/None: the
+            # driver's vanilla session has no Arrow createDataFrame
+            # path, and the row-path verifier rejects the NaN that
+            # pandas nullable-Int columns round-trip through
+            "n_words": pd.Series(
+                [int(ex["n_words"][i]) for i in o], dtype=object
+            ),
+            "quality_pass": quality[o],
+            "domain_rank": pd.Series(
+                [int(rank[i]) if quality[i] else None for i in o],
+                dtype=object,
+            ),
+            "cap_pass": cap_pass[o],
+            "dup_of": pd.Series(
+                [dup_of.get(int(ids[i])) for i in o], dtype=object
+            ),
+            "kept": kept[o],
+        }
+    )
+    spark = q.sparkSession
+    out = spark.createDataFrame(pdf, schema=_CURATION_SCHEMA)
+    return out.orderBy("doc_id")
+
+
+#: Output schema of the curation verdict — matches the distributed
+#: tail bit-for-bit (pinned by the fused-vs-unfused parity test).
+_CURATION_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("registered_domain", T.StringType(), True),
+        T.StructField("n_words", T.IntegerType(), True),
+        T.StructField("quality_pass", T.BooleanType(), True),
+        T.StructField("domain_rank", T.IntegerType(), True),
+        T.StructField("cap_pass", T.BooleanType(), False),
+        T.StructField("dup_of", T.LongType(), True),
+        T.StructField("kept", T.BooleanType(), True),
+    ]
+)
+
+
 @register(
     "crawl_curation_pipeline",
     oracle=_curation_oracle(),
@@ -516,6 +623,18 @@ def crawl_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             (n_words >= F.lit(50)).alias("quality_pass"),
         )
     )
+    # r13 resident tail: everything after the q checkpoint is small
+    # integer/boolean state (ranks, caps, the 35-survivor minhash) —
+    # under the corpus gates it runs as ONE bounded collect of the
+    # checkpointed q + numpy/python, replacing the window exchange,
+    # the survivor re-collect and the verdict join jobs.  Values are
+    # exact twins (cumulative integer ranks, the resident minhash
+    # kernel, boolean algebra); parity + schema pinned in
+    # tests/test_resident_tiers.py; any gate miss falls through to
+    # the unchanged distributed tail.
+    res = _curation_resident_tail(q)
+    if res is not None:
+        return res
     # domain_rank inline on q (r12): a quality row's rank among its
     # domain's quality rows (ordered by doc_id, unique) equals the
     # running sum of quality flags at its position, so ONE window over

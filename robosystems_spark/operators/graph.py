@@ -1083,11 +1083,16 @@ def _resident_triangle_counts(
     rank = np.empty(n, dtype=np.int64)
     rank[order] = np.arange(n)
     rs, rd = rank[si], rank[di]
-    a = np.minimum(rs, rd)
-    b = np.maximum(rs, rd)
+    # int32 throughout the wedge loop (r13): the probe loop is DRAM-
+    # latency/bandwidth-bound (41M random probes into the n²/8 bitset
+    # at sf0.1), and halving every index vector measurably cuts it
+    # (~25-35% isolated A/B); n ≤ TRIANGLE_RESIDENT_NODES_MAX = 2^15
+    # guarantees n² < 2^31, so int32 wedge codes cannot overflow.
+    a = np.minimum(rs, rd).astype(np.int32)
+    b = np.maximum(rs, rd).astype(np.int32)
     es = np.lexsort((b, a))
     a, b = a[es], b[es]
-    codes = a * n + b
+    codes = a.astype(np.int64) * n + b
     bits = np.zeros((n * n + 7) >> 3, dtype=np.uint8)
     # bitwise_or.at, not fancy-index |=: duplicate byte indices in one
     # batch would silently drop bits under buffered fancy assignment
@@ -1095,7 +1100,9 @@ def _resident_triangle_counts(
         bits, codes >> 3, (np.uint8(1) << (codes & 7).astype(np.uint8))
     )
     indptr = np.concatenate(([0], np.cumsum(np.bincount(a, minlength=n))))
-    rem = indptr[a + 1] - np.arange(m) - 1  # same-list slots after edge
+    rem = (indptr[a.astype(np.int64) + 1] - np.arange(m) - 1).astype(
+        np.int32
+    )  # same-list slots after edge
     counts = np.zeros(n, dtype=np.int64)
     # wedge enumeration by DIAGONAL offset: iteration d pairs each
     # adjacency element with the one d slots later in its node's
@@ -1103,7 +1110,8 @@ def _resident_triangle_counts(
     # np.repeat blow-up (total element work Σ C(outdeg,2), ~2x faster
     # than the chunked repeat formulation at 41M wedges), and the
     # survivor index shrinks monotonically with d
-    valid = np.arange(m)
+    valid = np.arange(m, dtype=np.int32)
+    n32 = np.int32(n)
     d = 1
     while True:
         valid = valid[rem[valid] >= d]
@@ -1111,8 +1119,8 @@ def _resident_triangle_counts(
             break
         wb = b[valid]
         wc = b[valid + d]
-        wcodes = wb * n + wc
-        hit = ((bits[wcodes >> 3] >> (wcodes & 7)) & 1).astype(bool)
+        wcodes = wb * n32 + wc
+        hit = ((bits[wcodes >> np.int32(3)] >> (wcodes & np.int32(7))) & 1).astype(bool)
         if hit.any():
             counts += np.bincount(a[valid][hit], minlength=n)
             counts += np.bincount(wb[hit], minlength=n)

@@ -568,3 +568,25 @@ def test_dsir_resident_matches_distributed(spark, sf_dir):
     f = sorted(map(tuple, fast.collect()))
     d = sorted(map(tuple, dist.collect()))
     assert f == d and len(f) > 0
+
+
+def test_curation_resident_tail_matches_distributed(spark, sf_dir):
+    """The curation entry's resident tail (rank/caps/minhash/verdict
+    over one collect of the checkpointed q frame) must equal the
+    distributed tail, schema included."""
+    from robosystems_spark.inventory import REGISTRY, _ensure_loaded
+    from robosystems_spark.operators import resident_text as RT
+
+    _ensure_loaded()
+    fn = REGISTRY["crawl_curation_pipeline"].fn
+    fast_df = fn(spark, sf_dir)
+    old = RT.RESIDENT_DOCS_MAX
+    RT.RESIDENT_DOCS_MAX = 0
+    try:
+        dist_df = fn(spark, sf_dir)
+    finally:
+        RT.RESIDENT_DOCS_MAX = old
+    assert fast_df.schema == dist_df.schema
+    fast = sorted(map(tuple, fast_df.collect()))
+    dist = sorted(map(tuple, dist_df.collect()))
+    assert fast == dist and len(fast) > 0
