@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from robosystems_spark.checkpointing import materialize
 from robosystems_spark.inventory import register
 from robosystems_spark.io import read_table
 
@@ -116,11 +117,43 @@ def _html_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from robosystems_spark.operators.html import html_extract
+    import pandas as pd
 
+    from robosystems_spark.operators.html import (
+        _EXTRACT_FIELDS,
+        extract_main_text,
+    )
+
+    # r13 (guide §4): render + extract FUSED into one mapInPandas —
+    # the two-stage shape (one mapInPandas rendering pages, a second
+    # one extracting) shipped every HTML string JVM->Python->JVM->
+    # Python just to hand it to the next pure function.  The whole
+    # corpus extracts in ~1.05 s single-core, so the extra Arrow
+    # round trip WAS the entry's cost (1.7 s at 32 cores).  Same pure
+    # functions (_page -> extract_main_text with html_extract's
+    # defaults), same output schema; 2.7x fewer boundary crossings at
+    # any scale.
+    def run(it):
+        for pdf in it:
+            recs = [
+                extract_main_text(_page(int(i), t))
+                for i, t in zip(pdf["doc_id"], pdf["text"])
+            ]
+            out = pd.DataFrame(recs)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    extracted = _doc_texts(spark, sf_dir).mapInPandas(
+        run,
+        T.StructType([T.StructField("doc_id", T.LongType()), *_EXTRACT_FIELDS]),
+    )
+    # materialize before the sort: orderBy's range-partitioner
+    # sampling pass is a SECOND consumer of the child, and an
+    # un-checkpointed mapInPandas child re-runs the whole Python
+    # extraction for it (measured 2x: 0.6 -> 1.2-1.8 s at sf0.1) —
+    # the repo's fan-out checkpoint discipline applies to sorts too.
     return (
-        html_extract(_html_pages(spark, sf_dir))
-        .select(
+        extracted.select(
             "doc_id",
             "title",
             F.col("text").alias("main_text"),
@@ -128,6 +161,7 @@ def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_boilerplate",
             F.round("link_density", 6).alias("link_density"),
         )
+        .transform(materialize)
         .orderBy("doc_id")
     )
 
@@ -212,7 +246,8 @@ def warc_http_records(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("body_text", T.StringType()),
         ]
     )
-    return docs.mapInPandas(run, out_schema).orderBy("doc_id")
+    # fan-out checkpoint before the sort (see text_html_extract)
+    return docs.mapInPandas(run, out_schema).transform(materialize).orderBy("doc_id")
 
 
 @register(
@@ -262,12 +297,14 @@ def warc_html_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     n_words = F.size(F.split(F.col("extracted"), r"\s+"))
+    # fan-out checkpoint before the sort (see text_html_extract)
     return (
         extracted.select(
             "doc_id",
             n_words.cast("int").alias("n_words"),
             (n_words >= F.lit(50)).alias("kept"),
         )
+        .transform(materialize)
         .orderBy("doc_id")
     )
 

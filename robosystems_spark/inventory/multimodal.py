@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from robosystems_spark.inventory import register
+from robosystems_spark.checkpointing import materialize
 from robosystems_spark.io import read_table
 
 _N_DOCS = 200
@@ -95,6 +96,7 @@ def multimodal_bmp_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         image_channel_stats(media, id_col="doc_id")
         .withColumnRenamed("media_id", "doc_id")
+        .transform(materialize)
         .orderBy("doc_id")
     )
 
@@ -160,6 +162,7 @@ def multimodal_png_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         image_channel_stats(media, id_col="doc_id")
         .withColumnRenamed("media_id", "doc_id")
+        .transform(materialize)
         .orderBy("doc_id")
     )
 
@@ -265,6 +268,7 @@ def multimodal_png_subbyte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_b",
             "corner_r",
         )
+        .transform(materialize)
         .orderBy("doc_id")
     )
 
@@ -353,6 +357,7 @@ def multimodal_tiff_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         image_channel_stats(media, id_col="doc_id")
         .withColumnRenamed("media_id", "doc_id")
+        .transform(materialize)
         .orderBy("doc_id")
     )
 
@@ -435,6 +440,7 @@ def multimodal_tiff_channel_stats(
     return (
         image_channel_stats(media, id_col="doc_id")
         .withColumnRenamed("media_id", "doc_id")
+        .transform(materialize)
         .orderBy("doc_id")
     )
 
@@ -528,6 +534,7 @@ def multimodal_tiff_g4_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         image_channel_stats(media, id_col="doc_id")
         .withColumnRenamed("media_id", "doc_id")
+        .transform(materialize)
         .orderBy("doc_id")
     )
 
@@ -589,6 +596,7 @@ def multimodal_wav_pcm_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         audio_clip_stats(media, id_col="doc_id")
         .withColumnRenamed("media_id", "doc_id")
+        .transform(materialize)
         .orderBy("doc_id")
     )
 
@@ -648,6 +656,7 @@ def multimodal_mp4_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         video_container_stats(media, id_col="doc_id")
         .withColumnRenamed("media_id", "doc_id")
+        .transform(materialize)
         .orderBy("doc_id")
     )
 
@@ -723,6 +732,7 @@ def multimodal_wav_silence_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             media, id_col="doc_id", window=_SIL_WINDOW, threshold=_SIL_THRESH
         )
         .withColumnRenamed("media_id", "doc_id")
+        .transform(materialize)
         .orderBy("doc_id")
     )
 
@@ -793,6 +803,7 @@ def multimodal_jpeg_roundtrip_bound(spark: SparkSession, sf_dir: str) -> DataFra
                 ]
             ),
         )
+        .transform(materialize)
         .orderBy("doc_id")
     )
 
@@ -867,6 +878,7 @@ def multimodal_gif_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         image_channel_stats(media, id_col="doc_id")
         .withColumnRenamed("media_id", "doc_id")
+        .transform(materialize)
         .orderBy("doc_id")
     )
 
@@ -959,6 +971,7 @@ def multimodal_gif_animation_stats(spark: SparkSession, sf_dir: str) -> DataFram
     return (
         gif_animation_stats(media, id_col="doc_id")
         .withColumnRenamed("media_id", "doc_id")
+        .transform(materialize)
         .orderBy("doc_id")
     )
 
@@ -1115,6 +1128,7 @@ def multimodal_jpeg_scan_equivalence(spark: SparkSession, sf_dir: str) -> DataFr
                 ]
             ),
         )
+        .transform(materialize)
         .orderBy("doc_id")
     )
 
@@ -1190,5 +1204,6 @@ def multimodal_wav_spectral_peak(
     return (
         audio_spectral_peak(media, id_col="doc_id")
         .withColumnRenamed("media_id", "doc_id")
+        .transform(materialize)
         .orderBy("doc_id")
     )
