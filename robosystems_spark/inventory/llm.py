@@ -1595,6 +1595,29 @@ def decontamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
     from robosystems_spark.operators.corpus import decontaminate
 
     docs = _docs(spark, sf_dir)
+    # r13 resident tier for the same-table split: ONE bounded collect
+    # feeds both sides (the operator-level path would gate + collect
+    # train and holdout separately); pure set arithmetic, exact.
+    # Parity pinned in tests/test_resident_tiers.py; gate miss falls
+    # through to the unchanged broadcast-join plan.
+    from robosystems_spark.operators import resident_text as RT
+
+    got = RT.collect_corpus(docs, "text", "doc_id")
+    if got is not None:
+        import numpy as np
+
+        from pyspark.sql import types as _T
+
+        pdf = RT.decontaminate_resident(
+            got[0], got[1], np.mod(got[0], 20) != 0, ngram=8
+        )
+        schema = _T.StructType(
+            [
+                _T.StructField("doc_id", _T.LongType(), True),
+                _T.StructField("n_shared_ngrams", _T.LongType(), False),
+            ]
+        )
+        return spark.createDataFrame(pdf, schema=schema)
     return decontaminate(
         docs.filter(F.col("doc_id") % 20 != 0),
         docs.filter(F.col("doc_id") % 20 == 0),

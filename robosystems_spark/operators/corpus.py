@@ -1061,6 +1061,7 @@ def ccnet_perplexity_buckets(
     n_buckets: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    resident_max: int | None = None,
 ) -> DataFrame:
     """CCNet-style quality bucketing (Wenzek et al. 2020, "CCNet:
     Extracting High Quality Monolingual Datasets from Web Crawl
@@ -1085,8 +1086,34 @@ def ccnet_perplexity_buckets(
 
     Returns (id, n_bigrams, avg_logprob, bucket, tier) with tier in
     head/middle/tail for 3 buckets (stringified index otherwise).
+
+    r13 resident tier (see ``ppmi_word_similarity``): measured corpus
+    gates; the twin bails whenever any scaled per-doc average sits
+    within 1e-7 of a HALF_UP boundary (summation-order guard — the
+    Spark AVG and the numpy sum differ at the last ulp; see
+    ``resident_text.ccnet_buckets_resident``).
     """
     from robosystems_spark.operators.text import bigram_logprob
+
+    from robosystems_spark.operators import resident_text as RT
+
+    got = RT.collect_corpus(docs, text_col, id_col, max_docs=resident_max)
+    if got is not None:
+        pdf = RT.ccnet_buckets_resident(got[0], got[1], n_buckets)
+        if pdf is not None:
+            from pyspark.sql import types as _T
+
+            idt = docs.schema[id_col].dataType
+            schema = _T.StructType(
+                [
+                    _T.StructField(id_col, idt, True),
+                    _T.StructField("n_bigrams", _T.LongType(), False),
+                    _T.StructField("avg_logprob", _T.DoubleType(), True),
+                    _T.StructField("bucket", _T.IntegerType(), False),
+                    _T.StructField("tier", _T.StringType(), False),
+                ]
+            )
+            return docs.sparkSession.createDataFrame(pdf, schema=schema)
 
     scored = bigram_logprob(docs, text_col, id_col)
     w = Window.orderBy(F.desc("avg_logprob"), F.asc(id_col))

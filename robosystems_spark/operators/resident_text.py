@@ -897,3 +897,138 @@ def dsir_resident(
 
 def _hash_token_mod(tok: str, mod: int) -> int:
     return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % mod
+
+
+def decontaminate_resident(ids, texts, train_mask, ngram: int):
+    """Resident twin of ``corpus.decontaminate`` for the same-table
+    split case: per-doc DISTINCT ``ngram``-token shingle STRINGS
+    (token-code tuples — a bijection of the joined strings, since
+    tokens contain no whitespace), holdout set union, per-train-doc
+    distinct shared count.  Pure integers/sets — exact.  Returns a
+    pandas frame (doc_id, n_shared_ngrams) for docs with >= 1 share.
+    """
+    import numpy as np
+    import pandas as pd
+
+    _vocab, doc_codes = _tokenize_corpus(texts)
+
+    def doc_shingles(codes):
+        n = len(codes)
+        tup = codes.tolist()
+        return {
+            tuple(tup[i : i + ngram])
+            for i in range(max(n - ngram, 0) + 1)
+        }
+
+    holdout: set = set()
+    for i in np.flatnonzero(~train_mask):
+        if doc_codes[i] is not None:
+            holdout |= doc_shingles(doc_codes[i])
+    out_ids, out_counts = [], []
+    for i in np.flatnonzero(train_mask):
+        if doc_codes[i] is None:
+            continue
+        shared = len(doc_shingles(doc_codes[i]) & holdout)
+        if shared:
+            out_ids.append(int(ids[i]))
+            out_counts.append(shared)
+    return pd.DataFrame(
+        {
+            "doc_id": np.array(out_ids, dtype=np.int64),
+            "n_shared_ngrams": np.array(out_counts, dtype=np.int64),
+        }
+    )
+
+
+def ccnet_buckets_resident(
+    ids, texts, n_buckets: int, k: float = 0.5, decimals: int = 4
+):
+    """Resident twin of ``corpus.ccnet_perplexity_buckets``: identical
+    bigram-instance multiset, add-k smoothed corpus counts, per-doc
+    AVG of ln((cb+k)/(c1+k*V)) rounded HALF_UP, NTILE over the
+    (avg desc, id asc) total order.
+
+    Float discipline: the per-doc average is order-sensitive at the
+    last-ulp level (Spark sums in partition order, numpy pairwise), so
+    the twin bails (None) whenever any scaled average sits within 1e-7
+    of a HALF_UP boundary — two orders wider than the worst
+    accumulated summation/ln divergence for document-sized bigram
+    counts, so outside the guard both summation orders provably round
+    to the same 4-digit value (and the NTILE order compares only the
+    ROUNDED averages, tie-broken by id)."""
+    import numpy as np
+    import pandas as pd
+
+    from robosystems_spark.operators.graph import _round_half_up_np
+
+    vocab, doc_codes = _tokenize_corpus(texts)
+    V = float(len(vocab))  # countDistinct over ALL docs' tokens
+    # bigram instances per doc (docs with >= 2 tokens)
+    live, pa, pb = [], [], []
+    for i, codes in enumerate(doc_codes):
+        if codes is None or len(codes) < 2:
+            continue
+        live.append(i)
+        pa.append(codes[:-1])
+        pb.append(codes[1:])
+    empty = pd.DataFrame(
+        {
+            "doc_id": [],
+            "n_bigrams": [],
+            "avg_logprob": [],
+            "bucket": [],
+            "tier": [],
+        }
+    )
+    if not live:
+        return empty
+    nvoc = len(vocab)
+    a = np.concatenate(pa)
+    b = np.concatenate(pb)
+    code = a * np.int64(nvoc) + b
+    ucode, inv, ccb = np.unique(code, return_inverse=True, return_counts=True)
+    c1 = np.bincount(a, minlength=nvoc)
+    # lp per distinct bigram: ln((cb + k) / (c1 + k*V)) — same IEEE
+    # op order as the Spark expression
+    lp_u = np.log(
+        (ccb.astype(np.float64) + k)
+        / (c1[(ucode // nvoc).astype(np.int64)].astype(np.float64) + k * V)
+    )
+    lp = lp_u[inv]
+    lens = np.array([len(x) for x in pa], dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    sums = np.add.reduceat(lp, starts)
+    avg = sums / lens
+    scaled = avg * (10.0 ** decimals)
+    frac = np.abs(scaled - np.floor(scaled) - 0.5)
+    if len(frac) and float(frac.min()) < 1e-7:
+        return None  # AVG order guard (see docstring)
+    avg_r = _round_half_up_np(avg, decimals)
+    live_ids = ids[np.array(live, dtype=np.int64)]
+    # NTILE over (avg desc, id asc)
+    order = np.lexsort((live_ids, -avg_r))
+    n = len(order)
+    base, rem = divmod(n, n_buckets)
+    bucket_sorted = np.empty(n, dtype=np.int64)
+    pos = 0
+    for bkt in range(1, n_buckets + 1):
+        size = base + (1 if bkt <= rem else 0)
+        bucket_sorted[pos : pos + size] = bkt
+        pos += size
+    bucket = np.empty(n, dtype=np.int64)
+    bucket[order] = bucket_sorted
+    if n_buckets == 3:
+        tier = np.where(
+            bucket == 1, "head", np.where(bucket == 2, "middle", "tail")
+        )
+    else:
+        tier = bucket.astype(str)
+    return pd.DataFrame(
+        {
+            "doc_id": live_ids,
+            "n_bigrams": lens,
+            "avg_logprob": avg_r,
+            "bucket": bucket.astype(np.int32),
+            "tier": tier,
+        }
+    )

@@ -590,3 +590,34 @@ def test_curation_resident_tail_matches_distributed(spark, sf_dir):
     fast = sorted(map(tuple, fast_df.collect()))
     dist = sorted(map(tuple, dist_df.collect()))
     assert fast == dist and len(fast) > 0
+
+
+def test_ccnet_resident_matches_distributed(spark, sf_dir):
+    from robosystems_spark.operators.corpus import ccnet_perplexity_buckets
+
+    docs = _messy_docs(spark, sf_dir)
+    fast = ccnet_perplexity_buckets(docs)
+    dist = ccnet_perplexity_buckets(docs, resident_max=0)
+    assert fast.schema == dist.schema
+    f = sorted(map(tuple, fast.collect()))
+    d = sorted(map(tuple, dist.collect()))
+    assert f == d and len(f) > 0
+
+
+def test_decontamination_resident_matches_distributed(spark, sf_dir):
+    from robosystems_spark.inventory import REGISTRY, _ensure_loaded
+    from robosystems_spark.operators import resident_text as RT
+
+    _ensure_loaded()
+    fn = REGISTRY["decontamination_ngram_overlap"].fn
+    fast_df = fn(spark, sf_dir)
+    old = RT.RESIDENT_DOCS_MAX
+    RT.RESIDENT_DOCS_MAX = 0
+    try:
+        dist_df = fn(spark, sf_dir)
+    finally:
+        RT.RESIDENT_DOCS_MAX = old
+    assert fast_df.schema == dist_df.schema
+    assert sorted(map(tuple, fast_df.collect())) == sorted(
+        map(tuple, dist_df.collect())
+    )
