@@ -1032,3 +1032,115 @@ def ccnet_buckets_resident(
             "tier": tier,
         }
     )
+
+
+def collect_vectors(df: DataFrame, vec_id_col: str, vec_col: str,
+                    max_rows: int | None = None):
+    """One measured-gate Arrow collect of an embedding frame ->
+    ``(ids, matrix)`` (int64 ids, (n, dim) float64).  Returns None on
+    any gate miss: non-integral/duplicate/null ids, non-double-array
+    vectors, null or ragged vectors, row budget."""
+    if max_rows is None:
+        max_rows = RESIDENT_DOCS_MAX
+    if max_rows <= 0:
+        return None
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    if not isinstance(schema.get(vec_id_col), _INTEGRAL):
+        return None
+    vt = schema.get(vec_col)
+    if not (
+        isinstance(vt, T.ArrayType) and isinstance(vt.elementType, T.DoubleType)
+    ):
+        return None
+    v = F.col(vec_col)
+    gate = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(vec_id_col).isNull().cast("int")).alias("ni"),
+        F.count_distinct(F.col(vec_id_col)).alias("nd"),
+        F.sum(v.isNull().cast("int")).alias("nv"),
+        F.min(F.size(v)).alias("dmin"),
+        F.max(F.size(v)).alias("dmax"),
+    ).collect()[0]
+    if gate["n"] > max_rows or gate["n"] == 0:
+        return None
+    if (gate["ni"] or 0) != 0 or gate["nd"] != gate["n"]:
+        return None
+    if (gate["nv"] or 0) != 0 or gate["dmin"] != gate["dmax"]:
+        return None
+    import numpy as np
+
+    tbl = df.select(vec_id_col, vec_col).toArrow().combine_chunks()
+    ids = tbl.column(0).to_numpy().astype(np.int64, copy=False)
+    dim = int(gate["dmin"])
+    flat = tbl.column(1).combine_chunks().flatten().to_numpy().astype(
+        np.float64, copy=False
+    )
+    return ids, flat.reshape(len(ids), dim)
+
+
+def bm25_scores_resident(
+    ids, texts, query_terms, k1: float, b: float, ndigits: int
+):
+    """Resident twin of ``search.bm25_topk``'s scoring (before the
+    top-k): per matched doc the ROUNDed Okapi score and the matched-
+    term count.  The per-doc contribution sum is the one order-
+    sensitive float (Spark sums in row order), so the twin returns
+    None whenever any scaled score sits within 1e-6 of a HALF_UP
+    boundary — orders wider than the worst ulp drift of a
+    query-length sum.  Returns (doc_ids, scores, n_terms) numpy
+    arrays."""
+    import numpy as np
+
+    from robosystems_spark.operators.graph import _round_half_up_np
+
+    vocab, doc_codes = _tokenize_corpus(texts)
+    qset = {t.lower() for t in query_terms}
+    qcodes = {i for i, t in enumerate(vocab) if t in qset}
+    live = [i for i, c in enumerate(doc_codes) if c is not None]
+    if not live:
+        e = np.empty(0, dtype=np.int64)
+        return e, np.empty(0, dtype=np.float64), e
+    dl = np.array([len(doc_codes[i]) for i in live], dtype=np.int64)
+    n_docs = float(len(live))
+    avgdl = dl.astype(np.float64).mean()
+    # per (doc, term in query): tf
+    scores = np.zeros(len(live), dtype=np.float64)
+    nterm = np.zeros(len(live), dtype=np.int64)
+    # document frequency per query code
+    tf_maps = []
+    dfq: dict[int, int] = {}
+    for li_, i in enumerate(live):
+        codes = doc_codes[i]
+        tfm: dict[int, int] = {}
+        for c in codes.tolist():
+            if c in qcodes:
+                tfm[c] = tfm.get(c, 0) + 1
+        tf_maps.append(tfm)
+        for c in tfm:
+            dfq[c] = dfq.get(c, 0) + 1
+    import math
+
+    idf = {
+        c: math.log(1.0 + (n_docs - dv + 0.5) / (dv + 0.5))
+        for c, dv in dfq.items()
+    }
+    for li_, tfm in enumerate(tf_maps):
+        s = 0.0
+        for c, tf in tfm.items():
+            tf_norm = (tf * (k1 + 1.0)) / (
+                tf + k1 * ((1.0 - b) + b * dl[li_] / avgdl)
+            )
+            s += idf[c] * tf_norm
+        scores[li_] = s
+        nterm[li_] = len(tfm)
+    matched = nterm > 0
+    sc = scores[matched]
+    scaled = sc * (10.0 ** ndigits)
+    frac = np.abs(scaled - np.floor(scaled) - 0.5)
+    if len(frac) and float(frac.min()) < 1e-6:
+        return None  # rounding-boundary guard (see docstring)
+    return (
+        np.array([ids[i] for i in live], dtype=np.int64)[matched],
+        _round_half_up_np(sc, ndigits),
+        nterm[matched],
+    )

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from robosystems_spark.checkpointing import materialize
 
@@ -40,6 +41,7 @@ def bm25_topk(
     id_col: str = "doc_id",
     text_col: str = "text",
     ndigits: int = 6,
+    resident_max: int | None = None,
 ) -> DataFrame:
     """Okapi BM25 top-k retrieval for a bag-of-words query.
 
@@ -49,7 +51,47 @@ def bm25_topk(
     Returns (id_col, score, n_terms_matched) — the rounded score is
     the ranking key (with id tiebreak) so results are stable across
     engines and partitionings.
+
+    r13 resident tier (the resident_text discipline): measured corpus
+    gates + the rounding-boundary guard on the order-sensitive per-doc
+    contribution sum (``resident_text.bm25_scores_resident``);
+    distributed plan unchanged above any gate or on a guard trip.
     """
+    from robosystems_spark.operators import resident_text as RT
+
+    got = RT.collect_corpus(docs, text_col, id_col, max_docs=resident_max)
+    if got is not None:
+        res = RT.bm25_scores_resident(
+            got[0], got[1], query_terms, k1, b, ndigits
+        )
+        if res is not None:
+            import pandas as pd
+
+            mids, mscores, mterms = res
+            rows = sorted(
+                zip(mids.tolist(), mscores.tolist(), mterms.tolist()),
+                key=lambda r: (-r[1], r[0]),
+            )[:k]
+            schema = T.StructType(
+                [
+                    T.StructField(id_col, docs.schema[id_col].dataType, True),
+                    T.StructField("score", T.DoubleType(), True),
+                    T.StructField("n_terms_matched", T.LongType(), False),
+                ]
+            )
+            return docs.sparkSession.createDataFrame(
+                pd.DataFrame(
+                    {
+                        id_col: [r[0] for r in rows],
+                        "score": [r[1] for r in rows],
+                        "n_terms_matched": [r[2] for r in rows],
+                    }
+                ).astype(
+                    {id_col: "int64", "score": "float64",
+                     "n_terms_matched": "int64"}
+                ),
+                schema=schema,
+            )
     toks = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
 
     # Per-document length (|D|) over ALL terms (must precede the query
@@ -127,10 +169,30 @@ def hybrid_rrf_topk(
 
     ``query_vec`` is a 1-row DataFrame with (``vec_col``,) — the query
     embedding; it is broadcast against the corpus.
+
+    r13 resident tier: under the corpus + vector gates both rankings
+    and the fusion run resident — the cosine leg calls the SAME numpy
+    expressions the fused pandas-UDF executes (einsum dots, np.round),
+    so it is bit-identical by construction; the BM25 leg carries its
+    rounding-boundary guard; the RRF combination replicates the exact
+    coalesce/divide/round expression.  Distributed plan unchanged
+    above any gate or on a guard trip.
     """
     from pyspark.sql.window import Window
 
     from robosystems_spark.functions import vector as V
+
+    from robosystems_spark.operators import resident_text as RT
+
+    got = RT.collect_corpus(docs, text_col, id_col)
+    vecs = RT.collect_vectors(embeddings, vec_id_col, vec_col) if got else None
+    if got is not None and vecs is not None:
+        res = _rrf_resident(
+            docs.sparkSession, got, vecs, query_vec, query_terms,
+            k, n_candidates, rrf_k, id_col, vec_col, ndigits,
+        )
+        if res is not None:
+            return res
 
     lex = bm25_topk(
         docs, query_terms, k=n_candidates, id_col=id_col, text_col=text_col
@@ -169,6 +231,84 @@ def hybrid_rrf_topk(
         F.col("vec_rank"),
     )
     return fused.orderBy(F.desc("rrf_score"), F.asc(id_col)).limit(k)
+
+
+def _rrf_resident(
+    spark, got, vecs, query_vec, query_terms, k, n_candidates, rrf_k,
+    id_col, vec_col, ndigits,
+):
+    """Resident hybrid-RRF twin (see ``hybrid_rrf_topk``).  Returns a
+    DataFrame or None (BM25 rounding guard / query-vec gate miss)."""
+    import numpy as np
+    import pandas as pd
+
+    from robosystems_spark.operators import resident_text as RT
+    from robosystems_spark.operators.graph import _round_half_up_np
+
+    ids, texts = got[0], got[1]
+    vids, mat = vecs
+    qrows = query_vec.select(F.col(vec_col).alias("_qv")).limit(2).collect()
+    if len(qrows) != 1 or qrows[0]["_qv"] is None:
+        return None
+    qv = np.array(list(qrows[0]["_qv"]), dtype=np.float64)
+    if qv.shape[0] != mat.shape[1]:
+        return None
+    lexres = RT.bm25_scores_resident(ids, texts, query_terms, 1.2, 0.75, 6)
+    if lexres is None:
+        return None
+    mids, mscores, mterms = lexres
+    lex_rows = sorted(
+        zip(mids.tolist(), mscores.tolist()), key=lambda r: (-r[1], r[0])
+    )[:n_candidates]
+    lex_rank = {d: i + 1 for i, (d, _s) in enumerate(lex_rows)}
+    # cosine leg: the EXACT numpy ops of functions.vector._cosine6
+    B = np.broadcast_to(qv, mat.shape)
+    num = np.einsum("ij,ij->i", mat, B)
+    den = np.maximum(
+        np.sqrt(np.einsum("ij,ij->i", mat, mat))
+        * np.sqrt(np.einsum("ij,ij->i", B, B)),
+        1e-300,
+    )
+    cos = np.round(num / den, 6)
+    vec_rows = sorted(
+        zip(vids.tolist(), cos.tolist()), key=lambda r: (-r[1], r[0])
+    )[:n_candidates]
+    vec_rank = {d: i + 1 for i, (d, _c) in enumerate(vec_rows)}
+    all_ids = sorted(set(lex_rank) | set(vec_rank))
+    lr = [lex_rank.get(d) for d in all_ids]
+    vr = [vec_rank.get(d) for d in all_ids]
+    raw = np.array(
+        [
+            (1.0 / (rrf_k + l) if l is not None else 0.0)
+            + (1.0 / (rrf_k + v) if v is not None else 0.0)
+            for l, v in zip(lr, vr)
+        ],
+        dtype=np.float64,
+    )
+    score = _round_half_up_np(raw, ndigits)
+    rows = sorted(
+        zip(all_ids, score.tolist(), lr, vr), key=lambda r: (-r[1], r[0])
+    )[:k]
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), True),
+            T.StructField("rrf_score", T.DoubleType(), True),
+            T.StructField("lex_rank", T.IntegerType(), True),
+            T.StructField("vec_rank", T.IntegerType(), True),
+        ]
+    )
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                id_col: [r[0] for r in rows],
+                "rrf_score": [r[1] for r in rows],
+                # nullable ints as object columns (see inventory/crawl)
+                "lex_rank": pd.Series([r[2] for r in rows], dtype=object),
+                "vec_rank": pd.Series([r[3] for r in rows], dtype=object),
+            }
+        ),
+        schema=schema,
+    )
 
 
 def hybrid_rrf_oracle_sql(

@@ -621,3 +621,37 @@ def test_decontamination_resident_matches_distributed(spark, sf_dir):
     assert sorted(map(tuple, fast_df.collect())) == sorted(
         map(tuple, dist_df.collect())
     )
+
+
+def test_bm25_resident_matches_distributed(spark, sf_dir):
+    from robosystems_spark.operators.search import bm25_topk
+
+    docs = _messy_docs(spark, sf_dir)
+    q = ["spark", "vector", "window"]
+    fast = bm25_topk(docs, q, k=25)
+    dist = bm25_topk(docs, q, k=25, resident_max=0)
+    assert fast.schema == dist.schema
+    assert sorted(map(tuple, fast.collect())) == sorted(
+        map(tuple, dist.collect())
+    )
+
+
+def test_rrf_resident_matches_distributed(spark, sf_dir):
+    from robosystems_spark.operators import resident_text as RT
+    from robosystems_spark.operators.search import hybrid_rrf_topk
+
+    docs = read_table(spark, sf_dir, "documents")
+    emb = read_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding")
+    q = ["spark", "vector", "window"]
+    fast = hybrid_rrf_topk(docs, emb, q, qv, k=20)
+    old = RT.RESIDENT_DOCS_MAX
+    RT.RESIDENT_DOCS_MAX = 0
+    try:
+        dist = hybrid_rrf_topk(docs, emb, q, qv, k=20)
+    finally:
+        RT.RESIDENT_DOCS_MAX = old
+    assert fast.schema == dist.schema
+    f = sorted(map(tuple, fast.collect()))
+    d = sorted(map(tuple, dist.collect()))
+    assert f == d and len(f) > 0
