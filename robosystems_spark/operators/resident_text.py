@@ -1049,8 +1049,11 @@ def collect_vectors(df: DataFrame, vec_id_col: str, vec_col: str,
         return None
     vt = schema.get(vec_col)
     if not (
-        isinstance(vt, T.ArrayType) and isinstance(vt.elementType, T.DoubleType)
+        isinstance(vt, T.ArrayType)
+        and isinstance(vt.elementType, (T.DoubleType, T.FloatType))
     ):
+        # float32 widens to float64 exactly, matching the pandas-UDF
+        # _mat conversion; other element types bail
         return None
     v = F.col(vec_col)
     gate = df.agg(
