@@ -517,15 +517,30 @@ def pivot_value_by_status_priority(spark: SparkSession, sf_dir: str) -> DataFram
 )
 def window_dedup_first_line(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    # the ORDER BY must be a total order within the partition, or
-    # row_number() picks an engine-dependent row on ties
-    w = Window.partitionBy("l_orderkey").orderBy(
-        "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"
-    )
+    # r13 (guide §2.3): the row_number-window formulation shuffled and
+    # SORTED every lineitem row just to keep rank 1; the same "first
+    # row in the (l_linenumber, l_partkey, l_suppkey, l_quantity)
+    # total order per order" is MIN over the lexicographically-ordered
+    # struct — a hash aggregate with map-side partial min, so the
+    # exchange carries ~|orders| partial structs instead of |lineitem|
+    # rows and the per-partition sort disappears.  Identical rows: the
+    # ORDER BY was a total order, so rank 1 IS the struct minimum
+    # (oracle unchanged; equivalence pinned in test_relational_extra).
     return (
-        li.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+        li.groupBy("l_orderkey")
+        .agg(
+            F.min(
+                F.struct(
+                    "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"
+                )
+            ).alias("_m")
+        )
+        .select(
+            "l_orderkey",
+            F.col("_m.l_linenumber").alias("l_linenumber"),
+            F.col("_m.l_partkey").alias("l_partkey"),
+            F.col("_m.l_quantity").alias("l_quantity"),
+        )
     )
 
 

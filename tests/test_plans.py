@@ -622,3 +622,33 @@ def test_graph_state_broadcast_is_measured_not_hardcoded(spark, sf_dir):
         assert a == b  # values never depend on the join strategy
     finally:
         G.MAX_BROADCAST_NODES = budget
+
+
+def test_window_dedup_min_struct_equals_row_number(spark, sf_dir):
+    """r13 rewrite: first-row-per-order via min(struct) must return
+    exactly the rank-1 rows of the row_number formulation (the ORDER
+    BY was a total order, so the struct minimum IS rank 1), and the
+    plan must be a hash aggregate — no Window sort of the fact table."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from robosystems_spark.io import read_table
+
+    li = read_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    old = (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+    )
+    new = REGISTRY["window_dedup_first_line"].fn(spark, sf_dir)
+    assert sorted(map(tuple, new.collect())) == sorted(
+        map(tuple, old.collect())
+    )
+    plan = plan_of(new)
+    assert "Window" not in plan, "rewrite lost the aggregate form"
+    # struct-min lowers to SortAggregate (still partial+final, map-side
+    # partial mins — the shuffle-bytes win the rewrite is for)
+    assert "Aggregate" in plan
