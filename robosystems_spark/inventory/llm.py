@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T2
 
 from robosystems_spark.inventory import register
 from robosystems_spark.io import read_table
@@ -431,6 +432,28 @@ def corpus_source_kl_divergence(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     docs = _docs(spark, sf_dir)
+    # r13 resident twin (resident_text discipline): exact integer
+    # lattice arithmetic with the shared ln guard; the tiny result
+    # frame still goes through the same Spark orderBy (null-source
+    # ordering semantics stay Spark's).  Gate miss -> unchanged plan.
+    from robosystems_spark.operators import resident_text as RT
+
+    got = RT.collect_corpus(docs, "text", "doc_id", extra_cols=("source",))
+    if got is not None and isinstance(
+        docs.schema["source"].dataType, T2.StringType
+    ):
+        pdf = RT.source_kl_resident(got[1], got[3]["source"])
+        if pdf is not None:
+            schema = T2.StructType(
+                [
+                    T2.StructField("source", T2.StringType(), True),
+                    T2.StructField("n_tokens", T2.LongType(), True),
+                    T2.StructField("kl_to_corpus", T2.DoubleType(), True),
+                ]
+            )
+            return spark.createDataFrame(pdf, schema=schema).orderBy(
+                "source"
+            )
     tok = docs.select(
         "source", F.explode(T.tokens("text")).alias("t")
     )
@@ -1309,6 +1332,23 @@ def text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = _docs(spark, sf_dir)
+    # r13 resident twin: integer tf/df + guarded ln product, per-doc
+    # argmax over (rounded tfidf desc, term asc).  Gate miss or a
+    # score within 1e-7 of a rounding boundary -> unchanged plan.
+    from robosystems_spark.operators import resident_text as RT
+
+    got = RT.collect_corpus(docs, "text", "doc_id")
+    if got is not None:
+        pdf = RT.tfidf_top_resident(got[0], got[1], got[2])
+        if pdf is not None:
+            schema = T2.StructType(
+                [
+                    T2.StructField("doc_id", T2.LongType(), True),
+                    T2.StructField("top_term", T2.StringType(), False),
+                    T2.StructField("tfidf", T2.DoubleType(), True),
+                ]
+            )
+            return spark.createDataFrame(pdf, schema=schema)
     toks = docs.select("doc_id", F.explode(T.tokens("text")).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("dfq"))

@@ -1147,3 +1147,128 @@ def bm25_scores_resident(
         _round_half_up_np(sc, ndigits),
         nterm[matched],
     )
+
+
+def source_kl_resident(texts, sources, decimals: int = 6):
+    """Resident twin of the per-source KL entry: per-(source, token)
+    counts, marginals, the 1e-9 integer ln lattice (guarded), exact
+    BIGINT contribution sums, one HALF_UP-rounded division per source.
+    Returns pandas (source, n_tokens, s->kl) or None (ln guard)."""
+    import numpy as np
+    import pandas as pd
+
+    from robosystems_spark.operators.graph import _round_half_up_np
+
+    vocab, doc_codes = _tokenize_corpus(texts)
+    src_vals: list = []
+    src_idx: dict = {}
+    rows_s, rows_t = [], []
+    for i, codes in enumerate(doc_codes):
+        if codes is None:
+            continue
+        sv = sources[i]
+        j = src_idx.get(sv)
+        if j is None:
+            j = len(src_vals)
+            src_idx[sv] = j
+            src_vals.append(sv)
+        rows_s.append(np.full(len(codes), j, dtype=np.int64))
+        rows_t.append(codes)
+    empty = pd.DataFrame(
+        {"source": [], "n_tokens": [], "kl_to_corpus": []}
+    ).astype({"source": "object", "n_tokens": "int64",
+              "kl_to_corpus": "float64"})
+    if not rows_s:
+        return empty
+    sarr = np.concatenate(rows_s)
+    tarr = np.concatenate(rows_t)
+    V = len(vocab)
+    code, c = np.unique(sarr * np.int64(V) + tarr, return_counts=True)
+    cs = (code // V).astype(np.int64)
+    ct = (code % V).astype(np.int64)
+    c = c.astype(np.int64)
+    gc = np.zeros(V, dtype=np.int64)
+    np.add.at(gc, ct, c)
+    ns = np.zeros(len(src_vals), dtype=np.int64)
+    np.add.at(ns, cs, c)
+    tn = int(gc.sum())
+    args = np.unique(
+        np.concatenate([c, ns[cs], gc[ct], np.array([tn], dtype=np.int64)])
+    )
+    sl_vals = _ln_lattice(np.log(args.astype(np.float64)), 1e9)
+    if sl_vals is None:
+        return None
+    sl = dict(zip(args.tolist(), sl_vals.astype(np.int64).tolist()))
+    term = (
+        np.array([sl[x] for x in c.tolist()], dtype=np.int64)
+        - np.array([sl[x] for x in ns[cs].tolist()], dtype=np.int64)
+        - np.array([sl[x] for x in gc[ct].tolist()], dtype=np.int64)
+        + sl[tn]
+    )
+    s = np.zeros(len(src_vals), dtype=np.int64)
+    np.add.at(s, cs, c * term)
+    kl = _round_half_up_np(
+        s.astype(np.float64) / (1e9 * ns.astype(np.float64)), decimals
+    )
+    return pd.DataFrame(
+        {
+            "source": pd.Series(src_vals, dtype=object),
+            "n_tokens": ns,
+            "kl_to_corpus": kl,
+        }
+    )
+
+
+def tfidf_top_resident(ids, texts, n_docs: int, decimals: int = 6):
+    """Resident twin of ``text_tfidf_top_term``: integer tf/df,
+    tfidf = round(tf * ln(n_docs/df), 6) with the ln boundary guard,
+    per-doc argmax over (tfidf desc, term-string asc).  Returns
+    pandas (doc_id, top_term, tfidf) or None (guard)."""
+    import numpy as np
+    import pandas as pd
+
+    from robosystems_spark.operators.graph import _round_half_up_np
+
+    vocab, doc_codes = _tokenize_corpus(texts)
+    live = [i for i, c in enumerate(doc_codes) if c is not None]
+    empty = pd.DataFrame(
+        {"doc_id": [], "top_term": [], "tfidf": []}
+    ).astype({"doc_id": "int64", "top_term": "object", "tfidf": "float64"})
+    if not live:
+        return empty
+    V = len(vocab)
+    doc_rep = np.concatenate(
+        [np.full(len(doc_codes[i]), k, dtype=np.int64)
+         for k, i in enumerate(live)]
+    )
+    tok = np.concatenate([doc_codes[i] for i in live])
+    code, tf = np.unique(doc_rep * np.int64(V) + tok, return_counts=True)
+    cd = (code // V).astype(np.int64)
+    ct = (code % V).astype(np.int64)
+    tf = tf.astype(np.int64)
+    dfq = np.zeros(V, dtype=np.int64)
+    np.add.at(dfq, ct, 1)
+    raw = tf.astype(np.float64) * np.log(
+        float(n_docs) / dfq[ct].astype(np.float64)
+    )
+    scaled = raw * (10.0 ** decimals)
+    frac = np.abs(scaled - np.floor(scaled) - 0.5)
+    if len(frac) and float(frac.min()) < 1e-7:
+        return None  # ln/product boundary guard
+    tfidf = _round_half_up_np(raw, decimals)
+    # argmax per doc over (tfidf desc, term-string asc)
+    str_rank = np.empty(V, dtype=np.int64)
+    str_rank[np.argsort(np.array(vocab, dtype=object))] = np.arange(V)
+    order = np.lexsort((str_rank[ct], -tfidf, cd))
+    first = np.ones(len(order), dtype=bool)
+    first[1:] = cd[order][1:] != cd[order][:-1]
+    sel = order[first]
+    words = np.array(vocab, dtype=object)
+    live_ids = ids[np.array(live, dtype=np.int64)]
+    return pd.DataFrame(
+        {
+            "doc_id": live_ids[cd[sel]],
+            "top_term": pd.Series(words[ct[sel]], dtype=object),
+            "tfidf": tfidf[sel],
+        }
+    )

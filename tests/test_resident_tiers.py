@@ -655,3 +655,23 @@ def test_rrf_resident_matches_distributed(spark, sf_dir):
     f = sorted(map(tuple, fast.collect()))
     d = sorted(map(tuple, dist.collect()))
     assert f == d and len(f) > 0
+
+
+def test_kl_and_tfidf_resident_match_distributed(spark, sf_dir):
+    from robosystems_spark.inventory import REGISTRY, _ensure_loaded
+    from robosystems_spark.operators import resident_text as RT
+
+    _ensure_loaded()
+    for name in ("corpus_source_kl_divergence", "text_tfidf_top_term"):
+        fn = REGISTRY[name].fn
+        fast_df = fn(spark, sf_dir)
+        old = RT.RESIDENT_DOCS_MAX
+        RT.RESIDENT_DOCS_MAX = 0
+        try:
+            dist_df = fn(spark, sf_dir)
+        finally:
+            RT.RESIDENT_DOCS_MAX = old
+        assert fast_df.schema == dist_df.schema, name
+        f = sorted(map(tuple, fast_df.collect()))
+        d = sorted(map(tuple, dist_df.collect()))
+        assert f == d and len(f) > 0, name
