@@ -28,7 +28,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="robosystems-explain")
     spark.sparkContext.setLogLevel("ERROR")
-    out_dir = Path(__file__).resolve().parent.parent / "plans" / "r12"
+    out_dir = Path(__file__).resolve().parent.parent / "plans" / os.environ.get("PLANS_ROUND", "r13")
     out_dir.mkdir(parents=True, exist_ok=True)
     if names == ["--bench"]:
         names = list(bench_queries().keys())
