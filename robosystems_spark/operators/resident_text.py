@@ -596,6 +596,8 @@ def weighted_jaccard_resident(
         pb_l.append(m[valid + d])
         pw_l.append(mw[valid])
         d += 1
+    if not pa_l:
+        return empty  # no bucket holds two docs -> no candidate pairs
     pa_i = np.concatenate(pa_l)
     pb_i = np.concatenate(pb_l)
     pw = np.concatenate(pw_l)
