@@ -79,8 +79,18 @@ def test_hybrid_rrf_fuses_and_stays_topk_shaped(spark, sf_dir):
     from tests.test_plans import plan_of
 
     _ensure_loaded()
+    # plan shape pinned on the DISTRIBUTED path (the r13 resident tier
+    # returns a LocalTableScan under the gates); the value checks below
+    # run on the default (resident) path
+    from robosystems_spark.operators import resident_text as RT
+
+    old = RT.RESIDENT_DOCS_MAX
+    RT.RESIDENT_DOCS_MAX = 0
+    try:
+        plan = plan_of(REGISTRY["hybrid_search_rrf"].fn(spark, sf_dir))
+    finally:
+        RT.RESIDENT_DOCS_MAX = old
     df = REGISTRY["hybrid_search_rrf"].fn(spark, sf_dir)
-    plan = plan_of(df)
     assert plan.count("TakeOrderedAndProject") >= 2  # both candidate lists + fusion
     rows = df.collect()
     assert rows and all(r["rrf_score"] > 0 for r in rows)
